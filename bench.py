@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timing = full execution to a count-style action (results are
+materialized but not collected to the driver). A warmup query runs first
+so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from yelp_etl_spark.plans.catalog import QUERIES
+from yelp_etl_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "flagship_revenue",
+    "pricing_summary",
+    "filter_project",
+    "date_features",
+    "explode_tokens",
+    "json_map_extract",
+    "sort_limit_topk",
+    "window_topk",
+    "window_analytic",
+    "join_left_counts",
+    "join_semi_anti",
+    "rollup_orders",
+    "cube_lineitem",
+    "distinct_counts",
+    "enrich_obt",
+    "dedup_exact",
+    "text_stats",
+    "cosine_topk",
+    "events_tumbling_window",
+    "minhash_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("yelp-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["flagship_revenue"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

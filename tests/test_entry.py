@@ -1,0 +1,40 @@
+"""Smoke tests for the driver contract (__spark_entry__.py)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["spark_entry"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_queries_and_oracles_consistent(spark):
+    mod = _load_entry_module()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 20
+    assert set(oracles) <= set(qs)
+    # every SQL-expressible query has an oracle; rows-only ops documented
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {"minhash_neardup", "simhash_sketch"}
+
+
+def test_each_query_runs_at_smoke_sf(spark, sf_dir):
+    mod = _load_entry_module()
+    for name, fn in mod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name

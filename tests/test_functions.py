@@ -1,0 +1,143 @@
+"""Tests for the LLM-data-pipeline extension functions: text stats,
+dedup (exact / jaccard / minhash / simhash), similarity search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions import dedup as D
+from yelp_etl_spark.functions import similarity as S
+from yelp_etl_spark.functions import text as TX
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("Hello, World! foo_bar 42",)], "text string")
+    row = df.select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.tokens(F.col("text")).alias("toks"),
+    ).collect()[0]
+    assert row.toks == ["hello", "world", "foo", "bar", "42"]
+    assert row.n == 5
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [("The  Quick Brown Fox!!",), ("the quick brown fox",)], "text string"
+    )
+    fps = [r.fp for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")], "doc_id long, text string"
+    )
+    out = {r.keeper_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(D.shingles(F.col("text"), 3).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == []  # too short for 3-grams
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "z y x w v u")],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words in this document about spark and parquet files"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = D.minhash_candidate_pairs(df, n=3, num_hashes=64, bands=16).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}[(1, 2)]
+    assert est > 0.5
+
+
+def test_minhash_deterministic_across_partitioning(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i} shared prefix words here plus suffix {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, D.minhash_candidate_pairs(df, 3, 32, 8).collect()))
+    b = sorted(map(tuple, D.minhash_candidate_pairs(df.repartition(7), 3, 32, 8).collect()))
+    assert a == b
+
+
+def test_simhash_near_duplicates_close(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.simhash_hi, r.simhash_lo) for r in D.simhash_sketches(df).collect()
+    }
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+def test_cosine_topk_self_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 0.01, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [3, 1]
+    assert rows[0].cosine_sim > 0.99
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    # two tight clusters: LSH must retrieve same-cluster neighbors
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append((i, [v + rng.gauss(0, 0.05) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.lsh_topk(df, df.filter(F.col("vec_id") < 2), dim=4, k=3, n_planes=4)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    # every retrieved neighbor shares the query's cluster parity
+    assert got and all((q % 2) == (n % 2) for q, n in got)
+
+
+def test_quality_score_orders_good_above_garbage(spark):
+    good = "the cat sat on the mat and it was a good day for everyone in the town"
+    garbage = "@@!! ## $$%% ^^&&(( ))__ ++=="
+    df = spark.createDataFrame([(1, good), (2, garbage)], "doc_id long, text string")
+    scores = {r.doc_id: r.q for r in df.select("doc_id", TX.quality_score(F.col("text")).alias("q")).collect()}
+    assert scores[1] > scores[2]
+
+
+def test_language_scores_prefers_english(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog went to the park in the morning",)], "text string"
+    )
+    row = df.select(TX.language_scores(F.col("text")).alias("m")).collect()[0]
+    assert row.m["en"] > row.m["de"] and row.m["en"] > row.m["fr"]

@@ -1,0 +1,247 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale notes (the whole point of these designs):
+- Exact dedup groups on a 128-bit content hash, NOT the raw text — the
+  shuffle moves 16-byte keys instead of documents.
+- N-gram Jaccard pairs is exact but O(pairs-sharing-a-shingle); it's the
+  correctness oracle for the approximate paths.
+- MinHash-LSH is the 100 TB path: signatures are fixed-size, banding
+  turns all-pairs into an equi-join on (band, band-hash) buckets, and
+  candidate verification is a second cheap pass. Hot buckets (boilerplate
+  shingles) are the skew risk — cap bucket width or salt.
+- SimHash gives a single 64-bit sketch; near-dups differ in few bits.
+
+All hashing uses xxhash64 with integer seeds — deterministic across
+runs, partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per exact content.
+
+    Dedup key = md5(normalized text) so the shuffle carries hashes, not
+    documents. Output: one row per distinct content with its keeper id
+    and duplicate count.
+    """
+    keyed = df.select(
+        fingerprint(F.col(content_col)).alias("content_key"), F.col(id_col)
+    )
+    return keyed.groupBy("content_key").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (array<string>)."""
+    toks = tokens(text)
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingles for every pair
+    of documents sharing ≥1 shingle, filtered to ``similarity >=
+    threshold``. Computed as explode → self-equi-join on shingle →
+    per-pair intersection counts → |A∪B| = |A|+|B|−|A∩B|.
+
+    This is the exact (oracle-able) formulation; MinHash-LSH below is
+    the approximate scale path.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).
+
+    Shape: explode shingles once → ONE groupBy(id) with ``num_hashes``
+    flat min-aggregates → pack into an array column. A naive per-row
+    array-lambda formulation re-inlines (and re-computes) the shingle
+    expression into every one of the 64 transforms — O(64×) wasted work
+    measured as a >100× slowdown; this explode/agg shape hashes each
+    shingle exactly 64 times, partial-aggregates map-side, and shuffles
+    only (id, 64 longs). Documents with fewer than ``n`` tokens have no
+    shingles and drop out (they cannot be near-duplicates)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
+    agg = sh.groupBy("id").agg(*aggs)
+    return agg.select(
+        "id", F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band
+    groups, hash each band, equi-join on (band, band_hash). Returns
+    candidate pairs with estimated Jaccard = fraction of matching
+    signature positions."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(num_hashes))
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def simhash_sketches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash sketch per document: bit j of the sketch = sign of the sum
+    over features of ±1 depending on bit j of xxhash64(feature).
+    Near-duplicate texts differ in few bits (compare with hamming64).
+
+    Shape: explode features → ONE groupBy(id) with ``bits`` flat
+    conditional sums → assemble the sketch. One shuffle keyed on the
+    document id; at 100 TB this is a standard partial-aggregated
+    wide→narrow pass (and far cheaper than per-document array lambdas,
+    which also blow up Catalyst's analyzer at 64 nested aggregates).
+    """
+    feats_arr = (
+        shingles(F.col(text_col), n) if n > 1 else F.array_distinct(tokens(F.col(text_col)))
+    )
+    feats = df.select(F.col(id_col), F.explode(feats_arr).alias("__feat")).withColumn(
+        "__h", F.xxhash64("__feat")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    agg = feats.groupBy(id_col).agg(*bit_sums)
+
+    # Assemble flat (one concat + conv), not as a nested add chain — a
+    # 64-deep expression tree exceeds Catalyst's analyzer iteration
+    # limit. Emit two 32-bit halves so each fits a signed long; hamming
+    # distance = popcount(xor(hi)) + popcount(xor(lo)).
+    def half(lo_bit: int, n_bits: int) -> Column:
+        s = F.concat(
+            *[
+                F.when(F.col(f"__b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(lo_bit, lo_bit + n_bits)
+            ]
+        )
+        return F.conv(s, 2, 10).cast("long")
+
+    hi_bits = bits // 2
+    return agg.select(
+        F.col(id_col),
+        half(0, hi_bits).alias("simhash_hi"),
+        half(hi_bits, bits - hi_bits).alias("simhash_lo"),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_hamming(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> Column:
+    """Hamming distance between two (hi, lo) simhash sketches."""
+    return hamming64(hi_a, hi_b) + hamming64(lo_a, lo_b)

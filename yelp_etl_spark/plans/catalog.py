@@ -1,0 +1,839 @@
+"""Query catalog: every implemented operator exposed as a named query
+with (where SQL-expressible) a DuckDB oracle.
+
+This is the driver-facing surface (__spark_entry__.py delegates here).
+Each entry maps one or more operators from SURVEY.md §2 onto the
+driver's fixture tables. Conventions for oracle parity:
+
+- every computed column is aliased identically in Spark and SQL
+- integer aggregates cast to BIGINT on both sides (DuckDB SUM(int)
+  returns HUGEINT otherwise)
+- double aggregates rounded (sums of doubles are order-sensitive in the
+  low bits; rounding makes the hash stable)
+- Spark date-part functions vs DuckDB: dayofweek differs by +1
+  (Spark Sun=1, DuckDB Sun=0); week/quarter/month/year agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from yelp_etl_spark.functions import dedup as D
+from yelp_etl_spark.functions import similarity as S
+from yelp_etl_spark.functions import text as TX
+from yelp_etl_spark.operators.dates import date_feature_columns
+from yelp_etl_spark.operators.enrich import Dimension, enrich
+from yelp_etl_spark.operators.explode import explode_delimited
+from yelp_etl_spark.operators.projection import flatten_structs
+from yelp_etl_spark.sources.readers import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
+    operators: str = ""  # SURVEY.md §2 ids this query exercises
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Reference-parity relational surface
+# --------------------------------------------------------------------------
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join fact×dims + date features + grouped agg (J1, A, D8).
+
+    lineitem ⋈ orders ⋈ customer → revenue by market segment and order
+    year. Dimension side of each join is the smaller table; at scale
+    customer is hash-joined (AQE picks broadcast when it fits) and the
+    agg does a map-side partial.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_FLAGSHIP = """
+SELECT c_mktsegment AS mktsegment,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation (A generalized): filter +
+    groupBy + sum/avg/count. Fully pushed: shipdate predicate reaches the
+    parquet scan; aggregation is partial+final."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone filter + projection (F*, P1/P3): predicate and column
+    pruning both reach the scan (verify via .explain PushedFilters)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+ORACLE_FILTER = """
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, 2) AS totalprice,
+       o_orderpriority AS priority
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+"""
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression / nullish normalization (F1, T3):
+    CASE WHEN with lower(), counted per branch."""
+    customer = _t(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        customer.select(
+            tier.alias("balance_tier"), F.lower("c_mktsegment").alias("segment")
+        )
+        .groupBy("balance_tier", "segment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ORACLE_CASE_WHEN = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS balance_tier,
+       LOWER(c_mktsegment) AS segment,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's date-feature derivation D1-D8 (clean.py:213-233)
+    over the distinct order dates."""
+    orders = _t(spark, sf_dir, "orders")
+    distinct_dates = orders.select("o_orderdate").distinct()
+    cols = date_feature_columns(F.col("o_orderdate"), "o", timestamp_format=None)
+    out = distinct_dates.select(*cols)
+    # ints → bigint for oracle schema parity
+    return out.select(
+        "o_ts",
+        "o_date",
+        "o_week_start_date",
+        F.col("o_week").cast("long").alias("o_week"),
+        F.col("o_quarter").cast("long").alias("o_quarter"),
+        F.col("o_dayofweek").cast("long").alias("o_dayofweek"),
+        F.col("o_month").cast("long").alias("o_month"),
+        F.col("o_year").cast("long").alias("o_year"),
+    )
+
+
+ORACLE_DATE_FEATURES = """
+SELECT o_orderdate AS o_ts,
+       CAST(o_orderdate AS DATE) AS o_date,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS o_week_start_date,
+       weekofyear(o_orderdate) AS o_week,
+       quarter(o_orderdate) AS o_quarter,
+       dayofweek(o_orderdate) + 1 AS o_dayofweek,
+       month(o_orderdate) AS o_month,
+       year(o_orderdate) AS o_year
+FROM (SELECT DISTINCT o_orderdate FROM orders)
+"""
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split + explode (L1/L2, clean.py:54-57 analog): one row per
+    whitespace token of p_name, counted per token."""
+    part = _t(spark, sf_dir, "part")
+    exploded = explode_delimited(part.select("p_name"), "p_name", " ", "token")
+    return exploded.groupBy("token").agg(F.count("*").alias("n"))
+
+
+ORACLE_EXPLODE = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+GROUP BY token
+"""
+
+
+def q_array_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split + element access (L2/L3, clean.py:113-128 analog): first and
+    last word of p_type."""
+    part = _t(spark, sf_dir, "part")
+    parts = F.split(F.col("p_type"), " ", -1)
+    return (
+        part.select(
+            parts.getItem(0).alias("type_head"),
+            F.element_at(parts, -1).alias("type_tail"),
+        )
+        .groupBy("type_head", "type_tail")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_ARRAY_ACCESS = """
+SELECT string_split(p_type, ' ')[1] AS type_head,
+       string_split(p_type, ' ')[-1] AS type_tail,
+       COUNT(*) AS n
+FROM part
+GROUP BY 1, 2
+"""
+
+
+def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → map parse + element access (L4, clean.py:199 analog):
+    events.props parsed as map<string,string>, key 'k' extracted and
+    aggregated per event_type."""
+    events = _t(spark, sf_dir, "events")
+    k = F.element_at(
+        F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType())), "k"
+    ).cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+ORACLE_JSON_MAP = """
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(AVG(k), 6) AS avg_k,
+       COUNT(k) AS n_with_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct flatten round-trip (P5, clean.py:161-179): pack order
+    columns into a nested struct, flatten back with the engine operator."""
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("pricing"),
+        ).alias("meta"),
+    )
+    flat = flatten_structs(nested)
+    return flat.select(
+        "o_orderkey",
+        F.col("meta_status").alias("status"),
+        F.round("meta_pricing_total", 2).alias("total"),
+        F.col("meta_pricing_priority").alias("priority"),
+    )
+
+
+ORACLE_FLATTEN = """
+SELECT o_orderkey, o_orderstatus AS status,
+       ROUND(o_totalprice, 2) AS total,
+       o_orderpriority AS priority
+FROM orders
+"""
+
+
+def q_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global conditional-count aggregate (A1, clean.py:203-206): the
+    reference's null-probe shape, generalized."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
+        F.count("*").alias("n_total"),
+    )
+
+
+ORACLE_COUNTIF = """
+SELECT count_if(l_discount > 0.05) AS n_high_discount,
+       count_if(l_returnflag = 'R') AS n_returned,
+       count_if(l_quantity IS NULL) AS n_null_qty,
+       COUNT(*) AS n_total
+FROM lineitem
+"""
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (sort + limit): Spark plans TakeOrderedAndProject —
+    no full sort, each partition keeps k rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+ORACLE_SORT_LIMIT = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (SURVEY §2.10): top 3 orders
+    per market segment."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rk <= 3
+"""
+
+
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag + running frame sum) per customer
+    over order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_total"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+    )
+
+
+ORACLE_WINDOW_ANALYTIC = """
+SELECT o_custkey, o_orderkey,
+       ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_total,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware aggregation: order counts per
+    customer including customers with no orders."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti joins: per nation, how many customers have ≥1 order
+    vs none. Two branches unioned with a tag column."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    customer = _t(spark, sf_dir, "customer")
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("with_orders"))
+    )
+    without = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("without_orders"))
+    )
+    return with_orders.unionByName(without)
+
+
+ORACLE_JOIN_SEMI_ANTI = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n, 'with_orders' AS kind
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+UNION ALL
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n, 'without_orders' AS kind
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators union/intersect/except over nation keys of
+    customers vs suppliers, tagged per op."""
+    cust_nations = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .distinct()
+    )
+    supp_nations = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").cast("long").alias("nationkey"))
+        .distinct()
+    )
+    return (
+        cust_nations.union(supp_nations).distinct().withColumn("op", F.lit("union"))
+        .unionByName(cust_nations.intersect(supp_nations).withColumn("op", F.lit("intersect")))
+        .unionByName(cust_nations.exceptAll(supp_nations).withColumn("op", F.lit("except")))
+    )
+
+
+ORACLE_SET_OPS = """
+WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+     s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+SELECT nationkey, 'union' AS op FROM (SELECT * FROM c UNION SELECT * FROM s)
+UNION ALL
+SELECT nationkey, 'intersect' AS op FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation over order status × priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation over returnflag × linestatus."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (countDistinct) per nation over customers +
+    join to nation dim (broadcast — it's 25 rows)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT n_name,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_enrich_obt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's enrich pipeline (J1, enrich.py:19-73): fact
+    lineitem × dims orders/part/supplier, dimension columns prefixed,
+    duplicate keys dropped. Filtered to a key range to keep the OBT
+    check small."""
+    lineitem = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .withColumnRenamed("l_partkey", "p_partkey")
+        .withColumnRenamed("l_suppkey", "s_suppkey")
+    )
+    obt = enrich(
+        lineitem,
+        [
+            Dimension("ord", _t(spark, sf_dir, "orders"), "o_orderkey"),
+            Dimension("prt", _t(spark, sf_dir, "part"), "p_partkey", broadcast=True),
+            Dimension("sup", _t(spark, sf_dir, "supplier"), "s_suppkey", broadcast=True),
+        ],
+    )
+    return obt.select(
+        "o_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.col("ord_o_orderstatus").alias("ord_status"),
+        F.round("ord_o_totalprice", 2).alias("ord_total"),
+        F.col("prt_p_brand").alias("prt_brand"),
+        F.col("sup_s_name").alias("sup_name"),
+    )
+
+
+ORACLE_ENRICH = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(l_linenumber AS BIGINT) AS linenumber,
+       o_orderstatus AS ord_status,
+       ROUND(o_totalprice, 2) AS ord_total,
+       p_brand AS prt_brand,
+       s_name AS sup_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_orderkey < 500
+"""
+
+
+def q_regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex repair surface (T1/T2/T3, clean.py:69-94 analog): strip a
+    token, collapse whitespace, lowercase; return lengths."""
+    documents = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"\bthe\b", ""), r"\s+", " "
+        )
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(cleaned).cast("long").alias("len_clean"),
+        F.substring(cleaned, 1, 30).alias("clean_prefix"),
+    )
+
+
+ORACLE_REGEX_CLEAN = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS len_raw,
+       CAST(LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text), '\\bthe\\b', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS BIGINT) AS len_clean,
+       SUBSTRING(TRIM(regexp_replace(regexp_replace(LOWER(text), '\\bthe\\b', '', 'g'),
+                                     '\\s+', ' ', 'g')), 1, 30) AS clean_prefix
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extensions
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (functions/dedup.py): keeper id +
+    copy count per distinct normalized text."""
+    documents = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(documents).select("content_key", "keeper_id", "n_copies")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS content_key,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality stats (functions/text.py) per document."""
+    documents = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_computed"),
+        F.round(TX.avg_token_length(t), 6).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(t, "en"), 6).alias("stopword_ratio_en"),
+        TX.fingerprint(t).alias("fingerprint"),
+    )
+
+
+ORACLE_TEXT_STATS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(tok) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+       ROUND(list_sum(list_transform(tok, t -> CAST(LENGTH(t) AS DOUBLE))) / LENGTH(tok), 6)
+         AS avg_token_len,
+       ROUND(CAST(LENGTH(list_filter(tok, t -> list_contains(
+           ['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
+         / GREATEST(LENGTH(tok), 1), 6) AS stopword_ratio_en,
+       md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint
+FROM toks
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (functions/dedup.py) —
+    the oracle-able exact formulation of near-dedup."""
+    documents = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(documents, n=3, threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sh AS (
+  SELECT id, DISTINCT_GRAM AS sh FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
+    FROM toks
+    WHERE LENGTH(tok) >= 3
+  )
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (functions/similarity.py):
+    top-5 neighbors for the first 10 vectors."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(embeddings, queries, k=5)
+
+
+ORACLE_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, c.emb) /
+               SQRT(list_dot_product(q.emb, q.emb) * list_dot_product(c.emb, c.emb)), 4)
+           AS cosine_sim
+  FROM v q JOIN v c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (batch
+    semantics of the Structured Streaming window op)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (approximate near-dedup; the 100 TB
+    scale path). No SQL oracle — xxhash64 isn't available in DuckDB;
+    the exact-Jaccard query above is its correctness anchor, plus
+    property tests in tests/."""
+    documents = _t(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(documents, n=3, num_hashes=64, bands=16)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketches per document (rows-only check — hash function is
+    engine-specific)."""
+    documents = _t(spark, sf_dir, "documents")
+    return D.simhash_sketches(documents, "doc_id", "text", n=1, bits=64)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
+    "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
+    "filter_project": QuerySpec(q_filter_project, ORACLE_FILTER, "F P1 P3"),
+    "case_when_tiers": QuerySpec(q_case_when, ORACLE_CASE_WHEN, "F1 T3"),
+    "date_features": QuerySpec(q_date_features, ORACLE_DATE_FEATURES, "D1-D8"),
+    "explode_tokens": QuerySpec(q_explode_tokens, ORACLE_EXPLODE, "L1 L2"),
+    "array_access": QuerySpec(q_array_access, ORACLE_ARRAY_ACCESS, "L2 L3"),
+    "json_map_extract": QuerySpec(q_json_map, ORACLE_JSON_MAP, "L4"),
+    "flatten_struct": QuerySpec(q_flatten_struct, ORACLE_FLATTEN, "P5"),
+    "countif_probe": QuerySpec(q_countif, ORACLE_COUNTIF, "A1 F2"),
+    "sort_limit_topk": QuerySpec(q_sort_limit, ORACLE_SORT_LIMIT, "sort/limit"),
+    "window_topk": QuerySpec(q_window_topk, ORACLE_WINDOW_TOPK, "window rank"),
+    "window_analytic": QuerySpec(q_window_analytic, ORACLE_WINDOW_ANALYTIC, "window lag/frame"),
+    "join_left_counts": QuerySpec(q_join_left, ORACLE_JOIN_LEFT, "J outer"),
+    "join_semi_anti": QuerySpec(q_join_semi_anti, ORACLE_JOIN_SEMI_ANTI, "J semi/anti"),
+    "set_ops": QuerySpec(q_set_ops, ORACLE_SET_OPS, "union/intersect/except"),
+    "rollup_orders": QuerySpec(q_rollup, ORACLE_ROLLUP, "rollup"),
+    "cube_lineitem": QuerySpec(q_cube, ORACLE_CUBE, "cube"),
+    "distinct_counts": QuerySpec(q_distinct_counts, ORACLE_DISTINCT, "distinct agg"),
+    "enrich_obt": QuerySpec(q_enrich_obt, ORACLE_ENRICH, "J1 P4 enrich"),
+    "regex_clean": QuerySpec(q_regex_clean, ORACLE_REGEX_CLEAN, "T1-T3"),
+    "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT, "ext:dedup"),
+    "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS, "ext:text"),
+    "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD, "ext:near-dedup"),
+    "cosine_topk": QuerySpec(q_cosine_topk, ORACLE_COSINE_TOPK, "ext:similarity"),
+    "events_tumbling_window": QuerySpec(q_events_tumbling, ORACLE_EVENTS_TUMBLING, "ext:window"),
+    "minhash_neardup": QuerySpec(q_minhash_neardup, None, "ext:minhash-lsh"),
+    "simhash_sketch": QuerySpec(q_simhash, None, "ext:simhash"),
+}
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference configures its session entirely through spark-defaults.conf
+(reference: spark-defaults.conf:1-22, app.py:18). Here the session tuning
+is explicit and centralized. Defaults are chosen for the local[N] test
+harness but every knob is the one you'd tune on a real cluster:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing)
+- shuffle partitions sized to cores locally; on a cluster you'd size to
+  ~2-3x total cores or rely on AQE coalescing from a high initial value
+- Arrow enabled for any Pandas-UDF exchange
+- broadcast threshold raised so dimension tables (region/nation/customer
+  at test SF) broadcast instead of shuffling
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "yelp-etl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession with engine defaults.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is cluster-safe.
+    """
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,78 @@
+"""Source readers: parquet fixture tables, JSON-lines with optional schema.
+
+Parity targets (reference file:line):
+- S1 JSON-lines scan w/ schema inference: extract.py:30 — here
+  ``read_json`` adds an optional explicit StructType (the reference
+  always infers, which costs an extra full pass over the data; at 100 TB
+  an explicit schema skips that pass entirely).
+- S2 catalog/table scan: clean.py:52, enrich.py:44 — here ``load_table``
+  reads the driver's parquet fixtures; a real deployment would use
+  ``spark.table(name)`` against an Iceberg catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Columnar parquet scan → Catalyst gets
+    column pruning + predicate pushdown for free.
+
+    The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read nanos as long and rebuild a (microsecond)
+    timestamp — integer division, no float round-trip (ns-epoch values
+    exceed 2^53).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register fixture tables as temp views so spark.sql() can be used."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan (reference extract.py:30). With ``schema=None``
+    Spark runs an inference pass first — fine for small data, a full
+    extra scan at 100 TB, so callers should pass explicit schemas in
+    production."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
