@@ -1,0 +1,72 @@
+"""Structured Streaming tests: the windowed aggregations must produce
+the same results through readStream (availableNow trigger, memory sink)
+as through the batch DataFrame path."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from yelp_etl_spark.sources.readers import load_table
+from yelp_etl_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Events fixture re-materialized as a micro-timestamp parquet dir
+    (streaming file source needs a directory it can list)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    batch = tumbling_window_agg(spark.read.parquet(events_dir), "10 minutes")
+    stream = tumbling_window_agg(
+        read_events_stream(spark, events_dir), "10 minutes", watermark="1 hour"
+    )
+    run_stream_to_memory(stream, "t_tumbling")
+    assert _rows(spark, "t_tumbling") == {tuple(r) for r in batch.collect()}
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    batch = sliding_window_agg(spark.read.parquet(events_dir), "10 minutes", "5 minutes")
+    stream = sliding_window_agg(
+        read_events_stream(spark, events_dir), "10 minutes", "5 minutes", watermark="1 hour"
+    )
+    run_stream_to_memory(stream, "t_sliding")
+    assert _rows(spark, "t_sliding") == {tuple(r) for r in batch.collect()}
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    batch = session_window_agg(spark.read.parquet(events_dir), "30 minutes")
+    stream = session_window_agg(
+        read_events_stream(spark, events_dir), "30 minutes", watermark="1 hour"
+    )
+    run_stream_to_memory(stream, "t_session")
+    assert _rows(spark, "t_session") == {tuple(r) for r in batch.collect()}
+
+
+def test_incremental_micro_batches(spark, events_dir):
+    """maxFilesPerTrigger forces multiple micro-batches; the final state
+    must still equal the batch answer (update across triggers)."""
+    stream = tumbling_window_agg(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1),
+        "10 minutes",
+        watermark="1 hour",
+    )
+    run_stream_to_memory(stream, "t_incremental")
+    batch = tumbling_window_agg(spark.read.parquet(events_dir), "10 minutes")
+    assert _rows(spark, "t_incremental") == {tuple(r) for r in batch.collect()}

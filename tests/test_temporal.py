@@ -1,0 +1,59 @@
+"""Unit tests for temporal joins (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.operators.temporal import asof_join, range_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "k", ts("2024-01-10T00:00:00")), (2, "k", ts("2024-01-01T00:00:00"))],
+        "id long, key string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", ts("2024-01-05T00:00:00"), "mid"),
+            ("k", ts("2024-01-09T00:00:00"), "late"),
+            ("k", ts("2024-02-01T00:00:00"), "future"),
+        ],
+        "key string, rt timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, "id", "t", "rt", ["key"], ["key"], right_columns=["tag"]
+    )
+    got = {r.id: r.tag for r in out.collect()}
+    assert got == {1: "late", 2: None}  # row 2 predates all right rows → NULL
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [(1, "k", ts("2024-01-06T00:00:00"))], "id long, key string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", ts("2024-01-05T00:00:00"), "before"), ("k", ts("2024-01-07T00:00:00"), "after")],
+        "key string, rt timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, "id", "t", "rt", ["key"], ["key"],
+        right_columns=["tag"], direction="forward",
+    )
+    assert out.collect()[0].tag == "after"
+
+
+def test_range_join_residual_predicate(spark):
+    left = spark.createDataFrame([(1, 10), (1, 50)], "k long, v long")
+    right = spark.createDataFrame([(1, 0, 20), (1, 40, 60)], "k long, lo long, hi long")
+    out = range_join(
+        left, right, [("k", "k")],
+        (left["v"] >= right["lo"]) & (left["v"] < right["hi"]),
+    )
+    got = {(r[1], r[3], r[4]) for r in out.collect()}
+    assert got == {(10, 0, 20), (50, 40, 60)}

@@ -793,6 +793,432 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_sketches(documents, "doc_id", "text", n=1, bits=64)
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (streaming/windows.py, batch
+    semantics): 10-minute windows sliding every 5 — each event lands in
+    two windows."""
+    events = _t(spark, sf_dir, "events")
+    return W_SLIDING(events)
+
+
+def W_SLIDING(events: DataFrame) -> DataFrame:
+    from yelp_etl_spark.streaming.windows import sliding_window_agg
+
+    return sliding_window_agg(events, "10 minutes", "5 minutes", ["event_type"])
+
+
+ORACLE_SLIDING = """
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+           AS window_start,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation (streaming/windows.py, batch
+    semantics): per-user sessions with a 30-minute inactivity gap."""
+    from yelp_etl_spark.streaming.windows import session_window_agg
+
+    events = _t(spark, sf_dir, "events")
+    return session_window_agg(events, "30 minutes", ["user_id"])
+
+
+ORACLE_SESSION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start, user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.py): equi key + residual temporal
+    predicate — lineitems shipped more than 60 days after their order
+    date, counted per month shipped."""
+    from yelp_etl_spark.operators.temporal import range_join
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = range_join(
+        lineitem,
+        orders,
+        [("l_orderkey", "o_orderkey")],
+        lineitem["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS"),
+    )
+    return joined.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+    ).agg(
+        F.count("*").alias("n_late"),
+        F.round(F.sum("l_extendedprice"), 2).alias("late_value"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+       COUNT(*) AS n_late,
+       ROUND(SUM(l_extendedprice), 2) AS late_value
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each event picks up the most
+    recent order of the same customer at or before the event time."""
+    from yelp_etl_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = _t(spark, sf_dir, "orders")
+    joined = asof_join(
+        events,
+        orders,
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_keys=["user_id"],
+        right_keys=["o_custkey"],
+        right_columns=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_total"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT event_id, user_id,
+       o_orderkey AS last_orderkey,
+       ROUND(o_totalprice, 2) AS last_total
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts+value per priority, one column per status."""
+    orders = _t(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: lineitem measure columns to (measure, value) rows,
+    aggregated."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    melted = lineitem.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("total")
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT measure, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+FROM (
+  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY measure
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: concat_ws, upper, lpad, substring,
+    replace, strpos, translate, reverse, repeat, levenshtein."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("upper_name"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.instr(F.col("p_type"), "a").cast("long").alias("first_a"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("lev"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT p_partkey,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       UPPER(p_name) AS upper_name,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       substring(p_type, 1, 5) AS type5,
+       replace(p_name, ' ', '_') AS snake_name,
+       CAST(strpos(p_type, 'a') AS BIGINT) AS first_a,
+       translate(p_brand, '#', '-') AS brand_dash,
+       reverse(p_brand) AS brand_rev,
+       repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+FROM part
+"""
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface: abs, floor, ceil, sqrt, power, ln, log10,
+    exp, sign, modulo — aggregated to a compact checksum row set."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    return (
+        lineitem.select(
+            (F.col("l_partkey") % 7).cast("long").alias("bucket"),
+            F.abs(x - 30000).alias("centered"),
+            F.floor(x / 1000).cast("long").alias("k_floor"),
+            F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+            F.sqrt(x).alias("root"),
+            F.pow(F.col("l_quantity"), F.lit(2.0)).alias("qty_sq"),
+            F.log(x).alias("ln_price"),
+            F.log10(x).alias("log10_price"),
+            F.exp(F.col("l_discount")).alias("e_disc"),
+            F.signum(x - 30000.0).alias("sign_centered"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(F.sum("centered"), 2).alias("sum_centered"),
+            F.sum("k_floor").alias("sum_floor"),
+            F.sum("disc_pct").alias("sum_disc_pct"),
+            F.round(F.sum("root"), 4).alias("sum_root"),
+            F.round(F.sum("qty_sq"), 2).alias("sum_qty_sq"),
+            F.round(F.sum("ln_price"), 4).alias("sum_ln"),
+            F.round(F.sum("log10_price"), 4).alias("sum_log10"),
+            F.round(F.sum("e_disc"), 4).alias("sum_e_disc"),
+            F.round(F.sum("sign_centered"), 1).alias("sum_sign"),
+        )
+    )
+
+
+ORACLE_MATH_FUNCS = """
+SELECT CAST(l_partkey % 7 AS BIGINT) AS bucket,
+       ROUND(SUM(ABS(l_extendedprice - 30000)), 2) AS sum_centered,
+       CAST(SUM(CAST(FLOOR(l_extendedprice / 1000) AS BIGINT)) AS BIGINT) AS sum_floor,
+       CAST(SUM(CAST(CEIL(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
+       ROUND(SUM(SQRT(l_extendedprice)), 4) AS sum_root,
+       ROUND(SUM(POWER(l_quantity, 2.0)), 2) AS sum_qty_sq,
+       ROUND(SUM(LN(l_extendedprice)), 4) AS sum_ln,
+       ROUND(SUM(LOG10(l_extendedprice)), 4) AS sum_log10,
+       ROUND(SUM(EXP(l_discount)), 4) AS sum_e_disc,
+       ROUND(SUM(SIGN(l_extendedprice - 30000.0)), 1) AS sum_sign
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (spark.sql over registered
+    views) — beyond rollup/cube, arbitrary set lists."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                (c_mktsegment), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT c_mktsegment, o_orderstatus,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / correlated subquery via the SQL surface: customers whose
+    account balance exceeds their nation's average."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_above_avg
+        FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+          AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY n_name
+        """
+    )
+
+
+ORACLE_IN_SUBQUERY = """
+SELECT n_name, COUNT(*) AS n_above_avg
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY n_name
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (functions/text.py): stopword-ratio argmax
+    over en/de/fr, confusion counts against the labeled lang column."""
+    documents = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    en = TX.stopword_ratio(t, "en")
+    de = TX.stopword_ratio(t, "de")
+    fr = TX.stopword_ratio(t, "fr")
+    pred = (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        documents.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_LANG_ID = """
+WITH scored AS (
+  SELECT lang,
+         CAST(LENGTH(list_filter(tok, t -> list_contains(
+             ['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
+           / GREATEST(LENGTH(tok), 1) AS en,
+         CAST(LENGTH(list_filter(tok, t -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','mit','ich','zu'], t))) AS DOUBLE)
+           / GREATEST(LENGTH(tok), 1) AS de,
+         CAST(LENGTH(list_filter(tok, t -> list_contains(
+             ['le','la','les','et','est','un','une','dans','que','pour'], t))) AS DOUBLE)
+           / GREATEST(LENGTH(tok), 1) AS fr
+  FROM (SELECT lang, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok FROM documents)
+)
+SELECT lang,
+       CASE WHEN en >= de AND en >= fr THEN 'en'
+            WHEN de >= fr THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       COUNT(*) AS n
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (functions/text.py) per document."""
+    documents = _t(spark, sf_dir, "documents")
+    return documents.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+ORACLE_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok,
+         LENGTH(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
+         CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '[a-z0-9]+'),
+             t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+           AS DOUBLE) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       ROUND((LEAST(LENGTH(text) / 500.0, 1.0)
+              + (1.0 - LEAST(punct_ratio * 4, 1.0))
+              + LEAST(stop_hits / GREATEST(LENGTH(tok), 1) * 5, 1.0)) / 3.0, 6)
+         AS quality
+FROM base
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms + dimensionality over the embeddings table
+    (functions/similarity.py building blocks)."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    vec = S.as_double_array(F.col("embedding"))
+    return embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(S.squared_norm(vec)), 6).alias("l2_norm"),
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT vec_id,
+       CAST(label AS BIGINT) AS label,
+       CAST(LENGTH(embedding) AS BIGINT) AS dim,
+       ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — sketch values are
+    engine-specific, so rows-only check; the exact distinct_counts query
+    is the correctness anchor."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -826,6 +1252,20 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_window": QuerySpec(q_events_tumbling, ORACLE_EVENTS_TUMBLING, "ext:window"),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "ext:minhash-lsh"),
     "simhash_sketch": QuerySpec(q_simhash, None, "ext:simhash"),
+    "sliding_window": QuerySpec(q_sliding_window, ORACLE_SLIDING, "ext:window slide"),
+    "session_window": QuerySpec(q_session_window, ORACLE_SESSION, "ext:window session"),
+    "range_join": QuerySpec(q_range_join, ORACLE_RANGE_JOIN, "J range"),
+    "asof_join": QuerySpec(q_asof_join, ORACLE_ASOF_JOIN, "J asof"),
+    "pivot_status": QuerySpec(q_pivot, ORACLE_PIVOT, "pivot"),
+    "unpivot_measures": QuerySpec(q_unpivot, ORACLE_UNPIVOT, "unpivot"),
+    "string_funcs": QuerySpec(q_string_funcs, ORACLE_STRING_FUNCS, "T*"),
+    "math_funcs": QuerySpec(q_math_funcs, ORACLE_MATH_FUNCS, "math"),
+    "grouping_sets": QuerySpec(q_grouping_sets, ORACLE_GROUPING_SETS, "grouping sets + SQL"),
+    "in_subquery": QuerySpec(q_in_subquery, ORACLE_IN_SUBQUERY, "subquery + SQL"),
+    "lang_id": QuerySpec(q_lang_id, ORACLE_LANG_ID, "ext:lang-id"),
+    "quality_score": QuerySpec(q_quality_score, ORACLE_QUALITY, "ext:quality"),
+    "embedding_norms": QuerySpec(q_embedding_norms, ORACLE_EMBEDDING_NORMS, "ext:similarity"),
+    "approx_distinct": QuerySpec(q_approx_distinct, None, "approx agg"),
 }
 
 

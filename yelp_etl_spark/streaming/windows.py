@@ -1,0 +1,112 @@
+"""Structured Streaming window operators over the events table.
+
+The reference is batch-only (SURVEY.md §1.1: "No streams"); this module
+is the engine's streaming extension surface. Each aggregation helper is
+written against the *unbound* DataFrame API, so the same function works
+on a batch DataFrame (the driver's oracle checks use batch semantics)
+and on a streaming DataFrame from ``read_events_stream`` (the tests
+exercise that path with an availableNow trigger).
+
+Scale notes: windowed aggregations shuffle on (key, window); the
+watermark bounds state size — without it a 100 TB/day stream grows state
+forever. Session windows additionally merge adjacent state entries; the
+gap duration is the state-retention knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of parquet event files
+    (micro-batch per file group). Explicit schema — streaming sources
+    require one; inference would also cost a listing pass per batch."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def _agg_exprs() -> list[Column]:
+    return [
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    keys: list[str] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Non-overlapping fixed windows. With ``watermark`` set (streaming),
+    state for windows older than max(ts) - watermark is emitted+dropped."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", duration).alias("w"), *keys)
+        .agg(*_agg_exprs())
+        .select(F.col("w.start").alias("bucket_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    keys: list[str] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", duration, slide).alias("w"), *keys)
+        .agg(*_agg_exprs())
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    keys: list[str] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions per key: a session extends while consecutive
+    events arrive within ``gap``; window end = last event + gap."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), *keys)
+        .agg(*_agg_exprs())
+        .select(
+            F.col("w.start").alias("session_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Execute a streaming aggregation to an in-memory sink with the
+    availableNow trigger (process everything currently available, then
+    stop) — the test/verification harness for streaming ops."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
