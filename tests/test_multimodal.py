@@ -1,0 +1,60 @@
+"""Tests for multimodal binary-column plumbing (functions/multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions.multimodal import (
+    attach_blob_metadata,
+    decode_blobs,
+    synthesize_blobs,
+)
+
+
+def _blob_df(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another payload"), (3, "x")],
+        "doc_id long, text string",
+    )
+    return synthesize_blobs(df)
+
+
+def test_attach_blob_metadata(spark):
+    out = attach_blob_metadata(_blob_df(spark))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].blob_format == "png"  # magic bytes sniffed
+    assert rows[1].blob_bytes == 8 + len("hello world")
+    assert rows[1].blob_hash == rows[1].blob_hash  # stable
+    # same content → same hash across partitionings
+    again = {r.doc_id: r.blob_hash for r in attach_blob_metadata(
+        _blob_df(spark).repartition(3)).collect()}
+    assert {k: v.blob_hash for k, v in rows.items()} == again
+
+
+def test_decode_blobs_fake_decoder(spark):
+    out = decode_blobs(_blob_df(spark))
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.decode_ok is True
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert 1 <= r.n_channels <= 4
+        assert r.doc_id is not None and r.text is not None  # inputs carried through
+    # deterministic across partitionings
+    a = {(r.doc_id, r.width, r.height) for r in rows}
+    b = {(r.doc_id, r.width, r.height) for r in decode_blobs(_blob_df(spark).repartition(3)).collect()}
+    assert a == b
+
+
+def test_decode_blobs_poison_input_captured(spark):
+    def picky(payload: bytes) -> dict:
+        if b"another" in payload:
+            raise ValueError("corrupt stream")
+        return {"width": 1, "height": 1, "n_channels": 1, "decode_ok": True,
+                "decode_error": None}
+
+    out = decode_blobs(_blob_df(spark), decode_fn=picky)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].decode_ok is True
+    assert rows[2].decode_ok is False and "corrupt" in rows[2].decode_error
+    assert rows[3].decode_ok is True

@@ -1,0 +1,153 @@
+"""Golden end-to-end pipeline tests on the Yelp-shaped micro-fixtures
+(FIXTURES.md §B): extract → clean → enrich, pinning the reference's
+dirty-case behavior (unicode prefixes, textual nulls, map-like attribute
+strings, hour splitting, checkin explode, orphan-dropping inner joins).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.plans.pipelines import (
+    CLEANERS,
+    clean_business,
+    clean_checkin,
+    clean_review,
+    clean_user,
+    enrich_fact,
+)
+from yelp_etl_spark.sources.readers import read_json
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return {
+        e: read_json(spark, os.path.join(FIXTURES, f"{e}.json"))
+        for e in ("business", "review", "user", "checkin", "tip")
+    }
+
+
+def test_extract_infers_nested_schema(raw):
+    b = raw["business"]
+    assert b.count() == 4
+    types = dict(b.dtypes)
+    assert types["attributes"].startswith("struct<")
+    assert types["hours"].startswith("struct<")
+    assert types["is_open"] == "bigint"
+
+
+def test_clean_business_types_and_values(raw):
+    cleaned = clean_business(raw["business"])
+    types = dict(cleaned.dtypes)
+    assert types["is_open"] == "boolean"
+    assert types["categories"] == "array<string>"
+    # attribute repair + safe cast: WiFi values u'free'/'no'/None → plain strings
+    assert types["attributes_wifi"] == "string"
+    assert types["attributes_bikeparking"] == "boolean"
+    assert types["attributes_businessparking"].startswith("map<string,")
+    rows = {r.business_id: r for r in cleaned.collect()}
+    assert rows["b1"].attributes_wifi == "free"
+    assert rows["b2"].attributes_wifi == "no"
+    assert rows["b3"].attributes_wifi is None  # "None" → NULL
+    assert rows["b1"].attributes_bikeparking is True
+    assert rows["b1"].attributes_businessparking["street"] in (True, "true")
+    assert rows["b1"].categories == ["Coffee & Tea", "Cafes", "Breakfast"]
+    assert rows["b3"].categories is None
+    # hours split: b1 Wednesday 7:30-17:30
+    assert rows["b1"].wednesday_start_hour == 7
+    assert rows["b1"].wednesday_start_minute == 30
+    assert rows["b1"].wednesday_end_hour == 17
+    assert rows["b1"].wednesday_end_minute == 30
+    assert rows["b3"].monday_start_hour is None  # null hours struct
+    assert "hours_monday" not in cleaned.columns
+
+
+def test_clean_checkin_explodes_and_derives(raw):
+    cleaned = clean_checkin(raw["checkin"])
+    assert cleaned.count() == 6  # 3 + 1 + 2 timestamps
+    b1 = cleaned.filter(F.col("business_id") == "b1")
+    assert b1.count() == 3
+    assert cleaned.select("checkin_id").distinct().count() == 6
+    row = cleaned.filter(F.col("date_ts") == "2020-02-29 23:59:59").collect()[0]
+    assert row.business_id == "b2"
+    assert row.date_year == 2020 and row.date_month == 2
+    assert str(row.date_week_start_date) == "2020-02-24"
+
+
+def test_clean_review_date_features(raw):
+    cleaned = clean_review(raw["review"])
+    r1 = cleaned.filter(F.col("review_id") == "r1").collect()[0]
+    assert r1.date_year == 2018 and r1.date_quarter == 3 and r1.date_dayofweek == 4
+    assert "date" not in cleaned.columns
+
+
+def test_clean_user_yelping_since(raw):
+    cleaned = clean_user(raw["user"])
+    u1 = cleaned.filter(F.col("user_id") == "u1").collect()[0]
+    assert u1.yelping_since_year == 2015
+    assert str(u1.yelping_since_date) == "2015-03-20"
+
+
+def test_enrich_review_obt(raw):
+    review = clean_review(raw["review"])
+    business = clean_business(raw["business"])
+    user = clean_user(raw["user"])
+    obt = enrich_fact(review, {"business": business, "user": user})
+    # r4 references unknown business b9 → dropped by inner join
+    assert {r.review_id for r in obt.select("review_id").collect()} == {"r1", "r2", "r3"}
+    # dim columns prefixed; overlapping 'stars' disambiguated
+    assert "business_stars" in obt.columns and "user_name" in obt.columns
+    assert "stars" in obt.columns  # fact's own stars kept unprefixed
+    r1 = obt.filter(F.col("review_id") == "r1").collect()[0]
+    assert r1.business_name == "Cafe One"
+    assert r1.user_name == "Ana"
+    assert r1.business_stars == 4.5 and r1.stars == 5.0
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """Drive extract → clean → enrich through the CLI surface."""
+    from yelp_etl_spark.cli import build_parser, run
+
+    bronze = {}
+    for entity in ("review", "business", "user"):
+        out = str(tmp_path / f"bronze_{entity}")
+        run(
+            build_parser().parse_args(
+                ["--pipeline", "extract", "--entity_type", entity,
+                 "--input", os.path.join(FIXTURES, f"{entity}.json"),
+                 "--output", out]
+            ),
+            spark,
+        )
+        bronze[entity] = out
+    silver = {}
+    for entity in ("review", "business", "user"):
+        out = str(tmp_path / f"silver_{entity}")
+        args = ["--pipeline", "clean", "--entity_type", entity,
+                "--input", bronze[entity], "--output", out]
+        if entity == "review":
+            args += ["--partition_column", "date_year", "--bucket_column", "business_id",
+                     "--buckets", "2"]
+        run(build_parser().parse_args(args), spark)
+        silver[entity] = out
+    # partitioned layout on disk: date_year=YYYY directories
+    assert any(p.name.startswith("date_year=") for p in (tmp_path / "silver_review").iterdir())
+    obt_path = str(tmp_path / "obt")
+    run(
+        build_parser().parse_args(
+            ["--pipeline", "enrich", "--entity_type", "review",
+             "--input", silver["review"], "--output", obt_path,
+             "--dimension_inputs", silver["business"], silver["user"],
+             "--dimension_entity_types", "business", "user"]
+        ),
+        spark,
+    )
+    obt = spark.read.parquet(obt_path)
+    assert obt.count() == 3
+    assert "business_name" in obt.columns

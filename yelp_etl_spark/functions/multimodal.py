@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for 100 TB multimodal datasets: media lives as a ``binary``
+column (or object-store URI) beside typed metadata columns. Everything
+cheap (sizing, hashing, format sniffing) is Catalyst built-ins on the
+binary column; everything heavy (decode, resize, frame sampling) runs
+in Arrow-batched ``mapInPandas`` so the Python worker cost is amortized
+per batch and the operator pipelines with the surrounding plan — no
+shuffle, scales linearly with executors.
+
+The actual codec step is STUBBED (no image/audio libraries in this
+environment): ``decode_fn=None`` uses a deterministic fake decoder so
+the Spark-side plumbing — schema, batch iteration, partitioning — is
+real and tested; pass a real decode_fn (PIL/librosa/av) in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Magic-byte prefixes → format tag (hex, uppercase).
+_MAGIC = {
+    "89504E47": "png",
+    "FFD8FF": "jpeg",
+    "47494638": "gif",
+    "52494646": "riff",  # wav/avi container
+    "66747970": "mp4",  # 'ftyp' at offset 4 in practice; simplified
+}
+
+
+def attach_blob_metadata(df: DataFrame, blob_col: str = "content") -> DataFrame:
+    """Cheap JVM-side metadata: byte size, stable content hash, magic-
+    byte format sniff. No Python involved — runs in codegen."""
+    blob = F.col(blob_col)
+    head = F.upper(F.hex(F.expr(f"substring({blob_col}, 1, 4)")))
+    fmt = F.lit(None).cast("string")
+    for magic, name in reversed(_MAGIC.items()):
+        fmt = F.when(head.startswith(magic), F.lit(name)).otherwise(fmt)
+    return df.withColumns(
+        {
+            "blob_bytes": F.length(blob).cast("long"),
+            "blob_hash": F.xxhash64(blob),
+            "blob_format": fmt,
+        }
+    )
+
+
+DECODED_SCHEMA = (
+    "width int, height int, n_channels int, decode_ok boolean, decode_error string"
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: derives plausible
+    dimensions from a content digest. Replace with a real codec in
+    production (the NotImplementedError path documents the boundary)."""
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + digest[0] % 192,
+        "height": 64 + digest[1] % 192,
+        "n_channels": 1 + digest[2] % 4,
+        "decode_ok": True,
+        "decode_error": None,
+    }
+
+
+def decode_blobs(
+    df: DataFrame,
+    blob_col: str = "content",
+    decode_fn: Callable[[bytes], dict] | None = None,
+    batch_schema: str | None = None,
+) -> DataFrame:
+    """Decode binary payloads via Arrow-batched mapInPandas, attaching
+    the decoded metadata columns to every input column.
+
+    decode_fn: bytes → dict matching ``batch_schema`` fields. None →
+    deterministic fake (see module docstring). Exceptions per item are
+    captured into decode_ok/decode_error instead of failing the task —
+    at billions of blobs, poison inputs are a certainty.
+    """
+    import pandas as pd
+
+    decode = decode_fn or _fake_decode
+    meta_schema = batch_schema or DECODED_SCHEMA
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in df.dtypes
+    ) + ", " + meta_schema
+    meta_cols = [s.strip().split(" ")[0] for s in meta_schema.split(",")]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[blob_col]:
+                try:
+                    metas.append(decode(bytes(payload)))
+                except NotImplementedError:
+                    raise
+                except Exception as e:  # poison blob → row-level error
+                    metas.append(
+                        {
+                            "width": None,
+                            "height": None,
+                            "n_channels": None,
+                            "decode_ok": False,
+                            "decode_error": str(e)[:200],
+                        }
+                    )
+            meta_df = pd.DataFrame(metas, columns=meta_cols)
+            yield pd.concat(
+                [pdf.reset_index(drop=True), meta_df.reset_index(drop=True)], axis=1
+            )
+
+    return df.mapInPandas(process, schema=out_schema)
+
+
+def synthesize_blobs(df: DataFrame, from_col: str = "text") -> DataFrame:
+    """Test helper: manufacture a binary payload column from a string
+    column (deterministic), tagged with a fake PNG header so the format
+    sniffer has something to find."""
+    return df.withColumn(
+        "content",
+        F.concat(
+            F.unhex(F.lit("89504E470D0A1A0A")), F.encode(F.col(from_col), "utf-8")
+        ),
+    )

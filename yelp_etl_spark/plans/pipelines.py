@@ -1,0 +1,128 @@
+"""Yelp-entity pipeline recipes: extract → clean → enrich.
+
+The reference implements these as three scripts with per-entity
+if/elif chains (extract.py:18-43, clean.py:21-158, enrich.py:19-73).
+Here each entity's cleaning is a thin declarative recipe composed from
+the generalized operators — same observable behavior, testable pieces.
+
+Key behavioral parity points (reference file:line):
+- business: is_open long→boolean (clean.py:60), categories split
+  (clean.py:61), attributes flatten + unicode/nullish repair + safe
+  cast to map<string,boolean>/map<string,string>/boolean
+  (clean.py:64-106), hours "H:M-H:M" → 4 int columns per weekday
+  (clean.py:108-130)
+- checkin: comma-separated timestamps exploded to rows + surrogate
+  checkin_id (clean.py:54-57), timestamp format with seconds
+  (clean.py:135-136)
+- review/tip: date features on `date` (clean.py:132-137)
+- user: date features on `yelping_since` (clean.py:138-139)
+- enrich: fact × prefixed dims, inner join, drop dup key
+  (enrich.py:44-61)
+
+The reference needs spark.sql.legacy.timeParserPolicy=LEGACY
+(clean.py:48-49); these recipes use formats valid under the modern
+parser, so no legacy conf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from yelp_etl_spark.operators.cleaning import normalize_nullish_strings, safe_cast
+from yelp_etl_spark.operators.dates import add_date_features
+from yelp_etl_spark.operators.enrich import Dimension, enrich
+from yelp_etl_spark.operators.explode import explode_delimited
+from yelp_etl_spark.operators.projection import flatten_structs
+
+WEEKDAYS = ("monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")
+
+# Candidate types for attribute columns, tried in order (clean.py:95-106):
+ATTRIBUTE_CAST_CANDIDATES = [
+    T.MapType(T.StringType(), T.BooleanType()),
+    T.MapType(T.StringType(), T.StringType()),
+    T.BooleanType(),
+]
+
+DATE_FMT = "yyyy-MM-dd"
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _split_hours(df: DataFrame) -> DataFrame:
+    """hours_{day} "H:M-H:M" strings → {day}_start_hour/_start_minute/
+    _end_hour/_end_minute ints (clean.py:108-130)."""
+    new_cols = {}
+    for day in WEEKDAYS:
+        src = f"hours_{day}"
+        if src not in df.columns:
+            continue
+        parts = F.split(F.col(src), r"[-:]")
+        for i, suffix in enumerate(
+            ("start_hour", "start_minute", "end_hour", "end_minute")
+        ):
+            new_cols[f"{day}_{suffix}"] = parts.getItem(i).cast(T.IntegerType())
+    out = df.withColumns(new_cols)
+    return out.drop(*[f"hours_{d}" for d in WEEKDAYS if f"hours_{d}" in df.columns])
+
+
+def clean_business(df: DataFrame) -> DataFrame:
+    out = df.withColumns(
+        {
+            "is_open": F.col("is_open").cast(T.BooleanType()),
+            "categories": F.split("categories", ", ", -1),
+        }
+    )
+    out = flatten_structs(out, only={"attributes", "hours"})
+    attr_cols = [c for c in out.columns if c.startswith("attributes_")]
+    if attr_cols:
+        out = normalize_nullish_strings(out, attr_cols)
+        out = safe_cast(out, {c: ATTRIBUTE_CAST_CANDIDATES for c in attr_cols})
+    out = _split_hours(out)
+    return out
+
+
+def clean_checkin(df: DataFrame) -> DataFrame:
+    out = explode_delimited(
+        df, "date", ", ", id_column="checkin_id", key_columns=["business_id"]
+    )
+    return add_date_features(out, "date", TS_FMT)
+
+
+def clean_review(df: DataFrame) -> DataFrame:
+    return add_date_features(df, "date", DATE_FMT)
+
+
+def clean_tip(df: DataFrame) -> DataFrame:
+    return add_date_features(df, "date", DATE_FMT)
+
+
+def clean_user(df: DataFrame) -> DataFrame:
+    return add_date_features(df, "yelping_since", DATE_FMT)
+
+
+CLEANERS = {
+    "business": clean_business,
+    "checkin": clean_checkin,
+    "review": clean_review,
+    "tip": clean_tip,
+    "user": clean_user,
+}
+
+# Which key joins each fact to each dimension (enrich.py:53-55).
+DIM_JOIN_KEYS = {"business": "business_id", "user": "user_id"}
+
+
+def enrich_fact(
+    fact: DataFrame, dims: dict[str, DataFrame], broadcast: bool = True
+) -> DataFrame:
+    """Reference enrich: inner-join the fact to each dim with prefixed
+    columns (enrich.py:44-61). Dimensions broadcast by default — at
+    100 TB fact scale the dims are the small side."""
+    return enrich(
+        fact,
+        [
+            Dimension(name, dim_df, DIM_JOIN_KEYS[name], broadcast=broadcast)
+            for name, dim_df in dims.items()
+        ],
+    )
