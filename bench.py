@@ -42,6 +42,17 @@ BENCH_QUERIES = [
     "cosine_topk",
     "events_tumbling_window",
     "minhash_neardup",
+    "sliding_window",
+    "session_window",
+    "range_join",
+    "asof_join",
+    "string_funcs",
+    "math_funcs",
+    "ngram_jaccard_pairs",
+    "simhash_sketch",
+    "lsh_topk",
+    "quality_score",
+    "lang_id",
 ]
 
 

@@ -30,7 +30,12 @@ def test_queries_and_oracles_consistent(spark):
     assert set(oracles) <= set(qs)
     # every SQL-expressible query has an oracle; rows-only ops documented
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"minhash_neardup", "simhash_sketch", "approx_distinct"}
+    assert rows_only <= {
+        "minhash_neardup",
+        "simhash_sketch",
+        "approx_distinct",
+        "lsh_topk",
+    }
 
 
 def test_each_query_runs_at_smoke_sf(spark, sf_dir):

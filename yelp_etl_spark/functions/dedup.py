@@ -41,12 +41,18 @@ def exact_dedup(
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (array<string>)."""
+    """Distinct word n-gram shingles of ``text`` (array<string>).
+
+    Built from n shifted slices zipped together — O(tokens) per row.
+    (The obvious per-index ``slice(toks, i+1, n)`` transform is
+    O(tokens²) per row because each slice copies; measured ~9× slower
+    at 5k docs.)"""
     toks = tokens(text)
     count = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, i + 1, F.greatest(count, F.lit(0))) for i in range(n)]
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
     )
     return F.when(count > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
@@ -70,7 +76,7 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    )
+    ).persist()  # read by both self-join sides and the size agg — compute once
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -161,6 +167,11 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+    # Both sides of the candidate self-join scan `banded`; without a
+    # persist Spark recomputes the whole signature lineage twice. In a
+    # production pipeline signatures would be a materialized table —
+    # the cache is the in-query equivalent (5k docs × bands rows here).
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

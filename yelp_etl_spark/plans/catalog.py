@@ -1207,6 +1207,57 @@ FROM embeddings
 """
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (functions/similarity.py) —
+    the 100 TB scale path for similarity search. Rows-only check
+    (bucketing is engine-specific); recall is property-tested against
+    brute force in tests/, and cosine_topk is the exact anchor."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(embeddings, queries, dim=64, k=5, n_planes=6)
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (explicit crossJoin) of two tiny dims."""
+    region = _t(spark, sf_dir, "region")
+    segments = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(segments).select(
+        "r_name", F.col("c_mktsegment").alias("segment")
+    )
+
+
+ORACLE_CROSS_JOIN = """
+SELECT r_name, c_mktsegment AS segment
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+"""
+
+
+def q_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's validated best-effort cast (P7, clean.py:182-210)
+    through the single-pass probe: a castable string column becomes
+    BIGINT, a non-castable one stays string — visible in the output
+    schema, which the driver's schema comparison checks."""
+    from yelp_etl_spark.operators.cleaning import safe_cast
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("str_key"),
+        F.col("o_orderpriority").alias("str_prio"),
+    )
+    out = safe_cast(
+        orders,
+        {"str_key": [T.LongType()], "str_prio": [T.LongType(), T.BooleanType()]},
+    )
+    return out.filter(F.col("str_key") % 100 == 0)
+
+
+ORACLE_SAFE_CAST = """
+SELECT CAST(o_orderkey AS BIGINT) AS str_key,
+       o_orderpriority AS str_prio
+FROM orders
+WHERE o_orderkey % 100 = 0
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — sketch values are
     engine-specific, so rows-only check; the exact distinct_counts query
@@ -1266,6 +1317,9 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_score": QuerySpec(q_quality_score, ORACLE_QUALITY, "ext:quality"),
     "embedding_norms": QuerySpec(q_embedding_norms, ORACLE_EMBEDDING_NORMS, "ext:similarity"),
     "approx_distinct": QuerySpec(q_approx_distinct, None, "approx agg"),
+    "lsh_topk": QuerySpec(q_lsh_topk, None, "ext:similarity-lsh"),
+    "cross_join": QuerySpec(q_cross_join, ORACLE_CROSS_JOIN, "J cross"),
+    "safe_cast_probe": QuerySpec(q_safe_cast, ORACLE_SAFE_CAST, "P7"),
 }
 
 
