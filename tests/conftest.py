@@ -9,7 +9,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("yelp-etl-spark-tests", cpus=8, shuffle_partitions=8)
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="spark_warehouse_")
+    spark = get_spark(
+        "yelp-etl-spark-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
 
 

@@ -110,6 +110,39 @@ def test_enrich_review_obt(raw):
     assert r1.business_stars == 4.5 and r1.stars == 5.0
 
 
+def test_gold_weekly_business_stats(raw):
+    from yelp_etl_spark.plans.pipelines import gold_weekly_business_stats
+
+    review = clean_review(raw["review"])
+    business = clean_business(raw["business"])
+    user = clean_user(raw["user"])
+    obt = enrich_fact(review, {"business": business, "user": user})
+    gold = gold_weekly_business_stats(obt)
+    rows = {(r.business_id, str(r.date_week_start_date)): r for r in gold.collect()}
+    # b1 has r1 (2018-07-04, week of 07-02) and r2 (2019-12-31, week of 12-30)
+    assert rows[("b1", "2018-07-02")].n_reviews == 1
+    assert rows[("b1", "2018-07-02")].avg_stars == 5.0
+    assert rows[("b1", "2019-12-30")].n_reviews == 1
+    assert len([k for k in rows if k[0] == "b2"]) == 1
+
+
+def test_gold_user_engagement(raw):
+    from yelp_etl_spark.plans.pipelines import clean_tip, gold_user_engagement
+
+    review = clean_review(raw["review"])
+    business = clean_business(raw["business"])
+    user = clean_user(raw["user"])
+    obt = enrich_fact(review, {"business": business, "user": user})
+    tip_obt = enrich_fact(clean_tip(raw["tip"]), {"business": business, "user": user})
+    gold = gold_user_engagement(obt, tip_obt)
+    rows = {r.user_id: r for r in gold.collect()}
+    assert rows["u1"].n_reviews == 2  # r1 (b1) + r3 (b2)
+    assert rows["u1"].n_businesses == 2
+    assert rows["u1"].n_tips == 1
+    assert rows["u2"].n_tips == 1
+    assert str(rows["u1"].first_review_date) == "2018-07-04"
+
+
 def test_cli_end_to_end(spark, tmp_path):
     """Drive extract → clean → enrich through the CLI surface."""
     from yelp_etl_spark.cli import build_parser, run

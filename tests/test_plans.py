@@ -74,3 +74,33 @@ def test_no_cartesian_in_range_join(spark, sf_dir):
     plan = plan_of(QUERIES["range_join"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cobucketed_join_has_no_shuffle(spark, sf_dir):
+    """S6/J2 at parquet level: two tables bucketed on the join key
+    sort-merge-join with zero Exchange — the shuffle-free co-located
+    join the reference gets from Iceberg bucket(8, id) + SPJ confs."""
+    from yelp_etl_spark.sources.readers import load_table
+    from yelp_etl_spark.sources.writers import write_bucketed_table
+
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 4
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .select("o_orderkey", "l_quantity"),
+        "b_lineitem",
+        "o_orderkey",
+        4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketed scans align, no shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

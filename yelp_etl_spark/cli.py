@@ -26,7 +26,9 @@ from yelp_etl_spark.sources.writers import WriteSpec, write_table
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("yelp_etl_spark")
-    p.add_argument("--pipeline", required=True, choices=["extract", "clean", "enrich"])
+    p.add_argument(
+        "--pipeline", required=True, choices=["extract", "clean", "enrich", "gold"]
+    )
     p.add_argument("--entity_type", required=True,
                    choices=["business", "review", "user", "checkin", "tip"])
     p.add_argument("--input", required=True, help="path (extract) or parquet dir")
@@ -57,13 +59,17 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> None:
         df = read_json(spark, args.input)
     elif args.pipeline == "clean":
         df = CLEANERS[args.entity_type](spark.read.parquet(args.input))
-    else:  # enrich
+    elif args.pipeline == "enrich":
         fact = spark.read.parquet(args.input)
         dims = {
             etype: spark.read.parquet(path)
             for etype, path in zip(args.dimension_entity_types, args.dimension_inputs)
         }
         df = enrich_fact(fact, dims)
+    else:  # gold: weekly business stats over an enriched review OBT
+        from yelp_etl_spark.plans.pipelines import gold_weekly_business_stats
+
+        df = gold_weekly_business_stats(spark.read.parquet(args.input))
     write_table(df, args.output, make_write_spec(args))
 
 

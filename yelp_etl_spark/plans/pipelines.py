@@ -126,3 +126,43 @@ def enrich_fact(
             for name, dim_df in dims.items()
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Gold layer — the reference declares this and leaves it TODO
+# ("TODO: Silver -> Gold pipeline jobs", run-all-pipelines.sh:239;
+# clean.py:31,41 creates *_week_start_date explicitly "to perform
+# business-relevant aggregations later"). These are those aggregations.
+# --------------------------------------------------------------------------
+
+
+def gold_weekly_business_stats(review_obt: DataFrame) -> DataFrame:
+    """Weekly per-business review rollup over the enriched review OBT:
+    the canonical gold table the silver layout was designed for. Groups
+    on the pre-derived week-start date (partition-pruned when silver is
+    partitioned by date_year) — at scale a pure partial+final agg keyed
+    (business_id, week)."""
+    return review_obt.groupBy("business_id", "date_week_start_date").agg(
+        F.count("*").alias("n_reviews"),
+        F.round(F.avg("stars"), 4).alias("avg_stars"),
+        F.sum(F.col("useful") + F.col("funny") + F.col("cool")).alias("n_reactions"),
+        F.countDistinct("user_id").alias("n_reviewers"),
+    )
+
+
+def gold_user_engagement(review_obt: DataFrame, tip_obt: DataFrame | None = None) -> DataFrame:
+    """Per-user engagement summary across fact tables (reviews, and tips
+    when provided): review counts, star dispersion, activity span."""
+    reviews = review_obt.groupBy("user_id").agg(
+        F.count("*").alias("n_reviews"),
+        F.round(F.avg("stars"), 4).alias("avg_stars_given"),
+        F.min("date_date").alias("first_review_date"),
+        F.max("date_date").alias("last_review_date"),
+        F.countDistinct("business_id").alias("n_businesses"),
+    )
+    if tip_obt is None:
+        return reviews
+    tips = tip_obt.groupBy("user_id").agg(F.count("*").alias("n_tips"))
+    return reviews.join(tips, "user_id", "left").withColumn(
+        "n_tips", F.coalesce(F.col("n_tips"), F.lit(0))
+    )

@@ -78,6 +78,26 @@ def write_table(df: DataFrame, target: str, spec: WriteSpec | None = None) -> No
     writer.parquet(target)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_column: str,
+    buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Managed bucketed table (Spark catalog): the parquet-native
+    equivalent of the reference's Iceberg bucket(N, col) hidden
+    partitioning (write.py:50). Two tables bucketed identically on the
+    join key sort-merge-join WITHOUT any exchange — the 100 TB join
+    strategy for repeated fact-to-fact joins (see
+    tests/test_plans.py::test_cobucketed_join_has_no_shuffle)."""
+    writer = df.write.mode(mode).bucketBy(buckets, bucket_column)
+    if sort:
+        writer = writer.sortBy(bucket_column)
+    writer.saveAsTable(name)
+
+
 # The SPJ/bucketed-join conf bundle the reference scatters across jobs
 # (enrich.py:35-43, extract.py:29) — applied as one explicit call.
 SPJ_CONFS = {
