@@ -46,6 +46,40 @@ def test_decode_blobs_fake_decoder(spark):
     assert a == b
 
 
+def test_sample_frames(spark):
+    from yelp_etl_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "x" * 4000), (2, "y")], "doc_id long, text string"
+    )
+    blobs = synthesize_blobs(df)
+    frames = sample_frames(blobs, n_frames=4, frame_bytes=256)
+    by_doc = {}
+    for r in frames.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 4  # long blob: all 4 frames
+    assert sorted(f.frame_index for f in by_doc[1]) == [0, 1, 2, 3]
+    offs = sorted(f.frame_offset_bytes for f in by_doc[1])
+    assert offs[0] == 1 and offs[-1] > offs[0]
+    assert len(by_doc[2]) >= 1  # tiny blob still yields ≥1 frame
+    # deterministic frame hashes
+    again = {(r.doc_id, r.frame_index): r.frame_hash
+             for r in sample_frames(
+                 blobs.repartition(3), n_frames=4, frame_bytes=256
+             ).collect()}
+    assert all(again[(r.doc_id, r.frame_index)] == r.frame_hash
+               for rs in by_doc.values() for r in rs)
+
+
+def test_resize_stub_documents_boundary(spark):
+    import pytest as _pytest
+
+    from yelp_etl_spark.functions.multimodal import resize_stub
+
+    with _pytest.raises(NotImplementedError):
+        resize_stub(_blob_df(spark), 32, 32)
+
+
 def test_decode_blobs_poison_input_captured(spark):
     def picky(payload: bytes) -> dict:
         if b"another" in payload:

@@ -59,6 +59,67 @@ def test_session_stream_matches_batch(spark, events_dir):
     assert _rows(spark, "t_session") == {tuple(r) for r in batch.collect()}
 
 
+def test_stream_dedup_drops_duplicates(spark, events_dir, tmp_path):
+    from yelp_etl_spark.streaming.windows import read_events_stream, stream_dedup
+
+    # duplicate every event into a second file set → stream must dedup
+    dup_dir = str(tmp_path / "dup_events")
+    base = spark.read.parquet(events_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+    assert spark.read.parquet(dup_dir).count() == 2 * base.count()
+
+    deduped = stream_dedup(read_events_stream(spark, dup_dir), ["event_id"], "10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("t_dedup").count() == base.count()
+    # batch path: plain dropDuplicates
+    assert stream_dedup(spark.read.parquet(dup_dir), ["event_id"]).count() == base.count()
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.streaming.windows import (
+        read_events_stream,
+        running_user_totals,
+    )
+
+    stream = running_user_totals(
+        read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user = final running total = batch aggregate
+    batch = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    emitted = spark.table("t_state").collect()
+    final = {}
+    for r in emitted:  # update mode emits per micro-batch; keep max count
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, round(r.total_value, 6))
+    assert final == batch
+    assert len(emitted) >= len(batch)  # multiple micro-batches → re-emits
+
+
 def test_incremental_micro_batches(spark, events_dir):
     """maxFilesPerTrigger forces multiple micro-batches; the final state
     must still equal the batch answer (update across triggers)."""

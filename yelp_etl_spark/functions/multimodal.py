@@ -117,6 +117,52 @@ def decode_blobs(
     return df.mapInPandas(process, schema=out_schema)
 
 
+FRAME_SCHEMA = "frame_index int, frame_offset_bytes long, frame_hash long"
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str = "content",
+    n_frames: int = 4,
+    frame_bytes: int = 1024,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: emit ``n_frames`` evenly
+    spaced fixed-size byte windows per blob as one row each (real
+    pipelines replace the byte window with a decoded keyframe; offsets
+    and plumbing are the real part). Pure Catalyst — explode over a
+    computed offset array, substring on binary, no Python."""
+    blob = F.col(blob_col)
+    total = F.length(blob)
+    stride = F.greatest((total / n_frames).cast("long"), F.lit(1))
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i * stride + 1).cast("long"),
+    )
+    out = df.withColumn("__off", F.explode(offsets)).filter(F.col("__off") <= total)
+    frame = F.expr(f"substring({blob_col}, __off, {frame_bytes})")
+    return (
+        out.withColumn("frame_offset_bytes", F.col("__off"))
+        .withColumn("frame_hash", F.xxhash64(frame))
+        .withColumn(
+            "frame_index",
+            ((F.col("__off") - 1) / stride).cast("int"),
+        )
+        .drop("__off")
+    )
+
+
+def resize_stub(
+    df: DataFrame, width: int, height: int, blob_col: str = "content"
+) -> DataFrame:
+    """Resize boundary: the geometry columns are real, the pixel
+    transform requires an image library absent here."""
+    raise NotImplementedError(
+        "resize requires an image codec (PIL/opencv) not present in this "
+        "environment; wire a decode_fn through decode_blobs and resize "
+        "inside the same mapInPandas batch"
+    )
+
+
 def synthesize_blobs(df: DataFrame, from_col: str = "text") -> DataFrame:
     """Test helper: manufacture a binary payload column from a string
     column (deterministic), tagged with a fake PNG header so the format

@@ -82,6 +82,31 @@ def brute_force_topk(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    cosine ≥ threshold. This is the exact all-pairs formulation (the
+    dedup oracle); at 100 TB pre-bucket with lsh_topk's hyperplane
+    sketches and verify only within-bucket candidates."""
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("__v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine(F.col("a.__v"), F.col("b.__v")), round_digits).alias(
+            "cosine_sim"
+        ),
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy needed on
     executors — these are plan-time literals)."""

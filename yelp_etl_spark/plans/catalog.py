@@ -1258,6 +1258,28 @@ WHERE o_orderkey % 100 = 0
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (functions/similarity.py):
+    exact all-pairs at threshold 0.4 (the fixture's vectors top out at
+    ~0.51 cosine; real near-dup pipelines use ~0.95 with LSH
+    pre-bucketing)."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(embeddings, threshold=0.4)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.emb, b.emb) /
+             SQRT(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)), 4)
+         AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) /
+            SQRT(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)), 4)
+      >= 0.4
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — sketch values are
     engine-specific, so rows-only check; the exact distinct_counts query
@@ -1320,6 +1342,9 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_topk": QuerySpec(q_lsh_topk, None, "ext:similarity-lsh"),
     "cross_join": QuerySpec(q_cross_join, ORACLE_CROSS_JOIN, "J cross"),
     "safe_cast_probe": QuerySpec(q_safe_cast, ORACLE_SAFE_CAST, "P7"),
+    "embedding_neardup": QuerySpec(
+        q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP, "ext:dedup-embedding"
+    ),
 }
 
 

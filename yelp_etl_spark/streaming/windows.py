@@ -96,6 +96,59 @@ def session_window_agg(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on key columns with bounded state:
+    duplicates arriving within the watermark horizon are dropped, state
+    older than the horizon is evicted. Batch DataFrames just
+    dropDuplicates. At 100 TB/day the watermark IS the design — unbounded
+    dedup state is a slow OOM."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value sum maintained as explicit
+    GroupState across micro-batches (the escape hatch for semantics the
+    built-in windows can't express). Emits one row per user per
+    micro-batch in which that user appeared."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:
