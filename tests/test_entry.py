@@ -35,6 +35,7 @@ def test_queries_and_oracles_consistent(spark):
         "simhash_sketch",
         "approx_distinct",
         "lsh_topk",
+        "ivf_topk",
     }
 
 

@@ -127,6 +127,45 @@ def test_lsh_topk_recall_on_clustered_vectors(spark):
     assert got and all((q % 2) == (n % 2) for q, n in got)
 
 
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF with enough probes must recover brute-force neighbors for
+    well-separated clusters."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0  # four orthogonal clusters
+        rows.append((i, [v + rng.gauss(0, 0.03) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(df, queries, k=3, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+
+
+def test_embedding_neardup_symmetry_free_and_thresholded(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.01]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = S.embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}  # one direction only
+    assert pairs[0].cosine_sim >= 0.99
+
+
 def test_quality_score_orders_good_above_garbage(spark):
     good = "the cat sat on the mat and it was a good day for everyone in the town"
     garbage = "@@!! ## $$%% ^^&&(( ))__ ++=="

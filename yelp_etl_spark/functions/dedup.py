@@ -74,8 +74,15 @@ def ngram_jaccard_pairs(
     This is the exact (oracle-able) formulation; MinHash-LSH below is
     the approximate scale path.
     """
+    # Shingles are hashed to 64-bit before the self-join: the shuffle and
+    # join carry 8-byte longs instead of multi-word strings (collision
+    # probability over ~10^6 distinct shingles is ~10^-7 — negligible
+    # against the exactness of the counts).
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     ).persist()  # read by both self-join sides and the size agg — compute once
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

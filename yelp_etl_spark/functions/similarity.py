@@ -107,6 +107,86 @@ def embedding_neardup_pairs(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition candidates into inverted
+    lists by nearest centroid; each query scores only the lists of its
+    ``n_probe`` nearest centroids.
+
+    Centroids are sampled deterministically from the data (every
+    N/n_centroids-th vector by id) rather than k-means-trained — at
+    100 TB you'd train centroids offline on a sample and broadcast them,
+    which is exactly the shape here: the centroid table is a broadcast
+    literal, assignment is a map-only pass over candidates, and the
+    probe join is an equi-join on centroid id. Recall/cost dials:
+    n_centroids (list granularity) and n_probe (lists searched).
+    """
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("__cvec"),
+    )
+    # Deterministic centroid sample (every stride-th vector by id),
+    # collected once and baked into the plan as literals — so list
+    # assignment is a pure map-side expression, no shuffle of the
+    # candidate table (the production analog: train centroids offline,
+    # broadcast them).
+    rows = (
+        candidates.select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    stride = max(len(rows) // n_centroids, 1)
+    centroid_rows = [
+        (r[0], [float(x) for x in r[1]]) for r in rows[::stride][:n_centroids]
+    ]
+
+    def nearest_lists(vec: Column, n_lists: int) -> Column:
+        """Array of the n_lists centroid ids nearest to ``vec``."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in centroid_rows
+            ]
+        )
+        top = F.slice(F.sort_array(scored, asc=False), 1, n_lists)
+        return F.transform(top, lambda t: t["cid"])
+
+    cand_assigned = cand.withColumn(
+        "list_id", nearest_lists(F.col("__cvec"), 1).getItem(0)
+    )
+    qry = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("__qvec"),
+    )
+    qry_assigned = qry.withColumn(
+        "list_id", F.explode(nearest_lists(F.col("__qvec"), n_probe))
+    )
+    pairs = cand_assigned.join(F.broadcast(qry_assigned), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4).alias("cosine_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long"))
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy needed on
     executors — these are plan-time literals)."""

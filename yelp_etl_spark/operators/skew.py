@@ -1,0 +1,87 @@
+"""Skew mitigation: salted joins and two-stage aggregation.
+
+At 100 TB a handful of hot keys (one viral business, one boilerplate
+shingle) can pin a join or aggregation on a single task. Two standard
+remedies, expressed declaratively so Catalyst still plans everything:
+
+- ``salted_join``: fact rows get a deterministic salt in [0, n); the
+  small side is replicated n ways; the join key becomes (key, salt), so
+  a hot key's rows spread across n tasks. Use when AQE's skew-join
+  splitting (enabled in session.py) isn't enough — e.g. a single key
+  larger than any split threshold.
+- ``two_stage_agg``: partial aggregate on (key, salt), then final
+  aggregate on key. For algebraic aggregates Catalyst's own
+  partial+final already does this; the explicit variant matters for
+  aggregates that are NOT map-side combinable (collect_list-style) or
+  when one key dominates a reduce task.
+
+Salts derive from xxhash64 over the row's own columns — deterministic
+across runs and partitionings (no rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_expr(df: DataFrame, n_salts: int, salt_on: list[str] | None) -> Column:
+    cols = salt_on or df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Join ``big`` (skewed) to ``small`` on column ``on``, spreading
+    each key across ``n_salts`` partitions. ``small`` is replicated
+    n_salts× — keep it genuinely small or the replication dominates."""
+    salted_big = big.withColumn("__salt", _salt_expr(big, n_salts, salt_on))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = salted_big.join(replicated, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+# (partial aggregate fn, merge aggregate fn) per supported spec
+_AGG_STAGES = {
+    "count": (lambda c: F.count(c), lambda c: F.sum(c)),
+    "sum": (lambda c: F.sum(c), lambda c: F.sum(c)),
+    "min": (lambda c: F.min(c), lambda c: F.min(c)),
+    "max": (lambda c: F.max(c), lambda c: F.max(c)),
+}
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Aggregate with an explicit salted pre-stage: stage 1 groups on
+    (keys, salt) shrinking hot keys n_salts-fold; stage 2 merges the
+    partials.
+
+    ``aggs`` maps output name → ("count"|"sum"|"min"|"max", column) —
+    only decomposable aggregates are supported, by construction.
+    """
+    salted = df.withColumn("__salt", _salt_expr(df, n_salts, salt_on))
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[
+            _AGG_STAGES[kind][0](col).alias(f"__p_{name}")
+            for name, (kind, col) in aggs.items()
+        ]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            _AGG_STAGES[kind][1](f"__p_{name}").alias(name)
+            for name, (kind, col) in aggs.items()
+        ]
+    )

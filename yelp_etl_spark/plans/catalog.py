@@ -1217,6 +1217,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(embeddings, queries, dim=64, k=5, n_planes=6)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (functions/similarity.py): inverted
+    lists by nearest sampled centroid, n_probe lists searched per query.
+    Rows-only check; recall is property-tested against brute force."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
+
+
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product (explicit crossJoin) of two tiny dims."""
     region = _t(spark, sf_dir, "region")
@@ -1345,6 +1354,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_neardup": QuerySpec(
         q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP, "ext:dedup-embedding"
     ),
+    "ivf_topk": QuerySpec(q_ivf_topk, None, "ext:similarity-ivf"),
 }
 
 
