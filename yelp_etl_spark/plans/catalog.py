@@ -1301,6 +1301,137 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance (sample), median,
+    exact percentile, correlation and covariance."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
+    )
+
+
+ORACLE_STATS_AGGS = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(median(l_extendedprice), 4) AS med_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_window_ranking2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second ranking-window family: ntile, percent_rank, cume_dist,
+    first/last value over running frames."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first_value("o_totalprice").over(running), 2).alias("min_so_far"),
+        F.round(F.last_value("o_totalprice").over(running), 2).alias("cur_price"),
+    )
+    return out
+
+
+ORACLE_WINDOW_RANKING2 = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       ROUND(first_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS min_so_far,
+       ROUND(last_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cur_price
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: datediff, date_add, add_months,
+    last_day, month truncation, day-of-year."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_orderkey") < 1000
+    )
+    ship = F.to_date("l_shipdate")
+    ordered = F.to_date("o_orderdate")
+    return j.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.datediff(ship, ordered).cast("long").alias("lag_days"),
+        F.date_add(ordered, 90).alias("due_date"),
+        F.add_months(ordered, 3).alias("plus_quarter"),
+        F.last_day(ship).alias("ship_month_end"),
+        F.trunc(ship, "month").alias("ship_month_start"),
+        F.dayofyear(ship).cast("long").alias("ship_doy"),
+    )
+
+
+ORACLE_DATE_ARITH = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)
+         AS lag_days,
+       -- int day-add, not INTERVAL: DuckDB 1.0 CSE-merges two different
+       -- interval additions in one query (folds 3 MONTH into 90 DAY)
+       CAST(o_orderdate AS DATE) + 90 AS due_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+       last_day(CAST(l_shipdate AS DATE)) AS ship_month_end,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month_start,
+       CAST(dayofyear(l_shipdate) AS BIGINT) AS ship_doy
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_orderkey < 1000
+"""
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-nation sorted list of market segments
+    (collect_list → sort_array → join to string for a deterministic,
+    hash-comparable value)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_mktsegment")
+        .distinct()
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count("*").alias("n_segments"),
+        )
+    )
+
+
+ORACLE_COLLECT_SORTED = """
+SELECT n_name,
+       array_to_string(list_sort(list(c_mktsegment)), ',') AS segments,
+       COUNT(*) AS n_segments
+FROM (SELECT DISTINCT n_name, c_mktsegment
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1355,6 +1486,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP, "ext:dedup-embedding"
     ),
     "ivf_topk": QuerySpec(q_ivf_topk, None, "ext:similarity-ivf"),
+    "stats_aggs": QuerySpec(q_stats_aggs, ORACLE_STATS_AGGS, "stats agg"),
+    "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
+    "date_arith": QuerySpec(q_date_arith, ORACLE_DATE_ARITH, "date arith"),
+    "collect_sorted": QuerySpec(q_collect_sorted, ORACLE_COLLECT_SORTED, "array agg"),
 }
 
 
