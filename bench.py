@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "lsh_topk",
     "quality_score",
     "lang_id",
+    "stats_aggs",
+    "window_ranking2",
+    "date_arith",
+    "collect_sorted",
+    "embedding_neardup",
+    "ivf_topk",
 ]
 
 
