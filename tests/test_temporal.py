@@ -6,7 +6,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from yelp_etl_spark.operators.temporal import asof_join, range_join
+from yelp_etl_spark.operators.temporal import asof_join, asof_join_ranked, range_join
 
 
 def ts(s):
@@ -46,6 +46,45 @@ def test_asof_forward(spark):
         right_columns=["tag"], direction="forward",
     )
     assert out.collect()[0].tag == "after"
+
+
+def test_asof_merge_equals_ranked_with_tiebreak(spark):
+    """The union-merge asof (one shuffle) must agree with the
+    join-then-rank anchor, including equal-ts tiebreaks and no-match
+    left rows, in both directions."""
+    left = spark.createDataFrame(
+        [
+            (1, "a", ts("2024-01-10T00:00:00")),
+            (2, "a", ts("2024-01-05T00:00:00")),  # ties exactly with two right rows
+            (3, "a", ts("2023-12-01T00:00:00")),  # predates all right rows
+            (4, "b", ts("2024-01-10T00:00:00")),  # key with single match
+            (5, "c", ts("2024-01-10T00:00:00")),  # key with no right rows
+        ],
+        "id long, key string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-05T00:00:00"), 10, "r10"),
+            ("a", ts("2024-01-05T00:00:00"), 20, "r20"),  # same ts, higher tiebreak
+            ("a", ts("2024-01-08T00:00:00"), 5, "r5"),
+            ("b", ts("2024-01-01T00:00:00"), 1, "rb"),
+        ],
+        "key string, rt timestamp, seq long, tag string",
+    )
+    for direction in ("backward", "forward"):
+        a = asof_join(
+            left, right, "id", "t", "rt", ["key"], ["key"],
+            right_columns=["seq", "tag"], direction=direction, tiebreak="seq",
+        )
+        b = asof_join_ranked(
+            left, right, "id", "t", "rt", ["key"], ["key"],
+            right_columns=["seq", "tag"], direction=direction, tiebreak="seq",
+        )
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns)
+        ra = sorted(map(tuple, a.select(*cols).collect()), key=str)
+        rb = sorted(map(tuple, b.select(*cols).collect()), key=str)
+        assert ra == rb, f"{direction}: {ra} != {rb}"
 
 
 def test_range_join_residual_predicate(spark):

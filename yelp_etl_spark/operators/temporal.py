@@ -1,24 +1,29 @@
 """Temporal join operators: as-of (point-in-time) and range joins.
 
 Not present in the reference (SURVEY.md §2.4 "Not present: ... range/
-as-of joins"); part of the engine's generalized query surface. Both are
-compositions of existing DataFrame ops so Catalyst keeps planning:
-equi-join on the keys with the range condition as a residual predicate
-(sort-merge or broadcast), then a rank-1 window keyed on the left row id
-— one extra shuffle.
+as-of joins"); part of the engine's generalized query surface.
 
-Scale notes: this composition is quadratic in per-key right-side
-fan-out (each left row matches all earlier right rows before rank-1
-filtering). Right trade when the right side per key is modest (slowly
-changing dimensions, order history). For two huge time-series, bucket
-both sides by (key, coarse time bucket) so candidates join locally, or
-merge per key partition with mapInPandas.
+The as-of join uses the union-merge idiom rather than join-then-rank:
+tag both sides, union them, and take a running ``last(payload,
+ignorenulls)`` over a per-key window ordered by time. Cost is ONE
+shuffle of |left| + |right| rows and a per-key sort — independent of
+the per-key match fan-out. The join-then-rank formulation (kept as
+``asof_join_ranked`` for differential testing) materializes every
+(left row × earlier right row) pair before the rank-1 filter, which is
+quadratic for deep per-key histories and needs a second shuffle for
+the window; at 100 TB the merge form is the only one that survives.
+
+Remaining skew consideration for the merge form: a single hot key
+lands in one window partition. For pathological keys, pre-bucket both
+sides by (key, coarse time bucket) and run the merge per bucket,
+carrying the last payload of the previous bucket forward.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _and_all(conds: list[Column]) -> Column:
@@ -45,11 +50,94 @@ def asof_join(
     rows matching on the join keys. Left rows with no match keep NULL
     right columns (left-outer semantics, like pandas merge_asof).
 
-    ``left_id`` must uniquely identify left rows (e.g. event_id) — it
-    keys the rank-1 window, so no global row numbering is needed.
-    ``tiebreak``: extra right column, ordered DESC, to break equal-ts
-    ties deterministically.
+    Implementation: union-merge (see module docstring) — single
+    shuffle, no pairwise blow-up. ``tiebreak``: extra right column;
+    among equal-``right_ts`` matches the row with the LARGEST tiebreak
+    wins (deterministic). ``left_id`` is part of the output contract
+    (it must uniquely identify left rows) but the merge form needs no
+    per-left-row window, so it is not shuffled on.
     """
+    right_cols = right_columns or [
+        c for c in right.columns if c not in right_keys and c != right_ts
+    ]
+    key_names = [f"__k_{i}" for i in range(len(left_keys))]
+
+    # Right rows with a NULL key or NULL ts can never match (SQL null
+    # comparison semantics) — drop them before the union.
+    rsel = right
+    for c in [*right_keys, right_ts]:
+        rsel = rsel.filter(F.col(c).isNotNull())
+
+    payload_type = T.StructType(
+        [T.StructField("__rts", rsel.schema[right_ts].dataType)]
+        + [T.StructField(c, rsel.schema[c].dataType) for c in right_cols]
+    )
+    tb_type = rsel.schema[tiebreak].dataType if tiebreak else T.IntegerType()
+
+    rtagged = rsel.select(
+        *[F.col(k).alias(kn) for k, kn in zip(right_keys, key_names)],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        (F.col(tiebreak) if tiebreak else F.lit(None)).cast(tb_type).alias("__tb"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__payload"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{i}")
+            for i, c in enumerate(left.columns)
+        ],
+    )
+    ltagged = left.select(
+        *[F.col(k).alias(kn) for k, kn in zip(left_keys, key_names)],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+        *[F.col(c).alias(f"__l_{i}") for i, c in enumerate(left.columns)],
+    )
+
+    # Sort so that at equal ts, right rows precede left rows (a match
+    # AT the left timestamp counts for both directions), and among
+    # equal-ts right rows the max tiebreak sorts last (running `last`
+    # picks it). NULL left timestamps sort first → NULL payload, which
+    # matches the join formulation (comparison with NULL never true).
+    ts_order = (
+        F.asc_nulls_first("__ts") if direction == "backward"
+        else F.desc_nulls_first("__ts")
+    )
+    w = (
+        Window.partitionBy(*key_names)
+        .orderBy(ts_order, F.asc("__tag"), F.asc_nulls_first("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ltagged.unionByName(rtagged)
+    return (
+        merged.withColumn("__last", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+        .select(
+            *[F.col(f"__l_{i}").alias(c) for i, c in enumerate(left.columns)],
+            F.col("__last.__rts").alias(f"asof_{right_ts}"),
+            *[F.col(f"__last.{c}").alias(c) for c in right_cols],
+        )
+    )
+
+
+def asof_join_ranked(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    left_keys: list[str],
+    right_keys: list[str],
+    right_columns: list[str] | None = None,
+    direction: str = "backward",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Join-then-rank formulation of the as-of join (see module
+    docstring). Same semantics as ``asof_join``; kept as the
+    differential-test anchor and for the case where the right side is
+    tiny and broadcastable (no shuffle at all beats one shuffle)."""
     right_cols = right_columns or [
         c for c in right.columns if c not in right_keys and c != right_ts
     ]
