@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "collect_sorted",
     "embedding_neardup",
     "ivf_topk",
+    "tpch_q5_region_revenue",
+    "join_full_outer",
+    "exists_subquery",
+    "array_funcs",
 ]
 
 

@@ -1433,6 +1433,157 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-table join: revenue by supplier nation for one
+    region and a two-year order window, where the supplier and the
+    customer share a nation. The big fact (lineitem) hash-joins the
+    date-filtered orders; supplier/nation/region are explicitly
+    broadcast so the 5-way dimension side never shuffles the fact."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customer account-balance buckets × order
+    total-price buckets — each side has buckets absent from the other
+    (negative balances; high order totals), exercising NULL fill on
+    both sides. Both inputs are pre-aggregated so the outer join is
+    tiny regardless of SF."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust = customer.groupBy(
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("c_bucket")
+    ).agg(F.count("*").alias("n_cust"))
+    ords = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 20000).cast("long").alias("o_bucket")
+    ).agg(F.count("*").alias("n_orders"))
+    return cust.join(
+        ords, cust["c_bucket"] == ords["o_bucket"], "full_outer"
+    ).select(
+        F.coalesce(cust["c_bucket"], ords["o_bucket"]).alias("bucket"),
+        "n_cust",
+        "n_orders",
+    )
+
+
+ORACLE_JOIN_FULL_OUTER = """
+SELECT COALESCE(c.c_bucket, o.o_bucket) AS bucket, n_cust, n_orders
+FROM (SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS c_bucket,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS o_bucket,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1) o
+ON c.c_bucket = o.o_bucket
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS via the SQL surface (TPC-H
+    Q4-flavored): orders having a high-quantity lineitem but no
+    returned lineitem. Catalyst decorrelates these into a left-semi
+    and a left-anti hash join on l_orderkey — no per-row subquery."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORACLE_EXISTS_SUBQUERY = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (higher-order functions stay JVM-side —
+    no UDFs): sequence, contains, slice, sort desc, reduce-sum,
+    transform, flatten. Arrays are stringified so the value hash is
+    order-exact."""
+    part = _t(spark, sf_dir, "part")
+    seq = F.sequence(F.lit(1), F.col("p_size") % 4 + 2)
+    return part.select(
+        "p_partkey",
+        F.array_join(seq, ",").alias("arr_str"),
+        F.array_contains(seq, 3).alias("has3"),
+        F.array_join(F.slice(seq, 1, 2), ",").alias("head2"),
+        F.array_join(F.sort_array(seq, asc=False), ",").alias("sorted_desc"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda a, x: a + x).alias("arr_sum"),
+        F.array_join(F.transform(seq, lambda x: x * x), ",").alias("squares"),
+        F.size(F.flatten(F.array(seq, seq))).cast("long").alias("flat_len"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+SELECT p_partkey,
+       array_to_string(seq, ',') AS arr_str,
+       list_contains(seq, 3) AS has3,
+       array_to_string(seq[1:2], ',') AS head2,
+       array_to_string(list_sort(seq, 'DESC'), ',') AS sorted_desc,
+       CAST(list_aggregate(seq, 'sum') AS BIGINT) AS arr_sum,
+       array_to_string(list_transform(seq, x -> x * x), ',') AS squares,
+       CAST(LENGTH(flatten([seq, seq])) AS BIGINT) AS flat_len
+FROM (SELECT p_partkey, generate_series(1, p_size % 4 + 2) AS seq FROM part)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1491,6 +1642,10 @@ QUERIES: dict[str, QuerySpec] = {
     "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
     "date_arith": QuerySpec(q_date_arith, ORACLE_DATE_ARITH, "date arith"),
     "collect_sorted": QuerySpec(q_collect_sorted, ORACLE_COLLECT_SORTED, "array agg"),
+    "tpch_q5_region_revenue": QuerySpec(q_tpch_q5, ORACLE_TPCH_Q5, "J1 multi-join broadcast"),
+    "join_full_outer": QuerySpec(q_join_full_outer, ORACLE_JOIN_FULL_OUTER, "J full outer"),
+    "exists_subquery": QuerySpec(q_exists_subquery, ORACLE_EXISTS_SUBQUERY, "subquery exists"),
+    "array_funcs": QuerySpec(q_array_funcs, ORACLE_ARRAY_FUNCS, "L* higher-order"),
 }
 
 
