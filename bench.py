@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "join_full_outer",
     "exists_subquery",
     "array_funcs",
+    "rolling_fingerprint",
 ]
 
 

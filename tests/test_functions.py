@@ -180,3 +180,52 @@ def test_language_scores_prefers_english(spark):
     )
     row = df.select(TX.language_scores(F.col("text")).alias("m")).collect()[0]
     assert row.m["en"] > row.m["de"] and row.m["en"] > row.m["fr"]
+
+
+def _py_rolling(text: str, k: int = 8, base: int = 31, mod: int = 1_000_000_007):
+    """Host-side reference for the Karp-Rabin rolling hashes."""
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+    codes = [ord(c) for c in norm]
+    out = []
+    for i in range(len(codes) - k + 1):
+        h = 0
+        for c in codes[i : i + k]:
+            h = (h * base + c) % mod
+        out.append(h)
+    return out
+
+
+def test_rolling_hashes_match_python_reference(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog!",
+        "short",
+        "",
+        "  Multiple   spaces\tand\nnewlines  here  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r.id: r.fps
+        for r in df.select("id", TX.rolling_hashes(F.col("text")).alias("fps")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_rolling(t), f"text {i}"
+
+
+def test_rolling_fingerprint_stats_matches_column_form(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog, again and again and again.",
+        "tiny",
+        "Another document with enough characters to produce many windows.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in TX.rolling_fingerprint_stats(df).collect()}
+    for i, t in enumerate(texts):
+        ref = _py_rolling(t)
+        row = got[i]
+        assert row.n_windows == len(ref)
+        assert row.fp_min == (min(ref) if ref else None)
+        assert row.fp_first == (ref[0] if ref else None)

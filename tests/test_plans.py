@@ -104,3 +104,19 @@ def test_cobucketed_join_has_no_shuffle(spark, sf_dir):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_q5_dimension_chain_broadcasts(spark, sf_dir):
+    """The 6-table Q5 shape must broadcast the supplier/nation/region
+    chain — the fact side is never shuffled for a dimension join."""
+    plan = plan_of(QUERIES["tpch_q5_region_revenue"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """Union-merge as-of join: exactly one Exchange (the per-key window
+    partitioning) — no join blow-up, no second shuffle for ranking."""
+    plan = plan_of(QUERIES["asof_join"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1
+    assert "RowNumber" not in plan  # no rank-1 pass; running last() only

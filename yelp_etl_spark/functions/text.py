@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tokens = maximal runs of word characters (BPE-ish pre-tokenization).
 TOKEN_PATTERN = r"[^\W_]+"
@@ -91,10 +92,121 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over normalized text
     (lowercased, punctuation stripped, whitespace collapsed). Stable
     across cluster sizes/partitionings — usable as a dedup key."""
-    normalized = F.trim(
+    return F.md5(_normalize(text))
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def _normalize(text: Column) -> Column:
+    """Shared normalization: lowercase, strip punctuation, collapse
+    whitespace. Output alphabet is [a-z0-9 ] so char codes stay ASCII."""
+    return F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " ")
     )
-    return F.md5(normalized)
+
+
+def rolling_hashes(text: Column, k: int = 8) -> Column:
+    """Karp-Rabin rolling-hash fingerprints: the polynomial hash
+    ``sum(code_i * BASE^(k-1-i)) mod MOD`` of every k-character window
+    of the normalized text, as ``array<long>`` (empty when the text is
+    shorter than k).
+
+    Sequential Karp-Rabin derives window i+1 from window i in O(1);
+    that recurrence is inherently serial, so here each window is
+    computed independently (O(k) per window) — all windows evaluate
+    inside one JVM higher-order expression with no Python, no shuffle,
+    and no cross-row state, which is what actually scales on a
+    1000-executor map stage. For k beyond ~64, switch to an Arrow
+    `mapInPandas` that runs the O(1) recurrence per partition.
+    """
+    codes = F.transform(F.split(_normalize(text), ""), lambda c: F.ascii(c).cast("long"))
+    n = F.size(codes)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(codes, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+        ),
+    )
+
+
+def rolling_fingerprint_stats(
+    df: DataFrame, id_column: str = "doc_id", text_column: str = "text", k: int = 8
+) -> DataFrame:
+    """Per-document rolling-hash fingerprint summary as a DataFrame op:
+    ``(id, n_windows, fp_min, fp_first)``.
+
+    Normalization stays a Catalyst expression (same semantics as
+    :func:`rolling_hashes`); the window hashing runs as a vectorized
+    Arrow ``mapInPandas``: per document, numpy builds the k-wide
+    sliding-window view over the ASCII codes and one matrix-vector
+    product mod MOD yields every window hash (peak term ~3.5e12, well
+    inside int64).
+
+    Why not pure expressions: Catalyst re-inlines nested array lambdas
+    per use (O(n^2) recompute) and ``substr`` at position i is O(i) on
+    UTF8String (O(n^2) scan), so both built-in formulations degrade
+    quadratically per document. The Pandas path is O(n*k) in C, stays
+    a map-only stage — zero shuffle, scales linearly with executors —
+    and is the pattern to swap in a real tokenizer/codec at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array([ROLLING_BASE ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+    id_field = df.schema[id_column]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_windows", T.LongType()),
+            T.StructField("fp_min", T.LongType()),
+            T.StructField("fp_first", T.LongType()),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids, n_windows, fp_min, fp_first = [], [], [], []
+            for doc_id, s in zip(pdf[id_column], pdf["__norm"]):
+                codes = np.frombuffer(
+                    (s or "").encode("ascii", errors="ignore"), dtype=np.uint8
+                ).astype(np.int64)
+                ids.append(doc_id)
+                if len(codes) >= k:
+                    windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+                    hashes = (windows @ pows) % ROLLING_MOD
+                    n_windows.append(len(hashes))
+                    fp_min.append(int(hashes.min()))
+                    fp_first.append(int(hashes[0]))
+                else:
+                    n_windows.append(0)
+                    fp_min.append(None)
+                    fp_first.append(None)
+            yield pd.DataFrame(
+                {
+                    id_column: ids,
+                    "n_windows": pd.array(n_windows, dtype="Int64"),
+                    "fp_min": pd.array(fp_min, dtype="Int64"),
+                    "fp_first": pd.array(fp_first, dtype="Int64"),
+                }
+            )
+
+    norm = df.select(id_column, _normalize(F.col(text_column)).alias("__norm"))
+    return norm.mapInPandas(compute, out_schema)
+
+
+def winnow_fingerprint(text: Column, k: int = 8) -> Column:
+    """Single document fingerprint from the rolling hashes: the minimum
+    window hash (MinHash-1 over character k-grams). Documents sharing
+    long runs of text are likely to share their minimum window, so this
+    doubles as a cheap near-dup blocking key."""
+    return F.array_min(rolling_hashes(text, k))
 
 
 def add_text_stats(df: DataFrame, text_column: str = "text") -> DataFrame:

@@ -1584,6 +1584,43 @@ FROM (SELECT p_partkey, generate_series(1, p_size % 4 + 2) AS seq FROM part)
 """
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash document fingerprints (functions/text.py
+    rolling_hashes): per-document window count, minimum window hash
+    (the winnowing fingerprint / near-dup blocking key), and first
+    window hash. DuckDB oracle expands the k=8 polynomial in closed
+    form — stepwise mod ≡ mod of the polynomial sum."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.rolling_fingerprint_stats(docs, "doc_id", "text", k=8)
+
+
+ORACLE_ROLLING_FINGERPRINT = """
+SELECT doc_id,
+       CAST(LENGTH(ws) AS BIGINT) AS n_windows,
+       CAST(list_aggregate(ws, 'min') AS BIGINT) AS fp_min,
+       CAST(ws[1] AS BIGINT) AS fp_first
+FROM (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, LENGTH(codes) - 8),
+           i -> (codes[i+1] * 27512614111 + codes[i+2] * 887503681
+               + codes[i+3] * 28629151 + codes[i+4] * 923521
+               + codes[i+5] * 29791 + codes[i+6] * 961
+               + codes[i+7] * 31 + codes[i+8]) % 1000000007
+         ) AS ws
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             string_split(TRIM(regexp_replace(regexp_replace(LOWER(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ''),
+             c -> CAST(ascii(c) AS BIGINT)
+           ) AS codes
+    FROM documents
+  )
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1646,6 +1683,9 @@ QUERIES: dict[str, QuerySpec] = {
     "join_full_outer": QuerySpec(q_join_full_outer, ORACLE_JOIN_FULL_OUTER, "J full outer"),
     "exists_subquery": QuerySpec(q_exists_subquery, ORACLE_EXISTS_SUBQUERY, "subquery exists"),
     "array_funcs": QuerySpec(q_array_funcs, ORACLE_ARRAY_FUNCS, "L* higher-order"),
+    "rolling_fingerprint": QuerySpec(
+        q_rolling_fingerprint, ORACLE_ROLLING_FINGERPRINT, "ext:fingerprint"
+    ),
 }
 
 

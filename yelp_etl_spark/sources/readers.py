@@ -62,6 +62,30 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_files(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic file-source scan for any Spark-supported format
+    (parquet/orc/csv/json/text). Columnar formats get pruning and
+    pushdown; for csv, ``header`` defaults on and an explicit schema
+    avoids the inference pass (a full extra scan at 100 TB)."""
+    reader = spark.read.format(format)
+    if format == "csv" and "header" not in options:
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        if format == "csv":
+            reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
 def read_json(
     spark: SparkSession,
     path: str,

@@ -31,7 +31,7 @@ class WriteSpec:
     join).
     """
 
-    format: str = "parquet"  # "parquet" | "iceberg"
+    format: str = "parquet"  # "parquet" | "iceberg" | "orc" | "csv" | "json"
     mode: str = "overwrite"
     partition_columns: list[str] = field(default_factory=list)
     bucket_column: str | None = None
@@ -59,9 +59,11 @@ def write_table(df: DataFrame, target: str, spec: WriteSpec | None = None) -> No
             writer = writer.partitionedBy(*transforms)
         writer.createOrReplace()
         return
-    # parquet path sink: identity partitions supported natively; a bucket
-    # column materializes as an explicit pmod(hash) directory column so
-    # the layout survives without a catalog.
+    # Path sinks (parquet/orc/csv/json): identity partitions supported
+    # natively; a bucket column materializes as an explicit pmod(hash)
+    # directory column so the layout survives without a catalog.
+    # Row formats (csv/json) are for interchange only — no column
+    # pruning or predicate pushdown, so keep analytics tables columnar.
     out = df
     partition_cols = list(spec.partition_columns)
     if spec.bucket_column:
@@ -71,11 +73,13 @@ def write_table(df: DataFrame, target: str, spec: WriteSpec | None = None) -> No
         )
         partition_cols.append(bucket_col)
     writer = out.write.mode(spec.mode)
+    if spec.format == "csv" and "header" not in spec.options:
+        writer = writer.option("header", "true")
     for k, v in spec.options.items():
         writer = writer.option(k, v)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(target)
+    writer.format(spec.format).save(target)
 
 
 def write_bucketed_table(
