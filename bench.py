@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "exists_subquery",
     "array_funcs",
     "rolling_fingerprint",
+    "pandas_udf_scores",
+    "pandas_zscore",
 ]
 
 

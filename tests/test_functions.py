@@ -229,3 +229,33 @@ def test_rolling_fingerprint_stats_matches_column_form(spark):
         assert row.n_windows == len(ref)
         assert row.fp_min == (min(ref) if ref else None)
         assert row.fp_first == (ref[0] if ref else None)
+
+
+def test_group_zscore_properties(spark):
+    from yelp_etl_spark.functions.udfs import group_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)],
+        "g string, v double",
+    )
+    rows = group_zscore(df, "g", "v").collect()
+    a = sorted(r.zscore for r in rows if r.g == "a")
+    assert a == [-1.0, 0.0, 1.0]  # mean 2, sample std 1
+    b = [r.zscore for r in rows if r.g == "b"]
+    # zero variance → NaN in pandas, surfaced as NULL through Arrow
+    assert all(z is None or z != z for z in b)
+
+
+def test_pandas_udf_weighted_mean(spark):
+    from yelp_etl_spark.functions.udfs import row_count, weighted_mean
+
+    df = spark.createDataFrame(
+        [("x", 2.0, 1.0), ("x", 4.0, 3.0)], "g string, v double, w double"
+    )
+    row = (
+        df.groupBy("g")
+        .agg(weighted_mean("v", "w").alias("wm"), row_count("v").alias("n"))
+        .collect()[0]
+    )
+    assert abs(row.wm - (2.0 * 1.0 + 4.0 * 3.0) / 4.0) < 1e-12
+    assert row.n == 2

@@ -1,0 +1,74 @@
+"""Vectorized Python UDF surface: scalar pandas_udf, grouped-aggregate
+pandas_udf, and grouped applyInPandas.
+
+The reference registers no UDFs anywhere (SURVEY.md §2.10 — verified
+absence); this module is the engine's declared UDF surface for the
+cases where a real pipeline must run Python (model scoring, custom
+statistics). Every entry point is Arrow-batched — the JVM hands
+columnar batches to numpy/pandas, ~10-100× faster than row-at-a-time
+Python UDFs — and each has an expression-only SQL equivalent used as
+its DuckDB oracle, so the UDFs are value-checked, not just smoke-run.
+
+At 100 TB: scalar UDFs are map-only (zero shuffle); grouped-agg UDFs
+shuffle once on the group key like any aggregation but do NOT
+partial-aggregate map-side (unlike built-in aggs) — prefer built-ins
+when one exists; applyInPandas materializes each group in one Python
+worker's memory, so group cardinality × group size needs the same
+skew discipline as any window (salt pathological keys first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def logistic_score(x: pd.Series) -> pd.Series:
+    """Scalar vectorized UDF: logistic squashing 1/(1+exp(-x)).
+    Stand-in shape for any per-row model scorer."""
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+@F.pandas_udf(T.DoubleType())
+def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    """Grouped-aggregate vectorized UDF: sum(v*w)/sum(w) per group.
+    Used inside groupBy().agg() — one shuffle on the group key."""
+    denom = w.sum()
+    return float((v * w).sum() / denom) if denom else float("nan")
+
+
+@F.pandas_udf(T.LongType())
+def row_count(v: pd.Series) -> int:
+    """Grouped-aggregate COUNT as a pandas UDF. Spark disallows mixing
+    grouped-agg pandas UDFs with built-in aggregates in one agg() —
+    pandas aggs can only combine with other pandas aggs — so UDF-based
+    aggregations needing a count carry their own."""
+    return len(v)
+
+
+def group_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score via applyInPandas: each group arrives as one
+    pandas DataFrame, gets (x - mean) / stddev (sample, ddof=1)
+    appended, and streams back out. The canonical shape for per-group
+    Python transforms that need the whole group at once (model-per-
+    group fits, per-group normalization)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def transform(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col]
+        sd = x.std(ddof=1)
+        pdf[out_col] = (x - x.mean()) / sd if sd and sd == sd else np.nan
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(transform, out_schema)

@@ -1621,6 +1621,58 @@ FROM (
 """
 
 
+def q_pandas_udf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDF surface (functions/udfs.py): scalar pandas_udf
+    (logistic scorer, map-only) feeding a grouped-aggregate pandas_udf
+    (weighted mean, one shuffle on the group key). Oracle recomputes
+    both in closed form."""
+    from yelp_etl_spark.functions.udfs import logistic_score, row_count, weighted_mean
+
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderstatus",
+        F.col("o_totalprice").alias("w"),
+        logistic_score(F.col("o_totalprice") / 100000.0).alias("sig"),
+    )
+    return scored.groupBy("o_orderstatus").agg(
+        F.round(weighted_mean(F.col("sig"), F.col("w")), 6).alias("wavg_sig"),
+        row_count(F.col("w")).alias("n"),
+    )
+
+
+ORACLE_PANDAS_UDF_SCORES = """
+SELECT o_orderstatus,
+       ROUND(SUM(sig * o_totalprice) / SUM(o_totalprice), 6) AS wavg_sig,
+       COUNT(*) AS n
+FROM (SELECT o_orderstatus, o_totalprice,
+             1 / (1 + EXP(-(o_totalprice / 100000.0))) AS sig
+      FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+def q_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas surface (functions/udfs.py group_zscore): per-
+    market-segment z-score of account balance, each group normalized
+    in one Arrow batch. Oracle is the equivalent window expression."""
+    from yelp_etl_spark.functions.udfs import group_zscore
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    z = group_zscore(customer, "c_mktsegment", "c_acctbal")
+    return z.select("c_custkey", "c_mktsegment", F.round("zscore", 4).alias("zscore"))
+
+
+ORACLE_PANDAS_ZSCORE = """
+SELECT c_custkey, c_mktsegment,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment),
+             4) AS zscore
+FROM customer
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1686,6 +1738,10 @@ QUERIES: dict[str, QuerySpec] = {
     "rolling_fingerprint": QuerySpec(
         q_rolling_fingerprint, ORACLE_ROLLING_FINGERPRINT, "ext:fingerprint"
     ),
+    "pandas_udf_scores": QuerySpec(
+        q_pandas_udf_scores, ORACLE_PANDAS_UDF_SCORES, "udf scalar+grouped-agg"
+    ),
+    "pandas_zscore": QuerySpec(q_pandas_zscore, ORACLE_PANDAS_ZSCORE, "udf applyInPandas"),
 }
 
 
