@@ -88,12 +88,20 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
+    # Two timed runs per query, min taken — single-run local[N] timings
+    # carry GC/compilation noise of up to ~3x on sub-second queries; the
+    # min is the standard steady-state estimator (cf. hyperfine).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = QUERIES[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            df = QUERIES[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,6 +112,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
+                "aggregation": "min",
             }
         )
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_double_array(col: Column) -> Column:
@@ -125,66 +126,84 @@ def ivf_topk(
     lists by nearest centroid; each query scores only the lists of its
     ``n_probe`` nearest centroids.
 
-    Centroids are sampled deterministically from the data (every
-    N/n_centroids-th vector by id) rather than k-means-trained — at
-    100 TB you'd train centroids offline on a sample and broadcast them,
-    which is exactly the shape here: the centroid table is a broadcast
-    literal, assignment is a map-only pass over candidates, and the
-    probe join is an equi-join on centroid id. Recall/cost dials:
-    n_centroids (list granularity) and n_probe (lists searched).
+    Centroids are sampled deterministically from the data (the vectors
+    whose ids sit at the n_centroids id-quantiles) rather than
+    k-means-trained — at 100 TB you'd train centroids offline on a
+    sample and broadcast them, which is exactly the shape here: the
+    centroid matrix is driver-held (never more than n_centroids rows
+    collected), assignment is a map-only numpy GEMM over Arrow batches,
+    and the probe join is an equi-join on centroid id. Recall/cost
+    dials: n_centroids (list granularity) and n_probe (lists searched).
     """
-    cand = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(F.col(vec_col)).alias("__cvec"),
+    import numpy as np
+    import pandas as pd
+
+    # Deterministic centroid sample: ids at the n_centroids quantiles of
+    # the id distribution (one cheap aggregate), then ONLY those rows
+    # collected via a pushed-down isin filter — the driver never holds
+    # more than n_centroids vectors regardless of table size (the
+    # production analog: train centroids offline, broadcast them).
+    quantiles = F.array(*[F.lit(i / n_centroids) for i in range(n_centroids)])
+    cid_values = candidates.agg(
+        F.percentile_approx(id_col, quantiles, F.lit(10_000))
+    ).collect()[0][0]
+    centroid_rows = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in candidates.select(id_col, vec_col)
+        .filter(F.col(id_col).isin([int(c) for c in set(cid_values)]))
+        .collect()
     )
-    # Deterministic centroid sample (every stride-th vector by id),
-    # collected once and baked into the plan as literals — so list
-    # assignment is a pure map-side expression, no shuffle of the
-    # candidate table (the production analog: train centroids offline,
-    # broadcast them).
-    rows = (
-        candidates.select(id_col, vec_col).orderBy(id_col).collect()
-    )
-    stride = max(len(rows) // n_centroids, 1)
-    centroid_rows = [
-        (r[0], [float(x) for x in r[1]]) for r in rows[::stride][:n_centroids]
-    ]
 
-    import math
+    # Assignment: numpy GEMM against the broadcast centroid matrix via
+    # Arrow mapInPandas — one (batch × dim) @ (dim × m) product per
+    # batch instead of m interpreted dot-product expressions per row.
+    # Centroids ordered by id DESC so a stable argsort breaks cosine
+    # ties toward the larger centroid id (deterministic).
+    centroid_rows.sort(key=lambda r: -r[0])
+    cmat = np.array([v for _, v in centroid_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    cids = np.array([c for c, _ in centroid_rows], dtype=np.int64)
 
-    centroid_norms = {
-        cid: math.sqrt(sum(x * x for x in cvec)) or 1.0 for cid, cvec in centroid_rows
-    }
-
-    def nearest_lists(vec: Column, n2: Column, n_lists: int) -> Column:
-        """Array of the n_lists centroid ids nearest to ``vec``. Row
-        norm and centroid norms are precomputed — per centroid the
-        expression is a single dot product."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        dot(vec, F.array(*[F.lit(x) for x in cvec]))
-                        / (F.sqrt(n2) * F.lit(centroid_norms[cid]))
-                    ).alias("s"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in centroid_rows
+    def assigned(df: DataFrame, id_alias: str, vec_alias: str, n2_alias: str, n_lists: int) -> DataFrame:
+        src = df.select(
+            F.col(id_col).alias(id_alias),
+            as_double_array(F.col(vec_col)).alias(vec_alias),
+        )
+        out_schema = T.StructType(
+            [
+                src.schema[id_alias],
+                src.schema[vec_alias],
+                T.StructField(n2_alias, T.DoubleType()),
+                T.StructField("__lists", T.ArrayType(T.LongType())),
             ]
         )
-        top = F.slice(F.sort_array(scored, asc=False), 1, n_lists)
-        return F.transform(top, lambda t: t["cid"])
 
-    cand = cand.withColumn("__cn2", squared_norm(F.col("__cvec")))
-    cand_assigned = cand.withColumn(
-        "list_id", nearest_lists(F.col("__cvec"), F.col("__cn2"), 1).getItem(0)
+        def go(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.array(pdf[vec_alias].to_list(), dtype=np.float64)
+                n2 = (vecs * vecs).sum(axis=1)
+                denom = np.sqrt(n2)[:, None] * cnorm[None, :]
+                denom[denom == 0] = 1.0
+                sims = (vecs @ cmat.T) / denom
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_lists]
+                pdf = pdf.assign(
+                    **{
+                        n2_alias: n2,
+                        "__lists": [list(cids[row]) for row in order],
+                    }
+                )
+                yield pdf
+
+        return src.mapInPandas(go, out_schema)
+
+    cand_assigned = assigned(candidates, "neighbor_id", "__cvec", "__cn2", 1).select(
+        "neighbor_id", "__cvec", "__cn2", F.col("__lists").getItem(0).alias("list_id")
     )
-    qry = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(F.col(vec_col)).alias("__qvec"),
-    ).withColumn("__qn2", squared_norm(F.col("__qvec")))
-    qry_assigned = qry.withColumn(
-        "list_id", F.explode(nearest_lists(F.col("__qvec"), F.col("__qn2"), n_probe))
+    qry_assigned = assigned(queries, "query_id", "__qvec", "__qn2", n_probe).select(
+        "query_id", "__qvec", "__qn2", F.explode("__lists").alias("list_id")
     )
     pairs = cand_assigned.join(F.broadcast(qry_assigned), "list_id").filter(
         F.col("neighbor_id") != F.col("query_id")
