@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "rolling_fingerprint",
     "pandas_udf_scores",
     "pandas_zscore",
+    "stream_static_enrich",
 ]
 
 

@@ -131,3 +131,15 @@ def test_incremental_micro_batches(spark, events_dir):
     run_stream_to_memory(stream, "t_incremental")
     batch = tumbling_window_agg(spark.read.parquet(events_dir), "10 minutes")
     assert _rows(spark, "t_incremental") == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
+    from yelp_etl_spark.streaming.windows import stream_static_enrich
+
+    dim = load_table(spark, sf_dir, "customer")
+    batch = stream_static_enrich(spark.read.parquet(events_dir), dim, "10 minutes")
+    stream = stream_static_enrich(
+        read_events_stream(spark, events_dir), dim, "10 minutes", watermark="1 hour"
+    )
+    run_stream_to_memory(stream, "t_enrich")
+    assert _rows(spark, "t_enrich") == {tuple(r) for r in batch.collect()}

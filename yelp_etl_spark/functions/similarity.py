@@ -345,23 +345,49 @@ def lsh_topk(
     """Approximate top-k: score only within-LSH-bucket pairs. At scale
     this turns the O(Q×N) cross join into an equi-join on bucket id —
     shuffle-partitionable and skew-manageable (salt hot buckets)."""
+    import numpy as np
+
     planes = random_hyperplanes(dim, n_planes, seed)
-    cand = (
-        candidates.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("__cvec"),
+    # Bucket assignment as one numpy matmul per Arrow batch (bit i =
+    # sign(vec · plane_i), first plane = MSB — same bits as the
+    # lsh_bucket expression form, kept above for single-column use):
+    # n_planes interpreted dot expressions per row don't survive wide
+    # batches; (batch × dim) @ (dim × n_planes) does. Map-only either
+    # way — zero shuffle before the bucket equi-join.
+    pmat = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+    weights = 2 ** np.arange(n_planes - 1, -1, -1)
+
+    def bucketed(df: DataFrame, id_alias: str, vec_alias: str, n2_alias: str) -> DataFrame:
+        src = df.select(
+            F.col(id_col).alias(id_alias),
+            as_double_array(F.col(vec_col)).alias(vec_alias),
         )
-        .withColumn("__cn2", squared_norm(F.col("__cvec")))
-        .withColumn("bucket", lsh_bucket(F.col("__cvec"), planes))
-    )
-    qry = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            as_double_array(F.col(vec_col)).alias("__qvec"),
+        out_schema = T.StructType(
+            [
+                src.schema[id_alias],
+                src.schema[vec_alias],
+                T.StructField(n2_alias, T.DoubleType()),
+                T.StructField("bucket", T.LongType()),
+            ]
         )
-        .withColumn("__qn2", squared_norm(F.col("__qvec")))
-        .withColumn("bucket", lsh_bucket(F.col("__qvec"), planes))
-    )
+
+        def go(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.array(pdf[vec_alias].to_list(), dtype=np.float64)
+                bits = (vecs @ pmat.T) >= 0
+                yield pdf.assign(
+                    **{
+                        n2_alias: (vecs * vecs).sum(axis=1),
+                        "bucket": (bits * weights).sum(axis=1),
+                    }
+                )
+
+        return src.mapInPandas(go, out_schema)
+
+    cand = bucketed(candidates, "neighbor_id", "__cvec", "__cn2")
+    qry = bucketed(queries, "query_id", "__qvec", "__qn2")
     pairs = cand.join(F.broadcast(qry), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

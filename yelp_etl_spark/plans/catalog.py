@@ -1689,6 +1689,28 @@ FROM customer
 """
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (streaming/windows.py stream_static_enrich,
+    batch semantics): events × customer dimension, tumbling-window
+    revenue per market segment. The same function runs unchanged on
+    readStream with a watermark (test_streaming pins stream ≡ batch)."""
+    from yelp_etl_spark.streaming.windows import stream_static_enrich
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    return stream_static_enrich(events, customer, "10 minutes")
+
+
+ORACLE_STREAM_STATIC_ENRICH = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1758,6 +1780,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_pandas_udf_scores, ORACLE_PANDAS_UDF_SCORES, "udf scalar+grouped-agg"
     ),
     "pandas_zscore": QuerySpec(q_pandas_zscore, ORACLE_PANDAS_ZSCORE, "udf applyInPandas"),
+    "stream_static_enrich": QuerySpec(
+        q_stream_static_enrich, ORACLE_STREAM_STATIC_ENRICH, "ext:stream-static join"
+    ),
 }
 
 

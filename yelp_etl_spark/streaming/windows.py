@@ -149,6 +149,35 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    duration: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: the streaming analog
+    of the reference's enrich pipeline (fact stream × dimension table,
+    enrich.py:57-60). The static side joins per micro-batch with normal
+    batch semantics — Catalyst broadcasts it when small, and no state
+    is kept for it; only the windowed aggregation is stateful (bounded
+    by the watermark). Works identically on a batch DataFrame."""
+    from pyspark.sql import functions as F
+
+    src = events.withWatermark("ts", watermark) if watermark else events
+    joined = src.join(dim, src["user_id"] == dim["c_custkey"], "inner")
+    return joined.groupBy(
+        F.window("ts", duration).alias("win"), "c_mktsegment"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        "total_value",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:
