@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "pandas_udf_scores",
     "pandas_zscore",
     "stream_static_enrich",
+    "merge_upsert",
+    "scd2_history",
 ]
 
 

@@ -1,0 +1,67 @@
+"""Upsert (MERGE) and slowly-changing-dimension operators.
+
+The reference's only write mode is whole-table replace
+(createOrReplace, reference write.py:24-33); real lakehouse pipelines
+also need keyed upserts and dimension history. Both are expressed as
+pure DataFrame transforms so they work against any sink: with an
+Iceberg catalog the same semantics can push down to ``MERGE INTO``,
+but nothing here requires it.
+
+Scale notes: merge_upsert is one left-anti hash join on the key —
+with both sides bucketed on the key (sources/writers.py
+write_bucketed_table) it is shuffle-free; scd2_history is one
+window over (key, ts), i.e. a single shuffle on the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics as a transform: rows from ``source`` replace
+    target rows with the same key; unmatched target rows pass through
+    (SCD type 1 / "upsert"). Schemas must align by name.
+
+    ``WHEN MATCHED THEN UPDATE (all columns), WHEN NOT MATCHED THEN
+    INSERT`` — the classic lakehouse MERGE shape, as target ANTI-JOIN
+    source UNION ALL source.
+    """
+    unchanged = target.join(source.select(*keys), keys, "left_anti")
+    return unchanged.unionByName(source)
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build SCD type-2 validity intervals from an event/snapshot log:
+    one row per (key, run of equal ``attr``), with ``valid_from`` =
+    first ts of the run and ``valid_to`` = start of the next run
+    (NULL = current). The training-data use: point-in-time joins
+    against dimension state as of example time (asof_join on
+    valid_from does exactly that).
+
+    Change detection is lag() over (key, ts[, tiebreak]); one shuffle
+    on the entity key for both the lag and the lead.
+    """
+    order: list[Column] = [F.col(ts)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(key).orderBy(*order)
+    cols = [key, ts, attr] + ([tiebreak] if tiebreak else [])
+    changed = (
+        snapshots.select(*dict.fromkeys(cols))
+        .withColumn("__prev", F.lag(attr).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(attr) != F.col("__prev")))
+    )
+    return changed.select(
+        key,
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    )

@@ -1711,6 +1711,65 @@ GROUP BY 1, 2
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (operators/scd.py merge_upsert): a
+    derived source (every 10th order, price uplifted) replaces matched
+    target rows, unmatched pass through; checksummed per status."""
+    from yelp_etl_spark.operators.scd import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    source = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = merge_upsert(orders, source, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+), merged AS (
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey)
+  UNION ALL SELECT * FROM source
+)
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history (operators/scd.py scd2_history):
+    per-customer order-status change log with validity intervals
+    (valid_to NULL = current state). One shuffle on the entity key."""
+    from yelp_etl_spark.operators.scd import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_history(
+        orders, "o_custkey", "o_orderdate", "o_orderstatus", tiebreak="o_orderkey"
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH c AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
+         LAG(o_orderstatus) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w2 AS valid_to
+FROM c
+WHERE prev IS NULL OR o_orderstatus <> prev
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1783,6 +1842,8 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_static_enrich": QuerySpec(
         q_stream_static_enrich, ORACLE_STREAM_STATIC_ENRICH, "ext:stream-static join"
     ),
+    "merge_upsert": QuerySpec(q_merge_upsert, ORACLE_MERGE_UPSERT, "merge/upsert"),
+    "scd2_history": QuerySpec(q_scd2_history, ORACLE_SCD2_HISTORY, "scd2 windows"),
 }
 
 
