@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "stream_static_enrich",
     "merge_upsert",
     "scd2_history",
+    "blob_features",
 ]
 
 

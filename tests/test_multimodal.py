@@ -92,3 +92,28 @@ def test_decode_blobs_poison_input_captured(spark):
     assert rows[1].decode_ok is True
     assert rows[2].decode_ok is False and "corrupt" in rows[2].decode_error
     assert rows[3].decode_ok is True
+
+
+def test_extract_byte_features(spark):
+    import math
+
+    from yelp_etl_spark.functions.multimodal import extract_byte_features
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"aaaaaaaa")),          # single symbol → entropy 0
+            (2, bytearray(bytes(range(256)))),    # uniform → entropy 8
+            (3, bytearray(b"")),                  # empty → all zeros
+            (4, bytearray(b"ab\x00\x00")),        # half NULs
+        ],
+        "id long, content binary",
+    )
+    rows = {r.id: r for r in extract_byte_features(df).collect()}
+    assert rows[1].byte_entropy == 0.0
+    assert rows[1].distinct_bytes == 1
+    assert abs(rows[2].byte_entropy - 8.0) < 1e-9
+    assert rows[2].distinct_bytes == 256
+    assert rows[3].byte_entropy == 0.0 and rows[3].distinct_bytes == 0
+    assert rows[4].null_ratio == 0.5
+    assert abs(rows[4].byte_entropy - 1.5) < 1e-9  # {1/4,1/4,1/2} → 1.5 bits
+    assert rows[1].printable_ratio == 1.0

@@ -117,6 +117,66 @@ def decode_blobs(
     return df.mapInPandas(process, schema=out_schema)
 
 
+BYTE_FEATURE_SCHEMA = (
+    "byte_entropy double, printable_ratio double, null_ratio double, "
+    "mean_byte double, distinct_bytes int"
+)
+
+
+def extract_byte_features(df: DataFrame, blob_col: str = "content") -> DataFrame:
+    """Codec-free feature extraction over binary payloads: Shannon
+    entropy of the byte distribution, printable-ASCII ratio, NUL-byte
+    ratio, mean byte value, distinct byte count. These are the
+    standard corpus-triage signals — compressed/encrypted blobs sit
+    near 8 bits of entropy, text near 4-5, sparse/padded media lower —
+    and unlike decode_blobs they need no external library, so this
+    path is fully real, not stubbed.
+
+    numpy over Arrow batches (np.bincount per blob), map-only, zero
+    shuffle — the same 100 TB shape as every other mapInPandas stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes)
+        + ", "
+        + BYTE_FEATURE_SCHEMA
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[blob_col]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) == 0:
+                    feats.append((0.0, 0.0, 0.0, 0.0, 0))
+                    continue
+                counts = np.bincount(b, minlength=256)
+                p = counts[counts > 0] / len(b)
+                entropy = float(-(p * np.log2(p)).sum())
+                printable = float(counts[32:127].sum() / len(b))
+                nul = float(counts[0] / len(b))
+                feats.append(
+                    (entropy, printable, nul, float(b.mean()), int((counts > 0).sum()))
+                )
+            feat_df = pd.DataFrame(
+                feats,
+                columns=[
+                    "byte_entropy",
+                    "printable_ratio",
+                    "null_ratio",
+                    "mean_byte",
+                    "distinct_bytes",
+                ],
+            )
+            yield pd.concat(
+                [pdf.reset_index(drop=True), feat_df.reset_index(drop=True)], axis=1
+            )
+
+    return df.mapInPandas(process, schema=out_schema)
+
+
 FRAME_SCHEMA = "frame_index int, frame_offset_bytes long, frame_hash long"
 
 

@@ -1770,6 +1770,28 @@ WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal byte-feature extraction (functions/multimodal.py
+    extract_byte_features): payloads synthesized from document text,
+    then codec-free triage features (entropy, printable/NUL ratios)
+    via numpy mapInPandas. Rows-only check (entropy has no DuckDB
+    equivalent); exact values unit-tested on known payloads."""
+    from yelp_etl_spark.functions.multimodal import (
+        extract_byte_features,
+        synthesize_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = synthesize_blobs(docs, from_col="text").select("doc_id", "content")
+    return extract_byte_features(blobs).select(
+        "doc_id",
+        F.round("byte_entropy", 4).alias("byte_entropy"),
+        F.round("printable_ratio", 4).alias("printable_ratio"),
+        F.round("null_ratio", 4).alias("null_ratio"),
+        F.col("distinct_bytes").cast("long").alias("distinct_bytes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1844,6 +1866,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "merge_upsert": QuerySpec(q_merge_upsert, ORACLE_MERGE_UPSERT, "merge/upsert"),
     "scd2_history": QuerySpec(q_scd2_history, ORACLE_SCD2_HISTORY, "scd2 windows"),
+    "blob_features": QuerySpec(q_blob_features, None, "ext:multimodal features"),
 }
 
 
