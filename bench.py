@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "merge_upsert",
     "scd2_history",
     "blob_features",
+    "neardup_components",
 ]
 
 

@@ -259,3 +259,57 @@ def test_pandas_udf_weighted_mean(spark):
     )
     assert abs(row.wm - (2.0 * 1.0 + 4.0 * 3.0) / 4.0) < 1e-12
     assert row.n == 2
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for x in parent:
+        comp[x] = find(x)
+    return comp
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(100 + i, 101 + i) for i in range(10)]  # a diameter-10 chain
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in D.connected_components(df).collect()}
+    ref = _uf_components(edges)
+    # union-find parents must be re-canonicalized to min-of-component
+    comp_min = {}
+    for node, root in ref.items():
+        comp_min.setdefault(root, root)
+    groups = {}
+    for node, root in ref.items():
+        groups.setdefault(root, []).append(node)
+    expect = {n: min(g) for root, g in groups.items() for n in g}
+    assert got == expect
+
+
+def test_dedup_keep_canonical(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in D.dedup_keep_canonical(df, pairs).collect())
+    # component {0,1,2} keeps 0; {4,5} keeps 4; 3 untouched
+    assert kept == [0, 3, 4]

@@ -263,3 +263,78 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_hamming(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> Column:
     """Hamming distance between two (hi, lo) simhash sketches."""
     return hamming64(hi_a, hi_b) + hamming64(lo_a, lo_b)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round every node takes the minimum label in its neighborhood
+    (incl. itself); converged when no label changes. Returns
+    ``(id, component)`` where component = min node id of the component.
+
+    The dedup use: near-dup candidate PAIRS (from MinHash/SimHash/
+    embedding paths) are transitive in practice — A~B, B~C usually
+    means one boilerplate family — so dedup-keep-one must operate on
+    components, not pairs. Each round is one join + one groupBy on the
+    node id (both shuffle on id, co-partitioned); rounds needed =
+    graph diameter, which for near-dup families is tiny (2-4).
+    localCheckpoint truncates the plan each round so lineage doesn't
+    grow linearly with iterations; the driver-side loop only inspects
+    a scalar convergence count per round (no data collected).
+    """
+    fwd = edges.select(F.col(src_col).alias("eid"), F.col(dst_col).alias("nbr"))
+    rev = edges.select(F.col(dst_col).alias("eid"), F.col(src_col).alias("nbr"))
+    adj = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+
+    # Distinct column names on the label side (node vs eid/nbr) keep the
+    # per-round self-derived join unambiguous to the analyzer.
+    labels = (
+        adj.select(F.col("eid").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels, adj["nbr"] == labels["node"], "inner")
+            .select(F.col("eid").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), "component")
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical row per near-dup component (the minimum id),
+    plus every row that appears in no pair. The standard tail of a
+    near-dedup pipeline: pairs → components → anti-join the losers."""
+    comps = connected_components(pairs, src_col, dst_col)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1792,6 +1792,60 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (functions/dedup.py connected_components):
+    exact-Jaccard candidate pairs → connected components by iterative
+    min-label propagation (component id = min doc id). DuckDB oracle
+    computes the same components via a recursive-CTE transitive
+    closure — exact agreement, not a property check."""
+    documents = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(documents, n=3, threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    from yelp_etl_spark.functions.dedup import connected_components
+
+    return connected_components(pairs)
+
+
+ORACLE_NEARDUP_COMPONENTS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sh AS (
+  SELECT id, DISTINCT_GRAM AS sh FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
+    FROM toks
+    WHERE LENGTH(tok) >= 3
+  )
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1867,6 +1921,9 @@ QUERIES: dict[str, QuerySpec] = {
     "merge_upsert": QuerySpec(q_merge_upsert, ORACLE_MERGE_UPSERT, "merge/upsert"),
     "scd2_history": QuerySpec(q_scd2_history, ORACLE_SCD2_HISTORY, "scd2 windows"),
     "blob_features": QuerySpec(q_blob_features, None, "ext:multimodal features"),
+    "neardup_components": QuerySpec(
+        q_neardup_components, ORACLE_NEARDUP_COMPONENTS, "ext:dedup clustering"
+    ),
 }
 
 
