@@ -71,6 +71,13 @@ BENCH_QUERIES = [
     "scd2_history",
     "blob_features",
     "neardup_components",
+    "tpch_q3_shipping",
+    "tpch_q18_large_orders",
+    "minmax_by",
+    "brand_premium",
+    "hash_split_sample",
+    "posexplode_ordinal",
+    "tfidf_top_terms",
 ]
 
 

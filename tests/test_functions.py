@@ -313,3 +313,60 @@ def test_dedup_keep_canonical(spark):
     kept = sorted(r.doc_id for r in D.dedup_keep_canonical(df, pairs).collect())
     # component {0,1,2} keeps 0; {4,5} keeps 4; 3 untouched
     assert kept == [0, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling / train-test split
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from yelp_etl_spark.functions import sampling as SMP
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "key")
+    kept1 = {r.key for r in SMP.deterministic_sample(df, "key", 0.25).collect()}
+    kept2 = {
+        r.key
+        for r in SMP.deterministic_sample(df.repartition(7), "key", 0.25).collect()
+    }
+    assert kept1 == kept2  # partitioning-independent
+    assert 0.18 < len(kept1) / 2000 < 0.32  # ~25%
+
+
+def test_train_test_split_disjoint_exhaustive(spark):
+    from yelp_etl_spark.functions import sampling as SMP
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "key")
+    out = SMP.train_test_split(df, "key", 0.8).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "test"}
+    assert sum(counts.values()) == 1000  # exhaustive + disjoint
+    assert 0.72 < counts["train"] / 1000 < 0.88
+
+
+def test_fraction_threshold_edges():
+    from yelp_etl_spark.functions.sampling import fraction_threshold
+
+    assert fraction_threshold(0.0) == "0000"
+    assert fraction_threshold(0.8) == "cccd"
+    assert fraction_threshold(1.0) == "gggg"  # sorts after all hex
+    assert fraction_threshold(0.9999999) == "gggg"
+
+
+def test_tfidf_top_terms_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry dates dates dates"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = TX.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r.term for r in rows}
+    # 'banana'/'cherry' appear in 2 docs, 'apple'/'dates' in 1 ->
+    # higher idf wins where tf allows.
+    assert top == {1: "apple", 2: "banana", 3: "dates"}
+    # tf carried through correctly
+    tf = {r.doc_id: r.tf for r in rows}
+    assert tf == {1: 2, 2: 1, 3: 3}

@@ -1,0 +1,83 @@
+"""Deterministic hash-based sampling and train/test split assignment.
+
+Training-data pipelines need samples and splits that are (a)
+reproducible across runs and engines, (b) stable under repartitioning,
+and (c) computable without a shuffle. Seeded ``df.sample`` is none of
+these: Spark's sampler draws per-partition, so the kept set changes
+whenever partitioning changes. Here every decision is a pure function
+of a stable business key: the first H lowercase-hex digits of
+``md5(key)`` are a uniform integer in ``[0, 16^H)``, so a fraction
+``f`` keeps exactly the keys whose prefix is ``< f * 16^H``.
+Fixed-width lowercase hex compares byte-wise like the integer it
+encodes, which keeps the predicate portable to any SQL engine — the
+DuckDB oracle for the ``hash_split_sample`` query runs the identical
+expression.
+
+Scale: map-only. The predicate evaluates at the scan (no shuffle, no
+state), and at 100 TB a 1% sample is a scan-level filter that AQE can
+combine with partition pruning. Assignments never drift as the table
+grows — a key's split is a property of the key, not of the snapshot.
+
+The reference has no sampling surface (SURVEY.md §2.10); this is
+extension surface for the LLM-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 4  # 65536 buckets -> fraction granularity 1/65536
+
+
+def hash_prefix(key: Column, digits: int = HEX_DIGITS) -> Column:
+    """First ``digits`` lowercase-hex chars of md5 of the key's string form."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, digits)
+
+
+def fraction_threshold(fraction: float, digits: int = HEX_DIGITS) -> str:
+    """Hex-prefix cutoff below which a key falls inside ``fraction``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = 16**digits
+    cut = int(round(fraction * n))
+    if cut >= n:
+        # 'g' sorts after every hex digit, so every prefix passes.
+        return "g" * digits
+    return format(cut, f"0{digits}x")
+
+
+def in_fraction(key: Column, fraction: float, digits: int = HEX_DIGITS) -> Column:
+    """Boolean: key hashes into the leading ``fraction`` of hash space."""
+    return hash_prefix(key, digits) < F.lit(fraction_threshold(fraction, digits))
+
+
+def deterministic_sample(
+    df: DataFrame, key_column: str, fraction: float
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per key, stable across runs,
+    engines, and repartitioning. Duplicate keys are kept or dropped
+    together (sampling is by entity, not by row)."""
+    return df.filter(in_fraction(F.col(key_column), fraction))
+
+
+def split_assignment(
+    key: Column, train_fraction: float = 0.8, labels: tuple[str, str] = ("train", "test")
+) -> Column:
+    """'train' / 'test' label as a pure function of the key."""
+    return F.when(in_fraction(key, train_fraction), F.lit(labels[0])).otherwise(
+        F.lit(labels[1])
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    key_column: str,
+    train_fraction: float = 0.8,
+    split_column: str = "split",
+) -> DataFrame:
+    """Add a deterministic split column; partitions the table into
+    disjoint, exhaustive train/test sets keyed on ``key_column``."""
+    return df.withColumn(
+        split_column, split_assignment(F.col(key_column), train_fraction)
+    )

@@ -223,3 +223,53 @@ def add_text_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf * ln(N / df)).
+
+    Plan shape, scale-first: one shuffle builds the (doc, term) term
+    frequencies with a map-side partial count; document frequency and
+    the corpus size N derive from that already-reduced table (vocabulary
+    << corpus, so ``dfreq`` is broadcast back — no second shuffle of the
+    token stream); the final per-doc top-k is a ranking window
+    partitioned by the same doc key the tf shuffle produced, so it
+    reuses that partitioning instead of exchanging again.
+
+    Ranking is on TF-IDF rounded to 6 decimals with the term string as
+    a tiebreaker, which keeps the top-k deterministic and
+    cross-engine-stable (raw double ordering is not).
+
+    Whitespace tokenization to stay oracle-portable; swap ``tokens()``
+    in for regex tokens when parity isn't needed.
+    """
+    toks = df.select(
+        id_column,
+        F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_column, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = tf.agg(F.count_distinct(F.col(id_column)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_column).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select(id_column, "term", F.col("tf").cast("long").alias("tf"), "tfidf", "term_rank")
+    )

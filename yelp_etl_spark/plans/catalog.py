@@ -1850,6 +1850,256 @@ SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
 # Registry
 # --------------------------------------------------------------------------
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: top-10 unshipped orders by
+    revenue for one market segment. Fact filtered at the scan on
+    l_shipdate, dims filtered before the join, global top-k planned as
+    TakeOrderedAndProject (each partition keeps 10 rows — no full
+    sort). Revenue is rounded before ordering so the top-10 boundary is
+    stable across engines; o_orderkey breaks ties deterministically."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, revenue, o_orderdate
+FROM (
+  SELECT l_orderkey, o_orderdate,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1997-06-01'
+    AND l_shipdate > TIMESTAMP '1997-06-01'
+  GROUP BY l_orderkey, o_orderdate
+)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: HAVING on a grouped sum,
+    then the qualifying keys join back to orders × customer. The
+    HAVING output is small, so Spark broadcast-joins it against orders
+    — the big lineitem table is touched exactly once (one shuffle for
+    the per-order sum). Quantities are integral doubles, so the
+    HAVING threshold compares exactly on both engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_TPCH_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) AS totalprice,
+       ROUND(sum_qty, 2) AS sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax + boolean aggregate surface: max_by / min_by keyed
+    on the unique o_orderkey (deterministic — no ties possible), plus
+    bool_and / bool_or. All Catalyst-native one-pass aggregates with
+    map-side partials."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("last_key_price"),
+        F.round(F.min_by("o_totalprice", "o_orderkey"), 2).alias("first_key_price"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_MINMAX_BY = """
+SELECT o_orderstatus,
+       ROUND(max_by(o_totalprice, o_orderkey), 2) AS last_key_price,
+       ROUND(min_by(o_totalprice, o_orderkey), 2) AS first_key_price,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_brand_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated by hand the way
+    Catalyst would: the per-brand average is a tiny aggregate broadcast
+    back onto part, so the 'subquery per row' is one map-side hash
+    lookup. Counts parts priced >3% above their brand average."""
+    part = _t(spark, sf_dir, "part")
+    brand_avg = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), F.col("p_brand") == F.col("b_brand"))
+        .filter(F.col("p_retailprice") > 1.03 * F.col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_premium"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_premium_price"),
+        )
+    )
+
+
+ORACLE_BRAND_PREMIUM = """
+SELECT p_brand,
+       COUNT(*) AS n_premium,
+       ROUND(AVG(p_retailprice), 4) AS avg_premium_price
+FROM part
+WHERE p_retailprice > 1.03 * (
+    SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand
+)
+GROUP BY p_brand
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split (functions/sampling.py): the
+    split label is a pure function of md5(o_orderkey), so it is
+    reproducible across runs, engines, and repartitioning — the DuckDB
+    oracle computes the identical expression. Map-only (no shuffle for
+    the assignment); the aggregate verifies the split frequencies."""
+    from yelp_etl_spark.functions.sampling import train_test_split
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        train_test_split(orders, "o_orderkey", train_fraction=0.8)
+        .groupBy("split", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+ORACLE_HASH_SPLIT = """
+SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'cccd'
+            THEN 'train' ELSE 'test' END AS split,
+       o_orderstatus,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (posexplode / UNNEST WITH ORDINALITY): first 5
+    tokens of each document with their 1-based position. The position
+    is generated during the unnest — no window or join needed."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+        )
+        .filter((F.col("pos0") < 5) & (F.col("term") != ""))
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term"
+        )
+    )
+
+
+ORACLE_POSEXPLODE = """
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, term
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+  WHERE doc_id < 100
+)
+WHERE pos <= 5 AND term <> ''
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (functions/text.py
+    tfidf_top_terms): one shuffle for term frequencies; document
+    frequency and corpus size fold back via broadcast; ranking window
+    reuses the tf partitioning. Deterministic: ranking on rounded
+    TF-IDF with the term string as tiebreaker."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         ) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+       CAST(term_rank AS BIGINT) AS term_rank
+FROM ranked
+WHERE term_rank <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -1924,6 +2174,13 @@ QUERIES: dict[str, QuerySpec] = {
     "neardup_components": QuerySpec(
         q_neardup_components, ORACLE_NEARDUP_COMPONENTS, "ext:dedup clustering"
     ),
+    "tpch_q3_shipping": QuerySpec(q_tpch_q3, ORACLE_TPCH_Q3, "J1 topk"),
+    "tpch_q18_large_orders": QuerySpec(q_tpch_q18, ORACLE_TPCH_Q18, "A having + J"),
+    "minmax_by": QuerySpec(q_minmax_by, ORACLE_MINMAX_BY, "A argmin/argmax bool"),
+    "brand_premium": QuerySpec(q_brand_premium, ORACLE_BRAND_PREMIUM, "scalar subquery"),
+    "hash_split_sample": QuerySpec(q_hash_split, ORACLE_HASH_SPLIT, "ext:sampling"),
+    "posexplode_ordinal": QuerySpec(q_posexplode_tokens, ORACLE_POSEXPLODE, "L1 ordinal"),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, ORACLE_TFIDF, "ext:text tfidf"),
 }
 
 
