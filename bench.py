@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "hash_split_sample",
     "posexplode_ordinal",
     "tfidf_top_terms",
+    "sessionize_gaps",
+    "date_spine_fill",
+    "json_props_extract",
+    "like_regexp_filters",
+    "union_byname_evolution",
 ]
 
 

@@ -2100,6 +2100,215 @@ WHERE term_rank <= 3
 """
 
 
+def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in pure SQL windows (the batch
+    equivalent of the session_window streaming op): a session breaks
+    after >6h of user inactivity. lag detects the break, a running sum
+    numbers the sessions — both windows share one (user_id, ts)
+    partitioning, so the whole query is a single shuffle. Gap compare
+    is on integer epoch-microseconds for exact cross-engine parity."""
+    events = _t(spark, sf_dir, "events")
+    gap_us = 6 * 3600 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+    ).otherwise(0)
+    return (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("session_idx", F.sum(new_session).over(run))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_idx").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn(
+            "events_per_session",
+            F.round(F.col("n_events") / F.col("n_sessions"), 4),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ROWS UNBOUNDED PRECEDING
+         ) AS session_idx
+  FROM marked
+)
+SELECT user_id,
+       CAST(MAX(session_idx) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       ROUND(COUNT(*) / CAST(MAX(session_idx) AS DOUBLE), 4)
+         AS events_per_session
+FROM numbered
+GROUP BY user_id
+"""
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine zero-fill: generate every day of Feb 1996 with
+    F.sequence + explode, left-join daily order aggregates, coalesce
+    missing days to zero. The spine is a single generated row exploded
+    driver-free; the daily agg is pre-reduced so the left join
+    broadcasts. The standard time-series densification op."""
+    orders = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-02-01").cast("date"),
+                F.lit("1996-02-29").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-02-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d2"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("tot"),
+        )
+    )
+    return spine.join(daily, spine.d == daily.d2, "left").select(
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("tot", F.lit(0.0)).alias("revenue"),
+    )
+
+
+ORACLE_DATE_SPINE = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(
+    DATE '1996-02-01', DATE '1996-02-29', INTERVAL 1 DAY)) AS DATE) AS d
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d2,
+         COUNT(*) AS n,
+         ROUND(SUM(o_totalprice), 2) AS tot
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-02-01'
+    AND o_orderdate < TIMESTAMP '1996-03-01'
+  GROUP BY 1
+)
+SELECT d, COALESCE(n, 0) AS n_orders, COALESCE(tot, 0.0) AS revenue
+FROM spine LEFT JOIN daily ON d = d2
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON-path extraction (get_json_object) from the events
+    props payload — the lightweight cousin of the from_json map parse
+    (L4). Extraction happens in the scan's project, so only the one
+    path is materialized per row."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-match filter surface: LIKE, NOT LIKE, RLIKE, and
+    regexp_extract capture groups. All compile to JVM regex/substring
+    predicates inside the scan's filter — contains/startswith become
+    string-search, never a UDF."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("%e%")
+            & ~F.col("p_name").like("small%")
+            & F.col("p_type").rlike("^(EC|ME|PR)")
+        )
+        .select(
+            F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+            "p_type",
+        )
+        .groupBy("first_word", "p_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_LIKE_REGEXP = """
+SELECT regexp_extract(p_name, '^(\\w+)', 1) AS first_word, p_type,
+       COUNT(*) AS n
+FROM part
+WHERE p_name LIKE '%e%'
+  AND p_name NOT LIKE 'small%'
+  AND regexp_matches(p_type, '^(EC|ME|PR)')
+GROUP BY 1, 2
+"""
+
+
+def q_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections with different column
+    sets combined by name with NULL fill (unionByName
+    allowMissingColumns) — how an engine appends old- and new-schema
+    partitions of the same logical table. The aggregate proves NULLs
+    land in the missing columns (COUNT(col) skips them)."""
+    orders = _t(spark, sf_dir, "orders")
+    old_schema = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderstatus",
+    )
+    new_schema = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        "o_orderstatus",
+    )
+    return (
+        old_schema.unionByName(new_schema, allowMissingColumns=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("price").alias("n_price"),
+            F.count("d").alias("n_date"),
+        )
+    )
+
+
+ORACLE_UNION_BYNAME = """
+SELECT o_orderstatus, COUNT(*) AS n, COUNT(price) AS n_price,
+       COUNT(d) AS n_date
+FROM (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL BY NAME
+  SELECT o_orderkey AS k, o_orderdate AS d, o_orderstatus
+  FROM orders WHERE o_orderstatus = 'O'
+)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -2181,6 +2390,11 @@ QUERIES: dict[str, QuerySpec] = {
     "hash_split_sample": QuerySpec(q_hash_split, ORACLE_HASH_SPLIT, "ext:sampling"),
     "posexplode_ordinal": QuerySpec(q_posexplode_tokens, ORACLE_POSEXPLODE, "L1 ordinal"),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, ORACLE_TFIDF, "ext:text tfidf"),
+    "sessionize_gaps": QuerySpec(q_sessionize_gaps, ORACLE_SESSIONIZE, "window gaps-islands"),
+    "date_spine_fill": QuerySpec(q_date_spine, ORACLE_DATE_SPINE, "sequence + left join"),
+    "json_props_extract": QuerySpec(q_json_props, ORACLE_JSON_PROPS, "L4 json path"),
+    "like_regexp_filters": QuerySpec(q_like_regexp, ORACLE_LIKE_REGEXP, "T* like/rlike"),
+    "union_byname_evolution": QuerySpec(q_union_byname, ORACLE_UNION_BYNAME, "set ops schema-evolution"),
 }
 
 
