@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "json_props_extract",
     "like_regexp_filters",
     "union_byname_evolution",
+    "snapshot_diff_cdc",
+    "pct_of_total",
+    "redact_pii",
+    "vocab_build",
+    "label_centroids",
+    "length_quality_gate",
 ]
 
 

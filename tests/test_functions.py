@@ -370,3 +370,21 @@ def test_tfidf_top_terms_small(spark):
     # tf carried through correctly
     tf = {r.doc_id: r.tf for r in rows}
     assert tf == {1: 2, 2: 1, 3: 3}
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+c@d-e.org ip 10.0.0.1 ssn 123-45-6789 keep 1.5",)],
+        "text string",
+    )
+    out = df.select(TX.redact_pii(F.col("text")).alias("t")).collect()[0].t
+    assert out == "mail <EMAIL> ip <IP> ssn <SSN> keep 1.5"
+
+
+def test_build_vocabulary_ranks_by_freq_then_term(spark):
+    df = spark.createDataFrame(
+        [("b a a",), ("c b a",)], "text string"
+    )
+    rows = {r.term: (r.freq, r.term_id) for r in
+            TX.build_vocabulary(df).collect()}
+    assert rows == {"a": (3, 1), "b": (2, 2), "c": (1, 3)}

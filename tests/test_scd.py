@@ -38,3 +38,20 @@ def test_scd2_history_runs_and_intervals(spark):
     assert hist[(1, "closed")] == (ts("2024-02-01"), None)  # current
     assert hist[(2, "new")] == (ts("2024-01-03"), None)
     assert len(rows) == 4
+
+
+def test_snapshot_diff_classification(spark):
+    from yelp_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    out = {r.k: (r.diff_status, r.v) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out[1] == ("removed", 10.0)
+    assert out[2] == ("changed", 25.0)   # new-side value surfaced
+    assert out[3] == ("unchanged", None)  # NULL == NULL (null-safe)
+    assert out[4] == ("added", 40.0)

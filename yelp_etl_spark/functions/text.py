@@ -273,3 +273,48 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select(id_column, "term", F.col("tf").cast("long").alias("tf"), "tfidf", "term_rank")
     )
+
+
+# (pattern, replacement) applied in order; order matters — IPs are
+# masked before the greedier phone pattern can eat their digits. All
+# patterns restricted to syntax shared by Java regex and RE2 so SQL
+# oracles can run the identical expressions.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[\w.+-]+@[\w.-]+\.\w+", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails / SSN-shaped ids / IPv4 addresses with typed tags.
+    Chained JVM regexp_replace — map-only, no shuffle, no UDF; at
+    corpus scale this runs at scan speed as part of whole-stage
+    codegen. The standard pre-training privacy scrub primitive."""
+    out = text
+    for pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def build_vocabulary(
+    df: DataFrame, text_column: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with frequency-ranked integer ids (id 1 = most
+    frequent; ties broken by term string so ids are deterministic).
+
+    One shuffle reduces the token stream to (term, freq); the ranking
+    window then runs over vocabulary-sized data only. The global
+    (unpartitioned) window is deliberate: a vocabulary is several
+    orders of magnitude smaller than its corpus, so single-partition
+    ranking of it is cheap even at 100 TB of input text."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    return freq.filter(F.col("freq") >= min_freq).select(
+        "term", "freq", F.row_number().over(w).cast("long").alias("term_id")
+    )

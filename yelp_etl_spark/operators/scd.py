@@ -65,3 +65,65 @@ def scd2_history(
         F.col(ts).alias("valid_from"),
         F.lead(ts).over(w).alias("valid_to"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_columns: list[str],
+    status_column: str = "diff_status",
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same logical table:
+    each key is classified 'added' (new only), 'removed' (old only),
+    'changed' (both, any compare column differs, NULL-safe), or
+    'unchanged'. The change-data-capture primitive for incremental
+    pipelines without a log.
+
+    One full outer join on the keys — the single unavoidable shuffle;
+    both sides co-partition on the same key hash, and comparisons are
+    JVM-side null-safe equality (eqNullSafe), no UDFs. At 100 TB, write
+    both snapshots bucketed by the key (sources/writers.py
+    write_bucketed_table) and the exchange disappears entirely.
+
+    Returns the new-side values for added/changed/unchanged rows and
+    the old-side values for removed rows, with the key always
+    populated.
+
+    The reference has no CDC surface; extension per SURVEY.md §2.10
+    (the batch analogue of merge_upsert above).
+    """
+    o = old.select(
+        [F.col(k).alias(f"__old_{k}") for k in keys]
+        + [F.col(c).alias(f"__old_{c}") for c in compare_columns]
+    )
+    n = new.select(
+        [F.col(k).alias(f"__new_{k}") for k in keys]
+        + [F.col(c).alias(f"__new_{c}") for c in compare_columns]
+    )
+    cond = [
+        o[f"__old_{k}"].eqNullSafe(n[f"__new_{k}"]) for k in keys
+    ]
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"__old_{keys[0]}").isNotNull()
+    new_present = F.col(f"__new_{keys[0]}").isNotNull()
+    any_change = None
+    for c in compare_columns:
+        ne = ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+        any_change = ne if any_change is None else (any_change | ne)
+    status = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(any_change, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__new_{k}"), F.col(f"__old_{k}")).alias(k)
+        for k in keys
+    ] + [
+        F.when(new_present, F.col(f"__new_{c}"))
+        .otherwise(F.col(f"__old_{c}"))
+        .alias(c)
+        for c in compare_columns
+    ]
+    return joined.select(*out_cols, status.alias(status_column))

@@ -2309,6 +2309,226 @@ GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff (operators/scd.py snapshot_diff): two
+    simulated snapshots of orders — rows added, removed, and
+    price-changed between them — classified in one full outer join
+    with NULL-safe comparisons. Aggregated to per-status counts."""
+    from yelp_etl_spark.operators.scd import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") + 1000.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return (
+        snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+        .groupBy("diff_status")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 3 != 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O'
+              THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 5 != 0
+), diff AS (
+  SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS k,
+         CASE WHEN new.o_orderkey IS NOT NULL
+              THEN new.o_totalprice ELSE old.o_totalprice END AS price,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN new.o_totalprice IS DISTINCT FROM old.o_totalprice
+                   OR new.o_orderstatus IS DISTINCT FROM old.o_orderstatus
+              THEN 'changed'
+              ELSE 'unchanged' END AS diff_status
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT diff_status, COUNT(*) AS n, ROUND(SUM(price), 2) AS total_value
+FROM diff
+GROUP BY diff_status
+"""
+
+
+def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global order revenue.
+    The grouped aggregate reduces to nation-sized data first, so the
+    unpartitioned total window runs over ~25 rows — the correct shape
+    at any scale (never window over the raw fact)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    total_w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(total_w), 6).alias("share"),
+    )
+
+
+ORACLE_PCT_OF_TOTAL = """
+SELECT n_name,
+       ROUND(rev, 2) AS revenue,
+       ROUND(rev / SUM(rev) OVER (), 6) AS share
+FROM (
+  SELECT n_name, SUM(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py redact_pii): synthetic email /
+    SSN / IP markers appended per document, then masked by the chained
+    regexp_replace scrub. Output compares md5 of the scrubbed text plus
+    the redaction tag count, so the oracle verifies byte-exact
+    redaction without hauling full text through the hash compare."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789"),
+        ).alias("t"),
+    )
+    clean = dirty.select("doc_id", TX.redact_pii(F.col("t")).alias("t"))
+    return clean.select(
+        "doc_id",
+        F.md5(F.col("t").cast("binary")).alias("scrubbed_md5"),
+        (F.size(F.split(F.col("t"), "<EMAIL>", -1)) - 1).cast("long").alias("n_emails"),
+        (F.size(F.split(F.col("t"), "<IP>", -1)) - 1).cast("long").alias("n_ips"),
+    )
+
+
+ORACLE_REDACT_PII = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' reach u' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com ip 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789' AS t
+  FROM documents
+), clean AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[\\w.+-]+@[\\w.-]+\\.\\w+', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+  FROM dirty
+)
+SELECT doc_id,
+       md5(t) AS scrubbed_md5,
+       CAST(len(string_split(t, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+       CAST(len(string_split(t, '<IP>')) - 1 AS BIGINT) AS n_ips
+FROM clean
+"""
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (functions/text.py
+    build_vocabulary): token stream reduced to (term, freq) in one
+    shuffle, then ranked over vocabulary-sized data."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.build_vocabulary(docs, "text")
+
+
+ORACLE_VOCAB = """
+SELECT term, COUNT(*) AS freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS BIGINT)
+         AS term_id
+FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+)
+WHERE term <> ''
+GROUP BY term
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: posexplode the vector column and
+    aggregate per (label, dimension). The explode-then-groupBy shape
+    keeps every expression inside whole-stage codegen and gives
+    Catalyst a partial aggregate — at 100 TB this beats any
+    array-lambda reduce, which re-inlines per use and resists partial
+    aggregation. Centroid building block for IVF indexing and k-means."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(v), 6) AS centroid_v
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+
+def q_length_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate: keep documents above the corpus p75
+    length, the standard 'drop short docs' curation filter. The p75
+    threshold is one exact-percentile aggregate broadcast back over the
+    corpus — a scan + tiny build side, no sort of the full table."""
+    docs = _t(spark, sf_dir, "documents")
+    thresh = docs.agg(
+        F.percentile(F.col("n_chars"), F.lit(0.75)).alias("p75")
+    )
+    return (
+        docs.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_chars") > F.col("p75"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_long_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_len"),
+        )
+    )
+
+
+ORACLE_LENGTH_GATE = """
+SELECT source, COUNT(*) AS n_long_docs, ROUND(AVG(n_chars), 4) AS avg_len
+FROM documents
+WHERE n_chars > (SELECT quantile_cont(n_chars, 0.75) FROM documents)
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -2395,6 +2615,12 @@ QUERIES: dict[str, QuerySpec] = {
     "json_props_extract": QuerySpec(q_json_props, ORACLE_JSON_PROPS, "L4 json path"),
     "like_regexp_filters": QuerySpec(q_like_regexp, ORACLE_LIKE_REGEXP, "T* like/rlike"),
     "union_byname_evolution": QuerySpec(q_union_byname, ORACLE_UNION_BYNAME, "set ops schema-evolution"),
+    "snapshot_diff_cdc": QuerySpec(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF, "ext:cdc diff"),
+    "pct_of_total": QuerySpec(q_pct_of_total, ORACLE_PCT_OF_TOTAL, "window ratio-to-report"),
+    "redact_pii": QuerySpec(q_redact_pii, ORACLE_REDACT_PII, "ext:text redaction"),
+    "vocab_build": QuerySpec(q_vocab_build, ORACLE_VOCAB, "ext:text vocabulary"),
+    "label_centroids": QuerySpec(q_label_centroids, ORACLE_LABEL_CENTROIDS, "ext:similarity centroids"),
+    "length_quality_gate": QuerySpec(q_length_quality_gate, ORACLE_LENGTH_GATE, "ext:quality percentile"),
 }
 
 
