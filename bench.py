@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "vocab_build",
     "label_centroids",
     "length_quality_gate",
+    "tpch_q21_shape",
+    "inline_structs",
+    "hll_mergeable",
 ]
 
 

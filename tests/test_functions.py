@@ -388,3 +388,27 @@ def test_build_vocabulary_ranks_by_freq_then_term(spark):
     rows = {r.term: (r.freq, r.term_id) for r in
             TX.build_vocabulary(df).collect()}
     assert rows == {"a": (3, 1), "b": (2, 2), "c": (1, 3)}
+
+
+def test_hll_mergeable_close_to_exact(spark, sf_dir):
+    from yelp_etl_spark.plans.catalog import QUERIES, _t
+    import pyspark.sql.functions as SF
+
+    approx = {
+        r.n_regionkey: r.approx_customers
+        for r in QUERIES["hll_mergeable"].fn(spark, sf_dir).collect()
+    }
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    exact = {
+        r.n_regionkey: r.n
+        for r in customer.join(
+            nation, SF.col("c_nationkey") == SF.col("n_nationkey")
+        )
+        .groupBy("n_regionkey")
+        .agg(SF.count_distinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05  # HLL error bound

@@ -143,3 +143,41 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
     )
     run_stream_to_memory(stream, "t_enrich")
     assert _rows(spark, "t_enrich") == {tuple(r) for r in batch.collect()}
+
+
+def test_foreach_batch_upsert_converges(spark, events_dir, tmp_path):
+    """Streaming merge into a keyed parquet target equals the batch
+    per-user aggregate over the same data (exactly-once contents)."""
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.streaming.windows import foreach_batch_upsert
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 2)  # force several micro-batches
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    target = str(tmp_path / "serving")
+    foreach_batch_upsert(
+        stream, target, ["user_id"], str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want

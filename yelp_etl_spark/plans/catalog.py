@@ -2529,6 +2529,133 @@ GROUP BY source
 """
 
 
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: for finished
+    orders, lineitems shipped >60 days after the order date where
+    another supplier participated (EXISTS → left semi self-join) but no
+    other supplier was also late (NOT EXISTS → left anti self-join).
+    Both correlated subqueries become hash joins on l_orderkey — the
+    lineitem self-joins reuse one key, so at scale bucketing lineitem
+    by l_orderkey makes all three joins shuffle-free."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = lineitem.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey"))
+        & (
+            F.col("l3_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_anti",
+    )
+    return (
+        waited.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+ORACLE_TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+def q_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-structs construction + inline (the generalized lateral
+    view): each order emits typed (measure, value) struct rows without
+    a join or union — one generator expression per row, fully
+    codegen'd. The struct-typed cousin of unpivot."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return orders.select(
+        "o_orderkey",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("price").alias("measure"),
+                    F.col("o_totalprice").alias("value"),
+                ),
+                F.struct(
+                    F.lit("priority_len").alias("measure"),
+                    F.length("o_orderpriority").cast("double").alias("value"),
+                ),
+            )
+        ),
+    )
+
+
+ORACLE_INLINE_STRUCTS = """
+SELECT o_orderkey, u.measure, u.value
+FROM (
+  SELECT o_orderkey,
+         [{'measure': 'price', 'value': o_totalprice},
+          {'measure': 'priority_len',
+           'value': CAST(length(o_orderpriority) AS DOUBLE)}] AS arr
+  FROM orders WHERE o_orderkey < 3000
+), LATERAL (SELECT unnest(arr, recursive := false) AS u)
+"""
+
+
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL, Spark 3.5+
+    hll_sketch_agg / hll_union_agg): per-nation customer sketches are
+    built in one pass, then merged upward to a regional rollup WITHOUT
+    touching the raw data again — the property that makes distinct
+    counts incrementally maintainable at 100 TB (store sketches per
+    partition; union on read). No SQL oracle (estimates are
+    engine-specific); the unit test bounds the error against exact."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "n_regionkey",
+            F.hll_sketch_estimate("merged").alias("approx_customers"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -2621,6 +2748,9 @@ QUERIES: dict[str, QuerySpec] = {
     "vocab_build": QuerySpec(q_vocab_build, ORACLE_VOCAB, "ext:text vocabulary"),
     "label_centroids": QuerySpec(q_label_centroids, ORACLE_LABEL_CENTROIDS, "ext:similarity centroids"),
     "length_quality_gate": QuerySpec(q_length_quality_gate, ORACLE_LENGTH_GATE, "ext:quality percentile"),
+    "tpch_q21_shape": QuerySpec(q_tpch_q21_shape, ORACLE_TPCH_Q21, "J semi+anti self-join"),
+    "inline_structs": QuerySpec(q_inline_structs, ORACLE_INLINE_STRUCTS, "L generator structs"),
+    "hll_mergeable": QuerySpec(q_hll_mergeable, None, "approx agg mergeable"),
 }
 
 

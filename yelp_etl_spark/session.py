@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # A catalog-sized workload generates hundreds of whole-stage-
+        # codegen classes; the JVM's default ReservedCodeCacheSize
+        # (240m) fills mid-run, the JIT shuts off, and later queries run
+        # interpreted (observed as 5-6x slowdowns late in bench runs).
+        # G1 matches the reference's GC choice (spark-defaults.conf:17).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
