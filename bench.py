@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "tpch_q21_shape",
     "inline_structs",
     "hll_mergeable",
+    "try_arith",
+    "conditional_funcs",
+    "bitwise_funcs",
+    "first_last_ignorenulls",
+    "map_funcs",
 ]
 
 

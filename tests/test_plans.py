@@ -120,3 +120,46 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["asof_join"].fn(spark, sf_dir), "simple")
     assert plan.count("Exchange") == 1
     assert "RowNumber" not in plan  # no rank-1 pass; running last() only
+
+
+def test_tpch_q3_top_k_and_pushdown(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q3_shipping"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-10 never globally sorts
+    # the shipdate predicate reaches the lineitem scan
+    pushed = plan.split("lineitem.parquet")[0]
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0] or \
+        any("l_shipdate" in seg.split("]")[0]
+            for seg in plan.split("PushedFilters")[1:])
+
+
+def test_tpch_q21_semi_anti_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q21_shape"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_hash_split_is_map_only_before_agg(spark, sf_dir):
+    plan = plan_of(QUERIES["hash_split_sample"].fn(spark, sf_dir), "simple")
+    # split assignment adds no exchange: exactly one shuffle (the groupBy)
+    assert plan.count("Exchange") == 1
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    plan = plan_of(QUERIES["snapshot_diff_cdc"].fn(spark, sf_dir))
+    assert plan.count("FullOuter") >= 1
+    assert "Cartesian" not in plan
+
+
+def test_date_spine_broadcasts_daily_agg(spark, sf_dir):
+    plan = plan_of(QUERIES["date_spine_fill"].fn(spark, sf_dir))
+    # the pre-reduced daily aggregate joins the generated spine without
+    # shuffling the spine side into a sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_single_token_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["tfidf_top_terms"].fn(spark, sf_dir))
+    # doc-frequency and corpus totals come back via broadcast, not a
+    # second shuffle of the token stream
+    assert plan.count("BroadcastExchange") >= 2

@@ -2656,6 +2656,198 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide and try_cast return
+    NULL where strict ANSI mode (Spark 4 default) would throw —
+    division by zero, unparseable casts. The pattern every dirty-data
+    pipeline needs under ANSI semantics. Aggregates use avg (not sum)
+    so rounding is cross-engine stable."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            "l_returnflag",
+            F.try_divide(
+                F.col("l_extendedprice"), F.col("l_quantity") - 26
+            ).alias("ratio"),
+            F.expr("try_cast(l_returnflag AS INT)").alias("bad_parse"),
+            F.expr(
+                "try_cast(substr(l_linestatus, 1, 1) AS INT)"
+            ).alias("also_bad"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("ratio").isNull()).alias("n_div_zero"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.count_if(F.col("bad_parse").isNull() & F.col("also_bad").isNull()).alias(
+                "n_unparseable"
+            ),
+        )
+    )
+
+
+ORACLE_TRY_ARITH = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (l_extendedprice / NULLIF(l_quantity - 26, 0) IS NULL)
+         AS n_div_zero,
+       ROUND(AVG(l_extendedprice / NULLIF(l_quantity - 26, 0)), 4)
+         AS avg_ratio,
+       COUNT(*) FILTER (TRY_CAST(l_returnflag AS INTEGER) IS NULL
+                        AND TRY_CAST(substr(l_linestatus, 1, 1) AS INTEGER)
+                            IS NULL)
+         AS n_unparseable
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface: coalesce, nullif, nvl2-style
+    branching, greatest/least (NULL-skipping in both engines). All
+    codegen'd conditional expressions — zero cost beyond the scan."""
+    customer = _t(spark, sf_dir, "customer")
+    zeroed = F.nullif(F.round("c_acctbal", 0), F.lit(0.0))
+    return (
+        customer.select(
+            "c_mktsegment",
+            F.coalesce(zeroed, F.lit(-1.0)).alias("bal_or_flag"),
+            F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("pos_part"),
+            F.least(F.col("c_acctbal"), F.lit(0.0)).alias("neg_part"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_if(F.col("bal_or_flag") == -1.0).alias("n_zeroish"),
+            F.round(F.avg("pos_part"), 4).alias("avg_pos"),
+            F.round(F.avg("neg_part"), 4).alias("avg_neg"),
+        )
+    )
+
+
+ORACLE_CONDITIONAL = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (COALESCE(NULLIF(ROUND(c_acctbal, 0), 0.0), -1.0)
+                        = -1.0) AS n_zeroish,
+       ROUND(AVG(GREATEST(c_acctbal, 0.0)), 4) AS avg_pos,
+       ROUND(AVG(LEAST(c_acctbal, 0.0)), 4) AS avg_neg
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (&, |, ^, shifts, bit_count) — the
+    primitives under bitmap indexes, bloom filters, and the SimHash
+    sketches in functions/dedup.py."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        orders.select(
+            (k % 8).alias("bucket"),
+            k.bitwiseAND(F.lit(255)).alias("lo"),
+            k.bitwiseXOR(F.shiftleft(k, 2)).alias("mixed"),
+            F.bit_count(k).alias("bits"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("lo").alias("sum_lo"),
+            F.sum(F.col("mixed") % 997).alias("sum_mixed_mod"),
+            F.sum("bits").alias("sum_bits"),
+        )
+    )
+
+
+ORACLE_BITWISE = """
+SELECT o_orderkey % 8 AS bucket,
+       SUM(o_orderkey & 255) AS sum_lo,
+       SUM(xor(o_orderkey, o_orderkey << 2) % 997) AS sum_mixed_mod,
+       SUM(bit_count(o_orderkey)) AS sum_bits
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_first_last_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last with IGNORE NULLS over a whole-partition frame: per
+    user, the first and last non-NULL purchase value in event-time
+    order (view events carry NULL). The sparse-column gap-fill
+    primitive (LOCF / next-observation-carried-backward)."""
+    events = _t(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") != "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.round(F.first(purchase_val, ignorenulls=True).over(w), 2).alias(
+                "first_nonview"
+            ),
+            F.round(F.last(purchase_val, ignorenulls=True).over(w), 2).alias(
+                "last_nonview"
+            ),
+        )
+        .distinct()
+    )
+
+
+ORACLE_FIRST_LAST_IGNORENULLS = """
+SELECT DISTINCT user_id,
+       ROUND(first_value(v IGNORE NULLS) OVER w, 2) AS first_nonview,
+       ROUND(last_value(v IGNORE NULLS) OVER w, 2) AS last_nonview
+FROM (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type != 'view' THEN value END AS v
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a brand→count map per p_type with
+    map_from_entries over a sorted entry array (sorting makes the
+    collect deterministic), then read it back via map_keys/map_values/
+    element_at/size. Maps are the engine's representation for the
+    reference's parsed attribute columns (clean.py:100-104)."""
+    part = _t(spark, sf_dir, "part")
+    per_brand = part.groupBy("p_type", "p_brand").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        per_brand.groupBy("p_type")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("p_brand", "n")))
+            ).alias("brand_counts")
+        )
+        .select(
+            "p_type",
+            F.map_keys("brand_counts").alias("brands"),
+            F.map_values("brand_counts").alias("counts"),
+            F.size("brand_counts").cast("long").alias("n_brands"),
+            F.element_at("brand_counts", "Brand#7").alias("brand7_n"),
+        )
+    )
+
+
+ORACLE_MAP_FUNCS = """
+SELECT p_type,
+       list(p_brand ORDER BY p_brand) AS brands,
+       list(n ORDER BY p_brand) AS counts,
+       CAST(COUNT(*) AS BIGINT) AS n_brands,
+       MAX(CASE WHEN p_brand = 'Brand#7' THEN n END) AS brand7_n
+FROM (
+  SELECT p_type, p_brand, COUNT(*) AS n
+  FROM part GROUP BY 1, 2
+)
+GROUP BY p_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -2751,6 +2943,13 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q21_shape": QuerySpec(q_tpch_q21_shape, ORACLE_TPCH_Q21, "J semi+anti self-join"),
     "inline_structs": QuerySpec(q_inline_structs, ORACLE_INLINE_STRUCTS, "L generator structs"),
     "hll_mergeable": QuerySpec(q_hll_mergeable, None, "approx agg mergeable"),
+    "try_arith": QuerySpec(q_try_arith, ORACLE_TRY_ARITH, "ansi-safe arith"),
+    "conditional_funcs": QuerySpec(q_conditional_funcs, ORACLE_CONDITIONAL, "null-handling scalars"),
+    "bitwise_funcs": QuerySpec(q_bitwise_funcs, ORACLE_BITWISE, "bitwise exprs"),
+    "first_last_ignorenulls": QuerySpec(
+        q_first_last_ignorenulls, ORACLE_FIRST_LAST_IGNORENULLS, "window ignore-nulls"
+    ),
+    "map_funcs": QuerySpec(q_map_funcs, ORACLE_MAP_FUNCS, "map type surface"),
 }
 
 
