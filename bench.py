@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "bitwise_funcs",
     "first_last_ignorenulls",
     "map_funcs",
+    "dq_report",
+    "explode_outer_tokens",
 ]
 
 

@@ -153,3 +153,68 @@ def test_prefix_columns_exclude(spark):
     df = spark.createDataFrame([(1, "x")], "id long, v string")
     out = prefix_columns(df, "dim", exclude={"id"})
     assert out.columns == ["id", "dim_v"]
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation / compaction / observe metrics
+# ---------------------------------------------------------------------------
+
+
+def test_quality_report_counts_violations(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.operators.validate import (
+        assert_quality,
+        duplicate_key_count,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, -5.0), (2, None), (3, 7.0)], "k long, v double"
+    )
+    row = quality_report(
+        df, {"neg_v": F.col("v") < 0, "null_v": F.col("v").isNull()}
+    ).collect()[0]
+    assert (row.n_rows, row.neg_v, row.null_v) == (4, 1, 1)
+
+    dups = duplicate_key_count(df, ["k"]).collect()[0]
+    assert dups.n_rows_with_dup_key == 2  # both k=1 rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="neg_v"):
+        assert_quality(df, {"neg_v": F.col("v") < 0})
+    assert_quality(df, {"huge_v": F.col("v") > 1e9})  # passes silently
+
+
+def test_compact_parquet_dir_reduces_files(spark, tmp_path):
+    import os
+
+    from yelp_etl_spark.sources.writers import compact_parquet_dir
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(24).write.parquet(path)
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 24
+    compact_parquet_dir(spark, path)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) < len(before)
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_observe_metrics_single_pass(spark):
+    """df.observe collects pipeline metrics during the one real action —
+    no second scan for instrumentation (the runtime analogue of
+    quality_report)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("metrics")
+    df = spark.range(0, 1000).observe(
+        obs,
+        F.count("*").alias("n"),
+        F.sum(F.col("id") % 7).alias("mod_sum"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    assert obs.get["n"] == 1000
+    assert obs.get["mod_sum"] == sum(i % 7 for i in range(1000))

@@ -2848,6 +2848,81 @@ GROUP BY p_type
 """
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/validate.py): every declared rule
+    is a count_if in ONE aggregate pass — a 100 TB table pays a single
+    scan for any number of rules — plus the one rule that genuinely
+    needs a shuffle (key uniqueness) joined in from its grouped count."""
+    from yelp_etl_spark.operators.validate import (
+        duplicate_key_count,
+        quality_report,
+    )
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    report = quality_report(
+        lineitem,
+        {
+            "bad_qty": ~F.col("l_quantity").between(1, 50),
+            "bad_price": F.col("l_extendedprice") <= 0,
+            "null_ship": F.col("l_shipdate").isNull(),
+            "bad_discount": ~F.col("l_discount").between(0.0, 0.11),
+        },
+    )
+    dups = duplicate_key_count(lineitem, ["l_orderkey", "l_linenumber"])
+    return report.crossJoin(dups)
+
+
+ORACLE_DQ_REPORT = """
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FILTER (l_quantity NOT BETWEEN 1 AND 50)
+        FROM lineitem) AS bad_qty,
+       (SELECT COUNT(*) FILTER (l_extendedprice <= 0)
+        FROM lineitem) AS bad_price,
+       (SELECT COUNT(*) FILTER (l_shipdate IS NULL)
+        FROM lineitem) AS null_ship,
+       (SELECT COUNT(*) FILTER (l_discount NOT BETWEEN 0.0 AND 0.11)
+        FROM lineitem) AS bad_discount,
+       (SELECT COALESCE(SUM(n), 0) FROM (
+          SELECT COUNT(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+         AS n_rows_with_dup_key
+"""
+
+
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving explode: documents keep a row even when the
+    long-token filter empties their array (explode_outer vs explode) —
+    counts by token prove rows aren't silently dropped. The lateral
+    cousin of a LEFT JOIN."""
+    docs = _t(spark, sf_dir, "documents")
+    long_toks = F.filter(
+        F.split(F.col("text"), " "), lambda t: F.length(t) > 5
+    )
+    return (
+        docs.select("doc_id", F.explode_outer(long_toks).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_EXPLODE_OUTER = """
+SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> length(t) > 5) AS l
+    FROM documents
+  )
+)
+GROUP BY tok
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -2950,6 +3025,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_first_last_ignorenulls, ORACLE_FIRST_LAST_IGNORENULLS, "window ignore-nulls"
     ),
     "map_funcs": QuerySpec(q_map_funcs, ORACLE_MAP_FUNCS, "map type surface"),
+    "dq_report": QuerySpec(q_dq_report, ORACLE_DQ_REPORT, "ext:data-quality gate"),
+    "explode_outer_tokens": QuerySpec(q_explode_outer, ORACLE_EXPLODE_OUTER, "L1 null-preserving"),
 }
 
 

@@ -115,3 +115,43 @@ SPJ_CONFS = {
 def enable_storage_partitioned_joins(spark) -> None:
     for k, v in SPJ_CONFS.items():
         spark.conf.set(k, v)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in.
+    Returns the new file count.
+
+    Streaming sinks and per-batch writes accumulate small files; at
+    scale every downstream scan then pays per-file open/footer cost and
+    the driver pays listing cost. Compaction trades one rewrite for
+    every future scan. 128 MiB targets match the usual HDFS/object-
+    store block sweet spot (and Iceberg's write.target-file-size
+    default). On Iceberg this is `rewrite_data_files`; plain parquet
+    here keeps the test env dependency-free with the same dataflow:
+    read → repartition(n) → write to a sibling temp dir → rename swap.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
