@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "map_funcs",
     "dq_report",
     "explode_outer_tokens",
+    "tpch_q6_sql",
+    "tpch_q14_promo",
 ]
 
 

@@ -37,6 +37,7 @@ def test_queries_and_oracles_consistent(spark):
         "lsh_topk",
         "ivf_topk",
         "blob_features",
+        "hll_mergeable",
     }
 
 

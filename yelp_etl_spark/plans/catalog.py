@@ -2923,6 +2923,75 @@ GROUP BY tok
 """
 
 
+def q_tpch_q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the engine's SQL surface: fixture tables are
+    registered as temp views and the query text goes straight to
+    spark.sql — same Catalyst plan as the DataFrame API (filters
+    pushed, single partial+final agg), proving SQL is a first-class
+    entry point, not a wrapper. The oracle is the identical statement."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: conditional aggregation
+    over a fact×dim join — part broadcasts, lineitem never shuffles,
+    and the CASE folds into the single partial+final aggregate."""
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-09-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_TPCH_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6)
+         AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-09-01'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -3027,6 +3096,8 @@ QUERIES: dict[str, QuerySpec] = {
     "map_funcs": QuerySpec(q_map_funcs, ORACLE_MAP_FUNCS, "map type surface"),
     "dq_report": QuerySpec(q_dq_report, ORACLE_DQ_REPORT, "ext:data-quality gate"),
     "explode_outer_tokens": QuerySpec(q_explode_outer, ORACLE_EXPLODE_OUTER, "L1 null-preserving"),
+    "tpch_q6_sql": QuerySpec(q_tpch_q6_sql, ORACLE_TPCH_Q6, "SQL surface + filter agg"),
+    "tpch_q14_promo": QuerySpec(q_tpch_q14_promo, ORACLE_TPCH_Q14, "conditional agg over join"),
 }
 
 
