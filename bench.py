@@ -123,10 +123,10 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
-    # Two timed runs per query, min taken — single-run local[N] timings
+    # Three timed runs per query, min taken — single-run local[N] timings
     # carry GC/compilation noise of up to ~3x on sub-second queries; the
     # min is the standard steady-state estimator (cf. hyperfine).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data pipeline over the documents fixture:
+the engine's extension operators composed the way a curation run would
+chain them at 100 TB.
+
+    raw documents
+      → data-quality gate  (operators/validate.py — one scan, hard fail)
+      → language filter    (functions/text.py language heuristics)
+      → quality filter     (length/punct/stopword score)
+      → exact dedup        (functions/dedup.py — 16-byte digests shuffle)
+      → near-dup dedup     (MinHash-LSH candidates → components → keep
+                            canonical doc per cluster)
+      → PII redaction      (chained regexp_replace, map-only)
+      → deterministic split(functions/sampling.py — md5-prefix, stable)
+      → token stats        (observe metrics: zero extra scans)
+      → train/test parquet (sources/writers.py)
+
+Stage costs: two keyed shuffles total (exact-dedup digest group and the
+LSH band join); everything else is map-only, so the pipeline scales
+with scan bandwidth. Run:
+
+    python scripts/run_training_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions import dedup as D
+from yelp_etl_spark.functions import text as TX
+from yelp_etl_spark.functions.sampling import train_test_split
+from yelp_etl_spark.operators.validate import assert_quality
+from yelp_etl_spark.session import get_spark
+
+
+def run(spark, sf_dir: str, out_dir: str) -> dict[str, float]:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # 1. Hard data-quality gate: reject the batch if structurally broken.
+    assert_quality(
+        docs,
+        {
+            "null_id": F.col("doc_id").isNull(),
+            "null_text": F.col("text").isNull(),
+            "negative_len": F.col("n_chars") < 0,
+        },
+    )
+
+    # 2+3. Language + quality filters (map-only, fused into one stage).
+    scored = docs.withColumn("quality", TX.quality_score(F.col("text")))
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") > 0.2))
+
+    # 4. Exact dedup: keep the minimum doc_id per content fingerprint.
+    fp = kept.withColumn("fp", TX.fingerprint(F.col("text")))
+    keeper = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_unique = fp.join(
+        keeper,
+        (fp["fp"] == keeper["fp"]) & (fp["doc_id"] == keeper["keep_id"]),
+        "left_semi",
+    )
+
+    # 5. Near-dup dedup: MinHash-LSH candidates → connected components →
+    #    keep one canonical doc per component.
+    pairs = D.minhash_candidate_pairs(exact_unique, num_hashes=32, bands=8)
+    deduped = D.dedup_keep_canonical(exact_unique, pairs)
+
+    # 6. PII scrub + 7. deterministic split.
+    scrubbed = deduped.withColumn("text", TX.redact_pii(F.col("text")))
+    split = train_test_split(scrubbed, "doc_id", train_fraction=0.9)
+
+    # 8. Token stats via observe: collected during the write, no rescan.
+    obs = Observation("pipeline_metrics")
+    final = split.observe(
+        obs,
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("n_tokens"),
+        F.count_if(F.col("split") == "train").alias("n_train"),
+    )
+
+    # 9. Write train/test partitions.
+    final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    return dict(obs.get)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/training_corpus"
+    spark = get_spark("training-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    metrics = run(spark, sf_dir, out_dir)
+    n_in = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    print(
+        {
+            "input_docs": n_in,
+            **metrics,
+            "out_dir": out_dir,
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

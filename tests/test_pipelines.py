@@ -184,3 +184,34 @@ def test_cli_end_to_end(spark, tmp_path):
     obt = spark.read.parquet(obt_path)
     assert obt.count() == 3
     assert "business_name" in obt.columns
+
+
+def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The composed curation pipeline: gate → filter → dedup → scrub →
+    split → write. Output must be deduplicated, split-disjoint, and
+    consistent with the observed metrics."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from run_training_pipeline import run
+
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.functions import text as TX
+
+    out = str(tmp_path / "corpus")
+    metrics = run(spark, sf_dir, out)
+    result = spark.read.parquet(out)
+    n = result.count()
+    assert n == metrics["n_docs"] > 0
+    assert metrics["n_train"] == result.filter(F.col("split") == "train").count()
+    # exact-dedup invariant: no two output docs share a fingerprint
+    n_fp = result.select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    ).distinct().count()
+    assert n_fp == n
+    # split column partitions the output exhaustively
+    assert result.filter(~F.col("split").isin("train", "test")).count() == 0
