@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "explode_outer_tokens",
     "tpch_q6_sql",
     "tpch_q14_promo",
+    "simhash_portable",
 ]
 
 

@@ -412,3 +412,23 @@ def test_hll_mergeable_close_to_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.05  # HLL error bound
+
+
+def test_simhash_portable_similarity_property(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different words about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    sk = {r.doc_id: r.simhash16 for r in
+          D.simhash_portable(df, n_bits=16).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # near-identical docs are closer than unrelated ones
+    assert ham(sk[1], sk[2]) < ham(sk[1], sk[3])
+    # deterministic across repartitioning
+    sk2 = {r.doc_id: r.simhash16 for r in
+           D.simhash_portable(df.repartition(5), n_bits=16).collect()}
+    assert sk == sk2

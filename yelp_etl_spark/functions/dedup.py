@@ -338,3 +338,46 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def simhash_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+) -> DataFrame:
+    """Engine-portable SimHash: bit-majority sketch over 60-bit md5
+    token hashes (conv of md5 hex — reproducible in any SQL engine,
+    unlike xxhash64), so the sketch is oracle-checkable value-for-value.
+
+    The production path is simhash_sketches above (xxhash64, 64-bit,
+    one JVM hash call per token); this twin trades per-token cost
+    (md5 + base-16 conv) for cross-engine determinism and serves as its
+    differential witness. Same plan shape: explode tokens → single
+    keyed aggregation with one signed counter per bit (map-side
+    partial), sketch assembled from the counters — one shuffle of
+    (id, 60-bit hash) pairs regardless of n_bits.
+    """
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 18, 15), 16, 10).cast(
+        "long"
+    )
+    counters = toks.select(id_col, h.alias("hv")).groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sketch = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sketch = term if sketch is None else sketch + term
+    return counters.select(
+        id_col, sketch.cast("long").alias(f"simhash{n_bits}")
+    )

@@ -2992,6 +2992,45 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 """
 
 
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash (functions/dedup.py simhash_portable):
+    16-bit bit-majority sketch over 60-bit md5 token hashes, value-
+    identical in any SQL engine — the differential witness for the
+    production xxhash64 sketch (same plan shape, one keyed shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_portable(docs, "doc_id", "text", n_bits=16)
+
+
+def _simhash_oracle(n_bits: int = 16) -> str:
+    counters = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(n_bits)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 18, 15)) AS BIGINT) AS hv
+  FROM toks WHERE t <> ''
+), counters AS (
+  SELECT doc_id,
+         {counters}
+  FROM hashed
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST({sketch} AS BIGINT) AS simhash{n_bits}
+FROM counters
+"""
+
+
+ORACLE_SIMHASH_PORTABLE = _simhash_oracle(16)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -3098,6 +3137,9 @@ QUERIES: dict[str, QuerySpec] = {
     "explode_outer_tokens": QuerySpec(q_explode_outer, ORACLE_EXPLODE_OUTER, "L1 null-preserving"),
     "tpch_q6_sql": QuerySpec(q_tpch_q6_sql, ORACLE_TPCH_Q6, "SQL surface + filter agg"),
     "tpch_q14_promo": QuerySpec(q_tpch_q14_promo, ORACLE_TPCH_Q14, "conditional agg over join"),
+    "simhash_portable": QuerySpec(
+        q_simhash_portable, ORACLE_SIMHASH_PORTABLE, "ext:simhash oracle-checked"
+    ),
 }
 
 
