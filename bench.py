@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "tpch_q6_sql",
     "tpch_q14_promo",
     "simhash_portable",
+    "minhash_portable",
 ]
 
 

@@ -432,3 +432,21 @@ def test_simhash_portable_similarity_property(spark):
     sk2 = {r.doc_id: r.simhash16 for r in
            D.simhash_portable(df.repartition(5), n_bits=16).collect()}
     assert sk == sk2
+
+
+def test_minhash_portable_jaccard_property(spark):
+    """Signature agreement rate estimates token-set Jaccard; identical
+    docs agree on every signature, disjoint docs on (almost) none."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: [r[f"sig{i}"] for i in range(8)] for r in
+            D.minhash_portable(df).collect()}
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b]))
+    assert agree(1, 2) == 8        # identical sets -> identical signature
+    assert agree(1, 3) <= 1        # disjoint sets -> chance agreement only

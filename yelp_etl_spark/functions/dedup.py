@@ -381,3 +381,62 @@ def simhash_portable(
     return counters.select(
         id_col, sketch.cast("long").alias(f"simhash{n_bits}")
     )
+
+
+# Fixed permutation constants for the portable MinHash: (a, b) pairs
+# under p = 2^31 - 1. a*h + b stays below 2^62, so the arithmetic is
+# exact int64 in every engine — no overflow, no float, no engine hash.
+_MINHASH_P = 2_147_483_647
+_MINHASH_PERMS = [
+    (1_203_793_541, 912_746_381),
+    (1_838_467_907, 64_004_723),
+    (727_113_679, 1_955_780_209),
+    (1_651_341_139, 488_882_711),
+    (293_480_683, 1_402_817_029),
+    (2_005_330_163, 825_413_551),
+    (578_216_929, 1_110_351_739),
+    (1_444_902_419, 337_956_247),
+]
+
+
+def minhash_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Engine-portable MinHash signature over the DISTINCT token set:
+    base hash is the 60-bit md5 integer masked to 31 bits, permuted by
+    fixed (a*h + b) mod p maps — all exact int64 arithmetic, so the
+    signature is value-identical in any SQL engine and oracle-checkable
+    (the production LSH path, minhash_signatures, uses xxhash64 and is
+    property-tested instead).
+
+    Plan: explode tokens → distinct (the set semantics MinHash needs)
+    → one keyed aggregation computing every permutation's min in a
+    single pass. Two shuffles of (id, 31-bit hash) pairs; signature
+    width never adds shuffles.
+    """
+    perms = _MINHASH_PERMS[:num_hashes]
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    h31 = (
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 18, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(_MINHASH_P))
+    )
+    hashed = toks.select(id_col, h31.alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(
+                f"sig{i}"
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+    )

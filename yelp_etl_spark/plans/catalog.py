@@ -3031,6 +3031,44 @@ FROM counters
 ORACLE_SIMHASH_PORTABLE = _simhash_oracle(16)
 
 
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MinHash signatures (functions/dedup.py
+    minhash_portable): 8 fixed modular permutations of 31-bit md5
+    token hashes over the distinct token set — exact int64 arithmetic,
+    value-identical in any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_portable(docs, "doc_id", "text", num_hashes=8)
+
+
+def _minhash_oracle() -> str:
+    from yelp_etl_spark.functions.dedup import _MINHASH_P, _MINHASH_PERMS
+
+    sigs = ",\n       ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 18, 15)) AS BIGINT)
+           & {_MINHASH_P} AS h
+  FROM toks
+)
+SELECT doc_id,
+       {sigs}
+FROM hashed
+GROUP BY doc_id
+"""
+
+
+ORACLE_MINHASH_PORTABLE = _minhash_oracle()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -3139,6 +3177,9 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q14_promo": QuerySpec(q_tpch_q14_promo, ORACLE_TPCH_Q14, "conditional agg over join"),
     "simhash_portable": QuerySpec(
         q_simhash_portable, ORACLE_SIMHASH_PORTABLE, "ext:simhash oracle-checked"
+    ),
+    "minhash_portable": QuerySpec(
+        q_minhash_portable, ORACLE_MINHASH_PORTABLE, "ext:minhash oracle-checked"
     ),
 }
 
