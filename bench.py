@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "tpch_q14_promo",
     "simhash_portable",
     "minhash_portable",
+    "grouping_indicator",
+    "range_frame_window",
+    "lateral_agg",
 ]
 
 

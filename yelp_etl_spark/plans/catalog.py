@@ -3069,6 +3069,99 @@ GROUP BY doc_id
 ORACLE_MINHASH_PORTABLE = _minhash_oracle()
 
 
+def q_grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators: subtotal rows carry a flag
+    distinguishing 'NULL because aggregated away' from data NULLs —
+    required for consuming rollup output programmatically."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+ORACLE_GROUPING = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (vs the row-based frames in
+    window_analytic): how many same-status orders price within ±1000 of
+    each order. Value frames are tie-stable by construction — no
+    ordering nondeterminism on equal prices."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.count("*").over(w).alias("n_near_price"),
+        )
+        .filter(F.col("o_orderkey") < 3000)
+    )
+
+
+ORACLE_RANGE_FRAME = """
+SELECT o_orderkey, o_orderstatus, n_near_price
+FROM (
+  SELECT o_orderkey, o_orderstatus,
+         COUNT(*) OVER (
+           PARTITION BY o_orderstatus ORDER BY o_totalprice
+           RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+         ) AS n_near_price
+  FROM orders
+)
+WHERE o_orderkey < 3000
+"""
+
+
+def q_lateral_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in SQL (per-customer aggregate
+    computed in the FROM clause). Catalyst decorrelates it to the same
+    aggregate-then-join plan the DataFrame API would produce — written
+    here through the SQL surface to prove the parser/analyzer path."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, o.max_price, o.n_orders
+        FROM customer,
+        LATERAL (
+          SELECT ROUND(MAX(o_totalprice), 2) AS max_price,
+                 COUNT(*) AS n_orders
+          FROM orders WHERE o_custkey = c_custkey
+        ) o
+        """
+    )
+
+
+ORACLE_LATERAL = """
+SELECT c_custkey, c_mktsegment, o.max_price, o.n_orders
+FROM customer,
+LATERAL (
+  SELECT ROUND(MAX(o_totalprice), 2) AS max_price,
+         COUNT(*) AS n_orders
+  FROM orders WHERE o_custkey = c_custkey
+) o
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -3181,6 +3274,9 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_portable": QuerySpec(
         q_minhash_portable, ORACLE_MINHASH_PORTABLE, "ext:minhash oracle-checked"
     ),
+    "grouping_indicator": QuerySpec(q_grouping_indicator, ORACLE_GROUPING, "rollup grouping()"),
+    "range_frame_window": QuerySpec(q_range_frame, ORACLE_RANGE_FRAME, "window range frame"),
+    "lateral_agg": QuerySpec(q_lateral_agg, ORACLE_LATERAL, "SQL lateral subquery"),
 }
 
 
