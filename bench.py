@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "grouping_indicator",
     "range_frame_window",
     "lateral_agg",
+    "chunk_documents",
+    "token_packing",
+    "quantize_embeddings",
 ]
 
 

@@ -450,3 +450,34 @@ def test_minhash_portable_jaccard_property(spark):
     agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b]))
     assert agree(1, 2) == 8        # identical sets -> identical signature
     assert agree(1, 3) <= 1        # disjoint sets -> chance agreement only
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 51))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    rows = TX.chunk_documents(df, chunk_tokens=30, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 50 tokens, stride 20 -> starts 1, 21, 41
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_n_tokens for r in c1] == [30, 30, 10]
+    assert c1[0].chunk_text.startswith("t1 ") and c1[1].chunk_text.startswith("t21 ")
+    assert c1[2].chunk_text == " ".join(f"t{i}" for i in range(41, 51))
+    # short doc: one whole-doc chunk
+    assert [(r.chunk_idx, r.chunk_text) for r in by_doc[2]] == [(1, "a b")]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+    assert rows[1].q_vec == [64, -127, 32]   # scale 127/1.0
+    assert rows[2].q_vec == [0, 0, 0] and rows[2].scale == 0.0
+    # reconstruction error bounded by half a quantization step
+    for q, v in zip(rows[1].q_vec, [0.5, -1.0, 0.25]):
+        assert abs(q / 127.0 - v) <= 0.5 / 127.0

