@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "token_packing",
     "quantize_embeddings",
+    "regr_aggs",
+    "string_agg_ordered",
+    "width_bucket_hist",
 ]
 
 

@@ -3254,6 +3254,91 @@ FROM (
 """
 
 
+def q_regr_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / intercept /
+    r2 / count): one-pass covariance-based aggregates with map-side
+    partials — the in-engine way to fit per-group trend lines without
+    exporting to a stats library. (skewness/kurtosis exist too but use
+    a different bias correction than other engines, so they're covered
+    by unit tests rather than the oracle.)"""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+ORACLE_REGR = """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): names
+    concatenated in sorted order so the result is deterministic at any
+    partitioning — collect_list alone is partition-ordered and
+    nondeterministic; sort_array fixes it with vocabulary-sized cost."""
+    customer = _t(spark, sf_dir, "customer")
+    sample = customer.filter(F.col("c_custkey") < 40)
+    return sample.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias(
+            "names"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       COUNT(*) AS n
+FROM customer
+WHERE c_custkey < 40
+GROUP BY c_mktsegment
+"""
+
+
+def q_width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: quantity binned into 10
+    buckets over [0, 50) plus under/overflow buckets — the single-pass
+    histogram primitive (bucket boundaries are exact integers here, so
+    the binning is float-safe across engines)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            F.width_bucket(
+                F.col("l_quantity"), F.lit(0.0), F.lit(50.0), F.lit(10)
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_WIDTH_BUCKET = """
+SELECT bucket, COUNT(*) AS n
+FROM (
+  SELECT CAST(CASE WHEN l_quantity < 0 THEN 0
+                   WHEN l_quantity >= 50 THEN 11
+                   ELSE FLOOR(l_quantity / 5.0) + 1 END AS BIGINT) AS bucket
+  FROM lineitem
+)
+GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -3372,6 +3457,9 @@ QUERIES: dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(q_chunk_documents, ORACLE_CHUNKING, "ext:chunking"),
     "token_packing": QuerySpec(q_token_packing, ORACLE_TOKEN_PACKING, "ext:sequence packing"),
     "quantize_embeddings": QuerySpec(q_quantize_embeddings, ORACLE_QUANTIZE, "ext:vector quantization"),
+    "regr_aggs": QuerySpec(q_regr_aggs, ORACLE_REGR, "regression aggs"),
+    "string_agg_ordered": QuerySpec(q_string_agg, ORACLE_STRING_AGG, "listagg ordered"),
+    "width_bucket_hist": QuerySpec(q_width_bucket_hist, ORACLE_WIDTH_BUCKET, "histogram binning"),
 }
 
 
