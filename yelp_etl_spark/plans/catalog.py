@@ -2659,29 +2659,38 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic surface: try_divide and try_cast return
     NULL where strict ANSI mode (Spark 4 default) would throw —
-    division by zero, unparseable casts. The pattern every dirty-data
-    pipeline needs under ANSI semantics. Aggregates use avg (not sum)
-    so rounding is cross-engine stable."""
+    division by zero, unparseable casts. Aggregates use avg (not sum)
+    so rounding is cross-engine stable.
+
+    Performance note baked into the shape: a failed try_cast costs a
+    thrown-and-caught JVM exception PER ROW (~10x slowdown measured
+    when every row fails), so the dirty values are the 1% exception
+    here, not the rule — which is also how production scrubbing should
+    be arranged (pre-filter the obviously-bad pattern cheaply, let
+    try_cast catch the tail)."""
     lineitem = _t(spark, sf_dir, "lineitem")
+    dirty1 = F.when(F.col("l_orderkey") % 100 == 0, F.col("l_returnflag")).otherwise(
+        F.lit("7")
+    )
+    dirty2 = F.when(F.col("l_orderkey") % 97 == 0, F.col("l_linestatus")).otherwise(
+        F.lit("3")
+    )
     return (
         lineitem.select(
             "l_returnflag",
             F.try_divide(
                 F.col("l_extendedprice"), F.col("l_quantity") - 26
             ).alias("ratio"),
-            F.expr("try_cast(l_returnflag AS INT)").alias("bad_parse"),
-            F.expr(
-                "try_cast(substr(l_linestatus, 1, 1) AS INT)"
-            ).alias("also_bad"),
+            dirty1.try_cast("int").alias("bad_parse"),
+            dirty2.try_cast("int").alias("also_bad"),
         )
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
             F.count_if(F.col("ratio").isNull()).alias("n_div_zero"),
             F.round(F.avg("ratio"), 4).alias("avg_ratio"),
-            F.count_if(F.col("bad_parse").isNull() & F.col("also_bad").isNull()).alias(
-                "n_unparseable"
-            ),
+            F.count_if(F.col("bad_parse").isNull()).alias("n_unparseable1"),
+            F.count_if(F.col("also_bad").isNull()).alias("n_unparseable2"),
         )
     )
 
@@ -2693,10 +2702,12 @@ SELECT l_returnflag,
          AS n_div_zero,
        ROUND(AVG(l_extendedprice / NULLIF(l_quantity - 26, 0)), 4)
          AS avg_ratio,
-       COUNT(*) FILTER (TRY_CAST(l_returnflag AS INTEGER) IS NULL
-                        AND TRY_CAST(substr(l_linestatus, 1, 1) AS INTEGER)
-                            IS NULL)
-         AS n_unparseable
+       COUNT(*) FILTER (TRY_CAST(CASE WHEN l_orderkey % 100 = 0
+                                     THEN l_returnflag ELSE '7' END
+                                 AS INTEGER) IS NULL) AS n_unparseable1,
+       COUNT(*) FILTER (TRY_CAST(CASE WHEN l_orderkey % 97 = 0
+                                     THEN l_linestatus ELSE '3' END
+                                 AS INTEGER) IS NULL) AS n_unparseable2
 FROM lineitem
 GROUP BY l_returnflag
 """
