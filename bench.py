@@ -138,8 +138,16 @@ def main() -> None:
     # carry GC/compilation noise of up to ~3x on sub-second queries; the
     # min is the standard steady-state estimator (cf. hyperfine).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # A full-GC hint between queries keeps accumulated broadcast /
+    # Arrow / codegen garbage from billing its collection pause to
+    # whichever query happens to trigger it (observed as random
+    # 10-15x spikes on otherwise sub-second queries late in the run).
+    # The pause lands between timings, not inside them.
+    jvm_gc = spark.sparkContext._jvm.System.gc
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        jvm_gc()
         best = None
         for _ in range(runs):
             t0 = time.time()
