@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "regr_aggs",
     "string_agg_ordered",
     "width_bucket_hist",
+    "stratified_sample",
+    "balanced_downsample",
 ]
 
 

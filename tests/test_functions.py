@@ -481,3 +481,33 @@ def test_quantize_embeddings_roundtrip(spark):
     # reconstruction error bounded by half a quantization step
     for q, v in zip(rows[1].q_vec, [0.5, -1.0, 0.25]):
         assert abs(q / 127.0 - v) <= 0.5 / 127.0
+
+
+def test_stratified_sample_rates(spark):
+    from yelp_etl_spark.functions.sampling import stratified_sample
+    from pyspark.sql import functions as SF
+
+    df = spark.range(0, 3000).select(
+        SF.col("id").alias("key"),
+        (SF.col("id") % 3).cast("string").alias("cls"),
+    )
+    kept = stratified_sample(df, "key", "cls", {"0": 1.0, "1": 0.2})
+    counts = {r.cls: r["count"] for r in kept.groupBy("cls").count().collect()}
+    assert counts["0"] == 1000            # fraction 1.0 keeps everything
+    assert 120 < counts["1"] < 280        # ~20%
+    assert "2" not in counts              # default fraction 0.0
+
+
+def test_balanced_downsample_caps_groups(spark):
+    from yelp_etl_spark.functions.sampling import balanced_downsample
+    from pyspark.sql import functions as SF
+
+    df = spark.range(0, 1000).select(
+        SF.col("id").alias("key"), (SF.col("id") % 4).alias("grp")
+    )
+    out = balanced_downsample(df, "key", "grp", per_group=7)
+    counts = [r["count"] for r in out.groupBy("grp").count().collect()]
+    assert counts == [7, 7, 7, 7]
+    # deterministic under repartitioning
+    again = balanced_downsample(df.repartition(9), "key", "grp", 7)
+    assert {r.key for r in out.collect()} == {r.key for r in again.collect()}

@@ -81,3 +81,47 @@ def train_test_split(
     return df.withColumn(
         split_column, split_assignment(F.col(key_column), train_fraction)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_column: str,
+    strata_column: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction of keys (e.g. downweight boilerplate sources, keep all of
+    a rare class). Same md5-prefix mechanics as deterministic_sample —
+    map-only, repartition-stable, engine-portable — with the threshold
+    chosen per stratum by a CASE expression, so one scan handles any
+    number of strata."""
+    expr: Column = F.lit(fraction_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_column) == value, F.lit(fraction_threshold(frac))
+        ).otherwise(expr)
+    return df.filter(hash_prefix(F.col(key_column)) < expr)
+
+
+def balanced_downsample(
+    df: DataFrame,
+    key_column: str,
+    group_column: str,
+    per_group: int,
+) -> DataFrame:
+    """Class balancing: keep at most ``per_group`` rows per group,
+    chosen deterministically (ranked by md5 of the key — an unbiased,
+    reproducible shuffle order; ties impossible for unique keys). One
+    shuffle on the group key; the ranking window does per-partition
+    top-k, so memory is bounded by per_group, not group size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_column).orderBy(
+        hash_prefix(F.col(key_column), 8), F.col(key_column)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_group)
+        .drop("__rn")
+    )

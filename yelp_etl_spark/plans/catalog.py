@@ -3350,6 +3350,65 @@ GROUP BY bucket
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (functions/sampling.py
+    stratified_sample): sources kept at different rates in one
+    map-only scan; the aggregate verifies per-stratum frequencies."""
+    from yelp_etl_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 0.25, "src1": 1.0, "src2": 0.5},
+        default_fraction=0.1,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+ORACLE_STRATIFIED = """
+SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE source WHEN 'src0' THEN '4000'
+                  WHEN 'src1' THEN 'gggg'
+                  WHEN 'src2' THEN '8000'
+                  ELSE '199a' END
+GROUP BY source
+"""
+
+
+def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing (functions/sampling.py balanced_downsample):
+    at most 10 docs per source, chosen by deterministic md5 ranking —
+    reproducible at any partitioning, memory bounded by k not group
+    size."""
+    from yelp_etl_spark.functions.sampling import balanced_downsample
+
+    docs = _t(spark, sf_dir, "documents")
+    return balanced_downsample(docs, "doc_id", "source", per_group=10).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+ORACLE_BALANCED = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -3469,6 +3528,8 @@ QUERIES: dict[str, QuerySpec] = {
     "token_packing": QuerySpec(q_token_packing, ORACLE_TOKEN_PACKING, "ext:sequence packing"),
     "quantize_embeddings": QuerySpec(q_quantize_embeddings, ORACLE_QUANTIZE, "ext:vector quantization"),
     "regr_aggs": QuerySpec(q_regr_aggs, ORACLE_REGR, "regression aggs"),
+    "stratified_sample": QuerySpec(q_stratified_sample, ORACLE_STRATIFIED, "ext:stratified sampling"),
+    "balanced_downsample": QuerySpec(q_balanced_downsample, ORACLE_BALANCED, "ext:class balancing"),
     "string_agg_ordered": QuerySpec(q_string_agg, ORACLE_STRING_AGG, "listagg ordered"),
     "width_bucket_hist": QuerySpec(q_width_bucket_hist, ORACLE_WIDTH_BUCKET, "histogram binning"),
 }
