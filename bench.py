@@ -114,6 +114,21 @@ BENCH_QUERIES = [
     "width_bucket_hist",
     "stratified_sample",
     "balanced_downsample",
+    "tpch_q2_min_cost",
+    "tpch_q4_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_concentration",
+    "tpch_q12_shipmode",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    "tpch_q20_potential_promo",
+    "tpch_q22_global_sales",
 ]
 
 
