@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     "tpch_q19_disjunctive",
     "tpch_q20_potential_promo",
     "tpch_q22_global_sales",
+    "ewma_smooth",
+    "stream_stream_attrib",
+    "map_hof",
+    "pagerank",
 ]
 
 

@@ -511,3 +511,41 @@ def test_balanced_downsample_caps_groups(spark):
     # deterministic under repartitioning
     again = balanced_downsample(df.repartition(9), "key", "grp", 7)
     assert {r.key for r in out.collect()} == {r.key for r in again.collect()}
+
+
+def test_ewma_known_series(spark):
+    from yelp_etl_spark.operators.temporal import ewma
+    from pyspark.sql import functions as SF
+
+    rows = [("a", i, v) for i, v in enumerate([10.0, 20.0, 30.0])]
+    df = spark.createDataFrame(rows, "key string, seq int, value double")
+    out = ewma(df, "key", ["seq"], "value", alpha=0.5, span=10)
+    got = {r.seq: r.ewma for r in out.collect()}
+    # adjust=True EWMA, decay 0.5: weights (0.25, 0.5, 1) at seq=2
+    assert abs(got[0] - 10.0) < 1e-12
+    assert abs(got[1] - (10 * 0.5 + 20) / 1.5) < 1e-12
+    assert abs(got[2] - (10 * 0.25 + 20 * 0.5 + 30) / 1.75) < 1e-12
+
+
+def test_ewma_span_truncates(spark):
+    from yelp_etl_spark.operators.temporal import ewma
+
+    rows = [("a", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, seq int, value double")
+    out = ewma(df, "key", ["seq"], "value", alpha=0.5, span=2)
+    got = {r.seq: r.ewma for r in out.collect()}
+    # span=2: only the previous row contributes
+    assert abs(got[9] - (8 * 0.5 + 9) / 1.5) < 1e-12
+
+
+def test_pagerank_properties(spark):
+    from yelp_etl_spark.functions.graph import pagerank
+
+    # path graph a-b-c: middle node collects the most rank
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    ranks = {r.id: r.rank for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["b"] > ranks["a"]
+    assert abs(ranks["a"] - ranks["c"]) < 1e-9  # symmetry

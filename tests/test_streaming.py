@@ -181,3 +181,37 @@ def test_foreach_batch_upsert_converges(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from pyspark.sql import functions as SF
+
+    from yelp_etl_spark.streaming.windows import stream_stream_join
+
+    batch_events = spark.read.parquet(events_dir)
+    batch = stream_stream_join(
+        batch_events.filter(SF.col("event_type") == "click"),
+        batch_events.filter(SF.col("event_type") == "purchase"),
+        within="30 minutes",
+    )
+    stream_events = read_events_stream(spark, events_dir)
+    stream = stream_stream_join(
+        stream_events.filter(SF.col("event_type") == "click"),
+        read_events_stream(spark, events_dir).filter(
+            SF.col("event_type") == "purchase"
+        ),
+        within="30 minutes",
+    )
+    # joins require append mode (no aggregation state to re-emit)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _rows(spark, "t_ss_join")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0

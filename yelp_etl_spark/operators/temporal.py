@@ -180,3 +180,41 @@ def range_join(
     conds = [left[lk] == right[rk] for lk, rk in equi_keys]
     conds.append(range_cond)
     return left.join(right, _and_all(conds), how)
+
+
+def ewma(
+    df: DataFrame,
+    key_column: str,
+    order_columns: list[str],
+    value_column: str,
+    alpha: float = 0.2,
+    span: int = 20,
+    output_column: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average over the trailing ``span``
+    rows per key (pandas ``ewm(alpha=..., adjust=True)`` semantics,
+    truncated to the window): weights (1-alpha)^age, normalized over
+    the rows actually present.
+
+    One ranking window carries a ``collect_list`` frame; the weighted
+    sum and the normalizer are Horner-style ``F.aggregate`` folds
+    (acc·decay + x), so the arithmetic is pure multiply/add — no pow(),
+    whose libm rounding differs across engines/platforms. Single
+    shuffle on the key; per-row state is bounded by ``span``, not the
+    key's history, so the window never buffers a hot key's full
+    timeline.
+    """
+    decay = F.lit(1.0 - alpha)
+    w = (
+        Window.partitionBy(key_column)
+        .orderBy(*order_columns)
+        .rowsBetween(-(span - 1), Window.currentRow)
+    )
+    lst = F.collect_list(F.col(value_column)).over(w)
+    weighted = F.aggregate(
+        lst, F.lit(0.0), lambda acc, x: acc * decay + x
+    )
+    norm = F.aggregate(
+        lst, F.lit(0.0), lambda acc, _: acc * decay + F.lit(1.0)
+    )
+    return df.withColumn(output_column, weighted / norm)

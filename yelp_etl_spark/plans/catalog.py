@@ -4107,6 +4107,168 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series smoothing, stream-stream join, map HOFs, iterative graph
+# --------------------------------------------------------------------------
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (operators/temporal.py ewma): per-user
+    exponentially weighted moving average of event values over the
+    trailing 20 events. Horner-fold arithmetic (no pow) keeps the
+    floats bit-identical to the DuckDB oracle's list_reduce."""
+    from yelp_etl_spark.operators.temporal import ewma
+
+    events = _t(spark, sf_dir, "events")
+    out = ewma(
+        events,
+        key_column="user_id",
+        order_columns=["ts", "event_id"],
+        value_column="value",
+        alpha=0.2,
+        span=20,
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("ewma"), 6).alias("ewma")
+    )
+
+
+ORACLE_EWMA = """
+WITH s AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+  FROM events)
+SELECT event_id, user_id,
+       ROUND(list_reduce(lst, (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x)
+             / list_reduce(list_transform(lst, x -> CAST(1.0 AS DOUBLE)),
+                           (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x),
+             6) AS ewma
+FROM s
+"""
+
+
+def q_stream_stream_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase attribution via stream-stream join (streaming/windows.py
+    stream_stream_join, batch path — the streaming path is
+    differentially tested): purchases matched to same-user clicks in
+    the preceding 30 minutes, aggregated per user. The time bound in
+    the join condition is what bounds streaming state."""
+    from yelp_etl_spark.streaming.windows import stream_stream_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_join(clicks, purchases, within="30 minutes")
+    return joined.groupBy(F.col("l_key").alias("user_id")).agg(
+        F.count("*").alias("n_attributed"),
+        F.round(F.sum("r_value"), 2).alias("attributed_value"),
+    )
+
+
+ORACLE_STREAM_STREAM = """
+SELECT l.user_id,
+       COUNT(*) AS n_attributed,
+       ROUND(SUM(r.value), 2) AS attributed_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
+GROUP BY 1
+"""
+
+
+def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: per-type brand→count map, filtered
+    with map_filter (count ≥ 2), rescaled with transform_values, read
+    back as parallel key/value arrays. All JVM-side lambdas inside
+    whole-stage codegen — no Python on the hot path."""
+    part = _t(spark, sf_dir, "part")
+    per_brand = part.groupBy("p_type", "p_brand").agg(F.count("*").alias("n"))
+    return (
+        per_brand.groupBy("p_type")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("p_brand", "n")))
+            ).alias("m")
+        )
+        .withColumn("kept", F.map_filter("m", lambda k, v: v >= 2))
+        .withColumn("scaled", F.transform_values("kept", lambda k, v: v * 10))
+        .filter(F.size("scaled") > 0)
+        .select(
+            "p_type",
+            F.map_keys("scaled").alias("brands"),
+            F.map_values("scaled").alias("counts10"),
+            F.size("scaled").cast("long").alias("n_kept"),
+        )
+    )
+
+
+ORACLE_MAP_HOF = """
+WITH per AS (
+  SELECT p_type, p_brand, COUNT(*) AS n FROM part GROUP BY 1, 2
+), kept AS (
+  SELECT p_type, p_brand, n FROM per WHERE n >= 2
+)
+SELECT p_type,
+       list(p_brand ORDER BY p_brand) AS brands,
+       list(CAST(n * 10 AS BIGINT) ORDER BY p_brand) AS counts10,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY 1
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank power iteration (functions/graph.py) on the
+    supplier↔customer graph induced by orders. Node ids are namespaced
+    longs (2·suppkey even, 2·custkey+1 odd): longs shuffle several
+    times faster than string ids, and the disjoint namespaces let the
+    symmetric dedup be skipped (the reversed even→odd edges cannot
+    collide with forward odd→even ones). Five iterations, one shuffle
+    each; the oracle mirrors them as five chained CTEs."""
+    from yelp_etl_spark.functions.graph import pagerank
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=5, skip_symmetric_dedup=True)
+    return ranks.select("id", F.round(F.col("rank"), 9).alias("rank"))
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    sql = """WITH edges AS (
+  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                  CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), deg AS (
+  SELECT src, CAST(1 AS DOUBLE) / COUNT(*) AS w FROM sym GROUP BY src
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+), r0 AS (
+  SELECT src AS id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg
+)"""
+    for i in range(iterations):
+        sql += f""", r{i + 1} AS (
+  SELECT s.dst AS id,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * SUM(r.rank * d.w) AS rank
+  FROM sym s JOIN r{i} r ON s.src = r.id JOIN deg d ON s.src = d.src
+  GROUP BY s.dst
+)"""
+    return sql + f"\nSELECT id, ROUND(rank, 9) AS rank FROM r{iterations}"
+
+
+ORACLE_PAGERANK = _pagerank_oracle(5)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4245,6 +4407,10 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q19_disjunctive": QuerySpec(q_tpch_q19_disjunctive, ORACLE_TPCH_Q19, "OR-of-AND pushdown"),
     "tpch_q20_potential_promo": QuerySpec(q_tpch_q20_potential_promo, ORACLE_TPCH_Q20, "nested IN semis"),
     "tpch_q22_global_sales": QuerySpec(q_tpch_q22_global_sales, ORACLE_TPCH_Q22, "anti join + scalar avg"),
+    "ewma_smooth": QuerySpec(q_ewma_smooth, ORACLE_EWMA, "ext:time-series EWMA"),
+    "stream_stream_attrib": QuerySpec(q_stream_stream_attrib, ORACLE_STREAM_STREAM, "stream-stream join"),
+    "map_hof": QuerySpec(q_map_hof, ORACLE_MAP_HOF, "map higher-order funcs"),
+    "pagerank": QuerySpec(q_pagerank, ORACLE_PAGERANK, "ext:iterative graph"),
 }
 
 

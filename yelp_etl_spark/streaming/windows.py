@@ -178,6 +178,49 @@ def stream_static_enrich(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each right event with the left
+    events of the same key that happened in the preceding ``within``
+    interval (e.g. purchase ← clicks that led to it).
+
+    Works on batch DataFrames (same API, Catalyst turns the time bound
+    into a range predicate) and on two streaming sources. For streams,
+    BOTH sides carry a watermark and the join condition carries the
+    time bound — that pair is what lets Spark evict buffered state:
+    a left row older than (right watermark − within) can never match
+    again and is dropped. Without the bound, stream-stream join state
+    grows forever at 100 TB/day; with it, state is O(key-rate ×
+    (watermark + within)).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:
