@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "stream_stream_attrib",
     "map_hof",
     "pagerank",
+    "count_min_freq",
+    "rollup_cascade",
 ]
 
 

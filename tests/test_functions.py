@@ -549,3 +549,30 @@ def test_pagerank_properties(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks["b"] > ranks["a"]
     assert abs(ranks["a"] - ranks["c"]) < 1e-9  # symmetry
+
+
+def test_count_min_never_undercounts(spark):
+    from pyspark.sql import functions as SF
+
+    from yelp_etl_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        count_min_sketch,
+    )
+
+    # zipf-ish: key k appears k times
+    rows = [(k,) for k in range(1, 40) for _ in range(k)]
+    df = spark.createDataFrame(rows, "key long")
+    sketch = count_min_sketch(df, "key")
+    keys = df.select("key").distinct()
+    est = {r.key: r.est_count for r in cms_estimate(sketch, keys, "key").collect()}
+    for k in range(1, 40):
+        assert est[k] >= k  # CMS never undercounts
+        assert est[k] <= k + 40  # and is near-exact at this tiny load
+
+    # merging two disjoint halves == sketching the whole
+    a = count_min_sketch(df.filter(SF.col("key") < 20), "key")
+    b = count_min_sketch(df.filter(SF.col("key") >= 20), "key")
+    merged = cms_merge(a, b)
+    est2 = {r.key: r.est_count for r in cms_estimate(merged, keys, "key").collect()}
+    assert est2 == est

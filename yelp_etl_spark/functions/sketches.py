@@ -1,0 +1,110 @@
+"""Mergeable frequency sketches: count-min.
+
+Complements the built-in mergeable cardinality sketches (hll_sketch_agg
+— see the hll_mergeable query) with a frequency sketch Spark lacks.
+Not in the reference (no aggregation surface at all — SURVEY.md §2.5);
+this is extension surface for 100 TB profiling: a count-min sketch
+answers "how often does key X occur" within ε·N after ONE pass, in
+depth×width integers, and two sketches built over disjoint partitions
+of the data merge by cell-wise addition — so per-day sketches roll up
+to month/year for free, the property exact counts don't have.
+
+Hashing follows the engine-portable scheme of functions/dedup.py
+minhash_portable: 31-bit md5-derived base hash permuted by fixed
+(a·h + b) mod P maps, all exact int64 arithmetic — so sketch cells and
+estimates are value-identical in any SQL engine and oracle-checkable.
+
+Scale shape: the build explodes each row into ``depth`` (row, pos)
+cells, but partial aggregation collapses the shuffle to at most
+depth×width×partitions rows — the sketch itself, tiny by construction.
+Estimates broadcast the sketch (depth×width rows) against the probe
+keys; nothing large ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_P = (1 << 31) - 1  # Mersenne prime, mask == modulus
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+# fixed odd multipliers/offsets < 2^20 keep a·h + b < 2^51 (exact int64)
+CMS_PERMS = [(633869, 88811), (415739, 41647), (761159, 11173), (104729, 95003)]
+
+
+def _h31(key: Column) -> Column:
+    """31-bit base hash: md5 hex digits 18-32 as an integer, masked.
+    Portable — any engine with md5 + string slicing computes the same
+    value (DuckDB: CAST(concat('0x', substr(md5(x),18,15)) AS BIGINT))."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 18, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(CMS_P))
+    )
+
+
+def _positions(key: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` cell positions for a key."""
+    h = _h31(key)
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(CMS_P)) % F.lit(width)
+            for a, b in CMS_PERMS[:depth]
+        ]
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_column: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_column`` frequencies: returns
+    the counter table (d, pos, cnt) with at most depth×width rows.
+    One pass, map-side partial aggregation; the shuffle carries only
+    sketch cells, never keys."""
+    return (
+        df.select(
+            F.posexplode(_positions(F.col(key_column), depth, width)).alias(
+                "d", "pos"
+            )
+        )
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width, perms) by
+    cell-wise addition — the mergeability that makes per-partition /
+    per-day sketches roll up without touching raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_column: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for each distinct key in ``keys``:
+    min over the key's depth counters (classic CMS upper-bound
+    estimate; never under-counts, over-counts by ≤ ε·N w.h.p.).
+    The sketch side broadcasts."""
+    probed = keys.select(
+        key_column,
+        F.posexplode(_positions(F.col(key_column), depth, width)).alias(
+            "d", "pos"
+        ),
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["d", "pos"], "left_outer")
+        .groupBy(key_column)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )

@@ -4269,6 +4269,104 @@ def _pagerank_oracle(iterations: int = 5) -> str:
 ORACLE_PAGERANK = _pagerank_oracle(5)
 
 
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min sketch (functions/sketches.py): two sketches
+    built over disjoint shipdate halves of lineitem, merged cell-wise,
+    then part-frequency estimates for one brand's keys. Merging the
+    halves is value-identical to sketching the whole table (sums
+    commute), which is exactly what the single-pass oracle computes —
+    so the mergeability property itself is oracle-checked."""
+    from yelp_etl_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        count_min_sketch,
+    )
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = count_min_sketch(lineitem.filter(F.col("l_shipdate") < cut), "l_partkey")
+    late = count_min_sketch(lineitem.filter(F.col("l_shipdate") >= cut), "l_partkey")
+    sketch = cms_merge(early, late)
+    probe = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    return cms_estimate(sketch, probe, "p_partkey")
+
+
+def _cms_oracle() -> str:
+    from yelp_etl_spark.functions.sketches import CMS_P, CMS_PERMS, CMS_WIDTH
+
+    perms = ", ".join(f"({d}, {a}, {b})" for d, (a, b) in enumerate(CMS_PERMS))
+    h = (
+        "(CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 18, 15)) "
+        f"AS BIGINT) & {CMS_P})"
+    )
+    return f"""
+WITH perms(d, a, b) AS (VALUES {perms}),
+cells AS (
+  SELECT p.d, ((p.a * {h.format(col='l_partkey')} + p.b) % {CMS_P}) % {CMS_WIDTH} AS pos
+  FROM lineitem, perms p
+), sketch AS (
+  SELECT d, pos, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+), probe AS (
+  SELECT p_partkey,
+         {h.format(col='p_partkey')} AS hv
+  FROM part WHERE p_brand = 'Brand#2'
+), pcells AS (
+  SELECT p_partkey, p.d, ((p.a * hv + p.b) % {CMS_P}) % {CMS_WIDTH} AS pos
+  FROM probe, perms p
+)
+SELECT p_partkey,
+       CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+FROM pcells LEFT JOIN sketch USING (d, pos)
+GROUP BY 1
+"""
+
+
+ORACLE_COUNT_MIN = _cms_oracle()
+
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: events → minute →
+    hour → day, each level re-aggregating ONLY the level below (sum of
+    sums, sum of counts) — the continuous-aggregate pattern that keeps
+    100 TB of raw events out of every coarse query. The oracle mirrors
+    the cascade, checking that re-aggregation of partials is exact."""
+    events = _t(spark, sf_dir, "events")
+    minute = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    hour = minute.groupBy(F.date_trunc("hour", F.col("m")).alias("h")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    return (
+        hour.groupBy(
+            F.date_trunc("day", F.col("h")).cast("date").alias("day_start")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_ROLLUP_CASCADE = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n, SUM(value) AS v
+  FROM events GROUP BY 1
+), hour AS (
+  SELECT date_trunc('hour', m) AS h, SUM(n) AS n, SUM(v) AS v
+  FROM minute GROUP BY 1
+)
+SELECT date_trunc('day', h) AS day_start,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(SUM(v), 2) AS sum_value
+FROM hour GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4411,6 +4509,8 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_stream_attrib": QuerySpec(q_stream_stream_attrib, ORACLE_STREAM_STREAM, "stream-stream join"),
     "map_hof": QuerySpec(q_map_hof, ORACLE_MAP_HOF, "map higher-order funcs"),
     "pagerank": QuerySpec(q_pagerank, ORACLE_PAGERANK, "ext:iterative graph"),
+    "count_min_freq": QuerySpec(q_count_min, ORACLE_COUNT_MIN, "ext:mergeable CMS sketch"),
+    "rollup_cascade": QuerySpec(q_rollup_cascade, ORACLE_ROLLUP_CASCADE, "ext:multi-res rollup"),
 }
 
 
