@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "pagerank",
     "count_min_freq",
     "rollup_cascade",
+    "interval_overlap",
 ]
 
 

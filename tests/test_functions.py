@@ -576,3 +576,66 @@ def test_count_min_never_undercounts(spark):
     merged = cms_merge(a, b)
     est2 = {r.key: r.est_count for r in cms_estimate(merged, keys, "key").collect()}
     assert est2 == est
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from yelp_etl_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    mk = lambda n, p: spark.createDataFrame(
+        [
+            (
+                rng.randrange(3),
+                i,
+                base + rng.randrange(0, 7200),
+                rng.randrange(1, 3600),
+            )
+            for i in range(n)
+        ],
+        f"user_id long, {p}_id long, s long, dur long",
+    ).select(
+        "user_id",
+        f"{p}_id",
+        SF.timestamp_seconds(SF.col("s")).alias(f"{p}_start"),
+        SF.timestamp_seconds(SF.col("s") + SF.col("dur")).alias(f"{p}_end"),
+    )
+    left, right = mk(60, "l"), mk(60, "r")
+    got = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(left, right, "user_id", 600).collect()
+    }
+    naive = {
+        (r.l_id, r.r_id)
+        for r in left.join(right, "user_id")
+        .filter(
+            (SF.col("l_start") < SF.col("r_end"))
+            & (SF.col("r_start") < SF.col("l_end"))
+        )
+        .collect()
+    }
+    assert got == naive
+    assert len(naive) > 0
+
+
+def test_split_chunks_udtf(spark):
+    from yelp_etl_spark.functions.udfs import register_split_chunks_udtf
+
+    register_split_chunks_udtf(spark)
+    spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, None)], "doc_id int, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.chunk "
+        "FROM udtf_docs d, LATERAL split_chunks(d.text, 4) c"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    assert [c for _, c in sorted(by_doc[1])] == ["abcd", "efgh", "ij"]
+    assert [c for _, c in sorted(by_doc[2])] == ["xy"]
+    assert 3 not in by_doc  # NULL text expands to zero rows

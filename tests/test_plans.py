@@ -163,3 +163,43 @@ def test_tfidf_single_token_shuffle(spark, sf_dir):
     # doc-frequency and corpus totals come back via broadcast, not a
     # second shuffle of the token stream
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_tpch_q10_top20_no_global_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q10_returns"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the returnflag filter reaches the lineitem scan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_tpch_q19_or_predicates_stay_residual_on_one_join(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q19_disjunctive"].fn(spark, sf_dir), "simple")
+    # one hash join on the common key; the OR-of-AND arms must not
+    # degrade the plan to a nested-loop/cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_tpch_q7_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q7_nation_volume"].fn(spark, sf_dir), "simple")
+    # supplier/nation/region chains broadcast; at this size even the
+    # orders/customer spine broadcasts, leaving the final aggregate as
+    # the only shuffle (count hash-partition exchanges, not the
+    # BroadcastExchange rows)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_tpch_q17_decorrelates_to_broadcast_threshold(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q17_small_quantity"].fn(spark, sf_dir), "simple")
+    # the per-part avg threshold joins back via broadcast, never SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_count_min_build_partial_aggregates(spark, sf_dir):
+    plan = plan_of(QUERIES["count_min_freq"].fn(spark, sf_dir))
+    # sketch cells partial-aggregate map-side: the shuffle carries at
+    # most depth×width×partitions rows, never the raw keys
+    assert "partial_count" in plan or "partial_sum" in plan

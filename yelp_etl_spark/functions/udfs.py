@@ -72,3 +72,30 @@ def group_zscore(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(transform, out_schema)
+
+
+def register_split_chunks_udtf(spark):
+    """Python UDTF surface (Spark 3.5+/4): a user-defined TABLE function
+    usable in SQL FROM/LATERAL position — the missing piece between
+    scalar UDFs and applyInPandas when one input row must expand into a
+    variable number of typed rows. Registered, it composes with the
+    pure-SQL entry path (see tpch_q6_sql):
+
+        SELECT d.doc_id, c.* FROM docs d, LATERAL split_chunks(d.text, 100) c
+
+    UDTFs are row-at-a-time Python — keep them OFF the hot path (the
+    set-oriented chunker, functions/text.py chunk_documents, does the
+    same job with JVM generators); this exists for API completeness and
+    for genuinely irregular row-expansion logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string")
+    class SplitChunks:
+        def eval(self, text: str, size: int):
+            if not text or size <= 0:
+                return
+            for i in range(0, len(text), size):
+                yield (i // size, text[i : i + size])
+
+    spark.udtf.register("split_chunks", SplitChunks)
+    return SplitChunks

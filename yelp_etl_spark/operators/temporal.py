@@ -218,3 +218,53 @@ def ewma(
         lst, F.lit(0.0), lambda acc, _: acc * decay + F.lit(1.0)
     )
     return df.withColumn(output_column, weighted / norm)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_column: str,
+    grid_seconds: int,
+    left_cols: tuple[str, str, str] = ("l_id", "l_start", "l_end"),
+    right_cols: tuple[str, str, str] = ("r_id", "r_start", "r_end"),
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs of the same key
+    whose half-open time intervals intersect (l_start < r_end AND
+    r_start < l_end).
+
+    Scale strategy: the naive form is an equi-join on the key with the
+    overlap predicate as a residual — per-key cost is |L_k|×|R_k|,
+    quadratic for hot keys. Here each interval instead explodes into
+    the coarse grid cells it covers, the join runs on (key, cell) —
+    per-cell cost only — and duplicate pairs (intervals sharing several
+    cells) collapse via dropDuplicates on the id pair before the exact
+    predicate. Choose ``grid_seconds`` ≈ the typical interval length:
+    shorter grids multiply cells/interval, longer grids multiply
+    candidates/cell. All time arithmetic is integer epoch-micros, so
+    results are engine-exact.
+
+    Inputs must be pre-projected to (key, id, start, end) under the
+    given column names; timestamps in, pairs with both id/start/end
+    sets out.
+    """
+    g = int(grid_seconds) * 1_000_000
+    l_id, l_start, l_end = left_cols
+    r_id, r_start, r_end = right_cols
+
+    def cells(start: str, end: str) -> Column:
+        return F.sequence(
+            F.floor(F.unix_micros(F.col(start)) / g),
+            F.floor((F.unix_micros(F.col(end)) - 1) / g),
+        )
+
+    lc = left.withColumn("__cell", F.explode(cells(l_start, l_end)))
+    rc = right.withColumn("__cell", F.explode(cells(r_start, r_end)))
+    return (
+        lc.join(rc, [key_column, "__cell"])
+        .dropDuplicates([l_id, r_id])
+        .filter(
+            (F.unix_micros(F.col(l_start)) < F.unix_micros(F.col(r_end)))
+            & (F.unix_micros(F.col(r_start)) < F.unix_micros(F.col(l_end)))
+        )
+        .drop("__cell")
+    )

@@ -4367,6 +4367,53 @@ FROM hour GROUP BY 1
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed interval-overlap join (operators/temporal.py
+    interval_overlap_join): 30-minute click and purchase windows per
+    user, paired where they intersect, with exact overlap duration in
+    integer epoch-micros. The grid join is the scale path — the naive
+    key-equi + residual form is quadratic per hot key."""
+    from yelp_etl_spark.operators.temporal import interval_overlap_join
+
+    events = _t(spark, sf_dir, "events")
+
+    def windows(event_type: str, p: str) -> DataFrame:
+        return events.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(f"{p}_id"),
+            F.col("ts").alias(f"{p}_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 minutes")).alias(f"{p}_end"),
+        )
+
+    pairs = interval_overlap_join(
+        windows("click", "l"), windows("purchase", "r"), "user_id", 1800
+    )
+    overlap = F.least(
+        F.unix_micros("l_end"), F.unix_micros("r_end")
+    ) - F.greatest(F.unix_micros("l_start"), F.unix_micros("r_start"))
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(overlap).cast("long").alias("overlap_us"),
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts + INTERVAL '30 minutes') AS e
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts + INTERVAL '30 minutes') AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(LEAST(c.e, p.e) - GREATEST(c.s, p.s)) AS BIGINT) AS overlap_us
+FROM c JOIN p ON c.user_id = p.user_id AND c.s < p.e AND p.s < c.e
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4511,6 +4558,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(q_pagerank, ORACLE_PAGERANK, "ext:iterative graph"),
     "count_min_freq": QuerySpec(q_count_min, ORACLE_COUNT_MIN, "ext:mergeable CMS sketch"),
     "rollup_cascade": QuerySpec(q_rollup_cascade, ORACLE_ROLLUP_CASCADE, "ext:multi-res rollup"),
+    "interval_overlap": QuerySpec(q_interval_overlap, ORACLE_INTERVAL_OVERLAP, "grid overlap join"),
 }
 
 
