@@ -252,6 +252,9 @@ def interval_overlap_join(
     r_id, r_start, r_end = right_cols
 
     def cells(start: str, end: str) -> Column:
+        # `/` compiles to double division; exact here because epoch-micros
+        # < 2^53 and exact multiples of g divide to exact integers, so
+        # floor never straddles a cell boundary (positive epochs only)
         return F.sequence(
             F.floor(F.unix_micros(F.col(start)) / g),
             F.floor((F.unix_micros(F.col(end)) - 1) / g),
@@ -259,12 +262,14 @@ def interval_overlap_join(
 
     lc = left.withColumn("__cell", F.explode(cells(l_start, l_end)))
     rc = right.withColumn("__cell", F.explode(cells(r_start, r_end)))
+    # exact predicate BEFORE the pair dedup: non-overlapping candidates
+    # never reach the dedup shuffle
     return (
         lc.join(rc, [key_column, "__cell"])
-        .dropDuplicates([l_id, r_id])
         .filter(
             (F.unix_micros(F.col(l_start)) < F.unix_micros(F.col(r_end)))
             & (F.unix_micros(F.col(r_start)) < F.unix_micros(F.col(l_end)))
         )
+        .dropDuplicates([l_id, r_id])
         .drop("__cell")
     )
