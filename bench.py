@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "count_min_freq",
     "rollup_cascade",
     "interval_overlap",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -215,3 +215,25 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_stream_join_left_outer_batch(spark, events_dir):
+    from pyspark.sql import functions as SF
+
+    from yelp_etl_spark.streaming.windows import stream_stream_join
+
+    batch_events = spark.read.parquet(events_dir)
+    clicks = batch_events.filter(SF.col("event_type") == "click")
+    purchases = batch_events.filter(SF.col("event_type") == "purchase")
+    inner = stream_stream_join(clicks, purchases, within="30 minutes")
+    outer = stream_stream_join(
+        clicks, purchases, within="30 minutes", how="left_outer"
+    )
+    n_clicks = clicks.count()
+    matched_left = inner.select("l_event_id").distinct().count()
+    rows = outer.collect()
+    # every click appears; unmatched ones carry null right columns
+    unmatched = [r for r in rows if r["r_event_id"] is None]
+    assert len(unmatched) == n_clicks - matched_left
+    assert len(rows) == inner.count() + len(unmatched)
+    assert n_clicks > matched_left > 0

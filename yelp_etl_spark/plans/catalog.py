@@ -4414,6 +4414,95 @@ GROUP BY 1
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): per user, each step
+    counts only if it happens strictly after the previous step's first
+    occurrence — the MATCH_RECOGNIZE-style sequence semantics, built
+    from ONE conditional aggregate per user using min-over-filter
+    chained via integer epoch-micros (no self-joins: the per-user
+    event set collapses in a single shuffle, then step predicates are
+    pure column arithmetic)."""
+    events = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", us))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", us))
+        ).alias("purchases"),
+    )
+    t2 = F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
+    stepped = per_user.withColumn("t2", t2).withColumn(
+        "t3", F.array_min(F.filter("purchases", lambda p: p > F.col("t2")))
+    )
+    return stepped.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("reached_signup"),
+        F.count("t2").cast("long").alias("reached_click"),
+        F.count("t3").cast("long").alias("reached_purchase"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1,
+         list_sort(list(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)) AS clicks,
+         list_sort(list(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS purchases
+  FROM events GROUP BY user_id
+), stepped AS (
+  SELECT t1,
+         list_min(list_filter(clicks, c -> c > t1)) AS t2_,
+         list_min(list_filter(purchases,
+                  p -> p > list_min(list_filter(clicks, c -> c > t1)))) AS t3_
+  FROM per_user
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t1) AS BIGINT) AS reached_signup,
+       CAST(COUNT(t2_) AS BIGINT) AS reached_click,
+       CAST(COUNT(t3_) AS BIGINT) AS reached_purchase
+FROM stepped
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (cohort), counted as retained in each later week they were active.
+    Two aggregates: first-seen per user (one shuffle), then distinct
+    users per (cohort, week offset) — the week spine stays integer
+    arithmetic on epoch-days so both engines bucket identically."""
+    events = _t(spark, sf_dir, "events")
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7)
+    act = events.select("user_id", week.cast("long").alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_COHORT = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+              AS BIGINT) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT act.user_id) AS n_active
+FROM act JOIN cohort ON act.user_id = cohort.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4559,6 +4648,8 @@ QUERIES: dict[str, QuerySpec] = {
     "count_min_freq": QuerySpec(q_count_min, ORACLE_COUNT_MIN, "ext:mergeable CMS sketch"),
     "rollup_cascade": QuerySpec(q_rollup_cascade, ORACLE_ROLLUP_CASCADE, "ext:multi-res rollup"),
     "interval_overlap": QuerySpec(q_interval_overlap, ORACLE_INTERVAL_OVERLAP, "grid overlap join"),
+    "funnel_conversion": QuerySpec(q_funnel_conversion, ORACLE_FUNNEL, "ordered funnel"),
+    "cohort_retention": QuerySpec(q_cohort_retention, ORACLE_COHORT, "cohort matrix"),
 }
 
 

@@ -184,10 +184,16 @@ def stream_stream_join(
     key: str = "user_id",
     watermark: str = "1 hour",
     within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each right event with the left
-    events of the same key that happened in the preceding ``within``
-    interval (e.g. purchase ← clicks that led to it).
+    """Stream-stream join: pair each right event with the left events
+    of the same key that happened in the preceding ``within`` interval
+    (e.g. purchase ← clicks that led to it). ``how='left_outer'``
+    additionally emits unmatched left events — in streaming these only
+    surface once the watermark passes their join horizon (Spark must
+    prove no future match can arrive), so an availableNow run emits the
+    matched rows plus only those unmatched rows already past the final
+    watermark; the batch path emits all of them immediately.
 
     Works on batch DataFrames (same API, Catalyst turns the time bound
     into a range predicate) and on two streaming sources. For streams,
@@ -218,7 +224,7 @@ def stream_stream_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def run_stream_to_memory(
