@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "interval_overlap",
     "funnel_conversion",
     "cohort_retention",
+    "bloom_prune_join",
 ]
 
 

@@ -4503,6 +4503,38 @@ GROUP BY 1, 2
 """
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style membership prefilter before the fact join: the
+    filtered customer dim's hashed key buckets broadcast as an int
+    set, orders is map-side semi-filtered on it, and only surviving
+    rows enter the exact join. Result is identical to the plain join
+    (false positives are re-checked); at 100 TB the probe side's
+    shuffle shrinks to ~the matching fraction."""
+    from yelp_etl_spark.operators.prune import prefiltered_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    j = prefiltered_join(
+        orders, cust, probe_key="o_custkey", build_key="c_custkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_BLOOM_PRUNE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4650,6 +4682,7 @@ QUERIES: dict[str, QuerySpec] = {
     "interval_overlap": QuerySpec(q_interval_overlap, ORACLE_INTERVAL_OVERLAP, "grid overlap join"),
     "funnel_conversion": QuerySpec(q_funnel_conversion, ORACLE_FUNNEL, "ordered funnel"),
     "cohort_retention": QuerySpec(q_cohort_retention, ORACLE_COHORT, "cohort matrix"),
+    "bloom_prune_join": QuerySpec(q_bloom_prune, ORACLE_BLOOM_PRUNE, "bloom prefilter join"),
 }
 
 
