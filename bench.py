@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "cohort_retention",
     "bloom_prune_join",
+    "bfs_reachability",
 ]
 
 

@@ -639,3 +639,39 @@ def test_split_chunks_udtf(spark):
     assert [c for _, c in sorted(by_doc[1])] == ["abcd", "efgh", "ij"]
     assert [c for _, c in sorted(by_doc[2])] == ["xy"]
     assert 3 not in by_doc  # NULL text expands to zero rows
+
+
+def test_bfs_distances_path_graph(spark):
+    from yelp_etl_spark.functions.graph import bfs_distances
+
+    # path 0-1-2-3-4-5 plus disconnected pair 10-11
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # depth-bounded, 10/11 unreached
+
+
+def test_bfs_distances_multi_seed_shortest(spark):
+    from yelp_etl_spark.functions.graph import bfs_distances
+
+    # cycle 0-1-2-3-0: from seeds {0}, node 2 is 2 hops either way;
+    # with seeds {0, 2} everything is within 1 hop
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (2,)], "id long")
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=4).collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_bfs_early_exit_on_exhausted_frontier(spark):
+    from yelp_etl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    # max_hops far beyond the graph diameter must not loop or error
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=20).collect()}
+    assert got == {0: 0, 1: 1}

@@ -89,3 +89,58 @@ def pagerank(
     for df in (sym, deg, sym_w):
         df.unpersist()
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+    skip_symmetric_dedup: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: shortest hop distance from any seed node,
+    over the symmetrized edge list — the DataFrame form of a bounded
+    recursive CTE (`WITH RECURSIVE ... WHERE dist < max_hops`).
+
+    Returns (id, dist) for every node within ``max_hops`` of a seed
+    (seeds themselves at dist 0); unreached nodes are absent. ``seeds``
+    is a one-column (``id``) DataFrame.
+
+    Frontier expansion costs one join + distinct per hop; the visited
+    set is maintained as a loop-carried DataFrame and anti-joined to
+    keep the frontier minimal (a node is expanded exactly once, at its
+    first/shortest depth — Dijkstra's invariant with unit weights).
+    Each hop eagerly localCheckpoints the new frontier: the per-hop
+    count both drives early exit on an empty frontier and truncates
+    lineage so hop H doesn't recompute hops 1..H-1. The edge list is
+    the loop invariant — cached once, released before returning. At
+    scale the frontier join shuffles ~|frontier|·avg_degree rows per
+    hop, the BFS lower bound; pre-bucketing edges by src removes even
+    that (frontier broadcasts while small)."""
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+    if not skip_symmetric_dedup:
+        sym = sym.distinct()
+    sym = sym.cache()
+    frontier = (
+        seeds.select(F.col("id")).distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            sym.join(F.broadcast(frontier), F.col("src") == F.col("id"))
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    sym.unpersist()
+    return visited

@@ -4535,6 +4535,54 @@ GROUP BY 1
 """
 
 
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS (functions/graph.py bfs_distances) on
+    the supplier↔customer order graph, seeded at nation-0 suppliers:
+    nodes counted by shortest hop distance ≤ 4. The DataFrame loop is
+    the engine's recursive-CTE surface; the oracle IS a recursive CTE
+    (DuckDB WITH RECURSIVE, depth-bounded), so the check is exact."""
+    from yelp_etl_spark.functions.graph import bfs_distances
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey") * 2).alias("id")
+    )
+    dists = bfs_distances(edges, seeds, max_hops=4, skip_symmetric_dedup=True)
+    return dists.groupBy("dist").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+ORACLE_BFS = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                  CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), seeds AS (
+  SELECT CAST(s_suppkey * 2 AS BIGINT) AS id FROM supplier WHERE s_nationkey = 0
+), bfs AS (
+  SELECT id, CAST(0 AS BIGINT) AS dist FROM seeds
+  UNION
+  SELECT s.dst AS id, b.dist + 1 AS dist
+  FROM bfs b JOIN sym s ON s.src = b.id
+  WHERE b.dist < 4
+), short AS (
+  SELECT id, MIN(dist) AS dist FROM bfs GROUP BY id
+)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM short GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4683,6 +4731,7 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(q_funnel_conversion, ORACLE_FUNNEL, "ordered funnel"),
     "cohort_retention": QuerySpec(q_cohort_retention, ORACLE_COHORT, "cohort matrix"),
     "bloom_prune_join": QuerySpec(q_bloom_prune, ORACLE_BLOOM_PRUNE, "bloom prefilter join"),
+    "bfs_reachability": QuerySpec(q_bfs_reach, ORACLE_BFS, "recursive CTE / BFS"),
 }
 
 
