@@ -203,3 +203,32 @@ def test_count_min_build_partial_aggregates(spark, sf_dir):
     # sketch cells partial-aggregate map-side: the shuffle carries at
     # most depth×width×partitions rows, never the raw keys
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_funnel_single_keyed_shuffle(spark, sf_dir):
+    """The ordered funnel must collapse per-user events in ONE keyed
+    exchange; step predicates are column arithmetic, not self-joins."""
+    df = QUERIES["funnel_conversion"].fn(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan
+    # one hashpartitioning exchange (user_id) + the single-partition
+    # exchange feeding the global roll-up
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_prune_probe_filter_is_broadcast(spark, sf_dir):
+    """The membership prefilter must reach the probe side as a
+    broadcast semi join (a map-side filter) — never a shuffled join."""
+    plan = plan_of(QUERIES["bloom_prune_join"].fn(spark, sf_dir), "simple")
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi and all("Broadcast" in ln for ln in semi)
+
+
+def test_cohort_distinct_then_two_aggs(spark, sf_dir):
+    """Cohort retention: the activity set dedups once, then first-seen
+    and retention aggregate on keys — no more than 3 keyed exchanges
+    (distinct, per-user min, cohort×offset count-distinct) plus
+    whatever the distinct-count expansion needs; no cartesian."""
+    plan = plan_of(QUERIES["cohort_retention"].fn(spark, sf_dir), "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
