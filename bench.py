@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "bloom_prune_join",
     "bfs_reachability",
+    "weighted_sample",
 ]
 
 

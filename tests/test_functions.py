@@ -675,3 +675,34 @@ def test_bfs_early_exit_on_exhausted_frontier(spark):
     # max_hops far beyond the graph diameter must not loop or error
     got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=20).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from yelp_etl_spark.functions.sampling import weighted_sample
+
+    # 1000 heavy (w=10) + 1000 light (w=1) keys
+    rows = [(f"h{i}", 10.0) for i in range(1000)] + [
+        (f"l{i}", 1.0) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "key string, wt double")
+    got = [r.key for r in weighted_sample(df, "key", "wt", 200).collect()]
+    again = [
+        r.key
+        for r in weighted_sample(df.repartition(13), "key", "wt", 200).collect()
+    ]
+    assert sorted(got) == sorted(again)  # partitioning-invariant
+    heavy = sum(k.startswith("h") for k in got)
+    # E[heavy] ≈ 183 of 200 under w=10:1; far from the unweighted 100
+    assert heavy > 150
+
+
+def test_weighted_sample_excludes_nonpositive_and_plans_topk(spark):
+    from yelp_etl_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -2.0), ("d", 5.0)], "key string, wt double"
+    )
+    picked = {r.key for r in weighted_sample(df, "key", "wt", 10).collect()}
+    assert picked == {"a", "d"}
+    plan = weighted_sample(df, "key", "wt", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

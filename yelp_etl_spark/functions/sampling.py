@@ -125,3 +125,44 @@ def balanced_downsample(
         .filter(F.col("__rn") <= per_group)
         .drop("__rn")
     )
+
+
+def exp_priority(key: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis priority for weighted sampling without
+    replacement: ``-ln(u) / w`` with u ∈ (0,1] drawn deterministically
+    from a portable 60-bit md5 hash of the key (identical in Spark and
+    DuckDB: ``conv(substr(md5, 18, 15), 16, 10)`` vs
+    ``CAST(concat('0x', substr(md5, 18, 15)) AS BIGINT)``). The k rows
+    with the SMALLEST priority form an exact weight-proportional
+    without-replacement sample — and because the priority is a pure
+    per-row function, selection is a global top-k
+    (TakeOrderedAndProject), not a stateful reservoir pass."""
+    h = F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), 18, 15), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
+    return -F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_column: str,
+    weight_column: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows (weights > 0,
+    inclusion probability ∝ weight, without replacement). Stable
+    across runs, engines, and partitionings; rows with non-positive
+    weight are excluded. Scale path: per-partition top-k then driver
+    merge — Spark's TakeOrderedAndProject — so no global sort."""
+    # round the priority so a last-ulp ln() difference between engines
+    # (or JVM versions) cannot flip the k-th boundary; rounding-created
+    # ties resolve deterministically by key
+    pri = F.round(exp_priority(F.col(key_column), F.col(weight_column)), 6)
+    return (
+        df.filter(F.col(weight_column) > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(key_column).asc())
+        .limit(k)
+        .drop("__pri")
+    )

@@ -4583,6 +4583,34 @@ SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM short GROUP BY 1
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    100 documents with inclusion probability ∝ length, selected by
+    global top-k on a deterministic md5-seeded exponential priority
+    (functions/sampling.py weighted_sample). Plans as
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    from yelp_etl_spark.functions.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("wt")
+    )
+    return weighted_sample(docs, "doc_id", "wt", 100).select("doc_id")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROUND(
+           -LN((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                     AS BIGINT) + 1.0) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE), 6) AS pri
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+)
+ORDER BY pri ASC, doc_id ASC
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4732,6 +4760,7 @@ QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(q_cohort_retention, ORACLE_COHORT, "cohort matrix"),
     "bloom_prune_join": QuerySpec(q_bloom_prune, ORACLE_BLOOM_PRUNE, "bloom prefilter join"),
     "bfs_reachability": QuerySpec(q_bfs_reach, ORACLE_BFS, "recursive CTE / BFS"),
+    "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE, "E-S weighted sampling"),
 }
 
 
