@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "bloom_prune_join",
     "bfs_reachability",
     "weighted_sample",
+    "bitmap_distinct",
 ]
 
 

@@ -706,3 +706,43 @@ def test_weighted_sample_excludes_nonpositive_and_plans_topk(spark):
     assert picked == {"a", "d"}
     plan = weighted_sample(df, "key", "wt", 2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bitmap_distinct_bucket_identity(spark):
+    """bit i of bucket 0 and bit i of bucket 1 are DIFFERENT ids: ids
+    0 and 1 land on (bucket 0, pos 0) and (bucket 1, pos 0), so an
+    or_agg across buckets would alias them (counts 1); grouping by
+    bucket and summing counts them correctly."""
+    wrong = spark.sql(
+        """SELECT bitmap_count(bitmap_or_agg(bm)) nd FROM (
+             SELECT bitmap_bucket_number(k) bkt,
+                    bitmap_construct_agg(bitmap_bit_position(k)) bm
+             FROM (VALUES (0),(1)) t(k) GROUP BY 1)"""
+    ).first()[0]
+    right = spark.sql(
+        """SELECT SUM(bitmap_count(bm)) nd FROM (
+             SELECT bitmap_bucket_number(k) bkt,
+                    bitmap_construct_agg(bitmap_bit_position(k)) bm
+             FROM (VALUES (0),(1)) t(k) GROUP BY 1)"""
+    ).first()[0]
+    assert wrong == 1 and right == 2
+
+
+def test_bitmap_merge_split_equals_whole(spark):
+    """Mergeability: per-half partial bitmaps OR-merged per bucket give
+    the same distinct count as one pass over the whole."""
+    whole = spark.sql(
+        """SELECT SUM(bitmap_count(bm)) FROM (
+             SELECT bitmap_bucket_number(k) bkt,
+                    bitmap_construct_agg(bitmap_bit_position(k)) bm
+             FROM (SELECT explode(sequence(0, 99999)) k) GROUP BY 1)"""
+    ).first()[0]
+    merged = spark.sql(
+        """SELECT SUM(bitmap_count(bm)) FROM (
+             SELECT bkt, bitmap_or_agg(bm) bm FROM (
+               SELECT k % 2 half, bitmap_bucket_number(k) bkt,
+                      bitmap_construct_agg(bitmap_bit_position(k)) bm
+               FROM (SELECT explode(sequence(0, 99999)) k) GROUP BY 1, 2)
+             GROUP BY 1)"""
+    ).first()[0]
+    assert whole == merged == 100000

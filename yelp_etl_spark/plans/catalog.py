@@ -4611,6 +4611,45 @@ LIMIT 100
 """
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via mergeable bitmaps (Spark 3.5
+    bitmap_construct_agg / bitmap_or_agg): customer ids set bits in
+    per-(group, 32k-bucket) bitmaps that partial-aggregate map-side;
+    same-bucket bitmaps OR-merge across months and distinct buckets
+    sum. Unlike COUNT(DISTINCT)'s expand-and-reshuffle, the merge is
+    associative, so the same bitmaps roll up across days/partitions
+    without touching raw ids again (the exact counterpart of the HLL
+    sketch query, for when exactness matters). Pitfall pinned by test:
+    OR-ing bitmaps of DIFFERENT buckets aliases ids (bit i means id
+    32768·bucket+i+1 — bucket identity is part of the value)."""
+    orders = _t(spark, sf_dir, "orders")
+    # partial bitmaps per (group, month, bucket) — the "daily rollup"
+    part = (
+        orders.select(
+            "o_orderpriority",
+            F.month("o_orderdate").alias("mth"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "mth", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    # OR only merges bitmaps of the SAME bucket (bit i of bucket 0 and
+    # bit i of bucket 1 are different ids); distinct buckets then SUM
+    merged = part.groupBy("o_orderpriority", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_cust")
+    )
+
+
+ORACLE_BITMAP_DISTINCT = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4761,6 +4800,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bloom_prune_join": QuerySpec(q_bloom_prune, ORACLE_BLOOM_PRUNE, "bloom prefilter join"),
     "bfs_reachability": QuerySpec(q_bfs_reach, ORACLE_BFS, "recursive CTE / BFS"),
     "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE, "E-S weighted sampling"),
+    "bitmap_distinct": QuerySpec(q_bitmap_distinct, ORACLE_BITMAP_DISTINCT, "mergeable exact distinct"),
 }
 
 
