@@ -1,0 +1,509 @@
+"""Query catalog extension: analytics / data-curation operators beyond
+the first 134 queries in plans/catalog.py. Same driver-facing
+conventions (identical aliases both sides, BIGINT casts, rounded
+doubles); registered into catalog.QUERIES at import time.
+
+Operators here generalize the reference's declared gold-layer direction
+(aggregations over the cleaned+enriched tables, run-all-pipelines.sh:239)
+onto the TPC-H-ish fixtures: cumulative distinct counting, market-basket
+co-occurrence, graph triangle counting, Pareto frontiers, blocked fuzzy
+entity matching, time-weighted averages, robust outlier detection,
+posting-list keyword search, and linear gap interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users (the scalable "running COUNT(DISTINCT)")
+# --------------------------------------------------------------------------
+
+
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT a distinct-over-window:
+    reduce each user to their first-seen day (one shuffle on user_id),
+    count new users per day, then a running sum over the tiny day-level
+    series. At 100 TB the expensive part stays a single hash aggregate
+    on the high-cardinality key; the unpartitioned running-sum window
+    only ever sees one row per day."""
+    events = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy("first_day").agg(F.count("*").alias("new_users"))
+    run = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("first_day").alias("day"),
+        F.col("new_users"),
+        F.sum("new_users").over(run).cast("long").alias("cum_users"),
+    )
+
+
+ORACLE_RUNNING_DISTINCT = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT first_day AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence (self-join pair mining)
+# --------------------------------------------------------------------------
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs co-purchased in the same order: distinct
+    (order, part), self-join co-partitioned on l_orderkey with a
+    part_a < part_b orientation so each pair counts once, then a
+    grouped count and a fully tie-broken top-20. The pair blow-up is
+    bounded by per-order basket size (≤ C(7,2) in TPC-H-shaped data),
+    so the join output stays linear in input; both join sides share one
+    shuffle on the order key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    counts = pairs.groupBy(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    ).agg(F.count("*").alias("n_orders"))
+    return counts.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
+
+
+ORACLE_COPURCHASE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph
+# --------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the part co-purchase graph. Edges are
+    oriented low-id → high-id so every triangle a<b<c is enumerated
+    exactly once by the two-hop join e(a,b) ⋈ e(b,c) ⋈ e(a,c). Both
+    joins are plain equi-joins Catalyst can shuffle on the shared key;
+    the scale refinement (orient by degree instead of id so high-degree
+    hubs never fan out) is a one-line change to the orientation sort
+    key, noted here for the 100 TB path."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+    triangles = wedges.join(
+        e3,
+        (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    return triangles.agg(F.count("*").alias("n_triangles")).join(
+        edges.agg(F.count("*").alias("n_edges"))
+    )
+
+
+ORACLE_TRIANGLES = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT (SELECT COUNT(*) FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles,
+       (SELECT COUNT(*) FROM edges) AS n_edges
+"""
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline)
+# --------------------------------------------------------------------------
+
+
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical 2-D skyline: suppliers not dominated on (revenue,
+    acctbal), exact-duplicate points resolved to the lowest suppkey.
+    One sort by (revenue desc, bal desc, key) then a running max of bal
+    over preceding rows decides dominance — O(n log n) with no self
+    join, vs the O(n²) NOT EXISTS the oracle states declaratively. At
+    scale the sort is a single range-partitioned shuffle; the window's
+    sequential pass applies per range because running max only needs
+    the per-partition prefix max carried forward."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    sup = supplier.join(rev, supplier.s_suppkey == rev.l_suppkey).select(
+        "s_suppkey",
+        "revenue",
+        F.round("s_acctbal", 2).alias("bal"),
+    )
+    w = Window.orderBy(F.desc("revenue"), F.desc("bal"), "s_suppkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        sup.withColumn("prev_max_bal", F.max("bal").over(w))
+        .filter(F.col("prev_max_bal").isNull() | (F.col("bal") > F.col("prev_max_bal")))
+        .drop("prev_max_bal")
+    )
+
+
+ORACLE_SKYLINE = """
+WITH sup AS (
+  SELECT s_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         ROUND(ANY_VALUE(s_acctbal), 2) AS bal
+  FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+  GROUP BY s_suppkey
+)
+SELECT s.s_suppkey, s.revenue, s.bal
+FROM sup s
+WHERE NOT EXISTS (
+  SELECT 1 FROM sup o
+  WHERE (o.revenue > s.revenue AND o.bal >= s.bal)
+     OR (o.revenue >= s.revenue AND o.bal > s.bal)
+     OR (o.revenue = s.revenue AND o.bal = s.bal AND o.s_suppkey < s.s_suppkey)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy entity matching (edit-distance join)
+# --------------------------------------------------------------------------
+
+
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match of part names: candidate pairs share a
+    block key (first name token) so the quadratic levenshtein work is
+    confined to blocks instead of the full cross product — the standard
+    entity-resolution blocking pattern. The equi-join on the block key
+    shuffles once; levenshtein runs JVM-side post-join. Pairs within
+    edit distance 12 are aggregated per block."""
+    part = _t(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+    )
+    a = named.alias("a")
+    b = named.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("dist") <= 12)
+    )
+    return (
+        pairs.groupBy(F.col("a.block").alias("block"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+    )
+
+
+ORACLE_FUZZY = """
+WITH named AS (
+  SELECT p_partkey, p_name AS name, string_split(p_name, ' ')[1] AS block
+  FROM part
+), pairs AS (
+  SELECT a.block, levenshtein(a.name, b.name) AS dist
+  FROM named a JOIN named b
+    ON a.block = b.block AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.name, b.name) <= 12
+)
+SELECT block, COUNT(*) AS n_matches,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       ROUND(AVG(dist), 4) AS avg_dist
+FROM pairs
+GROUP BY block
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (irregular time series)
+# --------------------------------------------------------------------------
+
+
+def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of events.value per user: each reading is
+    weighted by how long it was current (lead(ts) - ts on integer epoch
+    micros for exact cross-engine parity; the final open-ended reading
+    carries no weight). One (user_id, ts) shuffle serves the lead
+    window; the weighted agg is map-side partial after it."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dt = (F.lead(us).over(w) - us).alias("dt")
+    weighted = events.select("user_id", "value", dt)
+    return (
+        weighted.filter(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+            ).alias("twap"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+
+
+ORACLE_TWAP = """
+WITH spans AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value * dt) / SUM(dt), 4) AS twap,
+       COUNT(*) AS n_intervals
+FROM spans
+WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# --------------------------------------------------------------------------
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event_type: exact
+    grouped median, then the median of absolute deviations, then a
+    3×MAD count. Two grouped exact-percentile passes with the tiny
+    per-group stats broadcast back — the robust-statistics analog of
+    z-scoring that survives heavy-tailed value distributions."""
+    events = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.count(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+            )
+        ).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_MAD = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       ROUND(ANY_VALUE(m.med), 4) AS med,
+       ROUND(ANY_VALUE(d.mad), 4) AS mad,
+       COUNT(*) FILTER (WHERE abs(e.value - m.med) > 3 * d.mad) AS n_outliers,
+       COUNT(*) AS n
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Posting-list keyword search (inverted-index AND query)
+# --------------------------------------------------------------------------
+
+SEARCH_TERMS = ("vector", "merge")
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search as posting-list intersection: explode
+    distinct tokens per doc, keep only the query terms (the filter
+    prunes the posting build to the terms' lists — at scale this is a
+    pre-materialized inverted index, here it is derived inline), and
+    intersect by requiring every term to hit. Per-language hit counts
+    returned. No substring LIKE scans anywhere: matching is exact on
+    tokens, which is what an inverted index can serve."""
+    documents = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("tok"),
+    )
+    hits = (
+        toks.filter(F.col("tok").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(SEARCH_TERMS))
+    )
+    return hits.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+ORACLE_KEYWORD = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang
+  FROM toks
+  WHERE tok IN ('vector', 'merge')
+  GROUP BY doc_id, lang
+  HAVING COUNT(*) = 2
+)
+SELECT lang, COUNT(*) AS n_docs FROM hits GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation over a date spine
+# --------------------------------------------------------------------------
+
+
+def q_linear_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing days in a daily revenue series:
+    generate the day spine, left-join the daily aggregate, carry the
+    nearest known (day, value) from both directions with IGNORE NULLS
+    window functions, and blend by temporal distance. The heavy
+    aggregate reduces first; the interpolation windows only ever see
+    the day-level series (one row per day), so the unpartitioned sort
+    is bounded by calendar size, not data size."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    series = spine.join(daily, "d", "left")
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("d").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_d = F.when(F.col("rev").isNotNull(), F.col("d"))
+    enriched = series.select(
+        "d",
+        "rev",
+        F.last("rev", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("rev", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff(F.col("d"), F.col("pd")) / F.datediff(F.col("nd"), F.col("pd"))
+    interp = F.when(F.col("rev").isNotNull(), F.col("rev")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return enriched.select(
+        "d",
+        F.round(interp, 4).alias("rev_filled"),
+        F.col("rev").isNull().alias("was_missing"),
+    )
+
+
+ORACLE_INTERP = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                INTERVAL 1 DAY))::DATE AS d
+), series AS (
+  SELECT s.d, daily.rev FROM spine s LEFT JOIN daily ON daily.d = s.d
+), enriched AS (
+  SELECT d, rev,
+    last_value(rev IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(rev IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM series
+)
+SELECT d,
+       ROUND(CASE WHEN rev IS NOT NULL THEN rev
+                  ELSE pv + (nv - pv) * (d - pd) / CAST(nd - pd AS DOUBLE)
+             END, 4) AS rev_filled,
+       rev IS NULL AS was_missing
+FROM enriched
+"""
+
+
+EXTRA_QUERIES = {
+    "running_distinct": (q_running_distinct, ORACLE_RUNNING_DISTINCT, "cumulative distinct"),
+    "copurchase_pairs": (q_copurchase_pairs, ORACLE_COPURCHASE, "basket pair mining"),
+    "triangle_count": (q_triangle_count, ORACLE_TRIANGLES, "ext:graph triangles"),
+    "skyline_suppliers": (q_skyline_suppliers, ORACLE_SKYLINE, "pareto skyline"),
+    "fuzzy_match_parts": (q_fuzzy_match_parts, ORACLE_FUZZY, "ext:blocked fuzzy ER"),
+    "twap_value": (q_twap_value, ORACLE_TWAP, "ext:time-weighted avg"),
+    "mad_outliers": (q_mad_outliers, ORACLE_MAD, "ext:robust outliers"),
+    "keyword_search": (q_keyword_search, ORACLE_KEYWORD, "ext:inverted search"),
+    "linear_interp_fill": (q_linear_interp_fill, ORACLE_INTERP, "ext:interpolation"),
+}
