@@ -35,10 +35,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar parquet scan → Catalyst gets
     column pruning + predicate pushdown for free.
 
-    The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long and rebuild a (microsecond)
-    timestamp — integer division, no float round-trip (ns-epoch values
-    exceed 2^53).
+    The events fixture's ``ts`` column has varied across driver data
+    generations: TIMESTAMP(NANOS) (rejected by Spark's reader unless
+    read as long) or timestamp[us] without a zone (read as
+    TIMESTAMP_NTZ). Normalize both to a session-zone TIMESTAMP so every
+    downstream time function (unix_micros, window, watermark) sees one
+    type; the session zone is pinned to UTC so the NTZ→LTZ cast is
+    value-preserving.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -46,8 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
