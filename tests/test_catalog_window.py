@@ -1,0 +1,57 @@
+"""Catalog registration invariants.
+
+The driver's correctness gate oracle-verifies the FIRST 50 entries of
+``catalog.QUERIES`` in insertion order. These tests pin the curated
+window (every operator family represented, every window entry
+oracle-checked) and the extension-catalog registration so a refactor
+can't silently shrink the hard correctness signal again (round-1
+VERDICT: 84/134 queries fell outside the window; catalog_ext was dead).
+"""
+
+from __future__ import annotations
+
+from yelp_etl_spark.plans.catalog import _DRIVER_WINDOW, QUERIES
+from yelp_etl_spark.plans.catalog_ext import EXTRA_QUERIES
+
+
+def test_driver_window_is_first_50_entries():
+    names = list(QUERIES)
+    assert len(_DRIVER_WINDOW) == 50
+    assert names[: len(_DRIVER_WINDOW)] == list(_DRIVER_WINDOW)
+
+
+def test_driver_window_entries_all_oracle_checked():
+    no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
+    assert no_oracle == [], f"window entries without oracle: {no_oracle}"
+
+
+def test_driver_window_spans_operator_families():
+    # one representative per family that the round-1 verdict called out
+    must_have = {
+        "join_full_outer",
+        "tpch_q5_region_revenue",
+        "tpch_q21_shape",
+        "merge_upsert",
+        "scd2_history",
+        "pandas_udf_scores",
+        "pandas_zscore",
+        "stream_static_enrich",
+        "minhash_portable",
+        "simhash_portable",
+        "neardup_components",
+        "funnel_conversion",
+        "bfs_reachability",
+        "bitmap_distinct",
+    }
+    assert must_have <= set(_DRIVER_WINDOW)
+
+
+def test_extension_catalog_registered():
+    for name in EXTRA_QUERIES:
+        assert name in QUERIES, f"catalog_ext query {name!r} not registered"
+        assert QUERIES[name].oracle is not None
+
+
+def test_no_duplicate_registration_lost_entries():
+    # reordering + ext merge must not drop or duplicate anything
+    assert len(QUERIES) == len(set(QUERIES)) >= 143

@@ -63,3 +63,23 @@ def test_zorder_layout_prunes_files(spark, sf_dir, tmp_path):
     # z-order localizes BOTH dimensions
     assert files_matching_point(zord, "l_partkey", 57) <= 4
     assert files_matching_point(zord, "l_suppkey", 3) <= 6
+
+
+def test_events_ntz_cast_requires_utc_session(spark, sf_dir):
+    """The timestamp_ntz->timestamp normalization in load_table is only
+    value-preserving under a UTC session zone; a non-UTC session must
+    fail loudly instead of silently epoch-shifting every downstream
+    time function (ADVICE round 1)."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert dict(load_table(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+    try:
+        # every fixed-UTC alias is fine — the driver's vanilla session
+        # reports the JVM default, e.g. 'Etc/UTC'
+        for alias in ("Etc/UTC", "GMT", "Z"):
+            spark.conf.set("spark.sql.session.timeZone", alias)
+            load_table(spark, sf_dir, "events")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="UTC-equivalent"):
+            load_table(spark, sf_dir, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

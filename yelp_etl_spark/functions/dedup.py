@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from yelp_etl_spark.functions.checkpoint import truncate_lineage
 from yelp_etl_spark.functions.text import fingerprint, tokens
 
 
@@ -283,13 +284,16 @@ def connected_components(
     components, not pairs. Each round is one join + one groupBy on the
     node id (both shuffle on id, co-partitioned); rounds needed =
     graph diameter, which for near-dup families is tiny (2-4).
-    localCheckpoint truncates the plan each round so lineage doesn't
-    grow linearly with iterations; the driver-side loop only inspects
-    a scalar convergence count per round (no data collected).
+    Per-round lineage is truncated via functions/checkpoint.
+    truncate_lineage (reliable checkpoint when the session has a
+    checkpoint dir — executor-loss-safe at cluster scale — else
+    localCheckpoint) so the plan doesn't grow linearly with
+    iterations; the driver-side loop only inspects a scalar
+    convergence count per round (no data collected).
     """
     fwd = edges.select(F.col(src_col).alias("eid"), F.col(dst_col).alias("nbr"))
     rev = edges.select(F.col(dst_col).alias("eid"), F.col(src_col).alias("nbr"))
-    adj = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    adj = truncate_lineage(fwd.unionByName(rev).distinct(), eager=False)
 
     # Distinct column names on the label side (node vs eid/nbr) keep the
     # per-round self-derived join unambiguous to the analyzer.
@@ -297,8 +301,8 @@ def connected_components(
         adj.select(F.col("eid").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
     )
+    labels = truncate_lineage(labels, eager=False)
     for _ in range(max_iter):
         nbr_min = (
             adj.join(labels, adj["nbr"] == labels["node"], "inner")
@@ -315,7 +319,8 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = truncate_lineage(new_labels, eager=True)
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -11,18 +11,21 @@ re-derives them from source (5 iterations = 5 redundant scans+joins;
 measured 18s → ~2s at sf0.1). The per-iteration rank table is |V|
 rows — orders of magnitude smaller than |E| — so it broadcasts into
 the contribution join, leaving ONE shuffle per iteration (the
-contribution aggregate on dst). The final ranks are eagerly
-localCheckpoint-ed: that truncates the 5-iteration lineage (analysis
-stays cheap, no recompute-the-chain on executor loss) and lets the
-caches be released before returning. At 1B+ nodes the rank table no
-longer broadcasts — swap the hint for a co-partitioned join on a
-pre-bucketed edge list.
+contribution aggregate on dst). Per-iteration lineage is truncated via
+functions/checkpoint.truncate_lineage: RELIABLE checkpoint to durable
+storage when the session has a checkpoint dir (executor-loss-safe, the
+100 TB configuration — call checkpoint.set_checkpoint_dir once at
+startup), localCheckpoint in local mode where durability buys nothing.
+At 1B+ nodes the rank table no longer broadcasts — swap the hint for a
+co-partitioned join on a pre-bucketed edge list.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions.checkpoint import truncate_lineage
 
 
 def pagerank(
@@ -84,8 +87,8 @@ def pagerank(
             (F.lit(teleport) + F.lit(damping) * F.col("mass")).alias("rank"),
         )
         if (i + 1) % 3 == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.localCheckpoint(eager=True)
+            ranks = truncate_lineage(ranks, eager=True)
+    out = truncate_lineage(ranks, eager=True)
     for df in (sym, deg, sym_w):
         df.unpersist()
     return out
@@ -111,9 +114,11 @@ def bfs_distances(
     set is maintained as a loop-carried DataFrame and anti-joined to
     keep the frontier minimal (a node is expanded exactly once, at its
     first/shortest depth — Dijkstra's invariant with unit weights).
-    Each hop eagerly localCheckpoints the new frontier: the per-hop
-    count both drives early exit on an empty frontier and truncates
-    lineage so hop H doesn't recompute hops 1..H-1. The edge list is
+    Each hop eagerly truncates the new frontier's lineage (reliable
+    checkpoint when a checkpoint dir is set, else localCheckpoint —
+    see functions/checkpoint.py): the per-hop materialization both
+    drives early exit on an empty frontier and ensures hop H doesn't
+    recompute hops 1..H-1. The edge list is
     the loop invariant — cached once, released before returning. At
     scale the frontier join shuffles ~|frontier|·avg_degree rows per
     hop, the BFS lower bound; pre-bucketing edges by src removes even
@@ -124,23 +129,23 @@ def bfs_distances(
     if not skip_symmetric_dedup:
         sym = sym.distinct()
     sym = sym.cache()
-    frontier = (
+    frontier = truncate_lineage(
         seeds.select(F.col("id")).distinct()
-        .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .withColumn("dist", F.lit(0).cast("long")),
+        eager=True,
     )
     visited = frontier
     for hop in range(1, max_hops + 1):
-        frontier = (
+        frontier = truncate_lineage(
             sym.join(F.broadcast(frontier), F.col("src") == F.col("id"))
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=True)
+            .withColumn("dist", F.lit(hop).cast("long")),
+            eager=True,
         )
         if frontier.isEmpty():
             break
-        visited = visited.union(frontier).localCheckpoint(eager=True)
+        visited = truncate_lineage(visited.union(frontier), eager=True)
     sym.unpersist()
     return visited

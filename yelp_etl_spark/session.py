@@ -58,6 +58,11 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Some driver data generations write events.ts as
+        # TIMESTAMP(NANOS), which Spark's parquet reader rejects unless
+        # read as long; harmless for non-nanos files. Set once here so
+        # readers stay pure (no per-call session-conf mutation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

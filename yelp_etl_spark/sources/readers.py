@@ -31,6 +31,27 @@ TABLES = (
 )
 
 
+def _is_utc_zone(tz: str) -> bool:
+    """True if ``tz`` names a fixed UTC+0 zone (UTC, Etc/UTC, GMT, Z,
+    +00:00 …). Checked structurally — offset 0 at a winter and a summer
+    instant — so every UTC alias passes without an allowlist."""
+    from datetime import datetime, timedelta, timezone
+
+    if tz in ("UTC", "Z", "Etc/UTC", "GMT", "+00:00"):
+        return True
+    try:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tz)
+    except Exception:
+        return False
+    zero = timedelta(0)
+    return all(
+        datetime(y, m, 1, tzinfo=timezone.utc).astimezone(zone).utcoffset() == zero
+        for y, m in ((2024, 1), (2024, 7))
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar parquet scan → Catalyst gets
     column pruning + predicate pushdown for free.
@@ -47,12 +68,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is a builder-time conf (session.get_spark sets
+        # it); ad-hoc sessions that skipped it still work for µs files.
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
+            # The NTZ→LTZ cast reinterprets the wall-clock in the
+            # session zone; epoch-based functions downstream
+            # (unix_micros, watermarks) are only value-preserving under
+            # UTC. get_spark pins UTC, but load_table accepts any
+            # session (the driver hands us a vanilla one whose zone is
+            # the JVM default, e.g. 'Etc/UTC') — enforce the invariant
+            # at the cast site rather than silently epoch-shifting.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if not _is_utc_zone(tz):
+                raise ValueError(
+                    "load_table('events') requires a UTC-equivalent "
+                    f"spark.sql.session.timeZone (got {tz!r}): the "
+                    "timestamp_ntz->timestamp cast reinterprets "
+                    "wall-clock values in the session zone. Build the "
+                    "session via yelp_etl_spark.session.get_spark or "
+                    "set the conf before reading."
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
