@@ -746,3 +746,39 @@ def test_bitmap_merge_split_equals_whole(spark):
              GROUP BY 1)"""
     ).first()[0]
     assert whole == merged == 100000
+
+
+def test_embedding_neardup_lsh_recall_and_precision(spark):
+    """Banded-LSH near-dup: exact verification means NO false positives
+    (every emitted pair is truly over threshold), and at a high
+    threshold with 8x8 bands recall on planted near-dup pairs is high
+    (analytic recall 1-(1-p^8)^8 ~= 0.97 at cosine 0.98)."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    planted = set()
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((2 * i, base))
+        # near-duplicate twin: tiny perturbation, cosine ~0.99+
+        rows.append((2 * i + 1, [v + rng.gauss(0, 0.02) for v in base]))
+        planted.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs(df, threshold=0.97).collect()
+    }
+    approx_rows = S.embedding_neardup_pairs_lsh(
+        df, dim=16, threshold=0.97, n_bands=8, n_bits=8, seed=42
+    ).collect()
+    approx = {(r.id_a, r.id_b) for r in approx_rows}
+
+    # precision 1.0: candidates are exactly verified
+    assert approx <= exact
+    # all emitted sims really meet the threshold
+    assert all(r.cosine_sim >= 0.97 for r in approx_rows)
+    # recall on the planted twins
+    found = len(planted & approx) / len(planted)
+    assert found >= 0.85, f"recall {found}"

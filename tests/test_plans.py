@@ -232,3 +232,14 @@ def test_cohort_distinct_then_two_aggs(spark, sf_dir):
     plan = plan_of(QUERIES["cohort_retention"].fn(spark, sf_dir), "simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_embedding_neardup_lsh_is_bucketed_equi_join(spark, sf_dir):
+    """The LSH near-dup scale path must generate candidates through an
+    equi-join on (band, bucket) — never a cross/nested-loop join (the
+    exact all-pairs witness is the only place that shape is allowed)."""
+    plan = plan_of(QUERIES["embedding_neardup_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket join keys reach a hash-based join
+    assert "band" in plan and "bucket" in plan

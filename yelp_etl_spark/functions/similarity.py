@@ -308,6 +308,114 @@ def embedding_neardup_pairs_blocked(
     return bp.mapInPandas(gemm, "id_a long, id_b long, cosine_sim double")
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with LSH-pruned candidate
+    generation — the 100 TB default (the exact all-pairs forms,
+    embedding_neardup_pairs / _blocked, are the small-N witnesses).
+
+    Banded random-hyperplane LSH: each vector gets ``n_bands`` bucket
+    ids (``n_bits`` sign bits each); a pair is a CANDIDATE iff it
+    collides in at least one band, and candidates are verified with the
+    exact cosine ≥ threshold. Semantics are fully deterministic (planes
+    seeded, plan-time constants), so the result is reproducible and
+    oracle-checkable — recall vs the exact all-pairs answer is the
+    standard banded-LSH curve 1-(1-p^bits)^bands, p = 1-θ/π (≈0.89 for
+    cosine 0.95 at 4×8; tune bands/bits per threshold).
+
+    Scale shape: bucket assignment is one numpy GEMM per Arrow batch
+    (map-only); candidate generation is an EQUI-join on (band, bucket)
+    — shuffle-partitionable, skew-salvageable, never a cross join; the
+    per-pair exact dot runs only on the pruned candidate set, JVM-side.
+    Shuffled bytes carry (id, band, bucket) plus one vector fetch join
+    per side — each vector moves O(n_bands + matches) times, not O(N).
+    """
+    import numpy as np
+
+    planes = random_hyperplanes(dim, n_bands * n_bits, seed)
+    pmat = np.array(planes, dtype=np.float64)  # (bands*bits, dim)
+    weights = 2 ** np.arange(n_bits - 1, -1, -1)
+
+    src = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("__v")
+    )
+    bucket_schema = T.StructType(
+        [
+            src.schema["id"],
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["__v"].to_list(), dtype=np.float64)
+            bits = (vecs @ pmat.T) >= 0  # (n, bands*bits)
+            buckets = (
+                bits.reshape(len(vecs), n_bands, n_bits) * weights
+            ).sum(axis=2)  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(vecs)
+                    ),
+                    "bucket": buckets.astype(np.int64).ravel(),
+                }
+            )
+
+    hashed = src.mapInPandas(assign, bucket_schema)
+    a, b = hashed.alias("a"), hashed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # a pair colliding in several bands must be scored once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = src.withColumn("__n2", squared_norm(F.col("__v")))
+    va = v.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na"),
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb"),
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / F.sqrt(
+        F.col("__na") * F.col("__nb")
+    )
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim, round_digits).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy needed on
     executors — these are plan-time literals)."""

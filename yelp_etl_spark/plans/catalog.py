@@ -1290,6 +1290,77 @@ WHERE ROUND(list_dot_product(a.emb, b.emb) /
 """
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup — the 100 TB default route
+    (functions/similarity.py embedding_neardup_pairs_lsh): banded
+    hyperplane buckets generate candidates via an EQUI-join (never a
+    cross join); only candidates get the exact cosine check. The LSH
+    semantics are deterministic (seeded plan-time planes), so the
+    oracle replicates the identical bands in SQL — this checks the
+    *pruned* pipeline end-to-end, not just the verification kernel."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs_lsh(
+        embeddings, dim=64, threshold=0.4, n_bands=4, n_bits=8, seed=42
+    )
+
+
+def _oracle_embedding_neardup_lsh(
+    dim: int = 64,
+    n_bands: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+    threshold: float = 0.4,
+) -> str:
+    """Generate the DuckDB twin of embedding_neardup_pairs_lsh: same
+    seeded hyperplanes (repr() round-trips doubles exactly), same
+    band/bucket construction, same any-band-collision candidate rule,
+    same rounded cosine threshold."""
+    from yelp_etl_spark.functions.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_bands * n_bits, seed)
+
+    def lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    bucket_cols = []
+    for band in range(n_bands):
+        terms = [
+            "(CASE WHEN list_dot_product(emb, "
+            f"{lit(planes[band * n_bits + i])}) >= 0 "
+            f"THEN {2 ** (n_bits - 1 - i)} ELSE 0 END)"
+            for i in range(n_bits)
+        ]
+        bucket_cols.append(
+            "(" + " + ".join(terms) + f") AS bucket_{band}"
+        )
+    buckets_sql = ",\n         ".join(bucket_cols)
+    band_match = " OR ".join(
+        f"a.bucket_{band} = b.bucket_{band}" for band in range(n_bands)
+    )
+    cos = (
+        "ROUND(list_dot_product(a.emb, b.emb) / "
+        "SQRT(list_dot_product(a.emb, a.emb) * "
+        "list_dot_product(b.emb, b.emb)), 4)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), h AS (
+  SELECT vec_id, emb,
+         {buckets_sql}
+  FROM v
+)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+  FROM h a JOIN h b ON a.vec_id < b.vec_id AND ({band_match})
+)
+WHERE cosine_sim >= {threshold}
+"""
+
+
+ORACLE_EMBEDDING_NEARDUP_LSH = _oracle_embedding_neardup_lsh()
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — sketch values are
     engine-specific, so rows-only check; the exact distinct_counts query
@@ -4699,6 +4770,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "embedding_neardup": QuerySpec(
         q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP, "ext:dedup-embedding"
     ),
+    "embedding_neardup_lsh": QuerySpec(
+        q_embedding_neardup_lsh,
+        ORACLE_EMBEDDING_NEARDUP_LSH,
+        "ext:dedup-embedding-lsh",
+    ),
     "ivf_topk": QuerySpec(q_ivf_topk, None, "ext:similarity-ivf"),
     "stats_aggs": QuerySpec(q_stats_aggs, ORACLE_STATS_AGGS, "stats agg"),
     "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
@@ -4864,7 +4940,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "minhash_portable",
     "simhash_portable",
     "neardup_components",
-    "embedding_neardup",
+    "embedding_neardup_lsh",
     "cosine_topk",
     "funnel_conversion",
     "bitmap_distinct",
