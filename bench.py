@@ -152,6 +152,12 @@ BENCH_QUERIES = [
     "mad_outliers",
     "keyword_search",
     "linear_interp_fill",
+    # curation surface (functions/curation.py)
+    "embedding_neardup_lsh",
+    "repetition_flags",
+    "decontaminate_docs",
+    "mixture_sample",
+    "shard_layout",
 ]
 
 

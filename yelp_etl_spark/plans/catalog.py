@@ -4721,6 +4721,166 @@ FROM orders GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Training-corpus curation surface (functions/curation.py)
+# --------------------------------------------------------------------------
+
+
+def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (functions/curation.py
+    repetition_metrics): per-doc mode-word share and duplicate-3-gram
+    fraction, plus the boolean gate a curation pipeline would filter
+    on. dup fraction is a map-only array expression; the mode share is
+    one keyed shuffle on doc_id."""
+    from yelp_etl_spark.functions.curation import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    m = repetition_metrics(docs, ngram=3)
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "dup_ngram_frac",
+        "top_word_frac",
+        (
+            (F.col("dup_ngram_frac") > 0.2) | (F.col("top_word_frac") > 0.12)
+        ).alias("flagged"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+), grams AS (
+  SELECT doc_id, LENGTH(tok) AS n_tokens,
+         CASE WHEN LENGTH(tok) >= 3 THEN
+           list_transform(range(1, LENGTH(tok) - 2 + 1),
+             i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))
+         ELSE [] END AS g
+  FROM toks
+), tw AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, t, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(tok) AS t FROM toks)
+    GROUP BY doc_id, t
+  ) GROUP BY doc_id
+), m AS (
+  SELECT g.doc_id,
+         CAST(g.n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN LENGTH(g.g) > 0
+              THEN ROUND(1 - CAST(LENGTH(list_distinct(g.g)) AS DOUBLE)
+                             / LENGTH(g.g), 6)
+              ELSE 0.0 END AS dup_ngram_frac,
+         CASE WHEN g.n_tokens > 0
+              THEN ROUND(CAST(tw.topc AS DOUBLE) / g.n_tokens, 6)
+              ELSE 0.0 END AS top_word_frac
+  FROM grams g LEFT JOIN tw ON g.doc_id = tw.doc_id
+)
+SELECT doc_id, n_tokens, dup_ngram_frac, top_word_frac,
+       (dup_ngram_frac > 0.2 OR top_word_frac > 0.12) AS flagged
+FROM m
+"""
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/curation.py decontaminate):
+    docs with doc_id % 50 = 0 stand in for an eval set; the training
+    side (the rest) drops every document sharing ANY token 5-gram with
+    it. Benchmark shingles broadcast (eval sets are small); training
+    text is scanned once."""
+    from yelp_etl_spark.functions.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, ngram=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, LENGTH(tok) - 4 + 1),
+           i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4]))))
+           AS sh
+  FROM toks WHERE LENGTH(tok) >= 5
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+), dirty AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.sh = b.sh
+  WHERE s.doc_id % 50 <> 0
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 50 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+
+def _hex_threshold(fraction: float) -> str:
+    from yelp_etl_spark.functions.sampling import fraction_threshold
+
+    return fraction_threshold(fraction)
+
+
+_MIXTURE_RATES = {"en": 0.3, "de": 0.5, "zh": 1.0}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixture reweighting (functions/curation.py
+    mixture_sample): per-language keep rates re-balance the corpus
+    (en over-represented → 0.3, de → 0.5, others kept). Pure
+    scan-level md5-prefix filter — stable across engines and
+    repartitioning, zero shuffle."""
+    from yelp_etl_spark.functions.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(docs, "lang", _MIXTURE_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang
+        WHEN 'en' THEN '{_hex_threshold(0.3)}'
+        WHEN 'de' THEN '{_hex_threshold(0.5)}'
+        WHEN 'zh' THEN '{_hex_threshold(1.0)}'
+        ELSE '{_hex_threshold(1.0)}'
+      END
+"""
+
+
+def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment (functions/curation.py
+    shard_assignment): every doc gets a stable (shard, position) from
+    its md5 hash — the deterministic global shuffle used to write
+    training shards. One exchange on shard id."""
+    from yelp_etl_spark.functions.curation import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assignment(docs, n_shards=8)
+
+
+ORACLE_SHARD_LAYOUT = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
 _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -4877,6 +5037,18 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "bfs_reachability": QuerySpec(q_bfs_reach, ORACLE_BFS, "recursive CTE / BFS"),
     "weighted_sample": QuerySpec(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE, "E-S weighted sampling"),
     "bitmap_distinct": QuerySpec(q_bitmap_distinct, ORACLE_BITMAP_DISTINCT, "mergeable exact distinct"),
+    "repetition_flags": QuerySpec(
+        q_repetition_flags, ORACLE_REPETITION, "ext:curation repetition"
+    ),
+    "decontaminate_docs": QuerySpec(
+        q_decontaminate_docs, ORACLE_DECONTAMINATE, "ext:curation decontamination"
+    ),
+    "mixture_sample": QuerySpec(
+        q_mixture_sample, ORACLE_MIXTURE_SAMPLE, "ext:curation mixture"
+    ),
+    "shard_layout": QuerySpec(
+        q_shard_layout, ORACLE_SHARD_LAYOUT, "ext:curation sharding"
+    ),
 }
 
 
