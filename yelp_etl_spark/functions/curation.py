@@ -41,7 +41,15 @@ from yelp_etl_spark.functions.text import tokens
 def _token_ngrams(tok: Column, n: int) -> Column:
     """Array of space-joined token n-grams (plan-time expression).
     Guarded: F.sequence(1, stop) with stop < 1 would generate a
-    DESCENDING [1, 0] sequence, so short docs return an empty array."""
+    DESCENDING [1, 0] sequence, so short docs return an empty array.
+
+    CAUTION (measured): feeding this a computed ``tok`` expression —
+    e.g. ``tokens(text)`` — lets CollapseProject re-inline the
+    tokenizer into every element_at inside the lambda, i.e. n regex
+    parses of the full text PER GRAM (30× slowdown at sf0.1). Use it
+    only on a materialized array column; the operators below use the
+    exploded/window form (_token_ngram_rows) instead, which runs the
+    tokenizer exactly once per document."""
     count = F.size(tok) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), count),
@@ -52,6 +60,37 @@ def _token_ngrams(tok: Column, n: int) -> Column:
     return F.when(count > 0, grams).otherwise(
         F.expr("CAST(array() AS ARRAY<STRING>)")
     )
+
+
+def _token_rows(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, tok) rows — tokenizer runs ONCE per document, then
+    everything downstream is flat relational ops. Documents with no
+    tokens keep one (id, null, null) row (explode_outer) so per-doc
+    aggregates still see them."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+
+
+def _token_ngram_rows(
+    tok_rows: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Add a ``gram`` column to (id, pos, tok) rows: the n-gram
+    starting at pos (null for the trailing n-1 positions and for
+    empty docs). One window shuffle on the doc key — co-partitioned
+    with every later per-doc aggregate."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, n)
+    ]
+    gram = F.when(
+        F.col("tok").isNotNull() & parts[-1].isNotNull(),
+        F.concat_ws(" ", *parts),
+    )
+    return tok_rows.withColumn("gram", gram)
 
 
 def repetition_metrics(
@@ -68,50 +107,43 @@ def repetition_metrics(
     - ``dup_ngram_frac``: 1 − distinct/total token ``ngram``-grams —
       near 1.0 for looped/templated text.
 
-    Shapes: dup_ngram_frac is a map-only array expression; the mode
-    share is explode → (doc, token) partial-agg → max/sum per doc (two
-    hash aggregates over one shuffle on the doc key; token rows carry
-    only ids + token). Lowercased word tokens match functions.text.
+    Shape: tokenizer once per doc (posexplode), one window + three
+    aggregates ALL keyed on the doc id — a single shuffle partitioning
+    reused end to end. (The array-expression form re-inlined the
+    tokenizer per gram — see _token_ngrams — and ran 30× slower at
+    sf0.1.) Lowercased word tokens match functions.text.
     """
-    tok = tokens(F.col(text_col))
-    grams = _token_ngrams(tok, ngram)
-    base = df.select(
-        F.col(id_col),
-        tok.alias("__tok"),
-        F.size(tok).cast("long").alias("n_tokens"),
+    grams = _token_ngram_rows(_token_rows(df, id_col, text_col), id_col, ngram)
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.count("gram").alias("__n_grams"),
+        F.size(F.collect_set("gram")).cast("long").alias("__n_distinct"),
+    )
+    top = (
+        grams.filter(F.col("tok").isNotNull())
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    return per_doc.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
         F.when(
-            F.size(grams) > 0,
+            F.col("__n_grams") > 0,
             F.round(
-                1.0
-                - F.size(F.array_distinct(grams))
-                / F.size(grams).cast("double"),
+                1.0 - F.col("__n_distinct") / F.col("__n_grams").cast("double"),
                 6,
             ),
         )
         .otherwise(F.lit(0.0))
         .alias("dup_ngram_frac"),
-    )
-    counts = (
-        base.select(id_col, F.explode("__tok").alias("__t"))
-        .groupBy(id_col, "__t")
-        .agg(F.count("*").alias("__c"))
-        .groupBy(id_col)
-        .agg(F.max("__c").alias("__top"))
-    )
-    return (
-        base.drop("__tok")
-        .join(counts, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            "dup_ngram_frac",
-            F.when(
-                F.col("n_tokens") > 0,
-                F.round(F.col("__top") / F.col("n_tokens").cast("double"), 6),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("top_word_frac"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("__top") / F.col("n_tokens").cast("double"), 6),
         )
+        .otherwise(F.lit(0.0))
+        .alias("top_word_frac"),
     )
 
 
@@ -128,23 +160,23 @@ def decontaminate(
 
     The benchmark side reduces to its DISTINCT shingle set — small by
     construction (eval sets are thousands of docs, not billions) — and
-    broadcasts into a semi-join against the training side's exploded
-    shingles; matched ids then anti-join (keep_clean) back onto the
-    full rows. Training text is scanned once; nothing shuffles except
-    the matched-id set.
+    broadcasts into a semi-join against the training side's shingle
+    rows; matched ids then anti-join (keep_clean) back onto the full
+    rows. The tokenizer runs once per document (exploded/window form,
+    not per-shingle re-inlined expressions); the only training-side
+    shuffle is the window on the doc key plus the matched-id distinct.
     """
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(_token_ngrams(tokens(F.col(text_col)), ngram))
-        ).alias("__sh"),
+    doc_sh = (
+        _token_ngram_rows(_token_rows(docs, id_col, text_col), id_col, ngram)
+        .filter(F.col("gram").isNotNull())
+        .select(F.col(id_col), F.col("gram").alias("__sh"))
     )
     bench_sh = (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(_token_ngrams(tokens(F.col(text_col)), ngram))
-            ).alias("__sh")
+        _token_ngram_rows(
+            _token_rows(benchmark, id_col, text_col), id_col, ngram
         )
+        .filter(F.col("gram").isNotNull())
+        .select(F.col("gram").alias("__sh"))
         .distinct()
     )
     dirty_ids = (
