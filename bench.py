@@ -5,8 +5,8 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per-query timing = full execution to a count-style action (results are
-materialized but not collected to the driver). A warmup query runs first
-so JVM/codegen startup isn't billed to the first query.
+materialized but not collected to the driver); min of N runs, with the
+first run absorbing JIT/codegen warmup.
 """
 
 from __future__ import annotations
@@ -161,8 +161,6 @@ BENCH_QUERIES = [
 ]
 
 
-WARMUP_SF_DIR = "/root/testdata/sf0.001"
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,19 +168,12 @@ def main() -> None:
     spark = get_spark("yelp-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Steady-state measurement: run each query shape once at the smoke SF
-    # first so JVM/codegen compilation isn't billed to the timed run.
-    for name in BENCH_QUERIES:
-        try:
-            QUERIES[name].fn(spark, WARMUP_SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # warmup is best-effort; the timed run surfaces real errors
-
     # Three timed runs per query, min taken — single-run local[N] timings
     # carry GC/compilation noise of up to ~3x on sub-second queries; the
-    # min is the standard steady-state estimator (cf. hyperfine).
+    # min is the standard steady-state estimator (cf. hyperfine). The
+    # first run doubles as the JIT/codegen warmup (the min never picks
+    # it), which keeps total wall-clock at one timed pass instead of a
+    # separate warmup sweep over the whole catalog.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # A full-GC hint between queries keeps accumulated broadcast /
     # Arrow / codegen garbage from billing its collection pause to

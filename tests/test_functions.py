@@ -782,3 +782,18 @@ def test_embedding_neardup_lsh_recall_and_precision(spark):
     # recall on the planted twins
     found = len(planted & approx) / len(planted)
     assert found >= 0.85, f"recall {found}"
+
+
+def test_lsh_params_scale_with_corpus_size():
+    from yelp_etl_spark.functions.similarity import lsh_params_for
+
+    _, bits_small = lsh_params_for(1_000)
+    _, bits_big = lsh_params_for(1_000_000)
+    _, bits_huge = lsh_params_for(10_000_000_000)
+    assert bits_small < bits_big < bits_huge
+    assert bits_huge <= 30
+    # bucket occupancy stays ~target: N / 2^bits in [target/2, target]
+    for n in (10_000, 10_000_000, 1_000_000_000):
+        _, bits = lsh_params_for(n, target_bucket_size=64)
+        occ = n / 2**bits
+        assert 32 <= occ <= 64.0001

@@ -1,3 +1,25 @@
-from yelp_etl_spark.functions import dedup, similarity, text
+from yelp_etl_spark.functions import (
+    checkpoint,
+    curation,
+    dedup,
+    graph,
+    multimodal,
+    sampling,
+    similarity,
+    sketches,
+    text,
+    udfs,
+)
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = [
+    "checkpoint",
+    "curation",
+    "dedup",
+    "graph",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "sketches",
+    "text",
+    "udfs",
+]

@@ -308,6 +308,35 @@ def embedding_neardup_pairs_blocked(
     return bp.mapInPandas(gemm, "id_a long, id_b long, cosine_sim double")
 
 
+def lsh_params_for(
+    n_vectors: int,
+    target_bucket_size: int = 64,
+    n_bands: int = 4,
+    max_bits: int = 30,
+) -> tuple[int, int]:
+    """Size banded-LSH (n_bands, n_bits) for a corpus of ``n_vectors``.
+
+    Within-bucket candidate pairs grow ~(N/2^bits)²·2^bits per band, so
+    bits must scale with log2(N) to hold per-bucket work constant — a
+    FIXED bit width goes superlinear as data grows (measured: the 4×8
+    catalog config is ~linear at sf0.1 but slope ~16 on a 10×
+    replica probe). This returns bits = ceil(log2(N / target_bucket)),
+    keeping expected bucket occupancy ≈ target_bucket_size; recall at a
+    given cosine threshold then follows 1-(1-p^bits)^bands, so raise
+    n_bands when raising bits if recall must hold.
+
+    Note exact duplicates always share every bucket regardless of
+    sizing — run exact dedup (functions/dedup.exact_dedup) BEFORE
+    near-dup candidate generation, as a production pipeline does.
+    """
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return n_bands, 4
+    bits = math.ceil(math.log2(n_vectors / target_bucket_size))
+    return n_bands, max(4, min(bits, max_bits))
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     dim: int,
