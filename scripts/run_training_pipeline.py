@@ -10,14 +10,22 @@ chain them at 100 TB.
       → exact dedup        (functions/dedup.py — 16-byte digests shuffle)
       → near-dup dedup     (MinHash-LSH candidates → components → keep
                             canonical doc per cluster)
+      → repetition gate    (functions/curation.py — Gopher-style
+                            mode-word / duplicate-n-gram thresholds)
+      → decontamination    (functions/curation.py — drop docs sharing
+                            token n-grams with the held-out eval set)
       → PII redaction      (chained regexp_replace, map-only)
+      → mixture reweighting(functions/curation.py — per-source keep
+                            rates, md5 scan filter)
       → deterministic split(functions/sampling.py — md5-prefix, stable)
+      → shard layout       (functions/curation.py — stable (shard, pos))
       → token stats        (observe metrics: zero extra scans)
       → train/test parquet (sources/writers.py)
 
-Stage costs: two keyed shuffles total (exact-dedup digest group and the
-LSH band join); everything else is map-only, so the pipeline scales
-with scan bandwidth. Run:
+Stage costs: four keyed shuffles total (exact-dedup digest group, the
+LSH band join, the repetition-gate doc-key window, the shard exchange);
+decontamination broadcasts the eval shingle set; everything else is
+map-only, so the pipeline scales with scan bandwidth. Run:
 
     python scripts/run_training_pipeline.py [sf_dir] [out_dir]
 """
@@ -32,9 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
+from yelp_etl_spark.functions import curation as C
 from yelp_etl_spark.functions import dedup as D
 from yelp_etl_spark.functions import text as TX
-from yelp_etl_spark.functions.sampling import train_test_split
+from yelp_etl_spark.functions.sampling import deterministic_sample, train_test_split
 from yelp_etl_spark.operators.validate import assert_quality
 from yelp_etl_spark.session import get_spark
 
@@ -70,9 +79,36 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, float]:
     pairs = D.minhash_candidate_pairs(exact_unique, num_hashes=32, bands=8)
     deduped = D.dedup_keep_canonical(exact_unique, pairs)
 
-    # 6. PII scrub + 7. deterministic split.
-    scrubbed = deduped.withColumn("text", TX.redact_pii(F.col("text")))
-    split = train_test_split(scrubbed, "doc_id", train_fraction=0.9)
+    # 5b. Repetition gate: drop boilerplate/looped documents (mode-word
+    #     share, duplicate-3-gram fraction — thresholds are corpus
+    #     knobs; these keep the synthetic fixture's healthy docs).
+    rep = C.repetition_metrics(deduped, ngram=3)
+    rep_ok = rep.filter(
+        (F.col("dup_ngram_frac") <= 0.6) & (F.col("top_word_frac") <= 0.5)
+    ).select("doc_id")
+    gated = deduped.join(rep_ok, "doc_id", "left_semi")
+
+    # 5c. Decontamination: a deterministic 2% held-out eval sample must
+    #     not leak token 5-grams into the training corpus.
+    eval_set = deterministic_sample(docs, "doc_id", 0.02)
+    decontaminated = C.decontaminate(
+        gated.join(eval_set.select("doc_id"), "doc_id", "left_anti"),
+        eval_set,
+        ngram=5,
+    )
+
+    # 6. PII scrub; 6b. source-mixture reweighting; 7. deterministic split.
+    scrubbed = decontaminated.withColumn("text", TX.redact_pii(F.col("text")))
+    balanced = C.mixture_sample(
+        scrubbed, "source", {"src0": 0.5, "src1": 0.5}, key_col="doc_id"
+    )
+    split = train_test_split(balanced, "doc_id", train_fraction=0.9)
+
+    # 7b. Stable shard layout for the training writer.
+    split = split.join(
+        C.shard_assignment(split, key_col="doc_id", n_shards=4),
+        "doc_id",
+    )
 
     # 8. Token stats via observe: collected during the write, no rescan.
     obs = Observation("pipeline_metrics")

@@ -215,3 +215,45 @@ def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert n_fp == n
     # split column partitions the output exhaustively
     assert result.filter(~F.col("split").isin("train", "test")).count() == 0
+
+
+def test_training_pipeline_curation_stages(spark, sf_dir, tmp_path):
+    """Round-2 stages: output is decontaminated against the eval
+    sample, carries a dense shard layout, and respects the source
+    mixture downsampling."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from run_training_pipeline import run
+
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.functions.curation import decontaminate
+    from yelp_etl_spark.functions.sampling import deterministic_sample
+
+    out = str(tmp_path / "corpus2")
+    run(spark, sf_dir, out)
+    result = spark.read.parquet(out)
+
+    # shard layout: present, dense within (shard)
+    assert {"shard", "pos"} <= set(result.columns)
+    for r in (
+        result.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+        .collect()
+    ):
+        assert r.n == r.mx
+
+    # no doc from the eval sample leaks into the corpus, and no output
+    # doc still shares a 5-gram with it
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    eval_set = deterministic_sample(docs, "doc_id", 0.02)
+    eval_ids = {r.doc_id for r in eval_set.select("doc_id").collect()}
+    out_ids = {r.doc_id for r in result.select("doc_id").collect()}
+    assert not (eval_ids & out_ids)
+    assert (
+        decontaminate(result, eval_set, ngram=5, keep_clean=False).count() == 0
+    )
