@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "mixture_sample",
     "shard_layout",
+    "variant_props",
 ]
 
 

@@ -4721,6 +4721,42 @@ FROM orders GROUP BY 1
 """
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse the
+    JSON once into a binary variant value, extract typed paths with
+    try_variant_get, aggregate. Versus re-parsing JSON strings per
+    access (get_json_object), the variant parse happens once and every
+    later path extraction reads the binary encoding — the open-format
+    answer for schema-on-read columns at scale (same encoding as
+    Parquet's variant spec)."""
+    events = _t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT event_type,
+       COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-corpus curation surface (functions/curation.py)
 # --------------------------------------------------------------------------
@@ -5048,6 +5084,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "shard_layout": QuerySpec(
         q_shard_layout, ORACLE_SHARD_LAYOUT, "ext:curation sharding"
+    ),
+    "variant_props": QuerySpec(
+        q_variant_props, ORACLE_VARIANT_PROPS, "L4 variant type"
     ),
 }
 
