@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "mixture_sample",
     "shard_layout",
     "variant_props",
+    "unigram_nll_score",
+    "bm25_search",
 ]
 
 

@@ -364,3 +364,105 @@ def chunk_documents(
             .alias("chunk_n_tokens"),
         )
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram model — the dependency-free stand-in for perplexity
+    quality scoring (real pipelines swap in a KenLM/transformer scorer
+    behind the same shape). Documents full of corpus-typical tokens
+    score low; rare-token/noise-heavy documents score high and get
+    culled by a threshold.
+
+    Shape: one token explode; the unigram table reduces to (token,
+    count) — vocabulary-sized, broadcast back onto the token stream —
+    then one per-doc aggregate. Two keyed shuffles, no state. The
+    corpus total is folded in at scoring time (ln(total) - ln(count)),
+    so the model table stays mergeable across corpus shards.
+
+    Whitespace tokenization keeps the score engine-portable (the
+    DuckDB oracle reproduces it exactly).
+    """
+    import math
+
+    toks = df.select(
+        F.col(id_column),
+        F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
+    )
+    model = toks.groupBy("tok").agg(F.count("*").alias("tf_corpus"))
+    total = toks.count()  # one scalar job; at scale: a running metric
+    scored = toks.join(F.broadcast(model), "tok")
+    return (
+        scored.groupBy(id_column)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.lit(math.log(total)) - F.log("tf_corpus")), 4
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag-of-terms query — the
+    classic sparse-retrieval scorer (the lexical half of hybrid search
+    next to the cosine/ANN operators in functions/similarity.py).
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))
+        idf(t)   = ln( (N − df + 0.5) / (df + 0.5) + 1 )
+
+    Shape: the token stream filters to the query terms BEFORE any
+    shuffle (posting-list pruning — the derived-inline form of an
+    inverted index); doc lengths come from one map-side aggregate; N,
+    avgdl, and the per-term df are scalars/tiny tables broadcast into
+    the scoring join. Output is the rounded-score top-k with doc id as
+    the deterministic tiebreak.
+    """
+    import math
+
+    toks = df.select(
+        F.col(id_column),
+        F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
+    )
+    doclen = toks.groupBy(id_column).agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+
+    hits = toks.filter(F.col("tok").isin(*terms))
+    tf = hits.groupBy(id_column, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = dfreq.withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    )
+    scored = (
+        tf.join(F.broadcast(idf.select("tok", "idf")), "tok")
+        .join(doclen, id_column)
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy(id_column)
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_column))
+        .limit(top_k)
+        .select(id_column, "bm25")
+    )

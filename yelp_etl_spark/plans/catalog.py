@@ -4757,6 +4757,72 @@ GROUP BY event_type
 """
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring under the corpus's own unigram
+    model (functions/text.py unigram_nll): per-doc average negative
+    log-likelihood; rare-token/noise documents score high. The
+    vocabulary-sized model broadcasts; two keyed shuffles total."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.unigram_nll(docs)
+
+
+ORACLE_UNIGRAM_NLL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), model AS (
+  SELECT tok, COUNT(*) AS tf_corpus FROM toks GROUP BY tok
+), total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN((SELECT t FROM total)) - LN(tf_corpus)), 4) AS avg_nll
+FROM toks JOIN model USING (tok)
+GROUP BY doc_id
+"""
+
+
+_BM25_TERMS = ["merge", "window", "query"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a 3-term query (functions/text.py bm25_rank):
+    the lexical half of hybrid retrieval next to cosine/ANN. Posting
+    lists prune to the query terms before any shuffle; idf/doc-length
+    stats broadcast into the scoring join."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_rank(docs, _BM25_TERMS, top_k=20)
+
+
+ORACLE_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('merge', 'window', 'query')
+  GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok,
+         LN(((SELECT n_docs FROM stats) - COUNT(*) + 0.5)
+            / (COUNT(*) + 0.5) + 1.0) AS idf
+  FROM tf GROUP BY tok
+)
+SELECT doc_id,
+       ROUND(SUM(idf * (tf * (1.2 + 1))
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))),
+             4) AS bm25
+FROM tf
+JOIN idf USING (tok)
+JOIN doclen USING (doc_id)
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-corpus curation surface (functions/curation.py)
 # --------------------------------------------------------------------------
@@ -5087,6 +5153,12 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "variant_props": QuerySpec(
         q_variant_props, ORACLE_VARIANT_PROPS, "L4 variant type"
+    ),
+    "unigram_nll_score": QuerySpec(
+        q_unigram_nll, ORACLE_UNIGRAM_NLL, "ext:quality perplexity-lite"
+    ),
+    "bm25_search": QuerySpec(
+        q_bm25_search, ORACLE_BM25, "ext:retrieval bm25"
     ),
 }
 
