@@ -117,3 +117,67 @@ def test_extract_byte_features(spark):
     assert rows[4].null_ratio == 0.5
     assert abs(rows[4].byte_entropy - 1.5) < 1e-9  # {1/4,1/4,1/2} → 1.5 bits
     assert rows[1].printable_ratio == 1.0
+
+
+def test_parse_media_headers_real_containers(spark):
+    """Handcrafted minimal-but-valid container headers: the parser must
+    recover true dimensions / audio params from raw bytes, no codec."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+    )
+    from yelp_etl_spark.functions.multimodal import (
+        jpeg_dimensions,
+        parse_media_headers,
+    )
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 8
+        + b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(wav)), (4, bytearray(jpeg))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in parse_media_headers(df).collect()}
+    assert rows[1].blob_format == "png"
+    assert (rows[1].media_width, rows[1].media_height) == (640, 480)
+    assert rows[2].blob_format == "gif"
+    assert (rows[2].media_width, rows[2].media_height) == (320, 200)
+    assert rows[3].blob_format == "riff"
+    assert (rows[3].audio_channels, rows[3].audio_sample_rate) == (2, 44100)
+    assert rows[4].blob_format == "jpeg"
+    assert rows[4].media_width is None  # jpeg needs the marker scan
+
+    jd = {r.doc_id: r for r in jpeg_dimensions(df.filter("doc_id = 4")).collect()}
+    assert (jd[4].jpeg_width, jd[4].jpeg_height) == (640, 480)
+
+
+def test_jpeg_dimensions_garbage_safe(spark):
+    from yelp_etl_spark.functions.multimodal import jpeg_dimensions
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff")), (2, bytearray(b"not a jpeg")), (3, None)],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in jpeg_dimensions(df).collect()}
+    assert all(
+        rows[i].jpeg_width is None and rows[i].jpeg_height is None
+        for i in (1, 2, 3)
+    )

@@ -233,3 +233,113 @@ def synthesize_blobs(df: DataFrame, from_col: str = "text") -> DataFrame:
             F.unhex(F.lit("89504E470D0A1A0A")), F.encode(F.col(from_col), "utf-8")
         ),
     )
+
+
+def _be_int(blob_col: str, start: int, nbytes: int):
+    """Big-endian unsigned int from 1-indexed byte offset (JVM-side:
+    substring → hex → conv; stays in codegen, no Python)."""
+    return F.conv(
+        F.hex(F.expr(f"substring({blob_col}, {start}, {nbytes})")), 16, 10
+    ).cast("long")
+
+
+def _le_int(blob_col: str, start: int, nbytes: int):
+    """Little-endian unsigned int, built from per-byte BE reads."""
+    total = F.lit(0).cast("long")
+    for i in range(nbytes - 1, -1, -1):
+        total = total * 256 + _be_int(blob_col, start + i, 1)
+    return total
+
+
+def parse_media_headers(df: DataFrame, blob_col: str = "content") -> DataFrame:
+    """Real (codec-free) media metadata from container headers — pure
+    byte arithmetic, so unlike pixel decoding it needs no image/audio
+    library and runs fully JVM-side inside codegen:
+
+    - PNG:  IHDR width/height (big-endian 32-bit at fixed offsets)
+    - GIF:  logical-screen width/height (little-endian 16-bit)
+    - WAV:  canonical fmt chunk → channels + sample rate
+    - JPEG: dimensions need a variable-length marker scan → see
+      jpeg_dimensions (Arrow-batched); null here.
+
+    Adds media_width / media_height / audio_channels /
+    audio_sample_rate (null where the format doesn't carry them).
+    Composes with attach_blob_metadata's format sniff. At 100 TB this
+    is the cheap first pass that routes blobs to per-format decode
+    stages without reading beyond the header bytes."""
+    out = df if "blob_format" in df.columns else attach_blob_metadata(df, blob_col)
+    fmt = F.col("blob_format")
+    is_gif = fmt == "gif"
+    is_png = fmt == "png"
+    is_wav = (fmt == "riff") & (
+        F.expr(f"substring({blob_col}, 9, 4)") == F.lit(b"WAVE")
+    )
+    width = F.when(is_png, _be_int(blob_col, 17, 4)).when(
+        is_gif, _le_int(blob_col, 7, 2)
+    )
+    height = F.when(is_png, _be_int(blob_col, 21, 4)).when(
+        is_gif, _le_int(blob_col, 9, 2)
+    )
+    channels = F.when(is_wav, _le_int(blob_col, 23, 2))
+    rate = F.when(is_wav, _le_int(blob_col, 25, 4))
+    return out.withColumns(
+        {
+            "media_width": width.cast("int"),
+            "media_height": height.cast("int"),
+            "audio_channels": channels.cast("int"),
+            "audio_sample_rate": rate.cast("int"),
+        }
+    )
+
+
+JPEG_DIM_SCHEMA = "jpeg_width int, jpeg_height int"
+
+
+def jpeg_dimensions(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """JPEG dimensions via an SOF-marker scan (variable-length segments
+    make this inexpressible as fixed-offset column arithmetic): walk
+    the segment chain, find the first start-of-frame marker
+    (FFC0–FFCF minus C4/C8/CC), read height/width (big-endian) at
+    +5/+7. Arrow-batched mapInPandas over (id, blob) only — run it on
+    the jpeg-sniffed subset after parse_media_headers routes formats.
+    Bytes examined per blob ≈ header segments, not the payload."""
+    import pandas as pd
+
+    src = df.select(id_col, blob_col)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dims(payload):
+            b = bytes(payload) if payload is not None else b""
+            if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+                return None, None
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    return w, h
+                i += 2 + seg_len
+            return None, None
+
+        for pdf in batches:
+            parsed = [dims(p) for p in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "jpeg_width": [w for w, _ in parsed],
+                    "jpeg_height": [h for _, h in parsed],
+                }
+            )
+
+    schema = f"{id_col} long, {JPEG_DIM_SCHEMA}"
+    return src.mapInPandas(scan, schema)
