@@ -3500,10 +3500,20 @@ def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # floor(x*100 + 0.5)/100 instead of ROUND: Spark rounds the decimal
+    # RENDERING of the double half-up while DuckDB rounds the binary
+    # value, so raw ratios sitting at a .xx5 boundary (9 rows at sf0.1)
+    # round differently — and the rounded value feeds the min-equality
+    # join-back, so the divergence selects different rows. The floor
+    # form is pure IEEE double arithmetic, bit-identical cross-engine.
     assoc = lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
-            "unit_cost"
-        )
+        (
+            F.floor(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")) * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("unit_cost")
     )
     cand = (
         assoc.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -3522,7 +3532,8 @@ def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TPCH_Q2 = """
 WITH assoc AS (
   SELECT l_partkey, l_suppkey,
-         ROUND(AVG(l_extendedprice / l_quantity), 2) AS unit_cost
+         FLOOR(AVG(l_extendedprice / l_quantity) * 100 + 0.5) / 100
+           AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ), cand AS (
   SELECT p_partkey, p_name, s_name, n_name, unit_cost,
