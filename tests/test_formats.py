@@ -83,3 +83,69 @@ def test_events_ntz_cast_requires_utc_session(spark, sf_dir):
             load_table(spark, sf_dir, "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, sf_dir, tmp_path
+):
+    from yelp_etl_spark.sources.writers import overwrite_partitions_dynamic
+
+    target = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    overwrite_partitions_dynamic(orders, target, ["o_orderstatus"])
+    before = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(before) >= 2
+
+    # rewrite ONE partition with a single row; others must be untouched
+    some_status = sorted(before)[0]
+    one = orders.filter(F.col("o_orderstatus") == some_status).limit(1)
+    overwrite_partitions_dynamic(one, target, ["o_orderstatus"])
+    after = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert after[some_status] == 1
+    for status, n in before.items():
+        if status != some_status:
+            assert after[status] == n  # untouched partitions intact
+
+
+def test_read_json_permissive_corrupt_record_capture(spark, tmp_path):
+    """S1 robustness: malformed JSON lines must not kill a 100 TB scan.
+    PERMISSIVE mode with an explicit schema + _corrupt_record column
+    captures bad lines for quarantine while good rows flow through."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from yelp_etl_spark.sources.readers import read_json
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "name": "fine"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema=schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]._corrupt_record
+    df.unpersist()

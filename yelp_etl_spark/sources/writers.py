@@ -155,3 +155,30 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    target: str,
+    partition_columns: list[str],
+    format: str = "parquet",
+) -> None:
+    """Incremental re-publish: overwrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched (Spark's dynamic
+    partitionOverwriteMode, scoped to this write instead of mutating
+    session conf). The Iceberg analog is ``overwritePartitions()``
+    (reference write.py's create-or-replace is the full-table form).
+
+    This is the daily-batch idiom at 100 TB: recompute yesterday's
+    date partition and swap it in atomically per partition, without
+    rewriting (or even listing) the other ~36,500 of them. STATIC mode
+    (the default) would drop every existing partition first — a silent
+    full-table truncate; scoping the conf to the writer makes the safe
+    behavior local, not a session-wide footgun."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_columns)
+        .format(format)
+        .save(target)
+    )
