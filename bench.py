@@ -161,6 +161,21 @@ BENCH_QUERIES = [
     "variant_props",
     "unigram_nll_score",
     "bm25_search",
+    # previously un-benched catalog entries (full coverage)
+    "case_when_tiers",
+    "array_access",
+    "flatten_struct",
+    "countif_probe",
+    "set_ops",
+    "regex_clean",
+    "safe_cast_probe",
+    "pivot_status",
+    "unpivot_measures",
+    "grouping_sets",
+    "in_subquery",
+    "embedding_norms",
+    "approx_distinct",
+    "cross_join",
 ]
 
 

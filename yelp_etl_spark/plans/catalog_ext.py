@@ -1,5 +1,5 @@
 """Query catalog extension: analytics / data-curation operators beyond
-the first 134 queries in plans/catalog.py. Same driver-facing
+the core catalog in plans/catalog.py. Same driver-facing
 conventions (identical aliases both sides, BIGINT casts, rounded
 doubles); registered into catalog.QUERIES at import time.
 
