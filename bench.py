@@ -176,6 +176,9 @@ BENCH_QUERIES = [
     "embedding_norms",
     "approx_distinct",
     "cross_join",
+    # skew-mitigation queries (operators/skew.py, oracle-checked)
+    "salted_join_agg",
+    "two_stage_topk",
 ]
 
 

@@ -243,3 +243,26 @@ def test_embedding_neardup_lsh_is_bucketed_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # bucket join keys reach a hash-based join
     assert "band" in plan and "bucket" in plan
+
+
+def test_salted_join_spreads_key_no_cartesian(spark, sf_dir):
+    """Salted skew join (operators/skew.py): the join must remain a
+    hash equi-join on the widened (key, salt) pair — the salt column
+    has to reach the join keys so a hot key spreads across n_salts
+    tasks — and the dimension replication must never degrade to a
+    cartesian/nested-loop shape."""
+    plan = plan_of(QUERIES["salted_join_agg"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__salt" in plan
+
+
+def test_two_stage_agg_is_two_hash_aggregates(spark, sf_dir):
+    """Two-stage salted aggregation: both stages plan as hash
+    aggregates, and the only keyed exchanges are the (key, salt)
+    pre-stage and the key merge — at most 2 — so the rewrite never
+    silently adds shuffles beyond the salting it promises."""
+    plan = plan_of(QUERIES["two_stage_topk"].fn(spark, sf_dir), "simple")
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Cartesian" not in plan

@@ -504,6 +504,91 @@ FROM enriched
 """
 
 
+# --------------------------------------------------------------------------
+# Skew mitigation as oracle-checked queries (operators/skew.py)
+# --------------------------------------------------------------------------
+
+
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact×dim join through operators/skew.py
+    ``salted_join``: each l_suppkey's rows spread across 16 salt
+    buckets and the supplier side is replicated 16×, so one viral key
+    cannot pin a single join task. The rewrite is answer-preserving —
+    the oracle is the plain unsalted join. At 100 TB reach for this
+    when a single key exceeds what AQE's skew-join splitting (enabled
+    in session.py) can subdivide."""
+    from yelp_etl_spark.operators.skew import salted_join
+
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(lineitem, supplier, on="l_suppkey", n_salts=16)
+    return joined.groupBy(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
+def q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation through operators/skew.py
+    ``two_stage_agg``: partial aggregate on (key, salt), merge on key —
+    a hot key's reduce work spreads 16 ways before the final combine.
+    Only decomposable aggregates (sum/count/min/max) are accepted, so
+    the result equals the single-stage GROUP BY the oracle runs;
+    top-10 with a deterministic key tiebreak."""
+    from yelp_etl_spark.operators.skew import two_stage_agg
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    agg = two_stage_agg(
+        lineitem,
+        keys=["l_suppkey"],
+        aggs={
+            "total_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_orderkey"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=16,
+    )
+    return (
+        agg.select(
+            "l_suppkey",
+            F.round("total_qty", 2).alias("total_qty"),
+            "n_rows",
+            F.round("max_price", 2).alias("max_price"),
+        )
+        .orderBy(F.col("total_qty").desc(), "l_suppkey")
+        .limit(10)
+    )
+
+
+ORACLE_TWO_STAGE = """
+SELECT l_suppkey,
+       ROUND(SUM(l_quantity), 2) AS total_qty,
+       COUNT(l_orderkey) AS n_rows,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY total_qty DESC, l_suppkey
+LIMIT 10
+"""
+
+
 EXTRA_QUERIES = {
     "running_distinct": (q_running_distinct, ORACLE_RUNNING_DISTINCT, "cumulative distinct"),
     "copurchase_pairs": (q_copurchase_pairs, ORACLE_COPURCHASE, "basket pair mining"),
@@ -514,4 +599,6 @@ EXTRA_QUERIES = {
     "mad_outliers": (q_mad_outliers, ORACLE_MAD, "ext:robust outliers"),
     "keyword_search": (q_keyword_search, ORACLE_KEYWORD, "ext:inverted search"),
     "linear_interp_fill": (q_linear_interp_fill, ORACLE_INTERP, "ext:interpolation"),
+    "salted_join_agg": (q_salted_join_agg, ORACLE_SALTED_JOIN, "ext:salted skew join"),
+    "two_stage_topk": (q_two_stage_topk, ORACLE_TWO_STAGE, "ext:salted two-stage agg"),
 }
