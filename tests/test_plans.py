@@ -266,3 +266,8 @@ def test_two_stage_agg_is_two_hash_aggregates(spark, sf_dir):
     assert "HashAggregate" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Cartesian" not in plan
+    # column pruning survives the salting: the salt hashes only the
+    # projected columns, so the scan must not read l_shipdate/l_tax
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema
+    assert "l_tax" not in read_schema

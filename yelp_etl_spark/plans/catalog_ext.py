@@ -554,7 +554,13 @@ def q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 with a deterministic key tiebreak."""
     from yelp_etl_spark.operators.skew import two_stage_agg
 
-    lineitem = _t(spark, sf_dir, "lineitem")
+    # Project before salting: the default salt hashes every input
+    # column, so an unpruned frame would drag all of lineitem through
+    # the scan just to compute the salt. Selecting first keeps the
+    # ReadSchema at the 4 needed columns (pinned by the plan test).
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_orderkey", "l_extendedprice"
+    )
     agg = two_stage_agg(
         lineitem,
         keys=["l_suppkey"],
