@@ -54,4 +54,4 @@ def test_extension_catalog_registered():
 
 def test_no_duplicate_registration_lost_entries():
     # reordering + ext merge must not drop or duplicate anything
-    assert len(QUERIES) == len(set(QUERIES)) >= 143
+    assert len(QUERIES) == len(set(QUERIES)) >= 153
