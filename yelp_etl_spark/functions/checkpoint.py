@@ -30,7 +30,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 def set_checkpoint_dir(spark: SparkSession, path: str) -> None:
     """Configure reliable checkpointing (point at durable shared
-    storage — s3://... / hdfs://... — on a real cluster)."""
+    storage — s3://... / hdfs://... — on a real cluster).
+
+    Storage note: each ``truncate_lineage`` call writes one checkpoint
+    directory under ``path`` and Spark only deletes them when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is true (set by
+    session.get_spark; default false upstream). Deployments building
+    their own session must either set that conf or garbage-collect
+    ``path`` externally — at 100 TB the per-iteration loop tables are
+    small but the count is unbounded over a long-lived session.
+    """
     spark.sparkContext.setCheckpointDir(path)
 
 

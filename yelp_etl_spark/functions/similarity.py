@@ -392,7 +392,12 @@ def embedding_neardup_pairs_lsh(
             if not len(pdf):
                 continue
             vecs = np.array(pdf["__v"].to_list(), dtype=np.float64)
-            bits = (vecs @ pmat.T) >= 0  # (n, bands*bits)
+            # Quantize the plane dot before taking the sign: the GEMM's
+            # summation order differs from a sequential dot (the DuckDB
+            # oracle's list_dot_product), and a ULP-level sign flip near
+            # 0 would put a vector in different buckets per engine. A
+            # 1e-9 round (mirrored in the oracle SQL) absorbs that.
+            bits = np.round(vecs @ pmat.T, 9) >= 0  # (n, bands*bits)
             buckets = (
                 bits.reshape(len(vecs), n_bands, n_bits) * weights
             ).sum(axis=2)  # (n, bands)

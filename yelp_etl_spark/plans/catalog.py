@@ -1314,7 +1314,9 @@ def _oracle_embedding_neardup_lsh(
     """Generate the DuckDB twin of embedding_neardup_pairs_lsh: same
     seeded hyperplanes (repr() round-trips doubles exactly), same
     band/bucket construction, same any-band-collision candidate rule,
-    same rounded cosine threshold."""
+    same rounded cosine threshold. Both sides ROUND the plane dot to 9
+    digits before the sign so BLAS-vs-sequential summation order can't
+    flip a bucket bit near 0 (ADVICE r2)."""
     from yelp_etl_spark.functions.similarity import random_hyperplanes
 
     planes = random_hyperplanes(dim, n_bands * n_bits, seed)
@@ -1325,8 +1327,8 @@ def _oracle_embedding_neardup_lsh(
     bucket_cols = []
     for band in range(n_bands):
         terms = [
-            "(CASE WHEN list_dot_product(emb, "
-            f"{lit(planes[band * n_bits + i])}) >= 0 "
+            "(CASE WHEN ROUND(list_dot_product(emb, "
+            f"{lit(planes[band * n_bits + i])}), 9) >= 0 "
             f"THEN {2 ** (n_bits - 1 - i)} ELSE 0 END)"
             for i in range(n_bits)
         ]
@@ -4757,12 +4759,15 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_VARIANT_PROPS = """
+-- TRY_CAST mirrors try_variant_get's mismatch-to-null semantics: a
+-- fixture generation with a non-numeric props.k must null out, not
+-- crash the oracle (ADVICE r2).
 SELECT event_type,
-       COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
-       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-       ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
-       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+       COUNT(TRY_CAST(props->>'k' AS BIGINT)) AS n_with_k,
+       CAST(SUM(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(TRY_CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+       CAST(MIN(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
 FROM events
 GROUP BY event_type
 """

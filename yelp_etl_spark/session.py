@@ -63,6 +63,12 @@ def get_spark(
         # read as long; harmless for non-nanos files. Set once here so
         # readers stay pure (no per-call session-conf mutation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Iterative algorithms (pagerank/BFS/components) write one
+        # reliable-checkpoint dir per truncation when a checkpoint dir
+        # is configured; without this the dirs accumulate unboundedly
+        # on a long-lived cluster session (ADVICE r2). GC them when the
+        # originating RDD is collected.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -68,8 +68,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        # nanosAsLong is a builder-time conf (session.get_spark sets
-        # it); ad-hoc sessions that skipped it still work for µs files.
+        # nanosAsLong is an ordinary session SQL conf; get_spark sets it
+        # at build time, but the driver hands load_table vanilla
+        # sessions it did not build, and a TIMESTAMP(NANOS) fixture
+        # fails at scan without it. Set it best-effort here too —
+        # idempotent on get_spark sessions, harmless for µs files.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down (e.g. Connect) — µs files still read
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
