@@ -271,3 +271,37 @@ def test_two_stage_agg_is_two_hash_aggregates(spark, sf_dir):
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_shipdate" not in read_schema
     assert "l_tax" not in read_schema
+
+
+def test_bm25_is_one_lazy_plan_no_eager_stats_job(spark, sf_dir):
+    """Round 2's bm25 ran an eager corpus-stats collect (a full extra
+    scan before the main plan). Now N/avgdl ride a broadcast 1-row
+    stats table inside the ONE lazy plan: building the query must
+    trigger zero Spark jobs, and the top-k must stay a per-partition
+    heap, posting-prune before the token shuffle."""
+    from pyspark.sql import DataFrame
+
+    eager_calls = []
+    originals = {
+        n: getattr(DataFrame, n) for n in ("collect", "toPandas", "count", "head")
+    }
+
+    def record(name):
+        def wrapper(self, *a, **kw):
+            eager_calls.append(name)
+            return originals[name](self, *a, **kw)
+
+        return wrapper
+
+    for n in originals:
+        setattr(DataFrame, n, record(n))
+    try:
+        df = QUERIES["bm25_search"].fn(spark, sf_dir)
+    finally:
+        for n, f in originals.items():
+            setattr(DataFrame, n, f)
+    assert eager_calls == [], f"bm25 construction ran eager actions: {eager_calls}"
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # posting-list prune reaches below the first token exchange
+    assert "tok" in plan

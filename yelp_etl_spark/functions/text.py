@@ -425,38 +425,44 @@ def bm25_rank(
 
     Shape: the token stream filters to the query terms BEFORE any
     shuffle (posting-list pruning — the derived-inline form of an
-    inverted index); doc lengths come from one map-side aggregate; N,
-    avgdl, and the per-term df are scalars/tiny tables broadcast into
-    the scoring join. Output is the rounded-score top-k with doc id as
-    the deterministic tiebreak.
+    inverted index); doc lengths come from one map-side aggregate. N
+    and avgdl stay IN the plan as a broadcast 1-row stats table (no
+    driver collect — round 2's version ran the corpus-stats aggregate
+    as a separate eager job, scanning the corpus once before the main
+    plan; now the whole query is one lazy plan and the doclen shuffle
+    is shared between the stats aggregate and the scoring join via
+    exchange reuse). Per-term idf is a broadcast tiny table. Output is
+    the rounded-score top-k with doc id as the deterministic tiebreak.
     """
-    import math
-
     toks = df.select(
         F.col(id_column),
         F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
     )
     doclen = toks.groupBy(id_column).agg(F.count("*").alias("dl"))
+    # 1-row corpus stats; broadcast-cross-joined wherever N/avgdl are
+    # needed instead of collected to the driver
     stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
 
     hits = toks.filter(F.col("tok").isin(*terms))
     tf = hits.groupBy(id_column, "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = dfreq.withColumn(
-        "idf",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        "avgdl",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
     )
     scored = (
-        tf.join(F.broadcast(idf.select("tok", "idf")), "tok")
+        tf.join(F.broadcast(idf), "tok")
         .join(doclen, id_column)
         .withColumn(
             "contrib",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy(id_column)
         .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
