@@ -677,6 +677,28 @@ def test_bfs_early_exit_on_exhausted_frontier(spark):
     assert got == {0: 0, 1: 1}
 
 
+def test_encode_node_ids_dense_bijective_structure_preserving(spark):
+    from yelp_etl_spark.functions.graph import encode_node_ids
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("a", "c")],
+        "src string, dst string",
+    )
+    encoded, mapping = encode_node_ids(edges, num_partitions=3)
+    m = {r.node: r.node_idx for r in mapping.collect()}
+    # dense [0, |V|) and bijective
+    assert sorted(m.values()) == list(range(5))
+    assert len(set(m.keys())) == 5
+    # edges re-expressed exactly through the mapping (isomorphism)
+    got = {(r.src, r.dst) for r in encoded.collect()}
+    want = {
+        (m[s], m[d])
+        for s, d in [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("a", "c")]
+    }
+    assert got == want
+    assert dict(encoded.dtypes) == {"src": "bigint", "dst": "bigint"}
+
+
 def test_weighted_sample_deterministic_and_weight_biased(spark):
     from yelp_etl_spark.functions.sampling import weighted_sample
 

@@ -28,6 +28,91 @@ from pyspark.sql import functions as F
 from yelp_etl_spark.functions.checkpoint import truncate_lineage
 
 
+def encode_node_ids(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode arbitrary (typically string) node ids to dense
+    longs ``[0, |V|)`` before running the iterative algorithms: a long
+    key hashes/shuffles/compares several times faster than a string at
+    EVERY iteration (measured 2.3x lower per-iteration cost on
+    string-id pagerank at sf0.1 — 0.66s/iter raw vs 0.28s/iter
+    encoded). The encode itself costs a fixed ~2 extra jobs + two |E|
+    joins, so it pays off past ~12 iterations in a single run at test
+    scale; the production pattern is encode ONCE, persist the int-id
+    edge list, and amortize across every subsequent
+    pagerank/BFS/components run (see SCALING.md §Round 3).
+
+    Scale shape (no global bottleneck): the distinct node set is
+    range-repartitioned, ids are ``row_number`` within each partition
+    (parallel windows — never a single-partition global window), and
+    partition offsets come from one driver collect of n_partitions
+    scalars (bounded by cluster size, not data). The pid-stamped node
+    set is materialized once (truncate_lineage) so the count job and
+    the window job see identical partition assignments.
+
+    Returns ``(encoded_edges, mapping)``: edges with ``src``/``dst``
+    replaced by dense longs, and the (node, node_idx) mapping to decode
+    results (join on node_idx). Encoding costs two |E| equi-joins
+    against the |V|-row mapping — broadcast when the node set is small,
+    plain shuffle joins at scale.
+    """
+    from pyspark.sql.window import Window
+
+    # The edge list feeds the node-set derivation (twice, via the
+    # union) AND the final encode join — materialize it once or the
+    # upstream join/distinct chain runs ~3x. localCheckpoint blocks are
+    # released with the DataFrame; with a checkpoint dir configured
+    # this is a reliable one-pass materialization of |E| rows.
+    edges = truncate_lineage(edges, eager=True)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    if num_partitions is not None:
+        nodes = nodes.repartitionByRange(num_partitions, "node")
+    else:
+        nodes = nodes.repartitionByRange("node")
+    nodes = truncate_lineage(
+        nodes.withColumn("__pid", F.spark_partition_id()), eager=True
+    )
+    spark = edges.sparkSession
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in nodes.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    offsets_df = spark.createDataFrame(offsets, "`__pid` INT, `__off` BIGINT")
+    w = Window.partitionBy("__pid").orderBy("node")
+    mapping = (
+        nodes.withColumn("__rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(offsets_df), "__pid")
+        .select(
+            "node", (F.col("__off") + F.col("__rn")).cast("long").alias("node_idx")
+        )
+    )
+    m_src = mapping.select(
+        F.col("node").alias(src), F.col("node_idx").alias("__src_idx")
+    )
+    m_dst = mapping.select(
+        F.col("node").alias(dst), F.col("node_idx").alias("__dst_idx")
+    )
+    encoded = (
+        edges.join(m_src, src)
+        .join(m_dst, dst)
+        .drop(src, dst)
+        .withColumnRenamed("__src_idx", src)
+        .withColumnRenamed("__dst_idx", dst)
+    )
+    return encoded, mapping
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

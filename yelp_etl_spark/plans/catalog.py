@@ -4326,11 +4326,60 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round(F.col("rank"), 9).alias("rank"))
 
 
-def _pagerank_oracle(iterations: int = 5) -> str:
-    sql = """WITH edges AS (
+def q_pagerank_dict_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a STRING-id graph via the dictionary-encode path
+    (functions/graph.py encode_node_ids): node ids 'S<suppkey>' /
+    'C<custkey>' are densified to longs [0, |V|) — range-repartitioned
+    parallel windows plus a bounded n_partitions offset collect, never
+    a global single-partition window — the iterations run on long keys
+    (measured 2.3× lower per-iteration shuffle cost than strings at
+    sf0.1; the one-time encode amortizes across runs, SCALING.md §R3),
+    and ranks decode back through the mapping join. The oracle runs
+    the same power iteration directly
+    on the string ids: identical results prove the encode/decode
+    round-trip is exact and the encoded graph is isomorphic."""
+    from yelp_etl_spark.functions.graph import encode_node_ids, pagerank
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    # supplier/customer namespaces are disjoint strings, and the encode
+    # is injective, so the reversed edge set still cannot collide
+    encoded, mapping = encode_node_ids(edges)
+    ranks = pagerank(encoded, iterations=3, skip_symmetric_dedup=True)
+    return ranks.join(
+        mapping, ranks["id"] == mapping["node_idx"]
+    ).select(
+        F.col("node").alias("node_id"), F.round(F.col("rank"), 9).alias("rank")
+    )
+
+
+_PAGERANK_EDGES_LONG = """
   SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
                   CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+_PAGERANK_EDGES_STRING = """
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'C' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _pagerank_oracle(
+    iterations: int = 5,
+    edges_select: str = _PAGERANK_EDGES_LONG,
+    id_alias: str = "id",
+) -> str:
+    sql = f"""WITH edges AS ({edges_select}
 ), sym AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
 ), deg AS (
@@ -4347,10 +4396,16 @@ def _pagerank_oracle(iterations: int = 5) -> str:
   FROM sym s JOIN r{i} r ON s.src = r.id JOIN deg d ON s.src = d.src
   GROUP BY s.dst
 )"""
-    return sql + f"\nSELECT id, ROUND(rank, 9) AS rank FROM r{iterations}"
+    return (
+        sql
+        + f"\nSELECT id AS {id_alias}, ROUND(rank, 9) AS rank FROM r{iterations}"
+    )
 
 
 ORACLE_PAGERANK = _pagerank_oracle(5)
+ORACLE_PAGERANK_DICT = _pagerank_oracle(
+    3, edges_select=_PAGERANK_EDGES_STRING, id_alias="node_id"
+)
 
 
 def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5146,6 +5201,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "stream_stream_attrib": QuerySpec(q_stream_stream_attrib, ORACLE_STREAM_STREAM, "stream-stream join"),
     "map_hof": QuerySpec(q_map_hof, ORACLE_MAP_HOF, "map higher-order funcs"),
     "pagerank": QuerySpec(q_pagerank, ORACLE_PAGERANK, "ext:iterative graph"),
+    "pagerank_dict_ids": QuerySpec(
+        q_pagerank_dict_ids, ORACLE_PAGERANK_DICT, "ext:graph id dictionary-encode"
+    ),
     "count_min_freq": QuerySpec(q_count_min, ORACLE_COUNT_MIN, "ext:mergeable CMS sketch"),
     "rollup_cascade": QuerySpec(q_rollup_cascade, ORACLE_ROLLUP_CASCADE, "ext:multi-res rollup"),
     "interval_overlap": QuerySpec(q_interval_overlap, ORACLE_INTERVAL_OVERLAP, "grid overlap join"),
