@@ -273,6 +273,15 @@ def test_two_stage_agg_is_two_hash_aggregates(spark, sf_dir):
     assert "l_tax" not in read_schema
 
 
+def test_semantic_dedup_pipeline_never_all_pairs(spark, sf_dir):
+    """The exact→LSH→components→keep composition must add no join
+    shape the audited stages don't have: no cartesian anywhere, and
+    the candidate stage stays a (band, bucket) equi-join."""
+    plan = plan_of(QUERIES["semantic_dedup_pipeline"].fn(spark, sf_dir), "simple")
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bm25_is_one_lazy_plan_no_eager_stats_job(spark, sf_dir):
     """Round 2's bm25 ran an eager corpus-stats collect (a full extra
     scan before the main plan). Now N/avgdl ride a broadcast 1-row

@@ -1363,6 +1363,129 @@ WHERE cosine_sim >= {threshold}
 ORACLE_EMBEDDING_NEARDUP_LSH = _oracle_embedding_neardup_lsh()
 
 
+def q_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup — the production composition SCALING.md
+    argues for, as ONE query: (1) EXACT dedup first (md5-fingerprint
+    groupBy keeps the min doc_id per content — collapses identical
+    replicas so the fuzzy stage never sees them), (2) embedding LSH
+    near-dup pairs over the SURVIVORS only (banded hyperplane buckets →
+    equi-join candidates → exact cosine verify; never an all-pairs
+    stage), (3) connected components by min-label propagation, (4)
+    canonical keep: each component's min id survives and reports how
+    many original documents it represents (its exact copies plus every
+    absorbed member's). Every shuffle is keyed (content_key, band/
+    bucket, node id) — the composition adds no join shape the three
+    audited stages don't already have. Oracle = same fingerprint +
+    identical seeded LSH planes + recursive-CTE closure in DuckDB."""
+    from yelp_etl_spark.functions.dedup import connected_components
+    from yelp_etl_spark.functions.text import fingerprint
+
+    documents = _t(spark, sf_dir, "documents")
+    embeddings = _t(spark, sf_dir, "embeddings")
+    exact = (
+        documents.select(fingerprint(F.col("text")).alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+    surv_emb = embeddings.join(
+        exact.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    pairs = S.embedding_neardup_pairs_lsh(
+        surv_emb, dim=64, threshold=0.4, n_bands=4, n_bits=8, seed=42
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    member = exact.join(
+        comps.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        F.coalesce("component", F.col("doc_id")).alias("group_id"), "n_copies"
+    )
+    return member.groupBy("group_id").agg(
+        F.sum("n_copies").cast("long").alias("n_represented")
+    ).select(F.col("group_id").alias("doc_id"), "n_represented")
+
+
+def _oracle_semantic_dedup(
+    dim: int = 64,
+    n_bands: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of the full pipeline: same md5-fingerprint exact
+    stage, the identical seeded hyperplanes / quantized sign buckets as
+    ORACLE_EMBEDDING_NEARDUP_LSH, a recursive-CTE transitive closure
+    for the components, and the same canonical-keep aggregation."""
+    from yelp_etl_spark.functions.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_bands * n_bits, seed)
+
+    def lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    bucket_cols = []
+    for band in range(n_bands):
+        terms = [
+            "(CASE WHEN ROUND(list_dot_product(emb, "
+            f"{lit(planes[band * n_bits + i])}), 9) >= 0 "
+            f"THEN {2 ** (n_bits - 1 - i)} ELSE 0 END)"
+            for i in range(n_bits)
+        ]
+        bucket_cols.append("(" + " + ".join(terms) + f") AS bucket_{band}")
+    buckets_sql = ",\n         ".join(bucket_cols)
+    band_match = " OR ".join(
+        f"a.bucket_{band} = b.bucket_{band}" for band in range(n_bands)
+    )
+    cos = (
+        "ROUND(list_dot_product(a.emb, b.emb) / "
+        "SQRT(list_dot_product(a.emb, a.emb) * "
+        "list_dot_product(b.emb, b.emb)), 4)"
+    )
+    return f"""
+WITH RECURSIVE exact AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM (
+    SELECT doc_id,
+           md5(TRIM(regexp_replace(regexp_replace(LOWER(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS content_key
+    FROM documents
+  )
+  GROUP BY content_key
+), v AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM embeddings e JOIN exact x ON e.vec_id = x.doc_id
+), h AS (
+  SELECT vec_id, emb,
+         {buckets_sql}
+  FROM v
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+    FROM h a JOIN h b ON a.vec_id < b.vec_id AND ({band_match})
+  )
+  WHERE cosine_sim >= {threshold}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+), member AS (
+  SELECT COALESCE(c.component, x.doc_id) AS group_id, x.n_copies
+  FROM exact x LEFT JOIN comp c ON c.id = x.doc_id
+)
+SELECT group_id AS doc_id, CAST(SUM(n_copies) AS BIGINT) AS n_represented
+FROM member
+GROUP BY group_id
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — sketch values are
     engine-specific, so rows-only check; the exact distinct_counts query
@@ -5233,6 +5356,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "bm25_search": QuerySpec(
         q_bm25_search, ORACLE_BM25, "ext:retrieval bm25"
+    ),
+    "semantic_dedup_pipeline": QuerySpec(
+        q_semantic_dedup_pipeline,
+        ORACLE_SEMANTIC_DEDUP,
+        "ext:dedup exact→LSH→components→keep",
     ),
 }
 
