@@ -1907,6 +1907,87 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming END-TO-END through the engine (not batch
+    semantics of a dual-mode helper): events are duplicated 2× within
+    each source file, streamed with `maxFilesPerTrigger=2` (multiple
+    micro-batches), exact-deduped by `dropDuplicatesWithinWatermark`
+    state, then accumulated by the `applyInPandasWithState` running-
+    totals operator whose GroupState demonstrably carries across
+    micro-batches (each user emits once per batch it appears in; the
+    final emission per user — max n_events — is the answer). The oracle
+    is the plain batch aggregate over the ORIGINAL events: dedup must
+    remove exactly the synthetic copies and the state must sum exactly.
+
+    Watermark is sized to cover the fixture's full event-time span —
+    this is a deterministic replay of historical data, where nothing
+    may be dropped as late; a live deployment sizes it to arrival skew
+    instead (that path is exercised by tests/test_streaming.py). Chained
+    stateful operators define ONE watermark (at the dedup;
+    running_user_totals(watermark=None))."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from yelp_etl_spark.streaming.windows import (
+        read_events_stream,
+        running_user_totals,
+        stream_dedup,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_totals_")
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ckpt")
+    # duplicate INSIDE each file so both copies of an event always
+    # co-arrive in one micro-batch (in-batch dedup is exact regardless
+    # of how the file list is split across triggers); 2 files × 1 file
+    # per trigger = exactly two micro-batches — enough to prove
+    # cross-batch state, cheap enough for the bench loop (per-trigger
+    # overhead dominates: 8 batches ran 3× slower for the same rows)
+    (
+        events.withColumn("__c", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("__c")
+        .repartition(2)
+        .write.parquet(src)
+    )
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    totals = running_user_totals(
+        stream_dedup(stream, keys=["event_id"], watermark="3650 days"),
+        watermark=None,
+    )
+    name = "stream_dedup_totals_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(workdir, ignore_errors=True)
+    mem = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        mem.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
+
+
+ORACLE_STREAM_DEDUP_TOTALS = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics (operators/scd.py merge_upsert): a
     derived source (every 10th order, price uplifted) replaces matched
@@ -5361,6 +5442,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_semantic_dedup_pipeline,
         ORACLE_SEMANTIC_DEDUP,
         "ext:dedup exact→LSH→components→keep",
+    ),
+    "stream_dedup_totals": QuerySpec(
+        q_stream_dedup_totals,
+        ORACLE_STREAM_DEDUP_TOTALS,
+        "W8 stateful streaming end-to-end",
     ),
 }
 

@@ -159,12 +159,18 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
-def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def running_user_totals(
+    events: DataFrame, watermark: str | None = "1 hour"
+) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event count + value sum maintained as explicit
     GroupState across micro-batches (the escape hatch for semantics the
     built-in windows can't express). Emits one row per user per
-    micro-batch in which that user appeared."""
+    micro-batch in which that user appeared.
+
+    Pass ``watermark=None`` when an upstream stateful operator (e.g.
+    stream_dedup) already defined the stream's watermark — Spark allows
+    chained stateful operators but exactly one watermark definition."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     output_schema = "user_id long, n_events long, total_value double"
@@ -182,9 +188,9 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    src = events.withWatermark("ts", watermark) if watermark else events
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
+        src.groupBy("user_id")
         .applyInPandasWithState(
             update,
             outputStructType=output_schema,
