@@ -26,7 +26,9 @@ def test_driver_window_entries_all_oracle_checked():
 
 
 def test_driver_window_spans_operator_families():
-    # one representative per family that the round-1 verdict called out
+    # one representative per family that the round-1 verdict called out,
+    # plus the round-3 rotation's never-before-driver-checked entries
+    # (VERDICT r2 task #1: union hard coverage must GROW each round)
     must_have = {
         "join_full_outer",
         "tpch_q5_region_revenue",
@@ -42,8 +44,50 @@ def test_driver_window_spans_operator_families():
         "funnel_conversion",
         "bfs_reachability",
         "bitmap_distinct",
+        # r3 rotation
+        "tpch_q2_min_cost",
+        "triangle_count",
+        "copurchase_pairs",
+        "decontaminate_docs",
+        "repetition_flags",
+        "bm25_search",
+        "pagerank",
+        "salted_join_agg",
+        "two_stage_topk",
+        "fuzzy_match_parts",
+        "pagerank_dict_ids",
+        "semantic_dedup_pipeline",
+        "stream_dedup_totals",
     }
     assert must_have <= set(_DRIVER_WINDOW)
+
+
+def test_rotated_out_rows_remain_oracle_checked_locally():
+    # rotation must not drop the r1/r2 rows from the catalog — they
+    # stay behind the window under the local parity gate
+    rotated_out = {
+        "filter_project",
+        "case_when_tiers",
+        "date_features",
+        "explode_tokens",
+        "array_access",
+        "json_map_extract",
+        "flatten_struct",
+        "sort_limit_topk",
+        "window_analytic",
+        "join_left_counts",
+        "join_semi_anti",
+        "set_ops",
+        "rollup_orders",
+        "distinct_counts",
+        "regex_clean",
+        "string_funcs",
+        "math_funcs",
+        "pivot_status",
+    }
+    for name in rotated_out:
+        assert name in QUERIES and QUERIES[name].oracle is not None
+        assert name not in _DRIVER_WINDOW
 
 
 def test_extension_catalog_registered():

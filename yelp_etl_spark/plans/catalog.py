@@ -5451,58 +5451,76 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
 }
 
 
+# Extension catalog (plans/catalog_ext.py) merges BEFORE the window is
+# assembled so extension queries (triangle_count, copurchase_pairs,
+# skew ops, …) are eligible for the driver's hard correctness gate.
+from yelp_etl_spark.plans.catalog_ext import EXTRA_QUERIES as _EXTRA_QUERIES  # noqa: E402
+
+for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
+    _QUERIES_UNORDERED[_name] = QuerySpec(_fn, _oracle, _ops)
+
 # The driver's correctness gate oracle-verifies the FIRST 50 entries of
-# QUERIES in insertion order (round-1 CORRECTNESS window). Curate that
-# window so it spans every operator family from SURVEY.md §2 plus every
-# LLM-data-pipeline family exactly once, all with DuckDB oracles; the
-# remaining queries keep their catalog order after the window and stay
-# covered by the local parity gate (scripts/check_parity.py).
+# QUERIES in insertion order. ROUND-3 ROTATION (VERDICT r2 task #1):
+# hard verification ACCUMULATES across rounds, so each round the window
+# swaps rows that are already multi-round driver-green for rows that
+# have never had a driver check. 18 swapped this round — 15 the r2
+# verdict named (tpch_q2, triangle_count, copurchase, curation, skew,
+# retrieval, cdc, sketch, graph) plus the 3 new r3 queries
+# (pagerank_dict_ids, semantic_dedup_pipeline, stream_dedup_totals).
+# The removed rows (filter_project, explode_tokens, math_funcs, … all
+# green in CORRECTNESS_r01+r02) remain under the local parity gate
+# (scripts/check_parity.py runs ALL queries). The window still spans
+# every operator family; union driver coverage r1∪r2∪r3 ≥ 68 queries.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # scan / project / filter / cast / flatten
+    # scan / agg / probe anchors (kept: flagship + regression guards)
     "flagship_revenue",
     "pricing_summary",
-    "filter_project",
-    "case_when_tiers",
-    "date_features",
-    "explode_tokens",
-    "array_access",
-    "json_map_extract",
-    "flatten_struct",
     "countif_probe",
-    # sort / window / join families
-    "sort_limit_topk",
-    "window_topk",
-    "window_analytic",
-    "join_left_counts",
-    "join_semi_anti",
-    "join_full_outer",
-    "set_ops",
-    "rollup_orders",
-    "distinct_counts",
-    "enrich_obt",
-    # string / math / cast-probe / pivot / subquery
-    "regex_clean",
-    "string_funcs",
-    "math_funcs",
     "safe_cast_probe",
-    "pivot_status",
-    "bfs_reachability",
-    # temporal joins + event-time windows + streaming parity
+    "enrich_obt",
+    # windows / joins (kept representatives)
+    "window_topk",
+    "join_full_outer",
     "range_join",
     "asof_join",
+    # NEW r3: TPC-H / analytic shapes never driver-checked
+    "tpch_q2_min_cost",
+    "interval_overlap",
+    "snapshot_diff_cdc",
+    "count_min_freq",
+    # NEW r3: skew mechanics
+    "salted_join_agg",
+    "two_stage_topk",
+    # NEW r3: graph
+    "pagerank",
+    "pagerank_dict_ids",
+    "triangle_count",
+    "copurchase_pairs",
+    "bfs_reachability",
+    # NEW r3: curation / retrieval / quality
+    "decontaminate_docs",
+    "repetition_flags",
+    "variant_props",
+    "bm25_search",
+    "unigram_nll_score",
+    "fuzzy_match_parts",
+    # NEW r3: composition + streaming engine
+    "semantic_dedup_pipeline",
+    "stream_dedup_totals",
+    # temporal / event-time windows + streaming parity (kept)
     "events_tumbling_window",
     "sliding_window",
     "session_window",
     "stream_static_enrich",
-    # vectorized-UDF surface
+    # vectorized-UDF surface (kept)
     "pandas_udf_scores",
     "pandas_zscore",
-    # TPC-H heavy shapes + mutation surfaces
+    # TPC-H heavy shapes + mutation surfaces (kept)
     "tpch_q5_region_revenue",
     "tpch_q21_shape",
     "merge_upsert",
     "scd2_history",
-    # LLM-data-pipeline: dedup / text / similarity / sampling / graph
+    # LLM-data-pipeline: dedup / text / similarity / graph (kept)
     "dedup_exact",
     "text_stats",
     "lang_id",
@@ -5525,14 +5543,6 @@ QUERIES.update(
     for name, spec in _QUERIES_UNORDERED.items()
     if name not in QUERIES
 )
-
-# Extension catalog (plans/catalog_ext.py): registered after the driver
-# window so the 9 extra analytics queries are reachable from queries()/
-# oracle_sql() and the local parity gate.
-from yelp_etl_spark.plans.catalog_ext import EXTRA_QUERIES as _EXTRA_QUERIES  # noqa: E402
-
-for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
-    QUERIES[_name] = QuerySpec(_fn, _oracle, _ops)
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
