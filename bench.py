@@ -179,6 +179,11 @@ BENCH_QUERIES = [
     # skew-mitigation queries (operators/skew.py, oracle-checked)
     "salted_join_agg",
     "two_stage_topk",
+    # round-3 additions
+    "semantic_dedup_pipeline",
+    "pagerank_dict_ids",
+    "stream_dedup_totals",
+    "jaccard_prefix_join",
 ]
 
 

@@ -53,6 +53,41 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
 
 
+def test_jaccard_prefix_join_matches_brute_force(spark, sf_dir):
+    """Exactness: prefix filtering must reproduce the naive all-pairs
+    join verbatim at every threshold (no false negatives is the entire
+    contract; false positives are removed by the verify stage)."""
+    from yelp_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    for t in (0.3, 0.6, 0.9):
+        brute = sorted(
+            map(tuple, D.ngram_jaccard_pairs(docs, n=3, threshold=t).collect())
+        )
+        pref = sorted(
+            map(tuple, D.jaccard_prefix_join(docs, threshold=t, n=3).collect())
+        )
+        assert pref == brute, f"threshold {t}"
+
+
+def test_jaccard_prefix_join_prunes_hot_tokens(spark):
+    """A token shared by every document must not create candidates when
+    it sorts into the suffix: docs sharing ONLY the universal filler
+    never reach verification, and output is exactly the true pair."""
+    filler = " ".join(f"common{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta {filler}"),
+            (2, f"alpha beta gamma delta epsilon zeta {filler}"),
+            (3, f"one two three four five six seven {filler}"),
+            (4, f"red green blue cyan magenta yellow {filler}"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.jaccard_prefix_join(df, threshold=0.9, n=3).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
 def test_minhash_finds_near_duplicates(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away today"
     near = base.replace("today", "tomorrow")

@@ -17,7 +17,7 @@ runs, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yelp_etl_spark.functions.checkpoint import truncate_lineage
@@ -385,6 +385,96 @@ def simhash_portable(
         sketch = term if sketch is None else sketch + term
     return counters.select(
         id_col, sketch.cast("long").alias(f"simhash{n_bits}")
+    )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT threshold Jaccard similarity join over word n-gram shingle
+    sets via prefix filtering (AllPairs / PPJoin family — Bayardo et
+    al. WWW'07, Xiao et al. WWW'08). Returns every pair with
+    ``J(A,B) >= threshold`` — identical output to the brute-force
+    all-pairs join, but candidates are generated ONLY from each
+    record's rare-token prefix.
+
+    Why this is the 100 TB shape: the naive token self-join (see
+    ngram_jaccard_pairs) explodes on hot tokens — a stopword shared by
+    10^6 documents alone yields 10^12 candidate rows. Under a global
+    rarest-first token order, a pair with J >= t must share a token in
+    each side's first ``|A| - ceil(t*|A|) + 1`` tokens (prefix
+    filtering principle: J(A,B) >= t implies overlap >= t*max(|A|,|B|)
+    >= ceil(t*|A|)); hot tokens sort to the suffix and never enter the
+    join. A size filter (t*|A| <= |B| <= |A|/t) prunes further inside
+    the join condition. Verification touches only surviving candidates.
+
+    Plan: shingle+distinct → global doc-frequency ranks (one agg,
+    rarest first) → per-doc rank via window → prefix rows → self
+    equi-join on shingle hash (+ size filter) → distinct candidates →
+    verify with array_intersect over collected sorted shingle sets.
+    The set elements are word ``n``-gram shingles (same featurization
+    as ngram_jaccard_pairs — unigram token SETS converge on templated
+    corpora and carry no dedup signal), hashed to 64-bit so every join
+    and shuffle moves 8-byte longs.
+    """
+    # shingles() is already per-document distinct, so the exploded
+    # (id, hash) rows need no extra distinct pass (saves a shuffle).
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("t"),
+    )
+    # Global rarest-first order: (doc_freq, token) is a total order, so
+    # every document sorts its tokens identically — required for the
+    # prefix principle to hold.
+    dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
+    ranked = tok.join(F.broadcast(dfreq), "t").select(
+        "id",
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("id").orderBy("df", "t"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("id")).alias("s"),
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: |B| in [t*|A|, |A|/t] (symmetric, so one side)
+            & (F.col("b.s") >= F.lit(threshold) * F.col("a.s"))
+            & (F.col("b.s") * F.lit(threshold) <= F.col("a.s")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = tok.groupBy("id").agg(
+        F.sort_array(F.collect_set("t")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("n").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

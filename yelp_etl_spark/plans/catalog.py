@@ -720,6 +720,49 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 """
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold Jaccard join via prefix filtering
+    (functions/dedup.py::jaccard_prefix_join). The oracle is the
+    BRUTE-FORCE all-pairs token join, so this parity row is a
+    differential proof of the prefix filter's no-false-negatives
+    property — identical output, but candidates come only from
+    rare-token prefixes (the 100 TB shape: hot tokens never join)."""
+    documents = _t(spark, sf_dir, "documents")
+    return D.jaccard_prefix_join(documents, threshold=0.5, n=3)
+
+
+# Brute-force all-pairs 3-gram shingle Jaccard — same featurization as
+# ORACLE_NGRAM_JACCARD, threshold 0.5. Exactness of the prefix filter
+# means the filtered Spark plan must reproduce this verbatim.
+ORACLE_JACCARD_PREFIX = """
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sh AS (
+  SELECT id, DISTINCT_GRAM AS sh FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
+    FROM toks
+    WHERE LENGTH(tok) >= 3
+  )
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (functions/similarity.py):
     top-5 neighbors for the first 10 vectors."""
@@ -5283,6 +5326,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT, "ext:dedup"),
     "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS, "ext:text"),
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD, "ext:near-dedup"),
+    "jaccard_prefix_join": QuerySpec(
+        q_jaccard_prefix, ORACLE_JACCARD_PREFIX, "ext:exact similarity join, prefix filtering"
+    ),
     "cosine_topk": QuerySpec(q_cosine_topk, ORACLE_COSINE_TOPK, "ext:similarity"),
     "events_tumbling_window": QuerySpec(q_events_tumbling, ORACLE_EVENTS_TUMBLING, "ext:window"),
     "minhash_neardup": QuerySpec(q_minhash_neardup, None, "ext:minhash-lsh"),
