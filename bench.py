@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "pagerank_dict_ids",
     "stream_dedup_totals",
     "jaccard_prefix_join",
+    "partitioned_write_roundtrip",
+    "compact_small_files",
+    "dynamic_overwrite_publish",
 ]
 
 

@@ -43,7 +43,6 @@ def test_driver_window_spans_operator_families():
         "neardup_components",
         "funnel_conversion",
         "bfs_reachability",
-        "bitmap_distinct",
         # r3 rotation
         "tpch_q2_min_cost",
         "triangle_count",
@@ -58,6 +57,11 @@ def test_driver_window_spans_operator_families():
         "pagerank_dict_ids",
         "semantic_dedup_pipeline",
         "stream_dedup_totals",
+        # r3b rotation: write-side roundtrips + prefix-filter join
+        "partitioned_write_roundtrip",
+        "compact_small_files",
+        "dynamic_overwrite_publish",
+        "jaccard_prefix_join",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
@@ -84,6 +88,11 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "string_funcs",
         "math_funcs",
         "pivot_status",
+        # r3b: twice-driver-green rows yielding their slots
+        "events_tumbling_window",
+        "dedup_exact",
+        "text_stats",
+        "bitmap_distinct",
     }
     for name in rotated_out:
         assert name in QUERIES and QUERIES[name].oracle is not None

@@ -5301,6 +5301,134 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# Write-side components as SELECT-shaped roundtrips (driver-hard rows for
+# S4/S5/S6, compaction, and dynamic partition overwrite — round-2 verdict
+# noted these were "inherently not SELECT-shaped"; a write→read-back→agg
+# query makes the physical layout itself oracle-checkable: if the sink
+# mislaid, dropped, or duplicated rows across partitions/buckets, the
+# read-back aggregate diverges from the oracle computed on the source).
+# --------------------------------------------------------------------------
+
+
+def _scratch_dir(sf_dir: str, tag: str) -> str:
+    import os
+    import tempfile
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"yelp_etl_spark_{tag}_{sf}")
+
+
+def q_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5+S6 as a roundtrip: orders → write_table under an identity
+    partition (o_orderstatus) + 4-way hash bucket on o_custkey (the
+    reference's exact Iceberg layout, write.py:45-53, on the parquet
+    fallback) → read the files back → per-status totals plus the number
+    of distinct bucket directories each status actually produced.
+    n_buckets pins that the bucket transform materialized and spread
+    keys (any hash function fills all 4 buckets w.h.p. at ≥hundreds of
+    customers per status, which is why the oracle can state it as
+    LEAST(#customers, 4) without knowing xxhash64)."""
+    import shutil
+
+    from yelp_etl_spark.sources.writers import WriteSpec, write_table
+
+    orders = _t(spark, sf_dir, "orders")
+    target = _scratch_dir(sf_dir, "roundtrip")
+    shutil.rmtree(target, ignore_errors=True)
+    write_table(
+        orders,
+        target,
+        WriteSpec(
+            partition_columns=["o_orderstatus"],
+            bucket_column="o_custkey",
+            buckets=4,
+        ),
+    )
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.countDistinct("o_custkey_bucket").alias("n_buckets"),
+    )
+
+
+ORACLE_PARTITIONED_WRITE_ROUNDTRIP = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       LEAST(COUNT(DISTINCT o_custkey), 4) AS n_buckets
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction roundtrip: scatter documents across 16
+    deliberately-tiny parquet files, run compact_parquet_dir (read →
+    repartition(ceil(bytes/128MiB)) → atomic swap), read back. Returns
+    the post-compaction file count (1 at these sizes — the point) and
+    content totals proving the rewrite lost nothing."""
+    import shutil
+
+    from yelp_etl_spark.sources.writers import compact_parquet_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = _scratch_dir(sf_dir, "compact")
+    shutil.rmtree(target, ignore_errors=True)
+    docs.repartition(16).write.mode("overwrite").parquet(target)
+    n_files = compact_parquet_dir(spark, target)
+    back = spark.read.parquet(target)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select(F.lit(n_files).alias("n_files"), "n_rows", "sum_chars")
+
+
+ORACLE_COMPACT_SMALL_FILES = """
+SELECT 1 AS n_files, COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars
+FROM documents
+"""
+
+
+def q_dynamic_overwrite_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite roundtrip (the daily re-publish
+    idiom): full orders written partitioned by o_orderstatus, then ONE
+    partition ('F') re-published with only its high-value rows via
+    overwrite_partitions_dynamic. Read-back must show the other
+    partitions untouched and 'F' replaced — i.e. exactly the oracle's
+    `status <> 'F' OR price > median-ish cut` content. A STATIC-mode
+    overwrite (Spark's default) would have truncated the other
+    partitions and the per-status counts would collapse to F only."""
+    import shutil
+
+    from yelp_etl_spark.sources.writers import overwrite_partitions_dynamic
+
+    orders = _t(spark, sf_dir, "orders")
+    target = _scratch_dir(sf_dir, "dynover")
+    shutil.rmtree(target, ignore_errors=True)
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(target)
+    republished = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)
+    )
+    overwrite_partitions_dynamic(republished, target, ["o_orderstatus"])
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_DYNAMIC_OVERWRITE_PUBLISH = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderstatus <> 'F' OR o_totalprice > 150000.0
+GROUP BY o_orderstatus
+"""
+
+
 _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -5328,6 +5456,19 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD, "ext:near-dedup"),
     "jaccard_prefix_join": QuerySpec(
         q_jaccard_prefix, ORACLE_JACCARD_PREFIX, "ext:exact similarity join, prefix filtering"
+    ),
+    "partitioned_write_roundtrip": QuerySpec(
+        q_partitioned_write_roundtrip,
+        ORACLE_PARTITIONED_WRITE_ROUNDTRIP,
+        "S4 S5 S6 roundtrip",
+    ),
+    "compact_small_files": QuerySpec(
+        q_compact_small_files, ORACLE_COMPACT_SMALL_FILES, "ext:compaction roundtrip"
+    ),
+    "dynamic_overwrite_publish": QuerySpec(
+        q_dynamic_overwrite_publish,
+        ORACLE_DYNAMIC_OVERWRITE_PUBLISH,
+        "ext:dynamic partition overwrite roundtrip",
     ),
     "cosine_topk": QuerySpec(q_cosine_topk, ORACLE_COSINE_TOPK, "ext:similarity"),
     "events_tumbling_window": QuerySpec(q_events_tumbling, ORACLE_EVENTS_TUMBLING, "ext:window"),
@@ -5553,8 +5694,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # NEW r3: composition + streaming engine
     "semantic_dedup_pipeline",
     "stream_dedup_totals",
+    # NEW r3b: write-side components as SELECT-shaped roundtrips
+    # (swapped in for twice-green events_tumbling_window / dedup_exact /
+    # text_stats / bitmap_distinct; each family keeps a representative)
+    "partitioned_write_roundtrip",
+    "compact_small_files",
+    "dynamic_overwrite_publish",
+    "jaccard_prefix_join",
     # temporal / event-time windows + streaming parity (kept)
-    "events_tumbling_window",
     "sliding_window",
     "session_window",
     "stream_static_enrich",
@@ -5567,8 +5714,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "merge_upsert",
     "scd2_history",
     # LLM-data-pipeline: dedup / text / similarity / graph (kept)
-    "dedup_exact",
-    "text_stats",
     "lang_id",
     "quality_score",
     "ngram_jaccard_pairs",
@@ -5578,7 +5723,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "cosine_topk",
     "funnel_conversion",
-    "bitmap_distinct",
 )
 
 QUERIES: dict[str, QuerySpec] = {
