@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "partitioned_write_roundtrip",
     "compact_small_files",
     "dynamic_overwrite_publish",
+    "incremental_agg_maintenance",
 ]
 
 

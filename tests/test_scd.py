@@ -55,3 +55,51 @@ def test_snapshot_diff_classification(spark):
     assert out[2] == ("changed", 25.0)   # new-side value surfaced
     assert out[3] == ("unchanged", None)  # NULL == NULL (null-safe)
     assert out[4] == ("added", 40.0)
+
+
+def test_incremental_agg_maintenance_group_moves_and_death(spark):
+    """apply_agg_deltas(base, snapshot_deltas(...)) must equal a direct
+    recompute over the new snapshot — including the two cases the
+    full-join classification can get wrong: a key MOVING between groups
+    (maintains both sides) and a group losing its last row (drops out),
+    plus a group born only in the deltas."""
+    from yelp_etl_spark.operators.scd import apply_agg_deltas, snapshot_deltas
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            (3, "b", 30.0),   # group b's only row: will move to a
+            (4, "c", 40.0),   # will be removed -> group c dies
+        ],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),   # unchanged
+            (2, "a", 25.0),   # value changed in place
+            (3, "a", 30.0),   # moved b -> a
+            (5, "d", 50.0),   # added in a brand-new group
+        ],
+        "k long, g string, v double",
+    )
+    base = old.groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    deltas = snapshot_deltas(old, new, ["k"], ["g"], ["v"])
+    maintained = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in apply_agg_deltas(
+            base, deltas, ["g"], count_col="n_rows", sum_cols={"v": "sum_v"}
+        ).collect()
+    }
+    expected = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in new.groupBy("g")
+        .agg(F.count("*").alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert maintained == expected
+    assert "b" not in maintained and "c" not in maintained
+    assert maintained["d"] == (1, 50.0)

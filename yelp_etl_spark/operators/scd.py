@@ -127,3 +127,90 @@ def snapshot_diff(
         for c in compare_columns
     ]
     return joined.select(*out_cols, status.alias(status_column))
+
+
+def snapshot_deltas(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """Signed aggregate deltas between two snapshots, grouped by
+    ``group_cols``: every added/changed/removed KEY contributes a
+    -1-signed row with its old values and/or a +1-signed row with its
+    new values; unchanged keys contribute nothing. Output columns:
+    group_cols, ``delta_n`` (net row-count change) and one
+    ``delta_<m>`` per measure (net sum change).
+
+    This is the producer half of incremental view maintenance: the
+    classification is one full outer join on the key (same shuffle as
+    snapshot_diff — and in production this frame comes from a CDC log /
+    Iceberg changelog scan instead, with no join at all). Because the
+    group columns ride along on both the - and + rows, a key that MOVES
+    between groups maintains both groups correctly.
+    """
+    o = old.select(
+        [F.col(k).alias(f"__k_{k}") for k in keys] + group_cols + measure_cols
+    )
+    n = new.select(
+        [F.col(k).alias(f"__nk_{k}") for k in keys]
+        + [F.col(c).alias(f"__n_{c}") for c in group_cols + measure_cols]
+    )
+    cond = [o[f"__k_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"__k_{keys[0]}").isNotNull()
+    new_present = F.col(f"__nk_{keys[0]}").isNotNull()
+    changed = None
+    for c in group_cols + measure_cols:
+        ne = ~F.col(c).eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    # rows that need maintenance: anything except (present,present,equal)
+    touched = joined.filter(~(old_present & new_present) | changed)
+    minus = touched.filter(old_present).select(
+        *group_cols, F.lit(-1).alias("__sign"), *measure_cols
+    )
+    plus = touched.filter(new_present).select(
+        *[F.col(f"__n_{c}").alias(c) for c in group_cols],
+        F.lit(1).alias("__sign"),
+        *[F.col(f"__n_{m}").alias(m) for m in measure_cols],
+    )
+    signed = minus.unionByName(plus)
+    aggs = [F.sum("__sign").alias("delta_n")] + [
+        F.sum(F.col("__sign") * F.col(m)).alias(f"delta_{m}")
+        for m in measure_cols
+    ]
+    return signed.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_agg_deltas(
+    base: DataFrame,
+    deltas: DataFrame,
+    group_cols: list[str],
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Consumer half of incremental view maintenance: merge the signed
+    deltas from snapshot_deltas into an existing materialized aggregate
+    (``base`` has group_cols + count_col + the sum columns named by
+    ``sum_cols`` mapping measure → base column). Groups whose count
+    reaches 0 drop out; groups appearing only in the deltas are born.
+    Touches |base| + |deltas| rows — the fact table is never rescanned,
+    which is the entire point at 100 TB: a day's CDC feed maintains a
+    year's aggregate. Only decomposable aggregates (count/sum, and avg
+    as sum/count) can be maintained this way; min/max need a recompute
+    on affected groups.
+    """
+    sum_cols = sum_cols or {}
+    joined = base.join(deltas, group_cols, "full_outer")
+    merged_count = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("delta_n"), F.lit(0)
+    )
+    out = [merged_count.alias(count_col)] + [
+        (
+            F.coalesce(F.col(b), F.lit(0.0))
+            + F.coalesce(F.col(f"delta_{m}"), F.lit(0.0))
+        ).alias(b)
+        for m, b in sum_cols.items()
+    ]
+    return joined.select(*group_cols, *out).filter(F.col(count_col) > 0)

@@ -2659,6 +2659,64 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/scd.py
+    snapshot_deltas + apply_agg_deltas): a per-status orders aggregate
+    is maintained from signed CDC deltas instead of recomputed — the
+    merged result must equal the oracle's direct aggregate over the new
+    snapshot. Same synthetic snapshots as snapshot_diff_cdc (rows
+    added, removed, 'O' prices bumped). At 100 TB the delta feed comes
+    from a changelog scan and the merge touches |groups| + |deltas|
+    rows; the fact table is never rescanned."""
+    from yelp_etl_spark.operators.scd import apply_agg_deltas, snapshot_deltas
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    base = old.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+    deltas = snapshot_deltas(
+        old, new, ["o_orderkey"], ["o_orderstatus"], ["o_totalprice"]
+    )
+    maintained = apply_agg_deltas(
+        base,
+        deltas,
+        ["o_orderstatus"],
+        count_col="n_orders",
+        sum_cols={"o_totalprice": "sum_price"},
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
+ORACLE_INCREMENTAL_AGG = """
+WITH new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O'
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 5 != 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM new
+GROUP BY o_orderstatus
+"""
+
+
 ORACLE_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus
@@ -5537,6 +5595,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "like_regexp_filters": QuerySpec(q_like_regexp, ORACLE_LIKE_REGEXP, "T* like/rlike"),
     "union_byname_evolution": QuerySpec(q_union_byname, ORACLE_UNION_BYNAME, "set ops schema-evolution"),
     "snapshot_diff_cdc": QuerySpec(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF, "ext:cdc diff"),
+    "incremental_agg_maintenance": QuerySpec(
+        q_incremental_agg_maintenance,
+        ORACLE_INCREMENTAL_AGG,
+        "ext:incremental view maintenance from CDC deltas",
+    ),
     "pct_of_total": QuerySpec(q_pct_of_total, ORACLE_PCT_OF_TOTAL, "window ratio-to-report"),
     "redact_pii": QuerySpec(q_redact_pii, ORACLE_REDACT_PII, "ext:text redaction"),
     "vocab_build": QuerySpec(q_vocab_build, ORACLE_VOCAB, "ext:text vocabulary"),
