@@ -314,3 +314,24 @@ def test_bm25_is_one_lazy_plan_no_eager_stats_job(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # posting-list prune reaches below the first token exchange
     assert "tok" in plan
+
+
+def test_jaccard_prefix_join_plan(spark, sf_dir):
+    """Prefix-filter similarity join: candidate generation must be an
+    equi-join on the shingle hash (never cartesian / nested-loop), the
+    doc-frequency side must broadcast, and the window that ranks
+    tokens rarest-first must partition by doc id (no global sort)."""
+    plan = plan_of(QUERIES["jaccard_prefix_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # doc-freq agg broadcast
+    assert "Window" in plan
+
+
+def test_incremental_agg_maintenance_plan(spark, sf_dir):
+    """IVM merge: the base aggregate and delta aggregate both partial-
+    aggregate map-side, and nothing in the plan rescans orders more
+    than the two snapshot reads + delta classification require."""
+    plan = plan_of(QUERIES["incremental_agg_maintenance"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
