@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "compact_small_files",
     "dynamic_overwrite_publish",
     "incremental_agg_maintenance",
+    "cross_doc_boilerplate",
 ]
 
 

@@ -245,3 +245,46 @@ def shard_assignment(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(key_col, "shard", "pos")
     )
+
+
+def cross_doc_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection — the corpus-level
+    complement of repetition_metrics (which is within-document): a word
+    ``ngram``-gram occurring in >= ``min_docs`` DISTINCT documents is
+    boilerplate (headers, footers, license blocks, templated spans);
+    each document is scored with the fraction of its gram positions
+    covered by boilerplate. Downstream curation drops or rewrites docs
+    past a fraction cut — the passage-level dedup signal that document-
+    level near-dup (MinHash et al.) cannot see, because a 5% shared
+    footer never moves whole-document Jaccard.
+
+    Shape: tokenizer once per doc → gram rows (one doc-keyed window) →
+    grams hashed to 8-byte keys → distinct (doc, gram) pairs → one
+    gram-keyed doc-frequency aggregate → hot set joined back (broadcast
+    while it fits — boilerplate vocabularies are orders smaller than
+    the corpus; drop the hint past ~100M hot grams and it degrades to a
+    plain equi-join on the 8-byte hash) → per-doc fraction on the
+    already-used doc key. Nothing wider than (id, 8-byte hash) ever
+    shuffles.
+    """
+    grams = _token_ngram_rows(
+        _token_rows(df, id_col, text_col), id_col, ngram
+    ).filter(F.col("gram").isNotNull())
+    g = grams.select(id_col, F.xxhash64("gram").alias("gh"))
+    docfreq = g.distinct().groupBy("gh").agg(F.count("*").alias("df"))
+    hot = docfreq.filter(F.col("df") >= min_docs).select(
+        "gh", F.lit(True).alias("__hot")
+    )
+    flagged = g.join(F.broadcast(hot), "gh", "left")
+    n_boiler = F.count("__hot")  # count() skips the nulls of the left join
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        n_boiler.alias("n_boilerplate"),
+        F.round(n_boiler / F.count("*"), 6).alias("boilerplate_frac"),
+    )

@@ -5204,6 +5204,46 @@ LIMIT 20
 # --------------------------------------------------------------------------
 
 
+def q_cross_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate passages (functions/curation.py
+    cross_doc_boilerplate): word 5-grams shared by >= 3 documents flag
+    the templated spans document-level near-dup can't see; per-doc
+    boilerplate fraction, docs ordered by id."""
+    from yelp_etl_spark.functions.curation import cross_doc_boilerplate
+
+    documents = _t(spark, sf_dir, "documents")
+    return cross_doc_boilerplate(documents, ngram=5, min_docs=3)
+
+
+ORACLE_CROSS_DOC_BOILERPLATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, GREATEST(LENGTH(tok) - 4, 0) + 1),
+      i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])
+  )) AS gram
+  FROM toks WHERE LENGTH(tok) >= 5
+),
+docfreq AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+),
+flagged AS (
+  SELECT g.doc_id, (d.df >= 3) AS hot
+  FROM grams g JOIN docfreq d USING (gram)
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(CASE WHEN hot THEN 1 END) AS n_boilerplate,
+       ROUND(CAST(COUNT(CASE WHEN hot THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+         AS boilerplate_frac
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gates (functions/curation.py
     repetition_metrics): per-doc mode-word share and duplicate-3-gram
@@ -5669,6 +5709,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "bitmap_distinct": QuerySpec(q_bitmap_distinct, ORACLE_BITMAP_DISTINCT, "mergeable exact distinct"),
     "repetition_flags": QuerySpec(
         q_repetition_flags, ORACLE_REPETITION, "ext:curation repetition"
+    ),
+    "cross_doc_boilerplate": QuerySpec(
+        q_cross_doc_boilerplate,
+        ORACLE_CROSS_DOC_BOILERPLATE,
+        "ext:curation cross-doc boilerplate passages",
     ),
     "decontaminate_docs": QuerySpec(
         q_decontaminate_docs, ORACLE_DECONTAMINATE, "ext:curation decontamination"
