@@ -62,6 +62,8 @@ def test_driver_window_spans_operator_families():
         "compact_small_files",
         "dynamic_overwrite_publish",
         "jaccard_prefix_join",
+        "incremental_agg_maintenance",
+        "cross_doc_boilerplate",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
@@ -90,6 +92,8 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "pivot_status",
         # r3b: twice-driver-green rows yielding their slots
         "events_tumbling_window",
+        "sliding_window",
+        "session_window",
         "dedup_exact",
         "text_stats",
         "bitmap_distinct",
