@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "dynamic_overwrite_publish",
     "incremental_agg_maintenance",
     "cross_doc_boilerplate",
+    "asof_tolerance",
 ]
 
 

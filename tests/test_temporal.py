@@ -96,3 +96,34 @@ def test_range_join_residual_predicate(spark):
     )
     got = {(r[1], r[3], r[4]) for r in out.collect()}
     assert got == {(10, 0, 20), (50, 40, 60)}
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    """merge_asof tolerance parity: the nearest match still wins, but a
+    match outside the horizon nulls out instead of attaching."""
+    left = spark.createDataFrame(
+        [
+            (1, "k", ts("2024-01-10T00:00:00")),  # match 1 day back: keep
+            (2, "k", ts("2024-03-01T00:00:00")),  # match 52 days back: mask
+        ],
+        "id long, key string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", ts("2024-01-09T00:00:00"), "q1")],
+        "key string, rt timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, "id", "t", "rt", ["key"], ["key"],
+        right_columns=["tag"], tolerance_seconds=7 * 86400,
+    )
+    got = {r.id: r.tag for r in out.collect()}
+    assert got == {1: "q1", 2: None}
+
+    # forward direction: horizon measured the other way
+    fwd = asof_join(
+        left, right, "id", "t", "rt", ["key"], ["key"],
+        right_columns=["tag"], direction="forward",
+        tolerance_seconds=7 * 86400,
+    )
+    got_fwd = {r.id: r.tag for r in fwd.collect()}
+    assert got_fwd == {1: None, 2: None}  # right row is BEFORE both lefts

@@ -44,11 +44,18 @@ def asof_join(
     right_columns: list[str] | None = None,
     direction: str = "backward",
     tiebreak: str | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the largest
     ``right_ts <= left_ts`` (backward; ``forward`` = smallest >=) among
     rows matching on the join keys. Left rows with no match keep NULL
     right columns (left-outer semantics, like pandas merge_asof).
+
+    ``tolerance_seconds`` (merge_asof's ``tolerance``): a match further
+    than this from the left timestamp is nulled out — stale quotes
+    don't attach to trades. Applied as a post-merge column mask, so it
+    adds zero shuffles; units are seconds for timestamp columns (both
+    sides cast to epoch seconds) and raw units for numeric ones.
 
     Implementation: union-merge (see module docstring) — single
     shuffle, no pairwise blow-up. ``tiebreak``: extra right column;
@@ -111,9 +118,26 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = ltagged.unionByName(rtagged)
+    matched = merged.withColumn(
+        "__last", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == 1)
+    if tolerance_seconds is not None:
+        # date/timestamp → epoch seconds via timestamp (a date cannot
+        # cast to double directly; numerics round-trip unchanged)
+        def _secs(c: Column) -> Column:
+            return c.cast("timestamp").cast("double")
+
+        gap = _secs(F.col("__ts")) - _secs(F.col("__last.__rts"))
+        if direction != "backward":
+            gap = -gap
+        matched = matched.withColumn(
+            "__last",
+            F.when(
+                gap <= F.lit(float(tolerance_seconds)), F.col("__last")
+            ).otherwise(F.lit(None).cast(payload_type)),
+        )
     return (
-        merged.withColumn("__last", F.last("__payload", ignorenulls=True).over(w))
-        .filter(F.col("__tag") == 1)
+        matched
         .select(
             *[F.col(f"__l_{i}").alias(c) for i, c in enumerate(left.columns)],
             F.col("__last.__rts").alias(f"asof_{right_ts}"),

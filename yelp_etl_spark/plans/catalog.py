@@ -973,6 +973,55 @@ WHERE rn = 1
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance horizon (pandas merge_asof
+    ``tolerance`` parity): the most recent order still attaches, but
+    only if it is within 30 days of the event — staler matches null
+    out. Same single-shuffle union-merge plan; the tolerance is a
+    post-merge column mask (operators/temporal.py)."""
+    from yelp_etl_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = _t(spark, sf_dir, "orders")
+    joined = asof_join(
+        events,
+        orders,
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_keys=["user_id"],
+        right_keys=["o_custkey"],
+        right_columns=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        tolerance_seconds=30 * 86400,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_total"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = """
+SELECT event_id, user_id,
+       o_orderkey AS last_orderkey,
+       ROUND(o_totalprice, 2) AS last_total
+FROM (
+  SELECT e.event_id, e.user_id,
+         CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+              THEN o.o_orderkey END AS o_orderkey,
+         CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+              THEN o.o_totalprice END AS o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts+value per priority, one column per status."""
     orders = _t(spark, sf_dir, "orders")
@@ -5576,6 +5625,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "session_window": QuerySpec(q_session_window, ORACLE_SESSION, "ext:window session"),
     "range_join": QuerySpec(q_range_join, ORACLE_RANGE_JOIN, "J range"),
     "asof_join": QuerySpec(q_asof_join, ORACLE_ASOF_JOIN, "J asof"),
+    "asof_tolerance": QuerySpec(
+        q_asof_tolerance, ORACLE_ASOF_TOLERANCE, "J asof + tolerance horizon"
+    ),
     "pivot_status": QuerySpec(q_pivot, ORACLE_PIVOT, "pivot"),
     "unpivot_measures": QuerySpec(q_unpivot, ORACLE_UNPIVOT, "unpivot"),
     "string_funcs": QuerySpec(q_string_funcs, ORACLE_STRING_FUNCS, "T*"),
