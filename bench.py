@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "incremental_agg_maintenance",
     "cross_doc_boilerplate",
     "asof_tolerance",
+    "pq_topk",
 ]
 
 

@@ -854,3 +854,51 @@ def test_lsh_params_scale_with_corpus_size():
         _, bits = lsh_params_for(n, target_bucket_size=64)
         occ = n / 2**bits
         assert 32 <= occ <= 64.0001
+
+
+def test_pq_topk_recall_on_clustered_vectors(spark):
+    """Shortlist recall — the property PQ actually provides: vectors
+    quantizing to the same codes score identically under ADC (the
+    within-cluster order collapses by design), so exactness is judged
+    on the SHORTLIST: brute-force top-3 must sit inside the PQ top-9,
+    which is precisely the candidates the production re-rank
+    (brute_force_topk over survivors) would then order exactly. Also:
+    retrieved neighbors share the query's cluster, ranks contiguous."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0  # four orthogonal clusters
+        rows.append((i, [v + rng.gauss(0, 0.03) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 4)
+    exact3 = {}
+    for r in S.brute_force_topk(df, queries, k=3).collect():
+        exact3.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = S.pq_topk(df, queries, k=9, m=4, nbits=4).collect()
+    shortlist = {}
+    for r in got:
+        shortlist.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, want in exact3.items():
+        assert want <= shortlist[q], (q, want, shortlist[q])
+    assert all((r.query_id % 4) == (r.neighbor_id % 4) for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_pq_topk_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, S.pq_topk(df, q, k=4, m=4).collect()))
+    b = sorted(map(tuple, S.pq_topk(df.repartition(7), q, k=4, m=4).collect()))
+    assert a == b

@@ -574,3 +574,131 @@ def quantize_embeddings(
         ),
         F.round(scale, 6).alias("scale"),
     )
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al., PAMI'11 —
+    the memory-bound ANN path): vectors are cut into ``m`` subspaces,
+    each encoded as the id of its nearest sub-codebook centroid
+    (``2^nbits`` per subspace), and queries score candidates through an
+    asymmetric-distance (ADC) lookup table — ``m`` table gathers per
+    candidate instead of a d-dim dot product.
+
+    Why this is the 100 TB shape: the scan that scoring touches shrinks
+    from 4·d bytes to m·nbits/8 bytes per vector (256 B → 4 B here,
+    64×) plus one stored norm — the candidate table becomes small
+    enough to keep hot. Codebooks are driver-held by design
+    (m × 2^nbits × d/m floats — the production analog is offline
+    k-means training, broadcast to executors); here they come from the
+    same deterministic id-quantile sample as ivf_topk. Encoding is one
+    Arrow-batched numpy GEMM per subspace, map-only. Scoring emits a
+    per-batch partial top-k per query (the combiner), so the final
+    shuffle carries ≤ batches·Q·k rows, never Q×N.
+
+    Approximation error comes from quantizing the CANDIDATE side only
+    (queries stay exact — 'asymmetric'); production re-ranks the top
+    candidates on full precision, which is brute_force_topk over the
+    survivors. Returns (query_id, neighbor_id, approx_cosine, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_cent = 2**nbits
+
+    # -- deterministic codebook sample (see ivf_topk): vectors at the
+    # n_cent id-quantiles; driver never holds more than n_cent rows.
+    quantiles = F.array(*[F.lit(i / n_cent) for i in range(n_cent)])
+    cid_values = candidates.agg(
+        F.percentile_approx(id_col, quantiles, F.lit(10_000))
+    ).collect()[0][0]
+    sample = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in candidates.select(id_col, vec_col)
+        .filter(F.col(id_col).isin([int(c) for c in set(cid_values)]))
+        .collect()
+    )
+    dim = len(sample[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    smat = np.array([v for _, v in sample], dtype=np.float64)
+    # codebook[j]: (n_cent, sub) — subspace j centroids. Duplicate
+    # sample rows are fine (codes just never pick the duplicate).
+    codebooks = np.stack(
+        [smat[:, j * sub : (j + 1) * sub] for j in range(m)]
+    )
+
+    qrows = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    qids = np.array([q for q, _ in qrows], dtype=np.int64)
+    qmat = np.array([v for _, v in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm[qnorm == 0] = 1.0
+    # LUT[q, j, c] = <query_q subspace j, codebook[j][c]>
+    lut = np.einsum("qjs,jcs->qjc", qmat.reshape(len(qrows), m, sub), codebooks)
+
+    src = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("__vec"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("approx_cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            xnorm = np.sqrt((X * X).sum(axis=1))
+            xnorm[xnorm == 0] = 1.0
+            Xs = X.reshape(len(X), m, sub)
+            # encode: nearest centroid per subspace (squared L2; the
+            # ||x_j||² term is constant per argmin and dropped)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                d2 = -2.0 * Xs[:, j, :] @ codebooks[j].T + (
+                    codebooks[j] * codebooks[j]
+                ).sum(axis=1)
+                codes[:, j] = d2.argmin(axis=1)
+            # ADC: approx dot = sum_j LUT[q, j, codes[:, j]]
+            for qi, qid in enumerate(qids):
+                adc = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                sims = adc / (qnorm[qi] * xnorm)
+                mask = ids != qid
+                order = np.argsort(-sims[mask], kind="stable")[:k]
+                sel_ids = ids[mask][order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(sel_ids), qid, dtype=np.int64),
+                        "neighbor_id": sel_ids,
+                        "approx_cosine": np.round(sims[mask][order], 4),
+                    }
+                )
+
+    partial = src.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "approx_cosine", F.col("rank").cast("long")
+        )
+    )

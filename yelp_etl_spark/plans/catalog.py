@@ -1318,6 +1318,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (functions/similarity.py pq_topk):
+    64-dim vectors → 8 sub-codebooks × 16 centroids → 8-code vectors,
+    queries score via lookup-table gathers with per-batch partial top-k.
+    Rows-only check; shortlist recall is property-tested against brute
+    force (tests/test_functions.py)."""
+    embeddings = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return S.pq_topk(embeddings, queries, k=5, m=8, nbits=4)
+
+
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product (explicit crossJoin) of two tiny dims."""
     region = _t(spark, sf_dir, "region")
@@ -5650,6 +5661,7 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         "ext:dedup-embedding-lsh",
     ),
     "ivf_topk": QuerySpec(q_ivf_topk, None, "ext:similarity-ivf"),
+    "pq_topk": QuerySpec(q_pq_topk, None, "ext:similarity-pq"),
     "stats_aggs": QuerySpec(q_stats_aggs, ORACLE_STATS_AGGS, "stats agg"),
     "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
     "date_arith": QuerySpec(q_date_arith, ORACLE_DATE_ARITH, "date arith"),
