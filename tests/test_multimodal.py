@@ -181,3 +181,73 @@ def test_jpeg_dimensions_garbage_safe(spark):
         rows[i].jpeg_width is None and rows[i].jpeg_height is None
         for i in (1, 2, 3)
     )
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _minimal_mp4(timescale=600, duration=7200, w=640, h=360, v1=False) -> bytes:
+    """Hand-built ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)) — the exact
+    box layout QuickTime/MP4 muxers emit, nothing codec-specific."""
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    if v1:
+        mvhd_body = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big") * 2            # creation, modification
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 80
+        )
+        tkhd_body = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big") * 2            # creation, modification
+            + (1).to_bytes(4, "big")                # track id
+            + b"\x00" * 4
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 8 + b"\x00" * 8             # reserved, layer..volume etc.
+            + b"\x00" * 36                          # matrix
+            + (w << 16).to_bytes(4, "big")
+            + (h << 16).to_bytes(4, "big")
+        )
+    else:
+        mvhd_body = (
+            bytes([0, 0, 0, 0])
+            + (0).to_bytes(4, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 80
+        )
+        tkhd_body = (
+            bytes([0, 0, 0, 0])
+            + (0).to_bytes(4, "big") * 2
+            + (1).to_bytes(4, "big")
+            + b"\x00" * 4
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 8 + b"\x00" * 8
+            + b"\x00" * 36
+            + (w << 16).to_bytes(4, "big")
+            + (h << 16).to_bytes(4, "big")
+        )
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + _box(b"trak", _box(b"tkhd", tkhd_body)))
+    return ftyp + moov
+
+
+def test_mp4_metadata_v0_and_v1_boxes(spark):
+    from yelp_etl_spark.functions.multimodal import mp4_metadata
+
+    rows = [
+        (0, _minimal_mp4()),                       # v0: 12s, 640x360
+        (1, _minimal_mp4(1000, 2500, 1920, 1080, v1=True)),  # v1: 2.5s
+        (2, b"\x00\x00\x00\x08free"),              # ISO-ish but no ftyp
+        (3, b"garbage bytes"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in mp4_metadata(df).collect()}
+    assert got[0].mp4_duration_s == 12.0
+    assert (got[0].mp4_width, got[0].mp4_height) == (640, 360)
+    assert got[1].mp4_duration_s == 2.5
+    assert (got[1].mp4_width, got[1].mp4_height) == (1920, 1080)
+    for i in (2, 3, 4):
+        assert got[i].mp4_duration_s is None and got[i].mp4_width is None

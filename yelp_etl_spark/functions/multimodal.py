@@ -343,3 +343,91 @@ def jpeg_dimensions(
 
     schema = f"{id_col} long, {JPEG_DIM_SCHEMA}"
     return src.mapInPandas(scan, schema)
+
+
+MP4_META_SCHEMA = "mp4_duration_s double, mp4_width int, mp4_height int"
+
+
+def mp4_metadata(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Video container metadata from an ISO-BMFF (MP4/MOV) box walk —
+    duration (mvhd timescale/duration, v0 and v1 layouts) and the first
+    track's presentation width/height (tkhd 16.16 fixed point). Like
+    jpeg_dimensions this is codec-free: only box headers are examined,
+    never sample data, so bytes touched ≈ moov size regardless of
+    payload size — the routing pass that decides which blobs reach a
+    (cluster-side, library-backed) frame-decode stage. Variable-length
+    nested boxes make this inexpressible as fixed-offset column
+    arithmetic → Arrow-batched mapInPandas over (id, blob).
+
+    Returns (id, mp4_duration_s, mp4_width, mp4_height); nulls for
+    blobs that aren't ISO-BMFF or lack the boxes.
+    """
+    import pandas as pd
+
+    src = df.select(id_col, blob_col)
+
+    def boxes(b, start, end):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(b[i : i + 4], "big")
+            btype = b[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                body = i + 16
+            else:
+                body = i + 8
+            if size < 8 or i + size > end:
+                return
+            yield btype, body, i + size
+            i += size
+
+    def parse(payload):
+        b = bytes(payload) if payload is not None else b""
+        if len(b) < 12 or b[4:8] != b"ftyp":
+            return None, None, None
+        dur = width = height = None
+        for btype, body, bend in boxes(b, 0, len(b)):
+            if btype != b"moov":
+                continue
+            for ctype, cbody, cend in boxes(b, body, bend):
+                if ctype == b"mvhd" and dur is None:
+                    v = b[cbody]
+                    if v == 1:
+                        ts = int.from_bytes(b[cbody + 20 : cbody + 24], "big")
+                        d = int.from_bytes(b[cbody + 24 : cbody + 32], "big")
+                    else:
+                        ts = int.from_bytes(b[cbody + 12 : cbody + 16], "big")
+                        d = int.from_bytes(b[cbody + 16 : cbody + 20], "big")
+                    if ts:
+                        dur = d / ts
+                elif ctype == b"trak" and width is None:
+                    for ttype, tbody, _tend in boxes(b, cbody, cend):
+                        if ttype != b"tkhd":
+                            continue
+                        off = 88 if b[tbody] == 1 else 76
+                        w = int.from_bytes(b[tbody + off : tbody + off + 4], "big")
+                        h = int.from_bytes(
+                            b[tbody + off + 4 : tbody + off + 8], "big"
+                        )
+                        if w and h:  # audio tracks carry 0x0
+                            width, height = w >> 16, h >> 16
+        return dur, width, height
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse(p) for p in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "mp4_duration_s": [d for d, _, _ in parsed],
+                    "mp4_width": [w for _, w, _ in parsed],
+                    "mp4_height": [h for _, _, h in parsed],
+                }
+            )
+
+    schema = f"{id_col} long, {MP4_META_SCHEMA}"
+    return src.mapInPandas(scan, schema)
