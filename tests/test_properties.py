@@ -123,3 +123,23 @@ def test_exact_dedup_partition_invariant(spark, batch):
     b = sorted(map(tuple, D.exact_dedup(df.repartition(5)).collect()))
     assert a == b
     assert sum(r[2] for r in a) == len(rows)
+
+
+@given(
+    batch=st.lists(words, min_size=2, max_size=10),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**SETTINGS)
+def test_jaccard_prefix_join_exactness_property(spark, batch, threshold):
+    """For ANY corpus and threshold, prefix filtering must reproduce
+    the brute-force all-pairs shingle join verbatim (the no-false-
+    negatives contract of the AllPairs/PPJoin prefix principle)."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(batch)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = sorted(
+        map(tuple, D.ngram_jaccard_pairs(df, n=2, threshold=threshold).collect())
+    )
+    pref = sorted(
+        map(tuple, D.jaccard_prefix_join(df, threshold=threshold, n=2).collect())
+    )
+    assert pref == brute
