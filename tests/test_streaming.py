@@ -237,3 +237,45 @@ def test_stream_stream_join_left_outer_batch(spark, events_dir):
     assert len(unmatched) == n_clicks - matched_left
     assert len(rows) == inner.count() + len(unmatched)
     assert n_clicks > matched_left > 0
+
+
+def test_checkpoint_restart_processes_new_files_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts — the core Structured Streaming
+    guarantee a daily-ingest deployment leans on: run to completion,
+    stop, land MORE files in the source dir, restart with the SAME
+    checkpoint. The second run must process only the new files (no
+    reprocessing: totals equal each file counted exactly once), because
+    the checkpoint's file-source log records what was committed."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(first.schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()  # nothing dropped, nothing doubled
+    assert got.select(F.sum("value")).collect()[0][0] == pytest.approx(
+        events.select(F.sum("value")).collect()[0][0], rel=1e-9
+    )
