@@ -36,6 +36,7 @@ def test_queries_and_oracles_consistent(spark):
         "approx_distinct",
         "lsh_topk",
         "ivf_topk",
+        "pq_topk",
         "blob_features",
         "hll_mergeable",
     }
