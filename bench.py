@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "cross_doc_boilerplate",
     "asof_tolerance",
     "pq_topk",
+    "xml_extract",
 ]
 
 

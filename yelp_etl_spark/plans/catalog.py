@@ -1318,6 +1318,35 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML ingestion (from_xml) proven against ground
+    truth: order fields are serialized to XML inside the query, parsed
+    back through the XML reader, and the oracle selects the original
+    columns directly — any parser drift (escaping, numeric coercion,
+    element ordering) breaks the hash. The reference reads JSON-lines
+    only; XML is the remaining text interchange format a migrating user
+    would bring (S1 analog)."""
+    orders = _t(spark, sf_dir, "orders")
+    xml = F.format_string(
+        "<o><k>%s</k><st>%s</st><tp>%.2f</tp></o>",
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, st STRING, tp DOUBLE")
+    return orders.select(
+        parsed["k"].alias("k"),
+        parsed["st"].alias("st"),
+        F.round(parsed["tp"], 2).alias("tp"),
+    )
+
+
+ORACLE_XML_EXTRACT = """
+SELECT o_orderkey AS k, o_orderstatus AS st, ROUND(o_totalprice, 2) AS tp
+FROM orders
+"""
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (functions/similarity.py pq_topk):
     64-dim vectors → 8 sub-codebooks × 16 centroids → 8-code vectors,
@@ -5662,6 +5691,7 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "ivf_topk": QuerySpec(q_ivf_topk, None, "ext:similarity-ivf"),
     "pq_topk": QuerySpec(q_pq_topk, None, "ext:similarity-pq"),
+    "xml_extract": QuerySpec(q_xml_extract, ORACLE_XML_EXTRACT, "S1 XML ingestion roundtrip"),
     "stats_aggs": QuerySpec(q_stats_aggs, ORACLE_STATS_AGGS, "stats agg"),
     "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
     "date_arith": QuerySpec(q_date_arith, ORACLE_DATE_ARITH, "date arith"),
