@@ -681,7 +681,11 @@ def pq_topk(
                 adc = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
                 sims = adc / (qnorm[qi] * xnorm)
                 mask = ids != qid
-                order = np.argsort(-sims[mask], kind="stable")[:k]
+                # lexsort: primary -sims, tie-break ascending id — the
+                # SAME total order the global window uses, so per-batch
+                # truncation can never make the final top-k depend on
+                # how rows were batched (score ties included)
+                order = np.lexsort((ids[mask], -sims[mask]))[:k]
                 sel_ids = ids[mask][order]
                 yield pd.DataFrame(
                     {
