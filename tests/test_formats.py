@@ -149,3 +149,42 @@ def test_read_json_permissive_corrupt_record_capture(spark, tmp_path):
     assert bad.count() == 1
     assert "not json" in bad.collect()[0]._corrupt_record
     df.unpersist()
+
+
+def test_distributed_write_bounds_file_count(spark, sf_dir, tmp_path):
+    """WriteSpec(distribute=True) hash-distributes rows to the layout
+    keys before the path write (Iceberg write.distribution-mode=hash):
+    file count is bounded by #(partition, bucket) combos, not by
+    write-tasks × directories. Without it a 32-task write scatters
+    files into every directory it touches."""
+    import os
+
+    from yelp_etl_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").repartition(16)
+    spec = dict(
+        partition_columns=["o_orderstatus"],
+        bucket_column="o_custkey",
+        buckets=4,
+    )
+
+    def n_files(path):
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    scattered = str(tmp_path / "scattered")
+    write_table(orders, scattered, WriteSpec(**spec))
+    distributed = str(tmp_path / "distributed")
+    write_table(orders, distributed, WriteSpec(**spec, distribute=True))
+
+    combos = 3 * 4  # statuses x buckets
+    assert n_files(distributed) <= combos
+    assert n_files(scattered) > n_files(distributed)
+    # identical content either way
+    a = spark.read.parquet(scattered).count()
+    b = spark.read.parquet(distributed).count()
+    assert a == b == orders.count()

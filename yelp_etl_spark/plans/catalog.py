@@ -5530,6 +5530,10 @@ def q_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             partition_columns=["o_orderstatus"],
             bucket_column="o_custkey",
             buckets=4,
+            # hash-distribute to the layout keys (Iceberg
+            # write.distribution-mode=hash): 1 file per (status, bucket)
+            # instead of one per write task per directory
+            distribute=True,
         ),
     )
     back = spark.read.parquet(target)

@@ -37,6 +37,14 @@ class WriteSpec:
     bucket_column: str | None = None
     buckets: int = 8
     options: dict[str, str] = field(default_factory=dict)
+    # Hash-distribute rows to the layout keys before the path write
+    # (Iceberg's write.distribution-mode=hash): without it every write
+    # task emits a file into every partition directory it sees — at
+    # 1000 tasks × 365 date partitions that is 365k files per day and
+    # a compaction job forever chasing the sink. With it, one shuffle
+    # buys ≤1 file per (partition, bucket) per write. Off by default:
+    # small writes and single-partition appends don't need the shuffle.
+    distribute: bool = False
 
 
 def _partition_transforms(spec: WriteSpec) -> list:
@@ -72,6 +80,8 @@ def write_table(df: DataFrame, target: str, spec: WriteSpec | None = None) -> No
             bucket_col, F.pmod(F.xxhash64(spec.bucket_column), F.lit(spec.buckets))
         )
         partition_cols.append(bucket_col)
+    if spec.distribute and partition_cols:
+        out = out.repartition(*[F.col(c) for c in partition_cols])
     writer = out.write.mode(spec.mode)
     if spec.format == "csv" and "header" not in spec.options:
         writer = writer.option("header", "true")
