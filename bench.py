@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "asof_tolerance",
     "pq_topk",
     "xml_extract",
+    "collation_group",
 ]
 
 

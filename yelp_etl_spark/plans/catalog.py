@@ -1318,6 +1318,36 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation-aware grouping: market segments are re-cased
+    per row (upper on even keys, initcap on odd — worst-case mixed
+    input), then grouped under UTF8_LCASE collation WITHOUT
+    materializing a lower() key column; the collation IS the equality
+    semantics, so Catalyst can push it into the hash. Output lowercases
+    and casts back to the default collation so the result schema is a
+    plain string; the oracle is the classic LOWER() group-by."""
+    customer = _t(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper(F.col("c_mktsegment"))
+    ).otherwise(F.initcap(F.lower(F.col("c_mktsegment"))))
+    return (
+        customer.select(F.collate(mixed, "UTF8_LCASE").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.lower(F.col("seg")).cast("string").alias("segment"),
+            "n_customers",
+        )
+    )
+
+
+ORACLE_COLLATION_GROUP = """
+SELECT LOWER(c_mktsegment) AS segment, COUNT(*) AS n_customers
+FROM customer
+GROUP BY 1
+"""
+
+
 def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 native XML ingestion (from_xml) proven against ground
     truth: order fields are serialized to XML inside the query, parsed
@@ -5696,6 +5726,7 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "ivf_topk": QuerySpec(q_ivf_topk, None, "ext:similarity-ivf"),
     "pq_topk": QuerySpec(q_pq_topk, None, "ext:similarity-pq"),
     "xml_extract": QuerySpec(q_xml_extract, ORACLE_XML_EXTRACT, "S1 XML ingestion roundtrip"),
+    "collation_group": QuerySpec(q_collation_group, ORACLE_COLLATION_GROUP, "T3 collation-aware grouping"),
     "stats_aggs": QuerySpec(q_stats_aggs, ORACLE_STATS_AGGS, "stats agg"),
     "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
     "date_arith": QuerySpec(q_date_arith, ORACLE_DATE_ARITH, "date arith"),
