@@ -200,6 +200,7 @@ def test_zstd_write_smaller_than_snappy(spark, sf_dir, tmp_path):
     from yelp_etl_spark.sources.readers import load_table
 
     lineitem = load_table(spark, sf_dir, "lineitem").limit(20000)
+    n = lineitem.count()
 
     def size(path):
         return sum(
@@ -214,4 +215,4 @@ def test_zstd_write_smaller_than_snappy(spark, sf_dir, tmp_path):
     write_table(lineitem, snappy, WriteSpec(options={"compression": "snappy"}))
     write_table(lineitem, zstd, WriteSpec(options={"compression": "zstd"}))
     assert size(zstd) < size(snappy)
-    assert spark.read.parquet(zstd).count() == spark.read.parquet(snappy).count() == 20000
+    assert spark.read.parquet(zstd).count() == spark.read.parquet(snappy).count() == n
