@@ -12,6 +12,8 @@ chain them at 100 TB.
                             canonical doc per cluster)
       → repetition gate    (functions/curation.py — Gopher-style
                             mode-word / duplicate-n-gram thresholds)
+      → boilerplate gate   (functions/curation.py — cross-doc shared
+                            5-gram fraction; passage-level templating)
       → decontamination    (functions/curation.py — drop docs sharing
                             token n-grams with the held-out eval set)
       → PII redaction      (chained regexp_replace, map-only)
@@ -22,8 +24,9 @@ chain them at 100 TB.
       → token stats        (observe metrics: zero extra scans)
       → train/test parquet (sources/writers.py)
 
-Stage costs: four keyed shuffles total (exact-dedup digest group, the
-LSH band join, the repetition-gate doc-key window, the shard exchange);
+Stage costs: five keyed shuffles total (exact-dedup digest group, the
+LSH band join, the repetition-gate doc-key window, the boilerplate
+gram-frequency aggregate, the shard exchange);
 decontamination broadcasts the eval shingle set; everything else is
 map-only, so the pipeline scales with scan bandwidth. Run:
 
@@ -87,6 +90,14 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, float]:
         (F.col("dup_ngram_frac") <= 0.6) & (F.col("top_word_frac") <= 0.5)
     ).select("doc_id")
     gated = deduped.join(rep_ok, "doc_id", "left_semi")
+
+    # 5b2. Cross-document boilerplate gate: drop docs whose gram mass is
+    #      mostly corpus-shared templating — the passage-level signal
+    #      document-level near-dup (stage 5) cannot see. Threshold is a
+    #      corpus knob; 0.8 keeps the fixture's healthy docs.
+    boiler = C.cross_doc_boilerplate(gated, ngram=5, min_docs=3)
+    boiler_ok = boiler.filter(F.col("boilerplate_frac") <= 0.8).select("doc_id")
+    gated = gated.join(boiler_ok, "doc_id", "left_semi")
 
     # 5c. Decontamination: a deterministic 2% held-out eval sample must
     #     not leak token 5-grams into the training corpus.
