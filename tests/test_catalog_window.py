@@ -64,6 +64,9 @@ def test_driver_window_spans_operator_families():
         "jaccard_prefix_join",
         "incremental_agg_maintenance",
         "cross_doc_boilerplate",
+        "asof_tolerance",
+        "xml_extract",
+        "collation_group",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
@@ -97,6 +100,9 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "dedup_exact",
         "text_stats",
         "bitmap_distinct",
+        "range_join",
+        "lang_id",
+        "cosine_topk",
     }
     for name in rotated_out:
         assert name in QUERIES and QUERIES[name].oracle is not None

@@ -5905,8 +5905,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # windows / joins (kept representatives)
     "window_topk",
     "join_full_outer",
-    "range_join",
     "asof_join",
+    "asof_tolerance",
     # NEW r3: TPC-H / analytic shapes never driver-checked
     "tpch_q2_min_cost",
     "interval_overlap",
@@ -5951,15 +5951,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_shape",
     "merge_upsert",
     "scd2_history",
-    # LLM-data-pipeline: dedup / text / similarity / graph (kept)
-    "lang_id",
+    # LLM-data-pipeline: dedup / text / similarity / graph (kept;
+    # lang_id + cosine_topk twice-green, rotated out for Spark-4 surface)
     "quality_score",
+    "xml_extract",
+    "collation_group",
     "ngram_jaccard_pairs",
     "minhash_portable",
     "simhash_portable",
     "neardup_components",
     "embedding_neardup_lsh",
-    "cosine_topk",
     "funnel_conversion",
 )
 
