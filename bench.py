@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "pq_topk",
     "xml_extract",
     "collation_group",
+    "histogram_quantiles",
 ]
 
 

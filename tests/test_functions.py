@@ -902,3 +902,37 @@ def test_pq_topk_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, S.pq_topk(df, q, k=4, m=4).collect()))
     b = sorted(map(tuple, S.pq_topk(df.repartition(7), q, k=4, m=4).collect()))
     assert a == b
+
+
+def test_histogram_quantiles_within_one_bin_width(spark, sf_dir):
+    """The equi-width-histogram quantile estimator's error bound: every
+    estimate lies within one bin width of the exact percentile; and the
+    merge of two disjoint-half histograms equals the single-pass one."""
+    from yelp_etl_spark.functions.sketches import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+    from yelp_etl_spark.sources.readers import load_table
+
+    lo, hi, bins = 900.0, 105000.0, 64
+    width = (hi - lo) / bins
+    li = load_table(spark, sf_dir, "lineitem")
+    whole = fixed_histogram(li, "l_extendedprice", lo, hi, bins)
+    half_a = fixed_histogram(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", lo, hi, bins
+    )
+    half_b = fixed_histogram(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", lo, hi, bins
+    )
+    merged = (
+        half_a.unionByName(half_b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    qs = [0.5, 0.9, 0.99]
+    est = {r.q: r.est for r in histogram_quantiles(whole, qs, lo, hi, bins).collect()}
+    exact = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs]))
+    ).collect()[0][0]
+    for q, ex in zip(qs, exact):
+        assert abs(est[q] - ex) <= width, (q, est[q], ex)

@@ -108,3 +108,85 @@ def cms_estimate(
         .groupBy(key_column)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Fixed-boundary histogram sketch of ``column``: (bin, cnt) with at
+    most ``bins`` rows. Like the count-min and HLL sketches above it is
+    MERGEABLE (cell-wise addition — per-day/per-partition histograms
+    roll up without touching raw data), and unlike KLL/GK quantile
+    sketches its content is EXACTLY determined by the data and the
+    fixed boundaries, so downstream quantile estimates are value-
+    oracle-able in any engine. Out-of-range values clamp to the edge
+    bins. One map-side-combined aggregate; the shuffle carries bins
+    cells, never rows."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return df.groupBy(b.alias("bin")).agg(F.count("*").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a fixed_histogram: for each q, locate the
+    first bin whose cumulative count reaches q·N and linearly
+    interpolate inside it — the classic equi-width-histogram estimator,
+    with error bounded by one bin width. Deterministic arithmetic on
+    (bin, cnt, cum) so an oracle can reproduce it bit-for-bit; the
+    cumulative window runs over ≤``bins`` rows (single tiny partition
+    by construction, not a data-sized sort)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    target = F.col("q") * F.col("n")
+    eligible = c.join(F.broadcast(qdf)).filter(F.col("cum") >= target)
+    first = eligible.groupBy("q").agg(
+        F.min_by(F.struct("bin", "cnt", "cum"), "bin").alias("s")
+    )
+    # n is constant; re-attach it via a 1-row broadcast join
+    total = c.select("n").limit(1)
+    return (
+        first.join(F.broadcast(total))
+        .select(
+            "q",
+            F.round(
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    F.col("s.bin")
+                    + (F.col("q") * F.col("n") - (F.col("s.cum") - F.col("s.cnt")))
+                    / F.col("s.cnt")
+                ),
+                4,
+            ).alias("est"),
+        )
+    )

@@ -1318,6 +1318,65 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch
+    (functions/sketches.py): two histograms over disjoint shipdate
+    halves of lineitem merged cell-wise, then p50/p90/p99 of
+    l_extendedprice estimated by in-bin linear interpolation. The
+    merge being value-identical to a single-pass histogram is what the
+    single-pass oracle checks — the same mergeability proof shape as
+    count_min_freq. Unlike KLL/GK sketches, the fixed boundaries make
+    the estimate EXACT arithmetic on (bin, cnt), so a SQL oracle can
+    reproduce it bit-for-bit; estimator error is bounded by one bin
+    width."""
+    from yelp_etl_spark.functions.sketches import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+
+    lo, hi, bins = 900.0, 105000.0, 64
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = fixed_histogram(
+        lineitem.filter(F.col("l_shipdate") < cut), "l_extendedprice", lo, hi, bins
+    )
+    late = fixed_histogram(
+        lineitem.filter(F.col("l_shipdate") >= cut), "l_extendedprice", lo, hi, bins
+    )
+    merged = (
+        early.unionByName(late).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    return histogram_quantiles(merged, [0.5, 0.9, 0.99], lo, hi, bins)
+
+
+ORACLE_HISTOGRAM_QUANTILES = """
+WITH h AS (
+  SELECT LEAST(63, GREATEST(0,
+           CAST(FLOOR((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 64))
+                AS INT))) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY 1
+),
+c AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM h
+),
+q(q) AS (VALUES (0.5), (0.9), (0.99)),
+sel AS (
+  SELECT q.q, MIN(c.bin) AS bin
+  FROM q JOIN c ON c.cum >= q.q * c.n
+  GROUP BY q.q
+)
+SELECT CAST(sel.q AS DOUBLE) AS q,
+       ROUND(900.0 + ((105000.0 - 900.0) / 64) *
+             (sel.bin + (sel.q * c.n - (c.cum - c.cnt)) / c.cnt), 4) AS est
+FROM sel JOIN c ON c.bin = sel.bin
+"""
+
+
 def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 collation-aware grouping: market segments are re-cased
     per row (upper on even keys, initcap on odd — worst-case mixed
@@ -5727,6 +5786,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "pq_topk": QuerySpec(q_pq_topk, None, "ext:similarity-pq"),
     "xml_extract": QuerySpec(q_xml_extract, ORACLE_XML_EXTRACT, "S1 XML ingestion roundtrip"),
     "collation_group": QuerySpec(q_collation_group, ORACLE_COLLATION_GROUP, "T3 collation-aware grouping"),
+    "histogram_quantiles": QuerySpec(
+        q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES, "A+ mergeable histogram quantile sketch"
+    ),
     "stats_aggs": QuerySpec(q_stats_aggs, ORACLE_STATS_AGGS, "stats agg"),
     "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
     "date_arith": QuerySpec(q_date_arith, ORACLE_DATE_ARITH, "date arith"),
