@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "xml_extract",
     "collation_group",
     "histogram_quantiles",
+    "abandoned_views",
 ]
 
 

@@ -1318,6 +1318,57 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative temporal pattern — abandonment detection: a 'view' with
+    NO 'purchase' by the same user within the following hour. Composed
+    as a FORWARD as-of join with a 1-hour tolerance (operators/
+    temporal.py): each view picks its next purchase, the tolerance
+    nulls out purchases beyond the horizon, and abandonment is simply
+    `asof_ts IS NULL` — one union-merge shuffle total, versus the
+    naive exists-subquery's view×purchase range join. Matches AT the
+    view timestamp count as conversions (asof semantics; the oracle's
+    p.ts >= v.ts mirrors it). Per-user totals."""
+    from yelp_etl_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        views,
+        purchases,
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_keys=["user_id"],
+        right_keys=["user_id"],
+        right_columns=[],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_views"),
+        F.count_if(F.col("asof_ts").isNull()).alias("n_abandoned"),
+    )
+
+
+ORACLE_ABANDONED_VIEWS = """
+SELECT v.user_id,
+       COUNT(*) AS n_views,
+       COUNT(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM events p
+         WHERE p.event_type = 'purchase'
+           AND p.user_id = v.user_id
+           AND p.ts >= v.ts
+           AND p.ts <= v.ts + INTERVAL 1 HOUR
+       )) AS n_abandoned
+FROM events v
+WHERE v.event_type = 'view'
+GROUP BY v.user_id
+"""
+
+
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-bin histogram quantile sketch
     (functions/sketches.py): two histograms over disjoint shipdate
@@ -5786,6 +5837,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "pq_topk": QuerySpec(q_pq_topk, None, "ext:similarity-pq"),
     "xml_extract": QuerySpec(q_xml_extract, ORACLE_XML_EXTRACT, "S1 XML ingestion roundtrip"),
     "collation_group": QuerySpec(q_collation_group, ORACLE_COLLATION_GROUP, "T3 collation-aware grouping"),
+    "abandoned_views": QuerySpec(
+        q_abandoned_views, ORACLE_ABANDONED_VIEWS, "W+ negative temporal pattern via forward asof + tolerance"
+    ),
     "histogram_quantiles": QuerySpec(
         q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES, "A+ mergeable histogram quantile sketch"
     ),
