@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "collation_group",
     "histogram_quantiles",
     "abandoned_views",
+    "grouped_histogram_quantiles",
 ]
 
 

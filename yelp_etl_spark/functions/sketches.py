@@ -116,6 +116,7 @@ def fixed_histogram(
     lo: float,
     hi: float,
     bins: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-boundary histogram sketch of ``column``: (bin, cnt) with at
     most ``bins`` rows. Like the count-min and HLL sketches above it is
@@ -125,7 +126,8 @@ def fixed_histogram(
     fixed boundaries, so downstream quantile estimates are value-
     oracle-able in any engine. Out-of-range values clamp to the edge
     bins. One map-side-combined aggregate; the shuffle carries bins
-    cells, never rows."""
+    cells, never rows. With ``group_cols`` the sketch is per group —
+    the per-segment-percentile shape: ≤ groups×bins cells total."""
     width = (hi - lo) / bins
     b = F.least(
         F.lit(bins - 1),
@@ -133,7 +135,8 @@ def fixed_histogram(
             F.lit(0), F.floor((F.col(column) - F.lit(lo)) / F.lit(width)).cast("int")
         ),
     )
-    return df.groupBy(b.alias("bin")).agg(F.count("*").alias("cnt"))
+    keys = [F.col(c) for c in (group_cols or [])] + [b.alias("bin")]
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
 
 
 def histogram_quantiles(
@@ -142,6 +145,7 @@ def histogram_quantiles(
     lo: float,
     hi: float,
     bins: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a fixed_histogram: for each q, locate the
     first bin whose cumulative count reaches q·N and linearly
@@ -152,41 +156,41 @@ def histogram_quantiles(
     by construction, not a data-sized sort)."""
     from pyspark.sql import Window
 
+    gcols = list(group_cols or [])
     width = (hi - lo) / bins
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(*gcols).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = hist.select(
+        *gcols,
         "bin",
         "cnt",
         F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+        F.sum("cnt").over(wn).alias("n"),
     )
     qdf = hist.sparkSession.createDataFrame(
         [(float(q),) for q in quantiles], "q double"
     )
     target = F.col("q") * F.col("n")
     eligible = c.join(F.broadcast(qdf)).filter(F.col("cum") >= target)
-    first = eligible.groupBy("q").agg(
-        F.min_by(F.struct("bin", "cnt", "cum"), "bin").alias("s")
+    first = eligible.groupBy(*gcols, "q").agg(
+        F.min_by(F.struct("bin", "cnt", "cum", "n"), "bin").alias("s")
     )
-    # n is constant; re-attach it via a 1-row broadcast join
-    total = c.select("n").limit(1)
-    return (
-        first.join(F.broadcast(total))
-        .select(
-            "q",
-            F.round(
-                F.lit(lo)
-                + F.lit(width)
-                * (
-                    F.col("s.bin")
-                    + (F.col("q") * F.col("n") - (F.col("s.cum") - F.col("s.cnt")))
-                    / F.col("s.cnt")
-                ),
-                4,
-            ).alias("est"),
-        )
+    return first.select(
+        *gcols,
+        "q",
+        F.round(
+            F.lit(lo)
+            + F.lit(width)
+            * (
+                F.col("s.bin")
+                + (F.col("q") * F.col("s.n") - (F.col("s.cum") - F.col("s.cnt")))
+                / F.col("s.cnt")
+            ),
+            4,
+        ).alias("est"),
     )

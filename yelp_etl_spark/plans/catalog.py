@@ -1428,6 +1428,58 @@ FROM sel JOIN c ON c.bin = sel.bin
 """
 
 
+def q_grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mergeable histogram quantiles: p50/p90 of
+    l_extendedprice per l_returnflag from one fixed-bin sketch pass —
+    groups×bins cells total, per-group cumulative windows over ≤64
+    rows each. The per-segment-percentile dashboard shape at 100 TB:
+    sketch once, answer every group's quantiles without a per-group
+    sort."""
+    from yelp_etl_spark.functions.sketches import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+
+    lo, hi, bins = 900.0, 105000.0, 64
+    lineitem = _t(spark, sf_dir, "lineitem")
+    hist = fixed_histogram(
+        lineitem, "l_extendedprice", lo, hi, bins, group_cols=["l_returnflag"]
+    )
+    return histogram_quantiles(
+        hist, [0.5, 0.9], lo, hi, bins, group_cols=["l_returnflag"]
+    )
+
+
+ORACLE_GROUPED_HISTOGRAM_QUANTILES = """
+WITH h AS (
+  SELECT l_returnflag,
+         LEAST(63, GREATEST(0,
+           CAST(FLOOR((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 64))
+                AS INT))) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM h
+),
+q(q) AS (VALUES (0.5), (0.9)),
+sel AS (
+  SELECT c.l_returnflag, q.q, MIN(c.bin) AS bin
+  FROM q JOIN c ON c.cum >= q.q * c.n
+  GROUP BY 1, 2
+)
+SELECT sel.l_returnflag, CAST(sel.q AS DOUBLE) AS q,
+       ROUND(900.0 + ((105000.0 - 900.0) / 64) *
+             (sel.bin + (sel.q * c.n - (c.cum - c.cnt)) / c.cnt), 4) AS est
+FROM sel JOIN c
+  ON c.l_returnflag = sel.l_returnflag AND c.bin = sel.bin
+"""
+
+
 def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 collation-aware grouping: market segments are re-cased
     per row (upper on even keys, initcap on odd — worst-case mixed
@@ -5842,6 +5894,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "histogram_quantiles": QuerySpec(
         q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES, "A+ mergeable histogram quantile sketch"
+    ),
+    "grouped_histogram_quantiles": QuerySpec(
+        q_grouped_histogram_quantiles,
+        ORACLE_GROUPED_HISTOGRAM_QUANTILES,
+        "A+ per-group histogram quantiles",
     ),
     "stats_aggs": QuerySpec(q_stats_aggs, ORACLE_STATS_AGGS, "stats agg"),
     "window_ranking2": QuerySpec(q_window_ranking2, ORACLE_WINDOW_RANKING2, "window rank2"),
