@@ -5690,12 +5690,28 @@ FROM h
 # --------------------------------------------------------------------------
 
 
+_SCRATCH_PARENTS: list = []
+
+
 def _scratch_dir(sf_dir: str, tag: str) -> str:
+    # Fresh private dir per invocation (never a fixed shared /tmp path:
+    # concurrent or back-to-back runs of the same query must not see each
+    # other's files). The returned path doesn't exist yet — callers write
+    # to it. Parents are removed atexit, not eagerly: the DataFrames these
+    # queries return are lazy and read the files at collect time.
+    import atexit
     import os
+    import shutil
     import tempfile
 
     sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"yelp_etl_spark_{tag}_{sf}")
+    parent = tempfile.mkdtemp(prefix=f"yelp_etl_spark_{tag}_{sf}_")
+    if not _SCRATCH_PARENTS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_PARENTS]
+        )
+    _SCRATCH_PARENTS.append(parent)
+    return os.path.join(parent, "data")
 
 
 def q_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

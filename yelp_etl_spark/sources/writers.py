@@ -164,6 +164,10 @@ def compact_parquet_dir(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    # The swap happened outside Spark's write path, so the session's
+    # FileStatusCache may still hold the pre-swap listing; without this
+    # a read-back can serve the OLD files (stale-listing hash mismatch).
+    spark.catalog.refreshByPath(path)
     return n_files
 
 
