@@ -586,6 +586,45 @@ def test_pagerank_properties(spark):
     assert abs(ranks["a"] - ranks["c"]) < 1e-9  # symmetry
 
 
+def test_pagerank_broadcast_paths_equal(spark):
+    """The forced-broadcast and shuffle-join (100 TB) iteration paths
+    must produce identical ranks — broadcast_state only changes the
+    physical join strategy, never the math."""
+    from yelp_etl_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)],
+        "src string, dst string",
+    )
+    bcast = {r.id: round(r.rank, 12) for r in
+             pagerank(edges, iterations=5, broadcast_state=True).collect()}
+    shuf = {r.id: round(r.rank, 12) for r in
+            pagerank(edges, iterations=5, broadcast_state=False).collect()}
+    assert bcast == shuf
+    # auto with a tiny threshold must route to the shuffle path and agree
+    auto = {r.id: round(r.rank, 12) for r in
+            pagerank(edges, iterations=5, broadcast_state="auto",
+                     broadcast_max_state=1).collect()}
+    assert auto == shuf
+
+
+def test_bfs_broadcast_paths_equal(spark):
+    from yelp_etl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 30}") for i in range(60)],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("n0",)], "id string")
+    bcast = {r.id: r.dist for r in
+             bfs_distances(edges, seeds, max_hops=4,
+                           broadcast_state=True).collect()}
+    shuf = {r.id: r.dist for r in
+            bfs_distances(edges, seeds, max_hops=4,
+                          broadcast_state=False).collect()}
+    assert bcast == shuf
+
+
 def test_count_min_never_undercounts(spark):
     from pyspark.sql import functions as SF
 
@@ -902,6 +941,20 @@ def test_pq_topk_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, S.pq_topk(df, q, k=4, m=4).collect()))
     b = sorted(map(tuple, S.pq_topk(df.repartition(7), q, k=4, m=4).collect()))
     assert a == b
+
+
+def test_pq_topk_query_cap_enforced(spark):
+    """The driver-held ADC LUT design requires a bounded query side —
+    exceeding max_query_rows must raise, never silently collect."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i % 5), 1.0, 0.0, 2.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 10)
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        S.pq_topk(df, q, k=3, m=2, max_query_rows=5)
+    # at exactly the cap it runs
+    assert S.pq_topk(df, q, k=3, m=2, max_query_rows=10).count() > 0
 
 
 def test_histogram_quantiles_within_one_bin_width(spark, sf_dir):

@@ -433,7 +433,12 @@ def jaccard_prefix_join(
     # every document sorts its tokens identically — required for the
     # prefix principle to hold.
     dfreq = tok.groupBy("t").agg(F.count("*").alias("df"))
-    ranked = tok.join(F.broadcast(dfreq), "t").select(
+    # No broadcast hint: dfreq is the full distinct-shingle vocabulary —
+    # proportional to corpus size, not to a hot subset — so forcing a
+    # broadcast would OOM long before the prefix filter pays off. A
+    # shuffle equi-join on the 8-byte hash is the scale-safe default;
+    # AQE still converts it to broadcast when dfreq happens to be small.
+    ranked = tok.join(dfreq, "t").select(
         "id",
         "t",
         F.row_number()

@@ -16,8 +16,11 @@ functions/checkpoint.truncate_lineage: RELIABLE checkpoint to durable
 storage when the session has a checkpoint dir (executor-loss-safe, the
 100 TB configuration — call checkpoint.set_checkpoint_dir once at
 startup), localCheckpoint in local mode where durability buys nothing.
-At 1B+ nodes the rank table no longer broadcasts — swap the hint for a
-co-partitioned join on a pre-bucketed edge list.
+At 1B+ nodes the rank table no longer broadcasts — ``broadcast_state``
+(default ``"auto"``) switches the loop to a co-partitioned shuffle join
+against the cached, src-hash-partitioned edge list once the state table
+exceeds ``broadcast_max_state`` rows, so neither the driver nor the
+executors ever hold an O(|V|) broadcast copy.
 """
 
 from __future__ import annotations
@@ -26,6 +29,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+# Above this many state rows (ranks / BFS frontier), "auto" stops
+# broadcasting the per-iteration state and uses a co-partitioned shuffle
+# join instead. 4M longs+doubles ≈ 64 MB serialized — comfortably under
+# typical driver/executor broadcast budgets, far under the 8 GB hard cap.
+DEFAULT_BROADCAST_MAX_STATE = 4_000_000
+
+
+def _bcast_if(df: DataFrame, use_broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if use_broadcast else df
 
 
 def encode_node_ids(
@@ -120,6 +133,8 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     skip_symmetric_dedup: bool = False,
+    broadcast_state: bool | str = "auto",
+    broadcast_max_state: int = DEFAULT_BROADCAST_MAX_STATE,
 ) -> DataFrame:
     """PageRank by power iteration on the symmetrized edge list.
 
@@ -137,6 +152,15 @@ def pagerank(
 
     The node count is a driver scalar (one tiny count job, which also
     materializes the caches) baked into the teleport term as a literal.
+
+    ``broadcast_state``: ``True`` forces the rank vector to broadcast
+    into the contribution join every iteration (cheapest while |V| fits
+    a broadcast); ``False`` uses a shuffle join against the edge list
+    cached hash-partitioned on src, so each iteration shuffles only the
+    |V|-row rank table (the 1B+-node configuration — no O(|V|) driver/
+    executor broadcast copy ever exists); ``"auto"`` (default) picks by
+    comparing the exact node count against ``broadcast_max_state``.
+    Both paths produce identical ranks (tested).
     """
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
@@ -155,13 +179,24 @@ def pagerank(
         .agg((F.lit(1.0) / F.count("*")).alias("w"))
         .cache()
     )
-    sym_w = sym.join(F.broadcast(deg), "src").select("src", "dst", "w").cache()
     n = deg.count()
+    if broadcast_state == "auto":
+        use_bcast = n <= broadcast_max_state
+    else:
+        use_bcast = bool(broadcast_state)
+    sym_w = sym.join(_bcast_if(deg, use_bcast), "src").select("src", "dst", "w")
+    if not use_bcast:
+        # Hash-partition the cached edge list on the join key: the
+        # InMemoryRelation keeps this outputPartitioning, so every
+        # iteration's shuffle join moves ONLY the rank table — the |E|
+        # side never re-exchanges.
+        sym_w = sym_w.repartition("src")
+    sym_w = sym_w.cache()
     teleport = (1.0 - damping) / n
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         mass = (
-            sym_w.join(F.broadcast(ranks), F.col("src") == F.col("id"))
+            sym_w.join(_bcast_if(ranks, use_bcast), F.col("src") == F.col("id"))
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
         )
@@ -186,6 +221,8 @@ def bfs_distances(
     dst: str = "dst",
     max_hops: int = 4,
     skip_symmetric_dedup: bool = False,
+    broadcast_state: bool | str = "auto",
+    broadcast_max_state: int = DEFAULT_BROADCAST_MAX_STATE,
 ) -> DataFrame:
     """Multi-source BFS: shortest hop distance from any seed node,
     over the symmetrized edge list — the DataFrame form of a bounded
@@ -207,29 +244,46 @@ def bfs_distances(
     the loop invariant — cached once, released before returning. At
     scale the frontier join shuffles ~|frontier|·avg_degree rows per
     hop, the BFS lower bound; pre-bucketing edges by src removes even
-    that (frontier broadcasts while small)."""
+    that (frontier broadcasts while small).
+
+    ``broadcast_state``: ``True`` always broadcasts the frontier into
+    the expansion join; ``False`` never does — the edge list is cached
+    hash-partitioned on src and each hop shuffles only the frontier
+    (dense-frontier / huge-graph configuration); ``"auto"`` (default)
+    decides PER HOP from the frontier's exact row count (free — the
+    frontier is already eagerly materialized each hop, and the count
+    doubles as the empty-frontier early exit). BFS frontiers start tiny
+    and can grow to O(|V|): auto tracks that within a single run."""
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
     if not skip_symmetric_dedup:
         sym = sym.distinct()
+    if broadcast_state is False:
+        sym = sym.repartition("src")
     sym = sym.cache()
     frontier = truncate_lineage(
         seeds.select(F.col("id")).distinct()
         .withColumn("dist", F.lit(0).cast("long")),
         eager=True,
     )
+    n_frontier = frontier.count()
     visited = frontier
     for hop in range(1, max_hops + 1):
+        if broadcast_state == "auto":
+            use_bcast = n_frontier <= broadcast_max_state
+        else:
+            use_bcast = bool(broadcast_state)
         frontier = truncate_lineage(
-            sym.join(F.broadcast(frontier), F.col("src") == F.col("id"))
+            sym.join(_bcast_if(frontier, use_bcast), F.col("src") == F.col("id"))
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long")),
             eager=True,
         )
-        if frontier.isEmpty():
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
         visited = truncate_lineage(visited.union(frontier), eager=True)
     sym.unpersist()

@@ -584,6 +584,7 @@ def pq_topk(
     nbits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou et al., PAMI'11 —
     the memory-bound ANN path): vectors are cut into ``m`` subspaces,
@@ -607,6 +608,15 @@ def pq_topk(
     (queries stay exact — 'asymmetric'); production re-ranks the top
     candidates on full precision, which is brute_force_topk over the
     survivors. Returns (query_id, neighbor_id, approx_cosine, rank).
+
+    Driver-memory contract: the QUERY side is collected to the driver
+    to build the Q×m×2^nbits ADC lookup tables shipped to executors —
+    that is the deliberate ADC design (per-query LUTs must exist where
+    scoring runs), but it bounds Q. ``max_query_rows`` (default 10k ≈
+    a few MB of LUT at these m/nbits) enforces the bound: a larger
+    query set raises ValueError rather than silently OOMing the driver.
+    For query sets beyond the cap, chunk the queries and union the
+    results, or flip the roles (the big side must be the candidates).
     """
     import numpy as np
     import pandas as pd
@@ -636,10 +646,15 @@ def pq_topk(
         [smat[:, j * sub : (j + 1) * sub] for j in range(m)]
     )
 
-    qrows = sorted(
-        (r[0], [float(x) for x in r[1]])
-        for r in queries.select(id_col, vec_col).collect()
-    )
+    # limit(cap+1) keeps even the failure path's driver transfer bounded
+    collected = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(collected) > max_query_rows:
+        raise ValueError(
+            f"pq_topk query side exceeds max_query_rows={max_query_rows}; "
+            "chunk the queries (union the results) or swap query/candidate "
+            "roles — per-query ADC LUTs are driver-built by design"
+        )
+    qrows = sorted((r[0], [float(x) for x in r[1]]) for r in collected)
     qids = np.array([q for q, _ in qrows], dtype=np.int64)
     qmat = np.array([v for _, v in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -679,19 +694,21 @@ def pq_topk(
             # ADC: approx dot = sum_j LUT[q, j, codes[:, j]]
             for qi, qid in enumerate(qids):
                 adc = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
-                sims = adc / (qnorm[qi] * xnorm)
+                # round BEFORE the in-batch sort: the batch truncation
+                # must use exactly the total order the global window
+                # ranks on (rounded score desc, id asc) — sorting on
+                # unrounded sims would let two candidates that tie after
+                # rounding be kept/dropped based on which batch they
+                # landed in
+                sims = np.round(adc / (qnorm[qi] * xnorm), 4)
                 mask = ids != qid
-                # lexsort: primary -sims, tie-break ascending id — the
-                # SAME total order the global window uses, so per-batch
-                # truncation can never make the final top-k depend on
-                # how rows were batched (score ties included)
                 order = np.lexsort((ids[mask], -sims[mask]))[:k]
                 sel_ids = ids[mask][order]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(sel_ids), qid, dtype=np.int64),
                         "neighbor_id": sel_ids,
-                        "approx_cosine": np.round(sims[mask][order], 4),
+                        "approx_cosine": sims[mask][order],
                     }
                 )
 

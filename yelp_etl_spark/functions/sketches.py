@@ -127,7 +127,13 @@ def fixed_histogram(
     oracle-able in any engine. Out-of-range values clamp to the edge
     bins. One map-side-combined aggregate; the shuffle carries bins
     cells, never rows. With ``group_cols`` the sketch is per group —
-    the per-segment-percentile shape: ≤ groups×bins cells total."""
+    the per-segment-percentile shape: ≤ groups×bins cells total.
+
+    NULLs are excluded (the standard aggregate-function convention):
+    without the filter, floor(NULL)=NULL but greatest(0, NULL)=0 in
+    Spark's null-skipping greatest(), so nulls would silently count as
+    lo-edge values and skew every downstream quantile."""
+    df = df.filter(F.col(column).isNotNull())
     width = (hi - lo) / bins
     b = F.least(
         F.lit(bins - 1),
