@@ -87,6 +87,31 @@ def test_safe_cast_candidate_order(spark):
     assert out.collect()[0].m == {"a": "x"}
 
 
+def test_probe_cast_guard_matches_try_cast(spark):
+    """The regex pre-guard in the probe expressions must be a NECESSARY
+    condition for cast success: when(guard, try_cast) and plain try_cast
+    agree on null-ness for every fuzzed input, for every guarded type."""
+    from yelp_etl_spark.operators.cleaning import _cast_expr, _probe_cast_expr
+
+    vals = [
+        "1", " 42 ", "  7", "+5", "-7", "007", "1.0", "1.5", ".5", "5.",
+        "1e2", "0x1F", "", "  ", "\t8", "8\n", "\x0142\x01", "12,3",
+        "9" * 25, "-" + "9" * 25, "200", "-129", "true", "TRUE", " t ",
+        "f", "y", "N", "yes", "No", "on", "off", "0", "1 ", "briefcase",
+        "1-URGENT", "None", "null", "nan", "inf", "+", "-", "+-1", "--1",
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for t in (T.LongType(), T.IntegerType(), T.ByteType(), T.BooleanType()):
+        rows = df.select(
+            "s",
+            _cast_expr(F.col("s"), t).isNull().alias("plain"),
+            _probe_cast_expr(F.col("s"), t).isNull().alias("guarded"),
+        ).collect()
+        bad = [(r.s, r.plain, r.guarded) for r in rows if r.plain != r.guarded]
+        assert not bad, f"{t}: guard diverges from try_cast on {bad}"
+
+
 def test_normalize_nullish_strings(spark):
     df = spark.createDataFrame(
         [("u'free'",), ("None",), ("none",), ("True",), ("{'a': True, 'b': u'x'}",)],

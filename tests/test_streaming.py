@@ -183,6 +183,63 @@ def test_foreach_batch_upsert_converges(spark, events_dir, tmp_path):
     assert got == want
 
 
+def test_foreach_batch_upsert_partition_scoped(spark, tmp_path):
+    """With partition_columns, a micro-batch touching one partition must
+    leave every other partition's files byte-identical (never read,
+    listed, or rewritten) while merging correctly into the touched one."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.streaming.windows import foreach_batch_upsert
+
+    def _snap(target, part):
+        d = os.path.join(target, part)
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+            if not f.startswith(("_", "."))
+        }
+
+    target = str(tmp_path / "serving")
+    seed = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "user_id long, seg string, total double",
+    )
+    seed.coalesce(1).write.partitionBy("seg").parquet(target)
+    before_b = _snap(target, "seg=b")
+    before_c = _snap(target, "seg=c")
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 11.0), (5, "a", 50.0)],
+        "user_id long, seg string, total double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(seed.schema).parquet(src)
+    foreach_batch_upsert(
+        stream,
+        target,
+        ["user_id"],
+        str(tmp_path / "ckpt"),
+        partition_columns=["seg"],
+    )
+
+    assert _snap(target, "seg=b") == before_b
+    assert _snap(target, "seg=c") == before_c
+    got = {
+        (r.user_id, r.seg, r.total)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        (1, "a", 11.0),  # updated
+        (2, "a", 20.0),  # untouched row in touched partition survives
+        (3, "b", 30.0),
+        (4, "c", 40.0),
+        (5, "a", 50.0),  # inserted
+    }
+
+
 def test_stream_stream_join_matches_batch(spark, events_dir):
     from pyspark.sql import functions as SF
 

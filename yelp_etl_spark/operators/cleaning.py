@@ -61,6 +61,36 @@ def _cast_expr(column: Column, target: DataType) -> Column:
     return column.try_cast(target)
 
 
+# Spark's string→integral cast trims chars <= 0x20 then requires
+# optional sign + digits only (no decimal point, no exponent); boolean
+# accepts the trimmed, case-insensitive literal set below. Both
+# grammars are exactly characterizable, so a regex can pre-reject.
+_INT_GUARD = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+_BOOL_GUARD = r"^[\x00-\x20]*(?i:true|false|t|f|y|n|yes|no|1|0)[\x00-\x20]*$"
+
+
+def _probe_cast_expr(column: Column, target: DataType) -> Column:
+    """Probe-side twin of _cast_expr: a try_cast that FAILS on a string
+    row costs ~8.5 µs (the JVM exception path inside TRY eval-mode),
+    ~100× a regex reject — and probe columns are exactly the ones
+    expected to fail en masse. For types whose accept-grammar is a
+    regex (integral, boolean), pre-guard: the guard is a NECESSARY
+    condition for cast success (property-tested against try_cast on
+    fuzzed inputs), so when(guard, try_cast) has identical null-ness.
+    Only the probe null-counts use this; the final output column is
+    always the real cast (_cast_expr), so emitted values can never
+    depend on the guard."""
+    from pyspark.sql.types import BooleanType, IntegralType
+
+    if isinstance(target, IntegralType):
+        guard = _INT_GUARD
+    elif isinstance(target, BooleanType):
+        guard = _BOOL_GUARD
+    else:
+        return _cast_expr(column, target)
+    return F.when(column.rlike(guard), _cast_expr(column, target))
+
+
 def safe_cast(
     df: DataFrame,
     candidates: dict[str, list[DataType]],
@@ -79,9 +109,9 @@ def safe_cast(
         )
         for i, t in enumerate(types):
             probe_exprs.append(
-                F.count(F.when(_cast_expr(F.col(col_name), t).isNull(), 1)).alias(
-                    f"{col_name}__{i}"
-                )
+                F.count(
+                    F.when(_probe_cast_expr(F.col(col_name), t).isNull(), 1)
+                ).alias(f"{col_name}__{i}")
             )
     if not probe_exprs:
         return df

@@ -300,6 +300,7 @@ def foreach_batch_upsert(
     target_path: str,
     keys: list[str],
     checkpoint_dir: str,
+    partition_columns: list[str] | None = None,
 ) -> None:
     """Streaming upsert sink: every micro-batch is MERGEd into a keyed
     parquet target via foreachBatch + operators/scd.py merge_upsert —
@@ -315,30 +316,65 @@ def foreach_batch_upsert(
     parquet overwrite here keeps the test env dependency-free while
     exercising the identical dataflow.
 
-    Scale: the per-batch merge touches only (target ∪ batch) keys; with
-    the target bucketed on the keys (sources/writers.py) the anti-join
-    inside merge_upsert is shuffle-free, so sink cost tracks batch
-    size, not table size.
+    Scale: WITHOUT ``partition_columns`` every batch re-reads and
+    rewrites the whole target — O(table) work and cache per batch, only
+    acceptable for small serving tables. WITH ``partition_columns``
+    (the 100 TB configuration) the target is stored partitioned on
+    them and each batch touches ONLY the partitions its rows land in:
+    the target read is partition-pruned to the batch's partition
+    values (collected — bounded by how many partitions a micro-batch
+    spans, typically 1-2 date partitions), the merge anti-join sees
+    just those rows, and the write goes through dynamic partition
+    overwrite so untouched partitions are never read, listed, or
+    rewritten. Sink cost then tracks batch size + touched-partition
+    size, not table size. The Iceberg/Delta analog is MERGE INTO with
+    partition predicates.
     """
     from yelp_etl_spark.operators.scd import merge_upsert
+    from yelp_etl_spark.sources.writers import overwrite_partitions_dynamic
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        import functools
+        import operator
         import os
 
         if batch_df.isEmpty():
             return
-        if os.path.isdir(target_path) and any(
-            f.endswith(".parquet") for f in os.listdir(target_path)
-        ):
-            target = spark.read.parquet(target_path)
+        exists = os.path.isdir(target_path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(target_path)
+        )
+        if not exists:
+            merged = batch_df
+        elif partition_columns:
+            # Static partition-pruning predicate from the batch's
+            # partition tuples (bounded collect): the scan lists and
+            # reads only the touched partition directories.
+            touched = (
+                batch_df.select(*partition_columns).distinct().collect()
+            )
+            pred = functools.reduce(
+                operator.or_,
+                (
+                    functools.reduce(
+                        operator.and_,
+                        (F.col(c) == r[c] for c in partition_columns),
+                    )
+                    for r in touched
+                ),
+            )
+            target = spark.read.parquet(target_path).filter(pred)
             merged = merge_upsert(target, batch_df, keys)
         else:
-            merged = batch_df
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch_df, keys)
         # Materialize before overwriting the directory being read.
         out = merged.cache()
         out.count()
-        out.write.mode("overwrite").parquet(target_path)
+        if partition_columns:
+            overwrite_partitions_dynamic(out, target_path, partition_columns)
+        else:
+            out.write.mode("overwrite").parquet(target_path)
         out.unpersist()
 
     q = (
