@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "simhash_sketch",
     "lsh_topk",
+    "lsh_topk_checked",
+    "ivf_topk_checked",
     "quality_score",
     "lang_id",
     "stats_aggs",

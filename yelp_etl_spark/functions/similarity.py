@@ -121,6 +121,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_ids: list[int] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition candidates into inverted
     lists by nearest centroid; each query scores only the lists of its
@@ -134,19 +135,30 @@ def ivf_topk(
     collected), assignment is a map-only numpy GEMM over Arrow batches,
     and the probe join is an equi-join on centroid id. Recall/cost
     dials: n_centroids (list granularity) and n_probe (lists searched).
+
+    ``centroid_ids`` pins the centroid vectors to explicit candidate
+    ids instead of the id-quantile sample — the offline-trained-
+    centroids contract made literal, and (being engine-agnostic) what
+    makes the whole pipeline oracle-checkable in plain SQL.
     """
     import numpy as np
     import pandas as pd
 
-    # Deterministic centroid sample: ids at the n_centroids quantiles of
-    # the id distribution (one cheap aggregate), then ONLY those rows
-    # collected via a pushed-down isin filter — the driver never holds
-    # more than n_centroids vectors regardless of table size (the
-    # production analog: train centroids offline, broadcast them).
-    quantiles = F.array(*[F.lit(i / n_centroids) for i in range(n_centroids)])
-    cid_values = candidates.agg(
-        F.percentile_approx(id_col, quantiles, F.lit(10_000))
-    ).collect()[0][0]
+    if centroid_ids is not None:
+        cid_values = list(centroid_ids)
+    else:
+        # Deterministic centroid sample: ids at the n_centroids
+        # quantiles of the id distribution (one cheap aggregate), then
+        # ONLY those rows collected via a pushed-down isin filter — the
+        # driver never holds more than n_centroids vectors regardless
+        # of table size (the production analog: train centroids
+        # offline, broadcast them).
+        quantiles = F.array(
+            *[F.lit(i / n_centroids) for i in range(n_centroids)]
+        )
+        cid_values = candidates.agg(
+            F.percentile_approx(id_col, quantiles, F.lit(10_000))
+        ).collect()[0][0]
     centroid_rows = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in candidates.select(id_col, vec_col)
@@ -187,7 +199,10 @@ def ivf_topk(
                 n2 = (vecs * vecs).sum(axis=1)
                 denom = np.sqrt(n2)[:, None] * cnorm[None, :]
                 denom[denom == 0] = 1.0
-                sims = (vecs @ cmat.T) / denom
+                # round before ranking centroids: assignment must not
+                # depend on BLAS summation order near exact ties (and
+                # becomes replicable by a sequential-sum SQL oracle)
+                sims = np.round((vecs @ cmat.T) / denom, 9)
                 order = np.argsort(-sims, axis=1, kind="stable")[:, :n_lists]
                 pdf = pdf.assign(
                     **{
@@ -518,7 +533,11 @@ def lsh_topk(
                 if not len(pdf):
                     continue
                 vecs = np.array(pdf[vec_alias].to_list(), dtype=np.float64)
-                bits = (vecs @ pmat.T) >= 0
+                # round before the sign so BLAS-vs-sequential summation
+                # order can't flip a bucket bit for dots ~0 (same
+                # quantization as embedding_neardup_pairs_lsh, which
+                # makes the bucketing oracle-replicable in SQL)
+                bits = np.round(vecs @ pmat.T, 9) >= 0
                 yield pdf.assign(
                     **{
                         n2_alias: (vecs * vecs).sum(axis=1),

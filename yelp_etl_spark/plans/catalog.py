@@ -1687,6 +1687,121 @@ WHERE cosine_sim >= {threshold}
 ORACLE_EMBEDDING_NEARDUP_LSH = _oracle_embedding_neardup_lsh()
 
 
+def q_lsh_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via hyperplane LSH buckets (functions/similarity.py
+    lsh_topk), oracle-checked end to end: seeded planes make the
+    bucketing deterministic, and bucket dots are sign-quantized at 9
+    digits, so a SQL twin can rebuild the identical buckets, candidate
+    join, and ranked cosine output. Queries are the portable subset
+    vec_id % 101 = 0 (expressible in both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return S.lsh_topk(emb, queries, dim=64, k=5, n_planes=8, seed=42)
+
+
+def _oracle_lsh_topk(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5
+) -> str:
+    """DuckDB twin of q_lsh_topk_checked: same seeded planes (repr()
+    round-trips doubles exactly), same MSB-first sign bits rounded at 9
+    digits, same bucket equi-join / self-exclusion / rounded-cosine
+    rank window."""
+    from yelp_etl_spark.functions.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    terms = [
+        "(CASE WHEN ROUND(list_dot_product(emb, "
+        f"{lit(planes[i])}), 9) >= 0 "
+        f"THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    bucket_sql = "(" + " + ".join(terms) + ")"
+    cos = (
+        "ROUND(list_dot_product(q.emb, c.emb) / "
+        "SQRT(list_dot_product(q.emb, q.emb) * "
+        "list_dot_product(c.emb, c.emb)), 4)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), h AS (
+  SELECT vec_id, emb, {bucket_sql} AS bucket FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS cosine_sim
+  FROM h q JOIN h c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 101 = 0
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+ORACLE_LSH_TOPK_CHECKED = _oracle_lsh_topk()
+
+
+def q_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (functions/similarity.py ivf_topk), oracle-checked
+    end to end through the explicit-centroid contract: centroids are
+    the vectors at ids ``vec_id % 37 = 0`` (first 16, ordered) — a rule
+    both engines can evaluate — so nearest-centroid assignment (9-digit
+    rounded cosine, larger-centroid-id tie-break), the n_probe=4 probe
+    join, and the ranked cosine output are all SQL-replicable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r[0]
+        for r in emb.filter(F.col("vec_id") % 37 == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return S.ivf_topk(emb, queries, k=5, n_probe=4, centroid_ids=cent_ids)
+
+
+ORACLE_IVF_TOPK_CHECKED = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, emb AS cemb FROM v
+  WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, emb, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(emb, cemb) /
+                          SQRT(list_dot_product(emb, emb) *
+                               list_dot_product(cemb, cemb)), 9) DESC,
+                    cid DESC) AS rn
+  FROM v CROSS JOIN c
+), cand AS (
+  SELECT vec_id, emb, cid FROM assign WHERE rn = 1
+), qry AS (
+  SELECT vec_id, emb, cid FROM assign
+  WHERE rn <= 4 AND vec_id % 101 = 0
+), scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.emb, a.emb) /
+               SQRT(list_dot_product(q.emb, q.emb) *
+                    list_dot_product(a.emb, a.emb)), 4) AS cosine_sim
+  FROM qry q JOIN cand a ON q.cid = a.cid AND a.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup — the production composition SCALING.md
     argues for, as ONE query: (1) EXACT dedup first (md5-fingerprint
@@ -5895,6 +6010,12 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "safe_cast_probe": QuerySpec(q_safe_cast, ORACLE_SAFE_CAST, "P7"),
     "embedding_neardup": QuerySpec(
         q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP, "ext:dedup-embedding"
+    ),
+    "lsh_topk_checked": QuerySpec(
+        q_lsh_topk_checked, ORACLE_LSH_TOPK_CHECKED, "ext:ann-lsh oracle twin"
+    ),
+    "ivf_topk_checked": QuerySpec(
+        q_ivf_topk_checked, ORACLE_IVF_TOPK_CHECKED, "ext:ann-ivf oracle twin"
     ),
     "embedding_neardup_lsh": QuerySpec(
         q_embedding_neardup_lsh,
