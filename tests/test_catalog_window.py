@@ -26,49 +26,73 @@ def test_driver_window_entries_all_oracle_checked():
 
 
 def test_driver_window_spans_operator_families():
-    # one representative per family that the round-1 verdict called out,
-    # plus the round-3 rotation's never-before-driver-checked entries
-    # (VERDICT r2 task #1: union hard coverage must GROW each round)
+    # r4 rotation (VERDICT r3 task #2): >=35 first-time rows — all 18
+    # never-checked TPC-H shapes, the sketch/curation/time-series pool,
+    # and the two new ANN oracle twins — while each previously-verified
+    # family keeps one green representative, plus every query whose
+    # implementation changed this round (cast probe, write roundtrips,
+    # graph broadcast paths, prefix join).
     must_have = {
-        "join_full_outer",
-        "tpch_q5_region_revenue",
-        "tpch_q21_shape",
-        "merge_upsert",
-        "scd2_history",
-        "pandas_udf_scores",
-        "pandas_zscore",
-        "stream_static_enrich",
-        "minhash_portable",
-        "simhash_portable",
-        "neardup_components",
-        "funnel_conversion",
-        "bfs_reachability",
-        # r3 rotation
-        "tpch_q2_min_cost",
-        "triangle_count",
-        "copurchase_pairs",
-        "decontaminate_docs",
-        "repetition_flags",
-        "bm25_search",
-        "pagerank",
-        "salted_join_agg",
-        "two_stage_topk",
-        "fuzzy_match_parts",
-        "pagerank_dict_ids",
-        "semantic_dedup_pipeline",
-        "stream_dedup_totals",
-        # r3b rotation: write-side roundtrips + prefix-filter join
-        "partitioned_write_roundtrip",
+        # kept representatives / r4 regression guards
+        "flagship_revenue",
+        "safe_cast_probe",
         "compact_small_files",
+        "partitioned_write_roundtrip",
         "dynamic_overwrite_publish",
+        "pagerank",
+        "bfs_reachability",
         "jaccard_prefix_join",
-        "incremental_agg_maintenance",
-        "cross_doc_boilerplate",
-        "asof_tolerance",
-        "xml_extract",
-        "collation_group",
+        "stream_dedup_totals",
+        "pandas_zscore",
+        "embedding_neardup_lsh",
+        "enrich_obt",
+        "scd2_history",
+        "merge_upsert",
+        # first-time rows (sample; the full window is pinned above)
+        "tpch_q3_shipping",
+        "tpch_q6_sql",
+        "tpch_q9_profit",
+        "tpch_q13_custdist",
+        "tpch_q17_small_quantity",
+        "tpch_q22_global_sales",
+        "tfidf_top_terms",
+        "sessionize_gaps",
+        "dq_report",
+        "bloom_prune_join",
+        "histogram_quantiles",
+        "grouped_histogram_quantiles",
+        "mixture_sample",
+        "shard_layout",
+        "skyline_suppliers",
+        "twap_value",
+        "mad_outliers",
+        "ewma_smooth",
+        "rolling_fingerprint",
+        "stream_stream_attrib",
+        "abandoned_views",
+        "lsh_topk_checked",
+        "ivf_topk_checked",
     }
     assert must_have <= set(_DRIVER_WINDOW)
+
+
+def test_window_carries_35_first_time_rows():
+    # VERDICT r3 task #2: the r4 window must carry >=35 rows the driver
+    # has NEVER hard-checked. Derive "previously checked" from the
+    # recorded CORRECTNESS_r0{1,2,3}.json files themselves.
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[123].json")):
+        checked |= set(json.load(open(path)))
+    assert checked, "expected CORRECTNESS_r0{1,2,3}.json at repo root"
+    first_time = [n for n in _DRIVER_WINDOW if n not in checked]
+    assert len(first_time) >= 35, (
+        f"only {len(first_time)} first-time rows: {first_time}"
+    )
 
 
 def test_rotated_out_rows_remain_oracle_checked_locally():
@@ -103,6 +127,44 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "range_join",
         "lang_id",
         "cosine_topk",
+        # r4: once-or-twice-green r3 rows yielding their slots to the
+        # first-time pool (each family keeps a representative in-window)
+        "pricing_summary",
+        "countif_probe",
+        "window_topk",
+        "join_full_outer",
+        "asof_join",
+        "asof_tolerance",
+        "tpch_q2_min_cost",
+        "interval_overlap",
+        "snapshot_diff_cdc",
+        "count_min_freq",
+        "salted_join_agg",
+        "two_stage_topk",
+        "pagerank_dict_ids",
+        "triangle_count",
+        "copurchase_pairs",
+        "decontaminate_docs",
+        "repetition_flags",
+        "variant_props",
+        "bm25_search",
+        "unigram_nll_score",
+        "fuzzy_match_parts",
+        "semantic_dedup_pipeline",
+        "incremental_agg_maintenance",
+        "cross_doc_boilerplate",
+        "stream_static_enrich",
+        "pandas_udf_scores",
+        "tpch_q5_region_revenue",
+        "tpch_q21_shape",
+        "quality_score",
+        "xml_extract",
+        "collation_group",
+        "ngram_jaccard_pairs",
+        "minhash_portable",
+        "simhash_portable",
+        "neardup_components",
+        "funnel_conversion",
     }
     for name in rotated_out:
         assert name in QUERIES and QUERIES[name].oracle is not None

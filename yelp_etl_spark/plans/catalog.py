@@ -6206,72 +6206,60 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # (scripts/check_parity.py runs ALL queries). The window still spans
 # every operator family; union driver coverage r1∪r2∪r3 ≥ 68 queries.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # scan / agg / probe anchors (kept: flagship + regression guards)
-    "flagship_revenue",
-    "pricing_summary",
-    "countif_probe",
-    "safe_cast_probe",
-    "enrich_obt",
-    # windows / joins (kept representatives)
-    "window_topk",
-    "join_full_outer",
-    "asof_join",
-    "asof_tolerance",
-    # NEW r3: TPC-H / analytic shapes never driver-checked
-    "tpch_q2_min_cost",
-    "interval_overlap",
-    "snapshot_diff_cdc",
-    "count_min_freq",
-    # NEW r3: skew mechanics
-    "salted_join_agg",
-    "two_stage_topk",
-    # NEW r3: graph
-    "pagerank",
-    "pagerank_dict_ids",
-    "triangle_count",
-    "copurchase_pairs",
-    "bfs_reachability",
-    # NEW r3: curation / retrieval / quality
-    "decontaminate_docs",
-    "repetition_flags",
-    "variant_props",
-    "bm25_search",
-    "unigram_nll_score",
-    "fuzzy_match_parts",
-    # NEW r3: composition + streaming engine
-    "semantic_dedup_pipeline",
-    "stream_dedup_totals",
-    # NEW r3b: write-side components as SELECT-shaped roundtrips
-    # (swapped in for twice-green events_tumbling_window / dedup_exact /
-    # text_stats / bitmap_distinct; each family keeps a representative)
-    "partitioned_write_roundtrip",
-    "compact_small_files",
-    "dynamic_overwrite_publish",
-    "jaccard_prefix_join",
-    "incremental_agg_maintenance",
-    "cross_doc_boilerplate",
-    # streaming parity (kept: the engine-exercising rows;
-    # tumbling/sliding/session windows are twice-green, rotated out)
-    "stream_static_enrich",
-    # vectorized-UDF surface (kept)
-    "pandas_udf_scores",
-    "pandas_zscore",
-    # TPC-H heavy shapes + mutation surfaces (kept)
-    "tpch_q5_region_revenue",
-    "tpch_q21_shape",
-    "merge_upsert",
-    "scd2_history",
-    # LLM-data-pipeline: dedup / text / similarity / graph (kept;
-    # lang_id + cosine_topk twice-green, rotated out for Spark-4 surface)
-    "quality_score",
-    "xml_extract",
-    "collation_group",
-    "ngram_jaccard_pairs",
-    "minhash_portable",
-    "simhash_portable",
-    "neardup_components",
-    "embedding_neardup_lsh",
-    "funnel_conversion",
+    # ---- kept green representatives / this-round regression guards ----
+    "flagship_revenue",        # flagship anchor (every round)
+    "safe_cast_probe",         # probe rewritten r4 (regex guards) — re-verify
+    "compact_small_files",     # r3's only red row; fixed r4 (mkdtemp+refresh)
+    "partitioned_write_roundtrip",  # shares the r4 scratch-dir change
+    "dynamic_overwrite_publish",    # shares the r4 scratch-dir change
+    "pagerank",                # broadcast_state added r4 — re-verify
+    "bfs_reachability",        # broadcast_state added r4 — re-verify
+    "jaccard_prefix_join",     # dfreq broadcast hint dropped r4 — re-verify
+    "stream_dedup_totals",     # streaming-engine family representative
+    "pandas_zscore",           # vectorized-UDF family representative
+    "embedding_neardup_lsh",   # similarity family representative
+    "enrich_obt",              # star-join family representative
+    "scd2_history",            # mutation family representative
+    "merge_upsert",            # upsert family (foreachBatch sink reworked r4)
+    # ---- NEW r4: the 18 never-driver-checked TPC-H shapes ----
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q6_sql",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_concentration",
+    "tpch_q12_shipmode",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_potential_promo",
+    "tpch_q22_global_sales",
+    # ---- NEW r4: never-checked sketches / curation / time-series ----
+    "tfidf_top_terms",
+    "sessionize_gaps",
+    "dq_report",
+    "bloom_prune_join",
+    "histogram_quantiles",
+    "grouped_histogram_quantiles",
+    "mixture_sample",
+    "shard_layout",
+    "keyword_search",
+    "skyline_suppliers",
+    "twap_value",
+    "mad_outliers",
+    "ewma_smooth",
+    "rolling_fingerprint",
+    "stream_stream_attrib",
+    "abandoned_views",
+    # ---- NEW r4: ANN oracle twins added this round ----
+    "lsh_topk_checked",
+    "ivf_topk_checked",
 )
 
 QUERIES: dict[str, QuerySpec] = {
