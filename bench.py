@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "lsh_topk",
     "lsh_topk_checked",
     "ivf_topk_checked",
+    "jsonl_scan_roundtrip",
     "quality_score",
     "lang_id",
     "stats_aggs",

@@ -46,7 +46,7 @@ def test_driver_window_spans_operator_families():
         "pandas_zscore",
         "embedding_neardup_lsh",
         "enrich_obt",
-        "scd2_history",
+        "jsonl_scan_roundtrip",
         "merge_upsert",
         # first-time rows (sample; the full window is pinned above)
         "tpch_q3_shipping",
@@ -165,6 +165,7 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "simhash_portable",
         "neardup_components",
         "funnel_conversion",
+        "scd2_history",
     }
     for name in rotated_out:
         assert name in QUERIES and QUERIES[name].oracle is not None

@@ -5905,6 +5905,54 @@ FROM documents
 """
 
 
+def q_jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a roundtrip (reference extract.py:30): documents →
+    JSON-lines files → read back through sources/readers.read_json with
+    an EXPLICIT schema plus PERMISSIVE-mode `_corrupt_record` capture —
+    the production JSON-ingest contract (no inference pass at 100 TB;
+    malformed lines quarantined, never dropped or fatal). Two garbage
+    lines are injected as an extra file; the aggregate proves (a) every
+    good row survived the write→scan roundtrip with values intact,
+    (b) exactly the injected lines landed in the corrupt bucket."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from yelp_etl_spark.sources.readers import read_json
+
+    docs = _t(spark, sf_dir, "documents")
+    target = _scratch_dir(sf_dir, "jsonl")
+    docs.select("doc_id", "lang", "source", "n_chars").write.json(target)
+    with open(os.path.join(target, "zz-corrupt.json"), "w") as fh:
+        fh.write('this is not json{{{\n{"doc_id": broken\n')
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = read_json(spark, target, schema=schema)
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_chars"))).alias("sum_chars"),
+        F.countDistinct(F.when(good, F.col("doc_id"))).alias("n_docs"),
+    )
+
+
+ORACLE_JSONL_SCAN_ROUNDTRIP = """
+SELECT COUNT(*) AS n_good,
+       2 AS n_corrupt,
+       SUM(n_chars) AS sum_chars,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM documents
+"""
+
+
 def q_dynamic_overwrite_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite roundtrip (the daily re-publish
     idiom): full orders written partitioned by o_orderstatus, then ONE
@@ -5975,6 +6023,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_partitioned_write_roundtrip,
         ORACLE_PARTITIONED_WRITE_ROUNDTRIP,
         "S4 S5 S6 roundtrip",
+    ),
+    "jsonl_scan_roundtrip": QuerySpec(
+        q_jsonl_scan_roundtrip,
+        ORACLE_JSONL_SCAN_ROUNDTRIP,
+        "S1: explicit-schema JSON scan + corrupt-record capture roundtrip",
     ),
     "compact_small_files": QuerySpec(
         q_compact_small_files, ORACLE_COMPACT_SMALL_FILES, "ext:compaction roundtrip"
@@ -6219,7 +6272,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pandas_zscore",           # vectorized-UDF family representative
     "embedding_neardup_lsh",   # similarity family representative
     "enrich_obt",              # star-join family representative
-    "scd2_history",            # mutation family representative
+    "jsonl_scan_roundtrip",    # S1 ingest contract, first driver check (r4)
     "merge_upsert",            # upsert family (foreachBatch sink reworked r4)
     # ---- NEW r4: the 18 never-driver-checked TPC-H shapes ----
     "tpch_q3_shipping",
