@@ -710,24 +710,30 @@ def pq_topk(
                     codebooks[j] * codebooks[j]
                 ).sum(axis=1)
                 codes[:, j] = d2.argmin(axis=1)
-            # ADC: approx dot = sum_j LUT[q, j, codes[:, j]]
+            # ADC, all queries at once: approx dot (Q, n) built by one
+            # LUT gather per SUBSPACE (m ≈ 8 numpy ops), never a Python
+            # loop over Q (which with the 10k query cap would cost 10k
+            # interpreter iterations per batch)
+            adc = np.zeros((len(qids), len(X)), dtype=np.float64)
+            for j in range(m):
+                adc += lut[:, j, :][:, codes[:, j]]
+            # round BEFORE the in-batch sort: the batch truncation must
+            # use exactly the total order the final window ranks on
+            # (rounded score desc, id asc) — sorting on unrounded sims
+            # would let two candidates that tie after rounding be
+            # kept/dropped based on which batch they landed in
+            sims = np.round(adc / (qnorm[:, None] * xnorm[None, :]), 4)
+            # exclude self-pairs, then per-query partial top-k
+            sims[qids[:, None] == ids[None, :]] = -np.inf
             for qi, qid in enumerate(qids):
-                adc = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
-                # round BEFORE the in-batch sort: the batch truncation
-                # must use exactly the total order the global window
-                # ranks on (rounded score desc, id asc) — sorting on
-                # unrounded sims would let two candidates that tie after
-                # rounding be kept/dropped based on which batch they
-                # landed in
-                sims = np.round(adc / (qnorm[qi] * xnorm), 4)
-                mask = ids != qid
-                order = np.lexsort((ids[mask], -sims[mask]))[:k]
-                sel_ids = ids[mask][order]
+                valid = np.isfinite(sims[qi])
+                order = np.lexsort((ids[valid], -sims[qi][valid]))[:k]
+                sel_ids = ids[valid][order]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(sel_ids), qid, dtype=np.int64),
                         "neighbor_id": sel_ids,
-                        "approx_cosine": sims[mask][order],
+                        "approx_cosine": sims[qi][valid][order],
                     }
                 )
 
