@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "lsh_topk",
     "lsh_topk_checked",
     "ivf_topk_checked",
+    "pq_topk_checked",
     "jsonl_scan_roundtrip",
+    "incremental_dedup_delta",
     "quality_score",
     "lang_id",
     "stats_aggs",

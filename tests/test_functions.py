@@ -989,3 +989,38 @@ def test_histogram_quantiles_within_one_bin_width(spark, sf_dir):
     ).collect()[0][0]
     for q, ex in zip(qs, exact):
         assert abs(est[q] - ex) <= width, (q, est[q], ex)
+
+
+def test_incremental_dedup_flags_cross_batch_duplicate(spark):
+    """A new-batch doc identical to an index doc must be flagged with
+    the index doc as match; a novel doc must pass clean. The index is
+    probed by band equi-join only — no historical text re-read."""
+    from yelp_etl_spark.functions.dedup import (
+        incremental_dedup_against_index,
+        minhash_band_index,
+        minhash_portable,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different historical document body"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (11, "completely novel content never seen before zz"),
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(minhash_portable(existing))
+    out = {
+        r.doc_id: (r.is_dup, r.match_id)
+        for r in incremental_dedup_against_index(
+            index, minhash_portable(batch)
+        ).collect()
+    }
+    assert out[10] == (1, 1)
+    assert out[11] == (0, None)

@@ -540,3 +540,80 @@ def minhash_portable(
             for i, (a, b) in enumerate(perms)
         ]
     )
+
+
+def minhash_band_index(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Turn a MinHash signature table into the persisted LSH band index
+    ``(id, band_id, band_key)`` — band_key packs the band's signature
+    values into one string key.
+
+    At 100 TB this table IS the dedup index: built once over the
+    historical corpus, stored partitioned/bucketed on (band_id,
+    band_key), and probed by every incremental batch — the historical
+    *text* is never re-read or re-hashed. One map-only pass (inline of
+    an array of band structs), no shuffle.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"sig{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col).alias("id"), F.inline(bands))
+
+
+def incremental_dedup_against_index(
+    index: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental (delta) near-dup detection — the daily-ingest shape
+    of a training-data pipeline: signatures are computed for the NEW
+    batch only, banded, and probed against the persisted corpus index
+    via one equi-join on (band_id, band_key). A new document is flagged
+    duplicate iff ANY band collides with an index entry (the standard
+    MinHash-LSH candidate rule as the gate; production follows with an
+    exact-Jaccard verify on the matched pairs — jaccard_prefix_join on
+    the survivors).
+
+    Returns one row per new document: (id, is_dup 0/1, match_id =
+    smallest colliding index id, NULL if none). Cost is O(delta) map
+    work + one keyed join against the index — independent of corpus
+    text size, which is what makes day-N ingest affordable; hot
+    band_keys (boilerplate bands) are the skew to watch, the same
+    salting/cap treatment as every hot-key join (operators/skew.py).
+    """
+    new_bands = minhash_band_index(new_sigs, id_col, num_hashes, band_size)
+    idx = index.select(
+        F.col("id").alias("__match_id"), "band_id", "band_key"
+    )
+    joined = new_bands.join(idx, ["band_id", "band_key"], "left")
+    return (
+        joined.groupBy("id")
+        .agg(F.min("__match_id").alias("match_id"))
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("match_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_dup"),
+            "match_id",
+        )
+    )

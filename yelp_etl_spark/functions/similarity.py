@@ -604,6 +604,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 10_000,
+    codebook_ids: list[int] | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou et al., PAMI'11 —
     the memory-bound ANN path): vectors are cut into ``m`` subspaces,
@@ -642,12 +643,19 @@ def pq_topk(
 
     n_cent = 2**nbits
 
-    # -- deterministic codebook sample (see ivf_topk): vectors at the
-    # n_cent id-quantiles; driver never holds more than n_cent rows.
-    quantiles = F.array(*[F.lit(i / n_cent) for i in range(n_cent)])
-    cid_values = candidates.agg(
-        F.percentile_approx(id_col, quantiles, F.lit(10_000))
-    ).collect()[0][0]
+    if codebook_ids is not None:
+        # Explicit codebook rows (the offline-trained contract, same as
+        # ivf_topk's centroid_ids) — engine-agnostic, which is what
+        # lets a SQL oracle rebuild the identical sub-codebooks.
+        cid_values = list(codebook_ids)
+    else:
+        # -- deterministic codebook sample (see ivf_topk): vectors at
+        # the n_cent id-quantiles; driver never holds more than n_cent
+        # rows.
+        quantiles = F.array(*[F.lit(i / n_cent) for i in range(n_cent)])
+        cid_values = candidates.agg(
+            F.percentile_approx(id_col, quantiles, F.lit(10_000))
+        ).collect()[0][0]
     sample = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in candidates.select(id_col, vec_col)
@@ -709,7 +717,11 @@ def pq_topk(
                 d2 = -2.0 * Xs[:, j, :] @ codebooks[j].T + (
                     codebooks[j] * codebooks[j]
                 ).sum(axis=1)
-                codes[:, j] = d2.argmin(axis=1)
+                # round before argmin: code assignment must not depend
+                # on BLAS summation order near exact ties (argmin takes
+                # the first/lowest index on ties — the same total order
+                # a sequential-sum SQL twin uses)
+                codes[:, j] = np.round(d2, 9).argmin(axis=1)
             # ADC, all queries at once: approx dot (Q, n) built by one
             # LUT gather per SUBSPACE (m ≈ 8 numpy ops), never a Python
             # loop over Q (which with the 10k query cap would cost 10k

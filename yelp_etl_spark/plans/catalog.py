@@ -1802,6 +1802,86 @@ WHERE rank <= 5
 """
 
 
+def q_pq_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/similarity.py pq_topk),
+    oracle-checked end to end: sub-codebooks come from the explicit
+    rows ``vec_id % 37 = 0`` (first 16, ordered — the offline-trained
+    contract, evaluable in any engine), code assignment rounds squared
+    distances at 9 digits with first-index tie-break, and ADC scores
+    round at 4 before ranking — so a plain-SQL twin reproduces encode,
+    lookup-table scoring, and the ranked output exactly. This closes
+    the last rows-only ANN family: brute, LSH, IVF, and PQ all have
+    value-hash oracles now."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_ids = [
+        r[0]
+        for r in emb.filter(F.col("vec_id") % 37 == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return S.pq_topk(emb, queries, k=5, m=8, nbits=4, codebook_ids=cb_ids)
+
+
+def _oracle_pq_topk(m: int = 8, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of q_pq_topk_checked. Sub-codebook j of codebook row
+    c is the slice cemb[j*sub+1 : (j+1)*sub] (1-based inclusive);
+    encode = argmin over rounded ||x_j - c_j||² (the constant ||x_j||²
+    term dropped on both sides); ADC dot = Σ_j <q_j, cb[code_j]_j>."""
+    sub = dim // m
+    sl = f"(s.j * {sub} + 1) : (s.j * {sub} + {sub})"
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_idx, emb AS cemb
+  FROM v WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16
+), subs AS (
+  SELECT unnest(range({m})) AS j
+), codes AS (
+  SELECT vec_id, j, c_idx FROM (
+    SELECT v.vec_id, s.j, cb.c_idx,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, s.j
+             ORDER BY ROUND(
+               -2 * list_dot_product(v.emb[{sl}], cb.cemb[{sl}])
+               + list_dot_product(cb.cemb[{sl}], cb.cemb[{sl}]), 9) ASC,
+               cb.c_idx ASC) AS rn
+    FROM v CROSS JOIN subs s CROSS JOIN cb
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id, emb FROM v WHERE vec_id % 101 = 0
+), adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(list_dot_product(q.emb[(c.j * {sub} + 1) : (c.j * {sub} + {sub})],
+                              cb.cemb[(c.j * {sub} + 1) : (c.j * {sub} + {sub})]))
+           AS dot_approx
+  FROM q
+  JOIN codes c ON c.vec_id <> q.vec_id
+  JOIN cb ON cb.c_idx = c.c_idx
+  GROUP BY q.vec_id, c.vec_id
+), norms AS (
+  SELECT vec_id, SQRT(list_dot_product(emb, emb)) AS nrm FROM v
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(dot_approx / (nq.nrm * nc.nrm), 4) AS approx_cosine
+  FROM adc
+  JOIN norms nq ON nq.vec_id = adc.query_id
+  JOIN norms nc ON nc.vec_id = adc.neighbor_id
+)
+SELECT query_id, neighbor_id, approx_cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+ORACLE_PQ_TOPK_CHECKED = _oracle_pq_topk()
+
+
 def q_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup — the production composition SCALING.md
     argues for, as ONE query: (1) EXACT dedup first (md5-fingerprint
@@ -3852,6 +3932,83 @@ GROUP BY doc_id
 
 
 ORACLE_MINHASH_PORTABLE = _minhash_oracle()
+
+
+def q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (day-N) dedup: the corpus is split into an 'existing'
+    side (doc_id % 10 != 0, whose portable-MinHash band index is the
+    persisted state) and a 'new batch' (doc_id % 10 == 0). Only the
+    batch is signed and banded; one (band_id, band_key) equi-join
+    against the index flags any-band collisions (functions/dedup.py
+    incremental_dedup_against_index). This is the ingest shape that
+    makes dedup affordable at 100 TB: day-N cost is O(delta) + one
+    keyed probe of the index — historical text is never re-read."""
+    from yelp_etl_spark.functions.dedup import (
+        incremental_dedup_against_index,
+        minhash_band_index,
+        minhash_portable,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = minhash_band_index(minhash_portable(existing, "doc_id", "text"))
+    new_sigs = minhash_portable(batch, "doc_id", "text")
+    return incremental_dedup_against_index(index, new_sigs)
+
+
+def _incremental_dedup_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    from yelp_etl_spark.functions.dedup import _MINHASH_P, _MINHASH_PERMS
+
+    sigs = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(_MINHASH_PERMS[:num_hashes])
+    )
+    n_bands = num_hashes // band_size
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band_id, concat({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=", '_', ".join(
+                f"sig{b * band_size + j}" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 18, 15)) AS BIGINT)
+           & {_MINHASH_P} AS h
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+         {sigs}
+  FROM hashed
+  GROUP BY doc_id
+), bands AS (
+{band_rows}
+), idx AS (
+  SELECT doc_id AS match_id, band_id, band_key FROM bands
+  WHERE doc_id % 10 <> 0
+), newb AS (
+  SELECT doc_id, band_id, band_key FROM bands WHERE doc_id % 10 = 0
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN MIN(i.match_id) IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_dup,
+       MIN(i.match_id) AS match_id
+FROM newb n
+LEFT JOIN idx i ON n.band_id = i.band_id AND n.band_key = i.band_key
+GROUP BY n.doc_id
+"""
+
+
+ORACLE_INCREMENTAL_DEDUP_DELTA = _incremental_dedup_oracle()
 
 
 def q_grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6070,6 +6227,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "ivf_topk_checked": QuerySpec(
         q_ivf_topk_checked, ORACLE_IVF_TOPK_CHECKED, "ext:ann-ivf oracle twin"
     ),
+    "pq_topk_checked": QuerySpec(
+        q_pq_topk_checked, ORACLE_PQ_TOPK_CHECKED, "ext:ann-pq oracle twin"
+    ),
     "embedding_neardup_lsh": QuerySpec(
         q_embedding_neardup_lsh,
         ORACLE_EMBEDDING_NEARDUP_LSH,
@@ -6156,6 +6316,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "minhash_portable": QuerySpec(
         q_minhash_portable, ORACLE_MINHASH_PORTABLE, "ext:minhash oracle-checked"
+    ),
+    "incremental_dedup_delta": QuerySpec(
+        q_incremental_dedup_delta,
+        ORACLE_INCREMENTAL_DEDUP_DELTA,
+        "ext:incremental dedup — delta probe of persisted band index",
     ),
     "grouping_indicator": QuerySpec(q_grouping_indicator, ORACLE_GROUPING, "rollup grouping()"),
     "range_frame_window": QuerySpec(q_range_frame, ORACLE_RANGE_FRAME, "window range frame"),
