@@ -43,8 +43,8 @@ def test_driver_window_spans_operator_families():
         "bfs_reachability",
         "jaccard_prefix_join",
         "stream_dedup_totals",
-        "pandas_zscore",
-        "embedding_neardup_lsh",
+        "incremental_dedup_delta",
+        "pq_topk_checked",
         "enrich_obt",
         "jsonl_scan_roundtrip",
         "merge_upsert",
@@ -166,6 +166,8 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "neardup_components",
         "funnel_conversion",
         "scd2_history",
+        "pandas_zscore",
+        "embedding_neardup_lsh",
     }
     for name in rotated_out:
         assert name in QUERIES and QUERIES[name].oracle is not None

@@ -6434,8 +6434,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "bfs_reachability",        # broadcast_state added r4 — re-verify
     "jaccard_prefix_join",     # dfreq broadcast hint dropped r4 — re-verify
     "stream_dedup_totals",     # streaming-engine family representative
-    "pandas_zscore",           # vectorized-UDF family representative
-    "embedding_neardup_lsh",   # similarity family representative
+    "incremental_dedup_delta",  # NEW r4: delta probe of persisted index
+    "pq_topk_checked",         # NEW r4: PQ pipeline oracle twin (Arrow UDF path)
     "enrich_obt",              # star-join family representative
     "jsonl_scan_roundtrip",    # S1 ingest contract, first driver check (r4)
     "merge_upsert",            # upsert family (foreachBatch sink reworked r4)
