@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ivf_topk_checked",
     "pq_topk_checked",
     "jsonl_scan_roundtrip",
+    "time_travel_diff",
     "incremental_dedup_delta",
     "quality_score",
     "lang_id",

@@ -38,7 +38,7 @@ def test_driver_window_spans_operator_families():
         "safe_cast_probe",
         "compact_small_files",
         "partitioned_write_roundtrip",
-        "dynamic_overwrite_publish",
+        "time_travel_diff",
         "pagerank",
         "bfs_reachability",
         "jaccard_prefix_join",
@@ -168,6 +168,7 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "scd2_history",
         "pandas_zscore",
         "embedding_neardup_lsh",
+        "dynamic_overwrite_publish",
     }
     for name in rotated_out:
         assert name in QUERIES and QUERIES[name].oracle is not None

@@ -6110,6 +6110,49 @@ FROM documents
 """
 
 
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot layer roundtrip (sources/snapshots.py — the Iceberg
+    createOrReplace/time-travel semantics of reference write.py:24-29,
+    natively): orders committed as snapshot 1, REPLACED by the
+    high-value 'F' subset as snapshot 2, then BOTH snapshots read back
+    — snapshot 1 via time travel after it was replaced — and
+    aggregated. If the commit protocol tore (partial file list, stale
+    pointer, replaced files lost early) either side diverges from the
+    oracle computed straight on the source."""
+    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snaptbl")
+    s1 = snapshot_write(orders, table, mode="replace")
+    republished = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)
+    )
+    s2 = snapshot_write(republished, table, mode="replace")
+    v1 = snapshot_read(spark, table, snapshot_id=s1).agg(
+        F.lit(1).cast("long").alias("snap"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    v2 = snapshot_read(spark, table, snapshot_id=s2).agg(
+        F.lit(2).cast("long").alias("snap"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return v1.unionByName(v2)
+
+
+ORACLE_TIME_TRAVEL_DIFF = """
+SELECT CAST(1 AS BIGINT) AS snap, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS snap, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+"""
+
+
 def q_dynamic_overwrite_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite roundtrip (the daily re-publish
     idiom): full orders written partitioned by o_orderstatus, then ONE
@@ -6180,6 +6223,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_partitioned_write_roundtrip,
         ORACLE_PARTITIONED_WRITE_ROUNDTRIP,
         "S4 S5 S6 roundtrip",
+    ),
+    "time_travel_diff": QuerySpec(
+        q_time_travel_diff,
+        ORACLE_TIME_TRAVEL_DIFF,
+        "ext:snapshot layer — atomic replace + time travel roundtrip",
     ),
     "jsonl_scan_roundtrip": QuerySpec(
         q_jsonl_scan_roundtrip,
@@ -6429,7 +6477,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "safe_cast_probe",         # probe rewritten r4 (regex guards) — re-verify
     "compact_small_files",     # r3's only red row; fixed r4 (mkdtemp+refresh)
     "partitioned_write_roundtrip",  # shares the r4 scratch-dir change
-    "dynamic_overwrite_publish",    # shares the r4 scratch-dir change
+    "time_travel_diff",        # NEW r4: snapshot layer atomic-replace+time travel
     "pagerank",                # broadcast_state added r4 — re-verify
     "bfs_reachability",        # broadcast_state added r4 — re-verify
     "jaccard_prefix_join",     # dfreq broadcast hint dropped r4 — re-verify

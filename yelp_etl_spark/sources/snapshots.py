@@ -1,0 +1,247 @@
+"""Snapshot/manifest table layer: the Iceberg read/write semantics the
+reference depends on (write.py:24-53 createOrReplace; spark-defaults.conf
+catalog) re-derived natively over parquet — atomic commit, snapshot
+isolation, time travel, snapshot expiry + safe vacuum, and file-level
+min/max skipping — with zero jar dependencies (the sandbox has no
+Iceberg runtime; this is the same guarantee surface, minimally).
+
+Layout:
+
+    table_dir/
+      data/<uuid>-partNNNNN.parquet     immutable data files
+      manifests/manifest-0000000001.json  one per snapshot
+      _current                          pointer file (atomic os.replace)
+
+Commit protocol (single-writer; see note below):
+1. Data files are FULLY written (to a scratch dir, then renamed into
+   ``data/`` under fresh unique names) before any manifest references
+   them — a crash mid-write leaves only unreferenced files, invisible
+   to every reader.
+2. The manifest (file list + per-file row counts and column min/max
+   pulled from parquet footers) is written as a new numbered file.
+3. ``_current`` is swapped with ``os.replace`` — POSIX-atomic, so a
+   reader resolves either the old snapshot or the new one, never a mix.
+
+Readers resolve a snapshot (``_current`` or a pinned id) to its exact
+file list, so concurrent replaces never tear a read; replaced files
+stay on disk until ``expire_snapshots`` + ``vacuum``, which is what
+makes time travel work and is exactly Iceberg's expire/remove-orphans
+model. At 100 TB the same design holds with the manifest in object
+storage; the single piece that needs a real catalog is compare-and-swap
+on the pointer for MULTI-writer safety (Iceberg delegates that to the
+catalog too — Hadoop catalogs use an atomic rename exactly like this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_current"
+_SKIP_STATS_TYPES = ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")  # strings: keep simple
+
+
+def _manifest_path(table_dir: str, snapshot_id: int) -> str:
+    return os.path.join(table_dir, "manifests", f"manifest-{snapshot_id:010d}.json")
+
+
+def _read_pointer(table_dir: str) -> int | None:
+    try:
+        with open(os.path.join(table_dir, _POINTER)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _load_manifest(table_dir: str, snapshot_id: int) -> dict:
+    with open(_manifest_path(table_dir, snapshot_id)) as fh:
+        return json.load(fh)
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file row count and numeric column min/max from the parquet
+    footer (pyarrow metadata — no data read). These power manifest-level
+    file skipping, the scan feature that makes a 100 TB table affordable
+    to point-query: a predicate prunes FILES before Spark ever lists
+    them."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if col.physical_type in _SKIP_STATS_TYPES:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {
+        "rows": md.num_rows,
+        "min": mins,
+        "max": maxs,
+    }
+
+
+def snapshot_write(
+    df: DataFrame, table_dir: str, mode: str = "replace"
+) -> int:
+    """Commit ``df`` as a new snapshot of ``table_dir``; returns the new
+    snapshot id. ``mode='replace'`` is the reference's createOrReplace
+    (write.py:24-29); ``'append'`` keeps the parent snapshot's files and
+    adds the new ones (Iceberg's append commit)."""
+    if mode not in ("replace", "append"):
+        raise ValueError(f"mode must be replace|append, got {mode!r}")
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+
+    # 1. write data files to scratch, then move under unique names
+    scratch = os.path.join(table_dir, f".commit-{uuid.uuid4().hex}")
+    df.write.parquet(scratch)
+    prefix = uuid.uuid4().hex[:12]
+    new_files = []
+    for f in sorted(os.listdir(scratch)):
+        if not f.endswith(".parquet"):
+            continue
+        dst_name = f"{prefix}-{f.split('-')[1]}.parquet"
+        dst = os.path.join(table_dir, "data", dst_name)
+        os.rename(os.path.join(scratch, f), dst)
+        new_files.append(
+            {"path": os.path.join("data", dst_name), **_file_stats(dst)}
+        )
+    shutil.rmtree(scratch)
+
+    # 2. new manifest = parent files (append) or just new files (replace)
+    parent = _read_pointer(table_dir)
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _load_manifest(table_dir, parent)["files"] + files
+    snapshot_id = (parent or 0) + 1
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": parent,
+        "operation": mode,
+        "schema": df.schema.json(),
+        "files": files,
+    }
+    mpath = _manifest_path(table_dir, snapshot_id)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, mpath)
+
+    # 3. atomic pointer swap — the commit instant
+    ptmp = os.path.join(table_dir, _POINTER + ".tmp")
+    with open(ptmp, "w") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(ptmp, os.path.join(table_dir, _POINTER))
+    return snapshot_id
+
+
+def snapshot_read(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    prune: tuple[str, str, float] | None = None,
+) -> DataFrame:
+    """Read a snapshot (current by default; pass ``snapshot_id`` for
+    time travel). The file list is resolved NOW, so later commits or
+    replaces cannot tear this read (snapshot isolation; files survive
+    until expire+vacuum).
+
+    ``prune=(column, op, value)`` with op in <=,>=,== applies
+    manifest-level file skipping from footer min/max stats BEFORE Spark
+    lists anything — combine with a matching .filter() for row-level
+    semantics (skipping alone keeps whole files that merely overlap)."""
+    sid = snapshot_id if snapshot_id is not None else _read_pointer(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _load_manifest(table_dir, sid)
+    files = manifest["files"]
+    if prune is not None:
+        col, op, value = prune
+        if op not in ("<=", ">=", "=="):
+            raise ValueError(f"prune op must be <=, >= or ==, got {op!r}")
+
+        def overlaps(f: dict) -> bool:
+            lo, hi = f["min"].get(col), f["max"].get(col)
+            if lo is None or hi is None:
+                return True  # no stats → cannot skip
+            if op == "<=":
+                return lo <= value
+            if op == ">=":
+                return hi >= value
+            return lo <= value <= hi
+
+        files = [f for f in files if overlaps(f)]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_dir, f["path"]) for f in files]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """All committed snapshots, oldest first: (snapshot_id, parent_id,
+    operation, n_files, n_rows) — Iceberg's snapshots metadata table."""
+    mdir = os.path.join(table_dir, "manifests")
+    out = []
+    for f in sorted(os.listdir(mdir)):
+        m = json.load(open(os.path.join(mdir, f)))
+        out.append(
+            {
+                "snapshot_id": m["snapshot_id"],
+                "parent_id": m["parent_id"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(fl["rows"] for fl in m["files"]),
+            }
+        )
+    return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` manifests (returns expired
+    ids). Data files stay until vacuum() — expiry only limits how far
+    back time travel reaches, exactly Iceberg's expire_snapshots."""
+    mdir = os.path.join(table_dir, "manifests")
+    names = sorted(os.listdir(mdir))
+    expired = []
+    for f in names[:-keep_last] if keep_last > 0 else names:
+        sid = int(f.replace("manifest-", "").replace(".json", ""))
+        os.remove(os.path.join(mdir, f))
+        expired.append(sid)
+    return expired
+
+
+def vacuum(table_dir: str) -> int:
+    """Delete data files referenced by NO remaining manifest (returns
+    count removed) — Iceberg's remove_orphan_files. Safe by
+    construction: every readable snapshot's files are referenced."""
+    mdir = os.path.join(table_dir, "manifests")
+    live = set()
+    for f in os.listdir(mdir):
+        m = json.load(open(os.path.join(mdir, f)))
+        live |= {fl["path"] for fl in m["files"]}
+    removed = 0
+    ddir = os.path.join(table_dir, "data")
+    for f in os.listdir(ddir):
+        rel = os.path.join("data", f)
+        if rel not in live:
+            os.remove(os.path.join(ddir, f))
+            removed += 1
+    return removed
