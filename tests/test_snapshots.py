@@ -96,3 +96,63 @@ def test_manifest_file_skipping_prunes_files(spark, tmp_path):
     # point lookup touches exactly one range file
     point = snapshot_read(spark, t, prune=("id", "==", 42))
     assert len(point.inputFiles()) == 1
+
+
+def test_snapshot_merge_semantics(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    from yelp_etl_spark.sources.snapshots import snapshot_merge
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    )
+    delta = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "k long, v double"
+    )
+    s1 = snapshot_merge(spark, base, t, ["k"])
+    s2 = snapshot_merge(spark, delta, t, ["k"])
+    assert (s1, s2) == (1, 2)
+    got = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 99.0), (3, 30.0)}
+    # pre-merge state still time-travelable
+    old = {(r.k, r.v) for r in snapshot_read(spark, t, snapshot_id=1).collect()}
+    assert old == {(1, 10.0), (2, 20.0)}
+
+
+def test_streaming_upsert_into_snapshot_table(spark, tmp_path):
+    """Streaming sink → snapshot table: one atomic commit per non-empty
+    micro-batch, converged contents equal the batch aggregate, and the
+    first batch's state is still readable via time travel."""
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.streaming.windows import foreach_batch_upsert
+
+    src = str(tmp_path / "src")
+    rows = [(i % 5, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    t = str(tmp_path / "serving")
+    foreach_batch_upsert(
+        stream, t, ["user_id"], str(tmp_path / "ckpt"), snapshot_table=True
+    )
+    got = {(r.user_id, r.n, r.total) for r in snapshot_read(spark, t).collect()}
+    want = {
+        (r.user_id, r.n, r.total)
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == want
+    snaps = snapshots(t)
+    assert len(snaps) >= 2  # one commit per non-empty batch
+    # intermediate state preserved for time travel
+    assert snapshot_read(spark, t, snapshot_id=1).count() > 0

@@ -245,3 +245,25 @@ def vacuum(table_dir: str) -> int:
             os.remove(os.path.join(ddir, f))
             removed += 1
     return removed
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    table_dir: str,
+    keys: list[str],
+) -> int:
+    """MERGE INTO for the snapshot layer (WHEN MATCHED UPDATE all /
+    WHEN NOT MATCHED INSERT — operators/scd.merge_upsert) committed as
+    one atomic snapshot: readers see the pre-merge table or the
+    post-merge table, never an intermediate state, and the pre-merge
+    snapshot stays time-travelable. First merge into an empty table is
+    the initial insert."""
+    from yelp_etl_spark.operators.scd import merge_upsert
+
+    if _read_pointer(table_dir) is None:
+        return snapshot_write(source, table_dir, mode="replace")
+    target = snapshot_read(spark, table_dir)
+    return snapshot_write(
+        merge_upsert(target, source, keys), table_dir, mode="replace"
+    )

@@ -301,6 +301,7 @@ def foreach_batch_upsert(
     keys: list[str],
     checkpoint_dir: str,
     partition_columns: list[str] | None = None,
+    snapshot_table: bool = False,
 ) -> None:
     """Streaming upsert sink: every micro-batch is MERGEd into a keyed
     parquet target via foreachBatch + operators/scd.py merge_upsert —
@@ -329,8 +330,16 @@ def foreach_batch_upsert(
     rewritten. Sink cost then tracks batch size + touched-partition
     size, not table size. The Iceberg/Delta analog is MERGE INTO with
     partition predicates.
+
+    ``snapshot_table=True`` targets a sources/snapshots.py table
+    instead: each micro-batch lands as ONE atomic snapshot commit
+    (snapshot_merge), so a concurrent reader sees whole-batch
+    boundaries only — never a half-applied batch — and each batch's
+    pre-state stays time-travelable until expire+vacuum. This is the
+    streaming MERGE INTO shape of a real lakehouse sink.
     """
     from yelp_etl_spark.operators.scd import merge_upsert
+    from yelp_etl_spark.sources.snapshots import snapshot_merge
     from yelp_etl_spark.sources.writers import overwrite_partitions_dynamic
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -340,6 +349,9 @@ def foreach_batch_upsert(
         import os
 
         if batch_df.isEmpty():
+            return
+        if snapshot_table:
+            snapshot_merge(spark, batch_df, target_path, keys)
             return
         exists = os.path.isdir(target_path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(target_path)
