@@ -156,3 +156,15 @@ def test_streaming_upsert_into_snapshot_table(spark, tmp_path):
     assert len(snaps) >= 2  # one commit per non-empty batch
     # intermediate state preserved for time travel
     assert snapshot_read(spark, t, snapshot_id=1).count() > 0
+
+
+def test_write_table_snapshot_dispatch(spark, tmp_path):
+    from yelp_etl_spark.sources.writers import WriteSpec, write_table
+
+    t = str(tmp_path / "tbl")
+    write_table(spark.range(0, 30), t, WriteSpec(format="snapshot"))
+    write_table(
+        spark.range(30, 40), t, WriteSpec(format="snapshot", mode="append")
+    )
+    assert snapshot_read(spark, t).count() == 40
+    assert [s["operation"] for s in snapshots(t)] == ["replace", "append"]

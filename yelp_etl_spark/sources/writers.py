@@ -58,6 +58,16 @@ def write_table(df: DataFrame, target: str, spec: WriteSpec | None = None) -> No
     """Write ``df`` to ``target`` (path for parquet, table name for
     iceberg) under the given layout spec."""
     spec = spec or WriteSpec()
+    if spec.format == "snapshot":
+        # Native manifest-snapshot table (sources/snapshots.py): atomic
+        # replace/append with time travel — the in-sandbox stand-in for
+        # the Iceberg branch below, same createOrReplace guarantee.
+        from yelp_etl_spark.sources.snapshots import snapshot_write
+
+        snapshot_write(
+            df, target, mode="replace" if spec.mode == "overwrite" else "append"
+        )
+        return
     if spec.format == "iceberg":
         writer = df.writeTo(target).using("iceberg")
         for k, v in spec.options.items():
