@@ -168,3 +168,61 @@ def test_write_table_snapshot_dispatch(spark, tmp_path):
     )
     assert snapshot_read(spark, t).count() == 40
     assert [s["operation"] for s in snapshots(t)] == ["replace", "append"]
+
+
+def test_append_schema_evolution_additive(spark, tmp_path):
+    """Iceberg-style add-column evolution: an append with a NEW column
+    reads old files as NULL for it; an append MISSING an old column
+    keeps that column (nulls for new rows); a type change is rejected
+    at commit time."""
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "id long, s string"), t
+    )
+    # add a column
+    snapshot_write(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double"),
+        t,
+        mode="append",
+    )
+    # append missing the old column s
+    snapshot_write(
+        spark.createDataFrame([(3, 1.5)], "id long, score double"),
+        t,
+        mode="append",
+    )
+    rows = {r.id: (r.s, r.score) for r in snapshot_read(spark, t).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5), 3: (None, 1.5)}
+    # incompatible type change fails at commit, not read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changes type"):
+        snapshot_write(
+            spark.createDataFrame([("x",)], "id string"), t, mode="append"
+        )
+
+
+def test_zorder_layout_plus_manifest_skipping(spark, tmp_path):
+    """Composition: z-order clustering (sources/layout.py) before a
+    snapshot commit makes BOTH columns file-skippable — a point probe
+    on either dimension prunes most files from the manifest alone."""
+    from yelp_etl_spark.sources.layout import zorder_key
+    from yelp_etl_spark.sources.snapshots import _load_manifest, _read_pointer
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("x"),
+        (F.col("id") * 2654435761 % 40_000).alias("y"),
+    )
+    clustered = (
+        zorder_key(df, ["x", "y"], bits=16)
+        .repartitionByRange(16, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    snapshot_write(clustered, t)
+    n_files = len(_load_manifest(t, _read_pointer(t))["files"])
+    assert n_files >= 8
+    for col in ("x", "y"):
+        probe = snapshot_read(spark, t, prune=(col, "==", 12_345))
+        assert len(probe.inputFiles()) <= n_files // 2, col

@@ -126,14 +126,38 @@ def snapshot_write(
     # 2. new manifest = parent files (append) or just new files (replace)
     parent = _read_pointer(table_dir)
     files = list(new_files)
+    schema = df.schema
     if mode == "append" and parent is not None:
-        files = _load_manifest(table_dir, parent)["files"] + files
+        pm = _load_manifest(table_dir, parent)
+        files = pm["files"] + files
+        # Additive schema evolution (Iceberg's add-column): the
+        # snapshot's schema is the UNION of parent and append schemas,
+        # so files missing a column read it as NULL and an append that
+        # lacks an old column can never silently drop it. Incompatible
+        # type changes fail here, at commit time, not at read time.
+        from pyspark.sql.types import StructField, StructType
+
+        old = StructType.fromJson(json.loads(pm["schema"]))
+        merged = list(old.fields)
+        by_name = {f.name: f for f in merged}
+        for f in schema.fields:
+            prev = by_name.get(f.name)
+            if prev is None:
+                merged.append(f)
+            elif prev.dataType != f.dataType:
+                raise ValueError(
+                    f"append changes type of column {f.name!r}: "
+                    f"{prev.dataType} -> {f.dataType}"
+                )
+        schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in merged]
+        )
     snapshot_id = (parent or 0) + 1
     manifest = {
         "snapshot_id": snapshot_id,
         "parent_id": parent,
         "operation": mode,
-        "schema": df.schema.json(),
+        "schema": schema.json(),
         "files": files,
     }
     mpath = _manifest_path(table_dir, snapshot_id)
