@@ -5180,7 +5180,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, iterations=5, skip_symmetric_dedup=True)
+    # broadcast_state=False: the co-partitioned shuffle iteration measured
+    # faster than the broadcast hint even at fixture scale (SCALING.md
+    # §Round 4) and is the only shape that survives 1B+ nodes
+    ranks = pagerank(
+        edges, iterations=5, skip_symmetric_dedup=True, broadcast_state=False
+    )
     return ranks.select("id", F.round(F.col("rank"), 9).alias("rank"))
 
 
@@ -5211,7 +5216,9 @@ def q_pagerank_dict_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier/customer namespaces are disjoint strings, and the encode
     # is injective, so the reversed edge set still cannot collide
     encoded, mapping = encode_node_ids(edges)
-    ranks = pagerank(encoded, iterations=3, skip_symmetric_dedup=True)
+    ranks = pagerank(
+        encoded, iterations=3, skip_symmetric_dedup=True, broadcast_state=False
+    )
     return ranks.join(
         mapping, ranks["id"] == mapping["node_idx"]
     ).select(
