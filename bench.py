@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pq_topk_checked",
     "jsonl_scan_roundtrip",
     "time_travel_diff",
+    "surrogate_ids_portable",
     "incremental_dedup_delta",
     "quality_score",
     "lang_id",

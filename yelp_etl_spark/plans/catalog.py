@@ -4011,6 +4011,59 @@ GROUP BY n.doc_id
 ORACLE_INCREMENTAL_DEDUP_DELTA = _incremental_dedup_oracle()
 
 
+def q_surrogate_ids_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 surrogate ids, driver-checkable: the production path derives
+    keys with xxhash64 (operators/explode.py:47 — engine-specific, so
+    unit-tested for determinism instead); this twin derives the SAME
+    content-addressed contract — id = hash(parent key, position,
+    element), stable under any partitioning, never
+    monotonically_increasing_id — through the 60-bit md5 integer both
+    engines compute identically. Explode is positional (posexplode), so
+    repeated tokens in a document get distinct surrogates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    sid = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id"), F.col("pos"), F.col("tok")
+                ).cast("binary")
+            ),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return toks.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "tok",
+        sid.alias("surrogate_id"),
+    )
+
+
+ORACLE_SURROGATE_IDS_PORTABLE = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(u.pos AS BIGINT) AS pos,
+         u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(lower(text), ' '),
+                  (x, i) -> struct_pack(pos := i - 1, tok := x))) AS u
+    FROM documents WHERE doc_id < 100
+  )
+)
+SELECT doc_id, pos, tok,
+       CAST(concat('0x', substr(md5(concat(doc_id, '|', pos, '|', tok)), 18, 15))
+            AS BIGINT) AS surrogate_id
+FROM toks
+WHERE tok <> ''
+"""
+
+
 def q_grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with GROUPING() indicators: subtotal rows carry a flag
     distinguishing 'NULL because aggregated away' from data NULLs —
@@ -6371,6 +6424,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "minhash_portable": QuerySpec(
         q_minhash_portable, ORACLE_MINHASH_PORTABLE, "ext:minhash oracle-checked"
+    ),
+    "surrogate_ids_portable": QuerySpec(
+        q_surrogate_ids_portable,
+        ORACLE_SURROGATE_IDS_PORTABLE,
+        "P8: content-addressed surrogate ids (portable md5 twin)",
     ),
     "incremental_dedup_delta": QuerySpec(
         q_incremental_dedup_delta,
