@@ -270,3 +270,13 @@ def test_observe_metrics_single_pass(spark):
     df.write.format("noop").mode("overwrite").save()
     assert obs.get["n"] == 1000
     assert obs.get["mod_sum"] == sum(i % 7 for i in range(1000))
+
+
+def test_safe_cast_non_string_source_unaffected_by_guard(spark):
+    """The probe's regex guard must not apply to non-string sources:
+    DOUBLE→LONG succeeds numerically even though str(3.0) fails the
+    integral grammar — the candidate must still be accepted."""
+    df = spark.createDataFrame([(3.0,), (4.0,)], "d double")
+    out = safe_cast(df, {"d": [T.LongType()]})
+    assert dict(out.dtypes)["d"] == "bigint"
+    assert {r.d for r in out.collect()} == {3, 4}

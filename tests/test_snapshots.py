@@ -226,3 +226,39 @@ def test_zorder_layout_plus_manifest_skipping(spark, tmp_path):
     for col in ("x", "y"):
         probe = snapshot_read(spark, t, prune=(col, "==", 12_345))
         assert len(probe.inputFiles()) <= n_files // 2, col
+
+
+def test_expire_zero_rejected_and_stray_tmp_ignored(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from yelp_etl_spark.sources.snapshots import expire_snapshots, vacuum
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 10), t)
+    with _pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(t, keep_last=0)
+    # a crashed commit's partial manifest must not wedge metadata ops
+    stray = os.path.join(t, "manifests", "manifest-0000000099.json.tmp")
+    with open(stray, "w") as fh:
+        fh.write('{"snapshot_id": 99, "files": [')  # truncated json
+    assert [s["snapshot_id"] for s in snapshots(t)] == [1]
+    assert expire_snapshots(t, keep_last=1) == []
+    assert vacuum(t) == 0
+    assert snapshot_read(spark, t).count() == 10
+
+
+def test_write_table_snapshot_rejects_unsupported_spec(spark, tmp_path):
+    import pytest as _pytest
+
+    from yelp_etl_spark.sources.writers import WriteSpec, write_table
+
+    t = str(tmp_path / "tbl")
+    with _pytest.raises(ValueError, match="not supported"):
+        write_table(
+            spark.range(5), t,
+            WriteSpec(format="snapshot", partition_columns=["id"]),
+        )
+    with _pytest.raises(ValueError, match="overwrite|append"):
+        write_table(spark.range(5), t, WriteSpec(format="snapshot", mode="error"))

@@ -220,7 +220,7 @@ def test_foreach_batch_upsert_partition_scoped(spark, tmp_path):
     foreach_batch_upsert(
         stream,
         target,
-        ["user_id"],
+        ["user_id", "seg"],  # partition cols must be part of the key
         str(tmp_path / "ckpt"),
         partition_columns=["seg"],
     )
@@ -336,3 +336,58 @@ def test_checkpoint_restart_processes_new_files_exactly_once(spark, sf_dir, tmp_
     assert got.select(F.sum("value")).collect()[0][0] == pytest.approx(
         events.select(F.sum("value")).collect()[0][0], rel=1e-9
     )
+
+
+def test_partition_scoped_upsert_rejects_movable_keys(spark, tmp_path):
+    """partition_columns not covered by the merge keys = a key could
+    move partitions and be duplicated by the pruned read — rejected."""
+    import pytest as _pytest
+
+    from yelp_etl_spark.streaming.windows import foreach_batch_upsert
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "user_id long, seg string, total double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    with _pytest.raises(ValueError, match="subset of the merge keys"):
+        foreach_batch_upsert(
+            stream,
+            str(tmp_path / "t"),
+            ["user_id"],
+            str(tmp_path / "ckpt"),
+            partition_columns=["seg"],
+        )
+
+
+def test_partition_scoped_upsert_null_partition(spark, tmp_path):
+    """Rows in the NULL partition must merge null-safely — the pruned
+    read matches the null partition instead of pruning everything and
+    wiping the pre-existing rows there."""
+    from yelp_etl_spark.streaming.windows import foreach_batch_upsert
+
+    target = str(tmp_path / "serving")
+    seed = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "user_id long, seg string, total double",
+    )
+    seed.coalesce(1).write.partitionBy("seg").parquet(target)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, None, 11.0)], "user_id long, seg string, total double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(seed.schema).parquet(src)
+    foreach_batch_upsert(
+        stream,
+        target,
+        ["user_id", "seg"],
+        str(tmp_path / "ckpt"),
+        partition_columns=["seg"],
+    )
+    got = {
+        (r.user_id, r.seg, r.total)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {(1, None, 11.0), (2, None, 20.0), (3, "b", 30.0)}

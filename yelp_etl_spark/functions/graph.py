@@ -259,7 +259,11 @@ def bfs_distances(
     )
     if not skip_symmetric_dedup:
         sym = sym.distinct()
-    if broadcast_state is False:
+    if broadcast_state is not True:
+        # The shuffle path is reachable in 'auto' too (once the frontier
+        # outgrows the threshold), and it only avoids re-exchanging the
+        # |E| side if the cached edges are already hash-partitioned on
+        # the join key — so co-partition unless broadcast is FORCED.
         sym = sym.repartition("src")
     sym = sym.cache()
     frontier = truncate_lineage(

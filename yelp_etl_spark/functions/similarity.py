@@ -735,17 +735,25 @@ def pq_topk(
             # would let two candidates that tie after rounding be
             # kept/dropped based on which batch they landed in
             sims = np.round(adc / (qnorm[:, None] * xnorm[None, :]), 4)
-            # exclude self-pairs, then per-query partial top-k
+            # exclude self-pairs, then per-query partial top-k; the
+            # selection loop is numpy-only and the batch emits ONE
+            # DataFrame (Q pandas constructions per batch would cost
+            # more than the scoring at the 10k query cap)
             sims[qids[:, None] == ids[None, :]] = -np.inf
+            sel_q, sel_n, sel_s = [], [], []
             for qi, qid in enumerate(qids):
                 valid = np.isfinite(sims[qi])
                 order = np.lexsort((ids[valid], -sims[qi][valid]))[:k]
                 sel_ids = ids[valid][order]
+                sel_q.append(np.full(len(sel_ids), qid, dtype=np.int64))
+                sel_n.append(sel_ids)
+                sel_s.append(sims[qi][valid][order])
+            if sel_q:
                 yield pd.DataFrame(
                     {
-                        "query_id": np.full(len(sel_ids), qid, dtype=np.int64),
-                        "neighbor_id": sel_ids,
-                        "approx_cosine": sims[qi][valid][order],
+                        "query_id": np.concatenate(sel_q),
+                        "neighbor_id": np.concatenate(sel_n),
+                        "approx_cosine": np.concatenate(sel_s),
                     }
                 )
 

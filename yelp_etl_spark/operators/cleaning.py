@@ -69,7 +69,9 @@ _INT_GUARD = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
 _BOOL_GUARD = r"^[\x00-\x20]*(?i:true|false|t|f|y|n|yes|no|1|0)[\x00-\x20]*$"
 
 
-def _probe_cast_expr(column: Column, target: DataType) -> Column:
+def _probe_cast_expr(
+    column: Column, target: DataType, source_is_string: bool = True
+) -> Column:
     """Probe-side twin of _cast_expr: a try_cast that FAILS on a string
     row costs ~8.5 µs (the JVM exception path inside TRY eval-mode),
     ~100× a regex reject — and probe columns are exactly the ones
@@ -79,9 +81,17 @@ def _probe_cast_expr(column: Column, target: DataType) -> Column:
     fuzzed inputs), so when(guard, try_cast) has identical null-ness.
     Only the probe null-counts use this; the final output column is
     always the real cast (_cast_expr), so emitted values can never
-    depend on the guard."""
+    depend on the guard.
+
+    The guard grammar characterizes STRING→target casts only, so it
+    applies only when ``source_is_string`` — e.g. DOUBLE→LONG succeeds
+    via numeric conversion while rlike would stringify 3.0 to '3.0'
+    and wrongly reject it (and numeric sources have no exception-path
+    cost to avoid in the first place)."""
     from pyspark.sql.types import BooleanType, IntegralType
 
+    if not source_is_string:
+        return _cast_expr(column, target)
     if isinstance(target, IntegralType):
         guard = _INT_GUARD
     elif isinstance(target, BooleanType):
@@ -102,15 +112,21 @@ def safe_cast(
     <= original null count). Single-pass probe: one aggregate computes
     every (column, candidate) null count in one scan.
     """
+    from pyspark.sql.types import StringType
+
     probe_exprs: list[Column] = []
     for col_name, types in candidates.items():
+        is_string = isinstance(df.schema[col_name].dataType, StringType)
         probe_exprs.append(
             F.count(F.when(F.col(col_name).isNull(), 1)).alias(f"{col_name}__orig")
         )
         for i, t in enumerate(types):
             probe_exprs.append(
                 F.count(
-                    F.when(_probe_cast_expr(F.col(col_name), t).isNull(), 1)
+                    F.when(
+                        _probe_cast_expr(F.col(col_name), t, is_string).isNull(),
+                        1,
+                    )
                 ).alias(f"{col_name}__{i}")
             )
     if not probe_exprs:

@@ -19,7 +19,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    null_safe: bool = False,
+) -> DataFrame:
     """MERGE semantics as a transform: rows from ``source`` replace
     target rows with the same key; unmatched target rows pass through
     (SCD type 1 / "upsert"). Schemas must align by name.
@@ -27,8 +32,25 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     ``WHEN MATCHED THEN UPDATE (all columns), WHEN NOT MATCHED THEN
     INSERT`` — the classic lakehouse MERGE shape, as target ANTI-JOIN
     source UNION ALL source.
-    """
-    unchanged = target.join(source.select(*keys), keys, "left_anti")
+
+    ``null_safe=True`` matches NULL key values to each other (<=>
+    semantics) — required when a nullable column is part of the merge
+    key (e.g. a nullable partition column): with the default equality
+    a NULL-keyed target row never matches and its replacement is
+    DUPLICATED instead of applied. SQL MERGE has the same foot-gun;
+    Spark's anti-join on column names shares it."""
+    if not null_safe:
+        unchanged = target.join(source.select(*keys), keys, "left_anti")
+        return unchanged.unionByName(source)
+    t = target.alias("__t")
+    s = source.select(*keys).alias("__s")
+    cond = None
+    for k in keys:
+        c = F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+        cond = c if cond is None else (cond & c)
+    unchanged = t.join(s, cond, "left_anti").select(
+        *[F.col(f"__t.{c}") for c in target.columns]
+    )
     return unchanged.unionByName(source)
 
 

@@ -45,8 +45,21 @@ _POINTER = "_current"
 _SKIP_STATS_TYPES = ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")  # strings: keep simple
 
 
+import re as _re
+
+_MANIFEST_RE = _re.compile(r"^manifest-\d{10}\.json$")
+
+
 def _manifest_path(table_dir: str, snapshot_id: int) -> str:
     return os.path.join(table_dir, "manifests", f"manifest-{snapshot_id:010d}.json")
+
+
+def _manifest_names(mdir: str) -> list[str]:
+    """Only fully-committed manifests: a crash between writing the .tmp
+    and the os.replace may leave a stray partial file, which must never
+    wedge snapshots()/expire/vacuum (the commit protocol's promise is
+    that incomplete commits are invisible)."""
+    return [f for f in os.listdir(mdir) if _MANIFEST_RE.match(f)]
 
 
 def _read_pointer(table_dir: str) -> int | None:
@@ -224,7 +237,7 @@ def snapshots(table_dir: str) -> list[dict]:
     operation, n_files, n_rows) — Iceberg's snapshots metadata table."""
     mdir = os.path.join(table_dir, "manifests")
     out = []
-    for f in sorted(os.listdir(mdir)):
+    for f in sorted(_manifest_names(mdir)):
         m = json.load(open(os.path.join(mdir, f)))
         out.append(
             {
@@ -241,11 +254,21 @@ def snapshots(table_dir: str) -> list[dict]:
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` manifests (returns expired
     ids). Data files stay until vacuum() — expiry only limits how far
-    back time travel reaches, exactly Iceberg's expire_snapshots."""
+    back time travel reaches, exactly Iceberg's expire_snapshots.
+
+    ``keep_last`` must be >= 1: expiring everything would leave the
+    ``_current`` pointer dangling and a subsequent vacuum() would treat
+    every live data file as orphaned."""
+    if keep_last < 1:
+        raise ValueError(
+            "keep_last must be >= 1 — expiring every snapshot would "
+            "orphan the current pointer and let vacuum() delete the "
+            "live table"
+        )
     mdir = os.path.join(table_dir, "manifests")
-    names = sorted(os.listdir(mdir))
+    names = sorted(_manifest_names(mdir))
     expired = []
-    for f in names[:-keep_last] if keep_last > 0 else names:
+    for f in names[:-keep_last]:
         sid = int(f.replace("manifest-", "").replace(".json", ""))
         os.remove(os.path.join(mdir, f))
         expired.append(sid)
@@ -258,7 +281,7 @@ def vacuum(table_dir: str) -> int:
     construction: every readable snapshot's files are referenced."""
     mdir = os.path.join(table_dir, "manifests")
     live = set()
-    for f in os.listdir(mdir):
+    for f in _manifest_names(mdir):
         m = json.load(open(os.path.join(mdir, f)))
         live |= {fl["path"] for fl in m["files"]}
     removed = 0

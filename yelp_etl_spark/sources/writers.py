@@ -62,8 +62,26 @@ def write_table(df: DataFrame, target: str, spec: WriteSpec | None = None) -> No
         # Native manifest-snapshot table (sources/snapshots.py): atomic
         # replace/append with time travel — the in-sandbox stand-in for
         # the Iceberg branch below, same createOrReplace guarantee.
+        # Fail loudly on spec fields this layer doesn't implement yet
+        # rather than silently writing a different layout than asked.
         from yelp_etl_spark.sources.snapshots import snapshot_write
 
+        unsupported = {
+            "partition_columns": spec.partition_columns,
+            "bucket_column": spec.bucket_column,
+            "distribute": spec.distribute,
+            "options": spec.options,
+        }
+        bad = {k: v for k, v in unsupported.items() if v}
+        if bad:
+            raise ValueError(
+                f"WriteSpec fields not supported by format='snapshot': {bad}"
+            )
+        if spec.mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"format='snapshot' supports mode overwrite|append, got "
+                f"{spec.mode!r}"
+            )
         snapshot_write(
             df, target, mode="replace" if spec.mode == "overwrite" else "append"
         )

@@ -329,7 +329,11 @@ def foreach_batch_upsert(
     overwrite so untouched partitions are never read, listed, or
     rewritten. Sink cost then tracks batch size + touched-partition
     size, not table size. The Iceberg/Delta analog is MERGE INTO with
-    partition predicates.
+    partition predicates. Partition-scoping is only sound when a key
+    cannot MOVE between partitions (otherwise the pruned read would
+    miss its old row and leave duplicates), so ``partition_columns``
+    must be a subset of ``keys`` — enforced below; NULL partition
+    values are matched null-safely.
 
     ``snapshot_table=True`` targets a sources/snapshots.py table
     instead: each micro-batch lands as ONE atomic snapshot commit
@@ -341,6 +345,13 @@ def foreach_batch_upsert(
     from yelp_etl_spark.operators.scd import merge_upsert
     from yelp_etl_spark.sources.snapshots import snapshot_merge
     from yelp_etl_spark.sources.writers import overwrite_partitions_dynamic
+
+    if partition_columns and not set(partition_columns) <= set(keys):
+        raise ValueError(
+            "partition_columns must be a subset of the merge keys: a key "
+            "that moved partitions would be missed by the pruned read and "
+            f"duplicated (partition_columns={partition_columns}, keys={keys})"
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -370,16 +381,19 @@ def foreach_batch_upsert(
                 (
                     functools.reduce(
                         operator.and_,
-                        (F.col(c) == r[c] for c in partition_columns),
+                        # null-safe: a NULL partition value must match
+                        # the null partition, not prune everything
+                        (F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_columns),
                     )
                     for r in touched
                 ),
             )
             target = spark.read.parquet(target_path).filter(pred)
-            merged = merge_upsert(target, batch_df, keys)
+            # null_safe: a nullable partition column sits in the key
+            merged = merge_upsert(target, batch_df, keys, null_safe=True)
         else:
             target = spark.read.parquet(target_path)
-            merged = merge_upsert(target, batch_df, keys)
+            merged = merge_upsert(target, batch_df, keys, null_safe=True)
         # Materialize before overwriting the directory being read.
         out = merged.cache()
         out.count()
