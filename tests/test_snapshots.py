@@ -262,3 +262,69 @@ def test_write_table_snapshot_rejects_unsupported_spec(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="overwrite|append"):
         write_table(spark.range(5), t, WriteSpec(format="snapshot", mode="error"))
+
+
+def test_snapshot_changes_cdc(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import snapshot_changes
+
+    t = str(tmp_path / "tbl")
+    s1 = snapshot_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        ),
+        t,
+    )
+    s2 = snapshot_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (4, 40.0)], "k long, v double"
+        ),
+        t,
+    )
+    got = {
+        (r.k, r.diff_status)
+        for r in snapshot_changes(spark, t, s1, s2, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        (1, "unchanged"), (2, "changed"), (3, "removed"), (4, "added"),
+    }
+
+
+def test_snapshot_layer_model_property(spark, tmp_path):
+    """Property: any sequence of replace/append/merge commits matches a
+    driver-side model, and every intermediate snapshot stays readable
+    with its exact historical contents (bounded deterministic sequence
+    enumeration — no wall-clock or RNG)."""
+    import itertools
+
+    from yelp_etl_spark.sources.snapshots import snapshot_merge
+
+    ops = ["replace", "append", "merge"]
+    payloads = {
+        "replace": [(1, 1.0), (2, 2.0)],
+        "append": [(3, 3.0)],
+        "merge": [(1, 9.0), (4, 4.0)],
+    }
+    for seq_i, seq in enumerate(itertools.product(ops, repeat=3)):
+        t = str(tmp_path / f"tbl{seq_i}")
+        model: list[tuple] = []
+        states = []
+        for op in seq:
+            rows = payloads[op]
+            df = spark.createDataFrame(rows, "k long, v double")
+            if op == "replace":
+                snapshot_write(df, t, mode="replace")
+                model = list(rows)
+            elif op == "append":
+                snapshot_write(df, t, mode="append")
+                model = model + list(rows)
+            else:
+                snapshot_merge(spark, df, t, ["k"])
+                kept = [r for r in model if r[0] not in {k for k, _ in rows}]
+                model = kept + list(rows)
+            states.append(list(model))
+        for sid, expect in enumerate(states, start=1):
+            got = sorted(
+                (r.k, r.v)
+                for r in snapshot_read(spark, t, snapshot_id=sid).collect()
+            )
+            assert got == sorted(expect), f"seq={seq} snapshot={sid}"

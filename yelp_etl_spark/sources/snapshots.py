@@ -314,3 +314,25 @@ def snapshot_merge(
     return snapshot_write(
         merge_upsert(target, source, keys), table_dir, mode="replace"
     )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    keys: list[str],
+    compare_columns: list[str],
+) -> DataFrame:
+    """Changelog between two committed snapshots (Iceberg's
+    changelog/CDC read): rows classified added / removed / changed /
+    unchanged via operators/scd.snapshot_diff — one full-outer join on
+    the keys between the two pinned file lists. This is what lets
+    downstream incremental consumers (incremental_agg_maintenance,
+    index refreshers) process exactly the delta between two table
+    versions without a write-side log."""
+    from yelp_etl_spark.operators.scd import snapshot_diff
+
+    old = snapshot_read(spark, table_dir, snapshot_id=from_snapshot)
+    new = snapshot_read(spark, table_dir, snapshot_id=to_snapshot)
+    return snapshot_diff(old, new, keys, compare_columns)
