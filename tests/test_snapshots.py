@@ -328,3 +328,59 @@ def test_snapshot_layer_model_property(spark, tmp_path):
                 for r in snapshot_read(spark, t, snapshot_id=sid).collect()
             )
             assert got == sorted(expect), f"seq={seq} snapshot={sid}"
+
+
+def test_snapshot_changes_across_schema_evolution(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import snapshot_changes
+
+    t = str(tmp_path / "tbl")
+    s1 = snapshot_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, a double"), t
+    )
+    s2 = snapshot_write(
+        spark.createDataFrame([(3, 3.0, "x")], "k long, a double, b string"),
+        t,
+        mode="append",
+    )
+    got = {
+        (r.k, r.diff_status)
+        for r in snapshot_changes(spark, t, s1, s2, ["k"], ["a", "b"]).collect()
+    }
+    assert got == {(1, "unchanged"), (2, "unchanged"), (3, "added")}
+
+
+def test_metadata_ops_ignore_unswapped_manifest(spark, tmp_path):
+    """A fully named manifest whose pointer swap never happened (crash
+    between commit steps 2 and 3) is NOT a snapshot: snapshots() hides
+    it, expire retention ignores it, and vacuum removes its files
+    without touching the committed table."""
+    import json as _json
+    import os
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 20), t)
+    # forge the crash: a valid manifest-2 exists, pointer still says 1
+    orphan_data = os.path.join(t, "data", "deadbeef-00000.parquet")
+    spark.range(5).coalesce(1).write.parquet(str(tmp_path / "o"))
+    src = [
+        f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")
+    ][0]
+    os.rename(str(tmp_path / "o" / src), orphan_data)
+    m = {
+        "snapshot_id": 2,
+        "parent_id": 1,
+        "operation": "replace",
+        "schema": spark.range(1).schema.json(),
+        "files": [{"path": "data/deadbeef-00000.parquet", "rows": 5,
+                   "min": {}, "max": {}}],
+    }
+    with open(os.path.join(t, "manifests", "manifest-0000000002.json"), "w") as fh:
+        _json.dump(m, fh)
+
+    from yelp_etl_spark.sources.snapshots import expire_snapshots, vacuum
+
+    assert [s["snapshot_id"] for s in snapshots(t)] == [1]
+    assert expire_snapshots(t, keep_last=1) == []  # must NOT expire 1
+    assert snapshot_read(spark, t).count() == 20   # live table intact
+    assert vacuum(t) == 1                          # orphan file removed
+    assert snapshot_read(spark, t).count() == 20

@@ -62,6 +62,23 @@ def _manifest_names(mdir: str) -> list[str]:
     return [f for f in os.listdir(mdir) if _MANIFEST_RE.match(f)]
 
 
+def _committed_manifest_names(table_dir: str) -> list[str]:
+    """Manifests at or below the pointer, sorted ascending. A crash
+    between the manifest os.replace and the pointer swap leaves a fully
+    NAMED manifest that was never committed — the pointer is the commit
+    instant, so every metadata operation must treat manifests newer
+    than it as invisible (not a snapshot, not retained, its files not
+    live). The next commit overwrites the stray manifest file."""
+    mdir = os.path.join(table_dir, "manifests")
+    ptr = _read_pointer(table_dir)
+    names = []
+    for f in _manifest_names(mdir):
+        sid = int(f.replace("manifest-", "").replace(".json", ""))
+        if ptr is not None and sid <= ptr:
+            names.append(f)
+    return sorted(names)
+
+
 def _read_pointer(table_dir: str) -> int | None:
     try:
         with open(os.path.join(table_dir, _POINTER)) as fh:
@@ -192,6 +209,7 @@ def snapshot_read(
     table_dir: str,
     snapshot_id: int | None = None,
     prune: tuple[str, str, float] | None = None,
+    schema_snapshot_id: int | None = None,
 ) -> DataFrame:
     """Read a snapshot (current by default; pass ``snapshot_id`` for
     time travel). The file list is resolved NOW, so later commits or
@@ -201,11 +219,22 @@ def snapshot_read(
     ``prune=(column, op, value)`` with op in <=,>=,== applies
     manifest-level file skipping from footer min/max stats BEFORE Spark
     lists anything — combine with a matching .filter() for row-level
-    semantics (skipping alone keeps whole files that merely overlap)."""
+    semantics (skipping alone keeps whole files that merely overlap).
+
+    ``schema_snapshot_id`` reads the files under ANOTHER snapshot's
+    (usually newer, evolved) schema — columns added since the read
+    snapshot appear as NULL. This is how changelog reads span an
+    add-column boundary (Iceberg reads both ends of a changelog under
+    the current schema for the same reason)."""
     sid = snapshot_id if snapshot_id is not None else _read_pointer(table_dir)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     manifest = _load_manifest(table_dir, sid)
+    schema_manifest = (
+        _load_manifest(table_dir, schema_snapshot_id)
+        if schema_snapshot_id is not None
+        else manifest
+    )
     files = manifest["files"]
     if prune is not None:
         col, op, value = prune
@@ -225,7 +254,7 @@ def snapshot_read(
         files = [f for f in files if overlaps(f)]
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    schema = StructType.fromJson(json.loads(schema_manifest["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table_dir, f["path"]) for f in files]
@@ -234,10 +263,12 @@ def snapshot_read(
 
 def snapshots(table_dir: str) -> list[dict]:
     """All committed snapshots, oldest first: (snapshot_id, parent_id,
-    operation, n_files, n_rows) — Iceberg's snapshots metadata table."""
+    operation, n_files, n_rows) — Iceberg's snapshots metadata table.
+    Manifests newer than the pointer (a crashed, never-committed write)
+    are not snapshots and are excluded."""
     mdir = os.path.join(table_dir, "manifests")
     out = []
-    for f in sorted(_manifest_names(mdir)):
+    for f in _committed_manifest_names(table_dir):
         m = json.load(open(os.path.join(mdir, f)))
         out.append(
             {
@@ -266,7 +297,10 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
             "live table"
         )
     mdir = os.path.join(table_dir, "manifests")
-    names = sorted(_manifest_names(mdir))
+    # retention is computed over COMMITTED manifests only: counting a
+    # crash-orphaned newer manifest could expire the manifest the
+    # pointer references (and vacuum would then delete the live table)
+    names = _committed_manifest_names(table_dir)
     expired = []
     for f in names[:-keep_last]:
         sid = int(f.replace("manifest-", "").replace(".json", ""))
@@ -276,12 +310,19 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
 
 
 def vacuum(table_dir: str) -> int:
-    """Delete data files referenced by NO remaining manifest (returns
-    count removed) — Iceberg's remove_orphan_files. Safe by
-    construction: every readable snapshot's files are referenced."""
+    """Delete data files referenced by NO committed manifest (returns
+    count removed) — Iceberg's remove_orphan_files. Every readable
+    snapshot's files are referenced, so vacuum never breaks a committed
+    snapshot; files of a crash-orphaned uncommitted manifest ARE
+    removed (that is the cleanup of the failed commit). MUST NOT run
+    concurrently with an in-flight snapshot_write: a commit renames
+    data files into place before its manifest exists, and a concurrent
+    vacuum would collect them (same single-maintenance-writer rule as
+    Iceberg's remove_orphan_files, which uses an age cutoff for the
+    same reason)."""
     mdir = os.path.join(table_dir, "manifests")
     live = set()
-    for f in _manifest_names(mdir):
+    for f in _committed_manifest_names(table_dir):
         m = json.load(open(os.path.join(mdir, f)))
         live |= {fl["path"] for fl in m["files"]}
     removed = 0
@@ -333,6 +374,12 @@ def snapshot_changes(
     versions without a write-side log."""
     from yelp_etl_spark.operators.scd import snapshot_diff
 
-    old = snapshot_read(spark, table_dir, snapshot_id=from_snapshot)
+    # both ends read under the TO side's schema, so a column added
+    # between the snapshots compares as NULL->value (= 'changed')
+    # instead of crashing the old side's select
+    old = snapshot_read(
+        spark, table_dir, snapshot_id=from_snapshot,
+        schema_snapshot_id=to_snapshot,
+    )
     new = snapshot_read(spark, table_dir, snapshot_id=to_snapshot)
     return snapshot_diff(old, new, keys, compare_columns)

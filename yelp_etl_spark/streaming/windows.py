@@ -213,8 +213,6 @@ def stream_static_enrich(
     batch semantics — Catalyst broadcasts it when small, and no state
     is kept for it; only the windowed aggregation is stateful (bounded
     by the watermark). Works identically on a batch DataFrame."""
-    from pyspark.sql import functions as F
-
     src = events.withWatermark("ts", watermark) if watermark else events
     joined = src.join(dim, src["user_id"] == dim["c_custkey"], "inner")
     return joined.groupBy(
@@ -346,6 +344,12 @@ def foreach_batch_upsert(
     from yelp_etl_spark.sources.snapshots import snapshot_merge
     from yelp_etl_spark.sources.writers import overwrite_partitions_dynamic
 
+    if snapshot_table and partition_columns:
+        raise ValueError(
+            "snapshot_table=True does not implement partition-scoped "
+            "merging; pass one or the other (a silent fallback would "
+            "turn the requested O(batch) sink cost into O(table))"
+        )
     if partition_columns and not set(partition_columns) <= set(keys):
         raise ValueError(
             "partition_columns must be a subset of the merge keys: a key "
@@ -388,20 +392,48 @@ def foreach_batch_upsert(
                     for r in touched
                 ),
             )
-            target = spark.read.parquet(target_path).filter(pred)
+            # schema pinned to the batch's: partition-directory type
+            # inference must not re-type key columns ('00123' dirs
+            # inferring as INT would collapse/duplicate keys)
+            target = (
+                spark.read.schema(batch_df.schema)
+                .parquet(target_path)
+                .filter(pred)
+            )
             # null_safe: a nullable partition column sits in the key
             merged = merge_upsert(target, batch_df, keys, null_safe=True)
         else:
-            target = spark.read.parquet(target_path)
+            target = spark.read.schema(batch_df.schema).parquet(target_path)
             merged = merge_upsert(target, batch_df, keys, null_safe=True)
-        # Materialize before overwriting the directory being read.
-        out = merged.cache()
-        out.count()
         if partition_columns:
+            # Materialize before overwriting directories being read.
+            # (Remaining crash window: Spark's dynamic-overwrite commit
+            # replaces the touched partitions at job commit; a crash
+            # inside that commit can need a replay of this batch, which
+            # the checkpoint guarantees. For fully atomic per-batch
+            # publication use snapshot_table=True.)
+            out = merged.cache()
+            out.count()
             overwrite_partitions_dynamic(out, target_path, partition_columns)
+            out.unpersist()
         else:
-            out.write.mode("overwrite").parquet(target_path)
-        out.unpersist()
+            # Never truncate-in-place: write the merged table to a
+            # sibling temp dir and atomically rename-swap, so a crash
+            # mid-batch leaves the previous contents intact and the
+            # checkpointed replay re-merges them (the exactly-once
+            # convergence claim depends on this).
+            import shutil
+
+            tmp = target_path.rstrip("/") + "__merging"
+            shutil.rmtree(tmp, ignore_errors=True)
+            merged.write.parquet(tmp)
+            old = target_path.rstrip("/") + "__old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(target_path):
+                os.rename(target_path, old)
+            os.rename(tmp, target_path)
+            shutil.rmtree(old, ignore_errors=True)
+            spark.catalog.refreshByPath(target_path)
 
     q = (
         stream.writeStream.foreachBatch(_merge)
