@@ -203,6 +203,11 @@ BENCH_QUERIES = [
     "histogram_quantiles",
     "abandoned_views",
     "grouped_histogram_quantiles",
+    "bpe_pair_counts",
+    "bpe_merges",
+    "bpe_encode_tokens",
+    "bpe_corpus_tokens",
+    "duplicate_spans",
 ]
 
 

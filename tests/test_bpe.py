@@ -1,0 +1,140 @@
+"""BPE training + exact duplicate-span tests.
+
+The distributed BPE (functions/bpe.py) is checked against an inline
+pure-Python reference implementing the canonical Sennrich et al.
+algorithm (pair stats over a word-frequency dict, greedy left-to-right
+non-overlapping merge) on the real sf0.001 corpus, plus pinned edge
+cases for the fold semantics. duplicate_spans is checked on planted
+shared substrings with exactly known span boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions import bpe
+from yelp_etl_spark.functions.dedup import duplicate_spans
+from yelp_etl_spark.sources.readers import load_table
+
+
+def _ref_bpe(word_freqs: dict[str, int], num_merges: int, min_pair_freq: int = 2):
+    """Single-machine reference BPE (Sennrich et al. 2016 get_stats +
+    merge loop), deterministic tiebreak (freq DESC, lhs, rhs)."""
+    words: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        key = tuple(w)
+        words[key] = words.get(key, 0) + f
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (lhs, rhs), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_pair_freq:
+            break
+        merges.append((rank, lhs, rhs, freq))
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, f in words.items():
+            out: list[str] = []
+            pending = None
+            for x in syms:
+                if pending == lhs and x == rhs:
+                    out.append(lhs + rhs)
+                    pending = None
+                else:
+                    if pending is not None:
+                        out.append(pending)
+                    pending = x
+            if pending is not None:
+                out.append(pending)
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + f
+        words = new_words
+    return merges, words
+
+
+def test_merge_fold_edge_cases(spark):
+    rows = [
+        (["x", "a", "a", "a", "a"],),
+        (["a", "a", "a"],),
+        (["a", "b", "a", "b"],),
+        (["b", "a"],),
+        (["a"],),
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    got_aa = [r[0] for r in df.select(bpe.merge_pair_expr(F.col("syms"), "a", "a")).collect()]
+    assert got_aa == [["x", "aa", "aa"], ["aa", "a"], ["a", "b", "a", "b"], ["b", "a"], ["a"]]
+    got_ab = [r[0] for r in df.select(bpe.merge_pair_expr(F.col("syms"), "a", "b")).collect()]
+    assert got_ab == [["x", "a", "a", "a", "a"], ["a", "a", "a"], ["ab", "ab"], ["b", "a"], ["a"]]
+
+
+def test_learn_bpe_matches_reference_on_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wf = {
+        r["word"]: r["wfreq"]
+        for r in bpe.word_frequencies(docs, "text").collect()
+    }
+    ref_merges, ref_words = _ref_bpe(wf, 10, min_pair_freq=2)
+    got_merges, got_words = bpe.learn_bpe(docs, "text", 10, min_pair_freq=2)
+    assert got_merges == ref_merges
+    got_final = {
+        tuple(r["syms"]): r["wfreq"]
+        for r in got_words.select("syms", "wfreq").collect()
+    }
+    assert got_final == ref_words
+
+
+def test_encode_conserves_characters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = bpe.learn_bpe(docs, "text", 6, min_pair_freq=2)
+    bad = words.filter(
+        F.aggregate("syms", F.lit(0), lambda acc, x: acc + F.length(x))
+        != F.length("word")
+    ).count()
+    assert bad == 0
+
+
+def test_apply_merges_equals_training_state(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    merges, trained = bpe.learn_bpe(docs, "text", 6, min_pair_freq=2)
+    fresh = bpe.with_symbols(bpe.word_frequencies(docs, "text"))
+    re_encoded = bpe.apply_merges(fresh, merges)
+    a = {tuple(r["syms"]) for r in trained.collect()}
+    b = {tuple(r["syms"]) for r in re_encoded.collect()}
+    assert a == b
+
+
+def test_duplicate_spans_planted(spark):
+    s1 = "abcdefghijklmnopqrstuvwxyz0123"  # 30 chars
+    s2 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ4567"  # 30 chars
+    rows = [
+        (1, s1 + "m" * 40 + s2),  # spans [1,30] and [71,100]
+        (2, s1 + "p" * 40 + s2),
+        (3, "q" * 100),  # no cross-doc duplicate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_chars"], r["dup_frac"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=25).collect()
+    }
+    assert got == {1: (2, 60, 0.6), 2: (2, 60, 0.6)}
+
+
+def test_duplicate_spans_overlap_merge(spark):
+    # Shared 40-char block: 16 duplicated 25-gram starts chain into ONE
+    # island (consecutive positions, gap 1 <= k) covering the block.
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"  # 40 chars
+    docs = spark.createDataFrame(
+        [(1, "x" * 10 + shared), (2, "z" * 10 + shared)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=25).collect()
+    }
+    assert got == {1: (1, 40), 2: (1, 40)}

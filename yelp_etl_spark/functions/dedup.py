@@ -617,3 +617,118 @@ def incremental_dedup_against_index(
             "match_id",
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 25,
+) -> DataFrame:
+    """Exact duplicated-substring spans across documents, via k-gram
+    rolling fingerprints + gaps-and-islands merging.
+
+    The exact-substring form of training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    substring of length >= k that occurs in more than one document is
+    flagged, and overlapping flagged positions are merged into maximal
+    character spans per document. Pipeline:
+
+    1. every start position i in each doc emits md5(substring(text, i,
+       k)) — a map-only gram stream (k-char window, stride 1);
+    2. grams occurring in >1 distinct doc survive a partially
+       aggregated count-distinct (one keyed shuffle on the gram hash);
+    3. surviving positions join back on the hash (second keyed
+       shuffle) and merge into spans with the standard gaps-and-islands
+       window: a new island starts when the gap to the previous
+       duplicated position exceeds k (i.e. the windows no longer
+       overlap or touch).
+
+    Returns one row per document that contains any duplicated span:
+    (id, n_dup_spans, dup_chars, dup_frac). The fingerprint is the
+    60-bit md5-suffix BIGINT (the engine's portable-hash convention,
+    functions/sampling.py:134) so the two shuffles carry an 8-byte
+    key instead of a 32-byte hex string; a 60-bit collision merging
+    two distinct grams is ~|grams|²/2^61 — negligible, and identical
+    in any engine using the same convention. The gram stream feeds
+    both the distinct-count and the join-back, so its lineage is
+    truncated once (triangle_count's pattern) rather than generating
+    every gram twice.
+
+    At 100 TB: stride-1 gram emission multiplies the scan by ~|doc|;
+    the production variants are (a) stride s > 1 for candidate
+    discovery followed by local span extension, or (b) partition-local
+    suffix arrays with only cross-partition boundary grams shuffled.
+    Both shuffles here are keyed (gram hash, then doc id) — no
+    all-pairs stage exists at any size. Boilerplate grams are the
+    hot-key risk; cap or salt them exactly like
+    functions/curation.py's cross-doc gram treatment.
+    """
+    # Positions explode FIRST and the hash is computed on flat columns:
+    # expressions inside a transform() lambda run on Spark's
+    # interpreted evaluator per array element (~3 us/gram measured),
+    # while the post-explode projection is whole-stage-codegen'd and
+    # fuses with the generate — no materialized per-doc gram arrays,
+    # no per-row text copies.
+    grams = truncate_lineage(
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.length(text_col).alias("__len"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col,
+            "__len",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.col("__len") - F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "__len",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(__t, pos, {k})")), 18, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    hits = grams.join(dup_hashes, "gh")
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) > k, 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(run))
+    spans = flagged.groupBy(id_col, "__len", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - 1).alias("span_end"),
+    )
+    return (
+        spans.groupBy(id_col, "__len")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .select(
+            id_col,
+            "n_dup_spans",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("__len"), 4).alias("dup_frac"),
+        )
+    )

@@ -654,3 +654,258 @@ EXTRA_QUERIES = {
     "salted_join_agg": (q_salted_join_agg, ORACLE_SALTED_JOIN, "ext:salted skew join"),
     "two_stage_topk": (q_two_stage_topk, ORACLE_TWO_STAGE, "ext:salted two-stage agg"),
 }
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE vocabulary training (functions/bpe.py)
+# --------------------------------------------------------------------------
+
+from yelp_etl_spark.functions import bpe as BPE  # noqa: E402
+from yelp_etl_spark.functions import dedup as DD  # noqa: E402
+
+_BPE_MERGES = 8
+
+
+def _bpe_oracle_sql(num_merges: int, final: str) -> str:
+    """Generate the DuckDB twin of learn_bpe as an UNROLLED CTE chain —
+    one (pair-count, argmax, merge-apply) triple per merge step. The
+    symbol state is a bracket-delimited string ('[f][a][s][t]') so the
+    engine's greedy left-to-right non-overlapping replace() is exactly
+    the fold semantics of functions/bpe.py:merge_pair_expr — adjacent
+    occurrences never share boundary characters, which a space-
+    separated encoding would (['a','a','a','a'] must merge to
+    [aa, aa], not [aa, a, a]). An empty b{i} (best pair under the
+    min-freq floor) LEFT-JOINs as NULL and COALESCEs the pattern to an
+    unmatchable sentinel, reproducing learn_bpe's early stop.
+
+    Every CTE is AS MATERIALIZED: with default inlining each step
+    would splice multiple copies of the previous step into its plan
+    (direct reference + the best-pair join), growing the expression
+    tree exponentially in the merge count — 8 merges hang the
+    optimizer. Materialization makes the chain linear, mirroring how
+    the Spark side's per-iteration jobs execute."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT '[' || array_to_string(string_split(word, ''), '][') || ']' AS syms,
+         COUNT(*) AS wfreq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, num_merges + 1):
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, CAST(pair_freq AS BIGINT) AS pair_freq
+  FROM (
+    SELECT toks[j] AS lhs, toks[j+1] AS rhs, SUM(wfreq) AS pair_freq
+    FROM (SELECT string_split(substr(syms, 2, length(syms) - 2), '][') AS toks, wfreq
+          FROM w{i - 1}) t,
+         LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS j)
+    GROUP BY 1, 2
+  )
+  WHERE pair_freq >= 2
+  ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT replace(w.syms,
+                 COALESCE('[' || b.lhs || '][' || b.rhs || ']', chr(1)),
+                 COALESCE('[' || b.lhs || b.rhs || ']', chr(1))) AS syms,
+         w.wfreq
+  FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    if final == "words_cte":
+        # Caller appends its own ", name AS (...)" CTEs + final SELECT.
+        return "WITH " + ",\n".join(ctes)
+    if final == "merges":
+        tail = "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS BIGINT) AS rank, lhs, rhs, pair_freq FROM b{i}"
+            for i in range(1, num_merges + 1)
+        )
+    else:
+        tail = f"""SELECT token, CAST(SUM(wfreq) AS BIGINT) AS tok_freq
+FROM (SELECT unnest(string_split(substr(syms, 2, length(syms) - 2), '][')) AS token,
+             wfreq
+      FROM w{num_merges})
+GROUP BY token
+ORDER BY tok_freq DESC, token LIMIT 30"""
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-0 BPE statistics: adjacent character-pair frequencies over
+    the word-frequency table (functions/bpe.py:pair_counts), top 30.
+    The corpus collapses to (word, wfreq) in one shuffle; the pair agg
+    then runs on vocabulary-sized data with a partial aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    words = BPE.with_symbols(BPE.word_frequencies(docs, "text"))
+    return (
+        BPE.pair_counts(words)
+        .orderBy(F.desc("pair_freq"), "lhs", "rhs")
+        .limit(30)
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT word, COUNT(*) AS wfreq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)
+SELECT toks[j] AS lhs, toks[j+1] AS rhs, CAST(SUM(wfreq) AS BIGINT) AS pair_freq
+FROM (SELECT string_split(word, '') AS toks, wfreq FROM words) t,
+     LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS j)
+GROUP BY 1, 2
+ORDER BY pair_freq DESC, lhs, rhs
+LIMIT 30
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training, 8 merges (functions/bpe.py:learn_bpe): per
+    iteration one vocabulary-sized pair count, a 1-row argmax collect,
+    and a codegen'd fold applying the merge — no Python in the loop.
+    Deterministic tiebreak (freq DESC, lhs, rhs) makes the learned
+    merge table engine-reproducible; the oracle is the unrolled
+    SQL twin (_bpe_oracle_sql)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = BPE.learn_bpe(docs, "text", _BPE_MERGES, min_pair_freq=2)
+    return BPE.merges_df(spark, merges)
+
+
+ORACLE_BPE_MERGES = _bpe_oracle_sql(_BPE_MERGES, "merges")
+
+
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode roundtrip: learn 8 merges, encode the word
+    table with them (map-only folds), and return the top-30 subword
+    vocabulary by corpus frequency — the artifact an LLM tokenizer
+    build would persist."""
+    docs = _t(spark, sf_dir, "documents")
+    _, words = BPE.learn_bpe(docs, "text", _BPE_MERGES, min_pair_freq=2)
+    return (
+        BPE.subword_frequencies(words)
+        .orderBy(F.desc("tok_freq"), "token")
+        .limit(30)
+    )
+
+
+ORACLE_BPE_ENCODE = _bpe_oracle_sql(_BPE_MERGES, "tokens")
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring spans (functions/dedup.py:duplicate_spans)
+# --------------------------------------------------------------------------
+
+_SPAN_K = 25
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style exact substring dedup: flag every 25-char gram
+    occurring in >1 document and merge overlapping positions into
+    maximal spans per doc (gaps-and-islands window). Two keyed
+    shuffles (gram hash, then doc id), no all-pairs stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+ORACLE_DUPLICATE_SPANS = f"""
+WITH grams AS (
+  SELECT doc_id, length(text) AS len, i AS pos,
+         CAST(concat('0x', substr(md5(substr(text, i, {_SPAN_K})), 18, 15)) AS BIGINT) AS gh
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - {_SPAN_K - 1})) AS i)
+  WHERE length(text) >= {_SPAN_K}
+), dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
+), hits AS (
+  SELECT g.doc_id, g.len, g.pos FROM grams g JOIN dup USING (gh)
+), flagged AS (
+  SELECT doc_id, len, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), isl AS (
+  SELECT doc_id, len, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, len, island, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+       ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / len, 4) AS dup_frac
+FROM spans GROUP BY doc_id, len
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS, "ext:bpe pair stats"),
+        "bpe_merges": (q_bpe_merges, ORACLE_BPE_MERGES, "ext:bpe training"),
+        "bpe_encode_tokens": (q_bpe_encode_tokens, ORACLE_BPE_ENCODE, "ext:bpe encode"),
+        "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS, "ext:substring dedup spans"),
+    }
+)
+
+
+def q_bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting under the learned vocabulary — the
+    train→apply composition every LLM data pipeline runs to budget
+    training tokens. Train 8 merges, encode the WORD table (map-only
+    folds over vocabulary-sized data), then join the corpus word
+    stream to (word, n_toks) — a keyed shuffle join on the word, NOT a
+    broadcast: at 100 TB the vocabulary table is ~10^7-10^8 rows and
+    must not be collected. Returns per-source token/char totals."""
+    docs = _t(spark, sf_dir, "documents")
+    _, words = BPE.learn_bpe(docs, "text", _BPE_MERGES, min_pair_freq=2)
+    word_toks = words.select("word", F.size("syms").cast("long").alias("n_toks"))
+    stream = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        stream.join(word_toks, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_toks") / F.count("*"), 4).alias("toks_per_word"),
+        )
+    )
+
+
+ORACLE_BPE_CORPUS_TOKENS = (
+    _bpe_oracle_sql(_BPE_MERGES, "words_cte")
+    + """
+, word_toks AS (
+  SELECT substr(syms, 2, length(syms) - 2) AS bare, wfreq,
+         len(string_split(substr(syms, 2, length(syms) - 2), '][')) AS n_toks
+  FROM w8
+), stream AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4) AS toks_per_word
+FROM stream s
+JOIN word_toks w ON replace(w.bare, '][', '') = s.word
+WHERE s.word <> ''
+GROUP BY source
+"""
+)
+
+
+EXTRA_QUERIES.update(
+    {
+        "bpe_corpus_tokens": (
+            q_bpe_corpus_tokens,
+            ORACLE_BPE_CORPUS_TOKENS,
+            "ext:bpe corpus token accounting",
+        ),
+    }
+)
