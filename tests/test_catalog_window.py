@@ -37,20 +37,20 @@ def test_driver_window_spans_operator_families():
         "flagship_revenue",
         "safe_cast_probe",
         "compact_small_files",
-        "partitioned_write_roundtrip",
         "time_travel_diff",
         "pagerank",
         "bfs_reachability",
         "jaccard_prefix_join",
-        "stream_dedup_totals",
         "incremental_dedup_delta",
         "pq_topk_checked",
-        "enrich_obt",
         "jsonl_scan_roundtrip",
         "merge_upsert",
         # first-time rows (sample; the full window is pinned above)
+        "bpe_pair_counts",
+        "bpe_merges",
+        "bpe_corpus_tokens",
+        "duplicate_spans",
         "tpch_q3_shipping",
-        "tpch_q6_sql",
         "tpch_q9_profit",
         "tpch_q13_custdist",
         "tpch_q17_small_quantity",
@@ -169,6 +169,11 @@ def test_rotated_out_rows_remain_oracle_checked_locally():
         "pandas_zscore",
         "embedding_neardup_lsh",
         "dynamic_overwrite_publish",
+        # r4 late rotation: yielded slots to BPE + duplicate_spans
+        "enrich_obt",
+        "partitioned_write_roundtrip",
+        "stream_dedup_totals",
+        "tpch_q6_sql",
     }
     for name in rotated_out:
         assert name in QUERIES and QUERIES[name].oracle is not None
