@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "bpe_encode_tokens",
     "bpe_corpus_tokens",
     "duplicate_spans",
+    "event_path_pattern",
+    "k_anonymity_audit",
 ]
 
 

@@ -138,3 +138,43 @@ def test_duplicate_spans_overlap_merge(spark):
         for r in duplicate_spans(docs, "doc_id", "text", k=25).collect()
     }
     assert got == {1: (1, 40), 2: (1, 40)}
+
+
+def _py_fold(syms: list[str], lhs: str, rhs: str) -> list[str]:
+    out: list[str] = []
+    pending = None
+    for x in syms:
+        if pending == lhs and x == rhs:
+            out.append(lhs + rhs)
+            pending = None
+        else:
+            if pending is not None:
+                out.append(pending)
+            pending = x
+    if pending is not None:
+        out.append(pending)
+    return out
+
+
+def test_merge_fold_property(spark):
+    # Property: the codegen'd F.aggregate fold == the canonical greedy
+    # left-to-right merge, over adversarial symbol runs (a/b alphabets
+    # maximize self-overlap chains). One batched Spark action checks
+    # all cases.
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    cases = []
+    # exhaustive short strings over {a,b}
+    for n in range(0, 6):
+        for tup in itertools.product("ab", repeat=n):
+            cases.append(list(tup))
+    # random longer runs over a tiny alphabet
+    for _ in range(120):
+        cases.append([rng.choice("aab") for _ in range(rng.randint(6, 14))])
+    for lhs, rhs in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        df = spark.createDataFrame([(c,) for c in cases], "syms array<string>")
+        got = [r[0] for r in df.select(bpe.merge_pair_expr(F.col("syms"), lhs, rhs)).collect()]
+        want = [_py_fold(c, lhs, rhs) for c in cases]
+        assert got == want, f"fold mismatch for pair ({lhs},{rhs})"

@@ -909,3 +909,110 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE / CEP analog)
+# --------------------------------------------------------------------------
+
+
+def q_event_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE / Flink-CEP analog: detect
+    view→(no error)→purchase sequences per user by compiling each
+    user's ordered event stream into a symbol string (first char of
+    event_type — distinct across the five types) and counting regex
+    matches of 'v[^e]*p'. ONE shuffle on user_id builds the paths;
+    the regex runs on per-user strings, never on the event stream.
+    Per-user path length is bounded by per-user activity (sessionize
+    first — sessionize_gaps — when single users span millions of
+    events). Ordering ties on ts break by event_id so the compiled
+    string is deterministic. Returns matching users only."""
+    events = _t(spark, sf_dir, "events")
+    paths = (
+        events.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("sym")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(e)), x -> x.sym)"), ""
+            ).alias("path")
+        )
+    )
+    return (
+        paths.select(
+            "user_id",
+            F.length("path").cast("long").alias("path_len"),
+            F.size(F.expr("regexp_extract_all(path, 'v[^e]*p', 0)"))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+ORACLE_EVENT_PATH = """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, CAST(length(path) AS BIGINT) AS path_len,
+       CAST(len(regexp_extract_all(path, 'v[^e]*p')) AS BIGINT) AS n_matches
+FROM paths
+WHERE len(regexp_extract_all(path, 'v[^e]*p')) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy-side curation)
+# --------------------------------------------------------------------------
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for quasi-identifier re-identification risk: any
+    (nation, market-segment, balance-band) combination shared by fewer
+    than k=5 customers fails k-anonymity — publishing those rows risks
+    re-identification. One partially-aggregated shuffle on the
+    quasi-identifier tuple; the audit output is group-sized, not
+    row-sized. The release-side fix (suppress, or generalize the
+    balance band wider and re-audit) is a semi-join against this
+    result."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+ORACLE_K_ANONYMITY = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "event_path_pattern": (
+            q_event_path_pattern,
+            ORACLE_EVENT_PATH,
+            "ext:CEP sequence pattern",
+        ),
+        "k_anonymity_audit": (
+            q_k_anonymity_audit,
+            ORACLE_K_ANONYMITY,
+            "ext:privacy k-anonymity",
+        ),
+    }
+)
