@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "event_path_pattern",
     "k_anonymity_audit",
+    "recursive_hierarchy",
 ]
 
 

@@ -1016,3 +1016,64 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE hierarchy traversal (Spark 4 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+
+
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal through Spark 4's native WITH RECURSIVE
+    (SPARK-24497): parts form a synthetic BOM tree (parent = key div
+    10), the recursive anchor seeds the roots and each step joins the
+    frontier to the part table on the parent key — the declarative
+    form of the frontier loop functions/graph.py:bfs_distances runs by
+    hand. Catalyst executes it as an iterated keyed join + union, so
+    each round shuffles only the frontier, and the explicit depth
+    guard bounds the iteration exactly like bfs's max_hops. Output is
+    the per-depth rollup (tiny, deterministic)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain (p_partkey, depth) AS (
+          SELECT p_partkey, CAST(0 AS BIGINT) AS depth
+          FROM part WHERE p_partkey < 10
+          UNION ALL
+          SELECT p.p_partkey, c.depth + 1
+          FROM part p JOIN chain c ON p.p_partkey DIV 10 = c.p_partkey
+          WHERE p.p_partkey >= 10 AND c.depth < 10
+        )
+        SELECT c.depth, COUNT(*) AS n_parts,
+               ROUND(SUM(p.p_retailprice), 2) AS subtree_price
+        FROM chain c JOIN part p ON p.p_partkey = c.p_partkey
+        GROUP BY c.depth
+        """
+    )
+
+
+ORACLE_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE chain (p_partkey, depth) AS (
+  SELECT p_partkey, CAST(0 AS BIGINT) AS depth
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT p.p_partkey, c.depth + 1
+  FROM part p JOIN chain c ON p.p_partkey // 10 = c.p_partkey
+  WHERE p.p_partkey >= 10 AND c.depth < 10
+)
+SELECT c.depth, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(p.p_retailprice), 2) AS subtree_price
+FROM chain c JOIN part p ON p.p_partkey = c.p_partkey
+GROUP BY c.depth
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "recursive_hierarchy": (
+            q_recursive_hierarchy,
+            ORACLE_RECURSIVE_HIERARCHY,
+            "ext:recursive CTE hierarchy",
+        ),
+    }
+)
