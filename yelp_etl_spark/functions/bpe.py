@@ -42,10 +42,13 @@ from pyspark.sql import functions as F
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """Reduce a corpus to its (word, wfreq) table — the one
-    corpus-sized shuffle in BPE training. Whitespace tokenization +
-    lowercase, matching functions/text.py's vocabulary convention."""
+    corpus-sized shuffle in BPE training. Single-space tokenization +
+    lowercase, matching functions/text.py's vocabulary convention (a
+    literal-space split also sidesteps the Java-regex vs RE2 '\\s'
+    divergence on \\x0B, which would silently desync the DuckDB
+    oracles; empty tokens from space runs are filtered)."""
     return (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("wfreq"))

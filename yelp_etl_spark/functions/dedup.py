@@ -706,9 +706,7 @@ def duplicate_spans(
     )
     hits = grams.join(dup_hashes, "gh")
     by_doc = Window.partitionBy(id_col).orderBy("pos")
-    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = hits.withColumn(
         "new_island",
         F.when(F.col("pos") - F.lag("pos").over(by_doc) > k, 1).otherwise(0),

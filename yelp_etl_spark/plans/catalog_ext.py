@@ -669,14 +669,16 @@ _BPE_MERGES = 8
 def _bpe_oracle_sql(num_merges: int, final: str) -> str:
     """Generate the DuckDB twin of learn_bpe as an UNROLLED CTE chain —
     one (pair-count, argmax, merge-apply) triple per merge step. The
-    symbol state is a bracket-delimited string ('[f][a][s][t]') so the
+    symbol state is a control-char-delimited string (chr(1)/chr(2)
+    wrap each symbol — characters that cannot appear in text words,
+    unlike brackets) so the
     engine's greedy left-to-right non-overlapping replace() is exactly
     the fold semantics of functions/bpe.py:merge_pair_expr — adjacent
     occurrences never share boundary characters, which a space-
     separated encoding would (['a','a','a','a'] must merge to
     [aa, aa], not [aa, a, a]). An empty b{i} (best pair under the
-    min-freq floor) LEFT-JOINs as NULL and COALESCEs the pattern to an
-    unmatchable sentinel, reproducing learn_bpe's early stop.
+    min-freq floor) LEFT-JOINs as NULL and COALESCEs the pattern to the
+    unmatchable chr(3) sentinel, reproducing learn_bpe's early stop.
 
     Every CTE is AS MATERIALIZED: with default inlining each step
     would splice multiple copies of the previous step into its plan
@@ -686,9 +688,9 @@ def _bpe_oracle_sql(num_merges: int, final: str) -> str:
     the Spark side's per-iteration jobs execute."""
     ctes = [
         """w0 AS MATERIALIZED (
-  SELECT '[' || array_to_string(string_split(word, ''), '][') || ']' AS syms,
+  SELECT chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS syms,
          COUNT(*) AS wfreq
-  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
   WHERE word <> ''
   GROUP BY 1
 )"""
@@ -699,7 +701,7 @@ def _bpe_oracle_sql(num_merges: int, final: str) -> str:
   SELECT lhs, rhs, CAST(pair_freq AS BIGINT) AS pair_freq
   FROM (
     SELECT toks[j] AS lhs, toks[j+1] AS rhs, SUM(wfreq) AS pair_freq
-    FROM (SELECT string_split(substr(syms, 2, length(syms) - 2), '][') AS toks, wfreq
+    FROM (SELECT string_split(substr(syms, 2, length(syms) - 2), chr(2) || chr(1)) AS toks, wfreq
           FROM w{i - 1}) t,
          LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS j)
     GROUP BY 1, 2
@@ -708,8 +710,8 @@ def _bpe_oracle_sql(num_merges: int, final: str) -> str:
   ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
 ), w{i} AS MATERIALIZED (
   SELECT replace(w.syms,
-                 COALESCE('[' || b.lhs || '][' || b.rhs || ']', chr(1)),
-                 COALESCE('[' || b.lhs || b.rhs || ']', chr(1))) AS syms,
+                 COALESCE(chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2), chr(3)),
+                 COALESCE(chr(1) || b.lhs || b.rhs || chr(2), chr(3))) AS syms,
          w.wfreq
   FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE
 )"""
@@ -724,7 +726,7 @@ def _bpe_oracle_sql(num_merges: int, final: str) -> str:
         )
     else:
         tail = f"""SELECT token, CAST(SUM(wfreq) AS BIGINT) AS tok_freq
-FROM (SELECT unnest(string_split(substr(syms, 2, length(syms) - 2), '][')) AS token,
+FROM (SELECT unnest(string_split(substr(syms, 2, length(syms) - 2), chr(2) || chr(1))) AS token,
              wfreq
       FROM w{num_merges})
 GROUP BY token
@@ -749,7 +751,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BPE_PAIR_COUNTS = """
 WITH words AS (
   SELECT word, COUNT(*) AS wfreq
-  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
   WHERE word <> ''
   GROUP BY word
 )
@@ -883,17 +885,17 @@ ORACLE_BPE_CORPUS_TOKENS = (
     + """
 , word_toks AS (
   SELECT substr(syms, 2, length(syms) - 2) AS bare, wfreq,
-         len(string_split(substr(syms, 2, length(syms) - 2), '][')) AS n_toks
+         len(string_split(substr(syms, 2, length(syms) - 2), chr(2) || chr(1))) AS n_toks
   FROM w8
 ), stream AS (
-  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  SELECT source, unnest(string_split(lower(text), ' ')) AS word
   FROM documents
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
        ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4) AS toks_per_word
 FROM stream s
-JOIN word_toks w ON replace(w.bare, '][', '') = s.word
+JOIN word_toks w ON replace(w.bare, chr(2) || chr(1), '') = s.word
 WHERE s.word <> ''
 GROUP BY source
 """
@@ -921,7 +923,8 @@ def q_event_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     view→(no error)→purchase sequences per user by compiling each
     user's ordered event stream into a symbol string (first char of
     event_type — distinct across the five types) and counting regex
-    matches of 'v[^e]*p'. ONE shuffle on user_id builds the paths;
+    matches of 'v[^e]*?p' (lazy quantifier: each purchase closes the
+    nearest open view, so back-to-back conversions count separately). ONE shuffle on user_id builds the paths;
     the regex runs on per-user strings, never on the event stream.
     Per-user path length is bounded by per-user activity (sessionize
     first — sessionize_gaps — when single users span millions of
@@ -944,7 +947,7 @@ def q_event_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.select(
             "user_id",
             F.length("path").cast("long").alias("path_len"),
-            F.size(F.expr("regexp_extract_all(path, 'v[^e]*p', 0)"))
+            F.size(F.expr("regexp_extract_all(path, 'v[^e]*?p', 0)"))
             .cast("long")
             .alias("n_matches"),
         )
@@ -960,9 +963,9 @@ WITH paths AS (
   GROUP BY user_id
 )
 SELECT user_id, CAST(length(path) AS BIGINT) AS path_len,
-       CAST(len(regexp_extract_all(path, 'v[^e]*p')) AS BIGINT) AS n_matches
+       CAST(len(regexp_extract_all(path, 'v[^e]*?p')) AS BIGINT) AS n_matches
 FROM paths
-WHERE len(regexp_extract_all(path, 'v[^e]*p')) > 0
+WHERE len(regexp_extract_all(path, 'v[^e]*?p')) > 0
 """
 
 
