@@ -33,7 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["business", "review", "user", "checkin", "tip"])
     p.add_argument("--input", required=True, help="path (extract) or parquet dir")
     p.add_argument("--output", required=True, help="output parquet dir / table")
-    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "iceberg", "snapshot"],
+        help="snapshot = the native manifest-snapshot table layer "
+        "(sources/snapshots.py: atomic commits, time travel, file skipping)",
+    )
     p.add_argument("--partition_column", default=None)
     p.add_argument("--bucket_column", default=None)
     p.add_argument("--buckets", type=int, default=8)
