@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "event_path_pattern",
     "k_anonymity_audit",
     "recursive_hierarchy",
+    "novelty_scores",
 ]
 
 

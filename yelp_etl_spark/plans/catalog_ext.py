@@ -1080,3 +1080,109 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty scoring (incremental corpus diversity)
+# --------------------------------------------------------------------------
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty per document: the fraction of a doc's
+    distinct word 5-grams that no earlier doc (by doc_id order)
+    contains — the curation signal for 'is this document adding new
+    content or repeating the corpus'. Each distinct (gram, doc) pair
+    reduces to the gram's FIRST doc via one min-aggregate on the gram
+    hash (partial aggs apply), then a keyed join back — the same
+    two-shuffle shape as duplicate_spans, never all-pairs. Grams hash
+    to the portable 60-bit md5 convention. Returns per-source novelty
+    aggregates (doc-level scores are the intermediate)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.lower("text"), " ").alias("ws"),
+    ).withColumn("ws", F.expr("filter(ws, w -> w <> '')"))
+    grams = (
+        toks.filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.size("ws") - 5)).alias("i"),
+            F.col("ws"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr("array_join(slice(ws, i + 1, 5), ' ')")), 18, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        )
+        .distinct()
+    )
+    first_doc = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        grams.join(first_doc, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_novel") / F.col("n_grams")), 4).alias(
+                "avg_novelty"
+            ),
+            F.sum("n_novel").cast("long").alias("total_novel_grams"),
+        )
+    )
+
+
+ORACLE_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         CAST(concat('0x',
+              substr(md5(array_to_string(ws[i+1:i+5], ' ')), 18, 15)) AS BIGINT) AS gh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(ws) - 5)) AS i)
+  WHERE len(ws) >= 5
+), first_doc AS (
+  SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
+), scored AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+         SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first_doc f USING (gh)
+  GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_novel AS DOUBLE) / n_grams), 4) AS avg_novelty,
+       CAST(SUM(n_novel) AS BIGINT) AS total_novel_grams
+FROM scored GROUP BY source
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "novelty_scores": (
+            q_novelty_scores,
+            ORACLE_NOVELTY,
+            "ext:curation n-gram novelty",
+        ),
+    }
+)
