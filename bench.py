@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "recursive_hierarchy",
     "novelty_scores",
+    "containment_pairs",
 ]
 
 

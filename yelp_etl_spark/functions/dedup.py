@@ -730,3 +730,54 @@ def duplicate_spans(
             F.round(F.col("dup_chars") / F.col("__len"), 4).alias("dup_frac"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / min(|A|, |B|) — the
+    excerpt/quote detector Jaccard misses: a short document wholly
+    quoted inside a long one has low Jaccard (the union is large) but
+    containment ~1.0. Standard companion to near-dup in corpus
+    curation (drop-or-link contained excerpts).
+
+    Same exact two-shuffle shape as ngram_jaccard_pairs: explode
+    distinct shingles → self-equi-join on the 64-bit shingle hash →
+    per-pair intersection counts → join sizes. Emits both directed
+    containments plus the max; filtered on the max. The scale levers
+    are identical (prefix filtering / df-capping the hot shingles
+    before the self-join, as jaccard_prefix_join does)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+            F.round(
+                F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1186,3 +1186,53 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (functions/dedup.py:
+    containment_pairs): catches short-doc-quoted-in-long-doc
+    duplication that Jaccard's union denominator hides."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, n=3, threshold=0.8)
+
+
+ORACLE_CONTAINMENT = """
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sh AS (
+  SELECT id, g AS sh FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS g
+    FROM toks
+    WHERE LENGTH(tok) >= 3
+  )
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+       ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS containment_b,
+       ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "containment_pairs": (
+            q_containment_pairs,
+            ORACLE_CONTAINMENT,
+            "ext:dedup asymmetric containment",
+        ),
+    }
+)
