@@ -8,7 +8,12 @@ Operators here generalize the reference's declared gold-layer direction
 onto the TPC-H-ish fixtures: cumulative distinct counting, market-basket
 co-occurrence, graph triangle counting, Pareto frontiers, blocked fuzzy
 entity matching, time-weighted averages, robust outlier detection,
-posting-list keyword search, and linear gap interpolation.
+posting-list keyword search, and linear gap interpolation — plus the
+round-4 additions: distributed BPE vocabulary training (pair stats,
+merge learning, train→encode token accounting), exact duplicate-
+substring spans, CEP-style event-sequence pattern matching, a
+k-anonymity privacy audit, native WITH RECURSIVE hierarchy traversal,
+n-gram novelty scoring, and asymmetric shingle containment.
 """
 
 from __future__ import annotations
