@@ -24,6 +24,24 @@ from yelp_etl_spark.session import get_spark
 from yelp_etl_spark.sources.readers import TABLES
 
 
+# DuckDB result types the driver's value-hasher cannot round-trip
+# (int128 leaves the BIGINT domain; pandas/arrow fetch canonicalizes it
+# differently than the str() normalization below, so a str-only compare
+# is blind to the divergence — the root cause of every r1-r4 red row).
+FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """Columns of ``sql``'s result whose DuckDB type the driver's
+    hasher mis-canonicalizes (e.g. SUM(BIGINT) -> HUGEINT)."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        f"{name}:{ctype}"
+        for name, ctype, *_ in desc
+        if any(bad in str(ctype).upper() for bad in FORBIDDEN_ORACLE_TYPES)
+    ]
+
+
 def normalize_cell(v):
     if v is None:
         return "NULL"
@@ -77,11 +95,14 @@ def main() -> int:
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            bad_types = oracle_type_problems(con, spec.oracle)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
+        if bad_types:
+            problems.append(f"oracle emits driver-unsafe types: {bad_types}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):

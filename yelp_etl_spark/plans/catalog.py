@@ -3624,9 +3624,9 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BITWISE = """
 SELECT o_orderkey % 8 AS bucket,
-       SUM(o_orderkey & 255) AS sum_lo,
-       SUM(xor(o_orderkey, o_orderkey << 2) % 997) AS sum_mixed_mod,
-       SUM(bit_count(o_orderkey)) AS sum_bits
+       CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_lo,
+       CAST(SUM(xor(o_orderkey, o_orderkey << 2) % 997) AS BIGINT) AS sum_mixed_mod,
+       CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_bits
 FROM orders
 GROUP BY 1
 """
@@ -3747,7 +3747,7 @@ SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
         FROM lineitem) AS null_ship,
        (SELECT COUNT(*) FILTER (l_discount NOT BETWEEN 0.0 AND 0.11)
         FROM lineitem) AS bad_discount,
-       (SELECT COALESCE(SUM(n), 0) FROM (
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
           SELECT COUNT(*) AS n FROM lineitem
           GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
          AS n_rows_with_dup_key
@@ -4210,7 +4210,7 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_PACKING = """
 SELECT CAST(FLOOR(tok_offset / 512) AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS n_tokens
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM (
   SELECT doc_id, n_tok,
          SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
@@ -4355,7 +4355,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STRATIFIED = """
-SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
       CASE source WHEN 'src0' THEN '4000'
@@ -6117,7 +6117,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COMPACT_SMALL_FILES = """
-SELECT 1 AS n_files, COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars
+SELECT 1 AS n_files, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 """
 
@@ -6164,7 +6164,7 @@ def q_jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSONL_SCAN_ROUNDTRIP = """
 SELECT COUNT(*) AS n_good,
        2 AS n_corrupt,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT doc_id) AS n_docs
 FROM documents
 """
