@@ -384,3 +384,64 @@ def test_metadata_ops_ignore_unswapped_manifest(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 20   # live table intact
     assert vacuum(t) == 1                          # orphan file removed
     assert snapshot_read(spark, t).count() == 20
+
+
+def test_concurrent_commit_fails_loudly(spark, tmp_path):
+    """Two writers that both read parent N must not silently lose a
+    commit: the second manifest create hits the exclusive link and
+    raises, and recovery (confirm no live writer, reclaim orphans)
+    makes the retry succeed against the WINNER's state."""
+    import json as _json
+
+    from yelp_etl_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        _manifest_path,
+        remove_orphaned_manifests,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 20), t)
+    # forge the racing writer: its manifest-2 exists (it won the create)
+    with open(_manifest_path(t, 2), "w") as fh:
+        _json.dump({"forged": True}, fh)
+    with pytest.raises(ConcurrentCommitError):
+        snapshot_write(spark.range(0, 5), t)
+    # loser's failure left no partial state: table still reads, no tmp
+    assert snapshot_read(spark, t).count() == 20
+    assert not [
+        f for f in os.listdir(os.path.join(t, "manifests")) if f.endswith(".tmp")
+    ]
+    # crash-orphan recovery path: reclaim manifests above the pointer
+    assert remove_orphaned_manifests(t) == [2]
+    assert snapshot_write(spark.range(0, 5), t) == 2
+    assert snapshot_read(spark, t).count() == 5
+    assert vacuum(t) >= 1  # the failed attempt's data files collected
+
+
+def test_commit_stats_executor_side_matches_driver(spark, tmp_path):
+    """Past _DRIVER_STATS_MAX files the footer stats come from a
+    distributed mapInPandas pass — the manifest must be identical to
+    what the (small-commit) driver loop computes: same rows, same
+    min/max per file, so file skipping keeps working."""
+    from yelp_etl_spark.sources.snapshots import (
+        _DRIVER_STATS_MAX,
+        _file_stats,
+        _load_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    n_parts = _DRIVER_STATS_MAX + 4  # force the distributed path
+    df = spark.range(0, 10_000).repartition(n_parts)
+    snapshot_write(df, t)
+    m = _load_manifest(t, 1)
+    assert len(m["files"]) == n_parts
+    assert sum(f["rows"] for f in m["files"]) == 10_000
+    for f in m["files"]:
+        direct = _file_stats(os.path.join(t, f["path"]))
+        assert f["rows"] == direct["rows"]
+        assert f["min"] == direct["min"]
+        assert f["max"] == direct["max"]
+    # and the skipping contract still holds on the distributed stats
+    pruned = snapshot_read(spark, t, prune=("id", "==", 9_999))
+    assert pruned.count() < 10_000
+    assert pruned.filter(F.col("id") == 9_999).count() == 1

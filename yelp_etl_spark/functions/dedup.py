@@ -79,12 +79,21 @@ def ngram_jaccard_pairs(
     # join carry 8-byte longs instead of multi-word strings (collision
     # probability over ~10^6 distinct shingles is ~10^-7 — negligible
     # against the exactness of the counts).
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).persist()  # read by both self-join sides and the size agg — compute once
+    # truncate_lineage, not persist: read by both self-join sides and
+    # the size agg (compute once), but a persist here would pin the
+    # cache for the session's lifetime — nobody downstream can
+    # unpersist a node buried inside the returned plan. The
+    # checkpointed RDD is instead released by the ContextCleaner when
+    # the result goes out of scope.
+    sh = truncate_lineage(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        ),
+        eager=False,
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -93,11 +102,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # one row per document — corpus-proportional, so no broadcast
+    # hint: AQE broadcasts when the size table is actually small
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -751,12 +762,19 @@ def containment_pairs(
     containments plus the max; filtered on the max. The scale levers
     are identical (prefix filtering / df-capping the hot shingles
     before the self-join, as jaccard_prefix_join does)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).persist()
+    # truncate_lineage, not persist (same rationale as
+    # ngram_jaccard_pairs: a persist inside a returned lazy plan leaks
+    # cache for the session lifetime); sizes is one row per DOCUMENT —
+    # corpus-proportional — so no broadcast hint either: AQE decides.
+    sh = truncate_lineage(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        ),
+        eager=False,
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -768,8 +786,8 @@ def containment_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

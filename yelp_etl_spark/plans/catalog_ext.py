@@ -872,7 +872,13 @@ def q_bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_toks = words.select("word", F.size("syms").cast("long").alias("n_toks"))
     stream = docs.select(
         "source",
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        # literal single space, NOT \s+: the vocabulary this joins
+        # against (learn_bpe's word_frequencies) and the DuckDB oracle
+        # both split on ' ' — a \s+ split silently drops words
+        # containing tabs/\x0B via the inner join (and Java \s covers
+        # \x0B while RE2's does not, the cross-engine trap the bpe
+        # module docstring documents)
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
     ).filter(F.col("word") != "")
     return (
         stream.join(word_toks, "word")

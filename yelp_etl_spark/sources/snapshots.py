@@ -68,7 +68,9 @@ def _committed_manifest_names(table_dir: str) -> list[str]:
     NAMED manifest that was never committed — the pointer is the commit
     instant, so every metadata operation must treat manifests newer
     than it as invisible (not a snapshot, not retained, its files not
-    live). The next commit overwrites the stray manifest file."""
+    live). The stray manifest blocks the next commit's exclusive
+    create (ConcurrentCommitError) until remove_orphaned_manifests()
+    reclaims it."""
     mdir = os.path.join(table_dir, "manifests")
     ptr = _read_pointer(table_dir)
     names = []
@@ -125,6 +127,70 @@ def _file_stats(path: str) -> dict:
     }
 
 
+_DRIVER_STATS_MAX = 8
+
+
+def _gather_file_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
+    """Per-file footer stats for ``paths``, read EXECUTOR-side past a
+    constant bound. At 100 TB / ~1e5 files, serial driver-side footer
+    reads are the commit's dominant cost (minutes of driver I/O per
+    commit); Iceberg collects data-file stats task-side during the
+    write and assembles only the manifest on the driver — same model
+    here: one mapInPandas pass over the file list, one collected row
+    per file (bounded by the manifest the driver must hold anyway).
+    Below the bound a local loop avoids paying a Spark job's
+    scheduling overhead on every small commit."""
+    if len(paths) <= _DRIVER_STATS_MAX:
+        return [_file_stats(p) for p in paths]
+
+    def footer_stats(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": b["path"],
+                    "stats": [json.dumps(_file_stats(p)) for p in b["path"]],
+                }
+            )
+
+    rows = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(min(len(paths), 64))
+        .mapInPandas(footer_stats, "path string, stats string")
+        .collect()
+    )
+    by_path = {r["path"]: json.loads(r["stats"]) for r in rows}
+    return [by_path[p] for p in paths]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another manifest with this snapshot id already exists: either a
+    concurrent writer violated the single-writer assumption (the lost
+    update this error prevents) or a previous writer crashed between
+    its manifest write and pointer swap. Run
+    ``remove_orphaned_manifests`` after confirming no writer is live,
+    then retry."""
+
+
+def remove_orphaned_manifests(table_dir: str) -> list[int]:
+    """Delete fully-named manifests NEWER than the committed pointer —
+    the leftovers of a writer that crashed between manifest creation
+    and the pointer swap (their data files are reclaimed separately by
+    ``vacuum``). Single-maintenance-writer only, like vacuum: a live
+    concurrent committer's not-yet-swapped manifest looks identical to
+    a crash orphan from here."""
+    mdir = os.path.join(table_dir, "manifests")
+    ptr = _read_pointer(table_dir)
+    removed = []
+    for f in _manifest_names(mdir):
+        sid = int(f.replace("manifest-", "").replace(".json", ""))
+        if ptr is None or sid > ptr:
+            os.remove(os.path.join(mdir, f))
+            removed.append(sid)
+    return sorted(removed)
+
+
 def snapshot_write(
     df: DataFrame, table_dir: str, mode: str = "replace"
 ) -> int:
@@ -141,17 +207,17 @@ def snapshot_write(
     scratch = os.path.join(table_dir, f".commit-{uuid.uuid4().hex}")
     df.write.parquet(scratch)
     prefix = uuid.uuid4().hex[:12]
-    new_files = []
+    renamed = []  # (manifest-relative path, absolute path)
     for f in sorted(os.listdir(scratch)):
         if not f.endswith(".parquet"):
             continue
         dst_name = f"{prefix}-{f.split('-')[1]}.parquet"
         dst = os.path.join(table_dir, "data", dst_name)
         os.rename(os.path.join(scratch, f), dst)
-        new_files.append(
-            {"path": os.path.join("data", dst_name), **_file_stats(dst)}
-        )
+        renamed.append((os.path.join("data", dst_name), dst))
     shutil.rmtree(scratch)
+    stats = _gather_file_stats(df.sparkSession, [a for _, a in renamed])
+    new_files = [{"path": rel, **st} for (rel, _), st in zip(renamed, stats)]
 
     # 2. new manifest = parent files (append) or just new files (replace)
     parent = _read_pointer(table_dir)
@@ -191,10 +257,28 @@ def snapshot_write(
         "files": files,
     }
     mpath = _manifest_path(table_dir, snapshot_id)
-    tmp = mpath + ".tmp"
+    # Exclusive manifest creation approximates the catalog
+    # compare-and-swap: two writers that both read parent N race to
+    # create manifest N+1, and the loser fails LOUDLY here instead of
+    # silently clobbering the winner's committed file list (lost
+    # update). Written to a unique tmp first so a fully-NAMED manifest
+    # is always complete, then published with os.link — atomic and
+    # EEXCL on POSIX (the object-store analogue is a conditional PUT /
+    # If-None-Match; Iceberg delegates the same race to its catalog).
+    tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, mpath)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"manifest for snapshot {snapshot_id} already exists in "
+            f"{table_dir!r}: concurrent writer, or a crashed commit's "
+            "orphan — confirm no writer is live, then "
+            "remove_orphaned_manifests() and retry"
+        ) from None
+    os.unlink(tmp)
 
     # 3. atomic pointer swap — the commit instant
     ptmp = os.path.join(table_dir, _POINTER + ".tmp")

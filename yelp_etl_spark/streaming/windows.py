@@ -368,6 +368,15 @@ def foreach_batch_upsert(
         if snapshot_table:
             snapshot_merge(spark, batch_df, target_path, keys)
             return
+        # Crash recovery for the rename-swap below: a crash between
+        # rename(target -> __old) and rename(__merging -> target)
+        # leaves no target dir but a complete __old copy. Restore it
+        # BEFORE the exists check — otherwise the replay would treat
+        # the table as empty (merged = batch only) and its cleanup of
+        # __old would delete the only copy of the pre-crash table.
+        _old = target_path.rstrip("/") + "__old"
+        if not os.path.isdir(target_path) and os.path.isdir(_old):
+            os.rename(_old, target_path)
         exists = os.path.isdir(target_path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(target_path)
         )
