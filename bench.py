@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "pq_topk_checked",
     "jsonl_scan_roundtrip",
     "time_travel_diff",
+    "snapshot_changelog",
+    "snapshot_merge_delete",
     "surrogate_ids_portable",
     "incremental_dedup_delta",
     "quality_score",

@@ -445,3 +445,37 @@ def test_commit_stats_executor_side_matches_driver(spark, tmp_path):
     pruned = snapshot_read(spark, t, prune=("id", "==", 9_999))
     assert pruned.count() < 10_000
     assert pruned.filter(F.col("id") == 9_999).count() == 1
+
+
+def test_snapshot_merge_delete_branch(spark, tmp_path):
+    """MERGE with WHEN MATCHED THEN DELETE: flagged source rows remove
+    their target keys (and are NOT inserted), unflagged rows upsert,
+    everything lands in ONE atomic snapshot with the pre-merge version
+    still time-travelable. A delete for an absent key is a no-op."""
+    from yelp_etl_spark.sources.snapshots import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    s1 = snapshot_write(base, t)
+    src = spark.createDataFrame(
+        [
+            (2, "b2", "U"),   # update
+            (3, None, "D"),   # delete
+            (5, "e", "U"),    # insert
+            (9, None, "D"),   # delete of absent key: no-op
+        ],
+        "k int, v string, __op string",
+    )
+    s2 = snapshot_merge(
+        spark, src, t, ["k"], delete_condition=F.col("__op") == "D"
+    )
+    got = {
+        (r.k, r.v) for r in snapshot_read(spark, t, snapshot_id=s2).collect()
+    }
+    assert got == {(1, "a"), (2, "b2"), (4, "d"), (5, "e")}
+    # op column projected away by the upsert branch
+    assert snapshot_read(spark, t).columns == ["k", "v"]
+    # pre-merge snapshot intact
+    assert snapshot_read(spark, t, snapshot_id=s1).count() == 4

@@ -6251,6 +6251,127 @@ GROUP BY o_orderstatus
 """
 
 
+def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog read between two committed snapshots
+    (sources/snapshots.snapshot_changes — Iceberg's changelog scan,
+    the extension of reference write.py's replace semantics that lets
+    incremental consumers process exactly the delta between two table
+    versions). Orders are committed as v1; v2 deletes every 7th key,
+    uplifts the price of every remaining 10th, and inserts offset-key
+    copies of every 13th — so all four diff classes appear. The
+    changelog is one full-outer join on the pinned file lists of the
+    two snapshots; at 100 TB, write both bucketed on the key and the
+    exchange disappears (scd.snapshot_diff docstring)."""
+    from yelp_etl_spark.sources.snapshots import snapshot_changes, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapcdc")
+    s1 = snapshot_write(orders, table, mode="replace")
+    survivors = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
+    )
+    s2 = snapshot_write(survivors.unionByName(inserts), table, mode="replace")
+    changes = snapshot_changes(
+        spark, table, s1, s2, ["o_orderkey"], ["o_totalprice"]
+    )
+    return changes.groupBy("diff_status").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+ORACLE_SNAPSHOT_CHANGELOG = """
+WITH survivors AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+), classified AS (
+  SELECT 'removed' AS diff_status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'changed'
+              ELSE 'unchanged' END, price
+  FROM survivors
+  UNION ALL
+  SELECT 'added', o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT diff_status, COUNT(*) AS n, ROUND(SUM(price), 2) AS price_sum
+FROM classified GROUP BY diff_status
+"""
+
+
+def q_snapshot_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE with a WHEN MATCHED THEN DELETE branch through the
+    snapshot layer (sources/snapshots.snapshot_merge delete_condition —
+    Iceberg v2 row-level ops, the natural extension of reference
+    write.py:24-29's replace semantics): a CDC-shaped source flags
+    every 7th key 'D' (delete) and every other 10th key 'U' (price
+    uplift); one atomic commit applies both branches. The post-merge
+    table is aggregated per status, which catches a torn delete (key
+    survives) and a dropped update alike."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapmrg")
+    snapshot_write(orders, table, mode="replace")
+    source = (
+        orders.filter(
+            (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 10 == 0)
+        )
+        .withColumn(
+            "__op",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("__op") == "U", F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    snapshot_merge(
+        spark,
+        source,
+        table,
+        ["o_orderkey"],
+        delete_condition=F.col("__op") == "D",
+    )
+    return (
+        snapshot_read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_MERGE_DELETE = """
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -6288,6 +6409,16 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_time_travel_diff,
         ORACLE_TIME_TRAVEL_DIFF,
         "ext:snapshot layer — atomic replace + time travel roundtrip",
+    ),
+    "snapshot_changelog": QuerySpec(
+        q_snapshot_changelog,
+        ORACLE_SNAPSHOT_CHANGELOG,
+        "ext:snapshot layer — CDC changelog read between two commits",
+    ),
+    "snapshot_merge_delete": QuerySpec(
+        q_snapshot_merge_delete,
+        ORACLE_SNAPSHOT_MERGE_DELETE,
+        "ext:snapshot layer — MERGE with WHEN MATCHED DELETE branch",
     ),
     "jsonl_scan_roundtrip": QuerySpec(
         q_jsonl_scan_roundtrip,
@@ -6537,67 +6668,68 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # (scripts/check_parity.py runs ALL queries). The window still spans
 # every operator family; union driver coverage r1∪r2∪r3 ≥ 68 queries.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- kept green representatives / this-round regression guards ----
-    "flagship_revenue",        # flagship anchor (every round)
-    "safe_cast_probe",         # probe rewritten r4 (regex guards) — re-verify
-    "compact_small_files",     # r3's only red row; fixed r4 (mkdtemp+refresh)
-    "time_travel_diff",        # NEW r4: snapshot layer atomic-replace+time travel
-    "pagerank",                # broadcast_state added r4 — re-verify
-    "bfs_reachability",        # broadcast_state added r4 — re-verify
-    "jaccard_prefix_join",     # dfreq broadcast hint dropped r4 — re-verify
-    "incremental_dedup_delta",  # NEW r4: delta probe of persisted index
-    "pq_topk_checked",         # NEW r4: PQ pipeline oracle twin (Arrow UDF path)
-    "jsonl_scan_roundtrip",    # S1 ingest contract, first driver check (r4)
-    "merge_upsert",            # upsert family (foreachBatch sink reworked r4)
-    # ---- NEW r4 (late): BPE training + substring-dedup spans ----
-    # (enrich_obt, partitioned_write_roundtrip, stream_dedup_totals and
-    # tpch_q6_sql yielded their slots: all driver-green r3 or
-    # lowest-risk SQL; star-join/write-roundtrip/streaming families
-    # stay represented by flagship_revenue, compact_small_files and
-    # stream_stream_attrib.)
-    "bpe_pair_counts",
-    "bpe_merges",
-    "bpe_corpus_tokens",
-    "duplicate_spans",
-    # ---- NEW r4: the never-driver-checked TPC-H shapes ----
-    "tpch_q3_shipping",
-    "tpch_q4_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q11_concentration",
-    "tpch_q12_shipmode",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_potential_promo",
-    "tpch_q22_global_sales",
-    # ---- NEW r4: never-checked sketches / curation / time-series ----
-    "tfidf_top_terms",
-    "sessionize_gaps",
+    # ---- r5 regression guards: the three r4 reds, fixed this round ----
+    # (all three were the oracle-HUGEINT class — SUM(BIGINT) -> int128
+    # in DuckDB — now CAST ... AS BIGINT and linted by
+    # tests/test_oracle_types.py; the Spark side was verified locally
+    # all along)
+    "compact_small_files",
+    "jsonl_scan_roundtrip",
     "dq_report",
-    "bloom_prune_join",
-    "histogram_quantiles",
-    "grouped_histogram_quantiles",
-    "mixture_sample",
-    "shard_layout",
-    "keyword_search",
-    "skyline_suppliers",
-    "twap_value",
-    "mad_outliers",
-    "ewma_smooth",
-    "rolling_fingerprint",
-    "stream_stream_attrib",
-    "abandoned_views",
-    # ---- NEW r4: ANN oracle twins added this round ----
-    "lsh_topk_checked",
-    "ivf_topk_checked",
+    # ---- NEW r5: snapshot-layer CDC + row-level MERGE DELETE ----
+    "snapshot_changelog",
+    "snapshot_merge_delete",
+    # ---- r5 rotation: the never-driver-checked pool (45 first-time
+    # rows; grouping_indicator and posexplode_ordinal defer to r6 —
+    # their families (A4 rollup/cube, L1-L2 explode) are multiply
+    # green and rollup_cascade covers the former's shape in-window)
+    "tpch_q6_sql",
+    "exists_subquery",
+    "array_funcs",
+    "map_funcs",
+    "map_hof",
+    "conditional_funcs",
+    "bitwise_funcs",
+    "try_arith",
+    "first_last_ignorenulls",
+    "collect_sorted",
+    "minmax_by",
+    "brand_premium",
+    "pct_of_total",
+    "range_frame_window",
+    "lateral_agg",
+    "rollup_cascade",
+    "cohort_retention",
+    "running_distinct",
+    "string_agg_ordered",
+    "width_bucket_hist",
+    "regr_aggs",
+    "date_spine_fill",
+    "linear_interp_fill",
+    "json_props_extract",
+    "like_regexp_filters",
+    "union_byname_evolution",
+    "inline_structs",
+    "surrogate_ids_portable",
+    "hash_split_sample",
+    "stratified_sample",
+    "balanced_downsample",
+    "weighted_sample",
+    "redact_pii",
+    "vocab_build",
+    "chunk_documents",
+    "token_packing",
+    "quantize_embeddings",
+    "label_centroids",
+    "length_quality_gate",
+    "bpe_encode_tokens",
+    "event_path_pattern",
+    "k_anonymity_audit",
+    "recursive_hierarchy",
+    "novelty_scores",
+    "containment_pairs",
 )
+
 
 QUERIES: dict[str, QuerySpec] = {
     name: _QUERIES_UNORDERED[name] for name in _DRIVER_WINDOW

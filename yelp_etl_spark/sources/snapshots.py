@@ -40,6 +40,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "_current"
 _SKIP_STATS_TYPES = ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")  # strings: keep simple
@@ -424,21 +425,46 @@ def snapshot_merge(
     source: DataFrame,
     table_dir: str,
     keys: list[str],
+    delete_condition=None,
 ) -> int:
-    """MERGE INTO for the snapshot layer (WHEN MATCHED UPDATE all /
-    WHEN NOT MATCHED INSERT — operators/scd.merge_upsert) committed as
-    one atomic snapshot: readers see the pre-merge table or the
-    post-merge table, never an intermediate state, and the pre-merge
-    snapshot stays time-travelable. First merge into an empty table is
-    the initial insert."""
+    """MERGE INTO for the snapshot layer (operators/scd.merge_upsert)
+    committed as one atomic snapshot: readers see the pre-merge table
+    or the post-merge table, never an intermediate state, and the
+    pre-merge snapshot stays time-travelable. First merge into an
+    empty table is the initial insert.
+
+    ``delete_condition`` (a Column over ``source``) adds the
+    WHEN MATCHED THEN DELETE branch of the full MERGE statement
+    (Iceberg v2 row-level deletes, the natural extension of reference
+    write.py's replace semantics): source rows where it is true REMOVE
+    the matching target keys and are not inserted; the remaining rows
+    upsert. Extra columns that exist only for the condition (an op
+    flag from a CDC feed) are allowed on ``source`` — the upsert
+    branch is projected onto the target's columns. Execution is one
+    extra anti-join on the delete keys over the plain upsert — still a
+    single keyed shuffle family, broadcastable when the delta is
+    small."""
     from yelp_etl_spark.operators.scd import merge_upsert
 
-    if _read_pointer(table_dir) is None:
-        return snapshot_write(source, table_dir, mode="replace")
-    target = snapshot_read(spark, table_dir)
-    return snapshot_write(
-        merge_upsert(target, source, keys), table_dir, mode="replace"
+    if delete_condition is None:
+        if _read_pointer(table_dir) is None:
+            return snapshot_write(source, table_dir, mode="replace")
+        target = snapshot_read(spark, table_dir)
+        return snapshot_write(
+            merge_upsert(target, source, keys), table_dir, mode="replace"
+        )
+    deletes = source.filter(delete_condition).select(*keys)
+    upserts = source.filter(
+        ~F.coalesce(delete_condition, F.lit(False))
     )
+    if _read_pointer(table_dir) is None:
+        merged = upserts
+    else:
+        target = snapshot_read(spark, table_dir)
+        merged = merge_upsert(
+            target, upserts.select(*target.columns), keys
+        ).join(deletes, keys, "left_anti")
+    return snapshot_write(merged, table_dir, mode="replace")
 
 
 def snapshot_changes(
