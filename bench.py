@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "bpe_encode_tokens",
     "bpe_corpus_tokens",
     "duplicate_spans",
+    "duplicate_spans_pruned",
     "event_path_pattern",
     "k_anonymity_audit",
     "recursive_hierarchy",

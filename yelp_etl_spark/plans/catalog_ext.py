@@ -849,12 +849,31 @@ FROM spans GROUP BY doc_id, len
 """
 
 
+def q_duplicate_spans_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coarse-bucket two-phase form of duplicate_spans
+    (functions/dedup.duplicate_spans_pruned): phase 1 shuffles only a
+    32-bit bucket per position (half the record width, no portable
+    fingerprint), phase 2 reruns the exact pipeline over candidate
+    docs only. Output is provably identical to duplicate_spans —
+    multi-doc buckets can't miss a duplicated gram, and collision
+    candidates are cleared by the exact pass — so it shares its
+    oracle. The scale path for mostly-clean corpora where candidates
+    are a small fraction."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.duplicate_spans_pruned(docs, "doc_id", "text", k=_SPAN_K)
+
+
 EXTRA_QUERIES.update(
     {
         "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS, "ext:bpe pair stats"),
         "bpe_merges": (q_bpe_merges, ORACLE_BPE_MERGES, "ext:bpe training"),
         "bpe_encode_tokens": (q_bpe_encode_tokens, ORACLE_BPE_ENCODE, "ext:bpe encode"),
         "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS, "ext:substring dedup spans"),
+        "duplicate_spans_pruned": (
+            q_duplicate_spans_pruned,
+            ORACLE_DUPLICATE_SPANS,
+            "ext:substring dedup spans, bucket-pruned two-phase",
+        ),
     }
 )
 
