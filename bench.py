@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "jsonl_scan_roundtrip",
     "time_travel_diff",
     "snapshot_changelog",
+    "snapshot_compact",
+    "snapshot_evolution",
     "snapshot_merge_delete",
     "surrogate_ids_portable",
     "incremental_dedup_delta",

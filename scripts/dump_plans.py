@@ -27,6 +27,12 @@ MATERIALIZING = {
     "partitioned_write_roundtrip",
     "compact_small_files",
     "dynamic_overwrite_publish",
+    "jsonl_scan_roundtrip",
+    "time_travel_diff",
+    "snapshot_changelog",
+    "snapshot_merge_delete",
+    "snapshot_compact",
+    "snapshot_evolution",
 }
 
 

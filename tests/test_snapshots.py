@@ -479,3 +479,28 @@ def test_snapshot_merge_delete_branch(spark, tmp_path):
     assert snapshot_read(spark, t).columns == ["k", "v"]
     # pre-merge snapshot intact
     assert snapshot_read(spark, t, snapshot_id=s1).count() == 4
+
+
+def test_snapshot_compact_rewrites_without_content_change(spark, tmp_path):
+    """rewrite_data_files semantics: compaction shrinks the file count
+    in a NEW snapshot labeled 'rewrite', content is bit-identical, the
+    pre-compaction snapshot still time-travels with its original
+    layout, and expire+vacuum then reclaims the small files."""
+    from yelp_etl_spark.sources.snapshots import snapshot_compact
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    s1 = snapshot_write(df.repartition(12), t)
+    s2 = snapshot_compact(spark, t)
+    log = {s["snapshot_id"]: s for s in snapshots(t)}
+    assert log[s1]["n_files"] == 12
+    assert log[s2]["n_files"] == 1
+    assert log[s2]["operation"] == "rewrite"
+    assert log[s2]["n_rows"] == log[s1]["n_rows"] == 10_000
+    got = snapshot_read(spark, t).agg(F.sum("v")).collect()[0][0]
+    want = snapshot_read(spark, t, snapshot_id=s1).agg(F.sum("v")).collect()[0][0]
+    assert got == want
+    # maintenance loop: expiring the small-files snapshot frees its files
+    assert expire_snapshots(t, keep_last=1) == [s1]
+    assert vacuum(t) == 12
+    assert snapshot_read(spark, t).count() == 10_000

@@ -6308,6 +6308,103 @@ FROM classified GROUP BY diff_status
 """
 
 
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-layer file compaction (sources/snapshots.
+    snapshot_compact — Iceberg's rewrite_data_files): documents are
+    committed scattered over 16 deliberately-tiny files, compacted
+    into target-sized ones as a NEW snapshot, and both versions read
+    back — the compacted current and the pre-compaction snapshot via
+    time travel (compaction must change layout, never content, and
+    must not break pinned readers). Totals prove the rewrite lost
+    nothing; file counts come from the snapshot log."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+        snapshots,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    table = _scratch_dir(sf_dir, "snapcompact")
+    s1 = snapshot_write(docs.repartition(16), table, mode="replace")
+    s2 = snapshot_compact(spark, table)
+    log = {s["snapshot_id"]: s for s in snapshots(table)}
+    compacted = snapshot_read(spark, table, snapshot_id=s2).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    original = snapshot_read(spark, table, snapshot_id=s1).agg(
+        F.count("*").alias("n_rows_tt"),
+        F.sum("n_chars").cast("long").alias("sum_chars_tt"),
+    )
+    return compacted.crossJoin(original).select(
+        F.lit(log[s1]["n_files"]).cast("long").alias("n_files_before"),
+        F.lit(log[s2]["n_files"]).cast("long").alias("n_files_after"),
+        F.lit(log[s2]["operation"]).alias("operation"),
+        "n_rows",
+        "sum_chars",
+        "n_rows_tt",
+        "sum_chars_tt",
+    )
+
+
+ORACLE_SNAPSHOT_COMPACT = """
+SELECT 16 AS n_files_before,
+       1 AS n_files_after,
+       'rewrite' AS operation,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(*) AS n_rows_tt,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_tt
+FROM documents
+"""
+
+
+def q_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the snapshot layer
+    (sources/snapshots.snapshot_write append branch — Iceberg's
+    add-column): even orders committed WITHOUT o_orderstatus, odd
+    orders appended WITH it; the current snapshot's schema is the
+    union, and the pre-evolution files read the new column as NULL
+    (never dropped, never failing the scan). The aggregate pins both
+    populations: NULL-status rows must be exactly the evens."""
+    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapevo")
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        table,
+        mode="replace",
+    )
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ),
+        table,
+        mode="append",
+    )
+    return (
+        snapshot_read(spark, table)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_EVOLUTION = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_snapshot_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MERGE with a WHEN MATCHED THEN DELETE branch through the
     snapshot layer (sources/snapshots.snapshot_merge delete_condition —
@@ -6419,6 +6516,16 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_merge_delete,
         ORACLE_SNAPSHOT_MERGE_DELETE,
         "ext:snapshot layer — MERGE with WHEN MATCHED DELETE branch",
+    ),
+    "snapshot_compact": QuerySpec(
+        q_snapshot_compact,
+        ORACLE_SNAPSHOT_COMPACT,
+        "ext:snapshot layer — rewrite_data_files compaction roundtrip",
+    ),
+    "snapshot_evolution": QuerySpec(
+        q_snapshot_evolution,
+        ORACLE_SNAPSHOT_EVOLUTION,
+        "ext:snapshot layer — additive schema evolution read",
     ),
     "jsonl_scan_roundtrip": QuerySpec(
         q_jsonl_scan_roundtrip,

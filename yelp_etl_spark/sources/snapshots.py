@@ -198,9 +198,11 @@ def snapshot_write(
     """Commit ``df`` as a new snapshot of ``table_dir``; returns the new
     snapshot id. ``mode='replace'`` is the reference's createOrReplace
     (write.py:24-29); ``'append'`` keeps the parent snapshot's files and
-    adds the new ones (Iceberg's append commit)."""
-    if mode not in ("replace", "append"):
-        raise ValueError(f"mode must be replace|append, got {mode!r}")
+    adds the new ones (Iceberg's append commit); ``'rewrite'`` is a
+    replace labeled as compaction (snapshot_compact) so the snapshot
+    log distinguishes maintenance commits from data changes."""
+    if mode not in ("replace", "append", "rewrite"):
+        raise ValueError(f"mode must be replace|append|rewrite, got {mode!r}")
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
 
@@ -418,6 +420,35 @@ def vacuum(table_dir: str) -> int:
             os.remove(os.path.join(ddir, f))
             removed += 1
     return removed
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 2**20,
+) -> int:
+    """Iceberg's ``rewrite_data_files``: rewrite the current
+    snapshot's files into ~``target_file_bytes``-sized ones and commit
+    the result as a new snapshot with IDENTICAL content (operation
+    'rewrite'). Readers pinned to older snapshots keep their exact
+    file lists; the small files are reclaimed later by
+    expire_snapshots + vacuum — compaction never deletes anything
+    in-band, which is what makes it safe to run while readers are
+    live. The streaming-sink small-files problem at 100 TB is exactly
+    this maintenance loop (writers.compact_parquet_dir is the
+    bare-parquet form; this is the snapshot-layer form with time
+    travel preserved)."""
+    sid = _read_pointer(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _load_manifest(table_dir, sid)
+    total = sum(
+        os.path.getsize(os.path.join(table_dir, f["path"]))
+        for f in manifest["files"]
+    )
+    n_out = max(1, -(-total // target_file_bytes))
+    df = snapshot_read(spark, table_dir)
+    return snapshot_write(df.repartition(n_out), table_dir, mode="rewrite")
 
 
 def snapshot_merge(
