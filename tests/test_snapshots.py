@@ -504,3 +504,56 @@ def test_snapshot_compact_rewrites_without_content_change(spark, tmp_path):
     assert expire_snapshots(t, keep_last=1) == [s1]
     assert vacuum(t) == 12
     assert snapshot_read(spark, t).count() == 10_000
+
+
+def test_crashed_commit_auto_reclaimed_after_grace(spark, tmp_path):
+    """A manifest orphaned by a crash (pointer never swapped) older
+    than the grace window must be reclaimed automatically by the next
+    commit — checkpointed streaming replays converge without an
+    operator. A FRESH orphan (possible live racer) still fails loudly."""
+    import json as _json
+    import time
+
+    from yelp_etl_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        _manifest_path,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 20), t)
+    with open(_manifest_path(t, 2), "w") as fh:
+        _json.dump({"forged": True}, fh)
+    # fresh orphan: loud
+    with pytest.raises(ConcurrentCommitError):
+        snapshot_write(spark.range(0, 5), t)
+    # age it past the grace window: the replayed commit self-heals
+    old = time.time() - 3600
+    os.utime(_manifest_path(t, 2), (old, old))
+    assert snapshot_write(spark.range(0, 5), t) == 2
+    assert snapshot_read(spark, t).count() == 5
+
+
+def test_merge_delete_bootstrap_drops_flag_columns(spark, tmp_path):
+    """First merge into an EMPTY table with a delete_condition: the
+    dunder op-flag column must not be baked into the table schema, and
+    delete-flagged rows must not be inserted."""
+    from yelp_etl_spark.sources.snapshots import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    src = spark.createDataFrame(
+        [(1, "a", "U"), (2, "b", "D"), (3, "c", "U")],
+        "k int, v string, __op string",
+    )
+    snapshot_merge(spark, src, t, ["k"], delete_condition=F.col("__op") == "D")
+    got = snapshot_read(spark, t)
+    assert got.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in got.collect()} == {(1, "a"), (3, "c")}
+    # and a follow-up merge whose source lacks __op works against the
+    # clean schema
+    src2 = spark.createDataFrame([(3, "c2"), (4, "d")], "k int, v string")
+    snapshot_merge(spark, src2, t, ["k"])
+    assert {(r.k, r.v) for r in snapshot_read(spark, t).collect()} == {
+        (1, "a"),
+        (3, "c2"),
+        (4, "d"),
+    }

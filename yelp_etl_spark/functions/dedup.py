@@ -92,7 +92,11 @@ def ngram_jaccard_pairs(
                 F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
             ).alias("sh"),
         ),
-        eager=False,
+        # eager: the stream feeds >=2 downstream consumers; with a
+        # reliable checkpoint dir a NON-eager checkpoint caches nothing
+        # until its own materialization job, so each consumer would
+        # recompute the explode+hash scan first
+        eager=True,
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -802,7 +806,11 @@ def duplicate_spans_pruned(
             .bitwiseAND(F.lit(mask))
             .alias("bkt"),
         ),
-        eager=False,
+        # eager: the stream feeds >=2 downstream consumers; with a
+        # reliable checkpoint dir a NON-eager checkpoint caches nothing
+        # until its own materialization job, so each consumer would
+        # recompute the explode+hash scan first
+        eager=True,
     )
     multi_doc_buckets = (
         grams.groupBy("bkt")
@@ -846,7 +854,11 @@ def containment_pairs(
                 F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
             ).alias("sh"),
         ),
-        eager=False,
+        # eager: the stream feeds >=2 downstream consumers; with a
+        # reliable checkpoint dir a NON-eager checkpoint caches nothing
+        # until its own materialization job, so each consumer would
+        # recompute the explode+hash scan first
+        eager=True,
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

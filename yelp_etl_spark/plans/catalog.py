@@ -6327,7 +6327,10 @@ def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     table = _scratch_dir(sf_dir, "snapcompact")
     s1 = snapshot_write(docs.repartition(16), table, mode="replace")
-    s2 = snapshot_compact(spark, table)
+    # explicit huge target pins n_files_after=1 at ANY scale factor
+    # (the oracle hardcodes it; the default 128 MiB would start
+    # splitting once documents outgrows one target file)
+    s2 = snapshot_compact(spark, table, target_file_bytes=1 << 40)
     log = {s["snapshot_id"]: s for s in snapshots(table)}
     compacted = snapshot_read(spark, table, snapshot_id=s2).agg(
         F.count("*").alias("n_rows"),

@@ -47,8 +47,20 @@ _SKIP_STATS_TYPES = ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")  # strings: keep simp
 
 
 import re as _re
+import time as _time
 
 _MANIFEST_RE = _re.compile(r"^manifest-\d{10}\.json$")
+
+# A named manifest with no pointer swap that is older than this is
+# treated as a crashed commit and reclaimed by the next writer; a
+# younger one is assumed to be a live racer's (Iceberg's
+# remove_orphan_files uses the same age-cutoff idea).
+_ORPHAN_GRACE_SECONDS = 60.0
+
+
+def _manifest_sid(name: str) -> int:
+    """Snapshot id encoded in a manifest filename."""
+    return int(name.replace("manifest-", "").replace(".json", ""))
 
 
 def _manifest_path(table_dir: str, snapshot_id: int) -> str:
@@ -76,7 +88,7 @@ def _committed_manifest_names(table_dir: str) -> list[str]:
     ptr = _read_pointer(table_dir)
     names = []
     for f in _manifest_names(mdir):
-        sid = int(f.replace("manifest-", "").replace(".json", ""))
+        sid = _manifest_sid(f)
         if ptr is not None and sid <= ptr:
             names.append(f)
     return sorted(names)
@@ -185,10 +197,15 @@ def remove_orphaned_manifests(table_dir: str) -> list[int]:
     ptr = _read_pointer(table_dir)
     removed = []
     for f in _manifest_names(mdir):
-        sid = int(f.replace("manifest-", "").replace(".json", ""))
+        sid = _manifest_sid(f)
         if ptr is None or sid > ptr:
             os.remove(os.path.join(mdir, f))
             removed.append(sid)
+    # also reclaim .tmp litter from crashes between the tmp write and
+    # its unlink (the uuid suffix means no later commit reuses the name)
+    for f in os.listdir(mdir):
+        if f.endswith(".tmp"):
+            os.remove(os.path.join(mdir, f))
     return sorted(removed)
 
 
@@ -274,14 +291,39 @@ def snapshot_write(
     try:
         os.link(tmp, mpath)
     except FileExistsError:
+        # Disambiguate before failing. (a) The pointer already reached
+        # snapshot_id: another writer COMMITTED first and our parent
+        # read is stale — the lost-update case this guard exists for;
+        # always loud. (b) Pointer still behind and the manifest is
+        # older than the grace window: a previous writer crashed
+        # between manifest publish and pointer swap — auto-reclaim so
+        # checkpointed streaming replays converge without an operator
+        # (the pre-r5 os.replace healed this silently; the grace check
+        # keeps the healing without reopening the silent-clobber race).
+        # (c) Pointer behind but the manifest is fresh: a live racer
+        # milliseconds before its pointer swap — loud.
+        committed = _read_pointer(table_dir)
+        age = _time.time() - os.path.getmtime(mpath)
+        if (
+            committed is not None and committed < snapshot_id
+        ) and age > _ORPHAN_GRACE_SECONDS:
+            os.replace(tmp, mpath)  # reclaim the crash orphan
+        else:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"manifest for snapshot {snapshot_id} already exists in "
+                f"{table_dir!r}: "
+                + (
+                    "a concurrent writer committed first (stale parent)"
+                    if committed is not None and committed >= snapshot_id
+                    else "a writer is mid-commit, or a crash happened "
+                    f"within the last {_ORPHAN_GRACE_SECONDS}s"
+                )
+                + " — confirm no writer is live, then "
+                "remove_orphaned_manifests() and retry"
+            ) from None
+    else:
         os.unlink(tmp)
-        raise ConcurrentCommitError(
-            f"manifest for snapshot {snapshot_id} already exists in "
-            f"{table_dir!r}: concurrent writer, or a crashed commit's "
-            "orphan — confirm no writer is live, then "
-            "remove_orphaned_manifests() and retry"
-        ) from None
-    os.unlink(tmp)
 
     # 3. atomic pointer swap — the commit instant
     ptmp = os.path.join(table_dir, _POINTER + ".tmp")
@@ -390,7 +432,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     names = _committed_manifest_names(table_dir)
     expired = []
     for f in names[:-keep_last]:
-        sid = int(f.replace("manifest-", "").replace(".json", ""))
+        sid = _manifest_sid(f)
         os.remove(os.path.join(mdir, f))
         expired.append(sid)
     return expired
@@ -489,7 +531,12 @@ def snapshot_merge(
         ~F.coalesce(delete_condition, F.lit(False))
     )
     if _read_pointer(table_dir) is None:
-        merged = upserts
+        # no target schema to project onto yet: strip engine-internal
+        # dunder columns (the CDC op-flag convention) so a bootstrap
+        # merge does not bake the flag into the table schema forever
+        merged = upserts.drop(
+            *[c for c in upserts.columns if c.startswith("__")]
+        )
     else:
         target = snapshot_read(spark, table_dir)
         merged = merge_upsert(
