@@ -6408,6 +6408,61 @@ GROUP BY 1
 """
 
 
+_ZORDER_BITS = 8
+
+
+def _morton_oracle_expr(xcol: str, ycol: str, bits: int) -> str:
+    """DuckDB expression for the 2-column Morton interleave — generated
+    so the oracle provably applies the same bit placement as
+    sources/layout._interleave (x's bit b -> position 2b+1, y's ->
+    2b)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b})")
+    return " | ".join(terms)
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-order key (sources/layout.py _interleave — the
+    clustering transform behind Delta/Iceberg OPTIMIZE ZORDER, §2.1's
+    complement to the reference's hash buckets at write.py:45-53):
+    orders keyed by the interleave of two exact 8-bit codes, then
+    aggregated per coarse z-cell. Exercises every bit position of the
+    transform end-to-end against an independently generated oracle
+    expression (integer codes, not the float min/max normalization, so
+    the check is bit-exact cross-engine; the normalize+write path is
+    covered by layout unit tests and the snapshot skipping test)."""
+    from yelp_etl_spark.sources.layout import _interleave
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_orderkey"), F.lit(256)).cast("long")
+    y = F.pmod(F.col("o_custkey"), F.lit(256)).cast("long")
+    z = _interleave([x, y], _ZORDER_BITS)
+    return (
+        orders.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 10).alias("z_cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )
+
+
+ORACLE_ZORDER_CELLS = f"""
+WITH keyed AS (
+  SELECT {_morton_oracle_expr("(o_orderkey % 256)", "(o_custkey % 256)", _ZORDER_BITS)} AS z
+  FROM orders
+)
+SELECT z >> 10 AS z_cell,
+       COUNT(*) AS n,
+       MIN(z) AS min_z,
+       MAX(z) AS max_z
+FROM keyed GROUP BY 1
+"""
+
+
 def q_snapshot_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MERGE with a WHEN MATCHED THEN DELETE branch through the
     snapshot layer (sources/snapshots.snapshot_merge delete_condition —
@@ -6529,6 +6584,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_evolution,
         ORACLE_SNAPSHOT_EVOLUTION,
         "ext:snapshot layer — additive schema evolution read",
+    ),
+    "zorder_cells": QuerySpec(
+        q_zorder_cells,
+        ORACLE_ZORDER_CELLS,
+        "ext:data layout — Morton/z-order interleave transform",
     ),
     "jsonl_scan_roundtrip": QuerySpec(
         q_jsonl_scan_roundtrip,
