@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "recursive_hierarchy",
     "novelty_scores",
     "containment_pairs",
+    "winnow_fingerprints",
 ]
 
 

@@ -212,3 +212,30 @@ def test_duplicate_spans_pruned_planted_minimal_run(spark):
         for r in duplicate_spans_pruned(docs, "doc_id", "text", k=25).collect()
     }
     assert got == {1: (1, 25), 2: (1, 25)}
+
+
+def test_winnow_guarantee_planted(spark):
+    """Winnowing's hard guarantee: two documents sharing a substring of
+    length >= k + w - 1 (k=25, w=4 -> 28 chars) MUST share at least one
+    fingerprint, wherever the substring sits in each document (the
+    property hash-mod sampling lacks). A doc too short for a full
+    window yields no fingerprints."""
+    from yelp_etl_spark.functions.dedup import winnow_fingerprints
+
+    shared = "abcdefghijklmnopqrstuvwxyz01"  # exactly 28 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 13 + shared + "y" * 9),   # offset 14
+            (2, "z" * 7 + shared + "w" * 30),   # offset 8 (different mod)
+            (3, "q" * 26),                       # 2 grams < w: no window
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=25, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared >=k+w-1 substring must share a fingerprint"
+    assert 3 not in by_doc
+    # selection density: far fewer fingerprints than grams
+    assert len(by_doc[1]) < 51 - 24  # < number of grams

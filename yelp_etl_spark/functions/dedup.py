@@ -824,6 +824,81 @@ def duplicate_spans_pruned(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 25,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): per document, every window of ``w`` consecutive
+    k-gram hashes contributes its MINIMUM hash; the distinct window
+    minima are the document's fingerprint set.
+
+    This is the DETERMINISTIC content-defined selection —
+    duplicate_spans_pruned's docstring contrasts it with hash-mod
+    anchor sampling: winnowing GUARANTEES any shared substring of
+    length >= k + w - 1 contributes at least one common fingerprint
+    (the two occurrences see the same hash sequence, so the same
+    window minima), while keeping ~2/(w+1) of positions in
+    expectation. The standard use is plagiarism/overlap candidate
+    discovery where a hard guarantee matters more than exact span
+    boundaries.
+
+    Shape: explode grams (flat post-generate projection, codegen) →
+    per-doc sliding-window MIN (one keyed shuffle on the doc id — the
+    ordered pass is inherent to winnowing's window rule) → distinct.
+    Gram hashes use the portable 60-bit md5 convention so the
+    fingerprints are reproducible across engines. Returns (id,
+    fingerprint) distinct rows. At 100 TB the fingerprint table is
+    ~2/(w+1) of the gram stream and joins/aggregates downstream carry
+    8-byte keys; the per-doc window sort is bounded by document
+    length, not corpus size.
+    """
+    grams = (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.length(text_col).alias("__len"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col,
+            "__len",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.col("__len") - F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "__len",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(__t, pos, {k})")), 18, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # only full windows select (window starts 1 .. m-w+1, m = #grams)
+    n_grams = F.col("__len") - (k - 1)
+    return (
+        grams.withColumn("fp", F.min("gh").over(win))
+        .filter(F.col("pos") <= n_grams - (w - 1))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     n: int = 3,

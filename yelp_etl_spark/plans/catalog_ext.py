@@ -1266,3 +1266,56 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint extraction (functions/dedup.
+    winnow_fingerprints — Schleimer et al. 2003): per document, the
+    distinct minima of every 4-window of 25-gram hashes, aggregated to
+    (count, xor-checksum) per doc. The deterministic content-defined
+    selection with the hard guarantee (any shared substring >= k+w-1
+    shares a fingerprint); the xor checksum pins the exact fingerprint
+    SET cross-engine without shipping every hash through the compare."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = DD.winnow_fingerprints(
+        docs, "doc_id", "text", k=_SPAN_K, w=_WINNOW_W
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.bit_xor("fp").alias("fp_xor"),
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH grams AS (
+  SELECT doc_id, length(text) AS len, i AS pos,
+         CAST(concat('0x', substr(md5(substr(text, i, {_SPAN_K})), 18, 15)) AS BIGINT) AS gh
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - {_SPAN_K - 1})) AS i)
+  WHERE length(text) >= {_SPAN_K}
+), sel AS (
+  SELECT doc_id, len, pos,
+         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel
+  WHERE pos <= (len - {_SPAN_K - 1}) - {_WINNOW_W - 1}
+)
+SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp) AS fp_xor
+FROM fps GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "winnow_fingerprints": (
+            q_winnow_fingerprints,
+            ORACLE_WINNOW,
+            "ext:winnowing fingerprint selection (MOSS)",
+        ),
+    }
+)
