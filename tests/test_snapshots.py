@@ -557,3 +557,31 @@ def test_merge_delete_bootstrap_drops_flag_columns(spark, tmp_path):
         (3, "c2"),
         (4, "d"),
     }
+
+
+def test_snapshot_rollback_restores_and_preserves_history(spark, tmp_path):
+    """Rollback re-points at an old file list via a NEW commit: the bad
+    snapshot stays inspectable, the rollback is itself revertible, and
+    no data files move (pure metadata)."""
+    import os as _os
+
+    from yelp_etl_spark.sources.snapshots import snapshot_rollback
+
+    t = str(tmp_path / "tbl")
+    s1 = snapshot_write(spark.range(0, 100), t)
+    files_before = set(_os.listdir(_os.path.join(t, "data")))
+    s2 = snapshot_write(spark.range(0, 3), t)  # the "bad" replace
+    s3 = snapshot_rollback(t, s1)
+    assert (s1, s2, s3) == (1, 2, 3)
+    assert snapshot_read(spark, t).count() == 100       # restored
+    assert snapshot_read(spark, t, snapshot_id=s2).count() == 3  # inspectable
+    log = {s["snapshot_id"]: s["operation"] for s in snapshots(t)}
+    assert log == {1: "replace", 2: "replace", 3: "rollback"}
+    # pure metadata: snapshot 3 reuses snapshot 1's files exactly
+    from yelp_etl_spark.sources.snapshots import _load_manifest
+
+    assert _load_manifest(t, 3)["files"] == _load_manifest(t, 1)["files"]
+    assert files_before <= set(_os.listdir(_os.path.join(t, "data")))
+    # rolling back the rollback works too
+    s4 = snapshot_rollback(t, s2)
+    assert snapshot_read(spark, t).count() == 3 and s4 == 4

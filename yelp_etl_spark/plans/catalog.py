@@ -6408,6 +6408,43 @@ GROUP BY 1
 """
 
 
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational undo (sources/snapshots.snapshot_rollback —
+    Iceberg's rollback): orders committed, then clobbered by a bad
+    3-row replace, then rolled back — as a NEW metadata-only commit,
+    so history survives. The current read must equal the original
+    table exactly and the log must show all three operations."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_write,
+        snapshots,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snaprb")
+    s1 = snapshot_write(orders, table, mode="replace")
+    snapshot_write(orders.limit(3), table, mode="replace")
+    snapshot_rollback(table, s1)
+    ops = ",".join(s["operation"] for s in snapshots(table))
+    return (
+        snapshot_read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("ops", F.lit(ops))
+    )
+
+
+ORACLE_SNAPSHOT_ROLLBACK = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       'replace,replace,rollback' AS ops
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 _ZORDER_BITS = 8
 
 
@@ -6584,6 +6621,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_evolution,
         ORACLE_SNAPSHOT_EVOLUTION,
         "ext:snapshot layer — additive schema evolution read",
+    ),
+    "snapshot_rollback": QuerySpec(
+        q_snapshot_rollback,
+        ORACLE_SNAPSHOT_ROLLBACK,
+        "ext:snapshot layer — metadata-only rollback commit",
     ),
     "zorder_cells": QuerySpec(
         q_zorder_cells,

@@ -209,6 +209,67 @@ def remove_orphaned_manifests(table_dir: str) -> list[int]:
     return sorted(removed)
 
 
+def _commit_manifest(table_dir: str, manifest: dict) -> int:
+    """Publish ``manifest`` exclusively and swap the pointer — the
+    shared commit tail of snapshot_write and snapshot_rollback.
+
+    Exclusive manifest creation approximates the catalog
+    compare-and-swap: two writers that both read parent N race to
+    create manifest N+1, and the loser fails LOUDLY instead of
+    silently clobbering the winner's committed file list (lost
+    update). Written to a unique tmp first so a fully-NAMED manifest
+    is always complete, then published with os.link — atomic and
+    EEXCL on POSIX (the object-store analogue is a conditional PUT /
+    If-None-Match; Iceberg delegates the same race to its catalog).
+
+    On EEXIST, disambiguate before failing. (a) The pointer already
+    reached snapshot_id: another writer COMMITTED first and our parent
+    read is stale — the lost-update case this guard exists for; always
+    loud. (b) Pointer still behind and the manifest is older than the
+    grace window: a previous writer crashed between manifest publish
+    and pointer swap — auto-reclaim so checkpointed streaming replays
+    converge without an operator. (c) Pointer behind but the manifest
+    is fresh: a live racer milliseconds before its pointer swap — loud.
+    """
+    snapshot_id = manifest["snapshot_id"]
+    mpath = _manifest_path(table_dir, snapshot_id)
+    tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        committed = _read_pointer(table_dir)
+        age = _time.time() - os.path.getmtime(mpath)
+        if (
+            committed is not None and committed < snapshot_id
+        ) and age > _ORPHAN_GRACE_SECONDS:
+            os.replace(tmp, mpath)  # reclaim the crash orphan
+        else:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"manifest for snapshot {snapshot_id} already exists in "
+                f"{table_dir!r}: "
+                + (
+                    "a concurrent writer committed first (stale parent)"
+                    if committed is not None and committed >= snapshot_id
+                    else "a writer is mid-commit, or a crash happened "
+                    f"within the last {_ORPHAN_GRACE_SECONDS}s"
+                )
+                + " — confirm no writer is live, then "
+                "remove_orphaned_manifests() and retry"
+            ) from None
+    else:
+        os.unlink(tmp)
+
+    # atomic pointer swap — the commit instant
+    ptmp = os.path.join(table_dir, _POINTER + ".tmp")
+    with open(ptmp, "w") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(ptmp, os.path.join(table_dir, _POINTER))
+    return snapshot_id
+
+
 def snapshot_write(
     df: DataFrame, table_dir: str, mode: str = "replace"
 ) -> int:
@@ -276,61 +337,7 @@ def snapshot_write(
         "schema": schema.json(),
         "files": files,
     }
-    mpath = _manifest_path(table_dir, snapshot_id)
-    # Exclusive manifest creation approximates the catalog
-    # compare-and-swap: two writers that both read parent N race to
-    # create manifest N+1, and the loser fails LOUDLY here instead of
-    # silently clobbering the winner's committed file list (lost
-    # update). Written to a unique tmp first so a fully-NAMED manifest
-    # is always complete, then published with os.link — atomic and
-    # EEXCL on POSIX (the object-store analogue is a conditional PUT /
-    # If-None-Match; Iceberg delegates the same race to its catalog).
-    tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    try:
-        os.link(tmp, mpath)
-    except FileExistsError:
-        # Disambiguate before failing. (a) The pointer already reached
-        # snapshot_id: another writer COMMITTED first and our parent
-        # read is stale — the lost-update case this guard exists for;
-        # always loud. (b) Pointer still behind and the manifest is
-        # older than the grace window: a previous writer crashed
-        # between manifest publish and pointer swap — auto-reclaim so
-        # checkpointed streaming replays converge without an operator
-        # (the pre-r5 os.replace healed this silently; the grace check
-        # keeps the healing without reopening the silent-clobber race).
-        # (c) Pointer behind but the manifest is fresh: a live racer
-        # milliseconds before its pointer swap — loud.
-        committed = _read_pointer(table_dir)
-        age = _time.time() - os.path.getmtime(mpath)
-        if (
-            committed is not None and committed < snapshot_id
-        ) and age > _ORPHAN_GRACE_SECONDS:
-            os.replace(tmp, mpath)  # reclaim the crash orphan
-        else:
-            os.unlink(tmp)
-            raise ConcurrentCommitError(
-                f"manifest for snapshot {snapshot_id} already exists in "
-                f"{table_dir!r}: "
-                + (
-                    "a concurrent writer committed first (stale parent)"
-                    if committed is not None and committed >= snapshot_id
-                    else "a writer is mid-commit, or a crash happened "
-                    f"within the last {_ORPHAN_GRACE_SECONDS}s"
-                )
-                + " — confirm no writer is live, then "
-                "remove_orphaned_manifests() and retry"
-            ) from None
-    else:
-        os.unlink(tmp)
-
-    # 3. atomic pointer swap — the commit instant
-    ptmp = os.path.join(table_dir, _POINTER + ".tmp")
-    with open(ptmp, "w") as fh:
-        fh.write(str(snapshot_id))
-    os.replace(ptmp, os.path.join(table_dir, _POINTER))
-    return snapshot_id
+    return _commit_manifest(table_dir, manifest)
 
 
 def snapshot_read(
@@ -462,6 +469,30 @@ def vacuum(table_dir: str) -> int:
             os.remove(os.path.join(ddir, f))
             removed += 1
     return removed
+
+
+def snapshot_rollback(table_dir: str, to_snapshot: int) -> int:
+    """Iceberg's rollback: make ``to_snapshot``'s file list current
+    again by committing it as a NEW snapshot (operation 'rollback') —
+    history is never rewritten, so the bad snapshot stays inspectable
+    and the rollback itself is time-travelable and revertible. Pure
+    metadata: no data files move; the commit is one manifest write and
+    a pointer swap regardless of table size — the operational 'undo'
+    for a bad replace/merge at 100 TB."""
+    current = _read_pointer(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    target = _load_manifest(table_dir, to_snapshot)  # raises if expired
+    snapshot_id = current + 1
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": current,
+        "operation": "rollback",
+        "rolled_back_to": to_snapshot,
+        "schema": target["schema"],
+        "files": target["files"],
+    }
+    return _commit_manifest(table_dir, manifest)
 
 
 def snapshot_compact(
