@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "snapshot_changelog",
     "snapshot_compact",
     "snapshot_evolution",
+    "snapshot_partition_prune",
     "snapshot_rollback",
     "zorder_cells",
     "snapshot_merge_delete",

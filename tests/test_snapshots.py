@@ -585,3 +585,45 @@ def test_snapshot_rollback_restores_and_preserves_history(spark, tmp_path):
     # rolling back the rollback works too
     s4 = snapshot_rollback(t, s2)
     assert snapshot_read(spark, t).count() == 3 and s4 == 4
+
+
+def test_partitioned_snapshot_write_and_pruning(spark, tmp_path):
+    """Identity partition spec: each data file holds exactly one
+    partition tuple recorded in the manifest (Iceberg-style — the
+    partition columns stay IN the files, layout stays flat), and a
+    partition_filter read lists only matching files. NULL partitions
+    round-trip; pre-spec files are conservatively kept."""
+    from yelp_etl_spark.sources.snapshots import _load_manifest
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["A", "B", None][i % 3], float(i)) for i in range(300)],
+        "id long, grp string, v double",
+    )
+    s1 = snapshot_write(df, t, mode="replace", partition_by=["grp"])
+    m = _load_manifest(t, s1)
+    # one tuple per file, all three partitions present
+    tuples = {f["partition"]["grp"] for f in m["files"]}
+    assert tuples == {"A", "B", None}
+    # partition columns still inside the data files
+    assert set(snapshot_read(spark, t).columns) == {"id", "grp", "v"}
+    assert snapshot_read(spark, t).count() == 300
+    # exact pruning: only A-files listed, full A contents back
+    a = snapshot_read(spark, t, partition_filter={"grp": "A"})
+    assert a.count() == 100
+    assert {r.grp for r in a.collect()} == {"A"}
+    a_files = [f for f in m["files"] if f["partition"]["grp"] == "A"]
+    assert a.rdd.getNumPartitions() <= max(len(a_files), 1) + 1
+    # NULL partition addressable
+    nulls = snapshot_read(spark, t, partition_filter={"grp": None})
+    assert nulls.count() == 100 and {r.grp for r in nulls.collect()} == {None}
+    # append without a spec: pre/post-spec files coexist; filter keeps
+    # the spec-less files conservatively
+    snapshot_write(
+        spark.createDataFrame([(999, "A", 9.9)], "id long, grp string, v double"),
+        t,
+        mode="append",
+    )
+    mixed = snapshot_read(spark, t, partition_filter={"grp": "B"})
+    assert mixed.filter(F.col("grp") == "B").count() == 100
+    assert mixed.count() == 101  # spec-less appended file kept (safe)

@@ -6408,6 +6408,53 @@ GROUP BY 1
 """
 
 
+def q_snapshot_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity partition spec in the snapshot layer (reference
+    write.py:45-49 S5, Iceberg-style: per-file partition tuple in the
+    manifest, partition columns kept in the files): orders partitioned
+    by o_orderstatus, read back with an exact partition_filter. The
+    manifest must prove only ONE partition's files were listed, and
+    the content must equal a plain filter on the source — together
+    they pin both halves of the contract (no over-read, no
+    under-read)."""
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snappart")
+    sid = snapshot_write(
+        orders, table, mode="replace", partition_by=["o_orderstatus"]
+    )
+    m = _load_manifest(table, sid)
+    matched = [
+        f for f in m["files"] if f["partition"]["o_orderstatus"] == "F"
+    ]
+    scanned_parts = {f["partition"]["o_orderstatus"] for f in matched}
+    return (
+        snapshot_read(spark, table, partition_filter={"o_orderstatus": "F"})
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count_distinct("o_orderstatus").alias("n_status"),
+        )
+        .withColumn(
+            "n_partitions_scanned", F.lit(len(scanned_parts)).cast("long")
+        )
+    )
+
+
+ORACLE_SNAPSHOT_PARTITION_PRUNE = """
+SELECT COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       COUNT(DISTINCT o_orderstatus) AS n_status,
+       1 AS n_partitions_scanned
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational undo (sources/snapshots.snapshot_rollback —
     Iceberg's rollback): orders committed, then clobbered by a bad
@@ -6621,6 +6668,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_evolution,
         ORACLE_SNAPSHOT_EVOLUTION,
         "ext:snapshot layer — additive schema evolution read",
+    ),
+    "snapshot_partition_prune": QuerySpec(
+        q_snapshot_partition_prune,
+        ORACLE_SNAPSHOT_PARTITION_PRUNE,
+        "ext:snapshot layer — identity partition spec + exact pruning",
     ),
     "snapshot_rollback": QuerySpec(
         q_snapshot_rollback,

@@ -270,15 +270,51 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
     return snapshot_id
 
 
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_dirs(rel_dir: str, columns: list[str]) -> dict:
+    """Decode a Hive-style ``__p_col=value/...`` scratch path into the
+    file's identity-partition tuple (values as unescaped strings, NULL
+    as None)."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    for part in rel_dir.split(os.sep):
+        if "=" not in part:
+            continue
+        k, _, v = part.partition("=")
+        name = k.removeprefix("__p_")
+        if name in columns:
+            vals[name] = None if v == _HIVE_NULL_DIR else unquote(v)
+    return vals
+
+
 def snapshot_write(
-    df: DataFrame, table_dir: str, mode: str = "replace"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "replace",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table_dir``; returns the new
     snapshot id. ``mode='replace'`` is the reference's createOrReplace
     (write.py:24-29); ``'append'`` keeps the parent snapshot's files and
     adds the new ones (Iceberg's append commit); ``'rewrite'`` is a
     replace labeled as compaction (snapshot_compact) so the snapshot
-    log distinguishes maintenance commits from data changes."""
+    log distinguishes maintenance commits from data changes.
+
+    ``partition_by`` is an identity partition spec (reference
+    write.py:45-49, Iceberg-style rather than Hive-style): every data
+    file holds exactly ONE partition tuple, the tuple is recorded in
+    the MANIFEST per file, and — unlike a Hive layout — the partition
+    columns stay present inside the data files, so reads need no
+    directory inference and the file layout stays flat. Readers prune
+    on the manifest tuples (snapshot_read ``partition_filter``) before
+    Spark lists a single file — at 100 TB this is the coarse pruning
+    layer in front of the min/max zone maps. The per-file-single-tuple
+    guarantee comes from writing through a scratch partitionBy on
+    duplicated dunder columns (Spark's fanout writer splits tasks by
+    value), which are stripped from the files themselves."""
     if mode not in ("replace", "append", "rewrite"):
         raise ValueError(f"mode must be replace|append|rewrite, got {mode!r}")
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
@@ -286,19 +322,47 @@ def snapshot_write(
 
     # 1. write data files to scratch, then move under unique names
     scratch = os.path.join(table_dir, f".commit-{uuid.uuid4().hex}")
-    df.write.parquet(scratch)
     prefix = uuid.uuid4().hex[:12]
     renamed = []  # (manifest-relative path, absolute path)
-    for f in sorted(os.listdir(scratch)):
-        if not f.endswith(".parquet"):
-            continue
-        dst_name = f"{prefix}-{f.split('-')[1]}.parquet"
-        dst = os.path.join(table_dir, "data", dst_name)
-        os.rename(os.path.join(scratch, f), dst)
-        renamed.append((os.path.join("data", dst_name), dst))
+    partitions: list[dict | None] = []
+    if partition_by:
+        out = df
+        for c in partition_by:
+            out = out.withColumn(f"__p_{c}", F.col(c))
+        out.write.partitionBy(*[f"__p_{c}" for c in partition_by]).parquet(
+            scratch
+        )
+        i = 0
+        for root, _dirs, fnames in sorted(os.walk(scratch)):
+            for f in sorted(fnames):
+                if not f.endswith(".parquet"):
+                    continue
+                dst_name = f"{prefix}-{i:05d}.parquet"
+                i += 1
+                dst = os.path.join(table_dir, "data", dst_name)
+                os.rename(os.path.join(root, f), dst)
+                renamed.append((os.path.join("data", dst_name), dst))
+                partitions.append(
+                    _parse_partition_dirs(
+                        os.path.relpath(root, scratch), partition_by
+                    )
+                )
+    else:
+        df.write.parquet(scratch)
+        for f in sorted(os.listdir(scratch)):
+            if not f.endswith(".parquet"):
+                continue
+            dst_name = f"{prefix}-{f.split('-')[1]}.parquet"
+            dst = os.path.join(table_dir, "data", dst_name)
+            os.rename(os.path.join(scratch, f), dst)
+            renamed.append((os.path.join("data", dst_name), dst))
+            partitions.append(None)
     shutil.rmtree(scratch)
     stats = _gather_file_stats(df.sparkSession, [a for _, a in renamed])
-    new_files = [{"path": rel, **st} for (rel, _), st in zip(renamed, stats)]
+    new_files = [
+        {"path": rel, **st, **({"partition": p} if p is not None else {})}
+        for (rel, _), st, p in zip(renamed, stats, partitions)
+    ]
 
     # 2. new manifest = parent files (append) or just new files (replace)
     parent = _read_pointer(table_dir)
@@ -337,6 +401,8 @@ def snapshot_write(
         "schema": schema.json(),
         "files": files,
     }
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
     return _commit_manifest(table_dir, manifest)
 
 
@@ -346,6 +412,7 @@ def snapshot_read(
     snapshot_id: int | None = None,
     prune: tuple[str, str, float] | None = None,
     schema_snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Read a snapshot (current by default; pass ``snapshot_id`` for
     time travel). The file list is resolved NOW, so later commits or
@@ -356,6 +423,15 @@ def snapshot_read(
     manifest-level file skipping from footer min/max stats BEFORE Spark
     lists anything — combine with a matching .filter() for row-level
     semantics (skipping alone keeps whole files that merely overlap).
+
+    ``partition_filter={col: value, ...}`` keeps only files whose
+    manifest-recorded identity-partition tuple matches every given
+    value (stringified; None matches the NULL partition). Exact
+    pruning — a partitioned file holds exactly one tuple — so unlike
+    min/max skipping it needs no residual row filter on the partition
+    columns. Files without recorded partition info (committed before
+    the spec, or under a different spec) are conservatively KEPT;
+    combine with a row-level .filter() when the table mixes specs.
 
     ``schema_snapshot_id`` reads the files under ANOTHER snapshot's
     (usually newer, evolved) schema — columns added since the read
@@ -372,6 +448,21 @@ def snapshot_read(
         else manifest
     )
     files = manifest["files"]
+    if partition_filter:
+
+        def tuple_matches(f: dict) -> bool:
+            part = f.get("partition")
+            if part is None:
+                return True  # unknown spec → cannot skip
+            for c, v in partition_filter.items():
+                if c not in part:
+                    continue  # column not in this file's spec
+                want = None if v is None else str(v)
+                if part[c] != want:
+                    return False
+            return True
+
+        files = [f for f in files if tuple_matches(f)]
     if prune is not None:
         col, op, value = prune
         if op not in ("<=", ">=", "=="):
