@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "snapshot_compact",
     "snapshot_evolution",
     "snapshot_partition_prune",
+    "snapshot_dynamic_overwrite",
     "snapshot_rollback",
     "zorder_cells",
     "snapshot_merge_delete",

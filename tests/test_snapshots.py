@@ -627,3 +627,48 @@ def test_partitioned_snapshot_write_and_pruning(spark, tmp_path):
     mixed = snapshot_read(spark, t, partition_filter={"grp": "B"})
     assert mixed.filter(F.col("grp") == "B").count() == 100
     assert mixed.count() == 101  # spec-less appended file kept (safe)
+
+
+def test_snapshot_overwrite_partitions_atomic(spark, tmp_path):
+    """Dynamic partition overwrite: exactly the delta's partitions are
+    replaced in ONE commit — untouched partitions keep their original
+    FILES (no rewrite), new partitions append, the pre-overwrite
+    snapshot time-travels, and re-running the same publish is
+    idempotent."""
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_overwrite_partitions,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2], float(i)) for i in range(200)],
+        "id long, day string, v double",
+    )
+    s1 = snapshot_write(base, t, mode="replace", partition_by=["day"])
+    b_files_before = {
+        f["path"]
+        for f in _load_manifest(t, s1)["files"]
+        if f["partition"]["day"] == "B"
+    }
+    delta = spark.createDataFrame(
+        [(1000, "A", -1.0), (2000, "C", -2.0)], "id long, day string, v double"
+    )
+    s2 = snapshot_overwrite_partitions(delta, t, ["day"])
+    cur = snapshot_read(spark, t)
+    assert cur.filter(F.col("day") == "A").count() == 1      # replaced
+    assert cur.filter(F.col("day") == "B").count() == 100    # untouched
+    assert cur.filter(F.col("day") == "C").count() == 1      # added
+    m2 = _load_manifest(t, s2)
+    assert m2["operation"] == "overwrite"
+    b_files_after = {
+        f["path"] for f in m2["files"] if f["partition"]["day"] == "B"
+    }
+    assert b_files_after == b_files_before  # kept, not rewritten
+    assert snapshot_read(spark, t, snapshot_id=s1).count() == 200
+    # idempotent replay of the same publish
+    s3 = snapshot_overwrite_partitions(delta, t, ["day"])
+    assert snapshot_read(spark, t, snapshot_id=s3).count() == 102
+    # spec mismatch refuses
+    with pytest.raises(ValueError):
+        snapshot_overwrite_partitions(delta, t, ["id"])

@@ -6455,6 +6455,49 @@ FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def q_snapshot_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic dynamic partition overwrite through the snapshot layer
+    (sources/snapshots.snapshot_overwrite_partitions — Iceberg's
+    overwrite commit; the transactional upgrade of
+    dynamic_overwrite_publish's directory swap): orders partitioned by
+    status, then ONLY the 'F' partition republished as its high-value
+    subset in one commit. Untouched partitions must keep their exact
+    parent files; the oracle pins the resulting content."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_overwrite_partitions,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapdyn")
+    snapshot_write(
+        orders, table, mode="replace", partition_by=["o_orderstatus"]
+    )
+    republished = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)
+    )
+    snapshot_overwrite_partitions(republished, table, ["o_orderstatus"])
+    return (
+        snapshot_read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_DYNAMIC_OVERWRITE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderstatus <> 'F' OR o_totalprice > 150000.0
+GROUP BY o_orderstatus
+"""
+
+
 def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational undo (sources/snapshots.snapshot_rollback —
     Iceberg's rollback): orders committed, then clobbered by a bad
@@ -6673,6 +6716,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_partition_prune,
         ORACLE_SNAPSHOT_PARTITION_PRUNE,
         "ext:snapshot layer — identity partition spec + exact pruning",
+    ),
+    "snapshot_dynamic_overwrite": QuerySpec(
+        q_snapshot_dynamic_overwrite,
+        ORACLE_SNAPSHOT_DYNAMIC_OVERWRITE,
+        "ext:snapshot layer — atomic dynamic partition overwrite",
     ),
     "snapshot_rollback": QuerySpec(
         q_snapshot_rollback,

@@ -290,37 +290,17 @@ def _parse_partition_dirs(rel_dir: str, columns: list[str]) -> dict:
     return vals
 
 
-def snapshot_write(
-    df: DataFrame,
-    table_dir: str,
-    mode: str = "replace",
-    partition_by: list[str] | None = None,
-) -> int:
-    """Commit ``df`` as a new snapshot of ``table_dir``; returns the new
-    snapshot id. ``mode='replace'`` is the reference's createOrReplace
-    (write.py:24-29); ``'append'`` keeps the parent snapshot's files and
-    adds the new ones (Iceberg's append commit); ``'rewrite'`` is a
-    replace labeled as compaction (snapshot_compact) so the snapshot
-    log distinguishes maintenance commits from data changes.
-
-    ``partition_by`` is an identity partition spec (reference
-    write.py:45-49, Iceberg-style rather than Hive-style): every data
-    file holds exactly ONE partition tuple, the tuple is recorded in
-    the MANIFEST per file, and — unlike a Hive layout — the partition
-    columns stay present inside the data files, so reads need no
-    directory inference and the file layout stays flat. Readers prune
-    on the manifest tuples (snapshot_read ``partition_filter``) before
-    Spark lists a single file — at 100 TB this is the coarse pruning
-    layer in front of the min/max zone maps. The per-file-single-tuple
-    guarantee comes from writing through a scratch partitionBy on
-    duplicated dunder columns (Spark's fanout writer splits tasks by
-    value), which are stripped from the files themselves."""
-    if mode not in ("replace", "append", "rewrite"):
-        raise ValueError(f"mode must be replace|append|rewrite, got {mode!r}")
+def _write_data_files(
+    df: DataFrame, table_dir: str, partition_by: list[str] | None
+) -> list[dict]:
+    """Step 1 of every commit: fully write ``df``'s data files (scratch
+    write, rename under fresh unique names) and return their manifest
+    entries (path + footer stats + identity-partition tuple). No
+    manifest references them yet, so a crash here leaves only
+    unreferenced files, invisible to every reader and reclaimed by
+    vacuum."""
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-
-    # 1. write data files to scratch, then move under unique names
     scratch = os.path.join(table_dir, f".commit-{uuid.uuid4().hex}")
     prefix = uuid.uuid4().hex[:12]
     renamed = []  # (manifest-relative path, absolute path)
@@ -359,10 +339,40 @@ def snapshot_write(
             partitions.append(None)
     shutil.rmtree(scratch)
     stats = _gather_file_stats(df.sparkSession, [a for _, a in renamed])
-    new_files = [
+    return [
         {"path": rel, **st, **({"partition": p} if p is not None else {})}
         for (rel, _), st, p in zip(renamed, stats, partitions)
     ]
+
+
+def snapshot_write(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "replace",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as a new snapshot of ``table_dir``; returns the new
+    snapshot id. ``mode='replace'`` is the reference's createOrReplace
+    (write.py:24-29); ``'append'`` keeps the parent snapshot's files and
+    adds the new ones (Iceberg's append commit); ``'rewrite'`` is a
+    replace labeled as compaction (snapshot_compact) so the snapshot
+    log distinguishes maintenance commits from data changes.
+
+    ``partition_by`` is an identity partition spec (reference
+    write.py:45-49, Iceberg-style rather than Hive-style): every data
+    file holds exactly ONE partition tuple, the tuple is recorded in
+    the MANIFEST per file, and — unlike a Hive layout — the partition
+    columns stay present inside the data files, so reads need no
+    directory inference and the file layout stays flat. Readers prune
+    on the manifest tuples (snapshot_read ``partition_filter``) before
+    Spark lists a single file — at 100 TB this is the coarse pruning
+    layer in front of the min/max zone maps. The per-file-single-tuple
+    guarantee comes from writing through a scratch partitionBy on
+    duplicated dunder columns (Spark's fanout writer splits tasks by
+    value), which are stripped from the files themselves."""
+    if mode not in ("replace", "append", "rewrite"):
+        raise ValueError(f"mode must be replace|append|rewrite, got {mode!r}")
+    new_files = _write_data_files(df, table_dir, partition_by)
 
     # 2. new manifest = parent files (append) or just new files (replace)
     parent = _read_pointer(table_dir)
@@ -560,6 +570,55 @@ def vacuum(table_dir: str) -> int:
             os.remove(os.path.join(ddir, f))
             removed += 1
     return removed
+
+
+def snapshot_overwrite_partitions(
+    df: DataFrame, table_dir: str, partition_by: list[str]
+) -> int:
+    """Atomic dynamic partition overwrite (Iceberg's overwrite commit;
+    the snapshot-layer form of writers.overwrite_partitions_dynamic):
+    replace ONLY the partitions present in ``df``, keep every other
+    partition's files from the parent snapshot, all in ONE commit —
+    readers see the old table or the new one, never a half-replaced
+    partition, and the replaced partitions stay time-travelable. This
+    is the idempotent backfill/late-data publish primitive: re-running
+    a day's job rewrites exactly that day.
+
+    Requires the parent snapshot to carry the SAME identity spec
+    (files without partition info cannot be safely kept-or-replaced;
+    the commit refuses rather than guessing). The touched-tuple
+    collect is bounded by the number of distinct partitions in the
+    delta, not by rows."""
+    parent = _read_pointer(table_dir)
+    if parent is None:
+        return snapshot_write(
+            df, table_dir, mode="replace", partition_by=partition_by
+        )
+    pm = _load_manifest(table_dir, parent)
+    if pm.get("partition_by") != list(partition_by):
+        raise ValueError(
+            f"parent snapshot spec {pm.get('partition_by')!r} != "
+            f"{list(partition_by)!r}: dynamic overwrite needs a matching "
+            "identity spec on the parent"
+        )
+    new_files = _write_data_files(df, table_dir, partition_by)
+    touched = {
+        tuple(f["partition"][c] for c in partition_by) for f in new_files
+    }
+    kept = [
+        f
+        for f in pm["files"]
+        if tuple(f["partition"][c] for c in partition_by) not in touched
+    ]
+    manifest = {
+        "snapshot_id": parent + 1,
+        "parent_id": parent,
+        "operation": "overwrite",
+        "schema": pm["schema"],
+        "files": new_files + kept,
+        "partition_by": list(partition_by),
+    }
+    return _commit_manifest(table_dir, manifest)
 
 
 def snapshot_rollback(table_dir: str, to_snapshot: int) -> int:
