@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "snapshot_evolution",
     "snapshot_partition_prune",
     "snapshot_dynamic_overwrite",
+    "snapshot_bucket_prune",
     "snapshot_rollback",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -672,3 +672,41 @@ def test_snapshot_overwrite_partitions_atomic(spark, tmp_path):
     # spec mismatch refuses
     with pytest.raises(ValueError):
         snapshot_overwrite_partitions(delta, t, ["id"])
+
+
+def test_bucket_transform_spec_hidden_partitioning(spark, tmp_path):
+    """bucket(N, col) spec: files are split by pmod(xxhash64(col), N),
+    the reader filters on the RAW value (never sees bucket numbers),
+    and pruning lists only the matching bucket's files while returning
+    exactly the plain-filter content. NULLs land in the null bucket."""
+    from yelp_etl_spark.sources.snapshots import _load_manifest
+
+    t = str(tmp_path / "tbl")
+    rows = [(i, i % 37, float(i)) for i in range(500)] + [(999, None, 0.0)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    sid = snapshot_write(df, t, mode="replace", partition_by=["bucket(8, k)"])
+    m = _load_manifest(t, sid)
+    assert m["partition_by"] == ["bucket(8, k)"]
+    buckets = {f["partition"]["k_bucket8"] for f in m["files"]}
+    assert None in buckets and len(buckets - {None}) > 1  # spread + null
+    # hidden partitioning: filter by raw value
+    got = snapshot_read(spark, t, partition_filter={"k": 5})
+    want = df.filter(F.col("k") == 5)
+    assert got.filter(F.col("k") == 5).count() == want.count()
+    # no under-read, and strictly fewer files than the full table
+    n_files_probed = got.rdd.getNumPartitions()
+    assert {r.k for r in got.collect()} >= {5}
+    assert len([f for f in m["files"]]) > n_files_probed or len(buckets) == 1
+    # NULL probe hits only the null bucket
+    nulls = snapshot_read(spark, t, partition_filter={"k": None})
+    assert nulls.count() == 1 and nulls.collect()[0].id == 999
+    # dynamic overwrite composes with bucket specs
+    from yelp_etl_spark.sources.snapshots import snapshot_overwrite_partitions
+
+    delta = spark.createDataFrame([(10_000, 5, -5.0)], "id long, k long, v double")
+    snapshot_overwrite_partitions(delta, t, ["bucket(8, k)"])
+    cur = snapshot_read(spark, t)
+    # k=5's bucket replaced (its other keys gone), other buckets intact
+    assert cur.filter(F.col("k") == 5).count() == 1
+    assert cur.filter(F.col("k") == 5).collect()[0].id == 10_000
+    assert cur.filter(F.col("k").isNull()).count() == 1

@@ -6498,6 +6498,42 @@ GROUP BY o_orderstatus
 """
 
 
+def q_snapshot_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket transform spec (reference write.py:50-53 S6, as Iceberg
+    hidden partitioning): orders committed under bucket(8, o_custkey);
+    the read probes ONE customer by RAW value — the engine computes
+    the bucket, lists only that bucket's files, and a row-level filter
+    finishes the job (a bucket holds many keys). Content must equal a
+    plain filter on the source; the probe key is the deterministic
+    MIN(o_custkey) so the query is stable at every scale factor."""
+    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapbkt")
+    snapshot_write(
+        orders, table, mode="replace", partition_by=["bucket(8, o_custkey)"]
+    )
+    probe = orders.agg(F.min("o_custkey")).collect()[0][0]
+    return (
+        snapshot_read(spark, table, partition_filter={"o_custkey": probe})
+        .filter(F.col("o_custkey") == probe)
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_BUCKET_PRUNE = """
+SELECT COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders
+WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+"""
+
+
 def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational undo (sources/snapshots.snapshot_rollback —
     Iceberg's rollback): orders committed, then clobbered by a bad
@@ -6721,6 +6757,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_dynamic_overwrite,
         ORACLE_SNAPSHOT_DYNAMIC_OVERWRITE,
         "ext:snapshot layer — atomic dynamic partition overwrite",
+    ),
+    "snapshot_bucket_prune": QuerySpec(
+        q_snapshot_bucket_prune,
+        ORACLE_SNAPSHOT_BUCKET_PRUNE,
+        "ext:snapshot layer — bucket transform spec, hidden partitioning",
     ),
     "snapshot_rollback": QuerySpec(
         q_snapshot_rollback,

@@ -272,11 +272,39 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
 
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
+_BUCKET_SPEC_RE = _re.compile(r"^bucket\((\d+),\s*([A-Za-z_][A-Za-z0-9_]*)\)$")
 
-def _parse_partition_dirs(rel_dir: str, columns: list[str]) -> dict:
-    """Decode a Hive-style ``__p_col=value/...`` scratch path into the
-    file's identity-partition tuple (values as unescaped strings, NULL
-    as None)."""
+
+def _spec_fields(partition_by: list[str]) -> list[tuple[str, str, int | None]]:
+    """Resolve a partition spec into (field_name, source_column,
+    n_buckets-or-None) triples. Two transform kinds, Iceberg-style:
+    a bare column name is an identity partition; ``bucket(N, col)`` is
+    a hash bucket (hidden partitioning — readers filter on the SOURCE
+    value and never see bucket numbers)."""
+    out = []
+    for entry in partition_by:
+        m = _BUCKET_SPEC_RE.match(entry)
+        if m:
+            n, col = int(m.group(1)), m.group(2)
+            out.append((f"{col}_bucket{n}", col, n))
+        else:
+            out.append((entry, entry, None))
+    return out
+
+
+def _bucket_expr(col: str, n: int):
+    """The bucket transform: pmod(xxhash64(col), n), NULL-preserving
+    (Iceberg buckets NULL into the null partition, and Spark's
+    xxhash64 would otherwise hash a NULL to the seed value)."""
+    return F.when(
+        F.col(col).isNull(), F.lit(None).cast("long")
+    ).otherwise(F.pmod(F.xxhash64(F.col(col)), F.lit(n)))
+
+
+def _parse_partition_dirs(rel_dir: str, fields: list[str]) -> dict:
+    """Decode a Hive-style ``__p_field=value/...`` scratch path into the
+    file's partition tuple (values as unescaped strings, NULL as
+    None)."""
     from urllib.parse import unquote
 
     vals: dict = {}
@@ -285,7 +313,7 @@ def _parse_partition_dirs(rel_dir: str, columns: list[str]) -> dict:
             continue
         k, _, v = part.partition("=")
         name = k.removeprefix("__p_")
-        if name in columns:
+        if name in fields:
             vals[name] = None if v == _HIVE_NULL_DIR else unquote(v)
     return vals
 
@@ -306,12 +334,17 @@ def _write_data_files(
     renamed = []  # (manifest-relative path, absolute path)
     partitions: list[dict | None] = []
     if partition_by:
+        fields = _spec_fields(partition_by)
         out = df
-        for c in partition_by:
-            out = out.withColumn(f"__p_{c}", F.col(c))
-        out.write.partitionBy(*[f"__p_{c}" for c in partition_by]).parquet(
+        for field, src, n in fields:
+            out = out.withColumn(
+                f"__p_{field}",
+                F.col(src) if n is None else _bucket_expr(src, n),
+            )
+        out.write.partitionBy(*[f"__p_{f}" for f, _, _ in fields]).parquet(
             scratch
         )
+        field_names = [f for f, _, _ in fields]
         i = 0
         for root, _dirs, fnames in sorted(os.walk(scratch)):
             for f in sorted(fnames):
@@ -324,7 +357,7 @@ def _write_data_files(
                 renamed.append((os.path.join("data", dst_name), dst))
                 partitions.append(
                     _parse_partition_dirs(
-                        os.path.relpath(root, scratch), partition_by
+                        os.path.relpath(root, scratch), field_names
                     )
                 )
     else:
@@ -459,16 +492,50 @@ def snapshot_read(
     )
     files = manifest["files"]
     if partition_filter:
+        # Hidden partitioning: filters name SOURCE columns and raw
+        # values; the spec maps each to its manifest field(s) — an
+        # identity field matches str(value), a bucket(N, col) field
+        # matches the COMPUTED bucket of the value (one 1-row local
+        # expression per bucketed filter column, evaluated with the
+        # same Spark hash the writer used, so reader and writer can
+        # never drift).
+        from pyspark.sql.types import StructType as _St
+
+        spec = _spec_fields(manifest.get("partition_by") or [])
+        schema_fields = {
+            f.name: f
+            for f in _St.fromJson(json.loads(manifest["schema"])).fields
+        }
+        wanted: dict[str, str | None] = {}
+        for src, value in partition_filter.items():
+            for field, col, n in spec:
+                if col != src:
+                    continue
+                if n is None:
+                    wanted[field] = None if value is None else str(value)
+                elif value is None:
+                    wanted[field] = None
+                else:
+                    probe = spark.createDataFrame(
+                        [(value,)], _St([schema_fields[col]])
+                    )
+                    bucket = probe.select(
+                        _bucket_expr(col, n).alias("b")
+                    ).collect()[0]["b"]
+                    wanted[field] = str(bucket)
+            if not any(col == src for _, col, _n in spec):
+                # not a partition source under this spec: identity
+                # fallback for tables written before spec strings
+                wanted[src] = None if value is None else str(value)
 
         def tuple_matches(f: dict) -> bool:
             part = f.get("partition")
             if part is None:
                 return True  # unknown spec → cannot skip
-            for c, v in partition_filter.items():
-                if c not in part:
-                    continue  # column not in this file's spec
-                want = None if v is None else str(v)
-                if part[c] != want:
+            for field, want in wanted.items():
+                if field not in part:
+                    continue  # field not in this file's spec
+                if part[field] != want:
                     return False
             return True
 
@@ -602,13 +669,14 @@ def snapshot_overwrite_partitions(
             "identity spec on the parent"
         )
     new_files = _write_data_files(df, table_dir, partition_by)
+    fields = [f for f, _, _ in _spec_fields(partition_by)]
     touched = {
-        tuple(f["partition"][c] for c in partition_by) for f in new_files
+        tuple(f["partition"][c] for c in fields) for f in new_files
     }
     kept = [
         f
         for f in pm["files"]
-        if tuple(f["partition"][c] for c in partition_by) not in touched
+        if tuple(f["partition"][c] for c in fields) not in touched
     ]
     manifest = {
         "snapshot_id": parent + 1,
