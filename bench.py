@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "snapshot_partition_prune",
     "snapshot_dynamic_overwrite",
     "snapshot_bucket_prune",
+    "snapshot_files_metadata",
     "snapshot_rollback",
     "zorder_cells",
     "snapshot_merge_delete",

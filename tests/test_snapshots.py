@@ -710,3 +710,36 @@ def test_bucket_transform_spec_hidden_partitioning(spark, tmp_path):
     assert cur.filter(F.col("k") == 5).count() == 1
     assert cur.filter(F.col("k") == 5).collect()[0].id == 10_000
     assert cur.filter(F.col("k").isNull()).count() == 1
+
+
+def test_metadata_tables(spark, tmp_path):
+    """files/history metadata tables reflect the manifest exactly: per
+    file rows and partition tuples, and the full commit trail."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_files_table,
+        snapshot_history_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2]) for i in range(100)], "id long, g string"
+    )
+    snapshot_write(df, t, mode="replace", partition_by=["g"])
+    snapshot_write(
+        spark.createDataFrame([(100, "C")], "id long, g string"), t, mode="append"
+    )
+    files = snapshot_files_table(spark, t)
+    assert files.agg(F.sum("n_rows")).collect()[0][0] == 101
+    per_part = {
+        r["p"]: r["n"]
+        for r in files.groupBy(F.col("partition")["g"].alias("p"))
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()
+    }
+    assert per_part["A"] == 50 and per_part["B"] == 50
+    assert per_part.get(None) == 1  # spec-less append has no tuple
+    hist = snapshot_history_table(spark, t).collect()
+    assert [(r.snapshot_id, r.operation, r.n_rows) for r in hist] == [
+        (1, "replace", 100),
+        (2, "append", 101),
+    ]

@@ -6498,6 +6498,41 @@ GROUP BY o_orderstatus
 """
 
 
+def q_snapshot_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables (sources/snapshots.snapshot_files_table /
+    snapshot_history_table — Iceberg's table.files and table.history):
+    orders committed partitioned, then audited purely from the
+    MANIFEST — per-partition row totals come from the files table's
+    recorded counts, never a data scan, and must equal the source's
+    true per-status counts; the history row count rides along. This is
+    the interactive audit path at 100 TB (the manifest is the only
+    artifact small enough to inspect)."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_files_table,
+        snapshot_history_table,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapmeta")
+    snapshot_write(
+        orders, table, mode="replace", partition_by=["o_orderstatus"]
+    )
+    n_commits = snapshot_history_table(spark, table).count()
+    return (
+        snapshot_files_table(spark, table)
+        .groupBy(F.col("partition")["o_orderstatus"].alias("o_orderstatus"))
+        .agg(F.sum("n_rows").alias("n_orders"))
+        .withColumn("n_commits", F.lit(n_commits).cast("long"))
+    )
+
+
+ORACLE_SNAPSHOT_FILES_METADATA = """
+SELECT o_orderstatus, COUNT(*) AS n_orders, 1 AS n_commits
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_snapshot_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket transform spec (reference write.py:50-53 S6, as Iceberg
     hidden partitioning): orders committed under bucket(8, o_custkey);
@@ -6757,6 +6792,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_dynamic_overwrite,
         ORACLE_SNAPSHOT_DYNAMIC_OVERWRITE,
         "ext:snapshot layer — atomic dynamic partition overwrite",
+    ),
+    "snapshot_files_metadata": QuerySpec(
+        q_snapshot_files_metadata,
+        ORACLE_SNAPSHOT_FILES_METADATA,
+        "ext:snapshot layer — files/history metadata tables",
     ),
     "snapshot_bucket_prune": QuerySpec(
         q_snapshot_bucket_prune,

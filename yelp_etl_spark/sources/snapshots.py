@@ -586,6 +586,57 @@ def snapshots(table_dir: str) -> list[dict]:
     return out
 
 
+def snapshot_files_table(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Iceberg's ``table.files`` metadata table as a DataFrame: one row
+    per data file of a snapshot with (path, rows, partition tuple as a
+    map, min/max zone maps as JSON). Layout audits, skew checks, and
+    compaction planning query THIS instead of listing storage — at
+    100 TB the manifest is the only thing small enough to inspect
+    interactively."""
+    sid = snapshot_id if snapshot_id is not None else _read_pointer(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    m = _load_manifest(table_dir, sid)
+    rows = [
+        (
+            f["path"],
+            f["rows"],
+            {k: v for k, v in (f.get("partition") or {}).items()},
+            json.dumps(f["min"], sort_keys=True),
+            json.dumps(f["max"], sort_keys=True),
+        )
+        for f in m["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, n_rows long, partition map<string,string>, "
+        "min_json string, max_json string",
+    )
+
+
+def snapshot_history_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Iceberg's ``table.history``/``table.snapshots`` metadata table:
+    one row per committed snapshot (id, parent, operation, file/row
+    counts) — the audit trail behind time travel and rollback."""
+    rows = [
+        (
+            s["snapshot_id"],
+            s["parent_id"],
+            s["operation"],
+            s["n_files"],
+            s["n_rows"],
+        )
+        for s in snapshots(table_dir)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, operation string, "
+        "n_files long, n_rows long",
+    )
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` manifests (returns expired
     ids). Data files stay until vacuum() — expiry only limits how far
