@@ -743,3 +743,117 @@ def test_metadata_tables(spark, tmp_path):
         (1, "replace", 100),
         (2, "append", 101),
     ]
+
+
+def test_snapshot_layer_model_property_partitioned_ops(spark, tmp_path):
+    """Model property over the round-5 surface: every ordered PAIR of
+    {partitioned replace, dynamic overwrite, merge-with-delete,
+    compact, rollback-to-1} (plus two targeted triples) matches a
+    driver-side model at EVERY intermediate snapshot, and the
+    partition spec survives every op — a maintenance/merge commit must
+    never silently de-partition the table, so an exact
+    partition_filter read stays correct at the end of every sequence."""
+    import itertools
+
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_merge,
+        snapshot_overwrite_partitions,
+        snapshot_rollback,
+    )
+
+    R0 = [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0), (4, "B", 4.0)]
+    D = [(10, "A", 10.0), (20, "C", 20.0)]
+    MERGE_SRC = [(1, "A", 99.0, "U"), (3, "B", 0.0, "D"), (30, "B", 30.0, "U")]
+    MERGE_UPS = [(1, "A", 99.0), (30, "B", 30.0)]
+    MERGE_KEYS = {1, 3, 30}
+
+    ops = ["replace", "overwrite", "merge_del", "compact", "rollback1"]
+    seqs = [list(p) for p in itertools.product(ops, repeat=2)]
+    seqs += [
+        ["overwrite", "compact", "overwrite"],
+        ["merge_del", "rollback1", "overwrite"],
+    ]
+
+    def apply_op(t, op, model, states):
+        if op == "replace":
+            snapshot_write(
+                spark.createDataFrame(R0, "k long, g string, v double"),
+                t,
+                mode="replace",
+                partition_by=["g"],
+            )
+            return list(R0)
+        if op == "overwrite":
+            snapshot_overwrite_partitions(
+                spark.createDataFrame(D, "k long, g string, v double"),
+                t,
+                ["g"],
+            )
+            if not model:
+                return list(D)
+            return [r for r in model if r[1] not in {"A", "C"}] + list(D)
+        if op == "merge_del":
+            snapshot_merge(
+                spark,
+                spark.createDataFrame(
+                    MERGE_SRC, "k long, g string, v double, __op string"
+                ),
+                t,
+                ["k"],
+                delete_condition=F.col("__op") == "D",
+            )
+            if not model:
+                return list(MERGE_UPS)
+            return [r for r in model if r[0] not in MERGE_KEYS] + list(MERGE_UPS)
+        if op == "compact":
+            snapshot_compact(spark, t)
+            return list(model)
+        if op == "rollback1":
+            snapshot_rollback(t, 1)
+            return list(states[0])
+        raise AssertionError(op)
+
+    # a bootstrap merge never declares a spec, so an overwrite after it
+    # correctly refuses — pin that, then enumerate only sequences whose
+    # first op declares the spec
+    t0 = str(tmp_path / "bootstrap")
+    snapshot_merge(
+        spark,
+        spark.createDataFrame(MERGE_SRC, "k long, g string, v double, __op string"),
+        t0,
+        ["k"],
+        delete_condition=F.col("__op") == "D",
+    )
+    with pytest.raises(ValueError):
+        snapshot_overwrite_partitions(
+            spark.createDataFrame(D, "k long, g string, v double"), t0, ["g"]
+        )
+
+    for seq_i, seq in enumerate(seqs):
+        if seq[0] not in ("replace", "overwrite"):
+            continue  # need a committed, spec-declaring parent
+        t = str(tmp_path / f"tbl{seq_i}")
+        model: list[tuple] = []
+        states: list[list[tuple]] = []
+        for op in seq:
+            model = apply_op(t, op, model, states)
+            states.append(list(model))
+        for sid, expect in enumerate(states, start=1):
+            got = sorted(
+                (r.k, r.g, r.v)
+                for r in snapshot_read(spark, t, snapshot_id=sid).collect()
+            )
+            assert got == sorted(expect), f"seq={seq} snapshot={sid}"
+        # spec survived the whole sequence...
+        final = _load_manifest(t, len(states))
+        assert final.get("partition_by") == ["g"], f"seq={seq} lost the spec"
+        # ...and exact partition pruning still answers correctly
+        got_a = sorted(
+            (r.k, r.g, r.v)
+            for r in snapshot_read(
+                spark, t, partition_filter={"g": "A"}
+            ).collect()
+        )
+        assert got_a == sorted(r for r in states[-1] if r[1] == "A"), f"seq={seq}"

@@ -761,6 +761,10 @@ def snapshot_rollback(table_dir: str, to_snapshot: int) -> int:
         "schema": target["schema"],
         "files": target["files"],
     }
+    if target.get("partition_by"):
+        # restoring a spec'd snapshot restores its spec too — otherwise
+        # a later dynamic overwrite would refuse the "spec-less" parent
+        manifest["partition_by"] = target["partition_by"]
     return _commit_manifest(table_dir, manifest)
 
 
@@ -790,7 +794,23 @@ def snapshot_compact(
     )
     n_out = max(1, -(-total // target_file_bytes))
     df = snapshot_read(spark, table_dir)
-    return snapshot_write(df.repartition(n_out), table_dir, mode="rewrite")
+    spec = manifest.get("partition_by")
+    if not spec:
+        return snapshot_write(df.repartition(n_out), table_dir, mode="rewrite")
+    # preserve the partition spec (Iceberg compaction rewrites WITHIN
+    # the spec): repartition on the spec fields so each output task
+    # holds whole partitions — the fanout write then emits ~one file
+    # per (task, partition) instead of files-per-partition × tasks
+    exprs = [
+        F.col(src) if n is None else _bucket_expr(src, n)
+        for _f, src, n in _spec_fields(spec)
+    ]
+    return snapshot_write(
+        df.repartition(n_out, *exprs),
+        table_dir,
+        mode="rewrite",
+        partition_by=spec,
+    )
 
 
 def snapshot_merge(
@@ -816,21 +836,36 @@ def snapshot_merge(
     branch is projected onto the target's columns. Execution is one
     extra anti-join on the delete keys over the plain upsert — still a
     single keyed shuffle family, broadcastable when the delta is
-    small."""
+    small.
+
+    Merge, compaction, and rollback all PRESERVE the parent snapshot's
+    partition spec — a maintenance or merge commit must never silently
+    turn a partitioned table into an unpartitioned one (that would
+    make the next dynamic overwrite refuse and every partition-pruned
+    read degrade to a full listing)."""
     from yelp_etl_spark.operators.scd import merge_upsert
 
+    parent = _read_pointer(table_dir)
+    parent_spec = (
+        _load_manifest(table_dir, parent).get("partition_by")
+        if parent is not None
+        else None
+    )
     if delete_condition is None:
-        if _read_pointer(table_dir) is None:
+        if parent is None:
             return snapshot_write(source, table_dir, mode="replace")
         target = snapshot_read(spark, table_dir)
         return snapshot_write(
-            merge_upsert(target, source, keys), table_dir, mode="replace"
+            merge_upsert(target, source, keys),
+            table_dir,
+            mode="replace",
+            partition_by=parent_spec,
         )
     deletes = source.filter(delete_condition).select(*keys)
     upserts = source.filter(
         ~F.coalesce(delete_condition, F.lit(False))
     )
-    if _read_pointer(table_dir) is None:
+    if parent is None:
         # no target schema to project onto yet: strip engine-internal
         # dunder columns (the CDC op-flag convention) so a bootstrap
         # merge does not bake the flag into the table schema forever
@@ -842,7 +877,9 @@ def snapshot_merge(
         merged = merge_upsert(
             target, upserts.select(*target.columns), keys
         ).join(deletes, keys, "left_anti")
-    return snapshot_write(merged, table_dir, mode="replace")
+    return snapshot_write(
+        merged, table_dir, mode="replace", partition_by=parent_spec
+    )
 
 
 def snapshot_changes(
