@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "snapshot_bucket_prune",
     "snapshot_files_metadata",
     "snapshot_rollback",
+    "snapshot_expire",
+    "csv_scan_roundtrip",
     "zorder_cells",
     "snapshot_merge_delete",
     "surrogate_ids_portable",

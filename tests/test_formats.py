@@ -151,6 +151,77 @@ def test_read_json_permissive_corrupt_record_capture(spark, tmp_path):
     df.unpersist()
 
 
+def test_read_csv_permissive_quarantine_boundary(spark, tmp_path):
+    """S1b: CSV's PERMISSIVE quarantine boundary, pinned empirically.
+    Cast failures are ALWAYS flagged in _corrupt_record. Schema-shape
+    mismatches (short rows, surplus tokens) are flagged ONLY when the
+    plan reads every schema column — under CSV column pruning
+    (spark.sql.csv.parser.columnPruning.enabled, default true) a
+    projection that drops any data column also silently un-flags
+    shape-corrupt rows, and their best-effort values (nulls for
+    missing fields, surplus dropped) flow through as good. A 100 TB
+    quarantine pipeline must therefore either read full-width or add
+    downstream NULL checks — this is exactly why csv_scan_roundtrip's
+    injected lines are both cast failures."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from yelp_etl_spark.sources.readers import read_files
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,name,n\n"
+        "1,ok,10\n"
+        "notalong,bad,notanint\n"  # cast failure -> always flagged
+        "3,short\n"  # short row -> flagged only full-width
+        "4,long,40,surplus\n"  # extra token -> flagged only full-width
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("n", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_files(
+        spark,
+        str(p),
+        format="csv",
+        schema=schema,
+        header="true",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    # Full-width scan: every malformed row flagged, values best-effort.
+    full = {r.id: r for r in df.collect()}
+    assert full[None]._corrupt_record is not None  # cast failure
+    assert full[3]._corrupt_record is not None and full[3].n is None
+    assert full[4]._corrupt_record is not None and full[4].n == 40
+    assert full[1]._corrupt_record is None
+    # Pruned scan (name column dropped): ONLY the cast failure stays
+    # flagged; shape mismatches silently pass as good. (No cache above:
+    # a cached full-width parse would serve this select and hide the
+    # pruned-parse behavior.)
+    pruned = {r.id: r for r in df.select("id", "_corrupt_record").collect()}
+    assert pruned[None]._corrupt_record is not None
+    assert pruned[3]._corrupt_record is None
+    assert pruned[4]._corrupt_record is None
+
+
+def test_snapshot_expire_vacuum_lifecycle_query(spark, sf_dir):
+    """snapshot_expire catalog query end-to-end at sf0.001: pins the
+    full retention contract in one row (2 expired, 1 snapshot left,
+    orphans reclaimed, expired time travel fails)."""
+    from yelp_etl_spark.plans.catalog import QUERIES
+
+    row = QUERIES["snapshot_expire"].fn(spark, sf_dir).collect()[0]
+    assert row.n_expired == 2
+    assert row.n_snapshots_left == 1
+    assert row.vacuumed_any == 1
+    assert row.tt_gone == 1
+    assert row.n > 0
+
+
 def test_distributed_write_bounds_file_count(spark, sf_dir, tmp_path):
     """WriteSpec(distribute=True) hash-distributes rows to the layout
     keys before the path write (Iceberg write.distribution-mode=hash):

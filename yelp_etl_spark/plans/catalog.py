@@ -6170,6 +6170,135 @@ FROM documents
 """
 
 
+def q_csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's CSV sibling (reference extract.py:30 reads JSON; CSV is the
+    other schemaless interchange format a generalized ingest layer must
+    own): documents → CSV files with header → read back through
+    sources/readers.read_files with an EXPLICIT schema (no inference
+    pass — at 100 TB inference is a full extra scan) in PERMISSIVE mode
+    with ``_corrupt_record`` capture. Two type-cast-failure lines are
+    injected behind a proper header line — cast failures specifically,
+    because they are the only malformation CSV PERMISSIVE flags under
+    EVERY plan: shape mismatches (short/surplus rows) are flagged only
+    when the scan reads full-width, and silently pass as null-padded
+    good rows under CSV column pruning (default on; pinned in
+    test_read_csv_permissive_quarantine_boundary — a pruning-dependent
+    corrupt count would make this aggregate plan-fragile); the
+    aggregate proves every good row survived the
+    write→scan roundtrip with values intact and exactly the injected
+    lines were quarantined, never dropped or fatal."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from yelp_etl_spark.sources.readers import read_files
+
+    docs = _t(spark, sf_dir, "documents")
+    target = _scratch_dir(sf_dir, "csv")
+    docs.select("doc_id", "lang", "source", "n_chars").write.option(
+        "header", "true"
+    ).csv(target)
+    with open(os.path.join(target, "zz-corrupt.csv"), "w") as fh:
+        fh.write(
+            "doc_id,lang,source,n_chars\n"
+            "notalong,en,web,alsonotalong\n"
+            "1,en,web,12.5x\n"
+        )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = read_files(
+        spark,
+        target,
+        format="csv",
+        schema=schema,
+        header="true",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_chars"))).alias("sum_chars"),
+        F.countDistinct(F.when(good, F.col("doc_id"))).alias("n_docs"),
+    )
+
+
+ORACLE_CSV_SCAN_ROUNDTRIP = """
+SELECT COUNT(*) AS n_good,
+       2 AS n_corrupt,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM documents
+"""
+
+
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention lifecycle (sources/snapshots.expire_snapshots
+    + vacuum — Iceberg's expire_snapshots / remove_orphan_files, the
+    maintenance half of reference write.py's createOrReplace): orders
+    committed, twice replaced by a high-value subset, then all but the
+    newest snapshot expired and orphaned data files vacuumed. Pins the
+    full contract: exactly 2 snapshots expired, exactly 1 left in
+    history, vacuum reclaimed at least one file (the replaced full
+    table), time travel to an expired id now FAILS, and the surviving
+    current read still matches the source subset byte-for-byte."""
+    from yelp_etl_spark.sources.snapshots import (
+        expire_snapshots,
+        snapshot_read,
+        snapshot_write,
+        snapshots,
+        vacuum,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapexp")
+    s1 = snapshot_write(orders, table, mode="replace")
+    keep = orders.filter(F.col("o_totalprice") > 200000.0)
+    snapshot_write(keep.filter(F.col("o_orderpriority") != "1-URGENT"), table, mode="replace")
+    snapshot_write(keep, table, mode="replace")
+    expired = expire_snapshots(table, keep_last=1)
+    n_vacuumed = vacuum(table)
+    try:
+        snapshot_read(spark, table, snapshot_id=s1).count()
+        tt_gone = 0
+    except Exception:
+        tt_gone = 1
+    return (
+        snapshot_read(spark, table)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "n",
+            "total",
+            F.lit(len(expired)).cast("long").alias("n_expired"),
+            F.lit(len(snapshots(table))).cast("long").alias("n_snapshots_left"),
+            F.lit(1 if n_vacuumed > 0 else 0).cast("long").alias("vacuumed_any"),
+            F.lit(tt_gone).cast("long").alias("tt_gone"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_EXPIRE = """
+SELECT COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(2 AS BIGINT) AS n_expired,
+       CAST(1 AS BIGINT) AS n_snapshots_left,
+       CAST(1 AS BIGINT) AS vacuumed_any,
+       CAST(1 AS BIGINT) AS tt_gone
+FROM orders WHERE o_totalprice > 200000.0
+"""
+
+
 def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot layer roundtrip (sources/snapshots.py — the Iceberg
     createOrReplace/time-travel semantics of reference write.py:24-29,
@@ -6820,6 +6949,16 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "compact_small_files": QuerySpec(
         q_compact_small_files, ORACLE_COMPACT_SMALL_FILES, "ext:compaction roundtrip"
+    ),
+    "csv_scan_roundtrip": QuerySpec(
+        q_csv_scan_roundtrip,
+        ORACLE_CSV_SCAN_ROUNDTRIP,
+        "S1: explicit-schema CSV scan + corrupt-record capture roundtrip",
+    ),
+    "snapshot_expire": QuerySpec(
+        q_snapshot_expire,
+        ORACLE_SNAPSHOT_EXPIRE,
+        "ext:snapshot layer — expire_snapshots + vacuum retention lifecycle",
     ),
     "dynamic_overwrite_publish": QuerySpec(
         q_dynamic_overwrite_publish,
