@@ -46,7 +46,12 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     lowercase, matching functions/text.py's vocabulary convention (a
     literal-space split also sidesteps the Java-regex vs RE2 '\\s'
     divergence on \\x0B, which would silently desync the DuckDB
-    oracles; empty tokens from space runs are filtered)."""
+    oracles; empty tokens from space runs are filtered). Deliberately
+    NOT widened with readers.fan_out: the (word, wfreq) output's
+    partitioning is inherited by every downstream merge iteration via
+    the loop's checkpoint, so extra input partitions become extra
+    scheduled tasks in EVERY iteration, while the scan itself is
+    vocabulary-bounded after one map-side partial agg."""
     return (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
         .filter(F.col("word") != "")

@@ -69,7 +69,9 @@ def _token_rows(
     everything downstream is flat relational ops. Documents with no
     tokens keep one (id, null, null) row (explode_outer) so per-doc
     aggregates still see them."""
-    return df.select(
+    from yelp_etl_spark.sources.readers import fan_out
+
+    return fan_out(df, id_col).select(
         F.col(id_col),
         F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "tok"),
     )

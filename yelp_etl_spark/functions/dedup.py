@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from yelp_etl_spark.functions.checkpoint import truncate_lineage
 from yelp_etl_spark.functions.text import fingerprint, tokens
+from yelp_etl_spark.sources.readers import fan_out
 
 
 def exact_dedup(
@@ -86,7 +87,7 @@ def ngram_jaccard_pairs(
     # checkpointed RDD is instead released by the ContextCleaner when
     # the result goes out of scope.
     sh = truncate_lineage(
-        df.select(
+        fan_out(df, id_col).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
@@ -143,7 +144,7 @@ def minhash_signatures(
     shingle exactly 64 times, partial-aggregates map-side, and shuffles
     only (id, 64 longs). Documents with fewer than ``n`` tokens have no
     shingles and drop out (they cannot be near-duplicates)."""
-    sh = df.select(
+    sh = fan_out(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
@@ -240,7 +241,9 @@ def simhash_sketches(
     feats_arr = (
         shingles(F.col(text_col), n) if n > 1 else F.array_distinct(tokens(F.col(text_col)))
     )
-    feats = df.select(F.col(id_col), F.explode(feats_arr).alias("__feat")).withColumn(
+    feats = fan_out(df, id_col).select(
+        F.col(id_col), F.explode(feats_arr).alias("__feat")
+    ).withColumn(
         "__h", F.xxhash64("__feat")
     )
     bit_sums = [
@@ -378,7 +381,7 @@ def simhash_portable(
     partial), sketch assembled from the counters — one shuffle of
     (id, 60-bit hash) pairs regardless of n_bits.
     """
-    toks = df.select(
+    toks = fan_out(df, id_col).select(
         id_col,
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
     ).filter(F.col("t") != "")
@@ -438,7 +441,7 @@ def jaccard_prefix_join(
     """
     # shingles() is already per-document distinct, so the exploded
     # (id, hash) rows need no extra distinct pass (saves a shuffle).
-    tok = df.select(
+    tok = fan_out(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
@@ -534,7 +537,8 @@ def minhash_portable(
     """
     perms = _MINHASH_PERMS[:num_hashes]
     toks = (
-        df.select(
+        fan_out(df, id_col)
+        .select(
             id_col,
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
         )
@@ -686,7 +690,7 @@ def duplicate_spans(
     # fuses with the generate — no materialized per-doc gram arrays,
     # no per-row text copies.
     grams = truncate_lineage(
-        docs.filter(F.length(text_col) >= k)
+        fan_out(docs.filter(F.length(text_col) >= k), id_col)
         .select(
             F.col(id_col),
             F.length(text_col).alias("__len"),
@@ -786,13 +790,26 @@ def duplicate_spans_pruned(
     phase 1's shuffle records are half the width, position-free, and
     the expensive two-shuffle span machinery runs only over documents
     with at least one candidate hit, a small fraction of a
-    mostly-clean corpus. The gram stream is checkpointed once and read
-    by both the bucket count and the candidate join-back
-    (triangle_count's pattern).
+    mostly-clean corpus. The raw gram stream is scanned exactly ONCE
+    and never materialized: it collapses straight into distinct
+    (bucket, id) pairs — map-side partial aggregation absorbs each
+    doc's repeated grams before the shuffle, and because ``pairs``
+    ends in an Exchange, Catalyst's ReusedExchange serves BOTH
+    downstream consumers (the bucket count and the candidate
+    semi-join probe) from that one shuffle output, so no checkpoint
+    write of the O(total chars) stream and no second text scan (an
+    earlier form eagerly checkpointed the full stream and read it
+    twice; at sf0.1 that was slower than stride-1 itself). The
+    multi-doc bucket list is small on a mostly-clean corpus, so AQE
+    broadcasts it and the semi-join costs no probe-side shuffle;
+    per-bucket partial counts keep hot boilerplate buckets
+    skew-neutral (vs. a count-over-bucket window, whose per-bucket
+    sort pays an O(pairs log pairs) ordering nobody needs and lands
+    each hot bucket in a single task).
     """
     mask = (1 << bucket_bits) - 1
-    grams = truncate_lineage(
-        docs.filter(F.length(text_col) >= k)
+    pairs = (
+        fan_out(docs.filter(F.length(text_col) >= k), id_col)
         .select(
             F.col(id_col),
             F.col(text_col).alias("__t"),
@@ -805,20 +822,17 @@ def duplicate_spans_pruned(
             F.xxhash64(F.expr(f"substring(__t, pos, {k})"))
             .bitwiseAND(F.lit(mask))
             .alias("bkt"),
-        ),
-        # eager: the stream feeds >=2 downstream consumers; with a
-        # reliable checkpoint dir a NON-eager checkpoint caches nothing
-        # until its own materialization job, so each consumer would
-        # recompute the explode+hash scan first
-        eager=True,
+        )
+        .distinct()
     )
     multi_doc_buckets = (
-        grams.groupBy("bkt")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("bkt")
+        pairs.groupBy("bkt").count().filter(F.col("count") > 1).select("bkt")
     )
-    cand_ids = grams.join(multi_doc_buckets, "bkt").select(id_col).distinct()
+    cand_ids = (
+        pairs.join(multi_doc_buckets, "bkt", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
     return duplicate_spans(
         docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, k=k
     )
@@ -857,7 +871,7 @@ def winnow_fingerprints(
     length, not corpus size.
     """
     grams = (
-        docs.filter(F.length(text_col) >= k)
+        fan_out(docs.filter(F.length(text_col) >= k), id_col)
         .select(
             F.col(id_col),
             F.length(text_col).alias("__len"),
@@ -923,7 +937,7 @@ def containment_pairs(
     # cache for the session lifetime); sizes is one row per DOCUMENT —
     # corpus-proportional — so no broadcast hint either: AQE decides.
     sh = truncate_lineage(
-        df.select(
+        fan_out(df, id_col).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))

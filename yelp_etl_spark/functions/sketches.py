@@ -65,8 +65,11 @@ def count_min_sketch(
     the counter table (d, pos, cnt) with at most depth×width rows.
     One pass, map-side partial aggregation; the shuffle carries only
     sketch cells, never keys."""
+    from yelp_etl_spark.sources.readers import fan_out
+
     return (
-        df.select(
+        fan_out(df, key_column)
+        .select(
             F.posexplode(_positions(F.col(key_column), depth, width)).alias(
                 "d", "pos"
             )

@@ -248,7 +248,9 @@ def tfidf_top_terms(
     Whitespace tokenization to stay oracle-portable; swap ``tokens()``
     in for regex tokens when parity isn't needed.
     """
-    toks = df.select(
+    from yelp_etl_spark.sources.readers import fan_out
+
+    toks = fan_out(df, id_column).select(
         id_column,
         F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("term"),
     ).filter(F.col("term") != "")
@@ -308,7 +310,9 @@ def build_vocabulary(
     (unpartitioned) window is deliberate: a vocabulary is several
     orders of magnitude smaller than its corpus, so single-partition
     ranking of it is cheap even at 100 TB of input text."""
-    toks = df.select(
+    from yelp_etl_spark.sources.readers import fan_out
+
+    toks = fan_out(df).select(
         F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("term")
     ).filter(F.col("term") != "")
     freq = toks.groupBy("term").agg(F.count("*").alias("freq"))
@@ -389,7 +393,9 @@ def unigram_nll(
     """
     import math
 
-    toks = df.select(
+    from yelp_etl_spark.sources.readers import fan_out
+
+    toks = fan_out(df, id_column).select(
         F.col(id_column),
         F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
     )
@@ -434,7 +440,9 @@ def bm25_rank(
     exchange reuse). Per-term idf is a broadcast tiny table. Output is
     the rounded-score top-k with doc id as the deterministic tiebreak.
     """
-    toks = df.select(
+    from yelp_etl_spark.sources.readers import fan_out
+
+    toks = fan_out(df, id_column).select(
         F.col(id_column),
         F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
     )

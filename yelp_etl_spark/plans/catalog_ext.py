@@ -1127,7 +1127,9 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-shuffle shape as duplicate_spans, never all-pairs. Grams hash
     to the portable 60-bit md5 convention. Returns per-source novelty
     aggregates (doc-level scores are the intermediate)."""
-    docs = _t(spark, sf_dir, "documents")
+    from yelp_etl_spark.sources.readers import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         "source",
