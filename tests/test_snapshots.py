@@ -617,16 +617,20 @@ def test_partitioned_snapshot_write_and_pruning(spark, tmp_path):
     # NULL partition addressable
     nulls = snapshot_read(spark, t, partition_filter={"grp": None})
     assert nulls.count() == 100 and {r.grp for r in nulls.collect()} == {None}
-    # append without a spec: pre/post-spec files coexist; filter keeps
-    # the spec-less files conservatively
-    snapshot_write(
+    # append without an explicit spec INHERITS the parent's spec (the
+    # spec belongs to the table): the appended file gets a partition
+    # tuple and pruning stays exact — a plain append must never
+    # de-partition the table
+    s2 = snapshot_write(
         spark.createDataFrame([(999, "A", 9.9)], "id long, grp string, v double"),
         t,
         mode="append",
     )
-    mixed = snapshot_read(spark, t, partition_filter={"grp": "B"})
-    assert mixed.filter(F.col("grp") == "B").count() == 100
-    assert mixed.count() == 101  # spec-less appended file kept (safe)
+    m2 = _load_manifest(t, s2)
+    assert m2.get("partition_by") == ["grp"]
+    assert all("partition" in f for f in m2["files"])
+    assert snapshot_read(spark, t, partition_filter={"grp": "B"}).count() == 100
+    assert snapshot_read(spark, t, partition_filter={"grp": "A"}).count() == 101
 
 
 def test_snapshot_overwrite_partitions_atomic(spark, tmp_path):
@@ -737,7 +741,8 @@ def test_metadata_tables(spark, tmp_path):
         .collect()
     }
     assert per_part["A"] == 50 and per_part["B"] == 50
-    assert per_part.get(None) == 1  # spec-less append has no tuple
+    # the append inherits the parent spec, so its file carries a tuple
+    assert per_part.get("C") == 1
     hist = snapshot_history_table(spark, t).collect()
     assert [(r.snapshot_id, r.operation, r.n_rows) for r in hist] == [
         (1, "replace", 100),
@@ -857,3 +862,86 @@ def test_snapshot_layer_model_property_partitioned_ops(spark, tmp_path):
             ).collect()
         )
         assert got_a == sorted(r for r in states[-1] if r[1] == "A"), f"seq={seq}"
+
+
+def test_partition_filter_renders_values_like_the_writer(spark, tmp_path):
+    """Filter values are rendered through Spark's string cast under the
+    column's declared type, matching the partition-directory names the
+    writer produced — Python str() would render True/'5' where the
+    dirs say true/'5.0' and silently prune every file (under-read)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, True, 5.0), (2, False, 5.0), (3, True, 7.5)],
+        "id long, flag boolean, score double",
+    )
+    snapshot_write(df, t, mode="replace", partition_by=["flag"])
+    got = snapshot_read(spark, t, partition_filter={"flag": True})
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+    assert snapshot_read(spark, t, partition_filter={"flag": False}).count() == 1
+    t2 = str(tmp_path / "tbl2")
+    snapshot_write(df, t2, mode="replace", partition_by=["score"])
+    got2 = snapshot_read(spark, t2, partition_filter={"score": 5.0})
+    assert sorted(r.id for r in got2.collect()) == [1, 2]
+
+
+def test_empty_string_partition_value_refused(spark, tmp_path):
+    """'' and NULL both land in __HIVE_DEFAULT_PARTITION__ in the
+    scratch layout, so they would collapse into one manifest tuple —
+    the commit refuses '' instead of letting a later dynamic overwrite
+    of the '' partition delete the NULL partition's rows."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "id long, g string"
+    )
+    with pytest.raises(ValueError, match="empty-string"):
+        snapshot_write(df, t, mode="replace", partition_by=["g"])
+    # NULLs alone are fine (they ARE the null partition)
+    ok = df.filter(F.col("g") != "")
+    snapshot_write(
+        ok.unionByName(df.filter(F.col("g").isNull())), t,
+        mode="replace", partition_by=["g"],
+    )
+    assert snapshot_read(spark, t).count() == 2
+
+
+def test_append_inherits_parent_partition_spec(spark, tmp_path):
+    """A plain append must NOT de-partition the table: the parent's
+    spec carries into the append manifest (and a mismatched or
+    parent-less caller spec refuses loudly — no spec evolution)."""
+    from yelp_etl_spark.sources.snapshots import _load_manifest
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    snapshot_write(df, t, mode="replace", partition_by=["g"])
+    s2 = snapshot_write(
+        spark.createDataFrame([(3, "a")], "id long, g string"), t, mode="append"
+    )
+    m = _load_manifest(t, s2)
+    assert m.get("partition_by") == ["g"]
+    assert all("partition" in f for f in m["files"])
+    # pruning still exact across the append
+    got = snapshot_read(spark, t, partition_filter={"g": "a"})
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+    with pytest.raises(ValueError, match="spec"):
+        snapshot_write(
+            spark.createDataFrame([(4, "c")], "id long, g string"),
+            t, mode="append", partition_by=["id"],
+        )
+    # spec'd append onto a spec-less table also refuses (would mix
+    # tuple-less and tupled files in one manifest)
+    t2 = str(tmp_path / "tbl2")
+    snapshot_write(df, t2, mode="replace")
+    with pytest.raises(ValueError, match="spec"):
+        snapshot_write(df, t2, mode="append", partition_by=["g"])
+
+
+def test_rollback_refuses_uncommitted_target(spark, tmp_path):
+    """Rolling 'back' to an id beyond the pointer (nonexistent, or a
+    crash-orphaned uncommitted manifest) must refuse — it would publish
+    a file list that never committed."""
+    from yelp_etl_spark.sources.snapshots import snapshot_rollback
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), t)
+    with pytest.raises(ValueError, match="not committed"):
+        snapshot_rollback(t, 2)

@@ -67,8 +67,11 @@ def count_min_sketch(
     sketch cells, never keys."""
     from yelp_etl_spark.sources.readers import fan_out
 
+    # keyless round-robin, NOT fan_out(df, key_column): hashing by the
+    # sketch key would concentrate every occurrence of a heavy hitter
+    # (the very thing CMS measures) into one task
     return (
-        fan_out(df, key_column)
+        fan_out(df)
         .select(
             F.posexplode(_positions(F.col(key_column), depth, width)).alias(
                 "d", "pos"

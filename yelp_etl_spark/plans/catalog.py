@@ -6269,7 +6269,10 @@ def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         snapshot_read(spark, table, snapshot_id=s1).count()
         tt_gone = 0
-    except Exception:
+    except FileNotFoundError:
+        # precisely what _load_manifest raises for an expired id — a
+        # bare Exception here would mask an unrelated read-path bug as
+        # the expected expiry outcome
         tt_gone = 1
     return (
         snapshot_read(spark, table)
@@ -6558,19 +6561,27 @@ def q_snapshot_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, table, mode="replace", partition_by=["o_orderstatus"]
     )
     m = _load_manifest(table, sid)
-    matched = [
-        f for f in m["files"] if f["partition"]["o_orderstatus"] == "F"
-    ]
-    scanned_parts = {f["partition"]["o_orderstatus"] for f in matched}
+    # The pruning proof measures what snapshot_read ACTUALLY scanned:
+    # count_distinct(input_file_name()) over the returned plan vs the
+    # manifest's file count for the wanted partition. (An earlier form
+    # counted distinct statuses of the manifest files it had itself
+    # filtered to 'F' — tautologically 1 even if pruning listed every
+    # file.)
+    n_expected_files = sum(
+        1 for f in m["files"] if f["partition"]["o_orderstatus"] == "F"
+    )
     return (
         snapshot_read(spark, table, partition_filter={"o_orderstatus": "F"})
+        # projected first: a nondeterministic expression may not appear
+        # directly inside an aggregate's arguments
+        .withColumn("__file", F.input_file_name())
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
             F.count_distinct("o_orderstatus").alias("n_status"),
-        )
-        .withColumn(
-            "n_partitions_scanned", F.lit(len(scanned_parts)).cast("long")
+            (F.count_distinct("__file") - F.lit(n_expected_files))
+            .cast("long")
+            .alias("n_extra_files"),
         )
     )
 
@@ -6579,7 +6590,7 @@ ORACLE_SNAPSHOT_PARTITION_PRUNE = """
 SELECT COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS total,
        COUNT(DISTINCT o_orderstatus) AS n_status,
-       1 AS n_partitions_scanned
+       CAST(0 AS BIGINT) AS n_extra_files
 FROM orders WHERE o_orderstatus = 'F'
 """
 

@@ -335,6 +335,39 @@ def _write_data_files(
     partitions: list[dict | None] = []
     if partition_by:
         fields = _spec_fields(partition_by)
+        # Empty-string identity partition values are refused at commit
+        # time: Spark's Hive-style scratch layout writes '' and NULL to
+        # the SAME __HIVE_DEFAULT_PARTITION__ directory, so the two
+        # would collapse into one manifest tuple — and a later dynamic
+        # overwrite of the '' partition would silently delete the NULL
+        # partition's rows (and partition_filter='' would under-read).
+        # One narrow pruned-column scan per commit, string identity
+        # sources only.
+        from pyspark.sql.types import StringType as _StrT
+
+        str_srcs = [
+            src
+            for _f, src, n in fields
+            if n is None
+            and src in df.columns
+            and isinstance(df.schema[src].dataType, _StrT)
+        ]
+        if str_srcs:
+            probe = df.select(
+                *[
+                    F.max(F.when(F.col(c) == "", F.lit(1))).alias(c)
+                    for c in str_srcs
+                ]
+            ).collect()[0]
+            offenders = [c for c in str_srcs if probe[c] is not None]
+            if offenders:
+                raise ValueError(
+                    f"empty-string value(s) in identity partition "
+                    f"column(s) {offenders}: the Hive scratch layout "
+                    "cannot distinguish '' from NULL "
+                    f"({_HIVE_NULL_DIR}) — map empty strings to NULL "
+                    "or a sentinel before partitioning on them"
+                )
         out = df
         for field, src, n in fields:
             out = out.withColumn(
@@ -405,14 +438,34 @@ def snapshot_write(
     value), which are stripped from the files themselves."""
     if mode not in ("replace", "append", "rewrite"):
         raise ValueError(f"mode must be replace|append|rewrite, got {mode!r}")
+    parent = _read_pointer(table_dir)
+    pm = None
+    if mode == "append" and parent is not None:
+        pm = _load_manifest(table_dir, parent)
+        # An append INHERITS the parent's partition spec (Iceberg: the
+        # spec belongs to the table, not the write) — without this, a
+        # plain append would silently de-partition the table and the
+        # next merge/compact would rewrite it spec-less. A caller-passed
+        # spec must MATCH the parent's; this layer has no spec
+        # evolution, so a mismatch (including spec'd append onto a
+        # spec-less table, which would mix tuple-less and tupled files
+        # in one manifest) refuses loudly.
+        parent_spec = pm.get("partition_by")
+        if partition_by is None:
+            partition_by = parent_spec
+        elif parent_spec is None or list(partition_by) != list(parent_spec):
+            raise ValueError(
+                f"append spec {list(partition_by)!r} != parent snapshot "
+                f"spec {parent_spec!r}: this snapshot layer has no "
+                "partition-spec evolution — append with the parent's "
+                "spec (or omit partition_by to inherit it)"
+            )
     new_files = _write_data_files(df, table_dir, partition_by)
 
     # 2. new manifest = parent files (append) or just new files (replace)
-    parent = _read_pointer(table_dir)
     files = list(new_files)
     schema = df.schema
-    if mode == "append" and parent is not None:
-        pm = _load_manifest(table_dir, parent)
+    if pm is not None:
         files = pm["files"] + files
         # Additive schema evolution (Iceberg's add-column): the
         # snapshot's schema is the UNION of parent and append schemas,
@@ -494,11 +547,15 @@ def snapshot_read(
     if partition_filter:
         # Hidden partitioning: filters name SOURCE columns and raw
         # values; the spec maps each to its manifest field(s) — an
-        # identity field matches str(value), a bucket(N, col) field
-        # matches the COMPUTED bucket of the value (one 1-row local
-        # expression per bucketed filter column, evaluated with the
-        # same Spark hash the writer used, so reader and writer can
-        # never drift).
+        # identity field matches the value rendered by SPARK'S OWN
+        # string cast under the column's declared type (the manifest
+        # tuples come from Spark's partition-directory names, which
+        # use Spark's rendering: 'true'/'false' for booleans, '5.0'
+        # for doubles — Python str() would render 'True'/'5' and
+        # silently prune every file), a bucket(N, col) field matches
+        # the COMPUTED bucket of the value (same Spark hash the writer
+        # used). Both are one 1-row local expression per filter
+        # column, so reader and writer can never drift.
         from pyspark.sql.types import StructType as _St
 
         spec = _spec_fields(manifest.get("partition_by") or [])
@@ -506,13 +563,25 @@ def snapshot_read(
             f.name: f
             for f in _St.fromJson(json.loads(manifest["schema"])).fields
         }
+
+        def _spark_render(col: str, value) -> str:
+            fld = schema_fields.get(col)
+            if fld is None:
+                return str(value)
+            probe = spark.createDataFrame([(value,)], _St([fld]))
+            return probe.select(
+                F.col(col).cast("string").alias("s")
+            ).collect()[0]["s"]
+
         wanted: dict[str, str | None] = {}
         for src, value in partition_filter.items():
             for field, col, n in spec:
                 if col != src:
                     continue
                 if n is None:
-                    wanted[field] = None if value is None else str(value)
+                    wanted[field] = (
+                        None if value is None else _spark_render(col, value)
+                    )
                 elif value is None:
                     wanted[field] = None
                 else:
@@ -526,7 +595,9 @@ def snapshot_read(
             if not any(col == src for _, col, _n in spec):
                 # not a partition source under this spec: identity
                 # fallback for tables written before spec strings
-                wanted[src] = None if value is None else str(value)
+                wanted[src] = (
+                    None if value is None else _spark_render(src, value)
+                )
 
         def tuple_matches(f: dict) -> bool:
             part = f.get("partition")
@@ -719,6 +790,16 @@ def snapshot_overwrite_partitions(
             f"{list(partition_by)!r}: dynamic overwrite needs a matching "
             "identity spec on the parent"
         )
+    if any("partition" not in f for f in pm["files"]):
+        # a manifest written by an older layer version could mix
+        # tuple-less files under a spec'd manifest; refuse BEFORE the
+        # data write (a KeyError after it would strand orphan files)
+        raise ValueError(
+            "parent snapshot contains files without partition tuples: "
+            "dynamic overwrite cannot keep-or-replace them safely — "
+            "rewrite the table under the spec first (snapshot_write "
+            "replace with partition_by)"
+        )
     new_files = _write_data_files(df, table_dir, partition_by)
     fields = [f for f, _, _ in _spec_fields(partition_by)]
     touched = {
@@ -751,6 +832,15 @@ def snapshot_rollback(table_dir: str, to_snapshot: int) -> int:
     current = _read_pointer(table_dir)
     if current is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if to_snapshot > current:
+        # ids beyond the pointer are either nonexistent or a crash-
+        # orphaned UNCOMMITTED manifest from a failed writer — rolling
+        # "back" to one would publish a file list that never committed
+        raise ValueError(
+            f"snapshot {to_snapshot} is not committed (current is "
+            f"{current}): refusing to roll back to an uncommitted or "
+            "orphaned manifest"
+        )
     target = _load_manifest(table_dir, to_snapshot)  # raises if expired
     snapshot_id = current + 1
     manifest = {
