@@ -121,6 +121,25 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
             assert after[status] == n  # untouched partitions intact
 
 
+def test_fan_out_widens_narrow_scans_only(spark, sf_dir):
+    """fan_out repartitions a narrow plan up to defaultParallelism and
+    is a NO-OP (same DataFrame object, no added Exchange) when the
+    plan already has at least that many partitions — the guarantee
+    that makes it safe to leave in operators at 100 TB, where scans
+    always carry more splits than cores."""
+    from yelp_etl_spark.sources.readers import fan_out, load_table
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < target  # single-file fixture
+    widened = fan_out(docs, "doc_id")
+    assert widened.rdd.getNumPartitions() == target
+    # values unchanged, only layout
+    assert widened.count() == docs.count()
+    already_wide = docs.repartition(target * 2)
+    assert fan_out(already_wide, "doc_id") is already_wide
+
+
 def test_read_json_permissive_corrupt_record_capture(spark, tmp_path):
     """S1 robustness: malformed JSON lines must not kill a 100 TB scan.
     PERMISSIVE mode with an explicit schema + _corrupt_record column

@@ -790,22 +790,28 @@ def duplicate_spans_pruned(
     phase 1's shuffle records are half the width, position-free, and
     the expensive two-shuffle span machinery runs only over documents
     with at least one candidate hit, a small fraction of a
-    mostly-clean corpus. The raw gram stream is scanned exactly ONCE
-    and never materialized: it collapses straight into distinct
-    (bucket, id) pairs — map-side partial aggregation absorbs each
-    doc's repeated grams before the shuffle, and because ``pairs``
-    ends in an Exchange, Catalyst's ReusedExchange serves BOTH
-    downstream consumers (the bucket count and the candidate
-    semi-join probe) from that one shuffle output, so no checkpoint
-    write of the O(total chars) stream and no second text scan (an
-    earlier form eagerly checkpointed the full stream and read it
-    twice; at sf0.1 that was slower than stride-1 itself). The
-    multi-doc bucket list is small on a mostly-clean corpus, so AQE
-    broadcasts it and the semi-join costs no probe-side shuffle;
-    per-bucket partial counts keep hot boilerplate buckets
-    skew-neutral (vs. a count-over-bucket window, whose per-bucket
-    sort pays an O(pairs log pairs) ordering nobody needs and lands
-    each hot bucket in a single task).
+    mostly-clean corpus. Phase 1 is written as shared distinct
+    (bucket, id) ``pairs`` feeding a per-bucket count and a candidate
+    semi-join, and the optimizer turns that into a plan with NO
+    materialized gram stream at all (verified in PLANS.md): on the
+    build side the distinct collapses into the count's partial
+    aggregation — only (bucket, partial-count) cells ever shuffle, so
+    hot boilerplate buckets stay skew-neutral — and on the probe side
+    the distinct is eliminated outright (redundant under LeftSemi +
+    the trailing per-doc distinct), leaving scan → explode →
+    broadcast-semi-probe with zero added shuffles; the fan_out
+    repartition on the id doubles as the final distinct's
+    partitioning. The price is that the codegen'd map-only text scan
+    runs twice (once per side) — the measured-cheaper trade at sf0.1
+    against materializing the O(grams) pair stream: an earlier form
+    that eagerly checkpointed the full stream to force a single scan
+    was slower than stride-1 itself (8.4 s vs 5.4 s warm), and a
+    count-over-bucket window variant paid an O(pairs log pairs)
+    per-bucket sort (5.2 s alone) while landing each hot bucket in
+    one task. At 100 TB the two-scan trade is the standard
+    semi-join-pushdown shape; if scan IO ever dominates, checkpoint
+    ``pairs`` once and both consumers read it — the code already
+    expresses that plan, it is one truncate_lineage call away.
     """
     mask = (1 << bucket_bits) - 1
     pairs = (
