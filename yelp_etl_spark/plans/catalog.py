@@ -2477,15 +2477,32 @@ def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=None,
     )
     name = "stream_dedup_totals_" + uuid.uuid4().hex[:8]
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store width is FROZEN into the checkpoint at first start
+    # (spark.sql.shuffle.partitions at that moment), so it is a sizing
+    # decision per stream, not per cluster: size it to state volume
+    # (hundreds of users here → 8), not to core count — every stateful
+    # operator otherwise schedules shuffle-width state tasks per
+    # micro-batch (32-wide state measured 4.4 s vs 3.0 s at 8 for this
+    # query's two stateful ops × two triggers). A 100 TB deployment
+    # picks a large width ONCE for the checkpoint's lifetime and scales
+    # executors under it. Conf restored once the availableNow run has
+    # terminated; nothing else plans against this session meanwhile.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # conf must hold until the micro-batches have PLANNED (state
+        # width is read at first-batch planning, not at start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(workdir, ignore_errors=True)
     mem = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
