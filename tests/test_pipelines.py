@@ -186,6 +186,51 @@ def test_cli_end_to_end(spark, tmp_path):
     assert "business_name" in obt.columns
 
 
+def test_cli_maintain_pipeline(spark, tmp_path):
+    """The maintain pipeline runs the snapshot maintenance loop in
+    place: compact small files into one snapshot, expire history past
+    --keep_last, vacuum the orphaned small files — content unchanged,
+    time travel to the pre-compaction snapshot preserved (keep_last=2)."""
+    from yelp_etl_spark.cli import build_parser, run
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+        snapshots,
+    )
+
+    t = str(tmp_path / "snaptbl")
+    snapshot_write(spark.range(0, 500).repartition(8), t, mode="replace")
+    n_before = snapshot_read(spark, t).count()
+    run(
+        build_parser().parse_args(
+            ["--pipeline", "maintain", "--input", t, "--keep_last", "2"]
+        ),
+        spark,
+    )
+    assert snapshot_read(spark, t).count() == n_before
+    ops = [s["operation"] for s in snapshots(t)]
+    assert ops == ["replace", "rewrite"]  # compaction committed, both kept
+    # another round with keep_last=1 drops history and reclaims files
+    run(
+        build_parser().parse_args(
+            ["--pipeline", "maintain", "--input", t, "--keep_last", "1"]
+        ),
+        spark,
+    )
+    assert snapshot_read(spark, t).count() == n_before
+    assert [s["operation"] for s in snapshots(t)] == ["rewrite"]
+    # non-maintain pipelines still demand entity/output
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        run(
+            build_parser().parse_args(
+                ["--pipeline", "clean", "--input", t]
+            ),
+            spark,
+        )
+
+
 def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
     """The composed curation pipeline: gate → filter → dedup → scrub →
     split → write. Output must be deduplicated, split-disjoint, and

@@ -10,6 +10,11 @@ Pipelines:
 - extract: JSON-lines → parquet/iceberg table (schema inferred, S1/S4)
 - clean:   bronze table → typed/normalized silver (per-entity recipe)
 - enrich:  silver fact × dimension tables → one-big-table
+- gold:    enriched OBT → weekly business stats
+- maintain: snapshot-table maintenance loop — compact small files,
+  expire old snapshots, vacuum orphaned data files (the operational
+  counterpart of Iceberg's rewrite_data_files / expire_snapshots /
+  remove_orphan_files; runs in place on --input)
 """
 
 from __future__ import annotations
@@ -27,12 +32,23 @@ from yelp_etl_spark.sources.writers import WriteSpec, write_table
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("yelp_etl_spark")
     p.add_argument(
-        "--pipeline", required=True, choices=["extract", "clean", "enrich", "gold"]
+        "--pipeline",
+        required=True,
+        choices=["extract", "clean", "enrich", "gold", "maintain"],
     )
-    p.add_argument("--entity_type", required=True,
+    p.add_argument("--entity_type", default=None,
                    choices=["business", "review", "user", "checkin", "tip"])
-    p.add_argument("--input", required=True, help="path (extract) or parquet dir")
-    p.add_argument("--output", required=True, help="output parquet dir / table")
+    p.add_argument("--input", required=True,
+                   help="path (extract), parquet dir, or snapshot table "
+                        "dir (maintain)")
+    p.add_argument("--output", default=None,
+                   help="output parquet dir / table (all but maintain)")
+    p.add_argument("--keep_last", type=int, default=2,
+                   help="maintain: snapshots to retain after expiry "
+                        "(>=2 keeps the pre-compaction snapshot "
+                        "time-travelable)")
+    p.add_argument("--target_file_mb", type=int, default=128,
+                   help="maintain: compaction target file size")
     p.add_argument(
         "--format",
         default="parquet",
@@ -61,6 +77,27 @@ def make_write_spec(args: argparse.Namespace) -> WriteSpec:
 
 def run(args: argparse.Namespace, spark: SparkSession | None = None) -> None:
     spark = spark or get_spark(f"yelp-etl-{args.pipeline}-{args.entity_type}")
+    if args.pipeline == "maintain":
+        from yelp_etl_spark.sources.snapshots import (
+            expire_snapshots,
+            snapshot_compact,
+            vacuum,
+        )
+
+        snapshot_compact(
+            spark, args.input, target_file_bytes=args.target_file_mb * 2**20
+        )
+        expired = expire_snapshots(args.input, keep_last=args.keep_last)
+        removed = vacuum(args.input)
+        print(
+            f"maintain {args.input}: compacted; expired "
+            f"{len(expired)} snapshot(s); vacuumed {removed} file(s)"
+        )
+        return
+    if args.entity_type is None or args.output is None:
+        raise SystemExit(
+            f"--entity_type and --output are required for {args.pipeline}"
+        )
     if args.pipeline == "extract":
         df = read_json(spark, args.input)
     elif args.pipeline == "clean":
