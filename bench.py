@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "snapshot_rollback",
     "snapshot_expire",
     "csv_scan_roundtrip",
+    "kmeans_clusters",
     "zorder_cells",
     "snapshot_merge_delete",
     "surrogate_ids_portable",

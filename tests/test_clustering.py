@@ -1,0 +1,79 @@
+"""Lloyd's k-means: recovery on planted blobs, determinism, and the
+bounded-driver-state loop discipline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions.clustering import kmeans
+
+
+def _blobs(spark, centers, n_per, spread=0.05, dim=8):
+    """Well-separated deterministic blobs: point j of blob b is the
+    center shifted by a small fixed offset pattern — no RNG."""
+    rows = []
+    vid = 0
+    for b, c in enumerate(centers):
+        for j in range(n_per):
+            off = [
+                spread * (((vid * 31 + d * 7) % 11) - 5) / 5.0
+                for d in range(dim)
+            ]
+            rows.append((vid, [c[d] + off[d] for d in range(dim)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    dim = 8
+    centers = [
+        [0.0] * dim,
+        [5.0] * dim,
+        [0.0] * 4 + [5.0] * 4,
+    ]
+    df = _blobs(spark, centers, n_per=20, dim=dim)
+    assign, cent = kmeans(df, k=3, iterations=4)
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+    # every blob lands in exactly one cluster, clusters are disjoint
+    blobs = [set(range(0, 20)), set(range(20, 40)), set(range(40, 60))]
+    labels = []
+    for blob in blobs:
+        blob_labels = {got[v] for v in blob}
+        assert len(blob_labels) == 1
+        labels.append(blob_labels.pop())
+    assert len(set(labels)) == 3
+    # final centroids sit near the planted centers
+    by_cluster = {}
+    for c, pos, v in cent:
+        by_cluster.setdefault(c, [0.0] * dim)[pos] = v
+    for blob_idx, blob in enumerate(blobs):
+        c = labels[blob_idx]
+        for d in range(dim):
+            assert abs(by_cluster[c][d] - centers[blob_idx][d]) < 0.2
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    df = _blobs(spark, [[0.0] * 8, [3.0] * 8], n_per=15)
+    a1, c1 = kmeans(df.repartition(1), k=2, iterations=3)
+    a2, c2 = kmeans(df.repartition(13), k=2, iterations=3)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert sorted(c1) == sorted(c2)
+
+
+def test_kmeans_assignment_dist_is_true_min(spark):
+    """dist2 in the assignment equals the exact squared distance to
+    the chosen centroid and is <= distance to every other centroid."""
+    df = _blobs(spark, [[0.0] * 8, [3.0] * 8], n_per=10)
+    assign, cent = kmeans(df, k=2, iterations=2)
+    vecs = {r.vec_id: list(r.embedding) for r in df.collect()}
+    by_cluster = {}
+    for c, pos, v in cent:
+        by_cluster.setdefault(c, [0.0] * 8)[pos] = v
+    for r in assign.collect():
+        dists = {
+            c: sum((float(vecs[r.vec_id][d]) - cv[d]) ** 2 for d in range(8))
+            for c, cv in by_cluster.items()
+        }
+        assert r.cluster == min(dists, key=lambda c: (dists[c], c))
+        assert dists[r.cluster] == pytest.approx(r.dist2, rel=1e-9)

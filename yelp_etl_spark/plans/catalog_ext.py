@@ -1321,3 +1321,112 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+_KMEANS_DIM = 64
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (functions/clustering.kmeans) over
+    the embeddings table: first-k-by-id init, 3 exact update
+    iterations, per-cluster sizes + inertia under the final centroids.
+    The oracle runs the IDENTICAL unrolled iterations in DuckDB —
+    centroid rounding after every update makes the cross-engine
+    comparison robust to fp summation order, so every one of the 500
+    assignments is effectively value-checked through 3 iterations."""
+    from yelp_etl_spark.functions.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, _cent = kmeans(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_KMEANS_K,
+        iterations=_KMEANS_ITERS,
+    )
+    return assign.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("dist2"), 4).alias("inertia"),
+    )
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Generate the unrolled-iteration DuckDB twin. Every step CTE is
+    AS MATERIALIZED — DuckDB inlines CTEs by default and a chain where
+    step i references step i-1 repeatedly grows the plan exponentially
+    (the BPE oracle lesson). pos is 0-based to match posexplode."""
+    steps = [
+        f"""ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, {dim + 1}) t(i)
+)""",
+        f"""init_ids AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """cent0 AS MATERIALIZED (
+  SELECT c, pos, ROUND(x, 6) AS v FROM ex JOIN init_ids USING (vec_id)
+)""",
+    ]
+    for n in range(1, iters + 1):
+        steps.append(
+            f"""d{n} AS MATERIALIZED (
+  SELECT vec_id, c, SUM((x - v) * (x - v)) AS d
+  FROM ex JOIN cent{n - 1} USING (pos) GROUP BY vec_id, c
+)"""
+        )
+        steps.append(
+            f"""a{n} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d{n}
+  ) WHERE rn = 1
+)"""
+        )
+        steps.append(
+            f"""cent{n} AS MATERIALIZED (
+  SELECT c, pos, ROUND(AVG(x), 6) AS v
+  FROM a{n} JOIN ex USING (vec_id) GROUP BY c, pos
+)"""
+        )
+    steps.append(
+        f"""dfin AS MATERIALIZED (
+  SELECT vec_id, c, SUM((x - v) * (x - v)) AS d
+  FROM ex JOIN cent{iters} USING (pos) GROUP BY vec_id, c
+)"""
+    )
+    steps.append(
+        """afin AS MATERIALIZED (
+  SELECT vec_id, c, d FROM (
+    SELECT vec_id, c, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM dfin
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """
+SELECT CAST(c AS BIGINT) AS cluster, COUNT(*) AS n_points,
+       ROUND(SUM(d), 4) AS inertia
+FROM afin GROUP BY c
+"""
+    )
+
+
+ORACLE_KMEANS_CLUSTERS = _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)
+
+
+EXTRA_QUERIES.update(
+    {
+        "kmeans_clusters": (
+            q_kmeans_clusters,
+            ORACLE_KMEANS_CLUSTERS,
+            "ext:iterative Lloyd's k-means over embeddings",
+        ),
+    }
+)
