@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "snapshot_expire",
     "csv_scan_roundtrip",
     "kmeans_clusters",
+    "jl_projection",
+    "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",
     "surrogate_ids_portable",

@@ -77,3 +77,40 @@ def test_kmeans_assignment_dist_is_true_min(spark):
         }
         assert r.cluster == min(dists, key=lambda c: (dists[c], c))
         assert dists[r.cluster] == pytest.approx(r.dist2, rel=1e-9)
+
+
+def test_random_projection_preserves_norms_and_is_deterministic(spark):
+    """JL property on real fixture embeddings: norm ratios concentrate
+    near 1 (±1/sqrt(out_dim) scale), and the deterministic md5 matrix
+    gives identical output at any partitioning."""
+    from yelp_etl_spark.functions.similarity import (
+        random_projection,
+        squared_norm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    proj = random_projection(emb, out_dim=16)
+    joined = proj.join(
+        emb.select("vec_id", squared_norm(F.col("embedding")).alias("n2")),
+        "vec_id",
+    ).select(
+        "vec_id",
+        F.sqrt(squared_norm(F.col("projected")) / F.col("n2")).alias("ratio"),
+    )
+    rows = joined.collect()
+    assert len(rows) == emb.count()
+    ratios = [r.ratio for r in rows]
+    # 1/sqrt(16) = 0.25 relative-error scale; allow generous tails
+    assert all(0.3 < r < 1.9 for r in ratios)
+    avg = sum(ratios) / len(ratios)
+    assert 0.85 < avg < 1.15
+    # deterministic across partitionings
+    a = sorted(
+        (r.vec_id, tuple(round(v, 9) for v in r.projected))
+        for r in random_projection(emb.repartition(7), out_dim=16).collect()
+    )
+    b = sorted(
+        (r.vec_id, tuple(round(v, 9) for v in r.projected))
+        for r in random_projection(emb.repartition(2), out_dim=16).collect()
+    )
+    assert a == b

@@ -570,6 +570,87 @@ def lsh_topk(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions with a DETERMINISTIC Rademacher (±1/√out_dim) matrix:
+    sign(d, j) comes from one md5 hex digit of "d_j", so the matrix is
+    reproducible in any engine with md5 — no RNG, no seed state, and
+    an oracle can rebuild it cell-for-cell. JL: pairwise distances and
+    norms are preserved within ~1/√out_dim relative error w.h.p. —
+    the standard pre-step that makes downstream ANN/clustering cheap
+    when dim is large (project once, index the short vectors).
+
+    Shape: component rows (readers.fan_out-widened explode) joined to
+    the broadcast dim×out_dim sign table on the INPUT dimension, one
+    partial-aggregated shuffle keyed (id, j), then one per-id
+    aggregation packing the sorted components back into an
+    array<double>. Nothing wider than (id, 2 ints, double) shuffles;
+    the sign table is dim×out_dim tiny and generated column-wise from
+    the hash, never materialized driver-side.
+
+    Returns (id, projected array<double>). Values are exact doubles;
+    round at the comparison site when checking cross-engine (the
+    per-cell products are order-independent, the per-j sum is a
+    partial agg whose ~1e-16 order noise rounding absorbs).
+    """
+    from yelp_etl_spark.sources.readers import fan_out
+
+    spark = df.sparkSession
+    comp = (
+        fan_out(df, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+        )
+    )
+    # dim is data-dependent; derive it from one row (cheap limit-1 job)
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    sign = (
+        spark.range(dim)
+        .select(F.col("id").cast("int").alias("pos"))
+        .crossJoin(
+            spark.range(out_dim).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "pos",
+            "j",
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("pos"), F.col("j"))),
+                            18,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 2
+                    * 2
+                    - 1
+                ).cast("double")
+                / F.lit(float(out_dim) ** 0.5)
+            ).alias("r"),
+        )
+    )
+    proj = (
+        comp.join(F.broadcast(sign), "pos")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("x") * F.col("r")).alias("y"))
+    )
+    return proj.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "y"))),
+            lambda s: s["y"],
+        ).alias("projected")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_column: str = "vec_id",

@@ -1430,3 +1430,233 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_JL_OUT_DIM = 16
+_JL_IN_DIM = 64
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16
+    (functions/similarity.random_projection, deterministic md5-sign
+    Rademacher matrix): projects every embedding and reports the JL
+    quality envelope — per-vector norm-preservation ratio
+    ‖Rx‖/‖x‖ aggregated over the corpus. The oracle rebuilds the SAME
+    projection matrix cell-for-cell from the md5 convention and
+    reproduces every projected component, so the whole projection is
+    value-checked, not just its statistics' shape."""
+    from yelp_etl_spark.functions.similarity import (
+        random_projection,
+        squared_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(
+        emb, id_col="vec_id", vec_col="embedding", out_dim=_JL_OUT_DIM
+    )
+    orig = emb.select(
+        "vec_id", squared_norm(F.col("embedding")).alias("n2")
+    )
+    ratio = (
+        proj.join(orig, "vec_id")
+        .select(
+            "vec_id",
+            F.sqrt(squared_norm(F.col("projected")) / F.col("n2")).alias("ratio"),
+        )
+    )
+    return ratio.agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+    )
+
+
+ORACLE_JL_PROJECTION = f"""
+WITH comp AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, {_JL_IN_DIM + 1}) t(i)
+),
+sgn AS MATERIALIZED (
+  SELECT p.pos, q.j,
+         CAST((CAST(concat('0x', substr(md5(concat(p.pos, '_', q.j)), 18, 1))
+                    AS INT) % 2) * 2 - 1 AS DOUBLE)
+           / sqrt({_JL_OUT_DIM}.0) AS r
+  FROM range(0, {_JL_IN_DIM}) p(pos), range(0, {_JL_OUT_DIM}) q(j)
+),
+proj AS MATERIALIZED (
+  SELECT vec_id, j, SUM(x * r) AS y
+  FROM comp JOIN sgn USING (pos) GROUP BY vec_id, j
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY vec_id
+),
+pn AS MATERIALIZED (
+  SELECT vec_id, SUM(y * y) AS p2 FROM proj GROUP BY vec_id
+),
+ratios AS MATERIALIZED (
+  SELECT pn.vec_id, sqrt(p2 / n2) AS ratio
+  FROM pn JOIN norms ON pn.vec_id = norms.vec_id
+)
+SELECT COUNT(*) AS n_vecs,
+       ROUND(AVG(ratio), 4) AS avg_ratio,
+       ROUND(MIN(ratio), 4) AS min_ratio,
+       ROUND(MAX(ratio), 4) AS max_ratio
+FROM ratios
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "jl_projection": (
+            q_jl_projection,
+            ORACLE_JL_PROJECTION,
+            "ext:Johnson-Lindenstrauss deterministic random projection",
+        ),
+    }
+)
+
+
+def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: documents are split by the
+    md5 hash of their NEAR-DUP COMPONENT id (functions/dedup
+    connected_components over exact-Jaccard pairs), not their own id —
+    a plain per-doc hash split leaks near-duplicates across the
+    train/test boundary (the classic contamination failure the
+    decontamination gate can't see because the 'test set' here is our
+    own holdout). Every member of a component lands in one split by
+    construction; the query PROVES it by counting cross-split
+    near-dup pairs (must be 0) alongside per-split sizes. Composition
+    of three oracle-checked operators (jaccard pairs → components →
+    portable hash split), value-checked end-to-end."""
+    from yelp_etl_spark.functions.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn(
+            "__m",
+            F.conv(
+                F.substring(
+                    F.md5(F.col("component").cast("string")), 18, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10,
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("__m") < 8, "train")
+            .when(F.col("__m") == 8, "val")
+            .otherwise("test"),
+        )
+    )
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leak = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("leaked_pairs")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+ORACLE_DEDUP_AWARE_SPLIT = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT id, DISTINCT_GRAM AS sh FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
+    FROM toks
+    WHERE LENGTH(tok) >= 3
+  )
+),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp0 AS MATERIALIZED (
+  SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+allc AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp0 c ON d.doc_id = c.id
+),
+splits AS MATERIALIZED (
+  SELECT doc_id, component,
+         CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, component,
+           CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 18, 15))
+                AS BIGINT) % 10 AS m
+    FROM allc
+  )
+),
+leak AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 END), 0)
+              AS BIGINT) AS leaked_pairs
+  FROM pairs p
+  JOIN splits sa ON p.id_a = sa.doc_id
+  JOIN splits sb ON p.id_b = sb.doc_id
+)
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT component) AS n_components, leaked_pairs
+FROM splits, leak
+GROUP BY split, leaked_pairs
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "dedup_aware_split": (
+            q_dedup_aware_split,
+            ORACLE_DEDUP_AWARE_SPLIT,
+            "ext:near-dup-component train/val/test split + leakage proof",
+        ),
+    }
+)
