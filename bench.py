@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "csv_scan_roundtrip",
     "kmeans_clusters",
     "jl_projection",
+    "pca_top_component",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -114,3 +114,39 @@ def test_random_projection_preserves_norms_and_is_deterministic(spark):
         for r in random_projection(emb.repartition(2), out_dim=16).collect()
     )
     assert a == b
+
+
+def test_pca_recovers_planted_dominant_direction(spark):
+    """Points spread 10x wider along a planted axis than any other:
+    the top component must align with it (|cos| > 0.99) and explain
+    most of the variance."""
+    from yelp_etl_spark.functions.clustering import power_iteration_pca
+
+    dim = 8
+    axis = [1.0 if d == 3 else 0.0 for d in range(dim)]
+    rows = []
+    for i in range(60):
+        t = (i - 30) / 3.0  # dominant coordinate, spread ~10
+        noise = [0.3 * ((((i * 17 + d * 5) % 13) - 6) / 6.0) for d in range(dim)]
+        rows.append((i, [t * axis[d] + noise[d] for d in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    loadings, eig, total = power_iteration_pca(df, iterations=6)
+    v = [0.0] * dim
+    for r in loadings.collect():
+        v[r.pos] = r.loading
+    cos = sum(v[d] * axis[d] for d in range(dim))
+    assert abs(cos) > 0.99
+    # sign convention: the dominant coordinate is positive
+    assert v[3] > 0
+    assert 0 < eig <= total
+    assert eig / total > 0.9
+
+
+def test_pca_deterministic_across_partitionings(spark):
+    from yelp_etl_spark.functions.clustering import power_iteration_pca
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    l1, e1, t1 = power_iteration_pca(emb.repartition(3), iterations=3)
+    l2, e2, t2 = power_iteration_pca(emb.repartition(11), iterations=3)
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l2.collect()))
+    assert round(e1, 6) == round(e2, 6) and round(t1, 6) == round(t2, 6)

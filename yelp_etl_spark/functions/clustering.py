@@ -42,7 +42,7 @@ Design (the same discipline as functions/bpe.py's training loop):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yelp_etl_spark.functions.checkpoint import truncate_lineage
@@ -125,3 +125,81 @@ def kmeans(
             )
         ]
     return _assign(cent_rows), cent_rows
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    round_decimals: int = 6,
+) -> tuple[DataFrame, float, float]:
+    """Top principal component by power iteration WITHOUT materializing
+    the covariance matrix: each round computes per-vector projections
+    t_i = xc_i · v (one keyed partial-agg shuffle) and the re-weighted
+    direction w = Σ_i xc_i t_i / n (a second one), then normalizes —
+    the matrix-free A·v product, so cost per round is two shuffles of
+    (key, double) cells regardless of dim² (at dim 10³+ a covariance
+    materialization is dim² cells; this never builds it).
+
+    The same cross-engine determinism discipline as ``kmeans``:
+    float32→double exact casts, the per-dimension mean and the
+    direction vector ROUNDED to ``round_decimals`` after every
+    normalize, deterministic e₀ init, a fixed iteration count (no
+    convergence test — both engines run the identical unrolled
+    rounds), and a sign convention (the largest-|loading| coordinate
+    is made positive, ties to the lowest pos) since ±v are the same
+    axis. A DuckDB oracle replays the rounds bit-for-bit.
+
+    Returns (loadings DataFrame (pos, loading), eigenvalue, total_var)
+    — eigenvalue/total_var is the explained-variance ratio. The
+    centered component table is built once and checkpointed; the
+    driver only ever holds dim-sized vectors (the model), never data.
+    """
+    spark = df.sparkSession
+    xc = truncate_lineage(
+        _component_rows(df, id_col, vec_col)
+        .withColumn(
+            "mu",
+            F.round(
+                F.avg("x").over(Window.partitionBy("pos")), round_decimals
+            ),
+        )
+        .select(id_col, "pos", (F.col("x") - F.col("mu")).alias("x")),
+        eager=True,
+    )
+    n = df.count()
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    v = [(p, 1.0 if p == 0 else 0.0) for p in range(dim)]
+
+    def _matvec(vrows) -> list[tuple[int, float]]:
+        vdf = F.broadcast(spark.createDataFrame(vrows, "pos int, v double"))
+        t = (
+            xc.join(vdf, "pos")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("x") * F.col("v")).alias("t"))
+        )
+        w = (
+            xc.join(t, id_col)
+            .groupBy("pos")
+            .agg((F.sum(F.col("x") * F.col("t")) / F.lit(float(n))).alias("w"))
+        )
+        return [(r[0], r[1]) for r in w.collect()]
+
+    for _ in range(iterations):
+        w = _matvec(v)
+        norm = sum(val * val for _, val in w) ** 0.5
+        v = [(p, round(val / norm, round_decimals)) for p, val in w]
+    # sign convention: largest-|loading| coordinate positive
+    top = min(v, key=lambda pv: (-abs(pv[1]), pv[0]))
+    if top[1] < 0:
+        v = [(p, -val if val != 0.0 else 0.0) for p, val in v]
+    # eigenvalue = v·(A v); total variance = sum of per-dim variances
+    w = dict(_matvec(v))
+    eig = sum(val * w[p] for p, val in v)
+    total = (
+        xc.agg((F.sum(F.col("x") * F.col("x")) / F.lit(float(n))).alias("tv"))
+        .collect()[0][0]
+    )
+    loadings = spark.createDataFrame(v, "pos int, loading double")
+    return loadings, eig, total

@@ -1660,3 +1660,132 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_PCA_ITERS = 5
+_PCA_DIM = 64
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embeddings by matrix-free power
+    iteration (functions/clustering.power_iteration_pca): 5 exact
+    rounds, per-round rounding for cross-engine bit-parity, largest-
+    coordinate-positive sign convention. Returns all 64 loadings plus
+    the eigenvalue and explained-variance ratio; the DuckDB oracle
+    replays the identical unrolled rounds, so the whole eigenvector is
+    value-checked, not just a summary."""
+    from yelp_etl_spark.functions.clustering import power_iteration_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    loadings, eig, total = power_iteration_pca(
+        emb, id_col="vec_id", vec_col="embedding", iterations=_PCA_ITERS
+    )
+    return loadings.select(
+        "pos",
+        "loading",
+        F.lit(round(eig, 4)).alias("eigenvalue"),
+        F.lit(round(eig / total, 4)).alias("explained_ratio"),
+    )
+
+
+def _pca_oracle(iters: int, dim: int) -> str:
+    """Unrolled power-iteration twin (materialized CTEs; scalar values
+    carried via CROSS JOIN single-row tables, never repeated scalar
+    subqueries — the BPE oracle lessons)."""
+    steps = [
+        f"""ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, {dim + 1}) t(i)
+)""",
+        """mu AS MATERIALIZED (
+  SELECT pos, ROUND(AVG(x), 6) AS mu FROM ex GROUP BY pos
+)""",
+        """xc AS MATERIALIZED (
+  SELECT vec_id, ex.pos, x - mu AS x FROM ex JOIN mu USING (pos)
+)""",
+        """nn AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM xc
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT pos, CASE WHEN pos = 0 THEN 1.0 ELSE 0.0 END AS v
+  FROM range(0, 64) t(pos)
+)""".replace("64", str(dim)),
+    ]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""t{k} AS MATERIALIZED (
+  SELECT vec_id, SUM(x * v) AS t
+  FROM xc JOIN v{k - 1} USING (pos) GROUP BY vec_id
+)"""
+        )
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT pos, SUM(x * t) / n AS w
+  FROM xc JOIN t{k} USING (vec_id) CROSS JOIN nn GROUP BY pos, n
+)"""
+        )
+        steps.append(
+            f"""nrm{k} AS MATERIALIZED (
+  SELECT sqrt(SUM(w * w)) AS nrm FROM w{k}
+)"""
+        )
+        steps.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT pos, ROUND(w / nrm, 6) AS v FROM w{k} CROSS JOIN nrm{k}
+)"""
+        )
+    steps.append(
+        f"""sgn AS MATERIALIZED (
+  SELECT CASE WHEN (
+    SELECT v FROM v{iters} ORDER BY abs(v) DESC, pos LIMIT 1
+  ) < 0 THEN -1.0 ELSE 1.0 END AS s
+)"""
+    )
+    steps.append(
+        f"""vf AS MATERIALIZED (
+  SELECT pos, CASE WHEN v = 0 THEN 0.0 ELSE v * s END AS v
+  FROM v{iters} CROSS JOIN sgn
+)"""
+    )
+    steps.append(
+        """tf AS MATERIALIZED (
+  SELECT vec_id, SUM(x * v) AS t FROM xc JOIN vf USING (pos) GROUP BY vec_id
+)"""
+    )
+    steps.append(
+        """wf AS MATERIALIZED (
+  SELECT pos, SUM(x * t) / n AS w
+  FROM xc JOIN tf USING (vec_id) CROSS JOIN nn GROUP BY pos, n
+)"""
+    )
+    steps.append(
+        """scal AS MATERIALIZED (
+  SELECT ROUND(SUM(vf.v * wf.w), 4) AS eigenvalue,
+         ROUND(SUM(vf.v * wf.w)
+               / (SELECT SUM(x * x) / n FROM xc CROSS JOIN nn GROUP BY n),
+               4) AS explained_ratio
+  FROM vf JOIN wf USING (pos)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """
+SELECT pos, v AS loading, eigenvalue, explained_ratio
+FROM vf CROSS JOIN scal
+"""
+    )
+
+
+ORACLE_PCA_TOP_COMPONENT = _pca_oracle(_PCA_ITERS, _PCA_DIM)
+
+
+EXTRA_QUERIES.update(
+    {
+        "pca_top_component": (
+            q_pca_top_component,
+            ORACLE_PCA_TOP_COMPONENT,
+            "ext:matrix-free power-iteration PCA top component",
+        ),
+    }
+)
