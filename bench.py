@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "jl_projection",
     "pca_top_component",
+    "hashed_features",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -150,3 +150,29 @@ def test_pca_deterministic_across_partitionings(spark):
     l2, e2, t2 = power_iteration_pca(emb.repartition(11), iterations=3)
     assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l2.collect()))
     assert round(e1, 6) == round(e2, 6) and round(t1, 6) == round(t2, 6)
+
+
+def test_hashed_features_signed_and_vocabulary_free(spark):
+    """The hashing trick: identical tokens always hit the same signed
+    bucket (determinism), values equal the signed token counts, and
+    the featurizer needs no vocabulary pass (works on unseen text)."""
+    from yelp_etl_spark.functions.text import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    cells = {(r.doc_id, r.feature): r.value for r in hashed_features(df).collect()}
+    # alpha appears twice in doc 1 and once in doc 3 → same feature,
+    # doc-1 magnitude double doc-3's, same sign
+    alpha_cells = [
+        (d, f, v) for (d, f), v in cells.items() if d in (1, 3)
+    ]
+    f_alpha = [f for d, f, v in alpha_cells if d == 3][0]
+    v1 = cells[(1, f_alpha)]
+    v3 = cells[(3, f_alpha)]
+    assert abs(v3) == 1 and v1 == 2 * v3
+    # partitioning-independent
+    a = sorted(hashed_features(df.repartition(5)).collect())
+    b = sorted(hashed_features(df.repartition(2)).collect())
+    assert a == b

@@ -480,3 +480,53 @@ def bm25_rank(
         .limit(top_k)
         .select(id_column, "bm25")
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n_features: int = 1024,
+) -> DataFrame:
+    """Signed feature hashing (the hashing trick, Weinberger et al.
+    2009): tokens map to ``n_features`` buckets by hash and contribute
+    ±1 by an independent hash bit, so collisions cancel in expectation
+    and the featurizer needs NO vocabulary — the property that matters
+    at 100 TB, where a vocabulary build is itself a corpus-wide
+    shuffle and an ever-growing broadcast. Output is the sparse
+    (id, feature, value) cell table (zero cells absent; a doc whose
+    bucket sums cancel to 0 keeps the explicit 0 cell so downstream
+    dot products see identical support cross-engine).
+
+    Both hashes derive from the portable 60-bit md5 convention
+    (sampling.py:134) — bucket = h % n_features, sign from the next
+    hex digit's low bit — so any SQL engine reproduces every cell
+    exactly. Plan: token explode (fan_out-widened) → one partial-
+    aggregated shuffle keyed (id, feature). Whitespace tokenization to
+    stay oracle-portable (the regex `tokens()` is the non-parity
+    variant)."""
+    from yelp_etl_spark.sources.readers import fan_out
+
+    toks = fan_out(df, id_column).select(
+        F.col(id_column),
+        F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(
+        F.substring(F.md5(F.col("tok").cast("binary")), 18, 15), 16, 10
+    ).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 17, 1), 16, 10)
+        .cast("long")
+        % 2
+        == 1,
+        1,
+    ).otherwise(-1)
+    return (
+        toks.select(
+            id_column,
+            (h % n_features).alias("feature"),
+            sgn.alias("s"),
+        )
+        .groupBy(id_column, "feature")
+        .agg(F.sum("s").cast("long").alias("value"))
+    )

@@ -1789,3 +1789,72 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_FH_N_FEATURES = 256
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (functions/text.hashed_features) over the
+    documents table at 256 buckets: the sparse cell table reduced to
+    per-feature aggregates for the 25 most-populated buckets (doc
+    frequency, then feature id as the total-order tiebreak). Both
+    hashes use the portable md5 convention, so the oracle rebuilds
+    every ±1 contribution exactly — collisions and cancellations
+    included."""
+    from yelp_etl_spark.functions.text import hashed_features
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = hashed_features(
+        docs, id_column="doc_id", text_column="text",
+        n_features=_FH_N_FEATURES,
+    )
+    return (
+        cells.groupBy("feature")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("value").cast("long").alias("sum_value"),
+            F.sum(F.abs("value")).cast("long").alias("sum_abs"),
+        )
+        .orderBy(F.desc("n_docs"), "feature")
+        .limit(25)
+    )
+
+
+ORACLE_HASHED_FEATURES = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL unnest(string_split(LOWER(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+hashed AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 18, 15)) AS BIGINT)
+           % {_FH_N_FEATURES} AS feature,
+         CASE WHEN CAST(concat('0x', substr(md5(tok), 17, 1)) AS BIGINT) % 2
+                   = 1
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+cells AS MATERIALIZED (
+  SELECT doc_id, feature, CAST(SUM(s) AS BIGINT) AS value
+  FROM hashed GROUP BY doc_id, feature
+)
+SELECT feature, COUNT(*) AS n_docs,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       CAST(SUM(ABS(value)) AS BIGINT) AS sum_abs
+FROM cells GROUP BY feature
+ORDER BY n_docs DESC, feature LIMIT 25
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "hashed_features": (
+            q_hashed_features,
+            ORACLE_HASHED_FEATURES,
+            "ext:signed feature hashing (vocabulary-free featurizer)",
+        ),
+    }
+)
