@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "jl_projection",
     "pca_top_component",
     "hashed_features",
+    "pmi_collocations",
+    "naive_bayes_confusion",
+    "auc_score",
+    "psi_drift",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -1,0 +1,98 @@
+"""Unit tests for functions/evaluation.py (AUC, PSI) and
+functions/classify.py (Naive Bayes) — known-answer checks plus the
+partitioning-determinism contract every metric must satisfy."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions.classify import (
+    naive_bayes_predict,
+    naive_bayes_train,
+)
+from yelp_etl_spark.functions.evaluation import auc_score, fixed_bin, psi_drift
+
+
+def test_auc_perfect_and_random_rankers(spark):
+    # Perfect separation: every positive scores above every negative.
+    rows = [(1, 10.0), (1, 9.0), (0, 2.0), (0, 1.0)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    r = auc_score(df, "label", "score").collect()[0]
+    assert r.auc == 1.0 and r.n_pos == 2 and r.n_neg == 2
+
+    # Reversed scores → AUC 0.
+    df2 = spark.createDataFrame([(0, 10.0), (0, 9.0), (1, 2.0)], "label int, score double")
+    assert auc_score(df2, "label", "score").collect()[0].auc == 0.0
+
+
+def test_auc_midrank_tie_handling(spark):
+    # All scores tied → AUC exactly 0.5 by the midrank convention.
+    rows = [(1, 5.0)] * 3 + [(0, 5.0)] * 7
+    df = spark.createDataFrame(rows, "label int, score double")
+    assert auc_score(df, "label", "score").collect()[0].auc == 0.5
+    # Hand-computed mixed case: pos scores {3, 1}, neg {2, 1}.
+    # Ranks: 1→(1,2) avg 1.5; 2→3; 3→4. R_pos = 1.5+4 = 5.5.
+    # AUC = (5.5 - 3)/(2*2) = 0.625.
+    df2 = spark.createDataFrame(
+        [(1, 3.0), (1, 1.0), (0, 2.0), (0, 1.0)], "label int, score double"
+    )
+    assert df2.transform(lambda d: auc_score(d, "label", "score")).collect()[0].auc == 0.625
+
+
+def test_fixed_bin_clamps_and_is_exact(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.999,), (10.0,), (99.9,), (100.0,), (1e9,)], "v double"
+    )
+    out = [r[0] for r in df.select(fixed_bin(F.col("v"), 0.0, 100.0, 10)).collect()]
+    assert out == [0, 0, 0, 1, 9, 9, 9]
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    a = spark.createDataFrame([(float(i % 10) * 10 + 5,) for i in range(100)], "v double")
+    out = psi_drift(a, a, "v", 0.0, 100.0, 10).collect()
+    assert [r.bin for r in out] == list(range(10))
+    assert all(r.psi_term == 0.0 for r in out)
+    # Shift everything up by 30: PSI total must be clearly positive.
+    b = a.select((F.col("v") + 30.0).alias("v"))
+    total = sum(r.psi_term for r in psi_drift(a, b, "v", 0.0, 100.0, 10).collect())
+    assert total > 0.25
+
+
+def test_naive_bayes_learns_separable_vocab(spark):
+    # Two classes with disjoint vocabularies — NB must classify
+    # held-out docs perfectly, and prediction must be
+    # partitioning-independent.
+    rows = []
+    for i in range(20):
+        rows.append((i, "apple banana cherry apple", "fruit"))
+        rows.append((100 + i, "bolt washer screw bolt", "tool"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    priors, loglik = naive_bayes_train(df)
+    test = spark.createDataFrame(
+        [(500, "banana apple"), (501, "screw bolt washer")],
+        "doc_id long, text string",
+    )
+    pred = {r.doc_id: r.label for r in naive_bayes_predict(test, priors, loglik).collect()}
+    assert pred == {500: "fruit", 501: "tool"}
+
+    a = sorted(map(tuple, naive_bayes_predict(test.repartition(3), priors, loglik).collect()))
+    b = sorted(map(tuple, naive_bayes_predict(test.repartition(1), priors, loglik).collect()))
+    assert a == b
+
+
+def test_naive_bayes_prior_only_for_oov_doc(spark):
+    # A test doc with no in-vocabulary token falls back to the class
+    # prior → majority class wins deterministically.
+    rows = [(i, "common words here", "big") for i in range(9)] + [
+        (99, "rare other tokens", "small")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    priors, loglik = naive_bayes_train(df)
+    test = spark.createDataFrame([(7, "zzz qqq")], "doc_id long, text string")
+    out = naive_bayes_predict(test, priors, loglik).collect()
+    assert len(out) == 1 and out[0].label == "big"
+    # score must equal the quantized prior exactly (no token terms)
+    assert out[0].score_q == round(math.log(9 / 10) * 1e6)

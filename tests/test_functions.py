@@ -1024,3 +1024,26 @@ def test_incremental_dedup_flags_cross_batch_duplicate(spark):
     }
     assert out[10] == (1, 1)
     assert out[11] == (0, None)
+
+
+def test_pmi_collocations_ranks_attracted_pairs(spark):
+    """A pair that always co-occurs gets higher PMI than one whose
+    components are frequent but independent; counts are exact."""
+    from yelp_etl_spark.functions.text import pmi_collocations
+
+    # "san francisco" always adjacent; "the cat" / "the dog" mix freely.
+    rows = [(i, "san francisco " + ("the cat " if i % 2 else "the dog ") * 3)
+            for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=2, top_k=50).collect()
+    by_pair = {(r.a, r.b): r for r in out}
+    assert by_pair[("san", "francisco")].n_ab == 10
+    # san→francisco is deterministic (PMI = ln(n_total/n_ab-ish) high);
+    # the→cat splits "the" slot mass with the→dog → strictly lower PMI.
+    assert by_pair[("san", "francisco")].pmi > by_pair[("the", "cat")].pmi
+    # position-specific marginal consistency: sum over b of n_ab = n_a
+    # implies PMI(the,cat)=ln(1/p(cat|second-slot-given-the))... check
+    # determinism across partitionings instead (the engine contract).
+    a = sorted(map(tuple, pmi_collocations(df.repartition(7), min_count=2, top_k=50).collect()))
+    b = sorted(map(tuple, out))
+    assert a == b

@@ -1,0 +1,155 @@
+"""Distributed multinomial Naive Bayes text classification — the
+classic fastText-shaped curation classifier (language / quality /
+domain tagging) re-expressed as pure DataFrame algebra.
+
+Why NB for the 100 TB curation path: training is ONE pass of
+partial-aggregated counting (no iterations, no gradient state), the
+model is a (vocab × classes) table that stays a DataFrame (never a
+driver-side object), and scoring is a token-keyed join + one keyed
+sum — every step shuffles on an 8-byte-hashable key and nothing ever
+collects. That is exactly the shape that survives 1000 executors.
+
+Cross-engine bit-parity trick (same family as clustering.py's rounded
+centroids): log-likelihoods are QUANTIZED to integer micro-nats
+(``round(ln(p)·1e6)`` as BIGINT) per (class, token) BEFORE any
+accumulation, so per-document scores are exact BIGINT sums —
+order-independent under any partitioning, any engine. A float
+log-sum would differ in the last bits between partial-agg orders and
+could flip an argmax; integer sums cannot.
+
+Reference parity: the reference has no model layer (yelp-etl stops at
+aggregates, run-all-pipelines.sh:239); this generalizes its gold-layer
+direction to the supervised tagging step every curation pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Integer micro-nat quantization of a probability's natural log.
+MICRO = 1_000_000.0
+
+
+def _qlog(p: Column) -> Column:
+    """``round(ln(p)·1e6)`` as BIGINT — the quantized log-likelihood.
+    One IEEE divide feeds one ``ln`` feeds one round: any engine
+    reproduces the integer exactly (a last-ulp `ln` divergence lands
+    on a different integer only within ~2e-9 of a rounding boundary)."""
+    return F.round(F.log(p) * F.lit(MICRO)).cast("long")
+
+
+def _tokens(df: DataFrame, id_column: str, text_column: str) -> DataFrame:
+    """Literal-space tokenization (the engine-portable convention —
+    regex ``\\s`` diverges between Java and RE2, text.tokens() is the
+    richer non-parity variant)."""
+    from yelp_etl_spark.sources.readers import fan_out
+
+    return (
+        fan_out(df, id_column)
+        .select(
+            F.col(id_column),
+            F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def naive_bayes_train(
+    df: DataFrame,
+    label_column: str = "lang",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB with add-one smoothing on the full
+    (vocab × classes) grid.
+
+    Returns ``(priors, loglik)``:
+      priors: (label, prior_q)           — quantized ln P(class)
+      loglik: (tok, label, loglik_q)     — quantized ln P(tok | class)
+
+    Plan: token counts are one partial-aggregated shuffle keyed
+    (label, tok); the smoothing grid is vocab ⨯ classes (classes are
+    few — the grid is a broadcast-joined cross of the distinct-token
+    table against a tiny class table, linear in vocab). ``P(t|c) =
+    (c(c,t)+1) / (total_c + V)`` — tokens absent from a class still
+    get a (smoothed) cell, so scoring needs no OOV special case
+    beyond dropping tokens outside the training vocabulary (the
+    standard convention: an unseen token carries no class signal).
+    """
+    toks = _tokens(df, id_column, text_column)
+    labeled = toks.join(
+        df.select(id_column, label_column), id_column
+    ).select(F.col(label_column).alias("label"), "tok")
+
+    pair = labeled.groupBy("label", "tok").agg(F.count("*").alias("c"))
+    totals = pair.groupBy("label").agg(F.sum("c").alias("total_c"))
+    vocab = pair.select("tok").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(pair, ["label", "tok"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "tok",
+            "label",
+            _qlog(
+                (F.coalesce("c", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("total_c") + F.col("v"))
+            ).alias("loglik_q"),
+        )
+    )
+
+    n_docs = df.groupBy(F.col(label_column).alias("label")).agg(
+        F.count("*").alias("n_l")
+    )
+    n_total = df.agg(F.count("*").alias("n"))
+    priors = n_docs.crossJoin(F.broadcast(n_total)).select(
+        "label",
+        _qlog(F.col("n_l").cast("double") / F.col("n")).alias("prior_q"),
+    )
+    return priors, grid
+
+
+def naive_bayes_predict(
+    df: DataFrame,
+    priors: DataFrame,
+    loglik: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Score every document against every class and take the argmax
+    (ties broken by label order — a total order, so the prediction is
+    deterministic).
+
+    Plan: doc tokens join the model keyed on ``tok`` (the model is
+    vocab-sized — AQE broadcasts it when it fits, shuffles otherwise;
+    either way never all-pairs), one keyed sum to (doc, label), then
+    a left join back from the doc ⨯ class frame so a document with
+    zero in-vocabulary tokens still gets prior-only scores. The
+    argmax window is partitioned per document over ``n_classes``
+    rows. Scores are exact BIGINT micro-nat sums.
+
+    Returns (id, label = predicted class, score_q).
+    """
+    toks = _tokens(df, id_column, text_column)
+    tok_scores = (
+        toks.join(loglik, "tok")
+        .groupBy(id_column, "label")
+        .agg(F.sum("loglik_q").alias("tok_q"))
+    )
+    frame = df.select(id_column).crossJoin(F.broadcast(priors))
+    scored = frame.join(tok_scores, [id_column, "label"], "left").select(
+        id_column,
+        "label",
+        (F.col("prior_q") + F.coalesce("tok_q", F.lit(0))).alias("score_q"),
+    )
+    w = Window.partitionBy(id_column).orderBy(
+        F.desc("score_q"), F.asc("label")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_column, "label", "score_q")
+    )

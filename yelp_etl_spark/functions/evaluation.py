@@ -1,0 +1,153 @@
+"""Model/data evaluation metrics for training pipelines: rank-based
+ROC-AUC and population-stability-index (PSI) drift monitoring.
+
+Both are engineered for cross-engine bit-parity the same way the
+clustering module is: all counting stays in exact BIGINT arithmetic,
+and every floating-point expression (the final AUC ratio, each PSI
+bin's term) is a single fixed expression tree of IEEE-exact ops plus
+one `ln`, evaluated identically by any engine before a 6-decimal
+round. No sums of floats anywhere — the order-dependence of float
+accumulation is the usual source of flaky cross-engine/cross-run
+diffs in metric code.
+
+Reference parity: the reference pipeline has no evaluation layer
+(yelp-etl's gold layer stops at aggregates, run-all-pipelines.sh:239);
+these generalize it to the quality-tracking a curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_score(
+    df: DataFrame,
+    label_column: str,
+    score_column: str,
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_column`` as a ranker for the 0/1
+    ``label_column``, via the Mann-Whitney U statistic with midrank
+    tie handling — the textbook estimator, computed distributed and
+    in EXACT integer arithmetic until the final division.
+
+    For each tie group g (one distinct score value) with ``cnt_g``
+    rows of which ``pos_g`` are positive, the average rank is
+    ``before_g + (cnt_g + 1)/2`` where ``before_g`` counts rows with
+    strictly smaller score. Doubling clears the half:
+
+        2·R_pos = Σ_g pos_g · (2·before_g + cnt_g + 1)
+        AUC     = (2·R_pos − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+    Plan: one partial-aggregated shuffle keyed on the score value
+    (the only pass over the data), then a running-sum window over the
+    DISTINCT-SCORE table only. That window is single-partition, but
+    it never sees data volume — its input is one row per distinct
+    score. For a continuous score at 100 TB, quantize the score first
+    (e.g. ``F.round(score, 4)``) so the distinct-score table stays
+    bounded; AUC over a quantized score is exactly AUC with midrank
+    ties at the quantization grid.
+
+    Returns one row: ``auc`` (rounded 6), ``n_pos``, ``n_neg``.
+    """
+    g = df.groupBy(F.col(score_column).alias("s")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(label_column).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = g.select(
+        "cnt",
+        "pos",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
+        ).alias("two_r_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("cnt").alias("n"),
+    )
+    return agg.select(
+        F.round(
+            (
+                F.col("two_r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+            ).cast("double")
+            / (F.lit(2) * F.col("n_pos") * (F.col("n") - F.col("n_pos"))),
+            6,
+        ).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+    )
+
+
+def fixed_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Clamped fixed-width bin id in ``[0, n_bins)`` — the
+    engine-portable stand-in for width_bucket: ``floor((v−lo)/step)``
+    is one subtraction, one division, one floor (all IEEE-exact given
+    the same literal ``step``), so every engine assigns every value to
+    the same bin."""
+    step = (hi - lo) / n_bins
+    raw = F.floor((value - F.lit(lo)) / F.lit(step))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    sample of ``value_column`` — the standard production drift
+    monitor (PSI < 0.1 stable, > 0.25 drifted). Per-bin output so the
+    alert can point at WHERE the distribution moved, not just that it
+    did.
+
+    Add-one smoothing on bin counts (``(n+1)/(total+n_bins)``) keeps
+    every bin's ratio finite without dropping empty bins — the same
+    convention as the Naive Bayes module. Each side is one
+    partial-aggregated shuffle keyed on the bin id (n_bins cells);
+    the per-bin term ``(p_a − p_b)·ln(p_a/p_b)`` is a fixed scalar
+    expression over two exact BIGINT counts, so the oracle rebuilds
+    it bit-for-bit. Returns ``bin, n_base, n_cur, psi_term`` ordered
+    by bin; total PSI = SUM(psi_term).
+    """
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(fixed_bin(F.col(value_column), lo, hi, n_bins).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(out))
+        )
+
+    bins = base.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    a = side(base, "n_base")
+    b = side(current, "n_cur")
+    tot_a = a.agg(F.sum("n_base").alias("tot_base"))
+    tot_b = b.agg(F.sum("n_cur").alias("tot_cur"))
+    joined = (
+        bins.join(a, "bin", "left")
+        .join(b, "bin", "left")
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            "tot_base",
+            "tot_cur",
+        )
+    )
+    p_a = (F.col("n_base") + F.lit(1)).cast("double") / (
+        F.col("tot_base") + F.lit(n_bins)
+    )
+    p_b = (F.col("n_cur") + F.lit(1)).cast("double") / (
+        F.col("tot_cur") + F.lit(n_bins)
+    )
+    return joined.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
+    ).orderBy("bin")

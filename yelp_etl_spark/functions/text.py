@@ -530,3 +530,84 @@ def hashed_features(
         .groupBy(id_column, "feature")
         .agg(F.sum("s").cast("long").alias("value"))
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    min_count: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations (Church &
+    Hanks 1990): which adjacent word pairs co-occur far more often
+    than their unigram frequencies predict. The classic phrase-mining
+    pre-step for tokenizer and vocabulary construction over a training
+    corpus.
+
+    Plan: literal-space tokenize with position (posexplode; the ''
+    filter re-closes gaps because `lead` runs over the surviving rows
+    in position order) → per-document `lead` window for adjacent
+    pairs (shuffle keyed on the doc id, per-doc sort — bounded by
+    document length) → three partial-aggregated counts (pair, left
+    marginal, right marginal) → joins back (marginals are vocab-sized;
+    AQE broadcasts when small) → one broadcast scalar for the corpus
+    bigram total. Never all-pairs; every shuffle is keyed on an
+    8-byte-hashable token. PMI is computed with one fixed expression
+    tree — double multiply, divide, `ln` — so any engine reproduces
+    it bit-for-bit before the 6-decimal rounding.
+
+    Counting is position-specific (left marginal counts tokens in the
+    first slot, right in the second): with that convention the four
+    counts are exactly consistent (sum of n_ab over b = n_a) and PMI
+    of a pair never needs the corpus vocabulary.
+
+    Reference parity: generalizes the reference's token-frequency
+    direction (yelp-etl gold-layer aggregations,
+    run-all-pipelines.sh:239) to second-order statistics.
+    """
+    from pyspark.sql import Window
+
+    from yelp_etl_spark.sources.readers import fan_out
+
+    toks = (
+        fan_out(df, id_column)
+        .select(
+            F.col(id_column),
+            F.posexplode(F.split(F.lower(F.col(text_column)), " ")).alias(
+                "pos", "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy(id_column).orderBy("pos")
+    bigrams = (
+        toks.select(
+            F.col("tok").alias("a"),
+            F.lead("tok").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    pair = bigrams.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    left = bigrams.groupBy("a").agg(F.count("*").alias("n_a"))
+    right = bigrams.groupBy("b").agg(F.count("*").alias("n_b"))
+    total = bigrams.agg(F.count("*").alias("n_total"))
+    scored = (
+        pair.join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_ab") >= min_count)
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_total"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(top_k)

@@ -1858,3 +1858,294 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI bigram collocations (functions/text.pmi_collocations) over
+    the documents table: top 25 adjacent-pair collocations with ≥5
+    occurrences, PMI-ranked with the (a, b) pair as the total-order
+    tiebreak. Position-specific marginals make the oracle an exact
+    count-for-count rebuild; PMI's expression tree (double mul, div,
+    ln) is pinned identically on both sides before the 6-decimal
+    round."""
+    from yelp_etl_spark.functions.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(
+        docs, id_column="doc_id", text_column="text", min_count=5, top_k=25
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(LOWER(text), ' ')) AS tok,
+           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
+    FROM documents
+  ) u
+  WHERE u.tok <> ''
+),
+bigrams AS MATERIALIZED (
+  SELECT t1.tok AS a, t2.tok AS b
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+pair AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS n_ab FROM bigrams GROUP BY a, b
+),
+lft AS MATERIALIZED (SELECT a, COUNT(*) AS n_a FROM bigrams GROUP BY a),
+rgt AS MATERIALIZED (SELECT b, COUNT(*) AS n_b FROM bigrams GROUP BY b),
+tot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM bigrams)
+SELECT p.a, p.b, p.n_ab,
+       ROUND(LN((CAST(p.n_ab AS DOUBLE) * t.n_total)
+                / (CAST(l.n_a AS DOUBLE) * r.n_b)), 6) AS pmi
+FROM pair p
+JOIN lft l USING (a)
+JOIN rgt r USING (b)
+CROSS JOIN tot t
+WHERE p.n_ab >= 5
+ORDER BY pmi DESC, p.a, p.b
+LIMIT 25
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "pmi_collocations": (
+            q_pmi_collocations,
+            ORACLE_PMI_COLLOCATIONS,
+            "ext:PMI bigram collocations (phrase mining)",
+        ),
+    }
+)
+
+
+def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language tagger (functions/classify.py):
+    train on the deterministic 80% doc_id split, predict lang on the
+    held-out 20%, return the confusion matrix (true_lang, pred_lang,
+    n_docs). Log-likelihoods are quantized to integer micro-nats
+    before summation, so every per-document score is an exact BIGINT
+    the oracle rebuilds term-for-term — argmax included."""
+    from yelp_etl_spark.functions.classify import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+    from yelp_etl_spark.functions.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = train_test_split(docs, "doc_id", 0.8)
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    priors, loglik = naive_bayes_train(train, label_column="lang")
+    pred = naive_bayes_predict(test, priors, loglik)
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("label").alias("pred_lang"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# The 80% md5-prefix split boundary — derived from the SAME helper the
+# Spark side uses (4 hex digits; an 8-digit rewrite would diverge on
+# keys whose 4-digit prefix equals the cut's).
+from yelp_etl_spark.functions.sampling import HEX_DIGITS as _NB_DIGITS
+from yelp_etl_spark.functions.sampling import fraction_threshold as _nb_cut
+
+ORACLE_NAIVE_BAYES = f"""
+WITH split AS MATERIALIZED (
+  SELECT *,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, {_NB_DIGITS})
+                   < '{_nb_cut(0.8)}'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+train_toks AS MATERIALIZED (
+  SELECT s.lang AS label, u.tok
+  FROM split s, LATERAL unnest(string_split(LOWER(s.text), ' ')) AS u(tok)
+  WHERE s.split = 'train' AND u.tok <> ''
+),
+pair AS MATERIALIZED (
+  SELECT label, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM train_toks GROUP BY label, tok
+),
+totals AS MATERIALIZED (
+  SELECT label, CAST(SUM(c) AS BIGINT) AS total_c FROM pair GROUP BY label
+),
+vocab AS MATERIALIZED (SELECT DISTINCT tok FROM pair),
+vsize AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+grid AS MATERIALIZED (
+  SELECT vo.tok, t.label,
+         CAST(ROUND(LN(CAST(COALESCE(p.c, 0) + 1 AS DOUBLE)
+                       / (t.total_c + vs.v)) * 1000000) AS BIGINT) AS loglik_q
+  FROM vocab vo
+  CROSS JOIN totals t
+  LEFT JOIN pair p ON p.label = t.label AND p.tok = vo.tok
+  CROSS JOIN vsize vs
+),
+priors AS MATERIALIZED (
+  SELECT label, CAST(ROUND(LN(CAST(n_l AS DOUBLE) / n) * 1000000) AS BIGINT)
+           AS prior_q
+  FROM (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM split WHERE split = 'train' GROUP BY lang)
+  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM split WHERE split = 'train')
+),
+test_toks AS MATERIALIZED (
+  SELECT s.doc_id, u.tok
+  FROM split s, LATERAL unnest(string_split(LOWER(s.text), ' ')) AS u(tok)
+  WHERE s.split = 'test' AND u.tok <> ''
+),
+tok_scores AS MATERIALIZED (
+  SELECT tt.doc_id, g.label, CAST(SUM(g.loglik_q) AS BIGINT) AS tok_q
+  FROM test_toks tt JOIN grid g ON g.tok = tt.tok
+  GROUP BY tt.doc_id, g.label
+),
+scored AS MATERIALIZED (
+  SELECT d.doc_id, pr.label,
+         pr.prior_q + COALESCE(ts.tok_q, 0) AS score_q
+  FROM (SELECT doc_id FROM split WHERE split = 'test') d
+  CROSS JOIN priors pr
+  LEFT JOIN tok_scores ts
+    ON ts.doc_id = d.doc_id AND ts.label = pr.label
+),
+pred AS MATERIALIZED (
+  SELECT doc_id, label
+  FROM (SELECT doc_id, label,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, label ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT d.lang AS true_lang, p.label AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact midrank ROC-AUC (functions/evaluation.auc_score) of
+    document length as a ranker for lang='en' — the Mann-Whitney U
+    statistic in pure BIGINT arithmetic until one final division, so
+    the single output row is bit-identical in any engine."""
+    from yelp_etl_spark.functions.evaluation import auc_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.col("n_chars").alias("score"),
+    )
+    return auc_score(docs, "label", "score")
+
+
+ORACLE_AUC_SCORE = """
+WITH g AS MATERIALIZED (
+  SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY n_chars
+),
+ranked AS MATERIALIZED (
+  SELECT cnt, pos,
+         CAST(SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - cnt
+              AS BIGINT) AS before
+  FROM g
+),
+agg AS MATERIALIZED (
+  SELECT CAST(SUM(pos * (2 * before + cnt + 1)) AS BIGINT) AS two_r_pos,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT ROUND(CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2 * n_pos * (n - n_pos)), 6) AS auc,
+       n_pos, n - n_pos AS n_neg
+FROM agg
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor (functions/evaluation.psi_drift): event value
+    distribution, first half of January vs the rest, 10 fixed bins
+    over [0, 100] (top bin clamps the tail). Per-bin smoothed terms;
+    every count exact, every float term a single fixed expression
+    tree."""
+    from yelp_etl_spark.functions.evaluation import psi_drift
+
+    events = _t(spark, sf_dir, "events")
+    pivot = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return psi_drift(
+        events.filter(F.col("ts") < pivot),
+        events.filter(F.col("ts") >= pivot),
+        "value",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 9) AS BIGINT)
+           AS bin
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+),
+cur AS MATERIALIZED (
+  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 9) AS BIGINT)
+           AS bin
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+),
+ba AS MATERIALIZED (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_base FROM base GROUP BY bin
+),
+cu AS MATERIALIZED (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur GROUP BY bin
+),
+tots AS MATERIALIZED (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS tot_base,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS tot_cur
+),
+bins AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS bin FROM range(10))
+SELECT b.bin,
+       CAST(COALESCE(ba.n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(cu.n_cur, 0) AS BIGINT) AS n_cur,
+       ROUND((CAST(COALESCE(ba.n_base, 0) + 1 AS DOUBLE) / (t.tot_base + 10)
+              - CAST(COALESCE(cu.n_cur, 0) + 1 AS DOUBLE) / (t.tot_cur + 10))
+             * LN((CAST(COALESCE(ba.n_base, 0) + 1 AS DOUBLE)
+                   / (t.tot_base + 10))
+                  / (CAST(COALESCE(cu.n_cur, 0) + 1 AS DOUBLE)
+                     / (t.tot_cur + 10))), 6) AS psi_term
+FROM bins b
+LEFT JOIN ba ON ba.bin = b.bin
+LEFT JOIN cu ON cu.bin = b.bin
+CROSS JOIN tots t
+ORDER BY b.bin
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "naive_bayes_confusion": (
+            q_naive_bayes_confusion,
+            ORACLE_NAIVE_BAYES,
+            "ext:multinomial NB language tagger (quantized log-lik)",
+        ),
+        "auc_score": (
+            q_auc_score,
+            ORACLE_AUC_SCORE,
+            "ext:exact midrank ROC-AUC (Mann-Whitney U)",
+        ),
+        "psi_drift": (
+            q_psi_drift,
+            ORACLE_PSI_DRIFT,
+            "ext:PSI distribution drift monitor",
+        ),
+    }
+)
