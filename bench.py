@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "naive_bayes_confusion",
     "auc_score",
     "psi_drift",
+    "logreg_weights",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

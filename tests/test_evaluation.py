@@ -96,3 +96,33 @@ def test_naive_bayes_prior_only_for_oov_doc(spark):
     assert len(out) == 1 and out[0].label == "big"
     # score must equal the quantized prior exactly (no token terms)
     assert out[0].score_q == round(math.log(9 / 10) * 1e6)
+
+
+def test_logreg_learns_planted_separator(spark):
+    """LR on a linearly separable planted direction reaches high
+    training accuracy in 4 rounds and is partitioning-independent."""
+    import random
+
+    from yelp_etl_spark.functions.classify import logistic_regression_train
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        y = i % 2
+        # features: dim 4; coordinate 1 carries the signal
+        base = [rng.uniform(-0.2, 0.2) for _ in range(4)]
+        base[1] += 2.0 if y else -2.0
+        rows.append((i, [float(v) for v in base], float(y)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, y double")
+    w, acc = logistic_regression_train(
+        df, df.select("vec_id", "y"), iterations=4, lr=1.0
+    )
+    wmap = dict(w)
+    assert acc >= 0.95
+    # the signal coordinate dominates every noise coordinate
+    assert abs(wmap[1]) > 3 * max(abs(wmap[p]) for p in (0, 2, 3))
+    w2, acc2 = logistic_regression_train(
+        df.repartition(7), df.select("vec_id", "y").repartition(3),
+        iterations=4, lr=1.0,
+    )
+    assert w == w2 and acc == acc2

@@ -153,3 +153,105 @@ def naive_bayes_predict(
         .filter(F.col("rn") == 1)
         .select(id_column, "label", "score_q")
     )
+
+
+def logistic_regression_train(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    iterations: int = 4,
+    lr: float = 1.0,
+    round_decimals: int = 6,
+) -> tuple[list[tuple[int, float]], float]:
+    """Binary logistic regression by full-batch gradient descent —
+    the discriminative sibling of the NB tagger, with the training
+    loop distributed the same way clustering.py distributes k-means
+    and power iteration: the DATA never leaves the cluster, the
+    driver only ever holds the dim-sized model between rounds.
+
+    Per round (two keyed partial-agg shuffles, the PCA matvec shape):
+      z_i = Σ_p w_p·x_ip  (components join the broadcast weight
+            vector, sum keyed on the row id)   — rounded
+      p_i = σ(z_i)                              — rounded
+      g_p = Σ_i x_ip·(p_i − y_i) / n            — rounded
+      w'  = w − lr·g                            — rounded
+    The bias is an augmented component (pos = −1, x = 1), so one code
+    path trains it with the weights. Cross-engine determinism uses
+    the module-wide discipline: fixed iteration count, every
+    accumulated float rounded to ``round_decimals`` before it feeds
+    the next expression, ``lr`` = 1 so the update w − lr·g stays ON
+    the rounding grid (a fractional lr mints exact grid MIDPOINTS —
+    half-even vs half-away rounders then disagree on ~half the
+    coordinates; measured, not theoretical), zero init (first-round
+    p_i is exactly 0.5). A
+    DuckDB oracle replays the identical unrolled rounds.
+
+    Returns ``(weights, accuracy)``: weights as [(pos, w)] with the
+    bias at pos −1, and training accuracy of the final model (the
+    decision p ≥ ½ ⇔ z ≥ 0 compares exactly — no float boundary).
+    """
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+    from yelp_etl_spark.functions.clustering import _component_rows
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    ex = truncate_lineage(
+        _component_rows(df, id_col, vec_col).unionByName(
+            df.select(
+                F.col(id_col),
+                F.lit(-1).alias("pos"),
+                F.lit(1.0).alias("x"),
+            )
+        ),
+        eager=True,
+    )
+    ylab = truncate_lineage(
+        labels.select(id_col, F.col(label_col).cast("double").alias("y")),
+        eager=True,
+    )
+    n = float(ylab.count())
+    w = [(p, 0.0) for p in range(-1, dim)]
+
+    def _resid(wrows):
+        wdf = F.broadcast(spark.createDataFrame(wrows, "pos int, w double"))
+        z = (
+            ex.join(wdf, "pos")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("x") * F.col("w")), round_decimals).alias("z"))
+        )
+        return z.join(ylab, id_col).select(
+            id_col,
+            "z",
+            (
+                F.round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))),
+                    round_decimals,
+                )
+                - F.col("y")
+            ).alias("r"),
+        )
+
+    for _ in range(iterations):
+        resid = _resid(w)
+        grad = (
+            ex.join(resid, id_col)
+            .groupBy("pos")
+            .agg(
+                F.round(F.sum(F.col("x") * F.col("r")) / F.lit(n), round_decimals)
+                .alias("g")
+            )
+        )
+        gmap = {r["pos"]: r["g"] for r in grad.collect()}
+        w = [
+            (p, round(val - lr * gmap.get(p, 0.0), round_decimals))
+            for p, val in w
+        ]
+
+    final = _resid(w)
+    correct = final.join(ylab, id_col).filter(
+        ((F.col("z") >= 0).cast("double")) == F.col("y")
+    )
+    acc = round(correct.count() / n, round_decimals)
+    return w, acc

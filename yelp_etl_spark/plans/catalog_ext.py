@@ -2149,3 +2149,115 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_LOGREG_ITERS = 4
+_LOGREG_DIM = 64
+
+
+def q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression by distributed full-batch gradient
+    descent (functions/classify.logistic_regression_train): 4 exact
+    rounds on the embeddings with y = (label < 5), lr = 1, zero
+    init, per-round rounding. Returns all 64 weights + the bias
+    (pos −1) + training accuracy — the DuckDB oracle replays the
+    identical unrolled rounds, so the whole model is value-checked."""
+    from yelp_etl_spark.functions.classify import logistic_regression_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        "vec_id", (F.col("label") < 5).cast("double").alias("y")
+    )
+    w, acc = logistic_regression_train(
+        emb, labels, iterations=_LOGREG_ITERS, lr=1.0
+    )
+    return (
+        spark.createDataFrame(w, "pos int, weight double")
+        .select("pos", "weight", F.lit(acc).alias("accuracy"))
+        .orderBy("pos")
+    )
+
+
+def _logreg_oracle(iters: int, dim: int) -> str:
+    """Unrolled gradient-descent twin (materialized CTEs, scalar
+    values via CROSS JOIN single-row tables — the BPE oracle
+    lessons). Mirrors logistic_regression_train round for round."""
+    steps = [
+        f"""ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, {dim + 1}) t(i)
+  UNION ALL
+  SELECT vec_id, -1 AS pos, 1.0 AS x FROM embeddings
+)""",
+        """ylab AS MATERIALIZED (
+  SELECT vec_id, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+)""",
+        """nn AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ylab
+)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT CAST(pos AS INTEGER) AS pos, 0.0 AS w FROM range(-1, {dim}) t(pos)
+)""",
+    ]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""z{k} AS MATERIALIZED (
+  SELECT vec_id, ROUND(SUM(x * w), 6) AS z
+  FROM ex JOIN w{k - 1} USING (pos) GROUP BY vec_id
+)"""
+        )
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT z.vec_id, ROUND(1.0 / (1.0 + EXP(-z.z)), 6) - y.y AS r
+  FROM z{k} z JOIN ylab y USING (vec_id)
+)"""
+        )
+        steps.append(
+            f"""g{k} AS MATERIALIZED (
+  SELECT pos, ROUND(SUM(x * r) / n, 6) AS g
+  FROM ex JOIN r{k} USING (vec_id) CROSS JOIN nn GROUP BY pos, n
+)"""
+        )
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT w.pos, ROUND(w.w - COALESCE(g.g, 0), 6) AS w
+  FROM w{k - 1} w LEFT JOIN g{k} g USING (pos)
+)"""
+        )
+    steps.append(
+        f"""zf AS MATERIALIZED (
+  SELECT vec_id, ROUND(SUM(x * w), 6) AS z
+  FROM ex JOIN w{iters} USING (pos) GROUP BY vec_id
+)"""
+    )
+    steps.append(
+        """acc AS MATERIALIZED (
+  SELECT ROUND(CAST(SUM(CASE WHEN (CASE WHEN z >= 0 THEN 1.0 ELSE 0.0 END) = y
+                              THEN 1 ELSE 0 END) AS DOUBLE) / n, 6) AS accuracy
+  FROM zf JOIN ylab USING (vec_id) CROSS JOIN nn GROUP BY n
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT pos, w AS weight, accuracy
+FROM w{iters} CROSS JOIN acc
+ORDER BY pos
+"""
+    )
+
+
+ORACLE_LOGREG = _logreg_oracle(_LOGREG_ITERS, _LOGREG_DIM)
+
+
+EXTRA_QUERIES.update(
+    {
+        "logreg_weights": (
+            q_logreg_weights,
+            ORACLE_LOGREG,
+            "ext:distributed logistic regression (unrolled GD oracle)",
+        ),
+    }
+)
