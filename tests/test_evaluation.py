@@ -126,3 +126,21 @@ def test_logreg_learns_planted_separator(spark):
         iterations=4, lr=1.0,
     )
     assert w == w2 and acc == acc2
+
+
+def test_psi_ignores_null_nan_and_flags_empty_side(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    a = spark.createDataFrame(
+        [(5.0,), (15.0,), (None,), (float("nan"),)], "v double"
+    )
+    out = psi_drift(a, a, "v", 0.0, 100.0, 10).collect()
+    # NULL/NaN excluded: only bins 0 and 1 carry mass
+    assert {r.bin: r.n_base for r in out if r.n_base} == {0: 1, 1: 1}
+    assert all(r.psi_term == 0.0 for r in out)
+    # empty current side: totals coalesce to 0, terms stay finite and
+    # the total PSI reads as LARGE drift, never NULL-silenced 0.0
+    empty = a.filter(F.col("v") < -1)
+    drift = psi_drift(a, empty, "v", 0.0, 100.0, 10).collect()
+    assert all(r.psi_term is not None for r in drift)
+    assert sum(r.psi_term for r in drift) > 0.0

@@ -40,19 +40,11 @@ def _qlog(p: Column) -> Column:
 
 
 def _tokens(df: DataFrame, id_column: str, text_column: str) -> DataFrame:
-    """Literal-space tokenization (the engine-portable convention —
-    regex ``\\s`` diverges between Java and RE2, text.tokens() is the
-    richer non-parity variant)."""
-    from yelp_etl_spark.sources.readers import fan_out
+    """Engine-portable literal-space tokens (shared convention —
+    see text.portable_tokens)."""
+    from yelp_etl_spark.functions.text import portable_tokens
 
-    return (
-        fan_out(df, id_column)
-        .select(
-            F.col(id_column),
-            F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
+    return portable_tokens(df, id_column, text_column)
 
 
 def naive_bayes_train(
@@ -224,6 +216,7 @@ def logistic_regression_train(
         return z.join(ylab, id_col).select(
             id_col,
             "z",
+            "y",
             (
                 F.round(
                     F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))),
@@ -250,8 +243,6 @@ def logistic_regression_train(
         ]
 
     final = _resid(w)
-    correct = final.join(ylab, id_col).filter(
-        ((F.col("z") >= 0).cast("double")) == F.col("y")
-    )
+    correct = final.filter(((F.col("z") >= 0).cast("double")) == F.col("y"))
     acc = round(correct.count() / n, round_decimals)
     return w, acc

@@ -62,17 +62,28 @@ def auc_score(
     )
     agg = ranked.agg(
         F.sum(
-            F.col("pos") * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
+            F.col("pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
         ).alias("two_r_pos"),
         F.sum("pos").alias("n_pos"),
         F.sum("cnt").alias("n"),
     )
+    # 2·R_pos and n_pos·(n+1) reach ~n² — decimal(38,0) keeps them
+    # exact far past int64 (n ~ 1e10 at 100 TB wraps a BIGINT sum
+    # silently); the denominator multiplies in DOUBLE, which cannot
+    # overflow, and both engines round the same numerator the same way
+    # on the int128/decimal128 → double cast.
     return agg.select(
         F.round(
             (
-                F.col("two_r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+                F.col("two_r_pos")
+                - F.col("n_pos").cast("decimal(38,0)") * (F.col("n_pos") + F.lit(1))
             ).cast("double")
-            / (F.lit(2) * F.col("n_pos") * (F.col("n") - F.col("n_pos"))),
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * (F.col("n") - F.col("n_pos")).cast("double")
+            ),
             6,
         ).alias("auc"),
         F.col("n_pos").cast("long").alias("n_pos"),
@@ -115,8 +126,13 @@ def psi_drift(
     by bin; total PSI = SUM(psi_term).
     """
     def side(df: DataFrame, out: str) -> DataFrame:
+        # NULL/NaN never bin: Spark floor() coerces NaN to 0 while
+        # DuckDB clamps it to the top bin, and a NULL-heavy column
+        # would otherwise report phantom mass in bin 0 (reviewed bug).
         return (
-            df.select(fixed_bin(F.col(value_column), lo, hi, n_bins).alias("bin"))
+            df.select(F.col(value_column).alias("v"))
+            .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+            .select(fixed_bin(F.col("v"), lo, hi, n_bins).alias("bin"))
             .groupBy("bin")
             .agg(F.count("*").alias(out))
         )
@@ -124,8 +140,9 @@ def psi_drift(
     bins = base.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
     a = side(base, "n_base")
     b = side(current, "n_cur")
-    tot_a = a.agg(F.sum("n_base").alias("tot_base"))
-    tot_b = b.agg(F.sum("n_cur").alias("tot_cur"))
+    # an EMPTY side must read as total drift, not a NULL-silenced 0.0
+    tot_a = a.agg(F.coalesce(F.sum("n_base"), F.lit(0)).alias("tot_base"))
+    tot_b = b.agg(F.coalesce(F.sum("n_cur"), F.lit(0)).alias("tot_cur"))
     joined = (
         bins.join(a, "bin", "left")
         .join(b, "bin", "left")

@@ -482,6 +482,39 @@ def bm25_rank(
     )
 
 
+def portable_tokens(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    with_position: bool = False,
+) -> DataFrame:
+    """(id, tok) rows by LITERAL-SPACE tokenization of the lowercased
+    text — the engine-portable convention shared by every
+    oracle-checked featurizer (regex ``\\s`` diverges between Java and
+    RE2; ``tokens()`` above is the richer non-parity variant). Widens
+    single-split scans first (fan_out) because explode amplifies rows.
+    With ``with_position`` the original array position comes along as
+    ``pos`` (gaps from the ''-filter are fine for adjacency work: any
+    order-preserving consumer sees the surviving rows in text order).
+    """
+    from yelp_etl_spark.sources.readers import fan_out
+
+    wide = fan_out(df, id_column)
+    if with_position:
+        exploded = wide.select(
+            F.col(id_column),
+            F.posexplode(F.split(F.lower(F.col(text_column)), " ")).alias(
+                "pos", "tok"
+            ),
+        )
+    else:
+        exploded = wide.select(
+            F.col(id_column),
+            F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
+        )
+    return exploded.filter(F.col("tok") != "")
+
+
 def hashed_features(
     df: DataFrame,
     id_column: str = "doc_id",
@@ -505,12 +538,7 @@ def hashed_features(
     aggregated shuffle keyed (id, feature). Whitespace tokenization to
     stay oracle-portable (the regex `tokens()` is the non-parity
     variant)."""
-    from yelp_etl_spark.sources.readers import fan_out
-
-    toks = fan_out(df, id_column).select(
-        F.col(id_column),
-        F.explode(F.split(F.lower(F.col(text_column)), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = portable_tokens(df, id_column, text_column)
     h = F.conv(
         F.substring(F.md5(F.col("tok").cast("binary")), 18, 15), 16, 10
     ).cast("long")
@@ -549,8 +577,9 @@ def pmi_collocations(
     filter re-closes gaps because `lead` runs over the surviving rows
     in position order) → per-document `lead` window for adjacent
     pairs (shuffle keyed on the doc id, per-doc sort — bounded by
-    document length) → three partial-aggregated counts (pair, left
-    marginal, right marginal) → joins back (marginals are vocab-sized;
+    document length) → ONE partial-aggregated pair count; marginals
+    and the total then reduce the vocab²-sized pair table, never the
+    token-scale bigrams again → joins back (marginals are vocab-sized;
     AQE broadcasts when small) → one broadcast scalar for the corpus
     bigram total. Never all-pairs; every shuffle is keyed on an
     8-byte-hashable token. PMI is computed with one fixed expression
@@ -568,18 +597,7 @@ def pmi_collocations(
     """
     from pyspark.sql import Window
 
-    from yelp_etl_spark.sources.readers import fan_out
-
-    toks = (
-        fan_out(df, id_column)
-        .select(
-            F.col(id_column),
-            F.posexplode(F.split(F.lower(F.col(text_column)), " ")).alias(
-                "pos", "tok"
-            ),
-        )
-        .filter(F.col("tok") != "")
-    )
+    toks = portable_tokens(df, id_column, text_column, with_position=True)
     w = Window.partitionBy(id_column).orderBy("pos")
     bigrams = (
         toks.select(
@@ -589,9 +607,12 @@ def pmi_collocations(
         .filter(F.col("b").isNotNull())
     )
     pair = bigrams.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
-    left = bigrams.groupBy("a").agg(F.count("*").alias("n_a"))
-    right = bigrams.groupBy("b").agg(F.count("*").alias("n_b"))
-    total = bigrams.agg(F.count("*").alias("n_total"))
+    # marginals + total derive EXACTLY from the reduced pair table
+    # (sum of n_ab over b = n_a by construction), so the token-scale
+    # bigram lineage is aggregated once, not four times
+    left = pair.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    right = pair.groupBy("b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    total = pair.agg(F.sum("n_ab").cast("long").alias("n_total"))
     scored = (
         pair.join(left, "a")
         .join(right, "b")

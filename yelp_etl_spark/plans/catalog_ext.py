@@ -2059,13 +2059,14 @@ ranked AS MATERIALIZED (
   FROM g
 ),
 agg AS MATERIALIZED (
-  SELECT CAST(SUM(pos * (2 * before + cnt + 1)) AS BIGINT) AS two_r_pos,
+  SELECT SUM(CAST(pos AS HUGEINT) * (2 * before + cnt + 1)) AS two_r_pos,
          CAST(SUM(pos) AS BIGINT) AS n_pos,
          CAST(SUM(cnt) AS BIGINT) AS n
   FROM ranked
 )
-SELECT ROUND(CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
-             / (2 * n_pos * (n - n_pos)), 6) AS auc,
+SELECT ROUND(CAST(two_r_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)),
+             6) AS auc,
        n_pos, n - n_pos AS n_neg
 FROM agg
 """
@@ -2095,12 +2096,16 @@ ORACLE_PSI_DRIFT = """
 WITH base AS MATERIALIZED (
   SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 9) AS BIGINT)
            AS bin
-  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    AND value IS NOT NULL AND NOT isnan(value)
 ),
 cur AS MATERIALIZED (
   SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 9) AS BIGINT)
            AS bin
-  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    AND value IS NOT NULL AND NOT isnan(value)
 ),
 ba AS MATERIALIZED (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_base FROM base GROUP BY bin
