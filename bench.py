@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "auc_score",
     "psi_drift",
     "logreg_weights",
+    "chi2_terms",
+    "ann_recall_at_k",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -144,3 +144,25 @@ def test_psi_ignores_null_nan_and_flags_empty_side(spark):
     drift = psi_drift(a, empty, "v", 0.0, 100.0, 10).collect()
     assert all(r.psi_term is not None for r in drift)
     assert sum(r.psi_term for r in drift) > 0.0
+
+
+def test_chi2_ranks_class_dependent_term_first(spark):
+    """A term exclusive to one class dominates a term spread evenly
+    across classes; counts in the output are exact presence counts."""
+    from yelp_etl_spark.functions.classify import chi2_terms
+
+    rows = []
+    for i in range(20):
+        # 'marker' only in class A; 'common' everywhere
+        rows.append((i, "marker common filler", "A"))
+        rows.append((100 + i, "other common filler", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_terms(df, top_k=50).collect()
+    by_cell = {(r.tok, r.label): r for r in out}
+    assert by_cell[("marker", "A")].n_docs_in_class == 20
+    # exclusive terms (marker/other) strictly dominate uniform ones
+    assert by_cell[("marker", "A")].chi2 > by_cell[("common", "A")].chi2
+    assert by_cell[("common", "A")].chi2 == 0.0  # perfectly independent
+    a = sorted(map(tuple, chi2_terms(df.repartition(5), top_k=50).collect()))
+    b = sorted(map(tuple, out))
+    assert a == b

@@ -246,3 +246,81 @@ def logistic_regression_train(
     correct = final.filter(((F.col("z") >= 0).cast("double")) == F.col("y"))
     acc = round(correct.count() / n, round_decimals)
     return w, acc
+
+
+def chi2_terms(
+    df: DataFrame,
+    label_column: str = "lang",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Chi-squared feature selection (Yang & Pedersen 1997): which
+    terms are most dependent on the class label — the standard
+    vocabulary-pruning step in front of a bag-of-words classifier
+    (feed the survivors to ``naive_bayes_train`` / the hashing trick).
+
+    Uses document PRESENCE (the conventional χ² contingency), so the
+    first step collapses token occurrences to distinct (doc, term)
+    pairs. For term t and class c the 2×2 table is
+    a = |docs in c with t|, b = df_t − a, c' = n_c − a,
+    d = N − df_t − n_c + a, and
+
+        χ²(t, c) = N·(a·d − b·c')² / ((a+b)(c'+d)(a+c')(b+d))
+
+    Every count is an exact BIGINT from keyed partial aggregates; the
+    χ² value itself is ONE fixed double expression tree over five
+    cast counts (products reach ~N⁴ — far past int64, so the math is
+    double by construction, identically rounded in any engine).
+
+    Plan: distinct (doc, term) → one shuffle keyed (term, label) for
+    a; term document-frequencies reduce that same table; the grid is
+    df_t ⨯ classes (broadcast — classes are few) left-joined with a,
+    so terms absent from a class still score. Never all-pairs; the
+    final ranking is over the vocab×classes grid.
+    """
+    labels = df.select(id_column, F.col(label_column).alias("label"))
+    presence = (
+        _tokens(df, id_column, text_column)
+        .select(id_column, "tok")
+        .distinct()
+        .join(labels, id_column)
+    )
+    a_tbl = presence.groupBy("tok", "label").agg(F.count("*").alias("a"))
+    dft = a_tbl.groupBy("tok").agg(F.sum("a").cast("long").alias("df_t"))
+    n_c = df.groupBy(F.col(label_column).alias("label")).agg(
+        F.count("*").alias("n_c")
+    )
+    n_tot = df.agg(F.count("*").alias("n"))
+    grid = (
+        dft.crossJoin(F.broadcast(n_c))
+        .join(a_tbl, ["tok", "label"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "tok",
+            "label",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            "df_t",
+            "n_c",
+            "n",
+        )
+    )
+    ad, bd = F.col("a").cast("double"), (F.col("df_t") - F.col("a")).cast("double")
+    cd = (F.col("n_c") - F.col("a")).cast("double")
+    dd = (F.col("n") - F.col("df_t") - F.col("n_c") + F.col("a")).cast("double")
+    nd = F.col("n").cast("double")
+    num = nd * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+    den = (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+    # den = 0 iff the term is in EVERY doc (df_t = N) or the corpus is
+    # single-class (n_c = N); both mean zero discriminative power, and
+    # the guard keeps ANSI mode from raising divide-by-zero.
+    degenerate = (F.col("df_t") == F.col("n")) | (F.col("n_c") == F.col("n"))
+    scored = grid.select(
+        "tok",
+        "label",
+        F.col("a").alias("n_docs_in_class"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.round(num / den, 4))
+        .alias("chi2"),
+    )
+    return scored.orderBy(F.desc("chi2"), "tok", "label").limit(top_k)

@@ -849,3 +849,22 @@ def pq_topk(
             "query_id", "neighbor_id", "approx_cosine", F.col("rank").cast("long")
         )
     )
+
+
+def lsh_bucket_sql(dim: int, n_planes: int, seed: int = 42) -> str:
+    """DuckDB expression rebuilding lsh_topk's seeded hyperplane bucket
+    id over a ``emb`` DOUBLE[] column — shared by every ANN oracle twin
+    (repr() round-trips the plane doubles exactly; sign bits MSB-first,
+    dots rounded at 9 digits exactly like the Spark side)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    terms = [
+        "(CASE WHEN ROUND(list_dot_product(emb, "
+        f"{lit(planes[i])}), 9) >= 0 "
+        f"THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"

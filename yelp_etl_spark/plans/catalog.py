@@ -1706,20 +1706,9 @@ def _oracle_lsh_topk(
     round-trips doubles exactly), same MSB-first sign bits rounded at 9
     digits, same bucket equi-join / self-exclusion / rounded-cosine
     rank window."""
-    from yelp_etl_spark.functions.similarity import random_hyperplanes
+    from yelp_etl_spark.functions.similarity import lsh_bucket_sql
 
-    planes = random_hyperplanes(dim, n_planes, seed)
-
-    def lit(plane: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in plane) + "]"
-
-    terms = [
-        "(CASE WHEN ROUND(list_dot_product(emb, "
-        f"{lit(planes[i])}), 9) >= 0 "
-        f"THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
-        for i in range(n_planes)
-    ]
-    bucket_sql = "(" + " + ".join(terms) + ")"
+    bucket_sql = lsh_bucket_sql(dim, n_planes, seed)
     cos = (
         "ROUND(list_dot_product(q.emb, c.emb) / "
         "SQRT(list_dot_product(q.emb, q.emb) * "

@@ -2266,3 +2266,179 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection (functions/classify.chi2_terms) on the
+    documents table: the 20 (term, lang) cells most dependent on the
+    label, exact presence counts, the χ² value one pinned double
+    expression tree. (tok, label) is the total-order tiebreak."""
+    from yelp_etl_spark.functions.classify import chi2_terms
+
+    return chi2_terms(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+ORACLE_CHI2_TERMS = """
+WITH presence AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, u.tok, d.lang AS label
+  FROM documents d,
+       LATERAL unnest(string_split(LOWER(d.text), ' ')) AS u(tok)
+  WHERE u.tok <> ''
+),
+a_tbl AS MATERIALIZED (
+  SELECT tok, label, CAST(COUNT(*) AS BIGINT) AS a
+  FROM presence GROUP BY tok, label
+),
+dft AS MATERIALIZED (
+  SELECT tok, CAST(SUM(a) AS BIGINT) AS df_t FROM a_tbl GROUP BY tok
+),
+ncs AS MATERIALIZED (
+  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM documents GROUP BY lang
+),
+ntot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+grid AS MATERIALIZED (
+  SELECT d.tok, c.label,
+         CAST(COALESCE(a.a, 0) AS BIGINT) AS a, d.df_t, c.n_c, t.n
+  FROM dft d
+  CROSS JOIN ncs c
+  LEFT JOIN a_tbl a ON a.tok = d.tok AND a.label = c.label
+  CROSS JOIN ntot t
+)
+SELECT tok, label, a AS n_docs_in_class,
+       CASE WHEN df_t = n OR n_c = n THEN 0.0 ELSE
+       ROUND(
+         (CAST(n AS DOUBLE)
+          * (CAST(a AS DOUBLE) * CAST(n - df_t - n_c + a AS DOUBLE)
+             - CAST(df_t - a AS DOUBLE) * CAST(n_c - a AS DOUBLE))
+          * (CAST(a AS DOUBLE) * CAST(n - df_t - n_c + a AS DOUBLE)
+             - CAST(df_t - a AS DOUBLE) * CAST(n_c - a AS DOUBLE)))
+         / ((CAST(a AS DOUBLE) + CAST(df_t - a AS DOUBLE))
+            * (CAST(n_c - a AS DOUBLE) + CAST(n - df_t - n_c + a AS DOUBLE))
+            * (CAST(a AS DOUBLE) + CAST(n_c - a AS DOUBLE))
+            * (CAST(df_t - a AS DOUBLE) + CAST(n - df_t - n_c + a AS DOUBLE))),
+         4) END AS chi2
+FROM grid
+ORDER BY chi2 DESC, tok, label
+LIMIT 20
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "chi2_terms": (
+            q_chi2_terms,
+            ORACLE_CHI2_TERMS,
+            "ext:chi-squared term-class feature selection",
+        ),
+    }
+)
+
+
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metric closing the ANN loop: per-query
+    recall@5 of the hyperplane-LSH index against the exact brute-force
+    cosine top-5 (same query set as lsh_topk_checked, vec_id % 101 =
+    0). Both sides run in-engine — ground truth is never collected —
+    and the overlap count joins on (query, neighbor), so the metric
+    stays a keyed-join DataFrame at any corpus size. recall = overlap
+    / k is one exact small-int division. At 100 TB the ground truth is
+    the expensive side (brute force is O(|queries|·n)): evaluate on a
+    FIXED query sample (constant |queries|), which makes the whole
+    metric linear in n — the modulus filter here plays that role."""
+    from yelp_etl_spark.functions import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    brute = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = S.lsh_topk(emb, queries, dim=64, k=5, n_planes=8, seed=42).select(
+        "query_id", "neighbor_id"
+    )
+    overlap = (
+        brute.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    qids = brute.select("query_id").distinct()
+    return (
+        qids.join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _oracle_ann_recall(dim: int = 64, n_planes: int = 8, seed: int = 42,
+                       k: int = 5) -> str:
+    """Brute-force and LSH top-k rebuilt side by side (the same CTE
+    bodies as their individually-green oracle twins), intersected for
+    the per-query overlap."""
+    from yelp_etl_spark.functions.similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql(dim, n_planes, seed)
+    cos = (
+        "ROUND(list_dot_product(q.emb, c.emb) / "
+        "SQRT(list_dot_product(q.emb, q.emb) * "
+        "list_dot_product(c.emb, c.emb)), 4)"
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC,
+                                              neighbor_id ASC) AS rank
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {cos} AS cosine_sim
+              FROM v q JOIN v c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id % 101 = 0))
+  WHERE rank <= {k}
+),
+h AS MATERIALIZED (
+  SELECT vec_id, emb, {bucket} AS bucket FROM v
+),
+lsh AS MATERIALIZED (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC,
+                                              neighbor_id ASC) AS rank
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {cos} AS cosine_sim
+              FROM h q JOIN h c
+                ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+              WHERE q.vec_id % 101 = 0))
+  WHERE rank <= {k}
+),
+overlap AS MATERIALIZED (
+  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM brute b JOIN lsh l
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(o.n_overlap, 0) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN overlap o ON o.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "ann_recall_at_k": (
+            q_ann_recall_at_k,
+            _oracle_ann_recall(),
+            "ext:ANN recall@k vs exact brute force (in-engine)",
+        ),
+    }
+)
