@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "logreg_weights",
     "chi2_terms",
     "ann_recall_at_k",
+    "kaplan_meier",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -166,3 +166,24 @@ def test_chi2_ranks_class_dependent_term_first(spark):
     a = sorted(map(tuple, chi2_terms(df.repartition(5), top_k=50).collect()))
     b = sorted(map(tuple, out))
     assert a == b
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic hand-computed KM: subjects with durations
+    [1e, 2c, 3e, 3e, 4c, 5e] (e=event, c=censored).
+    t=1: n=6, d=1 -> S=5/6; t=2: censored only -> S unchanged;
+    t=3: n=4, d=2 -> S=5/6*2/4=5/12; t=4: censored; t=5: n=1, d=1 -> 0.
+    """
+    from yelp_etl_spark.functions.evaluation import kaplan_meier
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "t int, churned int")
+    out = {r.t: r for r in kaplan_meier(df, "t", "churned").collect()}
+    assert out[1].n_risk == 6 and out[1].survival == round(5 / 6, 6)
+    assert out[2].survival == round(5 / 6, 6) and out[2].n_censored == 1
+    assert out[3].n_risk == 4 and out[3].survival == round(5 / 12, 6)
+    assert out[5].n_risk == 1 and out[5].survival == 0.0
+    # partitioning-independent
+    a = sorted(map(tuple, kaplan_meier(df.repartition(5), "t", "churned").collect()))
+    b = sorted(map(tuple, kaplan_meier(df, "t", "churned").collect()))
+    assert a == b

@@ -168,3 +168,68 @@ def psi_drift(
         "n_cur",
         F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_column: str = "t",
+    event_column: str = "churned",
+) -> DataFrame:
+    """Kaplan-Meier survival curve over integer durations — the
+    standard retention/churn estimator. Input is one row per subject:
+    an integer ``duration_column`` (e.g. days from first to last
+    activity) and a 0/1 ``event_column`` (1 = the terminal event was
+    observed, 0 = censored at that duration).
+
+    S(t) = Π_{u ≤ t} (1 − d_u / n_u), with d_u observed events at
+    duration u and n_u the at-risk count (subjects with duration ≥ u
+    — censored subjects leave the risk set too, the KM convention).
+
+    Distribution: ONE partial-aggregated shuffle keyed on the duration
+    reduces the data to the distinct-duration table; every window
+    after that (cumulative risk-set, cumulative log-product) runs over
+    that small table only — same shape as ``auc_score``. The
+    cumulative product is exp∘Σln over an ORDERED running frame, which
+    both engines accumulate in the same sequence (deterministic FP),
+    with a cummin guard so a terminal d_u = n_u step yields exact 0.0
+    instead of ln(0) (DuckDB raises on LN(0), Spark returns NULL —
+    the guard sidesteps both).
+
+    Returns (t, n_risk, d_event, n_censored, survival) ordered by t.
+    """
+    by_t = df.groupBy(F.col(duration_column).cast("long").alias("t")).agg(
+        F.count("*").alias("n_end"),
+        F.sum(F.col(event_column).cast("long")).alias("d_event"),
+    )
+    total = by_t.agg(F.sum("n_end").alias("n_total"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            (F.col("n_total") - (F.sum("n_end").over(w) - F.col("n_end"))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - F.col("d_event").cast("double") / F.col("n_risk").cast("double"),
+        )
+    )
+    log_surv = F.sum(
+        F.when(F.col("factor") > 0, F.log("factor")).otherwise(F.lit(0.0))
+    ).over(w)
+    dead = F.min("factor").over(w) <= 0
+    return (
+        stepped.select(
+            "t",
+            "n_risk",
+            F.col("d_event").cast("long").alias("d_event"),
+            (F.col("n_end") - F.col("d_event")).cast("long").alias("n_censored"),
+            F.when(dead, F.lit(0.0))
+            .otherwise(F.round(F.exp(log_surv), 6))
+            .alias("survival"),
+        )
+        .orderBy("t")
+    )

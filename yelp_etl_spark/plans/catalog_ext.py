@@ -2442,3 +2442,82 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve (functions/evaluation.kaplan_meier)
+    over user activity spans: duration = days from a user's first to
+    last event; the terminal event is observed ("churned") when the
+    last event precedes the corpus horizon by more than 3 days,
+    censored otherwise. All counting reduces to the distinct-duration
+    table; the cumulative product is an ordered running exp∘Σln both
+    engines accumulate identically."""
+    from yelp_etl_spark.functions.evaluation import kaplan_meier
+
+    events = _t(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
+            (
+                F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 3 DAYS")
+            )
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+    return kaplan_meier(per_user, "t", "churned")
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH horizon AS MATERIALIZED (SELECT MAX(ts) AS max_ts FROM events),
+per_user AS MATERIALIZED (
+  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t,
+         CASE WHEN MAX(ts) < h.max_ts - INTERVAL 3 DAY THEN 1 ELSE 0 END
+           AS churned
+  FROM events CROSS JOIN horizon h
+  GROUP BY user_id, h.max_ts
+),
+by_t AS MATERIALIZED (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_end,
+         CAST(SUM(churned) AS BIGINT) AS d_event
+  FROM per_user GROUP BY t
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(n_end) AS BIGINT) AS n_total FROM by_t),
+stepped AS MATERIALIZED (
+  SELECT t, n_end, d_event,
+         CAST(n_total - (SUM(n_end) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                         - n_end) AS BIGINT) AS n_risk
+  FROM by_t CROSS JOIN tot
+),
+factored AS MATERIALIZED (
+  SELECT *,
+         1.0 - CAST(d_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM stepped
+)
+SELECT t, n_risk, d_event,
+       CAST(n_end - d_event AS BIGINT) AS n_censored,
+       CASE WHEN MIN(factor) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) <= 0
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(CASE WHEN factor > 0 THEN LN(factor)
+                                    ELSE 0.0 END)
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+       END AS survival
+FROM factored
+ORDER BY t
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "kaplan_meier": (
+            q_kaplan_meier,
+            ORACLE_KAPLAN_MEIER,
+            "ext:Kaplan-Meier retention/survival curve",
+        ),
+    }
+)
