@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "chi2_terms",
     "ann_recall_at_k",
     "kaplan_meier",
+    "bigram_nll",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

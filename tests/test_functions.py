@@ -1047,3 +1047,20 @@ def test_pmi_collocations_ranks_attracted_pairs(spark):
     a = sorted(map(tuple, pmi_collocations(df.repartition(7), min_count=2, top_k=50).collect()))
     b = sorted(map(tuple, out))
     assert a == b
+
+
+def test_bigram_nll_flags_atypical_transitions(spark):
+    """Documents made of corpus-typical transitions score lower than a
+    document whose bigrams are rare, even when unigram frequencies are
+    identical — the signal unigram_nll cannot see."""
+    from yelp_etl_spark.functions.text import bigram_nll
+
+    # corpus dominated by the chain "a b a b ..."; doc 99 uses the
+    # same tokens but reversed transitions ("b a") plus "a a" pairs
+    rows = [(i, "a b " * 10) for i in range(10)] + [(99, "a a b b a a b b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_nll for r in bigram_nll(df).collect()}
+    assert out[99] > out[0]
+    a = sorted(map(tuple, bigram_nll(df.repartition(5)).collect()))
+    b = sorted(map(tuple, bigram_nll(df).collect()))
+    assert a == b

@@ -632,3 +632,79 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an
+    interpolated BIGRAM model of the corpus itself — the second-order
+    upgrade of ``unigram_nll`` for perplexity-style quality filtering
+    (repetitive/templated text scores low; token-salad noise that
+    sneaks past unigram statistics scores high because its
+    TRANSITIONS are corpus-atypical).
+
+        P(b | a) = λ·c(a,b)/c(a·) + (1−λ)·(c(·b)+1)/(T+V)
+
+    with c(a,b) bigram counts, c(a·)/c(·b) the position-specific
+    marginals, T total bigrams, V distinct second-slot tokens — the
+    standard Jelinek-Mercer interpolation with add-one on the unigram
+    back-off. λ = 0.75 is exactly representable so the mixture tree is
+    engine-identical.
+
+    Parity discipline: per-bigram NLL is QUANTIZED to integer
+    micro-nats (classify.py's convention), so per-document sums are
+    exact BIGINT under any partitioning; the final average is one
+    exact division. Plan: per-doc `lead` window for bigrams (one doc-
+    keyed shuffle), three vocab-scale model tables reduced from the
+    pair table and joined back (AQE broadcasts when small), one
+    per-doc aggregate. Never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = portable_tokens(df, id_column, text_column, with_position=True)
+    w = Window.partitionBy(id_column).orderBy("pos")
+    bigrams = toks.select(
+        F.col(id_column),
+        F.col("tok").alias("a"),
+        F.lead("tok").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    pair = bigrams.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    left = pair.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
+    uni = pair.groupBy("b").agg(F.sum("cab").cast("long").alias("cb"))
+    tot = pair.agg(
+        F.sum("cab").cast("long").alias("t"),
+        F.count("*").alias("n_pairs"),
+    ).select("t")
+    vsz = uni.agg(F.count("*").alias("v"))
+    p = (
+        F.lit(lam) * (F.col("cab").cast("double") / F.col("ca"))
+        + F.lit(1.0 - lam)
+        * ((F.col("cb") + F.lit(1)).cast("double") / (F.col("t") + F.col("v")))
+    )
+    nll_q = (-F.round(F.log(p) * F.lit(1_000_000.0))).cast("long")
+    scored = (
+        bigrams.join(pair, ["a", "b"])
+        .join(left, "a")
+        .join(uni, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vsz))
+        .select(id_column, nll_q.alias("nll_q"))
+    )
+    g = scored.groupBy(id_column).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("nll_q").alias("s_q"),
+    )
+    return g.select(
+        id_column,
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(
+            F.col("s_q").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("avg_nll"),
+    )

@@ -2521,3 +2521,72 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring (functions/text.
+    bigram_nll) over the documents table: per-document average NLL in
+    micro-nat-exact arithmetic. Second-order twin of unigram_nll."""
+    from yelp_etl_spark.functions.text import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM_NLL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(LOWER(text), ' ')) AS tok,
+           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
+    FROM documents
+  ) u
+  WHERE u.tok <> ''
+),
+bigrams AS MATERIALIZED (
+  SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+pair AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bigrams GROUP BY a, b
+),
+lft AS MATERIALIZED (
+  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM pair GROUP BY a
+),
+uni AS MATERIALIZED (
+  SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM pair GROUP BY b
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(cab) AS BIGINT) AS t FROM pair),
+vsz AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+scored AS MATERIALIZED (
+  SELECT g.doc_id,
+         CAST(-ROUND(LN(0.75 * (CAST(p.cab AS DOUBLE) / l.ca)
+                        + 0.25 * (CAST(u.cb + 1 AS DOUBLE) / (t.t + v.v)))
+                     * 1000000) AS BIGINT) AS nll_q
+  FROM bigrams g
+  JOIN pair p ON p.a = g.a AND p.b = g.b
+  JOIN lft l ON l.a = g.a
+  JOIN uni u ON u.b = g.b
+  CROSS JOIN tot t
+  CROSS JOIN vsz v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(CAST(SUM(nll_q) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS avg_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "bigram_nll": (
+            q_bigram_nll,
+            ORACLE_BIGRAM_NLL,
+            "ext:interpolated bigram-LM perplexity scoring",
+        ),
+    }
+)
