@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "ann_recall_at_k",
     "kaplan_meier",
     "bigram_nll",
+    "acf_daily_events",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -187,3 +187,18 @@ def test_kaplan_meier_textbook_example(spark):
     a = sorted(map(tuple, kaplan_meier(df.repartition(5), "t", "churned").collect()))
     b = sorted(map(tuple, kaplan_meier(df, "t", "churned").collect()))
     assert a == b
+
+
+def test_acf_periodic_series(spark):
+    """A period-2 alternating series has r_1 ~ -1 and r_2 ~ +1; exact
+    integer algebra makes the values partitioning-independent."""
+    from yelp_etl_spark.functions.evaluation import acf
+
+    rows = [(t, 10 if t % 2 == 0 else 20) for t in range(20)]
+    df = spark.createDataFrame(rows, "step int, x int")
+    out = {r.lag: r for r in acf(df, "step", "x", max_lag=3).collect()}
+    assert out[1].n_pairs == 19 and out[1].r < -0.9
+    assert out[2].n_pairs == 18 and out[2].r > 0.85
+    a = sorted(map(tuple, acf(df.repartition(6), "step", "x", 3).collect()))
+    b = sorted(map(tuple, acf(df, "step", "x", 3).collect()))
+    assert a == b

@@ -233,3 +233,71 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def acf(
+    df: DataFrame,
+    time_column: str,
+    value_column: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Exact lag-k autocorrelation of a regularly-spaced integer
+    series — the time-series diagnostic for seasonality/trend in
+    activity streams (a spike at lag 7 = weekly cycle).
+
+        r_k = Σ_t (x_t−μ)(x_{t+k}−μ) / Σ_t (x_t−μ)²
+
+    computed with the mean CLEARED: multiplying through by n² turns
+    both sums into integer algebra over ``n·x_t − S`` (S = Σx), so
+    every accumulation is exact DECIMAL(38,0) under any partitioning
+    and the only float op is the final division — the same
+    overflow-safe discipline as ``auc_score`` (n·x reaches ~1e14 on a
+    year of 1e10-event days; squares pass int64).
+
+    Input: one row per time step (``time_column`` an integer or date
+    step index, ``value_column`` integer). Plan: one broadcast 1-row
+    stats table, a lag table cross-joined (max_lag rows), one
+    self-join keyed on the shifted step — the series table is
+    step-cardinality (small by construction: a day-level series at
+    100 TB is ~10⁴ rows), so every join broadcasts.
+
+    Returns (lag, n_pairs, r) for lag = 1..max_lag, ordered by lag.
+    """
+    d = df.select(
+        F.col(time_column).alias("step"),
+        F.col(value_column).cast("long").alias("x"),
+    )
+    # centered-in-integers series: c_t = n·x_t − S
+    stats = d.agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    c = d.crossJoin(F.broadcast(stats)).select(
+        "step",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")
+        ).alias("c"),
+    )
+    den = c.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lags = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = c.select(F.col("step").alias("step_a"), F.col("c").alias("ca"))
+    b = c.select(F.col("step").alias("step_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("step_b") == F.col("step_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("r"),
+        )
+        .orderBy("lag")
+    )

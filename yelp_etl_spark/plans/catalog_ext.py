@@ -2590,3 +2590,59 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series
+    (functions/evaluation.acf): seasonality diagnostic in exact
+    integer algebra — only the final per-lag division is float."""
+    from yelp_etl_spark.functions.evaluation import acf
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("step"))
+        .agg(F.count("*").alias("x"))
+    )
+    return acf(daily, "step", "x", max_lag=7)
+
+
+ORACLE_ACF_DAILY = """
+WITH daily AS MATERIALIZED (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS step,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+stats AS MATERIALIZED (
+  SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+),
+c AS MATERIALIZED (
+  SELECT step, CAST(n AS HUGEINT) * x - s AS c
+  FROM daily CROSS JOIN stats
+),
+den AS MATERIALIZED (SELECT SUM(c * c) AS den FROM c),
+lags AS MATERIALIZED (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
+pairs AS MATERIALIZED (
+  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(a.c * b.c) AS num
+  FROM c a
+  CROSS JOIN lags l
+  JOIN c b ON b.step = a.step + l.lag
+  GROUP BY l.lag
+)
+SELECT p.lag, p.n_pairs,
+       ROUND(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS r
+FROM pairs p CROSS JOIN den d
+ORDER BY p.lag
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "acf_daily_events": (
+            q_acf_daily_events,
+            ORACLE_ACF_DAILY,
+            "ext:exact lag-k autocorrelation (seasonality diagnostic)",
+        ),
+    }
+)
