@@ -202,3 +202,11 @@ def test_acf_periodic_series(spark):
     a = sorted(map(tuple, acf(df.repartition(6), "step", "x", 3).collect()))
     b = sorted(map(tuple, acf(df, "step", "x", 3).collect()))
     assert a == b
+
+
+def test_acf_constant_series_reads_zero(spark):
+    from yelp_etl_spark.functions.evaluation import acf
+
+    df = spark.createDataFrame([(t, 7) for t in range(10)], "step int, x int")
+    out = acf(df, "step", "x", max_lag=2).collect()
+    assert [r.r for r in out] == [0.0, 0.0]

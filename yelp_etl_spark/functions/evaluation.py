@@ -189,11 +189,13 @@ def kaplan_meier(
     reduces the data to the distinct-duration table; every window
     after that (cumulative risk-set, cumulative log-product) runs over
     that small table only — same shape as ``auc_score``. The
-    cumulative product is exp∘Σln over an ORDERED running frame, which
-    both engines accumulate in the same sequence (deterministic FP),
-    with a cummin guard so a terminal d_u = n_u step yields exact 0.0
-    instead of ln(0) (DuckDB raises on LN(0), Spark returns NULL —
-    the guard sidesteps both).
+    cumulative product is exp∘Σln with each ln(1 − d/n) QUANTIZED to
+    integer micro-nats first (classify.py's convention) — windowed
+    float sums combine in engine-specific orders (segment trees vs
+    sequential), so the running sum must be integer to honor this
+    module's no-float-accumulation rule — with a cummin guard so a
+    terminal d_u = n_u step yields exact 0.0 instead of ln(0) (DuckDB
+    raises on LN(0), Spark returns NULL — the guard sidesteps both).
 
     Returns (t, n_risk, d_event, n_censored, survival) ordered by t.
     """
@@ -217,9 +219,11 @@ def kaplan_meier(
             - F.col("d_event").cast("double") / F.col("n_risk").cast("double"),
         )
     )
-    log_surv = F.sum(
-        F.when(F.col("factor") > 0, F.log("factor")).otherwise(F.lit(0.0))
-    ).over(w)
+    log_q = F.when(
+        F.col("factor") > 0,
+        F.round(F.log("factor") * F.lit(1_000_000.0)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    log_surv_q = F.sum(log_q).over(w)
     dead = F.min("factor").over(w) <= 0
     return (
         stepped.select(
@@ -228,7 +232,11 @@ def kaplan_meier(
             F.col("d_event").cast("long").alias("d_event"),
             (F.col("n_end") - F.col("d_event")).cast("long").alias("n_censored"),
             F.when(dead, F.lit(0.0))
-            .otherwise(F.round(F.exp(log_surv), 6))
+            .otherwise(
+                F.round(
+                    F.exp(log_surv_q.cast("double") / F.lit(1_000_000.0)), 6
+                )
+            )
             .alias("survival"),
         )
         .orderBy("t")
@@ -290,14 +298,21 @@ def acf(
             F.sum(F.col("ca") * F.col("cb")).alias("num"),
         )
     )
+    # a constant series has den = 0 (every c_t = 0): define r = 0.0
+    # rather than 0/0 NaN (which also diverges NaN-vs-NULL cross-engine)
     return (
         pairs.crossJoin(F.broadcast(den))
         .select(
             "lag",
             "n_pairs",
-            F.round(
-                F.col("num").cast("double") / F.col("den").cast("double"), 6
-            ).alias("r"),
+            F.when(F.col("den") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("num").cast("double") / F.col("den").cast("double"),
+                    6,
+                )
+            )
+            .alias("r"),
         )
         .orderBy("lag")
     )

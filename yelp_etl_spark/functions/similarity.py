@@ -868,3 +868,15 @@ def lsh_bucket_sql(dim: int, n_planes: int, seed: int = 42) -> str:
         for i in range(n_planes)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def cosine_sim_sql(left: str = "q", right: str = "c", digits: int = 4) -> str:
+    """DuckDB expression for the 4-digit rounded cosine between two
+    ``emb`` DOUBLE[] columns — the ONE definition every ANN oracle
+    twin shares (rounding digits / tie convention live here; a drift
+    between copies would make the oracles silently disagree)."""
+    return (
+        f"ROUND(list_dot_product({left}.emb, {right}.emb) / "
+        f"SQRT(list_dot_product({left}.emb, {left}.emb) * "
+        f"list_dot_product({right}.emb, {right}.emb)), {digits})"
+    )

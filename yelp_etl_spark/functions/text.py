@@ -560,6 +560,26 @@ def hashed_features(
     )
 
 
+def adjacent_bigrams(
+    df: DataFrame, id_column: str = "doc_id", text_column: str = "text"
+) -> DataFrame:
+    """(id, a, b) adjacent token pairs per document — the shared
+    construction under every second-order text statistic (PMI, the
+    bigram LM): portable tokens with position, per-document `lead`
+    window (one doc-keyed shuffle, per-doc sort bounded by document
+    length; the ''-filter's position gaps are fine because `lead` runs
+    over surviving rows in text order)."""
+    from pyspark.sql import Window
+
+    toks = portable_tokens(df, id_column, text_column, with_position=True)
+    w = Window.partitionBy(id_column).orderBy("pos")
+    return toks.select(
+        F.col(id_column),
+        F.col("tok").alias("a"),
+        F.lead("tok").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+
+
 def pmi_collocations(
     df: DataFrame,
     id_column: str = "doc_id",
@@ -595,17 +615,7 @@ def pmi_collocations(
     direction (yelp-etl gold-layer aggregations,
     run-all-pipelines.sh:239) to second-order statistics.
     """
-    from pyspark.sql import Window
-
-    toks = portable_tokens(df, id_column, text_column, with_position=True)
-    w = Window.partitionBy(id_column).orderBy("pos")
-    bigrams = (
-        toks.select(
-            F.col("tok").alias("a"),
-            F.lead("tok").over(w).alias("b"),
-        )
-        .filter(F.col("b").isNotNull())
-    )
+    bigrams = adjacent_bigrams(df, id_column, text_column)
     pair = bigrams.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
     # marginals + total derive EXACTLY from the reduced pair table
     # (sum of n_ab over b = n_a by construction), so the token-scale
@@ -663,22 +673,11 @@ def bigram_nll(
     pair table and joined back (AQE broadcasts when small), one
     per-doc aggregate. Never all-pairs.
     """
-    from pyspark.sql import Window
-
-    toks = portable_tokens(df, id_column, text_column, with_position=True)
-    w = Window.partitionBy(id_column).orderBy("pos")
-    bigrams = toks.select(
-        F.col(id_column),
-        F.col("tok").alias("a"),
-        F.lead("tok").over(w).alias("b"),
-    ).filter(F.col("b").isNotNull())
+    bigrams = adjacent_bigrams(df, id_column, text_column)
     pair = bigrams.groupBy("a", "b").agg(F.count("*").alias("cab"))
     left = pair.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
     uni = pair.groupBy("b").agg(F.sum("cab").cast("long").alias("cb"))
-    tot = pair.agg(
-        F.sum("cab").cast("long").alias("t"),
-        F.count("*").alias("n_pairs"),
-    ).select("t")
+    tot = pair.agg(F.sum("cab").cast("long").alias("t"))
     vsz = uni.agg(F.count("*").alias("v"))
     p = (
         F.lit(lam) * (F.col("cab").cast("double") / F.col("ca"))

@@ -771,12 +771,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(embeddings, queries, k=5)
 
 
-ORACLE_COSINE_TOPK = """
+ORACLE_COSINE_TOPK = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.emb, c.emb) /
-               SQRT(list_dot_product(q.emb, q.emb) * list_dot_product(c.emb, c.emb)), 4)
+         {S.cosine_sim_sql("q", "c")}
            AS cosine_sim
   FROM v q JOIN v c ON c.vec_id != q.vec_id
   WHERE q.vec_id < 10
@@ -1663,11 +1662,9 @@ def _oracle_embedding_neardup_lsh(
     band_match = " OR ".join(
         f"a.bucket_{band} = b.bucket_{band}" for band in range(n_bands)
     )
-    cos = (
-        "ROUND(list_dot_product(a.emb, b.emb) / "
-        "SQRT(list_dot_product(a.emb, a.emb) * "
-        "list_dot_product(b.emb, b.emb)), 4)"
-    )
+    from yelp_etl_spark.functions.similarity import cosine_sim_sql
+
+    cos = cosine_sim_sql("a", "b")
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -1706,14 +1703,13 @@ def _oracle_lsh_topk(
     round-trips doubles exactly), same MSB-first sign bits rounded at 9
     digits, same bucket equi-join / self-exclusion / rounded-cosine
     rank window."""
-    from yelp_etl_spark.functions.similarity import lsh_bucket_sql
+    from yelp_etl_spark.functions.similarity import (
+        cosine_sim_sql,
+        lsh_bucket_sql,
+    )
 
     bucket_sql = lsh_bucket_sql(dim, n_planes, seed)
-    cos = (
-        "ROUND(list_dot_product(q.emb, c.emb) / "
-        "SQRT(list_dot_product(q.emb, q.emb) * "
-        "list_dot_product(c.emb, c.emb)), 4)"
-    )
+    cos = cosine_sim_sql("q", "c")
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -1944,11 +1940,9 @@ def _oracle_semantic_dedup(
     band_match = " OR ".join(
         f"a.bucket_{band} = b.bucket_{band}" for band in range(n_bands)
     )
-    cos = (
-        "ROUND(list_dot_product(a.emb, b.emb) / "
-        "SQRT(list_dot_product(a.emb, a.emb) * "
-        "list_dot_product(b.emb, b.emb)), 4)"
-    )
+    from yelp_etl_spark.functions.similarity import cosine_sim_sql
+
+    cos = cosine_sim_sql("a", "b")
     return f"""
 WITH RECURSIVE exact AS (
   SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

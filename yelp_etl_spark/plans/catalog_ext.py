@@ -2380,14 +2380,13 @@ def _oracle_ann_recall(dim: int = 64, n_planes: int = 8, seed: int = 42,
     """Brute-force and LSH top-k rebuilt side by side (the same CTE
     bodies as their individually-green oracle twins), intersected for
     the per-query overlap."""
-    from yelp_etl_spark.functions.similarity import lsh_bucket_sql
+    from yelp_etl_spark.functions.similarity import (
+        cosine_sim_sql,
+        lsh_bucket_sql,
+    )
 
     bucket = lsh_bucket_sql(dim, n_planes, seed)
-    cos = (
-        "ROUND(list_dot_product(q.emb, c.emb) / "
-        "SQRT(list_dot_product(q.emb, q.emb) * "
-        "list_dot_product(c.emb, c.emb)), 4)"
-    )
+    cos = cosine_sim_sql("q", "c")
     return f"""
 WITH v AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -2503,9 +2502,12 @@ SELECT t, n_risk, d_event,
        CAST(n_end - d_event AS BIGINT) AS n_censored,
        CASE WHEN MIN(factor) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) <= 0
             THEN 0.0
-            ELSE ROUND(EXP(SUM(CASE WHEN factor > 0 THEN LN(factor)
-                                    ELSE 0.0 END)
-                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+            ELSE ROUND(EXP(CAST(SUM(CASE WHEN factor > 0
+                                         THEN CAST(ROUND(LN(factor) * 1000000)
+                                                   AS BIGINT)
+                                         ELSE 0 END)
+                                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                                AS DOUBLE) / 1000000.0), 6)
        END AS survival
 FROM factored
 ORDER BY t
@@ -2631,7 +2633,9 @@ pairs AS MATERIALIZED (
   GROUP BY l.lag
 )
 SELECT p.lag, p.n_pairs,
-       ROUND(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS r
+       CASE WHEN d.den = 0 THEN 0.0
+            ELSE ROUND(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+       END AS r
 FROM pairs p CROSS JOIN den d
 ORDER BY p.lag
 """
