@@ -143,3 +143,95 @@ def test_jaccard_prefix_join_exactness_property(spark, batch, threshold):
         map(tuple, D.jaccard_prefix_join(df, threshold=threshold, n=2).collect())
     )
     assert pref == brute
+
+
+# ---------------------------------------------------------------------------
+# round-5 metric modules: cross-check the distributed implementations
+# against direct O(n²)/pure-python reference definitions on random input
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 9)),
+        min_size=2,
+        max_size=25,
+    ).filter(lambda d: 0 < sum(x[0] for x in d) < len(d))
+)
+@settings(**SETTINGS)
+def test_auc_matches_pairwise_definition(spark, data):
+    """Mann-Whitney AUC == P(pos > neg) + 0.5·P(pos == neg), computed
+    by brute-force pair enumeration."""
+    from yelp_etl_spark.functions.evaluation import auc_score
+
+    df = spark.createDataFrame(data, "label int, score int")
+    got = auc_score(df, "label", "score").collect()[0]
+    pos = [s for l, s in data if l == 1]
+    neg = [s for l, s in data if l == 0]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got.auc == round(expect, 6)
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+
+
+@given(
+    subjects=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 1)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_kaplan_meier_matches_sequential_reference(spark, subjects):
+    """KM survival equals the sequential product computed directly in
+    python (micro-nat quantization bounds the divergence per step)."""
+    from yelp_etl_spark.functions.evaluation import kaplan_meier
+
+    df = spark.createDataFrame(subjects, "t int, churned int")
+    got = {r.t: r for r in kaplan_meier(df, "t", "churned").collect()}
+
+    import math
+    from collections import Counter
+
+    ends = Counter(t for t, _ in subjects)
+    deaths = Counter(t for t, e in subjects if e == 1)
+    n_risk = len(subjects)
+    surv_q = 0  # running sum of quantized ln factors
+    dead = False
+    for t in sorted(ends):
+        d = deaths.get(t, 0)
+        assert got[t].n_risk == n_risk
+        assert got[t].d_event == d
+        factor = 1.0 - d / n_risk
+        if factor <= 0:
+            dead = True
+        if not dead:
+            surv_q += round(math.log(factor) * 1e6) if factor > 0 else 0
+            assert got[t].survival == round(math.exp(surv_q / 1e6), 6)
+        else:
+            assert got[t].survival == 0.0
+        n_risk -= ends[t]
+
+
+@given(
+    xs=st.lists(st.integers(0, 50), min_size=3, max_size=30),
+    lag=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_acf_matches_direct_formula(spark, xs, lag):
+    from yelp_etl_spark.functions.evaluation import acf
+
+    df = spark.createDataFrame(list(enumerate(xs)), "step int, x int")
+    rows = {r.lag: r for r in acf(df, "step", "x", max_lag=lag).collect()}
+    n = len(xs)
+    mu = sum(xs) / n
+    den = sum((x - mu) ** 2 for x in xs)
+    for k in range(1, lag + 1):
+        num = sum((xs[t] - mu) * (xs[t + k] - mu) for t in range(n - k))
+        expect = 0.0 if den == 0 else round(num / den, 6)
+        if n - k <= 0:
+            assert k not in rows
+        else:
+            assert abs(rows[k].r - expect) < 2e-6
+            assert rows[k].n_pairs == n - k
