@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "kaplan_meier",
     "bigram_nll",
     "acf_daily_events",
+    "sssp_weighted",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -1064,3 +1064,22 @@ def test_bigram_nll_flags_atypical_transitions(spark):
     a = sorted(map(tuple, bigram_nll(df.repartition(5)).collect()))
     b = sorted(map(tuple, bigram_nll(df).collect()))
     assert a == b
+
+
+def test_sssp_weighted_prefers_cheap_two_hop_path(spark):
+    """Bellman-Ford relaxation: a 2-edge path of total weight 3 beats
+    the direct weight-10 edge; seeds at 0; rounds bound path length."""
+    from yelp_etl_spark.functions.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 4, 2), (4, 5, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.dist for r in sssp_weighted(edges, seeds, rounds=3).collect()}
+    assert out == {1: 0, 2: 1, 4: 3, 5: 4}
+    # one round only: direct edge wins (path of <=1 edge)
+    one = {r.id: r.dist for r in sssp_weighted(edges, seeds, rounds=1).collect()}
+    assert one[4] == 10
+    # partitioning-independent
+    a = sorted(sssp_weighted(edges.repartition(3), seeds, rounds=3).collect())
+    assert a == sorted(out.items())

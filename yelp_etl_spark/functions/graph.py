@@ -292,3 +292,79 @@ def bfs_distances(
         visited = truncate_lineage(visited.union(frontier), eager=True)
     sym.unpersist()
     return visited
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 4,
+    symmetric: bool = True,
+    broadcast_state: bool | str = "auto",
+    broadcast_max_state: int = DEFAULT_BROADCAST_MAX_STATE,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by synchronous
+    Bellman-Ford rounds — the weighted generalization of
+    ``bfs_distances`` (which exploits the unit-weight Dijkstra
+    invariant this problem doesn't have: with weights, a settled node
+    can still improve, so the loop carries the full tentative-distance
+    table and relaxes EVERY edge incident to it each round).
+
+    One round = one relaxation sweep: candidates = dist ⋈ edges on the
+    source endpoint (dist + w), then a keyed MIN-aggregate over
+    (current ∪ candidates). With integer weights every tentative
+    distance is an exact BIGINT, so the MIN is total-ordered and the
+    k-round result is engine-exact — a DuckDB twin replays the
+    identical unrolled rounds (fixed ``rounds``, no convergence test,
+    the same discipline as the k-means/PCA/logreg loops). After
+    ``rounds`` sweeps the table holds the true shortest distance for
+    every path of ≤ ``rounds`` edges (Bellman-Ford's invariant).
+
+    Scale shape: per round one join shuffling ~|dist|·avg_degree
+    candidate rows plus one keyed partial-agg MIN; the edge list is
+    the loop invariant — cached hash-partitioned on the join key when
+    the shuffle path is reachable, and ``broadcast_state`` switches
+    per round from the already-materialized dist count exactly like
+    the BFS/pagerank loops. Lineage truncates every round.
+
+    Returns (id, dist) for every node within ``rounds`` edges of a
+    seed; seeds at dist 0, unreached nodes absent.
+    """
+    sym = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if symmetric:
+        sym = sym.union(
+            edges.select(
+                F.col(dst).alias("src"), F.col(src).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+    if broadcast_state is not True:
+        sym = sym.repartition("src")
+    sym = sym.cache()
+    dist = truncate_lineage(
+        seeds.select(F.col("id")).distinct()
+        .withColumn("dist", F.lit(0).cast("long")),
+        eager=True,
+    )
+    n_state = dist.count()
+    for _ in range(rounds):
+        if broadcast_state == "auto":
+            use_bcast = n_state <= broadcast_max_state
+        else:
+            use_bcast = bool(broadcast_state)
+        cand = (
+            sym.join(_bcast_if(dist, use_bcast), F.col("src") == F.col("id"))
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = truncate_lineage(
+            dist.union(cand).groupBy("id").agg(F.min("dist").alias("dist")),
+            eager=True,
+        )
+        n_state = dist.count()
+    sym.unpersist()
+    return dist

@@ -2650,3 +2650,101 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_SSSP_ROUNDS = 4
+
+
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (functions/graph.sssp_weighted) on the
+    supplier↔customer order graph (edge weight = min quantity ever
+    shipped on the pair), seeded at nation-0 suppliers, 4 Bellman-Ford
+    rounds. Integer weights keep every tentative distance an exact
+    BIGINT; the oracle replays the identical unrolled relaxation
+    sweeps. Output: nodes bucketed by final distance (bounded rows)."""
+    from yelp_etl_spark.functions.graph import sssp_weighted
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey") * 2).alias("id")
+    )
+    dist = sssp_weighted(edges, seeds, rounds=_SSSP_ROUNDS)
+    return (
+        dist.groupBy(
+            F.floor(F.col("dist") / F.lit(10)).cast("long").alias("dist_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+        )
+        .orderBy("dist_bucket")
+    )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    steps = [
+        """edges AS MATERIALIZED (
+  SELECT CAST(l_suppkey * 2 AS BIGINT) AS src,
+         CAST(o_custkey * 2 + 1 AS BIGINT) AS dst,
+         CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)""",
+        """sym AS MATERIALIZED (
+  SELECT src, dst, w FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM edges
+)""",
+        """d0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+  FROM supplier WHERE s_nationkey = 0
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+  FROM (
+    SELECT id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.w AS dist
+    FROM d{k - 1} d JOIN sym e ON e.src = d.id
+  )
+  GROUP BY id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT CAST(dist // 10 AS BIGINT) AS dist_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist
+FROM d{rounds}
+GROUP BY 1
+ORDER BY dist_bucket
+"""
+    )
+
+
+EXTRA_QUERIES.update(
+    {
+        "sssp_weighted": (
+            q_sssp_weighted,
+            _sssp_oracle(_SSSP_ROUNDS),
+            "ext:Bellman-Ford weighted shortest paths (unrolled oracle)",
+        ),
+    }
+)
