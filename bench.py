@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "bigram_nll",
     "acf_daily_events",
     "sssp_weighted",
+    "benford_audit",
+    "udtf_chunk_stats",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -210,3 +210,24 @@ def test_acf_constant_series_reads_zero(spark):
     df = spark.createDataFrame([(t, 7) for t in range(10)], "step int, x int")
     out = acf(df, "step", "x", max_lag=2).collect()
     assert [r.r for r in out] == [0.0, 0.0]
+
+
+def test_benford_flags_uniform_but_accepts_benford_data(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from yelp_etl_spark.functions.evaluation import benford_audit
+
+    # Benford-ish data: powers spread over scales (2^k leads Benford)
+    benford = spark.createDataFrame(
+        [(2 ** k,) for k in range(1, 40)], "v long"
+    )
+    chi_b = sum(r.chi2_term for r in benford_audit(benford, "v").collect())
+    # uniform-first-digit data: 100..900 step 100, many copies
+    uniform = spark.createDataFrame(
+        [(100 * d + 7,) for d in range(1, 10) for _ in range(20)], "v long"
+    )
+    chi_u = sum(r.chi2_term for r in benford_audit(uniform, "v").collect())
+    assert chi_u > chi_b  # uniform digits deviate far more than 2^k
+    out = benford_audit(uniform, "v").collect()
+    assert [r.digit for r in out] == list(range(1, 10))
+    assert all(r.n_obs == 20 for r in out)

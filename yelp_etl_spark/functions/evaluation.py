@@ -316,3 +316,63 @@ def acf(
         )
         .orderBy("lag")
     )
+
+
+def benford_audit(df: DataFrame, value_column: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud/synthetic-data audit for positive integer measures
+    (naturally-occurring multi-scale quantities follow
+    P(d) = log10(1 + 1/d); fabricated or truncated data usually
+    doesn't).
+
+    Engine-portability: the first digit comes from the INTEGER's
+    string rendering (identical in every engine), never from
+    log10/floor arithmetic whose boundary behavior at exact powers of
+    ten is library-dependent. The expected probabilities are Python
+    double literals baked into the plan, so the χ² terms are one fixed
+    expression tree over exact counts. One partial-aggregated shuffle
+    over 9 cells.
+
+    Returns (digit, n_obs, expected_p, chi2_term) for digits 1-9;
+    total χ² = SUM(chi2_term), df = 8.
+    """
+    import math
+
+    digits = df.select(
+        F.substring(F.col(value_column).cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).filter((F.col("digit") >= 1) & (F.col("digit") <= 9))
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    n_tot = counts.agg(F.sum("n_obs").alias("n"))
+    grid = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    # per-digit literal probabilities via a CASE chain (9 branches)
+    p_expr = None
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        branch = F.when(F.col("digit") == d, F.lit(p))
+        p_expr = branch if p_expr is None else p_expr.when(
+            F.col("digit") == d, F.lit(p)
+        )
+    joined = (
+        grid.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            p_expr.alias("p"),
+            "n",
+        )
+    )
+    exp_n = F.col("n").cast("double") * F.col("p")
+    return joined.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("p"), 4).alias("expected_p"),
+        F.round(
+            (F.col("n_obs").cast("double") - exp_n)
+            * (F.col("n_obs").cast("double") - exp_n)
+            / exp_n,
+            6,
+        ).alias("chi2_term"),
+    ).orderBy("digit")

@@ -2748,3 +2748,131 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface, driver-checked end to end: the registered
+    ``split_chunks`` table function (functions/udfs.py) runs in SQL
+    LATERAL position over the first 100 documents and the chunk stream
+    is re-aggregated per document. The oracle rebuilds the identical
+    chunking with pure SQL substring arithmetic — pinning the UDTF's
+    row-expansion semantics (0-based chunk ids, ragged tail), not just
+    that it runs. UDTFs are row-at-a-time Python: this exists for API
+    completeness (chunk_documents is the set-oriented hot path)."""
+    from yelp_etl_spark.functions.udfs import register_split_chunks_udtf
+
+    register_split_chunks_udtf(spark)
+    (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .createOrReplaceTempView("udtf_docs_cat")
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(length(c.chunk)) AS BIGINT) AS sum_len,
+               CAST(MIN(length(c.chunk)) AS BIGINT) AS min_len,
+               CAST(MAX(c.chunk_id) AS BIGINT) AS last_chunk_id
+        FROM udtf_docs_cat d, LATERAL split_chunks(d.text, 100) c
+        GROUP BY d.doc_id
+        """
+    )
+
+
+ORACLE_UDTF_CHUNK_STATS = """
+WITH chunks AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(i // 100 AS INTEGER) AS chunk_id,
+         substr(text, CAST(i + 1 AS INTEGER), 100) AS chunk
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 100))
+             AS i
+    FROM documents
+    WHERE doc_id < 100 AND length(text) > 0
+  )
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(length(chunk)) AS BIGINT) AS sum_len,
+       CAST(MIN(length(chunk)) AS BIGINT) AS min_len,
+       CAST(MAX(chunk_id) AS BIGINT) AS last_chunk_id
+FROM chunks
+GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "udtf_chunk_stats": (
+            q_udtf_chunk_stats,
+            ORACLE_UDTF_CHUNK_STATS,
+            "ext:python UDTF in SQL LATERAL, oracle-checked",
+        ),
+    }
+)
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (functions/evaluation.benford_audit)
+    of order totals: observed first-digit counts vs log10(1+1/d) with
+    per-digit χ² terms. First digits come from integer string
+    rendering (engine-identical); the expected probabilities are the
+    same Python double literals on both sides."""
+    from yelp_etl_spark.functions.evaluation import benford_audit
+
+    # FLOOR, not a bare double->long cast: Spark's cast truncates but
+    # DuckDB's rounds (the round-4 pitfall) — floor is identical on both
+    orders = _t(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").alias("v")
+    )
+    return benford_audit(orders, "v")
+
+
+def _benford_oracle() -> str:
+    import math
+
+    # CAST AS DOUBLE: DuckDB parses a bare 16-digit decimal literal as
+    # DECIMAL, and ROUND(DECIMAL, 4) keeps 4-scale decimal ('0.3010')
+    # while Spark's double rounds to '0.301' — type, not value, skew
+    case = " ".join(
+        f"WHEN d.digit = {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH digits AS MATERIALIZED (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders
+),
+counts AS MATERIALIZED (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts),
+grid AS MATERIALIZED (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10))
+SELECT d.digit,
+       CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+       ROUND(CASE {case} END, 4) AS expected_p,
+       ROUND((CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+              - CAST(t.n AS DOUBLE) * (CASE {case} END))
+             * (CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+                - CAST(t.n AS DOUBLE) * (CASE {case} END))
+             / (CAST(t.n AS DOUBLE) * (CASE {case} END)), 6) AS chi2_term
+FROM grid d
+LEFT JOIN counts c ON c.digit = d.digit
+CROSS JOIN tot t
+ORDER BY d.digit
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "benford_audit": (
+            q_benford_audit,
+            _benford_oracle(),
+            "ext:Benford first-digit fraud/synthetic-data audit",
+        ),
+    }
+)
