@@ -335,3 +335,39 @@ def test_incremental_agg_maintenance_plan(spark, sf_dir):
     plan = plan_of(QUERIES["incremental_agg_maintenance"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_r5_metric_family_plan_shapes(spark, sf_dir):
+    """The round-5 ML/metric queries keep their scale-safe shapes: no
+    cartesian products anywhere; hashed_features' only data shuffle is
+    the per-feature reduction (the per-(doc,feature) agg rides the
+    fan_out partitioning); auc_score reduces to ONE keyed exchange
+    before its distinct-score window; the scans prune to the columns
+    each query touches."""
+    for name in (
+        "hashed_features",
+        "pmi_collocations",
+        "naive_bayes_confusion",
+        "chi2_terms",
+        "auc_score",
+        "psi_drift",
+        "kaplan_meier",
+        "bigram_nll",
+        "acf_daily_events",
+        "benford_audit",
+        "sssp_weighted",
+    ):
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+
+    hf = plan_of(QUERIES["hashed_features"].fn(spark, sf_dir), "simple")
+    assert hf.count("Exchange hashpartitioning") == 2  # fan_out + feature agg
+    assert "struct<doc_id:bigint,text:string>" in hf  # column pruning
+
+    auc = plan_of(QUERIES["auc_score"].fn(spark, sf_dir), "simple")
+    assert auc.count("Exchange hashpartitioning") == 1  # score groupBy only
+    assert auc.count("Exchange SinglePartition") == 1  # distinct-score window
+
+    bf = plan_of(QUERIES["benford_audit"].fn(spark, sf_dir), "simple")
+    # digit extraction is map-side: partial agg before the 9-cell exchange
+    assert "partial_count" in bf
