@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sssp_weighted",
     "benford_audit",
     "udtf_chunk_stats",
+    "hybrid_search_rrf",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

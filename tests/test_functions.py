@@ -1083,3 +1083,21 @@ def test_sssp_weighted_prefers_cheap_two_hop_path(spark):
     # partitioning-independent
     a = sorted(sssp_weighted(edges.repartition(3), seeds, rounds=3).collect())
     assert a == sorted(out.items())
+
+
+def test_rrf_fuse_rewards_cross_list_consensus(spark):
+    """A doc ranked mid in BOTH lists outfuses a doc that tops one
+    list but misses the other (RRF's defining property at k=60), and
+    component ranks survive into the output."""
+    from yelp_etl_spark.functions.similarity import rrf_fuse
+
+    l0 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    l1 = spark.createDataFrame([(9, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    out = rrf_fuse([l0, l1], top_k=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 2: 1/62 + 1/62 > doc 1: 1/61 + 0
+    assert by_id[2].rrf > by_id[1].rrf > 0
+    assert by_id[1].rank_1 is None and by_id[1].rank_0 == 1
+    assert out[0].doc_id == 2
+    a = sorted(map(tuple, rrf_fuse([l0.repartition(3), l1], top_k=10).collect()))
+    assert a == sorted(map(tuple, out))

@@ -880,3 +880,49 @@ def cosine_sim_sql(left: str = "q", right: str = "c", digits: int = 4) -> str:
         f"SQRT(list_dot_product({left}.emb, {left}.emb) * "
         f"list_dot_product({right}.emb, {right}.emb)), {digits})"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_column: str = "doc_id",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner for lexical + dense retrieval:
+
+        RRF(d) = Σ_lists 1 / (k + rank_list(d))
+
+    Each input frame is one ranking: (id, rank) with rank ≥ 1. The
+    fusion is a fold of outer joins keyed on the id (each list is
+    top-k-bounded, so every join side is tiny and broadcasts); the
+    score is ONE fixed expression tree of per-list 1/(k+rank) terms
+    with absent lists contributing exactly 0.0 — no float
+    accumulation, so the fused score is engine-exact. Returns
+    (id, rrf, rank_0, rank_1, ...) top-k by score, id as tiebreak.
+    """
+    from functools import reduce
+
+    out = None
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            F.col(id_column),
+            F.col("rank").cast("long").alias(f"rank_{i}"),
+        )
+        out = ri if out is None else out.join(ri, id_column, "full_outer")
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        for i in range(len(rankings))
+    ]
+    score = reduce(lambda a, b: a + b, terms)
+    return (
+        out.select(
+            id_column,
+            F.round(score, 6).alias("rrf"),
+            *[F.col(f"rank_{i}") for i in range(len(rankings))],
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_column))
+        .limit(top_k)
+    )

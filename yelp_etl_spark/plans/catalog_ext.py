@@ -2876,3 +2876,106 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_RRF_TERMS = ("merge", "window", "query")  # same query as bm25_search
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 for the 3-term query
+    fused with the dense cosine top-50 for the vec_id-0 embedding by
+    reciprocal-rank fusion (functions/similarity.rrf_fuse, k=60). The
+    fused score is a fixed 2-term expression tree over integer ranks,
+    so the oracle rebuilds it exactly. Output: fused top-10 with both
+    component ranks (NULL where a list missed the doc)."""
+    from pyspark.sql import Window
+
+    from yelp_etl_spark.functions import similarity as S
+    from yelp_etl_spark.functions.text import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexical = (
+        bm25_rank(docs, list(_RRF_TERMS), top_k=50)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    dense = (
+        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return S.rrf_fuse([lexical, dense], id_column="doc_id", k=60, top_k=10)
+
+
+ORACLE_HYBRID_RRF = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), doclen AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
+), tf AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('merge', 'window', 'query')
+  GROUP BY doc_id, tok
+), idf AS MATERIALIZED (
+  SELECT tok,
+         LN(((SELECT n_docs FROM stats) - COUNT(*) + 0.5)
+            / (COUNT(*) + 0.5) + 1.0) AS idf
+  FROM tf GROUP BY tok
+), lexical AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS rank_0
+  FROM (
+    SELECT doc_id,
+           ROUND(SUM(idf * (tf * (1.2 + 1))
+                     / (tf + 1.2 * (1 - 0.75
+                                    + 0.75 * dl / (SELECT avgdl FROM stats)))),
+                 4) AS bm25
+    FROM tf JOIN idf USING (tok) JOIN doclen USING (doc_id)
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 50
+  )
+), v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), dense AS MATERIALIZED (
+  SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS rank_1
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC,
+                                              neighbor_id ASC) AS rank
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {COS} AS cosine_sim
+              FROM v q JOIN v c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id = 0))
+  WHERE rank <= 50
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / (60 + l.rank_0), 0.0)
+             + COALESCE(1.0 / (60 + d.rank_1), 0.0), 6) AS rrf,
+       l.rank_0, d.rank_1
+FROM lexical l
+FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    from yelp_etl_spark.functions.similarity import cosine_sim_sql
+
+    return ORACLE_HYBRID_RRF.replace("{COS}", cosine_sim_sql("q", "c"))
+
+
+EXTRA_QUERIES.update(
+    {
+        "hybrid_search_rrf": (
+            q_hybrid_search_rrf,
+            _hybrid_rrf_oracle(),
+            "ext:hybrid lexical+dense retrieval via reciprocal-rank fusion",
+        ),
+    }
+)
