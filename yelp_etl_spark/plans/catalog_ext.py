@@ -2673,7 +2673,9 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2).alias("src"),
             (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
-        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+        .agg(F.min(F.floor("l_quantity")).alias("w"))  # floor: Spark cast
+        # truncates but DuckDB's rounds; fixture quantities are integral
+        # so either works TODAY — floor keeps it exact on any data
     )
     seeds = supplier.filter(F.col("s_nationkey") == 0).select(
         (F.col("s_suppkey") * 2).alias("id")
@@ -2697,7 +2699,7 @@ def _sssp_oracle(rounds: int) -> str:
         """edges AS MATERIALIZED (
   SELECT CAST(l_suppkey * 2 AS BIGINT) AS src,
          CAST(o_custkey * 2 + 1 AS BIGINT) AS dst,
-         CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+         CAST(MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 )""",
