@@ -345,22 +345,19 @@ def benford_audit(df: DataFrame, value_column: str) -> DataFrame:
     ).filter((F.col("digit") >= 1) & (F.col("digit") <= 9))
     counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
     n_tot = counts.agg(F.sum("n_obs").alias("n"))
-    grid = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
-    # per-digit literal probabilities via a CASE chain (9 branches)
-    p_expr = None
-    for d in range(1, 10):
-        p = math.log10(1.0 + 1.0 / d)
-        branch = F.when(F.col("digit") == d, F.lit(p))
-        p_expr = branch if p_expr is None else p_expr.when(
-            F.col("digit") == d, F.lit(p)
-        )
+    # the 9 expected probabilities ride in as a literal local grid —
+    # the same Python double literals the oracle bakes into its CASE
+    grid = df.sparkSession.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, p double",
+    )
     joined = (
         grid.join(counts, "digit", "left")
         .crossJoin(F.broadcast(n_tot))
         .select(
             "digit",
             F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
-            p_expr.alias("p"),
+            "p",
             "n",
         )
     )

@@ -214,6 +214,36 @@ def pagerank(
     return out
 
 
+def _loop_edges(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    symmetric: bool = True,
+    dedup: bool = False,
+    broadcast_state: bool | str = "auto",
+) -> DataFrame:
+    """Shared preamble of the iterative graph loops (BFS, weighted
+    SSSP): project/symmetrize the edge list, optionally dedup, and —
+    unless broadcast is FORCED — hash-partition on the join key so the
+    shuffle path (reachable under 'auto' once the state outgrows the
+    threshold) never re-exchanges the |E| side. Returns the CACHED
+    loop invariant; callers unpersist."""
+    fwd = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    rev = [F.col(dst).alias("src"), F.col(src).alias("dst")]
+    if weight is not None:
+        fwd.append(F.col(weight).cast("long").alias("w"))
+        rev.append(F.col(weight).cast("long").alias("w"))
+    sym = edges.select(*fwd)
+    if symmetric:
+        sym = sym.union(edges.select(*rev))
+    if dedup:
+        sym = sym.distinct()
+    if broadcast_state is not True:
+        sym = sym.repartition("src")
+    return sym.cache()
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
@@ -254,18 +284,12 @@ def bfs_distances(
     frontier is already eagerly materialized each hop, and the count
     doubles as the empty-frontier early exit). BFS frontiers start tiny
     and can grow to O(|V|): auto tracks that within a single run."""
-    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
-        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    sym = _loop_edges(
+        edges, src, dst,
+        symmetric=True,
+        dedup=not skip_symmetric_dedup,
+        broadcast_state=broadcast_state,
     )
-    if not skip_symmetric_dedup:
-        sym = sym.distinct()
-    if broadcast_state is not True:
-        # The shuffle path is reachable in 'auto' too (once the frontier
-        # outgrows the threshold), and it only avoids re-exchanging the
-        # |E| side if the cached edges are already hash-partitioned on
-        # the join key — so co-partition unless broadcast is FORCED.
-        sym = sym.repartition("src")
-    sym = sym.cache()
     frontier = truncate_lineage(
         seeds.select(F.col("id")).distinct()
         .withColumn("dist", F.lit(0).cast("long")),
@@ -332,27 +356,22 @@ def sssp_weighted(
     Returns (id, dist) for every node within ``rounds`` edges of a
     seed; seeds at dist 0, unreached nodes absent.
     """
-    sym = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"),
-        F.col(weight).cast("long").alias("w"),
+    sym = _loop_edges(
+        edges, src, dst, weight=weight,
+        symmetric=symmetric,
+        broadcast_state=broadcast_state,
     )
-    if symmetric:
-        sym = sym.union(
-            edges.select(
-                F.col(dst).alias("src"), F.col(src).alias("dst"),
-                F.col(weight).cast("long").alias("w"),
-            )
-        )
-    if broadcast_state is not True:
-        sym = sym.repartition("src")
-    sym = sym.cache()
     dist = truncate_lineage(
         seeds.select(F.col("id")).distinct()
         .withColumn("dist", F.lit(0).cast("long")),
         eager=True,
     )
-    n_state = dist.count()
-    for _ in range(rounds):
+    # state counts exist ONLY to drive the per-round auto decision —
+    # forced modes never pay the extra count job, nor does the round
+    # whose result no decision consumes (there is no early exit: with
+    # weights a stable frontier can still be improving distances)
+    n_state = dist.count() if broadcast_state == "auto" else 0
+    for rnd in range(rounds):
         if broadcast_state == "auto":
             use_bcast = n_state <= broadcast_max_state
         else:
@@ -365,6 +384,7 @@ def sssp_weighted(
             dist.union(cand).groupBy("id").agg(F.min("dist").alias("dist")),
             eager=True,
         )
-        n_state = dist.count()
+        if broadcast_state == "auto" and rnd < rounds - 1:
+            n_state = dist.count()
     sym.unpersist()
     return dist

@@ -903,6 +903,8 @@ def rrf_fuse(
     """
     from functools import reduce
 
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     out = None
     for i, r in enumerate(rankings):
         ri = r.select(

@@ -2894,7 +2894,11 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from yelp_etl_spark.functions import similarity as S
     from yelp_etl_spark.functions.text import bm25_rank
+    from yelp_etl_spark.plans.catalog import _BM25_TERMS
 
+    # enforced, not just asserted in a comment: the lexical leg IS the
+    # bm25_search query (lazy import — catalog imports this module last)
+    assert tuple(_BM25_TERMS) == _RRF_TERMS, "hybrid leg diverged from bm25_search"
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
