@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "benford_audit",
     "udtf_chunk_stats",
     "hybrid_search_rrf",
+    "reliability_bins",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

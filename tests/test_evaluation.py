@@ -231,3 +231,24 @@ def test_benford_flags_uniform_but_accepts_benford_data(spark):
     out = benford_audit(uniform, "v").collect()
     assert [r.digit for r in out] == list(range(1, 10))
     assert all(r.n_obs == 20 for r in out)
+
+
+def test_reliability_bins_perfect_and_biased_scorers(spark):
+    from yelp_etl_spark.functions.evaluation import reliability_bins
+
+    # perfectly calibrated: in each bin, observed rate == mean p
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        n_pos = int(round(p * 20))
+        rows += [(p, 1)] * n_pos + [(p, 0)] * (20 - n_pos)
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = reliability_bins(df, "p", "y", 10).collect()
+    assert [r.bin for r in out] == list(range(10))
+    assert all(abs(r.gap) <= 0.0501 for r in out)  # n_pos rounding slack
+    # overconfident scorer: p=0.9 but only 10% positives -> gap ~ -0.8
+    bad = spark.createDataFrame([(0.9, 1 if i < 2 else 0) for i in range(20)], "p double, y int")
+    g = reliability_bins(bad, "p", "y", 10).collect()
+    assert len(g) == 1 and g[0].bin == 9 and g[0].gap < -0.7
+    a = sorted(map(tuple, reliability_bins(df.repartition(7), "p", "y", 10).collect()))
+    assert a == sorted(map(tuple, out))

@@ -373,3 +373,48 @@ def benford_audit(df: DataFrame, value_column: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     ).orderBy("digit")
+
+
+def reliability_bins(
+    df: DataFrame,
+    prob_column: str,
+    label_column: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration (reliability) curve: bin predicted probabilities on
+    [0, 1] and compare each bin's observed positive rate to its mean
+    predicted probability — the standard diagnostic before trusting a
+    classifier's scores as probabilities (ECE = Σ n_b/N·|gap_b|).
+
+    Parity discipline: probabilities are QUANTIZED to integer
+    micro-units before the per-bin sum (a float mean is an
+    order-dependent accumulation; an integer sum is exact under any
+    partitioning), and the bin id comes from ``fixed_bin``'s portable
+    floor arithmetic. Observed rate and mean-probability are one exact
+    division each. One partial-aggregated shuffle over n_bins cells.
+
+    Returns (bin, n, n_pos, mean_p, obs_rate, gap) ordered by bin;
+    empty bins are absent (no prediction mass — nothing to calibrate).
+    """
+    cells = df.select(
+        fixed_bin(F.col(prob_column), 0.0, 1.0, n_bins).alias("bin"),
+        F.round(F.col(prob_column) * F.lit(1_000_000.0)).cast("long").alias("p_q"),
+        F.col(label_column).cast("long").alias("y"),
+    )
+    g = cells.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("p_q").alias("sum_p_q"),
+    )
+    mean_p = F.col("sum_p_q").cast("double") / F.col("n").cast("double") / F.lit(
+        1_000_000.0
+    )
+    obs = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return g.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(mean_p, 6).alias("mean_p"),
+        F.round(obs, 6).alias("obs_rate"),
+        F.round(obs - mean_p, 6).alias("gap"),
+    ).orderBy("bin")

@@ -2985,3 +2985,62 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve (functions/evaluation.reliability_bins) of a
+    deterministic logistic length scorer for lang='en': per-bin
+    observed rate vs mean predicted probability. Probabilities are
+    micro-unit-quantized before summation so every bin statistic is
+    engine-exact."""
+    from yelp_etl_spark.functions.evaluation import reliability_bins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("n_chars") - F.lit(298)).cast("double") / F.lit(100.0))
+            )
+        ).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return reliability_bins(docs, "p", "y", n_bins=10)
+
+
+ORACLE_RELIABILITY_BINS = """
+WITH scored AS MATERIALIZED (
+  SELECT 1.0 / (1.0 + EXP(-CAST(n_chars - 298 AS DOUBLE) / 100.0)) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+cells AS MATERIALIZED (
+  SELECT CAST(LEAST(GREATEST(FLOOR((p - 0.0) / 0.1), 0), 9) AS BIGINT) AS bin,
+         CAST(ROUND(p * 1000000) AS BIGINT) AS p_q,
+         y
+  FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(CAST(SUM(p_q) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_p,
+       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS obs_rate,
+       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             - CAST(CAST(SUM(p_q) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS gap
+FROM cells
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "reliability_bins": (
+            q_reliability_bins,
+            ORACLE_RELIABILITY_BINS,
+            "ext:calibration/reliability curve (quantized bin stats)",
+        ),
+    }
+)
