@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "udtf_chunk_stats",
     "hybrid_search_rrf",
     "reliability_bins",
+    "contrastive_pairs",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -1101,3 +1101,48 @@ def test_rrf_fuse_rewards_cross_list_consensus(spark):
     assert out[0].doc_id == 2
     a = sorted(map(tuple, rrf_fuse([l0.repartition(3), l1], top_k=10).collect()))
     assert a == sorted(map(tuple, out))
+
+
+def test_contrastive_pairs_triplet_invariants(spark):
+    """Positives are near-dups, negatives never are: the negative is
+    deterministic, differs from both anchor and positive, and is not
+    itself a near-dup of the anchor."""
+    from yelp_etl_spark.functions.dedup import contrastive_pairs, ngram_jaccard_pairs
+
+    import hashlib
+
+    def bkt(doc_id: int, n_buckets: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[17:32], 16) % n_buckets
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unrelated document number {i} about topic {i} entirely "
+                f"distinct vocabulary item{i}") for i in range(3, 20)
+            if i not in (5, 8)]
+    # near-dup pair at ids (5, 8): bkt(5)=1 -> next bucket 2, whose min
+    # is 9 (an unrelated doc) -> a valid negative by construction
+    rows += [(5, base), (8, base + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_buckets = 4
+    trip = contrastive_pairs(df, n=3, threshold=0.2, n_buckets=n_buckets).collect()
+    pos_pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.2).collect()
+    }
+    assert (5, 8) in pos_pairs
+    # expected triplets computed independently in python
+    mins: dict[int, int] = {}
+    for i, _ in rows:
+        b = bkt(i, n_buckets)
+        mins[b] = min(mins.get(b, i), i)
+    sym = pos_pairs | {(b, a) for a, b in pos_pairs}
+    expected = set()
+    for a_, p_ in pos_pairs:
+        nb = (bkt(a_, n_buckets) + 1) % n_buckets
+        neg = mins.get(nb)
+        if neg is not None and neg not in (a_, p_) and (a_, neg) not in sym:
+            expected.add((a_, p_, neg))
+    got = {(r.anchor, r.positive, r.negative) for r in trip}
+    assert got == expected and expected  # non-empty by construction
+    a = sorted(map(tuple, contrastive_pairs(df.repartition(3), n=3, threshold=0.2, n_buckets=n_buckets).collect()))
+    assert a == sorted(map(tuple, trip))

@@ -979,3 +979,84 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    embedding-model training, mined fully in-engine: positives are the
+    exact n-gram-Jaccard near-dup pairs (``ngram_jaccard_pairs`` — the
+    oracle-able formulation; swap in the MinHash path at scale), and
+    each anchor's negative is picked DETERMINISTICALLY — the minimum
+    doc id in the hash bucket after the anchor's (portable 60-bit md5
+    buckets), rejected if it collides with the anchor/positive or is
+    itself a near-dup of the anchor (anti-join on the symmetrized pair
+    set). No randomness, no driver state: rerunning on any cluster
+    yields the same triplets.
+
+    Scale shape: the positive miner dominates (its cost profile is
+    ngram_jaccard_pairs'); the negative assignment adds one broadcast
+    of an n_buckets-row min table and one anti-join keyed on the
+    (anchor, negative) pair. Rows whose bucket pick is rejected drop
+    out (documented miss; a production variant probes successive
+    buckets — the point pinned here is the deterministic selection).
+
+    Returns (anchor, positive, negative, jaccard) with the miner's
+    a < b orientation.
+    """
+    pos = ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 18, 15),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    mins = (
+        df.select(F.col(id_col).alias("cand_id"), bucket.alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.min("cand_id").alias("negative"))
+    )
+    anchors = pos.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        "jaccard",
+    ).withColumn(
+        "nb",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("anchor").cast("string").cast("binary")), 18, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        )
+        % n_buckets,
+    )
+    cand = (
+        anchors.join(F.broadcast(mins), F.col("nb") == F.col("bkt"))
+        .filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+        .select("anchor", "positive", "negative", "jaccard")
+    )
+    sym = pos.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("t")
+    ).union(pos.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
+    return cand.join(
+        sym,
+        (cand["anchor"] == sym["s"]) & (cand["negative"] == sym["t"]),
+        "left_anti",
+    )

@@ -3044,3 +3044,81 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (functions/dedup.contrastive_pairs):
+    near-dup positives + deterministic hash-bucket negatives, ordered
+    by (anchor, positive) with the jaccard carried for curriculum
+    weighting."""
+    from yelp_etl_spark.functions.dedup import contrastive_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contrastive_pairs(docs, n=3, threshold=0.2, n_buckets=64).orderBy(
+        "anchor", "positive"
+    )
+
+
+ORACLE_CONTRASTIVE_PAIRS = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT id, DISTINCT_GRAM AS sh FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
+    FROM toks
+    WHERE LENGTH(tok) >= 3
+  )
+),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pos AS MATERIALIZED (
+  SELECT id_a, id_b,
+         ROUND(CAST(n_common AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+mins AS MATERIALIZED (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+              AS BIGINT) % 64 AS bkt,
+         MIN(doc_id) AS negative
+  FROM documents GROUP BY 1
+),
+cand AS MATERIALIZED (
+  SELECT p.id_a AS anchor, p.id_b AS positive, m.negative, p.jaccard
+  FROM pos p
+  JOIN mins m
+    ON m.bkt = (CAST(concat('0x', substr(md5(CAST(p.id_a AS VARCHAR)), 18, 15))
+                     AS BIGINT) + 1) % 64
+  WHERE m.negative <> p.id_a AND m.negative <> p.id_b
+)
+SELECT anchor, positive, negative, jaccard
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos q
+  WHERE (q.id_a = c.anchor AND q.id_b = c.negative)
+     OR (q.id_b = c.anchor AND q.id_a = c.negative)
+)
+ORDER BY anchor, positive
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "contrastive_pairs": (
+            q_contrastive_pairs,
+            ORACLE_CONTRASTIVE_PAIRS,
+            "ext:contrastive training triplets (deterministic negatives)",
+        ),
+    }
+)
