@@ -1010,19 +1010,16 @@ def contrastive_pairs(
     Returns (anchor, positive, negative, jaccard) with the miner's
     a < b orientation.
     """
+    from yelp_etl_spark.functions.sampling import hash60
+
     pos = ngram_jaccard_pairs(
         df, n=n, threshold=threshold, id_col=id_col, text_col=text_col
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 18, 15),
-            16,
-            10,
-        ).cast("long")
-        % n_buckets
-    )
     mins = (
-        df.select(F.col(id_col).alias("cand_id"), bucket.alias("bkt"))
+        df.select(
+            F.col(id_col).alias("cand_id"),
+            (hash60(F.col(id_col)) % n_buckets).alias("bkt"),
+        )
         .groupBy("bkt")
         .agg(F.min("cand_id").alias("negative"))
     )
@@ -1030,20 +1027,7 @@ def contrastive_pairs(
         F.col("id_a").alias("anchor"),
         F.col("id_b").alias("positive"),
         "jaccard",
-    ).withColumn(
-        "nb",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.col("anchor").cast("string").cast("binary")), 18, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            + 1
-        )
-        % n_buckets,
-    )
+    ).withColumn("nb", (hash60(F.col("anchor")) + 1) % n_buckets)
     cand = (
         anchors.join(F.broadcast(mins), F.col("nb") == F.col("bkt"))
         .filter(
@@ -1060,3 +1044,45 @@ def contrastive_pairs(
         (cand["anchor"] == sym["s"]) & (cand["negative"] == sym["t"]),
         "left_anti",
     )
+
+
+def ngram_jaccard_sql_ctes(threshold: float, pos_name: str = "pos") -> str:
+    """DuckDB CTE block rebuilding ``ngram_jaccard_pairs`` (3-gram
+    shingles, rounded-THEN-thresholded jaccard — the filter must round
+    exactly like the miner does, or borderline pairs diverge between
+    engine and oracle). Lives HERE, next to the Spark implementation
+    it mirrors, as the single source for every oracle that embeds the
+    positive-pair miner (ngram_jaccard_pairs, jaccard_prefix_join's
+    brute twin, neardup_components, dedup_aware_split,
+    contrastive_pairs). Yields CTEs ``toks, sh, sizes, inter,
+    {pos_name}(id_a, id_b, jaccard)``; the caller prepends
+    ``WITH [RECURSIVE]`` and appends its own tail."""
+    return f"""toks AS (
+  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
+  FROM documents
+),
+sh AS (
+  SELECT id, DISTINCT_GRAM AS sh FROM (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
+    FROM toks
+    WHERE LENGTH(tok) >= 3
+  )
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+{pos_name} AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(n_common AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(CAST(n_common AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+)"""

@@ -393,13 +393,27 @@ def reliability_bins(
     floor arithmetic. Observed rate and mean-probability are one exact
     division each. One partial-aggregated shuffle over n_bins cells.
 
+    Rows with a NULL/NaN probability or a NULL label never bin: NaN
+    bins divergently across engines (the psi_drift lesson above), and
+    counting unlabeled rows in n while excluding them from n_pos would
+    silently score them as negatives.
+
     Returns (bin, n, n_pos, mean_p, obs_rate, gap) ordered by bin;
     empty bins are absent (no prediction mass — nothing to calibrate).
     """
-    cells = df.select(
-        fixed_bin(F.col(prob_column), 0.0, 1.0, n_bins).alias("bin"),
-        F.round(F.col(prob_column) * F.lit(1_000_000.0)).cast("long").alias("p_q"),
-        F.col(label_column).cast("long").alias("y"),
+    cells = (
+        df.select(
+            F.col(prob_column).alias("p"),
+            F.col(label_column).cast("long").alias("y"),
+        )
+        .filter(
+            F.col("p").isNotNull() & ~F.isnan("p") & F.col("y").isNotNull()
+        )
+        .select(
+            fixed_bin(F.col("p"), 0.0, 1.0, n_bins).alias("bin"),
+            F.round(F.col("p") * F.lit(1_000_000.0)).cast("long").alias("p_q"),
+            "y",
+        )
     )
     g = cells.groupBy("bin").agg(
         F.count("*").alias("n"),

@@ -166,3 +166,14 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def hash60(key: Column) -> Column:
+    """Portable 60-bit integer hash of the key's string form — the
+    Spark half of the convention documented at exp_priority (DuckDB
+    twin: ``CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 18, 15))
+    AS BIGINT)``). One definition so every bucket/sign/priority
+    derivation stays in sync with its oracle."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), 18, 15), 16, 10
+    ).cast("long")

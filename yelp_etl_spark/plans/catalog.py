@@ -691,33 +691,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(documents, n=3, threshold=0.2)
 
 
-ORACLE_NGRAM_JACCARD = """
-WITH toks AS (
-  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
-  FROM documents
-),
-sh AS (
-  SELECT id, DISTINCT_GRAM AS sh FROM (
-    SELECT id, unnest(list_distinct(list_transform(
-        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
-        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
-    FROM toks
-    WHERE LENGTH(tok) >= 3
-  )
-),
-sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY 1, 2
+# Shared miner fragment (functions/dedup.ngram_jaccard_sql_ctes) — the
+# threshold filter ROUNDS first, exactly like the Spark miner.
+ORACLE_NGRAM_JACCARD = (
+    "WITH " + D.ngram_jaccard_sql_ctes(0.2)
+    + "\nSELECT id_a, id_b, jaccard FROM pos\n"
 )
-SELECT id_a, id_b,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-"""
 
 
 def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,33 +713,10 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Brute-force all-pairs 3-gram shingle Jaccard — same featurization as
 # ORACLE_NGRAM_JACCARD, threshold 0.5. Exactness of the prefix filter
 # means the filtered Spark plan must reproduce this verbatim.
-ORACLE_JACCARD_PREFIX = """
-WITH toks AS (
-  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
-  FROM documents
-),
-sh AS (
-  SELECT id, DISTINCT_GRAM AS sh FROM (
-    SELECT id, unnest(list_distinct(list_transform(
-        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
-        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
-    FROM toks
-    WHERE LENGTH(tok) >= 3
-  )
-),
-sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY 1, 2
+ORACLE_JACCARD_PREFIX = (
+    "WITH " + D.ngram_jaccard_sql_ctes(0.5)
+    + "\nSELECT id_a, id_b, jaccard FROM pos\n"
 )
-SELECT id_a, id_b,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-"""
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2603,31 +2559,10 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-ORACLE_NEARDUP_COMPONENTS = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
-  FROM documents
-),
-sh AS (
-  SELECT id, DISTINCT_GRAM AS sh FROM (
-    SELECT id, unnest(list_distinct(list_transform(
-        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
-        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
-    FROM toks
-    WHERE LENGTH(tok) >= 3
-  )
-),
-sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY 1, 2
-),
+ORACLE_NEARDUP_COMPONENTS = (
+    "WITH RECURSIVE " + D.ngram_jaccard_sql_ctes(0.2) + """,
 pairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.id = id_a
-  JOIN sizes sb ON sb.id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+  SELECT id_a, id_b FROM pos
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -2640,6 +2575,7 @@ reach AS (
 )
 SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
 """
+)
 
 
 # --------------------------------------------------------------------------

@@ -1584,31 +1584,12 @@ def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_AWARE_SPLIT = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
-  FROM documents
-),
-sh AS MATERIALIZED (
-  SELECT id, DISTINCT_GRAM AS sh FROM (
-    SELECT id, unnest(list_distinct(list_transform(
-        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
-        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
-    FROM toks
-    WHERE LENGTH(tok) >= 3
-  )
-),
-sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-inter AS MATERIALIZED (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY 1, 2
-),
+from yelp_etl_spark.functions.dedup import ngram_jaccard_sql_ctes as _pos_ctes
+
+ORACLE_DEDUP_AWARE_SPLIT = (
+    "WITH RECURSIVE " + _pos_ctes(0.2) + """,
 pairs AS MATERIALIZED (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.id = id_a
-  JOIN sizes sb ON sb.id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+  SELECT id_a, id_b FROM pos
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -1649,6 +1630,7 @@ SELECT split, COUNT(*) AS n_docs,
 FROM splits, leak
 GROUP BY split, leaked_pairs
 """
+)
 
 
 EXTRA_QUERIES.update(
@@ -3019,6 +3001,7 @@ cells AS MATERIALIZED (
          CAST(ROUND(p * 1000000) AS BIGINT) AS p_q,
          y
   FROM scored
+  WHERE p IS NOT NULL AND NOT isnan(p) AND y IS NOT NULL
 )
 SELECT bin,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -3059,35 +3042,8 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CONTRASTIVE_PAIRS = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
-  FROM documents
-),
-sh AS MATERIALIZED (
-  SELECT id, DISTINCT_GRAM AS sh FROM (
-    SELECT id, unnest(list_distinct(list_transform(
-        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
-        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS DISTINCT_GRAM
-    FROM toks
-    WHERE LENGTH(tok) >= 3
-  )
-),
-sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-inter AS MATERIALIZED (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY 1, 2
-),
-pos AS MATERIALIZED (
-  SELECT id_a, id_b,
-         ROUND(CAST(n_common AS DOUBLE)
-               / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.id = id_a
-  JOIN sizes sb ON sb.id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-),
+ORACLE_CONTRASTIVE_PAIRS = (
+    "WITH " + _pos_ctes(0.2) + """,
 mins AS MATERIALIZED (
   SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
               AS BIGINT) % 64 AS bkt,
@@ -3111,6 +3067,7 @@ WHERE NOT EXISTS (
 )
 ORDER BY anchor, positive
 """
+)
 
 
 EXTRA_QUERIES.update(
