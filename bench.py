@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "reliability_bins",
     "contrastive_pairs",
+    "personalized_pagerank",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

@@ -1146,3 +1146,26 @@ def test_contrastive_pairs_triplet_invariants(spark):
     assert got == expected and expected  # non-empty by construction
     a = sorted(map(tuple, contrastive_pairs(df.repartition(3), n=3, threshold=0.2, n_buckets=n_buckets).collect()))
     assert a == sorted(map(tuple, trip))
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    """With restart to a seed set, nodes adjacent to seeds outrank
+    equally-connected nodes far from them; the uniform variant ranks
+    the two symmetric halves identically."""
+    from yelp_etl_spark.functions.graph import pagerank
+
+    # two identical 3-node paths: 1-2-3 and 11-12-13; seed at node 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 12), (12, 13)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    ppr = {r.id: r.rank for r in pagerank(edges, iterations=8, personalization=seeds).collect()}
+    assert ppr[2] > ppr[12]  # neighbor of seed beats its mirror
+    assert ppr[1] > ppr[11]
+    # uniform pagerank treats the mirrors identically
+    pr = {r.id: r.rank for r in pagerank(edges, iterations=8).collect()}
+    assert round(pr[2], 9) == round(pr[12], 9)
+    # determinism across partitionings
+    a = sorted(pagerank(edges.repartition(3), iterations=8, personalization=seeds).collect())
+    b = sorted(pagerank(edges, iterations=8, personalization=seeds).collect())
+    assert [(i, round(r, 9)) for i, r in a] == [(i, round(r, 9)) for i, r in b]

@@ -3079,3 +3079,98 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_PPR_ITERS = 5
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (functions/graph.pagerank with a seed
+    set): random walk with restart to the nation-0 suppliers on the
+    supplier↔customer order graph — the standard label/quality
+    propagation primitive. Output: top 25 non-seed nodes by proximity
+    rank (rounded 9, id tiebreak); the oracle replays the identical
+    unrolled iterations with the seed-only teleport."""
+    from yelp_etl_spark.functions.graph import pagerank
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey") * 2).alias("id")
+    )
+    ranks = pagerank(
+        edges,
+        iterations=_PPR_ITERS,
+        skip_symmetric_dedup=True,
+        personalization=seeds,
+    )
+    return (
+        ranks.join(seeds.withColumnRenamed("id", "sid"),
+                   F.col("id") == F.col("sid"), "left_anti")
+        .select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(25)
+    )
+
+
+def _ppr_oracle(iters: int) -> str:
+    sql = """WITH edges AS (
+  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                  CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), deg AS (
+  SELECT src, CAST(1 AS DOUBLE) / COUNT(*) AS w FROM sym GROUP BY src
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+), seeds AS (
+  SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS id
+  FROM supplier WHERE s_nationkey = 0
+), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_seeds FROM seeds
+), r0 AS (
+  SELECT src AS id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg
+)"""
+    for i in range(iters):
+        sql += f""", r{i + 1} AS (
+  SELECT m.id,
+         COALESCE(CASE WHEN se.id IS NOT NULL
+                       THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                            / (SELECT n_seeds FROM ns) END, 0.0)
+         + CAST(0.85 AS DOUBLE) * m.mass AS rank
+  FROM (
+    SELECT s.dst AS id, SUM(r.rank * d.w) AS mass
+    FROM sym s JOIN r{i} r ON s.src = r.id JOIN deg d ON s.src = d.src
+    GROUP BY s.dst
+  ) m
+  LEFT JOIN seeds se ON se.id = m.id
+)"""
+    return (
+        sql
+        + f"""
+SELECT id, ROUND(rank, 9) AS rank
+FROM r{iters}
+WHERE id NOT IN (SELECT id FROM seeds)
+ORDER BY rank DESC, id
+LIMIT 25
+"""
+    )
+
+
+EXTRA_QUERIES.update(
+    {
+        "personalized_pagerank": (
+            q_personalized_pagerank,
+            _ppr_oracle(_PPR_ITERS),
+            "ext:personalized PageRank (random walk with restart)",
+        ),
+    }
+)
