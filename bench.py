@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "reliability_bins",
     "contrastive_pairs",
     "personalized_pagerank",
+    "skew_report",
     "dedup_aware_split",
     "zorder_cells",
     "snapshot_merge_delete",

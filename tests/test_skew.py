@@ -80,3 +80,22 @@ def test_salt_is_deterministic(spark):
     a = sorted(map(tuple, salted_join(fact, dim, "key").collect()))
     b = sorted(map(tuple, salted_join(fact.repartition(7), dim, "key").collect()))
     assert a == b
+
+def test_skew_report_uniform_vs_concentrated(spark):
+    """Gini ~0 for a perfectly uniform key, high for a hot key; the
+    heavy-key share and counts are exact."""
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.operators.skew import skew_report
+
+    uniform = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    r = skew_report(uniform, "k", top_k=5).collect()[0]
+    assert r.n_keys == 10 and r.total_rows == 1000 and r.max_count == 100
+    assert r.gini == 0.0 and r.top5_share == 0.5
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 910, 0).otherwise(F.col("id") % 10).alias("k")
+    )
+    h = skew_report(hot, "k", top_k=5).collect()[0]
+    assert h.max_count == 919 and h.gini > 0.7
+    a = skew_report(hot.repartition(7), "k", top_k=5).collect()
+    assert a == skew_report(hot, "k", top_k=5).collect()

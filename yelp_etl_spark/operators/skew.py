@@ -85,3 +85,79 @@ def two_stage_agg(
             for name, (kind, col) in aggs.items()
         ]
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_column: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Key-skew diagnostic for a prospective join/aggregation key: the
+    one-row report that tells you whether ``salted_join`` /
+    ``two_stage_agg`` above are needed BEFORE the 100 TB job stalls on
+    one reducer.
+
+        gini = Σ_k (2k − n − 1)·x_(k) / (n·Σx)   (x ascending, rank k)
+
+    0 = perfectly uniform key, →1 = all rows on one key. Tie handling
+    is rank-order-invariant (equal x contribute the same regardless of
+    their order within a tie block), so the deterministic (count, key)
+    rank makes the statistic engine-exact: the numerator accumulates in
+    DECIMAL(38,0), the only floats are three final divisions.
+
+    Plan: ONE partial-aggregated shuffle over the keys reduces the data
+    to the per-key count table; the ranking window runs over that table
+    only (key-cardinality rows — for a truly high-cardinality key,
+    sample keys upstream). Returns one row: n_keys, total_rows,
+    max_count, top{k}_share, gini.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_column).alias("k")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("x", "k")
+    ranked = counts.select(
+        "x",
+        F.row_number().over(w).alias("rnk"),
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("x").cast("long").alias("total_rows"),
+        F.max("x").cast("long").alias("max_count"),
+        F.sum(
+            (F.lit(2) * F.col("rnk")).cast("decimal(38,0)") * F.col("x")
+        ).alias("num_part"),
+    )
+    wd = Window.orderBy(F.desc("x"), "k")
+    topk = (
+        counts.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= top_k)
+        .agg(F.sum("x").cast("long").alias("top_rows"))
+    )
+    # gini numerator: 2*sum(k*x) - (n+1)*sum(x) == sum((2k-n-1)x)
+    return (
+        stats.crossJoin(F.broadcast(topk))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "total_rows",
+            "max_count",
+            F.round(
+                F.col("top_rows").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias(f"top{top_k}_share"),
+            F.round(
+                (
+                    F.col("num_part")
+                    - (F.col("n_keys") + F.lit(1)).cast("decimal(38,0)")
+                    * F.col("total_rows")
+                ).cast("double")
+                / (
+                    F.col("n_keys").cast("double")
+                    * F.col("total_rows").cast("double")
+                ),
+                6,
+            ).alias("gini"),
+        )
+    )

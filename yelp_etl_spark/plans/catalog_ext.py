@@ -3174,3 +3174,56 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.skew_report) on lineitem's
+    supplier key: exact Gini + top-5 heavy-key share from one keyed
+    counting pass — the pre-flight check for the salting/two-stage
+    mitigations in the same module."""
+    from yelp_etl_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_k=5)
+
+
+ORACLE_SKEW_REPORT = """
+WITH counts AS MATERIALIZED (
+  SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS x
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS MATERIALIZED (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, k) AS BIGINT) AS rnk
+  FROM counts
+),
+stats AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(x) AS BIGINT) AS total_rows,
+         CAST(MAX(x) AS BIGINT) AS max_count,
+         SUM(CAST(2 * rnk AS HUGEINT) * x) AS num_part
+  FROM ranked
+),
+topk AS MATERIALIZED (
+  SELECT CAST(SUM(x) AS BIGINT) AS top_rows
+  FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, k) AS r FROM counts)
+  WHERE r <= 5
+)
+SELECT s.n_keys, s.total_rows, s.max_count,
+       ROUND(CAST(t.top_rows AS DOUBLE) / CAST(s.total_rows AS DOUBLE), 6)
+         AS top5_share,
+       ROUND(CAST(s.num_part
+                  - CAST(s.n_keys + 1 AS HUGEINT) * s.total_rows AS DOUBLE)
+             / (CAST(s.n_keys AS DOUBLE) * CAST(s.total_rows AS DOUBLE)), 6)
+         AS gini
+FROM stats s CROSS JOIN topk t
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "skew_report": (
+            q_skew_report,
+            ORACLE_SKEW_REPORT,
+            "ext:key-skew diagnostic (exact Gini + heavy-key share)",
+        ),
+    }
+)
