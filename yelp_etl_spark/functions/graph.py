@@ -206,6 +206,11 @@ def pagerank(
     if personalization is not None:
         seeds = personalization.select(F.col("id")).distinct()
         n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "personalization seed set is empty — personalized "
+                "PageRank needs at least one seed node"
+            )
         seed_tp = F.broadcast(
             seeds.withColumn("tp", F.lit((1.0 - damping) / n_seeds))
         ).cache()

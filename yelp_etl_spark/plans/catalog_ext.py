@@ -3086,7 +3086,7 @@ _PPR_ITERS = 5
 
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (functions/graph.pagerank with a seed
-    set): random walk with restart to the nation-0 suppliers on the
+    set): random walk with restart to the five lowest-id suppliers on the
     supplier↔customer order graph — the standard label/quality
     propagation primitive. Output: top 25 non-seed nodes by proximity
     rank (rounded 9, id tiebreak); the oracle replays the identical
@@ -3104,7 +3104,10 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+    # seed rule non-empty at EVERY fixture scale (supplier keys start
+    # at 0): the five lowest supplier ids. nation-0 suppliers — the
+    # BFS seed rule — vanish at sf0.001 and would divide by zero.
+    seeds = supplier.filter(F.col("s_suppkey") < 5).select(
         (F.col("s_suppkey") * 2).alias("id")
     )
     ranks = pagerank(
@@ -3134,7 +3137,7 @@ def _ppr_oracle(iters: int) -> str:
 ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
 ), seeds AS (
   SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS id
-  FROM supplier WHERE s_nationkey = 0
+  FROM supplier WHERE s_suppkey < 5
 ), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_seeds FROM seeds
 ), r0 AS (
   SELECT src AS id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg
