@@ -43,7 +43,27 @@ def test_queries_and_oracles_consistent(spark):
 
 
 def test_each_query_runs_at_smoke_sf(spark, sf_dir):
+    """Every query builds at the driver's smoke scale, and no result
+    schema contains an Array/Map column: the driver's canonicalizer
+    pandas-lexsorts the result frame, which throws ``unhashable type:
+    'list'`` on list cells (the r5 red class — map_funcs / map_hof /
+    quantize_embeddings). Arrays must be stringified at the catalog
+    layer (``array_join``), per the q_array_funcs convention."""
+    from pyspark.sql.types import ArrayType, MapType
+
     mod = _load_entry_module()
+    offenders = {}
     for name, fn in mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"queries return driver-unsortable Array/Map columns: {offenders}"
+        " — stringify with F.array_join(col.cast('array<string>'), ',')"
+    )

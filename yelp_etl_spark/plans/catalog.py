@@ -3627,8 +3627,12 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "p_type",
-            F.map_keys("brand_counts").alias("brands"),
-            F.map_values("brand_counts").alias("counts"),
+            # Arrays are stringified so the driver canonicalizer (pandas
+            # lexsort) can hash them — same convention as q_array_funcs.
+            F.array_join(F.map_keys("brand_counts"), ",").alias("brands"),
+            F.array_join(
+                F.map_values("brand_counts").cast("array<string>"), ","
+            ).alias("counts"),
             F.size("brand_counts").cast("long").alias("n_brands"),
             F.element_at("brand_counts", "Brand#7").alias("brand7_n"),
         )
@@ -3637,8 +3641,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MAP_FUNCS = """
 SELECT p_type,
-       list(p_brand ORDER BY p_brand) AS brands,
-       list(n ORDER BY p_brand) AS counts,
+       array_to_string(list(p_brand ORDER BY p_brand), ',') AS brands,
+       array_to_string(list(CAST(n AS VARCHAR) ORDER BY p_brand), ',')
+         AS counts,
        CAST(COUNT(*) AS BIGINT) AS n_brands,
        MAX(CASE WHEN p_brand = 'Brand#7' THEN n END) AS brand7_n
 FROM (
@@ -4166,15 +4171,23 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only array lambdas. Output keeps the quantized array and the
     per-vector scale."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    return S.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    out = S.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    # The library returns a real int array; the catalog stringifies it so
+    # the driver canonicalizer can lexsort/hash (q_array_funcs convention).
+    return out.withColumn(
+        "q_vec", F.array_join(F.col("q_vec").cast("array<string>"), ",")
+    )
 
 
 ORACLE_QUANTIZE = """
 SELECT vec_id,
-       CASE WHEN mx > 0
-            THEN list_transform(embedding,
-                                x -> CAST(round(x * (127.0 / mx)) AS INTEGER))
-            ELSE list_transform(embedding, x -> 0) END AS q_vec,
+       array_to_string(
+         CASE WHEN mx > 0
+              THEN list_transform(
+                     embedding,
+                     x -> CAST(CAST(round(x * (127.0 / mx)) AS INTEGER)
+                               AS VARCHAR))
+              ELSE list_transform(embedding, x -> '0') END, ',') AS q_vec,
        ROUND(CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END, 6) AS scale
 FROM (
   SELECT vec_id, embedding,
@@ -5128,8 +5141,12 @@ def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("scaled") > 0)
         .select(
             "p_type",
-            F.map_keys("scaled").alias("brands"),
-            F.map_values("scaled").alias("counts10"),
+            # Stringified for the driver canonicalizer (q_array_funcs
+            # convention) — lists break its pandas lexsort.
+            F.array_join(F.map_keys("scaled"), ",").alias("brands"),
+            F.array_join(
+                F.map_values("scaled").cast("array<string>"), ","
+            ).alias("counts10"),
             F.size("scaled").cast("long").alias("n_kept"),
         )
     )
@@ -5142,8 +5159,9 @@ WITH per AS (
   SELECT p_type, p_brand, n FROM per WHERE n >= 2
 )
 SELECT p_type,
-       list(p_brand ORDER BY p_brand) AS brands,
-       list(CAST(n * 10 AS BIGINT) ORDER BY p_brand) AS counts10,
+       array_to_string(list(p_brand ORDER BY p_brand), ',') AS brands,
+       array_to_string(list(CAST(n * 10 AS VARCHAR) ORDER BY p_brand), ',')
+         AS counts10,
        CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM kept GROUP BY 1
 """
