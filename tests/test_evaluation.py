@@ -28,6 +28,17 @@ def test_auc_perfect_and_random_rankers(spark):
     assert auc_score(df2, "label", "score").collect()[0].auc == 0.0
 
 
+def test_auc_ignores_null_and_nan_rows(spark):
+    """NULL labels are unknown (not negatives) and NULL/NaN scores
+    rank in engine-specific positions — all such rows are excluded, so
+    dirty input gives the same AUC as its clean subset."""
+    clean = [(1, 10.0), (1, 9.0), (0, 2.0), (0, 1.0)]
+    dirty = clean + [(None, 5.0), (1, None), (0, float("nan"))]
+    df = spark.createDataFrame(dirty, "label int, score double")
+    r = auc_score(df, "label", "score").collect()[0]
+    assert r.auc == 1.0 and r.n_pos == 2 and r.n_neg == 2
+
+
 def test_auc_midrank_tie_handling(spark):
     # All scores tied → AUC exactly 0.5 by the midrank convention.
     rows = [(1, 5.0)] * 3 + [(0, 5.0)] * 7
@@ -210,6 +221,21 @@ def test_acf_constant_series_reads_zero(spark):
     df = spark.createDataFrame([(t, 7) for t in range(10)], "step int, x int")
     out = acf(df, "step", "x", max_lag=2).collect()
     assert [r.r for r in out] == [0.0, 0.0]
+
+
+def test_acf_emits_every_promised_lag_even_with_no_pairs(spark):
+    """The lag grid is the contract: a series shorter than max_lag+1
+    still yields rows for every lag in 1..max_lag, with n_pairs=0 and
+    r=0 where no pair exists (not silently missing rows)."""
+    from yelp_etl_spark.functions.evaluation import acf
+
+    df = spark.createDataFrame([(t, t * 3 % 7) for t in range(4)], "step int, x int")
+    out = acf(df, "step", "x", max_lag=6).collect()
+    assert [r.lag for r in out] == [1, 2, 3, 4, 5, 6]
+    by_lag = {r.lag: r for r in out}
+    assert by_lag[3].n_pairs == 1
+    assert by_lag[4].n_pairs == 0 and by_lag[4].r == 0.0
+    assert by_lag[6].n_pairs == 0 and by_lag[6].r == 0.0
 
 
 def test_benford_flags_uniform_but_accepts_benford_data(spark):

@@ -81,6 +81,44 @@ def test_salt_is_deterministic(spark):
     b = sorted(map(tuple, salted_join(fact.repartition(7), dim, "key").collect()))
     assert a == b
 
+def test_two_stage_collect_list_matches_sorted_plain(spark):
+    """The non-decomposable stage pair: salted partial lists, merged by
+    flatten + array_sort, must equal a plain sorted collect_list."""
+    fact = _skewed_fact(spark)
+    plain = {
+        (r.key, tuple(r.vs))
+        for r in fact.groupBy("key")
+        .agg(F.array_sort(F.collect_list("v")).alias("vs"))
+        .collect()
+    }
+    salted = {
+        (r.key, tuple(r.vs))
+        for r in two_stage_agg(
+            fact, ["key"], {"vs": ("collect_list", "v")}, n_salts=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_skew_report_gini_matches_bruteforce_rank_formula(spark):
+    """The histogram-block Gini must be bit-identical to the naive
+    global-rank formula gini = (2·Σ k·x_(k) − (n+1)·Σx) / (n·Σx)."""
+    from yelp_etl_spark.operators.skew import skew_report
+
+    # irregular counts incl. ties: key i appears (i % 7) + 1 + (i == 3) * 40 times
+    rows = [(f"k{i}",) for i in range(23) for _ in range((i % 7) + 1 + (i == 3) * 40)]
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_report(df, "k", top_k=3).collect()[0]
+
+    counts = sorted((i % 7) + 1 + (i == 3) * 40 for i in range(23))
+    n, tot = len(counts), sum(counts)
+    num = 2 * sum((k + 1) * x for k, x in enumerate(counts)) - (n + 1) * tot
+    assert got.n_keys == n and got.total_rows == tot
+    assert got.max_count == max(counts)
+    assert got.top3_share == round(sum(sorted(counts)[-3:]) / tot, 6)
+    assert got.gini == round(num / (n * tot), 6)
+
+
 def test_skew_report_uniform_vs_concentrated(spark):
     """Gini ~0 for a perfectly uniform key, high for a hot key; the
     heavy-key share and counts are exact."""

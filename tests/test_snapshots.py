@@ -587,6 +587,58 @@ def test_snapshot_rollback_restores_and_preserves_history(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 3 and s4 == 4
 
 
+def test_bootstrap_crash_orphan_auto_reclaimed(spark, tmp_path):
+    """A writer that crashed between publishing manifest 1 and the
+    FIRST-EVER pointer swap leaves a table with an orphan manifest and
+    no pointer at all. An aged orphan must be reclaimed exactly like
+    the pointer-behind case — otherwise every retry fails forever on a
+    table that was never committed (the bootstrap snapshot_merge
+    replay)."""
+    import json as _json
+    import time
+
+    from yelp_etl_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        _manifest_path,
+    )
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.dirname(_manifest_path(t, 1)), exist_ok=True)
+    with open(_manifest_path(t, 1), "w") as fh:
+        _json.dump({"forged": True}, fh)
+    # fresh bootstrap orphan: possible live racer, still loud
+    with pytest.raises(ConcurrentCommitError):
+        snapshot_write(spark.range(0, 5), t)
+    # aged past grace: the replayed first commit self-heals
+    old = time.time() - 3600
+    os.utime(_manifest_path(t, 1), (old, old))
+    assert snapshot_write(spark.range(0, 5), t) == 1
+    assert snapshot_read(spark, t).count() == 5
+
+
+def test_replace_inherits_parent_partition_spec(spark, tmp_path):
+    """mode='replace' without an explicit partition_by keeps the
+    table's spec (Iceberg createOrReplace semantics): a plain replace
+    on a partitioned table must not silently commit a spec-less
+    manifest and de-partition the table."""
+    from yelp_etl_spark.sources.snapshots import _load_manifest
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2], float(i)) for i in range(100)],
+        "id long, grp string, v double",
+    )
+    snapshot_write(df, t, mode="replace", partition_by=["grp"])
+    s2 = snapshot_write(df.filter("id < 50"), t, mode="replace")
+    m2 = _load_manifest(t, s2)
+    assert m2.get("partition_by") == ["grp"]
+    assert all("partition" in f for f in m2["files"])
+    assert snapshot_read(spark, t, partition_filter={"grp": "A"}).count() == 25
+    # rewrite (compaction label) inherits too
+    s3 = snapshot_write(snapshot_read(spark, t), t, mode="rewrite")
+    assert _load_manifest(t, s3).get("partition_by") == ["grp"]
+
+
 def test_partitioned_snapshot_write_and_pruning(spark, tmp_path):
     """Identity partition spec: each data file holds exactly one
     partition tuple recorded in the manifest (Iceberg-style — the

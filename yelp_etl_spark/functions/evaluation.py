@@ -48,8 +48,18 @@ def auc_score(
     bounded; AUC over a quantized score is exactly AUC with midrank
     ties at the quantization grid.
 
+    Rows with a NULL/NaN score or a NULL label are excluded up front —
+    a NULL label is unknown, not negative, and NULL/NaN scores land in
+    engine-specific rank positions (Spark ASC is NULLS FIRST, other
+    engines NULLS LAST), which would break bit-parity on dirty input.
+    Same convention as ``psi_drift`` / ``reliability_bins``.
+
     Returns one row: ``auc`` (rounded 6), ``n_pos``, ``n_neg``.
     """
+    score, label = F.col(score_column), F.col(label_column)
+    df = df.filter(
+        score.isNotNull() & ~F.isnan(score.cast("double")) & label.isNotNull()
+    )
     g = df.groupBy(F.col(score_column).alias("s")).agg(
         F.count("*").alias("cnt"),
         F.sum(F.col(label_column).cast("long")).alias("pos"),
@@ -297,6 +307,14 @@ def acf(
             F.count("*").cast("long").alias("n_pairs"),
             F.sum(F.col("ca") * F.col("cb")).alias("num"),
         )
+    )
+    # the docstring promises every lag in 1..max_lag: a lag with no
+    # pairs (series shorter than lag+1) would vanish from the inner
+    # join, so re-anchor on the lag grid with n_pairs = 0, r = 0
+    pairs = lags.join(pairs, "lag", "left").select(
+        "lag",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("num", F.lit(0).cast("decimal(38,0)")).alias("num"),
     )
     # a constant series has den = 0 (every c_t = 0): define r = 0.0
     # rather than 0/0 NaN (which also diverges NaN-vs-NULL cross-engine)

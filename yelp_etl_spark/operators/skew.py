@@ -49,12 +49,23 @@ def salted_join(
     return out.drop("__salt")
 
 
-# (partial aggregate fn, merge aggregate fn) per supported spec
+# (partial aggregate fn, merge aggregate fn) per supported spec.
+# collect_list is the motivating NON-decomposable case: Catalyst cannot
+# map-side-combine it, so one hot key funnels every row into a single
+# reduce task; the salted pre-stage caps any task at ~rows/n_salts list
+# elements, and the merge flattens the partial lists. The final
+# array_sort makes the result order-deterministic (partial arrival
+# order is not), so the two-stage output is comparable to a plain
+# sorted collect_list.
 _AGG_STAGES = {
     "count": (lambda c: F.count(c), lambda c: F.sum(c)),
     "sum": (lambda c: F.sum(c), lambda c: F.sum(c)),
     "min": (lambda c: F.min(c), lambda c: F.min(c)),
     "max": (lambda c: F.max(c), lambda c: F.max(c)),
+    "collect_list": (
+        lambda c: F.collect_list(c),
+        lambda c: F.array_sort(F.flatten(F.collect_list(c))),
+    ),
 }
 
 
@@ -69,8 +80,12 @@ def two_stage_agg(
     (keys, salt) shrinking hot keys n_salts-fold; stage 2 merges the
     partials.
 
-    ``aggs`` maps output name → ("count"|"sum"|"min"|"max", column) —
-    only decomposable aggregates are supported, by construction.
+    ``aggs`` maps output name →
+    ("count"|"sum"|"min"|"max"|"collect_list", column). The algebraic
+    four exist for parity with Catalyst's own partial+final;
+    "collect_list" is the case that actually NEEDS this operator (no
+    map-side combine exists), returning a deterministically sorted
+    array per key.
     """
     salted = df.withColumn("__salt", _salt_expr(df, n_salts, salt_on))
     stage1 = salted.groupBy(*keys, "__salt").agg(
@@ -101,38 +116,61 @@ def skew_report(
 
     0 = perfectly uniform key, →1 = all rows on one key. Tie handling
     is rank-order-invariant (equal x contribute the same regardless of
-    their order within a tie block), so the deterministic (count, key)
-    rank makes the statistic engine-exact: the numerator accumulates in
-    DECIMAL(38,0), the only floats are three final divisions.
+    their order within a tie block), which is exactly what makes the
+    statistic computable WITHOUT a global per-key rank: all keys
+    sharing a count x form one contiguous tie block, and a block of c
+    keys starting after r smaller keys contributes
+    ``x · (2·c·r + c·(c+1))`` to the 2·Σ rank·x numerator. The
+    numerator accumulates in DECIMAL(38,0); the only floats are the
+    final divisions.
 
-    Plan: ONE partial-aggregated shuffle over the keys reduces the data
-    to the per-key count table; the ranking window runs over that table
-    only (key-cardinality rows — for a truly high-cardinality key,
-    sample keys upstream). Returns one row: n_keys, total_rows,
-    max_count, top{k}_share, gini.
+    Plan — every stage bounded at any scale:
+    1. ONE partial-aggregated shuffle reduces the data to the per-key
+       count table (key-cardinality rows, never ranked globally).
+    2. A second keyed agg folds that into the count-of-counts
+       histogram. A table of ``total`` rows has at most ``√(2·total)``
+       distinct per-key counts (the distinct counts 1+2+…+D ≤ total),
+       so the cumulative-offset window over the histogram is a
+       single-partition exchange over a *provably* √n-bounded table
+       (~1.4M rows even at 10¹² input rows) — the same structural
+       bound discipline as auc_score's distinct-score window, but here
+       the bound needs no upstream quantization.
+    3. top-k share uses sort+limit (TakeOrderedAndProject: per-
+       partition top-k, then a k·partitions merge), never a global
+       window.
+
+    Returns one row: n_keys, total_rows, max_count, top{k}_share,
+    gini — bit-identical to the naive global-rank formulation (unit
+    test pins equality on fixtures).
     """
     from pyspark.sql import Window
 
     counts = df.groupBy(F.col(key_column).alias("k")).agg(
         F.count("*").alias("x")
     )
-    w = Window.orderBy("x", "k")
-    ranked = counts.select(
-        "x",
-        F.row_number().over(w).alias("rnk"),
+    hist = counts.groupBy("x").agg(F.count("*").alias("c"))
+    # keys with a strictly smaller count = block rank offset r
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = hist.withColumn(
+        "r", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
     )
-    stats = ranked.agg(
-        F.count("*").alias("n_keys"),
-        F.sum("x").cast("long").alias("total_rows"),
+    # block term: Σ_{i=1..c} 2(r+i)x = x·(2cr + c(c+1)); 2cr ≤ 2·10¹⁸
+    # stays in long, the x-product goes to decimal(38,0)
+    stats = blocks.agg(
+        F.sum("c").cast("long").alias("n_keys"),
+        F.sum(F.col("x") * F.col("c")).cast("long").alias("total_rows"),
         F.max("x").cast("long").alias("max_count"),
         F.sum(
-            (F.lit(2) * F.col("rnk")).cast("decimal(38,0)") * F.col("x")
+            F.col("x").cast("decimal(38,0)")
+            * (
+                F.lit(2) * F.col("c") * F.col("r")
+                + F.col("c") * (F.col("c") + F.lit(1))
+            ).cast("decimal(38,0)")
         ).alias("num_part"),
     )
-    wd = Window.orderBy(F.desc("x"), "k")
     topk = (
-        counts.withColumn("r", F.row_number().over(wd))
-        .filter(F.col("r") <= top_k)
+        counts.orderBy(F.desc("x"), "k")
+        .limit(top_k)
         .agg(F.sum("x").cast("long").alias("top_rows"))
     )
     # gini numerator: 2*sum(k*x) - (n+1)*sum(x) == sum((2k-n-1)x)

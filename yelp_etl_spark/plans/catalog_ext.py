@@ -2614,12 +2614,13 @@ pairs AS MATERIALIZED (
   JOIN c b ON b.step = a.step + l.lag
   GROUP BY l.lag
 )
-SELECT p.lag, p.n_pairs,
-       CASE WHEN d.den = 0 THEN 0.0
+SELECT l.lag,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       CASE WHEN d.den = 0 OR p.num IS NULL THEN 0.0
             ELSE ROUND(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
        END AS r
-FROM pairs p CROSS JOIN den d
-ORDER BY p.lag
+FROM lags l LEFT JOIN pairs p ON p.lag = l.lag CROSS JOIN den d
+ORDER BY l.lag
 """
 
 
@@ -3227,6 +3228,48 @@ EXTRA_QUERIES.update(
             q_skew_report,
             ORACLE_SKEW_REPORT,
             "ext:key-skew diagnostic (exact Gini + heavy-key share)",
+        ),
+    }
+)
+
+
+def q_two_stage_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation of a NON-decomposable aggregate
+    (operators/skew.two_stage_agg, 'collect_list' stage pair): supplier
+    names per nation, partial lists collected on (key, salt) so no
+    single reduce task ever holds a hot key's full row set, merged by
+    flatten + array_sort. The array is stringified at the catalog layer
+    (driver canonicalizer convention); count rides along to prove the
+    algebraic and non-algebraic stages compose in one pass."""
+    from yelp_etl_spark.operators.skew import two_stage_agg
+
+    out = two_stage_agg(
+        _t(spark, sf_dir, "supplier"),
+        ["s_nationkey"],
+        {"names": ("collect_list", "s_name"), "n_sup": ("count", "s_name")},
+        n_salts=8,
+    )
+    return out.select(
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.array_join("names", ",").alias("names"),
+        F.col("n_sup").cast("long").alias("n_sup"),
+    )
+
+
+ORACLE_TWO_STAGE_COLLECT = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       array_to_string(list(s_name ORDER BY s_name), ',') AS names,
+       CAST(COUNT(s_name) AS BIGINT) AS n_sup
+FROM supplier GROUP BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "two_stage_collect": (
+            q_two_stage_collect,
+            ORACLE_TWO_STAGE_COLLECT,
+            "ext:salted two-stage collect_list (non-decomposable agg)",
         ),
     }
 )

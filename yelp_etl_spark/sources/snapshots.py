@@ -241,8 +241,13 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
     except FileExistsError:
         committed = _read_pointer(table_dir)
         age = _time.time() - os.path.getmtime(mpath)
+        # committed=None counts as "pointer behind": a writer that
+        # crashed between publishing manifest 1 and the FIRST-EVER
+        # pointer swap leaves no pointer at all, and without this the
+        # orphan would block every retry forever (case (b)'s bootstrap
+        # variant — checkpointed streaming replays must converge).
         if (
-            committed is not None and committed < snapshot_id
+            committed is None or committed < snapshot_id
         ) and age > _ORPHAN_GRACE_SECONDS:
             os.replace(tmp, mpath)  # reclaim the crash orphan
         else:
@@ -440,6 +445,14 @@ def snapshot_write(
         raise ValueError(f"mode must be replace|append|rewrite, got {mode!r}")
     parent = _read_pointer(table_dir)
     pm = None
+    if mode in ("replace", "rewrite") and parent is not None and partition_by is None:
+        # replace/rewrite inherit the parent's partition spec too
+        # (Iceberg createOrReplace keeps the TABLE's spec): a plain
+        # replace on a partitioned table must not silently commit a
+        # spec-less manifest — that de-partitions the table, the next
+        # overwrite_partitions refuses, and pruned reads degrade to
+        # full listings. An explicit partition_by still re-specs.
+        partition_by = _load_manifest(table_dir, parent).get("partition_by")
     if mode == "append" and parent is not None:
         pm = _load_manifest(table_dir, parent)
         # An append INHERITS the parent's partition spec (Iceberg: the
