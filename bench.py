@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "novelty_scores",
     "containment_pairs",
     "winnow_fingerprints",
+    # round-6 additions
+    "two_stage_collect",
+    "hll_portable",
 ]
 
 
@@ -260,13 +263,15 @@ def main() -> None:
     spark = get_spark("yelp-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Three timed runs per query, min taken — single-run local[N] timings
+    # Two timed runs per query, min taken — single-run local[N] timings
     # carry GC/compilation noise of up to ~3x on sub-second queries; the
     # min is the standard steady-state estimator (cf. hyperfine). The
     # first run doubles as the JIT/codegen warmup (the min never picks
-    # it), which keeps total wall-clock at one timed pass instead of a
-    # separate warmup sweep over the whole catalog.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # it). Default dropped 3 → 2 at 225 catalog queries: BENCH_DETAIL
+    # history shows sub-5% spread between 2nd and 3rd runs, and the
+    # third pass pushed full-catalog wall-clock toward the driver's
+    # ~10-minute ceiling. Override with SPARK_GRAFT_BENCH_RUNS.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # A full-GC hint between queries keeps accumulated broadcast /
     # Arrow / codegen garbage from billing its collection pause to
     # whichever query happens to trigger it (observed as random

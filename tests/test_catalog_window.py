@@ -23,7 +23,6 @@ ROWS_ONLY_BY_DESIGN = {
     "lsh_topk",
     "ivf_topk",
     "pq_topk",
-    "blob_features",
     "hll_mergeable",
 }
 
@@ -35,55 +34,70 @@ def test_driver_window_is_first_50_entries():
 
 
 def test_driver_window_entries_all_oracle_checked():
+    # pq_topk / hll_mergeable are rows-only by design (Datasketches /
+    # PQ estimates are engine-specific) — they enter the r6 window for
+    # the driver's weaker rows-only check so cumulative coverage
+    # reaches every catalog entry; everything else must be hard-checked
     no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert no_oracle == [], f"window entries without oracle: {no_oracle}"
+    assert set(no_oracle) <= {"pq_topk", "hll_mergeable"}, (
+        f"window entries without oracle: {no_oracle}"
+    )
 
 
-def test_driver_window_r5_rotation_goals():
-    # r4 VERDICT tasks 1/3/5/6: the three fixed HUGEINT reds return as
-    # regression guards, the two new snapshot-layer capabilities get
-    # their first driver rows, and the rest of the window is the
-    # never-checked pool.
+def test_driver_window_r6_rotation_goals():
+    # r5 VERDICT tasks 1/2: the three fixed array-output reds return
+    # as regression guards, the 4 two-time stragglers lead the
+    # rotation, and the r5-session ML/metrics/snapshot families get
+    # their first driver rows.
     must_have = {
-        # fixed r4 reds (oracle HUGEINT class)
-        "compact_small_files",
-        "jsonl_scan_roundtrip",
-        "dq_report",
-        # new snapshot-layer capabilities
-        "snapshot_changelog",
-        "snapshot_merge_delete",
-        # the three latent-HUGEINT oracles, fixed BEFORE first check
-        "bitwise_funcs",
-        "token_packing",
-        "stratified_sample",
-        # judge-named r5 rotations (VERDICT LLM-ops table)
-        "containment_pairs",
-        "novelty_scores",
-        "k_anonymity_audit",
-        "event_path_pattern",
-        "bpe_encode_tokens",
-        "surrogate_ids_portable",
+        # fixed r5 reds (Array-typed output vs driver canonicalizer)
+        "map_funcs",
+        "map_hof",
+        "quantize_embeddings",
+        # two-time stragglers, judge-named
+        "csv_scan_roundtrip",
+        "grouping_indicator",
+        "posexplode_ordinal",
+        "explode_outer_tokens",
+        # r5-session families (spot checks; full list is the window)
+        "kmeans_clusters",
+        "logreg_weights",
+        "auc_score",
+        "sssp_weighted",
+        "personalized_pagerank",
+        "skew_report",
+        "snapshot_rollback",
+        "snapshot_expire",
+        "udtf_chunk_stats",
+        # new r6 queries enter the window immediately
+        "two_stage_collect",
+        "hll_portable",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
-def test_window_carries_45_first_time_rows():
-    # r4 VERDICT task 3: the r5 window must rotate the never-checked
-    # pool in. Derive "previously checked" from the recorded
-    # CORRECTNESS_r0{1..4}.json files themselves.
+def test_window_closes_cumulative_driver_coverage():
+    # r5 VERDICT task 2: window ∪ previously-checked must cover the
+    # ENTIRE catalog — after this round no query has ever been skipped
+    # by the driver. Derive "previously checked" from the recorded
+    # CORRECTNESS_r0{1..5}.json files themselves.
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1234].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[12345].json")):
         checked |= set(json.load(open(path)))
-    assert checked, "expected CORRECTNESS_r0{1..4}.json at repo root"
+    assert checked, "expected CORRECTNESS_r0{1..5}.json at repo root"
     first_time = [n for n in _DRIVER_WINDOW if n not in checked]
-    assert len(first_time) >= 45, (
+    assert len(first_time) >= 43, (
         f"only {len(first_time)} first-time rows: {first_time}"
     )
+    uncovered = [
+        n for n in QUERIES if n not in checked and n not in _DRIVER_WINDOW
+    ]
+    assert uncovered == [], f"never driver-checked and not in window: {uncovered}"
 
 
 def test_rotated_out_rows_remain_oracle_checked_locally():

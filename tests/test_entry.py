@@ -37,7 +37,6 @@ def test_queries_and_oracles_consistent(spark):
         "lsh_topk",
         "ivf_topk",
         "pq_topk",
-        "blob_features",
         "hll_mergeable",
     }
 

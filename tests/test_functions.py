@@ -652,6 +652,39 @@ def test_count_min_never_undercounts(spark):
     assert est2 == est
 
 
+def test_hll_portable_accuracy_and_mergeability(spark):
+    """The portable HLL estimate lands within the standard
+    1.04/√m ≈ 4.6% band (we allow 3σ) of the exact distinct count, and
+    merging per-group sketches by bucket-max equals sketching the
+    union directly — cell-for-cell."""
+    from pyspark.sql import functions as SF
+
+    from yelp_etl_spark.functions.sketches import (
+        hll_portable_estimate,
+        hll_portable_merge,
+        hll_portable_sketch,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        SF.lit("g").alias("g"), (SF.col("id") % 2).alias("half"), "id"
+    )
+    regs = hll_portable_sketch(df, "id", ["g"])
+    est = hll_portable_estimate(regs, ["g"]).collect()[0]
+    assert abs(est.est_distinct - n) / n < 3 * 1.04 / (512 ** 0.5)
+    # mergeability: per-half registers merged == whole-table registers
+    halves = hll_portable_sketch(df, "id", ["g", "half"])
+    merged = hll_portable_merge(halves, ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs.collect())
+    )
+    # duplicates don't move the sketch: distinct-ness is structural
+    regs_dup = hll_portable_sketch(df.union(df), "id", ["g"])
+    assert sorted(map(tuple, regs_dup.collect())) == sorted(
+        map(tuple, regs.collect())
+    )
+
+
 def test_interval_overlap_join_matches_naive(spark):
     import random
 

@@ -231,7 +231,9 @@ def test_acf_matches_direct_formula(spark, xs, lag):
         num = sum((xs[t] - mu) * (xs[t + k] - mu) for t in range(n - k))
         expect = 0.0 if den == 0 else round(num / den, 6)
         if n - k <= 0:
-            assert k not in rows
+            # the promised lag grid is complete: a pairless lag shows
+            # up explicitly as (n_pairs=0, r=0), never a missing row
+            assert rows[k].n_pairs == 0 and rows[k].r == 0.0
         else:
             assert abs(rows[k].r - expect) < 2e-6
             assert rows[k].n_pairs == n - k

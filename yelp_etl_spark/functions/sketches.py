@@ -206,3 +206,107 @@ def histogram_quantiles(
             4,
         ).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: an engine-replayable twin of hll_sketch_agg
+# ---------------------------------------------------------------------------
+
+HLL_P = 9                      # 2^9 = 512 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 32                # rank slice width -> rho in [1, 33]
+HLL_SCALE = 40                 # register term 2^(SCALE - M_j) stays integral
+_HLL_W_MASK = (1 << HLL_W_BITS) - 1
+
+
+def _h60(key: Column) -> Column:
+    """Portable 60-bit hash (md5 hex digits 18-32) — the repo-wide
+    convention (minhash_portable, surrogate_ids_portable): any engine
+    with md5 + string slicing computes the identical value."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), 18, 15), 16, 10
+    ).cast("long")
+
+
+def hll_portable_sketch(
+    df: DataFrame, key_column: str, group_cols: list[str]
+) -> DataFrame:
+    """HyperLogLog registers per group, built from the portable hash —
+    the cross-engine-exact twin of the Datasketches ``hll_sketch_agg``
+    query (hll_mergeable): identical register values in any engine, so
+    the ESTIMATE (not just the row shape) is oracle-checkable.
+
+    Register math is pure integers: bucket = low p bits of the 60-bit
+    hash; the next 32 bits form the rank slice w; rho = 33 − bitlen(w)
+    (bitlen via base-2 string length — identical in Spark ``conv`` and
+    DuckDB ``bin``; no float log2 whose power-of-two boundary behavior
+    is library-specific). One map-side-combined aggregate; the shuffle
+    carries ≤ groups×512 register cells, never rows — the property
+    that makes distinct counts incrementally maintainable at 100 TB.
+
+    Returns (group_cols..., bucket, m_j)."""
+    h = _h60(F.col(key_column))
+    bucket = (h % F.lit(HLL_M)).cast("int")
+    w = F.shiftright(h, HLL_P).bitwiseAND(F.lit(_HLL_W_MASK))
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    rho = (F.lit(HLL_W_BITS + 1) - bitlen).cast("int")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_portable_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables onto coarser groups by per-bucket MAX —
+    HLL's defining mergeability (sketch(A ∪ B) = cellwise max), so
+    per-partition sketches roll up without re-reading raw data."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+
+
+def hll_portable_estimate(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Cardinality estimate from a register table, engine-exact: the
+    harmonic sum Σ 2^(−M_j) is scaled by 2^HLL_SCALE so it accumulates
+    as an exact BIGINT (register terms are dyadic; float accumulation
+    order would not be cross-engine safe). Absent buckets contribute
+    2^SCALE each. The only floats are the final fixed expression
+    (one division, and ln(m/V) on the linear-counting branch), rounded
+    to 2 decimals.
+
+        raw = α_m · m² / Z,  Z = S / 2^SCALE
+        est = m·ln(m/V)  if raw ≤ 2.5m and V > 0 (small-range), else raw
+
+    Returns (group_cols..., n_empty, reg_sum, est_distinct)."""
+    m = HLL_M
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_SCALE} - m_j AS INT))"
+    )
+    g = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_set"),
+        F.sum(term).cast("long").alias("set_sum"),
+    )
+    v = (F.lit(m) - F.col("n_set")).cast("long")
+    s = (F.col("set_sum") + v * F.lit(1 << HLL_SCALE)).cast("long")
+    raw = (
+        alpha
+        * F.lit(float(m) * float(m))
+        * F.lit(float(1 << HLL_SCALE))
+        / s.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return g.select(
+        *group_cols,
+        v.alias("n_empty"),
+        s.alias("reg_sum"),
+        F.round(est, 2).alias("est_distinct"),
+    )

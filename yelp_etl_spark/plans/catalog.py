@@ -2526,8 +2526,10 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal byte-feature extraction (functions/multimodal.py
     extract_byte_features): payloads synthesized from document text,
     then codec-free triage features (entropy, printable/NUL ratios)
-    via numpy mapInPandas. Rows-only check (entropy has no DuckDB
-    equivalent); exact values unit-tested on known payloads."""
+    via numpy mapInPandas. Oracle-checked: the features are pure
+    byte-histogram arithmetic, which DuckDB replays over the
+    hex-encoding of the same synthesized payload (header hex +
+    hex(encode(text)))."""
     from yelp_etl_spark.functions.multimodal import (
         extract_byte_features,
         synthesize_blobs,
@@ -2542,6 +2544,44 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("null_ratio", 4).alias("null_ratio"),
         F.col("distinct_bytes").cast("long").alias("distinct_bytes"),
     )
+
+
+# DuckDB replays the byte features over the hex rendering of the same
+# payload (fake-PNG header + utf-8 text): one byte = two hex digits,
+# exploded via unnest(generate_series(...)) (DuckDB has no lateral
+# range()). Counting is exact integers; entropy's ≤256-term float sum
+# agrees with numpy's within 1 ulp, far inside the 4-decimal round.
+ORACLE_BLOB_FEATURES = """
+WITH blobs AS MATERIALIZED (
+  SELECT doc_id, concat('89504E470D0A1A0A', upper(hex(encode(text)))) AS hx
+  FROM documents
+),
+bytes AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(hx, 2*i - 1, 2)) AS BIGINT) AS v
+  FROM (
+    SELECT doc_id, hx,
+           unnest(generate_series(1, CAST(length(hx)/2 AS BIGINT))) AS i
+    FROM blobs
+  )
+),
+counts AS MATERIALIZED (
+  SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c FROM bytes GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+)
+SELECT c.doc_id,
+       ROUND(-SUM((CAST(c.c AS DOUBLE)/t.n) * log2(CAST(c.c AS DOUBLE)/t.n)), 4)
+         AS byte_entropy,
+       ROUND(CAST(SUM(CASE WHEN c.v BETWEEN 32 AND 126 THEN c.c ELSE 0 END)
+                  AS DOUBLE)/t.n, 4) AS printable_ratio,
+       ROUND(CAST(SUM(CASE WHEN c.v = 0 THEN c.c ELSE 0 END) AS DOUBLE)/t.n, 4)
+         AS null_ratio,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bytes
+FROM counts c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+"""
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3444,6 +3484,86 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("merged").alias("approx_customers"),
         )
     )
+
+
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog twin of hll_mergeable
+    (functions/sketches.py hll_portable_*): per-nation register tables
+    built from the repo's md5 60-bit hash, merged upward to regions by
+    per-bucket MAX (the sketch-union), then estimated — every register
+    value, the scaled harmonic sum (exact BIGINT), and the estimate
+    itself replay identically in DuckDB, so the *approximate* operator
+    gets a HARD value oracle (the simhash_portable pattern)."""
+    from yelp_etl_spark.functions.sketches import (
+        hll_portable_estimate,
+        hll_portable_merge,
+        hll_portable_sketch,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    per_nation = hll_portable_sketch(joined, "c_custkey", ["n_regionkey", "n_name"])
+    per_region = hll_portable_merge(per_nation, ["n_regionkey"])
+    return hll_portable_estimate(per_region, ["n_regionkey"]).select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        "n_empty",
+        "reg_sum",
+        "est_distinct",
+    )
+
+
+ORACLE_HLL_PORTABLE = """
+WITH hashed AS MATERIALIZED (
+  SELECT c_nationkey,
+         CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 18, 15))
+              AS BIGINT) AS h
+  FROM customer
+),
+reg_nation AS MATERIALIZED (
+  SELECT n.n_regionkey, n.n_name,
+         h % 512 AS bucket,
+         MAX(CASE WHEN ((h >> 9) & 4294967295) = 0 THEN 33
+                  ELSE 33 - length(bin((h >> 9) & 4294967295)) END) AS m_j
+  FROM hashed c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+),
+reg_region AS MATERIALIZED (
+  SELECT n_regionkey, bucket, MAX(m_j) AS m_j FROM reg_nation GROUP BY 1, 2
+),
+agg AS MATERIALIZED (
+  SELECT n_regionkey,
+         CAST(COUNT(*) AS BIGINT) AS n_set,
+         CAST(SUM(1::BIGINT << CAST(40 - m_j AS INTEGER)) AS BIGINT) AS set_sum
+  FROM reg_region GROUP BY 1
+),
+final AS MATERIALIZED (
+  SELECT n_regionkey,
+         CAST(512 - n_set AS BIGINT) AS n_empty,
+         CAST(set_sum + (512 - n_set) * (1::BIGINT << 40) AS BIGINT) AS reg_sum
+  FROM agg
+)
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       n_empty,
+       reg_sum,
+       ROUND(CASE WHEN CAST(0.7213 AS DOUBLE)
+                       / (CAST(1.0 AS DOUBLE)
+                          + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE))
+                       * CAST(262144 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+                       / CAST(reg_sum AS DOUBLE) <= CAST(1280 AS DOUBLE)
+                   AND n_empty > 0
+             THEN CAST(512 AS DOUBLE)
+                  * ln(CAST(512 AS DOUBLE) / CAST(n_empty AS DOUBLE))
+             ELSE CAST(0.7213 AS DOUBLE)
+                  / (CAST(1.0 AS DOUBLE)
+                     + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE))
+                  * CAST(262144 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+                  / CAST(reg_sum AS DOUBLE)
+        END, 2) AS est_distinct
+FROM final
+"""
 
 
 def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7006,7 +7126,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     ),
     "merge_upsert": QuerySpec(q_merge_upsert, ORACLE_MERGE_UPSERT, "merge/upsert"),
     "scd2_history": QuerySpec(q_scd2_history, ORACLE_SCD2_HISTORY, "scd2 windows"),
-    "blob_features": QuerySpec(q_blob_features, None, "ext:multimodal features"),
+    "blob_features": QuerySpec(
+        q_blob_features, ORACLE_BLOB_FEATURES, "ext:multimodal features"
+    ),
     "neardup_components": QuerySpec(
         q_neardup_components, ORACLE_NEARDUP_COMPONENTS, "ext:dedup clustering"
     ),
@@ -7036,6 +7158,9 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "tpch_q21_shape": QuerySpec(q_tpch_q21_shape, ORACLE_TPCH_Q21, "J semi+anti self-join"),
     "inline_structs": QuerySpec(q_inline_structs, ORACLE_INLINE_STRUCTS, "L generator structs"),
     "hll_mergeable": QuerySpec(q_hll_mergeable, None, "approx agg mergeable"),
+    "hll_portable": QuerySpec(
+        q_hll_portable, ORACLE_HLL_PORTABLE, "ext:portable HLL (exact twin)"
+    ),
     "try_arith": QuerySpec(q_try_arith, ORACLE_TRY_ARITH, "ansi-safe arith"),
     "conditional_funcs": QuerySpec(q_conditional_funcs, ORACLE_CONDITIONAL, "null-handling scalars"),
     "bitwise_funcs": QuerySpec(q_bitwise_funcs, ORACLE_BITWISE, "bitwise exprs"),
@@ -7153,78 +7278,81 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
     _QUERIES_UNORDERED[_name] = QuerySpec(_fn, _oracle, _ops)
 
 # The driver's correctness gate oracle-verifies the FIRST 50 entries of
-# QUERIES in insertion order. ROUND-3 ROTATION (VERDICT r2 task #1):
-# hard verification ACCUMULATES across rounds, so each round the window
-# swaps rows that are already multi-round driver-green for rows that
-# have never had a driver check. 18 swapped this round — 15 the r2
-# verdict named (tpch_q2, triangle_count, copurchase, curation, skew,
-# retrieval, cdc, sketch, graph) plus the 3 new r3 queries
-# (pagerank_dict_ids, semantic_dedup_pipeline, stream_dedup_totals).
-# The removed rows (filter_project, explode_tokens, math_funcs, … all
-# green in CORRECTNESS_r01+r02) remain under the local parity gate
-# (scripts/check_parity.py runs ALL queries). The window still spans
-# every operator family; union driver coverage r1∪r2∪r3 ≥ 68 queries.
+# QUERIES in insertion order. Hard verification ACCUMULATES across
+# rounds, so each round the window swaps rows that are already
+# multi-round driver-green for rows that have never had a driver check.
+# ROUND-6 ROTATION (VERDICT r5 task #2): the ENTIRE remaining
+# never-checked pool enters — 41 queries driver-unseen through r5 plus
+# the 2 added this round (two_stage_collect, hll_portable) — closing
+# cumulative driver coverage at 225/225. The 3 r5 reds (driver
+# canonicalizer vs Array-typed outputs, stringified this round) return
+# as regression guards, and 4 multi-round-green anchors span the core
+# families (star join, stateful streaming, DQ gate, snapshot MERGE).
+# pq_topk and hll_mergeable are rows-only by design (Datasketches
+# estimates are engine-specific); hll_portable is the exact-oracle
+# twin that covers the HLL math. Rotated-out rows remain under the
+# local parity gate (scripts/check_parity.py runs ALL queries).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- r5 regression guards: the three r4 reds, fixed this round ----
-    # (all three were the oracle-HUGEINT class — SUM(BIGINT) -> int128
-    # in DuckDB — now CAST ... AS BIGINT and linted by
-    # tests/test_oracle_types.py; the Spark side was verified locally
-    # all along)
-    "compact_small_files",
-    "jsonl_scan_roundtrip",
-    "dq_report",
-    # ---- NEW r5: snapshot-layer CDC + row-level MERGE DELETE ----
-    "snapshot_changelog",
-    "snapshot_merge_delete",
-    # ---- r5 rotation: the never-driver-checked pool (45 first-time
-    # rows; grouping_indicator and posexplode_ordinal defer to r6 —
-    # their families (A4 rollup/cube, L1-L2 explode) are multiply
-    # green and rollup_cascade covers the former's shape in-window)
-    "tpch_q6_sql",
-    "exists_subquery",
-    "array_funcs",
+    # ---- r6 regression guards: the three r5 reds, fixed this round ----
     "map_funcs",
     "map_hof",
-    "conditional_funcs",
-    "bitwise_funcs",
-    "try_arith",
-    "first_last_ignorenulls",
-    "collect_sorted",
-    "minmax_by",
-    "brand_premium",
-    "pct_of_total",
-    "range_frame_window",
-    "lateral_agg",
-    "rollup_cascade",
-    "cohort_retention",
-    "running_distinct",
-    "string_agg_ordered",
-    "width_bucket_hist",
-    "regr_aggs",
-    "date_spine_fill",
-    "linear_interp_fill",
-    "json_props_extract",
-    "like_regexp_filters",
-    "union_byname_evolution",
-    "inline_structs",
-    "surrogate_ids_portable",
-    "hash_split_sample",
-    "stratified_sample",
-    "balanced_downsample",
-    "weighted_sample",
-    "redact_pii",
-    "vocab_build",
-    "chunk_documents",
-    "token_packing",
     "quantize_embeddings",
-    "label_centroids",
-    "length_quality_gate",
-    "bpe_encode_tokens",
-    "event_path_pattern",
-    "k_anonymity_audit",
-    "recursive_hierarchy",
-    "novelty_scores",
-    "containment_pairs",
+    # ---- the four queries that had missed two rotations ----
+    "csv_scan_roundtrip",
+    "grouping_indicator",
+    "posexplode_ordinal",
+    "explode_outer_tokens",
+    # ---- snapshot-layer capabilities (r5 session 1) ----
+    "snapshot_compact",
+    "snapshot_evolution",
+    "snapshot_partition_prune",
+    "snapshot_dynamic_overwrite",
+    "snapshot_files_metadata",
+    "snapshot_bucket_prune",
+    "snapshot_rollback",
+    "snapshot_expire",
+    "zorder_cells",
+    # ---- dedup / fingerprinting (r5 session 1-2) ----
+    "duplicate_spans_pruned",
+    "winnow_fingerprints",
+    "dedup_aware_split",
+    "contrastive_pairs",
+    # ---- ML / clustering (r5 session 2-3) ----
+    "kmeans_clusters",
+    "jl_projection",
+    "pca_top_component",
+    "hashed_features",
+    "logreg_weights",
+    "chi2_terms",
+    "naive_bayes_confusion",
+    # ---- metrics / evaluation (r5 session 3) ----
+    "auc_score",
+    "psi_drift",
+    "kaplan_meier",
+    "bigram_nll",
+    "acf_daily_events",
+    "benford_audit",
+    "reliability_bins",
+    "pmi_collocations",
+    # ---- retrieval / graph / diagnostics (r5 session 3) ----
+    "ann_recall_at_k",
+    "hybrid_search_rrf",
+    "sssp_weighted",
+    "personalized_pagerank",
+    "skew_report",
+    "udtf_chunk_stats",
+    # ---- rows-only-by-design stragglers (weaker driver check) ----
+    "pq_topk",
+    "blob_features",
+    "hll_mergeable",
+    # ---- NEW r6 queries ----
+    "two_stage_collect",
+    "hll_portable",
+    # ---- multi-round-green anchors ----
+    "flagship_revenue",
+    "stream_dedup_totals",
+    "dq_report",
+    "snapshot_merge_delete",
 )
 
 
