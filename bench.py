@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "two_stage_collect",
     "hll_portable",
+    "bloom_bitarray_prune",
+    "table_checksum",
 ]
 
 

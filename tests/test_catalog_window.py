@@ -72,6 +72,8 @@ def test_driver_window_r6_rotation_goals():
         # new r6 queries enter the window immediately
         "two_stage_collect",
         "hll_portable",
+        "bloom_bitarray_prune",
+        "table_checksum",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 

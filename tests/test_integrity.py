@@ -1,0 +1,84 @@
+"""Bloom-filter join pruning + Merkle-style table checksums
+(functions/integrity.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions.integrity import (
+    CHECKSUM_MOD,
+    bloom_build,
+    bloom_prune,
+    table_checksum,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every build-side key passes its own filter — the Bloom
+    guarantee the prune's correctness rests on."""
+    build = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", n_bits=4096, n_hashes=3)
+    kept = bloom_prune(build, bloom, "k", n_bits=4096, n_hashes=3)
+    assert kept.count() == 500
+
+
+def test_bloom_prune_equals_semi_join_plus_bounded_fps(spark):
+    """Pruned set ⊇ true semi-join; false-positive rate stays within
+    ~3× the theoretical (1 − e^{−kn/m})^k for the configuration."""
+    build = spark.range(0, 300).select(F.col("id").alias("k"))
+    probe = spark.range(0, 6000).select((F.col("id") * 7 % 9000).alias("k"))
+    bloom = bloom_build(build, "k", n_bits=8192, n_hashes=3)
+    kept = bloom_prune(probe, bloom, "k", n_bits=8192, n_hashes=3)
+    true = probe.join(build.distinct(), "k", "semi")
+    n_true, n_kept, n_probe = true.count(), kept.count(), probe.count()
+    assert n_kept >= n_true
+    # the pruned set contains every true match (no false negatives)
+    assert kept.join(build.distinct(), "k", "semi").count() == n_true
+    import math
+
+    p_fp = (1 - math.exp(-3 * 300 / 8192)) ** 3
+    assert (n_kept - n_true) <= max(20, 3 * p_fp * n_probe)
+
+
+def test_bloom_word_table_is_bounded(spark):
+    """The filter aggregate never exceeds n_bits/32 rows no matter the
+    build-side cardinality — the property that makes it broadcastable."""
+    build = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", n_bits=1024, n_hashes=5)
+    assert bloom.count() <= 1024 // 32
+
+
+def test_checksum_order_and_partitioning_invariant(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    a = table_checksum(df, ["k", "v"], "k", n_buckets=8)
+    b = table_checksum(
+        df.orderBy(F.col("id").desc()).repartition(17), ["k", "v"], "k", n_buckets=8
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_checksum_localizes_a_single_row_change(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    tampered = df.withColumn(
+        "v", F.when(F.col("k") == 1234, F.lit(99)).otherwise(F.col("v"))
+    )
+    a = {r.bucket: r.checksum for r in table_checksum(df, ["k", "v"], "k").collect()}
+    b = {
+        r.bucket: r.checksum
+        for r in table_checksum(tampered, ["k", "v"], "k").collect()
+    }
+    diff = [bkt for bkt in a if a[bkt] != b[bkt]]
+    assert len(diff) == 1  # exactly the tampered key's bucket diverges
+    assert all(0 <= c < CHECKSUM_MOD for c in a.values())
+
+
+def test_checksum_null_vs_empty_string_distinct(spark):
+    """The NULL sentinel + unit-separator rendering keeps (NULL) and
+    ('') rows with different fingerprints."""
+    a = spark.createDataFrame([(1, None)], "k long, v string")
+    b = spark.createDataFrame([(1, "")], "k long, v string")
+    ca = table_checksum(a, ["k", "v"], "k").collect()[0].checksum
+    cb = table_checksum(b, ["k", "v"], "k").collect()[0].checksum
+    assert ca != cb

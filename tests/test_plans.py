@@ -371,3 +371,27 @@ def test_r5_metric_family_plan_shapes(spark, sf_dir):
     bf = plan_of(QUERIES["benford_audit"].fn(spark, sf_dir), "simple")
     # digit extraction is map-side: partial agg before the 9-cell exchange
     assert "partial_count" in bf
+
+
+def test_r6_integrity_plan_shapes(spark, sf_dir):
+    """Round-6 integrity operators keep their bounded-shuffle shapes:
+    table_checksum is ONE map-side-combined keyed exchange (16 cells
+    per map task); bloom_bitarray_prune never shuffles the probe side
+    (the prune is k broadcast joins fused around the scan);
+    hll_portable shuffles only register cells."""
+    plan = plan_of(QUERIES["table_checksum"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(QUERIES["bloom_bitarray_prune"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # everything broadcasts
+    assert "BroadcastHashJoin" in plan
+    # the probe (lineitem) is never hash-repartitioned — its only
+    # exchanges are the 1-row count scalars
+    assert plan.count("Exchange hashpartitioning") <= 1  # bloom word agg
+
+    plan = plan_of(QUERIES["hll_portable"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation dim broadcasts

@@ -1,0 +1,174 @@
+"""Data-integrity operators: portable Bloom-filter join pruning and
+order-independent table checksums.
+
+Both generalize the reference's implicit data-validation needs (the
+ETL's dim/fact joins, yelp-etl ``yelp_etl/tasks/clean.py`` join keys;
+its write path has no verification step at all) into the two
+primitives a 100 TB lakehouse actually runs daily:
+
+* **Runtime-filter join pruning** — build a tiny Bloom filter from the
+  (filtered) build side of a join and semi-prune the probe side's
+  scan BEFORE the shuffle. Spark's own ``spark.sql.optimizer.
+  runtimeFilter.bloomFilter.enabled`` does this opaquely inside the
+  JVM; this twin is *engine-portable* (md5-derived bit positions), so
+  an external system — or the DuckDB oracle — reproduces the exact
+  same bit array and the exact same kept/pruned decision per row.
+  Sibling: ``operators/prune.py membership_prefilter`` keeps the
+  filter as a bucket-id relation for codegen-friendly in-engine
+  semi-joins; this one packs true k-hash bits for export (~KBs) and
+  cross-engine replay.
+* **Merkle-style table checksum** — an order- and partition-
+  independent fingerprint per key-bucket plus a grand total, letting
+  two clusters (or two snapshots of the same table) prove equality —
+  or localize a divergence to a bucket — by exchanging O(buckets)
+  rows instead of re-reading 100 TB.
+
+Everything is exact integer math on the repo's portable 60-bit hash
+(`sampling.hash60`), so the DuckDB oracles replay bit-for-bit.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yelp_etl_spark.functions.sampling import hash60
+
+# 32-bit words keep every mask strictly positive in a signed 64-bit
+# lane: both Spark's `shiftleft` and DuckDB's `<<` are well-defined
+# there, with no sign-bit edge case at position 63 to reason about.
+BLOOM_WORD_BITS = 32
+
+
+def _bit_position(key: Column, seed: int, n_bits: int) -> Column:
+    """Bit index of hash ``seed`` for ``key`` — h60('<seed>:' || key)
+    mod n_bits. Seed-prefixing the string (rather than mixing the
+    integer) keeps the DuckDB twin a one-line concat."""
+    return hash60(F.concat(F.lit(f"{seed}:"), key.cast("string"))) % F.lit(n_bits)
+
+
+def _mask(bit: Column) -> Column:
+    """1 << (bit % 32) as a long. pow-based because PySpark's
+    ``shiftleft`` wrapper only takes a Python int shift; 2^b for
+    b < 32 is exact in a double, so the round-trip is lossless."""
+    return F.pow(F.lit(2.0), (bit % BLOOM_WORD_BITS).cast("int")).cast("long")
+
+
+def bloom_build(
+    df: DataFrame, key_column: str, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Aggregate the build side into a Bloom filter as a
+    ``(word, bits)`` table of at most ``n_bits / 32`` rows.
+
+    Plan shape: one generator (k rows per key, k is 3-7) fused into
+    the scan's codegen stage, then a single map-side-combined
+    ``bit_or`` aggregate — the shuffle carries at most ``n_bits/32``
+    word cells regardless of build-side row count. At 100 TB the
+    filter for a 1M-key dim at 10 bits/key is ~40 KB: broadcast it
+    (`bloom_prune` does) and the probe side's scan drops non-matching
+    rows BEFORE its join shuffle — Spark's runtime-filter rewrite,
+    made portable and inspectable.
+    """
+    k = F.col(key_column)
+    hashes = F.array(
+        *[_bit_position(k, j, n_bits) for j in range(n_hashes)]
+    )
+    return (
+        df.select(F.explode(hashes).alias("bit"))
+        .select(
+            (F.col("bit") / F.lit(BLOOM_WORD_BITS)).cast("long").alias("word"),
+            _mask(F.col("bit")).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_column: str,
+    n_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Keep only probe rows whose key passes the Bloom filter (all k
+    bits set). No false negatives, by construction; false positives at
+    the standard (1 - e^{-kn/m})^k rate.
+
+    The filter joins broadcast (≤ n_bits/32 rows) once per hash seed —
+    k broadcast hash joins, zero shuffles of the probe side; the whole
+    prune is map-only and fuses around the probe scan. Absent words
+    mean empty bits, hence the left join + coalesce(bits, 0).
+
+    The word table's lineage is truncated first (it is ≤ n_bits/32
+    rows, so materialization is trivially cheap): Catalyst does not
+    reuse the broadcast exchange across the k renamed joins, and
+    without the cut the build-side scan + aggregate would re-execute
+    once per hash seed.
+    """
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+    bloom = truncate_lineage(bloom)
+    k = F.col(key_column)
+    pruned = probe
+    for j in range(n_hashes):
+        bit = _bit_position(k, j, n_bits)
+        word_j = (bit / F.lit(BLOOM_WORD_BITS)).cast("long")
+        mask_j = _mask(bit)
+        b = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
+            )
+        )
+        pruned = (
+            pruned.withColumn(f"__w{j}", word_j)
+            .withColumn(f"__m{j}", mask_j)
+            .join(b, f"__w{j}", "left")
+            .filter(
+                F.coalesce(F.col(f"__b{j}"), F.lit(0)).bitwiseAND(F.col(f"__m{j}"))
+                == F.col(f"__m{j}")
+            )
+            .drop(f"__w{j}", f"__m{j}", f"__b{j}")
+        )
+    return pruned
+
+
+# Checksums sum 60-bit hashes; decimal(38,0) accumulation is exact to
+# ~10^38 ≫ 2^60 × any plausible row count, and DuckDB's HUGEINT SUM
+# matches it exactly. The final value folds back into a BIGINT via a
+# modulus low enough that (sum % MOD) stays portable: both engines
+# compute % on a nonnegative decimal identically.
+CHECKSUM_MOD = 1 << 61
+
+
+def table_checksum(
+    df: DataFrame, columns: list[str], bucket_key: str, n_buckets: int = 16
+) -> DataFrame:
+    """Order-independent per-bucket checksum + row count, one keyed
+    map-side-combined aggregate.
+
+    Each row's fingerprint is the portable 60-bit hash of its
+    canonicalized column rendering (NULL-sentineled ``concat_ws``,
+    unit-separator delimited so value boundaries can't alias);
+    fingerprints are summed (commutative — partitioning, ordering, and
+    merge tree cannot change the result) per hash-bucket of
+    ``bucket_key``. Two tables are equal iff all buckets match; a
+    single divergent bucket localizes WHERE they differ, so a 100 TB
+    cross-cluster diff exchanges ``n_buckets`` rows, then re-reads
+    only the offending bucket's partitions — the Merkle-tree descent,
+    one level deep.
+    """
+    rendered = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in columns]
+    )
+    fp = hash60(rendered)
+    bucket = hash60(F.col(bucket_key)) % F.lit(n_buckets)
+    return (
+        df.select(bucket.alias("bucket"), fp.alias("fp"))
+        .groupBy("bucket")
+        .agg(
+            (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+            .cast("long")
+            .alias("checksum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

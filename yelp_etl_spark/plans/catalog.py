@@ -7283,11 +7283,12 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # multi-round driver-green for rows that have never had a driver check.
 # ROUND-6 ROTATION (VERDICT r5 task #2): the ENTIRE remaining
 # never-checked pool enters — 41 queries driver-unseen through r5 plus
-# the 2 added this round (two_stage_collect, hll_portable) — closing
-# cumulative driver coverage at 225/225. The 3 r5 reds (driver
-# canonicalizer vs Array-typed outputs, stringified this round) return
-# as regression guards, and 4 multi-round-green anchors span the core
-# families (star join, stateful streaming, DQ gate, snapshot MERGE).
+# the 4 added this round (two_stage_collect, hll_portable,
+# bloom_bitarray_prune, table_checksum) — closing cumulative driver
+# coverage at 227/227. The 3 r5 reds (driver canonicalizer vs
+# Array-typed outputs, stringified this round) return as regression
+# guards, and 2 multi-round-green anchors cover the DQ gate and
+# snapshot MERGE families.
 # pq_topk and hll_mergeable are rows-only by design (Datasketches
 # estimates are engine-specific); hll_portable is the exact-oracle
 # twin that covers the HLL math. Rotated-out rows remain under the
@@ -7348,9 +7349,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # ---- NEW r6 queries ----
     "two_stage_collect",
     "hll_portable",
+    "bloom_bitarray_prune",
+    "table_checksum",
     # ---- multi-round-green anchors ----
-    "flagship_revenue",
-    "stream_dedup_totals",
     "dq_report",
     "snapshot_merge_delete",
 )

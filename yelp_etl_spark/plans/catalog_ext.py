@@ -3273,3 +3273,179 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Data integrity: portable Bloom runtime-filter pruning + table checksums
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192
+_BLOOM_K = 3
+
+
+def _bloom_bit_sql(seed: int, key_expr: str) -> str:
+    """DuckDB twin of integrity._bit_position: md5-derived 60-bit hash
+    of '<seed>:<key>' mod the filter width."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', "
+        f"CAST({key_expr} AS VARCHAR))), 18, 15)) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+def q_bloom_bitarray_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bit-array Bloom-filter join pruning
+    (functions/integrity.py bloom_build/bloom_prune): the filtered
+    supplier side (s_acctbal > 5000) folds into a <=256-word bit array
+    (one map-side-combined bit_or aggregate), which then prunes the
+    lineitem probe scan through k broadcast joins BEFORE any probe
+    shuffle. Complements the in-engine bucket-set prefilter
+    (operators/prune.py membership_prefilter, query bloom_prune_join):
+    that one optimizes for codegen-friendly semi-joins INSIDE Spark;
+    this one packs real k-hash bits so the filter is ~1000x smaller to
+    export (a 1M-key dim at 10 bits/key is ~40 KB vs an 8 MB bucket
+    relation) and replays bit-for-bit in ANY engine — the md5 bit
+    positions make the kept/pruned decision itself oracle-checkable.
+
+    The result row audits the prune: n_true is counted FROM THE PRUNED
+    SET while the oracle counts it from the full probe — equality
+    proves zero false negatives; n_false_pos is the (deterministic,
+    hash-derived) leakage the filter admits at ~(1-e^{-kn/m})^k.
+    At 100 TB the filter is ~KBs for millions of build keys, so the
+    probe-side saving is the whole point: rows that cannot join never
+    enter the shuffle."""
+    from yelp_etl_spark.functions.integrity import bloom_build, bloom_prune
+
+    build = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    probe = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    bloom = bloom_build(build, "s_suppkey", _BLOOM_BITS, _BLOOM_K)
+    kept = bloom_prune(probe, bloom, "k", _BLOOM_BITS, _BLOOM_K)
+    build_keys = build.select(
+        F.col("s_suppkey").alias("k"), F.lit(1).alias("__hit")
+    ).distinct()
+    # one pass over the pruned set covers both counts (left-mark join);
+    # only the raw probe count needs a second (column-pruned) scan
+    n_probe = probe.agg(F.count(F.lit(1)).alias("n_probe"))
+    kept_counts = kept.join(F.broadcast(build_keys), "k", "left").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count("__hit").alias("n_true"),
+    )
+    return n_probe.crossJoin(kept_counts).select(
+        "n_probe",
+        "n_kept",
+        "n_true",
+        (F.col("n_kept") - F.col("n_true")).alias("n_false_pos"),
+    )
+
+
+def _bloom_oracle() -> str:
+    b = [_bloom_bit_sql(j, "k") for j in range(_BLOOM_K)]
+    pos = "\n  UNION ALL ".join(f"SELECT {bj} AS bit FROM build" for bj in b)
+    kept_joins = "\n  ".join(
+        f"JOIN bloom b{j} ON b{j}.word = ({bj}) // 32 AND "
+        f"(b{j}.bits & (1::BIGINT << CAST(({bj}) % 32 AS INTEGER))) <> 0"
+        for j, bj in enumerate(b)
+    )
+    return f"""
+WITH build AS MATERIALIZED (
+  SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal > 5000
+),
+pos AS MATERIALIZED (
+  {pos}
+),
+bloom AS MATERIALIZED (
+  SELECT bit // 32 AS word,
+         bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+probe AS MATERIALIZED (SELECT l_suppkey AS k FROM lineitem),
+pk AS MATERIALIZED (SELECT DISTINCT k FROM probe),
+kept_keys AS MATERIALIZED (
+  SELECT pk.k FROM pk
+  {kept_joins}
+)
+SELECT a.n_probe, b.n_kept, c.n_true, b.n_kept - c.n_true AS n_false_pos
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe FROM probe) a
+CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM probe JOIN kept_keys USING (k)) b
+CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM probe JOIN build USING (k)) c
+"""
+
+
+ORACLE_BLOOM_BITARRAY_PRUNE = _bloom_oracle()
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style order-independent table fingerprint
+    (functions/integrity.py table_checksum): per-bucket sums of
+    portable 60-bit row hashes over a canonicalized (float-free,
+    NULL-sentineled) rendering of six lineitem columns. Any engine —
+    the DuckDB oracle here, or a second 1000-executor cluster —
+    reproduces the 16 (bucket, checksum, n_rows) rows exactly, so two
+    100 TB table copies compare by exchanging 16 rows, and a mismatch
+    localizes to one bucket's partitions instead of a full re-read
+    (the validation step the reference's write path
+    (yelp_etl/common/write.py) simply doesn't have). Timestamps render
+    through a fixed date_format pattern and the integral l_quantity
+    through a BIGINT cast, keeping the rendered string bit-identical
+    cross-engine."""
+    from yelp_etl_spark.functions.integrity import table_checksum
+
+    canon = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_ts"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = table_checksum(
+        canon,
+        ["l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
+         "l_linestatus", "ship_ts", "qty"],
+        "l_orderkey",
+        n_buckets=16,
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"), "checksum", "n_rows"
+    )
+
+
+ORACLE_TABLE_CHECKSUM = """
+WITH fp AS MATERIALIZED (
+  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+           coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+           coalesce(CAST(l_suppkey AS VARCHAR), chr(0)),
+           coalesce(l_returnflag, chr(0)),
+           coalesce(l_linestatus, chr(0)),
+           coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), chr(0)),
+           coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(0))
+         )), 18, 15)) AS BIGINT) AS fp,
+         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 18, 15))
+              AS BIGINT) % 16 AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(CAST(fp AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)
+         AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM fp GROUP BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "bloom_bitarray_prune": (
+            q_bloom_bitarray_prune,
+            ORACLE_BLOOM_BITARRAY_PRUNE,
+            "ext:portable bit-array Bloom join pruning",
+        ),
+        "table_checksum": (
+            q_table_checksum,
+            ORACLE_TABLE_CHECKSUM,
+            "ext:Merkle-style order-independent table checksum",
+        ),
+    }
+)
