@@ -237,3 +237,16 @@ def test_acf_matches_direct_formula(spark, xs, lag):
         else:
             assert abs(rows[k].r - expect) < 2e-6
             assert rows[k].n_pairs == n - k
+
+
+def test_acf_empty_series_full_zero_grid(spark):
+    """An EMPTY series (den = NULL from SUM over zero rows) still
+    yields the complete promised lag grid with r = 0.0 — not NULL —
+    matching the oracle's `den = 0 OR num IS NULL` branch."""
+    from yelp_etl_spark.functions.evaluation import acf
+
+    empty = spark.createDataFrame([], "step long, x double")
+    rows = acf(empty, "step", "x", max_lag=4).collect()
+    assert sorted((r.lag, r.n_pairs, r.r) for r in rows) == [
+        (k, 0, 0.0) for k in range(1, 5)
+    ]

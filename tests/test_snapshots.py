@@ -997,3 +997,47 @@ def test_rollback_refuses_uncommitted_target(spark, tmp_path):
     snapshot_write(spark.range(5), t)
     with pytest.raises(ValueError, match="not committed"):
         snapshot_rollback(t, 2)
+
+
+def test_pointer_loss_never_reclaims_history(spark, tmp_path):
+    """A table with manifests 1..N but a MISSING pointer (partial
+    restore, external deletion) is NOT a bootstrap crash: reclaiming
+    manifest 1 would clobber real history and orphan snapshots 2..N.
+    The writer must stay loud no matter how old manifest 1 is."""
+    import time
+
+    from yelp_etl_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        _manifest_path,
+        _load_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 5), t)
+    snapshot_write(spark.range(5, 8), t, mode="append")
+    m1_before = _load_manifest(t, 1)
+    os.remove(os.path.join(t, "_current"))  # simulate pointer loss
+    old = time.time() - 3600
+    os.utime(_manifest_path(t, 1), (old, old))
+    os.utime(_manifest_path(t, 2), (old, old))
+    with pytest.raises(ConcurrentCommitError):
+        snapshot_write(spark.range(0, 9), t)
+    # history untouched: manifest 1 is byte-identical, manifest 2 alive
+    assert _load_manifest(t, 1) == m1_before
+    assert _load_manifest(t, 2)["snapshot_id"] == 2
+
+
+def test_replace_with_missing_spec_column_raises_curated(spark, tmp_path):
+    """replace inheriting the table spec onto a schema that dropped
+    the partition source column must fail with the curated error
+    naming the partition_by=[] escape, not a raw AnalysisException;
+    partition_by=[] then de-partitions deliberately."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2]) for i in range(20)], "id long, grp string"
+    )
+    snapshot_write(df, t, mode="replace", partition_by=["grp"])
+    with pytest.raises(ValueError, match="partition_by=\\[\\]"):
+        snapshot_write(df.select("id"), t, mode="replace")
+    sid = snapshot_write(df.select("id"), t, mode="replace", partition_by=[])
+    assert snapshot_read(spark, t, snapshot_id=sid).columns == ["id"]

@@ -317,13 +317,16 @@ def acf(
         F.coalesce("num", F.lit(0).cast("decimal(38,0)")).alias("num"),
     )
     # a constant series has den = 0 (every c_t = 0): define r = 0.0
-    # rather than 0/0 NaN (which also diverges NaN-vs-NULL cross-engine)
+    # rather than 0/0 NaN (which also diverges NaN-vs-NULL cross-engine).
+    # An EMPTY series has den = NULL (SUM over zero rows) — same
+    # definition, r = 0.0 for every promised lag, matching the
+    # oracle's `den = 0 OR num IS NULL` branch.
     return (
         pairs.crossJoin(F.broadcast(den))
         .select(
             "lag",
             "n_pairs",
-            F.when(F.col("den") == 0, F.lit(0.0))
+            F.when(F.col("den").isNull() | (F.col("den") == 0), F.lit(0.0))
             .otherwise(
                 F.round(
                     F.col("num").cast("double") / F.col("den").cast("double"),

@@ -103,11 +103,14 @@ def bloom_prune(
     rows, so materialization is trivially cheap): Catalyst does not
     reuse the broadcast exchange across the k renamed joins, and
     without the cut the build-side scan + aggregate would re-execute
-    once per hash seed.
+    once per hash seed. Lazily (eager=False): the build side
+    materializes at the pruned frame's FIRST action, not at query
+    construction — plan-only consumers (schema lints, explain) pay
+    nothing.
     """
     from yelp_etl_spark.functions.checkpoint import truncate_lineage
 
-    bloom = truncate_lineage(bloom)
+    bloom = truncate_lineage(bloom, eager=False)
     k = F.col(key_column)
     pruned = probe
     for j in range(n_hashes):

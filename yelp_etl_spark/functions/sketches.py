@@ -220,12 +220,12 @@ _HLL_W_MASK = (1 << HLL_W_BITS) - 1
 
 
 def _h60(key: Column) -> Column:
-    """Portable 60-bit hash (md5 hex digits 18-32) — the repo-wide
-    convention (minhash_portable, surrogate_ids_portable): any engine
-    with md5 + string slicing computes the identical value."""
-    return F.conv(
-        F.substring(F.md5(key.cast("string").cast("binary")), 18, 15), 16, 10
-    ).cast("long")
+    """Portable 60-bit hash — the single repo-wide definition
+    (sampling.hash60), re-exported so register derivations can't
+    desync from the convention every oracle replays."""
+    from yelp_etl_spark.functions.sampling import hash60
+
+    return hash60(key)
 
 
 def hll_portable_sketch(

@@ -154,18 +154,20 @@ def skew_report(
     blocks = hist.withColumn(
         "r", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
     )
-    # block term: Σ_{i=1..c} 2(r+i)x = x·(2cr + c(c+1)); 2cr ≤ 2·10¹⁸
-    # stays in long, the x-product goes to decimal(38,0)
+    # block term: Σ_{i=1..c} 2(r+i)x = x·(2cr + c(c+1)). c and r are
+    # key COUNTS, so a mostly-unique 10¹²-row table puts c ~ 10¹² in
+    # one block and c·(c+1) ~ 10²⁴ — far past int64. Promote to
+    # decimal(38,0) BEFORE the multiplications (decimal headroom
+    # ~10³⁸ covers c, r ≤ ~10¹⁸ keys).
+    c_d = F.col("c").cast("decimal(38,0)")
+    r_d = F.col("r").cast("decimal(38,0)")
     stats = blocks.agg(
         F.sum("c").cast("long").alias("n_keys"),
         F.sum(F.col("x") * F.col("c")).cast("long").alias("total_rows"),
         F.max("x").cast("long").alias("max_count"),
         F.sum(
             F.col("x").cast("decimal(38,0)")
-            * (
-                F.lit(2) * F.col("c") * F.col("r")
-                + F.col("c") * (F.col("c") + F.lit(1))
-            ).cast("decimal(38,0)")
+            * (F.lit(2) * c_d * r_d + c_d * (c_d + F.lit(1)))
         ).alias("num_part"),
     )
     topk = (

@@ -246,8 +246,19 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
         # pointer swap leaves no pointer at all, and without this the
         # orphan would block every retry forever (case (b)'s bootstrap
         # variant — checkpointed streaming replays must converge).
+        # BUT a missing pointer on a table with HIGHER-numbered
+        # manifests is not a bootstrap crash — it's pointer loss on an
+        # established table (partial restore, external deletion):
+        # reclaiming manifest 1 there would clobber real history and
+        # orphan every later snapshot. Only the true bootstrap shape
+        # (this manifest is the newest that exists) may self-heal.
+        bootstrap_ok = committed is None and snapshot_id == max(
+            (_manifest_sid(n) for n in _manifest_names(
+                os.path.join(table_dir, "manifests"))),
+            default=snapshot_id,
+        )
         if (
-            committed is None or committed < snapshot_id
+            bootstrap_ok or (committed is not None and committed < snapshot_id)
         ) and age > _ORPHAN_GRACE_SECONDS:
             os.replace(tmp, mpath)  # reclaim the crash orphan
         else:
@@ -451,8 +462,22 @@ def snapshot_write(
         # replace on a partitioned table must not silently commit a
         # spec-less manifest — that de-partitions the table, the next
         # overwrite_partitions refuses, and pruned reads degrade to
-        # full listings. An explicit partition_by still re-specs.
+        # full listings. An explicit partition_by still re-specs, and
+        # an explicit partition_by=[] de-partitions deliberately.
         partition_by = _load_manifest(table_dir, parent).get("partition_by")
+        if partition_by:
+            missing = [
+                f for f, _, _ in _spec_fields(partition_by)
+                if f not in df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"replace inherits the table partition spec "
+                    f"{partition_by!r} but the new schema lacks source "
+                    f"column(s) {missing!r}: pass partition_by=[...] for "
+                    "a new spec, or partition_by=[] to de-partition the "
+                    "table explicitly"
+                )
     if mode == "append" and parent is not None:
         pm = _load_manifest(table_dir, parent)
         # An append INHERITS the parent's partition spec (Iceberg: the
