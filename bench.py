@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "hll_portable",
     "bloom_bitarray_prune",
     "table_checksum",
+    "snapshot_bloom_skip",
 ]
 
 

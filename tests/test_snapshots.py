@@ -1041,3 +1041,68 @@ def test_replace_with_missing_spec_column_raises_curated(spark, tmp_path):
         snapshot_write(df.select("id"), t, mode="replace")
     sid = snapshot_write(df.select("id"), t, mode="replace", partition_by=[])
     assert snapshot_read(spark, t, snapshot_id=sid).columns == ["id"]
+
+
+def test_bloom_sidecar_point_lookup_skips_files(spark, tmp_path):
+    """bloom_columns on write + point_filter on read: a point lookup
+    touches a small subset of files, never loses a row (no false
+    negatives), and sidecar-less files are conservatively kept."""
+    from yelp_etl_spark.sources.snapshots import _load_manifest
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).repartition(16, "k")
+    snapshot_write(df, t, bloom_columns=["k"])
+    m = _load_manifest(t, 1)
+    assert all("bloom" in f and "k" in f["bloom"] for f in m["files"])
+    total = len(m["files"])
+    assert total >= 8
+
+    # correctness first: every present key returns its row
+    for key in (0, 1, 9999, 19_999):
+        got = (
+            snapshot_read(spark, t, point_filter={"k": key})
+            .filter(F.col("k") == key)
+            .collect()
+        )
+        assert [(r.k, r.v) for r in got] == [(key, key % 97)]
+    # skipping: a single key lives in ONE file; its bloom keeps few
+    from yelp_etl_spark.sources import snapshots as S
+    from yelp_etl_spark.functions.integrity import py_bit_positions
+
+    def kept_files(key):
+        n = 0
+        for f in m["files"]:
+            side = f["bloom"]["k"]
+            ok = all(
+                side["w"].get(str(b // 32), 0) & (1 << (b % 32))
+                for b in py_bit_positions(key, side["b"], side["k"])
+            )
+            n += ok
+        return n
+
+    assert kept_files(12345) <= max(2, total // 4)
+    # absent key: almost always zero files -> empty frame, full schema
+    absent = snapshot_read(spark, t, point_filter={"k": 10**12 + 7})
+    assert absent.columns == ["k", "v"]
+    assert kept_files(10**12 + 7) <= 2  # FP-bounded
+
+
+def test_bloom_sidecar_inherited_on_append_and_typed(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    snapshot_write(df, t, bloom_columns=["k"])
+    # append inherits the sidecar spec like the partition spec
+    snapshot_write(
+        spark.range(100, 200).select(F.col("id").alias("k")), t, mode="append"
+    )
+    from yelp_etl_spark.sources.snapshots import _load_manifest
+
+    m = _load_manifest(t, 2)
+    assert m.get("bloom_columns") == ["k"]
+    assert all("bloom" in f for f in m["files"])
+    # floats are refused: the to-string rendering is not engine-stable
+    fdf = spark.range(0, 10).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="integer or string"):
+        snapshot_write(fdf, str(tmp_path / "t2"), bloom_columns=["x"])

@@ -135,6 +135,23 @@ def bloom_prune(
     return pruned
 
 
+def py_bit_positions(value, n_bits: int, n_hashes: int) -> list[int]:
+    """Pure-Python twin of ``_bit_position`` for metadata consumers
+    (the snapshot layer's per-file Bloom sidecars): identical md5
+    60-bit convention — digest hex chars [17:32] — over the same
+    '<seed>:<value-as-string>' rendering, so a filter built from
+    pyarrow values on an executor and a probe computed on the driver
+    agree bit-for-bit with the Spark expression."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[17:32], 16
+        ) % n_bits
+        for seed in range(n_hashes)
+    ]
+
+
 # Checksums sum 60-bit hashes; decimal(38,0) accumulation is exact to
 # ~10^38 ≫ 2^60 × any plausible row count, and DuckDB's HUGEINT SUM
 # matches it exactly. The final value folds back into a BIGINT via a

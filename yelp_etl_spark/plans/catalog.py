@@ -6691,6 +6691,68 @@ FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def q_snapshot_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar point-lookup file skipping (snapshot_write
+    ``bloom_columns`` + snapshot_read ``point_filter``): orders are
+    clustered into 8 files by o_custkey with a per-file Bloom sidecar
+    on the key; a point lookup of the minimum custkey must (a) return
+    exactly the plain-filter rows — the oracle's half, proving no
+    false negatives — and (b) touch almost no files: n_scan_files
+    counts input_file_name() over the matching rows (the clustered key
+    lives in ONE file), and skipped_most asserts the sidecars proved
+    at least half the manifest absent (the Bloom decision is
+    md5-deterministic, so this is a fixed value per fixture, not a
+    flaky probability). Zone maps (``prune``) cannot skip on a
+    high-cardinality unclustered key at 100 TB; the ~4 KB-per-file
+    sidecar is what makes needle-in-haystack lookups metadata-bounded.
+    Generalizes the reference's static-layout-only read path
+    (write.py:45-53)."""
+    from yelp_etl_spark.functions.integrity import py_bit_positions
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").repartition(8, "o_custkey")
+    table = _scratch_dir(sf_dir, "snapbloom")
+    sid = snapshot_write(orders, table, bloom_columns=["o_custkey"])
+    m = _load_manifest(table, sid)
+    key = orders.agg(F.min("o_custkey")).collect()[0][0]
+
+    def keeps(f: dict) -> bool:
+        side = f["bloom"]["o_custkey"]
+        return all(
+            side["w"].get(str(b // 32), 0) & (1 << (b % 32))
+            for b in py_bit_positions(key, side["b"], side["k"])
+        )
+
+    n_total = len(m["files"])
+    n_kept = sum(1 for f in m["files"] if keeps(f))
+    return (
+        snapshot_read(spark, table, point_filter={"o_custkey": key})
+        .filter(F.col("o_custkey") == key)
+        .withColumn("__file", F.input_file_name())
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_okey"),
+            F.count_distinct("__file").cast("long").alias("n_scan_files"),
+            F.lit(1 if n_total - n_kept >= n_total // 2 else 0)
+            .cast("long")
+            .alias("skipped_most"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_BLOOM_SKIP = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(1 AS BIGINT) AS n_scan_files,
+       CAST(1 AS BIGINT) AS skipped_most
+FROM orders WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+"""
+
+
 def q_snapshot_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic dynamic partition overwrite through the snapshot layer
     (sources/snapshots.snapshot_overwrite_partitions — Iceberg's
@@ -7024,6 +7086,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         ORACLE_SNAPSHOT_PARTITION_PRUNE,
         "ext:snapshot layer — identity partition spec + exact pruning",
     ),
+    "snapshot_bloom_skip": QuerySpec(
+        q_snapshot_bloom_skip,
+        ORACLE_SNAPSHOT_BLOOM_SKIP,
+        "ext:snapshot layer — Bloom-sidecar point-lookup file skipping",
+    ),
     "snapshot_dynamic_overwrite": QuerySpec(
         q_snapshot_dynamic_overwrite,
         ORACLE_SNAPSHOT_DYNAMIC_OVERWRITE,
@@ -7305,12 +7372,12 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # multi-round driver-green for rows that have never had a driver check.
 # ROUND-6 ROTATION (VERDICT r5 task #2): the ENTIRE remaining
 # never-checked pool enters — 41 queries driver-unseen through r5 plus
-# the 4 added this round (two_stage_collect, hll_portable,
-# bloom_bitarray_prune, table_checksum) — closing cumulative driver
-# coverage at 227/227. The 3 r5 reds (driver canonicalizer vs
-# Array-typed outputs, stringified this round) return as regression
-# guards, and 2 multi-round-green anchors cover the DQ gate and
-# snapshot MERGE families.
+# the 5 added this round (two_stage_collect, hll_portable,
+# bloom_bitarray_prune, table_checksum, snapshot_bloom_skip) — closing
+# cumulative driver coverage at 228/228. The 3 r5 reds (driver
+# canonicalizer vs Array-typed outputs, stringified this round) return
+# as regression guards, plus one multi-round-green anchor (snapshot
+# MERGE).
 # pq_topk and hll_mergeable are rows-only by design (Datasketches
 # estimates are engine-specific); hll_portable is the exact-oracle
 # twin that covers the HLL math. Rotated-out rows remain under the
@@ -7373,8 +7440,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "hll_portable",
     "bloom_bitarray_prune",
     "table_checksum",
-    # ---- multi-round-green anchors ----
-    "dq_report",
+    "snapshot_bloom_skip",
+    # ---- multi-round-green anchor ----
     "snapshot_merge_delete",
 )
 

@@ -107,12 +107,54 @@ def _load_manifest(table_dir: str, snapshot_id: int) -> dict:
         return json.load(fh)
 
 
-def _file_stats(path: str) -> dict:
+def _file_bloom(path: str, bloom_columns: list[str]) -> dict:
+    """Per-file Bloom sidecar for point-lookup file skipping: for each
+    declared column, the DISTINCT values in this file fold into a
+    sparse {word: bits} map using the repo's portable md5 bit
+    positions (functions/integrity.py py_bit_positions — the same
+    convention the Spark expressions replay). ~`_BLOOM_SIDE_BITS/8`
+    bytes per (file, column) at worst; self-describing (b/k recorded
+    per entry) so mixed-spec manifests stay consistent. Restricted to
+    integer/string columns — their to-string rendering is identical
+    between pyarrow values here and Spark's cast on the probe side;
+    floats are refused upstream."""
+    import pyarrow.parquet as pq
+
+    from yelp_etl_spark.functions.integrity import py_bit_positions
+
+    out: dict = {}
+    cols = [c for c in bloom_columns]
+    table = pq.ParquetFile(path).read(columns=cols)
+    for c in cols:
+        words: dict[int, int] = {}
+        vals = set(table[c].to_pylist())
+        vals.discard(None)
+        for v in vals:
+            for bit in py_bit_positions(v, _BLOOM_SIDE_BITS, _BLOOM_SIDE_K):
+                w, m = bit // 32, 1 << (bit % 32)
+                words[w] = words.get(w, 0) | m
+        out[c] = {
+            "b": _BLOOM_SIDE_BITS,
+            "k": _BLOOM_SIDE_K,
+            "w": {str(w): m for w, m in sorted(words.items())},
+        }
+    return out
+
+
+# 32 Kib / 3 hashes ≈ 0.5% false positives at ~2000 distinct values
+# per (file, column); a sidecar costs ≤ 4 KB per (file, column) in the
+# manifest — metadata-sized at any table scale.
+_BLOOM_SIDE_BITS = 32768
+_BLOOM_SIDE_K = 3
+
+
+def _file_stats(path: str, bloom_columns: list[str] | None = None) -> dict:
     """Per-file row count and numeric column min/max from the parquet
     footer (pyarrow metadata — no data read). These power manifest-level
     file skipping, the scan feature that makes a 100 TB table affordable
     to point-query: a predicate prunes FILES before Spark ever lists
-    them."""
+    them. With ``bloom_columns``, one single-column-projection data
+    read per declared column adds the Bloom sidecar (_file_bloom)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -133,17 +175,24 @@ def _file_stats(path: str) -> dict:
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {
+    st = {
         "rows": md.num_rows,
         "min": mins,
         "max": maxs,
     }
+    if bloom_columns:
+        st["bloom"] = _file_bloom(path, bloom_columns)
+    return st
 
 
 _DRIVER_STATS_MAX = 8
 
 
-def _gather_file_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
+def _gather_file_stats(
+    spark: SparkSession,
+    paths: list[str],
+    bloom_columns: list[str] | None = None,
+) -> list[dict]:
     """Per-file footer stats for ``paths``, read EXECUTOR-side past a
     constant bound. At 100 TB / ~1e5 files, serial driver-side footer
     reads are the commit's dominant cost (minutes of driver I/O per
@@ -154,7 +203,7 @@ def _gather_file_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
     Below the bound a local loop avoids paying a Spark job's
     scheduling overhead on every small commit."""
     if len(paths) <= _DRIVER_STATS_MAX:
-        return [_file_stats(p) for p in paths]
+        return [_file_stats(p, bloom_columns) for p in paths]
 
     def footer_stats(batches):
         import pandas as pd
@@ -163,7 +212,10 @@ def _gather_file_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
             yield pd.DataFrame(
                 {
                     "path": b["path"],
-                    "stats": [json.dumps(_file_stats(p)) for p in b["path"]],
+                    "stats": [
+                        json.dumps(_file_stats(p, bloom_columns))
+                        for p in b["path"]
+                    ],
                 }
             )
 
@@ -335,7 +387,10 @@ def _parse_partition_dirs(rel_dir: str, fields: list[str]) -> dict:
 
 
 def _write_data_files(
-    df: DataFrame, table_dir: str, partition_by: list[str] | None
+    df: DataFrame,
+    table_dir: str,
+    partition_by: list[str] | None,
+    bloom_columns: list[str] | None = None,
 ) -> list[dict]:
     """Step 1 of every commit: fully write ``df``'s data files (scratch
     write, rename under fresh unique names) and return their manifest
@@ -420,7 +475,9 @@ def _write_data_files(
             renamed.append((os.path.join("data", dst_name), dst))
             partitions.append(None)
     shutil.rmtree(scratch)
-    stats = _gather_file_stats(df.sparkSession, [a for _, a in renamed])
+    stats = _gather_file_stats(
+        df.sparkSession, [a for _, a in renamed], bloom_columns
+    )
     return [
         {"path": rel, **st, **({"partition": p} if p is not None else {})}
         for (rel, _), st, p in zip(renamed, stats, partitions)
@@ -432,6 +489,7 @@ def snapshot_write(
     table_dir: str,
     mode: str = "replace",
     partition_by: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table_dir``; returns the new
     snapshot id. ``mode='replace'`` is the reference's createOrReplace
@@ -498,7 +556,28 @@ def snapshot_write(
                 "partition-spec evolution — append with the parent's "
                 "spec (or omit partition_by to inherit it)"
             )
-    new_files = _write_data_files(df, table_dir, partition_by)
+        if bloom_columns is None:
+            # sidecars are a table property like the partition spec:
+            # an append keeps building them for its new files
+            bloom_columns = pm.get("bloom_columns")
+    if bloom_columns:
+        from pyspark.sql.types import IntegralType, StringType
+
+        bad = [
+            c for c in bloom_columns
+            if c not in df.columns
+            or not isinstance(
+                df.schema[c].dataType, (IntegralType, StringType)
+            )
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom_columns {bad!r} must be existing integer or "
+                "string columns: the sidecar's to-string rendering is "
+                "only engine-stable for those types (floats render "
+                "differently between pyarrow and Spark casts)"
+            )
+    new_files = _write_data_files(df, table_dir, partition_by, bloom_columns)
 
     # 2. new manifest = parent files (append) or just new files (replace)
     files = list(new_files)
@@ -537,6 +616,8 @@ def snapshot_write(
     }
     if partition_by:
         manifest["partition_by"] = list(partition_by)
+    if bloom_columns:
+        manifest["bloom_columns"] = list(bloom_columns)
     return _commit_manifest(table_dir, manifest)
 
 
@@ -547,6 +628,7 @@ def snapshot_read(
     prune: tuple[str, str, float] | None = None,
     schema_snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    point_filter: dict | None = None,
 ) -> DataFrame:
     """Read a snapshot (current by default; pass ``snapshot_id`` for
     time travel). The file list is resolved NOW, so later commits or
@@ -567,6 +649,14 @@ def snapshot_read(
     the spec, or under a different spec) are conservatively KEPT;
     combine with a row-level .filter() when the table mixes specs.
 
+    ``point_filter={col: value, ...}`` applies Bloom-sidecar file
+    skipping (for tables written with ``bloom_columns``): files whose
+    sidecar proves a value absent are dropped before listing — the
+    point-lookup complement to min/max ``prune`` (zone maps cannot
+    skip on high-cardinality unclustered keys; a Bloom can). Never a
+    false negative; sidecar-less files are kept. Whole-file skipping —
+    combine with a matching .filter() for row semantics.
+
     ``schema_snapshot_id`` reads the files under ANOTHER snapshot's
     (usually newer, evolved) schema — columns added since the read
     snapshot appear as NULL. This is how changelog reads span an
@@ -582,6 +672,28 @@ def snapshot_read(
         else manifest
     )
     files = manifest["files"]
+    if point_filter:
+        # Bloom-sidecar file skipping (snapshot_write bloom_columns):
+        # a file is dropped only when its sidecar PROVES the value
+        # absent (some probe bit unset) — no false negatives, ~0.5%
+        # false-keep at the sidecar's design point. Files without a
+        # sidecar for the column are conservatively KEPT, so mixed
+        # manifests stay correct. Like ``prune``, this skips whole
+        # files; combine with a matching .filter() for row semantics.
+        from yelp_etl_spark.functions.integrity import py_bit_positions
+
+        def _bloom_keeps(f: dict) -> bool:
+            for col, value in point_filter.items():
+                side = (f.get("bloom") or {}).get(col)
+                if side is None:
+                    continue
+                words = side["w"]
+                for bit in py_bit_positions(value, side["b"], side["k"]):
+                    if not words.get(str(bit // 32), 0) & (1 << (bit % 32)):
+                        return False
+            return True
+
+        files = [f for f in files if _bloom_keeps(f)]
     if partition_filter:
         # Hidden partitioning: filters name SOURCE columns and raw
         # values; the spec maps each to its manifest field(s) — an
