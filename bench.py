@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "bloom_bitarray_prune",
     "table_checksum",
     "snapshot_bloom_skip",
+    "checksum_incremental",
 ]
 
 

@@ -82,3 +82,48 @@ def test_checksum_null_vs_empty_string_distinct(spark):
     ca = table_checksum(a, ["k", "v"], "k").collect()[0].checksum
     cb = table_checksum(b, ["k", "v"], "k").collect()[0].checksum
     assert ca != cb
+
+
+def test_incremental_checksum_equals_full_recompute(spark):
+    """C₂ maintained from a CDC delta (changed + added + removed rows)
+    is cell-for-cell equal to a full recompute of the new version —
+    including untouched buckets and row counts."""
+    from yelp_etl_spark.functions.integrity import table_checksum_incremental
+
+    v1 = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    # delta: k%10==3 changed, k%10==7 removed, negatives added
+    v2 = (
+        v1.filter(F.col("k") % 10 != 7)
+        .withColumn(
+            "v", F.when(F.col("k") % 10 == 3, F.lit(99)).otherwise(F.col("v"))
+        )
+        .unionByName(
+            v1.filter(F.col("k") % 10 == 1).select(
+                (-F.col("k")).alias("k"), F.lit(7).alias("v")
+            )
+        )
+    )
+    base = table_checksum(v1, ["k", "v"], "k", n_buckets=8)
+    old_rows = v1.filter((F.col("k") % 10).isin(3, 7))
+    new_rows = v2.filter((F.col("k") % 10 == 3) | (F.col("k") < 0))
+    incr = table_checksum_incremental(
+        base, old_rows, new_rows, ["k", "v"], "k", n_buckets=8
+    )
+    full = table_checksum(v2, ["k", "v"], "k", n_buckets=8)
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_incremental_checksum_empty_delta_is_identity(spark):
+    from yelp_etl_spark.functions.integrity import table_checksum_incremental
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    base = table_checksum(df, ["k", "v"], "k", n_buckets=4)
+    empty = df.filter(F.lit(False))
+    incr = table_checksum_incremental(base, empty, empty, ["k", "v"], "k", 4)
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, base.collect())
+    )

@@ -177,13 +177,8 @@ def table_checksum(
     only the offending bucket's partitions — the Merkle-tree descent,
     one level deep.
     """
-    rendered = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in columns]
-    )
-    fp = hash60(rendered)
-    bucket = hash60(F.col(bucket_key)) % F.lit(n_buckets)
     return (
-        df.select(bucket.alias("bucket"), fp.alias("fp"))
+        _fp_bucket(df, columns, bucket_key, n_buckets)
         .groupBy("bucket")
         .agg(
             (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
@@ -191,4 +186,69 @@ def table_checksum(
             .alias("checksum"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+def _fp_bucket(
+    df: DataFrame, columns: list[str], bucket_key: str, n_buckets: int
+) -> DataFrame:
+    """(bucket, fp) per row — the shared rendering of table_checksum
+    and its incremental maintainer (one definition, so the two can
+    never drift)."""
+    rendered = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in columns]
+    )
+    return df.select(
+        (hash60(F.col(bucket_key)) % F.lit(n_buckets)).alias("bucket"),
+        hash60(rendered).alias("fp"),
+    )
+
+
+def table_checksum_incremental(
+    base: DataFrame,
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    columns: list[str],
+    bucket_key: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Maintain a table checksum from a CDC delta instead of a full
+    re-read: ``base`` is ``table_checksum`` of the previous version;
+    ``old_rows`` are the PREVIOUS versions of touched rows (changed +
+    removed), ``new_rows`` the CURRENT versions (changed + added).
+    Returns the same (bucket, checksum, n_rows) shape as a full
+    recompute of the new version — exactly equal, because the checksum
+    is a commutative sum in fingerprint space: C₂[b] = (C₁[b] +
+    Σ fp_new − Σ fp_old) mod M, row counts likewise. Touched rows are
+    O(delta); at 100 TB this keeps continuous integrity verification
+    proportional to the change stream, not the table (the consumer
+    half of the snapshot layer's changelog, sources/snapshots.py
+    snapshot_changes).
+
+    The delta aggregate shuffles at most 2·n_buckets cells; the join
+    back onto ``base`` broadcasts. Untouched buckets pass through."""
+    minus = _fp_bucket(old_rows, columns, bucket_key, n_buckets).select(
+        "bucket", (-F.col("fp")).alias("d"), F.lit(-1).alias("dn")
+    )
+    plus = _fp_bucket(new_rows, columns, bucket_key, n_buckets).select(
+        "bucket", F.col("fp").alias("d"), F.lit(1).alias("dn")
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("d"),
+            F.sum("dn").alias("dn"),
+        )
+    )
+    mod = F.lit(CHECKSUM_MOD).cast("decimal(38,0)")
+    adjusted = (
+        F.col("checksum").cast("decimal(38,0)") + F.coalesce(F.col("d"), F.lit(0))
+    )
+    return base.join(F.broadcast(delta), "bucket", "left").select(
+        "bucket",
+        (((adjusted % mod) + mod) % mod).cast("long").alias("checksum"),
+        (F.col("n_rows") + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_rows"),
     )

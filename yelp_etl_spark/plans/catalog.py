@@ -7372,12 +7372,11 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # multi-round driver-green for rows that have never had a driver check.
 # ROUND-6 ROTATION (VERDICT r5 task #2): the ENTIRE remaining
 # never-checked pool enters — 41 queries driver-unseen through r5 plus
-# the 5 added this round (two_stage_collect, hll_portable,
-# bloom_bitarray_prune, table_checksum, snapshot_bloom_skip) — closing
-# cumulative driver coverage at 228/228. The 3 r5 reds (driver
-# canonicalizer vs Array-typed outputs, stringified this round) return
-# as regression guards, plus one multi-round-green anchor (snapshot
-# MERGE).
+# the 6 added this round (two_stage_collect, hll_portable,
+# bloom_bitarray_prune, table_checksum, snapshot_bloom_skip,
+# checksum_incremental) — closing cumulative driver coverage at
+# 229/229. The 3 r5 reds (driver canonicalizer vs Array-typed outputs,
+# stringified this round) return as regression guards.
 # pq_topk and hll_mergeable are rows-only by design (Datasketches
 # estimates are engine-specific); hll_portable is the exact-oracle
 # twin that covers the HLL math. Rotated-out rows remain under the
@@ -7441,8 +7440,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "bloom_bitarray_prune",
     "table_checksum",
     "snapshot_bloom_skip",
-    # ---- multi-round-green anchor ----
-    "snapshot_merge_delete",
+    "checksum_incremental",
 )
 
 

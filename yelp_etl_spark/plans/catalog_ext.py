@@ -3449,3 +3449,94 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_checksum_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained table checksum over the snapshot
+    layer (functions/integrity.py table_checksum_incremental): orders
+    v1 is committed and checksummed; v2 applies a mixed delta
+    (status rewrite on keys %10==3, deletes on %10==7, inserts with
+    negated keys for %10==1) as a second snapshot; the new checksums
+    are then maintained purely from the base checksums + the touched
+    rows — never a full v2 re-read. The oracle recomputes the final
+    state's checksums directly, so equality proves the incremental
+    path bit-exact (commutative fingerprint sums make C₂ = C₁ + Σfp₊
+    − Σfp₋ an identity, not an approximation). At 100 TB this is
+    continuous integrity verification priced at O(changelog), the
+    consumer half of snapshot_changes' CDC."""
+    from yelp_etl_spark.functions.integrity import (
+        table_checksum,
+        table_checksum_incremental,
+    )
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    canon = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    v1 = _t(spark, sf_dir, "orders").select(*canon)
+    table = _scratch_dir(sf_dir, "ckincr")
+    snapshot_write(v1, table)
+    k = F.col("o_orderkey")
+    v2 = (
+        v1.filter(k % 10 != 7)
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 10 == 3, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .unionByName(
+            v1.filter(k % 10 == 1).select(
+                (-k).alias("o_orderkey"), "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    snapshot_write(v2, table)
+    base = table_checksum(
+        snapshot_read(spark, table, snapshot_id=1), canon, "o_orderkey"
+    )
+    old_rows = snapshot_read(spark, table, snapshot_id=1).filter(
+        (k % 10).isin(3, 7)
+    )
+    new_rows = snapshot_read(spark, table, snapshot_id=2).filter(
+        (k % 10 == 3) | (k < 0)
+    )
+    return table_checksum_incremental(
+        base, old_rows, new_rows, canon, "o_orderkey"
+    ).select(F.col("bucket").cast("long").alias("bucket"), "checksum", "n_rows")
+
+
+ORACLE_CHECKSUM_INCREMENTAL = """
+WITH final AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 7
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, 'N' FROM orders WHERE o_orderkey % 10 = 1
+),
+fp AS MATERIALIZED (
+  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+           coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+           coalesce(o_orderstatus, chr(0))
+         )), 18, 15)) AS BIGINT) AS fp,
+         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 18, 15))
+              AS BIGINT) % 16 AS bucket
+  FROM final
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(CAST(fp AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)
+         AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM fp GROUP BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "checksum_incremental": (
+            q_checksum_incremental,
+            ORACLE_CHECKSUM_INCREMENTAL,
+            "ext:CDC-maintained table checksum (O(delta) integrity)",
+        ),
+    }
+)
