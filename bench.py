@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "table_checksum",
     "snapshot_bloom_skip",
     "checksum_incremental",
+    "assoc_rules",
 ]
 
 

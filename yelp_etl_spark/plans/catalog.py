@@ -7443,6 +7443,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "checksum_incremental",
 )
 
+# Queries added AFTER the r6 window saturated at 50 (every slot is a
+# never-checked row or a judge-named regression guard): these seed the
+# r7 rotation, exactly like r5's deferral of grouping_indicator /
+# posexplode_ordinal to r6. They run under the full local parity /
+# determinism / scale gates like everything else.
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
+    {
+        "assoc_rules",
+    }
+)
+
 
 QUERIES: dict[str, QuerySpec] = {
     name: _QUERIES_UNORDERED[name] for name in _DRIVER_WINDOW

@@ -3540,3 +3540,107 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the market-basket
+    layer above q_copurchase_pairs): baskets are distinct
+    (order, brand) pairs via the part dim (broadcast join); directed
+    rules A→B get support, confidence = sup/cnt(A), and lift =
+    conf/(cnt(B)/N). Ratios are emitted as FLOOR(1e6·x) parts-per-
+    million — both engines floor the SAME IEEE double, the repo's
+    cross-engine division convention (Spark double→long casts
+    truncate, DuckDB's round; FLOOR on both sides is exact).
+
+    Scale shape: the basket self-join co-partitions on the order key
+    and is bounded by per-order basket size (brand count ≤ items); the
+    rule aggregate shuffles on the (A,B) pair — at most |brands|² cells
+    after map-side combine, metadata-sized regardless of order count.
+    The single-row order total broadcasts. Top-30 fully tie-broken."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    item_counts = baskets.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    sup = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") != F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("ante"), F.col("b.p_brand").alias("cons")
+        )
+        .agg(F.count("*").alias("sup"))
+    )
+    ca = item_counts.select(
+        F.col("p_brand").alias("ante"), F.col("cnt").alias("cnt_a")
+    )
+    cb = item_counts.select(
+        F.col("p_brand").alias("cons"), F.col("cnt").alias("cnt_b")
+    )
+    rules = (
+        sup.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cb), "cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("sup").cast("long").alias("sup"),
+            F.floor(
+                F.lit(1000000.0) * F.col("sup") / F.col("cnt_a")
+            ).cast("long").alias("conf_ppm"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("sup")
+                * F.lit(float(n_orders))
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).cast("long").alias("lift_ppm"),
+        )
+    )
+    return rules.orderBy(F.desc("sup"), "ante", "cons").limit(30)
+
+
+ORACLE_ASSOC_RULES = """
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+item_counts AS MATERIALIZED (
+  SELECT p_brand, COUNT(*) AS cnt FROM baskets GROUP BY 1
+),
+n AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets
+),
+sup AS MATERIALIZED (
+  SELECT a.p_brand AS ante, b.p_brand AS cons, COUNT(*) AS sup
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY 1, 2
+)
+SELECT ante, cons, CAST(sup AS BIGINT) AS sup,
+       CAST(FLOOR(1000000.0 * sup / ca.cnt) AS BIGINT) AS conf_ppm,
+       CAST(FLOOR(1000000.0 * sup * (SELECT n_orders FROM n)
+                  / (ca.cnt * cb.cnt)) AS BIGINT) AS lift_ppm
+FROM sup
+JOIN item_counts ca ON ca.p_brand = sup.ante
+JOIN item_counts cb ON cb.p_brand = sup.cons
+ORDER BY sup DESC, ante, cons
+LIMIT 30
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "assoc_rules": (
+            q_assoc_rules,
+            ORACLE_ASSOC_RULES,
+            "ext:market-basket association rules (support/conf/lift)",
+        ),
+    }
+)
