@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "snapshot_bloom_skip",
     "checksum_incremental",
     "assoc_rules",
+    "stream_hll_distinct",
 ]
 
 

@@ -7451,6 +7451,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
     {
         "assoc_rules",
+        "stream_hll_distinct",
     }
 )
 

@@ -3644,3 +3644,100 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct counts under streaming
+    ingestion: the portable HLL register table (functions/sketches.py)
+    IS the streaming aggregation state — groupBy(type, bucket).max(rho)
+    over a 2-micro-batch file stream, complete-mode to a memory sink.
+    HLL's defining mergeability (cellwise max) makes the micro-batch
+    order irrelevant, so the streamed registers — and therefore the
+    ESTIMATE — are bit-identical to a batch build over the same
+    events, which is exactly what the DuckDB oracle computes. This is
+    the 100 TB pattern for live distinct-user dashboards: state is
+    ≤ groups×512 cells forever, not a distinct-set that grows with
+    users; each micro-batch shuffles only register cells.
+
+    Extends the reference's static event aggregation (reference
+    yelp_etl/tasks/clean.py event rollups) to continuous ingestion."""
+    import os
+    import tempfile
+    import uuid
+
+    from yelp_etl_spark.functions.sketches import (
+        hll_portable_estimate,
+        hll_portable_sketch,
+    )
+    from yelp_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_hll_")
+    src = os.path.join(workdir, "src")
+    # two source files x maxFilesPerTrigger=1 -> two micro-batches:
+    # the register state provably merges ACROSS batches
+    _t(spark, sf_dir, "events").repartition(2).write.parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    regs = hll_portable_sketch(stream, "user_id", ["event_type"])
+    name = "stream_hll_" + uuid.uuid4().hex[:8]
+    run_stream_to_memory(regs, name, output_mode="complete")
+    return hll_portable_estimate(spark.table(name), ["event_type"]).select(
+        "event_type", "n_empty", "reg_sum", "est_distinct"
+    )
+
+
+ORACLE_STREAM_HLL_DISTINCT = """
+WITH hashed AS MATERIALIZED (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 18, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+regs AS MATERIALIZED (
+  SELECT event_type, h % 512 AS bucket,
+         MAX(CASE WHEN ((h >> 9) & 4294967295) = 0 THEN 33
+                  ELSE 33 - length(bin((h >> 9) & 4294967295)) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+agg AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_set,
+         CAST(SUM(1::BIGINT << CAST(40 - m_j AS INTEGER)) AS BIGINT) AS set_sum
+  FROM regs GROUP BY 1
+),
+final AS MATERIALIZED (
+  SELECT event_type,
+         CAST(512 - n_set AS BIGINT) AS n_empty,
+         CAST(set_sum + (512 - n_set) * (1::BIGINT << 40) AS BIGINT) AS reg_sum
+  FROM agg
+)
+SELECT event_type, n_empty, reg_sum,
+       ROUND(CASE WHEN CAST(0.7213 AS DOUBLE)
+                       / (CAST(1.0 AS DOUBLE)
+                          + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE))
+                       * CAST(262144 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+                       / CAST(reg_sum AS DOUBLE) <= CAST(1280 AS DOUBLE)
+                   AND n_empty > 0
+             THEN CAST(512 AS DOUBLE)
+                  * ln(CAST(512 AS DOUBLE) / CAST(n_empty AS DOUBLE))
+             ELSE CAST(0.7213 AS DOUBLE)
+                  / (CAST(1.0 AS DOUBLE)
+                     + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE))
+                  * CAST(262144 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+                  / CAST(reg_sum AS DOUBLE)
+        END, 2) AS est_distinct
+FROM final
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "stream_hll_distinct": (
+            q_stream_hll_distinct,
+            ORACLE_STREAM_HLL_DISTINCT,
+            "ext:streaming mergeable-HLL distinct (sketch-as-state)",
+        ),
+    }
+)
