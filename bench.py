@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "checksum_incremental",
     "assoc_rules",
     "stream_hll_distinct",
+    "funnel_conversion",
 ]
 
 

@@ -7452,6 +7452,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
     {
         "assoc_rules",
         "stream_hll_distinct",
+        "funnel_conversion",
     }
 )
 

@@ -3741,3 +3741,110 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: a user converts
+    at step k only with a step-k event STRICTLY AFTER their first
+    qualifying step-(k−1) event (first-touch semantics — the standard
+    product-analytics definition, not mere set membership). Step
+    timestamps resolve through one conditional aggregation per step,
+    each re-using the SAME user-key partitioning (consecutive
+    groupBy/join on user_id collapse to one exchange lineage — no
+    per-step reshuffle), so the plan scales as 3 keyed passes over an
+    events table of any size, with per-user state a single timestamp.
+    Conversion ratios are FLOOR-ppm (the cross-engine division
+    convention). Generalizes the reference's flat event rollups
+    (clean.py event aggregation) to ordered behavioral analytics;
+    CEP-style arbitrary patterns live in event_path_pattern."""
+    events = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t = None
+    reached = []  # per-step 1-row count frames
+    for k, step in enumerate(_FUNNEL_STEPS):
+        e = events.filter(F.col("event_type") == step)
+        if t is None:
+            t = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            t = (
+                e.join(t, "user_id")
+                .filter(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached.append(
+            t.agg(F.count("*").cast("long").alias(f"n{k}")).select(f"n{k}")
+        )
+    wide = reached[0].crossJoin(reached[1]).crossJoin(reached[2])
+    steps = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_FUNNEL_STEPS)], "step_idx INT, step STRING"
+    )
+    return (
+        wide.crossJoin(F.broadcast(steps))
+        .select(
+            F.col("step_idx").cast("long").alias("step_idx"),
+            "step",
+            F.when(F.col("step_idx") == 0, F.col("n0"))
+            .when(F.col("step_idx") == 1, F.col("n1"))
+            .otherwise(F.col("n2"))
+            .cast("long")
+            .alias("n_users"),
+            F.when(F.col("step_idx") == 0, F.lit(1000000).cast("long"))
+            .when(
+                F.col("step_idx") == 1,
+                F.floor(F.lit(1000000.0) * F.col("n1") / F.col("n0")).cast("long"),
+            )
+            .otherwise(
+                F.floor(F.lit(1000000.0) * F.col("n2") / F.col("n1")).cast("long")
+            )
+            .alias("conv_ppm"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH s0 AS MATERIALIZED (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+n AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM s0) AS n0,
+         (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST(n0 AS BIGINT) AS n_users, CAST(1000000 AS BIGINT) AS conv_ppm
+  FROM n
+  UNION ALL
+  SELECT 1, 'click', CAST(n1 AS BIGINT),
+         CAST(FLOOR(1000000.0 * n1 / n0) AS BIGINT) FROM n
+  UNION ALL
+  SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+         CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT) FROM n
+) ORDER BY step_idx
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "funnel_conversion": (
+            q_funnel_conversion,
+            ORACLE_FUNNEL_CONVERSION,
+            "ext:ordered funnel conversion (first-touch semantics)",
+        ),
+    }
+)
