@@ -3284,12 +3284,13 @@ _BLOOM_K = 3
 
 
 def _bloom_bit_sql(seed: int, key_expr: str) -> str:
-    """DuckDB twin of integrity._bit_position: md5-derived 60-bit hash
-    of '<seed>:<key>' mod the filter width."""
-    return (
-        f"CAST(concat('0x', substr(md5(concat('{seed}:', "
-        f"CAST({key_expr} AS VARCHAR))), 18, 15)) AS BIGINT) % {_BLOOM_BITS}"
-    )
+    """DuckDB twin of integrity's Kirsch–Mitzenmacher scheme: one md5
+    per key; h1/h2 = hex slices [1,15]/[17,15]; bit_j = (h1 + j·h2)
+    mod the filter width."""
+    h = f"md5(CAST({key_expr} AS VARCHAR))"
+    h1 = f"CAST(concat('0x', substr({h}, 1, 15)) AS BIGINT)"
+    h2 = f"CAST(concat('0x', substr({h}, 17, 15)) AS BIGINT)"
+    return f"(({h1}) + {seed} * ({h2})) % {_BLOOM_BITS}"
 
 
 def q_bloom_bitarray_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3316,6 +3317,12 @@ def q_bloom_bitarray_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_etl_spark.functions.integrity import bloom_build, bloom_prune
 
     build = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    # Fixture-scale caveat: the single-file lineitem scan is ONE input
+    # split, so the per-row md5 runs one-core here (a fan_out shuffle
+    # doesn't help — AQE coalesces the 5 MB of key bytes back to one
+    # partition). At 100 TB the scan has orders of magnitude more
+    # splits than cores and the probe-side hash parallelizes for free;
+    # the bench row therefore measures the WORST-case serial cost.
     probe = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
     bloom = bloom_build(build, "s_suppkey", _BLOOM_BITS, _BLOOM_K)
     kept = bloom_prune(probe, bloom, "k", _BLOOM_BITS, _BLOOM_K)
@@ -3845,6 +3852,102 @@ EXTRA_QUERIES.update(
             q_funnel_conversion,
             ORACLE_FUNNEL_CONVERSION,
             "ext:ordered funnel conversion (first-touch semantics)",
+        ),
+    }
+)
+
+
+def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed recommender training: rank-2 ALS over the
+    (customer, brand, Σquantity) ratings matrix
+    (functions/recommend.py als_rank2) — 2 fixed alternating rounds,
+    closed-form 2×2 regularized solves, every moment sum exact
+    decimal, every division a FLOOR of the identical double
+    expression. The oracle replays BOTH training rounds (user solve ⇄
+    item solve) in unrolled SQL, so the driver hash pins the entire
+    optimization trajectory, not just a final score — the same
+    discipline as logreg_weights/kmeans_clusters. The |items|-row
+    factor table is the model a serving layer broadcasts."""
+    from yelp_etl_spark.functions.recommend import als_rank2
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.sum("l_quantity").cast("long").alias("rating"))
+    )
+    return (
+        als_rank2(ratings, "o_custkey", "p_brand", "rating", iterations=2)
+        .select(F.col("item").alias("brand"), "q1", "q2")
+        .orderBy("brand")
+    )
+
+
+def _als_solve_sql(prev: str, solve_key: str, join_key: str, out: str) -> str:
+    """One ALS half-round as SQL: regularized 2×2 adjugate solve per
+    ``solve_key`` with the ``prev`` factor table fixed on
+    ``join_key``. Mirrors recommend._solve term for term (HUGEINT
+    sums ≡ Spark decimal(38,0); identical double operand order)."""
+    return f"""{out}_agg AS MATERIALIZED (
+  SELECT r.{solve_key} AS k,
+         SUM(CAST(f.q1 AS HUGEINT) * CAST(f.q1 AS HUGEINT)) AS a,
+         SUM(CAST(f.q1 AS HUGEINT) * CAST(f.q2 AS HUGEINT)) AS b,
+         SUM(CAST(f.q2 AS HUGEINT) * CAST(f.q2 AS HUGEINT)) AS c,
+         SUM(CAST(r.rating AS HUGEINT) * CAST(f.q1 AS HUGEINT)) AS d1,
+         SUM(CAST(r.rating AS HUGEINT) * CAST(f.q2 AS HUGEINT)) AS d2
+  FROM ratings r JOIN {prev} f ON r.{join_key} = f.k
+  GROUP BY 1
+),
+{out} AS MATERIALIZED (
+  SELECT k,
+         CAST(FLOOR((1000000000000.0 * CAST((c + 100000000000) * d1 - b * d2
+                                             AS DOUBLE))
+                    / CAST((a + 100000000000) * (c + 100000000000) - b * b
+                           AS DOUBLE)) AS BIGINT) AS q1,
+         CAST(FLOOR((1000000000000.0 * CAST((a + 100000000000) * d2 - b * d1
+                                             AS DOUBLE))
+                    / CAST((a + 100000000000) * (c + 100000000000) - b * b
+                           AS DOUBLE)) AS BIGINT) AS q2
+  FROM {out}_agg
+)"""
+
+
+def _als_oracle(iterations: int = 2) -> str:
+    sql = """WITH ratings AS MATERIALIZED (
+  SELECT o_custkey AS u_id, p_brand AS i_id,
+         CAST(SUM(l_quantity) AS BIGINT) AS rating
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+q0 AS MATERIALIZED (
+  SELECT i_id AS k, CAST(1000000 AS BIGINT) AS q1,
+         CAST(100000 + CAST(concat('0x', substr(md5(CAST(i_id AS VARCHAR)),
+                                                 18, 15)) AS BIGINT) % 500000
+              AS BIGINT) AS q2
+  FROM (SELECT DISTINCT i_id FROM ratings)
+)"""
+    prev = "q0"
+    for i in range(iterations):
+        sql += ",\n" + _als_solve_sql(prev, "u_id", "i_id", f"p{i + 1}")
+        sql += ",\n" + _als_solve_sql(f"p{i + 1}", "i_id", "u_id", f"q{i + 1}")
+        prev = f"q{i + 1}"
+    return sql + f"\nSELECT k AS brand, q1, q2 FROM {prev} ORDER BY brand"
+
+
+ORACLE_ALS_FACTORS = _als_oracle(2)
+
+
+EXTRA_QUERIES.update(
+    {
+        "als_factors": (
+            q_als_factors,
+            ORACLE_ALS_FACTORS,
+            "ext:rank-2 ALS recommender (closed-form solves, exact oracle)",
         ),
     }
 )
