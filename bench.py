@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "assoc_rules",
     "stream_hll_distinct",
     "funnel_conversion",
+    "als_factors",
 ]
 
 

@@ -1202,3 +1202,80 @@ def test_personalized_pagerank_concentrates_near_seeds(spark):
     a = sorted(pagerank(edges.repartition(3), iterations=8, personalization=seeds).collect())
     b = sorted(pagerank(edges, iterations=8, personalization=seeds).collect())
     assert [(i, round(r, 9)) for i, r in a] == [(i, round(r, 9)) for i, r in b]
+
+
+def test_als_rank2_matches_numpy_reference(spark):
+    """The distributed rank-2 ALS reproduces a literal numpy replay of
+    the same quantized algebra (exact integer moments, double adjugate
+    solve, floor to micro grid) — pinning the whole trajectory, and
+    the factorization actually fits: round-2 reconstruction error is
+    below round-0's."""
+    import hashlib
+
+    import numpy as np
+
+    from yelp_etl_spark.functions.recommend import (
+        LAM_SCALED,
+        als_rank2,
+    )
+
+    ratings = [
+        (u, i, 1 + ((u * 7 + i * 3) % 5))
+        for u in range(40)
+        for i in range(8)
+        if (u + i) % 3 != 0
+    ]
+    df = spark.createDataFrame(ratings, "u long, i long, r long")
+
+    def h60_slice(v, lo, n):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[lo : lo + n], 16)
+
+    items = sorted({i for _, i, _ in ratings})
+    users = sorted({u for u, _, _ in ratings})
+    q = {
+        i: (1_000_000, 100_000 + h60_slice(i, 17, 15) % 500_000) for i in items
+    }
+
+    def solve(fixed, by_key, get_pairs):
+        out = {}
+        for k in by_key:
+            a = b = c = d1 = d2 = 0
+            for other, r in get_pairs(k):
+                q1, q2 = fixed[other]
+                a += q1 * q1
+                b += q1 * q2
+                c += q2 * q2
+                d1 += r * q1
+                d2 += r * q2
+            af, cf = float(a + LAM_SCALED), float(c + LAM_SCALED)
+            bf, d1f, d2f = float(b), float(d1), float(d2)
+            det = af * cf - bf * bf
+            out[k] = (
+                int(np.floor(1e12 * (cf * d1f - bf * d2f) / det)),
+                int(np.floor(1e12 * (af * d2f - bf * d1f) / det)),
+            )
+        return out
+
+    by_user = {u: [(i, r) for uu, i, r in ratings if uu == u] for u in users}
+    by_item = {i: [(u, r) for u, ii, r in ratings if ii == i] for i in items}
+    for _ in range(2):
+        p = solve(q, users, lambda u: by_user[u])
+        q = solve(p, items, lambda i: [(u, r) for u, r in by_item[i]])
+
+    got = {
+        r.item: (r.q1, r.q2)
+        for r in als_rank2(df, "u", "i", "r", iterations=2).collect()
+    }
+    assert got == q
+
+    # fit check: reconstruction improves over the init
+    def err(qt, pt):
+        s = 0.0
+        for u, i, r in ratings:
+            pred = (pt[u][0] * qt[i][0] + pt[u][1] * qt[i][1]) / 1e12
+            s += (r - pred) ** 2
+        return s
+
+    q0 = {i: (1_000_000, 100_000 + h60_slice(i, 17, 15) % 500_000) for i in items}
+    p0 = solve(q0, users, lambda u: by_user[u])
+    assert err(q, solve(q, users, lambda u: by_user[u])) < err(q0, p0)

@@ -76,12 +76,21 @@ def _solve(joined: DataFrame, solve_key: str) -> DataFrame:
         F.sum(d("r") * d("q1")).alias("d1"),
         F.sum(d("r") * d("q2")).alias("d2"),
     )
-    a = F.col("a") + F.lit(LAM_SCALED)
-    c = F.col("c") + F.lit(LAM_SCALED)
-    b, d1, d2 = F.col("b"), F.col("d1"), F.col("d2")
-    det = (a * c - b * b).cast("double")
-    n1 = (c * d1 - b * d2).cast("double")
-    n2 = (a * d2 - b * d1).cast("double")
+    # Post-aggregation algebra in DOUBLE: the Gram products a·c, c·d1
+    # overflow decimal(38,0) once |users|·|p|² passes ~10³⁸ (observed
+    # at sf0.1). Each exact decimal aggregate casts to double ONCE
+    # (round-to-nearest — identical in Spark and DuckDB), and every
+    # subsequent (+,·,/,floor) is the same IEEE operation in the same
+    # order on both engines, so cross-engine equality is preserved;
+    # only unbounded-precision exactness is traded away.
+    a = (F.col("a") + F.lit(LAM_SCALED)).cast("double")
+    c = (F.col("c") + F.lit(LAM_SCALED)).cast("double")
+    b = F.col("b").cast("double")
+    d1 = F.col("d1").cast("double")
+    d2 = F.col("d2").cast("double")
+    det = a * c - b * b
+    n1 = c * d1 - b * d2
+    n2 = a * d2 - b * d1
     scale = F.lit(1e12)
     return agg.select(
         "k",

@@ -7453,6 +7453,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "assoc_rules",
         "stream_hll_distinct",
         "funnel_conversion",
+        "als_factors",
     }
 )
 

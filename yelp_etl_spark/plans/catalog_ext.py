@@ -3903,14 +3903,20 @@ def _als_solve_sql(prev: str, solve_key: str, join_key: str, out: str) -> str:
 ),
 {out} AS MATERIALIZED (
   SELECT k,
-         CAST(FLOOR((1000000000000.0 * CAST((c + 100000000000) * d1 - b * d2
-                                             AS DOUBLE))
-                    / CAST((a + 100000000000) * (c + 100000000000) - b * b
-                           AS DOUBLE)) AS BIGINT) AS q1,
-         CAST(FLOOR((1000000000000.0 * CAST((a + 100000000000) * d2 - b * d1
-                                             AS DOUBLE))
-                    / CAST((a + 100000000000) * (c + 100000000000) - b * b
-                           AS DOUBLE)) AS BIGINT) AS q2
+         CAST(FLOOR((1000000000000.0
+                     * (CAST(c + 100000000000 AS DOUBLE) * CAST(d1 AS DOUBLE)
+                        - CAST(b AS DOUBLE) * CAST(d2 AS DOUBLE)))
+                    / (CAST(a + 100000000000 AS DOUBLE)
+                       * CAST(c + 100000000000 AS DOUBLE)
+                       - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
+              AS BIGINT) AS q1,
+         CAST(FLOOR((1000000000000.0
+                     * (CAST(a + 100000000000 AS DOUBLE) * CAST(d2 AS DOUBLE)
+                        - CAST(b AS DOUBLE) * CAST(d1 AS DOUBLE)))
+                    / (CAST(a + 100000000000 AS DOUBLE)
+                       * CAST(c + 100000000000 AS DOUBLE)
+                       - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
+              AS BIGINT) AS q2
   FROM {out}_agg
 )"""
 
