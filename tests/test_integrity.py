@@ -127,3 +127,30 @@ def test_incremental_checksum_empty_delta_is_identity(spark):
     assert sorted(map(tuple, incr.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+def test_incremental_checksum_new_and_emptied_buckets(spark):
+    """A delta may populate a bucket the base never had, and may empty
+    one it did have: the maintained state must match a full recompute
+    in BOTH directions (the left-join regression: inserted rows
+    vanished from the state; emptied buckets left phantom rows)."""
+    from yelp_etl_spark.functions.integrity import table_checksum_incremental
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    adds = spark.createDataFrame(
+        [(i, "n") for i in range(100, 140)], "k long, v string"
+    )
+    v2 = v1.filter(F.col("k") != 1).unionByName(adds)
+    base = table_checksum(v1, ["k", "v"], "k", n_buckets=16)
+    incr = table_checksum_incremental(
+        base,
+        v1.filter(F.col("k") == 1),
+        adds,
+        ["k", "v"],
+        "k",
+        n_buckets=16,
+    )
+    full = table_checksum(v2, ["k", "v"], "k", n_buckets=16)
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )

@@ -1106,3 +1106,51 @@ def test_bloom_sidecar_inherited_on_append_and_typed(spark, tmp_path):
     fdf = spark.range(0, 10).select(F.col("id").cast("double").alias("x"))
     with pytest.raises(ValueError, match="integer or string"):
         snapshot_write(fdf, str(tmp_path / "t2"), bloom_columns=["x"])
+
+
+def test_bloom_spec_survives_replace_and_overwrite(spark, tmp_path):
+    """bloom_columns is a table property: replace/rewrite and dynamic
+    partition overwrite inherit it (sidecars keep being built), a
+    schema that drops the column refuses loudly, and bloom_columns=[]
+    disables deliberately."""
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_overwrite_partitions,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2]) for i in range(40)], "k long, grp string"
+    )
+    snapshot_write(df, t, partition_by=["grp"], bloom_columns=["k"])
+    # plain replace inherits the sidecar spec
+    snapshot_write(df, t, mode="replace")
+    m2 = _load_manifest(t, 2)
+    assert m2.get("bloom_columns") == ["k"]
+    assert all("bloom" in f for f in m2["files"])
+    # dynamic partition overwrite keeps building sidecars too
+    snapshot_overwrite_partitions(df.filter("grp = 'A'"), t, ["grp"])
+    m3 = _load_manifest(t, 3)
+    assert m3.get("bloom_columns") == ["k"]
+    assert all("bloom" in f for f in m3["files"])
+    # dropping the source column refuses with the [] escape named
+    with pytest.raises(ValueError, match="bloom_columns=\\[\\]"):
+        snapshot_write(df.select("grp"), t, mode="replace")
+    snapshot_write(df, t, mode="replace", bloom_columns=[])
+    assert _load_manifest(t, 4).get("bloom_columns") is None
+
+
+def test_point_filter_null_value_keeps_all_files(spark, tmp_path):
+    """A NULL point lookup must never fabricate false negatives: the
+    sidecar records no NULL membership, so every file is kept."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k long, v string"
+    )
+    snapshot_write(df, t, bloom_columns=["k"])
+    got = (
+        snapshot_read(spark, t, point_filter={"k": None})
+        .filter(F.col("k").isNull())
+        .collect()
+    )
+    assert [(r.k, r.v) for r in got] == [(None, "b")]

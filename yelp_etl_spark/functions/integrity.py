@@ -257,13 +257,27 @@ def table_checksum_incremental(
         )
     )
     mod = F.lit(CHECKSUM_MOD).cast("decimal(38,0)")
-    adjusted = (
-        F.col("checksum").cast("decimal(38,0)") + F.coalesce(F.col("d"), F.lit(0))
-    )
-    return base.join(F.broadcast(delta), "bucket", "left").select(
-        "bucket",
-        (((adjusted % mod) + mod) % mod).cast("long").alias("checksum"),
-        (F.col("n_rows") + F.coalesce(F.col("dn"), F.lit(0)))
-        .cast("long")
-        .alias("n_rows"),
+    # FULL outer: a delta may populate a bucket the base never had
+    # (inserts hashing to a previously empty bucket) — a left join
+    # would silently drop those rows from the integrity state. The
+    # symmetric case (a delta emptying a bucket) must VANISH like it
+    # does in a full recompute (no rows → no group), hence the
+    # n_rows > 0 filter; its checksum term is exactly 0 by then
+    # (C₁ − Σfp_old ≡ 0), so nothing is lost.
+    adjusted = F.coalesce(
+        F.col("checksum").cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
+    ) + F.coalesce(F.col("d"), F.lit(0))
+    return (
+        base.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (((adjusted % mod) + mod) % mod).cast("long").alias("checksum"),
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
     )

@@ -6714,11 +6714,23 @@ def q_snapshot_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write,
     )
 
-    orders = _t(spark, sf_dir, "orders").repartition(8, "o_custkey")
+    base = _t(spark, sf_dir, "orders")
+    # File count scales with key cardinality so per-file distinct keys
+    # stay under the 32 Kib sidecar's ~2000-value design point (~0.5%
+    # false-keep): with a FIXED file count a larger fixture saturates
+    # the filters — at ~19k keys/file the false-keep rate passes 50%
+    # and the skipped_most pin below would flip. This mirrors a real
+    # table's file sizing, where files are bounded, not count-fixed.
+    stats = base.agg(
+        F.count_distinct("o_custkey").alias("n_keys"),
+        F.min("o_custkey").alias("min_key"),
+    ).collect()[0]
+    n_files = max(8, stats.n_keys // 1500 + 1)
+    orders = base.repartition(n_files, "o_custkey")
     table = _scratch_dir(sf_dir, "snapbloom")
     sid = snapshot_write(orders, table, bloom_columns=["o_custkey"])
     m = _load_manifest(table, sid)
-    key = orders.agg(F.min("o_custkey")).collect()[0][0]
+    key = stats.min_key
 
     def keeps(f: dict) -> bool:
         side = f["bloom"]["o_custkey"]

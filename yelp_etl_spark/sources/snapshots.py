@@ -536,6 +536,25 @@ def snapshot_write(
                     "a new spec, or partition_by=[] to de-partition the "
                     "table explicitly"
                 )
+    if mode in ("replace", "rewrite") and parent is not None and bloom_columns is None:
+        # Bloom sidecars are a table property like the partition spec:
+        # a plain replace/rewrite (compaction included) must not
+        # silently stop building them — point_filter reads would
+        # degrade to full scans with no error. Same contract as the
+        # partition inherit above: missing source columns refuse
+        # loudly, bloom_columns=[] disables deliberately.
+        inherited_bloom = _load_manifest(table_dir, parent).get("bloom_columns")
+        if inherited_bloom:
+            missing = [c for c in inherited_bloom if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"replace inherits the table bloom_columns "
+                    f"{inherited_bloom!r} but the new schema lacks "
+                    f"column(s) {missing!r}: pass bloom_columns=[...] for "
+                    "a new spec, or bloom_columns=[] to drop the sidecars "
+                    "explicitly"
+                )
+            bloom_columns = inherited_bloom
     if mode == "append" and parent is not None:
         pm = _load_manifest(table_dir, parent)
         # An append INHERITS the parent's partition spec (Iceberg: the
@@ -684,6 +703,13 @@ def snapshot_read(
 
         def _bloom_keeps(f: dict) -> bool:
             for col, value in point_filter.items():
+                if value is None:
+                    # NULL membership is never recorded in a sidecar
+                    # (builders discard None), and hashing the string
+                    # 'None' would fabricate false negatives — a NULL
+                    # point lookup keeps every file (use partition or
+                    # min/max pruning for NULL-partitioned layouts)
+                    continue
                 side = (f.get("bloom") or {}).get(col)
                 if side is None:
                     continue
@@ -950,7 +976,10 @@ def snapshot_overwrite_partitions(
             "rewrite the table under the spec first (snapshot_write "
             "replace with partition_by)"
         )
-    new_files = _write_data_files(df, table_dir, partition_by)
+    # the overwrite inherits the table's bloom sidecar spec like every
+    # other write path — replaced partitions keep point-lookup skipping
+    bloom_columns = pm.get("bloom_columns")
+    new_files = _write_data_files(df, table_dir, partition_by, bloom_columns)
     fields = [f for f, _, _ in _spec_fields(partition_by)]
     touched = {
         tuple(f["partition"][c] for c in fields) for f in new_files
@@ -968,6 +997,8 @@ def snapshot_overwrite_partitions(
         "files": new_files + kept,
         "partition_by": list(partition_by),
     }
+    if bloom_columns:
+        manifest["bloom_columns"] = list(bloom_columns)
     return _commit_manifest(table_dir, manifest)
 
 
