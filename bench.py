@@ -261,6 +261,9 @@ BENCH_QUERIES = [
     "stream_hll_distinct",
     "funnel_conversion",
     "als_factors",
+    "ndcg_mrr_eval",
+    "label_prop_communities",
+    "gbt_stumps",
 ]
 
 

@@ -278,3 +278,70 @@ def test_reliability_bins_perfect_and_biased_scorers(spark):
     assert len(g) == 1 and g[0].bin == 9 and g[0].gap < -0.7
     a = sorted(map(tuple, reliability_bins(df.repartition(7), "p", "y", 10).collect()))
     assert a == sorted(map(tuple, out))
+
+
+# ---------------------------------------------------------------------------
+# ranking_metrics (NDCG@k / MRR / MAP@k)
+# ---------------------------------------------------------------------------
+
+
+def _rank_rows(spark, rels, query_id=1):
+    rows = [(query_id, i + 1, r) for i, r in enumerate(rels)]
+    return spark.createDataFrame(rows, "query_id long, rank long, rel long")
+
+
+def test_ranking_metrics_perfect_ranking(spark):
+    from yelp_etl_spark.functions.evaluation import ranking_metrics
+
+    # 3 relevant items, all ranked at the top of a k=5 list
+    ranked = _rank_rows(spark, [1, 1, 1, 0, 0])
+    counts = spark.createDataFrame([(1, 3)], "query_id long, n_rel long")
+    row = ranking_metrics(ranked, counts, k=5).collect()[0]
+    assert row["ndcg_at_5"] == 1.0
+    assert row["mrr"] == 1.0
+    assert row["map_at_5"] == 1.0
+
+
+def test_ranking_metrics_known_values(spark):
+    from yelp_etl_spark.functions.evaluation import (
+        dcg_weight_micro,
+        ranking_metrics,
+    )
+
+    # relevant at ranks 2 and 5; 2 relevant in the corpus
+    ranked = _rank_rows(spark, [0, 1, 0, 0, 1])
+    counts = spark.createDataFrame([(1, 2)], "query_id long, n_rel long")
+    row = ranking_metrics(ranked, counts, k=5).collect()[0]
+    w = dcg_weight_micro(5)
+    dcg = w[1] + w[4]
+    idcg = w[0] + w[1]
+    assert row["ndcg_at_5"] == round(dcg / idcg, 6)
+    assert row["mrr"] == 0.5
+    # AP = (1/2 + 2/5) / 2, each precision term micro-quantized
+    ap_micro = round(1_000_000 * 1 / 2) + round(1_000_000 * 2 / 5)
+    assert row["map_at_5"] == round(ap_micro / (2 * 1_000_000), 6)
+
+
+def test_ranking_metrics_no_relevant_in_corpus(spark):
+    from yelp_etl_spark.functions.evaluation import ranking_metrics
+
+    ranked = _rank_rows(spark, [0, 0, 0])
+    counts = spark.createDataFrame([(1, 0)], "query_id long, n_rel long")
+    row = ranking_metrics(ranked, counts, k=3).collect()[0]
+    assert row["ndcg_at_3"] == 0.0
+    assert row["mrr"] == 0.0
+    assert row["map_at_3"] == 0.0
+
+
+def test_ranking_metrics_ideal_capped_at_k(spark):
+    from yelp_etl_spark.functions.evaluation import (
+        dcg_weight_micro,
+        ranking_metrics,
+    )
+
+    # 100 relevant in corpus but k=3: IDCG uses only the first 3 weights
+    ranked = _rank_rows(spark, [1, 0, 1])
+    counts = spark.createDataFrame([(1, 100)], "query_id long, n_rel long")
+    row = ranking_metrics(ranked, counts, k=3).collect()[0]
+    w = dcg_weight_micro(3)
+    assert row["ndcg_at_3"] == round((w[0] + w[2]) / sum(w), 6)

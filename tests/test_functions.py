@@ -1279,3 +1279,117 @@ def test_als_rank2_matches_numpy_reference(spark):
     q0 = {i: (1_000_000, 100_000 + h60_slice(i, 17, 15) % 500_000) for i in items}
     p0 = solve(q0, users, lambda u: by_user[u])
     assert err(q, solve(q, users, lambda u: by_user[u])) < err(q0, p0)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation (community detection)
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_cliques(spark):
+    from yelp_etl_spark.functions.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA with smallest-label
+    # tie-break labels each triangle by its minimum node id
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri1 + tri2, "src long, dst long")
+    labels = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert {labels[1], labels[2], labels[3]} == {1}
+    assert {labels[10], labels[11], labels[12]} == {10}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from yelp_etl_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23],
+        "src long, dst long",
+    )
+    a = sorted(
+        map(tuple, label_propagation(edges, iterations=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges.repartition(7), iterations=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_label_propagation_multi_edges_do_not_weight_votes(spark):
+    from yelp_etl_spark.functions.graph import label_propagation
+
+    # node 3 has neighbors 1 (duplicated edge) and 2; dedup means the
+    # vote is a tie and the SMALLEST label wins
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 3), (1, 3), (2, 3)], "src long, dst long"
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert labels[3] == 1  # smallest neighbor label, not multiplicity
+
+
+# ---------------------------------------------------------------------------
+# boosted_stumps (GBDT under squared loss)
+# ---------------------------------------------------------------------------
+
+
+def test_boosted_stumps_recovers_planted_step(spark):
+    from yelp_etl_spark.functions.classify import boosted_stumps
+
+    # y = 100 when f <= 10 else 500 (centi units): the stump must find
+    # the planted threshold and the exact leaf means, with zero SSE
+    rows = [(f, 100 if f <= 10 else 500) for f in range(1, 21)] * 5
+    df = spark.createDataFrame(rows, "f long, y long")
+    out = boosted_stumps(df, "y", [("f", [5, 10, 15])]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["threshold"] == 10
+    assert r["leaf_lo"] == 100 and r["leaf_hi"] == 500
+    assert r["n_lo"] == 50 and r["n_hi"] == 50
+    assert r["train_sse"] == 0
+
+
+def test_boosted_stumps_second_round_fits_residuals(spark):
+    from yelp_etl_spark.functions.classify import boosted_stumps
+
+    # additive signal: y = 200·(f1 > 5) + 40·(f2 > 2); two rounds on
+    # (f1, f2) must drive SSE to zero exactly
+    rows = [
+        (f1, f2, (200 if f1 > 5 else 0) + (40 if f2 > 2 else 0))
+        for f1 in range(1, 11)
+        for f2 in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y long")
+    out = {
+        r["round"]: r
+        for r in boosted_stumps(
+            df, "y", [("f1", [3, 5, 7]), ("f2", [1, 2, 3])]
+        ).collect()
+    }
+    assert out[1]["threshold"] == 5
+    assert out[2]["threshold"] == 2
+    assert out[2]["train_sse"] == 0
+    # SSE decreases monotonically across rounds
+    assert out[2]["train_sse"] <= out[1]["train_sse"]
+
+
+def test_boosted_stumps_negative_residual_floor_is_portable(spark):
+    from yelp_etl_spark.functions.classify import boosted_stumps
+
+    # leaf means that are negative and non-integral exercise the
+    # floor-via-shift path: floor(-7/2) = -4, NOT the -3 a
+    # truncate-toward-zero would give
+    df = spark.createDataFrame(
+        [(1, -7), (1, 0), (2, 5)], "f long, y long"
+    )
+    out = boosted_stumps(df, "y", [("f", [1])]).collect()[0]
+    assert out["leaf_lo"] == -4  # floor(-7/2)
+    assert out["leaf_hi"] == 5

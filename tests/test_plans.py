@@ -206,14 +206,19 @@ def test_count_min_build_partial_aggregates(spark, sf_dir):
 
 
 def test_funnel_single_keyed_shuffle(spark, sf_dir):
-    """The ordered funnel must collapse per-user events in ONE keyed
-    exchange; step predicates are column arithmetic, not self-joins."""
+    """The first-touch funnel materializes each step frame exactly
+    once (truncate_lineage): the final plan reads the three
+    checkpointed step frames, so NO events scan and NO keyed exchange
+    remain — the per-step chains never recompute. The only joins left
+    are the broadcast crosses of the three 1-row count frames."""
     df = QUERIES["funnel_conversion"].fn(spark, sf_dir)
     plan = plan_of(df, "simple")
-    assert "Join" not in plan
-    # one hashpartitioning exchange (user_id) + the single-partition
-    # exchange feeding the global roll-up
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every step frame is pre-materialized: the count-side plan holds
+    # zero parquet scans and zero keyed exchanges
+    assert "FileScan parquet" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
 
 
 def test_bloom_prune_probe_filter_is_broadcast(spark, sf_dir):

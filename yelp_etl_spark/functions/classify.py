@@ -324,3 +324,137 @@ def chi2_terms(
         .alias("chi2"),
     )
     return scored.orderBy(F.desc("chi2"), "tok", "label").limit(top_k)
+
+
+def boosted_stumps(
+    df: DataFrame,
+    target_centi: str,
+    rounds: list[tuple[str, list[int]]],
+) -> DataFrame:
+    """Gradient-boosted regression stumps under squared loss — the
+    simplest member of the GBDT family, trained fully in-engine with
+    EXACT integer arithmetic so every round is oracle-checkable.
+
+    ``df`` carries integer feature columns plus ``target_centi``, the
+    target pre-quantized to integer centi-units (squared loss on a
+    quantized target is the established cross-engine discipline —
+    see kaplan_meier / logistic_regression_train). Each ``rounds``
+    entry is ``(feature_column, candidate_thresholds)``; round i fits
+    a depth-1 stump (split f ≤ t) to the current residuals and the
+    residuals update by the stump's floor-quantized leaf means.
+
+    Exactness: per-feature-value partials (n, Σr, Σr²) are BIGINT;
+    the split score Σ_L²/n_L + Σ_R²/n_R uses two exact-product
+    doubles (bit-identical on any engine while |Σr| < 2²⁶·⁵ ≈ 9.4e7,
+    i.e. ~9e7 rows at centi scale — beyond that, re-quantize residuals
+    coarser); leaves are FLOOR(Σr/n) via the shift trick
+    ``(Σr + 1000·n) div n − 1000`` because Spark's ``div`` truncates
+    toward zero while DuckDB's ``//`` floors — they agree only on
+    non-negative operands; post-round SSE is reconstructed exactly
+    from the partials (Σr² − 2·leaf·Σr + n·leaf²), never re-scanned.
+
+    Scale shape: each round is ONE keyed partial-agg over the
+    feature's distinct values (bounded model table), a broadcast
+    cross-join against the literal threshold grid, a bounded top-1
+    sort over |grid| rows, and a broadcast 1-row residual update.
+    The data table is scanned once per round; nothing collects.
+
+    Returns one row per round:
+    (round, threshold, n_lo, n_hi, leaf_lo, leaf_hi, train_sse).
+    """
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+    spark = df.sparkSession
+    feature_cols = [f for f, _ in rounds]
+    cur = truncate_lineage(
+        df.select(
+            *[F.col(f).cast("long").alias(f) for f in feature_cols],
+            F.col(target_centi).cast("long").alias("r"),
+        ),
+        eager=True,
+    )
+    out_rows = []
+    for i, (feat, thresholds) in enumerate(rounds, start=1):
+        partials = cur.groupBy(F.col(feat).alias("f")).agg(
+            F.count("*").alias("n"),
+            F.sum("r").alias("s"),
+            F.sum(F.col("r") * F.col("r")).alias("ss"),
+        )
+        thr = spark.createDataFrame(
+            [(int(t),) for t in thresholds], "t bigint"
+        )
+        lo = F.col("f") <= F.col("t")
+        scored = (
+            partials.crossJoin(F.broadcast(thr))
+            .groupBy("t")
+            .agg(
+                F.sum(F.when(lo, F.col("n")).otherwise(0)).alias("nl"),
+                F.sum(F.when(lo, F.col("s")).otherwise(0)).alias("sl"),
+                F.sum(F.when(lo, F.col("ss")).otherwise(0)).alias("ssl"),
+                F.sum(F.when(~lo, F.col("n")).otherwise(0)).alias("nh"),
+                F.sum(F.when(~lo, F.col("s")).otherwise(0)).alias("sh"),
+                F.sum(F.when(~lo, F.col("ss")).otherwise(0)).alias("ssh"),
+            )
+            .filter((F.col("nl") > 0) & (F.col("nh") > 0))
+        )
+        score = (
+            F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+            + F.col("sh").cast("double") * F.col("sh") / F.col("nh")
+        )
+        best = (
+            scored.withColumn("score", score)
+            .orderBy(F.desc("score"), F.asc("t"))
+            .limit(1)
+            .select(
+                "t",
+                "nl",
+                "nh",
+                F.expr("(sl + 1000 * nl) div nl - 1000").alias("leaf_lo"),
+                F.expr("(sh + 1000 * nh) div nh - 1000").alias("leaf_hi"),
+                "sl",
+                "ssl",
+                "sh",
+                "ssh",
+            )
+        )
+        round_row = best.select(
+            F.lit(i).cast("long").alias("round"),
+            F.col("t").alias("threshold"),
+            F.col("nl").cast("long").alias("n_lo"),
+            F.col("nh").cast("long").alias("n_hi"),
+            F.col("leaf_lo").cast("long").alias("leaf_lo"),
+            F.col("leaf_hi").cast("long").alias("leaf_hi"),
+            (
+                (
+                    F.col("ssl")
+                    - 2 * F.col("leaf_lo") * F.col("sl")
+                    + F.col("nl") * F.col("leaf_lo") * F.col("leaf_lo")
+                )
+                + (
+                    F.col("ssh")
+                    - 2 * F.col("leaf_hi") * F.col("sh")
+                    + F.col("nh") * F.col("leaf_hi") * F.col("leaf_hi")
+                )
+            )
+            .cast("long")
+            .alias("train_sse"),
+        )
+        out_rows.append(round_row)
+        if i < len(rounds):
+            upd = best.select("t", "leaf_lo", "leaf_hi")
+            cur = truncate_lineage(
+                cur.crossJoin(F.broadcast(upd)).select(
+                    *feature_cols,
+                    (
+                        F.col("r")
+                        - F.when(
+                            F.col(feat) <= F.col("t"), F.col("leaf_lo")
+                        ).otherwise(F.col("leaf_hi"))
+                    ).alias("r"),
+                ),
+                eager=True,
+            )
+    result = out_rows[0]
+    for extra in out_rows[1:]:
+        result = result.unionByName(extra)
+    return result.orderBy("round")

@@ -453,3 +453,106 @@ def reliability_bins(
         F.round(obs, 6).alias("obs_rate"),
         F.round(obs - mean_p, 6).alias("gap"),
     ).orderBy("bin")
+
+
+def dcg_weight_micro(k: int) -> list[int]:
+    """Integer DCG position weights round(1e6 / log2(pos+1)) for
+    positions 1..k, computed ONCE in Python and injected as literals
+    into both the Spark plan and the DuckDB oracle. Computing log2 on
+    each engine would risk last-ulp divergence at the rounding
+    boundary; a shared literal table makes the gain arithmetic exact
+    BIGINT on both sides by construction."""
+    import math
+
+    return [round(1_000_000 / math.log2(p + 1)) for p in range(1, k + 1)]
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant_counts: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking-quality metrics NDCG@k, MRR@k, and MAP@k —
+    the standard retrieval-evaluation triple next to recall@k
+    (ann_recall_at_k), run entirely in-engine.
+
+    ``ranked``: one row per retrieved item, ``(query_id, rank, rel)``
+    with rank 1..k (dense, from a deterministic top-k) and binary
+    ``rel``. ``relevant_counts``: ``(query_id, n_rel)`` — the TOTAL
+    number of relevant items in the corpus, used for the NDCG ideal
+    ranking and the MAP normalizer (both capped at k).
+
+    Parity discipline: DCG/IDCG use the shared integer weight table
+    (``dcg_weight_micro``) so both are exact BIGINT sums; each MAP
+    precision term ROUND(1e6·cum/rank) quantizes a single exact-int
+    division before the sum (values m/n with n ≤ k never land on a
+    .5 boundary for k ≤ 10); NDCG/MRR/MAP are one final division
+    each, rounded to 6.
+
+    Scale: the per-query window is bounded by k rows; the whole
+    metric is one keyed agg plus a broadcast-sized join against the
+    query set. At 100 TB the COST lives in producing ``ranked``
+    (evaluate on a fixed query sample — see ann_recall_at_k); the
+    metric itself is linear in |queries|·k.
+    """
+    w = dcg_weight_micro(k)
+    cum = [0]
+    for x in w:
+        cum.append(cum[-1] + x)
+    w_arr = F.array(*[F.lit(x) for x in w])
+    cum_arr = F.array(*[F.lit(x) for x in cum[1:]])
+
+    win = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = ranked.select(
+        "query_id",
+        "rank",
+        F.col("rel").cast("long").alias("rel"),
+    ).withColumn("cum_rel", F.sum("rel").over(win))
+    p_micro = F.when(
+        F.col("rel") == 1,
+        F.round(F.col("cum_rel") * F.lit(1_000_000.0) / F.col("rank")).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0))
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.element_at(w_arr, F.col("rank").cast("int")))
+        .cast("long")
+        .alias("dcg_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(p_micro).cast("long").alias("sum_p_micro"),
+    )
+    joined = relevant_counts.select(
+        "query_id", F.col("n_rel").cast("long").alias("n_rel")
+    ).join(per_q, "query_id", "left")
+    ideal_n = F.least(F.col("n_rel"), F.lit(k))
+    idcg_micro = F.when(
+        ideal_n > 0, F.element_at(cum_arr, ideal_n.cast("int"))
+    )
+    ndcg = F.when(
+        idcg_micro.isNotNull(),
+        F.round(
+            F.coalesce(F.col("dcg_micro"), F.lit(0)) / idcg_micro, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    mrr = F.coalesce(
+        F.round(F.lit(1.0) / F.col("first_rel"), 6), F.lit(0.0)
+    )
+    ap = F.when(
+        ideal_n > 0,
+        F.round(
+            F.coalesce(F.col("sum_p_micro"), F.lit(0))
+            / (ideal_n * F.lit(1_000_000)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "query_id",
+        "n_rel",
+        ndcg.alias(f"ndcg_at_{k}"),
+        mrr.alias("mrr"),
+        ap.alias(f"map_at_{k}"),
+    ).orderBy("query_id")

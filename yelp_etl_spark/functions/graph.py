@@ -424,3 +424,62 @@ def sssp_weighted(
             n_state = dist.count()
     sym.unpersist()
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the GraphX/GraphFrames LPA semantics): every node starts
+    as its own community; each round a node adopts the PLURALITY label
+    among its neighbors, ties broken by the smallest label. The
+    deterministic tie-break is what makes the algorithm oracle-checkable
+    (GraphX breaks ties by hash order; an unrolled SQL twin can't
+    replicate that, so smallest-label is pinned here).
+
+    Returns (id, label) after exactly ``iterations`` synchronous
+    rounds (fixed-round, like pagerank/sssp: data-dependent convergence
+    loops don't unroll into an oracle).
+
+    Scale shape: the edge list is symmetrized, DEDUPED (multi-edges
+    would silently weight votes), cached hash-partitioned on src; each
+    round costs one labels-shuffle join plus two keyed aggregations —
+    (dst,label) vote counts, then a dst arg-max via a single struct
+    max (map-side combinable; no per-node window, no global sort).
+    Labels lineage is truncated each round. At 1B+ nodes every
+    structure here is keyed and partial-aggregated; nothing collects
+    to the driver.
+    """
+    sym = _loop_edges(edges, src, dst, symmetric=True, dedup=True,
+                      broadcast_state=False)
+    labels = truncate_lineage(
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id")),
+        eager=True,
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, F.col("src") == F.col("id"))
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = truncate_lineage(
+            votes.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (-F.col("m.neg_label")).alias("label"),
+            ),
+            eager=True,
+        )
+    sym.unpersist()
+    return labels

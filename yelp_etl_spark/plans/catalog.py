@@ -7466,6 +7466,9 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "stream_hll_distinct",
         "funnel_conversion",
         "als_factors",
+        "ndcg_mrr_eval",
+        "label_prop_communities",
+        "gbt_stumps",
     }
 )
 

@@ -3767,6 +3767,8 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention). Generalizes the reference's flat event rollups
     (clean.py event aggregation) to ordered behavioral analytics;
     CEP-style arbitrary patterns live in event_path_pattern."""
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
     events = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     t = None
     reached = []  # per-step 1-row count frames
@@ -3781,6 +3783,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("t"))
             )
+        # Each step frame feeds BOTH its own count and the next step's
+        # join: materialize it once (truncate_lineage), or every later
+        # count recomputes the whole prefix chain — 6 event scans
+        # instead of 3 (and 2× that waste at 100 TB).
+        t = truncate_lineage(t, eager=True)
         reached.append(
             t.agg(F.count("*").cast("long").alias(f"n{k}")).select(f"n{k}")
         )
@@ -3954,6 +3961,322 @@ EXTRA_QUERIES.update(
             q_als_factors,
             ORACLE_ALS_FACTORS,
             "ext:rank-2 ALS recommender (closed-form solves, exact oracle)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Ranking-quality metrics: NDCG@k / MRR / MAP (evaluation.ranking_metrics)
+# --------------------------------------------------------------------------
+
+
+def q_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@10 / MRR / MAP@10 of exact cosine retrieval
+    against the embeddings' class labels (rel = neighbor shares the
+    query's label) — the standard graded-retrieval triple next to
+    ann_recall_at_k, run entirely in-engine (evaluation.py
+    ranking_metrics). DCG position weights are a shared Python-
+    computed integer literal table, so both engines do exact BIGINT
+    gain sums; see the library docstring for the 100 TB cost split
+    (fixed query sample, metric linear in |queries|·k)."""
+    from yelp_etl_spark.functions import similarity as S
+    from yelp_etl_spark.functions.evaluation import ranking_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    labels = emb.select("vec_id", "label")
+    ranked = (
+        S.brute_force_topk(emb, queries, k=10)
+        .join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("q_label") == F.col("n_label")).cast("long").alias("rel"),
+        )
+    )
+    label_totals = emb.groupBy("label").agg(F.count("*").alias("n_label_total"))
+    rel_counts = (
+        queries.select("vec_id", "label")
+        .join(F.broadcast(label_totals), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("n_label_total") - 1).cast("long").alias("n_rel"),
+        )
+    )
+    return ranking_metrics(ranked, rel_counts, k=10)
+
+
+def _oracle_ndcg(k: int = 10) -> str:
+    from yelp_etl_spark.functions.evaluation import dcg_weight_micro
+    from yelp_etl_spark.functions.similarity import cosine_sim_sql
+
+    w = dcg_weight_micro(k)
+    cum = []
+    tot = 0
+    for x in w:
+        tot += x
+        cum.append(tot)
+    w_lit = "[" + ", ".join(str(x) for x in w) + "]"
+    cum_lit = "[" + ", ".join(str(x) for x in cum) + "]"
+    cos = cosine_sim_sql("q", "c")
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+),
+brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id % 101 = 0
+  ) WHERE rank <= {k}
+),
+cumr AS MATERIALIZED (
+  SELECT b.query_id, b.rank,
+         CASE WHEN qv.label = cv.label THEN 1 ELSE 0 END AS rel,
+         SUM(CASE WHEN qv.label = cv.label THEN 1 ELSE 0 END)
+           OVER (PARTITION BY b.query_id ORDER BY b.rank) AS cum_rel
+  FROM brute b
+  JOIN v qv ON b.query_id = qv.vec_id
+  JOIN v cv ON b.neighbor_id = cv.vec_id
+),
+perq AS MATERIALIZED (
+  SELECT query_id,
+         CAST(SUM(rel * list_extract({w_lit}, rank)) AS BIGINT) AS dcg_micro,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         CAST(SUM(CASE WHEN rel = 1
+                       THEN CAST(ROUND(CAST(cum_rel AS DOUBLE) * 1000000
+                                       / rank) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum_p_micro
+  FROM cumr GROUP BY 1
+),
+nrel AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, CAST(t.n - 1 AS BIGINT) AS n_rel
+  FROM v q
+  JOIN (SELECT label, COUNT(*) AS n FROM v GROUP BY 1) t ON q.label = t.label
+  WHERE q.vec_id % 101 = 0
+)
+SELECT n.query_id, n.n_rel,
+       CASE WHEN LEAST(n.n_rel, {k}) > 0
+            THEN ROUND(COALESCE(p.dcg_micro, 0)
+                       / list_extract({cum_lit},
+                                      CAST(LEAST(n.n_rel, {k}) AS INTEGER)), 6)
+            ELSE 0.0 END AS ndcg_at_{k},
+       COALESCE(ROUND(CAST(1.0 AS DOUBLE) / p.first_rel, 6), 0.0) AS mrr,
+       CASE WHEN LEAST(n.n_rel, {k}) > 0
+            THEN ROUND(COALESCE(p.sum_p_micro, 0)
+                       / (LEAST(n.n_rel, {k}) * 1000000), 6)
+            ELSE 0.0 END AS map_at_{k}
+FROM nrel n LEFT JOIN perq p USING (query_id)
+ORDER BY n.query_id
+"""
+
+
+ORACLE_NDCG_MRR = _oracle_ndcg(10)
+
+
+EXTRA_QUERIES.update(
+    {
+        "ndcg_mrr_eval": (
+            q_ndcg_mrr_eval,
+            ORACLE_NDCG_MRR,
+            "ext:ranking metrics NDCG@10/MRR/MAP (shared weight literals)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Label-propagation community detection (functions/graph.py)
+# --------------------------------------------------------------------------
+
+
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after 4 synchronous label-propagation rounds
+    (graph.py label_propagation) on the thin supplier↔part graph
+    (namespaced long ids: 2·suppkey even, 2·partkey+1 odd — the
+    pagerank convention). Deterministic smallest-label tie-break makes
+    the rounds exactly reproducible as unrolled SQL. Per round: one
+    labels join + two keyed aggs, no windows, no collects — the
+    1B-node-safe shape."""
+    from yelp_etl_spark.functions.graph import label_propagation
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = lineitem.filter(F.col("l_quantity") <= 2).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    labels = label_propagation(edges, iterations=4)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy("community")
+    )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS MATERIALIZED (
+  SELECT dst AS id, label FROM (
+    SELECT s.dst, l.label,
+           ROW_NUMBER() OVER (PARTITION BY s.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM sym s JOIN {prev} l ON s.src = l.id
+    GROUP BY s.dst, l.label
+  ) WHERE rn = 1
+)"""
+
+
+def _lpa_oracle(iterations: int = 4) -> str:
+    sql = """WITH raw AS (
+  SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM lineitem WHERE l_quantity <= 2
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym)"""
+    prev = "l0"
+    for i in range(iterations):
+        sql += ",\n" + _lpa_round_sql(prev, f"r{i + 1}")
+        prev = f"r{i + 1}"
+    return sql + f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM {prev} GROUP BY 1 ORDER BY 1"""
+
+
+ORACLE_LABEL_PROP = _lpa_oracle(4)
+
+
+EXTRA_QUERIES.update(
+    {
+        "label_prop_communities": (
+            q_label_prop_communities,
+            ORACLE_LABEL_PROP,
+            "ext:label-propagation communities (4 unrolled rounds)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Gradient-boosted regression stumps (functions/classify.py boosted_stumps)
+# --------------------------------------------------------------------------
+
+
+def q_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds of depth-1 regression stumps (squared loss)
+    predicting the order discount (centi-quantized) from quantity,
+    then the partkey bucket — classify.boosted_stumps. Every output
+    cell is exact BIGINT (floor-quantized leaves, partials-derived
+    SSE); per round the data is scanned once into a bounded
+    per-feature-value model table. The candidate grids are literal on
+    both sides."""
+    from yelp_etl_spark.functions.classify import boosted_stumps
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    base = lineitem.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_partkey") % 16).cast("long").alias("pk16"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("y_centi"),
+    )
+    return boosted_stumps(
+        base,
+        "y_centi",
+        [
+            ("qty", [5, 10, 15, 20, 25, 30, 35, 40, 45]),
+            ("pk16", [2, 4, 6, 8, 10, 12, 14]),
+        ],
+    )
+
+
+def _stump_round_sql(
+    partials_src: str, feat: str, thresholds: list[int], idx: int
+) -> str:
+    grid = ", ".join(str(t) for t in thresholds)
+    return f"""p{idx} AS MATERIALIZED (
+  SELECT {feat} AS f, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS s,
+         CAST(SUM(r * r) AS BIGINT) AS ss
+  FROM {partials_src} GROUP BY 1
+),
+c{idx} AS MATERIALIZED (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN f <= t THEN n ELSE 0 END) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN f <= t THEN s ELSE 0 END) AS BIGINT) AS sl,
+         CAST(SUM(CASE WHEN f <= t THEN ss ELSE 0 END) AS BIGINT) AS ssl,
+         CAST(SUM(CASE WHEN f > t THEN n ELSE 0 END) AS BIGINT) AS nh,
+         CAST(SUM(CASE WHEN f > t THEN s ELSE 0 END) AS BIGINT) AS sh,
+         CAST(SUM(CASE WHEN f > t THEN ss ELSE 0 END) AS BIGINT) AS ssh
+  FROM p{idx}, (SELECT unnest([{grid}]) AS t) g
+  GROUP BY 1
+),
+b{idx} AS MATERIALIZED (
+  SELECT t, nl, nh,
+         (sl + 1000 * nl) // nl - 1000 AS leaf_lo,
+         (sh + 1000 * nh) // nh - 1000 AS leaf_hi,
+         sl, ssl, sh, ssh
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          ORDER BY CAST(sl AS DOUBLE) * sl / nl
+                 + CAST(sh AS DOUBLE) * sh / nh DESC, t ASC) AS rn
+        FROM c{idx} WHERE nl > 0 AND nh > 0)
+  WHERE rn = 1
+)"""
+
+
+def _stump_out_sql(idx: int) -> str:
+    return f"""SELECT CAST({idx} AS BIGINT) AS round, t AS threshold,
+       nl AS n_lo, nh AS n_hi, leaf_lo, leaf_hi,
+       CAST((ssl - 2 * leaf_lo * sl + nl * leaf_lo * leaf_lo)
+          + (ssh - 2 * leaf_hi * sh + nh * leaf_hi * leaf_hi)
+            AS BIGINT) AS train_sse
+FROM b{idx}"""
+
+
+ORACLE_GBT_STUMPS = (
+    """WITH base AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_partkey % 16 AS BIGINT) AS pk16,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS r
+  FROM lineitem
+),
+"""
+    + _stump_round_sql("base", "qty", [5, 10, 15, 20, 25, 30, 35, 40, 45], 1)
+    + """,
+res1 AS MATERIALIZED (
+  SELECT pk16,
+         r - (CASE WHEN qty <= b.t THEN b.leaf_lo ELSE b.leaf_hi END) AS r
+  FROM base, b1 b
+),
+"""
+    + _stump_round_sql("res1", "pk16", [2, 4, 6, 8, 10, 12, 14], 2)
+    + "\n"
+    + _stump_out_sql(1)
+    + "\nUNION ALL\n"
+    + _stump_out_sql(2)
+    + "\nORDER BY round"
+)
+
+
+EXTRA_QUERIES.update(
+    {
+        "gbt_stumps": (
+            q_gbt_stumps,
+            ORACLE_GBT_STUMPS,
+            "ext:boosted regression stumps (2 rounds, exact integer leaves/SSE)",
         ),
     }
 )
