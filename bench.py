@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "ndcg_mrr_eval",
     "label_prop_communities",
     "gbt_stumps",
+    "snapshot_eq_delete",
 ]
 
 

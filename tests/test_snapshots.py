@@ -1154,3 +1154,131 @@ def test_point_filter_null_value_keeps_all_files(spark, tmp_path):
         .collect()
     )
     assert [(r.k, r.v) for r in got] == [(None, "b")]
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes (snapshot_mor_delete)
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_masks_rows_without_rewriting_files(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_mor_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    s1 = snapshot_write(spark.range(0, 100), t)
+    dels = spark.range(0, 100).filter(F.col("id") % 10 == 0)
+    s2 = snapshot_mor_delete(spark, t, dels, ["id"])
+    # rows masked at read time
+    got = {r["id"] for r in snapshot_read(spark, t).collect()}
+    assert got == {i for i in range(100) if i % 10 != 0}
+    # time travel to the parent still sees everything
+    assert snapshot_read(spark, t, snapshot_id=s1).count() == 100
+    # the DATA file list is byte-identical — nothing was rewritten
+    m1 = _load_manifest(t, s1)
+    m2 = _load_manifest(t, s2)
+    assert [f["path"] for f in m1["files"]] == [
+        f["path"] for f in m2["files"]
+    ]
+    assert m2["operation"] == "delete"
+    assert m2["delete_files"][0]["count"] == 10
+
+
+def test_mor_delete_then_reinsert_is_visible(spark, tmp_path):
+    """Sequence-number semantics: a delete applies only to data files
+    with a strictly smaller seq — a later append re-inserting the same
+    key is NOT masked (the Iceberg v2 equality-delete rule)."""
+    from yelp_etl_spark.sources.snapshots import snapshot_mor_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 10).withColumn("v", F.lit("old")), t
+    )
+    snapshot_mor_delete(spark, t, spark.range(3, 5), ["id"])
+    assert snapshot_read(spark, t).count() == 8
+    # re-insert id=3 with a new value
+    snapshot_write(
+        spark.createDataFrame([(3, "new")], "id long, v string"),
+        t,
+        mode="append",
+    )
+    rows = {r["id"]: r["v"] for r in snapshot_read(spark, t).collect()}
+    assert rows[3] == "new"  # re-inserted row survives the older delete
+    assert 4 not in rows  # still deleted
+    assert len(rows) == 9
+
+
+def test_mor_delete_accumulates_and_append_inherits(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import snapshot_mor_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 20), t)
+    snapshot_mor_delete(spark, t, spark.range(0, 3), ["id"])
+    snapshot_write(spark.range(20, 25), t, mode="append")
+    snapshot_mor_delete(spark, t, spark.range(10, 12), ["id"])
+    got = {r["id"] for r in snapshot_read(spark, t).collect()}
+    assert got == set(range(3, 10)) | set(range(12, 25))
+
+
+def test_compact_materializes_and_resets_deletes(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_mor_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 50), t)
+    snapshot_mor_delete(spark, t, spark.range(0, 5), ["id"])
+    s3 = snapshot_compact(spark, t)
+    m = _load_manifest(t, s3)
+    assert not m.get("delete_files")  # rewrite resets the delete list
+    assert snapshot_read(spark, t).count() == 45
+    # content identical before/after compaction
+    assert snapshot_read(spark, t, snapshot_id=2).count() == 45
+
+
+def test_vacuum_keeps_referenced_delete_files(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import snapshot_mor_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 30), t)
+    snapshot_mor_delete(spark, t, spark.range(0, 7), ["id"])
+    assert vacuum(t) == 0  # delete file is live — nothing collected
+    assert snapshot_read(spark, t).count() == 23
+    # replace drops the MOR state; expire+vacuum then reclaims the
+    # delete file along with the old data files
+    snapshot_write(spark.range(0, 3), t, mode="replace")
+    expire_snapshots(t, keep_last=1)
+    assert vacuum(t) > 0
+    assert snapshot_read(spark, t).count() == 3
+
+
+def test_mor_delete_changelog_shows_removed_rows(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_mor_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    s1 = snapshot_write(
+        spark.range(0, 10).withColumn("v", F.col("id") * 2), t
+    )
+    s2 = snapshot_mor_delete(spark, t, spark.range(4, 6), ["id"])
+    ch = snapshot_changes(spark, t, s1, s2, ["id"], ["v"])
+    kinds = {r["id"]: r["diff_status"] for r in ch.collect()}
+    assert kinds[4] == "removed" and kinds[5] == "removed"
+    assert sum(1 for c in kinds.values() if c == "removed") == 2
+
+
+def test_mor_delete_requires_key_columns_and_parent(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import snapshot_mor_delete
+
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        snapshot_mor_delete(spark, t, spark.range(3), ["id"])
+    snapshot_write(spark.range(5), t)
+    with pytest.raises(ValueError, match="key column"):
+        snapshot_mor_delete(spark, t, spark.range(3), ["nope"])

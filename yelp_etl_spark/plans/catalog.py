@@ -6916,6 +6916,67 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_snapshot_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (sources/snapshots.py
+    snapshot_mor_delete — Iceberg v2 delete files): a GDPR-style
+    scattered erasure (every 7th order key) commits a DELETE FILE in
+    O(|deleted keys|) instead of rewriting the table; a later append
+    re-inserts half the deleted keys, which stay VISIBLE because an
+    equality delete applies only to data files with a strictly smaller
+    sequence number. The query proves all three semantics at once:
+    masked reads, untouched parent data files (files_kept, asserted
+    from the manifests), and delete-then-reinsert. At 100 TB this is
+    the only affordable path for sub-percent row deletion — the
+    copy-on-write alternative (snapshot_merge) rewrites everything."""
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_mor_delete,
+        snapshot_read,
+        snapshot_write,
+        snapshots,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapmor")
+    s1 = snapshot_write(orders, table, mode="replace")
+    snapshot_mor_delete(
+        spark,
+        table,
+        orders.filter(F.col("o_orderkey") % 7 == 0),
+        ["o_orderkey"],
+    )
+    s3 = snapshot_write(
+        orders.filter(F.col("o_orderkey") % 14 == 0), table, mode="append"
+    )
+    parent_paths = {f["path"] for f in _load_manifest(table, s1)["files"]}
+    final_paths = {f["path"] for f in _load_manifest(table, s3)["files"]}
+    files_kept = 1 if parent_paths <= final_paths else 0
+    ops = ",".join(s["operation"] for s in snapshots(table))
+    return (
+        snapshot_read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("ops", F.lit(ops))
+        .withColumn("files_kept", F.lit(files_kept).cast("long"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SNAPSHOT_EQ_DELETE = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       'replace,delete,append' AS ops, CAST(1 AS BIGINT) AS files_kept
+FROM (
+  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 14 = 0
+)
+GROUP BY o_orderstatus
+"""
+
+
 _ZORDER_BITS = 8
 
 
@@ -7145,6 +7206,11 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_expire,
         ORACLE_SNAPSHOT_EXPIRE,
         "ext:snapshot layer — expire_snapshots + vacuum retention lifecycle",
+    ),
+    "snapshot_eq_delete": QuerySpec(
+        q_snapshot_eq_delete,
+        ORACLE_SNAPSHOT_EQ_DELETE,
+        "ext:snapshot layer — merge-on-read equality deletes (v2 delete files)",
     ),
     "dynamic_overwrite_publish": QuerySpec(
         q_dynamic_overwrite_publish,
@@ -7469,6 +7535,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "ndcg_mrr_eval",
         "label_prop_communities",
         "gbt_stumps",
+        "snapshot_eq_delete",
     }
 )
 

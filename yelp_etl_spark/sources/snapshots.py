@@ -626,6 +626,14 @@ def snapshot_write(
             [StructField(f.name, f.dataType, True) for f in merged]
         )
     snapshot_id = (parent or 0) + 1
+    # Every new data file records the sequence number of the commit
+    # that added it (Iceberg's data_sequence_number): merge-on-read
+    # equality deletes apply only to files with a STRICTLY smaller
+    # seq, which is what lets a key be deleted and later re-inserted
+    # without the old delete swallowing the new row. Entries carried
+    # over from the parent keep their original seq.
+    for e in new_files:
+        e["seq"] = snapshot_id
     manifest = {
         "snapshot_id": snapshot_id,
         "parent_id": parent,
@@ -633,6 +641,13 @@ def snapshot_write(
         "schema": schema.json(),
         "files": files,
     }
+    if pm is not None and pm.get("delete_files"):
+        # an append carries the parent's data files, so it must carry
+        # the delete files that mask them; replace/rewrite start from
+        # a DataFrame that already has deletes applied (snapshot_read
+        # applies them), so they deliberately reset the delete list —
+        # that is exactly Iceberg's rewrite_position_deletes cleanup
+        manifest["delete_files"] = pm["delete_files"]
     if partition_by:
         manifest["partition_by"] = list(partition_by)
     if bloom_columns:
@@ -808,8 +823,40 @@ def snapshot_read(
     schema = StructType.fromJson(json.loads(schema_manifest["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_dir, f["path"]) for f in files]
-    return spark.read.schema(schema).parquet(*paths)
+    dels = manifest.get("delete_files") or []
+    if not dels:
+        paths = [os.path.join(table_dir, f["path"]) for f in files]
+        return spark.read.schema(schema).parquet(*paths)
+    # Merge-on-read equality deletes (snapshot_mor_delete): a delete
+    # file masks rows of every data file with a STRICTLY smaller
+    # sequence number (Iceberg v2's equality-delete rule — files
+    # appended after the delete, including re-inserts of deleted keys,
+    # are untouched). Data files group by their seq; each group
+    # anti-joins the union of the delete files that apply to it. No
+    # broadcast hint: the delete scans carry size stats, so Catalyst/
+    # AQE broadcasts small delete sets on its own but won't be forced
+    # to materialize a billion-key delete set on every executor —
+    # when deletes grow past that, snapshot_compact materializes them
+    # away (delete_files reset on rewrite).
+    by_seq: dict[int, list[str]] = {}
+    for f in files:
+        by_seq.setdefault(int(f.get("seq", 0)), []).append(
+            os.path.join(table_dir, f["path"])
+        )
+    parts = []
+    for fseq, paths in sorted(by_seq.items()):
+        part = spark.read.schema(schema).parquet(*paths)
+        for d in dels:
+            if d["seq"] > fseq:
+                dk = spark.read.parquet(
+                    *[os.path.join(table_dir, p) for p in d["paths"]]
+                )
+                part = part.join(dk, list(d["keys"]), "left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snapshots(table_dir: str) -> list[dict]:
@@ -927,6 +974,12 @@ def vacuum(table_dir: str) -> int:
     for f in _committed_manifest_names(table_dir):
         m = json.load(open(os.path.join(mdir, f)))
         live |= {fl["path"] for fl in m["files"]}
+        # merge-on-read delete files are as live as the data files
+        # they mask: collecting one would resurrect deleted rows in
+        # every snapshot that references it
+        live |= {
+            p for d in m.get("delete_files", []) for p in d["paths"]
+        }
     removed = 0
     ddir = os.path.join(table_dir, "data")
     for f in os.listdir(ddir):
@@ -1151,6 +1204,71 @@ def snapshot_merge(
     return snapshot_write(
         merged, table_dir, mode="replace", partition_by=parent_spec
     )
+
+
+def snapshot_mor_delete(
+    spark: SparkSession,
+    table_dir: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+) -> int:
+    """Merge-on-read row deletion (Iceberg v2 equality deletes): commit
+    the distinct ``keys``-tuples of ``delete_keys`` as a DELETE FILE —
+    the parent's data files are carried into the new snapshot
+    UNTOUCHED, and readers mask matching rows with an anti-join at
+    scan time (snapshot_read). Returns the new snapshot id.
+
+    This is the write path copy-on-write cannot afford at 100 TB:
+    deleting a scattered 0.1% of rows (GDPR erasure, late
+    retractions) under snapshot_merge's replace semantics rewrites
+    the entire table; here the commit cost is O(|deleted keys|) — one
+    small parquet write plus a manifest — regardless of table size.
+    The read-side anti-join is the deferred price; when accumulated
+    delete files grow, ``snapshot_compact`` materializes them into a
+    clean rewrite and resets the delete list (Iceberg's
+    rewrite_position_deletes + rewrite_data_files maintenance pair).
+
+    Sequence-number semantics: the delete applies only to data files
+    with a strictly smaller sequence number, so keys re-inserted by a
+    LATER append are visible — delete-then-reinsert works exactly as
+    in Iceberg. Time travel to the parent snapshot still sees the
+    deleted rows (the delete is a new snapshot, not an edit).
+
+    ``delete_keys`` may carry extra columns; only ``keys`` are
+    written. Deleting by a non-key predicate = filter the table first
+    and pass the matching key tuples."""
+    parent = _read_pointer(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    pm = _load_manifest(table_dir, parent)
+    missing = [k for k in keys if k not in delete_keys.columns]
+    if missing:
+        raise ValueError(f"delete_keys lacks key column(s) {missing!r}")
+    entries = _write_data_files(
+        delete_keys.select(*keys).distinct(), table_dir, None, None
+    )
+    snapshot_id = parent + 1
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": parent,
+        "operation": "delete",
+        "schema": pm["schema"],
+        "files": pm["files"],
+        "delete_files": (pm.get("delete_files") or [])
+        + [
+            {
+                "paths": [e["path"] for e in entries],
+                "keys": list(keys),
+                "seq": snapshot_id,
+                "count": sum(e.get("rows", 0) for e in entries),
+            }
+        ],
+    }
+    if pm.get("partition_by"):
+        manifest["partition_by"] = pm["partition_by"]
+    if pm.get("bloom_columns"):
+        manifest["bloom_columns"] = pm["bloom_columns"]
+    return _commit_manifest(table_dir, manifest)
 
 
 def snapshot_changes(
