@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "label_prop_communities",
     "gbt_stumps",
     "snapshot_eq_delete",
+    "markov_transitions",
+    "frame_sample_manifest",
 ]
 
 

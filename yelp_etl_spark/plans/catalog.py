@@ -7536,6 +7536,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "label_prop_communities",
         "gbt_stumps",
         "snapshot_eq_delete",
+        "markov_transitions",
+        "frame_sample_manifest",
     }
 )
 

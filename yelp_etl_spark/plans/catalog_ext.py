@@ -4280,3 +4280,138 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition model over the event stream
+# --------------------------------------------------------------------------
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: per-user
+    event sequences (ts order, event_id tiebreak) yield (state → next
+    state) pairs via one LEAD window, counted and row-normalized to
+    FLOOR-ppm probabilities (the exact cross-engine division
+    convention). The behavioral-model complement to funnel_conversion
+    (fixed path) and event_path_pattern (CEP regex): a transition
+    matrix is the whole directed behavior graph at once. Scale: the
+    window partitions per user (bounded by a user's event count);
+    everything after is keyed aggs over |states|² ≤ tiny cells."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(F.lit(1000000) * F.col("n") / F.col("row_total"))
+            .cast("long")
+            .alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(1000000 * n / SUM(n) OVER (PARTITION BY from_type))
+            AS BIGINT) AS p_ppm
+FROM counts ORDER BY 1, 2
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "markov_transitions": (
+            q_markov_transitions,
+            ORACLE_MARKOV_TRANSITIONS,
+            "ext:first-order Markov transition matrix (floor-ppm rows)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame-sampling manifest (functions/multimodal.py sample_frames)
+# --------------------------------------------------------------------------
+
+
+def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads
+    (multimodal.sample_frames): synthesize deterministic blobs from
+    document text, emit 4 evenly-spaced byte windows per blob with
+    their offsets, and fingerprint each window portably
+    (md5-of-hex — xxhash64 is engine-specific). Everything is
+    Catalyst byte arithmetic (explode over a computed offset array +
+    binary substring), no Python, no shuffle beyond the explode — the
+    shape a 100 TB media table needs, with the codec boundary
+    documented in multimodal.decode_blobs. The oracle replays the
+    window arithmetic on the hex encoding (DuckDB has no BLOB
+    substring), proving offsets, truncation at blob end, and window
+    content byte-for-byte."""
+    from yelp_etl_spark.functions.multimodal import (
+        sample_frames,
+        synthesize_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    blobs = synthesize_blobs(docs.select("doc_id", "text"))
+    frames = sample_frames(blobs, n_frames=4, frame_bytes=32)
+    return frames.select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("frame_offset_bytes").cast("long").alias("frame_offset_bytes"),
+        F.md5(
+            F.hex(F.expr("substring(content, frame_offset_bytes, 32)"))
+        ).alias("frame_md5"),
+    ).orderBy("doc_id", "frame_index")
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH b AS MATERIALIZED (
+  SELECT doc_id, '89504E470D0A1A0A' || upper(hex(encode(text))) AS hx
+  FROM documents WHERE doc_id % 5 = 0
+),
+f AS MATERIALIZED (
+  SELECT doc_id, hx, length(hx) // 2 AS total,
+         GREATEST((length(hx) // 2) // 4, 1) AS stride
+  FROM b
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
+       CAST(i * stride + 1 AS BIGINT) AS frame_offset_bytes,
+       md5(substring(hx, i * stride * 2 + 1, 64)) AS frame_md5
+FROM f, (SELECT unnest([0, 1, 2, 3]) AS i) g
+WHERE i * stride + 1 <= total
+ORDER BY doc_id, frame_index
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "frame_sample_manifest": (
+            q_frame_sample_manifest,
+            ORACLE_FRAME_SAMPLE,
+            "ext:multimodal frame sampling (portable window fingerprints)",
+        ),
+    }
+)
