@@ -267,6 +267,9 @@ BENCH_QUERIES = [
     "snapshot_eq_delete",
     "markov_transitions",
     "frame_sample_manifest",
+    "incremental_join_view",
+    "woe_encoding",
+    "loo_target_encoding",
 ]
 
 

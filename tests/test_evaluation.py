@@ -345,3 +345,74 @@ def test_ranking_metrics_ideal_capped_at_k(spark):
     row = ranking_metrics(ranked, counts, k=3).collect()[0]
     w = dcg_weight_micro(3)
     assert row["ndcg_at_3"] == round((w[0] + w[2]) / sum(w), 6)
+
+
+# ---------------------------------------------------------------------------
+# categorical encoders (woe_encode / loo_target_encode)
+# ---------------------------------------------------------------------------
+
+
+def test_woe_encode_signs_and_counts(spark):
+    from yelp_etl_spark.functions.classify import woe_encode
+
+    # 'hi' is pure-positive, 'lo' pure-negative: WoE signs must split
+    rows = [("hi", 1)] * 8 + [("hi", 0)] * 2 + [("lo", 1)] * 2 + [
+        ("lo", 0)
+    ] * 8
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = {r["category"]: r for r in woe_encode(df, "cat", "y").collect()}
+    assert out["hi"]["n"] == 10 and out["hi"]["n_pos"] == 8
+    assert out["hi"]["woe_micro"] > 0 > out["lo"]["woe_micro"]
+    # IV contributions are non-negative by construction
+    assert out["hi"]["iv_micro"] >= 0 and out["lo"]["iv_micro"] >= 0
+    w = math.log((8.5 * 10.5) / (2.5 * 10.5))
+    assert out["hi"]["woe_micro"] == round(w * 1e6)
+
+
+def test_woe_encode_smoothing_keeps_empty_cells_finite(spark):
+    from yelp_etl_spark.functions.classify import woe_encode
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 0)], "cat string, y long"
+    )
+    out = {r["category"]: r for r in woe_encode(df, "cat", "y").collect()}
+    assert out["a"]["woe_micro"] is not None  # neg=0 cell, smoothed
+    assert out["b"]["woe_micro"] is not None  # pos=0 cell, smoothed
+
+
+def test_loo_target_encode_excludes_own_label(spark):
+    from yelp_etl_spark.functions.classify import loo_target_encode
+
+    # category 'a': labels [1, 1, 0] — LOO for a y=1 row is mean(1,0)
+    # = 0.5; for the y=0 row mean(1,1) = 1.0
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1), (3, "a", 0), (4, "solo", 1)],
+        "id long, cat string, y long",
+    )
+    out = {
+        r["id"]: r["loo_enc_ppm"]
+        for r in loo_target_encode(df, "cat", "y").collect()
+    }
+    assert out[1] == 500_000 and out[2] == 500_000
+    assert out[3] == 1_000_000
+    # singleton falls back to the global prior floor(3e6/4)
+    assert out[4] == 750_000
+
+
+def test_loo_target_encode_is_leak_free_constant_per_cell(spark):
+    from yelp_etl_spark.functions.classify import loo_target_encode
+
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = [
+        (i, f"c{rng.randrange(4)}", rng.randrange(2)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, y long")
+    enc = loo_target_encode(df, "cat", "y")
+    cells = (
+        enc.groupBy("cat", "y")
+        .agg(F.countDistinct("loo_enc_ppm").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in cells)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from yelp_etl_spark.operators.scd import merge_upsert, scd2_history
 
 
@@ -103,3 +105,84 @@ def test_incremental_agg_maintenance_group_moves_and_death(spark):
     assert maintained == expected
     assert "b" not in maintained and "c" not in maintained
     assert maintained["d"] == (1, 50.0)
+
+
+# ---------------------------------------------------------------------------
+# join-view incremental maintenance (row_deltas + join_agg_deltas)
+# ---------------------------------------------------------------------------
+
+
+def _view(join_df):
+    return {
+        r["g"]: (r["n"], r["s"])
+        for r in join_df.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("m").alias("s"))
+        .collect()
+    }
+
+
+def test_join_agg_deltas_equals_recompute_both_sides_changing(spark):
+    from yelp_etl_spark.operators.scd import (
+        apply_agg_deltas,
+        join_agg_deltas,
+        row_deltas,
+    )
+
+    # R: fact rows (id, k, m); S: dim rows (k, g)
+    r_old = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 7), (3, 20, 1), (4, 30, 9)],
+        "id long, k long, m long",
+    )
+    # row 2 re-priced, row 3 deleted, row 5 inserted
+    r_new = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 70), (4, 30, 9), (5, 20, 2)],
+        "id long, k long, m long",
+    )
+    s_old = spark.createDataFrame(
+        [(10, "a"), (20, "a"), (30, "b")], "k long, g string"
+    )
+    # dim key 20 moves group a -> b; key 40 appears (no facts yet)
+    s_new = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "b"), (40, "c")], "k long, g string"
+    )
+    base = (
+        r_old.join(s_old, "k")
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("m").alias("s"))
+    )
+    dr = row_deltas(r_old, r_new, ["id"], ["k", "m"])
+    ds = row_deltas(s_old, s_new, ["k"], ["g"])
+    deltas = join_agg_deltas(r_old, dr, s_new, ds, ["k"], ["g"], ["m"])
+    maintained = apply_agg_deltas(
+        base, deltas, ["g"], count_col="n", sum_cols={"m": "s"}
+    )
+    got = {r["g"]: (r["n"], r["s"]) for r in maintained.collect()}
+    want = _view(r_new.join(s_new, "k"))
+    assert got == want
+
+
+def test_join_agg_deltas_no_change_is_empty(spark):
+    from yelp_etl_spark.operators.scd import join_agg_deltas, row_deltas
+
+    r = spark.createDataFrame([(1, 10, 5)], "id long, k long, m long")
+    s = spark.createDataFrame([(10, "a")], "k long, g string")
+    dr = row_deltas(r, r, ["id"], ["k", "m"])
+    ds = row_deltas(s, s, ["k"], ["g"])
+    assert join_agg_deltas(r, dr, s, ds, ["k"], ["g"], ["m"]).count() == 0
+
+
+def test_row_deltas_signs_and_values(spark):
+    from yelp_etl_spark.operators.scd import row_deltas
+
+    old = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    new = spark.createDataFrame([(2, "z"), (3, "w")], "id long, v string")
+    rows = {
+        (r["id"], r["v"], r["__sign"])
+        for r in row_deltas(old, new, ["id"], ["v"]).collect()
+    }
+    assert rows == {
+        (1, "x", -1),  # removed: old values, -1
+        (2, "y", -1),  # changed: old values out...
+        (2, "z", 1),  # ...new values in
+        (3, "w", 1),  # added
+    }

@@ -458,3 +458,106 @@ def boosted_stumps(
     for extra in out_rows[1:]:
         result = result.unionByName(extra)
     return result.orderBy("round")
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_column: str,
+    label_column: str,
+) -> DataFrame:
+    """Weight-of-evidence categorical encoding — the credit-scoring /
+    feature-engineering standard for turning a categorical column into
+    a monotone risk score: per category,
+    ``WoE = ln(((pos+0.5)·(N+0.5)) / ((neg+0.5)·(P+0.5)))`` (Laplace
+    0.5 smoothing so empty cells stay finite), plus each category's
+    information-value contribution ``(pos/P − neg/N)·WoE``.
+
+    Parity discipline: counts are exact BIGINT; the WoE is one fixed
+    expression tree (exact-double products up to 2⁵¹, one divide, one
+    ln) quantized to integer micro-nats (``_qlog`` convention); the IV
+    term multiplies two single-division doubles by the ALREADY
+    QUANTIZED woe_micro, so both engines agree to the last integer.
+
+    One keyed agg over |categories| cells + a broadcast 1-row totals
+    join — a 100 TB table pays one partial-aggregated scan.
+
+    Returns (category, n, n_pos, woe_micro, iv_micro) ordered by
+    category."""
+    half = F.lit(0.5)
+    cells = df.groupBy(F.col(cat_column).alias("category")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(label_column).cast("long")).alias("n_pos"),
+    )
+    totals = cells.agg(
+        F.sum("n_pos").alias("__P"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("__N"),
+    )
+    joined = cells.crossJoin(F.broadcast(totals))
+    neg = F.col("n") - F.col("n_pos")
+    woe_micro = F.round(
+        F.log(
+            ((F.col("n_pos") + half) * (F.col("__N") + half))
+            / ((neg + half) * (F.col("__P") + half))
+        )
+        * F.lit(MICRO)
+    ).cast("long")
+    out = joined.withColumn("woe_micro", woe_micro)
+    iv_micro = F.round(
+        (
+            F.col("n_pos") / F.col("__P")
+            - neg / F.col("__N")
+        )
+        * F.col("woe_micro")
+    ).cast("long")
+    return out.select(
+        "category",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        "woe_micro",
+        iv_micro.alias("iv_micro"),
+    ).orderBy("category")
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_column: str,
+    label_column: str,
+    out_column: str = "loo_enc_ppm",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets its category's
+    label mean EXCLUDING itself, ``(Σy − y_i)/(n − 1)`` — the standard
+    leak-free way to feed a high-cardinality categorical to a model
+    (plain target encoding leaks the row's own label; LOO removes it).
+    Singleton categories (n = 1) fall back to the global prior.
+
+    Values are FLOOR-ppm (the portable division convention): numerator
+    and denominator are exact BIGINTs, one multiply + one divide +
+    one floor per row, identical on any engine.
+
+    Shape: one keyed agg to |categories| cells, one broadcast 1-row
+    prior, one join back on the category — no window, no per-row
+    Python; the join is broadcastable whenever the category table is
+    (the usual case even at 100 TB: categories ≪ rows)."""
+    y = F.col(label_column).cast("long")
+    cells = df.groupBy(F.col(cat_column).alias("__cat")).agg(
+        F.count("*").alias("__n"), F.sum(y).alias("__sy")
+    )
+    prior = df.agg(
+        F.floor(
+            F.lit(1_000_000) * F.sum(y) / F.count("*")
+        ).alias("__prior_ppm")
+    )
+    enc = F.when(
+        F.col("__n") > 1,
+        F.floor(
+            F.lit(1_000_000) * (F.col("__sy") - y) / (F.col("__n") - 1)
+        ),
+    ).otherwise(F.col("__prior_ppm"))
+    return (
+        df.join(
+            F.broadcast(cells), F.col(cat_column) == F.col("__cat")
+        )
+        .crossJoin(F.broadcast(prior))
+        .withColumn(out_column, enc.cast("long"))
+        .drop("__cat", "__n", "__sy", "__prior_ppm")
+    )

@@ -236,3 +236,90 @@ def apply_agg_deltas(
         for m, b in sum_cols.items()
     ]
     return joined.select(*group_cols, *out).filter(F.col(count_col) > 0)
+
+
+def row_deltas(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Row-level signed delta stream between two snapshots: every
+    removed/changed key yields a −1 row with its OLD values, every
+    added/changed key a +1 row with its NEW values; unchanged keys
+    yield nothing. This is the multiset difference new − old in CDC
+    shape — the producer for join-view maintenance
+    (``join_agg_deltas``), where the deltas must stay ROW-level
+    because they re-join the other side before any grouping
+    (``snapshot_deltas`` pre-aggregates and is only usable for
+    single-table views). One full-outer join on the key; in production
+    this frame comes from a changelog scan (snapshot_changes) with no
+    join at all."""
+    o = old.select(
+        [F.col(k).alias(f"__k_{k}") for k in keys] + value_cols
+    )
+    n = new.select(
+        [F.col(k).alias(f"__nk_{k}") for k in keys]
+        + [F.col(c).alias(f"__n_{c}") for c in value_cols]
+    )
+    cond = [o[f"__k_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"__k_{keys[0]}").isNotNull()
+    new_present = F.col(f"__nk_{keys[0]}").isNotNull()
+    changed = None
+    for c in value_cols:
+        ne = ~F.col(c).eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    touched = joined.filter(~(old_present & new_present) | changed)
+    minus = touched.filter(old_present).select(
+        *[F.col(f"__k_{k}").alias(k) for k in keys],
+        *value_cols,
+        F.lit(-1).alias("__sign"),
+    )
+    plus = touched.filter(new_present).select(
+        *[F.col(f"__nk_{k}").alias(k) for k in keys],
+        *[F.col(f"__n_{c}").alias(c) for c in value_cols],
+        F.lit(1).alias("__sign"),
+    )
+    return minus.unionByName(plus)
+
+
+def join_agg_deltas(
+    r_old: DataFrame,
+    r_delta: DataFrame,
+    s_new: DataFrame,
+    s_delta: DataFrame,
+    join_keys: list[str],
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an aggregate over an INNER JOIN —
+    the two-table extension of snapshot_deltas/apply_agg_deltas, via
+    the textbook delta rule
+
+        Δ(R ⋈ S) = ΔR ⋈ S_new  +  R_old ⋈ ΔS
+
+    (exact under multiset semantics: expand (R_new−R_old)⋈S_new +
+    R_old⋈(S_new−S_old) and the R_old⋈S_new terms cancel). ``r_delta``
+    / ``s_delta`` are ROW-level signed deltas (``row_deltas``); the
+    joined sign is the delta row's sign, group columns may come from
+    either side (a dimension row that moves groups maintains both),
+    and the output is (group_cols, delta_n, delta_<m>…) — exactly the
+    schema ``apply_agg_deltas`` consumes, so the same merge step
+    finishes the view.
+
+    Cost: |ΔR| ⋈ S_new plus R_old ⋈ |ΔS| plus one keyed agg — the
+    join results are never rescanned. At 100 TB keep R_old bucketed on
+    the join key so the ΔS-side probe is a co-located join, and
+    broadcast the (small) delta sides; a day's CDC feed then maintains
+    a year's join view for the cost of the day."""
+    a = r_delta.join(s_new, join_keys)
+    b = r_old.join(s_delta, join_keys)
+    rows = a.select(
+        *group_cols, "__sign", *measure_cols
+    ).unionByName(b.select(*group_cols, "__sign", *measure_cols))
+    aggs = [F.sum("__sign").cast("long").alias("delta_n")] + [
+        F.sum(F.col("__sign") * F.col(m)).alias(f"delta_{m}")
+        for m in measure_cols
+    ]
+    return rows.groupBy(*group_cols).agg(*aggs)

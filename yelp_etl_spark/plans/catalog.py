@@ -7538,6 +7538,9 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "snapshot_eq_delete",
         "markov_transitions",
         "frame_sample_manifest",
+        "incremental_join_view",
+        "woe_encoding",
+        "loo_target_encoding",
     }
 )
 

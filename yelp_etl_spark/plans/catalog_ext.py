@@ -4415,3 +4415,217 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Incremental join-view maintenance (operators/scd.py join_agg_deltas)
+# --------------------------------------------------------------------------
+
+
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate over a JOIN when BOTH
+    sides change (scd.row_deltas + join_agg_deltas + apply_agg_deltas):
+    a per-nation revenue view over orders ⋈ customer is maintained
+    from signed CDC deltas — orders added/removed/re-priced AND
+    customers moving nations — via the exact delta rule
+    Δ(R⋈S) = ΔR⋈S_new + R_old⋈ΔS. The maintained view must equal the
+    oracle's direct recompute over the new snapshots. Prices are
+    cent-quantized so every maintained cell is exact integer algebra.
+    At 100 TB: the view update touches |ΔR|⋈S + R⋈|ΔS| + |groups|
+    rows; the joined fact table is never rescanned."""
+    from yelp_etl_spark.operators.scd import (
+        apply_agg_deltas,
+        join_agg_deltas,
+        row_deltas,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    r_old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bumped = F.when(
+        F.col("o_orderstatus") == "O", F.col("o_totalprice") + 1000.0
+    ).otherwise(F.col("o_totalprice"))
+    r_new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(bumped * 100).cast("long").alias("cents"),
+    )
+    s_old = customer.select("c_custkey", "c_nationkey")
+    s_new = customer.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 == 0, (F.col("c_nationkey") + 1) % 25
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    base = (
+        r_old.join(s_old, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    dr = row_deltas(r_old, r_new, ["o_orderkey"], ["c_custkey", "cents"])
+    ds = row_deltas(s_old, s_new, ["c_custkey"], ["c_nationkey"])
+    deltas = join_agg_deltas(
+        r_old, dr, s_new, ds, ["c_custkey"], ["c_nationkey"], ["cents"]
+    )
+    maintained = apply_agg_deltas(
+        base,
+        deltas,
+        ["c_nationkey"],
+        count_col="n",
+        sum_cols={"cents": "sum_cents"},
+    )
+    return maintained.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    ).orderBy("c_nationkey")
+
+
+ORACLE_INCREMENTAL_JOIN_VIEW = """
+WITH r_new AS (
+  SELECT o_orderkey, o_custkey AS c_custkey,
+         CAST(ROUND((CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+s_new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+)
+SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM r_new JOIN s_new USING (c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "incremental_join_view": (
+            q_incremental_join_view,
+            ORACLE_INCREMENTAL_JOIN_VIEW,
+            "ext:join-view IVM (delta rule, both sides changing)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Categorical feature encoders (functions/classify.py woe/loo)
+# --------------------------------------------------------------------------
+
+
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order priority against the
+    'fulfilled' label (classify.woe_encode): per-category micro-nat
+    WoE + information-value contribution, Laplace-smoothed. One
+    partial-aggregated scan to |categories| cells + a broadcast
+    totals join — the encoder a 100 TB feature pipeline can afford."""
+    from yelp_etl_spark.functions.classify import woe_encode
+
+    orders = _t(spark, sf_dir, "orders")
+    return woe_encode(
+        orders.select(
+            "o_orderpriority",
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        ),
+        "o_orderpriority",
+        "y",
+    )
+
+
+ORACLE_WOE_ENCODING = """
+WITH c AS MATERIALIZED (
+  SELECT o_orderpriority AS category, COUNT(*) AS n,
+         COUNT(*) FILTER (o_orderstatus = 'F') AS n_pos
+  FROM orders GROUP BY 1
+),
+t AS (SELECT SUM(n_pos) AS p_tot, SUM(n - n_pos) AS n_tot FROM c)
+SELECT category, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(ROUND(LN(((n_pos + CAST(0.5 AS DOUBLE)) * (n_tot + CAST(0.5 AS DOUBLE)))
+                     / (((n - n_pos) + CAST(0.5 AS DOUBLE)) * (p_tot + CAST(0.5 AS DOUBLE))))
+                  * 1000000) AS BIGINT) AS woe_micro,
+       CAST(ROUND((CAST(n_pos AS DOUBLE) / p_tot
+                   - CAST(n - n_pos AS DOUBLE) / n_tot)
+                  * CAST(ROUND(LN(((n_pos + CAST(0.5 AS DOUBLE)) * (n_tot + CAST(0.5 AS DOUBLE)))
+                                  / (((n - n_pos) + CAST(0.5 AS DOUBLE)) * (p_tot + CAST(0.5 AS DOUBLE))))
+                               * 1000000) AS BIGINT))
+            AS BIGINT) AS iv_micro
+FROM c, t ORDER BY category
+"""
+
+
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment against a
+    high-balance label (classify.loo_target_encode): every row carries
+    its category's label mean excluding itself, FLOOR-ppm. The query
+    attaches the per-row encoding through the library function, then
+    proves its per-(category, label) constancy with min = max in the
+    aggregate — LOO encodings take exactly two values per category."""
+    from yelp_etl_spark.functions.classify import loo_target_encode
+
+    customer = _t(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") > 4500).cast("long").alias("y"),
+    )
+    enc = loo_target_encode(base, "c_mktsegment", "y")
+    return (
+        enc.groupBy(F.col("c_mktsegment").alias("category"), "y")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("loo_enc_ppm").alias("enc_min"),
+            F.max("loo_enc_ppm").alias("enc_max"),
+        )
+        .orderBy("category", "y")
+    )
+
+
+ORACLE_LOO_TARGET_ENCODING = """
+WITH c AS MATERIALIZED (
+  SELECT c_mktsegment AS category,
+         CASE WHEN c_acctbal > 4500 THEN 1 ELSE 0 END AS y
+  FROM customer
+),
+s AS MATERIALIZED (
+  SELECT category, COUNT(*) AS n, SUM(y) AS sy FROM c GROUP BY 1
+),
+g AS (SELECT CAST(FLOOR(1000000 * SUM(sy) / SUM(n)) AS BIGINT) AS prior
+      FROM s)
+SELECT category, CAST(v.y AS BIGINT) AS y,
+       CAST(CASE WHEN v.y = 1 THEN sy ELSE n - sy END AS BIGINT) AS n_rows,
+       CAST(CASE WHEN n > 1
+                 THEN FLOOR(1000000 * (sy - v.y) / (n - 1))
+                 ELSE prior END AS BIGINT) AS enc_min,
+       CAST(CASE WHEN n > 1
+                 THEN FLOOR(1000000 * (sy - v.y) / (n - 1))
+                 ELSE prior END AS BIGINT) AS enc_max
+FROM s, (SELECT unnest([0, 1]) AS y) v, g
+WHERE (CASE WHEN v.y = 1 THEN sy ELSE n - sy END) > 0
+ORDER BY category, y
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "woe_encoding": (
+            q_woe_encoding,
+            ORACLE_WOE_ENCODING,
+            "ext:weight-of-evidence encoding (micro-nat WoE + IV)",
+        ),
+        "loo_target_encoding": (
+            q_loo_target_encoding,
+            ORACLE_LOO_TARGET_ENCODING,
+            "ext:leave-one-out target encoding (floor-ppm, leak-free)",
+        ),
+    }
+)
