@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "incremental_join_view",
     "woe_encoding",
     "loo_target_encoding",
+    "kcore_degrees",
 ]
 
 

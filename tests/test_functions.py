@@ -1393,3 +1393,26 @@ def test_boosted_stumps_negative_residual_floor_is_portable(spark):
     out = boosted_stumps(df, "y", [("f", [1])]).collect()[0]
     assert out["leaf_lo"] == -4  # floor(-7/2)
     assert out["leaf_hi"] == 5
+
+
+def test_k_core_peels_tail_keeps_clique(spark):
+    from yelp_etl_spark.functions.graph import k_core
+
+    # K4 clique (1-4) with a pendant chain 4-5-6: the 3-core is the
+    # clique alone; the chain peels off within two rounds
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["id"]: r["degree"] for r in k_core(edges, k=3, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_cascading_peel_needs_multiple_rounds(spark):
+    from yelp_etl_spark.functions.graph import k_core
+
+    # path graph: 2-core of a path is empty, but only after the peel
+    # cascades inward one layer per round
+    path = [(i, i + 1) for i in range(1, 8)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    assert k_core(edges, k=2, rounds=1).count() > 0  # not yet converged
+    assert k_core(edges, k=2, rounds=4).count() == 0  # fully peeled

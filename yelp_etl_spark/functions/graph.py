@@ -483,3 +483,51 @@ def label_propagation(
         )
     sym.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: each round removes
+    every node whose current degree is below ``k`` (and the edges
+    touching it); after enough rounds the survivors are exactly the
+    k-core — the standard dense-subgraph/influence primitive
+    (Seidman 1983, the same peeling GraphX's implementations unroll).
+
+    Fixed ``rounds`` rather than loop-to-fixpoint, like pagerank/LPA:
+    a data-dependent convergence loop can't unroll into a SQL oracle.
+    Returns (id, degree) over the edges surviving the last peel —
+    at fixpoint every degree is ≥ k; before it, the frame is the
+    exact intermediate state of round ``rounds``.
+
+    Scale shape: per round one keyed degree aggregation (map-side
+    combinable) plus two semi-joins of the edge list against the
+    ≤|V|-row keep set — every structure keyed on an 8-byte id, lineage
+    truncated per round, nothing driver-side. The edge list SHRINKS
+    monotonically, so later rounds cost less — the opposite of a
+    fan-out loop."""
+    sym = _loop_edges(edges, src, dst, symmetric=True, dedup=True,
+                      broadcast_state=False)
+    cur = sym
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = truncate_lineage(
+            cur.join(keep, "src", "left_semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            ),
+            eager=True,
+        )
+    out = cur.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    sym.unpersist()
+    return out

@@ -7541,6 +7541,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "incremental_join_view",
         "woe_encoding",
         "loo_target_encoding",
+        "kcore_degrees",
     }
 )
 

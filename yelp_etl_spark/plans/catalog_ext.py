@@ -4629,3 +4629,69 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (functions/graph.py k_core)
+# --------------------------------------------------------------------------
+
+
+def q_kcore_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution after 4 peeling rounds of the 3-core on the
+    thin supplier↔part graph (graph.k_core): one keyed degree agg +
+    two semi-joins per round over a monotonically shrinking edge list.
+    The oracle unrolls the same 4 peels as chained CTEs."""
+    from yelp_etl_spark.functions.graph import k_core
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = lineitem.filter(F.col("l_quantity") <= 3).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    nodes = k_core(edges, k=3, rounds=4)
+    return (
+        nodes.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    sql = """WITH raw AS (
+  SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM lineitem WHERE l_quantity <= 3
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+k{i} AS MATERIALIZED (
+  SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{i} a ON e.src = a.src
+  JOIN k{i} b ON e.dst = b.src
+)"""
+        prev = f"e{i}"
+    return sql + f"""
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM {prev} GROUP BY src)
+GROUP BY degree ORDER BY degree"""
+
+
+ORACLE_KCORE = _kcore_oracle(3, 4)
+
+
+EXTRA_QUERIES.update(
+    {
+        "kcore_degrees": (
+            q_kcore_degrees,
+            ORACLE_KCORE,
+            "ext:k-core decomposition (4 unrolled peeling rounds)",
+        ),
+    }
+)
