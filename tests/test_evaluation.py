@@ -416,3 +416,27 @@ def test_loo_target_encode_is_leak_free_constant_per_cell(spark):
         .collect()
     )
     assert all(r["k"] == 1 for r in cells)
+
+
+def test_loo_target_encode_keeps_null_category_rows(spark):
+    from yelp_etl_spark.functions.classify import loo_target_encode
+
+    df = spark.createDataFrame(
+        [(1, None, 1), (2, None, 0), (3, "a", 1)],
+        "id long, cat string, y long",
+    )
+    out = loo_target_encode(df, "cat", "y")
+    assert out.count() == 3  # an encoder never changes the row count
+    got = {r["id"]: r["loo_enc_ppm"] for r in out.collect()}
+    # NULL is a real category of size 2: LOO works within it
+    assert got[1] == 0 and got[2] == 1_000_000
+    # singleton 'a' falls back to global prior floor(2e6/3)
+    assert got[3] == 666_666
+
+
+def test_boosted_stumps_unsplittable_grid_raises(spark):
+    from yelp_etl_spark.functions.classify import boosted_stumps
+
+    df = spark.createDataFrame([(5, 100), (5, 200)], "f long, y long")
+    with pytest.raises(ValueError, match="non-empty sides"):
+        boosted_stumps(df, "y", [("f", [5])])  # all rows on the lo side

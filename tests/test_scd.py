@@ -186,3 +186,16 @@ def test_row_deltas_signs_and_values(spark):
         (2, "z", 1),  # ...new values in
         (3, "w", 1),  # added
     }
+
+
+def test_row_deltas_null_keys_emit_deltas(spark):
+    from yelp_etl_spark.operators.scd import row_deltas
+
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "id long, v string")
+    new = spark.createDataFrame([(None, "y"), (1, "a")], "id long, v string")
+    rows = {
+        (r["id"], r["v"], r["__sign"])
+        for r in row_deltas(old, new, ["id"], ["v"]).collect()
+    }
+    # the NULL-keyed row changed: it must emit -old and +new
+    assert rows == {(None, "x", -1), (None, "y", 1)}

@@ -1282,3 +1282,58 @@ def test_mor_delete_requires_key_columns_and_parent(spark, tmp_path):
     snapshot_write(spark.range(5), t)
     with pytest.raises(ValueError, match="key column"):
         snapshot_mor_delete(spark, t, spark.range(3), ["nope"])
+
+
+def test_rollback_restores_mor_deletes_and_bloom(spark, tmp_path):
+    """Rollback restores the table STATE: dropping delete_files would
+    resurrect erased rows; dropping bloom_columns would silently stop
+    sidecar builds."""
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_mor_delete,
+        snapshot_rollback,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 20).withColumn("k", F.col("id")),
+        t,
+        bloom_columns=["k"],
+    )
+    s2 = snapshot_mor_delete(spark, t, spark.range(0, 5), ["id"])
+    snapshot_write(spark.range(100, 103).withColumn("k", F.col("id")), t)
+    s4 = snapshot_rollback(t, s2)
+    assert snapshot_read(spark, t).count() == 15  # deletes still apply
+    m = _load_manifest(t, s4)
+    assert m.get("delete_files") and m.get("bloom_columns") == ["k"]
+
+
+def test_dynamic_overwrite_carries_deletes_and_stamps_seq(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_mor_delete,
+        snapshot_overwrite_partitions,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    snapshot_write(df, t, partition_by=["p"])
+    # MOR-delete ids 0..4 (both partitions affected)
+    snapshot_mor_delete(spark, t, spark.range(0, 5), ["id"])
+    # overwrite ONLY partition '1' with fresh rows, including id 1
+    # and 3 (previously deleted): new files must NOT be masked
+    repl = spark.createDataFrame(
+        [(1, "1"), (3, "1"), (101, "1")], "id long, p string"
+    )
+    s3 = snapshot_overwrite_partitions(repl, t, ["p"])
+    got = {r["id"] for r in snapshot_read(spark, t).collect()}
+    # partition '0' keeps its MOR deletes (0,2,4 gone, evens 6..18
+    # stay); partition '1' is fully replaced by {1, 3, 101} — old odd
+    # rows gone, the re-inserted previously-deleted 1 and 3 visible
+    assert got == {i for i in range(6, 20, 2)} | {1, 3, 101}
+    m = _load_manifest(t, s3)
+    assert m.get("delete_files")
+    new_entries = [f for f in m["files"] if f.get("seq") == s3]
+    assert new_entries  # fresh files stamped with this commit's seq

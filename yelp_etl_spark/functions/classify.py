@@ -347,10 +347,11 @@ def boosted_stumps(
     the split score Σ_L²/n_L + Σ_R²/n_R uses two exact-product
     doubles (bit-identical on any engine while |Σr| < 2²⁶·⁵ ≈ 9.4e7,
     i.e. ~9e7 rows at centi scale — beyond that, re-quantize residuals
-    coarser); leaves are FLOOR(Σr/n) via the shift trick
-    ``(Σr + 1000·n) div n − 1000`` because Spark's ``div`` truncates
-    toward zero while DuckDB's ``//`` floors — they agree only on
-    non-negative operands; post-round SSE is reconstructed exactly
+    coarser); leaves are FLOOR(Σr/n) via an explicit remainder
+    correction (Spark's ``div`` and DuckDB's ``//`` BOTH truncate
+    toward zero, so ``a div n − (a % n ≠ 0 AND a < 0)`` is the
+    portable floor at ANY residual magnitude — no shift constant, no
+    hidden range bound); post-round SSE is reconstructed exactly
     from the partials (Σr² − 2·leaf·Σr + n·leaf²), never re-scanned.
 
     Scale shape: each round is ONE keyed partial-agg over the
@@ -401,21 +402,37 @@ def boosted_stumps(
             F.col("sl").cast("double") * F.col("sl") / F.col("nl")
             + F.col("sh").cast("double") * F.col("sh") / F.col("nh")
         )
-        best = (
+        best = truncate_lineage(
             scored.withColumn("score", score)
             .orderBy(F.desc("score"), F.asc("t"))
-            .limit(1)
-            .select(
-                "t",
-                "nl",
-                "nh",
-                F.expr("(sl + 1000 * nl) div nl - 1000").alias("leaf_lo"),
-                F.expr("(sh + 1000 * nh) div nh - 1000").alias("leaf_hi"),
-                "sl",
-                "ssl",
-                "sh",
-                "ssh",
+            .limit(1),
+            eager=True,
+        )
+        if best.isEmpty():
+            # every candidate left one side empty: silently returning
+            # fewer rounds than promised (and emptying the residual
+            # frame through the cross join) would corrupt the model
+            raise ValueError(
+                f"boosted_stumps round {i}: no threshold in "
+                f"{list(thresholds)!r} splits column {feat!r} into two "
+                "non-empty sides — widen the candidate grid"
             )
+        best = best.select(
+            "t",
+            "nl",
+            "nh",
+            F.expr(
+                "(sl div nl) - (CASE WHEN sl % nl != 0 AND sl < 0 "
+                "THEN 1 ELSE 0 END)"
+            ).alias("leaf_lo"),
+            F.expr(
+                "(sh div nh) - (CASE WHEN sh % nh != 0 AND sh < 0 "
+                "THEN 1 ELSE 0 END)"
+            ).alias("leaf_hi"),
+            "sl",
+            "ssl",
+            "sh",
+            "ssh",
         )
         round_row = best.select(
             F.lit(i).cast("long").alias("round"),
@@ -555,7 +572,11 @@ def loo_target_encode(
     ).otherwise(F.col("__prior_ppm"))
     return (
         df.join(
-            F.broadcast(cells), F.col(cat_column) == F.col("__cat")
+            # NULL-safe: a NULL category is a real group (groupBy keeps
+            # it) — a plain equality join would silently DROP those
+            # rows, and an encoder must never change the row count
+            F.broadcast(cells),
+            F.col(cat_column).eqNullSafe(F.col("__cat")),
         )
         .crossJoin(F.broadcast(prior))
         .withColumn(out_column, enc.cast("long"))

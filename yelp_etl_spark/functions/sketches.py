@@ -244,6 +244,12 @@ def hll_portable_sketch(
     carries ≤ groups×512 register cells, never rows — the property
     that makes distinct counts incrementally maintainable at 100 TB.
 
+    NULL keys are excluded before hashing (distinct-count semantics:
+    Spark's and DuckDB's COUNT(DISTINCT) both ignore NULLs) — without
+    the filter a NULL key would emit a (group, bucket=NULL, m_j=NULL)
+    register row that corrupts hll_portable_estimate's n_empty and
+    the estimate on dirty input.
+
     Returns (group_cols..., bucket, m_j)."""
     h = _h60(F.col(key_column))
     bucket = (h % F.lit(HLL_M)).cast("int")
@@ -253,7 +259,8 @@ def hll_portable_sketch(
     )
     rho = (F.lit(HLL_W_BITS + 1) - bitlen).cast("int")
     return (
-        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        df.filter(F.col(key_column).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )

@@ -255,17 +255,24 @@ def row_deltas(
     single-table views). One full-outer join on the key; in production
     this frame comes from a changelog scan (snapshot_changes) with no
     join at all."""
+    # explicit presence markers, NOT key-null tests: the join below is
+    # eqNullSafe precisely so NULL keys match as real keys — testing
+    # presence via key.isNotNull() would silently drop every delta on
+    # a NULL-keyed row
     o = old.select(
-        [F.col(k).alias(f"__k_{k}") for k in keys] + value_cols
+        [F.col(k).alias(f"__k_{k}") for k in keys]
+        + value_cols
+        + [F.lit(1).alias("__old_present")]
     )
     n = new.select(
         [F.col(k).alias(f"__nk_{k}") for k in keys]
         + [F.col(c).alias(f"__n_{c}") for c in value_cols]
+        + [F.lit(1).alias("__new_present")]
     )
     cond = [o[f"__k_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in keys]
     joined = o.join(n, cond, "full_outer")
-    old_present = F.col(f"__k_{keys[0]}").isNotNull()
-    new_present = F.col(f"__nk_{keys[0]}").isNotNull()
+    old_present = F.col("__old_present").isNotNull()
+    new_present = F.col("__new_present").isNotNull()
     changed = None
     for c in value_cols:
         ne = ~F.col(c).eqNullSafe(F.col(f"__n_{c}"))

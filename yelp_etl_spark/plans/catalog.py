@@ -5316,9 +5316,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round(F.col("rank"), 9).alias("rank"))
 
 
-# (applicationId, sf_dir) -> (encoded_edges, mapping), both
-# localCheckpointed. One entry max; see the memo note in
-# q_pagerank_dict_ids.
+# (applicationId, sf_dir) -> (encoded_edges, mapping), both cached
+# (cache, not localCheckpoint, so eviction can unpersist). One entry
+# max; see the memo note in q_pagerank_dict_ids.
 _PAGERANK_ENCODE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
@@ -5353,16 +5353,25 @@ def q_pagerank_dict_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list (the production pattern this query's docstring prescribes),
     # so re-paying the ~2-job encode on every run would charge the
     # one-time build cost to the per-run iteration bench. The memoized
-    # frames are localCheckpointed, so repeat runs measure the
+    # frames are cached and materialized, so repeat runs measure the
     # iterations against an already-materialized graph.
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAGERANK_ENCODE_CACHE.get(cache_key)
     if cached is None:
-        from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
         encoded, mapping = encode_node_ids(edges)
-        cached = (truncate_lineage(encoded), truncate_lineage(mapping))
-        _PAGERANK_ENCODE_CACHE.clear()  # hold at most one graph alive
+        # cache() (not localCheckpoint): the memo must be able to
+        # RELEASE the evicted graph's storage — unpersist() is the
+        # public API for cached frames, while a localCheckpoint's
+        # materialized blocks stay pinned for the app's lifetime with
+        # no way to free them from PySpark (a leak of one full encoded
+        # edge list per sf_dir change within a session)
+        cached = (encoded.cache(), mapping.cache())
+        cached[0].count()
+        cached[1].count()
+        for old_enc, old_map in _PAGERANK_ENCODE_CACHE.values():
+            old_enc.unpersist()
+            old_map.unpersist()
+        _PAGERANK_ENCODE_CACHE.clear()
         _PAGERANK_ENCODE_CACHE[cache_key] = cached
     encoded, mapping = cached
     ranks = pagerank(

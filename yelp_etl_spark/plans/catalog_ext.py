@@ -4226,8 +4226,10 @@ c{idx} AS MATERIALIZED (
 ),
 b{idx} AS MATERIALIZED (
   SELECT t, nl, nh,
-         (sl + 1000 * nl) // nl - 1000 AS leaf_lo,
-         (sh + 1000 * nh) // nh - 1000 AS leaf_hi,
+         (sl // nl) - (CASE WHEN sl % nl <> 0 AND sl < 0
+                       THEN 1 ELSE 0 END) AS leaf_lo,
+         (sh // nh) - (CASE WHEN sh % nh <> 0 AND sh < 0
+                       THEN 1 ELSE 0 END) AS leaf_hi,
          sl, ssl, sh, ssh
   FROM (SELECT *, ROW_NUMBER() OVER (
           ORDER BY CAST(sl AS DOUBLE) * sl / nl

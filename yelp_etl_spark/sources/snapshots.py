@@ -514,6 +514,12 @@ def snapshot_write(
         raise ValueError(f"mode must be replace|append|rewrite, got {mode!r}")
     parent = _read_pointer(table_dir)
     pm = None
+    # parse the parent manifest at most once per commit: manifests
+    # embed per-file bloom sidecars, so a double json parse is a
+    # multi-MB driver cost on a many-file table
+    parent_manifest = (
+        _load_manifest(table_dir, parent) if parent is not None else None
+    )
     if mode in ("replace", "rewrite") and parent is not None and partition_by is None:
         # replace/rewrite inherit the parent's partition spec too
         # (Iceberg createOrReplace keeps the TABLE's spec): a plain
@@ -522,7 +528,7 @@ def snapshot_write(
         # overwrite_partitions refuses, and pruned reads degrade to
         # full listings. An explicit partition_by still re-specs, and
         # an explicit partition_by=[] de-partitions deliberately.
-        partition_by = _load_manifest(table_dir, parent).get("partition_by")
+        partition_by = parent_manifest.get("partition_by")
         if partition_by:
             missing = [
                 f for f, _, _ in _spec_fields(partition_by)
@@ -543,7 +549,7 @@ def snapshot_write(
         # degrade to full scans with no error. Same contract as the
         # partition inherit above: missing source columns refuse
         # loudly, bloom_columns=[] disables deliberately.
-        inherited_bloom = _load_manifest(table_dir, parent).get("bloom_columns")
+        inherited_bloom = parent_manifest.get("bloom_columns")
         if inherited_bloom:
             missing = [c for c in inherited_bloom if c not in df.columns]
             if missing:
@@ -556,7 +562,7 @@ def snapshot_write(
                 )
             bloom_columns = inherited_bloom
     if mode == "append" and parent is not None:
-        pm = _load_manifest(table_dir, parent)
+        pm = parent_manifest
         # An append INHERITS the parent's partition spec (Iceberg: the
         # spec belongs to the table, not the write) — without this, a
         # plain append would silently de-partition the table and the
@@ -843,15 +849,25 @@ def snapshot_read(
         by_seq.setdefault(int(f.get("seq", 0)), []).append(
             os.path.join(table_dir, f["path"])
         )
+    # each delete file is scanned ONCE and the frame reused across seq
+    # groups (the frames are seq-invariant; re-creating them per group
+    # would multiply scan nodes by |groups|·|deletes|)
+    del_frames = [
+        (
+            d["seq"],
+            list(d["keys"]),
+            spark.read.parquet(
+                *[os.path.join(table_dir, p) for p in d["paths"]]
+            ),
+        )
+        for d in dels
+    ]
     parts = []
     for fseq, paths in sorted(by_seq.items()):
         part = spark.read.schema(schema).parquet(*paths)
-        for d in dels:
-            if d["seq"] > fseq:
-                dk = spark.read.parquet(
-                    *[os.path.join(table_dir, p) for p in d["paths"]]
-                )
-                part = part.join(dk, list(d["keys"]), "left_anti")
+        for dseq, dkeys, dk in del_frames:
+            if dseq > fseq:
+                part = part.join(dk, dkeys, "left_anti")
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
@@ -1042,14 +1058,25 @@ def snapshot_overwrite_partitions(
         for f in pm["files"]
         if tuple(f["partition"][c] for c in fields) not in touched
     ]
+    snapshot_id = parent + 1
+    # new files get this commit's sequence number (snapshot_write's
+    # convention) so inherited MOR delete files — which apply only to
+    # strictly-smaller seqs — never mask the freshly written rows
+    for e in new_files:
+        e["seq"] = snapshot_id
     manifest = {
-        "snapshot_id": parent + 1,
+        "snapshot_id": snapshot_id,
         "parent_id": parent,
         "operation": "overwrite",
         "schema": pm["schema"],
         "files": new_files + kept,
         "partition_by": list(partition_by),
     }
+    if pm.get("delete_files"):
+        # kept partitions carry their data files, so they must carry
+        # the delete files masking them — dropping the list would
+        # resurrect MOR-deleted rows in every UNTOUCHED partition
+        manifest["delete_files"] = pm["delete_files"]
     if bloom_columns:
         manifest["bloom_columns"] = list(bloom_columns)
     return _commit_manifest(table_dir, manifest)
@@ -1089,6 +1116,15 @@ def snapshot_rollback(table_dir: str, to_snapshot: int) -> int:
         # restoring a spec'd snapshot restores its spec too — otherwise
         # a later dynamic overwrite would refuse the "spec-less" parent
         manifest["partition_by"] = target["partition_by"]
+    # ... and its MOR delete files (dropping them would RESURRECT
+    # every row the target snapshot had masked — silent un-deletion
+    # of erased keys) and its bloom sidecar spec (losing it degrades
+    # point lookups to full scans and stops later writes building
+    # sidecars). Rollback restores the table STATE, all of it.
+    if target.get("delete_files"):
+        manifest["delete_files"] = target["delete_files"]
+    if target.get("bloom_columns"):
+        manifest["bloom_columns"] = target["bloom_columns"]
     return _commit_manifest(table_dir, manifest)
 
 
