@@ -271,6 +271,9 @@ BENCH_QUERIES = [
     "woe_encoding",
     "loo_target_encoding",
     "kcore_degrees",
+    "temporal_reachability",
+    "profile_columns",
+    "zipf_slope",
 ]
 
 

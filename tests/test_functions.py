@@ -1416,3 +1416,35 @@ def test_k_core_cascading_peel_needs_multiple_rounds(spark):
     edges = spark.createDataFrame(path, "src long, dst long")
     assert k_core(edges, k=2, rounds=1).count() > 0  # not yet converged
     assert k_core(edges, k=2, rounds=4).count() == 0  # fully peeled
+
+
+def test_temporal_reachability_respects_time(spark):
+    from yelp_etl_spark.functions.graph import temporal_reachability
+
+    # 1 -(t5)-> 2 -(t3)-> 3 : static BFS reaches 3, but the 2->3 edge
+    # (t3) predates the arrival at 2 (t5) — temporally unreachable.
+    # 1 -(t5)-> 2 -(t7)-> 4 works.
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 7)], "src long, dst long, ts long"
+    )
+    seeds = spark.createDataFrame([(1, 0)], "id long, t0 long")
+    got = {
+        r["id"]: r["arrival"]
+        for r in temporal_reachability(edges, seeds, rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 5, 4: 7}
+
+
+def test_temporal_reachability_earliest_arrival_wins(spark):
+    from yelp_etl_spark.functions.graph import temporal_reachability
+
+    # two paths to 3: late direct (t9) vs early two-hop (t1 then t2)
+    edges = spark.createDataFrame(
+        [(1, 3, 9), (1, 2, 1), (2, 3, 2)], "src long, dst long, ts long"
+    )
+    seeds = spark.createDataFrame([(1, 0)], "id long, t0 long")
+    got = {
+        r["id"]: r["arrival"]
+        for r in temporal_reachability(edges, seeds, rounds=3).collect()
+    }
+    assert got[3] == 2  # earliest arrival, not first found

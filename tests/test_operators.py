@@ -280,3 +280,26 @@ def test_safe_cast_non_string_source_unaffected_by_guard(spark):
     out = safe_cast(df, {"d": [T.LongType()]})
     assert dict(out.dtypes)["d"] == "bigint"
     assert {r.d for r in out.collect()} == {3, 4}
+
+
+def test_profile_columns_counts_and_entropy(spark):
+    import math
+
+    from yelp_etl_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), (None, 4)],
+        "cat string, k long",
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, ["cat", "k"]).collect()}
+    assert out["cat"]["n_nonnull"] == 3 and out["cat"]["n_null"] == 1
+    assert out["cat"]["n_distinct"] == 2
+    assert out["k"]["n_distinct"] == 4 and out["k"]["n_null"] == 0
+    # entropy of {a:2, b:1}: -(2*q(2/3) + 1*q(1/3))/3 in micro-nats
+    q = lambda p: round(math.log(p) * 1e6)  # noqa: E731
+    want = round(-(2 * q(2 / 3) + 1 * q(1 / 3)) / 3)
+    assert out["cat"]["entropy_micronats"] == want
+    # uniform over 4 distinct values: ln(4) micro-nats exactly
+    assert out["k"]["entropy_micronats"] == round(
+        -(4 * q(1 / 4)) / 4
+    )

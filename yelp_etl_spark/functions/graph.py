@@ -531,3 +531,56 @@ def k_core(
     )
     sym.unpersist()
     return out
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+) -> DataFrame:
+    """Earliest-arrival temporal reachability: which nodes can be
+    reached from the seeds along TIME-RESPECTING paths (each hop's
+    edge timestamp ≥ the arrival time at its source), and how early —
+    the diffusion/contact-tracing primitive static BFS gets wrong
+    (a path that uses an edge older than your arrival never happened).
+
+    ``edges`` carries integer timestamps (days/epoch units — integer
+    so every min() is exact); ``seeds`` is (id, t0) — a seed can start
+    at its own time. Returns (id, arrival) after ``rounds`` relaxation
+    rounds (fixed-round like sssp: the trajectory unrolls into SQL).
+
+    Per round: one join of the arrival table onto the src-hash-
+    partitioned cached edge list with the time-respecting residual
+    (edge.ts ≥ arrival), then a keyed min — the sssp_weighted shape
+    with `ts` in place of dist+w, same 1B-node properties (keyed
+    8-byte shuffles, lineage truncated, no collects). Monotone:
+    arrivals only decrease, so fixed rounds under-approximate
+    reachability, never over-approximate."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(ts).cast("long").alias("ts"),
+    ).repartition("src").cache()
+    arrival = truncate_lineage(
+        seeds.select(
+            F.col("id"), F.col("t0").cast("long").alias("arrival")
+        ).groupBy("id").agg(F.min("arrival").alias("arrival")),
+        eager=True,
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(arrival, F.col("src") == F.col("id"))
+            .filter(F.col("ts") >= F.col("arrival"))
+            .select(F.col("dst").alias("id"), F.col("ts").alias("arrival"))
+        )
+        arrival = truncate_lineage(
+            arrival.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("arrival").alias("arrival")),
+            eager=True,
+        )
+    e.unpersist()
+    return arrival

@@ -47,3 +47,68 @@ def assert_quality(df: DataFrame, rules: dict[str, Column]) -> None:
     bad = {name: row[name] for name in rules if row[name] > 0}
     if bad:
         raise ValueError(f"data-quality violations: {bad}")
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass column profiler — the discovery step before writing
+    quality rules: per column, non-null/null counts, distinct
+    cardinality, and the Shannon entropy of the value distribution in
+    integer micro-nats (high entropy ≈ key-like, near-zero ≈
+    constant; the metadata a 100 TB curation pipeline wants BEFORE
+    choosing partition keys, dedup keys, or stratification columns).
+
+    All columns profile in ONE scan: an unpivot (``stack``) streams
+    (column, value) pairs into a single keyed aggregation — k columns
+    never cost k scans. Values are compared as strings purely for the
+    uniform unpivot schema; counts are unaffected for the
+    integer/string columns this targets. Entropy follows the repo's
+    micro-nat discipline: each value's ``round(1e6·ln(cnt/n))`` is an
+    integer BEFORE the Σcnt·q sum (exact BIGINT under any
+    partitioning), one final division.
+
+    Returns (col_name, n_nonnull, n_null, n_distinct,
+    entropy_micronats) ordered by col_name."""
+    stack_expr = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in columns
+    )
+    pairs = df.select(
+        F.expr(f"stack({len(columns)}, {stack_expr}) as (col_name, value)")
+    )
+    cells = pairs.groupBy("col_name", "value").agg(
+        F.count("*").alias("cnt")
+    )
+    nonnull = cells.filter(F.col("value").isNotNull())
+    per_col = nonnull.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_nonnull"),
+        F.count("*").alias("n_distinct"),
+    )
+    q = F.round(
+        F.log(F.col("cnt") / F.col("n_nonnull")) * F.lit(1_000_000.0)
+    ).cast("long")
+    ent = (
+        nonnull.join(F.broadcast(per_col), "col_name")
+        .select("col_name", (F.col("cnt") * q).alias("term"), "n_nonnull")
+        .groupBy("col_name")
+        .agg(
+            F.round(-F.sum("term") / F.first("n_nonnull"))
+            .cast("long")
+            .alias("entropy_micronats")
+        )
+    )
+    nulls = (
+        cells.filter(F.col("value").isNull())
+        .groupBy("col_name")
+        .agg(F.sum("cnt").alias("n_null"))
+    )
+    return (
+        per_col.join(ent, "col_name")
+        .join(nulls, "col_name", "left")
+        .select(
+            "col_name",
+            F.col("n_nonnull").cast("long").alias("n_nonnull"),
+            F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "entropy_micronats",
+        )
+        .orderBy("col_name")
+    )

@@ -7551,6 +7551,9 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "woe_encoding",
         "loo_target_encoding",
         "kcore_degrees",
+        "temporal_reachability",
+        "profile_columns",
+        "zipf_slope",
     }
 )
 

@@ -4697,3 +4697,233 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Time-respecting reachability (functions/graph.py temporal_reachability)
+# --------------------------------------------------------------------------
+
+
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival diffusion over the timestamped customer↔supplier
+    interaction graph (graph.temporal_reachability): seeds are every
+    97th customer at t0 = 0; each hop must use an edge dated at or
+    after the arrival at its source — the contact-tracing semantics
+    static BFS gets wrong. Timestamps are integer days so every min is
+    exact; 3 unrolled rounds, sssp-shaped keyed shuffles only."""
+    from yelp_etl_spark.functions.graph import temporal_reachability
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    base = lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_suppkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("ts"),
+    )
+    edges = base.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        "ts",
+    ).unionByName(
+        base.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+            "ts",
+        )
+    )
+    seeds = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") * 2).alias("id"), F.lit(0).alias("t0")
+    )
+    return temporal_reachability(edges, seeds, rounds=3).orderBy("id")
+
+
+def _temporal_reach_oracle(rounds: int = 3) -> str:
+    sql = """WITH base AS MATERIALIZED (
+  SELECT l_suppkey, o_custkey,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ts
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS MATERIALIZED (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, ts FROM base
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst, ts FROM base
+),
+a0 AS MATERIALIZED (
+  SELECT c_custkey * 2 AS id, CAST(0 AS BIGINT) AS arrival
+  FROM customer WHERE c_custkey % 97 = 0
+)"""
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+a{i} AS MATERIALIZED (
+  SELECT id, MIN(arrival) AS arrival FROM (
+    SELECT id, arrival FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, e.ts AS arrival
+    FROM e JOIN {prev} p ON e.src = p.id AND e.ts >= p.arrival
+  ) GROUP BY id
+)"""
+        prev = f"a{i}"
+    return sql + f"""
+SELECT id, CAST(arrival AS BIGINT) AS arrival FROM {prev} ORDER BY id"""
+
+
+ORACLE_TEMPORAL_REACH = _temporal_reach_oracle(3)
+
+
+EXTRA_QUERIES.update(
+    {
+        "temporal_reachability": (
+            q_temporal_reachability,
+            ORACLE_TEMPORAL_REACH,
+            "ext:earliest-arrival time-respecting reachability (3 rounds)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Column profiler (operators/validate.py profile_columns)
+# --------------------------------------------------------------------------
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of four orders columns spanning the cardinality
+    spectrum (status: 3 values; priority: 5; custkey: key-like;
+    orderkey: unique) — counts, distincts, and micro-nat entropy via
+    a single stack-unpivot + keyed agg (validate.profile_columns)."""
+    from yelp_etl_spark.operators.validate import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+    )
+
+
+def _profile_block(col: str) -> str:
+    return f"""SELECT '{col}' AS col_name,
+       CAST(SUM(cnt) AS BIGINT) AS n_nonnull,
+       CAST((SELECT COUNT(*) FROM orders WHERE {col} IS NULL) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(ROUND(-SUM(cnt * CAST(ROUND(LN(cnt / nn) * 1000000) AS BIGINT))
+                  / nn) AS BIGINT) AS entropy_micronats
+FROM (SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS cnt
+      FROM orders WHERE {col} IS NOT NULL GROUP BY 1),
+     (SELECT CAST(COUNT({col}) AS BIGINT) AS nn FROM orders)
+GROUP BY nn"""
+
+
+ORACLE_PROFILE_COLUMNS = (
+    "\nUNION ALL\n".join(
+        _profile_block(c)
+        for c in ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+    )
+    + "\nORDER BY col_name"
+)
+
+
+EXTRA_QUERIES.update(
+    {
+        "profile_columns": (
+            q_profile_columns,
+            ORACLE_PROFILE_COLUMNS,
+            "ext:one-scan column profiler (cardinality + micro-nat entropy)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Zipf's-law fit over the corpus frequency spectrum
+# --------------------------------------------------------------------------
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit of the token frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) over the top-1000 terms — the standard
+    corpus-health diagnostic (natural text ≈ −1; boilerplate or
+    synthetic spam bends the tail). The top-k is a distributed
+    sort-limit (never a global rank window over the vocabulary); the
+    rank/log quantization is milli-nat integers so all five OLS sums
+    are exact BIGINT (n·Σxy and Σx·Σy stay < 2⁵³ by construction at
+    k=1000) and the slope is ONE final division. The closed form is
+    computed manually — the engines' regr_slope implementations use
+    different accumulation algorithms and are not bit-portable."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text").filter(F.col("tok") != "")
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = (
+        freqs.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1000)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("tok"))
+            ),
+        )
+    )
+    q = lambda c: F.round(F.log(c) * F.lit(1000.0)).cast("long")  # noqa: E731
+    pts = top.select(q(F.col("rank")).alias("x"), q(F.col("cnt")).alias("y"))
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+ORACLE_ZIPF_SLOPE = """
+WITH freqs AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+),
+top AS MATERIALIZED (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+  FROM freqs ORDER BY cnt DESC, tok ASC LIMIT 1000
+),
+pts AS (
+  SELECT CAST(ROUND(LN(rank) * 1000) AS BIGINT) AS x,
+         CAST(ROUND(LN(cnt) * 1000) AS BIGINT) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "zipf_slope": (
+            q_zipf_slope,
+            ORACLE_ZIPF_SLOPE,
+            "ext:Zipf OLS fit (exact BIGINT moments, manual closed form)",
+        ),
+    }
+)
