@@ -274,6 +274,9 @@ BENCH_QUERIES = [
     "temporal_reachability",
     "profile_columns",
     "zipf_slope",
+    "markov_attribution",
+    "record_linkage_fs",
+    "l_diversity_audit",
 ]
 
 

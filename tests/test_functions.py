@@ -1448,3 +1448,32 @@ def test_temporal_reachability_earliest_arrival_wins(spark):
         for r in temporal_reachability(edges, seeds, rounds=3).collect()
     }
     assert got[3] == 2  # earliest arrival, not first found
+
+
+def test_markov_attribution_credits_the_converting_channel(spark):
+    from yelp_etl_spark.functions.attribution import (
+        markov_removal_attribution,
+    )
+
+    # user 1: view -> click -> purchase; user 2: error -> (no purchase)
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "purchase"),
+        (4, 2, "2024-01-01 00:00:00", "error"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(
+            events, ["view", "click", "error"], steps=6
+        ).collect()
+    }
+    # removing view or click severs the ONLY converting path
+    assert out["view"]["removal_effect_ppm"] == 1_000_000
+    assert out["click"]["removal_effect_ppm"] == 1_000_000
+    # error never leads to conversion: zero removal effect
+    assert out["error"]["removal_effect_ppm"] == 0
+    assert out["view"]["p_full_ppm"] == 500_000  # 1 of 2 journeys convert

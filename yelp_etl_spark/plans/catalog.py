@@ -7554,6 +7554,9 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "temporal_reachability",
         "profile_columns",
         "zipf_slope",
+        "markov_attribution",
+        "record_linkage_fs",
+        "l_diversity_audit",
     }
 )
 

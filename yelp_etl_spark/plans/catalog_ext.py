@@ -4927,3 +4927,326 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (functions/attribution.py)
+# --------------------------------------------------------------------------
+
+_ATTRIB_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven channel attribution by Markov removal effects
+    (attribution.markov_removal_attribution): user journeys truncate
+    at the first purchase ('conv'), non-converters close with 'null';
+    each channel's credit is the ppm drop in 6-step absorption
+    probability when its transitions are deleted. Transition counting
+    is fully distributed; the value iteration runs on the collected
+    ≤(|channels|+3)²-row matrix in exact integer ppm (the k-means
+    bounded-model-collect discipline), so the oracle replays the
+    entire trajectory."""
+    from yelp_etl_spark.functions.attribution import (
+        markov_removal_attribution,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return markov_removal_attribution(
+        events, _ATTRIB_CHANNELS, absorber="purchase", steps=6
+    ).orderBy("channel")
+
+
+def _attrib_chain_sql(tag: str, where: str, steps: int) -> str:
+    sql = f""",
+v0_{tag} AS (SELECT 'conv' AS state, CAST(1000000 AS BIGINT) AS v)"""
+    prev = f"v0_{tag}"
+    for i in range(1, steps + 1):
+        sql += f""",
+v{i}_{tag} AS MATERIALIZED (
+  SELECT frm AS state, CAST(SUM((p * v) // 1000000) AS BIGINT) AS v
+  FROM t JOIN {prev} ON t.two = {prev}.state{where}
+  GROUP BY 1
+)"""
+        prev = f"v{i}_{tag}"
+    return sql
+
+
+def _attrib_oracle(channels: list[str], steps: int = 6) -> str:
+    states = sorted(set(channels) | {"start", "conv", "null"})
+    state_lits = ", ".join(f"'{s}'" for s in states)
+    sql = f"""WITH s1 AS MATERIALIZED (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM events
+),
+s2 AS MATERIALIZED (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' THEN seq END)
+           OVER (PARTITION BY user_id) AS fp,
+         MAX(seq) OVER (PARTITION BY user_id) AS last_seq
+  FROM s1
+),
+kept AS MATERIALIZED (
+  SELECT user_id, seq, fp, last_seq,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS state
+  FROM s2 WHERE fp IS NULL OR seq <= fp
+),
+trans AS MATERIALIZED (
+  SELECT frm, two, COUNT(*) AS n FROM (
+    SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY seq),
+                    'start') AS frm,
+           state AS two
+    FROM kept
+    UNION ALL
+    SELECT state AS frm, 'null' AS two
+    FROM kept WHERE fp IS NULL AND seq = last_seq
+  )
+  WHERE frm IN ({state_lits}) AND two IN ({state_lits})
+  GROUP BY 1, 2
+),
+t AS MATERIALIZED (
+  SELECT frm, two,
+         CAST(FLOOR(1000000 * n / SUM(n) OVER (PARTITION BY frm))
+              AS BIGINT) AS p
+  FROM trans
+  UNION ALL
+  SELECT 'conv', 'conv', CAST(1000000 AS BIGINT)
+)"""
+    sql += _attrib_chain_sql("full", "", steps)
+    for c in sorted(channels):
+        sql += _attrib_chain_sql(
+            f"no_{c}", f"\n  WHERE t.frm <> '{c}' AND t.two <> '{c}'", steps
+        )
+    blocks = []
+    for c in sorted(channels):
+        blocks.append(f"""SELECT '{c}' AS channel,
+       pf.v AS p_full_ppm, pc.v AS p_removed_ppm,
+       CAST(CASE WHEN pf.v > 0
+                 THEN (1000000 * (pf.v - pc.v)) // pf.v
+                 ELSE 0 END AS BIGINT) AS removal_effect_ppm
+FROM (SELECT COALESCE((SELECT v FROM v{steps}_full WHERE state = 'start'),
+                      0) AS v) pf,
+     (SELECT COALESCE((SELECT v FROM v{steps}_no_{c} WHERE state = 'start'),
+                      0) AS v) pc""")
+    return sql + "\n" + "\nUNION ALL\n".join(blocks) + "\nORDER BY channel"
+
+
+ORACLE_MARKOV_ATTRIBUTION = _attrib_oracle(_ATTRIB_CHANNELS, 6)
+
+
+EXTRA_QUERIES.update(
+    {
+        "markov_attribution": (
+            q_markov_attribution,
+            ORACLE_MARKOV_ATTRIBUTION,
+            "ext:Markov removal-effect attribution (full unrolled trajectory)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record-linkage scoring
+# --------------------------------------------------------------------------
+
+
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage à la Fellegi-Sunter (1969): score
+    brand-blocked part pairs by Σ_f ln(m_f/u_f) for agreeing fields
+    and Σ_f ln((1−m_f)/(1−u_f)) for disagreeing ones — the classical
+    entity-resolution weight model under every modern dedupe/Splink
+    pipeline. u-probabilities (chance agreement) are ESTIMATED from
+    the data as Σ_v cnt_v²/N² per field; m is the standard 0.9 prior.
+    Weights quantize to micro-nats before the per-pair sum (exact
+    BIGINT — the _qlog discipline), pairs come from hash blocking
+    (never a cross join), and the output is the weight histogram in
+    whole nats (truncated division — identical on both engines).
+    Scale: blocking bounds candidates to Σ_b |block_b|²; the weight
+    table is a broadcast 1-row frame."""
+    part = _t(spark, sf_dir, "part")
+    recs = part.select(
+        F.col("p_partkey").alias("k"),
+        F.concat(F.col("p_brand"), F.lit("|"), (F.col("p_size") % 10)).alias("b"),
+        F.col("p_type").alias("f1"),
+        F.split(F.lower(F.col("p_name")), " ").getItem(0).alias("f2"),
+        F.floor(F.col("p_retailprice") / 100).alias("f3"),
+    )
+
+    def field_w(col: str, tag: str):
+        cnts = recs.groupBy(col).agg(F.count("*").alias("cnt"))
+        s = cnts.agg(
+            F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+            F.sum("cnt").alias("n"),
+        )
+        nn = F.col("n") * F.col("n")
+        return s.select(
+            F.round(F.log(F.lit(0.9) * F.col("n") * F.col("n") / F.col("s2"))
+                    * F.lit(1_000_000.0)).cast("long").alias(f"w{tag}a"),
+            F.round(
+                F.log(
+                    F.lit(0.1) * F.col("n") * F.col("n")
+                    / (nn - F.col("s2") + F.lit(0.5))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long").alias(f"w{tag}d"),
+        )
+
+    weights = field_w("f1", "1").crossJoin(field_w("f2", "2")).crossJoin(
+        field_w("f3", "3")
+    )
+    a = recs.alias("a")
+    bb = recs.alias("b")
+    pairs = a.join(
+        bb, (F.col("a.b") == F.col("b.b")) & (F.col("a.k") < F.col("b.k"))
+    ).crossJoin(F.broadcast(weights))
+    w = (
+        F.when(F.col("a.f1").eqNullSafe(F.col("b.f1")), F.col("w1a"))
+        .otherwise(F.col("w1d"))
+        + F.when(F.col("a.f2").eqNullSafe(F.col("b.f2")), F.col("w2a"))
+        .otherwise(F.col("w2d"))
+        + F.when(F.col("a.f3").eqNullSafe(F.col("b.f3")), F.col("w3a"))
+        .otherwise(F.col("w3d"))
+    )
+    return (
+        pairs.select(w.alias("weight"))
+        .select(F.expr("weight div 1000000").alias("w_nat"))
+        .groupBy("w_nat")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("w_nat")
+    )
+
+
+def _fs_field_w_sql(col: str, tag: str) -> str:
+    return f"""w{tag} AS (
+  SELECT CAST(ROUND(LN(CAST(0.9 AS DOUBLE) * n * n / s2) * 1000000)
+              AS BIGINT) AS w{tag}a,
+         CAST(ROUND(LN(CAST(0.1 AS DOUBLE) * n * n / (n * n - s2 + CAST(0.5 AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS w{tag}d
+  FROM (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS cnt FROM recs GROUP BY {col}))
+)"""
+
+
+ORACLE_RECORD_LINKAGE_FS = (
+    """WITH recs AS MATERIALIZED (
+  SELECT p_partkey AS k,
+         p_brand || '|' || CAST(p_size % 10 AS VARCHAR) AS b, p_type AS f1,
+         string_split(lower(p_name), ' ')[1] AS f2,
+         CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS f3
+  FROM part
+),
+"""
+    + ",\n".join(_fs_field_w_sql(c, t) for c, t in
+                 [("f1", "1"), ("f2", "2"), ("f3", "3")])
+    + """
+SELECT w_nat, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+  SELECT ((CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN w1a ELSE w1d END)
+        + (CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN w2a ELSE w2d END)
+        + (CASE WHEN a.f3 IS NOT DISTINCT FROM b.f3 THEN w3a ELSE w3d END))
+        // 1000000 AS w_nat
+  FROM recs a
+  JOIN recs b ON a.b = b.b AND a.k < b.k, w1, w2, w3
+)
+GROUP BY w_nat ORDER BY w_nat"""
+)
+
+
+EXTRA_QUERIES.update(
+    {
+        "record_linkage_fs": (
+            q_record_linkage_fs,
+            ORACLE_RECORD_LINKAGE_FS,
+            "ext:Fellegi-Sunter linkage weights (blocked pairs, micro-nats)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (privacy family, sibling of k_anonymity_audit)
+# --------------------------------------------------------------------------
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity
+    alone fails when a quasi-identifier group is large but its
+    SENSITIVE attribute is homogeneous (everyone in the group shares
+    one balance band → attribute disclosure without re-identification).
+    Flags (nation, segment) groups whose sensitive bal_band has fewer
+    than l=4 distinct values, with the group's sensitive entropy in
+    micro-nats (entropy l-diversity, the stronger variant). Two keyed
+    aggs — (QI, sensitive) cells then QI rollup — group-sized output."""
+    cust = _t(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("cnt"))
+    tot = cells.groupBy("nationkey", "mktsegment").agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("l_distinct")
+    )
+    q = F.round(
+        F.log(F.col("cnt") / F.col("n")) * F.lit(1_000_000.0)
+    ).cast("long")
+    ent = (
+        cells.join(tot, ["nationkey", "mktsegment"])
+        .select("nationkey", "mktsegment", (F.col("cnt") * q).alias("term"),
+                "n")
+        .groupBy("nationkey", "mktsegment")
+        .agg(
+            F.round(-F.sum("term") / F.first("n"))
+            .cast("long")
+            .alias("sens_entropy_micronats")
+        )
+    )
+    return (
+        tot.join(ent, ["nationkey", "mktsegment"])
+        .filter(F.col("l_distinct") < 4)
+        .select(
+            "nationkey",
+            "mktsegment",
+            F.col("n").cast("long").alias("n"),
+            F.col("l_distinct").cast("long").alias("l_distinct"),
+            "sens_entropy_micronats",
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
+ORACLE_L_DIVERSITY = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         c_mktsegment AS mktsegment,
+         CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+tot AS MATERIALIZED (
+  SELECT nationkey, mktsegment, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct
+  FROM cells GROUP BY 1, 2
+)
+SELECT t.nationkey, t.mktsegment, t.n, t.l_distinct,
+       CAST(ROUND(-SUM(c.cnt * CAST(ROUND(LN(c.cnt / t.n) * 1000000)
+                                    AS BIGINT)) / t.n)
+            AS BIGINT) AS sens_entropy_micronats
+FROM cells c
+JOIN tot t USING (nationkey, mktsegment)
+WHERE t.l_distinct < 4
+GROUP BY t.nationkey, t.mktsegment, t.n, t.l_distinct
+ORDER BY t.nationkey, t.mktsegment
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "l_diversity_audit": (
+            q_l_diversity_audit,
+            ORACLE_L_DIVERSITY,
+            "ext:l-diversity privacy audit (distinct + entropy variants)",
+        ),
+    }
+)
