@@ -277,6 +277,10 @@ BENCH_QUERIES = [
     "markov_attribution",
     "record_linkage_fs",
     "l_diversity_audit",
+    "nelson_aalen",
+    "seasonal_decompose_dow",
+    "dp_noisy_counts",
+    "dpp_prune_join",
 ]
 
 

@@ -400,3 +400,14 @@ def test_r6_integrity_plan_shapes(spark, sf_dir):
     plan = plan_of(QUERIES["hll_portable"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # nation dim broadcasts
+
+
+def test_dpp_join_injects_dynamic_pruning(spark, sf_dir):
+    """The year-partitioned fact scan must carry a dynamicpruning
+    subquery fed by the filtered dim — the runtime filter that lets a
+    100 TB star join skip unselected partitions entirely."""
+    df = QUERIES["dpp_prune_join"].fn(spark, sf_dir)
+    plan = plan_of(df, "formatted").lower()
+    assert "dynamicpruning" in plan
+    # and the fact side reads the partition column from the layout
+    assert "partitionfilters" in plan

@@ -556,3 +556,52 @@ def ranking_metrics(
         mrr.alias("mrr"),
         ap.alias(f"map_at_{k}"),
     ).orderBy("query_id")
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_column: str = "t",
+    event_column: str = "churned",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — Kaplan-Meier's
+    sibling (H(t) = Σ_{u≤t} d_u/n_u; S ≈ exp(−H)), preferred when the
+    HAZARD (instantaneous risk) is the quantity of interest or events
+    are sparse. Same scaffold and parity discipline as
+    ``kaplan_meier``: one keyed agg to the distinct-duration table,
+    windows only over that small table, and each hazard increment
+    quantized to integer micro-units BEFORE the running sum (windowed
+    float sums combine engine-specifically; integer sums cannot).
+
+    Returns (t, n_risk, d_event, cum_hazard_micro, survival_na)
+    ordered by t — the hazard column is the exact BIGINT, the
+    survival transform one exp + round."""
+    by_t = df.groupBy(F.col(duration_column).cast("long").alias("t")).agg(
+        F.count("*").alias("n_end"),
+        F.sum(F.col(event_column).cast("long")).alias("d_event"),
+    )
+    total = by_t.agg(F.sum("n_end").alias("n_total"))
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = by_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        (
+            F.col("n_total") - (F.sum("n_end").over(w) - F.col("n_end"))
+        ).cast("long"),
+    )
+    h_term = F.round(
+        F.lit(1_000_000.0) * F.col("d_event") / F.col("n_risk")
+    ).cast("long")
+    cum_h = F.sum(h_term).over(w)
+    return (
+        stepped.select(
+            "t",
+            "n_risk",
+            F.col("d_event").cast("long").alias("d_event"),
+            cum_h.cast("long").alias("cum_hazard_micro"),
+            F.round(
+                F.exp(-cum_h.cast("double") / F.lit(1_000_000.0)), 6
+            ).alias("survival_na"),
+        )
+        .orderBy("t")
+    )

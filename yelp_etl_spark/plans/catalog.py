@@ -7557,6 +7557,10 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "markov_attribution",
         "record_linkage_fs",
         "l_diversity_audit",
+        "nelson_aalen",
+        "seasonal_decompose_dow",
+        "dp_noisy_counts",
+        "dpp_prune_join",
     }
 )
 

@@ -5250,3 +5250,301 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (functions/evaluation.py nelson_aalen)
+# --------------------------------------------------------------------------
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same activity-span
+    durations as q_kaplan_meier — hazard increments quantized to
+    micro-units before the running sum, so the curve is exact BIGINT
+    until the final exp. Windows run only over the distinct-duration
+    table."""
+    from yelp_etl_spark.functions.evaluation import nelson_aalen
+
+    events = _t(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
+            (
+                F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 3 DAYS")
+            )
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+    return nelson_aalen(per_user, "t", "churned")
+
+
+ORACLE_NELSON_AALEN = """
+WITH horizon AS MATERIALIZED (SELECT MAX(ts) AS max_ts FROM events),
+per_user AS MATERIALIZED (
+  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t,
+         CASE WHEN MAX(ts) < h.max_ts - INTERVAL 3 DAY THEN 1 ELSE 0 END
+           AS churned
+  FROM events CROSS JOIN horizon h
+  GROUP BY user_id, h.max_ts
+),
+by_t AS MATERIALIZED (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_end,
+         CAST(SUM(churned) AS BIGINT) AS d_event
+  FROM per_user GROUP BY t
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(n_end) AS BIGINT) AS n_total FROM by_t),
+stepped AS MATERIALIZED (
+  SELECT t, n_end, d_event,
+         CAST(n_total - (SUM(n_end) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                         - n_end) AS BIGINT) AS n_risk
+  FROM by_t CROSS JOIN tot
+),
+hazard AS MATERIALIZED (
+  SELECT t, n_risk, d_event,
+         CAST(SUM(CAST(ROUND(1000000 * CAST(d_event AS DOUBLE) / n_risk)
+                       AS BIGINT))
+              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_hazard_micro
+  FROM stepped
+)
+SELECT t, n_risk, d_event, cum_hazard_micro,
+       ROUND(EXP(-CAST(cum_hazard_micro AS DOUBLE) / 1000000), 6)
+         AS survival_na
+FROM hazard ORDER BY t
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "nelson_aalen": (
+            q_nelson_aalen,
+            ORACLE_NELSON_AALEN,
+            "ext:Nelson-Aalen cumulative hazard (micro-quantized running sum)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition: trend (centered MA) + day-of-week indices
+# --------------------------------------------------------------------------
+
+
+def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily revenue series:
+    trend = centered 7-observation moving average, seasonal index =
+    per-day-of-week mean of the detrended series — the additive
+    STL-lite every ops dashboard runs. Parity: daily totals are exact
+    cents (quantized BEFORE summation), the MA window sums are exact
+    BIGINT, the detrend is one division + one subtraction + one
+    round to milli-cents, and day-of-week comes from days%7 epoch
+    arithmetic (engine dayofweek() conventions differ). The windows
+    run over the DISTINCT-DATE table — structurally bounded by the
+    calendar, the auc_score/kaplan_meier precedent."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    days = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    base = daily.select(days.cast("long").alias("days"), "v")
+    w = Window.orderBy("days").rowsBetween(-3, 3)
+    det = base.select(
+        (F.col("days") % 7).alias("dow"),
+        F.round(
+            (
+                F.col("v")
+                - F.sum("v").over(w) / F.count("v").over(w)
+            )
+            * F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("d_milli"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.sum("d_milli") / F.count("*"))
+            .cast("long")
+            .alias("seasonal_milli"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE_SEASONAL_DOW = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', d) AS days, v FROM daily
+),
+det AS MATERIALIZED (
+  SELECT days % 7 AS dow,
+         CAST(ROUND((v - SUM(v) OVER win / COUNT(v) OVER win) * 1000)
+              AS BIGINT) AS d_milli
+  FROM base
+  WINDOW win AS (ORDER BY days ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ROUND(SUM(d_milli) / COUNT(*)) AS BIGINT) AS seasonal_milli
+FROM det GROUP BY dow ORDER BY dow
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "seasonal_decompose_dow": (
+            q_seasonal_decompose_dow,
+            ORACLE_SEASONAL_DOW,
+            "ext:additive seasonal decomposition (centered MA + dow index)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Differentially-private-shaped noisy counts (Laplace mechanism plumbing)
+# --------------------------------------------------------------------------
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism plumbing for ε-DP count releases: per-nation
+    customer counts plus Laplace(1/ε) noise via the inverse CDF,
+    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) with u from the repo's
+    portable 60-bit hash of the group key. THE SEEDED NOISE IS FOR
+    REPRODUCIBILITY/ORACLE PARITY ONLY — deterministic noise is NOT
+    differentially private; production swaps the hash-uniform for a
+    CSPRNG draw and drops the true_n column. What this query proves
+    is the in-engine mechanism shape: exact counts, one portable
+    uniform, one ln, micro-quantized addition — all codegen, no
+    Python. ε = 1, sensitivity 1 (unit count)."""
+    from yelp_etl_spark.functions.sampling import hash60
+
+    cust = _t(spark, sf_dir, "customer")
+    counts = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(F.count("*").alias("true_n"))
+    u = hash60(F.concat(F.lit("dpseed-"), F.col("nationkey"))) / F.lit(
+        float(1 << 60)
+    )
+    x = u - F.lit(0.5)
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    inner = F.greatest(
+        F.lit(1.0) - F.lit(2.0) * F.abs(x), F.lit(1e-18)
+    )
+    noise_micro = F.round(
+        F.lit(-1_000_000.0) * sign * F.log(inner)
+    ).cast("long")
+    return counts.select(
+        "nationkey",
+        F.col("true_n").cast("long").alias("true_n"),
+        (F.col("true_n") * 1_000_000 + noise_micro)
+        .cast("long")
+        .alias("noisy_micro"),
+    ).orderBy("nationkey")
+
+
+ORACLE_DP_NOISY_COUNTS = """
+WITH counts AS MATERIALIZED (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM customer GROUP BY 1
+),
+noised AS (
+  SELECT nationkey, true_n,
+         CAST(concat('0x', substr(md5(CAST(concat('dpseed-', nationkey)
+                                           AS VARCHAR)), 18, 15)) AS BIGINT)
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM counts
+)
+SELECT nationkey, true_n,
+       CAST(true_n * 1000000
+            + CAST(ROUND(-1000000 * (CASE WHEN u - 0.5 < 0 THEN -1.0
+                                          ELSE 1.0 END)
+                         * LN(GREATEST(CAST(1.0 AS DOUBLE)
+                                       - 2.0 * ABS(u - 0.5), 1e-18)))
+                   AS BIGINT)
+            AS BIGINT) AS noisy_micro
+FROM noised ORDER BY nationkey
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "dp_noisy_counts": (
+            q_dp_noisy_counts,
+            ORACLE_DP_NOISY_COUNTS,
+            "ext:Laplace-mechanism noisy counts (portable inverse-CDF noise)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (Catalyst runtime filter on a Hive layout)
+# --------------------------------------------------------------------------
+
+
+def q_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: the fact table is
+    published partitioned by order year (Hive layout), the dim side is
+    a small year-attribute table filtered at runtime — Catalyst
+    injects a dynamicpruning subquery so the fact scan reads ONLY the
+    partitions the filtered dim selects (test_plans pins the
+    `dynamicpruning` expression). This is THE optimization that makes
+    star joins affordable at 100 TB: the fact side never lists the
+    pruned years. Oracle replays the join logically over raw orders."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+
+    orders = _t(spark, sf_dir, "orders")
+    scratch = _scratch_dir(sf_dir, "dpp")
+    fact = orders.withColumn("oy", F.year("o_orderdate"))
+    fact.write.partitionBy("oy").parquet(scratch)
+    fact_r = spark.read.parquet(scratch)
+    dim = (
+        orders.select(F.year("o_orderdate").alias("oy"))
+        .distinct()
+        .withColumn("era", F.when(F.col("oy") >= 1999, "late").otherwise("early"))
+    )
+    return (
+        fact_r.join(F.broadcast(dim.filter(F.col("era") == "late")), "oy")
+        .groupBy("oy")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("oy")
+    )
+
+
+ORACLE_DPP_PRUNE = """
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS oy,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE YEAR(o_orderdate) >= 1999
+GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "dpp_prune_join": (
+            q_dpp_prune_join,
+            ORACLE_DPP_PRUNE,
+            "ext:dynamic partition pruning (runtime dim filter prunes fact scan)",
+        ),
+    }
+)
