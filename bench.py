@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "seasonal_decompose_dow",
     "dp_noisy_counts",
     "dpp_prune_join",
+    "cogroup_attribution",
+    "mi_terms",
 ]
 
 

@@ -440,3 +440,61 @@ def test_boosted_stumps_unsplittable_grid_raises(spark):
     df = spark.createDataFrame([(5, 100), (5, 200)], "f long, y long")
     with pytest.raises(ValueError, match="non-empty sides"):
         boosted_stumps(df, "y", [("f", [5])])  # all rows on the lo side
+
+
+def test_mutual_info_ranks_class_dependent_term_first(spark):
+    from yelp_etl_spark.functions.classify import mutual_info_terms
+
+    rows = [
+        (i, "en", "the quick fox" if i % 2 else "the lazy dog")
+        for i in range(20)
+    ] + [(100 + i, "de", "der schnelle fuchs") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = mutual_info_terms(df, "lang", "text", "doc_id", top_k=5).collect()
+    # 'the' appears in every en doc and no de doc: maximal MI; a term
+    # split across classes ranks below it
+    top_toks = [r["tok"] for r in out]
+    assert top_toks[0] in {"the", "der", "schnelle", "fuchs"}
+    mi = {r["tok"]: r["mi_micro"] for r in out}
+    assert all(v >= 0 for v in mi.values())
+
+
+def test_nelson_aalen_known_hazard(spark):
+    from yelp_etl_spark.functions.evaluation import nelson_aalen
+
+    # durations: 1,1,2 with events 1,0,1 → at t=1: n_risk=3, d=1;
+    # at t=2: n_risk=1, d=1 → H = 1/3 + 1 (micro-quantized terms)
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1)], "t long, churned long"
+    )
+    rows = {r["t"]: r for r in nelson_aalen(df, "t", "churned").collect()}
+    assert rows[1]["n_risk"] == 3 and rows[1]["d_event"] == 1
+    assert rows[1]["cum_hazard_micro"] == round(1e6 / 3)
+    assert rows[2]["cum_hazard_micro"] == round(1e6 / 3) + 1_000_000
+
+
+def test_cogrouped_asof_attribution_bounds(spark):
+    from yelp_etl_spark.functions.udfs import cogrouped_asof_attribution
+
+    views = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-05 00:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    buys = spark.createDataFrame(
+        [
+            (1, "2024-01-01 12:00:00"),  # within 1 day of the view
+            (1, "2024-01-03 12:00:00"),  # too late
+            (2, "2024-01-04 00:00:00"),  # view is AFTER: no match
+            (3, "2024-01-01 00:00:00"),  # user never viewed
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["key"]: r
+        for r in cogrouped_asof_attribution(
+            views, buys, "user_id", "ts", 1
+        ).collect()
+    }
+    assert out[1]["n_right"] == 2 and out[1]["n_attributed"] == 1
+    assert out[2]["n_right"] == 1 and out[2]["n_attributed"] == 0
+    assert out[3]["n_right"] == 1 and out[3]["n_attributed"] == 0

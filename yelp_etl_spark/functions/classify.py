@@ -582,3 +582,80 @@ def loo_target_encode(
         .withColumn(out_column, enc.cast("long"))
         .drop("__cat", "__n", "__sy", "__prior_ppm")
     )
+
+
+def mutual_info_terms(
+    df: DataFrame,
+    label_column: str = "lang",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Mutual-information feature selection (Yang & Pedersen 1997, the
+    information-theoretic sibling of ``chi2_terms``): I(T; C) over the
+    term-presence indicator and the class label,
+
+        I = Σ_{t∈{1,0}, c} (n_tc/N) · ln(N·n_tc / (n_t·n_c)),
+
+    summed over classes AND the term's absence cells — absence carries
+    signal too (a term missing from one class is informative).
+
+    Parity discipline: every count is an exact BIGINT from the same
+    presence/grid plumbing as chi2_terms; each cell's log-ratio is
+    quantized to integer micro-nats BEFORE the Σ n_cell·q sum (exact
+    BIGINT), and the final /N is one division. Zero cells contribute
+    exactly 0 (lim x·ln x = 0), guarded before the log.
+
+    Returns top_k (tok, df_t, mi_micro) by MI desc, token asc.
+    """
+    labels = df.select(id_column, F.col(label_column).alias("label"))
+    presence = (
+        _tokens(df, id_column, text_column)
+        .select(id_column, "tok")
+        .distinct()
+        .join(labels, id_column)
+    )
+    a_tbl = presence.groupBy("tok", "label").agg(F.count("*").alias("a"))
+    dft = a_tbl.groupBy("tok").agg(F.sum("a").cast("long").alias("df_t"))
+    n_c = df.groupBy(F.col(label_column).alias("label")).agg(
+        F.count("*").alias("n_c")
+    )
+    n_tot = df.agg(F.count("*").alias("n"))
+    grid = (
+        dft.crossJoin(F.broadcast(n_c))
+        .join(a_tbl, ["tok", "label"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "tok",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            "df_t",
+            "n_c",
+            "n",
+        )
+    )
+
+    def cell(n_cell, row_tot):
+        q = F.round(
+            F.log(
+                F.col("n").cast("double") * n_cell / (row_tot * F.col("n_c"))
+            )
+            * F.lit(MICRO)
+        ).cast("long")
+        return F.when(n_cell > 0, n_cell * q).otherwise(F.lit(0))
+
+    terms = grid.select(
+        "tok",
+        "df_t",
+        "n",
+        (
+            cell(F.col("a"), F.col("df_t"))
+            + cell(
+                F.col("n_c") - F.col("a"), F.col("n") - F.col("df_t")
+            )
+        ).alias("contrib"),
+    )
+    scored = terms.groupBy("tok").agg(
+        F.first("df_t").alias("df_t"),
+        F.round(F.sum("contrib") / F.first("n")).cast("long").alias("mi_micro"),
+    )
+    return scored.orderBy(F.desc("mi_micro"), "tok").limit(top_k)

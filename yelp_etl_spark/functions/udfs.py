@@ -99,3 +99,71 @@ def register_split_chunks_udtf(spark):
 
     spark.udtf.register("split_chunks", SplitChunks)
     return SplitChunks
+
+
+def cogrouped_asof_attribution(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    tolerance_days: int = 1,
+) -> DataFrame:
+    """Cogrouped-pandas surface (``groupBy().cogroup().applyInPandas``,
+    the API tier above grouped applyInPandas): per key, BOTH sides'
+    rows arrive as pandas frames in one Python call — the shape for
+    pairwise per-key logic that neither a join nor a single-group
+    transform expresses cleanly. Here: per-key backward as-of
+    attribution — for each ``right`` event, does a ``left`` event
+    precede it within ``tolerance_days``? (purchase→view attribution,
+    label→feature time alignment). pandas ``merge_asof`` does the
+    two-pointer merge per key.
+
+    Returns (key, n_right, n_attributed) for keys with ≥1 right row.
+
+    Scale: cogroup shuffles both sides once on the key and streams
+    Arrow batches; per-key memory is one key's rows (same bound as
+    any keyed window). Equality semantics are pinned: backward
+    direction, ts_left ≤ ts_right, inclusive tolerance — the SQL
+    twin is an EXISTS with the same bounds."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_right", T.LongType()),
+            T.StructField("n_attributed", T.LongType()),
+        ]
+    )
+    tol = tolerance_days
+
+    def merge(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if r.empty:
+            return pd.DataFrame(
+                {"key": [], "n_right": [], "n_attributed": []}
+            ).astype({"key": "int64", "n_right": "int64",
+                      "n_attributed": "int64"})
+        r = r.sort_values(ts_col).reset_index(drop=True)
+        if l.empty:
+            matched = 0
+        else:
+            l2 = l.sort_values(ts_col).reset_index(drop=True)
+            l2["__mark"] = 1
+            m = pd.merge_asof(
+                r[[ts_col]],
+                l2[[ts_col, "__mark"]],
+                on=ts_col,
+                direction="backward",
+                tolerance=pd.Timedelta(days=tol),
+            )
+            matched = int(m["__mark"].notna().sum())
+        return pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "n_right": [len(r)],
+                "n_attributed": [matched],
+            }
+        )
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(merge, out_schema)
+    )

@@ -7561,6 +7561,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "seasonal_decompose_dow",
         "dp_noisy_counts",
         "dpp_prune_join",
+        "cogroup_attribution",
+        "mi_terms",
     }
 )
 

@@ -5548,3 +5548,141 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped-pandas as-of attribution (functions/udfs.py)
+# --------------------------------------------------------------------------
+
+
+def q_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→view attribution through the cogrouped-pandas API
+    (udfs.cogrouped_asof_attribution): per user, both the view stream
+    and the purchase stream arrive in ONE Python call and pandas
+    merge_asof answers 'was there a view within 1 day before each
+    purchase?'. The oracle replays the same bounds as an EXISTS
+    subquery. This is the groupBy().cogroup().applyInPandas surface —
+    the only Pandas API tier the catalog didn't already exercise."""
+    from yelp_etl_spark.functions.udfs import cogrouped_asof_attribution
+
+    # every 4th user: the cogroup API costs one Python call per key,
+    # so the catalog query bounds the key count (the full-population
+    # run is the same plan, linearly more keys)
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return cogrouped_asof_attribution(
+        views, buys, "user_id", "ts", tolerance_days=1
+    ).orderBy("key")
+
+
+ORACLE_COGROUP_ATTRIBUTION = """
+WITH buys AS MATERIALIZED (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id % 4 = 0
+),
+views AS MATERIALIZED (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'view' AND user_id % 4 = 0
+)
+SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_right,
+       CAST(COUNT(*) FILTER (
+         EXISTS (SELECT 1 FROM views v
+                 WHERE v.user_id = b.user_id
+                   AND v.ts <= b.ts
+                   AND v.ts >= b.ts - INTERVAL 1 DAY)) AS BIGINT)
+         AS n_attributed
+FROM buys b
+GROUP BY user_id ORDER BY key
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "cogroup_attribution": (
+            q_cogroup_attribution,
+            ORACLE_COGROUP_ATTRIBUTION,
+            "ext:cogrouped-pandas as-of attribution (merge_asof per key)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Mutual-information feature selection (functions/classify.py)
+# --------------------------------------------------------------------------
+
+
+def q_mi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by mutual information with the document language
+    (classify.mutual_info_terms) — the information-theoretic sibling
+    of chi2_terms, counting BOTH presence and absence cells. Exact
+    BIGINT counts, micro-nat cell quantization before the Σ, one
+    final /N."""
+    from yelp_etl_spark.functions.classify import mutual_info_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_info_terms(docs, "lang", "text", "doc_id", top_k=20)
+
+
+ORACLE_MI_TERMS = """
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+pres AS MATERIALIZED (
+  SELECT t.tok, d.lang AS label
+  FROM toks t JOIN documents d USING (doc_id)
+),
+a_tbl AS MATERIALIZED (
+  SELECT tok, label, CAST(COUNT(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2
+),
+dft AS MATERIALIZED (
+  SELECT tok, CAST(SUM(a) AS BIGINT) AS df_t FROM a_tbl GROUP BY 1
+),
+ncls AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_c
+         FROM documents GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+grid AS MATERIALIZED (
+  SELECT d.tok, COALESCE(a.a, 0) AS a, d.df_t, c.n_c, nt.n
+  FROM dft d
+  CROSS JOIN ncls c
+  LEFT JOIN a_tbl a ON a.tok = d.tok AND a.label = c.label
+  CROSS JOIN nt
+),
+terms AS MATERIALIZED (
+  SELECT tok, df_t, n,
+         (CASE WHEN a > 0
+               THEN a * CAST(ROUND(LN(CAST(n AS DOUBLE) * a
+                                      / (df_t * n_c)) * 1000000) AS BIGINT)
+               ELSE 0 END
+        + CASE WHEN n_c - a > 0
+               THEN (n_c - a)
+                    * CAST(ROUND(LN(CAST(n AS DOUBLE) * (n_c - a)
+                                    / ((n - df_t) * n_c)) * 1000000)
+                           AS BIGINT)
+               ELSE 0 END) AS contrib
+  FROM grid
+)
+SELECT tok, CAST(MIN(df_t) AS BIGINT) AS df_t,
+       CAST(ROUND(SUM(contrib) / MIN(n)) AS BIGINT) AS mi_micro
+FROM terms GROUP BY tok
+ORDER BY mi_micro DESC, tok LIMIT 20
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "mi_terms": (
+            q_mi_terms,
+            ORACLE_MI_TERMS,
+            "ext:mutual-information feature selection (presence+absence cells)",
+        ),
+    }
+)
