@@ -74,19 +74,25 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     pairs = df.select(
         F.expr(f"stack({len(columns)}, {stack_expr}) as (col_name, value)")
     )
+    # cells is the COMPRESSED representation (bounded by Σ per-column
+    # distinct values) consumed twice below — cached so the raw table
+    # is scanned exactly once (recompute-safe under eviction; a
+    # profiler result is read once, so LRU reclaim is fine)
     cells = pairs.groupBy("col_name", "value").agg(
         F.count("*").alias("cnt")
-    )
-    nonnull = cells.filter(F.col("value").isNotNull())
-    per_col = nonnull.groupBy("col_name").agg(
-        F.sum("cnt").alias("n_nonnull"),
-        F.count("*").alias("n_distinct"),
+    ).cache()
+    notnull = F.col("value").isNotNull()
+    per_col = cells.groupBy("col_name").agg(
+        F.sum(F.when(notnull, F.col("cnt")).otherwise(0)).alias("n_nonnull"),
+        F.sum(F.when(~notnull, F.col("cnt")).otherwise(0)).alias("n_null"),
+        F.count(F.when(notnull, F.lit(1))).alias("n_distinct"),
     )
     q = F.round(
         F.log(F.col("cnt") / F.col("n_nonnull")) * F.lit(1_000_000.0)
     ).cast("long")
     ent = (
-        nonnull.join(F.broadcast(per_col), "col_name")
+        cells.filter(notnull)
+        .join(F.broadcast(per_col.select("col_name", "n_nonnull")), "col_name")
         .select("col_name", (F.col("cnt") * q).alias("term"), "n_nonnull")
         .groupBy("col_name")
         .agg(
@@ -95,18 +101,12 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
             .alias("entropy_micronats")
         )
     )
-    nulls = (
-        cells.filter(F.col("value").isNull())
-        .groupBy("col_name")
-        .agg(F.sum("cnt").alias("n_null"))
-    )
     return (
         per_col.join(ent, "col_name")
-        .join(nulls, "col_name", "left")
         .select(
             "col_name",
             F.col("n_nonnull").cast("long").alias("n_nonnull"),
-            F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+            F.col("n_null").cast("long").alias("n_null"),
             F.col("n_distinct").cast("long").alias("n_distinct"),
             "entropy_micronats",
         )
