@@ -498,3 +498,31 @@ def test_cogrouped_asof_attribution_bounds(spark):
     assert out[1]["n_right"] == 2 and out[1]["n_attributed"] == 1
     assert out[2]["n_right"] == 1 and out[2]["n_attributed"] == 0
     assert out[3]["n_right"] == 1 and out[3]["n_attributed"] == 0
+
+
+def test_cogrouped_asof_attribution_string_keys(spark):
+    from yelp_etl_spark.functions.udfs import cogrouped_asof_attribution
+
+    views = spark.createDataFrame(
+        [("de", "2024-01-01 00:00:00")], "cc string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    buys = spark.createDataFrame(
+        [("de", "2024-01-01 06:00:00")], "cc string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cogrouped_asof_attribution(views, buys, "cc", "ts", 1).collect()
+    assert out[0]["key"] == "de" and out[0]["n_attributed"] == 1
+
+
+def test_markov_attribution_rejects_reserved_channels(spark):
+    import pytest as _pt
+
+    from yelp_etl_spark.functions.attribution import (
+        markov_removal_attribution,
+    )
+
+    events = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "view")],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pt.raises(ValueError, match="reserved"):
+        markov_removal_attribution(events, ["view", "purchase"])

@@ -303,3 +303,18 @@ def test_profile_columns_counts_and_entropy(spark):
     assert out["k"]["entropy_micronats"] == round(
         -(4 * q(1 / 4)) / 4
     )
+
+
+def test_profile_columns_reports_all_null_column(spark):
+    from yelp_etl_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "cat string, empty string"
+    )
+    out = {
+        r["col_name"]: r for r in profile_columns(df, ["cat", "empty"]).collect()
+    }
+    assert "empty" in out  # the pathological column must be reported
+    assert out["empty"]["n_null"] == 2 and out["empty"]["n_nonnull"] == 0
+    assert out["empty"]["n_distinct"] == 0
+    assert out["empty"]["entropy_micronats"] == 0

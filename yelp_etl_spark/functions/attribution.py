@@ -118,6 +118,15 @@ def markov_removal_attribution(
     fixed-step value iteration runs in exact integer ppm; everything
     upstream is distributed."""
     spark = events.sparkSession
+    reserved = {"start", "conv", "null", absorber}
+    bad = sorted(set(channels) & reserved)
+    if bad:
+        raise ValueError(
+            f"channels {bad!r} collide with reserved states "
+            f"(start/conv/null) or the absorber {absorber!r}: the "
+            "absorber is renamed 'conv' before counting, so listing it "
+            "as a channel would return confidently-zero credit"
+        )
     states = set(channels) | {"start", "conv", "null"}
     trans = journey_transitions(events, absorber, **journey_kwargs).filter(
         F.col("frm").isin(list(states)) & F.col("two").isin(list(states))

@@ -39,6 +39,13 @@ def _qlog(p: Column) -> Column:
     return F.round(F.log(p) * F.lit(MICRO)).cast("long")
 
 
+# Public alias: the ONE micro-nat quantization every entropy/MI/WoE
+# site must share (validate.profile_columns, the l-diversity audit,
+# mutual_info_terms) — a second inline copy of this expression is how
+# the oracle-parity convention silently forks.
+qlog = _qlog
+
+
 def _tokens(df: DataFrame, id_column: str, text_column: str) -> DataFrame:
     """Engine-portable literal-space tokens (shared convention —
     see text.portable_tokens)."""
@@ -635,12 +642,9 @@ def mutual_info_terms(
     )
 
     def cell(n_cell, row_tot):
-        q = F.round(
-            F.log(
-                F.col("n").cast("double") * n_cell / (row_tot * F.col("n_c"))
-            )
-            * F.lit(MICRO)
-        ).cast("long")
+        q = _qlog(
+            F.col("n").cast("double") * n_cell / (row_tot * F.col("n_c"))
+        )
         return F.when(n_cell > 0, n_cell * q).otherwise(F.lit(0))
 
     terms = grid.select(

@@ -125,9 +125,12 @@ def cogrouped_asof_attribution(
     any keyed window). Equality semantics are pinned: backward
     direction, ts_left ≤ ts_right, inclusive tolerance — the SQL
     twin is an EXISTS with the same bounds."""
+    # the output key column carries the INPUT key's type — hardcoding
+    # LongType would crash on string/date keys the signature accepts
+    key_type = left.schema[key_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", key_type),
             T.StructField("n_right", T.LongType()),
             T.StructField("n_attributed", T.LongType()),
         ]
@@ -138,8 +141,7 @@ def cogrouped_asof_attribution(
         if r.empty:
             return pd.DataFrame(
                 {"key": [], "n_right": [], "n_attributed": []}
-            ).astype({"key": "int64", "n_right": "int64",
-                      "n_attributed": "int64"})
+            ).astype({"n_right": "int64", "n_attributed": "int64"})
         r = r.sort_values(ts_col).reset_index(drop=True)
         if l.empty:
             matched = 0
@@ -156,7 +158,7 @@ def cogrouped_asof_attribution(
             matched = int(m["__mark"].notna().sum())
         return pd.DataFrame(
             {
-                "key": [int(key[0])],
+                "key": [key[0]],
                 "n_right": [len(r)],
                 "n_attributed": [matched],
             }

@@ -87,9 +87,9 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         F.sum(F.when(~notnull, F.col("cnt")).otherwise(0)).alias("n_null"),
         F.count(F.when(notnull, F.lit(1))).alias("n_distinct"),
     )
-    q = F.round(
-        F.log(F.col("cnt") / F.col("n_nonnull")) * F.lit(1_000_000.0)
-    ).cast("long")
+    from yelp_etl_spark.functions.classify import qlog
+
+    q = qlog(F.col("cnt") / F.col("n_nonnull"))
     ent = (
         cells.filter(notnull)
         .join(F.broadcast(per_col.select("col_name", "n_nonnull")), "col_name")
@@ -102,13 +102,19 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         )
     )
     return (
-        per_col.join(ent, "col_name")
+        # LEFT join: an all-null column has no non-null cells and no
+        # entropy group — the profiler must still report it (it is the
+        # single most pathological column a discovery pass can find),
+        # with entropy 0 over an empty distribution
+        per_col.join(ent, "col_name", "left")
         .select(
             "col_name",
             F.col("n_nonnull").cast("long").alias("n_nonnull"),
             F.col("n_null").cast("long").alias("n_null"),
             F.col("n_distinct").cast("long").alias("n_distinct"),
-            "entropy_micronats",
+            F.coalesce(F.col("entropy_micronats"), F.lit(0))
+            .cast("long")
+            .alias("entropy_micronats"),
         )
         .orderBy("col_name")
     )

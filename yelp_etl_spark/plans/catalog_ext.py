@@ -5065,13 +5065,23 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole nats (truncated division — identical on both engines).
     Scale: blocking bounds candidates to Σ_b |block_b|²; the weight
     table is a broadcast 1-row frame."""
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
     part = _t(spark, sf_dir, "part")
-    recs = part.select(
-        F.col("p_partkey").alias("k"),
-        F.concat(F.col("p_brand"), F.lit("|"), (F.col("p_size") % 10)).alias("b"),
-        F.col("p_type").alias("f1"),
-        F.split(F.lower(F.col("p_name")), " ").getItem(0).alias("f2"),
-        F.floor(F.col("p_retailprice") / 100).alias("f3"),
+    # recs feeds three field-weight aggregations AND both sides of the
+    # blocked self-join: materialize once (the repo's ≥2-consumer rule)
+    # instead of five scans of the part projection
+    recs = truncate_lineage(
+        part.select(
+            F.col("p_partkey").alias("k"),
+            F.concat(
+                F.col("p_brand"), F.lit("|"), (F.col("p_size") % 10)
+            ).alias("b"),
+            F.col("p_type").alias("f1"),
+            F.split(F.lower(F.col("p_name")), " ").getItem(0).alias("f2"),
+            F.floor(F.col("p_retailprice") / 100).alias("f3"),
+        ),
+        eager=True,
     )
 
     def field_w(col: str, tag: str):
@@ -5188,9 +5198,9 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.groupBy("nationkey", "mktsegment").agg(
         F.sum("cnt").alias("n"), F.count("*").alias("l_distinct")
     )
-    q = F.round(
-        F.log(F.col("cnt") / F.col("n")) * F.lit(1_000_000.0)
-    ).cast("long")
+    from yelp_etl_spark.functions.classify import qlog
+
+    q = qlog(F.col("cnt") / F.col("n"))
     ent = (
         cells.join(tot, ["nationkey", "mktsegment"])
         .select("nationkey", "mktsegment", (F.col("cnt") * q).alias("term"),
