@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     "dpp_prune_join",
     "cogroup_attribution",
     "mi_terms",
+    "ab_test_ztest",
+    "pcm_stats",
 ]
 
 

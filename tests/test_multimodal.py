@@ -271,3 +271,38 @@ def test_byte_features_arrow_matches_pandas_twin(spark):
     a = sorted(map(tuple, extract_byte_features(df).collect()))
     b = sorted(map(tuple, extract_byte_features_arrow(df).collect()))
     assert a == b
+
+
+def test_pcm_int16_stats_known_waveform(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.functions.multimodal import pcm_int16_stats
+
+    # bytes 01 00 | ff ff | 00 00 | 00 80  (LE int16: 1, -1, 0, -32768)
+    df = spark.createDataFrame([(1,)], "doc_id long").withColumn(
+        "content", F.unhex(F.lit("0100FFFF00000080"))
+    )
+    row = pcm_int16_stats(df, "content", "doc_id", n_samples=64).collect()[0]
+    assert row["n_samples"] == 4
+    assert row["peak"] == 32768
+    # crossings: 1→-1 is strict; -1→0 and 0→-32768 are not
+    assert row["zero_crossings"] == 1
+    import math
+
+    expect = round(
+        math.sqrt((1 + 1 + 0 + 32768 * 32768) / 4) * 1e6
+    )
+    assert row["rms_micro"] == expect
+
+
+def test_pcm_int16_stats_truncates_odd_tail(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.functions.multimodal import pcm_int16_stats
+
+    # 3 bytes: only one full sample; the dangling byte is ignored
+    df = spark.createDataFrame([(1,)], "doc_id long").withColumn(
+        "content", F.unhex(F.lit("0A00FF"))
+    )
+    row = pcm_int16_stats(df, "content", "doc_id").collect()[0]
+    assert row["n_samples"] == 1 and row["peak"] == 10

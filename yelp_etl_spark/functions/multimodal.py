@@ -493,3 +493,72 @@ def extract_byte_features_arrow(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(process, schema=out_schema)
+
+
+def pcm_int16_stats(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    n_samples: int = 64,
+) -> DataFrame:
+    """Codec-free audio-style signal statistics: interpret the blob's
+    leading bytes as little-endian SIGNED int16 PCM samples and compute
+    peak amplitude, RMS, and zero-crossing count per payload — real
+    waveform math (the WAV data chunk is exactly this layout) done
+    entirely in Catalyst byte arithmetic: explode over sample offsets,
+    two 1-byte reads per sample, sign via two's-complement fold. No
+    Python, no audio library — the decode boundary documented in
+    decode_blobs applies only to COMPRESSED codecs.
+
+    Parity: sample values and Σs² are exact BIGINT; RMS is one
+    sqrt+mul+round; zero crossings use strict sign products (a zero
+    sample never crosses). The per-payload window is bounded by
+    ``n_samples``.
+
+    Returns (id, n_samples, peak, rms_micro, zero_crossings)."""
+    from pyspark.sql import Window
+
+    blob = F.col(blob_col)
+    total = F.length(blob)
+    out = df.select(id_col, blob_col).withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.lit(n_samples - 1)))
+    ).filter(2 * F.col("__i") + 2 <= total)
+    lo = F.conv(
+        F.hex(F.expr(f"substring({blob_col}, __i * 2 + 1, 1)")), 16, 10
+    ).cast("long")
+    hi = F.conv(
+        F.hex(F.expr(f"substring({blob_col}, __i * 2 + 2, 1)")), 16, 10
+    ).cast("long")
+    u = lo + 256 * hi
+    s = u - F.when(u >= 32768, F.lit(65536)).otherwise(F.lit(0))
+    samples = out.select(
+        F.col(id_col).alias("id"), F.col("__i").alias("i"), s.alias("s")
+    )
+    sign = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    w = Window.partitionBy("id").orderBy("i")
+    stepped = samples.withColumn("sgn", sign).withColumn(
+        "xing",
+        (
+            F.col("sgn") * F.lag("sgn").over(w) == -1
+        ).cast("long"),
+    )
+    return (
+        stepped.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.max(F.abs(F.col("s"))).cast("long").alias("peak"),
+            F.round(
+                F.sqrt(
+                    F.sum(F.col("s") * F.col("s"))
+                    / F.count("*")
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("rms_micro"),
+            F.coalesce(F.sum("xing"), F.lit(0))
+            .cast("long")
+            .alias("zero_crossings"),
+        )
+        .orderBy("id")
+    )

@@ -7563,6 +7563,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "dpp_prune_join",
         "cogroup_attribution",
         "mi_terms",
+        "ab_test_ztest",
+        "pcm_stats",
     }
 )
 

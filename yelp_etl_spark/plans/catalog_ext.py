@@ -5696,3 +5696,175 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion A/B z-test (experiment-analysis surface)
+# --------------------------------------------------------------------------
+
+
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a hash-assigned experiment: users
+    split into A/B by the portable hash's parity (deterministic,
+    covariate-independent — exactly how production bucketing works),
+    conversion = the user is a heavy purchaser. Reports per-variant rates
+    and the pooled z statistic — the basic experiment readout every
+    event pipeline serves. Counts are exact BIGINT; rates and z are
+    fixed single-expression trees rounded to 6 (z = (p̂_a − p̂_b) /
+    √(p̂(1−p̂)(1/n_a + 1/n_b)) with pooled p̂)."""
+    from yelp_etl_spark.functions.sampling import hash60
+
+    events = _t(spark, sf_dir, "events")
+    # conversion = a heavy purchaser (≥ 12 purchases): every fixture
+    # user purchases at least once, so the binary any-purchase metric
+    # is degenerate (rate 1.0 in both arms, z undefined)
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 12
+        ).cast("long").alias("conv")
+    )
+    assigned = per_user.select(
+        (hash60(F.concat(F.lit("ab1-"), F.col("user_id"))) % 2).alias(
+            "variant"
+        ),
+        "conv",
+    )
+    cells = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    wide = (
+        cells.groupBy()
+        .pivot("variant", [0, 1])
+        .agg(F.first("n").alias("n"), F.first("k").alias("k"))
+        .select(
+            F.col("0_n").alias("n_a"),
+            F.col("0_k").alias("k_a"),
+            F.col("1_n").alias("n_b"),
+            F.col("1_k").alias("k_b"),
+        )
+    )
+    pa = F.col("k_a") / F.col("n_a")
+    pb = F.col("k_b") / F.col("n_b")
+    pool = (F.col("k_a") + F.col("k_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (pa - pb) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("k_b").cast("long").alias("k_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 12 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1
+),
+assigned AS MATERIALIZED (
+  SELECT CAST(concat('0x', substr(md5(CAST(concat('ab1-', user_id)
+                                           AS VARCHAR)), 18, 15)) AS BIGINT)
+           % 2 AS variant,
+         conv
+  FROM per_user
+),
+wide AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS k_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_b
+  FROM assigned
+)
+SELECT n_a, k_a, n_b, k_b,
+       ROUND(k_a / n_a, 6) AS rate_a,
+       ROUND(k_b / n_b, 6) AS rate_b,
+       ROUND((k_a / n_a - k_b / n_b)
+             / SQRT((k_a + k_b) / (n_a + n_b)
+                    * (CAST(1.0 AS DOUBLE) - (k_a + k_b) / (n_a + n_b))
+                    * (CAST(1.0 AS DOUBLE) / n_a
+                       + CAST(1.0 AS DOUBLE) / n_b)), 6) AS z_stat
+FROM wide
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "ab_test_ztest": (
+            q_ab_test_ztest,
+            ORACLE_AB_TEST,
+            "ext:two-proportion z-test (hash-bucketed experiment readout)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# PCM int16 signal statistics (functions/multimodal.py pcm_int16_stats)
+# --------------------------------------------------------------------------
+
+
+def q_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform statistics over binary payloads treated as little-
+    endian int16 PCM (multimodal.pcm_int16_stats): peak, RMS, zero
+    crossings — all Catalyst byte arithmetic, no audio library. The
+    oracle re-reads the same bytes from the hex encoding (two chars
+    per byte, LE fold, two's complement)."""
+    from yelp_etl_spark.functions.multimodal import pcm_int16_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return pcm_int16_stats(blobs, "content", "doc_id", n_samples=64)
+
+
+ORACLE_PCM_STATS = """
+WITH b AS MATERIALIZED (
+  SELECT doc_id AS id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS nbytes
+  FROM documents WHERE doc_id % 7 = 0
+),
+samples AS MATERIALIZED (
+  SELECT id, i,
+         (CAST(concat('0x', substr(hx, i * 4 + 1, 2)) AS BIGINT)
+          + 256 * CAST(concat('0x', substr(hx, i * 4 + 3, 2)) AS BIGINT))
+         - CASE WHEN (CAST(concat('0x', substr(hx, i * 4 + 1, 2)) AS BIGINT)
+                      + 256 * CAST(concat('0x', substr(hx, i * 4 + 3, 2))
+                                   AS BIGINT)) >= 32768
+                THEN 65536 ELSE 0 END AS s
+  FROM b, (SELECT unnest(generate_series(0, 63)) AS i) g
+  WHERE 2 * i + 2 <= nbytes
+),
+stepped AS MATERIALIZED (
+  SELECT id, s,
+         (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+         * LAG(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+             OVER (PARTITION BY id ORDER BY i) AS prod
+  FROM samples
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+       CAST(ROUND(SQRT(CAST(SUM(s * s) AS BIGINT) / COUNT(*)) * 1000000)
+            AS BIGINT) AS rms_micro,
+       CAST(COALESCE(SUM(CASE WHEN prod = -1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS zero_crossings
+FROM stepped GROUP BY id ORDER BY id
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "pcm_stats": (
+            q_pcm_stats,
+            ORACLE_PCM_STATS,
+            "ext:int16 PCM waveform stats (codec-free byte arithmetic)",
+        ),
+    }
+)
