@@ -285,6 +285,9 @@ BENCH_QUERIES = [
     "mi_terms",
     "ab_test_ztest",
     "pcm_stats",
+    "phrase_search_positional",
+    "trigram_search",
+    "cusum_top_days",
 ]
 
 

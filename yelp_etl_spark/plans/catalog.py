@@ -7565,6 +7565,9 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "mi_terms",
         "ab_test_ztest",
         "pcm_stats",
+        "phrase_search_positional",
+        "trigram_search",
+        "cusum_top_days",
     }
 )
 

@@ -5868,3 +5868,217 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search, trigram-index substring search, CUSUM
+# --------------------------------------------------------------------------
+
+_PHRASE = ("join", "column")
+
+
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a POSITIONAL posting intersection:
+    token occurrences keep their array position, the phrase's terms
+    self-join on (doc, pos+1 = pos) — the positional-inverted-index
+    plan every search engine runs for quoted queries, vs
+    keyword_search's bag-of-words conjunction. Per-language doc and
+    occurrence counts. One keyed join on (doc_id, pos) — never a
+    LIKE scan over the corpus."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text", with_position=True)
+    t1 = toks.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = toks.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    occ = t1.join(
+        t2, (t1["doc_id"] == t2["doc_id"]) & (F.col("p1") + 1 == F.col("p2"))
+    ).select(t1["doc_id"])
+    per_doc = occ.groupBy("doc_id").agg(F.count("*").alias("n_occ"))
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_occ").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PHRASE_SEARCH = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n_occ
+  FROM t, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i < len(a) AND a[i] = '{_PHRASE[0]}' AND a[i + 1] = '{_PHRASE[1]}'
+  GROUP BY doc_id
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(o.n_occ) AS BIGINT) AS n_occurrences
+FROM occ o JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+_TRGM_PATTERN = "fast key"
+
+
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a trigram index (the pg_trgm plan):
+    candidate docs must contain EVERY trigram of the pattern
+    (character-level shingles, derived inline here — pre-materialized
+    as an inverted index at scale), then the candidates alone are
+    verified with the exact contains(). The final rows provably equal
+    a full LIKE scan (the verify step guarantees no false positives;
+    trigram containment guarantees no false negatives), but only the
+    candidate set ever pays string matching — the point at 100 TB.
+    Output includes the candidate count so the pruning is visible."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("t")
+    )
+    n = len(_TRGM_PATTERN)
+    pat_trgms = sorted({_TRGM_PATTERN[i : i + 3] for i in range(n - 2)})
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 2),
+                    lambda i: F.col("t").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    cands = (
+        grams.filter(F.col("g").isin(pat_trgms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == len(pat_trgms))
+    )
+    n_cand = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    verified = cands.join(docs, "doc_id").filter(
+        F.col("t").contains(_TRGM_PATTERN)
+    )
+    return (
+        verified.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(n_cand))
+        .orderBy("lang")
+    )
+
+
+def _trgm_oracle(pattern: str) -> str:
+    trgms = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    lits = ", ".join(f"'{g}'" for g in trgms)
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substr(t, i, 3) AS g
+  FROM t, (SELECT unnest(generate_series(1, 5000)) AS i) s
+  WHERE i <= length(t) - 2
+),
+cands AS MATERIALIZED (
+  SELECT doc_id FROM grams WHERE g IN ({lits})
+  GROUP BY doc_id HAVING COUNT(*) = {len(trgms)}
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, nc.n_candidates
+FROM cands JOIN t USING (doc_id), nc
+WHERE t.t LIKE '%{pattern}%'
+GROUP BY lang, nc.n_candidates ORDER BY lang
+"""
+
+
+ORACLE_TRIGRAM_SEARCH = _trgm_oracle(_TRGM_PATTERN)
+
+
+def q_cusum_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on daily revenue: S_t =
+    prefix(x−k)_t − min_{u≤t} prefix(x−k)_u with drift k = the global
+    floor-mean — the classical upward-shift detector, expressed as TWO
+    running windows over the calendar-bounded distinct-date table
+    (the recursive max(0, S+x−k) form un-rolls to exactly this prefix
+    identity). Everything integer cents; output is the top-10 alarm
+    days by S."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    base = daily.select(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("days"),
+        "v",
+    )
+    k = base.agg(
+        F.floor(F.sum("v") / F.count("*")).cast("long").alias("k")
+    )
+    w = Window.orderBy("days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = (
+        base.crossJoin(F.broadcast(k))
+        .withColumn("prefix", F.sum(F.col("v") - F.col("k")).over(w))
+        .withColumn("s", F.col("prefix") - F.min("prefix").over(w))
+    )
+    return (
+        stepped.select("days", F.col("s").cast("long").alias("cusum_cents"))
+        .orderBy(F.desc("cusum_cents"), F.asc("days"))
+        .limit(10)
+    )
+
+
+ORACLE_CUSUM = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', d) AS days, v FROM daily
+),
+kk AS (SELECT CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS k FROM base),
+pre AS MATERIALIZED (
+  SELECT days,
+         SUM(v - k) OVER (ORDER BY days ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM base, kk
+),
+stepped AS (
+  SELECT days,
+         prefix - MIN(prefix) OVER (ORDER BY days ROWS UNBOUNDED PRECEDING)
+           AS s
+  FROM pre
+)
+SELECT days, CAST(s AS BIGINT) AS cusum_cents
+FROM stepped ORDER BY s DESC, days ASC LIMIT 10
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "phrase_search_positional": (
+            q_phrase_search_positional,
+            ORACLE_PHRASE_SEARCH,
+            "ext:positional phrase search (pos+1 posting intersection)",
+        ),
+        "trigram_search": (
+            q_trigram_search,
+            ORACLE_TRIGRAM_SEARCH,
+            "ext:trigram-index substring search (pg_trgm plan, verified)",
+        ),
+        "cusum_top_days": (
+            q_cusum_top_days,
+            ORACLE_CUSUM,
+            "ext:CUSUM change detection (prefix-min identity, integer cents)",
+        ),
+    }
+)
