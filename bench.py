@@ -288,6 +288,8 @@ BENCH_QUERIES = [
     "phrase_search_positional",
     "trigram_search",
     "cusum_top_days",
+    "snapshot_wap",
+    "snapshot_tag_travel",
 ]
 
 

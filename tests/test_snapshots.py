@@ -1337,3 +1337,124 @@ def test_dynamic_overwrite_carries_deletes_and_stamps_seq(spark, tmp_path):
     assert m.get("delete_files")
     new_entries = [f for f in m["files"] if f.get("seq") == s3]
     assert new_entries  # fresh files stamped with this commit's seq
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish staging + tags (refs)
+# ---------------------------------------------------------------------------
+
+
+def test_wap_stage_is_invisible_until_publish(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import snapshot_publish
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 50), t)
+    sid = snapshot_write(spark.range(0, 10), t, publish=False)
+    # default readers still resolve the committed snapshot
+    assert snapshot_read(spark, t).count() == 50
+    # the audit reads the staged snapshot by explicit id
+    assert snapshot_read(spark, t, snapshot_id=sid).count() == 10
+    assert [s["snapshot_id"] for s in snapshots(t)] == [1]  # not listed
+    snapshot_publish(t, sid)
+    assert snapshot_read(spark, t).count() == 10
+    assert [s["snapshot_id"] for s in snapshots(t)] == [1, 2]
+
+
+def test_wap_stage_blocks_commits_until_resolved(spark, tmp_path):
+    import pytest as _pt
+
+    from yelp_etl_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        snapshot_abandon,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 20), t)
+    sid = snapshot_write(spark.range(0, 5), t, publish=False)
+    with _pt.raises(ConcurrentCommitError, match="STAGED"):
+        snapshot_write(spark.range(0, 3), t)
+    snapshot_abandon(t, sid)
+    assert snapshot_write(spark.range(0, 3), t) == 2
+    assert snapshot_read(spark, t).count() == 3
+
+
+def test_wap_staged_files_survive_vacuum_until_abandoned(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import snapshot_abandon
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 20), t)
+    sid = snapshot_write(spark.range(100, 140), t, publish=False)
+    assert vacuum(t) == 0  # staged data files are live
+    assert snapshot_read(spark, t, snapshot_id=sid).count() == 40
+    snapshot_abandon(t, sid)
+    assert vacuum(t) > 0  # now unreferenced
+    assert snapshot_read(spark, t).count() == 20
+
+
+def test_wap_orphan_sweep_skips_staged(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import (
+        remove_orphaned_manifests,
+        snapshot_publish,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 9), t)
+    sid = snapshot_write(spark.range(0, 4), t, publish=False)
+    assert remove_orphaned_manifests(t) == []  # staged is not litter
+    snapshot_publish(t, sid)
+    assert snapshot_read(spark, t).count() == 4
+
+
+def test_wap_publish_validations(spark, tmp_path):
+    import pytest as _pt
+
+    from yelp_etl_spark.sources.snapshots import snapshot_publish
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 5), t)
+    with _pt.raises(FileNotFoundError):
+        snapshot_publish(t, 9)
+    with _pt.raises(ValueError, match="not staged"):
+        snapshot_publish(t, 1)  # committed, not staged
+
+
+def test_tags_pin_snapshots_through_expire(spark, tmp_path):
+    from yelp_etl_spark.sources.snapshots import (
+        resolve_tag,
+        snapshot_drop_tag,
+        snapshot_tag,
+        snapshot_tags,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 30), t)
+    snapshot_tag(t, "v1")
+    snapshot_write(spark.range(0, 7), t)
+    snapshot_write(spark.range(0, 3), t)
+    assert snapshot_tags(t) == {"v1": 1}
+    # expire keeps the tagged snapshot alive alongside the newest
+    expired = expire_snapshots(t, keep_last=1)
+    assert 1 not in expired and 2 in expired
+    assert vacuum(t) > 0  # snapshot 2's files reclaimed
+    assert snapshot_read(spark, t, snapshot_id=resolve_tag(t, "v1")).count() == 30
+    assert snapshot_read(spark, t).count() == 3
+    # dropping the tag releases it for the next expire
+    snapshot_drop_tag(t, "v1")
+    assert expire_snapshots(t, keep_last=1) == [1]
+
+
+def test_tag_moves_atomically_and_validates(spark, tmp_path):
+    import pytest as _pt
+
+    from yelp_etl_spark.sources.snapshots import resolve_tag, snapshot_tag
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 5), t)
+    snapshot_tag(t, "latest")
+    snapshot_write(spark.range(0, 6), t)
+    snapshot_tag(t, "latest")  # move
+    assert resolve_tag(t, "latest") == 2
+    with _pt.raises(ValueError, match="tag name"):
+        snapshot_tag(t, "bad/name")
+    with _pt.raises(FileNotFoundError):
+        snapshot_tag(t, "ghost", snapshot_id=99)

@@ -7105,6 +7105,103 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
+def q_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (sources/snapshots.py publish=False /
+    snapshot_publish — Iceberg's WAP): a cleaned replace is STAGED
+    (fully materialized, auditable by id, invisible to every default
+    reader, exclusive against concurrent commits), audited against a
+    row-count gate, then published with one atomic pointer swap. The
+    query proves invisibility (was_invisible compares the pre-publish
+    default read to the parent count) and the published content. At
+    100 TB this is how bad data never reaches consumers: the audit
+    runs on the REAL committed-format snapshot, not a copy."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_publish,
+        snapshot_read,
+        snapshot_write,
+        snapshots,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snapwap")
+    snapshot_write(orders, table, mode="replace")
+    n_before = snapshot_read(spark, table).count()
+    staged = snapshot_write(
+        orders.filter(F.col("o_orderkey") % 13 != 0),
+        table,
+        mode="replace",
+        publish=False,
+    )
+    was_invisible = 1 if snapshot_read(spark, table).count() == n_before else 0
+    audit_rows = snapshot_read(spark, table, snapshot_id=staged).count()
+    if audit_rows > 0:  # the audit gate
+        snapshot_publish(table, staged)
+    ops = ",".join(s["operation"] for s in snapshots(table))
+    return (
+        snapshot_read(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("ops", F.lit(ops))
+        .withColumn("was_invisible", F.lit(was_invisible).cast("long"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SNAPSHOT_WAP = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       'replace,replace' AS ops, CAST(1 AS BIGINT) AS was_invisible
+FROM orders WHERE o_orderkey % 13 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_snapshot_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (sources/snapshots.py snapshot_tag — Iceberg tags):
+    the original orders snapshot is tagged 'v1', clobbered by two
+    replaces, expired down to keep_last=1 — and the tag STILL resolves
+    (tagged snapshots survive expiry, the refs retention rule), so the
+    v1 read must equal the original table exactly. This is dataset
+    versioning for training jobs: a tag is the reproducibility pin."""
+    from yelp_etl_spark.sources.snapshots import (
+        expire_snapshots,
+        resolve_tag,
+        snapshot_read,
+        snapshot_tag,
+        snapshot_write,
+        vacuum,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "snaptag")
+    snapshot_write(orders, table, mode="replace")
+    snapshot_tag(table, "v1")
+    snapshot_write(orders.limit(5), table, mode="replace")
+    snapshot_write(orders.limit(2), table, mode="replace")
+    expired = expire_snapshots(table, keep_last=1)
+    vacuum(table)
+    kept_tag = 1 if 1 not in expired else 0
+    return (
+        snapshot_read(spark, table, snapshot_id=resolve_tag(table, "v1"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("tag_survived_expire", F.lit(kept_tag).cast("long"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SNAPSHOT_TAG = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(1 AS BIGINT) AS tag_survived_expire
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 _QUERIES_UNORDERED: dict[str, QuerySpec] = {
     "flagship_revenue": QuerySpec(q_flagship, ORACLE_FLAGSHIP, "S2 P1 J1 A D8"),
     "pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING, "F A"),
@@ -7220,6 +7317,16 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         q_snapshot_eq_delete,
         ORACLE_SNAPSHOT_EQ_DELETE,
         "ext:snapshot layer — merge-on-read equality deletes (v2 delete files)",
+    ),
+    "snapshot_wap": QuerySpec(
+        q_snapshot_wap,
+        ORACLE_SNAPSHOT_WAP,
+        "ext:snapshot layer — write-audit-publish staging",
+    ),
+    "snapshot_tag_travel": QuerySpec(
+        q_snapshot_tag_travel,
+        ORACLE_SNAPSHOT_TAG,
+        "ext:snapshot layer — tags/refs survive expiry",
     ),
     "dynamic_overwrite_publish": QuerySpec(
         q_dynamic_overwrite_publish,
@@ -7568,6 +7675,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "phrase_search_positional",
         "trigram_search",
         "cusum_top_days",
+        "snapshot_wap",
+        "snapshot_tag_travel",
     }
 )
 
@@ -7590,3 +7699,4 @@ def oracle_sql_map() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }
+

@@ -251,6 +251,10 @@ def remove_orphaned_manifests(table_dir: str) -> list[int]:
     for f in _manifest_names(mdir):
         sid = _manifest_sid(f)
         if ptr is None or sid > ptr:
+            # staged (write-audit-publish) snapshots are intentional,
+            # not crash litter: snapshot_abandon is their remover
+            if json.load(open(os.path.join(mdir, f))).get("staged"):
+                continue
             os.remove(os.path.join(mdir, f))
             removed.append(sid)
     # also reclaim .tmp litter from crashes between the tmp write and
@@ -261,7 +265,9 @@ def remove_orphaned_manifests(table_dir: str) -> list[int]:
     return sorted(removed)
 
 
-def _commit_manifest(table_dir: str, manifest: dict) -> int:
+def _commit_manifest(
+    table_dir: str, manifest: dict, swap_pointer: bool = True
+) -> int:
     """Publish ``manifest`` exclusively and swap the pointer — the
     shared commit tail of snapshot_write and snapshot_rollback.
 
@@ -292,6 +298,22 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
         os.link(tmp, mpath)
     except FileExistsError:
         committed = _read_pointer(table_dir)
+        try:
+            existing_staged = bool(
+                json.load(open(mpath)).get("staged", False)
+            )
+        except Exception:
+            existing_staged = False
+        if existing_staged:
+            # a STAGED snapshot (write-audit-publish) is intentional,
+            # not a crash orphan: never reclaim it by age — the next
+            # writer must wait for snapshot_publish / snapshot_abandon
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"snapshot {snapshot_id} is STAGED (write-audit-"
+                f"publish) in {table_dir!r}: publish or abandon it "
+                "before committing again"
+            ) from None
         age = _time.time() - os.path.getmtime(mpath)
         # committed=None counts as "pointer behind": a writer that
         # crashed between publishing manifest 1 and the FIRST-EVER
@@ -330,6 +352,11 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
     else:
         os.unlink(tmp)
 
+    if not swap_pointer:
+        # staged (write-audit-publish): the manifest exists and its
+        # data files are durable, but no reader resolves it until
+        # snapshot_publish swaps the pointer
+        return snapshot_id
     # atomic pointer swap — the commit instant
     ptmp = os.path.join(table_dir, _POINTER + ".tmp")
     with open(ptmp, "w") as fh:
@@ -490,6 +517,7 @@ def snapshot_write(
     mode: str = "replace",
     partition_by: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    publish: bool = True,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table_dir``; returns the new
     snapshot id. ``mode='replace'`` is the reference's createOrReplace
@@ -647,6 +675,16 @@ def snapshot_write(
         "schema": schema.json(),
         "files": files,
     }
+    if not publish:
+        # write-audit-publish staging (Iceberg's WAP): the snapshot is
+        # fully materialized and auditable by explicit id
+        # (snapshot_read(snapshot_id=...)), invisible to every default
+        # reader, and EXCLUSIVE — a staged snapshot holds the next sid,
+        # so concurrent commits fail loudly until snapshot_publish /
+        # snapshot_abandon resolves the audit. Crash-safety: an
+        # abandoned stage is just a manifest + unreferenced files,
+        # reclaimed by snapshot_abandon or expire-less vacuum flows.
+        manifest["staged"] = True
     if pm is not None and pm.get("delete_files"):
         # an append carries the parent's data files, so it must carry
         # the delete files that mask them; replace/rewrite start from
@@ -658,7 +696,116 @@ def snapshot_write(
         manifest["partition_by"] = list(partition_by)
     if bloom_columns:
         manifest["bloom_columns"] = list(bloom_columns)
-    return _commit_manifest(table_dir, manifest)
+    return _commit_manifest(
+        table_dir, manifest, swap_pointer=publish
+    )
+
+
+def snapshot_publish(table_dir: str, snapshot_id: int) -> int:
+    """Publish a STAGED snapshot (the P of write-audit-publish): after
+    the audit passes, one atomic pointer swap makes the staged
+    snapshot current. The manifest is rewritten without the staged
+    flag first, so metadata readers (snapshots(), expire) see a plain
+    committed snapshot afterwards. Refuses if the id is not a staged
+    manifest directly above the pointer."""
+    mpath = _manifest_path(table_dir, snapshot_id)
+    try:
+        manifest = json.load(open(mpath))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no staged manifest {snapshot_id} in {table_dir!r}"
+        ) from None
+    ptr = _read_pointer(table_dir)
+    if not manifest.get("staged"):
+        raise ValueError(
+            f"snapshot {snapshot_id} is not staged (already published?)"
+        )
+    if (ptr or 0) + 1 != snapshot_id:
+        raise ValueError(
+            f"staged snapshot {snapshot_id} does not sit directly above "
+            f"the pointer ({ptr}): publish refused"
+        )
+    manifest.pop("staged", None)
+    tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, mpath)
+    ptmp = os.path.join(table_dir, _POINTER + ".tmp")
+    with open(ptmp, "w") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(ptmp, os.path.join(table_dir, _POINTER))
+    return snapshot_id
+
+
+def snapshot_abandon(table_dir: str, snapshot_id: int) -> None:
+    """Drop a STAGED snapshot after a failed audit: removes the staged
+    manifest (its data files become unreferenced and vacuum reclaims
+    them). Refuses to touch committed snapshots."""
+    ptr = _read_pointer(table_dir)
+    if ptr is not None and snapshot_id <= ptr:
+        raise ValueError(
+            f"snapshot {snapshot_id} is committed (pointer {ptr}): "
+            "abandon only removes staged snapshots — use rollback + "
+            "expire for committed history"
+        )
+    mpath = _manifest_path(table_dir, snapshot_id)
+    manifest = json.load(open(mpath))
+    if not manifest.get("staged"):
+        raise ValueError(f"snapshot {snapshot_id} is not staged")
+    os.remove(mpath)
+
+
+_TAG_RE = _re.compile(r"^[A-Za-z0-9_.-]{1,64}$")
+
+
+def snapshot_tag(
+    table_dir: str, name: str, snapshot_id: int | None = None
+) -> int:
+    """Create/move a named TAG (Iceberg refs): a durable name for a
+    snapshot id — 'v1', 'audited-2024-06', the dataset versions
+    training jobs pin. Tagged snapshots survive expire_snapshots
+    (refs retain history, exactly Iceberg's retention rule); reads
+    resolve with ``snapshot_read(..., snapshot_id=resolve_tag(...))``.
+    Atomic os.replace, so a tag move is all-or-nothing."""
+    if not _TAG_RE.match(name):
+        raise ValueError(f"tag name {name!r} must match {_TAG_RE.pattern}")
+    sid = snapshot_id if snapshot_id is not None else _read_pointer(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if not os.path.exists(_manifest_path(table_dir, sid)):
+        raise FileNotFoundError(f"no manifest for snapshot {sid}")
+    rdir = os.path.join(table_dir, "refs")
+    os.makedirs(rdir, exist_ok=True)
+    tmp = os.path.join(rdir, f".{name}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(sid))
+    os.replace(tmp, os.path.join(rdir, name))
+    return sid
+
+
+def snapshot_tags(table_dir: str) -> dict[str, int]:
+    """All tags as {name: snapshot_id}."""
+    rdir = os.path.join(table_dir, "refs")
+    if not os.path.isdir(rdir):
+        return {}
+    out = {}
+    for f in os.listdir(rdir):
+        if f.startswith("."):
+            continue
+        with open(os.path.join(rdir, f)) as fh:
+            out[f] = int(fh.read().strip())
+    return out
+
+
+def resolve_tag(table_dir: str, name: str) -> int:
+    tags = snapshot_tags(table_dir)
+    if name not in tags:
+        raise FileNotFoundError(f"no tag {name!r} in {table_dir!r}")
+    return tags[name]
+
+
+def snapshot_drop_tag(table_dir: str, name: str) -> None:
+    os.remove(os.path.join(table_dir, "refs", name))
 
 
 def snapshot_read(
@@ -966,9 +1113,15 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     # crash-orphaned newer manifest could expire the manifest the
     # pointer references (and vacuum would then delete the live table)
     names = _committed_manifest_names(table_dir)
+    # tagged snapshots are retained regardless of position (Iceberg's
+    # refs rule): a tag is a durable promise that time travel to that
+    # id keeps working
+    tagged = set(snapshot_tags(table_dir).values())
     expired = []
     for f in names[:-keep_last]:
         sid = _manifest_sid(f)
+        if sid in tagged:
+            continue
         os.remove(os.path.join(mdir, f))
         expired.append(sid)
     return expired
@@ -996,6 +1149,22 @@ def vacuum(table_dir: str) -> int:
         live |= {
             p for d in m.get("delete_files", []) for p in d["paths"]
         }
+    # a STAGED (write-audit-publish) snapshot above the pointer is not
+    # committed but IS intentional: its files must survive vacuum or
+    # the audit would read a half-deleted snapshot. Crash orphans
+    # (named manifests above the pointer WITHOUT the flag) stay
+    # collectible as before.
+    ptr = _read_pointer(table_dir)
+    for f in _manifest_names(mdir):
+        sid = _manifest_sid(f)
+        if ptr is not None and sid <= ptr:
+            continue
+        m = json.load(open(os.path.join(mdir, f)))
+        if m.get("staged"):
+            live |= {fl["path"] for fl in m["files"]}
+            live |= {
+                p for d in m.get("delete_files", []) for p in d["paths"]
+            }
     removed = 0
     ddir = os.path.join(table_dir, "data")
     for f in os.listdir(ddir):
