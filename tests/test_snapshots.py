@@ -1458,3 +1458,54 @@ def test_tag_moves_atomically_and_validates(spark, tmp_path):
         snapshot_tag(t, "bad/name")
     with _pt.raises(FileNotFoundError):
         snapshot_tag(t, "ghost", snapshot_id=99)
+
+
+def test_publish_is_idempotent_after_pointer_swap_crash(spark, tmp_path):
+    """Crash window: pointer swapped, staged flag not yet cleared —
+    retrying publish must finish cleanly, and the snapshot is already
+    readable (pointer-first ordering)."""
+    import json
+    import os
+
+    from yelp_etl_spark.sources.snapshots import (
+        _manifest_path,
+        snapshot_publish,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 8), t)
+    sid = snapshot_write(spark.range(0, 3), t, publish=False)
+    # simulate the crash: swap the pointer by hand, leave flag staged
+    with open(os.path.join(t, "_current"), "w") as fh:
+        fh.write(str(sid))
+    assert snapshot_read(spark, t).count() == 3  # already committed
+    assert snapshot_publish(t, sid) == sid  # retry converges
+    assert not json.load(open(_manifest_path(t, sid))).get("staged")
+
+
+def test_drop_tag_rejects_traversal(spark, tmp_path):
+    import pytest as _pt
+
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_drop_tag,
+        snapshot_tag,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 4), t)
+    snapshot_tag(t, "v1")
+    with _pt.raises(ValueError, match="tag name"):
+        snapshot_drop_tag(t, "../_current")
+    assert snapshot_read(spark, t).count() == 4  # pointer intact
+
+
+def test_tag_refuses_staged_snapshot(spark, tmp_path):
+    import pytest as _pt
+
+    from yelp_etl_spark.sources.snapshots import snapshot_tag
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 4), t)
+    sid = snapshot_write(spark.range(0, 2), t, publish=False)
+    with _pt.raises(ValueError, match="not committed"):
+        snapshot_tag(t, "ghost", snapshot_id=sid)

@@ -5956,11 +5956,16 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    cands = (
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+    # cands feeds BOTH the candidate count and the verify join:
+    # materialize once or the corpus-wide trigram explode runs twice
+    cands = truncate_lineage(
         grams.filter(F.col("g").isin(pat_trgms))
         .groupBy("doc_id")
         .agg(F.count("*").alias("hits"))
-        .filter(F.col("hits") == len(pat_trgms))
+        .filter(F.col("hits") == len(pat_trgms)),
+        eager=True,
     )
     n_cand = cands.agg(F.count("*").cast("long").alias("n_candidates"))
     verified = cands.join(docs, "doc_id").filter(
@@ -6028,7 +6033,15 @@ def q_cusum_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     stepped = (
         base.crossJoin(F.broadcast(k))
         .withColumn("prefix", F.sum(F.col("v") - F.col("k")).over(w))
-        .withColumn("s", F.col("prefix") - F.min("prefix").over(w))
+        # the running min must include the EMPTY prefix (0): without
+        # the zero anchor, every day before the prefix first dips
+        # negative under-reports S by min(prefix) — the recursion
+        # max(0, S + x - k) starts at S_0 = 0, not at prefix_1
+        .withColumn(
+            "s",
+            F.col("prefix")
+            - F.least(F.lit(0).cast("long"), F.min("prefix").over(w)),
+        )
     )
     return (
         stepped.select("days", F.col("s").cast("long").alias("cusum_cents"))
@@ -6054,8 +6067,9 @@ pre AS MATERIALIZED (
 ),
 stepped AS (
   SELECT days,
-         prefix - MIN(prefix) OVER (ORDER BY days ROWS UNBOUNDED PRECEDING)
-           AS s
+         prefix - LEAST(CAST(0 AS BIGINT),
+                        MIN(prefix) OVER (ORDER BY days
+                                          ROWS UNBOUNDED PRECEDING)) AS s
   FROM pre
 )
 SELECT days, CAST(s AS BIGINT) AS cusum_cents

@@ -314,7 +314,14 @@ def _commit_manifest(
                 f"publish) in {table_dir!r}: publish or abandon it "
                 "before committing again"
             ) from None
-        age = _time.time() - os.path.getmtime(mpath)
+        try:
+            age = _time.time() - os.path.getmtime(mpath)
+        except FileNotFoundError:
+            # the blocking manifest vanished between the failed link
+            # and this stat (concurrent abandon / orphan sweep won the
+            # race): retry the exclusive create cleanly
+            os.unlink(tmp)
+            return _commit_manifest(table_dir, manifest, swap_pointer)
         # committed=None counts as "pointer behind": a writer that
         # crashed between publishing manifest 1 and the FIRST-EVER
         # pointer swap leaves no pointer at all, and without this the
@@ -720,20 +727,31 @@ def snapshot_publish(table_dir: str, snapshot_id: int) -> int:
         raise ValueError(
             f"snapshot {snapshot_id} is not staged (already published?)"
         )
-    if (ptr or 0) + 1 != snapshot_id:
+    if ptr is not None and snapshot_id <= ptr:
+        # crash-recovery retry: a previous publish swapped the pointer
+        # but died before clearing the flag — finish idempotently
+        pass
+    elif (ptr or 0) + 1 != snapshot_id:
         raise ValueError(
             f"staged snapshot {snapshot_id} does not sit directly above "
             f"the pointer ({ptr}): publish refused"
         )
+    else:
+        # POINTER FIRST: after this instant the snapshot is committed
+        # (readers resolve it; vacuum counts its files live via the
+        # committed path) even if we crash before clearing the flag.
+        # The reverse order opens a window where an unstaged
+        # above-pointer manifest looks like crash litter — an orphan
+        # sweep or vacuum inside it would delete the audited snapshot.
+        ptmp = os.path.join(table_dir, _POINTER + ".tmp")
+        with open(ptmp, "w") as fh:
+            fh.write(str(snapshot_id))
+        os.replace(ptmp, os.path.join(table_dir, _POINTER))
     manifest.pop("staged", None)
     tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, mpath)
-    ptmp = os.path.join(table_dir, _POINTER + ".tmp")
-    with open(ptmp, "w") as fh:
-        fh.write(str(snapshot_id))
-    os.replace(ptmp, os.path.join(table_dir, _POINTER))
     return snapshot_id
 
 
@@ -774,6 +792,15 @@ def snapshot_tag(
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     if not os.path.exists(_manifest_path(table_dir, sid)):
         raise FileNotFoundError(f"no manifest for snapshot {sid}")
+    ptr = _read_pointer(table_dir)
+    if ptr is None or sid > ptr:
+        # staged / crash-orphaned manifests are not committed history:
+        # a tag on one dangles the moment it is abandoned or swept,
+        # breaking the docstring's durability promise silently
+        raise ValueError(
+            f"snapshot {sid} is not committed (pointer {ptr}): tags pin "
+            "committed snapshots — publish first"
+        )
     rdir = os.path.join(table_dir, "refs")
     os.makedirs(rdir, exist_ok=True)
     tmp = os.path.join(rdir, f".{name}.{uuid.uuid4().hex}.tmp")
@@ -805,6 +832,11 @@ def resolve_tag(table_dir: str, name: str) -> int:
 
 
 def snapshot_drop_tag(table_dir: str, name: str) -> None:
+    if not _TAG_RE.match(name):
+        # same validation as snapshot_tag: an unvalidated os.remove
+        # would follow '../_current' out of refs/ and delete the
+        # commit pointer
+        raise ValueError(f"tag name {name!r} must match {_TAG_RE.pattern}")
     os.remove(os.path.join(table_dir, "refs", name))
 
 
