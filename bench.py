@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "cusum_top_days",
     "snapshot_wap",
     "snapshot_tag_travel",
+    "orc_scan_roundtrip",
 ]
 
 

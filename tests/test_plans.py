@@ -411,3 +411,13 @@ def test_dpp_join_injects_dynamic_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan
     # and the fact side reads the partition column from the layout
     assert "partitionfilters" in plan
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir):
+    """ORC must give the same pushdown/pruning guarantees as parquet —
+    the scan carries PushedFilters and prunes unread columns."""
+    df = QUERIES["orc_scan_roundtrip"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Scan orc" in plan
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]

@@ -7677,6 +7677,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "cusum_top_days",
         "snapshot_wap",
         "snapshot_tag_travel",
+        "orc_scan_roundtrip",
     }
 )
 

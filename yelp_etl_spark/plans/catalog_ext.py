@@ -6096,3 +6096,58 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# ORC format roundtrip (sources/readers.read_files format surface)
+# --------------------------------------------------------------------------
+
+
+def q_orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format coverage beyond parquet: orders → ORC files →
+    read back through sources/readers.read_files with predicate
+    pushdown intact — ORC is the other pushdown-capable columnar
+    format Spark ships natively (Hive-lineage warehouses are full of
+    it). The aggregate proves values survive the roundtrip bit-exactly
+    and the filtered scan equals the oracle's direct filter over the
+    source table."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.readers import read_files
+
+    orders = _t(spark, sf_dir, "orders")
+    target = _scratch_dir(sf_dir, "orc")
+    orders.write.format("orc").save(target)
+    back = read_files(spark, target, format="orc")
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "orc_scan_roundtrip": (
+            q_orc_scan_roundtrip,
+            ORACLE_ORC_ROUNDTRIP,
+            "ext:ORC columnar roundtrip (pushdown-capable second format)",
+        ),
+    }
+)
