@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "snapshot_wap",
     "snapshot_tag_travel",
     "orc_scan_roundtrip",
+    "apriori_triples",
+    "bitemporal_as_of",
 ]
 
 

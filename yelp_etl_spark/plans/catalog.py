@@ -7678,6 +7678,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "snapshot_wap",
         "snapshot_tag_travel",
         "orc_scan_roundtrip",
+        "apriori_triples",
+        "bitemporal_as_of",
     }
 )
 

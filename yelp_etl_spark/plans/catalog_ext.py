@@ -6151,3 +6151,239 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Apriori level-3 itemsets and bitemporal as-of
+# --------------------------------------------------------------------------
+
+
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori's defining step beyond pairwise co-purchase: 3-itemset
+    mining with LEVEL-WISE CANDIDATE PRUNING — candidate (a,b,c) is
+    generated from frequent pairs (a,b) ⋈ (a,c) and kept only when
+    (b,c) is ALSO frequent (the downward-closure property), so the
+    basket triple-join runs against a broadcast candidate list instead
+    of |brands|³ cells. Support thresholds are a FLOOR-fraction of the
+    basket count (scale-relative, both engines floor the same IEEE
+    double). Top-20 triples, fully tie-broken."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    minsup = int(n_orders * 3 // 1000)  # 0.3% of baskets
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y")
+        )
+        .agg(F.count("*").alias("sup2"))
+        .filter(F.col("sup2") >= minsup)
+    )
+    l2 = pairs.select("x", "y")
+    cand = (
+        l2.alias("p")
+        .join(
+            l2.alias("q"),
+            (F.col("p.x") == F.col("q.x")) & (F.col("p.y") < F.col("q.y")),
+        )
+        .select(
+            F.col("p.x").alias("i1"),
+            F.col("p.y").alias("i2"),
+            F.col("q.y").alias("i3"),
+        )
+        # downward closure: the third sub-pair (i2, i3) must be frequent
+        .join(
+            l2.select(F.col("x").alias("i2"), F.col("y").alias("i3")),
+            ["i2", "i3"],
+            "left_semi",
+        )
+    )
+    c = baskets.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.p_brand") < F.col("c.p_brand")),
+        )
+        .select(
+            F.col("a.p_brand").alias("i1"),
+            F.col("b.p_brand").alias("i2"),
+            F.col("c.p_brand").alias("i3"),
+        )
+        .join(F.broadcast(cand), ["i1", "i2", "i3"], "left_semi")
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count("*").alias("sup3"))
+        .filter(F.col("sup3") >= minsup)
+    )
+    return (
+        triples.select(
+            "i1",
+            "i2",
+            "i3",
+            F.col("sup3").cast("long").alias("sup3"),
+            F.floor(F.lit(1_000_000) * F.col("sup3") / F.lit(n_orders))
+            .cast("long")
+            .alias("support_ppm"),
+        )
+        .orderBy(F.desc("sup3"), "i1", "i2", "i3")
+        .limit(20)
+    )
+
+
+ORACLE_APRIORI_TRIPLES = """
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM baskets),
+ms AS (SELECT CAST(n_orders * 3 // 1000 AS BIGINT) AS minsup, n_orders
+       FROM n),
+pairs AS MATERIALIZED (
+  SELECT a.i AS x, b.i AS y, COUNT(*) AS sup2
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= (SELECT minsup FROM ms)
+),
+cand AS MATERIALIZED (
+  SELECT p.x AS i1, p.y AS i2, q.y AS i3
+  FROM pairs p
+  JOIN pairs q ON p.x = q.x AND p.y < q.y
+  JOIN pairs r ON r.x = p.y AND r.y = q.y
+),
+triples AS MATERIALIZED (
+  SELECT a.i AS i1, b.i AS i2, c.i AS i3, CAST(COUNT(*) AS BIGINT) AS sup3
+  FROM baskets a
+  JOIN baskets b ON a.o = b.o AND a.i < b.i
+  JOIN baskets c ON a.o = c.o AND b.i < c.i
+  JOIN cand ON cand.i1 = a.i AND cand.i2 = b.i AND cand.i3 = c.i
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= (SELECT minsup FROM ms)
+)
+SELECT i1, i2, i3, sup3,
+       CAST(FLOOR(1000000 * sup3 / (SELECT n_orders FROM ms)) AS BIGINT)
+         AS support_ppm
+FROM triples
+ORDER BY sup3 DESC, i1, i2, i3 LIMIT 20
+"""
+
+
+_BITEMPORAL_CUT = "2000-01-01"
+_BITEMPORAL_ASOF = "1998-06-01"
+
+
+def q_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: VALID time from the SCD2 status history,
+    SYSTEM time from the snapshot layer — 'what did the system as of
+    snapshot S believe each customer's status was on date D?'.
+    Snapshot 1 is the table as loaded through 1999 (system time);
+    snapshot 2 is the full load; both are queried for the status
+    distribution valid on 1998-06-01. Late-arriving pre-1998 facts in
+    snapshot 2 legitimately CHANGE the answer about the past — the
+    exact correction bitemporal modeling exists to expose. Composes
+    two oracle-checked layers (scd2_history + snapshot time travel);
+    the per-customer windows are bounded by order counts."""
+    from yelp_etl_spark.operators.scd import scd2_history
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders")
+    table = _scratch_dir(sf_dir, "bitemp")
+    s1 = snapshot_write(
+        orders.filter(F.col("o_orderdate") < F.lit(_BITEMPORAL_CUT)),
+        table,
+        mode="replace",
+    )
+    s2 = snapshot_write(orders, table, mode="replace")
+
+    def as_of(sid: int, out: str) -> DataFrame:
+        hist = scd2_history(
+            snapshot_read(spark, table, snapshot_id=sid),
+            "o_custkey",
+            "o_orderdate",
+            "o_orderstatus",
+            tiebreak="o_orderkey",
+        )
+        d = F.lit(_BITEMPORAL_ASOF).cast("timestamp")
+        return (
+            hist.filter(
+                (F.col("valid_from") <= d)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    return (
+        as_of(s1, "n_sys1")
+        .join(as_of(s2, "n_sys2"), "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_sys1", F.lit(0)).cast("long").alias("n_sys1"),
+            F.coalesce("n_sys2", F.lit(0)).cast("long").alias("n_sys2"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _bitemporal_side_sql(where: str, out: str) -> str:
+    return f"""
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS {out} FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w2 AS valid_to
+    FROM (
+      SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
+             LAG(o_orderstatus) OVER w AS prev
+      FROM orders{where}
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    WHERE prev IS NULL OR o_orderstatus <> prev
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+  )
+  WHERE valid_from <= TIMESTAMP '{_BITEMPORAL_ASOF}'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_BITEMPORAL_ASOF}')
+  GROUP BY o_orderstatus"""
+
+
+ORACLE_BITEMPORAL = f"""
+WITH sys1 AS MATERIALIZED ({_bitemporal_side_sql(
+    " WHERE o_orderdate < TIMESTAMP '" + _BITEMPORAL_CUT + "'", "n_sys1")}
+),
+sys2 AS MATERIALIZED ({_bitemporal_side_sql("", "n_sys2")}
+)
+SELECT COALESCE(sys1.o_orderstatus, sys2.o_orderstatus) AS o_orderstatus,
+       CAST(COALESCE(n_sys1, 0) AS BIGINT) AS n_sys1,
+       CAST(COALESCE(n_sys2, 0) AS BIGINT) AS n_sys2
+FROM sys1 FULL OUTER JOIN sys2 USING (o_orderstatus)
+ORDER BY o_orderstatus
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "apriori_triples": (
+            q_apriori_triples,
+            ORACLE_APRIORI_TRIPLES,
+            "ext:Apriori 3-itemsets (downward-closure candidate pruning)",
+        ),
+        "bitemporal_as_of": (
+            q_bitemporal_as_of,
+            ORACLE_BITEMPORAL,
+            "ext:bitemporal as-of (valid time x system time)",
+        ),
+    }
+)
