@@ -3549,6 +3549,27 @@ EXTRA_QUERIES.update(
 )
 
 
+def _brand_baskets(spark: SparkSession, sf_dir: str):
+    """(basket, brand) pairs + eager basket count — the ONE definition
+    of a market basket shared by q_assoc_rules and q_apriori_triples
+    (a second copy is how two miners silently diverge on what a
+    basket means). The frame is materialized once (truncate_lineage):
+    both miners reference it from many join branches, and the count
+    doubles as the materialization action."""
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = truncate_lineage(
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct(),
+        eager=True,
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    return baskets, n_orders
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining over order baskets (the market-basket
     layer above q_copurchase_pairs): baskets are distinct
@@ -3564,15 +3585,8 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule aggregate shuffles on the (A,B) pair — at most |brands|² cells
     after map-side combine, metadata-sized regardless of order count.
     The single-row order total broadcasts. Top-30 fully tie-broken."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    baskets, n_orders = _brand_baskets(spark, sf_dir)
     item_counts = baskets.groupBy("p_brand").agg(F.count("*").alias("cnt"))
-    n_orders = baskets.select("l_orderkey").distinct().count()
     a = baskets.alias("a")
     b = baskets.alias("b")
     sup = (
@@ -6167,14 +6181,7 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     of |brands|³ cells. Support thresholds are a FLOOR-fraction of the
     basket count (scale-relative, both engines floor the same IEEE
     double). Top-20 triples, fully tie-broken."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    baskets, n_orders = _brand_baskets(spark, sf_dir)
     minsup = int(n_orders * 3 // 1000)  # 0.3% of baskets
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
@@ -6189,7 +6196,12 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup2"))
         .filter(F.col("sup2") >= minsup)
     )
-    l2 = pairs.select("x", "y")
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+    # l2 feeds THREE branches of the candidate build (p, q, and the
+    # downward-closure membership check): materialize the ≤|brands|²
+    # frame once
+    l2 = truncate_lineage(pairs.select("x", "y"), eager=True)
     cand = (
         l2.alias("p")
         .join(
@@ -6282,19 +6294,22 @@ ORDER BY sup3 DESC, i1, i2, i3 LIMIT 20
 """
 
 
-_BITEMPORAL_CUT = "2000-01-01"
-_BITEMPORAL_ASOF = "1998-06-01"
+_BITEMPORAL_CUT = "1998-01-01"
+_BITEMPORAL_ASOF = "1999-06-01"
 
 
 def q_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal as-of: VALID time from the SCD2 status history,
     SYSTEM time from the snapshot layer — 'what did the system as of
     snapshot S believe each customer's status was on date D?'.
-    Snapshot 1 is the table as loaded through 1999 (system time);
+    Snapshot 1 is the table as loaded through 1997 (system time);
     snapshot 2 is the full load; both are queried for the status
-    distribution valid on 1998-06-01. Late-arriving pre-1998 facts in
-    snapshot 2 legitimately CHANGE the answer about the past — the
-    exact correction bitemporal modeling exists to expose. Composes
+    distribution valid on 1999-06-01 — a date AFTER the cut, so the
+    facts snapshot 2 adds genuinely change the answer about that
+    valid-time instant (the as-of must postdate the system cut or the
+    two sides are provably identical and the time-travel axis goes
+    untested). Late-arriving facts correcting the past is the exact
+    case bitemporal modeling exists to expose. Composes
     two oracle-checked layers (scd2_history + snapshot time travel);
     the per-customer windows are bounded by order counts."""
     from yelp_etl_spark.operators.scd import scd2_history
