@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "orc_scan_roundtrip",
     "apriori_triples",
     "bitemporal_as_of",
+    "clustering_coefficient",
 ]
 
 

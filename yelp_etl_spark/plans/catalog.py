@@ -7680,6 +7680,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "orc_scan_roundtrip",
         "apriori_triples",
         "bitemporal_as_of",
+        "clustering_coefficient",
     }
 )
 

@@ -6402,3 +6402,174 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficients + degree assortativity (graph health)
+# --------------------------------------------------------------------------
+
+
+def _copurchase_edges_thin(spark: SparkSession, sf_dir: str):
+    """Thinned part co-purchase edges (every 3rd order) — the shared
+    one-mode graph for the per-node structure metrics below."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+_COPURCHASE_THIN_SQL = """
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 3 = 0) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 3 = 0) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient, bucketed into deciles:
+    cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) — how clique-like each
+    node's neighborhood is, the standard community-structure health
+    metric above the global triangle count. Triangles enumerate once
+    from degree-ordered oriented edges (the triangle_count discipline)
+    with the common neighbor EXPLODED so all three corners get
+    credit; zero-triangle nodes stay in bucket 0 via the left join.
+    FLOOR-ppm coefficient, decile = ppm div 100000."""
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+    undirected = _copurchase_edges_thin(spark, sf_dir)
+    degrees = truncate_lineage(
+        undirected.select(F.col("u").alias("node"))
+        .unionAll(undirected.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg")),
+        eager=True,
+    )
+    du = degrees.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = degrees.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    edges = truncate_lineage(
+        undirected.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        ),
+        eager=True,
+    )
+    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    corners = (
+        edges.join(
+            adj.select(F.col("src"), F.col("nbrs").alias("sn")), "src"
+        )
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("dn")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("sn", "dn")).alias("w"),
+        )
+    )
+    node_tri = (
+        corners.select(F.col("src").alias("node"))
+        .unionAll(corners.select(F.col("dst").alias("node")))
+        .unionAll(corners.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    cc_ppm = F.floor(
+        F.lit(2_000_000) * F.coalesce(F.col("tri"), F.lit(0))
+        / (F.col("deg") * (F.col("deg") - 1))
+    )
+    return (
+        degrees.filter(F.col("deg") >= 2)
+        .join(node_tri, "node", "left")
+        .select(cc_ppm.alias("cc_ppm"))
+        .select(F.expr("cc_ppm div 100000").alias("cc_decile"))
+        .groupBy("cc_decile")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("cc_decile")
+    )
+
+
+ORACLE_CLUSTERING_COEFF = f"""
+WITH {_COPURCHASE_THIN_SQL.strip()},
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
+tri AS MATERIALIZED (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z FROM (
+    SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+           CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+    FROM edges
+    JOIN deg a ON a.node = edges.u
+    JOIN deg b ON b.node = edges.v,
+    LATERAL (SELECT a.deg AS du, b.deg AS dv)
+  ) e1
+  JOIN (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+               AS src,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+               AS dst
+        FROM edges
+        JOIN deg a ON a.node = edges.u
+        JOIN deg b ON b.node = edges.v,
+        LATERAL (SELECT a.deg AS du, b.deg AS dv)) e2
+    ON e2.src = e1.dst
+  JOIN (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+               AS src,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+               AS dst
+        FROM edges
+        JOIN deg a ON a.node = edges.u
+        JOIN deg b ON b.node = edges.v,
+        LATERAL (SELECT a.deg AS du, b.deg AS dv)) e3
+    ON e3.src = e1.src AND e3.dst = e2.dst
+),
+node_tri AS MATERIALIZED (
+  SELECT node, COUNT(*) AS tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT CAST(FLOOR(2000000 * COALESCE(tri, 0)
+                  / (deg * (deg - 1))) AS BIGINT) // 100000 AS cc_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg LEFT JOIN node_tri USING (node)
+WHERE deg >= 2
+GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "clustering_coefficient": (
+            q_clustering_coefficient,
+            ORACLE_CLUSTERING_COEFF,
+            "ext:local clustering-coefficient deciles (oriented triangles)",
+        ),
+    }
+)
