@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "apriori_triples",
     "bitemporal_as_of",
     "clustering_coefficient",
+    "degree_assortativity",
 ]
 
 

@@ -7681,6 +7681,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "apriori_triples",
         "bitemporal_as_of",
         "clustering_coefficient",
+        "degree_assortativity",
     }
 )
 

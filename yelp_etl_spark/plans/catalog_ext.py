@@ -6573,3 +6573,78 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees across edges — positive means hubs attach to hubs
+    (social-graph shape), negative means hub-and-spoke (typical for
+    co-purchase). Each undirected edge contributes both orientations,
+    so Σx = Σy and Σxx = Σyy and the correlation is ONE closed-form
+    expression over exact BIGINT moments (the zipf_slope discipline —
+    engine corr() accumulations are not bit-portable). Bounds: with
+    degree d ≤ ~1e5 and m edges, n·Σxy ~ 2m²d² needs DECIMAL past
+    ~1e18 — fine at any fixture scale, documented for beyond."""
+    edges = _copurchase_edges_thin(spark, sf_dir)
+    degrees = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = degrees.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = degrees.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    pts = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(F.col("du").alias("x"), F.col("dv").alias("y"))
+    )
+    both = pts.unionAll(pts.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    s = both.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+ORACLE_ASSORTATIVITY = f"""
+WITH {_COPURCHASE_THIN_SQL.strip()},
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+),
+pts AS MATERIALIZED (
+  SELECT a.deg AS x, b.deg AS y
+  FROM edges JOIN deg a ON a.node = edges.u JOIN deg b ON b.node = edges.v
+),
+pts2 AS (SELECT x, y FROM pts UNION ALL SELECT y AS x, x AS y FROM pts),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts2
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       ROUND((n * sxy - sx * sx) / (n * sxx - sx * sx), 6) AS assortativity
+FROM s
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "degree_assortativity": (
+            q_degree_assortativity,
+            ORACLE_ASSORTATIVITY,
+            "ext:degree assortativity (exact BIGINT moments, closed form)",
+        ),
+    }
+)
