@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "bitemporal_as_of",
     "clustering_coefficient",
     "degree_assortativity",
+    "weighted_median",
 ]
 
 

@@ -7682,6 +7682,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "bitemporal_as_of",
         "clustering_coefficient",
         "degree_assortativity",
+        "weighted_median",
     }
 )
 

@@ -6648,3 +6648,70 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group (revenue-weighted order
+    quantity by return flag): reduce to per-(group, value) weight
+    cells — bounded by the value domain, quantity ∈ 1..50 — then one
+    cumulative window over that small table picks the first value
+    whose running weight reaches half the total. The exact complement
+    of the approximate histogram quantiles: same two-level shape, no
+    error bound, valid whenever the value domain is bounded. Weights
+    are exact cents; the half-total comparison is integer (2·cum ≥
+    total avoids the division entirely)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "w"
+        )
+    )
+    win = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("g")
+    stepped = cells.withColumn("cum", F.sum("w").over(win)).withColumn(
+        "total", F.sum("w").over(tot)
+    )
+    return (
+        stepped.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("g")
+        .agg(F.min("v").cast("long").alias("weighted_median_qty"))
+        .orderBy("g")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH cells AS MATERIALIZED (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS w
+  FROM lineitem GROUP BY 1, 2
+),
+stepped AS (
+  SELECT g, v,
+         SUM(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY g) AS total
+  FROM cells
+)
+SELECT g, CAST(MIN(v) AS BIGINT) AS weighted_median_qty
+FROM stepped WHERE 2 * cum >= total
+GROUP BY g ORDER BY g
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "weighted_median": (
+            q_weighted_median,
+            ORACLE_WEIGHTED_MEDIAN,
+            "ext:exact weighted median (bounded value domain, integer compare)",
+        ),
+    }
+)
