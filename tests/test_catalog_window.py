@@ -44,56 +44,48 @@ def test_driver_window_entries_all_oracle_checked():
     )
 
 
-def test_driver_window_r6_rotation_goals():
-    # r5 VERDICT tasks 1/2: the three fixed array-output reds return
-    # as regression guards, the 4 two-time stragglers lead the
-    # rotation, and the r5-session ML/metrics/snapshot families get
-    # their first driver rows.
+def test_driver_window_r7_rotation_goals():
+    # r6 VERDICT task 1: the 38 never-driver-checked round-6 queries
+    # all enter (spot checks per family; the cumulative-coverage test
+    # below proves the full list), plus the standing regression guards.
     must_have = {
-        # fixed r5 reds (Array-typed output vs driver canonicalizer)
+        # standing guards: the fixed r5 reds + flagship
         "map_funcs",
         "map_hof",
         "quantize_embeddings",
-        # two-time stragglers, judge-named
-        "csv_scan_roundtrip",
-        "grouping_indicator",
-        "posexplode_ordinal",
-        "explode_outer_tokens",
-        # r5-session families (spot checks; full list is the window)
-        "kmeans_clusters",
-        "logreg_weights",
-        "auc_score",
-        "sssp_weighted",
-        "personalized_pagerank",
-        "skew_report",
-        "snapshot_rollback",
-        "snapshot_expire",
-        "udtf_chunk_stats",
-        # new r6 queries enter the window immediately
-        "two_stage_collect",
-        "hll_portable",
-        "bloom_bitarray_prune",
-        "table_checksum",
+        "flagship_revenue",
+        # first-time rows, one spot check per family
+        "ab_test_ztest",
+        "als_factors",
+        "record_linkage_fs",
+        "clustering_coefficient",
+        "markov_attribution",
+        "snapshot_wap",
+        "orc_scan_roundtrip",
+        "stream_hll_distinct",
+        "trigram_search",
+        "weighted_median",
+        "profile_columns",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
 def test_window_closes_cumulative_driver_coverage():
-    # r5 VERDICT task 2: window ∪ previously-checked must cover the
+    # r6 VERDICT task 1: window ∪ previously-checked must cover the
     # ENTIRE catalog — after this round no query has ever been skipped
     # by the driver. Derive "previously checked" from the recorded
-    # CORRECTNESS_r0{1..5}.json files themselves.
+    # CORRECTNESS_r0{1..6}.json files themselves.
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[12345].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[123456].json")):
         checked |= set(json.load(open(path)))
-    assert checked, "expected CORRECTNESS_r0{1..5}.json at repo root"
+    assert checked, "expected CORRECTNESS_r0{1..6}.json at repo root"
     first_time = [n for n in _DRIVER_WINDOW if n not in checked]
-    assert len(first_time) >= 43, (
+    assert len(first_time) >= 38, (
         f"only {len(first_time)} first-time rows: {first_time}"
     )
     from yelp_etl_spark.plans.catalog import _NEXT_ROTATION_POOL
@@ -101,8 +93,7 @@ def test_window_closes_cumulative_driver_coverage():
     uncovered = [
         n for n in QUERIES if n not in checked and n not in _DRIVER_WINDOW
     ]
-    # the window saturated at 50 never-checked/guard rows; later
-    # r6-session additions are explicitly declared as the r7 seed
+    # new round-7 additions are explicitly declared as the r8 seed
     assert set(uncovered) <= _NEXT_ROTATION_POOL, (
         f"never driver-checked, not in window, not declared for the "
         f"next rotation: {sorted(set(uncovered) - _NEXT_ROTATION_POOL)}"
