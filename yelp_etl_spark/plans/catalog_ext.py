@@ -5066,6 +5066,12 @@ EXTRA_QUERIES.update(
 # --------------------------------------------------------------------------
 
 
+# Sorted-neighborhood window width w: each record pairs with at most w
+# successors in its block's k-order, so candidates are Σ_b |block|·w —
+# linear in table size even with a fixed-cardinality blocking key.
+_FS_NEIGHBORHOOD = 8
+
+
 def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage à la Fellegi-Sunter (1969): score
     brand-blocked part pairs by Σ_f ln(m_f/u_f) for agreeing fields
@@ -5077,8 +5083,21 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT — the _qlog discipline), pairs come from hash blocking
     (never a cross join), and the output is the weight histogram in
     whole nats (truncated division — identical on both engines).
-    Scale: blocking bounds candidates to Σ_b |block_b|²; the weight
-    table is a broadcast 1-row frame."""
+
+    Scale: naive blocking alone is Σ_b |block_b|², which grows
+    QUADRATICALLY when the blocking key has fixed cardinality (this
+    one does: |brands|×10 blocks forever). The query therefore
+    enforces the sorted-neighborhood cap (Hernández & Stolfo 1995,
+    the same bound Splink exposes as a blocking-rule budget): rank
+    records within each block by the stable sort key ``k`` and pair
+    only neighbors whose ranks differ by ≤ _FS_NEIGHBORHOOD. Candidate
+    count is then Σ_b |block_b|·w = O(N·w) — LINEAR in data size no
+    matter how the block-size distribution degenerates. The rank
+    window partitions by block (hash-parallel across blocks; a block
+    must fit one partition's sort — at extreme per-block sizes you
+    would range-partition the in-block sort, the standard
+    sorted-neighborhood sharding). The weight table stays a broadcast
+    1-row frame."""
     from yelp_etl_spark.functions.checkpoint import truncate_lineage
 
     part = _t(spark, sf_dir, "part")
@@ -5094,6 +5113,9 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_type").alias("f1"),
             F.split(F.lower(F.col("p_name")), " ").getItem(0).alias("f2"),
             F.floor(F.col("p_retailprice") / 100).alias("f3"),
+        ).withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("b").orderBy("k")),
         ),
         eager=True,
     )
@@ -5122,8 +5144,14 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = recs.alias("a")
     bb = recs.alias("b")
+    # sorted-neighborhood cap: rn orders by k within block, so
+    # b.rn > a.rn ⟺ b.k > a.k (k unique) and the ±w residual bounds
+    # candidates to |block|·w instead of |block|²
     pairs = a.join(
-        bb, (F.col("a.b") == F.col("b.b")) & (F.col("a.k") < F.col("b.k"))
+        bb,
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + F.lit(_FS_NEIGHBORHOOD)),
     ).crossJoin(F.broadcast(weights))
     w = (
         F.when(F.col("a.f1").eqNullSafe(F.col("b.f1")), F.col("w1a"))
@@ -5155,24 +5183,28 @@ def _fs_field_w_sql(col: str, tag: str) -> str:
 
 
 ORACLE_RECORD_LINKAGE_FS = (
-    """WITH recs AS MATERIALIZED (
+    f"""WITH recs AS MATERIALIZED (
   SELECT p_partkey AS k,
          p_brand || '|' || CAST(p_size % 10 AS VARCHAR) AS b, p_type AS f1,
          string_split(lower(p_name), ' ')[1] AS f2,
-         CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS f3
+         CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS f3,
+         ROW_NUMBER() OVER (PARTITION BY
+             p_brand || '|' || CAST(p_size % 10 AS VARCHAR)
+             ORDER BY p_partkey) AS rn
   FROM part
 ),
 """
     + ",\n".join(_fs_field_w_sql(c, t) for c, t in
                  [("f1", "1"), ("f2", "2"), ("f3", "3")])
-    + """
+    + f"""
 SELECT w_nat, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
   SELECT ((CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN w1a ELSE w1d END)
         + (CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN w2a ELSE w2d END)
         + (CASE WHEN a.f3 IS NOT DISTINCT FROM b.f3 THEN w3a ELSE w3d END))
         // 1000000 AS w_nat
   FROM recs a
-  JOIN recs b ON a.b = b.b AND a.k < b.k, w1, w2, w3
+  JOIN recs b ON a.b = b.b AND b.rn > a.rn
+             AND b.rn <= a.rn + {_FS_NEIGHBORHOOD}, w1, w2, w3
 )
 GROUP BY w_nat ORDER BY w_nat"""
 )
