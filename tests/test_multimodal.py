@@ -110,12 +110,16 @@ def test_extract_byte_features(spark):
     )
     rows = {r.id: r for r in extract_byte_features(df).collect()}
     assert rows[1].byte_entropy == 0.0
+    assert rows[1].entropy_micro == 0
     assert rows[1].distinct_bytes == 1
     assert abs(rows[2].byte_entropy - 8.0) < 1e-9
+    assert rows[2].entropy_micro == 8_000_000  # exact: all logs integral
     assert rows[2].distinct_bytes == 256
     assert rows[3].byte_entropy == 0.0 and rows[3].distinct_bytes == 0
+    assert rows[3].entropy_micro == 0
     assert rows[4].null_ratio == 0.5
     assert abs(rows[4].byte_entropy - 1.5) < 1e-9  # {1/4,1/4,1/2} → 1.5 bits
+    assert rows[4].entropy_micro == 1_500_000
     assert rows[1].printable_ratio == 1.0
 
 

@@ -295,14 +295,13 @@ def test_profile_columns_counts_and_entropy(spark):
     assert out["cat"]["n_nonnull"] == 3 and out["cat"]["n_null"] == 1
     assert out["cat"]["n_distinct"] == 2
     assert out["k"]["n_distinct"] == 4 and out["k"]["n_null"] == 0
-    # entropy of {a:2, b:1}: -(2*q(2/3) + 1*q(1/3))/3 in micro-nats
-    q = lambda p: round(math.log(p) * 1e6)  # noqa: E731
-    want = round(-(2 * q(2 / 3) + 1 * q(1 / 3)) / 3)
+    # decomposed micro-nat entropy of {a:2, b:1}:
+    # q(ln 3) - round((2*q(ln 2) + 1*q(ln 1)) / 3)
+    q = lambda x: round(math.log(x) * 1e6)  # noqa: E731
+    want = q(3) - round((2 * q(2) + 1 * q(1)) / 3)
     assert out["cat"]["entropy_micronats"] == want
     # uniform over 4 distinct values: ln(4) micro-nats exactly
-    assert out["k"]["entropy_micronats"] == round(
-        -(4 * q(1 / 4)) / 4
-    )
+    assert out["k"]["entropy_micronats"] == q(4)
 
 
 def test_profile_columns_reports_all_null_column(spark):

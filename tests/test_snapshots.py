@@ -606,6 +606,10 @@ def test_bootstrap_crash_orphan_auto_reclaimed(spark, tmp_path):
     os.makedirs(os.path.dirname(_manifest_path(t, 1)), exist_ok=True)
     with open(_manifest_path(t, 1), "w") as fh:
         _json.dump({"forged": True}, fh)
+    # the crashed writer touched the bootstrap marker before its
+    # manifest published (the durable record that no pointer has ever
+    # existed) — forge that too, it is the state under test
+    open(os.path.join(t, "_bootstrap"), "a").close()
     # fresh bootstrap orphan: possible live racer, still loud
     with pytest.raises(ConcurrentCommitError):
         snapshot_write(spark.range(0, 5), t)
@@ -614,6 +618,35 @@ def test_bootstrap_crash_orphan_auto_reclaimed(spark, tmp_path):
     os.utime(_manifest_path(t, 1), (old, old))
     assert snapshot_write(spark.range(0, 5), t) == 1
     assert snapshot_read(spark, t).count() == 5
+    # the successful pointer swap retires the marker
+    assert not os.path.exists(os.path.join(t, "_bootstrap"))
+
+
+def test_single_snapshot_pointer_loss_never_self_heals(spark, tmp_path):
+    """External pointer loss on a COMMITTED one-snapshot table is
+    byte-identical to a bootstrap crash except for the durable
+    bootstrap marker (retired at first pointer swap). Self-healing
+    here would silently overwrite real committed history with the
+    retry writer's data — it must stay loud forever, grace or no
+    grace (r6 ADVICE)."""
+    import time
+
+    from yelp_etl_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        _manifest_path,
+    )
+
+    t = str(tmp_path / "tbl")
+    assert snapshot_write(spark.range(0, 5), t) == 1
+    os.unlink(os.path.join(t, "_current"))  # the external loss
+    old = time.time() - 3600
+    os.utime(_manifest_path(t, 1), (old, old))  # well past grace
+    with pytest.raises(ConcurrentCommitError):
+        snapshot_write(spark.range(100, 103), t)
+    # the committed manifest survived untouched
+    import json as _json
+
+    assert "forged" not in _json.load(open(_manifest_path(t, 1)))
 
 
 def test_replace_inherits_parent_partition_spec(spark, tmp_path):

@@ -118,8 +118,8 @@ def decode_blobs(
 
 
 BYTE_FEATURE_SCHEMA = (
-    "byte_entropy double, printable_ratio double, null_ratio double, "
-    "mean_byte double, distinct_bytes int"
+    "byte_entropy double, entropy_micro long, printable_ratio double, "
+    "null_ratio double, mean_byte double, distinct_bytes int"
 )
 
 
@@ -150,20 +150,39 @@ def extract_byte_features(df: DataFrame, blob_col: str = "content") -> DataFrame
             for payload in pdf[blob_col]:
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(b) == 0:
-                    feats.append((0.0, 0.0, 0.0, 0.0, 0))
+                    feats.append((0.0, 0, 0.0, 0.0, 0.0, 0))
                     continue
                 counts = np.bincount(b, minlength=256)
-                p = counts[counts > 0] / len(b)
+                nz = counts[counts > 0].astype(np.int64)
+                p = nz / len(b)
                 entropy = float(-(p * np.log2(p)).sum())
+                # exact-integer twin (the _qlog micro-quantization
+                # discipline): H = log2(n) - (Σ c·log2(c))/n with every
+                # log2 quantized to micro-bits BEFORE the sum, so the
+                # result is pure int64 arithmetic any engine replays
+                # bit-exactly (numpy float sums are order-dependent;
+                # this is not). floor(x+0.5), not np.round — numpy
+                # rounds half-to-even, SQL engines half-up.
+                qc = np.floor(np.log2(nz) * 1e6 + 0.5).astype(np.int64)
+                qn = int(np.floor(np.log2(len(b)) * 1e6 + 0.5))
+                ent_micro = qn - int((nz * qc).sum()) // len(b)
                 printable = float(counts[32:127].sum() / len(b))
                 nul = float(counts[0] / len(b))
                 feats.append(
-                    (entropy, printable, nul, float(b.mean()), int((counts > 0).sum()))
+                    (
+                        entropy,
+                        ent_micro,
+                        printable,
+                        nul,
+                        float(b.mean()),
+                        int((counts > 0).sum()),
+                    )
                 )
             feat_df = pd.DataFrame(
                 feats,
                 columns=[
                     "byte_entropy",
+                    "entropy_micro",
                     "printable_ratio",
                     "null_ratio",
                     "mean_byte",
@@ -450,6 +469,7 @@ def extract_byte_features_arrow(
 
     out_fields = [
         ("byte_entropy", pa.float64()),
+        ("entropy_micro", pa.int64()),
         ("printable_ratio", pa.float64()),
         ("null_ratio", pa.float64()),
         ("mean_byte", pa.float64()),
@@ -473,12 +493,16 @@ def extract_byte_features_arrow(
                     else np.empty(0, dtype=np.uint8)
                 )
                 if len(b) == 0:
-                    vals = (0.0, 0.0, 0.0, 0.0, 0)
+                    vals = (0.0, 0, 0.0, 0.0, 0.0, 0)
                 else:
                     counts = np.bincount(b, minlength=256)
-                    p = counts[counts > 0] / len(b)
+                    nz = counts[counts > 0].astype(np.int64)
+                    p = nz / len(b)
+                    qc = np.floor(np.log2(nz) * 1e6 + 0.5).astype(np.int64)
+                    qn = int(np.floor(np.log2(len(b)) * 1e6 + 0.5))
                     vals = (
                         float(-(p * np.log2(p)).sum()),
+                        qn - int((nz * qc).sum()) // len(b),
                         float(counts[32:127].sum() / len(b)),
                         float(counts[0] / len(b)),
                         float(b.mean()),

@@ -62,9 +62,13 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     never cost k scans. Values are compared as strings purely for the
     uniform unpivot schema; counts are unaffected for the
     integer/string columns this targets. Entropy follows the repo's
-    micro-nat discipline: each value's ``round(1e6·ln(cnt/n))`` is an
-    integer BEFORE the Σcnt·q sum (exact BIGINT under any
-    partitioning), one final division.
+    micro-nat discipline in the DECOMPOSED form
+    ``q(ln n) − round(Σ cnt·q(ln cnt) / n)`` with ``q(x) =
+    round(1e6·x)``: the per-cell term needs only its own count, so
+    counts, distincts, and the entropy sum all come out of a single
+    aggregation over the cell frame — one scan, one shuffle, nothing
+    cached or pinned (the previous shape consumed the cell frame twice
+    through a session-lifetime ``.cache()`` — r6 ADVICE).
 
     Returns (col_name, n_nonnull, n_null, n_distinct,
     entropy_micronats) ordered by col_name."""
@@ -74,47 +78,34 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     pairs = df.select(
         F.expr(f"stack({len(columns)}, {stack_expr}) as (col_name, value)")
     )
-    # cells is the COMPRESSED representation (bounded by Σ per-column
-    # distinct values) consumed twice below — cached so the raw table
-    # is scanned exactly once (recompute-safe under eviction; a
-    # profiler result is read once, so LRU reclaim is fine)
     cells = pairs.groupBy("col_name", "value").agg(
         F.count("*").alias("cnt")
-    ).cache()
+    )
     notnull = F.col("value").isNotNull()
+    # q(ln cnt) per cell — integer micro-nats BEFORE the sum, so the
+    # Σ is exact BIGINT under any partitioning / merge order
+    qc = F.round(F.log(F.col("cnt").cast("double")) * F.lit(1_000_000.0)).cast(
+        "long"
+    )
     per_col = cells.groupBy("col_name").agg(
         F.sum(F.when(notnull, F.col("cnt")).otherwise(0)).alias("n_nonnull"),
         F.sum(F.when(~notnull, F.col("cnt")).otherwise(0)).alias("n_null"),
         F.count(F.when(notnull, F.lit(1))).alias("n_distinct"),
+        F.sum(F.when(notnull, F.col("cnt") * qc).otherwise(0)).alias("sum_cq"),
     )
-    from yelp_etl_spark.functions.classify import qlog
-
-    q = qlog(F.col("cnt") / F.col("n_nonnull"))
-    ent = (
-        cells.filter(notnull)
-        .join(F.broadcast(per_col.select("col_name", "n_nonnull")), "col_name")
-        .select("col_name", (F.col("cnt") * q).alias("term"), "n_nonnull")
-        .groupBy("col_name")
-        .agg(
-            F.round(-F.sum("term") / F.first("n_nonnull"))
-            .cast("long")
-            .alias("entropy_micronats")
-        )
-    )
-    return (
-        # LEFT join: an all-null column has no non-null cells and no
-        # entropy group — the profiler must still report it (it is the
-        # single most pathological column a discovery pass can find),
-        # with entropy 0 over an empty distribution
-        per_col.join(ent, "col_name", "left")
-        .select(
-            "col_name",
-            F.col("n_nonnull").cast("long").alias("n_nonnull"),
-            F.col("n_null").cast("long").alias("n_null"),
-            F.col("n_distinct").cast("long").alias("n_distinct"),
-            F.coalesce(F.col("entropy_micronats"), F.lit(0))
-            .cast("long")
-            .alias("entropy_micronats"),
-        )
-        .orderBy("col_name")
-    )
+    qn = F.round(
+        F.log(F.col("n_nonnull").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    return per_col.select(
+        "col_name",
+        F.col("n_nonnull").cast("long").alias("n_nonnull"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        # an all-null column has no non-null cells: report entropy 0
+        # over the empty distribution (it is the single most
+        # pathological column a discovery pass can find)
+        F.when(F.col("n_nonnull") > 0, qn - F.round(
+            F.col("sum_cq") / F.col("n_nonnull")
+        ).cast("long")).otherwise(F.lit(0)).cast("long")
+        .alias("entropy_micronats"),
+    ).orderBy("col_name")

@@ -2529,7 +2529,10 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     via numpy mapInPandas. Oracle-checked: the features are pure
     byte-histogram arithmetic, which DuckDB replays over the
     hex-encoding of the same synthesized payload (header hex +
-    hex(encode(text)))."""
+    hex(encode(text))). The entropy column is the exact-integer
+    ``entropy_micro`` twin (per-term micro-bit quantized log2 — the
+    _qlog discipline), not the float numpy sum, so parity is bit-exact
+    by construction rather than round-to-4-lucky (r6 ADVICE)."""
     from yelp_etl_spark.functions.multimodal import (
         extract_byte_features,
         synthesize_blobs,
@@ -2539,7 +2542,7 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = synthesize_blobs(docs, from_col="text").select("doc_id", "content")
     return extract_byte_features(blobs).select(
         "doc_id",
-        F.round("byte_entropy", 4).alias("byte_entropy"),
+        F.col("entropy_micro").alias("entropy_micro"),
         F.round("printable_ratio", 4).alias("printable_ratio"),
         F.round("null_ratio", 4).alias("null_ratio"),
         F.col("distinct_bytes").cast("long").alias("distinct_bytes"),
@@ -2549,8 +2552,11 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB replays the byte features over the hex rendering of the same
 # payload (fake-PNG header + utf-8 text): one byte = two hex digits,
 # exploded via unnest(generate_series(...)) (DuckDB has no lateral
-# range()). Counting is exact integers; entropy's ≤256-term float sum
-# agrees with numpy's within 1 ulp, far inside the 4-decimal round.
+# range()). Counting is exact integers; entropy is the micro-bit
+# integer form H_micro = q(log2 n) - ⌊Σ c·q(log2 c) / n⌋ with
+# q(x) = ⌊x·1e6 + 0.5⌋ — every float op is a single log2-of-integer
+# quantization, so the BIGINT result is engine-independent (no
+# order-dependent float accumulation; r6 ADVICE on blob_features).
 ORACLE_BLOB_FEATURES = """
 WITH blobs AS MATERIALIZED (
   SELECT doc_id, concat('89504E470D0A1A0A', upper(hex(encode(text)))) AS hx
@@ -2572,8 +2578,10 @@ tot AS MATERIALIZED (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
 )
 SELECT c.doc_id,
-       ROUND(-SUM((CAST(c.c AS DOUBLE)/t.n) * log2(CAST(c.c AS DOUBLE)/t.n)), 4)
-         AS byte_entropy,
+       CAST(FLOOR(log2(CAST(t.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         - CAST(SUM(c.c * CAST(FLOOR(log2(CAST(c.c AS DOUBLE)) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) // t.n
+         AS entropy_micro,
        ROUND(CAST(SUM(CASE WHEN c.v BETWEEN 32 AND 126 THEN c.c ELSE 0 END)
                   AS DOUBLE)/t.n, 4) AS printable_ratio,
        ROUND(CAST(SUM(CASE WHEN c.v = 0 THEN c.c ELSE 0 END) AS DOUBLE)/t.n, 4)

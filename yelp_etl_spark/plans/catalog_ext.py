@@ -3616,11 +3616,14 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 F.lit(1000000.0) * F.col("sup") / F.col("cnt_a")
             ).cast("long").alias("conf_ppm"),
+            # cnt_a/cnt_b go through double BEFORE multiplying: a
+            # BIGINT*BIGINT product overflows under ANSI once per-brand
+            # counts pass ~3e9 (the numerator is already double)
             F.floor(
                 F.lit(1000000.0)
                 * F.col("sup")
                 * F.lit(float(n_orders))
-                / (F.col("cnt_a") * F.col("cnt_b"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b"))
             ).cast("long").alias("lift_ppm"),
         )
     )
@@ -3647,7 +3650,7 @@ sup AS MATERIALIZED (
 SELECT ante, cons, CAST(sup AS BIGINT) AS sup,
        CAST(FLOOR(1000000.0 * sup / ca.cnt) AS BIGINT) AS conf_ppm,
        CAST(FLOOR(1000000.0 * sup * (SELECT n_orders FROM n)
-                  / (ca.cnt * cb.cnt)) AS BIGINT) AS lift_ppm
+                  / (CAST(ca.cnt AS DOUBLE) * cb.cnt)) AS BIGINT) AS lift_ppm
 FROM sup
 JOIN item_counts ca ON ca.p_brand = sup.ante
 JOIN item_counts cb ON cb.p_brand = sup.cons
@@ -4821,17 +4824,22 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_block(col: str) -> str:
+    # decomposed micro-nat entropy (mirrors validate.profile_columns):
+    # q(ln n) − round(Σ cnt·q(ln cnt) / n) — per-cell terms are exact
+    # BIGINT, one final division
     return f"""SELECT '{col}' AS col_name,
        CAST(SUM(cnt) AS BIGINT) AS n_nonnull,
        CAST((SELECT COUNT(*) FROM orders WHERE {col} IS NULL) AS BIGINT)
          AS n_null,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       CAST(ROUND(-SUM(cnt * CAST(ROUND(LN(cnt / nn) * 1000000) AS BIGINT))
-                  / nn) AS BIGINT) AS entropy_micronats
+       CAST(ROUND(LN(CAST(SUM(cnt) AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(ROUND(CAST(SUM(cnt * CAST(ROUND(LN(CAST(cnt AS DOUBLE))
+                                               * 1000000) AS BIGINT))
+                           AS BIGINT)
+                      / CAST(SUM(cnt) AS BIGINT)) AS BIGINT)
+         AS entropy_micronats
 FROM (SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS cnt
-      FROM orders WHERE {col} IS NOT NULL GROUP BY 1),
-     (SELECT CAST(COUNT({col}) AS BIGINT) AS nn FROM orders)
-GROUP BY nn"""
+      FROM orders WHERE {col} IS NOT NULL GROUP BY 1)"""
 
 
 ORACLE_PROFILE_COLUMNS = (
@@ -5961,8 +5969,10 @@ WITH t AS MATERIALIZED (
   SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
 ),
 occ AS MATERIALIZED (
+  -- correlated unnest: positions derive from each row's own token
+  -- count, so no document length can outrun a fixed bound (r6 ADVICE)
   SELECT doc_id, COUNT(*) AS n_occ
-  FROM t, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM t)
   WHERE i < len(a) AND a[i] = '{_PHRASE[0]}' AND a[i + 1] = '{_PHRASE[1]}'
   GROUP BY doc_id
 )
@@ -6033,9 +6043,11 @@ WITH t AS MATERIALIZED (
   SELECT doc_id, lang, lower(text) AS t FROM documents
 ),
 grams AS MATERIALIZED (
+  -- correlated unnest: per-row position grid, unbounded (r6 ADVICE)
   SELECT DISTINCT doc_id, substr(t, i, 3) AS g
-  FROM t, (SELECT unnest(generate_series(1, 5000)) AS i) s
-  WHERE i <= length(t) - 2
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, length(t) - 2)) AS i
+        FROM t)
 ),
 cands AS MATERIALIZED (
   SELECT doc_id FROM grams WHERE g IN ({lits})

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _POINTER = "_current"
+_BOOTSTRAP = "_bootstrap"  # present only until the first pointer swap
 _SKIP_STATS_TYPES = ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")  # strings: keep simple
 
 
@@ -291,6 +292,17 @@ def _commit_manifest(
     """
     snapshot_id = manifest["snapshot_id"]
     mpath = _manifest_path(table_dir, snapshot_id)
+    # Durable bootstrap marker: dropped the instant the FIRST pointer
+    # swap succeeds, so "no pointer + marker present" (true bootstrap
+    # crash, safe to self-heal) is distinguishable from "no pointer +
+    # no marker" (a committed table whose pointer file was lost
+    # externally — self-healing there would overwrite real history;
+    # r6 ADVICE). Touched before the first manifest ever publishes.
+    sentinel = os.path.join(table_dir, _BOOTSTRAP)
+    if _read_pointer(table_dir) is None and not _manifest_names(
+        os.path.join(table_dir, "manifests")
+    ):
+        open(sentinel, "a").close()
     tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -298,6 +310,15 @@ def _commit_manifest(
         os.link(tmp, mpath)
     except FileExistsError:
         committed = _read_pointer(table_dir)
+        if committed is not None:
+            # a pointer exists, so any sentinel is stale litter from a
+            # losing bootstrap racer that re-touched it after the
+            # winner's swap — retire it so it can't legitimize a
+            # future self-heal on this committed table
+            try:
+                os.unlink(sentinel)
+            except FileNotFoundError:
+                pass
         try:
             existing_staged = bool(
                 json.load(open(mpath)).get("staged", False)
@@ -327,16 +348,23 @@ def _commit_manifest(
         # pointer swap leaves no pointer at all, and without this the
         # orphan would block every retry forever (case (b)'s bootstrap
         # variant — checkpointed streaming replays must converge).
-        # BUT a missing pointer on a table with HIGHER-numbered
-        # manifests is not a bootstrap crash — it's pointer loss on an
-        # established table (partial restore, external deletion):
-        # reclaiming manifest 1 there would clobber real history and
-        # orphan every later snapshot. Only the true bootstrap shape
-        # (this manifest is the newest that exists) may self-heal.
-        bootstrap_ok = committed is None and snapshot_id == max(
-            (_manifest_sid(n) for n in _manifest_names(
-                os.path.join(table_dir, "manifests"))),
-            default=snapshot_id,
+        # BUT a missing pointer is only a bootstrap crash when (i) no
+        # HIGHER-numbered manifest exists (pointer loss on an
+        # established table would clobber real history) AND (ii) the
+        # durable bootstrap marker is still present — the marker is
+        # removed by the first successful pointer swap, so its absence
+        # proves a pointer EXISTED and was lost externally, even on a
+        # one-snapshot table where (i) alone cannot tell the cases
+        # apart. Pointer loss is an operator problem (restore the
+        # pointer or remove_orphaned_manifests), never a silent heal.
+        bootstrap_ok = (
+            committed is None
+            and os.path.exists(sentinel)
+            and snapshot_id == max(
+                (_manifest_sid(n) for n in _manifest_names(
+                    os.path.join(table_dir, "manifests"))),
+                default=snapshot_id,
+            )
         )
         if (
             bootstrap_ok or (committed is not None and committed < snapshot_id)
@@ -369,6 +397,12 @@ def _commit_manifest(
     with open(ptmp, "w") as fh:
         fh.write(str(snapshot_id))
     os.replace(ptmp, os.path.join(table_dir, _POINTER))
+    # a pointer now durably exists: retire the bootstrap marker so a
+    # future missing pointer reads as external loss, not a crash
+    try:
+        os.unlink(sentinel)
+    except FileNotFoundError:
+        pass
     return snapshot_id
 
 
@@ -747,6 +781,10 @@ def snapshot_publish(table_dir: str, snapshot_id: int) -> int:
         with open(ptmp, "w") as fh:
             fh.write(str(snapshot_id))
         os.replace(ptmp, os.path.join(table_dir, _POINTER))
+        try:  # first-ever pointer may arrive via publish: retire marker
+            os.unlink(os.path.join(table_dir, _BOOTSTRAP))
+        except FileNotFoundError:
+            pass
     manifest.pop("staged", None)
     tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
