@@ -259,7 +259,6 @@ BENCH_QUERIES = [
     "checksum_incremental",
     "assoc_rules",
     "stream_hll_distinct",
-    "funnel_conversion",
     "als_factors",
     "ndcg_mrr_eval",
     "label_prop_communities",
@@ -300,21 +299,34 @@ BENCH_QUERIES = [
 
 
 
+# First-run times at or under this get a steady-state second run
+# (min taken); above it the first run is accepted as-is — see the
+# adaptive-run rationale in main().
+_ADAPTIVE_RERUN_SECONDS = 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("yelp-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Two timed runs per query, min taken — single-run local[N] timings
-    # carry GC/compilation noise of up to ~3x on sub-second queries; the
-    # min is the standard steady-state estimator (cf. hyperfine). The
-    # first run doubles as the JIT/codegen warmup (the min never picks
-    # it). Default dropped 3 → 2 at 225 catalog queries: BENCH_DETAIL
-    # history shows sub-5% spread between 2nd and 3rd runs, and the
-    # third pass pushed full-catalog wall-clock toward the driver's
-    # ~10-minute ceiling. Override with SPARK_GRAFT_BENCH_RUNS.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Adaptive run count (r6 VERDICT: full-catalog wall was trending
+    # into the driver's ~10-minute ceiling at 267 queries × 2 runs).
+    # Single-run timings carry JIT/codegen noise of up to ~3x — but
+    # only in the SUB-SECOND regime, where compile cost rivals the
+    # query itself; on multi-second iterative/graph queries the
+    # constant compile overhead is a few percent of t1. So: every
+    # query runs once; a second run (min taken, first run doubling as
+    # warmup — the hyperfine estimator) happens only when the first
+    # run lands at or under _ADAPTIVE_RERUN_SECONDS, exactly where the
+    # min-of-2 changes the number. This cuts the second pass for the
+    # heavy tail (~100 s of the r6 wall) while keeping steady-state
+    # values for the noise-dominated majority. Set
+    # SPARK_GRAFT_BENCH_RUNS to force a fixed count for every query.
+    forced = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    runs = int(forced) if forced else 2
+    adaptive = forced is None
     # A full-GC hint between queries keeps accumulated broadcast /
     # Arrow / codegen garbage from billing its collection pause to
     # whichever query happens to trigger it (observed as random
@@ -326,12 +338,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         jvm_gc()
         best = None
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.time()
             df = QUERIES[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+            if adaptive and i == 0 and elapsed > _ADAPTIVE_RERUN_SECONDS:
+                break
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -344,7 +358,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": runs,
+        "runs_per_query": "adaptive<=2" if adaptive else runs,
         "aggregation": "min",
     }
     detail_path = os.path.join(
@@ -364,7 +378,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "sf": sf,
-                "runs_per_query": runs,
+                "runs_per_query": "adaptive<=2" if adaptive else runs,
                 "aggregation": "min",
                 "detail": "BENCH_DETAIL.json",
             }
