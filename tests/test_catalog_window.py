@@ -15,14 +15,15 @@ from yelp_etl_spark.plans.catalog_ext import EXTRA_QUERIES
 
 # approximate/sketch queries whose outputs are seed- or
 # error-bound-dependent: rows-only by design (each has an exact
-# oracle-checked twin elsewhere in the catalog)
+# oracle-checked twin elsewhere in the catalog). pq_topk left this set
+# in round 7: its default codebook sample became the exact id-range
+# grid, so the full encode/ADC/rank path now carries a value oracle.
 ROWS_ONLY_BY_DESIGN = {
     "minhash_neardup",
     "simhash_sketch",
     "approx_distinct",
     "lsh_topk",
     "ivf_topk",
-    "pq_topk",
     "hll_mergeable",
 }
 

@@ -730,13 +730,18 @@ def pq_topk(
         # lets a SQL oracle rebuild the identical sub-codebooks.
         cid_values = list(codebook_ids)
     else:
-        # -- deterministic codebook sample (see ivf_topk): vectors at
-        # the n_cent id-quantiles; driver never holds more than n_cent
-        # rows.
-        quantiles = F.array(*[F.lit(i / n_cent) for i in range(n_cent)])
-        cid_values = candidates.agg(
-            F.percentile_approx(id_col, quantiles, F.lit(10_000))
-        ).collect()[0][0]
+        # -- deterministic codebook sample: the n_cent exact quantiles
+        # of the ID RANGE (lo + i·(hi−lo)//n_cent). One min/max agg
+        # (cheaper than the percentile_approx sketch this replaced, and
+        # exact), ids that fall in gaps simply select nothing — both
+        # properties any SQL engine replays verbatim, which is what
+        # lets the DEFAULT path carry a value oracle, not just the
+        # explicit-codebook one.
+        row = candidates.agg(
+            F.min(id_col).cast("long"), F.max(id_col).cast("long")
+        ).collect()[0]
+        lo, hi = int(row[0]), int(row[1])
+        cid_values = [lo + (i * (hi - lo)) // n_cent for i in range(n_cent)]
     sample = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in candidates.select(id_col, vec_col)

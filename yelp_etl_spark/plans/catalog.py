@@ -1498,8 +1498,11 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (functions/similarity.py pq_topk):
     64-dim vectors → 8 sub-codebooks × 16 centroids → 8-code vectors,
     queries score via lookup-table gathers with per-batch partial top-k.
-    Rows-only check; shortlist recall is property-tested against brute
-    force (tests/test_functions.py)."""
+    Value-oracle-checked since the default codebook sample became the
+    exact id-range grid (r6 VERDICT task 6): encode, ADC scoring, and
+    ranking replay in DuckDB exactly as in the pq_topk_checked twin;
+    shortlist recall additionally property-tested against brute force
+    (tests/test_functions.py)."""
     embeddings = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
     return S.pq_topk(embeddings, queries, k=5, m=8, nbits=4)
@@ -1766,8 +1769,15 @@ def q_pq_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, queries, k=5, m=8, nbits=4, codebook_ids=cb_ids)
 
 
-def _oracle_pq_topk(m: int = 8, dim: int = 64, k: int = 5) -> str:
-    """DuckDB twin of q_pq_topk_checked. Sub-codebook j of codebook row
+def _oracle_pq_topk(
+    m: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    cb_where: str = "vec_id % 37 = 0 ORDER BY vec_id LIMIT 16",
+    q_where: str = "vec_id % 101 = 0",
+) -> str:
+    """DuckDB twin of q_pq_topk_checked AND q_pq_topk (the cb/q clauses
+    are the only difference). Sub-codebook j of codebook row
     c is the slice cemb[j*sub+1 : (j+1)*sub] (1-based inclusive);
     encode = argmin over rounded ||x_j - c_j||² (the constant ||x_j||²
     term dropped on both sides); ADC dot = Σ_j <q_j, cb[code_j]_j>."""
@@ -1778,7 +1788,7 @@ WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), cb AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_idx, emb AS cemb
-  FROM v WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 16
+  FROM v WHERE {cb_where}
 ), subs AS (
   SELECT unnest(range({m})) AS j
 ), codes AS (
@@ -1793,7 +1803,7 @@ WITH v AS (
     FROM v CROSS JOIN subs s CROSS JOIN cb
   ) WHERE rn = 1
 ), q AS (
-  SELECT vec_id, emb FROM v WHERE vec_id % 101 = 0
+  SELECT vec_id, emb FROM v WHERE {q_where}
 ), adc AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          SUM(list_dot_product(q.emb[(c.j * {sub} + 1) : (c.j * {sub} + {sub})],
@@ -1821,6 +1831,18 @@ WHERE rank <= {k}
 
 
 ORACLE_PQ_TOPK_CHECKED = _oracle_pq_topk()
+
+# q_pq_topk's DEFAULT codebook path: the n_cent exact id-range
+# quantiles lo + i·(hi−lo)//16 (similarity.pq_topk) — integer-exact on
+# both engines, grid ids falling in id gaps select nothing on both.
+ORACLE_PQ_TOPK = _oracle_pq_topk(
+    cb_where=(
+        "vec_id IN (SELECT DISTINCT lo + (i * (hi - lo)) // 16 FROM "
+        "(SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM v), "
+        "(SELECT unnest(range(16)) AS i))"
+    ),
+    q_where="vec_id < 10",
+)
 
 
 def q_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7383,7 +7405,7 @@ _QUERIES_UNORDERED: dict[str, QuerySpec] = {
         "ext:dedup-embedding-lsh",
     ),
     "ivf_topk": QuerySpec(q_ivf_topk, None, "ext:similarity-ivf"),
-    "pq_topk": QuerySpec(q_pq_topk, None, "ext:similarity-pq"),
+    "pq_topk": QuerySpec(q_pq_topk, ORACLE_PQ_TOPK, "ext:similarity-pq"),
     "xml_extract": QuerySpec(q_xml_extract, ORACLE_XML_EXTRACT, "S1 XML ingestion roundtrip"),
     "collation_group": QuerySpec(q_collation_group, ORACLE_COLLATION_GROUP, "T3 collation-aware grouping"),
     "abandoned_views": QuerySpec(
