@@ -295,6 +295,9 @@ BENCH_QUERIES = [
     "clustering_coefficient",
     "degree_assortativity",
     "weighted_median",
+    # round-7 additions
+    "gold_pipeline_rollup",
+    "snapshot_spec_evolution",
 ]
 
 

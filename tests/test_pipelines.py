@@ -231,10 +231,12 @@ def test_cli_maintain_pipeline(spark, tmp_path):
         )
 
 
-def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
-    """The composed curation pipeline: gate → filter → dedup → scrub →
-    split → write. Output must be deduplicated, split-disjoint, and
-    consistent with the observed metrics."""
+@pytest.fixture(scope="module")
+def training_run(spark, sf_dir, tmp_path_factory):
+    """Run the composed curation pipeline ONCE for the module — both
+    pipeline tests assert different invariants over the same output,
+    and the run itself is the expensive part (~10 s each when run
+    per-test)."""
     import os
     import sys
 
@@ -243,12 +245,20 @@ def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
     )
     from run_training_pipeline import run
 
+    out = str(tmp_path_factory.mktemp("training") / "corpus")
+    metrics = run(spark, sf_dir, out)
+    return out, metrics
+
+
+def test_training_pipeline_end_to_end(spark, sf_dir, training_run):
+    """The composed curation pipeline: gate → filter → dedup → scrub →
+    split → write. Output must be deduplicated, split-disjoint, and
+    consistent with the observed metrics."""
     from pyspark.sql import functions as F
 
     from yelp_etl_spark.functions import text as TX
 
-    out = str(tmp_path / "corpus")
-    metrics = run(spark, sf_dir, out)
+    out, metrics = training_run
     result = spark.read.parquet(out)
     n = result.count()
     assert n == metrics["n_docs"] > 0
@@ -262,25 +272,18 @@ def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert result.filter(~F.col("split").isin("train", "test")).count() == 0
 
 
-def test_training_pipeline_curation_stages(spark, sf_dir, tmp_path):
+def test_training_pipeline_curation_stages(spark, sf_dir, training_run):
     """Round-2 stages: output is decontaminated against the eval
     sample, carries a dense shard layout, and respects the source
     mixture downsampling."""
     import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
-    )
-    from run_training_pipeline import run
 
     from pyspark.sql import functions as F
 
     from yelp_etl_spark.functions.curation import decontaminate
     from yelp_etl_spark.functions.sampling import deterministic_sample
 
-    out = str(tmp_path / "corpus2")
-    run(spark, sf_dir, out)
+    out, _ = training_run
     result = spark.read.parquet(out)
 
     # shard layout: present, dense within (shard)
@@ -302,3 +305,48 @@ def test_training_pipeline_curation_stages(spark, sf_dir, tmp_path):
     assert (
         decontaminate(result, eval_set, ngram=5, keep_clean=False).count() == 0
     )
+
+
+def test_run_gold_pipeline_partitioned_and_exact(spark, sf_dir, tmp_path):
+    """run_gold_pipeline commits a partitioned, time-travelable gold
+    table whose cents-exact rollup matches a direct recomputation from
+    silver, and whose identity spec answers partition_filter reads."""
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.plans.pipelines import run_gold_pipeline
+    from yelp_etl_spark.sources.readers import load_table
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "gold")
+    sid = run_gold_pipeline(spark, sf_dir, t)
+    assert sid == 1
+    assert _load_manifest(t, sid).get("partition_by") == ["segment"]
+
+    gold = snapshot_read(spark, t)
+    # direct recomputation from silver
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    want = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+    assert sorted(map(tuple, gold.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # identity-partition pruning answers a single segment correctly
+    seg = gold.select("segment").first().segment
+    pruned = snapshot_read(spark, t, partition_filter={"segment": seg})
+    assert pruned.count() == gold.filter(F.col("segment") == seg).count()

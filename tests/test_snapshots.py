@@ -298,13 +298,20 @@ def test_snapshot_layer_model_property(spark, tmp_path):
 
     from yelp_etl_spark.sources.snapshots import snapshot_merge
 
+    from concurrent.futures import ThreadPoolExecutor
+
     ops = ["replace", "append", "merge"]
     payloads = {
         "replace": [(1, 1.0), (2, 2.0)],
         "append": [(3, 3.0)],
         "merge": [(1, 9.0), (4, 4.0)],
     }
-    for seq_i, seq in enumerate(itertools.product(ops, repeat=3)):
+
+    # each sequence owns a private table dir, so the 27 enumerations
+    # are independent — run them on a thread pool (Spark job submission
+    # is thread-safe; cuts this test's wall ~4x)
+    def check_seq(arg):
+        seq_i, seq = arg
         t = str(tmp_path / f"tbl{seq_i}")
         model: list[tuple] = []
         states = []
@@ -328,6 +335,9 @@ def test_snapshot_layer_model_property(spark, tmp_path):
                 for r in snapshot_read(spark, t, snapshot_id=sid).collect()
             )
             assert got == sorted(expect), f"seq={seq} snapshot={sid}"
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(check_seq, enumerate(itertools.product(ops, repeat=3))))
 
 
 def test_snapshot_changes_across_schema_evolution(spark, tmp_path):
@@ -921,9 +931,15 @@ def test_snapshot_layer_model_property_partitioned_ops(spark, tmp_path):
             spark.createDataFrame(D, "k long, g string, v double"), t0, ["g"]
         )
 
-    for seq_i, seq in enumerate(seqs):
+    from concurrent.futures import ThreadPoolExecutor
+
+    # private table dir per sequence → independent; thread pool cuts
+    # the enumeration's wall ~4x (same discipline as the unpartitioned
+    # model property above)
+    def check_seq(arg):
+        seq_i, seq = arg
         if seq[0] not in ("replace", "overwrite"):
-            continue  # need a committed, spec-declaring parent
+            return  # need a committed, spec-declaring parent
         t = str(tmp_path / f"tbl{seq_i}")
         model: list[tuple] = []
         states: list[list[tuple]] = []
@@ -947,6 +963,9 @@ def test_snapshot_layer_model_property_partitioned_ops(spark, tmp_path):
             ).collect()
         )
         assert got_a == sorted(r for r in states[-1] if r[1] == "A"), f"seq={seq}"
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(check_seq, enumerate(seqs)))
 
 
 def test_partition_filter_renders_values_like_the_writer(spark, tmp_path):
@@ -1542,3 +1561,72 @@ def test_tag_refuses_staged_snapshot(spark, tmp_path):
     sid = snapshot_write(spark.range(0, 2), t, publish=False)
     with _pt.raises(ValueError, match="not committed"):
         snapshot_tag(t, "ghost", snapshot_id=sid)
+
+
+def test_spec_evolution_metadata_only_and_mixed_reads(spark, tmp_path):
+    """snapshot_evolve_spec re-specs without touching data files; new
+    appends lay out under the new spec; partition_filter on the new
+    column prunes exactly the post-evolution files and conservatively
+    keeps pre-evolution ones; dynamic overwrite refuses the mix."""
+    import os
+
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_evolve_spec,
+        snapshot_overwrite_partitions,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2], ["X", "Y"][(i // 2) % 2]) for i in range(40)],
+        "id long, g string, h string",
+    )
+    snapshot_write(df.filter("id < 20"), t, mode="replace", partition_by=["g"])
+    m1 = _load_manifest(t, 1)
+    s2 = snapshot_evolve_spec(t, ["h"])
+    m2 = _load_manifest(t, s2)
+    # pure metadata: same file list, new spec, evolve-spec op
+    assert m2["files"] == m1["files"]
+    assert m2["partition_by"] == ["h"] and m2["operation"] == "evolve-spec"
+    # append under the (inherited) new spec
+    snapshot_write(df.filter("id >= 20"), t, mode="append")
+    m3 = _load_manifest(t, 3)
+    new_files = [f for f in m3["files"] if f not in m1["files"]]
+    assert new_files and all("h" in f["partition"] for f in new_files)
+    assert all("h" not in f["partition"] for f in m1["files"])
+
+    # content stays exact under both filters (row filter gives row
+    # semantics; the partition_filter is pruning only)
+    got_h = snapshot_read(spark, t, partition_filter={"h": "X"}).filter(
+        "h = 'X'"
+    )
+    assert got_h.count() == df.filter("h = 'X'").count()
+    got_g = snapshot_read(spark, t, partition_filter={"g": "A"}).filter(
+        "g = 'A'"
+    )
+    assert got_g.count() == df.filter("g = 'A'").count()
+
+    # pruning shape: filtering on h drops post-evolution files of the
+    # other h-partition but keeps every pre-evolution file
+    kept = [
+        f
+        for f in m3["files"]
+        if "h" not in f["partition"] or f["partition"]["h"] == "X"
+    ]
+    assert len(kept) < len(m3["files"])
+
+    # dynamic overwrite refuses the mixed-spec table loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pre-evolution or tuple-less"):
+        snapshot_overwrite_partitions(
+            df.filter("id >= 35"), t, ["h"]
+        )
+
+    # evolving to the same spec is a no-op error; to a missing column loud
+    with _pt.raises(ValueError, match="nothing to evolve"):
+        snapshot_evolve_spec(t, ["h"])
+    with _pt.raises(ValueError, match="absent from the table schema"):
+        snapshot_evolve_spec(t, ["nope"])

@@ -7674,7 +7674,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # rotation (the r6→r7 pattern). Round-7 additions land here; they run
 # under the full local parity / determinism / scale gates like
 # everything else.
-_NEXT_ROTATION_POOL: frozenset[str] = frozenset()
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
+    {
+        "gold_pipeline_rollup",
+        "snapshot_spec_evolution",
+    }
+)
 
 
 QUERIES: dict[str, QuerySpec] = {

@@ -6759,3 +6759,159 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Gold-layer pipeline (the reference's declared-but-TODO silver → gold jobs)
+# --------------------------------------------------------------------------
+
+
+def q_gold_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gold-layer recipe (plans/pipelines.run_gold_pipeline —
+    the "TODO: Silver -> Gold pipeline jobs" the reference declares at
+    run-all-pipelines.sh:239 and never ships): enrich (fact × prefixed
+    dim) → per-(segment, ISO-week) rollup in exact integer cents →
+    snapshot_write with an identity partition spec, then the committed
+    gold table is read BACK through the snapshot layer and summarized
+    per segment. The oracle recomputes the same rollup straight from
+    the silver parquet, so the check covers the enrich join, the week
+    truncation, the cents quantization, the partitioned snapshot
+    commit, and the read path in one pass. date_trunc('week') is
+    Monday-anchored in both engines."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.plans.pipelines import run_gold_pipeline
+    from yelp_etl_spark.sources.snapshots import snapshot_read
+
+    table = _scratch_dir(sf_dir, "gold")
+    run_gold_pipeline(spark, sf_dir, table)
+    gold = snapshot_read(spark, table)
+    return (
+        gold.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_weeks"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.max("n_customers").cast("long").alias("max_weekly_customers"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_GOLD_PIPELINE_ROLLUP = """
+WITH gold AS MATERIALIZED (
+  SELECT c_mktsegment AS segment,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+       CAST(MAX(n_customers) AS BIGINT) AS max_weekly_customers
+FROM gold GROUP BY segment ORDER BY segment
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "gold_pipeline_rollup": (
+            q_gold_pipeline_rollup,
+            ORACLE_GOLD_PIPELINE_ROLLUP,
+            "ext:gold-layer pipeline (enrich → week rollup → partitioned snapshot)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution (snapshot layer)
+# --------------------------------------------------------------------------
+
+
+def q_snapshot_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (sources/snapshots.snapshot_evolve_spec
+    — Iceberg's ALTER TABLE … REPLACE PARTITION FIELD): orders commit
+    partitioned by status, the spec evolves to priority as a pure
+    metadata commit (no data rewrite), and a post-evolution append
+    lays its files out under the NEW spec. The read back proves the
+    mixed-spec contract: a partition_filter on the NEW column prunes
+    only files that record it and conservatively scans pre-evolution
+    files, so combined with the row-level filter the answer equals the
+    raw recomputation exactly; same for a filter on the OLD column.
+    The ops column pins the commit log shape."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_evolve_spec,
+        snapshot_read,
+        snapshot_write,
+        snapshots,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(sf_dir, "specevo")
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        table,
+        mode="replace",
+        partition_by=["o_orderstatus"],
+    )
+    snapshot_evolve_spec(table, ["o_orderpriority"])
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 1), table, mode="append"
+    )
+    ops = ",".join(s["operation"] for s in snapshots(table))
+    cur = snapshot_read(spark, table)
+    n_urgent = (
+        snapshot_read(
+            spark, table, partition_filter={"o_orderpriority": "1-URGENT"}
+        )
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    n_f = (
+        snapshot_read(spark, table, partition_filter={"o_orderstatus": "F"})
+        .filter(F.col("o_orderstatus") == "F")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = cur.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    return total.crossJoin(n_urgent.withColumnRenamed("n", "n_urgent")).crossJoin(
+        n_f.withColumnRenamed("n", "n_f")
+    ).select(
+        "n_rows", "total_cents", "n_urgent", "n_f", F.lit(ops).alias("ops")
+    )
+
+
+ORACLE_SNAPSHOT_SPEC_EVOLUTION = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_f,
+       'replace,evolve-spec,append' AS ops
+FROM orders
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "snapshot_spec_evolution": (
+            q_snapshot_spec_evolution,
+            ORACLE_SNAPSHOT_SPEC_EVOLUTION,
+            "ext:partition-spec evolution (metadata-only re-spec, mixed-spec reads)",
+        ),
+    }
+)

@@ -150,6 +150,47 @@ def gold_weekly_business_stats(review_obt: DataFrame) -> DataFrame:
     )
 
 
+def run_gold_pipeline(spark, sf_dir: str, table_dir: str) -> int:
+    """The full silver → gold recipe the reference declares and leaves
+    TODO (run-all-pipelines.sh:239), composed end to end from the
+    engine's own machinery: enrich (fact × prefixed dim — the
+    enrich.py:19-73 shape) → business-week rollup (the aggregation
+    clean.py:31,41 pre-derives week_start_date FOR) → snapshot_write
+    with an identity partition spec, so the gold table is
+    partition-pruned, time-travelable, and replaceable like any other
+    snapshot table. Returns the committed snapshot id.
+
+    Scale: one keyed shuffle for the rollup (map-side combinable
+    count/sum; the distinct-customer count adds the standard second
+    keyed pass), one exchange for the partitioned write. The dim join
+    broadcasts when the dim fits and degrades to a shuffle join when
+    it outgrows the threshold. Money aggregates in exact integer
+    cents, never float sums."""
+    from yelp_etl_spark.sources.readers import load_table
+    from yelp_etl_spark.sources.snapshots import snapshot_write
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    obt = enrich(orders, [Dimension("cust", customer, "c_custkey")])
+    gold = obt.groupBy(
+        F.col("cust_c_mktsegment").alias("segment"),
+        F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias(
+            "week_start"
+        ),
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+    )
+    return snapshot_write(
+        gold, table_dir, mode="replace", partition_by=["segment"]
+    )
+
+
 def gold_user_engagement(review_obt: DataFrame, tip_obt: DataFrame | None = None) -> DataFrame:
     """Per-user engagement summary across fact tables (reviews, and tips
     when provided): review counts, star dispersion, activity span."""

@@ -41,6 +41,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _POINTER = "_current"
 _BOOTSTRAP = "_bootstrap"  # present only until the first pointer swap
@@ -1274,21 +1275,27 @@ def snapshot_overwrite_partitions(
             f"{list(partition_by)!r}: dynamic overwrite needs a matching "
             "identity spec on the parent"
         )
-    if any("partition" not in f for f in pm["files"]):
-        # a manifest written by an older layer version could mix
-        # tuple-less files under a spec'd manifest; refuse BEFORE the
-        # data write (a KeyError after it would strand orphan files)
+    fields = [f for f, _, _ in _spec_fields(partition_by)]
+    if any(
+        "partition" not in f or any(c not in f["partition"] for c in fields)
+        for f in pm["files"]
+    ):
+        # files without the CURRENT spec's full partition tuple — an
+        # older layer version's tuple-less files, or files written
+        # before a snapshot_evolve_spec under the previous layout —
+        # cannot be safely kept-or-replaced; refuse BEFORE the data
+        # write (a KeyError after it would strand orphan files)
         raise ValueError(
-            "parent snapshot contains files without partition tuples: "
-            "dynamic overwrite cannot keep-or-replace them safely — "
-            "rewrite the table under the spec first (snapshot_write "
-            "replace with partition_by)"
+            "parent snapshot contains files without the current spec's "
+            "partition tuples (pre-evolution or tuple-less): dynamic "
+            "overwrite cannot keep-or-replace them safely — rewrite the "
+            "table under the spec first (snapshot_write replace with "
+            "partition_by)"
         )
     # the overwrite inherits the table's bloom sidecar spec like every
     # other write path — replaced partitions keep point-lookup skipping
     bloom_columns = pm.get("bloom_columns")
     new_files = _write_data_files(df, table_dir, partition_by, bloom_columns)
-    fields = [f for f, _, _ in _spec_fields(partition_by)]
     touched = {
         tuple(f["partition"][c] for c in fields) for f in new_files
     }
@@ -1364,6 +1371,63 @@ def snapshot_rollback(table_dir: str, to_snapshot: int) -> int:
         manifest["delete_files"] = target["delete_files"]
     if target.get("bloom_columns"):
         manifest["bloom_columns"] = target["bloom_columns"]
+    return _commit_manifest(table_dir, manifest)
+
+
+def snapshot_evolve_spec(table_dir: str, partition_by: list[str]) -> int:
+    """Iceberg's partition-spec evolution (``ALTER TABLE … ADD/REPLACE
+    PARTITION FIELD``): commit a NEW snapshot with the SAME file list
+    but a new declared spec — pure metadata, one manifest write and a
+    pointer swap at any table size, because Iceberg NEVER rewrites
+    data on a spec change. Files written before the evolution keep the
+    partition tuples of the spec they were written under (their
+    directory layout is immutable history); appends after it lay new
+    files out under the NEW spec. Reads stay correct across the mix:
+    ``partition_filter`` prunes exactly on files that RECORD the
+    filter column and conservatively KEEPS files that don't
+    (snapshot_read's documented mixed-spec contract), so pre-evolution
+    files are scanned rather than wrongly skipped — combine with a
+    row-level ``.filter()`` for row semantics, exactly as Iceberg
+    requires residual filters over mixed specs. ``partition_by=[]``
+    de-partitions the table going forward.
+
+    Reference anchor: the reference hard-codes one identity
+    partition + bucket layout per entity for the table's whole life
+    (write.py:24-53); this is the capability that lets a 100 TB table
+    change its layout as query patterns drift, without a rewrite."""
+    current = _read_pointer(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    pm = _load_manifest(table_dir, current)
+    if partition_by:
+        schema = T.StructType.fromJson(json.loads(pm["schema"]))
+        missing = [
+            f for f, _, _ in _spec_fields(partition_by)
+            if f not in schema.fieldNames()
+        ]
+        if missing:
+            raise ValueError(
+                f"new partition spec {partition_by!r} references source "
+                f"column(s) {missing!r} absent from the table schema"
+            )
+    if list(partition_by or []) == list(pm.get("partition_by") or []):
+        raise ValueError(
+            f"partition spec is already {partition_by!r}: nothing to evolve"
+        )
+    manifest = {
+        "snapshot_id": current + 1,
+        "parent_id": current,
+        "operation": "evolve-spec",
+        "schema": pm["schema"],
+        "files": pm["files"],
+    }
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
+    # spec evolution must not drop the rest of the table state
+    if pm.get("delete_files"):
+        manifest["delete_files"] = pm["delete_files"]
+    if pm.get("bloom_columns"):
+        manifest["bloom_columns"] = pm["bloom_columns"]
     return _commit_manifest(table_dir, manifest)
 
 
