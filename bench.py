@@ -298,6 +298,11 @@ BENCH_QUERIES = [
     # round-7 additions
     "gold_pipeline_rollup",
     "snapshot_spec_evolution",
+    "spatial_radius_join",
+    "mann_whitney_u",
+    "ks_two_sample",
+    "theil_sen_slope",
+    "ols_normal_equations",
 ]
 
 

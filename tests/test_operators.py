@@ -317,3 +317,26 @@ def test_profile_columns_reports_all_null_column(spark):
     assert out["empty"]["n_null"] == 2 and out["empty"]["n_nonnull"] == 0
     assert out["empty"]["n_distinct"] == 0
     assert out["empty"]["entropy_micronats"] == 0
+
+
+def test_grid_radius_join_equals_brute_force(spark):
+    """Grid-cell candidates + exact verify must reproduce the brute
+    force all-pairs radius predicate verbatim, including negative
+    coordinates straddling cell boundaries."""
+    from yelp_etl_spark.operators.spatial import grid_radius_join
+
+    pts = [(i, (i * 37) % 101 - 50, (i * 53) % 97 - 48) for i in range(120)]
+    qrs = [(j, (j * 71) % 89 - 44, (j * 29) % 83 - 41) for j in range(15)]
+    points = spark.createDataFrame(pts, "pid long, x long, y long")
+    queries = spark.createDataFrame(qrs, "qid long, x long, y long")
+    r = 13
+    got = sorted(
+        map(tuple, grid_radius_join(queries, points, r).collect())
+    )
+    want = sorted(
+        (q, p, (qx - px) ** 2 + (qy - py) ** 2)
+        for q, qx, qy in qrs
+        for p, px, py in pts
+        if (qx - px) ** 2 + (qy - py) ** 2 <= r * r
+    )
+    assert got == want and want  # non-vacuous

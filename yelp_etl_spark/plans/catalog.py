@@ -7678,6 +7678,11 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
     {
         "gold_pipeline_rollup",
         "snapshot_spec_evolution",
+        "spatial_radius_join",
+        "mann_whitney_u",
+        "ks_two_sample",
+        "theil_sen_slope",
+        "ols_normal_equations",
     }
 )
 

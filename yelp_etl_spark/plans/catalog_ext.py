@@ -6915,3 +6915,576 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Spatial: grid-cell bucketed radius join (operators/spatial.py)
+# --------------------------------------------------------------------------
+
+_GEO_SIDE = 1_000_000  # planar world: coords in [0, 1e6)
+_GEO_RADIUS = 100_000  # search radius == grid cell side
+
+
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search via the fixed-grid spatial join
+    (operators/spatial.grid_radius_join): every supplier in a
+    deterministic sample finds all customers within an exact planar
+    radius. Coordinates are synthesized from the repo's portable
+    60-bit md5 hash (the fixture has no geo columns; the reference's
+    Yelp domain does — business lat/lon), so both engines derive the
+    identical point set, and the whole pipeline — cell bucketing,
+    3×3-neighbor candidate equi-join, squared-distance verify — is
+    BIGINT-exact. Never a cross join: candidates come from a hash
+    join on the cell key; the exact predicate runs on candidates
+    only."""
+    from yelp_etl_spark.operators.spatial import grid_radius_join
+
+    def coord(prefix: str, key) -> "F.Column":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), key.cast("string"))
+                          .cast("binary")),
+                    18,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _GEO_SIDE
+        )
+
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        coord("gx", F.col("c_custkey")).alias("x"),
+        coord("gy", F.col("c_custkey")).alias("y"),
+    )
+    supplier = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(
+            F.col("s_suppkey").alias("qid"),
+            coord("gx", F.col("s_suppkey") + 1_000_000_000).alias("x"),
+            coord("gy", F.col("s_suppkey") + 1_000_000_000).alias("y"),
+        )
+    )
+    pairs = grid_radius_join(supplier, customer, _GEO_RADIUS)
+    hits = pairs.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_within"),
+        F.min("d2").cast("long").alias("min_d2"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    )
+    # LEFT join back: isolated queries (zero matches) must be reported
+    return (
+        supplier.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_within", F.lit(0)).cast("long").alias("n_within"),
+            F.coalesce("min_d2", F.lit(-1)).cast("long").alias("min_d2"),
+            F.coalesce("sum_d2", F.lit(0)).cast("long").alias("sum_d2"),
+        )
+        .orderBy("qid")
+    )
+
+
+ORACLE_SPATIAL_RADIUS_JOIN = f"""
+WITH cust AS MATERIALIZED (
+  SELECT c_custkey AS pid,
+         CAST(concat('0x', substr(md5('gx' || CAST(c_custkey AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS x,
+         CAST(concat('0x', substr(md5('gy' || CAST(c_custkey AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS y
+  FROM customer
+),
+supp AS MATERIALIZED (
+  SELECT s_suppkey AS qid,
+         CAST(concat('0x', substr(md5('gx' ||
+              CAST(s_suppkey + 1000000000 AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS x,
+         CAST(concat('0x', substr(md5('gy' ||
+              CAST(s_suppkey + 1000000000 AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS y
+  FROM supplier WHERE s_suppkey % 3 = 0
+),
+hits AS (
+  SELECT s.qid, CAST(COUNT(*) AS BIGINT) AS n_within,
+         CAST(MIN((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
+              AS BIGINT) AS min_d2,
+         CAST(SUM((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
+              AS BIGINT) AS sum_d2
+  FROM supp s JOIN cust c
+    ON (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
+       <= CAST({_GEO_RADIUS} AS BIGINT) * {_GEO_RADIUS}
+  GROUP BY s.qid
+)
+SELECT s.qid,
+       COALESCE(h.n_within, 0) AS n_within,
+       COALESCE(h.min_d2, -1) AS min_d2,
+       COALESCE(h.sum_d2, 0) AS sum_d2
+FROM supp s LEFT JOIN hits h ON h.qid = s.qid
+ORDER BY s.qid
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "spatial_radius_join": (
+            q_spatial_radius_join,
+            ORACLE_SPATIAL_RADIUS_JOIN,
+            "ext:grid-cell spatial radius join (exact integer L2, equi-join candidates)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Two-sample rank statistics over a bounded value domain
+# --------------------------------------------------------------------------
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing l_quantity between
+    return flags A and N — the nonparametric complement to
+    ab_test_ztest. Counting form: 2·U_A = Σ_v c_A(v)·(2·F_B(v⁻) +
+    c_B(v)) over the value histogram, exact BIGINT (each A-observation
+    beats every smaller B and half-credits ties). The z-score uses the
+    tie-corrected normal variance, computed in double from the exact
+    integer moments and quantized to micro-units. Scale: everything
+    reduces to the ≤50-row quantity histogram after ONE keyed count;
+    the cumulative window runs over that bounded table only (the
+    weighted_median / auc_score precedent)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+    )
+    cells = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    stepped = cells.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("cumb"),
+    )
+    agg = stepped.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("cb")))
+        .cast("long")
+        .alias("u2x"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        )
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    mu2x = F.col("n_a") * F.col("n_b")  # 2·μ_U = n_a·n_b
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1) - F.col("tie_cubes") / (n * (n - F.lit(1))))
+    )
+    z = (F.col("u2x") - mu2x) / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "u2x",
+        F.round(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+    )
+
+
+ORACLE_MANN_WHITNEY_U = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1
+),
+stepped AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb
+  FROM cells
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2x,
+         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+           AS tie_cubes
+  FROM stepped
+)
+SELECT n_a, n_b, u2x,
+       CAST(ROUND((u2x - n_a * n_b)
+                  / (CAST(2.0 AS DOUBLE) * SQRT(
+                       CAST(n_a AS DOUBLE) * n_b / 12.0
+                       * ((n_a + n_b + 1)
+                          - tie_cubes / (CAST(n_a + n_b AS DOUBLE)
+                                         * (n_a + n_b - 1)))))
+                  * 1000000) AS BIGINT) AS z_micro
+FROM agg
+"""
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    l_quantity distributions of return flags A and N — the
+    distribution-drift detector that complements psi_drift (PSI needs
+    binning choices; KS is binning-free). D is kept as the exact
+    integer cross-product max |F_A·n_A·n_B − F_B·n_A·n_B| =
+    max |cuma·n_b − cumb·n_a| (BIGINT — no float ECDFs), with d_ppm
+    and the asymptotic statistic λ = D·√(n_a·n_b/(n_a+n_b)) derived
+    from it. Same bounded-histogram shape as mann_whitney_u: one
+    keyed count, then windows over ≤50 rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+    )
+    cells = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = cells.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    agg = stepped.agg(
+        F.max("cuma").cast("long").alias("n_a"),
+        F.max("cumb").cast("long").alias("n_b"),
+    ).crossJoin(
+        stepped.crossJoin(
+            cells.agg(
+                F.sum("ca").cast("long").alias("ta"),
+                F.sum("cb").cast("long").alias("tb"),
+            )
+        )
+        .select(
+            F.abs(F.col("cuma") * F.col("tb") - F.col("cumb") * F.col("ta"))
+            .alias("dd")
+        )
+        .agg(F.max("dd").cast("long").alias("d_scaled"))
+    )
+    nn = F.col("n_a").cast("double") * F.col("n_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "d_scaled",
+        F.expr("(1000000 * d_scaled) div (n_a * n_b)").alias("d_ppm"),
+        F.round(
+            F.col("d_scaled")
+            / nn
+            * F.sqrt(nn / (F.col("n_a") + F.col("n_b")))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lambda_micro"),
+    )
+
+
+ORACLE_KS_TWO_SAMPLE = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+  FROM cells
+),
+stepped AS (
+  SELECT CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumb
+  FROM cells
+),
+dmax AS (
+  SELECT CAST(MAX(ABS(cuma * tb - cumb * ta)) AS BIGINT) AS d_scaled
+  FROM stepped, tot
+)
+SELECT ta AS n_a, tb AS n_b, d_scaled,
+       (1000000 * d_scaled) // (ta * tb) AS d_ppm,
+       CAST(ROUND(d_scaled / (CAST(ta AS DOUBLE) * tb)
+                  * SQRT(CAST(ta AS DOUBLE) * tb / (ta + tb))
+                  * 1000000) AS BIGINT) AS lambda_micro
+FROM dmax, tot
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "mann_whitney_u": (
+            q_mann_whitney_u,
+            ORACLE_MANN_WHITNEY_U,
+            "ext:Mann-Whitney rank-sum test (exact 2U counting form, tie-corrected z)",
+        ),
+        "ks_two_sample": (
+            q_ks_two_sample,
+            ORACLE_KS_TWO_SAMPLE,
+            "ext:exact two-sample KS distance (integer cross-product ECDFs)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend slope (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Sen 1968) of the 1995 daily-revenue trend:
+    the median of all pairwise slopes (y_j−y_i)/(d_j−d_i) — the
+    robust-regression complement to zipf_slope's OLS (up to ~29%
+    outlier days cannot move it). Slopes quantize to exact
+    micro-cents/day via the repo's portable floor (truncating div
+    minus the negative-remainder correction — identical in DuckDB),
+    then the median is the count-based lower median over the slope
+    histogram (the weighted_median machinery). Scale: ONE keyed agg
+    reduces everything to the ≤365-row day table; the pair join and
+    the median window run over calendar-bounded frames (≤66k pairs)
+    that never grow with data volume."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    days = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    a = days.alias("a")
+    b = days.alias("b")
+    dy = F.col("b.y") - F.col("a.y")
+    dd = F.datediff(F.col("b.d"), F.col("a.d"))
+    pairs = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .select(dy.alias("dy"), dd.cast("long").alias("dd"))
+        .select(
+            F.expr(
+                "(1000000 * dy) div dd - (CASE WHEN (1000000 * dy) % dd != 0 "
+                "AND dy < 0 THEN 1 ELSE 0 END)"
+            ).alias("qs")
+        )
+    )
+    counts = pairs.groupBy("qs").agg(F.count("*").alias("c"))
+    w = Window.orderBy("qs").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = counts.select(
+        "qs",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    med = stepped.filter(2 * F.col("cum") >= F.col("total")).agg(
+        F.min("qs").cast("long").alias("slope_micro_cents_per_day"),
+        F.min("total").cast("long").alias("n_pairs"),
+    )
+    return med.crossJoin(
+        days.agg(F.count("*").cast("long").alias("n_days"))
+    ).select("n_days", "n_pairs", "slope_micro_cents_per_day")
+
+
+ORACLE_THEIL_SEN_SLOPE = """
+WITH days AS MATERIALIZED (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT (1000000 * (b.y - a.y)) // date_diff('day', a.d, b.d)
+         - (CASE WHEN (1000000 * (b.y - a.y)) % date_diff('day', a.d, b.d) != 0
+                 AND b.y - a.y < 0 THEN 1 ELSE 0 END) AS qs
+  FROM days a JOIN days b ON a.d < b.d
+),
+counts AS (
+  SELECT qs, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1
+),
+stepped AS (
+  SELECT qs,
+         CAST(SUM(c) OVER (ORDER BY qs ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS total
+  FROM counts
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n_days,
+       CAST(MIN(total) AS BIGINT) AS n_pairs,
+       CAST(MIN(qs) AS BIGINT) AS slope_micro_cents_per_day
+FROM stepped WHERE 2 * cum >= total
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "theil_sen_slope": (
+            q_theil_sen_slope,
+            ORACLE_THEIL_SEN_SLOPE,
+            "ext:Theil-Sen robust trend (median pairwise slope, calendar-bounded)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Multi-feature OLS by exact normal equations (closed-form Cramer solve)
+# --------------------------------------------------------------------------
+
+
+def q_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature + intercept least squares fitted the way a 100 TB
+    regression actually runs: ONE distributed pass accumulates the 10
+    sufficient moments (n, Σx, Σxx, Σxy, Σyy) EXACTLY — per-row
+    products in BIGINT, sums in decimal(38) so no scale overflows —
+    then the 3×3 normal equations solve in closed form (Cramer) on
+    the 1-row moment frame. Extends regr_aggs' single-feature
+    surface to the multivariate case logreg/gbt don't cover (those
+    are iterative; this is the exact one-pass path). Fit: lineitem
+    extendedprice from quantity and part retailprice — the TPC-H
+    pricing identity, so R² lands near 1 and the weights are
+    interpretable. The solve arithmetic is written with the identical
+    expression tree in the DuckDB oracle (doubles from exact
+    integers), weights quantized to micro-units."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("x2"),
+    )
+    rows = li.join(part, li.l_partkey == part.p_partkey).select(
+        "x1", "x2", "y"
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = rows.agg(
+        F.count("*").cast("double").alias("n"),
+        dec(F.col("x1")).alias("s1"),
+        dec(F.col("x2")).alias("s2"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x1") * F.col("x1")).alias("s11"),
+        dec(F.col("x2") * F.col("x2")).alias("s22"),
+        dec(F.col("x1") * F.col("x2")).alias("s12"),
+        dec(F.col("x1") * F.col("y")).alias("s1y"),
+        dec(F.col("x2") * F.col("y")).alias("s2y"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # Cramer's rule on the symmetric 3×3 system; expression trees kept
+    # 1:1 with the oracle so the IEEE evaluation is identical
+    det = (
+        "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
+        "+ s2 * (s1 * s12 - s11 * s2))"
+    )
+    d0 = (
+        "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
+        "+ s2 * (s1y * s12 - s11 * s2y))"
+    )
+    d1 = (
+        "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
+        "+ s2 * (s1 * s2y - s1y * s2))"
+    )
+    d2 = (
+        "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
+        "+ sy * (s1 * s12 - s11 * s2))"
+    )
+    sel = m.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"{d0} / {det} AS w0",
+        f"{d1} / {det} AS w1",
+        f"{d2} / {det} AS w2",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        "n",
+    )
+    sse = "(syy - w0 * sy - w1 * s1y - w2 * s2y)"
+    sst = "(syy - sy * sy / n)"
+    return sel.selectExpr(
+        "n_rows",
+        "CAST(ROUND(w0 * 1000000) AS BIGINT) AS w0_micro",
+        "CAST(ROUND(w1 * 1000000) AS BIGINT) AS w1_micro",
+        "CAST(ROUND(w2 * 1000000) AS BIGINT) AS w2_micro",
+        f"CAST(ROUND((1.0 - {sse} / {sst}) * 1000000) AS BIGINT) AS r2_ppm",
+    )
+
+
+ORACLE_OLS_NORMAL_EQUATIONS = """
+WITH rows_ AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+         CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM rows_
+),
+sol AS (
+  SELECT CAST(n AS BIGINT) AS n_rows,
+         (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y))
+         / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)) AS w0,
+         (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2))
+         / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)) AS w1,
+         (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2))
+         / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)) AS w2,
+         sy, s1y, s2y, syy, n
+  FROM m
+)
+SELECT n_rows,
+       CAST(ROUND(w0 * 1000000) AS BIGINT) AS w0_micro,
+       CAST(ROUND(w1 * 1000000) AS BIGINT) AS w1_micro,
+       CAST(ROUND(w2 * 1000000) AS BIGINT) AS w2_micro,
+       CAST(ROUND((1.0 - (syy - w0 * sy - w1 * s1y - w2 * s2y)
+                         / (syy - sy * sy / n)) * 1000000) AS BIGINT)
+         AS r2_ppm
+FROM sol
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "ols_normal_equations": (
+            q_ols_normal_equations,
+            ORACLE_OLS_NORMAL_EQUATIONS,
+            "ext:two-feature OLS via exact decimal moments + Cramer solve",
+        ),
+    }
+)
