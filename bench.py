@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "ks_two_sample",
     "theil_sen_slope",
     "ols_normal_equations",
+    "random_walks",
 ]
 
 

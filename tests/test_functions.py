@@ -1477,3 +1477,53 @@ def test_markov_attribution_credits_the_converting_channel(spark):
     # error never leads to conversion: zero removal effect
     assert out["error"]["removal_effect_ppm"] == 0
     assert out["view"]["p_full_ppm"] == 500_000  # 1 of 2 journeys convert
+
+
+def test_random_walks_match_pure_python_replay(spark):
+    """Every walk step must equal a sequential pure-Python replay of
+    the hash-choice rule (H(start|node|t) mod deg over the dst-sorted
+    adjacency), and be invariant to repartitioning."""
+    import hashlib
+
+    from yelp_etl_spark.functions.graph import random_walks
+
+    raw = [(i, (i * 7 + 3) % 23) for i in range(40)] + [
+        (i % 23, (i * 11 + 5) % 23) for i in range(40)
+    ]
+    edges_py = sorted({(s, d) for s, d in raw if s != d})
+    adj = {}
+    for s, d in edges_py:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+
+    def h(start, node, t):
+        m = hashlib.md5(f"{start}|{node}|{t}".encode()).hexdigest()
+        return int(m[17:32], 16)
+
+    def walk(start, steps):
+        node, out = start, [(start, 0, start)]
+        for t in range(1, steps + 1):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            node = nbrs[h(start, node, t) % len(nbrs)]
+            out.append((start, t, node))
+        return out
+
+    seeds_py = [0, 5, 9, 14]
+    want = sorted(r for s in seeds_py for r in walk(s, 4))
+
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "id long")
+    got = sorted(
+        map(tuple, random_walks(edges, seeds, steps=4).collect())
+    )
+    assert got == want
+    got2 = sorted(
+        map(
+            tuple,
+            random_walks(edges.repartition(7), seeds, steps=4).collect(),
+        )
+    )
+    assert got2 == want

@@ -584,3 +584,82 @@ def temporal_reachability(
         )
     e.unpersist()
     return arrival
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 4,
+) -> DataFrame:
+    """Deterministic 'random' walks — the DeepWalk/node2vec corpus-
+    generation stage (Perozzi et al., KDD'14) re-expressed so every
+    engine replays it bit-identically: at node ``u`` on step ``t`` the
+    walker started at ``s`` follows neighbor number
+    ``H(s|u|t) mod deg(u)`` in the dst-sorted adjacency order, where H
+    is the repo's portable 60-bit md5 hash. Pseudorandom choices from
+    a cryptographic hash are i.i.d.-uniform for embedding purposes but
+    reproducible across engines, partitionings, and reruns — which is
+    what makes a 100 TB walk corpus auditable (and SQL-oracle-able).
+
+    ``edges``: (src, dst) directed; pass both directions for an
+    undirected graph. ``seeds``: (id) start nodes, one walk each.
+    Returns (start, step, node) — step 0 is the seed itself; a walk
+    ends early only at a node with no outgoing edge.
+
+    Scale: the adjacency ranking is one per-src window over the edge
+    list (hash-partitioned by src, same shape as every keyed agg);
+    each step is ONE equi-join of the frontier onto the ranked edges.
+    State per walk is a single row — ``steps`` keyed shuffles total,
+    the sssp/BFS loop profile."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = truncate_lineage(
+        edges.select("src", "dst")
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        ),
+        eager=True,
+    )
+    out = seeds.select(
+        F.col("id").alias("start"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("id").alias("node"),
+    )
+    frontier = out
+    for t in range(1, steps + 1):
+        choice = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("start").cast("string"),
+                            F.col("node").cast("string"),
+                            F.lit(str(t)),
+                        ).cast("binary")
+                    ),
+                    18,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+            + 1
+        )
+        frontier = (
+            frontier.join(ranked, F.col("node") == F.col("src"))
+            .filter(F.col("rn") == choice)
+            .select(
+                "start",
+                F.lit(t).cast("long").alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out = out.unionByName(frontier)
+    return out

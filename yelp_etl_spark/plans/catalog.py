@@ -7683,6 +7683,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "ks_two_sample",
         "theil_sen_slope",
         "ols_normal_equations",
+        "random_walks",
     }
 )
 

@@ -2693,7 +2693,7 @@ def _sssp_oracle(rounds: int) -> str:
 )""",
         """d0 AS MATERIALIZED (
   SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
-  FROM supplier WHERE s_nationkey = 0
+  FROM supplier WHERE s_suppkey % 3 = 0
 )""",
     ]
     for k in range(1, rounds + 1):
@@ -7485,6 +7485,119 @@ EXTRA_QUERIES.update(
             q_ols_normal_equations,
             ORACLE_OLS_NORMAL_EQUATIONS,
             "ext:two-feature OLS via exact decimal moments + Cramer solve",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Deterministic random-walk corpus (functions/graph.random_walks)
+# --------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the supplier↔customer order
+    graph (functions/graph.random_walks): one 4-step walk per sampled
+    supplier (every third key — present at every SF), the next hop chosen by the portable md5 hash mod degree
+    over the dst-sorted adjacency — i.i.d.-uniform for embedding
+    training, bit-reproducible in any engine (the property that makes
+    a 100 TB walk corpus auditable). The unrolled oracle replays every
+    hop. Output: per-step walk census (alive walks, distinct nodes,
+    node-id sum)."""
+    from yelp_etl_spark.functions.graph import random_walks
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = supplier.filter(F.col("s_suppkey") % 3 == 0).select(
+        (F.col("s_suppkey") * 2).alias("id")
+    )
+    walks = random_walks(sym, seeds, steps=_WALK_STEPS)
+    return (
+        walks.groupBy("step")
+        .agg(
+            F.count("*").cast("long").alias("n_walks"),
+            F.countDistinct("node").cast("long").alias("n_distinct_nodes"),
+            F.sum("node").cast("long").alias("sum_node_ids"),
+        )
+        .orderBy("step")
+    )
+
+
+def _walk_choice_sql(t: int) -> str:
+    return (
+        "CAST(concat('0x', substr(md5(CAST(w.start AS VARCHAR) || '|' || "
+        f"CAST(w.node AS VARCHAR) || '|{t}'), 18, 15)) AS BIGINT) "
+        "% r.deg + 1"
+    )
+
+
+def _walks_oracle(steps: int) -> str:
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+         CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+)""",
+        """ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM sym
+)""",
+        """w0 AS MATERIALIZED (
+  SELECT CAST(s_suppkey * 2 AS BIGINT) AS start, CAST(0 AS BIGINT) AS step,
+         CAST(s_suppkey * 2 AS BIGINT) AS node
+  FROM supplier WHERE s_suppkey % 3 = 0
+)""",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.start, CAST({t} AS BIGINT) AS step, r.dst AS node
+  FROM w{t - 1} w JOIN ranked r
+    ON w.node = r.src AND r.rn = {_walk_choice_sql(t)}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM w{t}" for t in range(steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+allw AS ({union})
+SELECT step, CAST(COUNT(*) AS BIGINT) AS n_walks,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node_ids
+FROM allw GROUP BY step ORDER BY step"""
+    )
+
+
+ORACLE_RANDOM_WALKS = _walks_oracle(_WALK_STEPS)
+
+
+EXTRA_QUERIES.update(
+    {
+        "random_walks": (
+            q_random_walks,
+            ORACLE_RANDOM_WALKS,
+            "ext:deterministic DeepWalk corpus (hash-mod-degree hops, unrolled oracle)",
         ),
     }
 )
