@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "theil_sen_slope",
     "ols_normal_equations",
     "random_walks",
+    "binaryfile_scan_roundtrip",
 ]
 
 

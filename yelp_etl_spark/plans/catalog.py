@@ -7684,6 +7684,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "theil_sen_slope",
         "ols_normal_equations",
         "random_walks",
+        "binaryfile_scan_roundtrip",
     }
 )
 

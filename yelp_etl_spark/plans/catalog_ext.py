@@ -7601,3 +7601,78 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# binaryFile source (raw-asset ingestion for multimodal corpora)
+# --------------------------------------------------------------------------
+
+
+def q_binaryfile_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingestion through Spark's native ``binaryFile`` source
+    — the entry point a multimodal corpus uses for image/audio payload
+    files (S-surface sibling of the csv/orc/jsonl roundtrips). A
+    bounded sample of document texts is materialized as individual
+    .bin files (driver-side, ≤24 files by construction — the ivf
+    codebook-sample discipline), read back as (path, length, content)
+    rows via binaryFile with a glob filter, and summarized by
+    content-derived values only (byte totals, distinct md5 digests) so
+    the check is path-independent. The oracle recomputes the same
+    digests straight from the documents table. At scale the source
+    lists and reads files in parallel like any other FileScan; the
+    driver loop here is only fixture synthesis."""
+    import os
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 21 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    target = _scratch_dir(sf_dir, "binfiles")
+    os.makedirs(target, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(target, f"doc-{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(target)
+    )
+    return scanned.select(
+        F.col("length").cast("long").alias("length"),
+        F.md5(F.col("content")).alias("digest"),
+    ).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.countDistinct("digest").cast("long").alias("n_distinct_digests"),
+        F.min("digest").alias("min_digest"),
+        F.max("digest").alias("max_digest"),
+    )
+
+
+ORACLE_BINARYFILE_SCAN_ROUNDTRIP = """
+WITH f AS MATERIALIZED (
+  SELECT octet_length(encode(text)) AS length, md5(text) AS digest
+  FROM documents WHERE doc_id % 21 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(length) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_digests,
+       MIN(digest) AS min_digest,
+       MAX(digest) AS max_digest
+FROM f
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "binaryfile_scan_roundtrip": (
+            q_binaryfile_scan_roundtrip,
+            ORACLE_BINARYFILE_SCAN_ROUNDTRIP,
+            "ext:binaryFile source roundtrip (multimodal raw-asset ingestion)",
+        ),
+    }
+)
