@@ -305,6 +305,8 @@ BENCH_QUERIES = [
     "ols_normal_equations",
     "random_walks",
     "binaryfile_scan_roundtrip",
+    "diff_in_diff",
+    "golden_record",
 ]
 
 

@@ -7676,3 +7676,214 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences estimator (causal surface)
+# --------------------------------------------------------------------------
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical 2×2 difference-in-differences: treatment = BUILDING-
+    segment customers, control = MACHINERY, pre = 1994 orders, post =
+    1995; outcome = mean order value. DiD = (ȳ_T,post − ȳ_T,pre) −
+    (ȳ_C,post − ȳ_C,pre) — the workhorse causal estimator for
+    launch/rollout effects, reduced to ONE grouped aggregation over
+    exact cent sums (4 cells), with the estimate assembled from the
+    cell moments in double and quantized to micro-cents. (Point
+    estimate only — clustered standard errors are a bootstrap on top
+    of the same cells.) Scale: one map-side-combinable 4-cell agg."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cells = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .filter(F.year("o_orderdate").isin(1994, 1995))
+        .groupBy(
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            (F.year("o_orderdate") == 1995).alias("post"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    pivot = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col("cents").cast("double") / F.col("n"),
+                ).otherwise(0.0)
+            ).alias(name)
+            for name, t, p in [
+                ("y_t_pre", True, False),
+                ("y_t_post", True, True),
+                ("y_c_pre", False, False),
+                ("y_c_post", False, True),
+            ]
+        ],
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    micro = lambda c: F.round(F.col(c) * 10_000).cast("long")  # noqa: E731
+    return pivot.select(
+        "n_orders",
+        micro("y_t_pre").alias("y_t_pre_microd"),
+        micro("y_t_post").alias("y_t_post_microd"),
+        micro("y_c_pre").alias("y_c_pre_microd"),
+        micro("y_c_post").alias("y_c_post_microd"),
+        F.round(
+            (
+                (F.col("y_t_post") - F.col("y_t_pre"))
+                - (F.col("y_c_post") - F.col("y_c_pre"))
+            )
+            * 10_000
+        )
+        .cast("long")
+        .alias("did_microd"),
+    )
+
+
+ORACLE_DIFF_IN_DIFF = """
+WITH cells AS MATERIALIZED (
+  SELECT (c_mktsegment = 'BUILDING') AS treated,
+         (EXTRACT(YEAR FROM o_orderdate) = 1995) AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    AND EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)
+  GROUP BY 1, 2
+),
+agg4 AS (
+  SELECT
+    SUM(CASE WHEN treated AND NOT post
+             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_t_pre,
+    SUM(CASE WHEN treated AND post
+             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_t_post,
+    SUM(CASE WHEN NOT treated AND NOT post
+             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_c_pre,
+    SUM(CASE WHEN NOT treated AND post
+             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_c_post,
+    CAST(SUM(n) AS BIGINT) AS n_orders
+  FROM cells
+)
+SELECT n_orders,
+       CAST(ROUND(y_t_pre * 10000) AS BIGINT) AS y_t_pre_microd,
+       CAST(ROUND(y_t_post * 10000) AS BIGINT) AS y_t_post_microd,
+       CAST(ROUND(y_c_pre * 10000) AS BIGINT) AS y_c_pre_microd,
+       CAST(ROUND(y_c_post * 10000) AS BIGINT) AS y_c_post_microd,
+       CAST(ROUND(((y_t_post - y_t_pre) - (y_c_post - y_c_pre)) * 10000)
+            AS BIGINT) AS did_microd
+FROM agg4
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "diff_in_diff": (
+            q_diff_in_diff,
+            ORACLE_DIFF_IN_DIFF,
+            "ext:2x2 difference-in-differences from exact cent cells",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Golden-record survivorship (the consolidation step after record linkage)
+# --------------------------------------------------------------------------
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation — the survivorship step an MDM
+    pipeline runs AFTER record_linkage_fs clusters its matches: within
+    each matched-entity cluster (the same brand|size hash block the
+    linkage query uses), merge attributes by rule: surviving id = MIN
+    key, canonical price = MAX retail cents ("most complete/recent
+    wins"), canonical name = alphabetical MIN, canonical type = MODE
+    with alphabetical-least tie-break (computed as a count + rank
+    window over the per-cluster value census, never a collect). Top 30
+    clusters by size, deterministic order. Scale: two keyed aggs and
+    one cluster-keyed ranking window — the mode census is bounded by
+    distinct (cluster, type) pairs."""
+    part = _t(spark, sf_dir, "part")
+    recs = part.select(
+        F.concat(F.col("p_brand"), F.lit("|"), (F.col("p_size") % 10)).alias(
+            "cluster"
+        ),
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    base = recs.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("p_partkey").cast("long").alias("surviving_id"),
+        F.max("cents").cast("long").alias("canonical_cents"),
+        F.min("p_name").alias("canonical_name"),
+    )
+    census = recs.groupBy("cluster", "p_type").agg(
+        F.count("*").alias("cnt")
+    )
+    wm = Window.partitionBy("cluster").orderBy(
+        F.desc("cnt"), F.asc("p_type")
+    )
+    mode = (
+        census.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("p_type").alias("canonical_type"))
+    )
+    return (
+        base.join(mode, "cluster")
+        .orderBy(F.desc("n_members"), "cluster")
+        .limit(30)
+    )
+
+
+ORACLE_GOLDEN_RECORD = """
+WITH recs AS MATERIALIZED (
+  SELECT p_brand || '|' || CAST(p_size % 10 AS VARCHAR) AS cluster,
+         p_partkey, p_name, p_type,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+),
+base AS (
+  SELECT cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(p_partkey) AS BIGINT) AS surviving_id,
+         CAST(MAX(cents) AS BIGINT) AS canonical_cents,
+         MIN(p_name) AS canonical_name
+  FROM recs GROUP BY 1
+),
+census AS (
+  SELECT cluster, p_type, COUNT(*) AS cnt FROM recs GROUP BY 1, 2
+),
+mode_ AS (
+  SELECT cluster, p_type AS canonical_type
+  FROM (SELECT cluster, p_type,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY cnt DESC, p_type ASC) AS rn
+        FROM census)
+  WHERE rn = 1
+)
+SELECT b.cluster, b.n_members, b.surviving_id, b.canonical_cents,
+       b.canonical_name, m.canonical_type
+FROM base b JOIN mode_ m USING (cluster)
+ORDER BY n_members DESC, cluster
+LIMIT 30
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "golden_record": (
+            q_golden_record,
+            ORACLE_GOLDEN_RECORD,
+            "ext:golden-record survivorship (rule-based attribute merge per cluster)",
+        ),
+    }
+)
