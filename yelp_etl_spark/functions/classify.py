@@ -40,9 +40,11 @@ def _qlog(p: Column) -> Column:
 
 
 # Public alias: the ONE micro-nat quantization every entropy/MI/WoE
-# site must share (validate.profile_columns, the l-diversity audit,
-# mutual_info_terms) — a second inline copy of this expression is how
-# the oracle-parity convention silently forks.
+# site must share (the l-diversity audit, mutual_info_terms) — a
+# second inline copy of this expression is how the oracle-parity
+# convention silently forks. (validate.profile_columns moved to the
+# decomposed count form q(ln cnt) in round 7 — same 1e6 grid, log of
+# an integer count rather than of a probability.)
 qlog = _qlog
 
 

@@ -2693,7 +2693,7 @@ def _sssp_oracle(rounds: int) -> str:
 )""",
         """d0 AS MATERIALIZED (
   SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
-  FROM supplier WHERE s_suppkey % 3 = 0
+  FROM supplier WHERE s_nationkey = 0
 )""",
     ]
     for k in range(1, rounds + 1):
