@@ -307,6 +307,8 @@ BENCH_QUERIES = [
     "binaryfile_scan_roundtrip",
     "diff_in_diff",
     "golden_record",
+    "cdc_apply",
+    "snapshot_cluster_compact",
 ]
 
 

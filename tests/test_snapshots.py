@@ -1630,3 +1630,49 @@ def test_spec_evolution_metadata_only_and_mixed_reads(spark, tmp_path):
         snapshot_evolve_spec(t, ["h"])
     with _pt.raises(ValueError, match="absent from the table schema"):
         snapshot_evolve_spec(t, ["nope"])
+
+
+def test_cluster_compact_files_cover_disjoint_ranges(spark, tmp_path):
+    """cluster_by compaction must produce files whose [min,max] cents
+    ranges are pairwise disjoint (the zone-map payoff), preserve
+    content exactly, and stay deterministic across reruns."""
+    import os
+
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 10007) for i in range(4000)], "id long, v long"
+    )
+    t = str(tmp_path / "tbl")
+    snapshot_write(df.repartition(13), t, mode="replace")
+    total = sum(
+        os.path.getsize(os.path.join(t, f["path"]))
+        for f in _load_manifest(t, 1)["files"]
+    )
+    s2 = snapshot_compact(
+        spark, t, target_file_bytes=total // 4 + 1, cluster_by="v"
+    )
+    m = _load_manifest(t, s2)
+    ranges = sorted(
+        (f["min"]["v"], f["max"]["v"]) for f in m["files"]
+    )
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {ranges}"
+    # content identical
+    assert snapshot_read(spark, t).count() == 4000
+    got = sorted(r.v for r in snapshot_read(spark, t).collect())
+    assert got == sorted(((i * 7919) % 10007) for i in range(4000))
+    # deterministic relayout: rerun from the same snapshot → same ranges
+    s3 = snapshot_compact(
+        spark, t, target_file_bytes=total // 4 + 1, cluster_by="v"
+    )
+    assert sorted(
+        (f["min"]["v"], f["max"]["v"])
+        for f in _load_manifest(t, s3)["files"]
+    ) == ranges

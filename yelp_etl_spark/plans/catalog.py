@@ -7685,6 +7685,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "ols_normal_equations",
         "random_walks",
         "binaryfile_scan_roundtrip",
+        "cdc_apply",
+        "snapshot_cluster_compact",
     }
 )
 

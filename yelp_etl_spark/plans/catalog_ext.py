@@ -7887,3 +7887,220 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply (plans/pipelines.apply_changelog)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog ingestion (plans/pipelines.apply_changelog): even
+    orders seed a snapshot table; a synthesized CDC batch carries
+    updates (every 10th key, seq 2), deletes (every 14th key, seq 3)
+    and inserts (odd keys divisible by 9, seq 1) — keys divisible by
+    70 get BOTH an update and a delete, and last-writer-wins must let
+    the delete (higher seq) prevail. One atomic merge applies the
+    fold; the read-back census must equal the oracle's direct
+    reconstruction of the final state."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.plans.pipelines import apply_changelog
+    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    table = _scratch_dir(sf_dir, "cdc")
+    snapshot_write(base, table, mode="replace")
+    upd = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("cents") + 12345).alias("cents"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.lit("D").alias("op"),
+        F.lit(3).cast("long").alias("seq"),
+    )
+    ins = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 9 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    apply_changelog(
+        spark, upd.unionByName(dele).unionByName(ins), table, ["o_orderkey"]
+    )
+    final = snapshot_read(spark, table)
+    return final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("o_orderstatus") == "X", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH src AS MATERIALIZED (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  -- surviving evens: not deleted; every 10th (and not deleted) updated
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN cents + 12345 ELSE cents END
+           AS cents
+  FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 != 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, cents
+  FROM src WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted
+FROM final
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "cdc_apply": (
+            q_cdc_apply,
+            ORACLE_CDC_APPLY,
+            "ext:CDC changelog fold (last-writer-wins dedupe + atomic merge)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Clustered (sort-order) compaction + zone-map pruning payoff
+# --------------------------------------------------------------------------
+
+_CLUSTER_FILES = 8
+
+
+def q_snapshot_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order compaction (sources/snapshots.snapshot_compact with
+    ``cluster_by`` — Iceberg's rewrite_data_files with a sort
+    strategy): orders commit scattered across 16 hash-arbitrary files,
+    then a clustered rewrite value-range-buckets them on the cents
+    column into 8 files, each covering one exact-bounds range (the
+    bucket→partition routing is probed from Spark's own hash
+    partitioner, so the layout is fully deterministic — no sampled
+    range partitioner). The payoff is measured, not asserted: a
+    min/max ``prune`` read for the top value range must now skip
+    every file whose bucket max falls below the cut. Every output —
+    file count, kept-file count, pruned totals — derives from the
+    data alone, so DuckDB recomputes all of it from the same
+    bucketing formula."""
+    import os as _os
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _scratch_dir(sf_dir, "clustered")
+    snapshot_write(orders.repartition(16), table, mode="replace")
+    # target sized so n_out == _CLUSTER_FILES exactly at any SF
+    m1 = _load_manifest(table, 1)
+    total = sum(
+        _os.path.getsize(_os.path.join(table, f["path"])) for f in m1["files"]
+    )
+    s2 = snapshot_compact(
+        spark, table, target_file_bytes=total // _CLUSTER_FILES + 1,
+        cluster_by="cents",
+    )
+    m2 = _load_manifest(table, s2)
+    # the cut: exact top-eighth boundary, pure BIGINT arithmetic (a
+    # float cut would truncate here and round in DuckDB's CAST)
+    row = orders.agg(F.min("cents"), F.max("cents")).collect()[0]
+    lo_i, hi_i = int(row[0]), int(row[1])
+    cut = lo_i + (hi_i - lo_i) * (_CLUSTER_FILES - 1) // _CLUSTER_FILES
+    kept = [
+        f for f in m2["files"]
+        if f.get("max", {}).get("cents") is not None
+        and f["max"]["cents"] >= cut
+    ]
+    pruned = snapshot_read(spark, table, prune=("cents", ">=", float(cut)))
+    top = pruned.filter(F.col("cents") >= cut).agg(
+        F.count("*").cast("long").alias("n_top_rows"),
+        F.sum("cents").cast("long").alias("top_cents"),
+    )
+    return top.select(
+        F.lit(len(m2["files"])).cast("long").alias("n_files_after"),
+        F.lit(len(kept)).cast("long").alias("n_files_kept_by_prune"),
+        "n_top_rows",
+        "top_cents",
+    )
+
+
+ORACLE_SNAPSHOT_CLUSTER_COMPACT = f"""
+WITH src AS MATERIALIZED (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+bounds AS (
+  SELECT CAST(MIN(cents) AS DOUBLE) AS lo, CAST(MAX(cents) AS DOUBLE) AS hi
+  FROM src
+),
+bucketed AS (
+  SELECT cents,
+         LEAST({_CLUSTER_FILES - 1},
+               CAST(FLOOR((CAST(cents AS DOUBLE) - lo) / (hi - lo)
+                          * {_CLUSTER_FILES}) AS INT)) AS b
+  FROM src, bounds
+),
+cut AS (
+  SELECT MIN(cents) + (MAX(cents) - MIN(cents)) * {_CLUSTER_FILES - 1}
+         // {_CLUSTER_FILES} AS c
+  FROM src
+)
+SELECT (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) FROM bucketed)
+         AS n_files_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT b, MAX(cents) AS mx FROM bucketed GROUP BY b)
+        WHERE mx >= (SELECT c FROM cut)) AS n_files_kept_by_prune,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bucketed
+        WHERE cents >= (SELECT c FROM cut)) AS n_top_rows,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM bucketed
+        WHERE cents >= (SELECT c FROM cut)) AS top_cents
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "snapshot_cluster_compact": (
+            q_snapshot_cluster_compact,
+            ORACLE_SNAPSHOT_CLUSTER_COMPACT,
+            "ext:sort-order compaction (deterministic range clustering + prune payoff)",
+        ),
+    }
+)

@@ -207,3 +207,44 @@ def gold_user_engagement(review_obt: DataFrame, tip_obt: DataFrame | None = None
     return reviews.join(tips, "user_id", "left").withColumn(
         "n_tips", F.coalesce(F.col("n_tips"), F.lit(0))
     )
+
+
+def apply_changelog(
+    spark,
+    changes: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> int:
+    """CDC apply — the Debezium-feed ingestion primitive: fold an
+    out-of-order changelog (insert/update/delete rows with a
+    monotonic per-key sequence) into a snapshot table as ONE atomic
+    commit. Last-writer-wins: the changes collapse to the highest-seq
+    row per key (a keyed max window — never a driver sort), then a
+    single snapshot_merge applies upserts and deletes together, so
+    replaying the same changelog batch is idempotent and readers see
+    the pre-batch or post-batch table, never a partial fold.
+
+    ``op_col`` values: 'I'/'U' upsert, 'D' delete. Scale: one keyed
+    window over the delta (delta-sized, not table-sized) + the merge's
+    keyed join family."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc(op_col)  # op tiebreak: deterministic
+    )
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+    from yelp_etl_spark.sources.snapshots import snapshot_merge
+
+    return snapshot_merge(
+        spark,
+        last,
+        table_dir,
+        keys,
+        delete_condition=F.col(op_col) == "D",
+    )

@@ -1435,6 +1435,7 @@ def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = 128 * 2**20,
+    cluster_by: str | None = None,
 ) -> int:
     """Iceberg's ``rewrite_data_files``: rewrite the current
     snapshot's files into ~``target_file_bytes``-sized ones and commit
@@ -1446,7 +1447,15 @@ def snapshot_compact(
     live. The streaming-sink small-files problem at 100 TB is exactly
     this maintenance loop (writers.compact_parquet_dir is the
     bare-parquet form; this is the snapshot-layer form with time
-    travel preserved)."""
+    travel preserved).
+
+    ``cluster_by=<column>`` additionally SORT-ORDERS the rewrite
+    (Iceberg's rewrite with a sort order / binpack→sort strategy):
+    rows are value-range bucketed on the column from its exact global
+    min/max and each output file covers a narrow range, so later
+    ``prune=(column, op, value)`` reads skip most files. Deterministic
+    by construction (exact-bounds bucketing, never sampled range
+    partitioning)."""
     sid = _read_pointer(table_dir)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -1458,6 +1467,67 @@ def snapshot_compact(
     n_out = max(1, -(-total // target_file_bytes))
     df = snapshot_read(spark, table_dir)
     spec = manifest.get("partition_by")
+    if cluster_by is not None:
+        if spec:
+            raise ValueError(
+                "cluster_by compaction on a partitioned table is not "
+                "supported: cluster within partitions by compacting each "
+                "partition's sub-table, or de-partition first"
+            )
+        # Clustered rewrite (Iceberg's rewrite_data_files with a sort
+        # order): assign each row a value-range bucket from the EXACT
+        # global min/max (one cheap agg — deterministic, unlike
+        # repartitionByRange's reservoir sampling, so the resulting
+        # file layout and every file-skip count replay identically),
+        # shuffle on the bucket, and sort within partitions. Each
+        # output file then covers a narrow value range, so min/max
+        # ``prune`` reads skip most files — the layout maintenance
+        # that keeps zone-map pruning effective as a table ages.
+        lo, hi = (
+            df.agg(
+                F.min(cluster_by).cast("double"),
+                F.max(cluster_by).cast("double"),
+            ).collect()[0]
+        )
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit(n_out - 1),
+            F.floor(
+                (F.col(cluster_by).cast("double") - F.lit(lo))
+                / F.lit(span)
+                * n_out
+            ).cast("int"),
+        )
+        # A plain repartition(n, bucket) hash-scatters buckets across
+        # partitions (collisions merge ranges and wreck the zone-map
+        # story). Probe Spark's own hash partitioner for one integer
+        # token per target partition and route each bucket through its
+        # token — every output file then holds EXACTLY one value
+        # range. The probe is one n_out-row local job.
+        probe = (
+            spark.range(0, 65536)
+            .selectExpr(
+                "CAST(id AS INT) AS t",
+                f"pmod(hash(CAST(id AS INT)), {n_out}) AS p",
+            )
+            .groupBy("p")
+            .agg(F.min("t").alias("t"))  # min: collect-order-independent
+        )
+        tok = {r.p: r.t for r in probe.collect()}
+        if len(tok) < n_out:
+            raise RuntimeError(
+                f"hash-token probe could not cover {n_out} partitions"
+            )
+        token = F.element_at(
+            F.array(*[F.lit(tok[p]) for p in range(n_out)]), bucket + 1
+        )
+        clustered = (
+            df.withColumn("__cluster_tok", token)
+            .repartition(n_out, "__cluster_tok")
+            .sortWithinPartitions(cluster_by)
+            .drop("__cluster_tok")
+        )
+        return snapshot_write(clustered, table_dir, mode="rewrite")
     if not spec:
         return snapshot_write(df.repartition(n_out), table_dir, mode="rewrite")
     # preserve the partition spec (Iceberg compaction rewrites WITHIN
