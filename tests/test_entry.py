@@ -69,7 +69,7 @@ def test_each_query_runs_at_smoke_sf(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType))
         ]
 
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(12) as ex:
         for name, bad in ex.map(build, mod.queries().items()):
             if bad:
                 offenders[name] = bad

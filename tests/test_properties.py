@@ -134,14 +134,20 @@ def test_jaccard_prefix_join_exactness_property(spark, batch, threshold):
     """For ANY corpus and threshold, prefix filtering must reproduce
     the brute-force all-pairs shingle join verbatim (the no-false-
     negatives contract of the AllPairs/PPJoin prefix principle)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     rows = [(i, " ".join(ws)) for i, ws in enumerate(batch)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    brute = sorted(
-        map(tuple, D.ngram_jaccard_pairs(df, n=2, threshold=threshold).collect())
-    )
-    pref = sorted(
-        map(tuple, D.jaccard_prefix_join(df, threshold=threshold, n=2).collect())
-    )
+    # the two sides are independent jobs — overlap them (JVM-bound)
+    with ThreadPoolExecutor(2) as ex:
+        f_brute = ex.submit(
+            lambda: D.ngram_jaccard_pairs(df, n=2, threshold=threshold).collect()
+        )
+        f_pref = ex.submit(
+            lambda: D.jaccard_prefix_join(df, threshold=threshold, n=2).collect()
+        )
+        brute = sorted(map(tuple, f_brute.result()))
+        pref = sorted(map(tuple, f_pref.result()))
     assert pref == brute
 
 

@@ -336,7 +336,7 @@ def test_snapshot_layer_model_property(spark, tmp_path):
             )
             assert got == sorted(expect), f"seq={seq} snapshot={sid}"
 
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(12) as ex:
         list(ex.map(check_seq, enumerate(itertools.product(ops, repeat=3))))
 
 
@@ -964,7 +964,7 @@ def test_snapshot_layer_model_property_partitioned_ops(spark, tmp_path):
         )
         assert got_a == sorted(r for r in states[-1] if r[1] == "A"), f"seq={seq}"
 
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(12) as ex:
         list(ex.map(check_seq, enumerate(seqs)))
 
 
