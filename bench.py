@@ -5,8 +5,10 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per-query timing = full execution to a count-style action (results are
-materialized but not collected to the driver); min of N runs, with the
-first run absorbing JIT/codegen warmup.
+materialized but not collected to the driver). Each query is warmed up
+once against the tiny sf0.001 fixture (identical codegen source, so
+compile/JIT cost never bills to the timed run), then timed at the
+target SF (min of SPARK_GRAFT_BENCH_RUNS runs, default 1).
 """
 
 from __future__ import annotations
@@ -313,53 +315,51 @@ BENCH_QUERIES = [
 
 
 
-# First-run times at or under this get a steady-state second run
-# (min taken); above it the first run is accepted as-is — see the
-# adaptive-run rationale in main().
-_ADAPTIVE_RERUN_SECONDS = 1.5
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("yelp-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Adaptive run count (r6 VERDICT: full-catalog wall was trending
-    # into the driver's ~10-minute ceiling at 267 queries × 2 runs).
-    # Single-run timings carry JIT/codegen noise of up to ~3x — but
-    # only in the SUB-SECOND regime, where compile cost rivals the
-    # query itself; on multi-second iterative/graph queries the
-    # constant compile overhead is a few percent of t1. So: every
-    # query runs once; a second run (min taken, first run doubling as
-    # warmup — the hyperfine estimator) happens only when the first
-    # run lands at or under _ADAPTIVE_RERUN_SECONDS, exactly where the
-    # min-of-2 changes the number. This cuts the second pass for the
-    # heavy tail (~100 s of the r6 wall) while keeping steady-state
-    # values for the noise-dominated majority. Set
-    # SPARK_GRAFT_BENCH_RUNS to force a fixed count for every query.
-    forced = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
-    runs = int(forced) if forced else 2
-    adaptive = forced is None
-    # A full-GC hint between queries keeps accumulated broadcast /
-    # Arrow / codegen garbage from billing its collection pause to
-    # whichever query happens to trigger it (observed as random
-    # 10-15x spikes on otherwise sub-second queries late in the run).
-    # The pause lands between timings, not inside them.
+    # Steady-state timing at full-catalog scale (r6 VERDICT: at 280
+    # queries the classic min-of-2 run exceeds the driver's ~10-minute
+    # envelope, and a measured adaptive single-run scheme billed
+    # per-query codegen compile to the heavy queries — flagship 0.9 s
+    # → 5.9 s as the session's first query — wrecking cross-round
+    # comparability). Scheme: each query first runs ONCE against the
+    # tiny warmup fixture (default sf0.001) — the logical plan, and
+    # therefore the whole-stage-codegen source, is data-independent,
+    # so this compiles and JITs the identical generated code for
+    # pennies — then the timed run at the target SF hits the codegen
+    # cache, matching the old min-of-2's second-run steady state at
+    # roughly half the wall. SPARK_GRAFT_BENCH_RUNS=k times min-of-k
+    # AFTER the warmup; SPARK_GRAFT_WARMUP_SF_DIR overrides the
+    # warmup fixture. The System.gc() hint fires every fourth query
+    # (full pauses between timings, a quarter of the old pause
+    # budget).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"
+    )
     jvm_gc = spark.sparkContext._jvm.System.gc
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        jvm_gc()
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi % 4 == 0:
+            jvm_gc()
+        try:  # warmup is best-effort: a fixture quirk must not abort
+            QUERIES[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
         best = None
-        for i in range(runs):
+        for _ in range(runs):
             t0 = time.time()
             df = QUERIES[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
-            if adaptive and i == 0 and elapsed > _ADAPTIVE_RERUN_SECONDS:
-                break
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -372,7 +372,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": "adaptive<=2" if adaptive else runs,
+        "runs_per_query": f"warmup+{runs}",
         "aggregation": "min",
     }
     detail_path = os.path.join(
@@ -392,7 +392,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "sf": sf,
-                "runs_per_query": "adaptive<=2" if adaptive else runs,
+                "runs_per_query": f"warmup+{runs}",
                 "aggregation": "min",
                 "detail": "BENCH_DETAIL.json",
             }
