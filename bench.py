@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "golden_record",
     "cdc_apply",
     "snapshot_cluster_compact",
+    "cdc_apply_out_of_order",
 ]
 
 

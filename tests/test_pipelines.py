@@ -350,3 +350,59 @@ def test_run_gold_pipeline_partitioned_and_exact(spark, sf_dir, tmp_path):
     seg = gold.select("segment").first().segment
     pruned = snapshot_read(spark, t, partition_filter={"segment": seg})
     assert pruned.count() == gold.filter(F.col("segment") == seg).count()
+
+
+def test_guarded_cdc_apply_is_batch_order_invariant(spark, tmp_path):
+    """apply_changelog_guarded must converge to the highest-seq fold
+    no matter the batch arrival order — including the resurrection
+    trap: a delete followed by a STALER update must stay deleted
+    (tombstone + seq guard), which physical deletes cannot guarantee."""
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.plans.pipelines import (
+        apply_changelog_guarded,
+        read_cdc_table,
+    )
+    from yelp_etl_spark.sources.snapshots import snapshot_write
+
+    base_rows = [(k, "base", 100 + k) for k in range(8)]
+    # batch A (older): updates k0,k1, late update to k2 (seq 2)
+    batch_a = [
+        (0, "a0", 500, "U", 2),
+        (1, "a1", 501, "U", 2),
+        (2, "a2", 502, "U", 2),
+    ]
+    # batch B (newer): delete k2 (seq 5), update k3 (seq 5), insert k9
+    batch_b = [
+        (2, "zzz", 0, "D", 5),
+        (3, "b3", 503, "U", 5),
+        (9, "b9", 509, "I", 5),
+    ]
+    want = sorted(
+        [(0, "a0", 500), (1, "a1", 501), (3, "b3", 503), (9, "b9", 509)]
+        + [(k, "base", 100 + k) for k in range(4, 8)]
+    )
+    schema_c = "k long, v string, x long, op string, seq long"
+
+    def run(order):
+        t = str(tmp_path / f"tbl_{order}")
+        snapshot_write(
+            spark.createDataFrame(base_rows, "k long, v string, x long"), t
+        )
+        batches = [batch_a, batch_b] if order == "ab" else [batch_b, batch_a]
+        for b in batches:
+            apply_changelog_guarded(
+                spark, spark.createDataFrame(b, schema_c), t, ["k"]
+            )
+        return sorted(map(tuple, read_cdc_table(spark, t).collect()))
+
+    assert run("ab") == want
+    # reversed arrival: batch A is STALE for k2 (2 < 5) — the tombstone
+    # must survive; everything else identical
+    assert run("ba") == want
+    # idempotent replay of the newest batch changes nothing
+    t = str(tmp_path / "tbl_ba")
+    apply_changelog_guarded(
+        spark, spark.createDataFrame(batch_b, schema_c), t, ["k"]
+    )
+    assert sorted(map(tuple, read_cdc_table(spark, t).collect())) == want

@@ -7687,6 +7687,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "binaryfile_scan_roundtrip",
         "cdc_apply",
         "snapshot_cluster_compact",
+        "cdc_apply_out_of_order",
     }
 )
 

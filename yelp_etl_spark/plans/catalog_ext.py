@@ -8104,3 +8104,122 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Out-of-order CDC apply (plans/pipelines.apply_changelog_guarded)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_apply_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order CDC convergence (plans/pipelines.
+    apply_changelog_guarded): the NEWER batch (seq 5 — deletes every
+    14th even key, restates every 20th) is applied FIRST, the STALER
+    batch (seq 2 — updates every 10th, inserts odd÷9 keys) second.
+    The sequence guard must drop the stale updates wherever a newer
+    op landed, and the tombstones must keep the deleted keys deleted
+    even though the late batch updates some of them (the resurrection
+    trap a physical delete cannot survive). The census over
+    read_cdc_table must equal the oracle's direct highest-seq fold."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.plans.pipelines import (
+        apply_changelog_guarded,
+        read_cdc_table,
+    )
+    from yelp_etl_spark.sources.snapshots import snapshot_write
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    table = _scratch_dir(sf_dir, "cdcooo")
+    snapshot_write(base, table, mode="replace")
+    newer = base.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.lit("D").alias("op"),
+        F.lit(5).cast("long").alias("seq"),
+    ).unionByName(
+        base.filter(
+            (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") % 14 != 0)
+        ).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("cents") + 500).alias("cents"),
+            F.lit("U").alias("op"),
+            F.lit(5).cast("long").alias("seq"),
+        )
+    )
+    staler = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("Y").alias("o_orderstatus"),
+        (F.col("cents") + 222).alias("cents"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    ).unionByName(
+        orders.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 9 == 0)
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "cents",
+            F.lit("I").alias("op"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+    )
+    apply_changelog_guarded(spark, newer, table, ["o_orderkey"])
+    apply_changelog_guarded(spark, staler, table, ["o_orderkey"])
+    final = read_cdc_table(spark, table)
+    return final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("o_orderstatus") == "X", 1).otherwise(0))
+        .cast("long")
+        .alias("n_restated"),
+        F.sum(F.when(F.col("o_orderstatus") == "Y", 1).otherwise(0))
+        .cast("long")
+        .alias("n_stale_updates_applied"),
+    )
+
+
+ORACLE_CDC_APPLY_OUT_OF_ORDER = """
+WITH src AS MATERIALIZED (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'X'
+              WHEN o_orderkey % 10 = 0 THEN 'Y'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 20 = 0 THEN cents + 500
+              WHEN o_orderkey % 10 = 0 THEN cents + 222
+              ELSE cents END AS cents
+  FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 != 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, cents
+  FROM src WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restated,
+       CAST(SUM(CASE WHEN o_orderstatus = 'Y' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stale_updates_applied
+FROM final
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "cdc_apply_out_of_order": (
+            q_cdc_apply_out_of_order,
+            ORACLE_CDC_APPLY_OUT_OF_ORDER,
+            "ext:out-of-order CDC convergence (seq guard + tombstones)",
+        ),
+    }
+)

@@ -248,3 +248,94 @@ def apply_changelog(
         keys,
         delete_condition=F.col(op_col) == "D",
     )
+
+
+def apply_changelog_guarded(
+    spark,
+    changes: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> int:
+    """Out-of-order-safe CDC apply: batches may arrive in ANY order
+    (the at-least-once, shuffled reality of a log-shipped feed) and
+    the table still converges to the fold by highest sequence. Two
+    mechanisms on top of apply_changelog's last-writer-wins collapse:
+
+    - **Sequence guard**: the table stores ``__seq`` per row; a change
+      older than the row it targets is dropped before the merge, so a
+      late-replayed stale batch cannot overwrite newer data.
+    - **Tombstones**: deletes UPSERT a ``__tombstone=true`` row
+      instead of physically removing the key — a physical delete
+      would lose the row's sequence, letting an even-staler update
+      resurrect the key. Readers filter via ``read_cdc_table``;
+      physical cleanup is a later maintenance rewrite, exactly like
+      MOR delete-file vacuuming.
+
+    First guarded apply bootstraps the columns (one full rewrite —
+    the one-time cost of converting a plain table to a CDC-managed
+    one). Scale: one delta-keyed window + one keys+__seq column scan
+    of the target (columnar projection) + the merge's join family."""
+    from pyspark.sql import Window as W
+
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        _read_pointer,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    w = W.partitionBy(*keys).orderBy(F.desc(seq_col), F.desc(op_col))
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ptr = _read_pointer(table_dir)
+    if ptr is not None:
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(
+            _json.loads(_load_manifest(table_dir, ptr)["schema"])
+        )
+        if "__seq" not in schema.fieldNames():
+            base = snapshot_read(spark, table_dir)
+            snapshot_write(
+                base.withColumn("__seq", F.lit(0).cast("long"))
+                .withColumn("__tombstone", F.lit(False)),
+                table_dir,
+                mode="replace",
+            )
+        cur = snapshot_read(spark, table_dir).select(
+            *keys, F.col("__seq").alias("__cur_seq")
+        )
+        last = (
+            last.join(cur, keys, "left")
+            .filter(
+                F.col("__cur_seq").isNull()
+                | (F.col(seq_col) > F.col("__cur_seq"))
+            )
+            .drop("__cur_seq")
+        )
+    src = (
+        last.withColumn("__seq", F.col(seq_col).cast("long"))
+        .withColumn("__tombstone", F.col(op_col) == "D")
+        .drop(seq_col, op_col)
+    )
+    return snapshot_merge(spark, src, table_dir, keys)
+
+
+def read_cdc_table(spark, table_dir: str) -> DataFrame:
+    """Live rows of a CDC-managed table: tombstoned keys filtered,
+    bookkeeping columns dropped."""
+    from yelp_etl_spark.sources.snapshots import snapshot_read
+
+    return (
+        snapshot_read(spark, table_dir)
+        .filter(~F.col("__tombstone"))
+        .drop("__seq", "__tombstone")
+    )
