@@ -345,6 +345,7 @@ def main() -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
 
     timings: dict[str, float] = {}
+    warmup_failures: list[str] = []
     for qi, name in enumerate(BENCH_QUERIES):
         if qi % 4 == 0:
             jvm_gc()
@@ -353,7 +354,11 @@ def main() -> None:
                 "overwrite"
             ).save()
         except Exception:
-            pass
+            # NOT silent: a missing warmup fixture would cold-run every
+            # timed query (the exact comparability failure this scheme
+            # exists to prevent) while the output claimed otherwise
+            warmup_failures.append(name)
+            print(f"WARN warmup failed for {name}", file=sys.stderr)
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -374,6 +379,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": f"warmup+{runs}",
+        "warmup_failures": warmup_failures,
         "aggregation": "min",
     }
     detail_path = os.path.join(
@@ -394,6 +400,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "runs_per_query": f"warmup+{runs}",
+                "n_warmup_failures": len(warmup_failures),
                 "aggregation": "min",
                 "detail": "BENCH_DETAIL.json",
             }

@@ -1676,3 +1676,29 @@ def test_cluster_compact_files_cover_disjoint_ranges(spark, tmp_path):
         (f["min"]["v"], f["max"]["v"])
         for f in _load_manifest(t, s3)["files"]
     ) == ranges
+
+
+def test_spec_evolution_accepts_bucket_transforms(spark, tmp_path):
+    """Evolving to a bucket(N, col) spec must validate the SOURCE
+    column, not the derived field name (regression: every bucket spec
+    was falsely rejected)."""
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_evolve_spec,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2]) for i in range(20)], "id long, g string"
+    )
+    snapshot_write(df, t, mode="replace", partition_by=["g"])
+    s2 = snapshot_evolve_spec(t, ["bucket(4, id)"])
+    assert _load_manifest(t, s2)["partition_by"] == ["bucket(4, id)"]
+    snapshot_write(
+        spark.createDataFrame([(100, "C")], "id long, g string"),
+        t,
+        mode="append",
+    )
+    assert snapshot_read(spark, t).count() == 21

@@ -631,24 +631,18 @@ def random_walks(
         F.col("id").alias("node"),
     )
     frontier = out
+    from yelp_etl_spark.functions.sampling import hash60
+
     for t in range(1, steps + 1):
         choice = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.col("start").cast("string"),
-                            F.col("node").cast("string"),
-                            F.lit(str(t)),
-                        ).cast("binary")
-                    ),
-                    18,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            hash60(
+                F.concat_ws(
+                    "|",
+                    F.col("start").cast("string"),
+                    F.col("node").cast("string"),
+                    F.lit(str(t)),
+                )
+            )
             % F.col("deg")
             + 1
         )

@@ -31,16 +31,19 @@ from pyspark.sql import functions as F
 NEIGHBOR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
-def _floor_div(col: Column, side: int) -> Column:
-    """True-floor cell index of an integer coordinate:
-    ``(a − ((a % s) + s) % s) / s`` — the inner double-mod is the
-    non-negative remainder (% follows the dividend's sign in both
-    Spark and DuckDB), so the subtraction lands exactly on a cell
-    boundary and the division is exact. Pure integer arithmetic,
-    engine-portable, correct for negative coordinates."""
-    a = col.cast("long")
-    nonneg_mod = ((a % side) + side) % side
-    return ((a - nonneg_mod) / side).cast("long")
+def _floor_div(name: str, side: int) -> Column:
+    """True-floor cell index of an integer coordinate column — the
+    repo's portable-floor convention: truncating ``div`` minus one
+    when a negative dividend has a remainder (identical semantics to
+    DuckDB's ``//`` and ``%``). Pure 64-bit INTEGER arithmetic — a
+    float division here would go inexact past 2^53 and silently shift
+    border points one cell over, dropping true matches from the 3×3
+    candidate set."""
+    return F.expr(
+        f"CAST(`{name}` AS BIGINT) div {side} - "
+        f"(CASE WHEN `{name}` % {side} != 0 AND `{name}` < 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
 
 
 def grid_radius_join(
@@ -63,8 +66,8 @@ def grid_radius_join(
         F.col(point_id),
         F.col(x).cast("long").alias("__px"),
         F.col(y).cast("long").alias("__py"),
-        _floor_div(F.col(x).cast("long"), radius).alias("__cx"),
-        _floor_div(F.col(y).cast("long"), radius).alias("__cy"),
+        _floor_div(x, radius).alias("__cx"),
+        _floor_div(y, radius).alias("__cy"),
     )
     offsets = F.array(
         *[
@@ -77,8 +80,8 @@ def grid_radius_join(
             F.col(query_id),
             F.col(x).cast("long").alias("__qx"),
             F.col(y).cast("long").alias("__qy"),
-            _floor_div(F.col(x).cast("long"), radius).alias("__qcx"),
-            _floor_div(F.col(y).cast("long"), radius).alias("__qcy"),
+            _floor_div(x, radius).alias("__qcx"),
+            _floor_div(y, radius).alias("__qcy"),
             F.explode(offsets).alias("__o"),
         )
         .select(

@@ -7605,7 +7605,8 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # canonicalizer reds (standing guards since their fix), the flagship,
 # and one multi-round-green anchor per family — and the last 4 are
 # round-7 additions entering immediately (the r6 pattern the judge
-# ratified); the other 7 round-7 additions are the declared r8 seed.
+# ratified); the remaining round-7 additions are the declared r8 seed
+# (_NEXT_ROTATION_POOL below is the authoritative list).
 # Rotated-out rows remain under the local parity gate
 # (scripts/check_parity.py runs ALL queries).
 _DRIVER_WINDOW: tuple[str, ...] = (

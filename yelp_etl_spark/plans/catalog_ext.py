@@ -6939,20 +6939,12 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     only."""
     from yelp_etl_spark.operators.spatial import grid_radius_join
 
+    from yelp_etl_spark.functions.sampling import hash60
+
     def coord(prefix: str, key) -> "F.Column":
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(prefix), key.cast("string"))
-                          .cast("binary")),
-                    18,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _GEO_SIDE
-        )
+        # ONE shared hash definition (sampling.hash60) so the geo
+        # synthesis can never drift from its DuckDB twin
+        return hash60(F.concat(F.lit(prefix), key.cast("string"))) % _GEO_SIDE
 
     customer = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("pid"),
@@ -7057,7 +7049,9 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "N")
     )
-    cells = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+    # FLOOR, not cast: Spark's long cast truncates where DuckDB's
+    # rounds (the q_sssp_weighted convention for fractional quantities)
+    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
         F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
         .cast("long")
         .alias("ca"),
@@ -7072,19 +7066,19 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb",
         F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("cumb"),
     )
+    # tie cubes go through decimal(38,0): per-cell counts grow linearly
+    # with data volume and their CUBES overflow int64 around SF≈6 —
+    # decimal keeps the sum exact (and partition-order independent,
+    # unlike a double sum) to ~1e38
+    t_dec = (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
     agg = stepped.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
         F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("cb")))
         .cast("long")
         .alias("u2x"),
-        F.sum(
-            (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            - (F.col("ca") + F.col("cb"))
-        )
-        .cast("long")
+        F.sum(t_dec * t_dec * t_dec - t_dec)
+        .cast("double")
         .alias("tie_cubes"),
     )
     n = F.col("n_a") + F.col("n_b")
@@ -7106,7 +7100,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MANN_WHITNEY_U = """
 WITH cells AS MATERIALIZED (
-  SELECT CAST(l_quantity AS BIGINT) AS v,
+  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
            AS ca,
          CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
@@ -7124,8 +7118,8 @@ agg AS (
   SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
          CAST(SUM(cb) AS BIGINT) AS n_b,
          CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2x,
-         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
-           AS tie_cubes
+         CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                  - (ca + cb)) AS DOUBLE) AS tie_cubes
   FROM stepped
 )
 SELECT n_a, n_b, u2x,
@@ -7153,7 +7147,8 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "N")
     )
-    cells = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+    # FLOOR, not cast (the q_sssp_weighted truncate-vs-round convention)
+    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
         F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
         .cast("long")
         .alias("ca"),
@@ -7166,18 +7161,23 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w).alias("cuma"),
         F.sum("cb").over(w).alias("cumb"),
     )
+    # ECDF cross-products through decimal(38,0): cuma·tb reaches n²
+    # even when D is tiny, which leaves int64 around SF≈400 — the
+    # decimal keeps every intermediate exact; d_scaled itself (D·n²)
+    # converts back to BIGINT, loudly if the answer ever outgrows it
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = stepped.agg(
         F.max("cuma").cast("long").alias("n_a"),
         F.max("cumb").cast("long").alias("n_b"),
     ).crossJoin(
         stepped.crossJoin(
             cells.agg(
-                F.sum("ca").cast("long").alias("ta"),
-                F.sum("cb").cast("long").alias("tb"),
+                F.sum("ca").cast("decimal(38,0)").alias("ta"),
+                F.sum("cb").cast("decimal(38,0)").alias("tb"),
             )
         )
         .select(
-            F.abs(F.col("cuma") * F.col("tb") - F.col("cumb") * F.col("ta"))
+            F.abs(dec("cuma") * F.col("tb") - dec("cumb") * F.col("ta"))
             .alias("dd")
         )
         .agg(F.max("dd").cast("long").alias("d_scaled"))
@@ -7187,7 +7187,9 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         "d_scaled",
-        F.expr("(1000000 * d_scaled) div (n_a * n_b)").alias("d_ppm"),
+        F.round(F.col("d_scaled") / nn * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("d_ppm"),
         F.round(
             F.col("d_scaled")
             / nn
@@ -7201,7 +7203,7 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KS_TWO_SAMPLE = """
 WITH cells AS MATERIALIZED (
-  SELECT CAST(l_quantity AS BIGINT) AS v,
+  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
            AS ca,
          CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
@@ -7220,11 +7222,13 @@ stepped AS (
   FROM cells
 ),
 dmax AS (
-  SELECT CAST(MAX(ABS(cuma * tb - cumb * ta)) AS BIGINT) AS d_scaled
+  SELECT CAST(MAX(ABS(CAST(cuma AS HUGEINT) * tb
+                      - CAST(cumb AS HUGEINT) * ta)) AS BIGINT) AS d_scaled
   FROM stepped, tot
 )
 SELECT ta AS n_a, tb AS n_b, d_scaled,
-       (1000000 * d_scaled) // (ta * tb) AS d_ppm,
+       CAST(ROUND(d_scaled / (CAST(ta AS DOUBLE) * tb) * 1000000) AS BIGINT)
+         AS d_ppm,
        CAST(ROUND(d_scaled / (CAST(ta AS DOUBLE) * tb)
                   * SQRT(CAST(ta AS DOUBLE) * tb / (ta + tb))
                   * 1000000) AS BIGINT) AS lambda_micro

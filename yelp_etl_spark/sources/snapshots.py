@@ -647,9 +647,10 @@ def snapshot_write(
         elif parent_spec is None or list(partition_by) != list(parent_spec):
             raise ValueError(
                 f"append spec {list(partition_by)!r} != parent snapshot "
-                f"spec {parent_spec!r}: this snapshot layer has no "
-                "partition-spec evolution — append with the parent's "
-                "spec (or omit partition_by to inherit it)"
+                f"spec {parent_spec!r}: append with the parent's spec "
+                "(or omit partition_by to inherit it) — to change the "
+                "table's layout going forward, commit "
+                "snapshot_evolve_spec first"
             )
         if bloom_columns is None:
             # sidecars are a table property like the partition spec:
@@ -1401,9 +1402,12 @@ def snapshot_evolve_spec(table_dir: str, partition_by: list[str]) -> int:
     pm = _load_manifest(table_dir, current)
     if partition_by:
         schema = T.StructType.fromJson(json.loads(pm["schema"]))
+        # validate SOURCE columns (a bucket(N, col) field is named
+        # col_bucketN — checking field names would falsely reject
+        # every bucket-transform spec)
         missing = [
-            f for f, _, _ in _spec_fields(partition_by)
-            if f not in schema.fieldNames()
+            src for _f, src, _n in _spec_fields(partition_by)
+            if src not in schema.fieldNames()
         ]
         if missing:
             raise ValueError(
