@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "cdc_apply",
     "snapshot_cluster_compact",
     "cdc_apply_out_of_order",
+    "stream_cdc_apply",
 ]
 
 

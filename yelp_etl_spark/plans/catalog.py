@@ -7689,6 +7689,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "cdc_apply",
         "snapshot_cluster_compact",
         "cdc_apply_out_of_order",
+        "stream_cdc_apply",
     }
 )
 

@@ -8227,3 +8227,138 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC ingestion (readStream → foreachBatch → guarded apply)
+# --------------------------------------------------------------------------
+
+
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lakehouse ingestion end to end: a CDC changelog lands
+    as files, Structured Streaming consumes it one file per
+    micro-batch (`maxFilesPerTrigger=1`, availableNow), and every
+    batch folds into the snapshot table through foreachBatch →
+    apply_changelog_guarded. The guard + tombstones make the fold
+    BATCH-PARTITION INVARIANT — however the stream happens to split
+    the changelog, the table converges to the highest-seq state (the
+    property q_cdc_apply_out_of_order pins for explicit reversed
+    batches; here the splitting is the stream's own) — which is what
+    makes the result deterministic and oracle-checkable at all. The
+    oracle reconstructs the fold directly from the base data."""
+    import uuid as _uuid
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.plans.pipelines import (
+        apply_changelog_guarded,
+        read_cdc_table,
+    )
+    from yelp_etl_spark.sources.snapshots import snapshot_write
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    table = _scratch_dir(sf_dir, "streamcdc")
+    snapshot_write(base, table, mode="replace")
+    # the changelog: same op mix as cdc_apply_out_of_order
+    changes = (
+        base.filter(F.col("o_orderkey") % 14 == 0)
+        .select(
+            "o_orderkey", "o_orderstatus", "cents",
+            F.lit("D").alias("op"), F.lit(5).cast("long").alias("seq"),
+        )
+        .unionByName(
+            base.filter(
+                (F.col("o_orderkey") % 20 == 0)
+                & (F.col("o_orderkey") % 14 != 0)
+            ).select(
+                "o_orderkey",
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("cents") + 500).alias("cents"),
+                F.lit("U").alias("op"),
+                F.lit(5).cast("long").alias("seq"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey",
+                F.lit("Y").alias("o_orderstatus"),
+                (F.col("cents") + 222).alias("cents"),
+                F.lit("U").alias("op"),
+                F.lit(2).cast("long").alias("seq"),
+            )
+        )
+    )
+    feed = _scratch_dir(sf_dir, "streamcdcfeed")
+    changes.repartition(5).write.parquet(feed)
+    ckpt = _scratch_dir(sf_dir, "streamcdcckpt")
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: apply_changelog_guarded(
+                spark, batch, table, ["o_orderkey"]
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .queryName(f"cdc-{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_cdc_table(spark, table)
+    return final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("o_orderstatus") == "X", 1).otherwise(0))
+        .cast("long")
+        .alias("n_restated"),
+        F.sum(F.when(F.col("o_orderstatus") == "Y", 1).otherwise(0))
+        .cast("long")
+        .alias("n_stale_updates_applied"),
+    )
+
+
+# same fold as the explicit out-of-order query, MINUS the inserts
+# (this feed carries only updates/deletes over the base population)
+ORACLE_STREAM_CDC_APPLY = """
+WITH src AS MATERIALIZED (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'X'
+              WHEN o_orderkey % 10 = 0 THEN 'Y'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 20 = 0 THEN cents + 500
+              WHEN o_orderkey % 10 = 0 THEN cents + 222
+              ELSE cents END AS cents
+  FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 != 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restated,
+       CAST(SUM(CASE WHEN o_orderstatus = 'Y' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stale_updates_applied
+FROM final
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "stream_cdc_apply": (
+            q_stream_cdc_apply,
+            ORACLE_STREAM_CDC_APPLY,
+            "ext:streaming CDC ingestion (foreachBatch → guarded fold, split-invariant)",
+        ),
+    }
+)
