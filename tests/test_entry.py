@@ -56,9 +56,12 @@ def test_each_query_runs_at_smoke_sf(spark, sf_dir):
     offenders = {}
 
     # building a query is py4j/JVM-bound (the materializing ones run
-    # real jobs), so an 8-wide thread pool cuts this test's wall ~4x
-    # (104 s → ~26 s measured); Spark job submission is thread-safe
-    # and every builder uses private scratch dirs
+    # real jobs), so a _POOL_WIDTH-wide thread pool cuts this test's
+    # wall ~4x (104 s → ~26 s measured at width 8; 12 shaved a bit
+    # more); Spark job submission is thread-safe and every builder
+    # uses private scratch dirs
+    _POOL_WIDTH = 12
+
     def build(item):
         name, fn = item
         df = fn(spark, sf_dir)
@@ -69,7 +72,7 @@ def test_each_query_runs_at_smoke_sf(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType))
         ]
 
-    with ThreadPoolExecutor(12) as ex:
+    with ThreadPoolExecutor(_POOL_WIDTH) as ex:
         for name, bad in ex.map(build, mod.queries().items()):
             if bad:
                 offenders[name] = bad

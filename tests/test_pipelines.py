@@ -406,3 +406,70 @@ def test_guarded_cdc_apply_is_batch_order_invariant(spark, tmp_path):
         spark, spark.createDataFrame(batch_b, schema_c), t, ["k"]
     )
     assert sorted(map(tuple, read_cdc_table(spark, t).collect())) == want
+
+
+def test_apply_changelog_bootstrap_drops_op_column(spark, tmp_path):
+    """ADVICE r7 (medium): a changelog folded into a NOT-yet-created
+    table must not bake the CDC op flag into the table schema — the
+    op column is merge bookkeeping, never data."""
+    from yelp_etl_spark.plans.pipelines import apply_changelog
+    from yelp_etl_spark.sources.snapshots import snapshot_read
+
+    t = str(tmp_path / "boot")
+    ch = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (2, None, 2, "D"), (3, "c", 5, "U")],
+        "k int, v string, seq int, op string",
+    )
+    apply_changelog(spark, ch, t, ["k"])
+    out = snapshot_read(spark, t)
+    assert out.columns == ["k", "v"]
+    # bootstrap deletes target rows that don't exist: no-ops, and the
+    # keyed collapse keeps the delete as k2's final state → k2 absent
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (3, "c")]
+    # second apply exercises the parent-exists branch on the clean schema
+    ch2 = spark.createDataFrame(
+        [(1, "a2", 2, "U"), (3, None, 6, "D")], "k int, v string, seq int, op string"
+    )
+    apply_changelog(spark, ch2, t, ["k"])
+    out2 = snapshot_read(spark, t)
+    assert out2.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in out2.collect()) == [(1, "a2")]
+
+
+def test_run_medallion_layers_and_gold_values(spark, sf_dir, tmp_path):
+    """End-to-end medallion (extract×5 → clean×5 → enrich×3 → gold):
+    layer layout + the gold rollup's exact integer-cents values vs a
+    direct recompute from the raw inputs."""
+    from yelp_etl_spark.plans.pipelines import run_medallion
+    from yelp_etl_spark.sources.readers import load_table
+    from yelp_etl_spark.sources.snapshots import snapshot_read
+
+    root = str(tmp_path / "med")
+    counts = run_medallion(spark, sf_dir, root)
+    assert counts == {"bronze": 5, "silver": 5, "enriched": 3, "gold": 1}
+    # silver orders is identity-partitioned by order year
+    years = [
+        d for d in os.listdir(f"{root}/silver/orders")
+        if d.startswith("o_orderdate_year=")
+    ]
+    assert len(years) >= 2
+    gold = snapshot_read(spark, f"{root}/gold/segment_weekly")
+    direct = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    got = {(r.segment, r.week_start): r.revenue_cents for r in gold.collect()}
+    want = {(r.segment, r.week_start): r.revenue_cents for r in direct.collect()}
+    assert got == want

@@ -1702,3 +1702,55 @@ def test_spec_evolution_accepts_bucket_transforms(spark, tmp_path):
         mode="append",
     )
     assert snapshot_read(spark, t).count() == 21
+
+
+def test_cluster_compact_rejects_empty_and_buckets_nulls(spark, tmp_path):
+    """ADVICE r7: cluster_by compaction must raise cleanly on a table
+    with no clusterable values (min/max NULL), and NULL cluster values
+    must land in the dedicated bottom bucket, not silently mix into
+    the top value-range file."""
+    import pytest as _pytest
+
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    empty = str(tmp_path / "empty")
+    snapshot_write(spark.createDataFrame([], "x int, y int"), empty)
+    with _pytest.raises(ValueError, match="no non-NULL values"):
+        snapshot_compact(spark, empty, cluster_by="x")
+
+    allnull = str(tmp_path / "allnull")
+    snapshot_write(
+        spark.createDataFrame([(None, 1), (None, 2)], "x int, y int"), allnull
+    )
+    with _pytest.raises(ValueError, match="no non-NULL values"):
+        snapshot_compact(spark, allnull, cluster_by="x")
+
+    mixed = str(tmp_path / "mixed")
+    rows = [(None, 1), (5, 2), (100, 3), (None, 4), (7, 5), (93, 6)]
+    snapshot_write(spark.createDataFrame(rows, "x int, y int"), mixed)
+    snapshot_compact(spark, mixed, target_file_bytes=900, cluster_by="x")
+    back = snapshot_read(spark, mixed)
+    key = lambda t: (t[0] is not None, t[0] or 0, t[1])
+    assert sorted(((r.x, r.y) for r in back.collect()), key=key) == sorted(
+        rows, key=key
+    )
+    # NULLs share the file of the LOWEST values (bucket 0), never the top
+    import os as _os
+
+    from yelp_etl_spark.sources.snapshots import _load_manifest, _read_pointer
+
+    manifest = _load_manifest(mixed, _read_pointer(mixed))
+    by_file = {}
+    for f in manifest["files"]:
+        df = spark.read.parquet(_os.path.join(mixed, f["path"]))
+        by_file[f["path"]] = [r.x for r in df.collect()]
+    null_files = {p for p, xs in by_file.items() if None in xs}
+    top_file = max(
+        by_file, key=lambda p: max((x for x in by_file[p] if x is not None), default=-1)
+    )
+    if len(by_file) > 1:
+        assert top_file not in null_files

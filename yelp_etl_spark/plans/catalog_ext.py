@@ -7285,9 +7285,13 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a.d") < F.col("b.d"))
         .select(dy.alias("dy"), dd.cast("long").alias("dd"))
         .select(
+            # 1e6*dy through decimal(38,0): BIGINT day-revenue deltas
+            # overflow int64 under the 1e6 quantizer at SF≈1000+ daily
+            # volumes — same discipline as the rank-test tie cubes
             F.expr(
-                "(1000000 * dy) div dd - (CASE WHEN (1000000 * dy) % dd != 0 "
-                "AND dy < 0 THEN 1 ELSE 0 END)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * dy) div dd AS BIGINT)"
+                " - (CASE WHEN (CAST(1000000 AS DECIMAL(38,0)) * dy) % dd"
+                " != 0 AND dy < 0 THEN 1 ELSE 0 END)"
             ).alias("qs")
         )
     )
@@ -7318,8 +7322,10 @@ WITH days AS MATERIALIZED (
   FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
 ),
 pairs AS MATERIALIZED (
-  SELECT (1000000 * (b.y - a.y)) // date_diff('day', a.d, b.d)
-         - (CASE WHEN (1000000 * (b.y - a.y)) % date_diff('day', a.d, b.d) != 0
+  SELECT CAST((CAST(1000000 AS HUGEINT) * (b.y - a.y))
+              // date_diff('day', a.d, b.d) AS BIGINT)
+         - (CASE WHEN (CAST(1000000 AS HUGEINT) * (b.y - a.y))
+                      % date_diff('day', a.d, b.d) != 0
                  AND b.y - a.y < 0 THEN 1 ELSE 0 END) AS qs
   FROM days a JOIN days b ON a.d < b.d
 ),

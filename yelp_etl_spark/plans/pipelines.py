@@ -191,6 +191,116 @@ def run_gold_pipeline(spark, sf_dir: str, table_dir: str) -> int:
     )
 
 
+def run_medallion(spark, sf_dir: str, root: str) -> dict[str, int]:
+    """The reference's full run-all-pipelines.sh workload shape
+    (13 jobs: extract×5, clean×5, enrich×3, + the gold layer it left
+    TODO) replayed at TPC-H-ish scale over ``sf_dir`` — the one
+    reference-workload-shaped wall-clock number the bench artifacts
+    carry (``pipeline_seconds``). Layers land under ``root``:
+
+    - **bronze** (extract×5): raw ingest of region/nation/customer/
+      orders/lineitem, unmodified parquet (the reference's
+      extract.py JSON→parquet hop; our inputs are already columnar so
+      the hop is a straight rewrite).
+    - **silver** (clean×5): null-normalized comment strings, date
+      features pre-derived on orders (clean.py:31,41's
+      derive-then-store convention), orders partitioned by order
+      year (identity spec — partition-pruned downstream reads).
+    - **enriched** (enrich×3): orders×customer, lineitem×part,
+      lineitem×supplier OBTs with prefixed dim columns (enrich.py's
+      fact × dim star shape). Dims small at any SF relative to
+      facts → broadcast where safe (region/nation always; customer/
+      part/supplier left to AQE at fixture scale).
+    - **gold**: the segment×week revenue rollup committed as a
+      partitioned snapshot table (run_gold_pipeline's shape, fed
+      from the silver layer).
+
+    Returns per-layer file counts (cheap os.listdir — no re-read
+    counts, which would double the measured wall). Scale: every join
+    is keyed or broadcast, every agg map-side combinable; writes are
+    the dominant cost, linear in data, partitioned so downstream
+    reads prune."""
+    import os as _os
+
+    from yelp_etl_spark.operators.cleaning import normalize_nullish_strings
+    from yelp_etl_spark.operators.dates import add_date_features
+    from yelp_etl_spark.sources.readers import load_table
+
+    bronze_tables = ("region", "nation", "customer", "orders", "lineitem")
+    for t in bronze_tables:  # extract×5
+        load_table(spark, sf_dir, t).write.mode("overwrite").parquet(
+            f"{root}/bronze/{t}"
+        )
+
+    def _bronze(t: str) -> DataFrame:
+        return spark.read.parquet(f"{root}/bronze/{t}")
+
+    nullish_col = {  # the stringly column each table cleans (clean.py's
+        "region": "r_name",  # normalize-nullish pass over value columns)
+        "nation": "n_name",
+        "customer": "c_name",
+        "orders": "o_orderpriority",
+        "lineitem": "l_returnflag",
+    }
+    for t in bronze_tables:  # clean×5
+        df = normalize_nullish_strings(_bronze(t), [nullish_col[t]])
+        writer = df.write.mode("overwrite")
+        if t == "orders":
+            df = add_date_features(
+                df, "o_orderdate", timestamp_format=None, drop_source=False
+            )
+            writer = df.write.mode("overwrite").partitionBy("o_orderdate_year")
+        writer.parquet(f"{root}/silver/{t}")
+
+    def _silver(t: str) -> DataFrame:
+        return spark.read.parquet(f"{root}/silver/{t}")
+
+    orders = _silver("orders").withColumnRenamed("o_custkey", "c_custkey")
+    customer = _silver("customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = _silver("lineitem")
+    enriched = {  # enrich×3
+        "customer_orders": enrich(
+            orders, [Dimension("cust", customer, "c_custkey")]
+        ),
+        "part_lineitem": enrich(
+            lineitem.withColumnRenamed("l_partkey", "p_partkey"),
+            [Dimension("part", part, "p_partkey")],
+        ),
+        "supplier_lineitem": enrich(
+            lineitem.withColumnRenamed("l_suppkey", "s_suppkey"),
+            [Dimension("supp", supplier, "s_suppkey")],
+        ),
+    }
+    for name, df in enriched.items():
+        df.write.mode("overwrite").parquet(f"{root}/enriched/{name}")
+
+    obt = spark.read.parquet(f"{root}/enriched/customer_orders")
+    gold = obt.groupBy(
+        F.col("cust_c_mktsegment").alias("segment"),
+        F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias(
+            "week_start"
+        ),
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+    )
+    from yelp_etl_spark.sources.snapshots import snapshot_write
+
+    snapshot_write(
+        gold, f"{root}/gold/segment_weekly", mode="replace",
+        partition_by=["segment"],
+    )
+    return {
+        layer: len(_os.listdir(f"{root}/{layer}"))
+        for layer in ("bronze", "silver", "enriched", "gold")
+    }
+
+
 def gold_user_engagement(review_obt: DataFrame, tip_obt: DataFrame | None = None) -> DataFrame:
     """Per-user engagement summary across fact tables (reviews, and tips
     when provided): review counts, star dispersion, activity span."""
@@ -238,6 +348,12 @@ def apply_changelog(
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", seq_col)
+        # The op flag is merge bookkeeping, never table data: rename it
+        # into the dunder namespace so snapshot_merge's bootstrap branch
+        # (parent=None strips __-prefixed columns) cannot bake 'op' into
+        # a freshly-created table's schema. The parent-exists branch
+        # projects onto the target's columns and never saw it anyway.
+        .withColumnRenamed(op_col, "__op")
     )
     from yelp_etl_spark.sources.snapshots import snapshot_merge
 
@@ -246,7 +362,7 @@ def apply_changelog(
         last,
         table_dir,
         keys,
-        delete_condition=F.col(op_col) == "D",
+        delete_condition=F.col("__op") == "D",
     )
 
 

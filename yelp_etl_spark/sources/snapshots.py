@@ -1493,14 +1493,27 @@ def snapshot_compact(
                 F.max(cluster_by).cast("double"),
             ).collect()[0]
         )
+        if lo is None or hi is None:
+            # empty table or all-NULL cluster column: no value range to
+            # order by — a plain rewrite is the meaningful maintenance op
+            raise ValueError(
+                f"cluster_by={cluster_by!r}: no non-NULL values to cluster "
+                "on (empty table or all-NULL column); run a plain compact"
+            )
         span = (hi - lo) or 1.0
-        bucket = F.least(
-            F.lit(n_out - 1),
-            F.floor(
-                (F.col(cluster_by).cast("double") - F.lit(lo))
-                / F.lit(span)
-                * n_out
-            ).cast("int"),
+        # NULL cluster values get a dedicated bucket 0 (NULLS FIRST, the
+        # engines' default sort placement) — without the explicit branch,
+        # F.least(lit(n-1), NULL) = n-1 would silently mix NULL rows into
+        # the top value-range file and break its zone-map tightness.
+        bucket = F.when(F.col(cluster_by).isNull(), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_out - 1),
+                F.floor(
+                    (F.col(cluster_by).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * n_out
+                ).cast("int"),
+            )
         )
         # A plain repartition(n, bucket) hash-scatters buckets across
         # partitions (collisions merge ranges and wreck the zone-map
