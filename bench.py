@@ -320,6 +320,17 @@ BENCH_QUERIES = [
     "snapshot_cluster_compact",
     "cdc_apply_out_of_order",
     "stream_cdc_apply",
+    # round-8 additions
+    "isotonic_calibration",
+    "holt_linear_trend",
+    "seasonal_naive_backtest",
+    "point_in_polygon_join",
+    "adamic_adar_linkpred",
+    "event_seq_regex",
+    "text_scan_roundtrip",
+    "grouped_kfold_assign",
+    "hll_mergeable_checked",
+    "medallion_gold_parity",
 ]
 
 # ---------------------------------------------------------------------------
@@ -352,7 +363,18 @@ ANCHORS = {
     "bloom_bitarray_prune",  # documented fixture-scale worst case
     "cogroup_attribution",   # pandas-cogroup tier
 }
-NEW_THIS_ROUND: set[str] = set()  # populated as round-8 queries land
+NEW_THIS_ROUND: set[str] = {  # update each round as queries land
+    "isotonic_calibration",
+    "holt_linear_trend",
+    "seasonal_naive_backtest",
+    "point_in_polygon_join",
+    "adamic_adar_linkpred",
+    "event_seq_regex",
+    "text_scan_roundtrip",
+    "grouped_kfold_assign",
+    "hll_mergeable_checked",
+    "medallion_gold_parity",
+}
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the
 # docstring declares amortized at scale (today: pagerank_dict_ids' dictionary

@@ -45,48 +45,60 @@ def test_driver_window_entries_all_oracle_checked():
     )
 
 
-def test_driver_window_r7_rotation_goals():
-    # r6 VERDICT task 1: the 38 never-driver-checked round-6 queries
-    # all enter (spot checks per family; the cumulative-coverage test
-    # below proves the full list), plus the standing regression guards.
+def test_driver_window_r8_rotation_goals():
+    # r7 VERDICT task 1: the 11 never-driver-checked round-7 queries
+    # all enter (closing cumulative coverage at the full catalog),
+    # plus the standing regression guards and the round-8 additions.
     must_have = {
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
         "map_hof",
         "quantize_embeddings",
         "flagship_revenue",
-        # first-time rows, one spot check per family
-        "ab_test_ztest",
-        "als_factors",
-        "record_linkage_fs",
-        "clustering_coefficient",
-        "markov_attribution",
-        "snapshot_wap",
-        "orc_scan_roundtrip",
-        "stream_hll_distinct",
-        "trigram_search",
-        "weighted_median",
-        "profile_columns",
+        # the 11 never-checked round-7 rows
+        "gold_pipeline_rollup",
+        "snapshot_spec_evolution",
+        "spatial_radius_join",
+        "theil_sen_slope",
+        "ols_normal_equations",
+        "random_walks",
+        "binaryfile_scan_roundtrip",
+        "cdc_apply",
+        "snapshot_cluster_compact",
+        "cdc_apply_out_of_order",
+        "stream_cdc_apply",
+        # round-8 additions enter immediately
+        "isotonic_calibration",
+        "holt_linear_trend",
+        "seasonal_naive_backtest",
+        "point_in_polygon_join",
+        "adamic_adar_linkpred",
+        "event_seq_regex",
+        "text_scan_roundtrip",
+        "grouped_kfold_assign",
+        "hll_mergeable_checked",
+        "medallion_gold_parity",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
 def test_window_closes_cumulative_driver_coverage():
-    # r6 VERDICT task 1: window ∪ previously-checked must cover the
+    # r7 VERDICT task 1: window ∪ previously-checked must cover the
     # ENTIRE catalog — after this round no query has ever been skipped
     # by the driver. Derive "previously checked" from the recorded
-    # CORRECTNESS_r0{1..6}.json files themselves.
+    # CORRECTNESS_r0{1..7}.json files themselves.
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[123456].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1234567].json")):
         checked |= set(json.load(open(path)))
-    assert checked, "expected CORRECTNESS_r0{1..6}.json at repo root"
+    assert checked, "expected CORRECTNESS_r0{1..7}.json at repo root"
     first_time = [n for n in _DRIVER_WINDOW if n not in checked]
-    assert len(first_time) >= 38, (
+    # 11 never-checked round-7 rows + 10 round-8 additions
+    assert len(first_time) >= 21, (
         f"only {len(first_time)} first-time rows: {first_time}"
     )
     from yelp_etl_spark.plans.catalog import _NEXT_ROTATION_POOL
@@ -94,7 +106,7 @@ def test_window_closes_cumulative_driver_coverage():
     uncovered = [
         n for n in QUERIES if n not in checked and n not in _DRIVER_WINDOW
     ]
-    # new round-7 additions are explicitly declared as the r8 seed
+    # late-session additions must be explicitly declared as the r9 seed
     assert set(uncovered) <= _NEXT_ROTATION_POOL, (
         f"never driver-checked, not in window, not declared for the "
         f"next rotation: {sorted(set(uncovered) - _NEXT_ROTATION_POOL)}"

@@ -526,3 +526,37 @@ def test_markov_attribution_rejects_reserved_channels(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     with _pt.raises(ValueError, match="reserved"):
         markov_removal_attribution(events, ["view", "purchase"])
+
+
+def test_isotonic_fit_matches_pava_reference(spark):
+    """Minimax isotonic fit vs the classic sequential PAVA pooling on a
+    violator-rich sequence (known sklearn-style answer)."""
+    from yelp_etl_spark.functions.evaluation import isotonic_fit
+
+    # rates: 0.5, 0.2, 0.8, 0.4, 0.4, 0.9 with equal n=10
+    bins = [(i, p, 10) for i, p in enumerate([5, 2, 8, 4, 4, 9])]
+
+    def pava(pos, n):
+        blocks = [[p, c] for p, c in zip(pos, n)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        out = []
+        for p, c in blocks:
+            out.extend([(p, c)] * c)
+        # per original bin (n=10 each): take every 10th
+        return [out[k * 10] for k in range(len(pos))]
+
+    want = [
+        (1_000_000 * p) // c for p, c in pava([5, 2, 8, 4, 4, 9], [10] * 6)
+    ]
+    df = spark.createDataFrame(bins, "bucket int, pos int, n int")
+    got = [r.iso_q for r in isotonic_fit(df).orderBy("bucket").collect()]
+    assert got == want
+    assert got == sorted(got)  # the isotonic property itself

@@ -605,3 +605,101 @@ def nelson_aalen(
         )
         .orderBy("t")
     )
+
+
+def isotonic_fit(
+    bins: DataFrame,
+    order_column: str = "bucket",
+    pos_column: str = "pos",
+    count_column: str = "n",
+) -> DataFrame:
+    """Isotonic regression (PAVA) over a pre-aggregated bin table —
+    monotone probability calibration, the standard post-hoc calibrator
+    when a model's scores rank well but aren't probabilities (Zadrozny
+    & Elkan 2002; sklearn's IsotonicRegression). The reference ships
+    evaluation metrics (reliability curve above) but no calibrator;
+    this closes the fit side of that pair.
+
+    Instead of the sequential pool-adjacent-violators sweep (a
+    driver-side loop), the fit uses PAVA's closed minimax form —
+    iso(i) = max_{j<=i} min_{k>=i} mean(pos[j..k]/n[j..k]) (Robertson,
+    Wright & Dykstra 1988, eq. 1.9-1.13) — which is two window passes
+    over the O(B^2) range-mean table. Exact-integer discipline
+    throughout: range means quantize to micro-units via decimal(38,0)
+    cross products BEFORE the minimax (both engines then compare
+    identical BIGINTs; a float mean would make the argmax tie-unstable
+    across engines).
+
+    Scale: the input aggregation (billions of rows -> B bins) is one
+    map-side-combinable groupBy; everything here runs on B<=~100 rows
+    (B^2 pairs ~ 10^4), a constant-cost tail stage. Returns
+    (order_column, n, pos, rate_q, iso_q) with iso_q nondecreasing.
+    """
+    b = bins.select(
+        F.col(order_column).alias("bucket"),
+        F.col(pos_column).cast("long").alias("pos"),
+        F.col(count_column).cast("long").alias("n"),
+    )
+    w_ord = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pref = b.select(
+        "bucket",
+        "pos",
+        "n",
+        (F.sum("pos").over(w_ord) - F.col("pos")).alias("pos_before"),
+        (F.sum("n").over(w_ord) - F.col("n")).alias("n_before"),
+        F.sum("pos").over(w_ord).alias("pos_upto"),
+        F.sum("n").over(w_ord).alias("n_upto"),
+    )
+    j = pref.select(
+        F.col("bucket").alias("jb"),
+        F.col("pos_before").alias("jp"),
+        F.col("n_before").alias("jn"),
+    )
+    k = pref.select(
+        F.col("bucket").alias("kb"),
+        F.col("pos_upto").alias("kp"),
+        F.col("n_upto").alias("kn"),
+    )
+    # range mean over [j..k] in exact micro-units; pos sums route
+    # through decimal(38,0) so 1e6*pos never leaves the exact domain
+    pairs = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (kp - jp)) div (kn - jn)"
+            " AS BIGINT)"
+        ).alias("mean_q"),
+    )
+    w_min = (
+        Window.partitionBy("jb")
+        .orderBy(F.desc("kb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = pairs.select(
+        "jb", F.col("kb").alias("i"), F.min("mean_q").over(w_min).alias("m")
+    )
+    w_max = (
+        Window.partitionBy("i")
+        .orderBy("jb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iso = (
+        m.select("jb", "i", F.max("m").over(w_max).alias("iso_q"))
+        .filter(F.col("jb") == F.col("i"))
+        .select(F.col("i").alias("bucket"), "iso_q")
+    )
+    return (
+        pref.join(iso, "bucket")
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * pos) div n AS BIGINT)"
+            ).alias("rate_q"),
+            F.col("iso_q").cast("long").alias("iso_q"),
+        )
+        .orderBy("bucket")
+    )

@@ -100,3 +100,88 @@ def grid_radius_join(
         .select(query_id, point_id, d2.cast("long").alias("d2"))
         .filter(F.col("d2") <= radius * radius)
     )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: list[tuple[int, list[tuple[int, int]]]],
+    point_id: str = "pid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Point-in-polygon containment join (the other half of a planar
+    spatial layer next to grid_radius_join): each point is tested
+    against every polygon by the even-odd ray-crossing rule (Shimrat
+    1962 / the classic PNPOLY formulation), entirely in exact BIGINT
+    arithmetic.
+
+    ``polygons`` is a small driver-side list of (polygon_id,
+    [(x, y), ...]) vertex rings — the geofence/region table of a
+    spatial workload, always tiny relative to the point set. The
+    edge table (polygon_id, x1, y1, x2, y2, bbox) is built as
+    literals and BROADCAST: the plan is scan points → broadcast
+    nested-loop on the bounding box (a cheap range predicate that
+    prunes almost everything) → per-(point, edge) crossing flags →
+    groupBy(point, polygon) parity. No shuffle on the big side
+    beyond the final keyed agg; at 100 TB the points stream through
+    map-side against the broadcast edge list.
+
+    Exactness: a horizontal ray from (px, py) crosses edge
+    (x1,y1)-(x2,y2) iff the edge straddles py ((y1 <= py) != (y2 <=
+    py)) and the intersection abscissa exceeds px — tested as
+    sign((x1-px)*(y2-y1) + (x2-x1)*(py-y1)) == sign(y2-y1), i.e.
+    ``num * (y2 - y1) > 0``, one exact integer cross product, no
+    division. Callers must keep point ordinates off the vertex
+    ordinates (e.g. even polygon coords, odd point coords) so the
+    boundary case never arises — asserted here, not silently wrong.
+
+    Returns (point_id, polygon_id) pairs for contained points."""
+    rows = []
+    for poly_id, ring in polygons:
+        closed = list(ring) + [ring[0]]
+        assert all(py_ % 2 == 0 for _, py_ in ring), (
+            "polygon vertex y-ordinates must be even (points use odd) so "
+            "the ray-crossing boundary case cannot arise"
+        )
+        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+            rows.append((poly_id, x1, y1, x2, y2))
+    minx = {p: min(v[0] for v in ring) for p, ring in polygons}
+    maxx = {p: max(v[0] for v in ring) for p, ring in polygons}
+    miny = {p: min(v[1] for v in ring) for p, ring in polygons}
+    maxy = {p: max(v[1] for v in ring) for p, ring in polygons}
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("polygon_id"),
+                F.lit(x1).cast("long").alias("x1"),
+                F.lit(y1).cast("long").alias("y1"),
+                F.lit(x2).cast("long").alias("x2"),
+                F.lit(y2).cast("long").alias("y2"),
+                F.lit(minx[p]).cast("long").alias("minx"),
+                F.lit(maxx[p]).cast("long").alias("maxx"),
+                F.lit(miny[p]).cast("long").alias("miny"),
+                F.lit(maxy[p]).cast("long").alias("maxy"),
+            )
+            for (p, x1, y1, x2, y2) in rows
+        ]
+    )
+    px, py = F.col("__px"), F.col("__py")
+    e = F.col("__e")
+    straddle = (e.y1 <= py) != (e.y2 <= py)
+    num = (e.x1 - px) * (e.y2 - e.y1) + (e.x2 - e.x1) * (py - e.y1)
+    crosses = straddle & (num * (e.y2 - e.y1) > 0)
+    return (
+        points.select(
+            F.col(point_id),
+            F.col(x).cast("long").alias("__px"),
+            F.col(y).cast("long").alias("__py"),
+            F.explode(edges).alias("__e"),
+        )
+        .filter(
+            (px >= e.minx) & (px <= e.maxx) & (py >= e.miny) & (py <= e.maxy)
+        )
+        .groupBy(point_id, e.polygon_id.alias("polygon_id"))
+        .agg(F.sum(crosses.cast("long")).alias("__crossings"))
+        .filter(F.col("__crossings") % 2 == 1)
+        .select(point_id, "polygon_id")
+    )

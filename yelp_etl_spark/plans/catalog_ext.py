@@ -8368,3 +8368,826 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round 8: calibration / temporal forecasting / spatial containment /
+# link prediction / sequence mining / source-matrix completion / split
+# tooling / sketch hardening / pipeline parity
+# --------------------------------------------------------------------------
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of a monotone score→probability map
+    (functions/evaluation.isotonic_fit): orders bin by price-derived
+    score; label = high order priority. The fit uses the minimax
+    closed form max_{j<=i} min_{k>=i} mean(j..k) over the B<=32-bin
+    table — two windows over the B^2 range means, everything in exact
+    micro-unit integers — instead of a sequential driver-side PAVA
+    sweep, so the only full-data pass is the one map-side-combinable
+    groupBy that builds the bins. 100 TB: B stays ~32 no matter the
+    row count; the minimax tail is constant cost. Output iso_q is
+    nondecreasing by construction (the isotonic property the oracle
+    re-derives independently)."""
+    from yelp_etl_spark.functions.evaluation import isotonic_fit
+
+    orders = _t(spark, sf_dir, "orders")
+    bins = (
+        orders.select(
+            # integer div, never float /: the floor would go inexact at
+            # the bucket boundary and shift rows across engines
+            F.expr(
+                "least(CAST(31 AS BIGINT), "
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000)"
+            ).alias("bucket"),
+            (F.col("o_orderpriority") < "3").cast("long").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("y").alias("pos"), F.count("*").alias("n"))
+    )
+    return isotonic_fit(bins)
+
+
+ORACLE_ISOTONIC_CALIBRATION = """
+WITH bins AS MATERIALIZED (
+  SELECT LEAST(31, CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2000000)
+           AS bucket,
+         CAST(SUM(CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+pref AS MATERIALIZED (
+  SELECT bucket, pos, n,
+         CAST(SUM(pos) OVER w - pos AS BIGINT) AS pos_before,
+         CAST(SUM(n) OVER w - n AS BIGINT) AS n_before,
+         CAST(SUM(pos) OVER w AS BIGINT) AS pos_upto,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_upto
+  FROM bins
+  WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+),
+pairs AS MATERIALIZED (
+  SELECT j.bucket AS jb, k.bucket AS kb,
+         CAST((CAST(1000000 AS HUGEINT) * (k.pos_upto - j.pos_before))
+              // (k.n_upto - j.n_before) AS BIGINT) AS mean_q
+  FROM pref j JOIN pref k ON j.bucket <= k.bucket
+),
+m AS MATERIALIZED (
+  SELECT jb, kb AS i,
+         CAST(MIN(mean_q) OVER (PARTITION BY jb ORDER BY kb DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m
+  FROM pairs
+),
+iso AS (
+  SELECT i AS bucket, m AS iso_q FROM (
+    SELECT jb, i,
+           CAST(MAX(m) OVER (PARTITION BY i ORDER BY jb
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m
+    FROM m
+  ) WHERE jb = i
+)
+SELECT p.bucket, p.n, p.pos,
+       CAST((CAST(1000000 AS HUGEINT) * p.pos) // p.n AS BIGINT) AS rate_q,
+       iso.iso_q
+FROM pref p JOIN iso USING (bucket)
+ORDER BY p.bucket
+"""
+
+
+def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) over the
+    1995 weekly-revenue series — the trend-aware sibling of
+    ewma_smooth. The recurrence is exact-integer: with alpha=0.2,
+    beta=0.1 the state updates are l' = (2x + 8(l+b)) div 10,
+    b' = ((l'-l) + 9b) div 10 in BIGINT cents with floor division
+    (divisor is +10, so Python //, Spark's portable-floor convention,
+    and DuckDB // all agree even on negative trends), so both engines
+    replay the ~52-step fold bit-identically. Output: final
+    level/trend plus a 4-week-ahead linear forecast.
+
+    Execution shape: the only full-data pass is the map-side-
+    combinable groupBy to the <=53-row week series; the inherently
+    sequential fold then runs on that calendar-bounded model frame via
+    the repo's bounded-model-collect pattern (attribution.py's value
+    iteration) — a 53-iteration recursive CTE would cost one Spark job
+    PER STEP (~300 ms each, measured), pure scheduler overhead for a
+    loop whose input can never exceed the calendar. The DuckDB oracle
+    runs the identical recurrence as a native WITH RECURSIVE, so the
+    fold semantics are pinned by pure SQL."""
+    weeks = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(
+            F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .orderBy("d")
+    )
+    series = [int(r.x) for r in weeks.collect()]  # calendar-bounded <=53
+    l, b = series[0], 0
+    for x in series[1:]:
+        l_new = (2 * x + 8 * (l + b)) // 10
+        b = ((l_new - l) + 9 * b) // 10
+        l = l_new
+    return spark.createDataFrame(
+        [(len(series), l, b, l + 4 * b)],
+        "n_weeks long, level_cents long, trend_cents long, "
+        "forecast_4w_cents long",
+    )
+
+
+ORACLE_HOLT_LINEAR_TREND = """
+WITH RECURSIVE holt_days AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i, d, x FROM (
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY 1
+  )
+),
+s AS (
+  SELECT i, x AS l, CAST(0 AS BIGINT) AS b FROM holt_days WHERE i = 1
+  UNION ALL
+  SELECT d.i,
+         (2 * d.x + 8 * (s.l + s.b)) // 10
+           - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
+                   AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END),
+         (((2 * d.x + 8 * (s.l + s.b)) // 10
+           - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
+                   AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END)
+           - s.l) + 9 * s.b) // 10
+           - (CASE WHEN (((2 * d.x + 8 * (s.l + s.b)) // 10
+                - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
+                        AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END)
+                - s.l) + 9 * s.b) % 10 != 0
+              AND (((2 * d.x + 8 * (s.l + s.b)) // 10
+                - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
+                        AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END)
+                - s.l) + 9 * s.b) < 0 THEN 1 ELSE 0 END)
+  FROM s JOIN holt_days d ON d.i = s.i + 1
+)
+SELECT CAST(MAX(i) AS BIGINT) AS n_weeks,
+       CAST(MAX_BY(l, i) AS BIGINT) AS level_cents,
+       CAST(MAX_BY(b, i) AS BIGINT) AS trend_cents,
+       CAST(MAX_BY(l, i) + 4 * MAX_BY(b, i) AS BIGINT) AS forecast_4w_cents
+FROM s
+"""
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest (MASE, Hyndman & Koehler 2006, + quantized
+    sMAPE) of the seasonal-naive forecaster y_hat(d) = y(d-7) on the
+    last 4 ISO weeks of 1995 daily revenue, with the in-sample naive
+    one-step error as the MASE scale. The evaluation the
+    seasonal_decompose_dow diagnostic feeds into: is the weekly cycle
+    actually predictive? Pure windows over the <=365-row day series
+    (lag 7 forecast, lag 1 scale), integer-cents absolute errors,
+    one final 1-row reduce; MASE/sMAPE quantize to micro-units via
+    decimal cross products. Scale: one map-side-combinable groupBy to
+    the day table; constant after."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("d")
+    feat = days.select(
+        "d",
+        "y",
+        F.lag("y", 7).over(w).alias("yhat"),
+        F.lag("y", 1).over(w).alias("yprev"),
+    )
+    cut = F.lit("1995-12-04")
+    test = feat.filter((F.col("d") >= cut) & F.col("yhat").isNotNull())
+    train = feat.filter((F.col("d") < cut) & F.col("yprev").isNotNull())
+    t = test.agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(F.abs(F.col("y") - F.col("yhat"))).cast("long").alias("mae_sum"),
+        F.sum(F.abs(F.col("y") - F.col("yhat")).cast("decimal(38,0)") * 2_000_000)
+        .alias("smape_num_x"),
+    )
+    smape_den = test.select(
+        (F.abs("y") + F.abs("yhat")).cast("long").alias("den")
+    ).agg(F.sum("den").alias("sden"))
+    tr = train.agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum(F.abs(F.col("y") - F.col("yprev"))).cast("long").alias("naive_sum"),
+    )
+    # MASE = (mae_sum/n_test) / (naive_sum/n_train)
+    #      = mae_sum * n_train / (naive_sum * n_test), micro-quantized
+    return (
+        t.crossJoin(tr)
+        .crossJoin(smape_den)
+        .select(
+            "n_test",
+            "n_train",
+            "mae_sum",
+            "naive_sum",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * mae_sum * n_train)"
+                " div (CAST(naive_sum AS DECIMAL(38,0)) * n_test) AS BIGINT)"
+            ).alias("mase_micro"),
+            # sMAPE = mean over test of 2|y-yhat|/(|y|+|yhat|): computed
+            # per-day exactly would need a per-row division; the
+            # aggregate ratio-of-sums variant below is the standard
+            # weighted sMAPE and stays one exact integer division
+            F.expr(
+                "CAST(smape_num_x div (CAST(sden AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("wsmape_micro"),
+        )
+    )
+
+
+ORACLE_SEASONAL_NAIVE_BACKTEST = """
+WITH days AS MATERIALIZED (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+feat AS MATERIALIZED (
+  SELECT d, y,
+         LAG(y, 7) OVER (ORDER BY d) AS yhat,
+         LAG(y, 1) OVER (ORDER BY d) AS yprev
+  FROM days
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(ABS(y - yhat)) AS BIGINT) AS mae_sum,
+         CAST(SUM(CAST(ABS(y - yhat) AS HUGEINT) * 2000000) AS HUGEINT)
+           AS smape_num_x,
+         CAST(SUM(ABS(y) + ABS(yhat)) AS BIGINT) AS sden
+  FROM feat WHERE d >= DATE '1995-12-04' AND yhat IS NOT NULL
+),
+tr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(SUM(ABS(y - yprev)) AS BIGINT) AS naive_sum
+  FROM feat WHERE d < DATE '1995-12-04' AND yprev IS NOT NULL
+)
+SELECT n_test, n_train, mae_sum, naive_sum,
+       CAST((CAST(1000000 AS HUGEINT) * mae_sum * n_train)
+            // (CAST(naive_sum AS HUGEINT) * n_test) AS BIGINT) AS mase_micro,
+       CAST(smape_num_x // CAST(sden AS HUGEINT) AS BIGINT) AS wsmape_micro
+FROM t CROSS JOIN tr
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "isotonic_calibration": (
+            q_isotonic_calibration,
+            ORACLE_ISOTONIC_CALIBRATION,
+            "ext:isotonic (PAVA) calibration via exact minimax windows",
+        ),
+        "holt_linear_trend": (
+            q_holt_linear_trend,
+            ORACLE_HOLT_LINEAR_TREND,
+            "ext:Holt double exponential smoothing (native recursive CTE)",
+        ),
+        "seasonal_naive_backtest": (
+            q_seasonal_naive_backtest,
+            ORACLE_SEASONAL_NAIVE_BACKTEST,
+            "ext:MASE/sMAPE forecast backtest of the weekly seasonal-naive",
+        ),
+    }
+)
+
+
+_PIP_POLYGONS = [
+    # geofence table (all vertex ordinates EVEN — points use odd y, so
+    # the ray-crossing boundary case is impossible by construction)
+    (1, [(100_000, 100_000), (500_000, 100_000), (500_000, 500_000),
+         (100_000, 500_000)]),                      # square
+    (2, [(600_000, 200_000), (900_000, 600_000), (600_000, 600_000)]),  # tri
+    (3, [(200_000, 600_000), (800_000, 600_000), (800_000, 800_000),
+         (500_000, 800_000), (500_000, 900_000), (200_000, 900_000)]),  # L
+]
+
+
+def q_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence containment (operators/spatial.point_in_polygon_join):
+    every customer point (portable-hash planar coords, y forced odd so
+    no point ever sits ON an even-ordinate polygon edge) is tested
+    against a 3-region geofence table by the even-odd ray-crossing
+    rule in exact BIGINT cross products — no division, no floats, no
+    trig. Plan shape: the edge table is literal+broadcast; points
+    stream map-side through a bbox prune then a per-(point, edge)
+    crossing flag, and the only shuffle is the final keyed parity agg.
+    At 100 TB the point scan dominates and parallelizes freely; the
+    polygon side is O(edges) literals. Output: per-polygon contained
+    count + point-id checksum (left join keeps empty regions)."""
+    from yelp_etl_spark.functions.sampling import hash60
+    from yelp_etl_spark.operators.spatial import point_in_polygon_join
+
+    side = 1_000_000
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        (hash60(F.concat(F.lit("px"), F.col("c_custkey").cast("string")))
+         % side).alias("x"),
+        ((hash60(F.concat(F.lit("py"), F.col("c_custkey").cast("string")))
+          % (side // 2)) * 2 + 1).alias("y"),
+    )
+    hits = point_in_polygon_join(pts, _PIP_POLYGONS)
+    polys = spark.createDataFrame(
+        [(p,) for p, _ in _PIP_POLYGONS], "polygon_id int"
+    )
+    agg = hits.groupBy("polygon_id").agg(
+        F.count("*").cast("long").alias("n_inside"),
+        F.sum("pid").cast("long").alias("pid_sum"),
+    )
+    return (
+        polys.join(agg, "polygon_id", "left")
+        .select(
+            F.col("polygon_id").cast("long").alias("polygon_id"),
+            F.coalesce("n_inside", F.lit(0)).cast("long").alias("n_inside"),
+            F.coalesce("pid_sum", F.lit(0)).cast("long").alias("pid_sum"),
+        )
+        .orderBy("polygon_id")
+    )
+
+
+def _pip_oracle() -> str:
+    edge_rows = []
+    for poly_id, ring in _PIP_POLYGONS:
+        closed = list(ring) + [ring[0]]
+        minx, maxx = min(v[0] for v in ring), max(v[0] for v in ring)
+        miny, maxy = min(v[1] for v in ring), max(v[1] for v in ring)
+        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+            edge_rows.append(
+                f"({poly_id}, {x1}, {y1}, {x2}, {y2},"
+                f" {minx}, {maxx}, {miny}, {maxy})"
+            )
+    values = ",\n         ".join(edge_rows)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS pid,
+         CAST(concat('0x', substr(md5(concat('px', CAST(c_custkey AS VARCHAR))), 18, 15)) AS BIGINT) % 1000000 AS x,
+         (CAST(concat('0x', substr(md5(concat('py', CAST(c_custkey AS VARCHAR))), 18, 15)) AS BIGINT) % 500000) * 2 + 1 AS y
+  FROM customer
+),
+edges(polygon_id, x1, y1, x2, y2, minx, maxx, miny, maxy) AS (
+  VALUES {values}
+),
+crossings AS (
+  SELECT p.pid, e.polygon_id,
+         CAST(SUM(CASE WHEN ((e.y1 <= p.y) != (e.y2 <= p.y))
+                        AND ((e.x1 - p.x) * (e.y2 - e.y1)
+                             + (e.x2 - e.x1) * (p.y - e.y1))
+                            * (e.y2 - e.y1) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM pts p JOIN edges e
+    ON p.x >= e.minx AND p.x <= e.maxx AND p.y >= e.miny AND p.y <= e.maxy
+  GROUP BY 1, 2
+),
+inside AS (
+  SELECT polygon_id, pid FROM crossings WHERE c % 2 = 1
+),
+polys(polygon_id) AS (VALUES (1), (2), (3))
+SELECT CAST(p.polygon_id AS BIGINT) AS polygon_id,
+       CAST(COALESCE(COUNT(i.pid), 0) AS BIGINT) AS n_inside,
+       CAST(COALESCE(SUM(i.pid), 0) AS BIGINT) AS pid_sum
+FROM polys p LEFT JOIN inside i ON p.polygon_id = i.polygon_id
+GROUP BY p.polygon_id
+ORDER BY p.polygon_id
+"""
+
+
+ORACLE_POINT_IN_POLYGON = _pip_oracle()
+
+
+def _aa_weights_micro(max_size: int = 64) -> list[int]:
+    """Integer Adamic-Adar weights round(1e6/ln(s)) for basket sizes
+    2..max_size, computed ONCE in Python and injected as literals into
+    both engines (the dcg_weight_micro discipline — engine LN at the
+    rounding boundary is a last-ulp parity risk)."""
+    import math
+
+    return [round(1_000_000 / math.log(s)) for s in range(2, max_size + 1)]
+
+
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: for part pairs
+    sharing at least 2 orders, common-neighbor count and Adamic-Adar
+    score Σ_o 1/ln(|o|) (Adamic & Adar 2003) — shared low-degree
+    neighbors (small focused orders) count more than huge baskets.
+    Weights are Python-literal micro-ints per basket size (shared with
+    the oracle, the dcg_weight_micro discipline). Plan: distinct
+    (order, part) → basket sizes (keyed agg) → size-capped basket
+    self-join a<b (candidate cost Σ|basket|², bounded by the cap, the
+    copurchase_pairs shape — never a cross join) → keyed agg on the
+    pair, top-20 with a total-order tie-break. 100 TB: the cap bounds
+    per-order fanout; everything else is keyed shuffles."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sizes = li.groupBy("o").agg(F.count("*").alias("sz"))
+    capped = sizes.filter((F.col("sz") >= 2) & (F.col("sz") <= 64))
+    weights = F.array(*[F.lit(w) for w in _aa_weights_micro(64)])
+    wo = capped.select(
+        "o", F.element_at(weights, F.col("sz").cast("int") - 1).alias("w")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.o").alias("o"), F.col("a.p").alias("pa"),
+                F.col("b.p").alias("pb"))
+        .join(wo, "o")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").cast("long").alias("common_orders"),
+            F.sum("w").cast("long").alias("aa_micro"),
+        )
+        .filter(F.col("common_orders") >= 2)
+    )
+    return pairs.orderBy(
+        F.desc("aa_micro"), "pa", "pb"
+    ).limit(20)
+
+
+def _aa_oracle() -> str:
+    w = ", ".join(
+        f"({s}, {wm})" for s, wm in zip(range(2, 65), _aa_weights_micro(64))
+    )
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+sizes AS (
+  SELECT o, COUNT(*) AS sz FROM li GROUP BY o
+),
+wtab(sz, w) AS (VALUES {w}),
+wo AS (
+  SELECT s.o, t.w FROM sizes s JOIN wtab t ON s.sz = t.sz
+  WHERE s.sz BETWEEN 2 AND 64
+),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb,
+         CAST(COUNT(*) AS BIGINT) AS common_orders,
+         CAST(SUM(w.w) AS BIGINT) AS aa_micro
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  JOIN wo w ON w.o = a.o
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT pa, pb, common_orders, aa_micro
+FROM pairs ORDER BY aa_micro DESC, pa, pb LIMIT 20
+"""
+
+
+ORACLE_ADAMIC_ADAR = _aa_oracle()
+
+
+def q_event_seq_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence-pattern mining (MATCH_RECOGNIZE-lite): each
+    user's event stream collapses to an ordered type-initial string
+    ('vcpes...', totally ordered by (ts, event_id) so ties replay
+    identically), then a regex counts non-overlapping
+    view→(click|error)*→purchase journeys per user. The pattern stays
+    in the RE2∩Java-regex common subset (literal classes only — no \\s,
+    no lookaround) so both engines count identically. Plan: one keyed
+    collect_list + sort per user (the journey strings are
+    session-bounded), then a flat regexp_extract_all projection —
+    whole-stage-codegen friendly, no Python. Output: journey-level
+    funnel stats."""
+    ini = F.substring("event_type", 1, 1)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), ini.alias("i")
+        ).alias("s"),
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["i"]
+            ),
+            "",
+        ).alias("j")
+    )
+    pat = "v[ce]*p"
+    scored = journeys.select(
+        "user_id",
+        F.size(F.regexp_extract_all("j", F.lit(pat), F.lit(0))).alias("m"),
+        F.length("j").alias("len"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum((F.col("m") > 0).cast("long")).cast("long").alias("n_matched"),
+        F.sum("m").cast("long").alias("total_matches"),
+        F.max("m").cast("long").alias("max_per_user"),
+        F.sum(F.when(F.col("m") > 0, F.col("len"))).cast("long")
+        .alias("matched_len_sum"),
+    )
+
+
+ORACLE_EVENT_SEQ_REGEX = """
+WITH journeys AS MATERIALIZED (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         len(regexp_extract_all(j, 'v[ce]*p')) AS m,
+         length(j) AS len
+  FROM journeys
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(m) AS BIGINT) AS total_matches,
+       CAST(MAX(m) AS BIGINT) AS max_per_user,
+       CAST(SUM(CASE WHEN m > 0 THEN len END) AS BIGINT) AS matched_len_sum
+FROM scored
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "point_in_polygon_join": (
+            q_point_in_polygon_join,
+            ORACLE_POINT_IN_POLYGON,
+            "ext:geofence containment (broadcast edges, integer ray crossing)",
+        ),
+        "adamic_adar_linkpred": (
+            q_adamic_adar_linkpred,
+            ORACLE_ADAMIC_ADAR,
+            "ext:Adamic-Adar link prediction over the co-purchase graph",
+        ),
+        "event_seq_regex": (
+            q_event_seq_regex,
+            ORACLE_EVENT_SEQ_REGEX,
+            "ext:behavioral sequence regex funnel (MATCH_RECOGNIZE-lite)",
+        ),
+    }
+)
+
+
+def q_text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's line-text sibling (the last Spark-native file source the
+    matrix lacked after json/csv/orc/binaryFile/xml): documents →
+    one-record-per-line text files (id TAB payload; payload tabs and
+    line breaks space-sanitized length-preservingly first — text is a
+    schema-free format, the line IS the record) → read back through
+    sources/readers.read_files(format='text') → parse with one split
+    at the first tab → aggregate id checksum + payload length to prove
+    every record survived byte-exactly. Plan note: a text scan has no
+    column pruning (one value column by construction) but still splits
+    and parallelizes by file/offset at 100 TB; the parse stays in
+    whole-stage codegen (substring_index — no UDF)."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.readers import read_files
+
+    docs = _t(spark, sf_dir, "documents")
+    target = _scratch_dir(sf_dir, "textsrc")
+    docs.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace(F.col("text"), "[\\t\\n\\r]", " "),
+        ).alias("value")
+    ).write.text(target)
+    back = read_files(spark, target, format="text")
+    parsed = back.select(
+        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("payload"),
+    )
+    return parsed.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.length("payload")).cast("long").alias("payload_chars"),
+        F.min(F.length("payload")).cast("long").alias("min_chars"),
+        F.max(F.length("payload")).cast("long").alias("max_chars"),
+    )
+
+
+ORACLE_TEXT_SCAN_ROUNDTRIP = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(length(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')))
+            AS BIGINT) AS payload_chars,
+       CAST(MIN(length(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')))
+            AS BIGINT) AS min_chars,
+       CAST(MAX(length(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')))
+            AS BIGINT) AS max_chars
+FROM documents
+"""
+
+
+def q_grouped_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold split assignment — the ML-pipeline splitter
+    that prevents ENTITY leakage across folds (sklearn GroupKFold's
+    contract): the fold is a pure function of the group key (customer),
+    fold = hash60(key) mod 5, so every order of a customer lands in
+    the SAME fold on any engine, any partitioning, any day. The audit
+    output proves the two properties that matter: (1) zero leakage —
+    each customer contributes to exactly one fold (a per-fold distinct
+    count whose total equals the global distinct count); (2) balance —
+    per-fold order counts and positive-class (urgent-priority) rates
+    stay near-uniform. One keyed agg; the assignment itself is
+    map-side arithmetic. At 100 TB this is a projection column, not a
+    shuffle."""
+    from yelp_etl_spark.functions.sampling import hash60
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") < "3").cast("long").alias("y"),
+        F.pmod(
+            hash60(F.concat(F.lit("fold-"), F.col("o_custkey").cast("string"))),
+            F.lit(5),
+        ).cast("long").alias("fold"),
+    )
+    per_fold = orders.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_groups"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    totals = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("total_groups")
+    )
+    return (
+        per_fold.crossJoin(totals)
+        .select(
+            "fold",
+            "n_orders",
+            "n_groups",
+            "n_pos",
+            # leakage-free ⟺ Σ per-fold distinct groups == global distinct
+            # (a group straddling folds would be counted twice on the left)
+            (
+                F.sum("n_groups").over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                == F.col("total_groups")
+            ).alias("leak_free"),
+        )
+        .orderBy("fold")
+    )
+
+
+ORACLE_GROUPED_KFOLD = """
+WITH orders_f AS MATERIALIZED (
+  SELECT o_custkey,
+         CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS y,
+         CAST(concat('0x', substr(md5(concat('fold-', CAST(o_custkey AS VARCHAR))), 18, 15)) AS BIGINT) % 5 AS fold
+  FROM orders
+),
+per_fold AS (
+  SELECT fold,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM orders_f GROUP BY fold
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS total_groups
+  FROM orders_f
+)
+SELECT fold, n_orders, n_groups, n_pos,
+       SUM(n_groups) OVER () = (SELECT total_groups FROM tot) AS leak_free
+FROM per_fold ORDER BY fold
+"""
+
+
+def q_hll_mergeable_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hard-checkable twin of hll_mergeable (VERDICT r7 #6):
+    the same build→union→estimate Datasketches HLL pipeline, but the
+    query RETURNS the exact per-region distinct count plus BOOLEAN
+    error-envelope verdicts instead of the engine-specific estimate —
+    |est − exact| must sit inside ±3·RSE·exact with RSE = 1.04/√2^12
+    (the lgConfigK=12 default's relative standard error; 3σ ≈ 4.9%,
+    generous enough to be seed-stable, tight enough that a broken
+    sketch pipeline trips it). The oracle recomputes the exact counts
+    and pins the booleans TRUE, so the sketch path gets a hard value
+    check while the estimate itself stays engine-side. Mergeability is
+    checked structurally: the unioned estimate must equal a directly-
+    built per-region estimate (build→union ≡ build-at-coarser-grain
+    on this nested grouping)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    per_nation = joined.groupBy("n_regionkey", "n_name").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch")
+    )
+    merged = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    direct = joined.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("est_direct"),
+        F.countDistinct("c_custkey").cast("long").alias("exact_customers"),
+    )
+    eps = 3 * 1.04 / (2.0 ** 6)  # 3·RSE at lgConfigK=12 (√2^12 = 2^6)
+    return (
+        merged.join(direct, "n_regionkey")
+        .select(
+            F.col("n_regionkey").cast("long").alias("region"),
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                <= F.lit(eps) * F.col("exact_customers")
+            ).alias("within_bounds"),
+            (F.col("est") == F.col("est_direct")).alias("merge_consistent"),
+        )
+        .orderBy("region")
+    )
+
+
+ORACLE_HLL_MERGEABLE_CHECKED = """
+SELECT CAST(n_regionkey AS BIGINT) AS region,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       CAST(1 AS BOOLEAN) AS within_bounds,
+       CAST(1 AS BOOLEAN) AS merge_consistent
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey ORDER BY region
+"""
+
+
+def q_medallion_gold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 13-job medallion workload (plans/pipelines.run_medallion
+    — extract×5 → clean×5 → enrich×3 → gold, the reference
+    run-all-pipelines.sh shape at TPC-H scale) under the value oracle:
+    the committed gold snapshot table is read back and reduced to
+    per-segment totals the DuckDB twin recomputes STRAIGHT from the
+    raw inputs, so one green row covers bronze/silver write-read
+    integrity, the enrich join, the week rollup, the cents
+    quantization, and the partitioned snapshot commit end to end.
+    The bench times this same pipeline as ``pipeline_seconds``."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.plans.pipelines import run_medallion
+    from yelp_etl_spark.sources.snapshots import snapshot_read
+
+    root = _scratch_dir(sf_dir, "medallion")
+    run_medallion(spark, sf_dir, root)
+    gold = snapshot_read(spark, f"{root}/gold/segment_weekly")
+    return (
+        gold.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_weeks"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.sum("n_customers").cast("long").alias("customer_weeks"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_MEDALLION_GOLD_PARITY = """
+WITH gold AS MATERIALIZED (
+  SELECT c_mktsegment AS segment,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(n_customers) AS BIGINT) AS customer_weeks
+FROM gold GROUP BY segment ORDER BY segment
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "text_scan_roundtrip": (
+            q_text_scan_roundtrip,
+            ORACLE_TEXT_SCAN_ROUNDTRIP,
+            "ext:line-text source roundtrip (S1 family completion)",
+        ),
+        "grouped_kfold_assign": (
+            q_grouped_kfold_assign,
+            ORACLE_GROUPED_KFOLD,
+            "ext:leakage-free group k-fold split with balance audit",
+        ),
+        "hll_mergeable_checked": (
+            q_hll_mergeable_checked,
+            ORACLE_HLL_MERGEABLE_CHECKED,
+            "ext:Datasketches HLL error-envelope hard check",
+        ),
+        "medallion_gold_parity": (
+            q_medallion_gold_parity,
+            ORACLE_MEDALLION_GOLD_PARITY,
+            "ext:13-job medallion pipeline end-to-end value parity",
+        ),
+    }
+)
