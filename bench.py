@@ -331,6 +331,12 @@ BENCH_QUERIES = [
     "grouped_kfold_assign",
     "hll_mergeable_checked",
     "medallion_gold_parity",
+    "log_rank_test",
+    "ari_cluster_agreement",
+    "anova_f_test",
+    "window_funnel_timed",
+    "rake_keyphrases",
+    "stream_left_join_expiry",
 ]
 
 # ---------------------------------------------------------------------------
@@ -374,6 +380,12 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "grouped_kfold_assign",
     "hll_mergeable_checked",
     "medallion_gold_parity",
+    "log_rank_test",
+    "ari_cluster_agreement",
+    "anova_f_test",
+    "window_funnel_timed",
+    "rake_keyphrases",
+    "stream_left_join_expiry",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

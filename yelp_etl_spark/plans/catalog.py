@@ -7665,10 +7665,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
-# rotation (the r6→r7→r8 pattern). Every round-8 addition entered the
-# window directly this round, so the pool is empty; late-session
-# additions land here.
-_NEXT_ROTATION_POOL: frozenset[str] = frozenset()
+# rotation (the r6→r7→r8 pattern). The first ten round-8 additions
+# entered the window directly; these later round-8 additions are the
+# declared r9 seed.
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
+    {
+        "log_rank_test",
+        "ari_cluster_agreement",
+        "anova_f_test",
+        "window_funnel_timed",
+        "rake_keyphrases",
+        "stream_left_join_expiry",
+    }
+)
 
 
 QUERIES: dict[str, QuerySpec] = {

@@ -9191,3 +9191,710 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Haenszel) — the hypothesis
+    test completing the survival triad (kaplan_meier estimates,
+    nelson_aalen hazards, log-rank COMPARES): do heavy users (ever
+    purchased) churn on a different schedule than the rest? Same
+    duration/censor derivation as q_kaplan_meier; groups by purchase
+    history. At each distinct duration t: observed group-1 events
+    d1_t vs expectation d_t·n1_t/n_t under H0, variance
+    d_t·n1_t·(n_t−n1_t)·(n_t−d_t) / (n_t²·(n_t−1)). The statistic is
+    reported as chi² = (O1−E1)²/V in micro-units with every division
+    deferred: per-term expectations/variances quantize via
+    decimal(38,0) cross products, and the final ratio is one integer
+    division — no sqrt, no float accumulation. Scale: everything
+    reduces to the distinct-duration table (≤ horizon days) after one
+    keyed agg; the windows run on that bounded frame."""
+    events = _t(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("g"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
+            (F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 3 DAYS"))
+            .cast("long")
+            .alias("churned"),
+            "g",
+        )
+    )
+    by_t = per_user.groupBy(F.col("t").cast("long").alias("t")).agg(
+        F.count("*").alias("n_end"),
+        F.sum(F.col("g")).alias("n_end1"),
+        F.sum("churned").alias("d"),
+        F.sum(F.col("churned") * F.col("g")).alias("d1"),
+    )
+    tot = by_t.agg(
+        F.sum("n_end").alias("n_total"), F.sum("n_end1").alias("n1_total")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = by_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (F.col("n_total") - (F.sum("n_end").over(w) - F.col("n_end")))
+        .alias("n"),
+        (F.col("n1_total") - (F.sum("n_end1").over(w) - F.col("n_end1")))
+        .alias("n1"),
+    ).filter((F.col("d") > 0) & (F.col("n") > 1))
+    terms = stepped.select(
+        "d1",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * d * n1) div n AS BIGINT)"
+        ).alias("e1_micro"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * d * n1 * (n - n1)"
+            " * (n - d)) div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+            " AS BIGINT)"
+        ).alias("v_micro"),
+    )
+    s = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_micro").cast("long").alias("e1_micro"),
+        F.sum("v_micro").cast("long").alias("v_micro"),
+    )
+    return s.select(
+        "o1",
+        "e1_micro",
+        "v_micro",
+        # chi2 = (O1 - E1)^2 / V, all micro-deferred:
+        # ((1e6*O1 - e1u)^2) div (1e6 * vu)
+        F.expr(
+            "CAST(((CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_micro)"
+            " * (CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_micro))"
+            " div (CAST(1000000 AS DECIMAL(38,0)) * v_micro) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+
+
+ORACLE_LOG_RANK_TEST = """
+WITH horizon AS MATERIALIZED (SELECT MAX(ts) AS max_ts FROM events),
+per_user AS MATERIALIZED (
+  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t,
+         CASE WHEN MAX(ts) < h.max_ts - INTERVAL 3 DAY THEN 1 ELSE 0 END
+           AS churned,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g
+  FROM events CROSS JOIN horizon h
+  GROUP BY user_id, h.max_ts
+),
+by_t AS MATERIALIZED (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_end,
+         CAST(SUM(g) AS BIGINT) AS n_end1,
+         CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(SUM(churned * g) AS BIGINT) AS d1
+  FROM per_user GROUP BY t
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(n_end) AS BIGINT) AS n_total,
+         CAST(SUM(n_end1) AS BIGINT) AS n1_total
+  FROM by_t
+),
+stepped AS MATERIALIZED (
+  SELECT t, d, d1,
+         CAST(n_total - (SUM(n_end) OVER w - n_end) AS BIGINT) AS n,
+         CAST(n1_total - (SUM(n_end1) OVER w - n_end1) AS BIGINT) AS n1
+  FROM by_t CROSS JOIN tot
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+),
+terms AS (
+  SELECT d1,
+         CAST((CAST(1000000 AS HUGEINT) * d * n1) // n AS BIGINT) AS e1_micro,
+         CAST((CAST(1000000 AS HUGEINT) * d * n1 * (n - n1) * (n - d))
+              // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS v_micro
+  FROM stepped WHERE d > 0 AND n > 1
+),
+s AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+         CAST(SUM(v_micro) AS BIGINT) AS v_micro
+  FROM terms
+)
+SELECT o1, e1_micro, v_micro,
+       CAST(((CAST(1000000 AS HUGEINT) * o1 - e1_micro)
+             * (CAST(1000000 AS HUGEINT) * o1 - e1_micro))
+            // (CAST(1000000 AS HUGEINT) * v_micro) AS BIGINT) AS chi2_micro
+FROM s
+"""
+
+
+def q_ari_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two
+    partitions of the customer base — the clustering-stability /
+    segmentation-agreement metric (how much does the behavioral
+    segmentation agree with the balance-band one, beyond chance?).
+    Partitions: declared market segment vs fixed-width account-balance
+    band (never ntile — rank ties are order-dependent). ARI is pure
+    pair-counting combinatorics: Σ C(n_ij,2) over the contingency
+    table vs its chance expectation — all exact BIGINT (C(n,2) =
+    n(n-1)/2), one final deferred division to micro-units via
+    decimal(38,0). Scale: one (a,b)-keyed agg builds the contingency
+    table (|segments|×|bands| ≤ 40 cells); constant after."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("a"),
+        F.expr(
+            "least(CAST(7 AS BIGINT), CAST(ROUND((c_acctbal + 1000) * 100)"
+            " AS BIGINT) div 170000)"
+        ).alias("b"),
+    )
+    cells = c.groupBy("a", "b").agg(F.count("*").alias("nij"))
+    comb = lambda col: (F.col(col) * (F.col(col) - 1)) / 2  # noqa: E731
+    sums = cells.agg(
+        F.sum(F.expr("nij * (nij - 1) div 2")).alias("s_cells"),
+        F.sum("nij").alias("n"),
+    )
+    sa = (
+        cells.groupBy("a")
+        .agg(F.sum("nij").alias("na"))
+        .agg(F.sum(F.expr("na * (na - 1) div 2")).alias("s_a"))
+    )
+    sb = (
+        cells.groupBy("b")
+        .agg(F.sum("nij").alias("nb"))
+        .agg(F.sum(F.expr("nb * (nb - 1) div 2")).alias("s_b"))
+    )
+    # ARI = (S - SaSb/T) / ((Sa+Sb)/2 - SaSb/T), T = C(n,2); defer ALL
+    # divisions: num = T*S - Sa*Sb, den = T*(Sa+Sb)/2 - Sa*Sb
+    return (
+        sums.crossJoin(sa)
+        .crossJoin(sb)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("s_cells").cast("long").alias("s_cells"),
+            F.col("s_a").cast("long").alias("s_a"),
+            F.col("s_b").cast("long").alias("s_b"),
+            # ARI = (T·S − SaSb) / (T·(Sa+Sb)/2 − SaSb) with T=C(n,2).
+            # Substituting M = n(n−1) = 2T and clearing denominators:
+            # ari = (2·M·S − 4·SaSb) / (M·(Sa+Sb) − 4·SaSb) — NO interior
+            # division at all, so every term stays a decimal(38,0)
+            # product (a `div 2` midway would collapse to int64 — Spark's
+            # IntegralDivide returns LONG — and the following product
+            # overflows already at ~1M rows). Pair counts scale as n²
+            # and the cleared numerator as n⁴ in the all-one-cluster
+            # worst case: decimal38/HUGEINT headroom holds to n ≈ 1e8
+            # rows — past that, compute ARI on a group-keyed sample.
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(2 AS DECIMAL(38,0)) * n * (n - 1) * s_cells"
+                "    - CAST(4 AS DECIMAL(38,0)) * s_a * s_b))"
+                " div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (s_a + s_b)"
+                "      - CAST(4 AS DECIMAL(38,0)) * s_a * s_b) AS BIGINT)"
+            ).alias("ari_micro"),
+        )
+    )
+
+
+ORACLE_ARI_CLUSTER_AGREEMENT = """
+WITH c AS MATERIALIZED (
+  SELECT c_mktsegment AS a,
+         LEAST(7, CAST(ROUND((c_acctbal + 1000) * 100) AS BIGINT) // 170000)
+           AS b
+  FROM customer
+),
+cells AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij FROM c GROUP BY a, b
+),
+sums AS (
+  SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_cells,
+         CAST(SUM(nij) AS BIGINT) AS n
+  FROM cells
+),
+sa AS (
+  SELECT CAST(SUM(na * (na - 1) // 2) AS BIGINT) AS s_a FROM (
+    SELECT CAST(SUM(nij) AS BIGINT) AS na FROM cells GROUP BY a
+  )
+),
+sb AS (
+  SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS s_b FROM (
+    SELECT CAST(SUM(nij) AS BIGINT) AS nb FROM cells GROUP BY b
+  )
+)
+SELECT n, s_cells, s_a, s_b,
+       CAST((CAST(1000000 AS HUGEINT)
+             * (CAST(2 AS HUGEINT) * n * (n - 1) * s_cells
+                - CAST(4 AS HUGEINT) * s_a * s_b))
+            // (CAST(n AS HUGEINT) * (n - 1) * (s_a + s_b)
+                - CAST(4 AS HUGEINT) * s_a * s_b) AS BIGINT) AS ari_micro
+FROM sums CROSS JOIN sa CROSS JOIN sb
+"""
+
+
+def q_anova_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic — does mean account balance differ
+    across market segments? The continuous-feature complement of
+    chi2_terms (categorical) and mi_terms (information). Moments stay
+    exact: per-group sums in BIGINT cents, sums of squares in
+    decimal(38,0); the between/within decomposition A = Σ s_g²/n_g
+    floors each group term at UNIT (cents²) scale — a ±1 floor on a
+    ~1e12 term, identical on both engines by the portable-div
+    convention, so SSB/SSW are exact integers on both sides (emitted
+    as strings: they exceed int64 at large SF and the driver hasher
+    can't round-trip int128). The F ratio itself is ONE division of
+    those identical integers, done in double and rounded — Spark's
+    IntegralDivide returns int64, so a fully-deferred integer F would
+    overflow exactly at the scale this query is meant for. Scale: one
+    map-side-combinable keyed agg to k=5 moment rows; constant
+    after."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    grp = c.groupBy("g").agg(
+        F.count("*").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("qg"),
+    )
+    t = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("sg").cast("decimal(38,0)")).alias("s"),
+        F.sum("qg").alias("q"),
+        # Σ floor(s_g²/n_g) exactly: p - (p % ng) is divisible, the
+        # decimal / stays exact, never through int64
+        F.sum(
+            F.expr(
+                "(CAST(sg AS DECIMAL(38,0)) * sg"
+                " - (CAST(sg AS DECIMAL(38,0)) * sg) % ng) / ng"
+            ).cast("decimal(38,0)")
+        ).alias("a_unit"),
+    )
+    ssb = F.expr("a_unit - (s * s - (s * s) % n) / n").cast("decimal(38,0)")
+    ssw = F.expr("q - a_unit").cast("decimal(38,0)")
+    return t.select(
+        "k",
+        "n",
+        ssb.cast("string").alias("ssb_unit"),
+        ssw.cast("string").alias("ssw_unit"),
+        F.round(
+            ssb.cast("double")
+            * (F.col("n") - F.col("k")).cast("double")
+            / (ssw.cast("double") * (F.col("k") - 1).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+ORACLE_ANOVA_F_TEST = """
+WITH c AS MATERIALIZED (
+  SELECT c_mktsegment AS g, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
+  FROM customer
+),
+grp AS MATERIALIZED (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS sg,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+  FROM c GROUP BY g
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(CAST(sg AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(qg) AS HUGEINT) AS q,
+         CAST(SUM((CAST(sg AS HUGEINT) * sg) // ng) AS HUGEINT) AS a_unit
+  FROM grp
+),
+d AS (
+  SELECT k, n,
+         a_unit - (s * s) // n AS ssb,
+         q - a_unit AS ssw
+  FROM t
+)
+SELECT k, n,
+       CAST(ssb AS VARCHAR) AS ssb_unit,
+       CAST(ssw AS VARCHAR) AS ssw_unit,
+       ROUND(CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE)
+             / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6) AS f_stat
+FROM d
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "log_rank_test": (
+            q_log_rank_test,
+            ORACLE_LOG_RANK_TEST,
+            "ext:two-sample log-rank survival test (deferred-division chi2)",
+        ),
+        "ari_cluster_agreement": (
+            q_ari_cluster_agreement,
+            ORACLE_ARI_CLUSTER_AGREEMENT,
+            "ext:Adjusted Rand Index between two partitions (exact pair counting)",
+        ),
+        "anova_f_test": (
+            q_anova_f_test,
+            ORACLE_ANOVA_F_TEST,
+            "ext:one-way ANOVA F from exact integer moments",
+        ),
+    }
+)
+
+
+def q_window_funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequential funnel (ClickHouse windowFunnel
+    semantics, greedy-earliest variant): view → click → purchase where
+    each step must land within 7 days of the PREVIOUS step's match —
+    stricter than funnel_conversion's any-order step counting, this is
+    ordered with per-hop deadlines. All time arithmetic on integer
+    epoch-micros (unix_micros/epoch_us — the sessionize_gaps
+    convention). Each hop is a per-user range join (candidates bounded
+    by per-user event density inside the 7-day window — the
+    asof/interval family, never a cross join) followed by a keyed min:
+    the earliest qualifying next step, so the match is deterministic
+    and replayable. A user reaches depth k through their EARLIEST
+    completed chain; funnels are counted per starting view then
+    reduced to per-user depth. Scale: two bounded range joins + keyed
+    aggs; per-user candidate sets are density-bounded, and the final
+    output is one 1-row frame."""
+    W = 7 * 86_400_000_000  # 7 days in micros
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("et"),
+        F.unix_micros("ts").alias("us"),
+    )
+    v = ev.filter(F.col("et") == "view").select(
+        "user_id", F.col("us").alias("t1")
+    )
+    c = ev.filter(F.col("et") == "click").select(
+        F.col("user_id").alias("cu"), F.col("us").alias("tc")
+    )
+    p = ev.filter(F.col("et") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("us").alias("tp")
+    )
+    s2 = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("tc") > F.col("t1"))
+            & (F.col("tc") <= F.col("t1") + F.lit(W)),
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    s3 = (
+        s2.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("tp") > F.col("t2"))
+            & (F.col("tp") <= F.col("t2") + F.lit(W)),
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("tp").alias("t3"))
+    )
+    per_user = (
+        v.groupBy("user_id")
+        .agg(F.count("*").alias("n_views"))
+        .join(
+            s2.groupBy("user_id").agg(F.count("*").alias("n_s2")),
+            "user_id",
+            "left",
+        )
+        .join(
+            s3.groupBy("user_id").agg(
+                F.count("*").alias("n_s3"),
+                F.min(F.col("t3") - F.col("t1")).alias("best_us"),
+            ),
+            "user_id",
+            "left",
+        )
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("u_step1"),
+        F.sum((F.col("n_s2") > 0).cast("long")).cast("long").alias("u_step2"),
+        F.sum((F.col("n_s3") > 0).cast("long")).cast("long").alias("u_step3"),
+        F.sum(F.expr("best_us div 1000000")).cast("long")
+        .alias("sum_best_seconds"),
+        F.min(F.expr("best_us div 1000000")).cast("long")
+        .alias("min_best_seconds"),
+    )
+
+
+ORACLE_WINDOW_FUNNEL_TIMED = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_type AS et, epoch_us(ts) AS us FROM events
+),
+v AS (SELECT user_id, us AS t1 FROM ev WHERE et = 'view'),
+c AS (SELECT user_id AS cu, us AS tc FROM ev WHERE et = 'click'),
+p AS (SELECT user_id AS pu, us AS tp FROM ev WHERE et = 'purchase'),
+s2 AS MATERIALIZED (
+  SELECT user_id, t1, CAST(MIN(tc) AS BIGINT) AS t2
+  FROM v JOIN c ON user_id = cu AND tc > t1 AND tc <= t1 + 604800000000
+  GROUP BY user_id, t1
+),
+s3 AS MATERIALIZED (
+  SELECT user_id, t1, t2, CAST(MIN(tp) AS BIGINT) AS t3
+  FROM s2 JOIN p ON user_id = pu AND tp > t2 AND tp <= t2 + 604800000000
+  GROUP BY user_id, t1, t2
+),
+per_user AS (
+  SELECT va.user_id, va.n_views, s2a.n_s2, s3a.n_s3, s3a.best_us
+  FROM (SELECT user_id, COUNT(*) AS n_views FROM v GROUP BY 1) va
+  LEFT JOIN (SELECT user_id, COUNT(*) AS n_s2 FROM s2 GROUP BY 1) s2a
+    USING (user_id)
+  LEFT JOIN (SELECT user_id, COUNT(*) AS n_s3,
+                    CAST(MIN(t3 - t1) AS BIGINT) AS best_us
+             FROM s3 GROUP BY 1) s3a
+    USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS u_step1,
+       CAST(SUM(CASE WHEN n_s2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_step2,
+       CAST(SUM(CASE WHEN n_s3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_step3,
+       CAST(SUM(best_us // 1000000) AS BIGINT) AS sum_best_seconds,
+       CAST(MIN(best_us // 1000000) AS BIGINT) AS min_best_seconds
+FROM per_user
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "window_funnel_timed": (
+            q_window_funnel_timed,
+            ORACLE_WINDOW_FUNNEL_TIMED,
+            "ext:time-constrained ordered funnel (per-hop deadlines)",
+        ),
+    }
+)
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the document
+    corpus — the phrase-level complement of tfidf_top_terms (unigrams)
+    and pmi_collocations (bigram association): candidate phrases are
+    maximal stopword-free word runs (stopword boundaries become
+    delimiters via a \\b word-boundary regex — RE2 and Java agree on
+    ASCII \\b), each word scores deg/freq where deg sums the lengths
+    of every phrase occurrence containing it, and a phrase scores the
+    sum of its words' ratios (with multiplicity). Ratios quantize to
+    micro-units (integer div — both engines floor identically on the
+    nonnegative domain) BEFORE the phrase sum, so the ranking is exact
+    integer end to end. Scale: two explode→keyed-agg passes (phrase
+    table, word table) + one words→ratios join — the flat
+    post-generate projections that fuse into codegen (the
+    duplicate_spans lesson: never score inside array lambdas). Top 12
+    by (score, phrase) total order."""
+    docs = _t(spark, sf_dir, "documents")
+    phrases = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.col("text"), r"\b(the|a)\b", "|"),
+                    r"\|",
+                )
+            ).alias("raw")
+        )
+        .select(F.trim(F.col("raw")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .select("phrase", F.split("phrase", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    occ = phrases.select(
+        "phrase", F.size("words").alias("plen"), F.explode("words").alias("w")
+    )
+    ratios = occ.groupBy("w").agg(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(plen)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("ratio_micro")
+    )
+    scored = (
+        occ.join(ratios, "w")
+        .groupBy("phrase", "plen")
+        .agg(F.sum("ratio_micro").alias("sum_all"), F.count("*").alias("n_words"))
+        # every occurrence of the same phrase text contributes an
+        # identical word-ratio sum: normalize back to one occurrence
+        .select(
+            "phrase",
+            F.col("plen").cast("long").alias("n_words"),
+            F.expr("n_words div plen").cast("long").alias("occurrences"),
+            F.expr("CAST(sum_all div (n_words div plen) AS BIGINT)")
+            .alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("score_micro"), "phrase").limit(12)
+
+
+ORACLE_RAKE_KEYPHRASES = """
+WITH phr AS MATERIALIZED (
+  SELECT trim(p) AS phrase,
+         string_split(trim(p), ' ') AS words
+  FROM (
+    SELECT unnest(string_split(
+             regexp_replace(text, '\\b(the|a)\\b', '|', 'g'), '|')) AS p
+    FROM documents
+  )
+  WHERE trim(p) != '' AND len(string_split(trim(p), ' ')) >= 2
+),
+occ AS MATERIALIZED (
+  SELECT phrase, len(words) AS plen, unnest(words) AS w FROM phr
+),
+ratios AS MATERIALIZED (
+  SELECT w,
+         CAST((CAST(1000000 AS HUGEINT) * SUM(plen)) // COUNT(*) AS BIGINT)
+           AS ratio_micro
+  FROM occ GROUP BY w
+),
+scored AS (
+  SELECT o.phrase,
+         CAST(o.plen AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) // o.plen AS occurrences,
+         CAST(SUM(r.ratio_micro) // (COUNT(*) // o.plen) AS BIGINT)
+           AS score_micro
+  FROM occ o JOIN ratios r USING (w)
+  GROUP BY o.phrase, o.plen
+)
+SELECT phrase, n_words, occurrences, score_micro
+FROM scored ORDER BY score_micro DESC, phrase LIMIT 12
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "rake_keyphrases": (
+            q_rake_keyphrases,
+            ORACLE_RAKE_KEYPHRASES,
+            "ext:RAKE keyphrase extraction (integer deg/freq ratios)",
+        ),
+    }
+)
+
+
+def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join end to end — the semantics inner
+    joins never exercise: an unmatched left row is emitted (with NULL
+    right side) only once the GLOBAL watermark proves no future match
+    can arrive, i.e. outer results are a state-EVICTION byproduct.
+    Clicks join purchases of the same user within the following 30
+    minutes; two far-future sentinel rows per side, in separate
+    source files after the real data (maxFilesPerTrigger=1 →
+    deterministic file-per-batch phases, file order pinned by explicit
+    mtimes), march the watermark past every real row's join horizon so
+    the availableNow run flushes ALL real unmatched clicks — without
+    the second sentinel batch the final expirations would sit in state
+    forever (watermark computed at batch N applies at batch N+1).
+    Sentinels filter out by key sign. The oracle is the plain batch
+    left join. State at 100 TB stays O(key-rate × (watermark+window))
+    — exactly the bound the join condition declares."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.streaming.windows import stream_stream_join
+
+    events = _t(spark, sf_dir, "events")
+    cols = ["user_id", "ts", "event_id", "value"]
+    clicks = events.filter(F.col("event_type") == "click").select(cols)
+    purchases = events.filter(F.col("event_type") == "purchase").select(cols)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(uid: int, days: int):
+        return spark.createDataFrame(
+            [(uid, max_ts, -1, 0.0)], "user_id long, ts timestamp, "
+            "event_id long, value double"
+        ).select(
+            "user_id",
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "event_id",
+            "value",
+        )
+
+    def stage(df, phase: int, root: str):
+        tmp = root + f"_tmp{phase}"
+        df.coalesce(1).write.parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = _os.path.join(root, f"{phase:02d}.parquet")
+        _shutil.move(_os.path.join(tmp, part), dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        base = 1_700_000_000 + phase * 60  # strictly increasing mtimes:
+        _os.utime(dst, (base, base))      # the source lists by (mtime, path)
+
+    l_src = _scratch_dir(sf_dir, "sljl")
+    r_src = _scratch_dir(sf_dir, "sljr")
+    _os.makedirs(l_src), _os.makedirs(r_src)
+    stage(clicks, 0, l_src)
+    stage(purchases, 0, r_src)
+    for phase, days in ((1, 100), (2, 200)):
+        stage(sentinel(-1, days), phase, l_src)
+        stage(sentinel(-2, days), phase, r_src)
+    schema = clicks.schema
+    l_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(l_src)
+    )
+    r_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(r_src)
+    )
+    joined = stream_stream_join(
+        l_stream, r_stream, watermark="1 hour", within="30 minutes",
+        how="left_outer",
+    )
+    name = "slj_" + _uuid.uuid4().hex[:8]
+    ckpt = _scratch_dir(sf_dir, "sljckpt")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).filter(F.col("l_key") >= 0)
+    return out.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("r_event_id").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.col("r_event_id").isNull().cast("long"))
+        .cast("long")
+        .alias("n_unmatched"),
+        F.countDistinct(
+            F.when(F.col("r_event_id").isNull(), F.col("l_event_id"))
+        ).cast("long").alias("unmatched_clicks"),
+        F.round(F.sum(F.coalesce("r_value", F.lit(0.0))), 2).alias(
+            "matched_value"
+        ),
+    )
+
+
+ORACLE_STREAM_LEFT_JOIN_EXPIRY = """
+WITH l AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+         r.value AS r_value
+  FROM l LEFT JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN r_event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(CASE WHEN r_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       CAST(COUNT(DISTINCT CASE WHEN r_event_id IS NULL THEN l_event_id END)
+            AS BIGINT) AS unmatched_clicks,
+       ROUND(SUM(COALESCE(r_value, 0.0)), 2) AS matched_value
+FROM j
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "stream_left_join_expiry": (
+            q_stream_left_join_expiry,
+            ORACLE_STREAM_LEFT_JOIN_EXPIRY,
+            "ext:stream-stream left-outer join (watermark state eviction)",
+        ),
+    }
+)
