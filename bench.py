@@ -337,6 +337,8 @@ BENCH_QUERIES = [
     "window_funnel_timed",
     "rake_keyphrases",
     "stream_left_join_expiry",
+    "changepoint_binary_seg",
+    "wav_riff_parse",
 ]
 
 # ---------------------------------------------------------------------------
@@ -386,6 +388,8 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "window_funnel_timed",
     "rake_keyphrases",
     "stream_left_join_expiry",
+    "changepoint_binary_seg",
+    "wav_riff_parse",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -310,3 +310,47 @@ def test_pcm_int16_stats_truncates_odd_tail(spark):
     )
     row = pcm_int16_stats(df, "content", "doc_id").collect()[0]
     assert row["n_samples"] == 1 and row["peak"] == 10
+
+
+def test_wav_riff_synthesize_parse_roundtrip(spark):
+    """The Catalyst chunk walk must agree with Python's struct on a
+    real little-endian WAV layout, locate 'data' through the
+    variable-size LIST chunk, and flag junk as not-RIFF instead of
+    erroring."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.functions.multimodal import (
+        wav_riff_metadata,
+        wav_synthesize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hello world sample text payload for wav " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    blobs = wav_synthesize(docs)
+    got = {r.doc_id: r for r in wav_riff_metadata(blobs).collect()}
+    for r in blobs.collect():
+        b = bytes(r.content)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        # walk with struct as the independent reference
+        channels = struct.unpack("<H", b[22:24])[0]
+        rate = struct.unpack("<I", b[24:28])[0]
+        sz2 = struct.unpack("<I", b[40:44])[0]
+        doff = 44 + sz2 + sz2 % 2
+        assert b[doff : doff + 4] == b"data"
+        datasz = struct.unpack("<I", b[doff + 4 : doff + 8])[0]
+        g = got[r.doc_id]
+        assert (g.channels, g.sample_rate, g.data_bytes) == (
+            channels, rate, datasz,
+        )
+        assert g.is_data_chunk and g.riff_ok
+        assert g.head_checksum == sum(b[doff + 8 : doff + 8 + min(8, datasz)])
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not a wav at all, just bytes"))],
+        "doc_id long, content binary",
+    )
+    j = wav_riff_metadata(junk).collect()[0]
+    assert not j.riff_ok

@@ -586,3 +586,124 @@ def pcm_int16_stats(
         )
         .orderBy("id")
     )
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian hex rendering of an integer column (2·nbytes hex
+    chars): byte-swapped big-endian padding. Shared by the WAV
+    synthesizer so the DuckDB oracle can rebuild the identical
+    container from the same arithmetic."""
+    h = F.lpad(F.hex(col), 2 * nbytes, "0")
+    return F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+    )
+
+
+def wav_synthesize(
+    df: DataFrame, from_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic WAV/RIFF container around a text-derived PCM
+    payload — the audio-ingest fixture (the real corpus would carry
+    .wav bytes in a binary column; the fixture has none, so the
+    container is manufactured from document text exactly like the
+    JPEG/PNG/PCM fixtures). Layout: RIFF header, canonical 16-byte
+    'fmt ' chunk (PCM, 16-bit, per-doc channel count and sample rate),
+    a VARIABLE-LENGTH 'LIST INFO' chunk (per-doc padding — so the
+    'data' chunk offset differs per file and a parser must actually
+    walk the chunk list), then 'data' with up to 64 payload bytes
+    (even-trimmed to the 16-bit block align)."""
+    did = F.col(id_col)
+    l = F.length(F.col(from_col))
+    datasz = F.least(F.lit(64), l - l % 2).cast("long")
+    pad = ((did % 12) * 2).cast("long")
+    listsz = (pad + 4).cast("long")
+    channels = (did % 2 + 1).cast("long")
+    rate = (F.lit(8000) + (did % 5) * 1000).cast("long")
+    block = (channels * 2).cast("long")
+    byterate = (rate * block).cast("long")
+    riffsz = (F.lit(4 + 24 + 8) + listsz + 8 + datasz).cast("long")
+    hex_parts = F.concat(
+        F.lit("52494646"),  # RIFF
+        _le_hex(riffsz, 4),
+        F.lit("57415645666D7420"),  # WAVE, 'fmt '
+        _le_hex(F.lit(16).cast("long"), 4),
+        _le_hex(F.lit(1).cast("long"), 2),  # PCM
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byterate, 4),
+        _le_hex(block, 2),
+        _le_hex(F.lit(16).cast("long"), 2),  # bits
+        F.lit("4C495354"),  # LIST
+        _le_hex(listsz, 4),
+        F.lit("494E464F"),  # INFO
+        F.repeat(F.lit("20"), pad.cast("int")),
+        F.lit("64617461"),  # data
+        _le_hex(datasz, 4),
+        F.hex(F.expr(f"substring(encode({from_col}, 'utf-8'), 1, "
+                      f"least(64, length({from_col}) - length({from_col}) % 2))")),
+    )
+    return df.select(
+        F.col(id_col), F.unhex(hex_parts).alias("content")
+    )
+
+
+def wav_riff_metadata(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio container metadata from a WAV/RIFF chunk walk — the audio
+    sibling of jpeg_dimensions (images) and mp4_metadata (video), and
+    the routing pass before any (library-backed) sample decode: only
+    chunk headers are read, never audio samples. RIFF's chunk list is
+    FLAT with a statically bounded prefix (fmt, one optional metadata
+    chunk, data), so unlike ISO-BMFF's arbitrary nesting
+    (mp4_metadata's documented mapInPandas boundary) the walk unrolls
+    into pure Catalyst arithmetic — whole-stage codegen, no Python,
+    with an exact SQL twin for the oracle gate. The 'data' offset is
+    computed from the preceding chunk's DECLARED size (+ RIFF's
+    odd-size pad rule): the walk is real, not fixed offsets.
+
+    The arithmetic runs on a hex rendering of the first 256 bytes only
+    (``hex(substring(content, 1, 256))``) — bytes touched stay
+    O(header) however large the audio payload, the property that makes
+    this the cheap routing pass at 100 TB.
+
+    Returns (id, channels, sample_rate, bits, data_bytes, n_samples,
+    is_data_chunk, head_checksum, riff_ok); junk bytes yield
+    riff_ok=false rows, never errors."""
+
+    def le(pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(conv(substring(hx, ({pos}) + {2 * i}, 2), 16, 10)"
+            f" AS BIGINT) * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sz2 = le("81", 4)  # chunk between fmt and data: declared size
+    dpos = f"(2 * (45 + {sz2} + ({sz2}) % 2) - 1)"  # data hdr, hex pos
+    datasz = le(f"{dpos} + 8", 4)
+    checksum = " + ".join(
+        f"(CASE WHEN {datasz} > {i} THEN CAST(conv(substring(hx,"
+        f" {dpos} + 16 + {2 * i}, 2), 16, 10) AS BIGINT) ELSE 0 END)"
+        for i in range(8)
+    )
+    hx = df.select(
+        F.col(id_col),
+        F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+    )
+    return hx.select(
+        id_col,
+        F.expr(le("45", 2)).alias("channels"),
+        F.expr(le("49", 4)).alias("sample_rate"),
+        F.expr(le("69", 2)).alias("bits"),
+        F.expr(datasz).alias("data_bytes"),
+        F.expr(f"{datasz} div {le('65', 2)}").alias("n_samples"),
+        F.expr(f"substring(hx, {dpos}, 8) = '64617461'").alias(
+            "is_data_chunk"
+        ),
+        F.expr(f"CAST({checksum} AS BIGINT)").alias("head_checksum"),
+        F.expr(
+            "substring(hx, 1, 8) = '52494646'"
+            " AND substring(hx, 17, 8) = '57415645'"
+        ).alias("riff_ok"),
+    )

@@ -7676,6 +7676,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "window_funnel_timed",
         "rake_keyphrases",
         "stream_left_join_expiry",
+        "changepoint_binary_seg",
+        "wav_riff_parse",
     }
 )
 

@@ -9898,3 +9898,226 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection by binary segmentation (the first split of
+    Scott & Knott / the PELT family's building block) over the 1995
+    daily-revenue series — the LOCATION estimator complementing
+    cusum_top_days' drift score: pick the split that maximizes the
+    between-segment sum of squares, equivalently maximizes
+    S_L²/n_L + S_R²/n_R (prefix-sum identity; total SS is
+    split-invariant). Gains floor at unit (cents²) scale inside
+    decimal(38,0) — both engines floor identically — and the argmax is
+    a max_by with the earliest-day tie-break, so the chosen changepoint
+    replays bit-identically. Scale: one map-side-combinable groupBy to
+    the ≤365-row day table; the candidate sweep is two windows over
+    that bounded frame."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pref = days.select(
+        "d",
+        F.sum("y").over(w).alias("sl"),
+        F.count("*").over(w).cast("long").alias("nl"),
+    )
+    tot = days.agg(
+        F.sum("y").cast("long").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    cand = pref.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    gains = cand.select(
+        "d",
+        "nl",
+        F.expr(
+            "CAST((CAST(sl AS DECIMAL(38,0)) * sl"
+            " - (CAST(sl AS DECIMAL(38,0)) * sl) % nl) / nl"
+            " + (CAST(s - sl AS DECIMAL(38,0)) * (s - sl)"
+            "    - (CAST(s - sl AS DECIMAL(38,0)) * (s - sl)) % (n - nl))"
+            "   / (n - nl) AS DECIMAL(38,0))"
+        ).alias("gain"),
+    )
+    # portable argmax: rank by (gain desc, d asc) over the bounded
+    # candidate frame and keep row 1 (a bare max_by has no defined
+    # tie-break to pin across engines)
+    wr = Window.orderBy(F.desc("gain"), "d")
+    top = gains.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == 1
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("changepoint_after"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+        F.col("gain").cast("string").alias("gain_unit"),
+    )
+
+
+ORACLE_CHANGEPOINT_BINARY_SEG = """
+WITH days AS MATERIALIZED (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+pref AS MATERIALIZED (
+  SELECT d,
+         CAST(SUM(y) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS sl,
+         CAST(COUNT(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS nl
+  FROM days
+),
+tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM days
+),
+gains AS (
+  SELECT d, nl,
+         (CAST(sl AS HUGEINT) * sl) // nl
+         + (CAST(s - sl AS HUGEINT) * (s - sl)) // (n - nl) AS gain
+  FROM pref CROSS JOIN tot
+  WHERE nl < n
+),
+top AS (
+  SELECT d, nl, gain,
+         ROW_NUMBER() OVER (ORDER BY gain DESC, d) AS rn
+  FROM gains
+)
+SELECT t.d AS changepoint_after,
+       t.nl AS n_left,
+       CAST(x.n - t.nl AS BIGINT) AS n_right,
+       CAST(t.gain AS VARCHAR) AS gain_unit
+FROM top t CROSS JOIN tot x WHERE t.rn = 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "changepoint_binary_seg": (
+            q_changepoint_binary_seg,
+            ORACLE_CHANGEPOINT_BINARY_SEG,
+            "ext:binary-segmentation changepoint (exact integer gain argmax)",
+        ),
+    }
+)
+
+
+def q_wav_riff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-container routing pass (multimodal.wav_riff_metadata over
+    multimodal.wav_synthesize fixtures): WAV/RIFF chunk walk in pure
+    Catalyst arithmetic — fmt fields, the variable-offset 'data' chunk
+    located through the preceding chunk's declared size (+ RIFF pad
+    rule), a bounded head checksum — aggregated per (channels,
+    sample_rate) stream profile. Bytes touched are O(header) per blob
+    (hex of the first 256 bytes only). The oracle REBUILDS the same
+    container hex from the same arithmetic and re-parses it, so synth
+    and walk are both value-checked. Completes the container matrix:
+    JPEG (image) / ISO-BMFF (video) / RIFF (audio) / raw PCM."""
+    from yelp_etl_spark.functions.multimodal import (
+        wav_riff_metadata,
+        wav_synthesize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    meta = wav_riff_metadata(wav_synthesize(docs))
+    return (
+        meta.groupBy("channels", "sample_rate")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("head_checksum").cast("long").alias("checksum_sum"),
+            F.min(
+                (F.col("is_data_chunk") & F.col("riff_ok")).cast("long")
+            ).cast("long").alias("all_well_formed"),
+        )
+        .orderBy("channels", "sample_rate")
+    )
+
+
+def _wav_oracle() -> str:
+    def le_hex(expr: str, nbytes: int) -> str:
+        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+        pairs = ", ".join(
+            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
+        )
+        return f"concat({pairs})"
+
+    def le_int(pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
+            f" * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    synth = (
+        "concat('52494646', "
+        + le_hex("4 + 24 + 8 + (doc_id % 12) * 2 + 4 + 8 + datasz", 4)
+        + ", '57415645666D7420', "
+        + le_hex("16", 4) + ", " + le_hex("1", 2) + ", "
+        + le_hex("doc_id % 2 + 1", 2) + ", "
+        + le_hex("8000 + (doc_id % 5) * 1000", 4) + ", "
+        + le_hex("(8000 + (doc_id % 5) * 1000) * (doc_id % 2 + 1) * 2", 4)
+        + ", " + le_hex("(doc_id % 2 + 1) * 2", 2) + ", "
+        + le_hex("16", 2)
+        + ", '4C495354', " + le_hex("(doc_id % 12) * 2 + 4", 4)
+        + ", '494E464F', repeat('20', (doc_id % 12) * 2), '64617461', "
+        + le_hex("datasz", 4)
+        + ", substr(upper(hex(encode(text))), 1, CAST(2 * datasz AS INT)))"
+    )
+    sz2 = le_int("81", 4)
+    dpos = f"(2 * (45 + {sz2} + ({sz2}) % 2) - 1)"
+    datasz_p = le_int(f"{dpos} + 8", 4)
+    checksum = " + ".join(
+        f"(CASE WHEN {datasz_p} > {i} THEN CAST(concat('0x', substr(hx,"
+        f" {dpos} + 16 + {2 * i}, 2)) AS BIGINT) ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, text,
+         LEAST(64, length(text) - length(text) % 2) AS datasz
+  FROM documents WHERE doc_id % 3 = 1
+),
+wav AS MATERIALIZED (
+  SELECT doc_id, {synth} AS hx FROM src
+),
+parsed AS MATERIALIZED (
+  SELECT doc_id,
+         {le_int("45", 2)} AS channels,
+         {le_int("49", 4)} AS sample_rate,
+         {datasz_p} // {le_int("65", 2)} AS n_samples,
+         (substr(hx, {dpos}, 8) = '64617461') AS is_data_chunk,
+         CAST({checksum} AS BIGINT) AS head_checksum,
+         (substr(hx, 1, 8) = '52494646'
+          AND substr(hx, 17, 8) = '57415645') AS riff_ok
+  FROM wav
+)
+SELECT CAST(channels AS BIGINT) AS channels,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+       CAST(SUM(head_checksum) AS BIGINT) AS checksum_sum,
+       CAST(MIN(CASE WHEN is_data_chunk AND riff_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS all_well_formed
+FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLE_WAV_RIFF_PARSE = _wav_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "wav_riff_parse": (
+            q_wav_riff_parse,
+            ORACLE_WAV_RIFF_PARSE,
+            "ext:WAV/RIFF chunk-walk metadata (audio container routing pass)",
+        ),
+    }
+)
