@@ -509,19 +509,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # the reference-workload-shaped number: one end-to-end medallion run
-    # (extract×5 → clean×5 → enrich×3 → gold) at the target SF
-    import shutil
-    import tempfile
+    # (extract×5 → clean×5 → enrich×3 → gold) at the target SF. When
+    # medallion_gold_parity was in this round's timed set its timed run
+    # ALREADY executed the full pipeline at the target SF (plus a tiny
+    # per-segment rollup) — reuse that wall instead of paying the
+    # suite's heaviest workload twice toward the driver's envelope.
+    if "medallion_gold_parity" in timings:
+        pipeline_seconds = timings["medallion_gold_parity"]
+    else:
+        import shutil
+        import tempfile
 
-    from yelp_etl_spark.plans.pipelines import run_medallion
+        from yelp_etl_spark.plans.pipelines import run_medallion
 
-    med_root = tempfile.mkdtemp(prefix="bench_medallion_")
-    try:
-        t0 = time.time()
-        run_medallion(spark, sf_dir, med_root)
-        pipeline_seconds = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(med_root, ignore_errors=True)
+        med_root = tempfile.mkdtemp(prefix="bench_medallion_")
+        try:
+            t0 = time.time()
+            run_medallion(spark, sf_dir, med_root)
+            pipeline_seconds = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(med_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     # Full per-query map goes to a detail file; the printed line stays

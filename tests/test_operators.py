@@ -394,8 +394,8 @@ def test_point_in_polygon_matches_shapely_free_reference(spark):
 def test_point_in_polygon_rejects_even_point_risk(spark):
     from yelp_etl_spark.operators.spatial import point_in_polygon_join
 
-    df = None  # never reached: assertion fires while building edges
+    df = None  # never reached: the validation fires while building edges
     import pytest as _pytest
 
-    with _pytest.raises(AssertionError, match="even"):
+    with _pytest.raises(ValueError, match="even"):
         point_in_polygon_join(df, [(1, [(0, 1), (4, 1), (4, 5)])])

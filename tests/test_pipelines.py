@@ -473,3 +473,28 @@ def test_run_medallion_layers_and_gold_values(spark, sf_dir, tmp_path):
     got = {(r.segment, r.week_start): r.revenue_cents for r in gold.collect()}
     want = {(r.segment, r.week_start): r.revenue_cents for r in direct.collect()}
     assert got == want
+
+
+def test_apply_changelog_self_heals_pre_fix_polluted_table(spark, tmp_path):
+    """A table created by the pre-fix bootstrap (op flag baked into the
+    schema) must be healed by the next apply_changelog, not hard-fail
+    with UNRESOLVED_COLUMN."""
+    from yelp_etl_spark.plans.pipelines import apply_changelog
+    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    t = str(tmp_path / "polluted")
+    # simulate the old bug: 'op' is a real column of the committed table
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", "I"), (3, "c", "U")], "k int, v string, op string"
+        ),
+        t,
+    )
+    ch = spark.createDataFrame(
+        [(1, "a2", 2, "U"), (3, None, 6, "D"), (4, "d", 6, "I")],
+        "k int, v string, seq int, op string",
+    )
+    apply_changelog(spark, ch, t, ["k"])
+    out = snapshot_read(spark, t)
+    assert out.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a2"), (4, "d")]

@@ -139,10 +139,13 @@ def point_in_polygon_join(
     rows = []
     for poly_id, ring in polygons:
         closed = list(ring) + [ring[0]]
-        assert all(py_ % 2 == 0 for _, py_ in ring), (
-            "polygon vertex y-ordinates must be even (points use odd) so "
-            "the ray-crossing boundary case cannot arise"
-        )
+        if any(py_ % 2 != 0 for _, py_ in ring):
+            # explicit raise, not assert: -O would strip an assert and
+            # turn the boundary case into silent wrong parity
+            raise ValueError(
+                "polygon vertex y-ordinates must be even (points use odd)"
+                " so the ray-crossing boundary case cannot arise"
+            )
         for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
             rows.append((poly_id, x1, y1, x2, y2))
     minx = {p: min(v[0] for v in ring) for p, ring in polygons}

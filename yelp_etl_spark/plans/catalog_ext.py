@@ -8798,13 +8798,18 @@ def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = capped.select(
         "o", F.element_at(weights, F.col("sz").cast("int") - 1).alias("w")
     )
-    a = li.alias("a")
+    # cap FIRST: the join onto the <=64-size orders must run BEFORE the
+    # quadratic self-join, or one hot 50k-part order would materialize
+    # ~1.25e9 pairs only to drop them afterwards (Catalyst does not
+    # reorder this without CBO) — the cap bounds the join INPUT, not
+    # its output. Capping the probe side alone suffices: an uncapped
+    # order has zero build-side rows, so it emits zero pairs either way.
+    a = li.join(wo, "o").alias("a")
     b = li.alias("b")
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.o").alias("o"), F.col("a.p").alias("pa"),
-                F.col("b.p").alias("pb"))
-        .join(wo, "o")
+                F.col("b.p").alias("pb"), F.col("a.w").alias("w"))
         .groupBy("pa", "pb")
         .agg(
             F.count("*").cast("long").alias("common_orders"),
@@ -8956,7 +8961,10 @@ def q_text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "\t",
             F.col("doc_id").cast("string"),
-            F.regexp_replace(F.col("text"), "[\\t\\n\\r]", " "),
+            # COALESCE: a NULL text would make concat_ws drop the tab
+            # separator entirely and silently desync from the oracle
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                             "[\\t\\n\\r]", " "),
         ).alias("value")
     ).write.text(target)
     back = read_files(spark, target, format="text")
@@ -9346,7 +9354,6 @@ def q_ari_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     cells = c.groupBy("a", "b").agg(F.count("*").alias("nij"))
-    comb = lambda col: (F.col(col) * (F.col(col) - 1)) / 2  # noqa: E731
     sums = cells.agg(
         F.sum(F.expr("nij * (nij - 1) div 2")).alias("s_cells"),
         F.sum("nij").alias("n"),

@@ -355,7 +355,33 @@ def apply_changelog(
         # projects onto the target's columns and never saw it anyway.
         .withColumnRenamed(op_col, "__op")
     )
-    from yelp_etl_spark.sources.snapshots import snapshot_merge
+    import json as _json
+
+    from pyspark.sql import types as T
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        _read_pointer,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    # One-time self-heal: a table bootstrapped by the pre-fix code has
+    # the op flag baked into its schema, and the parent-exists merge
+    # would then demand an op column the renamed source no longer has
+    # (UNRESOLVED_COLUMN). Rewrite the polluted table once, dropping the
+    # bookkeeping column — after that the feed converges normally.
+    ptr = _read_pointer(table_dir)
+    if ptr is not None:
+        schema = T.StructType.fromJson(
+            _json.loads(_load_manifest(table_dir, ptr)["schema"])
+        )
+        if op_col in schema.fieldNames():
+            snapshot_write(
+                snapshot_read(spark, table_dir).drop(op_col),
+                table_dir,
+                mode="replace",
+            )
 
     return snapshot_merge(
         spark,
