@@ -339,6 +339,7 @@ BENCH_QUERIES = [
     "stream_left_join_expiry",
     "changepoint_binary_seg",
     "wav_riff_parse",
+    "snapshot_branch_merge",
 ]
 
 # ---------------------------------------------------------------------------
@@ -390,6 +391,7 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "stream_left_join_expiry",
     "changepoint_binary_seg",
     "wav_riff_parse",
+    "snapshot_branch_merge",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7678,6 +7678,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "stream_left_join_expiry",
         "changepoint_binary_seg",
         "wav_riff_parse",
+        "snapshot_branch_merge",
     }
 )
 

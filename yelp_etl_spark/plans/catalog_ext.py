@@ -10128,3 +10128,163 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch merge-back for the WAP surface (snapshots.
+    snapshot_merge_3way — Nessie/Iceberg-branch merge semantics):
+    main (ours) and a STAGED branch (theirs) diverge from a common
+    base with overlapping edits — updates, deletes, inserts, one
+    identical both-side change, and true conflicts — then the branch
+    merges back with on_conflict='theirs'. The merge consumes the
+    staged snapshot (the reconciling publish) and commits atomically.
+    The oracle replays the same three versions and the same
+    change-classification algebra (changed-vs-base per side, identical
+    changes are not conflicts, branch wins true conflicts) in pure
+    SQL full-outer joins, then both sides aggregate the merged table.
+    Execution: two keyed full-outer joins + one CASE projection — the
+    three-scan keyed shuffle family, linear at 100 TB."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_merge_3way,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    base = orders.filter(F.col("k") % 2 == 0)
+    ours = (
+        base.filter(F.col("k") % 10 != 0)  # main deletes k%10
+        .withColumn(
+            "st", F.when(F.col("k") % 6 == 0, F.lit("O")).otherwise(F.col("st"))
+        )
+        .withColumn(
+            "c",
+            F.when(F.col("k") % 6 == 0, F.col("c") + 100).otherwise(F.col("c")),
+        )
+        .unionByName(  # main inserts odd k%9
+            orders.filter((F.col("k") % 2 == 1) & (F.col("k") % 9 == 0))
+        )
+        # identical both-side change: k%26==0 -> st='S' on BOTH sides
+        .withColumn(
+            "st", F.when(F.col("k") % 26 == 0, F.lit("S")).otherwise(F.col("st"))
+        )
+    )
+    theirs = (
+        base.filter(F.col("k") % 22 != 0)  # branch deletes k%22
+        .withColumn(
+            "st",
+            F.when(F.col("k") % 14 == 0, F.lit("T")).otherwise(F.col("st")),
+        )
+        .withColumn(
+            "c",
+            F.when(F.col("k") % 14 == 0, F.col("c") + 500).otherwise(F.col("c")),
+        )
+        .unionByName(  # branch inserts odd k%15
+            orders.filter((F.col("k") % 2 == 1) & (F.col("k") % 15 == 0))
+        )
+        .withColumn(
+            "st", F.when(F.col("k") % 26 == 0, F.lit("S")).otherwise(F.col("st"))
+        )
+    )
+    table = _scratch_dir(sf_dir, "branchmerge")
+    base_id = snapshot_write(base, table)
+    ours_id = snapshot_write(ours, table)
+    theirs_id = snapshot_write(theirs, table, publish=False)  # the branch
+    snapshot_merge_3way(
+        spark, table, base_id, ours_id, theirs_id, ["k"], on_conflict="theirs"
+    )
+    final = snapshot_read(spark, table)
+    return final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c").cast("long").alias("total_cents"),
+        F.sum((F.col("st") == "O").cast("long")).cast("long").alias("n_ours_upd"),
+        F.sum((F.col("st") == "T").cast("long")).cast("long")
+        .alias("n_theirs_upd"),
+        F.sum((F.col("st") == "S").cast("long")).cast("long").alias("n_same"),
+        F.sum(F.col("k")).cast("long").alias("key_sum"),
+    )
+
+
+ORACLE_SNAPSHOT_BRANCH_MERGE = """
+WITH orders_kv AS MATERIALIZED (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+base AS MATERIALIZED (SELECT * FROM orders_kv WHERE k % 2 = 0),
+ours AS MATERIALIZED (
+  SELECT k,
+         CASE WHEN k % 26 = 0 THEN 'S'
+              WHEN k % 6 = 0 THEN 'O' ELSE st END AS st,
+         CASE WHEN k % 6 = 0 THEN c + 100 ELSE c END AS c
+  FROM base WHERE k % 10 != 0
+  UNION ALL
+  SELECT k, CASE WHEN k % 26 = 0 THEN 'S' ELSE st END, c
+  FROM orders_kv WHERE k % 2 = 1 AND k % 9 = 0
+),
+theirs AS MATERIALIZED (
+  SELECT k,
+         CASE WHEN k % 26 = 0 THEN 'S'
+              WHEN k % 14 = 0 THEN 'T' ELSE st END AS st,
+         CASE WHEN k % 14 = 0 THEN c + 500 ELSE c END AS c
+  FROM base WHERE k % 22 != 0
+  UNION ALL
+  SELECT k, CASE WHEN k % 26 = 0 THEN 'S' ELSE st END, c
+  FROM orders_kv WHERE k % 2 = 1 AND k % 15 = 0
+),
+j AS MATERIALIZED (
+  SELECT COALESCE(b.k, o.k, t.k) AS k,
+         b.k IS NOT NULL AS bp, o.k IS NOT NULL AS op, t.k IS NOT NULL AS tp,
+         o.st AS ost, o.c AS oc, t.st AS tst, t.c AS tc,
+         ((b.k IS NULL) != (o.k IS NULL)
+          OR (b.st IS DISTINCT FROM o.st OR b.c IS DISTINCT FROM o.c)
+             AND b.k IS NOT NULL AND o.k IS NOT NULL) AS o_changed,
+         ((b.k IS NULL) != (t.k IS NULL)
+          OR (b.st IS DISTINCT FROM t.st OR b.c IS DISTINCT FROM t.c)
+             AND b.k IS NOT NULL AND t.k IS NOT NULL) AS t_changed,
+         ((o.k IS NULL) = (t.k IS NULL)
+          AND (o.k IS NULL
+               OR (o.st IS NOT DISTINCT FROM t.st
+                   AND o.c IS NOT DISTINCT FROM t.c))) AS same_result
+  FROM base b
+  FULL OUTER JOIN ours o ON b.k = o.k
+  FULL OUTER JOIN theirs t ON COALESCE(b.k, o.k) = t.k
+),
+final AS (
+  SELECT k,
+         CASE WHEN (t_changed AND NOT o_changed)
+                   OR (o_changed AND t_changed AND NOT same_result)
+              THEN tst ELSE ost END AS st,
+         CASE WHEN (t_changed AND NOT o_changed)
+                   OR (o_changed AND t_changed AND NOT same_result)
+              THEN tc ELSE oc END AS c,
+         CASE WHEN (t_changed AND NOT o_changed)
+                   OR (o_changed AND t_changed AND NOT same_result)
+              THEN tp ELSE op END AS present
+  FROM j
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_ours_upd,
+       CAST(SUM(CASE WHEN st = 'T' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_theirs_upd,
+       CAST(SUM(CASE WHEN st = 'S' THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM final WHERE present
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "snapshot_branch_merge": (
+            q_snapshot_branch_merge,
+            ORACLE_SNAPSHOT_BRANCH_MERGE,
+            "ext:WAP branch merge-back (3-way keyed reconciliation)",
+        ),
+    }
+)

@@ -1723,3 +1723,109 @@ def snapshot_changes(
     )
     new = snapshot_read(spark, table_dir, snapshot_id=to_snapshot)
     return snapshot_diff(old, new, keys, compare_columns)
+
+
+def snapshot_merge_3way(
+    spark: SparkSession,
+    table_dir: str,
+    base_id: int,
+    ours_id: int,
+    theirs_id: int,
+    keys: list[str],
+    on_conflict: str = "theirs",
+) -> int:
+    """Three-way keyed merge of two diverged table versions against
+    their common base — the RECONCILING publish for the WAP surface
+    (Iceberg/Nessie branch merge semantics): stage work on a branch
+    (snapshot_write(publish=False)), let main advance meanwhile, then
+    merge the branch back instead of blind-publishing over main's
+    concurrent commits.
+
+    Per key, each side's change vs base classifies as insert / update
+    / delete / nochange (value equality via a full-row hash over the
+    base schema's columns, computed engine-side — never a collect).
+    Non-conflicting changes from BOTH sides apply; keys changed on
+    both sides to DIFFERENT values resolve by ``on_conflict``:
+    'theirs' (the branch wins — merge-publish), 'ours' (main wins —
+    rebase-drop), or 'fail' (raise with the conflicting key count,
+    Nessie's default). Identical both-side changes are not conflicts.
+
+    Execution: two keyed full-outer joins (base⟗ours⟗theirs) on the
+    merge keys + one CASE projection — the standard three-scan keyed
+    shuffle family, broadcastable when the diverged deltas are small,
+    linear at 100 TB. Commits the result as ONE atomic snapshot
+    preserving the parent spec (the snapshot_merge rule: maintenance
+    must never silently de-partition).
+    """
+    if on_conflict not in ("theirs", "ours", "fail"):
+        raise ValueError(f"on_conflict must be theirs|ours|fail: {on_conflict}")
+    base = snapshot_read(spark, table_dir, base_id)
+    ours = snapshot_read(spark, table_dir, ours_id)
+    theirs = snapshot_read(spark, table_dir, theirs_id)
+    cols = base.columns
+    val_cols = [c for c in cols if c not in keys]
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in val_cols]).alias(f"{tag}_row"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias(f"{tag}_h"),
+            F.lit(True).alias(f"{tag}_present"),
+        )
+
+    b, o, t = tagged(base, "b"), tagged(ours, "o"), tagged(theirs, "t")
+    cond_bo = [b[f"b_{k}"].eqNullSafe(o[f"o_{k}"]) for k in keys]
+    j = b.join(o, cond_bo, "full_outer")
+    key_bo = [F.coalesce(F.col(f"b_{k}"), F.col(f"o_{k}")).alias(f"k_{k}") for k in keys]
+    j = j.select(*key_bo, "b_row", "b_h", "b_present", "o_row", "o_h", "o_present")
+    cond_t = [j[f"k_{k}"].eqNullSafe(t[f"t_{k}"]) for k in keys]
+    j = j.join(t, cond_t, "full_outer").select(
+        *[F.coalesce(F.col(f"k_{k}"), F.col(f"t_{k}")).alias(k) for k in keys],
+        "b_row", "b_h", "b_present", "o_row", "o_h", "o_present",
+        "t_row", "t_h", "t_present",
+    )
+    bp = F.coalesce("b_present", F.lit(False))
+    op_ = F.coalesce("o_present", F.lit(False))
+    tp = F.coalesce("t_present", F.lit(False))
+    o_changed = (bp != op_) | (bp & op_ & (F.col("b_h") != F.col("o_h")))
+    t_changed = (bp != tp) | (bp & tp & (F.col("b_h") != F.col("t_h")))
+    same_result = (op_ == tp) & (
+        ~op_ | F.col("o_h").eqNullSafe(F.col("t_h"))
+    )
+    conflict = o_changed & t_changed & ~same_result
+    if on_conflict == "fail":
+        n = j.filter(conflict).count()
+        if n:
+            raise ValueError(f"3-way merge: {n} conflicting keys")
+    winner_theirs = conflict if on_conflict == "theirs" else F.lit(False)
+    take_theirs = (t_changed & ~o_changed) | winner_theirs
+    take_ours = ~take_theirs
+    present = F.when(take_theirs, tp).otherwise(op_)
+    row = F.when(take_theirs, F.col("t_row")).otherwise(F.col("o_row"))
+    merged = (
+        j.select(
+            *keys,
+            present.alias("__present"),
+            row.alias("__row"),
+        )
+        .filter(F.col("__present"))
+        .select(*keys, *[F.col("__row")[c].alias(c) for c in val_cols])
+        .select(*cols)
+    )
+    parent = _read_pointer(table_dir)
+    spec = (
+        _load_manifest(table_dir, parent).get("partition_by")
+        if parent is not None
+        else None
+    )
+    # A staged branch blocks further commits by design (WAP): the merge
+    # IS its publish, so consume it — materialize the merge result
+    # first (the staged snapshot's manifest disappears on abandon and
+    # its files become vacuum-reclaimable orphans; the lazy plan must
+    # not depend on them at write time), then retire the staged
+    # manifest, then commit atomically.
+    theirs_manifest = _load_manifest(table_dir, theirs_id)
+    if theirs_manifest.get("staged"):
+        merged = merged.localCheckpoint(eager=True)
+        snapshot_abandon(table_dir, theirs_id)
+    return snapshot_write(merged, table_dir, mode="replace", partition_by=spec)
