@@ -9793,11 +9793,20 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_etl_spark.plans.catalog import _scratch_dir
     from yelp_etl_spark.streaming.windows import stream_stream_join
 
-    events = _t(spark, sf_dir, "events")
     cols = ["user_id", "ts", "event_id", "value"]
-    clicks = events.filter(F.col("event_type") == "click").select(cols)
-    purchases = events.filter(F.col("event_type") == "purchase").select(cols)
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # materialize the two tiny event slices once: every staging write
+    # below otherwise re-scans the source, and the single-file writes
+    # must not single-thread that scan (repartition(1), never
+    # coalesce(1) — coalesce collapses the SCAN to one task too)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", *cols)
+        .localCheckpoint(eager=True)
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(cols)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(cols)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
     def sentinel(uid: int, days: int):
         return spark.createDataFrame(
@@ -9812,7 +9821,7 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stage(df, phase: int, root: str):
         tmp = root + f"_tmp{phase}"
-        df.coalesce(1).write.parquet(tmp)
+        df.repartition(1).write.parquet(tmp)
         part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
         dst = _os.path.join(root, f"{phase:02d}.parquet")
         _shutil.move(_os.path.join(tmp, part), dst)
@@ -9845,15 +9854,24 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "slj_" + _uuid.uuid4().hex[:8]
     ckpt = _scratch_dir(sf_dir, "sljckpt")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store width is frozen into the checkpoint at first start
+    # (the stream_dedup_totals sizing rule): size it to state volume
+    # (hundreds of users), not core count — 32-wide state schedules
+    # 32 state tasks per micro-batch per stateful operator for nothing
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).filter(F.col("l_key") >= 0)
     return out.agg(
         F.count("*").cast("long").alias("n_rows"),
