@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "changepoint_binary_seg",
     "wav_riff_parse",
     "snapshot_branch_merge",
+    "cms_join_size_estimate",
 ]
 
 # ---------------------------------------------------------------------------
@@ -392,6 +393,7 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "changepoint_binary_seg",
     "wav_riff_parse",
     "snapshot_branch_merge",
+    "cms_join_size_estimate",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7679,6 +7679,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "changepoint_binary_seg",
         "wav_riff_parse",
         "snapshot_branch_merge",
+        "cms_join_size_estimate",
     }
 )
 

@@ -10306,3 +10306,115 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based equi-join cardinality estimation (the AGMS/CMS
+    inner-product bound, Alon et al. 1999 / Cormode-Muthukrishnan
+    2005) — the query-optimizer capability behind join reordering at
+    100 TB: |R ⋈_v S| = Σ_v f_R(v)·f_S(v) is upper-bounded by
+    min_d Σ_pos cms_R[d,pos]·cms_S[d,pos], computable from two
+    mergeable sketches WITHOUT touching raw rows again. Early vs late
+    lineitem halves joined on partkey; the query returns the exact
+    join size (per-key frequency join — the expensive ground truth),
+    the sketch estimate, the guaranteed overestimate flag, and the
+    relative error in micro-units. Sketch inner products route through
+    decimal(38,0) (Σ f_R f_S can leave int64 at scale). Scale: sketch
+    build is one map-side pass each; the inner product joins two
+    ≤depth×width cell tables — constant cost."""
+    from yelp_etl_spark.functions.sketches import count_min_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = "1995-06-17"
+    early = li.filter(F.col("l_shipdate") < cut)
+    late = li.filter(F.col("l_shipdate") >= cut)
+    s1 = count_min_sketch(early, "l_partkey").withColumnRenamed("cnt", "c1")
+    s2 = count_min_sketch(late, "l_partkey").withColumnRenamed("cnt", "c2")
+    per_row = (
+        s1.join(s2, ["d", "pos"])
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("c1").cast("decimal(38,0)") * F.col("c2")).alias("ip")
+        )
+    )
+    est = per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+    f1 = early.groupBy("l_partkey").agg(F.count("*").alias("f1"))
+    f2 = late.groupBy("l_partkey").agg(F.count("*").alias("f2"))
+    exact = (
+        f1.join(f2, "l_partkey")
+        .agg(
+            F.sum(F.col("f1").cast("decimal(38,0)") * F.col("f2"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(exact).select(
+        "exact_join_size",
+        "est_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "overestimates"
+        ),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (est_join_size - exact_join_size))"
+            " div exact_join_size AS BIGINT)"
+        ).alias("rel_err_micro"),
+    )
+
+
+def _cms_join_oracle() -> str:
+    from yelp_etl_spark.functions.sketches import CMS_P, CMS_PERMS, CMS_WIDTH
+
+    perms = ", ".join(f"({d}, {a}, {b})" for d, (a, b) in enumerate(CMS_PERMS))
+    h = (
+        "(CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 18, 15)) "
+        f"AS BIGINT) & {CMS_P})"
+    )
+    return f"""
+WITH perms(d, a, b) AS (VALUES {perms}),
+c1 AS MATERIALIZED (
+  SELECT p.d, ((p.a * {h} + p.b) % {CMS_P}) % {CMS_WIDTH} AS pos,
+         CAST(COUNT(*) AS BIGINT) AS c1
+  FROM lineitem, perms p WHERE l_shipdate < DATE '1995-06-17'
+  GROUP BY 1, 2
+),
+c2 AS MATERIALIZED (
+  SELECT p.d, ((p.a * {h} + p.b) % {CMS_P}) % {CMS_WIDTH} AS pos,
+         CAST(COUNT(*) AS BIGINT) AS c2
+  FROM lineitem, perms p WHERE l_shipdate >= DATE '1995-06-17'
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM (
+    SELECT d, SUM(CAST(c1 AS HUGEINT) * c2) AS ip
+    FROM c1 JOIN c2 USING (d, pos) GROUP BY d
+  )
+),
+exact AS (
+  SELECT CAST(SUM(CAST(f1 AS HUGEINT) * f2) AS BIGINT) AS exact_join_size
+  FROM (SELECT l_partkey, COUNT(*) AS f1 FROM lineitem
+        WHERE l_shipdate < DATE '1995-06-17' GROUP BY 1) a
+  JOIN (SELECT l_partkey, COUNT(*) AS f2 FROM lineitem
+        WHERE l_shipdate >= DATE '1995-06-17' GROUP BY 1) b
+  USING (l_partkey)
+)
+SELECT exact_join_size, est_join_size,
+       est_join_size >= exact_join_size AS overestimates,
+       CAST((CAST(1000000 AS HUGEINT) * (est_join_size - exact_join_size))
+            // exact_join_size AS BIGINT) AS rel_err_micro
+FROM est CROSS JOIN exact
+"""
+
+
+ORACLE_CMS_JOIN_SIZE = _cms_join_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "cms_join_size_estimate": (
+            q_cms_join_size_estimate,
+            ORACLE_CMS_JOIN_SIZE,
+            "ext:AGMS/CMS join-cardinality estimate (sketch inner product)",
+        ),
+    }
+)
