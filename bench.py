@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "wav_riff_parse",
     "snapshot_branch_merge",
     "cms_join_size_estimate",
+    "snapshot_clone_divergence",
+    "snapshot_binpack_compact",
 ]
 
 # ---------------------------------------------------------------------------
@@ -394,6 +396,8 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "wav_riff_parse",
     "snapshot_branch_merge",
     "cms_join_size_estimate",
+    "snapshot_clone_divergence",
+    "snapshot_binpack_compact",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

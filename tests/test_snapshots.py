@@ -1818,3 +1818,108 @@ def test_three_way_merge_branch_back(spark, tmp_path):
     snapshot_merge_3way(spark, t2, b2, o2, t2id, ["k"], on_conflict="ours")
     got2 = sorted(map(tuple, snapshot_read(spark, t2).collect()))
     assert (1, "a-main") in got2 and (1, "a-branch") not in got2
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """A shallow clone references the source's files without copying,
+    diverges independently, and each side's vacuum never touches the
+    other's data."""
+    import os as _os
+
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        _read_pointer,
+        snapshot_clone,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    rows = [(k, k * 10) for k in range(1, 9)]
+    snapshot_write(spark.createDataFrame(rows, "k long, v long"), src)
+    src_data_files = set(_os.listdir(_os.path.join(src, "data")))
+
+    snapshot_clone(src, dst)
+    # zero-copy: the clone holds NO data files of its own yet
+    assert not _os.path.isdir(_os.path.join(dst, "data")) or not _os.listdir(
+        _os.path.join(dst, "data")
+    )
+    assert sorted(map(tuple, snapshot_read(spark, dst).collect())) == rows
+    m = _load_manifest(dst, _read_pointer(dst))
+    assert m["operation"] == "clone"
+    assert all(_os.path.isabs(e["path"]) for e in m["files"])
+
+    # diverge the clone: source must not move
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([(1, 999), (9, 90)], "k long, v long"),
+        dst,
+        ["k"],
+    )
+    got_dst = sorted(map(tuple, snapshot_read(spark, dst).collect()))
+    assert (1, 999) in got_dst and (9, 90) in got_dst
+    assert sorted(map(tuple, snapshot_read(spark, src).collect())) == rows
+    # the clone's own vacuum sweeps only its own dir; source intact
+    vacuum(dst)
+    assert set(_os.listdir(_os.path.join(src, "data"))) == src_data_files
+    assert sorted(map(tuple, snapshot_read(spark, src).collect())) == rows
+    # cloning onto an existing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has a table"):
+        snapshot_clone(src, dst)
+
+
+def test_binpack_rewrites_only_small_files(spark, tmp_path):
+    """Selective binpack: small files merge, files at target size carry
+    over with byte-identical manifest entries, content is preserved."""
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        _read_pointer,
+        snapshot_binpack,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    # one "big" file (many distinct rows in one partition — distinct
+    # payloads so parquet compression can't shrink it under threshold)
+    big_rows = [(k, f"{k:064d}") for k in range(20000)]
+    snapshot_write(
+        spark.createDataFrame(big_rows, "k long, v string").repartition(1), t
+    )
+    # ... plus several micro-appends (streaming-sink shape)
+    for i in range(4):
+        snapshot_write(
+            spark.createDataFrame(
+                [(10_000 + i, "tiny")], "k long, v string"
+            ).repartition(1),
+            t,
+            mode="append",
+        )
+    before = _load_manifest(t, _read_pointer(t))
+    import os as _os
+
+    sizes = {
+        e["path"]: _os.path.getsize(_os.path.join(t, e["path"]))
+        for e in before["files"]
+    }
+    big_paths = {p for p, s in sizes.items() if s >= 20_000}
+    assert len(before["files"]) == 5 and big_paths  # 1 big + 4 tiny
+
+    snapshot_binpack(spark, t, small_file_bytes=20_000)
+    after = _load_manifest(t, _read_pointer(t))
+    after_paths = {e["path"] for e in after["files"]}
+    # untouched big file carried byte-identically; tiny files merged
+    assert big_paths <= after_paths
+    assert len(after["files"]) < len(before["files"])
+    assert after["operation"] == "rewrite"
+    got = snapshot_read(spark, t)
+    assert got.count() == 20004
+    assert got.filter("v = 'tiny'").count() == 4
+    # idempotent-ish: a second pass with one merged small file is a no-op
+    sid = _read_pointer(t)
+    assert snapshot_binpack(spark, t, small_file_bytes=20_000) == sid

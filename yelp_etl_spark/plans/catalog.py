@@ -7680,6 +7680,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "wav_riff_parse",
         "snapshot_branch_merge",
         "cms_join_size_estimate",
+        "snapshot_clone_divergence",
+        "snapshot_binpack_compact",
     }
 )
 

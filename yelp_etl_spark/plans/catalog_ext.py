@@ -10418,3 +10418,192 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone + divergence (snapshots.snapshot_clone —
+    Delta SHALLOW CLONE semantics): clone a committed table by
+    manifest reference (no data copied), merge updates into the CLONE,
+    and prove (a) the clone evolved, (b) the source is bit-unchanged,
+    (c) the clone's first snapshot borrowed every file by absolute
+    reference. Booleans are pinned TRUE by the oracle; the content
+    aggregates are recomputed from the base arithmetic. The clone
+    commit is one manifest write at any table size — the point of the
+    operator."""
+    import os as _os
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_clone,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    base = orders.filter(F.col("k") % 3 == 0)
+    src = _scratch_dir(sf_dir, "clonesrc")
+    dst = _scratch_dir(sf_dir, "clonedst")
+    snapshot_write(base, src)
+    clone_sid = snapshot_clone(src, dst)
+    borrowed = all(
+        _os.path.isabs(e["path"])
+        for e in _load_manifest(dst, clone_sid)["files"]
+    )
+    delta = base.filter(F.col("k") % 15 == 0).select(
+        "k", F.lit("C").alias("st"), (F.col("c") + 777).alias("c")
+    )
+    snapshot_merge(spark, delta, dst, ["k"])
+    s = snapshot_read(spark, src).agg(
+        F.count("*").alias("n"), F.sum("c").alias("cents")
+    )
+    d = snapshot_read(spark, dst).agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("cents"),
+        F.sum((F.col("st") == "C").cast("long")).alias("n_upd"),
+    )
+    return (
+        s.select(
+            F.col("n").cast("long").alias("src_rows"),
+            F.col("cents").cast("long").alias("src_cents"),
+        )
+        .crossJoin(
+            d.select(
+                F.col("n").cast("long").alias("clone_rows"),
+                F.col("cents").cast("long").alias("clone_cents"),
+                F.col("n_upd").cast("long").alias("clone_updated"),
+            )
+        )
+        .select(
+            "src_rows",
+            "src_cents",
+            "clone_rows",
+            "clone_cents",
+            "clone_updated",
+            F.lit(bool(borrowed)).alias("zero_copy"),
+            (F.col("clone_cents") - F.col("src_cents")
+             == 777 * F.col("clone_updated")).alias("diverged_exactly"),
+        )
+    )
+
+
+ORACLE_SNAPSHOT_CLONE = """
+WITH base AS MATERIALIZED (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS src_rows,
+       CAST(SUM(c) AS BIGINT) AS src_cents,
+       CAST(COUNT(*) AS BIGINT) AS clone_rows,
+       CAST(SUM(CASE WHEN k % 15 = 0 THEN c + 777 ELSE c END) AS BIGINT)
+         AS clone_cents,
+       CAST(SUM(CASE WHEN k % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clone_updated,
+       CAST(1 AS BOOLEAN) AS zero_copy,
+       CAST(1 AS BOOLEAN) AS diverged_exactly
+FROM base
+"""
+
+
+def q_snapshot_binpack_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective small-file compaction (snapshots.snapshot_binpack —
+    Iceberg binpack with an input-size filter): a table seeded with
+    one full-size file plus streaming-sink micro-appends is binpacked;
+    only the micro-files rewrite, the big file's manifest entry
+    carries over byte-identically, and the content is unchanged. File
+    counts are Spark-layout-dependent, so the driver-checked outputs
+    are the exact content aggregates plus invariant booleans the
+    oracle pins TRUE."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        _read_pointer,
+        snapshot_binpack,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    t = _scratch_dir(sf_dir, "binpack")
+    snapshot_write(orders.filter(F.col("k") % 2 == 0).repartition(1), t)
+    # orderBy BEFORE limit: a bare limit picks arbitrary partitions
+    micro = (
+        orders.filter(F.col("k") % 2 == 1).orderBy("k").limit(40)
+        .localCheckpoint(eager=True)
+    )
+    rows = sorted(micro.collect(), key=lambda r: r.k)
+    for i in range(0, 40, 10):  # 4 micro-appends, one row-slice each
+        snapshot_write(
+            spark.createDataFrame(rows[i : i + 10], micro.schema)
+            .repartition(1),
+            t,
+            mode="append",
+        )
+    before = _load_manifest(t, _read_pointer(t))["files"]
+    snapshot_binpack(spark, t, small_file_bytes=16_384)
+    after = _load_manifest(t, _read_pointer(t))["files"]
+    before_paths = {e["path"] for e in before}
+    after_paths = {e["path"] for e in after}
+    import os as _os
+
+    big_before = {
+        e["path"]
+        for e in before
+        if _os.path.getsize(_os.path.join(t, e["path"])) >= 16_384
+    }
+    final = snapshot_read(spark, t)
+    return final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c").cast("long").alias("total_cents"),
+        F.sum("k").cast("long").alias("key_sum"),
+    ).select(
+        "*",
+        F.lit(len(after_paths) < len(before_paths)).alias("files_reduced"),
+        F.lit(big_before <= after_paths).alias("untouched_kept"),
+    )
+
+
+ORACLE_SNAPSHOT_BINPACK = """
+WITH rows_all AS MATERIALIZED (
+  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+kept AS (
+  SELECT k, c FROM rows_all WHERE k % 2 = 0
+  UNION ALL
+  SELECT k, c FROM (
+    SELECT k, c FROM rows_all WHERE k % 2 = 1 ORDER BY k LIMIT 40
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(1 AS BOOLEAN) AS files_reduced,
+       CAST(1 AS BOOLEAN) AS untouched_kept
+FROM kept
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "snapshot_clone_divergence": (
+            q_snapshot_clone_divergence,
+            ORACLE_SNAPSHOT_CLONE,
+            "ext:zero-copy shallow clone + independent divergence",
+        ),
+        "snapshot_binpack_compact": (
+            q_snapshot_binpack_compact,
+            ORACLE_SNAPSHOT_BINPACK,
+            "ext:selective small-file binpack (untouched files carried)",
+        ),
+    }
+)

@@ -1829,3 +1829,144 @@ def snapshot_merge_3way(
         merged = merged.localCheckpoint(eager=True)
         snapshot_abandon(table_dir, theirs_id)
     return snapshot_write(merged, table_dir, mode="replace", partition_by=spec)
+
+
+def snapshot_clone(src_dir: str, dst_dir: str) -> int:
+    """Zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg snapshot
+    ref across tables): create a NEW table at ``dst_dir`` whose first
+    snapshot references the SOURCE table's current data files by
+    absolute path — no data is read or copied, the clone commit is one
+    manifest write however many petabytes the source holds. The clone
+    then evolves independently: its own writes land as normal relative
+    files inside ``dst_dir``, and commits there never touch the
+    source.
+
+    Same caveat as every shallow clone: the clone BORROWS the source's
+    files, so expire+vacuum on the SOURCE can reclaim files the clone
+    still references (Delta documents the identical hazard). The
+    clone's own vacuum is safe — it only sweeps files under its own
+    directory, and the borrowed entries live outside it.
+
+    Dev/test table forks, reproducible-experiment pinning, and
+    blue/green migration staging are the 100 TB use cases: all want
+    "a table that starts as an exact copy, diverges cheaply"."""
+    sid = _read_pointer(src_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {src_dir}")
+    if _read_pointer(dst_dir) is not None:
+        raise ValueError(f"clone target {dst_dir!r} already has a table")
+    m = _load_manifest(src_dir, sid)
+    src_abs = os.path.abspath(src_dir)
+
+    def absolutize(entries: list[dict]) -> list[dict]:
+        out = []
+        for e in entries:
+            e2 = dict(e)
+            e2["path"] = os.path.join(src_abs, e["path"])
+            out.append(e2)
+        return out
+
+    manifest = {
+        "snapshot_id": 1,
+        "parent_id": None,
+        "operation": "clone",
+        "clone_of": {"table": src_abs, "snapshot_id": sid},
+        "schema": m["schema"],
+        "files": absolutize(m["files"]),
+    }
+    if m.get("delete_files"):
+        # delete-file entries carry a "paths" LIST, not a single path
+        manifest["delete_files"] = [
+            {**d, "paths": [os.path.join(src_abs, p) for p in d["paths"]]}
+            for d in m["delete_files"]
+        ]
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
+    if m.get("bloom_columns"):
+        manifest["bloom_columns"] = m["bloom_columns"]
+    os.makedirs(os.path.join(dst_dir, "manifests"), exist_ok=True)
+    return _commit_manifest(dst_dir, manifest)
+
+
+def snapshot_binpack(
+    spark: SparkSession,
+    table_dir: str,
+    small_file_bytes: int = 32 * 2**20,
+    bloom_columns: list[str] | None = None,
+) -> int:
+    """SELECTIVE small-file compaction (Iceberg rewrite_data_files'
+    binpack with a min-input-files/size filter — the shape real
+    maintenance uses): only files under ``small_file_bytes`` are read
+    and rewritten; every file already at target size is carried into
+    the new snapshot UNTOUCHED, byte-identical path entries and all.
+    A full-table compact rewrites 100 TB to fix a few thousand
+    streaming-sink micro-files; this rewrites only the micro-files —
+    maintenance cost proportional to the problem, not the table.
+
+    Commits one atomic 'rewrite' snapshot (content identical by
+    construction); parent spec and bloom sidecars carry over like
+    snapshot_compact. Refuses when merge-on-read delete files are
+    pending (a partial rewrite would bump rewritten rows' sequence
+    numbers past the delete files' — apply them first via a full
+    compact/rewrite, the same ordering rule as Iceberg's
+    rewrite_position_deletes)."""
+    sid = _read_pointer(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _load_manifest(table_dir, sid)
+    if manifest.get("delete_files"):
+        raise ValueError(
+            "snapshot_binpack with pending merge-on-read delete files "
+            "would un-mask rewritten rows (their new sequence numbers "
+            "pass the delete files'): run a full snapshot_compact "
+            "first to apply the deletes"
+        )
+    from pyspark.sql.types import StructType
+
+    small, big = [], []
+    for e in manifest["files"]:
+        size = os.path.getsize(os.path.join(table_dir, e["path"]))
+        (small if size < small_file_bytes else big).append(e)
+    if len(small) <= 1:
+        return sid  # nothing worth rewriting: keep the snapshot as-is
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    df_small = spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, e["path"]) for e in small]
+    )
+    spec = manifest.get("partition_by")
+    if bloom_columns is None:
+        bloom_columns = manifest.get("bloom_columns")
+    n_out = max(
+        1,
+        -(
+            -sum(
+                os.path.getsize(os.path.join(table_dir, e["path"]))
+                for e in small
+            )
+            // small_file_bytes
+        ),
+    )
+    if spec:
+        exprs = [
+            F.col(src) if n is None else _bucket_expr(src, n)
+            for _f, src, n in _spec_fields(spec)
+        ]
+        df_small = df_small.repartition(n_out, *exprs)
+    else:
+        df_small = df_small.repartition(n_out)
+    new_files = _write_data_files(df_small, table_dir, spec, bloom_columns)
+    new_sid = sid + 1
+    for e in new_files:
+        e["seq"] = new_sid
+    out = {
+        "snapshot_id": new_sid,
+        "parent_id": sid,
+        "operation": "rewrite",
+        "schema": manifest["schema"],
+        "files": big + new_files,
+    }
+    if spec:
+        out["partition_by"] = spec
+    if manifest.get("bloom_columns"):
+        out["bloom_columns"] = manifest["bloom_columns"]
+    return _commit_manifest(table_dir, out)
