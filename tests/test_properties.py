@@ -256,3 +256,165 @@ def test_acf_empty_series_full_zero_grid(spark):
     assert sorted((r.lag, r.n_pairs, r.r) for r in rows) == [
         (k, 0, 0.0) for k in range(1, 5)
     ]
+
+
+@given(
+    bins=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # pos
+            st.integers(min_value=1, max_value=30),  # extra (n = pos+extra)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_isotonic_fit_matches_sequential_pava_property(spark, bins):
+    """The minimax closed form equals the classic sequential
+    pool-adjacent-violators fit on ANY bin table (rates compared as
+    exact fractions; the operator's micro-floor applied to both)."""
+    from yelp_etl_spark.functions.evaluation import isotonic_fit
+
+    rows = [(i, p, p + extra) for i, (p, extra) in enumerate(bins)]
+
+    # sequential PAVA, then expand block fits back to per-bin fits
+    blocks = [[p, n] for _, p, n in rows]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    want = []
+    bi, consumed = 0, 0
+    for _, p, n in rows:
+        want.append((1_000_000 * blocks[bi][0]) // blocks[bi][1])
+        consumed += n
+        if consumed >= blocks[bi][1]:
+            consumed = 0
+            bi += 1
+    df = spark.createDataFrame(rows, "bucket int, pos int, n int")
+    got = [r.iso_q for r in isotonic_fit(df).orderBy("bucket").collect()]
+    assert got == want
+    assert got == sorted(got)
+
+
+@given(
+    edits=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),      # key
+            st.sampled_from(["ou", "od", "tu", "td"]),  # side+op
+            st.integers(min_value=0, max_value=5),       # new value
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_three_way_merge_matches_python_model(spark, tmp_path_factory, edits):
+    """snapshot_merge_3way(on_conflict='theirs') equals a per-key
+    Python model for ANY combination of side edits (update/delete on
+    either side, including double edits and delete-vs-update)."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_merge_3way,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    base = {k: k * 10 for k in range(1, 9)}
+    ours, theirs = dict(base), dict(base)
+    for k, op, v in edits:
+        side = ours if op[0] == "o" else theirs
+        if op[1] == "d":
+            side.pop(k, None)
+        else:
+            side[k] = 1000 + v if op[0] == "o" else 2000 + v
+
+    def model():
+        keys = set(base) | set(ours) | set(theirs)
+        out = {}
+        for k in keys:
+            b, o, t = base.get(k), ours.get(k), theirs.get(k)
+            o_changed = o != b
+            t_changed = t != b
+            same = o == t
+            if (t_changed and not o_changed) or (
+                o_changed and t_changed and not same
+            ):
+                if t is not None:
+                    out[k] = t
+            else:
+                if o is not None:
+                    out[k] = o
+        return sorted(out.items())
+
+    tdir = str(tmp_path_factory.mktemp("m3w") / "tbl")
+    bid = snapshot_write(
+        spark.createDataFrame(sorted(base.items()), "k long, v long"), tdir
+    )
+    oid = snapshot_write(
+        spark.createDataFrame(sorted(ours.items()) or [(None, None)],
+                              "k long, v long").filter("k IS NOT NULL"),
+        tdir,
+    )
+    tid = snapshot_write(
+        spark.createDataFrame(sorted(theirs.items()) or [(None, None)],
+                              "k long, v long").filter("k IS NOT NULL"),
+        tdir,
+        publish=False,
+    )
+    snapshot_merge_3way(spark, tdir, bid, oid, tid, ["k"],
+                        on_conflict="theirs")
+    got = sorted(map(tuple, snapshot_read(spark, tdir).collect()))
+    assert got == model()
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-2, max_value=14),
+            st.integers(min_value=-2, max_value=14),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_point_in_polygon_matches_python_reference_property(spark, pts):
+    """The Catalyst ray-crossing join equals a pure-Python even-odd
+    reference for arbitrary points (odd-y adjusted) against a concave
+    polygon — including points outside the bbox and in the notch."""
+    from yelp_etl_spark.operators.spatial import point_in_polygon_join
+
+    ring = [(0, 0), (12, 0), (12, 4), (6, 4), (6, 10), (0, 10)]  # L-shape
+    rows = [
+        (i, x, y * 2 + 1) for i, (x, y) in enumerate(pts)
+    ]  # odd y by construction
+
+    def inside(px, py):
+        c = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 <= py) != (y2 <= py):
+                num = (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)
+                # num == 0 <=> the point lies ON this edge's line: the
+                # operator's strict num*(y2-y1) > 0 convention counts no
+                # crossing there (boundary points resolve by the other
+                # edges — deterministic, engine-portable)
+                if num != 0 and (num > 0) == (y2 - y1 > 0):
+                    c = not c
+        return c
+
+    want = sorted((i, 1) for i, x, y in rows if inside(x, y))
+    df = spark.createDataFrame(rows, "pid int, x int, y int")
+    got = sorted(
+        (r.pid, r.polygon_id)
+        for r in point_in_polygon_join(df, [(1, ring)]).collect()
+    )
+    assert got == want

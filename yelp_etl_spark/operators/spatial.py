@@ -133,7 +133,12 @@ def point_in_polygon_join(
     ``num * (y2 - y1) > 0``, one exact integer cross product, no
     division. Callers must keep point ordinates off the vertex
     ordinates (e.g. even polygon coords, odd point coords) so the
-    boundary case never arises — asserted here, not silently wrong.
+    horizontal-ray-through-vertex case never arises — validated here,
+    not silently wrong. A point lying exactly ON a vertical edge's
+    line (num == 0) contributes no crossing from that edge; its
+    containment then resolves deterministically from the remaining
+    edges (strict-inequality convention, identical on both engines —
+    pinned by the property test's Python reference).
 
     Returns (point_id, polygon_id) pairs for contained points."""
     rows = []
