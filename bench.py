@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "cms_join_size_estimate",
     "snapshot_clone_divergence",
     "snapshot_binpack_compact",
+    "harmonic_centrality",
 ]
 
 # ---------------------------------------------------------------------------
@@ -398,6 +399,7 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "cms_join_size_estimate",
     "snapshot_clone_divergence",
     "snapshot_binpack_compact",
+    "harmonic_centrality",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -1527,3 +1527,30 @@ def test_random_walks_match_pure_python_replay(spark):
         )
     )
     assert got2 == want
+
+
+def test_per_seed_bfs_equals_independent_bfs_runs(spark):
+    """The labeled multi-seed frontier must give exactly the distances
+    of k independent single-seed BFS runs."""
+    from yelp_etl_spark.functions.graph import (
+        bfs_distances,
+        bfs_distances_per_seed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (8, 9)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (8,), (7,)], "id long")
+    got = sorted(
+        (r.seed, r.id, r.dist)
+        for r in bfs_distances_per_seed(edges, seeds, max_hops=3).collect()
+    )
+    want = []
+    for s in (1, 8, 7):
+        one = spark.createDataFrame([(s,)], "id long")
+        for r in bfs_distances(edges, one, max_hops=3).collect():
+            want.append((s, r.id, r.dist))
+    assert got == sorted(want)
+    # disconnected component: seed 8 must never reach the 1..7 chain
+    assert not [t for t in got if t[0] == 8 and t[1] not in (8, 9)]

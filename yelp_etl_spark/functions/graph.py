@@ -657,3 +657,62 @@ def random_walks(
         )
         out = out.unionByName(frontier)
     return out
+
+
+def bfs_distances_per_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+    skip_symmetric_dedup: bool = False,
+    broadcast_state: bool | str = "auto",
+    broadcast_max_state: int = DEFAULT_BROADCAST_MAX_STATE,
+) -> DataFrame:
+    """Per-seed shortest hop distances — ``bfs_distances`` with the
+    loop state keyed on (node, seed) instead of node: ALL seeds expand
+    in the same synchronous frontier, so k seeds cost the same
+    ``max_hops`` Spark rounds as one (running bfs_distances per seed
+    costs k·max_hops rounds — 4× the wall for 4 seeds, measured).
+    This labeled-frontier shape is the exact-distance core of
+    HyperBall-style centrality estimation; state is O(|reached| · k),
+    which is why unbounded-k deployments switch the per-seed label set
+    to a mergeable HLL counter.
+
+    Returns (seed, id, dist) for every node within ``max_hops`` of
+    each seed (the seed itself at dist 0)."""
+    sym = _loop_edges(
+        edges, src, dst,
+        symmetric=True,
+        dedup=not skip_symmetric_dedup,
+        broadcast_state=broadcast_state,
+    )
+    frontier = truncate_lineage(
+        seeds.select(F.col("id").alias("seed"), F.col("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long")),
+        eager=True,
+    )
+    n_frontier = frontier.count()
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        if broadcast_state == "auto":
+            use_bcast = n_frontier <= broadcast_max_state
+        else:
+            use_bcast = bool(broadcast_state)
+        frontier = truncate_lineage(
+            sym.join(
+                _bcast_if(frontier, use_bcast), F.col("src") == F.col("id")
+            )
+            .select("seed", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, ["seed", "id"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long")),
+            eager=True,
+        )
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        visited = truncate_lineage(visited.union(frontier), eager=True)
+    sym.unpersist()
+    return visited

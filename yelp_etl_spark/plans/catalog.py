@@ -7682,6 +7682,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "cms_join_size_estimate",
         "snapshot_clone_divergence",
         "snapshot_binpack_compact",
+        "harmonic_centrality",
     }
 )
 

