@@ -1923,3 +1923,90 @@ def test_binpack_rewrites_only_small_files(spark, tmp_path):
     # idempotent-ish: a second pass with one merged small file is a no-op
     sid = _read_pointer(t)
     assert snapshot_binpack(spark, t, small_file_bytes=20_000) == sid
+
+
+def test_clone_supports_mor_deletes_on_borrowed_files(spark, tmp_path):
+    """Review fix: borrowed file entries keep source sequence numbers
+    and the clone's history starts at the source's counter, so a
+    merge-on-read delete committed ON THE CLONE masks borrowed files
+    (seq strictly smaller) instead of silently not applying."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_clone,
+        snapshot_mor_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "src")
+    # advance the source a few snapshots so file seqs are > 1
+    snapshot_write(spark.createDataFrame([(1, 10)], "k long, v long"), src)
+    snapshot_write(
+        spark.createDataFrame([(2, 20)], "k long, v long"), src, mode="append"
+    )
+    snapshot_write(
+        spark.createDataFrame([(3, 30)], "k long, v long"), src, mode="append"
+    )
+    dst = str(tmp_path / "dst")
+    snapshot_clone(src, dst)
+    snapshot_mor_delete(
+        spark, dst, spark.createDataFrame([(2,)], "k long"), ["k"]
+    )
+    got = sorted(map(tuple, snapshot_read(spark, dst).collect()))
+    assert got == [(1, 10), (3, 30)], got
+    # and the source is untouched
+    assert sorted(map(tuple, snapshot_read(spark, src).collect())) == [
+        (1, 10), (2, 20), (3, 30),
+    ]
+
+
+def test_three_way_merge_honors_added_columns_and_null_shifts(spark, tmp_path):
+    """Review fixes: (a) a column added on main after the base survives
+    the merge (union schema, not base's projection); (b) an edit that
+    moves a value between same-typed columns around a NULL is detected
+    (null-safe struct comparison, not xxhash64)."""
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_merge_3way,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    base_id = snapshot_write(
+        spark.createDataFrame(
+            [(1, "x", None), (2, "y", None)], "k long, a string, b string"
+        ),
+        t,
+    )
+    # ours: NULL-shift edit on k1 (a->b), plus a NEW column c2
+    ours_id = snapshot_write(
+        spark.createDataFrame(
+            [(1, None, "x", 7), (2, "y", None, 8)],
+            "k long, a string, b string, c2 long",
+        ),
+        t,
+    )
+    # theirs (staged branch): touches k1 too -> TRUE conflict with the
+    # null-shift edit; with on_conflict='fail' this must raise
+    theirs_id = snapshot_write(
+        spark.createDataFrame(
+            [(1, "x", "zz"), (2, "y", None)], "k long, a string, b string"
+        ),
+        t,
+        publish=False,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1 conflicting"):
+        snapshot_merge_3way(
+            spark, t, base_id, ours_id, theirs_id, ["k"], on_conflict="fail"
+        )
+    snapshot_merge_3way(
+        spark, t, base_id, ours_id, theirs_id, ["k"], on_conflict="theirs"
+    )
+    out = snapshot_read(spark, t)
+    assert set(out.columns) == {"k", "a", "b", "c2"}
+    rows = {r.k: (r.a, r.b, r.c2) for r in out.collect()}
+    # conflict -> theirs wins on k1 (its c2 reads NULL); k2 keeps ours'
+    # added column value
+    assert rows[1] == ("x", "zz", None)
+    assert rows[2] == ("y", None, 8)

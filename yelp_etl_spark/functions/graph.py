@@ -280,6 +280,48 @@ def _loop_edges(
     return sym.cache()
 
 
+def _frontier_loop(
+    sym: DataFrame,
+    frontier0: DataFrame,
+    label_cols: list[str],
+    max_hops: int,
+    broadcast_state: bool | str,
+    broadcast_max_state: int,
+) -> DataFrame:
+    """The synchronous BFS frontier loop shared by ``bfs_distances``
+    (label_cols=[]) and ``bfs_distances_per_seed`` (label_cols=
+    ['seed']): expand the frontier one hop over the cached symmetric
+    edge list, dedup, anti-join the visited set on (labels + id), and
+    eagerly truncate lineage each hop — ONE implementation so the
+    broadcast heuristic / early-exit / checkpoint mechanics can never
+    diverge between the labeled and unlabeled forms."""
+    anti_keys = [*label_cols, "id"]
+    frontier = truncate_lineage(frontier0, eager=True)
+    n_frontier = frontier.count()
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        if broadcast_state == "auto":
+            use_bcast = n_frontier <= broadcast_max_state
+        else:
+            use_bcast = bool(broadcast_state)
+        frontier = truncate_lineage(
+            sym.join(
+                _bcast_if(frontier, use_bcast), F.col("src") == F.col("id")
+            )
+            .select(*label_cols, F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, anti_keys, "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long")),
+            eager=True,
+        )
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        visited = truncate_lineage(visited.union(frontier), eager=True)
+    sym.unpersist()
+    return visited
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
@@ -326,32 +368,13 @@ def bfs_distances(
         dedup=not skip_symmetric_dedup,
         broadcast_state=broadcast_state,
     )
-    frontier = truncate_lineage(
+    frontier0 = (
         seeds.select(F.col("id")).distinct()
-        .withColumn("dist", F.lit(0).cast("long")),
-        eager=True,
+        .withColumn("dist", F.lit(0).cast("long"))
     )
-    n_frontier = frontier.count()
-    visited = frontier
-    for hop in range(1, max_hops + 1):
-        if broadcast_state == "auto":
-            use_bcast = n_frontier <= broadcast_max_state
-        else:
-            use_bcast = bool(broadcast_state)
-        frontier = truncate_lineage(
-            sym.join(_bcast_if(frontier, use_bcast), F.col("src") == F.col("id"))
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long")),
-            eager=True,
-        )
-        n_frontier = frontier.count()
-        if n_frontier == 0:
-            break
-        visited = truncate_lineage(visited.union(frontier), eager=True)
-    sym.unpersist()
-    return visited
+    return _frontier_loop(
+        sym, frontier0, [], max_hops, broadcast_state, broadcast_max_state
+    )
 
 
 def sssp_weighted(
@@ -687,32 +710,12 @@ def bfs_distances_per_seed(
         dedup=not skip_symmetric_dedup,
         broadcast_state=broadcast_state,
     )
-    frontier = truncate_lineage(
+    frontier0 = (
         seeds.select(F.col("id").alias("seed"), F.col("id"))
         .distinct()
-        .withColumn("dist", F.lit(0).cast("long")),
-        eager=True,
+        .withColumn("dist", F.lit(0).cast("long"))
     )
-    n_frontier = frontier.count()
-    visited = frontier
-    for hop in range(1, max_hops + 1):
-        if broadcast_state == "auto":
-            use_bcast = n_frontier <= broadcast_max_state
-        else:
-            use_bcast = bool(broadcast_state)
-        frontier = truncate_lineage(
-            sym.join(
-                _bcast_if(frontier, use_bcast), F.col("src") == F.col("id")
-            )
-            .select("seed", F.col("dst").alias("id"))
-            .distinct()
-            .join(visited, ["seed", "id"], "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long")),
-            eager=True,
-        )
-        n_frontier = frontier.count()
-        if n_frontier == 0:
-            break
-        visited = truncate_lineage(visited.union(frontier), eager=True)
-    sym.unpersist()
-    return visited
+    return _frontier_loop(
+        sym, frontier0, ["seed"], max_hops, broadcast_state,
+        broadcast_max_state,
+    )

@@ -10535,11 +10535,10 @@ def q_snapshot_binpack_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = _scratch_dir(sf_dir, "binpack")
     snapshot_write(orders.filter(F.col("k") % 2 == 0).repartition(1), t)
-    # orderBy BEFORE limit: a bare limit picks arbitrary partitions
-    micro = (
-        orders.filter(F.col("k") % 2 == 1).orderBy("k").limit(40)
-        .localCheckpoint(eager=True)
-    )
+    # orderBy BEFORE limit: a bare limit picks arbitrary partitions.
+    # collect() is the materialization — a localCheckpoint here would
+    # be a second, wasted job (review finding).
+    micro = orders.filter(F.col("k") % 2 == 1).orderBy("k").limit(40)
     rows = sorted(micro.collect(), key=lambda r: r.k)
     for i in range(0, 40, 10):  # 4 micro-appends, one row-slice each
         snapshot_write(

@@ -1742,56 +1742,98 @@ def snapshot_merge_3way(
     concurrent commits.
 
     Per key, each side's change vs base classifies as insert / update
-    / delete / nochange (value equality via a full-row hash over the
-    base schema's columns, computed engine-side — never a collect).
-    Non-conflicting changes from BOTH sides apply; keys changed on
-    both sides to DIFFERENT values resolve by ``on_conflict``:
-    'theirs' (the branch wins — merge-publish), 'ours' (main wins —
-    rebase-drop), or 'fail' (raise with the conflicting key count,
-    Nessie's default). Identical both-side changes are not conflicts.
+    / delete / nochange — value equality is a NULL-SAFE struct
+    comparison over the merged schema (never a bare xxhash64 of the
+    columns: Spark's xxhash64 skips NULL children, so swapping a value
+    between same-typed columns around a NULL would hash identically
+    and the edit would silently vanish — the same quirk _bucket_expr
+    guards). Non-conflicting changes from BOTH sides apply; keys
+    changed on both sides to DIFFERENT values resolve by
+    ``on_conflict``: 'theirs' (the branch wins — merge-publish),
+    'ours' (main wins — rebase-drop), or 'fail' (raise with the
+    conflicting key count, Nessie's default — checked BEFORE the
+    staged branch is consumed, so it survives for a resolve+retry).
+    Identical both-side changes are not conflicts.
+
+    Additive schema evolution is honored: the merge operates over the
+    UNION of the three versions' schemas (a column added on either
+    side reads as NULL from the others — snapshot_write's append
+    rule), so a column added on main or on the branch survives the
+    merge instead of being silently projected away.
+
+    Durability ordering when the branch is staged: the merged data
+    files are fully written FIRST, the staged manifest is retired only
+    then, and the commit is the final atomic manifest link — a crash
+    at any point leaves either the staged branch intact (plus orphan
+    files for vacuum) or the merge durable; never both gone.
 
     Execution: two keyed full-outer joins (base⟗ours⟗theirs) on the
     merge keys + one CASE projection — the standard three-scan keyed
     shuffle family, broadcastable when the diverged deltas are small,
-    linear at 100 TB. Commits the result as ONE atomic snapshot
-    preserving the parent spec (the snapshot_merge rule: maintenance
-    must never silently de-partition).
-    """
+    linear at 100 TB. Preserves the parent snapshot's partition spec
+    (the snapshot_merge rule)."""
     if on_conflict not in ("theirs", "ours", "fail"):
         raise ValueError(f"on_conflict must be theirs|ours|fail: {on_conflict}")
     base = snapshot_read(spark, table_dir, base_id)
     ours = snapshot_read(spark, table_dir, ours_id)
     theirs = snapshot_read(spark, table_dir, theirs_id)
-    cols = base.columns
+    # merged schema = union of the three versions (additive evolution)
+    merged_fields: list = []
+    by_name: dict = {}
+    for df in (base, ours, theirs):
+        for f in df.schema.fields:
+            prev = by_name.get(f.name)
+            if prev is None:
+                by_name[f.name] = f
+                merged_fields.append(f)
+            elif prev.dataType != f.dataType:
+                raise ValueError(
+                    f"3-way merge: column {f.name!r} has diverged types "
+                    f"{prev.dataType} vs {f.dataType}"
+                )
+    cols = [f.name for f in merged_fields]
     val_cols = [c for c in cols if c not in keys]
 
-    def tagged(df: DataFrame, tag: str) -> DataFrame:
+    def aligned(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
         return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast(by_name[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return aligned(df).select(
             *[F.col(k).alias(f"{tag}_{k}") for k in keys],
             F.struct(*[F.col(c) for c in val_cols]).alias(f"{tag}_row"),
-            F.xxhash64(*[F.col(c) for c in cols]).alias(f"{tag}_h"),
             F.lit(True).alias(f"{tag}_present"),
         )
 
     b, o, t = tagged(base, "b"), tagged(ours, "o"), tagged(theirs, "t")
     cond_bo = [b[f"b_{k}"].eqNullSafe(o[f"o_{k}"]) for k in keys]
     j = b.join(o, cond_bo, "full_outer")
-    key_bo = [F.coalesce(F.col(f"b_{k}"), F.col(f"o_{k}")).alias(f"k_{k}") for k in keys]
-    j = j.select(*key_bo, "b_row", "b_h", "b_present", "o_row", "o_h", "o_present")
+    key_bo = [
+        F.coalesce(F.col(f"b_{k}"), F.col(f"o_{k}")).alias(f"k_{k}")
+        for k in keys
+    ]
+    j = j.select(*key_bo, "b_row", "b_present", "o_row", "o_present")
     cond_t = [j[f"k_{k}"].eqNullSafe(t[f"t_{k}"]) for k in keys]
     j = j.join(t, cond_t, "full_outer").select(
         *[F.coalesce(F.col(f"k_{k}"), F.col(f"t_{k}")).alias(k) for k in keys],
-        "b_row", "b_h", "b_present", "o_row", "o_h", "o_present",
-        "t_row", "t_h", "t_present",
+        "b_row", "b_present", "o_row", "o_present", "t_row", "t_present",
     )
     bp = F.coalesce("b_present", F.lit(False))
     op_ = F.coalesce("o_present", F.lit(False))
     tp = F.coalesce("t_present", F.lit(False))
-    o_changed = (bp != op_) | (bp & op_ & (F.col("b_h") != F.col("o_h")))
-    t_changed = (bp != tp) | (bp & tp & (F.col("b_h") != F.col("t_h")))
-    same_result = (op_ == tp) & (
-        ~op_ | F.col("o_h").eqNullSafe(F.col("t_h"))
-    )
+    # NULL-safe struct equality: exact, no hash, no NULL-shift blindness
+    bo_eq = F.col("b_row").eqNullSafe(F.col("o_row"))
+    bt_eq = F.col("b_row").eqNullSafe(F.col("t_row"))
+    ot_eq = F.col("o_row").eqNullSafe(F.col("t_row"))
+    o_changed = (bp != op_) | (bp & op_ & ~bo_eq)
+    t_changed = (bp != tp) | (bp & tp & ~bt_eq)
+    same_result = (op_ == tp) & (~op_ | ot_eq)
     conflict = o_changed & t_changed & ~same_result
     if on_conflict == "fail":
         n = j.filter(conflict).count()
@@ -1799,36 +1841,45 @@ def snapshot_merge_3way(
             raise ValueError(f"3-way merge: {n} conflicting keys")
     winner_theirs = conflict if on_conflict == "theirs" else F.lit(False)
     take_theirs = (t_changed & ~o_changed) | winner_theirs
-    take_ours = ~take_theirs
     present = F.when(take_theirs, tp).otherwise(op_)
     row = F.when(take_theirs, F.col("t_row")).otherwise(F.col("o_row"))
     merged = (
-        j.select(
-            *keys,
-            present.alias("__present"),
-            row.alias("__row"),
-        )
+        j.select(*keys, present.alias("__present"), row.alias("__row"))
         .filter(F.col("__present"))
         .select(*keys, *[F.col("__row")[c].alias(c) for c in val_cols])
         .select(*cols)
     )
     parent = _read_pointer(table_dir)
-    spec = (
-        _load_manifest(table_dir, parent).get("partition_by")
-        if parent is not None
-        else None
+    parent_manifest = (
+        _load_manifest(table_dir, parent) if parent is not None else {}
     )
-    # A staged branch blocks further commits by design (WAP): the merge
-    # IS its publish, so consume it — materialize the merge result
-    # first (the staged snapshot's manifest disappears on abandon and
-    # its files become vacuum-reclaimable orphans; the lazy plan must
-    # not depend on them at write time), then retire the staged
-    # manifest, then commit atomically.
+    spec = parent_manifest.get("partition_by")
     theirs_manifest = _load_manifest(table_dir, theirs_id)
-    if theirs_manifest.get("staged"):
-        merged = merged.localCheckpoint(eager=True)
-        snapshot_abandon(table_dir, theirs_id)
-    return snapshot_write(merged, table_dir, mode="replace", partition_by=spec)
+    if not theirs_manifest.get("staged"):
+        return snapshot_write(
+            merged, table_dir, mode="replace", partition_by=spec
+        )
+    # staged branch: durable-first consume (see docstring) — write the
+    # merged data files, retire the staged manifest, then one atomic
+    # manifest link reusing the id the stage held
+    bloom = parent_manifest.get("bloom_columns")
+    new_files = _write_data_files(merged, table_dir, spec, bloom)
+    snapshot_abandon(table_dir, theirs_id)
+    snapshot_id = (parent or 0) + 1
+    for e in new_files:
+        e["seq"] = snapshot_id
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": parent,
+        "operation": "replace",
+        "schema": merged.schema.json(),
+        "files": new_files,
+    }
+    if spec:
+        manifest["partition_by"] = spec
+    if bloom:
+        manifest["bloom_columns"] = bloom
+    return _commit_manifest(table_dir, manifest)
 
 
 def snapshot_clone(src_dir: str, dst_dir: str) -> int:
@@ -1866,8 +1917,15 @@ def snapshot_clone(src_dir: str, dst_dir: str) -> int:
             out.append(e2)
         return out
 
+    # The clone's history starts AT the source's snapshot counter, not
+    # at 1: borrowed file entries keep their source sequence numbers
+    # (all <= sid), so the clone's own future commits (sid+1, ...) can
+    # mask them with merge-on-read deletes — restarting at 1 would make
+    # every borrowed seq look newer than any clone delete and the
+    # delete would silently not apply. Carried delete-file seq
+    # relationships stay verbatim for the same reason.
     manifest = {
-        "snapshot_id": 1,
+        "snapshot_id": sid,
         "parent_id": None,
         "operation": "clone",
         "clone_of": {"table": src_abs, "snapshot_id": sid},
@@ -1885,6 +1943,9 @@ def snapshot_clone(src_dir: str, dst_dir: str) -> int:
     if m.get("bloom_columns"):
         manifest["bloom_columns"] = m["bloom_columns"]
     os.makedirs(os.path.join(dst_dir, "manifests"), exist_ok=True)
+    # data/ too: vacuum on a fresh clone lists it (borrowed files live
+    # outside it, so the sweep is a safe no-op, not a FileNotFoundError)
+    os.makedirs(os.path.join(dst_dir, "data"), exist_ok=True)
     return _commit_manifest(dst_dir, manifest)
 
 
@@ -1892,7 +1953,6 @@ def snapshot_binpack(
     spark: SparkSession,
     table_dir: str,
     small_file_bytes: int = 32 * 2**20,
-    bloom_columns: list[str] | None = None,
 ) -> int:
     """SELECTIVE small-file compaction (Iceberg rewrite_data_files'
     binpack with a min-input-files/size filter — the shape real
@@ -1934,8 +1994,11 @@ def snapshot_binpack(
         *[os.path.join(table_dir, e["path"]) for e in small]
     )
     spec = manifest.get("partition_by")
-    if bloom_columns is None:
-        bloom_columns = manifest.get("bloom_columns")
+    # maintenance INHERITS the table's bloom property (the
+    # snapshot_compact rule) — a caller-supplied list here would bypass
+    # snapshot_write's type validation and could desync the recorded
+    # property from the sidecars actually built
+    bloom_columns = manifest.get("bloom_columns")
     n_out = max(
         1,
         -(
