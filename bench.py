@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "snapshot_clone_divergence",
     "snapshot_binpack_compact",
     "harmonic_centrality",
+    "gdpr_erasure_audit",
 ]
 
 # ---------------------------------------------------------------------------
@@ -400,6 +401,7 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "snapshot_clone_divergence",
     "snapshot_binpack_compact",
     "harmonic_centrality",
+    "gdpr_erasure_audit",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7683,6 +7683,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "snapshot_clone_divergence",
         "snapshot_binpack_compact",
         "harmonic_centrality",
+        "gdpr_erasure_audit",
     }
 )
 

@@ -10711,3 +10711,104 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten workflow end to end — the compliance
+    composite the snapshot layer's pieces exist FOR, in the order a
+    100 TB deployment runs them:
+
+    1. **Locate & erase**: the target users' rows are removed by a
+       merge-on-read equality delete (snapshots.snapshot_mor_delete) —
+       commit cost O(|erased keys|), never a table rewrite.
+    2. **Verify**: the live read shows zero target rows, while time
+       travel to the pre-erasure snapshot still shows them (the audit
+       trail erasure must NOT silently destroy), and the changelog
+       between the two snapshots reports exactly the removed rows.
+    3. **Materialize & destroy**: compaction folds the delete files
+       into a clean rewrite, expire_snapshots drops the pre-erasure
+       history, and vacuum physically removes the bytes — only now is
+       the data GONE, which is why the erasure SLA clock measures to
+       THIS step, not step 1.
+
+    Counts are oracle-exact from the base arithmetic; the workflow
+    invariants (pre-erasure visibility, zero leakage after vacuum,
+    physical file reclamation) are pinned as booleans."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import (
+        expire_snapshots,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_mor_delete,
+        snapshot_read,
+        snapshot_write,
+        vacuum,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    t = _scratch_dir(sf_dir, "gdpr")
+    base_sid = snapshot_write(ev, t)
+    targets = ev.filter(F.col("user_id") % 37 == 3).select("user_id").distinct()
+    erase_sid = snapshot_mor_delete(spark, t, targets, ["user_id"])
+
+    live = snapshot_read(spark, t)
+    leaked_live = live.filter(F.col("user_id") % 37 == 3).count()
+    pre = snapshot_read(spark, t, snapshot_id=base_sid)
+    pre_visible = pre.filter(F.col("user_id") % 37 == 3).count()
+    removed = (
+        snapshot_changes(
+            spark, t, base_sid, erase_sid, ["event_id"], ["user_id", "v_cents"]
+        )
+        .filter(F.col("diff_status") == "removed")
+        .count()
+    )
+    snapshot_compact(spark, t)  # materialize the deletes physically
+    expire_snapshots(t, keep_last=1)
+    n_reclaimed = vacuum(t)
+    final = snapshot_read(spark, t)
+    return final.agg(
+        F.count("*").cast("long").alias("n_rows_after"),
+        F.sum("v_cents").cast("long").alias("cents_after"),
+        F.countDistinct("user_id").cast("long").alias("users_after"),
+    ).select(
+        "*",
+        F.lit(int(removed)).cast("long").alias("n_erased_rows"),
+        F.lit(leaked_live == 0).alias("zero_leakage"),
+        F.lit(pre_visible == removed and removed > 0).alias(
+            "audit_trail_held"
+        ),
+        F.lit(bool(n_reclaimed > 0)).alias("bytes_reclaimed"),
+    )
+
+
+ORACLE_GDPR_ERASURE_AUDIT = """
+WITH ev AS MATERIALIZED (
+  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+kept AS (SELECT * FROM ev WHERE user_id % 37 != 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+       CAST(SUM(v_cents) AS BIGINT) AS cents_after,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ev WHERE user_id % 37 = 3)
+         AS n_erased_rows,
+       CAST(1 AS BOOLEAN) AS zero_leakage,
+       CAST(1 AS BOOLEAN) AS audit_trail_held,
+       CAST(1 AS BOOLEAN) AS bytes_reclaimed
+FROM kept
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "gdpr_erasure_audit": (
+            q_gdpr_erasure_audit,
+            ORACLE_GDPR_ERASURE_AUDIT,
+            "ext:right-to-be-forgotten workflow (MOR erase → audit → compact+vacuum)",
+        ),
+    }
+)
