@@ -345,6 +345,7 @@ BENCH_QUERIES = [
     "snapshot_binpack_compact",
     "harmonic_centrality",
     "gdpr_erasure_audit",
+    "tiff_ifd_parse",
 ]
 
 # ---------------------------------------------------------------------------
@@ -402,6 +403,7 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "snapshot_binpack_compact",
     "harmonic_centrality",
     "gdpr_erasure_audit",
+    "tiff_ifd_parse",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -354,3 +354,45 @@ def test_wav_riff_synthesize_parse_roundtrip(spark):
     )
     j = wav_riff_metadata(junk).collect()[0]
     assert not j.riff_ok
+
+
+def test_tiff_ifd_walk_matches_struct_reference(spark):
+    """The Catalyst IFD walk must chase the per-file IFD offset and
+    agree with Python's struct on every tag; junk yields tiff_ok=false
+    and big-endian ('MM') TIFFs are flagged not-ok, never parsed as
+    garbage values."""
+    import struct
+
+    from yelp_etl_spark.functions.multimodal import (
+        tiff_ifd_metadata,
+        tiff_synthesize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "pixel payload text " * 5) for i in range(8)],
+        "doc_id long, text string",
+    )
+    blobs = tiff_synthesize(docs)
+    got = {r.doc_id: r for r in tiff_ifd_metadata(blobs).collect()}
+    for r in blobs.collect():
+        b = bytes(r.content)
+        assert b[:4] == b"II*\x00"
+        off = struct.unpack("<I", b[4:8])[0]
+        n = struct.unpack("<H", b[off : off + 2])[0]
+        tags = {}
+        for i in range(n):
+            tag, _t, _c, v = struct.unpack(
+                "<HHII", b[off + 2 + 12 * i : off + 14 + 12 * i]
+            )
+            tags[tag] = v
+        g = got[r.doc_id]
+        assert (g.width, g.height, g.bits, g.strip_bytes) == (
+            tags[256], tags[257], tags[258], tags[279],
+        )
+        assert g.n_entries == n and g.tiff_ok
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"MM\x00*not little endian tiff data here"))],
+        "doc_id long, content binary",
+    )
+    j = tiff_ifd_metadata(junk).collect()[0]
+    assert not j.tiff_ok

@@ -707,3 +707,106 @@ def wav_riff_metadata(
             " AND substring(hx, 17, 8) = '57415645'"
         ).alias("riff_ok"),
     )
+
+
+def tiff_synthesize(
+    df: DataFrame, from_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic little-endian TIFF (the EXIF container format)
+    around text-derived pixel bytes — the image-metadata fixture
+    (fixtures carry no real TIFFs; same convention as the WAV/JPEG/PCM
+    synthesizers). Layout: 'II*\\0' header, a 4-byte IFD offset that
+    VARIES per doc (padding before the IFD, so a parser must chase the
+    offset, not assume byte 9), one IFD with 4 entries — ImageWidth
+    (256), ImageLength (257), BitsPerSample (258), StripByteCounts
+    (279) — each the real 12-byte tag/type/count/value layout, then a
+    zero next-IFD pointer."""
+    did = F.col(id_col)
+    l = F.length(F.col(from_col))
+    width = (did % 64 + 16).cast("long")
+    height = (did % 48 + 8).cast("long")
+    bits = F.lit(16).cast("long")
+    strip = F.least(F.lit(64), l).cast("long")
+    pad = ((did % 8) * 2).cast("long")  # pre-IFD padding: offset varies
+    ifd_off = (F.lit(8) + pad).cast("long")
+
+    def entry(tag: int, value):
+        # tag(2) type(2=SHORT? use 3=SHORT for w/h/bits, 4=LONG for strip)
+        ttype = 4  # LONG everywhere: one layout, value in 4 bytes
+        return F.concat(
+            _le_hex(F.lit(tag).cast("long"), 2),
+            _le_hex(F.lit(ttype).cast("long"), 2),
+            _le_hex(F.lit(1).cast("long"), 4),
+            _le_hex(value, 4),
+        )
+
+    hex_parts = F.concat(
+        F.lit("49492A00"),  # 'II', 42 LE
+        _le_hex(ifd_off, 4),
+        F.repeat(F.lit("00"), pad.cast("int")),
+        _le_hex(F.lit(4).cast("long"), 2),  # entry count
+        entry(256, width),
+        entry(257, height),
+        entry(258, bits),
+        entry(279, strip),
+        _le_hex(F.lit(0).cast("long"), 4),  # next IFD: none
+        F.hex(F.expr(f"substring(encode({from_col}, 'utf-8'), 1, "
+                      f"least(64, length({from_col})))")),
+    )
+    return df.select(F.col(id_col), F.unhex(hex_parts).alias("content"))
+
+
+def tiff_ifd_metadata(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id",
+    max_entries: int = 8,
+) -> DataFrame:
+    """Image metadata from a little-endian TIFF IFD walk — the
+    offset-chasing pattern WAV's linear chunk list doesn't exercise:
+    the header's IFD pointer is read first, the entry count lives AT
+    that offset, and each 12-byte entry is scanned for the wanted
+    tags. Entry scan unrolls to ``max_entries`` slots in pure Catalyst
+    hex arithmetic over the first 256 bytes (bytes touched O(header),
+    the multimodal routing-pass rule); big-endian ('MM') or non-TIFF
+    bytes yield tiff_ok=false rows, never errors.
+
+    Returns (id, width, height, bits, strip_bytes, n_entries,
+    tiff_ok)."""
+
+    def le(pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(conv(substring(hx, ({pos}) + {2 * i}, 2), 16, 10)"
+            f" AS BIGINT) * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    ifd_off = le("9", 4)  # byte 5 (1-indexed) -> hex pos 9
+    ifd_pos = f"(2 * {ifd_off} + 1)"  # byte o+1 -> hex pos 2o+1
+    n_entries = le(ifd_pos, 2)
+
+    def tag_value(tag: int) -> str:
+        # scan the unrolled entry slots; entry i starts at
+        # ifd_pos + 4 (count) + 24*i hex chars
+        slots = []
+        for i in range(max_entries):
+            epos = f"({ifd_pos} + 4 + {24 * i})"
+            slots.append(
+                f"(CASE WHEN {n_entries} > {i}"
+                f" AND {le(epos, 2)} = {tag}"
+                f" THEN {le(f'{epos} + 16', 4)} END)"
+            )
+        return "COALESCE(" + ", ".join(slots) + ", CAST(NULL AS BIGINT))"
+
+    hx = df.select(
+        F.col(id_col),
+        F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+    )
+    return hx.select(
+        id_col,
+        F.expr(tag_value(256)).alias("width"),
+        F.expr(tag_value(257)).alias("height"),
+        F.expr(tag_value(258)).alias("bits"),
+        F.expr(tag_value(279)).alias("strip_bytes"),
+        F.expr(f"CAST({n_entries} AS BIGINT)").alias("n_entries"),
+        F.expr("substring(hx, 1, 8) = '49492A00'").alias("tiff_ok"),
+    )

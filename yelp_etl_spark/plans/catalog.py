@@ -7684,6 +7684,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "snapshot_binpack_compact",
         "harmonic_centrality",
         "gdpr_erasure_audit",
+        "tiff_ifd_parse",
     }
 )
 

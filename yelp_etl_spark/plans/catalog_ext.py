@@ -10812,3 +10812,127 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_tiff_ifd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-container routing pass (multimodal.tiff_ifd_metadata over
+    tiff_synthesize fixtures): little-endian TIFF/EXIF IFD walk — the
+    OFFSET-CHASING metadata pattern the flat WAV chunk list doesn't
+    cover: the header's IFD pointer varies per file (padding before
+    the IFD), the entry count lives at the pointed-to offset, and
+    tags are scanned from unrolled 12-byte entry slots, all in
+    Catalyst hex arithmetic over the first 256 bytes. Aggregated per
+    (bits, width-band) image profile; the oracle REBUILDS the same
+    container hex from the same arithmetic and re-parses it. With
+    JPEG (marker scan), ISO-BMFF (nested box walk, pandas), RIFF
+    (linear chunk walk), and raw PCM, this closes the media-metadata
+    pattern matrix."""
+    from yelp_etl_spark.functions.multimodal import (
+        tiff_ifd_metadata,
+        tiff_synthesize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    meta = tiff_ifd_metadata(tiff_synthesize(docs))
+    return (
+        meta.groupBy(
+            "bits", F.expr("width div 16").cast("long").alias("width_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.col("width") * F.col("height")).cast("long")
+            .alias("pixel_sum"),
+            F.sum("strip_bytes").cast("long").alias("strip_sum"),
+            F.min(F.col("tiff_ok").cast("long")).cast("long")
+            .alias("all_well_formed"),
+        )
+        .orderBy("bits", "width_band")
+    )
+
+
+def _tiff_oracle() -> str:
+    def le_hex(expr: str, nbytes: int) -> str:
+        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+        pairs = ", ".join(
+            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
+        )
+        return f"concat({pairs})"
+
+    def le_int(pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
+            f" * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def entry(tag: int, value_expr: str) -> str:
+        return (
+            f"{le_hex(str(tag), 2)}, {le_hex('4', 2)}, {le_hex('1', 4)}, "
+            f"{le_hex(value_expr, 4)}"
+        )
+
+    synth = (
+        "concat('49492A00', "
+        + le_hex("8 + (doc_id % 8) * 2", 4)
+        + ", repeat('00', (doc_id % 8) * 2), "
+        + le_hex("4", 2) + ", "
+        + entry(256, "doc_id % 64 + 16") + ", "
+        + entry(257, "doc_id % 48 + 8") + ", "
+        + entry(258, "16") + ", "
+        + entry(279, "LEAST(64, length(text))")
+        + ", " + le_hex("0", 4)
+        + ", substr(upper(hex(encode(text))), 1,"
+        "  CAST(2 * LEAST(64, length(text)) AS INT)))"
+    )
+    ifd_off = le_int("9", 4)
+    ifd_pos = f"(2 * {ifd_off} + 1)"
+    n_entries = le_int(ifd_pos, 2)
+
+    def tag_value(tag: int) -> str:
+        slots = []
+        for i in range(8):
+            epos = f"({ifd_pos} + 4 + {24 * i})"
+            slots.append(
+                f"(CASE WHEN {n_entries} > {i} AND {le_int(epos, 2)} = {tag}"
+                f" THEN {le_int(f'{epos} + 16', 4)} END)"
+            )
+        return "COALESCE(" + ", ".join(slots) + ")"
+
+    return f"""
+WITH tiff AS MATERIALIZED (
+  SELECT doc_id, {synth} AS hx
+  FROM documents WHERE doc_id % 4 = 2
+),
+parsed AS MATERIALIZED (
+  SELECT doc_id,
+         {tag_value(256)} AS width,
+         {tag_value(257)} AS height,
+         {tag_value(258)} AS bits,
+         {tag_value(279)} AS strip_bytes,
+         (substr(hx, 1, 8) = '49492A00') AS tiff_ok
+  FROM tiff
+)
+SELECT CAST(bits AS BIGINT) AS bits,
+       CAST(width // 16 AS BIGINT) AS width_band,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(width * height) AS BIGINT) AS pixel_sum,
+       CAST(SUM(strip_bytes) AS BIGINT) AS strip_sum,
+       CAST(MIN(CASE WHEN tiff_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS all_well_formed
+FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLE_TIFF_IFD_PARSE = _tiff_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "tiff_ifd_parse": (
+            q_tiff_ifd_parse,
+            ORACLE_TIFF_IFD_PARSE,
+            "ext:TIFF/EXIF IFD walk (offset-chasing image metadata)",
+        ),
+    }
+)
