@@ -353,8 +353,11 @@ BENCH_QUERIES = [
 # driver's ~590 s envelope — r7 measured 275 s at 282 queries, growing ~15
 # queries/round). Per round we time:
 #   * ANCHORS — headline + one representative per operator family, every
-#     round (the cross-round regression spine);
-#   * NEW_THIS_ROUND — this round's additions (update the set each round);
+#     round (the cross-round regression spine), timed min-of-2 so plan
+#     regressions separate from the proven ±14% machine-noise band;
+#   * NEW_BY_ROUND[round] — that round's additions (keyed by round so stale
+#     entries age out when detect_round advances);
+#   * MEMOIZED_QUERIES — force-included every round (special accounting);
 #   * a rotating third of everything else: crc32(name) % 3 == round % 3, so
 #     every query is timed at least once every 3 consecutive rounds and each
 #     round's slice is deterministic and disjoint.
@@ -378,7 +381,12 @@ ANCHORS = {
     "bloom_bitarray_prune",  # documented fixture-scale worst case
     "cogroup_attribution",   # pandas-cogroup tier
 }
-NEW_THIS_ROUND: set[str] = {  # update each round as queries land
+# Keyed by ROUND (r8 ADVICE: a flat "update me" set silently inflates
+# every later round's subset once forgotten — detect_round auto-advances,
+# so stale entries must age out without a manual edit). A round with no
+# entry simply contributes no "new" picks.
+NEW_BY_ROUND: dict[int, set[str]] = {}
+NEW_BY_ROUND[8] = {
     "isotonic_calibration",
     "holt_linear_trend",
     "seasonal_naive_backtest",
@@ -405,6 +413,7 @@ NEW_THIS_ROUND: set[str] = {  # update each round as queries land
     "gdpr_erasure_audit",
     "tiff_ifd_parse",
 }
+NEW_BY_ROUND[9] = set()  # extended in place as round-9 queries land
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the
 # docstring declares amortized at scale (today: pagerank_dict_ids' dictionary
@@ -436,14 +445,20 @@ def select_queries(round_no: int, full: bool) -> dict[str, str]:
     """{query: selection_reason} for this round's timed set."""
     import zlib
 
+    new_this_round = NEW_BY_ROUND.get(round_no, set())
     sel: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if full:
             sel[name] = "full"
         elif name in ANCHORS:
             sel[name] = "anchor"
-        elif name in NEW_THIS_ROUND:
+        elif name in new_this_round:
             sel[name] = "new"
+        elif name in MEMOIZED_QUERIES:
+            # force-included every round (r8 VERDICT #4): their memo
+            # accounting is special by construction, so the number that
+            # demonstrates it must exist in every BENCH_DETAIL
+            sel[name] = "memoized"
         elif zlib.crc32(name.encode()) % 3 == round_no % 3:
             sel[name] = "rotation"
     return sel
@@ -489,6 +504,7 @@ def main() -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
 
     timings: dict[str, float] = {}
+    min_of: dict[str, int] = {}
     warmup_failures: list[str] = []
     for qi, name in enumerate(selected):
         if qi % 4 == 0:
@@ -513,36 +529,41 @@ def main() -> None:
                     f"({warmup_failures}) — the timed numbers would be "
                     "cold-run and not comparable across rounds"
                 )
+        # anchors time min-of-2 (r8 VERDICT #3: a single timed run has
+        # ±14% machine noise — proven builder 164.0 s vs driver 187.0 s
+        # on identical code+subset — so the ~29-query regression
+        # tripwire needs min-of-k to trip on plans, not load); the rest
+        # stay warmup+runs to hold the subset under the driver envelope
+        q_runs = max(runs, 2) if name in ANCHORS else runs
         best = None
-        for _ in range(runs):
+        for _ in range(q_runs):
             t0 = time.time()
             df = QUERIES[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        min_of[name] = q_runs
 
     # the reference-workload-shaped number: one end-to-end medallion run
-    # (extract×5 → clean×5 → enrich×3 → gold) at the target SF. When
-    # medallion_gold_parity was in this round's timed set its timed run
-    # ALREADY executed the full pipeline at the target SF (plus a tiny
-    # per-segment rollup) — reuse that wall instead of paying the
-    # suite's heaviest workload twice toward the driver's envelope.
-    if "medallion_gold_parity" in timings:
-        pipeline_seconds = timings["medallion_gold_parity"]
-    else:
-        import shutil
-        import tempfile
+    # (extract×5 → clean×5 → enrich×3 → gold) at the target SF. ALWAYS
+    # measured as a standalone run_medallion wall (r8 ADVICE: reusing
+    # medallion_gold_parity's timed wall when that query happened to be
+    # in the subset mixed in its oracle rollup, so the headline pipeline
+    # metric wasn't measured consistently across rounds). ~12 s at
+    # sf0.1 — cheap insurance for a cross-round-comparable headline.
+    import shutil
+    import tempfile
 
-        from yelp_etl_spark.plans.pipelines import run_medallion
+    from yelp_etl_spark.plans.pipelines import run_medallion
 
-        med_root = tempfile.mkdtemp(prefix="bench_medallion_")
-        try:
-            t0 = time.time()
-            run_medallion(spark, sf_dir, med_root)
-            pipeline_seconds = round(time.time() - t0, 3)
-        finally:
-            shutil.rmtree(med_root, ignore_errors=True)
+    med_root = tempfile.mkdtemp(prefix="bench_medallion_")
+    try:
+        t0 = time.time()
+        run_medallion(spark, sf_dir, med_root)
+        pipeline_seconds = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(med_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     # Full per-query map goes to a detail file; the printed line stays
@@ -558,8 +579,11 @@ def main() -> None:
         "subset_rule": "full" if full else "anchors+new+crc32%3==round%3",
         "n_catalog": len(BENCH_QUERIES),
         "pipeline_seconds": pipeline_seconds,
+        "pipeline_path": "standalone_run_medallion",
+        "min_of": min_of,
+        "anchor_min_of": max(runs, 2),
         "sf": sf,
-        "runs_per_query": f"warmup+{runs}",
+        "runs_per_query": f"warmup+{runs} (anchors min-of-{max(runs, 2)})",
         "warmup_failures": warmup_failures,
         "aggregation": "min",
     }
@@ -585,7 +609,7 @@ def main() -> None:
                 "pipeline_seconds": pipeline_seconds,
                 "seconds_per_query": round(total / max(1, len(timings)), 3),
                 "sf": sf,
-                "runs_per_query": f"warmup+{runs}",
+                "runs_per_query": f"warmup+{runs} (anchors min-of-{max(runs, 2)})",
                 "n_warmup_failures": len(warmup_failures),
                 "aggregation": "min",
                 "detail": "BENCH_DETAIL.json",

@@ -634,11 +634,37 @@ def isotonic_fit(
     map-side-combinable groupBy; everything here runs on B<=~100 rows
     (B^2 pairs ~ 10^4), a constant-cost tail stage. Returns
     (order_column, n, pos, rate_q, iso_q) with iso_q nondecreasing.
+
+    Input contract: every bin must have count n > 0 — enforced loudly
+    (the n projection routes zero/negative/NULL counts through
+    raise_error). A zero-count bin would make every [j..k] range that
+    is exactly that bin divide by zero; the resulting NULL mean would
+    be silently SKIPPED by the minimax windows, so iso_q for nearby
+    buckets would deviate from the PAVA definition instead of failing.
+    Callers with sparse score buckets must drop or coalesce empty bins
+    before the fit (the groupBy producing the bins never emits them
+    anyway unless the caller outer-joins a bucket spine).
     """
+    n_raw = F.col(count_column).cast("long")
+    n_checked = F.when(n_raw > 0, n_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "isotonic_fit: every bin needs count n > 0 (empty bins "
+                    "break the PAVA range means); got "
+                ),
+                F.coalesce(n_raw.cast("string"), F.lit("NULL")),
+                F.lit(" at bucket "),
+                F.coalesce(
+                    F.col(order_column).cast("string"), F.lit("NULL")
+                ),
+            )
+        )
+    )
     b = bins.select(
         F.col(order_column).alias("bucket"),
         F.col(pos_column).cast("long").alias("pos"),
-        F.col(count_column).cast("long").alias("n"),
+        n_checked.alias("n"),
     )
     w_ord = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0

@@ -132,9 +132,13 @@ def point_in_polygon_join(
     sign((x1-px)*(y2-y1) + (x2-x1)*(py-y1)) == sign(y2-y1), i.e.
     ``num * (y2 - y1) > 0``, one exact integer cross product, no
     division. Callers must keep point ordinates off the vertex
-    ordinates (e.g. even polygon coords, odd point coords) so the
-    horizontal-ray-through-vertex case never arises — validated here,
-    not silently wrong. A point lying exactly ON a vertical edge's
+    ordinates (even polygon coords, odd point coords) so the
+    horizontal-ray-through-vertex case never arises — validated here
+    on BOTH sides, not silently wrong: polygon vertices are checked
+    driver-side at plan-build (they are literals), and the point side
+    is checked DISTRIBUTED — the __py projection routes any even point
+    y-ordinate through raise_error, so a violating input fails the job
+    loudly at execution instead of returning ambiguous parity. A point lying exactly ON a vertical edge's
     line (num == 0) contributes no crossing from that edge; its
     containment then resolves deterministically from the remaining
     edges (strict-inequality convention, identical on both engines —
@@ -178,11 +182,27 @@ def point_in_polygon_join(
     straddle = (e.y1 <= py) != (e.y2 <= py)
     num = (e.x1 - px) * (e.y2 - e.y1) + (e.x2 - e.x1) * (py - e.y1)
     crosses = straddle & (num * (e.y2 - e.y1) > 0)
+    # distributed point-side parity guard (the polygon twin of the
+    # driver-side even-vertex check above): % follows the dividend in
+    # Spark, so `% 2 == 0` catches even negatives too
+    py_raw = F.col(y).cast("long")
+    py_checked = F.when(py_raw.isNull() | (py_raw % 2 != 0), py_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "point_in_polygon_join: point y-ordinate must be odd "
+                    "(polygon vertices use even) to keep the horizontal "
+                    "ray off every vertex; got "
+                ),
+                py_raw.cast("string"),
+            )
+        )
+    )
     return (
         points.select(
             F.col(point_id),
             F.col(x).cast("long").alias("__px"),
-            F.col(y).cast("long").alias("__py"),
+            py_checked.alias("__py"),
             F.explode(edges).alias("__e"),
         )
         .filter(

@@ -1762,10 +1762,17 @@ def snapshot_merge_3way(
     merge instead of being silently projected away.
 
     Durability ordering when the branch is staged: the merged data
-    files are fully written FIRST, the staged manifest is retired only
-    then, and the commit is the final atomic manifest link — a crash
-    at any point leaves either the staged branch intact (plus orphan
-    files for vacuum) or the merge durable; never both gone.
+    files are fully written FIRST; then ONE atomic os.replace swaps
+    the staged branch manifest's file for a STAGED merge manifest
+    reusing the same snapshot id (a stage holds parent+1 exclusively,
+    so the id is free to reuse); then the normal snapshot_publish tail
+    (pointer swap, idempotent flag clear) commits it. There is no
+    instant where neither manifest exists: before the replace the
+    branch is intact, after it a staged merge is on disk (resumable
+    via snapshot_publish), after the pointer swap the merge is
+    committed. The branch's own data files become unreferenced at the
+    replace and are reclaimed by vacuum, exactly as an abandon would
+    leave them.
 
     Execution: two keyed full-outer joins (base⟗ours⟗theirs) on the
     merge keys + one CASE projection — the standard three-scan keyed
@@ -1859,13 +1866,22 @@ def snapshot_merge_3way(
         return snapshot_write(
             merged, table_dir, mode="replace", partition_by=spec
         )
-    # staged branch: durable-first consume (see docstring) — write the
-    # merged data files, retire the staged manifest, then one atomic
-    # manifest link reusing the id the stage held
+    # staged branch: atomic consume (see docstring) — merged data
+    # files first, then os.replace the staged branch manifest with a
+    # STAGED merge manifest reusing its id, then the publish tail.
+    # Never abandon-then-commit: a crash between those two steps would
+    # leave BOTH the branch and the merge as unreferenced orphans.
     bloom = parent_manifest.get("bloom_columns")
     new_files = _write_data_files(merged, table_dir, spec, bloom)
-    snapshot_abandon(table_dir, theirs_id)
     snapshot_id = (parent or 0) + 1
+    if theirs_id != snapshot_id:
+        # a stage holds parent+1 exclusively (snapshot_write refuses
+        # concurrent commits while it exists), so anything else means
+        # external manifest surgery — refuse rather than clobber
+        raise ValueError(
+            f"staged branch {theirs_id} does not sit directly above "
+            f"the pointer ({parent}): refusing in-place consume"
+        )
     for e in new_files:
         e["seq"] = snapshot_id
     manifest = {
@@ -1874,12 +1890,18 @@ def snapshot_merge_3way(
         "operation": "replace",
         "schema": merged.schema.json(),
         "files": new_files,
+        "staged": True,
     }
     if spec:
         manifest["partition_by"] = spec
     if bloom:
         manifest["bloom_columns"] = bloom
-    return _commit_manifest(table_dir, manifest)
+    mpath = _manifest_path(table_dir, snapshot_id)
+    tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, mpath)
+    return snapshot_publish(table_dir, snapshot_id)
 
 
 def snapshot_clone(src_dir: str, dst_dir: str) -> int:
