@@ -45,60 +45,53 @@ def test_driver_window_entries_all_oracle_checked():
     )
 
 
-def test_driver_window_r8_rotation_goals():
-    # r7 VERDICT task 1: the 11 never-driver-checked round-7 queries
-    # all enter (closing cumulative coverage at the full catalog),
-    # plus the standing regression guards and the round-8 additions.
+def test_driver_window_r9_rotation_goals():
+    # r8 VERDICT task 1: the 15 never-driver-checked round-8 queries
+    # (the r8 _NEXT_ROTATION_POOL seed) all enter, closing cumulative
+    # driver coverage at the full catalog, plus the standing guards.
     must_have = {
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
         "map_hof",
         "quantize_embeddings",
         "flagship_revenue",
-        # the 11 never-checked round-7 rows
-        "gold_pipeline_rollup",
-        "snapshot_spec_evolution",
-        "spatial_radius_join",
-        "theil_sen_slope",
-        "ols_normal_equations",
-        "random_walks",
-        "binaryfile_scan_roundtrip",
-        "cdc_apply",
-        "snapshot_cluster_compact",
-        "cdc_apply_out_of_order",
-        "stream_cdc_apply",
-        # round-8 additions enter immediately
-        "isotonic_calibration",
-        "holt_linear_trend",
-        "seasonal_naive_backtest",
-        "point_in_polygon_join",
-        "adamic_adar_linkpred",
-        "event_seq_regex",
-        "text_scan_roundtrip",
-        "grouped_kfold_assign",
-        "hll_mergeable_checked",
-        "medallion_gold_parity",
+        # the 15 never-checked round-8 rows
+        "log_rank_test",
+        "ari_cluster_agreement",
+        "anova_f_test",
+        "window_funnel_timed",
+        "rake_keyphrases",
+        "stream_left_join_expiry",
+        "changepoint_binary_seg",
+        "wav_riff_parse",
+        "snapshot_branch_merge",
+        "cms_join_size_estimate",
+        "snapshot_clone_divergence",
+        "snapshot_binpack_compact",
+        "harmonic_centrality",
+        "gdpr_erasure_audit",
+        "tiff_ifd_parse",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
 def test_window_closes_cumulative_driver_coverage():
-    # r7 VERDICT task 1: window ∪ previously-checked must cover the
+    # r8 VERDICT task 1: window ∪ previously-checked must cover the
     # ENTIRE catalog — after this round no query has ever been skipped
     # by the driver. Derive "previously checked" from the recorded
-    # CORRECTNESS_r0{1..7}.json files themselves.
+    # CORRECTNESS_r0{1..8}.json files themselves.
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1234567].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json")):
         checked |= set(json.load(open(path)))
-    assert checked, "expected CORRECTNESS_r0{1..7}.json at repo root"
+    assert checked, "expected CORRECTNESS_r0{1..8}.json at repo root"
     first_time = [n for n in _DRIVER_WINDOW if n not in checked]
-    # 11 never-checked round-7 rows + 10 round-8 additions
-    assert len(first_time) >= 21, (
+    # the 15 never-checked round-8 rows (+ round-9 additions as they land)
+    assert len(first_time) >= 15, (
         f"only {len(first_time)} first-time rows: {first_time}"
     )
     from yelp_etl_spark.plans.catalog import _NEXT_ROTATION_POOL

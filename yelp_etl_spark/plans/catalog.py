@@ -7607,86 +7607,73 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # under the local parity gate (scripts/check_parity.py runs ALL
 # queries).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- the 11 never-driver-checked round-7 queries ----
-    "gold_pipeline_rollup",
-    "snapshot_spec_evolution",
-    "spatial_radius_join",
-    "theil_sen_slope",
-    "ols_normal_equations",
-    "random_walks",
-    "binaryfile_scan_roundtrip",
-    "cdc_apply",
-    "snapshot_cluster_compact",
-    "cdc_apply_out_of_order",
-    "stream_cdc_apply",
-    # ---- round-8 additions (driver-checked immediately) ----
-    "isotonic_calibration",
-    "holt_linear_trend",
-    "seasonal_naive_backtest",
-    "point_in_polygon_join",
-    "adamic_adar_linkpred",
-    "event_seq_regex",
-    "text_scan_roundtrip",
-    "grouped_kfold_assign",
-    "hll_mergeable_checked",
-    "medallion_gold_parity",
+    # ---- the 15 never-driver-checked round-8 queries (the r8 seed
+    # pool, VERDICT r8 task #1 — all 15 passed the judge's independent
+    # sf0.01 parity in round 8, so this is pure confirmation; closes
+    # cumulative driver coverage at 307/307) ----
+    "log_rank_test",
+    "ari_cluster_agreement",
+    "anova_f_test",
+    "window_funnel_timed",
+    "rake_keyphrases",
+    "stream_left_join_expiry",
+    "changepoint_binary_seg",
+    "wav_riff_parse",
+    "snapshot_branch_merge",
+    "cms_join_size_estimate",
+    "snapshot_clone_divergence",
+    "snapshot_binpack_compact",
+    "harmonic_centrality",
+    "gdpr_erasure_audit",
+    "tiff_ifd_parse",
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
-    # ---- regression anchors (multi-round driver-green, one per
-    # family, rotated vs the r7 anchor picks) ----
-    "pricing_summary",
-    "enrich_obt",
-    "tpch_q9_profit",
-    "window_topk",
-    "rollup_orders",
-    "asof_join",
-    "range_join",
-    "cosine_topk",
-    "dedup_exact",
-    "minhash_portable",
-    "hll_portable",
-    "bpe_encode_tokens",
-    "duplicate_spans_pruned",
-    "neardup_components",
-    "lang_id",
-    "tfidf_top_terms",
-    "bm25_search",
-    "sessionize_gaps",
-    "funnel_conversion",
-    "kaplan_meier",
-    "psi_drift",
-    "logreg_weights",
-    "sssp_weighted",
-    "triangle_count",
-    "snapshot_rollback",
+    # ---- regression anchors: the LEAST-RECENTLY driver-checked
+    # oracle rows (all last seen r1/r2), so guard coverage rotates
+    # toward the stalest greens instead of re-confirming fresh ones.
+    # Round-9 additions displace the tail of this list as they land.
+    "cross_join",
+    "cube_lineitem",
+    "date_arith",
+    "embedding_neardup",
+    "embedding_norms",
+    "grouping_sets",
+    "in_subquery",
+    "stats_aggs",
+    "unpivot_measures",
+    "window_ranking2",
+    "array_access",
+    "bitmap_distinct",
+    "case_when_tiers",
+    "date_features",
+    "distinct_counts",
+    "events_tumbling_window",
+    "explode_tokens",
+    "filter_project",
+    "flatten_struct",
+    "join_left_counts",
+    "join_semi_anti",
+    "json_map_extract",
+    "math_funcs",
+    "pivot_status",
+    "regex_clean",
+    "session_window",
+    "set_ops",
+    "sliding_window",
+    "sort_limit_topk",
+    "string_funcs",
+    "text_stats",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
-# rotation (the r6→r7→r8 pattern). The first ten round-8 additions
-# entered the window directly; these later round-8 additions are the
-# declared r9 seed.
-_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
-    {
-        "log_rank_test",
-        "ari_cluster_agreement",
-        "anova_f_test",
-        "window_funnel_timed",
-        "rake_keyphrases",
-        "stream_left_join_expiry",
-        "changepoint_binary_seg",
-        "wav_riff_parse",
-        "snapshot_branch_merge",
-        "cms_join_size_estimate",
-        "snapshot_clone_divergence",
-        "snapshot_binpack_compact",
-        "harmonic_centrality",
-        "gdpr_erasure_audit",
-        "tiff_ifd_parse",
-    }
-)
+# rotation (the r6→r7→r8→r9 pattern). The r8 seed (15 late round-8
+# additions) was consumed by the r9 window above; round-9 additions
+# enter the window directly while slots remain, and any landing after
+# the freeze are declared here as the r10 seed.
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset()
 
 
 QUERIES: dict[str, QuerySpec] = {
