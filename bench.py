@@ -346,6 +346,9 @@ BENCH_QUERIES = [
     "harmonic_centrality",
     "gdpr_erasure_audit",
     "tiff_ifd_parse",
+    # round-9 additions
+    "png_ihdr_parse",
+    "jpeg_sof_parse",
 ]
 
 # ---------------------------------------------------------------------------
@@ -413,7 +416,10 @@ NEW_BY_ROUND[8] = {
     "gdpr_erasure_audit",
     "tiff_ifd_parse",
 }
-NEW_BY_ROUND[9] = set()  # extended in place as round-9 queries land
+NEW_BY_ROUND[9] = {
+    "png_ihdr_parse",
+    "jpeg_sof_parse",
+}
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the
 # docstring declares amortized at scale (today: pagerank_dict_ids' dictionary

@@ -396,3 +396,85 @@ def test_tiff_ifd_walk_matches_struct_reference(spark):
     )
     j = tiff_ifd_metadata(junk).collect()[0]
     assert not j.tiff_ok
+
+
+def test_png_chunk_walk_matches_struct_reference(spark):
+    import struct
+
+    from yelp_etl_spark.functions.multimodal import (
+        png_chunk_metadata,
+        png_synthesize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "idat payload text " * 4) for i in range(12)],
+        "doc_id long, text string",
+    )
+    blobs = png_synthesize(docs)
+    got = {r.doc_id: r for r in png_chunk_metadata(blobs).collect()}
+    for r in blobs.collect():
+        b = bytes(r.content)
+        assert b[:8] == bytes.fromhex("89504E470D0A1A0A")
+        assert b[12:16] == b"IHDR"
+        w, h = struct.unpack(">II", b[16:24])
+        bd, ct = b[24], b[25]
+        # reference chunk walk from the first post-IHDR chunk
+        i, idat = 33, None
+        while i + 8 <= len(b):
+            ln = struct.unpack(">I", b[i : i + 4])[0]
+            if b[i + 4 : i + 8] == b"IDAT":
+                idat = (ln, i + 1)
+                break
+            i += 12 + ln
+        g = got[r.doc_id]
+        assert (g.width, g.height, g.bit_depth, g.color_type) == (
+            w, h, bd, ct,
+        )
+        assert (g.idat_bytes, g.idat_offset) == idat and g.png_ok
+    # tEXt padding varies per doc → the walk chased real offsets
+    assert len({g.idat_offset for g in got.values()}) > 1
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"GIF89a definitely not a png stream"))],
+        "doc_id long, content binary",
+    )
+    assert not png_chunk_metadata(junk).collect()[0].png_ok
+
+
+def test_jpeg_sof_walk_matches_marker_scan_reference(spark):
+    import struct
+
+    from yelp_etl_spark.functions.multimodal import (
+        jpeg_sof_metadata,
+        jpeg_synthesize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "entropy payload " * 3) for i in range(12)],
+        "doc_id long, text string",
+    )
+    blobs = jpeg_synthesize(docs)
+    got = {r.doc_id: r for r in jpeg_sof_metadata(blobs).collect()}
+    for r in blobs.collect():
+        b = bytes(r.content)
+        assert b[:2] == b"\xff\xd8"
+        i, sof = 2, None
+        while i + 4 <= len(b) and sof is None:
+            assert b[i] == 0xFF
+            m = b[i + 1]
+            ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                sof = (b[i + 4], h, w, b[i + 9], m)
+            i += 2 + ln
+        g = got[r.doc_id]
+        assert (
+            g.precision, g.height, g.width, g.n_components, g.sof_marker,
+        ) == sof
+        assert g.jpeg_ok
+    # both component layouts exercised (grayscale + YCbCr)
+    assert {g.n_components for g in got.values()} == {1, 3}
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"\x89PNG\r\n\x1a\nnope"))],
+        "doc_id long, content binary",
+    )
+    assert not jpeg_sof_metadata(junk).collect()[0].jpeg_ok

@@ -810,3 +810,240 @@ def tiff_ifd_metadata(
         F.expr(f"CAST({n_entries} AS BIGINT)").alias("n_entries"),
         F.expr("substring(hx, 1, 8) = '49492A00'").alias("tiff_ok"),
     )
+
+
+def _be_hex(col, nbytes: int):
+    """Big-endian hex rendering of an integer column (2·nbytes hex
+    chars) — PNG/JPEG network byte order, the trivial rendering (hex
+    is already big-endian); the LE formats byte-swap via _le_hex."""
+    return F.lpad(F.hex(col), 2 * nbytes, "0")
+
+
+def png_synthesize(
+    df: DataFrame, from_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PNG container around text-derived IDAT bytes —
+    the image-ingest fixture for the network-byte-order chunk family
+    (fixtures carry no real PNGs; same convention as the WAV/TIFF/PCM
+    synthesizers). Layout: the 8-byte signature, the spec-mandated
+    IHDR first chunk (width/height/bit-depth/color-type varying per
+    doc), a VARIABLE-LENGTH tEXt chunk (per-doc padding, so the IDAT
+    offset differs per file and a parser must chase the BIG-ENDIAN
+    declared lengths), IDAT with up to 64 payload bytes, then IEND.
+    Chunk CRCs are deterministic fillers — the parser never verifies
+    them (neither does any metadata-routing pass; full CRC checking
+    belongs to the decode stage this pass routes TO)."""
+    did = F.col(id_col)
+    l = F.length(F.col(from_col))
+    width = (did % 96 + 32).cast("long")
+    height = (did % 64 + 16).cast("long")
+    bit_depth = ((did % 5 % 2 + 1) * 8).cast("long")  # 8 or 16
+    color_type = F.when(did % 3 == 0, F.lit(0)).otherwise(F.lit(2)).cast("long")
+    pad = ((did % 10) * 2).cast("long")  # tEXt data length: varies
+    datasz = F.least(F.lit(64), l).cast("long")
+    hex_parts = F.concat(
+        F.lit("89504E470D0A1A0A"),          # signature
+        _be_hex(F.lit(13).cast("long"), 4),  # IHDR length
+        F.lit("49484452"),                   # 'IHDR'
+        _be_hex(width, 4),
+        _be_hex(height, 4),
+        _be_hex(bit_depth, 1),
+        _be_hex(color_type, 1),
+        F.lit("000000"),                     # compression/filter/interlace
+        _be_hex((width * 31 + height).cast("long"), 4),  # filler CRC
+        _be_hex(pad, 4),                     # tEXt length (varies)
+        F.lit("74455874"),                   # 'tEXt'
+        F.repeat(F.lit("20"), pad.cast("int")),
+        F.lit("00000000"),                   # tEXt CRC filler
+        _be_hex(datasz, 4),                  # IDAT length
+        F.lit("49444154"),                   # 'IDAT'
+        F.hex(F.expr(
+            f"substring(encode({from_col}, 'utf-8'), 1, "
+            f"least(64, length({from_col})))"
+        )),
+        F.lit("00000000"),                   # IDAT CRC filler
+        _be_hex(F.lit(0).cast("long"), 4),   # IEND length
+        F.lit("49454E44"),                   # 'IEND'
+        F.lit("AE426082"),                   # IEND CRC (constant per spec)
+    )
+    return df.select(F.col(id_col), F.unhex(hex_parts).alias("content"))
+
+
+def png_chunk_metadata(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id",
+    max_chunks: int = 6,
+) -> DataFrame:
+    """Image metadata from a PNG chunk walk — the BIG-ENDIAN sibling
+    of wav_riff_metadata's little-endian chunk list: IHDR fields sit
+    at spec-fixed offsets (PNG mandates IHDR first, so width/height/
+    bit-depth/color-type are genuinely fixed-offset — that's the
+    format, not a shortcut), but the IDAT offset is found by WALKING
+    the chunk chain from the first post-IHDR chunk, chasing each
+    chunk's declared big-endian length (+12 bytes of length/type/CRC
+    framing), unrolled to ``max_chunks`` Catalyst slots. Arithmetic
+    runs on ``hex(substring(content, 1, 256))`` — bytes touched stay
+    O(header) however large the image, the multimodal routing-pass
+    rule. Non-PNG bytes yield png_ok=false rows, never errors.
+
+    Returns (id, width, height, bit_depth, color_type, idat_bytes,
+    idat_offset [1-indexed byte position of the chunk's length field],
+    png_ok)."""
+
+    def be(pos: str, nbytes: int) -> str:
+        return (
+            f"CAST(conv(substring(hx, ({pos}), {2 * nbytes}), 16, 10)"
+            f" AS BIGINT)"
+        )
+
+    # signature = 16 hex chars; IHDR chunk = 8 (len) + 8 (type) + 26
+    # (13 data bytes) + 8 (crc) = 50 → first walked chunk at hex 67
+    first = "67"
+    pos_expr = first
+    idat_len_slots: list[str] = []
+    idat_pos_slots: list[str] = []
+    for _ in range(max_chunks):
+        is_idat = f"substring(hx, ({pos_expr}) + 8, 8) = '49444154'"
+        idat_len_slots.append(
+            f"(CASE WHEN {is_idat} THEN {be(pos_expr, 4)} END)"
+        )
+        idat_pos_slots.append(
+            f"(CASE WHEN {is_idat} THEN (({pos_expr}) + 1) div 2 END)"
+        )
+        # next chunk: 24 hex framing + 2·declared-length hex data
+        pos_expr = f"(({pos_expr}) + 24 + 2 * {be(pos_expr, 4)})"
+    idat_bytes = "COALESCE(" + ", ".join(idat_len_slots) + ")"
+    idat_offset = "COALESCE(" + ", ".join(idat_pos_slots) + ")"
+    hx = df.select(
+        F.col(id_col),
+        F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+    )
+    return hx.select(
+        id_col,
+        F.expr(be("33", 4)).alias("width"),
+        F.expr(be("41", 4)).alias("height"),
+        F.expr(be("49", 1)).alias("bit_depth"),
+        F.expr(be("51", 1)).alias("color_type"),
+        F.expr(idat_bytes).alias("idat_bytes"),
+        F.expr(idat_offset).alias("idat_offset"),
+        F.expr(
+            "substring(hx, 1, 16) = '89504E470D0A1A0A'"
+            " AND substring(hx, 25, 8) = '49484452'"
+        ).alias("png_ok"),
+    )
+
+
+def jpeg_synthesize(
+    df: DataFrame, from_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic baseline JPEG/JFIF header around text-derived
+    entropy bytes — the marker-segment fixture (fixtures carry no real
+    JPEGs; same convention as the PNG/WAV/TIFF synthesizers). Layout:
+    SOI, the canonical 16-byte APP0/JFIF segment, a VARIABLE-LENGTH
+    COM segment (per-doc padding, so SOF0's offset differs per file
+    and a parser must chase the big-endian segment lengths — which,
+    unlike PNG/RIFF chunk lengths, INCLUDE the 2-byte length field
+    itself), an SOF0 frame header carrying precision/height/width and
+    a per-doc component count (1=grayscale or 3=YCbCr with real
+    per-component sampling/quant bytes), then EOI."""
+    did = F.col(id_col)
+    height = (did % 200 + 16).cast("long")
+    width = (did % 160 + 24).cast("long")
+    ncomp = (did % 2 * 2 + 1).cast("long")  # 1 or 3
+    pad = ((did % 9) * 2).cast("long")
+    comp = F.concat(
+        F.lit("01"), F.lit("11"), F.lit("00"),  # id, 1x1 sampling, qtable 0
+        F.when(
+            ncomp == 3, F.lit("021100" "031100")
+        ).otherwise(F.lit("")),
+    )
+    hex_parts = F.concat(
+        F.lit("FFD8"),                            # SOI
+        F.lit("FFE0"), _be_hex(F.lit(16).cast("long"), 2),  # APP0 len
+        F.lit("4A46494600"),                      # 'JFIF\0'
+        F.lit("0101"),                            # version 1.1
+        F.lit("00"), F.lit("0048"), F.lit("0048"),  # units, 72x72 dpi
+        F.lit("0000"),                            # no thumbnail
+        F.lit("FFFE"), _be_hex(pad + 2, 2),       # COM len (incl itself)
+        F.repeat(F.lit("20"), pad.cast("int")),
+        F.lit("FFC0"), _be_hex(ncomp * 3 + 8, 2),  # SOF0 len
+        F.lit("08"),                              # precision
+        _be_hex(height, 2),
+        _be_hex(width, 2),
+        _be_hex(ncomp, 1),
+        comp,
+        F.hex(F.expr(
+            f"substring(encode({from_col}, 'utf-8'), 1, "
+            f"least(32, length({from_col})))"
+        )),
+        F.lit("FFD9"),                            # EOI
+    )
+    return df.select(F.col(id_col), F.unhex(hex_parts).alias("content"))
+
+
+def jpeg_sof_metadata(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id",
+    max_segments: int = 6,
+) -> DataFrame:
+    """JPEG frame metadata from a marker-segment walk in pure Catalyst
+    hex arithmetic — the fixed-unroll twin of jpeg_dimensions (which
+    stays the mapInPandas fallback for wild files whose marker chains
+    exceed any fixed unroll: thumbnails-in-APP1, multi-APPn stacks).
+    From SOI, each slot reads the marker and its big-endian declared
+    length (INCLUSIVE of the length field — JPEG's rule, unlike
+    PNG/RIFF) and either recognizes a start-of-frame marker
+    (FFC0–FFCF minus the C4/C8/CC non-frame codes, the same family
+    rule jpeg_dimensions applies) or hops ``2 + length`` bytes to the
+    next marker. Runs on the first 256 bytes only; non-JPEG bytes
+    yield jpeg_ok=false rows, never errors.
+
+    Returns (id, precision, height, width, n_components, sof_marker
+    [the numeric second marker byte, 192..207 — distinguishes
+    baseline/progressive/lossless], jpeg_ok)."""
+
+    def be(pos: str, nbytes: int) -> str:
+        return (
+            f"CAST(conv(substring(hx, ({pos}), {2 * nbytes}), 16, 10)"
+            f" AS BIGINT)"
+        )
+
+    pos_expr = "5"  # first marker after SOI: byte 3 → hex pos 5
+    field_slots: dict[str, list[str]] = {
+        "precision": [], "height": [], "width": [],
+        "n_components": [], "sof_marker": [],
+    }
+    for _ in range(max_segments):
+        mbyte = be(f"({pos_expr}) + 2", 1)
+        is_sof = (
+            f"(substring(hx, ({pos_expr}), 2) = 'FF'"
+            f" AND {mbyte} BETWEEN 192 AND 207"
+            f" AND {mbyte} NOT IN (196, 200, 204))"
+        )
+        field_slots["sof_marker"].append(
+            f"(CASE WHEN {is_sof} THEN {mbyte} END)"
+        )
+        field_slots["precision"].append(
+            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 8', 1)} END)"
+        )
+        field_slots["height"].append(
+            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 10', 2)} END)"
+        )
+        field_slots["width"].append(
+            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 14', 2)} END)"
+        )
+        field_slots["n_components"].append(
+            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 18', 1)} END)"
+        )
+        # hop: marker (2 bytes) + declared length (includes len field)
+        pos_expr = f"(({pos_expr}) + 4 + 2 * {be(f'({pos_expr}) + 4', 2)})"
+    hx = df.select(
+        F.col(id_col),
+        F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+    )
+    return hx.select(
+        id_col,
+        *[
+            F.expr("COALESCE(" + ", ".join(slots) + ")").alias(name)
+            for name, slots in field_slots.items()
+        ],
+        F.expr("substring(hx, 1, 4) = 'FFD8'").alias("jpeg_ok"),
+    )

@@ -7664,8 +7664,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "set_ops",
     "sliding_window",
     "sort_limit_topk",
-    "string_funcs",
-    "text_stats",
+    # ---- round-9 additions enter immediately ----
+    "png_ihdr_parse",
+    "jpeg_sof_parse",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next

@@ -10936,3 +10936,240 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round 9: PNG chunk walk + JPEG SOF marker walk (closing the
+# image-container routing family beside WAV/RIFF, TIFF/EXIF, ISO-BMFF)
+# --------------------------------------------------------------------------
+
+
+def q_png_ihdr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-container routing pass (multimodal.png_chunk_metadata over
+    png_synthesize fixtures): the BIG-ENDIAN chunk-list walk — IHDR
+    fields at the spec-mandated fixed offsets, then a chunk chain walk
+    chasing each declared length (+12 framing bytes) to locate IDAT
+    past a variable-length tEXt chunk, all in Catalyst hex arithmetic
+    over the first 256 bytes. Aggregated per (bit_depth, color_type)
+    image profile with the IDAT offset spread proving the walk chased
+    real per-file offsets; the oracle rebuilds the identical container
+    hex in SQL and re-parses it."""
+    from yelp_etl_spark.functions.multimodal import (
+        png_chunk_metadata,
+        png_synthesize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    meta = png_chunk_metadata(png_synthesize(docs))
+    return (
+        meta.groupBy("bit_depth", "color_type")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.col("width") * F.col("height")).cast("long")
+            .alias("pixel_sum"),
+            F.sum("idat_bytes").cast("long").alias("idat_sum"),
+            F.min("idat_offset").cast("long").alias("min_idat_offset"),
+            F.max("idat_offset").cast("long").alias("max_idat_offset"),
+            F.min(F.col("png_ok").cast("long")).cast("long")
+            .alias("all_well_formed"),
+        )
+        .orderBy("bit_depth", "color_type")
+    )
+
+
+def _png_oracle() -> str:
+    def be_hex(expr: str, nbytes: int) -> str:
+        return f"lpad(hex({expr}), {2 * nbytes}, '0')"
+
+    def be_int(pos: str, nbytes: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
+            f" AS BIGINT)"
+        )
+
+    synth = (
+        "upper(concat('89504E470D0A1A0A', "
+        + be_hex("13", 4) + ", '49484452', "
+        + be_hex("doc_id % 96 + 32", 4) + ", "
+        + be_hex("doc_id % 64 + 16", 4) + ", "
+        + be_hex("(doc_id % 5 % 2 + 1) * 8", 1) + ", "
+        + be_hex("CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 2 END", 1)
+        + ", '000000', "
+        + be_hex("(doc_id % 96 + 32) * 31 + (doc_id % 64 + 16)", 4) + ", "
+        + be_hex("(doc_id % 10) * 2", 4)
+        + ", '74455874', repeat('20', CAST((doc_id % 10) * 2 AS INT)),"
+        " '00000000', "
+        + be_hex("LEAST(64, length(text))", 4)
+        + ", '49444154', substr(upper(hex(encode(text))), 1,"
+        "  CAST(2 * LEAST(64, length(text)) AS INT)), '00000000', "
+        + be_hex("0", 4) + ", '49454E44', 'AE426082'))"
+    )
+    pos = "67"
+    len_slots, pos_slots = [], []
+    for _ in range(6):
+        is_idat = f"substr(hx, ({pos}) + 8, 8) = '49444154'"
+        len_slots.append(f"(CASE WHEN {is_idat} THEN {be_int(pos, 4)} END)")
+        pos_slots.append(
+            f"(CASE WHEN {is_idat} THEN (({pos}) + 1) // 2 END)"
+        )
+        pos = f"(({pos}) + 24 + 2 * {be_int(pos, 4)})"
+    return f"""
+WITH png AS MATERIALIZED (
+  SELECT doc_id, {synth} AS hx
+  FROM documents WHERE doc_id % 4 = 1
+),
+parsed AS MATERIALIZED (
+  SELECT doc_id,
+         {be_int('33', 4)} AS width,
+         {be_int('41', 4)} AS height,
+         {be_int('49', 1)} AS bit_depth,
+         {be_int('51', 1)} AS color_type,
+         COALESCE({', '.join(len_slots)}) AS idat_bytes,
+         COALESCE({', '.join(pos_slots)}) AS idat_offset,
+         (substr(hx, 1, 16) = '89504E470D0A1A0A'
+          AND substr(hx, 25, 8) = '49484452') AS png_ok
+  FROM png
+)
+SELECT CAST(bit_depth AS BIGINT) AS bit_depth,
+       CAST(color_type AS BIGINT) AS color_type,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(width * height) AS BIGINT) AS pixel_sum,
+       CAST(SUM(idat_bytes) AS BIGINT) AS idat_sum,
+       CAST(MIN(idat_offset) AS BIGINT) AS min_idat_offset,
+       CAST(MAX(idat_offset) AS BIGINT) AS max_idat_offset,
+       CAST(MIN(CASE WHEN png_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS all_well_formed
+FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-container routing pass (multimodal.jpeg_sof_metadata over
+    jpeg_synthesize fixtures): the JPEG marker-segment walk — from
+    SOI, each unrolled slot reads the marker and its big-endian
+    INCLUSIVE declared length (JPEG's rule, unlike PNG/RIFF) and
+    either recognizes the SOF family (FFC0–FFCF minus C4/C8/CC) or
+    hops to the next marker, so SOF0 is found past the canonical APP0
+    and a variable-length COM segment, all in Catalyst hex arithmetic
+    over the first 256 bytes. Aggregated per (n_components, height
+    band) frame profile; the oracle rebuilds the identical header hex
+    in SQL and re-parses it."""
+    from yelp_etl_spark.functions.multimodal import (
+        jpeg_sof_metadata,
+        jpeg_synthesize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    meta = jpeg_sof_metadata(jpeg_synthesize(docs))
+    return (
+        meta.groupBy(
+            "n_components",
+            F.expr("height div 50").cast("long").alias("height_band"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.col("width") * F.col("height")).cast("long")
+            .alias("pixel_sum"),
+            F.sum("precision").cast("long").alias("precision_sum"),
+            F.min("sof_marker").cast("long").alias("sof_marker"),
+            F.min(F.col("jpeg_ok").cast("long")).cast("long")
+            .alias("all_well_formed"),
+        )
+        .orderBy("n_components", "height_band")
+    )
+
+
+def _jpeg_oracle() -> str:
+    def be_hex(expr: str, nbytes: int) -> str:
+        return f"lpad(hex({expr}), {2 * nbytes}, '0')"
+
+    def be_int(pos: str, nbytes: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
+            f" AS BIGINT)"
+        )
+
+    synth = (
+        "upper(concat('FFD8', 'FFE0', " + be_hex("16", 2)
+        + ", '4A46494600', '0101', '00', '0048', '0048', '0000',"
+        " 'FFFE', " + be_hex("(doc_id % 9) * 2 + 2", 2)
+        + ", repeat('20', CAST((doc_id % 9) * 2 AS INT)),"
+        " 'FFC0', " + be_hex("(doc_id % 2 * 2 + 1) * 3 + 8", 2)
+        + ", '08', " + be_hex("doc_id % 200 + 16", 2)
+        + ", " + be_hex("doc_id % 160 + 24", 2)
+        + ", " + be_hex("doc_id % 2 * 2 + 1", 1)
+        + ", concat('011100', CASE WHEN doc_id % 2 * 2 + 1 = 3"
+        " THEN '021100031100' ELSE '' END),"
+        " substr(upper(hex(encode(text))), 1,"
+        "  CAST(2 * LEAST(32, length(text)) AS INT)), 'FFD9'))"
+    )
+    pos = "5"
+    slots: dict[str, list[str]] = {
+        "precision": [], "height": [], "width": [],
+        "n_components": [], "sof_marker": [],
+    }
+    for _ in range(6):
+        mbyte = be_int(f"({pos}) + 2", 1)
+        is_sof = (
+            f"(substr(hx, ({pos}), 2) = 'FF'"
+            f" AND {mbyte} BETWEEN 192 AND 207"
+            f" AND {mbyte} NOT IN (196, 200, 204))"
+        )
+        slots["sof_marker"].append(f"(CASE WHEN {is_sof} THEN {mbyte} END)")
+        slots["precision"].append(
+            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 8', 1)} END)"
+        )
+        slots["height"].append(
+            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 10', 2)} END)"
+        )
+        slots["width"].append(
+            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 14', 2)} END)"
+        )
+        slots["n_components"].append(
+            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 18', 1)} END)"
+        )
+        pos = f"(({pos}) + 4 + 2 * {be_int(f'({pos}) + 4', 2)})"
+    fields = ",\n         ".join(
+        f"COALESCE({', '.join(s)}) AS {name}" for name, s in slots.items()
+    )
+    return f"""
+WITH jpg AS MATERIALIZED (
+  SELECT doc_id, {synth} AS hx
+  FROM documents WHERE doc_id % 4 = 3
+),
+parsed AS MATERIALIZED (
+  SELECT doc_id,
+         {fields},
+         (substr(hx, 1, 4) = 'FFD8') AS jpeg_ok
+  FROM jpg
+)
+SELECT CAST(n_components AS BIGINT) AS n_components,
+       CAST(height // 50 AS BIGINT) AS height_band,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(width * height) AS BIGINT) AS pixel_sum,
+       CAST(SUM(precision) AS BIGINT) AS precision_sum,
+       CAST(MIN(sof_marker) AS BIGINT) AS sof_marker,
+       CAST(MIN(CASE WHEN jpeg_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS all_well_formed
+FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLE_PNG_IHDR_PARSE = _png_oracle()
+ORACLE_JPEG_SOF_PARSE = _jpeg_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "png_ihdr_parse": (
+            q_png_ihdr_parse,
+            ORACLE_PNG_IHDR_PARSE,
+            "ext:PNG chunk walk (big-endian image metadata routing)",
+        ),
+        "jpeg_sof_parse": (
+            q_jpeg_sof_parse,
+            ORACLE_JPEG_SOF_PARSE,
+            "ext:JPEG SOF marker-segment walk (Catalyst hex arithmetic)",
+        ),
+    }
+)
