@@ -349,6 +349,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "png_ihdr_parse",
     "jpeg_sof_parse",
+    "stream_full_join_expiry",
 ]
 
 # ---------------------------------------------------------------------------
@@ -419,6 +420,7 @@ NEW_BY_ROUND[8] = {
 NEW_BY_ROUND[9] = {
     "png_ihdr_parse",
     "jpeg_sof_parse",
+    "stream_full_join_expiry",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -1,10 +1,68 @@
 from __future__ import annotations
 
+import glob
+import os
+import re
+import zlib
+
 import pytest
 
 from yelp_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Heavy-test rotation tier (r8 VERDICT #2: the suite needs the same
+# rotation discipline the bench got — the property/model/replay
+# RE-verification tests cost ~140 s together and re-prove invariants
+# that don't change unless their operator changes). Rule: a test marked
+# ``heavy_rotation`` runs when crc32(test_name) % 2 == round % 2, so
+# every marked test runs at least every other round and each round's
+# slice is deterministic. Round = 1 + max committed BENCH_r{N}.json
+# (bench.detect_round's rule; SPARK_GRAFT_ROUND overrides).
+# SPARK_GRAFT_FULL_TESTS=1 runs everything (use before shipping a
+# round and whenever a marked test's operator changed).
+# ---------------------------------------------------------------------------
+
+
+def _current_round() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy_rotation: expensive property/model/replay re-verification;"
+        " runs when crc32(name) %% 2 == round %% 2 (every other round)."
+        " SPARK_GRAFT_FULL_TESTS=1 forces all.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    rnd = _current_round()
+    for item in items:
+        if item.get_closest_marker("heavy_rotation") is None:
+            continue
+        if zlib.crc32(item.name.encode()) % 2 != rnd % 2:
+            item.add_marker(
+                pytest.mark.skip(
+                    reason=(
+                        f"heavy_rotation tier: off-round (round {rnd}); "
+                        "runs next round — SPARK_GRAFT_FULL_TESTS=1 forces"
+                    )
+                )
+            )
 
 
 @pytest.fixture(scope="session")

@@ -10,6 +10,7 @@ shared substrings with exactly known span boundaries.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from yelp_etl_spark.functions import bpe
@@ -73,6 +74,7 @@ def test_merge_fold_edge_cases(spark):
     assert got_ab == [["x", "a", "a", "a", "a"], ["a", "a", "a"], ["ab", "ab"], ["b", "a"], ["a"]]
 
 
+@pytest.mark.heavy_rotation
 def test_learn_bpe_matches_reference_on_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     wf = {

@@ -53,6 +53,7 @@ def test_kmeans_recovers_planted_blobs(spark):
             assert abs(by_cluster[c][d] - centers[blob_idx][d]) < 0.2
 
 
+@pytest.mark.heavy_rotation
 def test_kmeans_deterministic_across_partitionings(spark):
     df = _blobs(spark, [[0.0] * 8, [3.0] * 8], n_per=15)
     a1, c1 = kmeans(df.repartition(1), k=2, iterations=3)
@@ -142,6 +143,7 @@ def test_pca_recovers_planted_dominant_direction(spark):
     assert eig / total > 0.9
 
 
+@pytest.mark.heavy_rotation
 def test_pca_deterministic_across_partitionings(spark):
     from yelp_etl_spark.functions.clustering import power_iteration_pca
 

@@ -3,6 +3,7 @@ dedup (exact / jaccard / minhash / simhash), similarity search."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from yelp_etl_spark.functions import dedup as D
@@ -1181,6 +1182,7 @@ def test_contrastive_pairs_triplet_invariants(spark):
     assert a == sorted(map(tuple, trip))
 
 
+@pytest.mark.heavy_rotation
 def test_personalized_pagerank_concentrates_near_seeds(spark):
     """With restart to a seed set, nodes adjacent to seeds outrank
     equally-connected nodes far from them; the uniform variant ranks
@@ -1529,6 +1531,7 @@ def test_random_walks_match_pure_python_replay(spark):
     assert got2 == want
 
 
+@pytest.mark.heavy_rotation
 def test_per_seed_bfs_equals_independent_bfs_runs(spark):
     """The labeled multi-seed frontier must give exactly the distances
     of k independent single-seed BFS runs."""

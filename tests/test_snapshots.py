@@ -289,6 +289,7 @@ def test_snapshot_changes_cdc(spark, tmp_path):
     }
 
 
+@pytest.mark.heavy_rotation
 def test_snapshot_layer_model_property(spark, tmp_path):
     """Property: any sequence of replace/append/merge commits matches a
     driver-side model, and every intermediate snapshot stays readable
@@ -845,6 +846,7 @@ def test_metadata_tables(spark, tmp_path):
     ]
 
 
+@pytest.mark.heavy_rotation
 def test_snapshot_layer_model_property_partitioned_ops(spark, tmp_path):
     """Model property over the round-5 surface: every ordered PAIR of
     {partitioned replace, dynamic overwrite, merge-with-delete,

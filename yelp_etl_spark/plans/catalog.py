@@ -7663,9 +7663,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "session_window",
     "set_ops",
     "sliding_window",
-    "sort_limit_topk",
     # ---- round-9 additions enter immediately ----
     "png_ihdr_parse",
+    "stream_full_join_expiry",
     "jpeg_sof_parse",
 )
 

@@ -11173,3 +11173,163 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_stream_full_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join end to end — the last
+    watermark-eviction semantics row after r8's left-outer: unmatched
+    rows from BOTH sides are emitted (NULL other side) only once the
+    global watermark proves no future match can arrive, so both
+    buffers' evictions become visible output. Same harness discipline
+    as stream_left_join_expiry (q.v.): clicks ⟗ purchases of the same
+    user within the following 30 minutes; two far-future sentinel rows
+    per side in separate mtime-pinned files (maxFilesPerTrigger=1 →
+    deterministic file-per-batch phases) march the watermark past
+    every real row's horizon so the availableNow run flushes ALL real
+    unmatched rows on both sides (watermark computed at batch N
+    applies at N+1 — one trailing batch leaves the final evictions
+    stuck in state). Sentinels filter by key sign on COALESCE(l_key,
+    r_key) — a right-unmatched row has NULL l_key. Oracle = the plain
+    batch full join. State at 100 TB stays O(key-rate ×
+    (watermark+window)) per side — the bound the join condition
+    declares."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.streaming.windows import stream_stream_join
+
+    cols = ["user_id", "ts", "event_id", "value"]
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", *cols)
+        .localCheckpoint(eager=True)
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(cols)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(cols)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(uid: int, days: int):
+        return spark.createDataFrame(
+            [(uid, max_ts, -1, 0.0)], "user_id long, ts timestamp, "
+            "event_id long, value double"
+        ).select(
+            "user_id",
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "event_id",
+            "value",
+        )
+
+    def stage(df, phase: int, root: str):
+        tmp = root + f"_tmp{phase}"
+        df.repartition(1).write.parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = _os.path.join(root, f"{phase:02d}.parquet")
+        _shutil.move(_os.path.join(tmp, part), dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        base = 1_700_000_000 + phase * 60
+        _os.utime(dst, (base, base))
+
+    l_src = _scratch_dir(sf_dir, "sfjl")
+    r_src = _scratch_dir(sf_dir, "sfjr")
+    _os.makedirs(l_src), _os.makedirs(r_src)
+    stage(clicks, 0, l_src)
+    stage(purchases, 0, r_src)
+    for phase, days in ((1, 100), (2, 200)):
+        stage(sentinel(-1, days), phase, l_src)
+        stage(sentinel(-2, days), phase, r_src)
+    schema = clicks.schema
+    l_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(l_src)
+    )
+    r_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(r_src)
+    )
+    joined = stream_stream_join(
+        l_stream, r_stream, watermark="1 hour", within="30 minutes",
+        how="full_outer",
+    )
+    name = "sfj_" + _uuid.uuid4().hex[:8]
+    ckpt = _scratch_dir(sf_dir, "sfjckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).filter(
+        F.coalesce(F.col("l_key"), F.col("r_key")) >= 0
+    )
+    return out.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("l_event_id").isNotNull()
+             & F.col("r_event_id").isNotNull()).cast("long")
+        ).cast("long").alias("n_matched"),
+        F.sum(F.col("r_event_id").isNull().cast("long"))
+        .cast("long").alias("n_left_unmatched"),
+        F.sum(F.col("l_event_id").isNull().cast("long"))
+        .cast("long").alias("n_right_unmatched"),
+        F.countDistinct(
+            F.when(F.col("r_event_id").isNull(), F.col("l_event_id"))
+        ).cast("long").alias("unmatched_clicks"),
+        F.countDistinct(
+            F.when(F.col("l_event_id").isNull(), F.col("r_event_id"))
+        ).cast("long").alias("unmatched_purchases"),
+        F.round(F.sum(F.coalesce("r_value", F.lit(0.0))), 2).alias(
+            "joined_value"
+        ),
+    )
+
+
+ORACLE_STREAM_FULL_JOIN_EXPIRY = """
+WITH l AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+         r.value AS r_value
+  FROM l FULL JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_event_id IS NOT NULL AND r_event_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN r_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left_unmatched,
+       CAST(SUM(CASE WHEN l_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right_unmatched,
+       CAST(COUNT(DISTINCT CASE WHEN r_event_id IS NULL THEN l_event_id END)
+            AS BIGINT) AS unmatched_clicks,
+       CAST(COUNT(DISTINCT CASE WHEN l_event_id IS NULL THEN r_event_id END)
+            AS BIGINT) AS unmatched_purchases,
+       ROUND(SUM(COALESCE(r_value, 0.0)), 2) AS joined_value
+FROM j
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "stream_full_join_expiry": (
+            q_stream_full_join_expiry,
+            ORACLE_STREAM_FULL_JOIN_EXPIRY,
+            "ext:stream-stream full-outer join (both-side state eviction)",
+        ),
+    }
+)

@@ -239,11 +239,13 @@ def stream_stream_join(
     """Stream-stream join: pair each right event with the left events
     of the same key that happened in the preceding ``within`` interval
     (e.g. purchase ← clicks that led to it). ``how='left_outer'``
-    additionally emits unmatched left events — in streaming these only
-    surface once the watermark passes their join horizon (Spark must
-    prove no future match can arrive), so an availableNow run emits the
-    matched rows plus only those unmatched rows already past the final
-    watermark; the batch path emits all of them immediately.
+    additionally emits unmatched left events; ``how='full_outer'``
+    (Spark 3.1+) emits unmatched events from BOTH sides — in streaming
+    these only surface once the watermark passes their join horizon
+    (Spark must prove no future match can arrive), so an availableNow
+    run emits the matched rows plus only those unmatched rows already
+    past the final watermark; the batch path emits all of them
+    immediately.
 
     Works on batch DataFrames (same API, Catalyst turns the time bound
     into a range predicate) and on two streaming sources. For streams,
