@@ -350,6 +350,12 @@ BENCH_QUERIES = [
     "png_ihdr_parse",
     "jpeg_sof_parse",
     "stream_full_join_expiry",
+    "cohens_kappa",
+    "cramers_v",
+    "spearman_corr",
+    "gini_concentration",
+    "mann_kendall_trend",
+    "kcore_peeling",
 ]
 
 # ---------------------------------------------------------------------------
@@ -421,6 +427,12 @@ NEW_BY_ROUND[9] = {
     "png_ihdr_parse",
     "jpeg_sof_parse",
     "stream_full_join_expiry",
+    "cohens_kappa",
+    "cramers_v",
+    "spearman_corr",
+    "gini_concentration",
+    "mann_kendall_trend",
+    "kcore_peeling",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7631,6 +7631,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
+    "json_map_extract",
     # ---- regression anchors: the LEAST-RECENTLY driver-checked
     # oracle rows (all last seen r1/r2), so guard coverage rotates
     # toward the stalest greens instead of re-confirming fresh ones.
@@ -7656,14 +7657,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "flatten_struct",
     "join_left_counts",
     "join_semi_anti",
-    "json_map_extract",
-    "math_funcs",
-    "pivot_status",
-    "regex_clean",
-    "session_window",
-    "set_ops",
-    "sliding_window",
     # ---- round-9 additions enter immediately ----
+    "cohens_kappa",
+    "cramers_v",
+    "spearman_corr",
+    "gini_concentration",
+    "mann_kendall_trend",
+    "kcore_peeling",
     "png_ihdr_parse",
     "stream_full_join_expiry",
     "jpeg_sof_parse",

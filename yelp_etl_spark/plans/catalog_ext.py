@@ -11333,3 +11333,646 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round 9: classical-statistics pack — inter-rater agreement,
+# categorical association, distribution comparison, rank correlation,
+# concentration, trend. All exact-integer interior math (the ANOVA/ARI
+# discipline), one rounded double division at the very end.
+# --------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic 'raters' over orders —
+    inter-annotator agreement, the labeling-quality gate every
+    LLM-training annotation pipeline runs before trusting a label
+    column: rater A buckets by order priority, rater B by fixed
+    total-price bands, shared label space {hi, mid, lo}. Identity:
+    kappa = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) — clearing
+    p_o/p_e denominators so the interior stays exact BIGINT (marginal
+    products fit int64 through sf1000; the sums route through
+    decimal(38,0) anyway) and the only division is the final rounded
+    double. Scale: one map-side-combinable groupBy to ≤9 contingency
+    cells; everything after is constant-size."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+        ).when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("lo").alias("ra"),
+        F.when(F.col("o_totalprice") >= 200000, "hi")
+        .when(F.col("o_totalprice") >= 75000, "mid")
+        .otherwise("lo").alias("rb"),
+    )
+    cells = o.groupBy("ra", "rb").agg(F.count("*").alias("c"))
+    a = cells.groupBy("ra").agg(F.sum("c").alias("ak"))
+    b = cells.groupBy("rb").agg(F.sum("c").alias("bk"))
+    pe_num = (
+        a.join(b, F.col("ra") == F.col("rb"))
+        .agg(
+            F.sum(F.col("ak").cast("decimal(38,0)") * F.col("bk"))
+            .alias("pe")
+        )
+    )
+    po = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias("agree"),
+    )
+    return (
+        po.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            "agree",
+            F.col("pe").cast("string").alias("chance_agree_num"),
+            F.round(
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("agree")
+                    - F.col("pe")
+                ).cast("double")
+                / (
+                    F.col("n").cast("decimal(38,0)") * F.col("n")
+                    - F.col("pe")
+                ).cast("double"),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+ORACLE_COHENS_KAPPA = """
+WITH o AS MATERIALIZED (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+              ELSE 'lo' END AS ra,
+         CASE WHEN o_totalprice >= 200000 THEN 'hi'
+              WHEN o_totalprice >= 75000 THEN 'mid'
+              ELSE 'lo' END AS rb
+  FROM orders
+),
+cells AS MATERIALIZED (
+  SELECT ra, rb, COUNT(*) AS c FROM o GROUP BY 1, 2
+),
+marg AS MATERIALIZED (
+  SELECT a.ra AS k,
+         CAST(a.ak AS DECIMAL(38,0)) * b.bk AS akbk
+  FROM (SELECT ra, SUM(c) AS ak FROM cells GROUP BY 1) a
+  JOIN (SELECT rb, SUM(c) AS bk FROM cells GROUP BY 1) b
+    ON a.ra = b.rb
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+)
+SELECT n, agree,
+       CAST((SELECT SUM(akbk) FROM marg) AS VARCHAR) AS chance_agree_num,
+       ROUND(CAST(CAST(n AS DECIMAL(38,0)) * agree
+                  - (SELECT SUM(akbk) FROM marg) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * n
+                  - (SELECT SUM(akbk) FROM marg) AS DOUBLE), 6) AS kappa
+FROM tot
+"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between two categoricals (lineitem
+    return flag × line status) — the effect-size companion to a chi²
+    test: V = sqrt(chi²/(n·min(r−1, c−1))), scale-free in [0,1].
+    Exactness: chi² + n = n·Σ_ij o_ij²/(r_i·c_j); each cell term
+    floors at micro-scale inside decimal(38,0) —
+    floor(10^6·n·o_ij² / (r_i·c_j)) via the exact (p − p%q)/q decimal
+    division — so chi2_micro = Σ terms − 10^6·n is an IDENTICAL
+    integer on both engines (a ±21-cell floor error at 1e-6 scale,
+    far below the rounded output), and V is one double sqrt of a
+    ratio of identical integers. Scale: one map-side-combinable
+    groupBy to r×c ≤ 21 cells + two marginal reductions of that
+    bounded frame."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("sm")
+    )
+    cells = li.groupBy("rf", "sm").agg(F.count("*").alias("o"))
+    rows = cells.groupBy("rf").agg(F.sum("o").alias("ri"))
+    colsm = cells.groupBy("sm").agg(F.sum("o").alias("cj"))
+    j = cells.join(rows, "rf").join(colsm, "sm")
+    # per-cell exact floor needs n — bring the total back to the cells
+    tot = j.agg(F.sum("o").cast("long").alias("n"))
+    terms = (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CAST(1000000 AS DECIMAL(38,0)) * n * o * o"
+                    " - (CAST(1000000 AS DECIMAL(38,0)) * n * o * o)"
+                    "   % (CAST(ri AS DECIMAL(38,0)) * cj))"
+                    " / (CAST(ri AS DECIMAL(38,0)) * cj)"
+                ).cast("decimal(38,0)")
+            ).alias("term_sum"),
+            F.max("n").cast("long").alias("n"),
+            F.countDistinct("rf").cast("long").alias("r"),
+            F.countDistinct("sm").cast("long").alias("c"),
+        )
+    )
+    chi2_micro = F.expr(
+        "term_sum - CAST(1000000 AS DECIMAL(38,0)) * n"
+    ).cast("decimal(38,0)")
+    dfm = F.least(F.col("r") - 1, F.col("c") - 1)
+    return terms.select(
+        "n",
+        "r",
+        "c",
+        chi2_micro.cast("string").alias("chi2_micro"),
+        F.round(
+            F.sqrt(
+                chi2_micro.cast("double")
+                / (
+                    F.lit(1000000.0)
+                    * F.col("n").cast("double")
+                    * dfm.cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+ORACLE_CRAMERS_V = """
+WITH cells AS MATERIALIZED (
+  SELECT l_returnflag AS rf, l_linestatus AS sm, COUNT(*) AS o
+  FROM lineitem GROUP BY 1, 2
+),
+j AS MATERIALIZED (
+  SELECT cells.rf, cells.sm, cells.o, r.ri, c.cj
+  FROM cells
+  JOIN (SELECT rf, SUM(o) AS ri FROM cells GROUP BY 1) r ON cells.rf = r.rf
+  JOIN (SELECT sm, SUM(o) AS cj FROM cells GROUP BY 1) c ON cells.sm = c.sm
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(o) AS BIGINT) AS n FROM j),
+agg AS MATERIALIZED (
+  SELECT SUM(
+           (CAST(1000000 AS DECIMAL(38,0)) * tot.n * o * o
+            - (CAST(1000000 AS DECIMAL(38,0)) * tot.n * o * o)
+              % (CAST(ri AS DECIMAL(38,0)) * cj))
+           / (CAST(ri AS DECIMAL(38,0)) * cj)
+         ) AS term_sum,
+         MAX(tot.n) AS n,
+         CAST(COUNT(DISTINCT rf) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT sm) AS BIGINT) AS c
+  FROM j CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n, r, c,
+       CAST(CAST(term_sum - CAST(1000000 AS DECIMAL(38,0)) * n
+                 AS DECIMAL(38,0)) AS VARCHAR) AS chi2_micro,
+       ROUND(sqrt(CAST(term_sum - CAST(1000000 AS DECIMAL(38,0)) * n
+                       AS DOUBLE)
+                  / (1000000.0 * CAST(n AS DOUBLE)
+                     * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM agg
+"""
+
+
+
+
+EXTRA_QUERIES.update(
+    {
+        "cohens_kappa": (
+            q_cohens_kappa,
+            ORACLE_COHENS_KAPPA,
+            "ext:Cohen's kappa inter-rater agreement (cleared denominators)",
+        ),
+        "cramers_v": (
+            q_cramers_v,
+            ORACLE_CRAMERS_V,
+            "ext:Cramér's V categorical association (micro-exact chi²)",
+        ),
+    }
+)
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between part retail price and part
+    size — the monotone-association twin of regr_aggs' Pearson:
+    Pearson over AVERAGE ranks (the tie-correct definition sklearn/
+    scipy implement). Ranks never materialize per row through a global
+    row_number: each column ranks via the distinct-value trick —
+    groupBy value (map-side combinable), one cumulative window over
+    the DISTINCT-value frame, then 2·avgrank = 2·cum_before + cnt + 1
+    (doubling keeps tied average ranks integral) joined back by value.
+    Moment sums run in decimal(38,0), so the correlation numerator
+    n·Σxy − Σx·Σy and both variance terms are IDENTICAL exact integers
+    on both engines (emitted as strings; they pass int64 at large SF);
+    rho is one rounded double of their ratio."""
+    p = _t(spark, sf_dir, "part").select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+
+    def ranks2(col: str) -> DataFrame:
+        per = p.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return per.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).cast("long").alias(f"{col}r2"),
+        )
+
+    rows = p.join(ranks2("x"), "x").join(ranks2("y"), "y")
+    t = rows.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("xr2").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yr2").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("xr2").cast("decimal(38,0)") * F.col("yr2")).alias("sxy"),
+        F.sum(F.col("xr2").cast("decimal(38,0)") * F.col("xr2")).alias("sxx"),
+        F.sum(F.col("yr2").cast("decimal(38,0)") * F.col("yr2")).alias("syy"),
+    )
+    num = F.expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy")
+    vx = F.expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx")
+    vy = F.expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy")
+    return t.select(
+        "n",
+        num.cast("string").alias("cov_num"),
+        vx.cast("string").alias("var_x_num"),
+        vy.cast("string").alias("var_y_num"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+ORACLE_SPEARMAN_CORR = """
+WITH p AS MATERIALIZED (
+  SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y
+  FROM part
+),
+rx AS MATERIALIZED (
+  SELECT x,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS xr2
+  FROM (SELECT x, COUNT(*) AS cnt FROM p GROUP BY 1)
+),
+ry AS MATERIALIZED (
+  SELECT y,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS yr2
+  FROM (SELECT y, COUNT(*) AS cnt FROM p GROUP BY 1)
+),
+rows_r AS MATERIALIZED (
+  SELECT xr2, yr2 FROM p JOIN rx USING (x) JOIN ry USING (y)
+),
+t AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(xr2 AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(yr2 AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(xr2 AS DECIMAL(38,0)) * yr2) AS sxy,
+         SUM(CAST(xr2 AS DECIMAL(38,0)) * xr2) AS sxx,
+         SUM(CAST(yr2 AS DECIMAL(38,0)) * yr2) AS syy
+  FROM rows_r
+)
+SELECT n,
+       CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS VARCHAR) AS cov_num,
+       CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS VARCHAR)
+         AS var_x_num,
+       CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS VARCHAR)
+         AS var_y_num,
+       ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                    * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                           AS DOUBLE)), 6) AS spearman_rho
+FROM t
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    audit a training-data pipeline runs on source/domain contribution
+    (is 1% of customers 90% of the corpus?). Identity: with x sorted
+    ascending and 1-based positions, G = (2·Σ i·x_i − (n+1)·Σx) /
+    (n·Σx), computed with the position sum pre-doubled so m(m+1)/2
+    never divides. The position sum never needs a per-row global row_number:
+    tied values share a value block, so groupBy value (map-side
+    combinable) + one cumulative window over the DISTINCT-value frame
+    gives Σ_{i in block} i = m·cum_before + m(m+1)/2, and the block
+    contributes x·that — position assignment within a tie block is
+    irrelevant since x is constant there. Numerator/denominator are
+    exact decimal(38,0) (emitted as strings); G is one rounded double
+    division."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    per = rev.groupBy("x").agg(F.count("*").alias("m"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = per.select(
+        "x",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("cum"),
+    )
+    t = blocks.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("m")).alias("s"),
+        # pos2_sum = 2·Σ i·x_i (doubled to keep m(m+1)/2 integral
+        # without any interior division on either engine)
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * (
+                2 * F.col("m").cast("decimal(38,0)") * F.col("cum")
+                + F.col("m").cast("decimal(38,0)") * (F.col("m") + 1)
+            )
+        ).alias("pos2_sum"),
+    )
+    num = F.expr("pos2_sum - (CAST(n AS DECIMAL(38,0)) + 1) * s")
+    den = F.expr("CAST(n AS DECIMAL(38,0)) * s")
+    return t.select(
+        "n",
+        num.cast("string").alias("gini_num"),
+        den.cast("string").alias("gini_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
+
+
+ORACLE_GINI_CONCENTRATION = """
+WITH rev AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+blocks AS MATERIALIZED (
+  SELECT x, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM (SELECT x, COUNT(*) AS m FROM rev GROUP BY 1)
+),
+t AS MATERIALIZED (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(38,0)) * m) AS s,
+         SUM(CAST(x AS DECIMAL(38,0))
+             * (2 * CAST(m AS DECIMAL(38,0)) * cum
+                + CAST(m AS DECIMAL(38,0)) * (m + 1))) AS pos2_sum
+  FROM blocks
+)
+SELECT n,
+       CAST(pos2_sum - (CAST(n AS DECIMAL(38,0)) + 1) * s AS VARCHAR)
+         AS gini_num,
+       CAST(CAST(n AS DECIMAL(38,0)) * s AS VARCHAR) AS gini_den,
+       ROUND(CAST(pos2_sum - (CAST(n AS DECIMAL(38,0)) + 1) * s
+                  AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * s AS DOUBLE), 6) AS gini
+FROM t
+"""
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test over the 1995 daily-revenue series —
+    the nonparametric is-there-a-monotone-trend gate (Theil–Sen's
+    hypothesis-test companion; theil_sen_slope estimates the slope,
+    this scores its significance): S = Σ_{i<j} sign(y_j − y_i), with
+    the tie-corrected variance var = (n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5))/18 and z = (S − sign(S))/sqrt(var). S and
+    18·var are exact BIGINTs (identical both engines); z is one
+    rounded double. Scale: the pair sweep is a self-join on the
+    calendar-bounded ≤365-row day frame (≤66k pairs, constant
+    whatever the table SF — the day table is the aggregate); the
+    sf-sized work is one map-side-combinable groupBy to days."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = days.alias("a"), days.alias("b")
+    s_stat = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = days.groupBy("y").agg(F.count("*").alias("t"))
+    vart = ties.agg(
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)")
+            * (F.col("t") - 1)
+            * (2 * F.col("t") + 5)
+        ).alias("tie_term"),
+    )
+    j = s_stat.crossJoin(F.broadcast(vart))
+    var18 = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tie_term"
+    )
+    return j.select(
+        "n",
+        "s",
+        var18.cast("string").alias("var18"),
+        F.round(
+            (
+                F.col("s").cast("double")
+                - F.signum(F.col("s").cast("double"))
+            )
+            / F.sqrt(var18.cast("double") / F.lit(18.0)),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+ORACLE_MANN_KENDALL_TREND = """
+WITH days AS MATERIALIZED (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+s_stat AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
+  FROM days a JOIN days b ON a.d < b.d
+),
+vart AS MATERIALIZED (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT y, COUNT(*) AS t FROM days GROUP BY 1)
+)
+SELECT n, s,
+       CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tie_term
+            AS VARCHAR) AS var18,
+       ROUND((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)
+                         - tie_term AS DOUBLE) / 18.0), 6) AS z_stat
+FROM s_stat CROSS JOIN vart
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "spearman_corr": (
+            q_spearman_corr,
+            ORACLE_SPEARMAN_CORR,
+            "ext:Spearman rank correlation (tie-correct, distinct-value"
+            " ranks)",
+        ),
+        "gini_concentration": (
+            q_gini_concentration,
+            ORACLE_GINI_CONCENTRATION,
+            "ext:Gini concentration of per-customer revenue (block ranks)",
+        ),
+        "mann_kendall_trend": (
+            q_mann_kendall_trend,
+            ORACLE_MANN_KENDALL_TREND,
+            "ext:Mann–Kendall trend test (exact S + tie-corrected var)",
+        ),
+    }
+)
+
+
+def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=6) of the small-basket co-purchase
+    graph by bounded iterative peeling — the graph-densification
+    primitive (community seeding, spam-ring detection, the dense
+    subgraph a recommender trains on): repeatedly drop nodes with
+    degree < k until stable. The operator is DEFINED as R=6 peeling
+    rounds plus a convergence flag: converged=true (checked at both
+    gate SFs and the 10× probe) means the output IS the true k-core
+    fixed point; a deeper cascade would report converged=false rather
+    than silently truncate — the same bounded-iteration contract
+    bfs_distances/sssp carry. Each round is two semi-joins + one
+    map-side-combinable degree agg on the current edge frame, with
+    lineage truncated per round (localCheckpoint) so round j never
+    replays rounds 1..j-1; at 100 TB the frame only shrinks. Basket
+    cap ≤3 bounds the edge-synthesis self-join input (the adamic_adar
+    rule: cap BEFORE the join). Oracle: the same 6 rounds unrolled as
+    MATERIALIZED CTEs."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    small = li.groupBy("o").agg(F.count("*").alias("bs")).filter(
+        F.col("bs") <= 3
+    ).select("o")
+    a = li.join(small, "o").alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    k, rounds = 6, 6
+    prev_edges = edges.count()
+    converged = False
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("x")
+        edges = (
+            edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        if n == prev_edges:
+            converged = True
+            break
+        prev_edges = n
+    nodes = edges.select(F.col("u").alias("x")).union(
+        edges.select(F.col("v").alias("x"))
+    ).distinct()
+    return (
+        nodes.agg(
+            F.count("*").cast("long").alias("core_nodes"),
+            F.sum("x").cast("long").alias("node_id_sum"),
+        )
+        .crossJoin(
+            F.broadcast(
+                edges.agg(F.count("*").cast("long").alias("core_edges"))
+            )
+        )
+        .select(
+            "core_nodes",
+            "core_edges",
+            "node_id_sum",
+            F.lit(converged).alias("converged"),
+        )
+    )
+
+
+def _kcore_oracle(k: int = 6, rounds: int = 6) -> str:
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""keep{i} AS MATERIALIZED (
+  SELECT x FROM (SELECT u AS x FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY x HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT x FROM keep{i}) AND v IN (SELECT x FROM keep{i})
+)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+small AS MATERIALIZED (
+  SELECT o FROM li GROUP BY o HAVING COUNT(*) <= 3
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN small USING (o) JOIN li b ON a.o = b.o AND a.p < b.p
+),
+{chain},
+nodes AS MATERIALIZED (
+  SELECT DISTINCT x FROM
+    (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS core_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{rounds}) AS core_edges,
+       CAST(SUM(x) AS BIGINT) AS node_id_sum,
+       ((SELECT COUNT(*) FROM e{rounds})
+        = (SELECT COUNT(*) FROM e{rounds - 1})) AS converged
+FROM nodes
+"""
+
+
+ORACLE_KCORE_PEELING = _kcore_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "kcore_peeling": (
+            q_kcore_peeling,
+            ORACLE_KCORE_PEELING,
+            "ext:k-core decomposition by bounded iterative peeling",
+        ),
+    }
+)
