@@ -356,6 +356,9 @@ BENCH_QUERIES = [
     "gini_concentration",
     "mann_kendall_trend",
     "kcore_peeling",
+    "trimmed_winsorized_mean",
+    "weighted_median_grouped",
+    "user_streaks",
 ]
 
 # ---------------------------------------------------------------------------
@@ -433,6 +436,9 @@ NEW_BY_ROUND[9] = {
     "gini_concentration",
     "mann_kendall_trend",
     "kcore_peeling",
+    "trimmed_winsorized_mean",
+    "weighted_median_grouped",
+    "user_streaks",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7631,7 +7631,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
-    "json_map_extract",
     # ---- regression anchors: the LEAST-RECENTLY driver-checked
     # oracle rows (all last seen r1/r2), so guard coverage rotates
     # toward the stalest greens instead of re-confirming fresh ones.
@@ -7655,9 +7654,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "explode_tokens",
     "filter_project",
     "flatten_struct",
-    "join_left_counts",
-    "join_semi_anti",
     # ---- round-9 additions enter immediately ----
+    "trimmed_winsorized_mean",
+    "weighted_median_grouped",
+    "user_streaks",
     "cohens_kappa",
     "cramers_v",
     "spearman_corr",

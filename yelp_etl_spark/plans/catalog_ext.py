@@ -11976,3 +11976,284 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round 9: robust-statistics + gaps-and-islands pack — exact order
+# statistics from the distinct-value cumulative trick (no per-row
+# global row_number anywhere), per-user streaks via island grouping.
+# --------------------------------------------------------------------------
+
+
+def q_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed and 5%-winsorized means of order total price —
+    the outlier-robust location estimators a quality pipeline prefers
+    over the raw mean (one corrupt crawl document shouldn't move the
+    corpus statistic). Order statistics never materialize a global
+    per-row row_number: groupBy distinct price (map-side combinable),
+    one cumulative window over the distinct-value frame, then each
+    value block [cum+1, cum+m] contributes v·overlap with the kept
+    rank interval [lo+1, n−lo] (lo = floor(5·n/100)) — the trimmed sum
+    — while the winsorized sum adds the clamped tails lo·v_lo + lo·v_hi
+    (v_lo/v_hi = the order statistics at ranks lo+1 and n−lo, found by
+    the same cum arithmetic). All sums exact BIGINT cents inside
+    decimal(38,0) (emitted as strings); the two means are single
+    rounded double divisions. Scale: one keyed agg + one
+    distinct-value window — the auc/ECDF pattern."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    per = o.groupBy("v").agg(F.count("*").alias("m"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = per.select(
+        "v",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("cum"),
+    ).localCheckpoint(eager=True)
+    tot = blocks.agg(F.sum("m").cast("long").alias("n"))
+    b = blocks.crossJoin(F.broadcast(tot))
+    lo = F.expr("n * 5 div 100").cast("long")
+    keep_lo = lo + 1
+    keep_hi = F.col("n") - lo
+    # overlap of [cum+1, cum+m] with [keep_lo, keep_hi]
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum") + F.col("m"), keep_hi)
+        - F.greatest(F.col("cum") + 1, keep_lo)
+        + 1,
+    )
+    # order statistics at the clamp ranks
+    v_lo = F.when(
+        (F.col("cum") < keep_lo) & (F.col("cum") + F.col("m") >= keep_lo),
+        F.col("v"),
+    )
+    v_hi = F.when(
+        (F.col("cum") < keep_hi) & (F.col("cum") + F.col("m") >= keep_hi),
+        F.col("v"),
+    )
+    t = b.agg(
+        F.max("n").alias("n"),
+        F.max(lo).alias("lo"),
+        F.sum(F.col("v").cast("decimal(38,0)") * ov).alias("trim_sum"),
+        F.max(v_lo).alias("v_lo"),
+        F.max(v_hi).alias("v_hi"),
+    )
+    wins_sum = F.expr(
+        "trim_sum + CAST(lo AS DECIMAL(38,0)) * v_lo"
+        " + CAST(lo AS DECIMAL(38,0)) * v_hi"
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("lo").cast("long").alias("n_trimmed_each_side"),
+        F.col("v_lo").cast("long").alias("clamp_lo_cents"),
+        F.col("v_hi").cast("long").alias("clamp_hi_cents"),
+        F.col("trim_sum").cast("string").alias("trimmed_sum_cents"),
+        wins_sum.cast("string").alias("winsorized_sum_cents"),
+        F.round(
+            F.col("trim_sum").cast("double")
+            / (F.col("n") - 2 * F.col("lo")).cast("double"),
+            4,
+        ).alias("trimmed_mean_cents"),
+        F.round(wins_sum.cast("double") / F.col("n").cast("double"), 4)
+        .alias("winsorized_mean_cents"),
+    )
+
+
+ORACLE_TRIMMED_WINSORIZED_MEAN = """
+WITH o AS MATERIALIZED (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+blocks AS MATERIALIZED (
+  SELECT v, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM (SELECT v, COUNT(*) AS m FROM o GROUP BY 1)
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(m) AS BIGINT) AS n FROM blocks),
+b AS MATERIALIZED (
+  SELECT v, m, cum, n, n * 5 // 100 AS lo FROM blocks CROSS JOIN tot
+),
+t AS MATERIALIZED (
+  SELECT MAX(n) AS n, MAX(lo) AS lo,
+         SUM(CAST(v AS DECIMAL(38,0))
+             * GREATEST(0, LEAST(cum + m, n - lo)
+                           - GREATEST(cum + 1, lo + 1) + 1)) AS trim_sum,
+         MAX(CASE WHEN cum < lo + 1 AND cum + m >= lo + 1 THEN v END)
+           AS v_lo,
+         MAX(CASE WHEN cum < n - lo AND cum + m >= n - lo THEN v END)
+           AS v_hi
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(lo AS BIGINT) AS n_trimmed_each_side,
+       CAST(v_lo AS BIGINT) AS clamp_lo_cents,
+       CAST(v_hi AS BIGINT) AS clamp_hi_cents,
+       CAST(trim_sum AS VARCHAR) AS trimmed_sum_cents,
+       CAST(trim_sum + CAST(lo AS DECIMAL(38,0)) * v_lo
+            + CAST(lo AS DECIMAL(38,0)) * v_hi AS VARCHAR)
+         AS winsorized_sum_cents,
+       ROUND(CAST(trim_sum AS DOUBLE) / CAST(n - 2 * lo AS DOUBLE), 4)
+         AS trimmed_mean_cents,
+       ROUND(CAST(trim_sum + CAST(lo AS DECIMAL(38,0)) * v_lo
+                  + CAST(lo AS DECIMAL(38,0)) * v_hi AS DOUBLE)
+             / CAST(n AS DOUBLE), 4) AS winsorized_mean_cents
+FROM t
+"""
+
+
+def q_weighted_median_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median unit price per return flag — the
+    grouped robust aggregation (percentile_approx's exact cousin;
+    sketches estimate, this answers): the weighted median is the
+    smallest price v where cumulative weight reaches half the group
+    total, i.e. 2·cumw ≥ W with the LOWER median convention. Per
+    group: groupBy (flag, price) with weight sums (map-side
+    combinable), a cumulative window PARTITIONED BY the group (never a
+    single global partition — each group's distinct-price frame sorts
+    independently), then min(v | 2·cumw ≥ W). Everything is exact
+    BIGINT (cents × integer quantity); no division at all. Scale:
+    shuffle keyed on the group — the standard grouped-window shape."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    per = li.groupBy("g", "v").agg(F.sum("wt").alias("mw"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "g", "v", F.sum("mw").over(w).cast("long").alias("cumw")
+    )
+    totals = per.groupBy("g").agg(F.sum("mw").cast("long").alias("tw"))
+    j = cum.join(totals, "g")
+    med = (
+        j.filter(2 * F.col("cumw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").cast("long").alias("wmedian_cents"))
+    )
+    return (
+        med.join(totals, "g")
+        .select(
+            "g",
+            F.col("tw").alias("total_weight"),
+            "wmedian_cents",
+        )
+        .orderBy("g")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN_GROUPED = """
+WITH li AS MATERIALIZED (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+per AS MATERIALIZED (
+  SELECT g, v, SUM(wt) AS mw FROM li GROUP BY 1, 2
+),
+cum AS MATERIALIZED (
+  SELECT g, v,
+         CAST(SUM(mw) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cumw
+  FROM per
+),
+totals AS MATERIALIZED (
+  SELECT g, CAST(SUM(mw) AS BIGINT) AS tw FROM per GROUP BY 1
+)
+SELECT cum.g AS g,
+       MAX(tw) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cumw >= tw THEN v END) AS BIGINT)
+         AS wmedian_cents
+FROM cum JOIN totals ON cum.g = totals.g
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps &
+    islands) — the classic retention/engagement feature: distinct
+    (user, day), then island id = day − rank-within-user (consecutive
+    days share it; Spark row_number is PARTITIONED by user — the
+    scalable per-key window, never global), streak length = island
+    size, then the per-user max. Output is the streak-length
+    distribution + topline (how many users ever hit a 3-day streak),
+    aggregation-stable across engines because day arithmetic is
+    integer (epoch days) and ranks are within-key. Scale: two keyed
+    shuffles (user, then user×island reduce) — linear, skew-safe
+    (a user's days are bounded by the calendar)."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("u"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    wn = Window.partitionBy("u").orderBy("day")
+    islands = days.select(
+        "u",
+        "day",
+        (F.col("day") - F.row_number().over(wn)).alias("isl"),
+    )
+    streaks = islands.groupBy("u", "isl").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    best = streaks.groupBy("u").agg(F.max("len").alias("best"))
+    return (
+        best.groupBy("best")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("u").cast("long").alias("user_id_sum"),
+        )
+        .orderBy("best")
+    )
+
+
+ORACLE_USER_STREAKS = """
+WITH days AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events
+),
+islands AS MATERIALIZED (
+  SELECT u, day,
+         day - ROW_NUMBER() OVER (PARTITION BY u ORDER BY day) AS isl
+  FROM days
+),
+streaks AS MATERIALIZED (
+  SELECT u, isl, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY 1, 2
+),
+best AS MATERIALIZED (
+  SELECT u, MAX(len) AS best FROM streaks GROUP BY 1
+)
+SELECT best, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(u) AS BIGINT) AS user_id_sum
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "trimmed_winsorized_mean": (
+            q_trimmed_winsorized_mean,
+            ORACLE_TRIMMED_WINSORIZED_MEAN,
+            "ext:exact trimmed + winsorized means (block order statistics)",
+        ),
+        "weighted_median_grouped": (
+            q_weighted_median_grouped,
+            ORACLE_WEIGHTED_MEDIAN_GROUPED,
+            "ext:exact grouped weighted median (keyed cumulative weights)",
+        ),
+        "user_streaks": (
+            q_user_streaks,
+            ORACLE_USER_STREAKS,
+            "ext:gaps-and-islands longest-streak distribution",
+        ),
+    }
+)
