@@ -359,6 +359,9 @@ BENCH_QUERIES = [
     "trimmed_winsorized_mean",
     "weighted_median_grouped",
     "user_streaks",
+    "state_runs",
+    "gif_block_parse",
+    "snapshot_check_constraints",
 ]
 
 # ---------------------------------------------------------------------------
@@ -439,6 +442,9 @@ NEW_BY_ROUND[9] = {
     "trimmed_winsorized_mean",
     "weighted_median_grouped",
     "user_streaks",
+    "state_runs",
+    "gif_block_parse",
+    "snapshot_check_constraints",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

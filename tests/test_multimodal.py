@@ -478,3 +478,49 @@ def test_jpeg_sof_walk_matches_marker_scan_reference(spark):
         "doc_id long, content binary",
     )
     assert not jpeg_sof_metadata(junk).collect()[0].jpeg_ok
+
+
+def test_gif_block_walk_matches_struct_reference(spark):
+    from yelp_etl_spark.functions.multimodal import (
+        gif_block_metadata,
+        gif_synthesize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "gif frame payload " * 3) for i in range(12)],
+        "doc_id long, text string",
+    )
+    blobs = gif_synthesize(docs)
+    got = {r.doc_id: r for r in gif_block_metadata(blobs).collect()}
+    for r in blobs.collect():
+        b = bytes(r.content)
+        assert b[:6] == b"GIF89a" and b[10] < 0x80 and b[-1] == 0x3B
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        i, nf, ne, area = 13, 0, 0, 0
+        while i < len(b):
+            t = b[i]
+            if t == 0x2C:  # image descriptor + one data sub-block
+                fw = int.from_bytes(b[i + 5 : i + 7], "little")
+                fh = int.from_bytes(b[i + 7 : i + 9], "little")
+                nf, area = nf + 1, area + fw * fh
+                i += 13 + b[i + 11]
+            elif t == 0x21:  # extension + one sub-block
+                ne += 1
+                i += 4 + b[i + 2]
+            else:
+                assert t == 0x3B
+                break
+        g = got[r.doc_id]
+        assert (
+            g.lsd_width, g.lsd_height, g.n_frames, g.n_extensions,
+            g.frame_area_sum,
+        ) == (w, h, nf, ne, area)
+        assert g.gif_ok
+    # frame counts 1..3 all present → the dispatch really repeated
+    assert {g.n_frames for g in got.values()} == {1, 2, 3}
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"GIF87a but wrong version marker here"))],
+        "doc_id long, content binary",
+    )
+    assert not gif_block_metadata(junk).collect()[0].gif_ok

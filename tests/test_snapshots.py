@@ -2012,3 +2012,52 @@ def test_three_way_merge_honors_added_columns_and_null_shifts(spark, tmp_path):
     # added column value
     assert rows[1] == ("x", "zz", None)
     assert rows[2] == ("y", None, 8)
+
+
+def test_check_constraints_enforced_and_carried(spark, tmp_path):
+    import pytest as _pytest
+
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_drop_constraint,
+        snapshot_read,
+        snapshot_set_constraint,
+        snapshot_write,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, amount double"
+    )
+    snapshot_write(base, d)
+    # add: validates existing data first
+    snapshot_set_constraint(spark, d, "amount_pos", "amount > 0")
+    with _pytest.raises(ValueError, match="already set"):
+        snapshot_set_constraint(spark, d, "amount_pos", "amount > 1")
+    # violating existing data refuses the ADD itself
+    with _pytest.raises(ValueError, match="violation"):
+        snapshot_set_constraint(spark, d, "amount_big", "amount > 15")
+    # violating append refuses with the count; table state unchanged
+    bad = spark.createDataFrame([(3, -5.0)], "id long, amount double")
+    with _pytest.raises(ValueError, match="amount_pos.*1 row"):
+        snapshot_write(bad, d, mode="append")
+    assert snapshot_read(spark, d).count() == 2
+    # NULL predicate result counts as a violation (conservative CHECK)
+    nullrow = spark.createDataFrame(
+        [(4, None)], "id long, amount double"
+    )
+    with _pytest.raises(ValueError, match="amount_pos"):
+        snapshot_write(nullrow, d, mode="append")
+    # valid append passes and the constraint SURVIVES the commit
+    ok = spark.createDataFrame([(5, 50.0)], "id long, amount double")
+    snapshot_write(ok, d, mode="append")
+    with _pytest.raises(ValueError, match="amount_pos"):
+        snapshot_write(bad, d, mode="append")
+    # replace is validated too (full replacement set)
+    with _pytest.raises(ValueError, match="amount_pos"):
+        snapshot_write(bad, d, mode="replace")
+    # drop: unknown name refuses; real drop lifts enforcement
+    with _pytest.raises(ValueError, match="no constraint"):
+        snapshot_drop_constraint(d, "nope")
+    snapshot_drop_constraint(d, "amount_pos")
+    snapshot_write(bad, d, mode="append")
+    assert snapshot_read(spark, d).count() == 4

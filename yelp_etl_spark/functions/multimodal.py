@@ -1047,3 +1047,135 @@ def jpeg_sof_metadata(
         ],
         F.expr("substring(hx, 1, 4) = 'FFD8'").alias("jpeg_ok"),
     )
+
+
+def gif_synthesize(
+    df: DataFrame, from_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic GIF89a container with a VARIABLE NUMBER of image
+    frames — the repeated-substructure fixture (PNG/RIFF walk one
+    declared-length chain; GIF repeats whole blocks until the
+    trailer): logical screen descriptor (no global color table), one
+    comment extension with per-doc padding, then 1–3 image
+    descriptors (animation frames), each with real left/top/width/
+    height geometry, an LZW minimum-code byte and ONE data sub-block
+    from document text, then the 0x3B trailer. Frame count and the
+    comment length vary per doc, so a parser must dispatch per block
+    type and chase sub-block lengths, not assume offsets."""
+    did = F.col(id_col)
+    l = F.length(F.col(from_col))
+    lsd_w = (did % 200 + 20).cast("long")
+    lsd_h = (did % 150 + 15).cast("long")
+    n_frames = (did % 3 + 1).cast("long")
+    pad = (did % 9 + 1).cast("long")
+    dsz = F.least(F.lit(16), F.greatest(F.lit(1), l)).cast("long")
+
+    def frame(f: int):
+        w = (did % 30 + 5 + f).cast("long")
+        h = (did % 20 + 4).cast("long")
+        return F.when(
+            n_frames > f,
+            F.concat(
+                F.lit("2C"),
+                _le_hex(F.lit(2 * f).cast("long"), 2),  # left
+                _le_hex(F.lit(0).cast("long"), 2),      # top
+                _le_hex(w, 2),
+                _le_hex(h, 2),
+                F.lit("00"),                            # no local table
+                F.lit("02"),                            # LZW min code
+                _le_hex(dsz, 1),
+                F.hex(F.expr(
+                    f"substring(encode({from_col}, 'utf-8'), 1, "
+                    f"greatest(1, least(16, length({from_col}))))"
+                )),
+                F.lit("00"),                            # sub-block term
+            ),
+        ).otherwise(F.lit(""))
+
+    hex_parts = F.concat(
+        F.lit("474946383961"),                   # 'GIF89a'
+        _le_hex(lsd_w, 2),
+        _le_hex(lsd_h, 2),
+        F.lit("000000"),                         # packed/bg/aspect
+        F.lit("21FE"),                           # comment extension
+        _le_hex(pad, 1),
+        F.repeat(F.lit("41"), pad.cast("int")),
+        F.lit("00"),                             # sub-block terminator
+        frame(0), frame(1), frame(2),
+        F.lit("3B"),                             # trailer
+    )
+    return df.select(F.col(id_col), F.unhex(hex_parts).alias("content"))
+
+
+def gif_block_metadata(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id",
+    max_blocks: int = 4,
+) -> DataFrame:
+    """GIF metadata from a typed block walk — the REPEATED-substructure
+    pattern completing the container matrix (RIFF: linear chunks;
+    TIFF: offset chase; PNG: BE chunk chain; JPEG: inclusive-length
+    segments; MP4: nested boxes via mapInPandas; GIF: a type-dispatched
+    block LIST that repeats until the trailer). Each unrolled slot
+    reads the block's type byte and either counts an image descriptor
+    (accumulating its width×height), skips an extension by its
+    sub-block length, or stops at the trailer; position chains through
+    a per-type CASE. ``max_blocks`` bounds the unroll (one extension +
+    three frames covers the synthesized fixture; wild GIFs with longer
+    block lists are the documented mapInPandas boundary, exactly
+    mp4_metadata's rule — expression text grows ~7× per slot, so a
+    fixed small unroll is the Catalyst-side budget). Parses the
+    no-global-color-table subset (packed byte < 0x80 — flagged in
+    gif_ok, never silently misparsed); arithmetic runs on the first
+    256 bytes' hex only.
+
+    Returns (id, lsd_width, lsd_height, n_frames, n_extensions,
+    frame_area_sum, gif_ok)."""
+
+    def le(pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(conv(substring(hx, ({pos}) + {2 * i}, 2), 16, 10)"
+            f" AS BIGINT) * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    pos = "27"  # first block: byte 14 (after 13-byte header+LSD)
+    frames, exts, areas = [], [], []
+    for _ in range(max_blocks):
+        tb = f"substring(hx, ({pos}), 2)"
+        frames.append(f"(CASE WHEN {tb} = '2C' THEN 1 ELSE 0 END)")
+        exts.append(f"(CASE WHEN {tb} = '21' THEN 1 ELSE 0 END)")
+        areas.append(
+            f"(CASE WHEN {tb} = '2C'"
+            f" THEN {le(f'({pos}) + 10', 2)} * {le(f'({pos}) + 14', 2)}"
+            f" ELSE 0 END)"
+        )
+        pos = (
+            f"(CASE WHEN {tb} = '2C'"
+            f" THEN ({pos}) + 26 + 2 * {le(f'({pos}) + 22', 1)}"
+            f" WHEN {tb} = '21'"
+            f" THEN ({pos}) + 8 + 2 * {le(f'({pos}) + 4', 1)}"
+            f" ELSE ({pos}) END)"
+        )
+    hx = df.select(
+        F.col(id_col),
+        F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+    )
+    return hx.select(
+        id_col,
+        F.expr(le("13", 2)).alias("lsd_width"),
+        F.expr(le("17", 2)).alias("lsd_height"),
+        F.expr("CAST(" + " + ".join(frames) + " AS BIGINT)").alias(
+            "n_frames"
+        ),
+        F.expr("CAST(" + " + ".join(exts) + " AS BIGINT)").alias(
+            "n_extensions"
+        ),
+        F.expr("CAST(" + " + ".join(areas) + " AS BIGINT)").alias(
+            "frame_area_sum"
+        ),
+        F.expr(
+            "substring(hx, 1, 12) = '474946383961'"
+            f" AND {le('21', 1)} < 128"
+        ).alias("gif_ok"),
+    )

@@ -7651,10 +7651,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "date_features",
     "distinct_counts",
     "events_tumbling_window",
-    "explode_tokens",
-    "filter_project",
-    "flatten_struct",
     # ---- round-9 additions enter immediately ----
+    "state_runs",
+    "gif_block_parse",
+    "snapshot_check_constraints",
     "trimmed_winsorized_mean",
     "weighted_median_grouped",
     "user_streaks",

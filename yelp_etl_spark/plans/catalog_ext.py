@@ -12257,3 +12257,331 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compression of per-user event-type sequences — the
+    state-duration table (how long does a user stay in 'view' before
+    'click'?) that session analytics and CDC state models build on:
+    consecutive same-type events collapse into one run via the
+    LAG-based island trick (run id = cumulative count of type CHANGES
+    up to the row, windows PARTITIONED by user — the scalable per-key
+    shape, never global). Output: per event_type run statistics (run
+    count, mean run length ×1e6 exact, longest run, longest run's
+    duration sum in seconds) — aggregation-stable because runs reduce
+    by (user, run id) with integer epoch-second arithmetic. Scale: two
+    keyed shuffles (user windows, then type rollup), linear."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("ts"),
+        F.col("event_id").alias("eid"),
+    )
+    wn = Window.partitionBy("u").orderBy("ts", "eid")
+    marked = ev.select(
+        "u",
+        "t",
+        "ts",
+        "eid",
+        F.when(
+            F.lag("t").over(wn).isNull()
+            | (F.lag("t").over(wn) != F.col("t")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wrun = Window.partitionBy("u").orderBy("ts", "eid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = (
+        marked.select(
+            "u", "t", "ts", F.sum("is_start").over(wrun).alias("run_id")
+        )
+        .groupBy("u", "run_id", "t")
+        .agg(
+            F.count("*").cast("long").alias("len"),
+            # unix_micros/epoch_us convention (window_funnel_timed's
+            # rule): second-level epoch() vs unix_timestamp diverge on
+            # fractional seconds (round vs floor)
+            F.expr(
+                "(unix_micros(MAX(ts)) - unix_micros(MIN(ts)))"
+                " div 1000000"
+            ).cast("long").alias("dur_s"),
+        )
+    )
+    return (
+        runs.groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_runs"),
+            F.sum("len").cast("long").alias("n_events"),
+            F.expr("CAST(1000000 AS DECIMAL(38,0)) * SUM(len) div COUNT(*)")
+            .cast("long")
+            .alias("mean_len_micro"),
+            F.max("len").cast("long").alias("longest_run"),
+            F.sum("dur_s").cast("long").alias("run_dur_s_sum"),
+        )
+        .orderBy("t")
+    )
+
+
+ORACLE_STATE_RUNS = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS t, ts, event_id AS eid FROM events
+),
+marked AS MATERIALIZED (
+  SELECT u, t, ts, eid,
+         CASE WHEN LAG(t) OVER w IS NULL OR LAG(t) OVER w <> t
+              THEN 1 ELSE 0 END AS is_start
+  FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, eid)
+),
+runs AS MATERIALIZED (
+  SELECT u, t,
+         SUM(is_start) OVER (PARTITION BY u ORDER BY ts, eid) AS run_id,
+         ts
+  FROM marked
+),
+per_run AS MATERIALIZED (
+  SELECT u, run_id, t,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+              AS BIGINT) AS dur_s
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT t,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(len) AS BIGINT) AS n_events,
+       CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(len)
+             - (CAST(1000000 AS DECIMAL(38,0)) * SUM(len)) % COUNT(*))
+            / COUNT(*) AS BIGINT) AS mean_len_micro,
+       CAST(MAX(len) AS BIGINT) AS longest_run,
+       CAST(SUM(dur_s) AS BIGINT) AS run_dur_s_sum
+FROM per_run GROUP BY 1 ORDER BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "state_runs": (
+            q_state_runs,
+            ORACLE_STATE_RUNS,
+            "ext:run-length state-duration table (per-user island runs)",
+        ),
+    }
+)
+
+
+def q_gif_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-container routing pass (multimodal.gif_block_metadata over
+    gif_synthesize fixtures): the REPEATED-substructure walk that
+    completes the container-pattern matrix — a type-dispatched block
+    list (comment extension + 1–3 animation frames + trailer) where
+    each slot branches on the block type byte, counts/measures image
+    descriptors, and skips extensions by their declared sub-block
+    length. Aggregated per frame-count profile with the frame-area sum
+    proving the descriptors were actually read; the oracle rebuilds
+    the identical container hex in SQL and re-parses it with the same
+    unrolled dispatch."""
+    from yelp_etl_spark.functions.multimodal import (
+        gif_block_metadata,
+        gif_synthesize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    meta = gif_block_metadata(gif_synthesize(docs))
+    return (
+        meta.groupBy("n_frames")
+        .agg(
+            F.count("*").cast("long").alias("n_gifs"),
+            F.sum("n_extensions").cast("long").alias("ext_sum"),
+            F.sum("frame_area_sum").cast("long").alias("area_sum"),
+            F.sum(F.col("lsd_width") * F.col("lsd_height")).cast("long")
+            .alias("screen_area_sum"),
+            F.min(F.col("gif_ok").cast("long")).cast("long")
+            .alias("all_well_formed"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+def _gif_oracle() -> str:
+    def le_hex(expr: str, nbytes: int) -> str:
+        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+        pairs = ", ".join(
+            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
+        )
+        return f"concat({pairs})"
+
+    def le_int(pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
+            f" * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    dsz = "GREATEST(1, LEAST(16, length(text)))"
+
+    def frame(f: int) -> str:
+        return (
+            f"CASE WHEN doc_id % 3 + 1 > {f} THEN concat('2C', "
+            + le_hex(str(2 * f), 2) + ", "
+            + le_hex("0", 2) + ", "
+            + le_hex(f"doc_id % 30 + 5 + {f}", 2) + ", "
+            + le_hex("doc_id % 20 + 4", 2)
+            + ", '00', '02', "
+            + le_hex(dsz, 1)
+            + ", substr(upper(hex(encode(text))), 1,"
+            f"  CAST(2 * {dsz} AS INT)), '00') ELSE '' END"
+        )
+
+    synth = (
+        "upper(concat('474946383961', "
+        + le_hex("doc_id % 200 + 20", 2) + ", "
+        + le_hex("doc_id % 150 + 15", 2)
+        + ", '000000', '21FE', "
+        + le_hex("doc_id % 9 + 1", 1)
+        + ", repeat('41', CAST(doc_id % 9 + 1 AS INT)), '00', "
+        + frame(0) + ", " + frame(1) + ", " + frame(2)
+        + ", '3B'))"
+    )
+    pos = "27"
+    frames, exts, areas = [], [], []
+    for _ in range(4):
+        tb = f"substr(hx, ({pos}), 2)"
+        frames.append(f"(CASE WHEN {tb} = '2C' THEN 1 ELSE 0 END)")
+        exts.append(f"(CASE WHEN {tb} = '21' THEN 1 ELSE 0 END)")
+        areas.append(
+            f"(CASE WHEN {tb} = '2C'"
+            f" THEN {le_int(f'({pos}) + 10', 2)}"
+            f" * {le_int(f'({pos}) + 14', 2)} ELSE 0 END)"
+        )
+        pos = (
+            f"(CASE WHEN {tb} = '2C'"
+            f" THEN ({pos}) + 26 + 2 * {le_int(f'({pos}) + 22', 1)}"
+            f" WHEN {tb} = '21'"
+            f" THEN ({pos}) + 8 + 2 * {le_int(f'({pos}) + 4', 1)}"
+            f" ELSE ({pos}) END)"
+        )
+    return f"""
+WITH gif AS MATERIALIZED (
+  SELECT doc_id, {synth} AS hx
+  FROM documents WHERE doc_id % 4 = 0
+),
+parsed AS MATERIALIZED (
+  SELECT doc_id,
+         {le_int('13', 2)} AS lsd_width,
+         {le_int('17', 2)} AS lsd_height,
+         CAST({' + '.join(frames)} AS BIGINT) AS n_frames,
+         CAST({' + '.join(exts)} AS BIGINT) AS n_extensions,
+         CAST({' + '.join(areas)} AS BIGINT) AS frame_area_sum,
+         (substr(hx, 1, 12) = '474946383961'
+          AND {le_int('21', 1)} < 128) AS gif_ok
+  FROM gif
+)
+SELECT n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_gifs,
+       CAST(SUM(n_extensions) AS BIGINT) AS ext_sum,
+       CAST(SUM(frame_area_sum) AS BIGINT) AS area_sum,
+       CAST(SUM(lsd_width * lsd_height) AS BIGINT) AS screen_area_sum,
+       CAST(MIN(CASE WHEN gif_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS all_well_formed
+FROM parsed GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_GIF_BLOCK_PARSE = _gif_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "gif_block_parse": (
+            q_gif_block_parse,
+            ORACLE_GIF_BLOCK_PARSE,
+            "ext:GIF typed block walk (repeated-substructure dispatch)",
+        ),
+    }
+)
+
+
+def q_snapshot_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints end to end (sources/snapshots.py
+    snapshot_set_constraint / snapshot_write enforcement — Delta's
+    ALTER TABLE ADD CONSTRAINT): a quality gate becomes a TABLE
+    property instead of a hope about upstream jobs. Flow: commit an
+    orders slice; ADD a constraint (validates existing rows first — a
+    predicate current data violates refuses, exercised); append a
+    violating batch (refused with the per-constraint count, table
+    unchanged — exercised); append a valid batch (constraint carried
+    forward); drop and re-append the once-refused batch. The audit row
+    pins every refusal count plus the final table rollup; the oracle
+    recomputes the final state from the same input predicates. At
+    100 TB enforcement is one aggregate job per constrained write over
+    the incoming batch only — Delta's price, the linear path."""
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+    from yelp_etl_spark.sources.snapshots import (
+        snapshot_drop_constraint,
+        snapshot_read,
+        snapshot_set_constraint,
+        snapshot_write,
+        snapshots,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    good = orders.filter(F.col("o_totalprice") > 50000)
+    low = orders.filter(F.col("o_totalprice") <= 50000)
+    table = _scratch_dir(sf_dir, "snapck")
+    snapshot_write(good.filter(F.col("o_orderkey") % 2 == 0), table)
+    snapshot_set_constraint(spark, table, "price_floor", "o_totalprice > 50000")
+    refused_add = 0
+    try:  # existing data violates → the ADD itself must refuse
+        snapshot_set_constraint(
+            spark, table, "impossible", "o_totalprice > 100000000"
+        )
+    except ValueError:
+        refused_add = 1
+    refused_appends = 0
+    try:  # violating batch refused, table unchanged
+        snapshot_write(low, table, mode="append")
+    except ValueError:
+        refused_appends += 1
+    snapshot_write(
+        good.filter(F.col("o_orderkey") % 2 == 1), table, mode="append"
+    )
+    try:  # constraint survived the valid append
+        snapshot_write(low.limit(1), table, mode="append")
+    except ValueError:
+        refused_appends += 1
+    snapshot_drop_constraint(table, "price_floor")
+    snapshot_write(low, table, mode="append")
+    ops = ",".join(s["operation"] for s in snapshots(table))
+    return snapshot_read(spark, table).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.lit(refused_add).cast("long").alias("refused_constraint_adds"),
+        F.lit(refused_appends).cast("long").alias("refused_appends"),
+        F.lit(ops).alias("ops"),
+    )
+
+
+ORACLE_SNAPSHOT_CHECK_CONSTRAINTS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(1 AS BIGINT) AS refused_constraint_adds,
+       CAST(2 AS BIGINT) AS refused_appends,
+       'replace,set_constraint,append,drop_constraint,append' AS ops
+FROM orders
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "snapshot_check_constraints": (
+            q_snapshot_check_constraints,
+            ORACLE_SNAPSHOT_CHECK_CONSTRAINTS,
+            "ext:write-time CHECK constraints (add/enforce/carry/drop)",
+        ),
+    }
+)

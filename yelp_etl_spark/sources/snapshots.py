@@ -673,6 +673,19 @@ def snapshot_write(
                 "only engine-stable for those types (floats render "
                 "differently between pyarrow and Spark casts)"
             )
+    # CHECK constraints are a table property (Delta's ADD CONSTRAINT):
+    # every write against a constrained table validates the INCOMING
+    # DataFrame before any data file lands — append checks the new
+    # rows only (existing data was checked when its constraint was
+    # added), replace/rewrite check the full replacement. One counting
+    # job per constrained write, the price Delta pays too; violations
+    # refuse the commit with per-constraint counts, so a bad upstream
+    # batch can never poison the table silently.
+    constraints = (
+        parent_manifest.get("constraints") if parent_manifest else None
+    )
+    if constraints:
+        _validate_constraints(df, constraints)
     new_files = _write_data_files(df, table_dir, partition_by, bloom_columns)
 
     # 2. new manifest = parent files (append) or just new files (replace)
@@ -739,9 +752,110 @@ def snapshot_write(
         manifest["partition_by"] = list(partition_by)
     if bloom_columns:
         manifest["bloom_columns"] = list(bloom_columns)
+    if constraints:
+        # constraints are a table property: every write-path commit
+        # carries them forward (drop is explicit, snapshot_drop_constraint)
+        manifest["constraints"] = dict(constraints)
     return _commit_manifest(
         table_dir, manifest, swap_pointer=publish
     )
+
+
+def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+    """Refuse (ValueError) if any row of ``df`` violates any CHECK
+    constraint. NULL predicate results count as violations — the
+    conservative reading (Delta treats CHECK as 'must evaluate true'),
+    so a constraint on a nullable column must say so explicitly
+    (``x IS NULL OR x > 0``). One aggregate job computes every
+    constraint's violation count at once (not one scan per
+    constraint)."""
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
+            ).alias(name)
+            for name, pred in sorted(constraints.items())
+        ]
+    ).collect()[0]
+    bad = {
+        name: int(counts[name] or 0)
+        for name in constraints
+        if counts[name]
+    }
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation(s), commit refused: "
+            + ", ".join(
+                f"{n!r} ({constraints[n]!r}): {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+        )
+
+
+def snapshot_set_constraint(
+    spark: SparkSession, table_dir: str, name: str, predicate: str
+) -> int:
+    """Add a named CHECK constraint to the table (Delta's ALTER TABLE
+    ADD CONSTRAINT): ``predicate`` is a SQL boolean over the table's
+    columns. Like Delta, the EXISTING data is validated first (one
+    scan — a constraint that current rows violate refuses), then a
+    metadata-only snapshot commits the constraint into the manifest;
+    every later snapshot_write against the table validates incoming
+    rows and refuses violating commits. Constraint names are tag-rule
+    identifiers; re-setting an existing name refuses (drop first) so
+    a constraint can't be silently weakened in place."""
+    if not _TAG_RE.match(name):
+        raise ValueError(
+            f"constraint name {name!r} must match {_TAG_RE.pattern}"
+        )
+    parent = _read_pointer(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    pm = _load_manifest(table_dir, parent)
+    constraints = dict(pm.get("constraints") or {})
+    if name in constraints:
+        raise ValueError(
+            f"constraint {name!r} already set to "
+            f"{constraints[name]!r}: snapshot_drop_constraint first"
+        )
+    current = snapshot_read(spark, table_dir)
+    _validate_constraints(current, {name: predicate})
+    constraints[name] = predicate
+    manifest = {
+        **{k: v for k, v in pm.items() if k != "snapshot_id"},
+        "snapshot_id": parent + 1,
+        "parent_id": parent,
+        "operation": "set_constraint",
+        "constraints": constraints,
+    }
+    return _commit_manifest(table_dir, manifest)
+
+
+def snapshot_drop_constraint(table_dir: str, name: str) -> int:
+    """Remove a named CHECK constraint (metadata-only commit; the
+    explicit inverse of snapshot_set_constraint). Unknown names refuse
+    so a typo can't no-op where a real drop was intended."""
+    parent = _read_pointer(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    pm = _load_manifest(table_dir, parent)
+    constraints = dict(pm.get("constraints") or {})
+    if name not in constraints:
+        raise ValueError(f"no constraint named {name!r} on this table")
+    del constraints[name]
+    manifest = {
+        **{
+            k: v
+            for k, v in pm.items()
+            if k not in ("snapshot_id", "constraints")
+        },
+        "snapshot_id": parent + 1,
+        "parent_id": parent,
+        "operation": "drop_constraint",
+    }
+    if constraints:
+        manifest["constraints"] = constraints
+    return _commit_manifest(table_dir, manifest)
 
 
 def snapshot_publish(table_dir: str, snapshot_id: int) -> int:
@@ -1896,6 +2010,8 @@ def snapshot_merge_3way(
         manifest["partition_by"] = spec
     if bloom:
         manifest["bloom_columns"] = bloom
+    if parent_manifest.get("constraints"):
+        manifest["constraints"] = parent_manifest["constraints"]
     mpath = _manifest_path(table_dir, snapshot_id)
     tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
@@ -1964,6 +2080,8 @@ def snapshot_clone(src_dir: str, dst_dir: str) -> int:
         manifest["partition_by"] = m["partition_by"]
     if m.get("bloom_columns"):
         manifest["bloom_columns"] = m["bloom_columns"]
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     os.makedirs(os.path.join(dst_dir, "manifests"), exist_ok=True)
     # data/ too: vacuum on a fresh clone lists it (borrowed files live
     # outside it, so the sweep is a safe no-op, not a FileNotFoundError)
