@@ -1,8 +1,7 @@
 from __future__ import annotations
 
-import glob
 import os
-import re
+import sys
 import zlib
 
 import pytest
@@ -26,16 +25,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _current_round() -> int:
-    env = os.environ.get("SPARK_GRAFT_ROUND")
-    if env:
-        return int(env)
+    # the ONE round-detection rule lives in bench.detect_round — the
+    # test tier and the bench rotation must never disagree on the round
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ns = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    return (max(ns) + 1) if ns else 1
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from bench import detect_round
+
+    return detect_round(root)
 
 
 def pytest_configure(config):

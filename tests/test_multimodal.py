@@ -487,7 +487,12 @@ def test_gif_block_walk_matches_struct_reference(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, "gif frame payload " * 3) for i in range(12)],
+        # doc 4 has EMPTY text: the declared sub-block length must
+        # still equal the bytes written (r9 review regression — a
+        # 1-declared/0-written desync walked one byte into the next
+        # frame and silently undercounted)
+        [(i, "" if i == 4 else "gif frame payload " * 3)
+         for i in range(12)],
         "doc_id long, text string",
     )
     blobs = gif_synthesize(docs)

@@ -2061,3 +2061,51 @@ def test_check_constraints_enforced_and_carried(spark, tmp_path):
     snapshot_drop_constraint(d, "amount_pos")
     snapshot_write(bad, d, mode="append")
     assert snapshot_read(spark, d).count() == 4
+
+
+def test_check_constraints_survive_every_commit_path(spark, tmp_path):
+    import pytest as _pytest
+
+    from yelp_etl_spark.sources.snapshots import (
+        _load_manifest,
+        _read_pointer,
+        snapshot_evolve_spec,
+        snapshot_mor_delete,
+        snapshot_overwrite_partitions,
+        snapshot_rollback,
+        snapshot_set_constraint,
+        snapshot_write,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, part string, amount double",
+    )
+    snapshot_write(base, d, partition_by=["part"])
+    snapshot_set_constraint(spark, d, "amount_pos", "amount > 0")
+
+    def constraints():
+        return _load_manifest(d, _read_pointer(d)).get("constraints")
+
+    # dynamic partition overwrite: validates incoming AND carries
+    bad = spark.createDataFrame(
+        [(9, "a", -1.0)], "id long, part string, amount double"
+    )
+    with _pytest.raises(ValueError, match="amount_pos"):
+        snapshot_overwrite_partitions(bad, d, ["part"])
+    ok = spark.createDataFrame(
+        [(9, "a", 90.0)], "id long, part string, amount double"
+    )
+    snapshot_overwrite_partitions(ok, d, ["part"])
+    assert constraints() == {"amount_pos": "amount > 0"}
+    # MOR delete: metadata-ish commit carries
+    keys = spark.createDataFrame([(2,)], "id long")
+    snapshot_mor_delete(spark, d, keys, ["id"])
+    assert constraints() == {"amount_pos": "amount > 0"}
+    # spec evolution: metadata-only commit carries
+    snapshot_evolve_spec(d, [])
+    assert constraints() == {"amount_pos": "amount > 0"}
+    # rollback restores the TARGET version's constraints (none at s1)
+    snapshot_rollback(d, 1)
+    assert constraints() is None

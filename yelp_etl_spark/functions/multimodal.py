@@ -1084,9 +1084,14 @@ def gif_synthesize(
                 F.lit("00"),                            # no local table
                 F.lit("02"),                            # LZW min code
                 _le_hex(dsz, 1),
+                # concat(text,'.') guarantees >=1 byte (read only when
+                # text is empty), so the declared sub-block
+                # length always equals the bytes written (an empty text
+                # would otherwise declare 1 and write 0, desyncing the
+                # walk one byte into the next block — r9 review)
                 F.hex(F.expr(
-                    f"substring(encode({from_col}, 'utf-8'), 1, "
-                    f"greatest(1, least(16, length({from_col}))))"
+                    f"substring(encode(concat({from_col}, '.'), 'utf-8'),"
+                    f" 1, greatest(1, least(16, length({from_col}))))"
                 )),
                 F.lit("00"),                            # sub-block term
             ),

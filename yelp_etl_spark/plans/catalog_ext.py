@@ -10983,7 +10983,7 @@ def _png_oracle() -> str:
 
     def be_int(pos: str, nbytes: int) -> str:
         return (
-            f"CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
+            f"TRY_CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
             f" AS BIGINT)"
         )
 
@@ -11085,7 +11085,7 @@ def _jpeg_oracle() -> str:
 
     def be_int(pos: str, nbytes: int) -> str:
         return (
-            f"CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
+            f"TRY_CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
             f" AS BIGINT)"
         )
 
@@ -11772,7 +11772,6 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ties = days.groupBy("y").agg(F.count("*").alias("t"))
     vart = ties.agg(
-        F.count("*").cast("long").alias("n_distinct"),
         F.sum("t").cast("long").alias("n"),
         F.sum(
             F.col("t").cast("decimal(38,0)")
@@ -12414,7 +12413,7 @@ def _gif_oracle() -> str:
 
     def le_int(pos: str, nbytes: int) -> str:
         terms = [
-            f"CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
+            f"TRY_CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
             f" * {256 ** i}"
             for i in range(nbytes)
         ]
@@ -12431,7 +12430,7 @@ def _gif_oracle() -> str:
             + le_hex("doc_id % 20 + 4", 2)
             + ", '00', '02', "
             + le_hex(dsz, 1)
-            + ", substr(upper(hex(encode(text))), 1,"
+            + ", substr(upper(hex(encode(concat(text, '.')))), 1,"
             f"  CAST(2 * {dsz} AS INT)), '00') ELSE '' END"
         )
 

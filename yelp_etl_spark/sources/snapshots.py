@@ -1410,6 +1410,11 @@ def snapshot_overwrite_partitions(
     # the overwrite inherits the table's bloom sidecar spec like every
     # other write path — replaced partitions keep point-lookup skipping
     bloom_columns = pm.get("bloom_columns")
+    if pm.get("constraints"):
+        # CHECK constraints bind every ingest path, not just
+        # snapshot_write (r9 review finding): validate the incoming
+        # partition replacement before any file lands
+        _validate_constraints(df, pm["constraints"])
     new_files = _write_data_files(df, table_dir, partition_by, bloom_columns)
     touched = {
         tuple(f["partition"][c] for c in fields) for f in new_files
@@ -1438,6 +1443,8 @@ def snapshot_overwrite_partitions(
         # the delete files masking them — dropping the list would
         # resurrect MOR-deleted rows in every UNTOUCHED partition
         manifest["delete_files"] = pm["delete_files"]
+    if pm.get("constraints"):
+        manifest["constraints"] = pm["constraints"]
     if bloom_columns:
         manifest["bloom_columns"] = list(bloom_columns)
     return _commit_manifest(table_dir, manifest)
@@ -1477,6 +1484,10 @@ def snapshot_rollback(table_dir: str, to_snapshot: int) -> int:
         # restoring a spec'd snapshot restores its spec too — otherwise
         # a later dynamic overwrite would refuse the "spec-less" parent
         manifest["partition_by"] = target["partition_by"]
+    if target.get("constraints"):
+        # ... and its CHECK constraints (table properties travel with
+        # the restored version, Delta RESTORE semantics)
+        manifest["constraints"] = target["constraints"]
     # ... and its MOR delete files (dropping them would RESURRECT
     # every row the target snapshot had masked — silent un-deletion
     # of erased keys) and its bloom sidecar spec (losing it degrades
@@ -1542,6 +1553,8 @@ def snapshot_evolve_spec(table_dir: str, partition_by: list[str]) -> int:
     if partition_by:
         manifest["partition_by"] = list(partition_by)
     # spec evolution must not drop the rest of the table state
+    if pm.get("constraints"):
+        manifest["constraints"] = pm["constraints"]
     if pm.get("delete_files"):
         manifest["delete_files"] = pm["delete_files"]
     if pm.get("bloom_columns"):
@@ -1794,6 +1807,8 @@ def snapshot_mor_delete(
         "operation": "delete",
         "schema": pm["schema"],
         "files": pm["files"],
+        # a delete introduces no rows, but the table property survives
+        **({"constraints": pm["constraints"]} if pm.get("constraints") else {}),
         "delete_files": (pm.get("delete_files") or [])
         + [
             {
@@ -1986,6 +2001,10 @@ def snapshot_merge_3way(
     # Never abandon-then-commit: a crash between those two steps would
     # leave BOTH the branch and the merge as unreferenced orphans.
     bloom = parent_manifest.get("bloom_columns")
+    if parent_manifest.get("constraints"):
+        # the merge is an incoming replacement row set like any other
+        # write: validate before the data files land (r9 review)
+        _validate_constraints(merged, parent_manifest["constraints"])
     new_files = _write_data_files(merged, table_dir, spec, bloom)
     snapshot_id = (parent or 0) + 1
     if theirs_id != snapshot_id:
@@ -2172,4 +2191,7 @@ def snapshot_binpack(
         out["partition_by"] = spec
     if manifest.get("bloom_columns"):
         out["bloom_columns"] = manifest["bloom_columns"]
+    if manifest.get("constraints"):
+        # rewrite of already-validated rows: carry, no re-validation
+        out["constraints"] = manifest["constraints"]
     return _commit_manifest(table_dir, out)
