@@ -71,6 +71,22 @@ def test_driver_window_r9_rotation_goals():
         "harmonic_centrality",
         "gdpr_erasure_audit",
         "tiff_ifd_parse",
+        # round-9 additions enter immediately (the ratified pattern)
+        "png_ihdr_parse",
+        "jpeg_sof_parse",
+        "stream_full_join_expiry",
+        "cohens_kappa",
+        "cramers_v",
+        "spearman_corr",
+        "gini_concentration",
+        "mann_kendall_trend",
+        "kcore_peeling",
+        "trimmed_winsorized_mean",
+        "weighted_median_grouped",
+        "user_streaks",
+        "state_runs",
+        "gif_block_parse",
+        "snapshot_check_constraints",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
