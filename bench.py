@@ -362,6 +362,10 @@ BENCH_QUERIES = [
     "state_runs",
     "gif_block_parse",
     "snapshot_check_constraints",
+    "phrase_search",
+    "approx_quantile_checked",
+    "stream_dedup_within_watermark",
+    "seasonal_decompose",
 ]
 
 # ---------------------------------------------------------------------------
@@ -445,6 +449,10 @@ NEW_BY_ROUND[9] = {
     "state_runs",
     "gif_block_parse",
     "snapshot_check_constraints",
+    "phrase_search",
+    "approx_quantile_checked",
+    "stream_dedup_within_watermark",
+    "seasonal_decompose",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7647,11 +7647,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "window_ranking2",
     "array_access",
     "bitmap_distinct",
-    "case_when_tiers",
-    "date_features",
-    "distinct_counts",
-    "events_tumbling_window",
     # ---- round-9 additions enter immediately ----
+    "phrase_search",
+    "approx_quantile_checked",
+    "stream_dedup_within_watermark",
+    "seasonal_decompose",
     "state_runs",
     "gif_block_parse",
     "snapshot_check_constraints",

@@ -12584,3 +12584,410 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round 9 (continued): IR phrase search, checked approximate quantiles,
+# watermark-scoped streaming dedup, seasonal decomposition.
+# --------------------------------------------------------------------------
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search over positional postings — the IR row
+    keyword_search (bag-of-words AND) and bm25 (ranked) don't cover:
+    "stream column" must match only where the tokens are ADJACENT.
+    posexplode materializes (doc, position, token) postings inline
+    (at scale: a pre-built positional inverted index, the same
+    derivation rule keyword_search documents); each phrase term
+    filters to its posting list, and adjacency is an equi-join on
+    (doc_id, position+1) — never a LIKE/substring scan, which can't be
+    served by an index and rescans every byte at 100 TB. Returns
+    per-language doc and occurrence counts plus the distinct-position
+    proof column (min/max first-token position) that the join really
+    used positions."""
+    documents = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "p", "tok"
+        ),
+    )
+    first = toks.filter(F.col("tok") == "stream").select(
+        "doc_id", "lang", F.col("p").alias("p1")
+    )
+    second = toks.filter(F.col("tok") == "column").select(
+        "doc_id", F.col("p").alias("p2")
+    )
+    occ = first.join(
+        second,
+        (F.col("first.doc_id") == F.col("second.doc_id"))
+        if False
+        else ((first["doc_id"] == second["doc_id"]) & (second["p2"] == first["p1"] + 1)),
+    ).select(first["doc_id"].alias("doc_id"), "lang", "p1")
+    return (
+        occ.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("p1").cast("long").alias("min_pos"),
+            F.max("p1").cast("long").alias("max_pos"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PHRASE_SEARCH = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS p,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT a.doc_id, a.lang, a.p AS p1
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.tok = 'stream' AND b.tok = 'column'
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(p1) AS BIGINT) AS min_pos,
+       CAST(MAX(p1) AS BIGINT) AS max_pos
+FROM occ GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_approx_quantile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with a HARD error check (the
+    hll_mergeable_checked pattern — a sketch is only usable at 100 TB
+    if its error bound is VERIFIED, not trusted): Spark's
+    approx_percentile(totalprice, q, accuracy) guarantees a rank error
+    ≤ n/accuracy (Greenwald-Khanna/KLL contract). The check computes
+    the approximate value's TRUE rank interval [rank_lo, rank_hi)
+    exactly (two count-aggregates against the base data) and asserts
+    |true_rank − q·n| ≤ n/accuracy + tie-width, emitted as booleans
+    the oracle pins to TRUE literals alongside the exact-quantile
+    twin values. The estimate itself is engine-specific → the boolean
+    + exact-twin columns are the oracle surface, never the estimate."""
+    acc = 1000
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
+    qs = [0.25, 0.5, 0.9]
+    approx = o.agg(
+        *[
+            F.expr(f"approx_percentile(v, {q}, {acc})").alias(f"a{i}")
+            for i, q in enumerate(qs)
+        ],
+        F.count("*").alias("n"),
+    )
+    # exact twin: lower-quantile order statistic at rank ceil(q*n) via
+    # the distinct-value cum trick (the weighted-median machinery)
+    per = o.groupBy("v").agg(F.count("*").alias("m"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("v", F.sum("m").over(w).cast("long").alias("cum"))
+    j = cum.crossJoin(F.broadcast(approx))
+    aggs = [F.max("n").cast("long").alias("n")]
+    for i, q in enumerate(qs):
+        # exact value at rank ceil(q*n): smallest v with cum >= ceil(q*n)
+        target = F.expr(f"CAST(ceil({q} * n) AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("v")))
+            .cast("long").alias(f"exact_q{i}")
+        )
+        # true rank interval of the approx value a_i
+        aggs.append(
+            F.max(F.when(F.col("v") <= F.col(f"a{i}"), F.col("cum")))
+            .alias(f"rank_hi{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("v") < F.col(f"a{i}"), F.col("cum")))
+            .alias(f"rank_lo{i}")
+        )
+    raw = j.agg(*aggs)
+    out_cols = [F.col("n")]
+    for i, q in enumerate(qs):
+        target = F.expr(f"CAST(ceil({q} * n) AS BIGINT)")
+        slack = F.expr(f"n div {acc}")
+        ok = (
+            (F.coalesce(F.col(f"rank_hi{i}"), F.lit(0))
+             >= target - slack - 1)
+            & (F.coalesce(F.col(f"rank_lo{i}"), F.lit(0))
+               <= target + slack)
+        )
+        out_cols.append(F.col(f"exact_q{i}"))
+        out_cols.append(ok.alias(f"bound_ok_q{i}"))
+    return raw.select(*out_cols)
+
+
+ORACLE_APPROX_QUANTILE_CHECKED = """
+WITH o AS MATERIALIZED (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+cum AS MATERIALIZED (
+  SELECT v, CAST(SUM(m) OVER (ORDER BY v) AS BIGINT) AS cum
+  FROM (SELECT v, COUNT(*) AS m FROM o GROUP BY 1)
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o)
+SELECT n,
+       (SELECT MIN(v) FROM cum
+        WHERE cum >= CAST(ceil(0.25 * tot.n) AS BIGINT)) AS exact_q0,
+       TRUE AS bound_ok_q0,
+       (SELECT MIN(v) FROM cum
+        WHERE cum >= CAST(ceil(0.5 * tot.n) AS BIGINT)) AS exact_q1,
+       TRUE AS bound_ok_q1,
+       (SELECT MIN(v) FROM cum
+        WHERE cum >= CAST(ceil(0.9 * tot.n) AS BIGINT)) AS exact_q2,
+       TRUE AS bound_ok_q2
+FROM tot
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "phrase_search": (
+            q_phrase_search,
+            ORACLE_PHRASE_SEARCH,
+            "ext:positional phrase search (adjacency postings join)",
+        ),
+        "approx_quantile_checked": (
+            q_approx_quantile_checked,
+            ORACLE_APPROX_QUANTILE_CHECKED,
+            "ext:approx_percentile with verified rank-error bound"
+            " + exact twin",
+        ),
+    }
+)
+
+
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark end to end (Spark 3.5's
+    bounded-state streaming dedup — the §2.10e row plain
+    dropDuplicates can't give you at 100 TB/day: its state never
+    evicts, this one's does): duplicates of a key are suppressed only
+    while the key's state lives (event time + delay), and the SAME key
+    re-emits after the watermark evicts it — at-least-once dedup with
+    O(active-keys) state instead of O(all-keys-ever). Deterministic
+    phases (mtime-pinned files, maxFilesPerTrigger=1): batch 0 = all
+    real click events (same-key duplicates collapse in-batch); batch 1
+    = a far-future watermark advancer (evicts every batch-0 key);
+    batch 2 = REPLAYS of 20 batch-0 keys shifted far ahead — all 20
+    re-emit because their state is gone. The oracle is the exact
+    emission law: distinct keys from phase 0 + all phase-2 rows,
+    distinguished by the time cutoff."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+        .localCheckpoint(eager=True)
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    replay = (
+        ev.select("user_id").distinct()
+        .orderBy("user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            (F.lit(max_ts) + F.expr("INTERVAL 400 DAYS")).alias("ts"),
+            F.lit(-9).cast("long").alias("event_id"),
+        )
+    )
+    advancer = spark.createDataFrame(
+        [(-1, max_ts, -1)], "user_id long, ts timestamp, event_id long"
+    ).select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
+        "event_id",
+    )
+
+    def stage(df, phase: int, root: str):
+        tmp = root + f"_tmp{phase}"
+        df.repartition(1).write.parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = _os.path.join(root, f"{phase:02d}.parquet")
+        _shutil.move(_os.path.join(tmp, part), dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        base = 1_700_000_000 + phase * 60
+        _os.utime(dst, (base, base))
+
+    src = _scratch_dir(sf_dir, "sddw")
+    _os.makedirs(src)
+    stage(ev, 0, src)
+    stage(advancer, 1, src)
+    stage(replay, 2, src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    name = "sddw_" + _uuid.uuid4().hex[:8]
+    ckpt = _scratch_dir(sf_dir, "sddwckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).filter(F.col("user_id") >= 0)
+    cutoff = F.lit(max_ts) + F.expr("INTERVAL 300 DAYS")
+    return out.agg(
+        F.sum((F.col("ts") < cutoff).cast("long")).cast("long")
+        .alias("emitted_phase0"),
+        F.sum((F.col("ts") >= cutoff).cast("long")).cast("long")
+        .alias("re_emitted_after_eviction"),
+        F.countDistinct("user_id").cast("long").alias("distinct_users"),
+    )
+
+
+ORACLE_STREAM_DEDUP_WITHIN_WATERMARK = """
+WITH clicks AS MATERIALIZED (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM clicks)
+         AS emitted_phase0,
+       (SELECT CAST(LEAST(20, COUNT(DISTINCT user_id)) AS BIGINT)
+        FROM clicks) AS re_emitted_after_eviction,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM clicks)
+         AS distinct_users
+"""
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the 1995 daily
+    revenue series (moving-average STL-lite: trend = centered 7-day
+    mean, seasonal = per-weekday mean of the detrended series,
+    remainder = what's left) — the EXPLAIN step beside the forecast
+    rows (holt/seasonal-naive predict; this attributes): every
+    component stays in exact micro-cents — trend = (10^6·sum7) div 7
+    on full windows only, weekday means floor once at micro scale —
+    so both engines produce IDENTICAL integers, and the per-weekday
+    output (seasonal index, day count, max |remainder|) is the honest
+    effect table. Scale: one map-side-combinable groupBy to ≤365 day
+    rows; windows over that bounded frame."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = days.select(
+        "d",
+        "y",
+        F.count("*").over(w7).alias("w_n"),
+        F.sum("y").over(w7).alias("w_sum"),
+    ).filter(F.col("w_n") == 7)
+    detr = trended.select(
+        "d",
+        F.dayofweek("d").cast("long").alias("dow"),
+        (
+            F.lit(1_000_000).cast("decimal(38,0)") * F.col("y")
+            - F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * w_sum"
+                " - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7) / 7"
+            )
+        ).cast("decimal(38,0)").alias("detr_micro"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr(
+            "CAST((SUM(detr_micro) - SUM(detr_micro) % COUNT(*))"
+            " / COUNT(*) AS DECIMAL(38,0))"
+        ).alias("seasonal_micro"),
+    )
+    rem = (
+        detr.join(seas, "dow")
+        .groupBy("dow")
+        .agg(
+            F.max(
+                F.abs(F.col("detr_micro") - F.col("seasonal_micro"))
+            ).cast("decimal(38,0)").alias("max_abs_remainder"),
+        )
+    )
+    return (
+        seas.join(rem, "dow")
+        .select(
+            "dow",
+            "n_days",
+            F.col("seasonal_micro").cast("string").alias("seasonal_micro"),
+            F.col("max_abs_remainder").cast("string")
+            .alias("max_abs_remainder_micro"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE_SEASONAL_DECOMPOSE = """
+WITH days AS MATERIALIZED (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+trended AS MATERIALIZED (
+  SELECT d, y,
+         COUNT(*) OVER w AS w_n,
+         SUM(y) OVER w AS w_sum
+  FROM days WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS MATERIALIZED (
+  SELECT d,
+         CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+         CAST(CAST(1000000 AS DECIMAL(38,0)) * y
+              - (CAST(1000000 AS DECIMAL(38,0)) * w_sum
+                 - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7) / 7
+              AS DECIMAL(38,0)) AS detr_micro
+  FROM trended WHERE w_n = 7
+),
+seas AS MATERIALIZED (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST((SUM(detr_micro) - SUM(detr_micro) % COUNT(*)) / COUNT(*)
+              AS DECIMAL(38,0)) AS seasonal_micro
+  FROM detr GROUP BY 1
+)
+SELECT seas.dow AS dow, n_days,
+       CAST(seasonal_micro AS VARCHAR) AS seasonal_micro,
+       CAST(MAX(abs(detr_micro - seasonal_micro)) AS VARCHAR)
+         AS max_abs_remainder_micro
+FROM detr JOIN seas ON detr.dow = seas.dow
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "stream_dedup_within_watermark": (
+            q_stream_dedup_within_watermark,
+            ORACLE_STREAM_DEDUP_WITHIN_WATERMARK,
+            "ext:dropDuplicatesWithinWatermark (bounded-state dedup"
+            " + post-eviction re-emit)",
+        ),
+        "seasonal_decompose": (
+            q_seasonal_decompose,
+            ORACLE_SEASONAL_DECOMPOSE,
+            "ext:additive seasonal decomposition (exact micro trend/"
+            "seasonal/remainder)",
+        ),
+    }
+)
