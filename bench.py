@@ -362,7 +362,6 @@ BENCH_QUERIES = [
     "state_runs",
     "gif_block_parse",
     "snapshot_check_constraints",
-    "phrase_search",
     "approx_quantile_checked",
     "stream_dedup_within_watermark",
     "seasonal_decompose",
@@ -449,7 +448,6 @@ NEW_BY_ROUND[9] = {
     "state_runs",
     "gif_block_parse",
     "snapshot_check_constraints",
-    "phrase_search",
     "approx_quantile_checked",
     "stream_dedup_within_watermark",
     "seasonal_decompose",

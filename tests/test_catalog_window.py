@@ -87,7 +87,6 @@ def test_driver_window_r9_rotation_goals():
         "state_runs",
         "gif_block_parse",
         "snapshot_check_constraints",
-        "phrase_search",
         "approx_quantile_checked",
         "stream_dedup_within_watermark",
         "seasonal_decompose",

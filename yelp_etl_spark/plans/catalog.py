@@ -7648,7 +7648,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "array_access",
     "bitmap_distinct",
     # ---- round-9 additions enter immediately ----
-    "phrase_search",
+    "case_when_tiers",
     "approx_quantile_checked",
     "stream_dedup_within_watermark",
     "seasonal_decompose",

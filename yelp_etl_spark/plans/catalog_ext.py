@@ -12592,73 +12592,6 @@ EXTRA_QUERIES.update(
 # --------------------------------------------------------------------------
 
 
-def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact PHRASE search over positional postings — the IR row
-    keyword_search (bag-of-words AND) and bm25 (ranked) don't cover:
-    "stream column" must match only where the tokens are ADJACENT.
-    posexplode materializes (doc, position, token) postings inline
-    (at scale: a pre-built positional inverted index, the same
-    derivation rule keyword_search documents); each phrase term
-    filters to its posting list, and adjacency is an equi-join on
-    (doc_id, position+1) — never a LIKE/substring scan, which can't be
-    served by an index and rescans every byte at 100 TB. Returns
-    per-language doc and occurrence counts plus the distinct-position
-    proof column (min/max first-token position) that the join really
-    used positions."""
-    documents = _t(spark, sf_dir, "documents")
-    toks = documents.select(
-        "doc_id",
-        "lang",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
-            "p", "tok"
-        ),
-    )
-    first = toks.filter(F.col("tok") == "stream").select(
-        "doc_id", "lang", F.col("p").alias("p1")
-    )
-    second = toks.filter(F.col("tok") == "column").select(
-        "doc_id", F.col("p").alias("p2")
-    )
-    occ = first.join(
-        second,
-        (F.col("first.doc_id") == F.col("second.doc_id"))
-        if False
-        else ((first["doc_id"] == second["doc_id"]) & (second["p2"] == first["p1"] + 1)),
-    ).select(first["doc_id"].alias("doc_id"), "lang", "p1")
-    return (
-        occ.groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_occurrences"),
-            F.min("p1").cast("long").alias("min_pos"),
-            F.max("p1").cast("long").alias("max_pos"),
-        )
-        .orderBy("lang")
-    )
-
-
-ORACLE_PHRASE_SEARCH = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, lang,
-         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS p,
-         unnest(string_split(lower(text), ' ')) AS tok
-  FROM documents
-),
-occ AS MATERIALIZED (
-  SELECT a.doc_id, a.lang, a.p AS p1
-  FROM toks a JOIN toks b
-    ON a.doc_id = b.doc_id AND b.p = a.p + 1
-  WHERE a.tok = 'stream' AND b.tok = 'column'
-)
-SELECT lang,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-       CAST(MIN(p1) AS BIGINT) AS min_pos,
-       CAST(MAX(p1) AS BIGINT) AS max_pos
-FROM occ GROUP BY 1 ORDER BY 1
-"""
-
-
 def q_approx_quantile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile with a HARD error check (the
     hll_mergeable_checked pattern — a sketch is only usable at 100 TB
@@ -12747,11 +12680,6 @@ FROM tot
 
 EXTRA_QUERIES.update(
     {
-        "phrase_search": (
-            q_phrase_search,
-            ORACLE_PHRASE_SEARCH,
-            "ext:positional phrase search (adjacency postings join)",
-        ),
         "approx_quantile_checked": (
             q_approx_quantile_checked,
             ORACLE_APPROX_QUANTILE_CHECKED,
@@ -12800,13 +12728,14 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
             F.lit(-9).cast("long").alias("event_id"),
         )
     )
-    advancer = spark.createDataFrame(
-        [(-1, max_ts, -1)], "user_id long, ts timestamp, event_id long"
-    ).select(
-        "user_id",
-        (F.col("ts") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
-        "event_id",
-    )
+    def advancer(days: int):
+        return spark.createDataFrame(
+            [(-1, max_ts, -1)], "user_id long, ts timestamp, event_id long"
+        ).select(
+            "user_id",
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "event_id",
+        )
 
     def stage(df, phase: int, root: str):
         tmp = root + f"_tmp{phase}"
@@ -12821,8 +12750,17 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     src = _scratch_dir(sf_dir, "sddw")
     _os.makedirs(src)
     stage(ev, 0, src)
-    stage(advancer, 1, src)
-    stage(replay, 2, src)
+    # TWO advancer batches, not one: dropDuplicatesWithinWatermark's
+    # store lookup drops a duplicate WITHOUT an expiry check, and
+    # eviction runs at END of batch using the PREVIOUS batch's
+    # watermark — so after one advancer the replay's lookups would
+    # still see any batch-0 key whose stored event sits within
+    # 2×delay of max_ts (r9 review: red on a ts-unsorted fixture).
+    # The second advancer guarantees every batch-0 key is evicted
+    # BEFORE the replay batch is processed.
+    stage(advancer(200), 1, src)
+    stage(advancer(250), 2, src)
+    stage(replay, 3, src)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -12875,12 +12813,17 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue series (moving-average STL-lite: trend = centered 7-day
     mean, seasonal = per-weekday mean of the detrended series,
     remainder = what's left) — the EXPLAIN step beside the forecast
-    rows (holt/seasonal-naive predict; this attributes): every
-    component stays in exact micro-cents — trend = (10^6·sum7) div 7
-    on full windows only, weekday means floor once at micro scale —
-    so both engines produce IDENTICAL integers, and the per-weekday
-    output (seasonal index, day count, max |remainder|) is the honest
-    effect table. Scale: one map-side-combinable groupBy to ≤365 day
+    rows (holt/seasonal-naive predict; this attributes). ZERO interior
+    divisions on either engine (DuckDB's decimal '/' silently returns
+    DOUBLE — exact only below 2^53, a silent sf30+ divergence; r9
+    review): the detrended series is carried at 7×micro scale
+    (detr7 = 7·10^6·y − (10^6·sum7 − 10^6·sum7 % 7)), the per-weekday
+    seasonal index as its exactly-divisible numerator
+    (Σdetr7 − Σdetr7 % n), and the remainder pre-multiplied by the
+    weekday count (n·detr7 − seasonal_num) — all IDENTICAL
+    decimal(38,0) integers emitted as strings, plus one rounded
+    double (seasonal_cents) divided from those identical integers for
+    human reading. Scale: one map-side-combinable groupBy to ≤365 day
     rows; windows over that bounded frame."""
     days = (
         _t(spark, sf_dir, "orders")
@@ -12902,28 +12845,29 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     detr = trended.select(
         "d",
         F.dayofweek("d").cast("long").alias("dow"),
-        (
-            F.lit(1_000_000).cast("decimal(38,0)") * F.col("y")
-            - F.expr(
-                "(CAST(1000000 AS DECIMAL(38,0)) * w_sum"
-                " - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7) / 7"
-            )
-        ).cast("decimal(38,0)").alias("detr_micro"),
+        F.expr(
+            "CAST(CAST(7000000 AS DECIMAL(38,0)) * y"
+            " - (CAST(1000000 AS DECIMAL(38,0)) * w_sum"
+            "    - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7)"
+            " AS DECIMAL(38,0))"
+        ).alias("detr7"),
     )
     seas = detr.groupBy("dow").agg(
         F.count("*").cast("long").alias("n_days"),
         F.expr(
-            "CAST((SUM(detr_micro) - SUM(detr_micro) % COUNT(*))"
-            " / COUNT(*) AS DECIMAL(38,0))"
-        ).alias("seasonal_micro"),
+            "CAST(SUM(detr7) - SUM(detr7) % COUNT(*) AS DECIMAL(38,0))"
+        ).alias("seasonal_num"),
     )
     rem = (
         detr.join(seas, "dow")
         .groupBy("dow")
         .agg(
             F.max(
-                F.abs(F.col("detr_micro") - F.col("seasonal_micro"))
-            ).cast("decimal(38,0)").alias("max_abs_remainder"),
+                F.abs(
+                    F.col("n_days").cast("decimal(38,0)") * F.col("detr7")
+                    - F.col("seasonal_num")
+                )
+            ).cast("decimal(38,0)").alias("max_abs_rem"),
         )
     )
     return (
@@ -12931,9 +12875,14 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dow",
             "n_days",
-            F.col("seasonal_micro").cast("string").alias("seasonal_micro"),
-            F.col("max_abs_remainder").cast("string")
-            .alias("max_abs_remainder_micro"),
+            F.col("seasonal_num").cast("string").alias("seasonal_num_7micro"),
+            F.col("max_abs_rem").cast("string")
+            .alias("max_abs_remainder_x7n_micro"),
+            F.round(
+                F.col("seasonal_num").cast("double")
+                / (F.lit(7_000_000.0) * F.col("n_days").cast("double")),
+                4,
+            ).alias("seasonal_cents"),
         )
         .orderBy("dow")
     )
@@ -12954,24 +12903,26 @@ trended AS MATERIALIZED (
 detr AS MATERIALIZED (
   SELECT d,
          CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
-         CAST(CAST(1000000 AS DECIMAL(38,0)) * y
+         CAST(CAST(7000000 AS DECIMAL(38,0)) * y
               - (CAST(1000000 AS DECIMAL(38,0)) * w_sum
-                 - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7) / 7
-              AS DECIMAL(38,0)) AS detr_micro
+                 - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7)
+              AS DECIMAL(38,0)) AS detr7
   FROM trended WHERE w_n = 7
 ),
 seas AS MATERIALIZED (
   SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
-         CAST((SUM(detr_micro) - SUM(detr_micro) % COUNT(*)) / COUNT(*)
-              AS DECIMAL(38,0)) AS seasonal_micro
+         CAST(SUM(detr7) - SUM(detr7) % COUNT(*) AS DECIMAL(38,0))
+           AS seasonal_num
   FROM detr GROUP BY 1
 )
 SELECT seas.dow AS dow, n_days,
-       CAST(seasonal_micro AS VARCHAR) AS seasonal_micro,
-       CAST(MAX(abs(detr_micro - seasonal_micro)) AS VARCHAR)
-         AS max_abs_remainder_micro
+       CAST(seasonal_num AS VARCHAR) AS seasonal_num_7micro,
+       CAST(MAX(abs(CAST(n_days AS DECIMAL(38,0)) * detr7 - seasonal_num))
+            AS VARCHAR) AS max_abs_remainder_x7n_micro,
+       ROUND(CAST(seasonal_num AS DOUBLE)
+             / (7000000.0 * CAST(n_days AS DOUBLE)), 4) AS seasonal_cents
 FROM detr JOIN seas ON detr.dow = seas.dow
-GROUP BY 1, 2, 3 ORDER BY 1
+GROUP BY 1, 2, 3, 5 ORDER BY 1
 """
 
 
