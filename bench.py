@@ -451,6 +451,17 @@ NEW_BY_ROUND[9] = {
     "approx_quantile_checked",
     "stream_dedup_within_watermark",
     "seasonal_decompose",
+    "kruskal_wallis_h",
+    "kendall_tau_daily",
+    "welch_ttest",
+    "lift_gains_deciles",
+    "mode_per_group",
+    "readability_scores",
+    "gazetteer_entity_match",
+    "dsir_importance_weights",
+    "pacf_daily",
+    "url_normalize_dedup",
+    "zip_central_dir_parse",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

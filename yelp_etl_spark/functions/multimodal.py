@@ -1184,3 +1184,187 @@ def gif_block_metadata(
             f" AND {le('21', 1)} < 128"
         ).alias("gif_ok"),
     )
+
+
+def zip_synthesize(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ZIP archive fixture (PKZIP layout, stored/method-0
+    members) — the ARCHIVE container beside the image/audio/video
+    formats (real crawls deliver bundles as .zip/.warc members, and the
+    central directory is the index a distributed reader must walk).
+    Layout per doc: 1–3 members, each a real 30-byte local file header
+    (sig 504b0304) + 2-byte name ('f1'..'f3') + di filler bytes, then
+    the central directory (one real 46-byte header + name per member,
+    sig 504b0102, with the member's local-header OFFSET chased into the
+    entry), then a comment-free EOCD (sig 504b0506) recording count,
+    CD size and CD offset. Member sizes vary per doc (di = 4 +
+    (doc_id+i) % 5) so every offset in the file moves; the fixture
+    CRC is the documented fake di·7+i (the container fixtures carry
+    structure, not payload integrity — the PCM/WAV convention)."""
+    did = F.col(id_col)
+    m = (did % 3 + 1).cast("long")  # member count 1..3
+
+    def d(i: int):
+        return ((did + i) % 5 + 4).cast("long")
+
+    def local_hdr(i: int):
+        di = d(i)
+        return F.concat(
+            F.lit("504B0304"),
+            _le_hex(F.lit(20).cast("long"), 2),   # version needed
+            _le_hex(F.lit(0).cast("long"), 2),    # flags
+            _le_hex(F.lit(0).cast("long"), 2),    # method: stored
+            _le_hex(F.lit(0).cast("long"), 2),    # time
+            _le_hex(F.lit(0).cast("long"), 2),    # date
+            _le_hex(di * 7 + i, 4),               # crc (fixture fake)
+            _le_hex(di, 4),                       # compressed size
+            _le_hex(di, 4),                       # uncompressed size
+            _le_hex(F.lit(2).cast("long"), 2),    # name length
+            _le_hex(F.lit(0).cast("long"), 2),    # extra length
+            F.hex(F.lit(f"f{i}")),                # name
+            F.repeat(F.lit("AB"), di.cast("int")),  # stored payload
+        )
+
+    def offset(i: int):
+        # local header i starts after members 1..i-1 (32 + dj each)
+        off = F.lit(0).cast("long")
+        for j in range(1, i):
+            off = off + 32 + d(j)
+        return off
+
+    def cd_entry(i: int):
+        di = d(i)
+        return F.concat(
+            F.lit("504B0102"),
+            _le_hex(F.lit(20).cast("long"), 2),   # version made by
+            _le_hex(F.lit(20).cast("long"), 2),   # version needed
+            _le_hex(F.lit(0).cast("long"), 2),    # flags
+            _le_hex(F.lit(0).cast("long"), 2),    # method
+            _le_hex(F.lit(0).cast("long"), 2),    # time
+            _le_hex(F.lit(0).cast("long"), 2),    # date
+            _le_hex(di * 7 + i, 4),               # crc
+            _le_hex(di, 4),                       # csize
+            _le_hex(di, 4),                       # usize
+            _le_hex(F.lit(2).cast("long"), 2),    # name length
+            _le_hex(F.lit(0).cast("long"), 2),    # extra length
+            _le_hex(F.lit(0).cast("long"), 2),    # comment length
+            _le_hex(F.lit(0).cast("long"), 2),    # disk start
+            _le_hex(F.lit(0).cast("long"), 2),    # internal attrs
+            _le_hex(F.lit(0).cast("long"), 4),    # external attrs
+            _le_hex(offset(i), 4),                # local header offset
+            F.hex(F.lit(f"f{i}")),                # name
+        )
+
+    def if_member(i: int, col):
+        return F.when(m >= i, col).otherwise(F.lit(""))
+
+    # CD starts after the m ACTUAL members' local sections
+    cd_off = F.lit(0).cast("long")
+    for j in range(1, 4):
+        cd_off = cd_off + F.when(m >= j, 32 + d(j)).otherwise(0)
+    cd_size = m * 48
+
+    eocd = F.concat(
+        F.lit("504B0506"),
+        _le_hex(F.lit(0).cast("long"), 2),  # disk
+        _le_hex(F.lit(0).cast("long"), 2),  # cd disk
+        _le_hex(m, 2),                      # entries this disk
+        _le_hex(m, 2),                      # entries total
+        _le_hex(cd_size, 4),                # cd size
+        _le_hex(cd_off, 4),                 # cd offset
+        _le_hex(F.lit(0).cast("long"), 2),  # comment length
+    )
+    hex_all = F.concat(
+        if_member(1, local_hdr(1)),
+        if_member(2, local_hdr(2)),
+        if_member(3, local_hdr(3)),
+        if_member(1, cd_entry(1)),
+        if_member(2, cd_entry(2)),
+        if_member(3, cd_entry(3)),
+        eocd,
+    )
+    return df.select(F.col(id_col), F.unhex(hex_all).alias("content"))
+
+
+def zip_central_dir_metadata(
+    df: DataFrame, blob_col: str = "content", id_col: str = "doc_id",
+    max_members: int = 4,
+) -> DataFrame:
+    """Archive index from a ZIP central-directory walk — END-anchored
+    offset chasing (the one access pattern the TIFF/WAV walks don't
+    exercise: the index lives at the END of the blob, located from the
+    EOCD trailer, the way a remote reader range-requests a ZIP). Reads
+    the last 22 bytes, verifies the EOCD signature, takes member count
+    + CD offset from it, then hex-walks up to ``max_members`` unrolled
+    46-byte+name central headers AT that offset — per-entry signature
+    checked, sizes/offsets/names extracted. Bytes touched are
+    O(trailer + index), never the payload (the multimodal routing-pass
+    rule). Malformed blobs yield eocd_ok=false, never errors.
+
+    Returns (id, n_members, total_usize, total_crc, names_csv,
+    cd_size_ok, entries_ok, eocd_ok)."""
+
+    def le(src: str, pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(conv(substring({src}, ({pos}) + {2 * i}, 2), 16, 10)"
+            f" AS BIGINT) * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    hx = df.select(
+        F.col(id_col),
+        F.expr(
+            f"hex(substring({blob_col}, length({blob_col}) - 21, 22))"
+        ).alias("tl"),
+        F.col(blob_col),
+    )
+    n_total = le("tl", "21", 2)
+    cd_size = le("tl", "25", 4)
+    cd_off = le("tl", "33", 4)
+    with_cd = hx.select(
+        id_col,
+        "tl",
+        F.expr(f"CAST({n_total} AS BIGINT)").alias("n_members"),
+        F.expr(f"CAST({cd_size} AS BIGINT)").alias("cd_size"),
+        F.expr(
+            f"hex(substring({blob_col}, CAST({cd_off} AS INT) + 1, 200))"
+        ).alias("cd"),
+    )
+
+    def slot(i: int, what: str) -> str:
+        pos = f"(1 + {96 * i})"
+        fields = {
+            "sig_ok": f"(substring(cd, {pos}, 8) = '504B0102')",
+            "crc": le("cd", f"{pos} + 32", 4),
+            "usize": le("cd", f"{pos} + 48", 4),
+            "namelen": le("cd", f"{pos} + 56", 2),
+            "name": (
+                f"decode(unhex(substring(cd, {pos} + 92,"
+                f" CAST(2 * {le('cd', f'{pos} + 56', 2)} AS INT))), 'UTF-8')"
+            ),
+        }
+        return f"(CASE WHEN n_members > {i} THEN {fields[what]} END)"
+
+    def summed(what: str) -> str:
+        return "(" + " + ".join(
+            f"COALESCE({slot(i, what)}, 0)" for i in range(max_members)
+        ) + ")"
+
+    sig_all = " AND ".join(
+        f"COALESCE({slot(i, 'sig_ok')}, TRUE)" for i in range(max_members)
+    )
+    names = ", ".join(slot(i, "name") for i in range(max_members))
+    return with_cd.select(
+        id_col,
+        "n_members",
+        F.expr(f"CAST({summed('usize')} AS BIGINT)").alias("total_usize"),
+        F.expr(f"CAST({summed('crc')} AS BIGINT)").alias("total_crc"),
+        F.expr(
+            f"array_join(array({names}), ',')"
+        ).alias("names_csv"),
+        (F.col("cd_size") == F.col("n_members") * 48).alias("cd_size_ok"),
+        F.expr(sig_all).alias("entries_ok"),
+        F.expr("substring(tl, 1, 8) = '504B0506'").alias("eocd_ok"),
+    )

@@ -7674,7 +7674,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # additions) was consumed by the r9 window above; round-9 additions
 # enter the window directly while slots remain, and any landing after
 # the freeze are declared here as the r10 seed.
-_NEXT_ROTATION_POOL: frozenset[str] = frozenset()
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
+    {
+        # late round-9 additions (landed after the r9 window froze)
+        "kruskal_wallis_h",
+        "kendall_tau_daily",
+        "welch_ttest",
+        "lift_gains_deciles",
+        "mode_per_group",
+        "readability_scores",
+        "gazetteer_entity_match",
+        "dsir_importance_weights",
+        "pacf_daily",
+        "url_normalize_dedup",
+        "zip_central_dir_parse",
+    }
+)
 
 
 QUERIES: dict[str, QuerySpec] = {

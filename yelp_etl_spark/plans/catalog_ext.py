@@ -12942,3 +12942,1317 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-9 late additions: nonparametric / classical statistics pack II
+# --------------------------------------------------------------------------
+
+
+def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does l_quantity differ across the three
+    return-flag populations? The k-group generalization of
+    mann_whitney_u, same counting form: ONE keyed count reduces the
+    data to the ≤50-row quantity histogram, average ranks come from a
+    cumulative window over that bounded table (2·rank(v) = 2·cum_below
+    + count(v) + 1, kept integer as r2), per-group rank sums stay exact
+    BIGINT (Σ c_g·r2 = 2·R_g), and H is derived in double from the
+    exact integer moments with the tie correction 1 − Σ(t³−t)/(N³−N)
+    (tie cubes through decimal(38,0) — the mann_whitney_u overflow
+    rationale). Scale: one map-side-combinable aggregate on a bounded
+    key domain; windows over ≤50 rows only."""
+    li = _t(spark, sf_dir, "lineitem")
+    # FLOOR, not cast (the q_sssp_weighted truncate-vs-round convention)
+    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("cn"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("cr"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c_tot = F.col("ca") + F.col("cn") + F.col("cr")
+    stepped = cells.select(
+        "ca",
+        "cn",
+        "cr",
+        (
+            2 * F.coalesce(F.sum(c_tot).over(w), F.lit(0)) + c_tot + 1
+        ).alias("r2"),
+    )
+    t_dec = c_tot.cast("decimal(38,0)")
+    agg = stepped.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cn").cast("long").alias("n_n"),
+        F.sum("cr").cast("long").alias("n_r"),
+        F.sum(F.col("ca") * F.col("r2")).cast("long").alias("r2_a"),
+        F.sum(F.col("cn") * F.col("r2")).cast("long").alias("r2_n"),
+        F.sum(F.col("cr") * F.col("r2")).cast("long").alias("r2_r"),
+        F.sum(t_dec * t_dec * t_dec - t_dec).cast("double").alias("tie_cubes"),
+    )
+    n = (F.col("n_a") + F.col("n_n") + F.col("n_r")).cast("double")
+    rsq_over_n = (
+        (F.col("r2_a") / 2.0) * (F.col("r2_a") / 2.0) / F.col("n_a")
+        + (F.col("r2_n") / 2.0) * (F.col("r2_n") / 2.0) / F.col("n_n")
+        + (F.col("r2_r") / 2.0) * (F.col("r2_r") / 2.0) / F.col("n_r")
+    )
+    h_raw = 12.0 / (n * (n + 1.0)) * rsq_over_n - 3.0 * (n + 1.0)
+    h = h_raw / (F.lit(1.0) - F.col("tie_cubes") / (n * n * n - n))
+    return agg.select(
+        "n_a",
+        "n_n",
+        "n_r",
+        "r2_a",
+        "r2_n",
+        "r2_r",
+        F.round(h * F.lit(1_000_000.0)).cast("long").alias("h_micro"),
+    )
+
+
+ORACLE_KRUSKAL_WALLIS_H = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cn,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr
+  FROM lineitem GROUP BY 1
+),
+stepped AS (
+  SELECT ca, cn, cr,
+         2 * COALESCE(SUM(ca + cn + cr) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + (ca + cn + cr) + 1 AS r2
+  FROM cells
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cn) AS BIGINT) AS n_n,
+         CAST(SUM(cr) AS BIGINT) AS n_r,
+         CAST(SUM(ca * r2) AS BIGINT) AS r2_a,
+         CAST(SUM(cn * r2) AS BIGINT) AS r2_n,
+         CAST(SUM(cr * r2) AS BIGINT) AS r2_r,
+         CAST(SUM(CAST(ca + cn + cr AS HUGEINT) * (ca + cn + cr)
+                  * (ca + cn + cr) - (ca + cn + cr)) AS DOUBLE) AS tie_cubes
+  FROM stepped
+)
+SELECT n_a, n_n, n_r, r2_a, r2_n, r2_r,
+       CAST(ROUND(
+         (12.0 / (CAST(n_a + n_n + n_r AS DOUBLE)
+                  * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0))
+            * ((r2_a / 2.0) * (r2_a / 2.0) / n_a
+               + (r2_n / 2.0) * (r2_n / 2.0) / n_n
+               + (r2_r / 2.0) * (r2_r / 2.0) / n_r)
+          - 3.0 * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0))
+         / (1.0 - tie_cubes
+                  / (CAST(n_a + n_n + n_r AS DOUBLE)
+                     * CAST(n_a + n_n + n_r AS DOUBLE)
+                     * CAST(n_a + n_n + n_r AS DOUBLE)
+                     - CAST(n_a + n_n + n_r AS DOUBLE)))
+         * 1000000) AS BIGINT) AS h_micro
+FROM agg
+"""
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily order volume and
+    daily revenue over the 1995 calendar — the third rank-correlation
+    surface beside spearman_corr (which needs full ranks) and
+    mann_kendall_trend (which tests one series against time). The
+    expensive input reduces to the ≤365-row (day, n_orders,
+    price_cents) frame in ONE map-side-combinable aggregate; pair
+    enumeration is a broadcast `d < d'` self-join of that bounded frame
+    (BroadcastNestedLoopJoin over ≤365² = 133k pairs — a model-frame
+    cross, the copurchase/containment precedent, never data×data).
+    Concordant/discordant/tie pair counts stay exact BIGINT; tau_b =
+    (C−D)/√((n0−tx)(n0−ty)) is derived in double from those integers
+    and quantized to micro-units."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = days.alias("a")
+    b = F.broadcast(days.alias("b"))
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d"))
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            (((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0))).cast("long")
+        )
+        .cast("long")
+        .alias("nc"),
+        F.sum(
+            (((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0))).cast("long")
+        )
+        .cast("long")
+        .alias("nd"),
+        F.sum((dx == 0).cast("long")).cast("long").alias("tie_x_pairs"),
+        F.sum((dy == 0).cast("long")).cast("long").alias("tie_y_pairs"),
+    )
+    tau = (F.col("nc") - F.col("nd")) / F.sqrt(
+        (F.col("n_pairs") - F.col("tie_x_pairs")).cast("double")
+        * (F.col("n_pairs") - F.col("tie_y_pairs"))
+    )
+    return agg.select(
+        "n_pairs",
+        "nc",
+        "nd",
+        "tie_x_pairs",
+        "tie_y_pairs",
+        F.round(tau * F.lit(1_000_000.0)).cast("long").alias("tau_b_micro"),
+    )
+
+
+ORACLE_KENDALL_TAU_DAILY = """
+WITH days AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN (a.x > b.x AND a.y > b.y)
+                         OR (a.x < b.x AND a.y < b.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN (a.x > b.x AND a.y < b.y)
+                         OR (a.x < b.x AND a.y > b.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+           AS tie_x_pairs,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+           AS tie_y_pairs
+  FROM days a JOIN days b ON a.d < b.d
+)
+SELECT n_pairs, nc, nd, tie_x_pairs, tie_y_pairs,
+       CAST(ROUND((nc - nd)
+                  / SQRT(CAST(n_pairs - tie_x_pairs AS DOUBLE)
+                         * (n_pairs - tie_y_pairs))
+                  * 1000000) AS BIGINT) AS tau_b_micro
+FROM agg
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean extended price between
+    return flags A and N — the parametric complement to mann_whitney_u
+    (means under unequal variances vs rank shift). ONE conditional
+    aggregate produces the exact integer moments per group (n, Σcents
+    as BIGINT, Σcents² through decimal(38,0) — the square of a 1e7-cent
+    line item times SF≈6 row counts overflows int64); means are emitted
+    as exact integer micro-cents via integer division, and t / the
+    Welch–Satterthwaite df are derived in double from the exact moments
+    only at the end. Scale: a single map-side-combinable pass, no
+    shuffle beyond the 1-row final aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # per-row square stays in LONG (cents² ≤ ~1.4e14 — exact and cheap
+    # in whole-stage codegen); only the SUM runs in decimal(38,0),
+    # where int64 would overflow around SF≈1 (10× probe: the earlier
+    # decimal×decimal per row made this one scan 6× slower)
+    sq_dec = (cents * cents).cast("decimal(38,0)")
+    is_a = F.col("l_returnflag") == "A"
+    agg = li.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, cents).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(~is_a, cents).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(is_a, sq_dec).otherwise(0))
+        .cast("double")
+        .alias("ss_a"),
+        F.sum(F.when(~is_a, sq_dec).otherwise(0))
+        .cast("double")
+        .alias("ss_b"),
+    )
+    var_a = (
+        F.col("ss_a")
+        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - F.lit(1))
+    var_b = (
+        F.col("ss_b")
+        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - F.lit(1))
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    t = (
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(se2_a + se2_b)
+    df = ((se2_a + se2_b) * (se2_a + se2_b)) / (
+        se2_a * se2_a / (F.col("n_a") - F.lit(1))
+        + se2_b * se2_b / (F.col("n_b") - F.lit(1))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        # 1e6 × Σcents leaves int64 around SF≈1 — scale up in
+        # decimal(38,0); DIV on decimals yields the exact integral part
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s_a) DIV n_a AS LONG)"
+        ).alias("mean_a_microcents"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s_b) DIV n_b AS LONG)"
+        ).alias("mean_b_microcents"),
+        F.round(t * F.lit(1_000_000.0)).cast("long").alias("t_micro"),
+        F.round(df * F.lit(1_000.0)).cast("long").alias("df_milli"),
+    )
+
+
+ORACLE_WELCH_TTEST = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_b,
+    CAST(SUM(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s_b,
+    CAST(SUM(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS HUGEINT)
+                  ELSE 0 END) AS DOUBLE) AS ss_a,
+    CAST(SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS HUGEINT)
+                  ELSE 0 END) AS DOUBLE) AS ss_b
+  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+),
+derived AS (
+  SELECT n_a, n_b, s_a, s_b,
+         ((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+           AS se2_a,
+         ((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b
+           AS se2_b
+  FROM agg
+)
+SELECT n_a, n_b,
+       CAST((CAST(1000000 AS HUGEINT) * s_a) // n_a AS BIGINT)
+         AS mean_a_microcents,
+       CAST((CAST(1000000 AS HUGEINT) * s_b) // n_b AS BIGINT)
+         AS mean_b_microcents,
+       CAST(ROUND((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                  / SQRT(se2_a + se2_b) * 1000000) AS BIGINT) AS t_micro,
+       CAST(ROUND(((se2_a + se2_b) * (se2_a + se2_b))
+                  / (se2_a * se2_a / (n_a - 1)
+                     + se2_b * se2_b / (n_b - 1)) * 1000) AS BIGINT)
+         AS df_milli
+FROM derived
+"""
+
+
+def q_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation lift & gains table: score = order value band,
+    positive = '1-URGENT' priority; rows are ranked by descending score
+    band and cut into cumulative-count deciles, and each decile reports
+    exact-integer lift and gain in ppm (lift = decile positive rate /
+    global positive rate, gain = share of all positives captured so
+    far). The ranking never globally sorts rows: ONE keyed aggregate
+    reduces the data to ≤130 price-band cells, the decile cut is a
+    cumulative window over that bounded frame (decile = ⌈10·cum/N⌉,
+    exact via (10·cum + N − 1) DIV N — a whole band lands in one
+    decile, the documented bucket-quantized semantics that make the
+    cut reproducible at any scale), and lift/gain are integer
+    divisions of exact BIGINT counts. Complements auc_score (threshold
+    -free) and reliability_bins (calibration) with the
+    campaign-targeting view."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("band")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = cells.select(
+        "n",
+        "pos",
+        F.sum("n").over(wall).alias("n_total"),
+        F.sum("pos").over(wall).alias("pos_total"),
+        F.sum("n").over(wcum).alias("cum_n"),
+    ).select(
+        "n",
+        "pos",
+        "n_total",
+        "pos_total",
+        F.expr("CAST((10 * cum_n + n_total - 1) DIV n_total AS LONG)").alias(
+            "decile"
+        ),
+    )
+    per = cut.groupBy("decile", "n_total", "pos_total").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    wgain = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "pos_total",
+            F.sum("n_pos").over(wgain).cast("long").alias("cum_pos"),
+            # 1e6·n_pos·n_total leaves int64 around SF≈10 — decimal
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pos * n_total)"
+                " DIV (n_rows * pos_total) AS LONG)"
+            ).alias("lift_ppm"),
+        )
+        .withColumn(
+            "cum_gain_ppm",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_pos)"
+                " DIV pos_total AS LONG)"
+            ),
+        )
+        .select(
+            "decile", "n_rows", "n_pos", "cum_pos", "lift_ppm",
+            "cum_gain_ppm",
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_LIFT_GAINS_DECILES = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders GROUP BY 1
+),
+cut AS (
+  SELECT n, pos,
+         SUM(n) OVER () AS n_total,
+         SUM(pos) OVER () AS pos_total,
+         (10 * SUM(n) OVER (ORDER BY band DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+          + SUM(n) OVER () - 1) // SUM(n) OVER () AS decile
+  FROM cells
+),
+per AS (
+  SELECT decile, n_total, pos_total,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM cut GROUP BY 1, 2, 3
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       CAST((CAST(1000000 AS HUGEINT) * n_pos * n_total)
+            // (n_rows * pos_total) AS BIGINT) AS lift_ppm,
+       CAST((CAST(1000000 AS HUGEINT)
+             * CAST(SUM(n_pos) OVER (ORDER BY decile
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT))
+            // pos_total AS BIGINT) AS cum_gain_ppm
+FROM per ORDER BY decile
+"""
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent integral
+    quantity per return flag, ties broken toward the SMALLEST value
+    (neither Spark nor DuckDB pins its native mode() tie-break, so
+    both sides spell the same explicit algebra: keyed count → per-group
+    rank over (count DESC, value ASC) → first row). Scale: the count
+    is one map-side-combinable aggregate to ≤3×50 cells; the ranking
+    window runs per-group over ≤50 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor("l_quantity").cast("long").alias("v"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("flag").orderBy(F.desc("cnt"), F.asc("v"))
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("flag", F.col("v").alias("mode_qty"), F.col("cnt").alias("n_at_mode"))
+        .orderBy("flag")
+    )
+
+
+ORACLE_MODE_PER_GROUP = """
+WITH cells AS (
+  SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT flag, v, cnt,
+         ROW_NUMBER() OVER (PARTITION BY flag
+                            ORDER BY cnt DESC, v ASC) AS rn
+  FROM cells
+)
+SELECT flag, v AS mode_qty, cnt AS n_at_mode
+FROM ranked WHERE rn = 1 ORDER BY flag
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "kruskal_wallis_h": (
+            q_kruskal_wallis_h,
+            ORACLE_KRUSKAL_WALLIS_H,
+            "ext:Kruskal-Wallis H (k-group rank test, tie-corrected,"
+            " exact integer rank sums)",
+        ),
+        "kendall_tau_daily": (
+            q_kendall_tau_daily,
+            ORACLE_KENDALL_TAU_DAILY,
+            "ext:Kendall tau-b rank correlation (bounded pair join,"
+            " exact C/D/tie counts)",
+        ),
+        "welch_ttest": (
+            q_welch_ttest,
+            ORACLE_WELCH_TTEST,
+            "ext:Welch unequal-variance t-test (exact integer moments,"
+            " Welch-Satterthwaite df)",
+        ),
+        "lift_gains_deciles": (
+            q_lift_gains_deciles,
+            ORACLE_LIFT_GAINS_DECILES,
+            "ext:decile lift & gains table (bucket-quantized deciles,"
+            " exact ppm lift/gain)",
+        ),
+        "mode_per_group": (
+            q_mode_per_group,
+            ORACLE_MODE_PER_GROUP,
+            "ext:deterministic per-group mode (explicit tie-break"
+            " algebra both sides)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Round-9 late additions: training-data curation text pack II
+# --------------------------------------------------------------------------
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading-ease scoring rolled up by language —
+    the classic text-quality gate beside length_quality_gate (lengths)
+    and quality_score (ratio heuristics). Words come from the
+    literal-space portable tokenization, syllables from vowel-group
+    runs ([aeiouy]+ — the standard regex estimator), sentences from
+    terminal-punctuation runs clamped to ≥1. Flesch = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words) is computed per
+    doc in double and immediately quantized to micro-units (one
+    IEEE-deterministic expression per row — the qlog rationale), so
+    every aggregate downstream is exact BIGINT math. Scale: pure
+    per-row projection + one map-side-combinable rollup; no token
+    explode at all (regexp_count over the row)."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    words = F.size(
+        F.filter(F.split(lower, " "), lambda x: x != F.lit(""))
+    ).cast("long")
+    syll = F.regexp_count(lower, F.lit("[aeiouy]+")).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("long"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents)
+        - F.lit(84.6) * (syll.cast("double") / words)
+    )
+    scored = docs.filter(F.length("text") > 0).select(
+        "lang",
+        words.alias("w"),
+        syll.alias("s"),
+        F.round(flesch * F.lit(1_000_000.0)).cast("long").alias("f_micro"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("total_words"),
+            F.sum("s").cast("long").alias("total_syllables"),
+            F.sum("f_micro").cast("long").alias("sum_flesch_micro"),
+            F.min("f_micro").cast("long").alias("min_flesch_micro"),
+            F.max("f_micro").cast("long").alias("max_flesch_micro"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_syllables",
+            F.expr("CAST(sum_flesch_micro DIV n_docs AS LONG)").alias(
+                "avg_flesch_micro"
+            ),
+            "min_flesch_micro",
+            "max_flesch_micro",
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_READABILITY_SCORES = """
+WITH scored AS MATERIALIZED (
+  SELECT lang,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x != '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS s,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS sents
+  FROM documents WHERE length(text) > 0
+),
+q AS (
+  SELECT lang, w, s,
+         CAST(ROUND((206.835
+                     - 1.015 * (CAST(w AS DOUBLE) / sents)
+                     - 84.6 * (CAST(s AS DOUBLE) / w))
+                    * 1000000) AS BIGINT) AS f_micro
+  FROM scored
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       CAST(SUM(s) AS BIGINT) AS total_syllables,
+       CAST(CAST(SUM(f_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS avg_flesch_micro,
+       CAST(MIN(f_micro) AS BIGINT) AS min_flesch_micro,
+       CAST(MAX(f_micro) AS BIGINT) AS max_flesch_micro
+FROM q GROUP BY lang ORDER BY lang
+"""
+
+
+# The entity dictionary for gazetteer tagging: term → type. A literal
+# model frame (broadcast side), the operational shape of dictionary
+# NER over a crawl: the dictionary is ~10⁵ rows in production, always
+# the small side of the join.
+_GAZETTEER: tuple[tuple[str, str], ...] = (
+    ("spark", "ENGINE"),
+    ("flink", "ENGINE"),
+    ("trino", "ENGINE"),
+    ("join", "OPERATOR"),
+    ("filter", "OPERATOR"),
+    ("scan", "OPERATOR"),
+    ("merge", "OPERATOR"),
+    ("sort", "OPERATOR"),
+    ("window", "OPERATOR"),
+    ("customer", "TABLE"),
+    ("orders", "TABLE"),
+    ("lineitem", "TABLE"),
+)
+
+
+def q_gazetteer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary (gazetteer) entity tagging over the corpus: literal-
+    space tokens hash-join a broadcast term→type dictionary; per entity
+    type the rollup reports mention count, distinct matched terms, and
+    document reach. The dictionary side is a literal model frame — at
+    production scale it stays ≤10⁵ rows and broadcasts, so the only
+    data-sized cost is the token explode (linear) and one keyed
+    aggregate; no shuffle ever carries the corpus against itself.
+    Complements keyword_search (single posting list) and rake
+    keyphrases (unsupervised) with the supervised-dictionary pass."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text")
+    gaz = F.broadcast(
+        spark.createDataFrame(list(_GAZETTEER), ["term", "etype"])
+    )
+    hits = toks.join(gaz, toks["tok"] == gaz["term"])
+    return (
+        hits.groupBy("etype")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("etype")
+    )
+
+
+def _gazetteer_values_sql() -> str:
+    rows = ", ".join(f"('{t}', '{e}')" for t, e in _GAZETTEER)
+    return f"(VALUES {rows}) AS gaz(term, etype)"
+
+
+ORACLE_GAZETTEER_ENTITY_MATCH = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+)
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks JOIN {_gazetteer_values_sql()} ON toks.tok = gaz.term
+GROUP BY etype ORDER BY etype
+"""
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public arXiv 2302.03169): score every document by how
+    much more likely its tokens are under a TARGET unigram LM (here the
+    'en' slice) than under the SOURCE LM (everything else), then count
+    the target-like picks per language. Laplace-smoothed per-token
+    log-ratios are quantized ONCE PER VOCAB TYPE to micro-nats (the
+    qlog discipline — quantization sites scale with vocabulary, not
+    corpus), so each document's weight is an exact BIGINT sum of its
+    tokens' integer weights. Scale: token explode (linear) + one
+    shuffle joining tokens to the vocab weight table on tok; corpus
+    totals ride a broadcast 1-row frame; no unpartitioned windows."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    is_t = F.col("lang") == "en"
+    vocab = toks.groupBy("tok").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("cs"),
+    )
+    totals = vocab.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cs").cast("long").alias("ns"),
+        F.count("*").cast("long").alias("v"),
+    )
+    w = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.round(
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + F.col("v"))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long")
+            - F.round(
+                F.log(
+                    (F.col("cs") + 1).cast("double")
+                    / (F.col("ns") + F.col("v"))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long")
+        ).alias("w_micro"),
+    )
+    doc_w = (
+        toks.join(w, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w_micro").cast("long").alias("weight_micro"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        doc_w.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("weight_micro") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_like"),
+            F.sum("weight_micro").cast("long").alias("sum_weight_micro"),
+            F.max("weight_micro").cast("long").alias("max_weight_micro"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_target_like",
+            F.expr("CAST(sum_weight_micro DIV n_docs AS LONG)").alias(
+                "avg_weight_micro"
+            ),
+            "max_weight_micro",
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DSIR_IMPORTANCE_WEIGHTS = """
+WITH toks AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, t.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS tok) t
+  WHERE t.tok != ''
+),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+  FROM toks GROUP BY tok
+),
+totals AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         CAST(SUM(cs) AS BIGINT) AS ns,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+),
+w AS MATERIALIZED (
+  SELECT tok,
+         CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / (nt + v)) * 1000000)
+              AS BIGINT)
+         - CAST(ROUND(LN(CAST(cs + 1 AS DOUBLE) / (ns + v)) * 1000000)
+                AS BIGINT) AS w_micro
+  FROM vocab, totals
+),
+doc_w AS (
+  SELECT doc_id, lang,
+         CAST(SUM(w_micro) AS BIGINT) AS weight_micro
+  FROM toks JOIN w USING (tok)
+  GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN weight_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_target_like,
+       CAST(CAST(SUM(weight_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS avg_weight_micro,
+       CAST(MAX(weight_micro) AS BIGINT) AS max_weight_micro
+FROM doc_w GROUP BY lang ORDER BY lang
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "readability_scores": (
+            q_readability_scores,
+            ORACLE_READABILITY_SCORES,
+            "ext:Flesch readability quality gate (per-row regex counts,"
+            " micro-quantized)",
+        ),
+        "gazetteer_entity_match": (
+            q_gazetteer_entity_match,
+            ORACLE_GAZETTEER_ENTITY_MATCH,
+            "ext:dictionary (gazetteer) entity tagging via broadcast"
+            " term join",
+        ),
+        "dsir_importance_weights": (
+            q_dsir_importance_weights,
+            ORACLE_DSIR_IMPORTANCE_WEIGHTS,
+            "ext:DSIR importance weights for data selection (per-type"
+            " micro-nat log-ratios, exact doc sums)",
+        ),
+    }
+)
+
+
+def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily-revenue series at lags
+    1–3 (Durbin–Levinson closed forms) — the model-identification
+    companion to acf_daily_events: ACF says "how much memory", PACF
+    says "how many AR terms". Autocovariances are exact: with S = Σy
+    and n days, n²·c_k = Σ (n·y_t − S)(n·y_{t−k} − S) runs in
+    decimal(38,0) (per-term products reach ~1e25), so r_k = c_k/c_0
+    is a single deterministic decimal→double divide, and φ22/φ33 are
+    spelled as the same explicit determinant arithmetic on both
+    engines. Scale: ONE keyed aggregate reduces to the ≤365-row daily
+    frame; lags ride a window over that bounded frame only."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    totals = days.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w = Window.orderBy("d")
+    lagged = days.crossJoin(F.broadcast(totals)).select(
+        (F.col("n") * F.col("y") - F.col("s")).alias("dev"),
+        (F.col("n") * F.lag("y", 1).over(w) - F.col("s")).alias("dev1"),
+        (F.col("n") * F.lag("y", 2).over(w) - F.col("s")).alias("dev2"),
+        (F.col("n") * F.lag("y", 3).over(w) - F.col("s")).alias("dev3"),
+        "n",
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cov = lagged.groupBy("n").agg(
+        F.sum(dec("dev") * dec("dev")).alias("c0"),
+        F.sum(dec("dev") * dec("dev1")).alias("c1"),
+        F.sum(dec("dev") * dec("dev2")).alias("c2"),
+        F.sum(dec("dev") * dec("dev3")).alias("c3"),
+    )
+    r1 = F.col("c1").cast("double") / F.col("c0").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("c0").cast("double")
+    r3 = F.col("c3").cast("double") / F.col("c0").cast("double")
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    det3 = (
+        (F.lit(1.0) - r1 * r1)
+        - r1 * (r1 - r1 * r2)
+        + r2 * (r1 * r1 - r2)
+    )
+    det3n = (
+        (r3 - r2 * r1)
+        - r1 * (r1 * r3 - r2 * r2)
+        + r1 * (r1 * r1 - r2)
+    )
+    m = F.lit(1_000_000.0)
+    return cov.select(
+        F.col("n").alias("n_days"),
+        F.round(r1 * m).cast("long").alias("r1_micro"),
+        F.round(r2 * m).cast("long").alias("r2_micro"),
+        F.round(r3 * m).cast("long").alias("r3_micro"),
+        F.round(r1 * m).cast("long").alias("pacf1_micro"),
+        F.round(phi22 * m).cast("long").alias("pacf2_micro"),
+        F.round(det3n / det3 * m).cast("long").alias("pacf3_micro"),
+    )
+
+
+ORACLE_PACF_DAILY = """
+WITH days AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM days
+),
+lagged AS (
+  SELECT n * y - s AS dev,
+         n * LAG(y, 1) OVER (ORDER BY d) - s AS dev1,
+         n * LAG(y, 2) OVER (ORDER BY d) - s AS dev2,
+         n * LAG(y, 3) OVER (ORDER BY d) - s AS dev3,
+         n
+  FROM days, totals
+),
+cov AS (
+  SELECT n,
+         SUM(CAST(dev AS HUGEINT) * dev) AS c0,
+         SUM(CAST(dev AS HUGEINT) * dev1) AS c1,
+         SUM(CAST(dev AS HUGEINT) * dev2) AS c2,
+         SUM(CAST(dev AS HUGEINT) * dev3) AS c3
+  FROM lagged GROUP BY n
+),
+r AS (
+  SELECT n,
+         CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+         CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+         CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+  FROM cov
+)
+SELECT n AS n_days,
+       CAST(ROUND(r1 * 1000000) AS BIGINT) AS r1_micro,
+       CAST(ROUND(r2 * 1000000) AS BIGINT) AS r2_micro,
+       CAST(ROUND(r3 * 1000000) AS BIGINT) AS r3_micro,
+       CAST(ROUND(r1 * 1000000) AS BIGINT) AS pacf1_micro,
+       CAST(ROUND((r2 - r1 * r1) / (1.0 - r1 * r1) * 1000000) AS BIGINT)
+         AS pacf2_micro,
+       CAST(ROUND(((r3 - r2 * r1)
+                   - r1 * (r1 * r3 - r2 * r2)
+                   + r1 * (r1 * r1 - r2))
+                  / ((1.0 - r1 * r1)
+                     - r1 * (r1 - r1 * r2)
+                     + r2 * (r1 * r1 - r2))
+                  * 1000000) AS BIGINT) AS pacf3_micro
+FROM r
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "pacf_daily": (
+            q_pacf_daily,
+            ORACLE_PACF_DAILY,
+            "ext:partial autocorrelation lags 1-3 (Durbin-Levinson"
+            " closed forms, exact integer autocovariances)",
+        ),
+    }
+)
+
+
+def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first pass of every web-crawl
+    curation pipeline (casing, default ports, tracking params, param
+    order, trailing slashes, and fragments all fragment the same
+    resource into distinct raw strings). Raw URLs are synthesized
+    deterministically from event columns (the container-parse synth
+    pattern: messy scheme/host casing, an optional :80, swapped query
+    param order, utm_* noise, optional #fragment, optional trailing
+    slash), then canonicalized by the same explicit algebra on both
+    engines: lowercase scheme+host, strip :80, strip the trailing
+    slash, drop utm_* params, sort surviving params, drop the
+    fragment. Output: the top-20 canonical URLs by hit count with
+    variant counts — the dedup win measured. Scale: pure per-row
+    string projection, ONE keyed aggregate, top-k via
+    TakeOrderedAndProject; regexes are single-char-class patterns
+    identical under Java regex and RE2."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.elt(F.col("event_id") % 3 + 1, F.lit("HTTP"), F.lit("http"), F.lit("Http")),
+        F.lit("://"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("WWW.Shop")).otherwise(
+            F.lit("www.shop")
+        ),
+        (F.col("user_id") % 10).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(".COM")).otherwise(
+            F.lit(".com")
+        ),
+        F.when(F.col("event_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/item/"),
+        (F.col("event_id") % 20).cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit("id="),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit("&ref="),
+                (F.col("user_id") % 3).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("ref="),
+                (F.col("user_id") % 3).cast("string"),
+                F.lit("&id="),
+                (F.col("event_id") % 7).cast("string"),
+            ),
+        ),
+        F.when(F.col("event_id") % 3 == 0, F.lit("&utm_source=mail")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("event_id") % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    raw = ev.select(url.alias("raw"))
+    scheme = F.lower(F.regexp_extract("raw", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(
+        F.regexp_extract("raw", r"^[A-Za-z]+://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(hostport, ":80$", "")
+    path = F.regexp_extract("raw", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path_n = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.expr("substring(path_raw, 1, length(path_raw) - 1)"),
+    ).otherwise(path)
+    qstr = F.regexp_extract("raw", r"[?]([^#]*)", 1)
+    q_n = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qstr, "&"),
+                lambda x: (x != F.lit("")) & (x.substr(1, 4) != F.lit("utm_")),
+            )
+        ),
+        "&",
+    )
+    parts = raw.select(
+        "raw",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path_raw"),
+        qstr.alias("q_raw"),
+        q_n.alias("q_norm"),
+    ).select(
+        "raw",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            path_n,
+            F.when(F.col("q_norm") != "", F.concat(F.lit("?"), F.col("q_norm"))).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    return (
+        parts.groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.countDistinct("raw").cast("long").alias("n_raw_variants"),
+        )
+        .orderBy(F.desc("n_hits"), F.desc("n_raw_variants"), "url")
+        .limit(20)
+    )
+
+
+ORACLE_URL_NORMALIZE_DEDUP = """
+WITH raw AS MATERIALIZED (
+  SELECT (CASE event_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http'
+          ELSE 'Http' END)
+         || '://'
+         || (CASE WHEN event_id % 2 = 0 THEN 'WWW.Shop'
+             ELSE 'www.shop' END)
+         || CAST(user_id % 10 AS VARCHAR)
+         || (CASE WHEN event_id % 2 = 0 THEN '.COM' ELSE '.com' END)
+         || (CASE WHEN event_id % 4 = 0 THEN ':80' ELSE '' END)
+         || '/item/' || CAST(event_id % 20 AS VARCHAR)
+         || (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END)
+         || '?'
+         || (CASE WHEN event_id % 2 = 0
+             THEN 'id=' || CAST(event_id % 7 AS VARCHAR)
+                  || '&ref=' || CAST(user_id % 3 AS VARCHAR)
+             ELSE 'ref=' || CAST(user_id % 3 AS VARCHAR)
+                  || '&id=' || CAST(event_id % 7 AS VARCHAR) END)
+         || (CASE WHEN event_id % 3 = 0 THEN '&utm_source=mail'
+             ELSE '' END)
+         || (CASE WHEN event_id % 6 = 0 THEN '#top' ELSE '' END) AS raw
+  FROM events
+),
+parts AS (
+  SELECT raw,
+         lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)),
+           ':80$', '') AS host,
+         regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path_raw,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(raw, '\\?([^#]*)', 1), '&'),
+             x -> x != '' AND substr(x, 1, 4) != 'utm_')),
+           '&') AS q_norm
+  FROM raw
+),
+norm AS (
+  SELECT raw,
+         scheme || '://' || host
+         || (CASE WHEN length(path_raw) > 1 AND path_raw LIKE '%/'
+             THEN substr(path_raw, 1, length(path_raw) - 1)
+             ELSE path_raw END)
+         || (CASE WHEN q_norm != '' THEN '?' || q_norm ELSE '' END) AS url
+  FROM parts
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_variants
+FROM norm GROUP BY url
+ORDER BY n_hits DESC, n_raw_variants DESC, url
+LIMIT 20
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "url_normalize_dedup": (
+            q_url_normalize_dedup,
+            ORACLE_URL_NORMALIZE_DEDUP,
+            "ext:URL canonicalization + dedup (casing/port/param-order/"
+            "utm/fragment collapse, top-k canonical)",
+        ),
+    }
+)
+
+
+def q_zip_central_dir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-container routing pass (multimodal.zip_central_dir_
+    metadata over zip_synthesize fixtures): ZIP central-directory walk
+    in pure Catalyst hex arithmetic — EOCD trailer located at the END
+    of the blob (the range-request access pattern a remote/distributed
+    ZIP reader uses), member count + CD offset chased from it, then
+    up to 4 unrolled 46-byte central headers verified and extracted.
+    Aggregated per member-count profile. The oracle REBUILDS the same
+    archive hex from the same arithmetic and re-parses it, so synth
+    and walk are both value-checked (the WAV/TIFF convention). Adds
+    the ARCHIVE format family beside image (TIFF/PNG/JPEG/GIF), audio
+    (WAV/PCM) and video (ISO-BMFF)."""
+    from yelp_etl_spark.functions.multimodal import (
+        zip_central_dir_metadata,
+        zip_synthesize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = zip_central_dir_metadata(zip_synthesize(docs))
+    return (
+        meta.groupBy("n_members")
+        .agg(
+            F.count("*").cast("long").alias("n_archives"),
+            F.sum("total_usize").cast("long").alias("sum_usize"),
+            F.sum("total_crc").cast("long").alias("sum_crc"),
+            F.max("names_csv").alias("names_csv"),
+            F.min(
+                (
+                    F.col("cd_size_ok")
+                    & F.col("entries_ok")
+                    & F.col("eocd_ok")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("all_well_formed"),
+        )
+        .orderBy("n_members")
+    )
+
+
+def _zip_oracle() -> str:
+    def le_hex(expr: str, nbytes: int) -> str:
+        h = f"lpad(hex(CAST({expr} AS BIGINT)), {2 * nbytes}, '0')"
+        pairs = ", ".join(
+            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
+        )
+        return f"concat({pairs})"
+
+    def le_int(src: str, pos: str, nbytes: int) -> str:
+        terms = [
+            f"CAST(concat('0x', substr({src}, ({pos}) + {2 * i}, 2))"
+            f" AS BIGINT) * {256 ** i}"
+            for i in range(nbytes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def d(i: int) -> str:
+        return f"((doc_id + {i}) % 5 + 4)"
+
+    def local_hdr(i: int) -> str:
+        return (
+            "concat('504B0304', '1400', '0000', '0000', '0000', '0000', "
+            + le_hex(f"{d(i)} * 7 + {i}", 4) + ", "
+            + le_hex(d(i), 4) + ", " + le_hex(d(i), 4)
+            + ", '0200', '0000', "
+            + f"'663{i}', repeat('AB', CAST({d(i)} AS INT)))"
+        )
+
+    def offset(i: int) -> str:
+        if i == 1:
+            return "0"
+        return "(" + " + ".join(f"(32 + {d(j)})" for j in range(1, i)) + ")"
+
+    def cd_entry(i: int) -> str:
+        return (
+            "concat('504B0102', '1400', '1400', '0000', '0000', '0000',"
+            " '0000', "
+            + le_hex(f"{d(i)} * 7 + {i}", 4) + ", "
+            + le_hex(d(i), 4) + ", " + le_hex(d(i), 4)
+            + ", '0200', '0000', '0000', '0000', '0000', '00000000', "
+            + le_hex(offset(i), 4)
+            + f", '663{i}')"
+        )
+
+    def if_member(i: int, part: str) -> str:
+        return f"(CASE WHEN m >= {i} THEN {part} ELSE '' END)"
+
+    cd_off = "(" + " + ".join(
+        f"(CASE WHEN m >= {j} THEN 32 + {d(j)} ELSE 0 END)"
+        for j in range(1, 4)
+    ) + ")"
+    eocd = (
+        "concat('504B0506', '0000', '0000', "
+        + le_hex("m", 2) + ", " + le_hex("m", 2) + ", "
+        + le_hex("m * 48", 4) + ", " + le_hex(cd_off, 4) + ", '0000')"
+    )
+    synth = "concat(" + ", ".join(
+        [if_member(i, local_hdr(i)) for i in range(1, 4)]
+        + [if_member(i, cd_entry(i)) for i in range(1, 4)]
+        + [eocd]
+    ) + ")"
+
+    n_total = le_int("tl", "21", 2)
+    cd_size = le_int("tl", "25", 4)
+    cd_off_p = le_int("tl", "33", 4)
+
+    def slot(i: int, what: str) -> str:
+        pos = f"(1 + {96 * i})"
+        namelen = le_int("cd", f"{pos} + 56", 2)
+        fields = {
+            "sig_ok": f"(substr(cd, {pos}, 8) = '504B0102')",
+            "crc": le_int("cd", f"{pos} + 32", 4),
+            "usize": le_int("cd", f"{pos} + 48", 4),
+            "name": (
+                f"decode(from_hex(substr(cd, {pos} + 92,"
+                f" CAST(2 * {namelen} AS INT))))"
+            ),
+        }
+        return f"(CASE WHEN n_members > {i} THEN {fields[what]} END)"
+
+    def summed(what: str) -> str:
+        return "(" + " + ".join(
+            f"COALESCE({slot(i, what)}, 0)" for i in range(4)
+        ) + ")"
+
+    sig_all = " AND ".join(
+        f"COALESCE({slot(i, 'sig_ok')}, TRUE)" for i in range(4)
+    )
+    names = (
+        "array_to_string(list_filter(["
+        + ", ".join(slot(i, "name") for i in range(4))
+        + "], x -> x IS NOT NULL), ',')"
+    )
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, doc_id % 3 + 1 AS m FROM documents
+),
+zipped AS MATERIALIZED (
+  SELECT doc_id, {synth} AS hx FROM src
+),
+anchored AS (
+  SELECT doc_id,
+         substr(hx, length(hx) - 43, 44) AS tl,
+         hx
+  FROM zipped
+),
+located AS (
+  SELECT doc_id, tl,
+         CAST({n_total} AS BIGINT) AS n_members,
+         CAST({cd_size} AS BIGINT) AS cd_size,
+         substr(hx, CAST(2 * {cd_off_p} AS INT) + 1, 400) AS cd
+  FROM anchored
+),
+parsed AS (
+  SELECT doc_id, n_members,
+         CAST({summed('usize')} AS BIGINT) AS total_usize,
+         CAST({summed('crc')} AS BIGINT) AS total_crc,
+         {names} AS names_csv,
+         (cd_size = n_members * 48) AS cd_size_ok,
+         ({sig_all}) AS entries_ok,
+         (substr(tl, 1, 8) = '504B0506') AS eocd_ok
+  FROM located
+)
+SELECT n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_archives,
+       CAST(SUM(total_usize) AS BIGINT) AS sum_usize,
+       CAST(SUM(total_crc) AS BIGINT) AS sum_crc,
+       MAX(names_csv) AS names_csv,
+       CAST(MIN(CASE WHEN cd_size_ok AND entries_ok AND eocd_ok
+                THEN 1 ELSE 0 END) AS BIGINT) AS all_well_formed
+FROM parsed GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_ZIP_CENTRAL_DIR_PARSE = _zip_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "zip_central_dir_parse": (
+            q_zip_central_dir_parse,
+            ORACLE_ZIP_CENTRAL_DIR_PARSE,
+            "ext:ZIP central-directory walk (END-anchored EOCD chase,"
+            " archive container family)",
+        ),
+    }
+)
