@@ -462,6 +462,10 @@ NEW_BY_ROUND[9] = {
     "pacf_daily",
     "url_normalize_dedup",
     "zip_central_dir_parse",
+    "jarque_bera",
+    "bollinger_anomaly_days",
+    "stream_chained_windows",
+    "boruvka_mst",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

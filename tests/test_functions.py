@@ -1557,3 +1557,70 @@ def test_per_seed_bfs_equals_independent_bfs_runs(spark):
     assert got == sorted(want)
     # disconnected component: seed 8 must never reach the 1..7 chain
     assert not [t for t in got if t[0] == 8 and t[1] not in (8, 9)]
+
+
+def test_boruvka_mst_known_graph(spark):
+    from yelp_etl_spark.functions.graph import boruvka_mst
+
+    # square with diagonal (unique MST = the 3 cheapest edges) plus a
+    # disjoint 3-node chain (forest: both chain edges survive)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 4, 3), (1, 4, 4), (1, 3, 5),
+         (10, 11, 1), (11, 12, 9)],
+        "src long, dst long, w long",
+    )
+    got = {(r.src, r.dst, r.w) for r in boruvka_mst(edges).collect()}
+    assert got == {(1, 2, 1), (2, 3, 2), (3, 4, 3), (10, 11, 1),
+                   (11, 12, 9)}
+
+
+def test_boruvka_mst_chain_contraction(spark):
+    from yelp_etl_spark.functions.graph import boruvka_mst
+
+    # a path graph is the adversarial contraction case (hooking builds
+    # one long chain): MST of a tree is the tree itself
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1000 - i) for i in range(1, 30)],
+        "src long, dst long, w long",
+    )
+    out = boruvka_mst(chain)
+    assert out.count() == 29
+
+
+def test_boruvka_matches_kruskal_random(spark):
+    import random
+
+    from yelp_etl_spark.functions.graph import boruvka_mst
+
+    rng = random.Random(7)
+    seen = set()
+    rows = []
+    w = 0
+    for _ in range(120):
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a == b:
+            continue
+        a, b = min(a, b), max(a, b)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        w += 1
+        rows.append((a, b, (w * 37) % 101 - 50))  # distinct-ish weights
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {(r.src, r.dst, r.w) for r in boruvka_mst(edges).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for a, b, wt in sorted(rows, key=lambda r: (r[2], r[0], r[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((a, b, wt))
+    assert got == want

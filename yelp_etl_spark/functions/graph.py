@@ -719,3 +719,191 @@ def bfs_distances_per_seed(
         sym, frontier0, ["seed"], max_hops, broadcast_state,
         broadcast_max_state,
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka — the
+    bulk-synchronous MST algorithm (each round every component hooks
+    its cheapest outgoing edge, components at least halve, so ≤log₂|V|
+    rounds; the classic Pregel/GraphX formulation, never a priority
+    queue). Requires a DISTINCT total order on edges for a unique
+    forest: ties are broken lexicographically by (w, src, dst), via
+    struct-min — no weight-composite arithmetic, no overflow.
+
+    Per round: two co-partitioned hash joins label edge endpoints with
+    their component, one keyed struct-min picks each component's
+    cheapest cross edge, and the chosen pairs' component graph is
+    contracted by min-label propagation TO FIXPOINT (partial
+    contraction would let a later round pick a non-MST edge between
+    already-connected components — the fixpoint loop is over the
+    ≤|components| chosen-pair frame, not the data). State per round is
+    the |V|-row component map, lineage-truncated; the edge list is
+    truncated once up front (loop-invariant).
+
+    Returns the chosen forest edges (src, dst, w) — exactly
+    |V| − #components rows.
+
+    Statistics barrier: localCheckpoint INHERITS the origin plan's
+    Catalyst statistics, and in a self-referencing loop the
+    sizeInBytes estimate compounds MULTIPLICATIVELY per round (joins
+    multiply the BigInt estimates of both inputs, and here both
+    inputs derive from the loop state) — by round 4 the driver burns
+    minutes in BigInteger.multiply inside stats estimation (measured:
+    a 4-row contraction job took 104 s, with jstack showing Karatsuba
+    /Toom-Cook frames). A fully-materialized persist() makes the
+    InMemoryRelation report its ACTUAL cached byte size instead of
+    the inherited estimate, so ``_cut`` = truncate + persist + count
+    resets every loop-carried frame's statistics to reality; prior
+    rounds' cache entries are released as the loop advances."""
+    pinned: list[DataFrame] = []
+
+    def _cut(df: DataFrame) -> DataFrame:
+        out = truncate_lineage(df, eager=True).persist()
+        out.count()
+        pinned.append(out)
+        return out
+
+    def _release(keep: set[int]) -> None:
+        for cached in pinned[:]:
+            if id(cached) not in keep:
+                cached.unpersist()
+                pinned.remove(cached)
+
+    e = truncate_lineage(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).alias("w"),
+        ),
+        eager=True,
+    )
+    comp = _cut(
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+    )
+    spark = edges.sparkSession
+    mst = spark.createDataFrame([], "src long, dst long, w long")
+    for _ in range(max_rounds):
+        labeled = (
+            e.join(
+                comp.select(
+                    F.col("node").alias("src"), F.col("comp").alias("ca")
+                ),
+                "src",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("cb")
+                ),
+                "dst",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        both = labeled.select(
+            F.col("ca").alias("c"),
+            F.struct("w", "src", "dst").alias("pick"),
+        ).union(
+            labeled.select(
+                F.col("cb").alias("c"),
+                F.struct("w", "src", "dst").alias("pick"),
+            )
+        )
+        chosen = (
+            both.groupBy("c")
+            .agg(F.min("pick").alias("pick"))
+            .select("pick.src", "pick.dst", "pick.w")
+            .distinct()
+        )
+        chosen = truncate_lineage(chosen, eager=True)
+        if chosen.isEmpty():
+            break
+        mst = truncate_lineage(
+            mst.union(chosen).distinct(), eager=True
+        )
+        # contract: min-label propagation to FIXPOINT over the chosen
+        # component-pair graph (≤ #components rows, halving per round)
+        pairs = (
+            chosen.join(
+                comp.select(F.col("node").alias("src"), F.col("comp").alias("ca")),
+                "src",
+            )
+            .join(
+                comp.select(F.col("node").alias("dst"), F.col("comp").alias("cb")),
+                "dst",
+            )
+            .select("ca", "cb")
+        )
+        sym = pairs.union(
+            pairs.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
+        )
+        sym = truncate_lineage(sym, eager=True)
+        lbl = _cut(
+            sym.select(F.col("ca").alias("c")).distinct().select(
+                "c", F.col("c").alias("lbl")
+            )
+        )
+        # min-label propagation WITH pointer-doubling (lbl ← min(lbl,
+        # neighbor labels, lbl[lbl])): hooking produces CHAINS (every
+        # component grabs its cheapest neighbor), and a plain
+        # neighbor-min walk needs diameter rounds — measured >600 s on
+        # the sf0.01 co-purchase graph. The label-of-label shortcut
+        # halves remaining path length per round → O(log diameter).
+        while True:
+            nxt = (
+                sym.join(lbl.withColumnRenamed("c", "cb2"),
+                         sym["cb"] == F.col("cb2"))
+                .groupBy("ca")
+                .agg(F.min("lbl").alias("nlbl"))
+                .withColumnRenamed("ca", "c")
+            )
+            short = (
+                lbl.alias("x")
+                .join(
+                    lbl.alias("y"), F.col("x.lbl") == F.col("y.c"), "left"
+                )
+                .select(
+                    F.col("x.c").alias("c"), F.col("y.lbl").alias("slbl")
+                )
+            )
+            merged = (
+                lbl.join(nxt, "c", "left")
+                .join(short, "c", "left")
+                .select(
+                    "c",
+                    F.least(
+                        F.col("lbl"),
+                        F.coalesce(F.col("nlbl"), F.col("lbl")),
+                        F.coalesce(F.col("slbl"), F.col("lbl")),
+                    ).alias("lbl"),
+                    (
+                        F.least(
+                            F.coalesce(F.col("nlbl"), F.col("lbl")),
+                            F.coalesce(F.col("slbl"), F.col("lbl")),
+                        )
+                        < F.col("lbl")
+                    ).alias("__changed"),
+                )
+            )
+            merged = _cut(merged)
+            changed = merged.filter(F.col("__changed")).limit(1).count()
+            lbl = merged.drop("__changed")
+            if changed == 0:
+                break
+        comp = _cut(
+            comp.join(lbl, comp["comp"] == lbl["c"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("lbl"), F.col("comp")).alias("comp"),
+            )
+        )
+        _release({id(comp)})
+    _release(set())
+    return mst

@@ -7688,6 +7688,10 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "pacf_daily",
         "url_normalize_dedup",
         "zip_central_dir_parse",
+        "jarque_bera",
+        "bollinger_anomaly_days",
+        "stream_chained_windows",
+        "boruvka_mst",
     }
 )
 

@@ -14256,3 +14256,435 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order totals — the moment-based
+    distribution audit beside ks_two_sample (two-sample) and
+    benford_audit (digit law): skewness and excess kurtosis from raw
+    power sums, JB = n/6·(S² + (K−3)²/4). Power sums S1..S4 of the
+    integer dollar totals are exact decimal(38,0) (d⁴ ≈ 1e23 per row;
+    the sums stay inside decimal to ~1e15 rows); the central-moment
+    algebra runs in double from those exact sums with the identical
+    expression on both engines. Scale: ONE map-side-combinable
+    aggregate, no shuffle beyond the 1-row reduce."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.round("o_totalprice").cast("long")
+    dd = d.cast("decimal(38,0)")
+    agg = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dd).alias("s1"),
+        F.sum(dd * dd).alias("s2"),
+        F.sum(dd * dd * dd).alias("s3"),
+        F.sum(dd * dd * dd * dd).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * mean * (F.col("s2").cast("double") / n)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - F.lit(4.0) * mean * (F.col("s3").cast("double") / n)
+        + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2)
+    jb = n / F.lit(6.0) * (
+        skew * skew
+        + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    m = F.lit(1_000_000.0)
+    return agg.select(
+        "n",
+        F.round(skew * m).cast("long").alias("skew_micro"),
+        F.round(kurt * m).cast("long").alias("kurtosis_micro"),
+        F.round(jb * F.lit(1_000.0)).cast("long").alias("jb_milli"),
+    )
+
+
+ORACLE_JARQUE_BERA = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)) AS s1,
+         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(o_totalprice) AS BIGINT)) AS s2,
+         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(o_totalprice) AS BIGINT)
+             * CAST(ROUND(o_totalprice) AS BIGINT)) AS s3,
+         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(o_totalprice) AS BIGINT)
+             * CAST(ROUND(o_totalprice) AS BIGINT)
+             * CAST(ROUND(o_totalprice) AS BIGINT)) AS s4
+  FROM orders
+),
+mom AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM agg
+),
+cm AS (
+  SELECT n,
+         r2 - mean * mean AS m2,
+         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+            - 3.0 * mean * mean * mean * mean AS m4
+  FROM mom
+),
+sk AS (
+  SELECT n,
+         m3 / SQRT(m2 * m2 * m2) AS skew,
+         m4 / (m2 * m2) AS kurt
+  FROM cm
+)
+SELECT n,
+       CAST(ROUND(skew * 1000000) AS BIGINT) AS skew_micro,
+       CAST(ROUND(kurt * 1000000) AS BIGINT) AS kurtosis_micro,
+       CAST(ROUND(CAST(n AS DOUBLE) / 6.0
+                  * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+                  * 1000) AS BIGINT) AS jb_milli
+FROM sk
+"""
+
+
+def q_bollinger_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-band anomaly detection on the daily revenue series: a
+    day is anomalous when it sits more than 2σ from the TRAILING
+    20-day mean (current day excluded — no self-contamination), the
+    Bollinger-band / local-z complement to mad_outliers (global
+    robust) and cusum_top_days (cumulative drift). Window sums of the
+    exact integer day totals (Σy, Σy² in decimal — day totals square
+    past int64 at SF≈10) make mean/σ deterministic; z is one double
+    expression quantized to micro. Scale: ONE keyed aggregate to the
+    ≤365-row daily frame; the trailing window runs over that bounded
+    frame only."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-20, -1)
+    ydec = F.col("y").cast("decimal(38,0)")
+    banded = days.select(
+        "d",
+        "y",
+        F.count("*").over(w).alias("wn"),
+        F.sum("y").over(w).cast("long").alias("wsum"),
+        F.sum(ydec * ydec).over(w).alias("wsumsq"),
+    ).filter(F.col("wn") == 20)
+    mean = F.col("wsum").cast("double") / F.col("wn")
+    var = (
+        F.col("wsumsq").cast("double")
+        - F.col("wsum").cast("double") * F.col("wsum") / F.col("wn")
+    ) / (F.col("wn") - F.lit(1))
+    z = (F.col("y") - mean) / F.sqrt(var)
+    return (
+        banded.select(
+            "d",
+            "y",
+            F.round(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+        )
+        .filter(F.abs(F.col("z_micro")) > 2_000_000)
+        .orderBy("d")
+    )
+
+
+ORACLE_BOLLINGER_ANOMALY_DAYS = """
+WITH days AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+banded AS (
+  SELECT d, y,
+         COUNT(*) OVER w AS wn,
+         CAST(SUM(y) OVER w AS BIGINT) AS wsum,
+         SUM(CAST(y AS HUGEINT) * y) OVER w AS wsumsq
+  FROM days
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT d, y,
+         CAST(ROUND((y - CAST(wsum AS DOUBLE) / wn)
+                    / SQRT((CAST(wsumsq AS DOUBLE)
+                            - CAST(wsum AS DOUBLE) * wsum / wn)
+                           / (wn - 1))
+                    * 1000000) AS BIGINT) AS z_micro
+  FROM banded WHERE wn = 20
+)
+SELECT d, y, z_micro FROM scored
+WHERE ABS(z_micro) > 2000000 ORDER BY d
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "jarque_bera": (
+            q_jarque_bera,
+            ORACLE_JARQUE_BERA,
+            "ext:Jarque-Bera normality test (exact decimal power sums,"
+            " moment algebra in double)",
+        ),
+        "bollinger_anomaly_days": (
+            q_bollinger_anomaly_days,
+            ORACLE_BOLLINGER_ANOMALY_DAYS,
+            "ext:trailing-band local-z anomaly days (Bollinger, exact"
+            " window sums, self-excluded)",
+        ),
+    }
+)
+
+
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregations in a REAL streaming run (Spark
+    3.4's window_time: a second window aggregation directly over the
+    first's window column — the two-tier rollup every metrics pipeline
+    wants without a second job): 5-minute tumbling counts per event
+    type re-aggregate into 30-minute windows inside ONE streaming
+    query, append mode, watermark-gated. Deterministic phases via
+    mtime-pinned files (the stream_dedup_within_watermark rig): batch
+    0 = all real events; batches 1-2 = far-future sentinel rows that
+    push the watermark past every real window so append mode flushes
+    them all (two, because eviction uses the PREVIOUS batch's
+    watermark). The oracle computes the same 30-minute rollup in
+    batch SQL — equality holds precisely because the sentinels
+    finalized every real window. State scale: O(open windows ×
+    types) per tier, both evicted by the same watermark."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from yelp_etl_spark.plans.catalog import _scratch_dir
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .localCheckpoint(eager=True)
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(days: int):
+        return spark.createDataFrame(
+            [(max_ts, "zz_sentinel", 0.0)],
+            "ts timestamp, event_type string, value double",
+        ).select(
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "event_type",
+            "value",
+        )
+
+    def stage(df, phase: int, root: str):
+        tmp = root + f"_tmp{phase}"
+        df.repartition(1).write.parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = _os.path.join(root, f"{phase:02d}.parquet")
+        _shutil.move(_os.path.join(tmp, part), dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        base = 1_700_000_000 + phase * 60
+        _os.utime(dst, (base, base))
+
+    src = _scratch_dir(sf_dir, "chainw")
+    _os.makedirs(src)
+    stage(ev, 0, src)
+    stage(sentinel(200), 1, src)
+    stage(sentinel(250), 2, src)
+    tier1 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n5"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c5"),
+        )
+    )
+    chained = (
+        tier1.groupBy(
+            F.window(F.window_time("window"), "30 minutes").alias("w30"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n5").alias("n_events"),
+            F.sum("c5").alias("sum_value_cents"),
+            F.count("*").alias("n_subwindows"),
+        )
+    )
+    name = "chainw_" + _uuid.uuid4().hex[:8]
+    ckpt = _scratch_dir(sf_dir, "chainwckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            chained.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).filter(F.col("event_type") != "zz_sentinel")
+    return out.select(
+        F.col("w30.start").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
+        F.col("n_subwindows").cast("long").alias("n_subwindows"),
+    ).orderBy("window_start", "event_type")
+
+
+ORACLE_STREAM_CHAINED_WINDOWS = """
+WITH t5 AS MATERIALIZED (
+  SELECT to_timestamp(FLOOR(epoch(ts) / 300) * 300) AS w5,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n5,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c5
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(CAST(to_timestamp(FLOOR(epoch(w5) / 1800) * 1800)
+                 AS TIMESTAMP) AS VARCHAR) AS window_start,
+       event_type,
+       CAST(SUM(n5) AS BIGINT) AS n_events,
+       CAST(SUM(c5) AS BIGINT) AS sum_value_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_subwindows
+FROM t5 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "stream_chained_windows": (
+            q_stream_chained_windows,
+            ORACLE_STREAM_CHAINED_WINDOWS,
+            "ext:chained streaming window aggregations (window_time"
+            " two-tier rollup, sentinel-flushed append)",
+        ),
+    }
+)
+
+
+def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-affinity spanning forest of the part co-purchase graph
+    via distributed Borůvka (functions/graph.boruvka_mst) — the
+    backbone extraction every product-graph / dedup-linkage pipeline
+    wants (keep the strongest tree of associations, drop the O(E)
+    noise). Edge weight is NEGATED co-order count, so the minimum
+    spanning forest is the maximum-affinity backbone; ties break by
+    the lexicographic (w, src, dst) struct order, making the forest
+    unique. Borůvka is ≤log₂|V| rounds of co-partitioned joins + one
+    keyed struct-min — the priority-queue-free formulation that
+    survives 100 TB.
+
+    ROWS-ONLY BY DESIGN with a hard internal twin: no SQL engine can
+    express the iterative contraction, so the query itself VERIFIES
+    the distributed forest against an in-driver Kruskal (same total
+    order, union-find) — on the bounded fixture graph only (≤500k
+    edges; the check is skipped above that, the forest identity
+    |MST| = |V| − #components keeps running at any scale via the
+    independent label-propagation components) — and raises on any
+    mismatch, so a driver rows-match is a pass of BOTH algorithms
+    agreeing edge-for-edge."""
+    from yelp_etl_spark.functions.dedup import connected_components
+    from yelp_etl_spark.functions.graph import boruvka_mst
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg((-F.count("*")).cast("long").alias("w"))
+    )
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
+    edges = truncate_lineage(edges, eager=True)
+    mst = boruvka_mst(edges)
+    n_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select("dst"))
+        .distinct()
+        .count()
+    )
+    n_edges = edges.count()
+    n_comp = (
+        connected_components(edges, "src", "dst")
+        .select("component")
+        .distinct()
+        .count()
+    )
+    got = mst.select("src", "dst", "w").collect() if n_edges <= 500_000 else None
+    kruskal_checked = False
+    if got is not None:
+        ed = sorted(
+            edges.collect(), key=lambda r: (r.w, r.src, r.dst)
+        )
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        want = set()
+        for r in ed:
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[ra] = rb
+                want.add((r.src, r.dst, r.w))
+        have = {(r.src, r.dst, r.w) for r in got}
+        if have != want:
+            raise ValueError(
+                f"boruvka/kruskal forest mismatch: "
+                f"{len(have ^ want)} differing edges"
+            )
+        kruskal_checked = True
+    agg = mst.agg(
+        F.count("*").cast("long").alias("n_mst_edges"),
+        F.sum(-F.col("w")).cast("long").alias("affinity_captured"),
+    )
+    return agg.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_comp).cast("long").alias("n_components"),
+        "n_mst_edges",
+        "affinity_captured",
+        (F.col("n_mst_edges") == F.lit(n_nodes - n_comp)).alias(
+            "forest_identity_ok"
+        ),
+        F.lit(kruskal_checked).alias("kruskal_checked"),
+    )
+
+
+EXTRA_QUERIES.update(
+    {
+        "boruvka_mst": (
+            q_boruvka_mst,
+            None,
+            "ext:distributed Boruvka spanning forest (struct-min"
+            " hooking, fixpoint contraction; in-query Kruskal twin)",
+        ),
+    }
+)
