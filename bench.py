@@ -466,6 +466,10 @@ NEW_BY_ROUND[9] = {
     "bollinger_anomaly_days",
     "stream_chained_windows",
     "boruvka_mst",
+    "t_closeness_audit",
+    "durbin_watson_ols",
+    "heaps_law_fit",
+    "misra_gries_heavy_hitters",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

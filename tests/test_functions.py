@@ -1624,3 +1624,20 @@ def test_boruvka_matches_kruskal_random(spark):
             parent[ra] = rb
             want.add((a, b, wt))
     assert got == want
+
+
+def test_misra_gries_guarantee_skewed_stream(spark):
+    from yelp_etl_spark.functions.sketches import misra_gries_candidates
+
+    # 1000 occurrences of 'hot', 500 of 'warm', 1500 singletons: with
+    # k=10, every item with freq > N/(k+1) ≈ 272 must survive with a
+    # counter that never overcounts
+    rows = (
+        [("hot",)] * 1000
+        + [("warm",)] * 500
+        + [(f"cold{i}",) for i in range(1500)]
+    )
+    df = spark.createDataFrame(rows, "tok string").repartition(7)
+    got = {r.tok: r.mg for r in misra_gries_candidates(df, "tok", 10).collect()}
+    assert "hot" in got and "warm" in got
+    assert got["hot"] <= 1000 and got["warm"] <= 500

@@ -317,3 +317,51 @@ def hll_portable_estimate(
         s.alias("reg_sum"),
         F.round(est, 2).alias("est_distinct"),
     )
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str = "tok", k: int = 40
+) -> DataFrame:
+    """Misra-Gries heavy-hitter candidates: the DETERMINISTIC-guarantee
+    frequency summary (every item with true frequency > N/(k+1) is
+    GUARANTEED present; counters never overcount and undercount by at
+    most N/(k+1) in total) — the complement to count_min_sketch
+    (probabilistic overcount) for the "what are the dominant tokens /
+    URLs / keys" pass every curation pipeline runs.
+
+    Distributed shape: one Arrow `mapInPandas` pass builds a k-counter
+    summary PER PARTITION (single pass, O(k) memory — the reason to
+    use MG instead of an exact groupBy at 100 TB is bounded state, not
+    speed), then the per-partition summaries merge by counter
+    addition, which preserves the guarantee (Agarwal et al., the
+    mergeable-summaries result, public PODS 2012). Each partition
+    batch is pre-reduced with value_counts, so the Python loop runs
+    over DISTINCT tokens per batch, and the k-truncation subtracts the
+    (k+1)-th largest counter — the standard summary-merge step.
+
+    Candidate counts are partitioning-dependent (only the GUARANTEE is
+    deterministic) — callers must join back for exact counts before
+    emitting driver-facing values (q_misra_gries_heavy_hitters)."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"tok": list(counters), "mg": list(counters.values())}
+        )
+
+    return (
+        df.select(F.col(col).alias("tok"))
+        .mapInPandas(mg, "tok string, mg long")
+        .groupBy("tok")
+        .agg(F.sum("mg").cast("long").alias("mg"))
+    )

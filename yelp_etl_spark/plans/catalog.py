@@ -7692,6 +7692,10 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "bollinger_anomaly_days",
         "stream_chained_windows",
         "boruvka_mst",
+        "t_closeness_audit",
+        "durbin_watson_ols",
+        "heaps_law_fit",
+        "misra_gries_heavy_hitters",
     }
 )
 

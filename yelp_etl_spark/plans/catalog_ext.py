@@ -14688,3 +14688,417 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-9 late additions, wave 4
+# --------------------------------------------------------------------------
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness privacy audit — completes the anonymity triad beside
+    k_anonymity_audit (group sizes) and l_diversity_audit (sensitive-
+    value entropy): for each quasi-identifier group (market segment),
+    how far is its ORDERED sensitive-attribute distribution (order
+    priority, 5 ordinal levels) from the global one, by the ordered
+    Earth Mover's Distance EMD = (1/(m−1))·Σᵢ|P̂ᵢ − Q̂ᵢ| over prefix
+    sums? Exact rational arithmetic: the prefix-difference numerator
+    |cum_g·N − cum·N_g| stays BIGINT on the common denominator N_g·N,
+    and the final ppm scale-up runs in decimal(38,0) (1e6·Σ|·| leaves
+    int64 near SF≈10). Scale: ONE keyed count to ≤5×5 cells; every
+    window runs over that bounded contingency frame."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wseg = Window.partitionBy("seg").orderBy("prio").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wprio_all = Window.partitionBy("prio")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum_global = Window.partitionBy("seg").orderBy("prio").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = cells.select(
+        "seg",
+        "prio",
+        "n",
+        F.sum("n").over(wseg).alias("cum_g"),
+        F.sum("n").over(wprio_all).alias("n_prio"),
+        F.sum("n").over(wall).alias("n_total"),
+        F.sum("n").over(Window.partitionBy("seg")).alias("n_g"),
+    ).select(
+        "seg",
+        "prio",
+        "n",
+        "cum_g",
+        "n_g",
+        "n_total",
+        F.sum("n_prio").over(wcum_global).alias("cum_all"),
+    )
+    m_minus_1 = 4  # five ordered priority levels
+    per_seg = (
+        stepped.filter(F.col("prio") != "5-LOW")  # last prefix is always 0
+        .groupBy("seg", "n_g", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n_total")
+                    - F.col("cum_all") * F.col("n_g")
+                )
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+    )
+    return (
+        per_seg.select(
+            "seg",
+            F.col("n_g").cast("long").alias("n_rows"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * emd_num)"
+                f" DIV ({m_minus_1} * n_g * n_total) AS LONG)"
+            ).alias("t_ppm"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_T_CLOSENESS_AUDIT = """
+WITH cells AS MATERIALIZED (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+step1 AS (
+  SELECT seg, prio, n,
+         SUM(n) OVER (PARTITION BY seg ORDER BY prio
+                      ROWS UNBOUNDED PRECEDING) AS cum_g,
+         SUM(n) OVER (PARTITION BY seg) AS n_g,
+         SUM(n) OVER () AS n_total,
+         SUM(n) OVER (PARTITION BY prio) AS n_prio
+  FROM cells
+),
+stepped AS (
+  SELECT seg, prio, n, cum_g, n_g, n_total,
+         SUM(n_prio) OVER (PARTITION BY seg ORDER BY prio
+                           ROWS UNBOUNDED PRECEDING) AS cum_all
+  FROM step1
+),
+per_seg AS (
+  SELECT seg, n_g, n_total,
+         CAST(SUM(ABS(cum_g * n_total - cum_all * n_g)) AS BIGINT)
+           AS emd_num
+  FROM stepped WHERE prio != '5-LOW'
+  GROUP BY 1, 2, 3
+)
+SELECT seg, CAST(n_g AS BIGINT) AS n_rows,
+       CAST((CAST(1000000 AS HUGEINT) * emd_num)
+            // (4 * n_g * n_total) AS BIGINT) AS t_ppm
+FROM per_seg ORDER BY seg
+"""
+
+
+def q_durbin_watson_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the residuals of the
+    daily-revenue OLS trend — the regression-diagnostics companion to
+    ols_normal_equations (fit) and acf/pacf (raw series): DW =
+    Σ(eₜ−eₜ₋₁)²/Σeₜ² ≈ 2(1−ρ₁) of the residuals. The OLS closed form
+    runs on exact integer sums (t = day index from one broadcast
+    1-row min-date frame; Σt, Σt², Σy, Σty as BIGINT/decimal), b and a
+    are single deterministic divides, residuals are one double
+    expression per row, and the lag ride a window over the bounded
+    ≤365-day frame. Scale: ONE keyed aggregate to the daily frame."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    base = days.agg(F.min("d").alias("d0"))
+    idx = days.crossJoin(F.broadcast(base)).select(
+        F.datediff("d", "d0").cast("long").alias("t"), "d", "y"
+    )
+    sums = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
+    )
+    b = (
+        (
+            F.col("n").cast("double") * F.col("sty").cast("double")
+            - F.col("st").cast("double") * F.col("sy")
+        )
+        / (
+            F.col("n").cast("double") * F.col("stt")
+            - F.col("st").cast("double") * F.col("st")
+        )
+    )
+    a = (F.col("sy").cast("double") - b * F.col("st")) / F.col("n")
+    fitted = idx.crossJoin(
+        F.broadcast(sums.select(b.alias("b"), a.alias("a")))
+    ).select(
+        "d",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+        "b",
+    )
+    w = Window.orderBy("d")
+    diffed = fitted.select(
+        "e",
+        "b",
+        (F.col("e") - F.lag("e", 1).over(w)).alias("de"),
+    )
+    return diffed.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            (F.sum(F.col("de") * F.col("de")) / F.sum(F.col("e") * F.col("e")))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("dw_micro"),
+        F.round(F.max("b") * F.lit(1_000.0)).cast("long").alias(
+            "slope_millicents_per_day"
+        ),
+    )
+
+
+ORACLE_DURBIN_WATSON_OLS = """
+WITH days AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+idx AS (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM days), d) AS BIGINT)
+           AS t, d, y
+  FROM days
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(t AS HUGEINT) * y) AS sty
+  FROM idx
+),
+co AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+          - CAST(st AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+         n, st, sy
+  FROM sums
+),
+fitted AS (
+  SELECT d,
+         y - ((CAST(sy AS DOUBLE) - b * st) / n) - b * t AS e,
+         b
+  FROM idx, co
+),
+diffed AS (
+  SELECT e, b, e - LAG(e, 1) OVER (ORDER BY d) AS de FROM fitted
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ROUND(SUM(de * de) / SUM(e * e) * 1000000) AS BIGINT)
+         AS dw_micro,
+       CAST(ROUND(MAX(b) * 1000) AS BIGINT) AS slope_millicents_per_day
+FROM diffed
+"""
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V = K·N^β across the corpus sources — the
+    vocabulary-growth companion to zipf_slope (frequency decay): each
+    source contributes one (ln N, ln V) point (total vs distinct
+    literal-space tokens), and β/ln K come from closed-form OLS over
+    those ≤|sources| points. Both logs are quantized to micro-nats per
+    POINT (the qlog discipline — one quantization per source, never
+    per row), so all five OLS sums are exact BIGINT; β is the final
+    double divide. Scale: one token explode + one keyed agg per
+    source; the OLS runs over the bounded source frame."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs.withColumn("src", F.col("source")), "doc_id", "text")
+    with_src = toks.join(docs.select("doc_id", "source"), "doc_id")
+    pts = with_src.groupBy("source").agg(
+        F.round(F.log(F.count("*")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.countDistinct("tok")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    beta = (
+        (
+            F.col("n").cast("double") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+    )
+    lnk = (F.col("sy").cast("double") - beta * F.col("sx")) / F.col("n") / 1e6
+    return sums.select(
+        F.col("n").alias("n_sources"),
+        F.round(beta * F.lit(1_000_000.0)).cast("long").alias("beta_micro"),
+        F.round(lnk * F.lit(1_000_000.0)).cast("long").alias("ln_k_micro"),
+    )
+
+
+ORACLE_HEAPS_LAW_FIT = """
+WITH toks AS MATERIALIZED (
+  SELECT d.doc_id, d.source, t.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS tok) t
+  WHERE t.tok != ''
+),
+pts AS (
+  SELECT source,
+         CAST(ROUND(LN(COUNT(*)) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(LN(COUNT(DISTINCT tok)) * 1000000) AS BIGINT) AS y
+  FROM toks GROUP BY source
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_sources,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * 1000000) AS BIGINT) AS beta_micro,
+       CAST(ROUND((CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * sx) / n / 1e6
+                  * 1000000) AS BIGINT) AS ln_k_micro
+FROM sums
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "t_closeness_audit": (
+            q_t_closeness_audit,
+            ORACLE_T_CLOSENESS_AUDIT,
+            "ext:t-closeness audit (ordered EMD over prefix sums,"
+            " exact rational numerators; completes k/l/t triad)",
+        ),
+        "durbin_watson_ols": (
+            q_durbin_watson_ols,
+            ORACLE_DURBIN_WATSON_OLS,
+            "ext:Durbin-Watson residual autocorrelation (closed-form"
+            " OLS trend, bounded lag frame)",
+        ),
+        "heaps_law_fit": (
+            q_heaps_law_fit,
+            ORACLE_HEAPS_LAW_FIT,
+            "ext:Heaps-law vocabulary-growth fit (per-source micro-nat"
+            " points, exact OLS sums)",
+        ),
+    }
+)
+
+
+def q_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy hitters via Misra-Gries (sketches.
+    misra_gries_candidates) with the guarantee HARD-CHECKED in-query:
+    candidates come from the single-pass bounded-memory summary
+    (O(k) state per partition — the 100 TB-stream shape), exact counts
+    come from one keyed aggregate, and the query RAISES unless (a)
+    every token with true count > N/(k+1) is among the candidates
+    (the MG coverage guarantee), and (b) no merged counter overcounts
+    its true frequency. Emitted rows are the TRUE heavy hitters with
+    exact counts — partitioning-independent, so the DuckDB oracle
+    recomputes them directly; the sketch's correctness is what the
+    equality certifies (the lsh_topk_checked pattern)."""
+    from yelp_etl_spark.functions.sketches import misra_gries_candidates
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    k = 40
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text").localCheckpoint()
+    n_total = toks.count()
+    thresh = n_total // (k + 1)
+    cand = misra_gries_candidates(toks, "tok", k)
+    true_counts = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    joined = true_counts.join(cand, "tok", "left")
+    bad_missed = (
+        joined.filter((F.col("n") > thresh) & F.col("mg").isNull()).limit(1).count()
+    )
+    if bad_missed:
+        raise ValueError("Misra-Gries coverage guarantee violated")
+    bad_over = joined.filter(F.col("mg") > F.col("n")).limit(1).count()
+    if bad_over:
+        raise ValueError("Misra-Gries counter overcounts true frequency")
+    return (
+        true_counts.filter(F.col("n") > thresh)
+        .select(
+            "tok",
+            "n",
+            F.lit(n_total).cast("long").alias("n_tokens"),
+            F.lit(thresh).cast("long").alias("threshold"),
+        )
+        .orderBy(F.desc("n"), "tok")
+    )
+
+
+ORACLE_MISRA_GRIES_HEAVY_HITTERS = """
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+filtered AS (
+  SELECT tok FROM toks WHERE tok != ''
+),
+counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM filtered GROUP BY tok
+),
+total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM filtered
+)
+SELECT tok, n, n_tokens,
+       CAST(n_tokens // 41 AS BIGINT) AS threshold
+FROM counts, total
+WHERE n > n_tokens // 41
+ORDER BY n DESC, tok
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "misra_gries_heavy_hitters": (
+            q_misra_gries_heavy_hitters,
+            ORACLE_MISRA_GRIES_HEAVY_HITTERS,
+            "ext:Misra-Gries deterministic heavy hitters (mergeable"
+            " bounded-state summary, coverage guarantee hard-checked)",
+        ),
+    }
+)
