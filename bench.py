@@ -470,6 +470,10 @@ NEW_BY_ROUND[9] = {
     "durbin_watson_ols",
     "heaps_law_fit",
     "misra_gries_heavy_hitters",
+    "kneser_ney_bigram_nll",
+    "hamming_binary_topk",
+    "temporal_purged_split",
+    "cronbach_alpha",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

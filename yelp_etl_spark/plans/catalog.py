@@ -7696,6 +7696,10 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "durbin_watson_ols",
         "heaps_law_fit",
         "misra_gries_heavy_hitters",
+        "kneser_ney_bigram_nll",
+        "hamming_binary_topk",
+        "temporal_purged_split",
+        "cronbach_alpha",
     }
 )
 

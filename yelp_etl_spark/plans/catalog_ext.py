@@ -15102,3 +15102,467 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-9 late additions, wave 5
+# --------------------------------------------------------------------------
+
+
+def q_kneser_ney_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the state-of-the-art
+    classical n-gram smoothing (absolute discount d=0.75 plus
+    CONTINUATION unigram probabilities: a word's backoff mass counts
+    how many distinct contexts it follows, not how often it occurs),
+    beside bigram_nll's simple interpolation. All model counts
+    (c(a,b), c(a·), N₁₊(a·), N₁₊(·b), N₁₊(··)) are exact BIGINTs from
+    keyed aggregates; ln P is quantized to micro-nats ONCE PER BIGRAM
+    TYPE (quantization sites scale with the model, never the corpus),
+    so per-language NLL rollups are exact integer sums. Scale: token
+    explode + equi-joins on the bigram key; no windows beyond the
+    per-doc position numbering."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text", with_position=True)
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "doc_id", "tok", F.row_number().over(wpos).alias("p")
+    )
+    t1 = seq.alias("t1")
+    t2 = seq.alias("t2")
+    bigrams = t1.join(
+        t2,
+        (F.col("t1.doc_id") == F.col("t2.doc_id"))
+        & (F.col("t2.p") == F.col("t1.p") + 1),
+    ).select(
+        F.col("t1.doc_id").alias("doc_id"),
+        F.col("t1.tok").alias("a"),
+        F.col("t2.tok").alias("b"),
+    )
+    pair = bigrams.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("cab")
+    )
+    lft = pair.groupBy("a").agg(
+        F.sum("cab").cast("long").alias("ca"),
+        F.count("*").cast("long").alias("n1p_a"),  # N1+(a·)
+    )
+    cont = pair.groupBy("b").agg(
+        F.count("*").cast("long").alias("n1p_b")  # N1+(·b)
+    )
+    tot = pair.agg(F.count("*").cast("long").alias("n1p_all"))
+    d = F.lit(0.75)
+    model = (
+        pair.join(lft, "a")
+        .join(cont, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            (
+                -F.round(
+                    F.log(
+                        F.greatest(
+                            F.col("cab") - d, F.lit(0.0)
+                        )
+                        / F.col("ca")
+                        + d
+                        * F.col("n1p_a")
+                        / F.col("ca")
+                        * (
+                            F.col("n1p_b").cast("double")
+                            / F.col("n1p_all")
+                        )
+                    )
+                    * F.lit(1_000_000.0)
+                ).cast("long")
+            ).alias("nll_q"),
+        )
+    )
+    scored = (
+        bigrams.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("nb"),
+            F.sum("nll_q").cast("long").alias("nll_sum"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("n_bigrams"),
+            F.sum("nll_sum").cast("long").alias("nll_micro_sum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_bigrams",
+            F.expr("CAST(nll_micro_sum DIV n_bigrams AS LONG)").alias(
+                "avg_nll_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_KNESER_NEY_BIGRAM_NLL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS p
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(LOWER(text), ' ')) AS tok,
+           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
+    FROM documents
+  ) u
+  WHERE u.tok <> ''
+),
+bigrams AS MATERIALIZED (
+  SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+),
+pair AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bigrams GROUP BY a, b
+),
+lft AS MATERIALIZED (
+  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca,
+         CAST(COUNT(*) AS BIGINT) AS n1p_a
+  FROM pair GROUP BY a
+),
+cont AS MATERIALIZED (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n1p_b FROM pair GROUP BY b
+),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_all FROM pair),
+model AS MATERIALIZED (
+  SELECT p.a, p.b,
+         CAST(-ROUND(LN(GREATEST(p.cab - 0.75, 0.0) / l.ca
+                        + 0.75 * l.n1p_a / l.ca
+                          * (CAST(c.n1p_b AS DOUBLE) / t.n1p_all))
+                     * 1000000) AS BIGINT) AS nll_q
+  FROM pair p JOIN lft l ON l.a = p.a JOIN cont c ON c.b = p.b
+  CROSS JOIN tot t
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(m.nll_q) AS BIGINT) AS nll_sum
+  FROM bigrams g JOIN model m ON m.a = g.a AND m.b = g.b
+  GROUP BY g.doc_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.nb) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(s.nll_sum) AS BIGINT) // CAST(SUM(s.nb) AS BIGINT)
+            AS BIGINT) AS avg_nll_micro
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "kneser_ney_bigram_nll": (
+            q_kneser_ney_bigram_nll,
+            ORACLE_KNESER_NEY_BIGRAM_NLL,
+            "ext:interpolated Kneser-Ney bigram NLL (continuation"
+            " counts, per-type micro-nat quantization)",
+        ),
+    }
+)
+
+
+def q_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN: sign-quantize the 64-d float vectors into
+    two 32-bit words (1 bit per dimension, packed by explicit integer
+    arithmetic — no float survives the encode) and rank neighbors by
+    Hamming distance via bit_count(xor) — the 1-bit quantization path
+    of the ANN family (cosine_topk exact float / LSH / IVF / PQ),
+    storing 64× less and comparing with two popcounts. Ties break by
+    neighbor id, making top-5 deterministic. Scale: the encode is one
+    linear projection; the query side is the bounded 10-vector frame
+    broadcast against the encoded table (the brute-force baseline
+    shape), and the LSH-bucketed variant applies unchanged on the
+    packed words."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def pack(lo: int) -> F.Column:
+        return F.expr(
+            "aggregate(zip_with("
+            f"slice(embedding, {lo + 1}, 32), sequence(0, 31), "
+            "(v, i) -> IF(v > CAST(0.0 AS FLOAT),"
+            " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    packed = emb.select(
+        "vec_id", pack(0).alias("w_lo"), pack(32).alias("w_hi")
+    )
+    q = packed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    scored = packed.join(
+        F.broadcast(q), packed["vec_id"] != q["query_id"]
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.expr("q_lo ^ w_lo"))
+            + F.bit_count(F.expr("q_hi ^ w_hi"))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "hamming",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_HAMMING_BINARY_TOPK = """
+WITH packed AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding[1:32],
+              (v, i) -> CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                         ELSE 0 END)) AS BIGINT) AS w_lo,
+         CAST(list_sum(list_transform(embedding[33:64],
+              (v, i) -> CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                         ELSE 0 END)) AS BIGINT) AS w_hi
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(CAST(q.w_lo AS BIGINT), c.w_lo))
+              + bit_count(xor(CAST(q.w_hi AS BIGINT), c.w_hi))
+              AS BIGINT) AS hamming
+  FROM packed q JOIN packed c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY hamming, neighbor_id) AS rank FROM scored)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "hamming_binary_topk": (
+            q_hamming_binary_topk,
+            ORACLE_HAMMING_BINARY_TOPK,
+            "ext:1-bit binary-embedding ANN (sign pack to two words,"
+            " popcount Hamming top-k)",
+        ),
+    }
+)
+
+
+def q_temporal_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free temporal cross-validation with purge + embargo
+    (the de Prado purged k-fold, public "Advances in Financial ML"
+    methodology — the TIME-axis counterpart to grouped_kfold_assign's
+    group-leakage guard): the event range splits into 5 contiguous
+    time folds; for each validation fold, training rows within the
+    1-day label horizon BEFORE the fold are purged (their labels peek
+    into the fold) and rows within the 1-day embargo AFTER it are
+    dropped too (serial correlation leaks backwards). All assignments
+    are integer epoch arithmetic against one broadcast (min, max)
+    frame — every count is exact and partitioning-independent.
+    Scale: two linear passes, no window, no shuffle beyond the
+    5×counts rollup."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        (F.max(F.unix_timestamp("ts")) + 1).alias("t1"),
+    )
+    day = 86_400
+    with_fold = ev.crossJoin(F.broadcast(bounds)).select(
+        F.unix_timestamp("ts").alias("t"),
+        "t0",
+        "t1",
+        F.least(
+            F.lit(4),
+            F.floor(
+                5 * (F.unix_timestamp("ts") - F.col("t0"))
+                / (F.col("t1") - F.col("t0"))
+            ),
+        )
+        .cast("long")
+        .alias("row_fold"),
+    )
+    folds = spark.range(5).select(F.col("id").cast("long").alias("fold"))
+    labeled = with_fold.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        "row_fold",
+        "t",
+        (F.col("t0") + (F.col("t1") - F.col("t0")) * F.col("fold") / 5)
+        .cast("long")
+        .alias("v_start"),
+        (F.col("t0") + (F.col("t1") - F.col("t0")) * (F.col("fold") + 1) / 5)
+        .cast("long")
+        .alias("v_end"),
+    )
+    status = labeled.select(
+        "fold",
+        F.when(F.col("row_fold") == F.col("fold"), F.lit("val"))
+        .when(
+            (F.col("t") >= F.col("v_start") - day)
+            & (F.col("t") < F.col("v_end") + day),
+            F.lit("purged"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("status"),
+    )
+    return (
+        status.groupBy("fold")
+        .agg(
+            F.sum((F.col("status") == "val").cast("long"))
+            .cast("long")
+            .alias("n_val"),
+            F.sum((F.col("status") == "train").cast("long"))
+            .cast("long")
+            .alias("n_train"),
+            F.sum((F.col("status") == "purged").cast("long"))
+            .cast("long")
+            .alias("n_purged_embargoed"),
+        )
+        .orderBy("fold")
+    )
+
+
+ORACLE_TEMPORAL_PURGED_SPLIT = """
+WITH bounds AS (
+  SELECT CAST(epoch(MIN(ts)) AS BIGINT) AS t0,
+         CAST(epoch(MAX(ts)) AS BIGINT) + 1 AS t1
+  FROM events
+),
+rows_f AS (
+  SELECT CAST(epoch(ts) AS BIGINT) AS t, t0, t1,
+         LEAST(4, CAST(FLOOR(5 * (CAST(epoch(ts) AS BIGINT) - t0)
+                             / (t1 - t0)) AS BIGINT)) AS row_fold
+  FROM events, bounds
+),
+labeled AS (
+  SELECT f.fold, r.row_fold, r.t,
+         CAST(r.t0 + (r.t1 - r.t0) * f.fold / 5 AS BIGINT) AS v_start,
+         CAST(r.t0 + (r.t1 - r.t0) * (f.fold + 1) / 5 AS BIGINT) AS v_end
+  FROM rows_f r CROSS JOIN (SELECT UNNEST(range(5)) AS fold) f
+),
+status AS (
+  SELECT fold,
+         CASE WHEN row_fold = fold THEN 'val'
+              WHEN t >= v_start - 86400 AND t < v_end + 86400
+                THEN 'purged'
+              ELSE 'train' END AS status
+  FROM labeled
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(SUM(CASE WHEN status = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(SUM(CASE WHEN status = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN status = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged_embargoed
+FROM status GROUP BY fold ORDER BY fold
+"""
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over the three
+    integer line-item measures (quantity, discount%, tax%) — the
+    measurement-reliability classic beside cohens_kappa (rater
+    agreement) and spearman_corr (monotone association): α =
+    k/(k−1)·(1 − Σσ²ᵢ/σ²_total). Every variance comes from exact
+    BIGINT/decimal power sums of small integers in ONE aggregate pass;
+    the n-scaling cancels in the ratio, so α is a single deterministic
+    double expression quantized to micro. Scale: one
+    map-side-combinable aggregate, 1-row reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    x1 = F.floor("l_quantity").cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    x3 = F.round(F.col("l_tax") * 100).cast("long")
+    tot = x1 + x2 + x3
+    agg = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("s1"),
+        F.sum(x1 * x1).cast("long").alias("ss1"),
+        F.sum(x2).cast("long").alias("s2"),
+        F.sum(x2 * x2).cast("long").alias("ss2"),
+        F.sum(x3).cast("long").alias("s3"),
+        F.sum(x3 * x3).cast("long").alias("ss3"),
+        F.sum(tot).cast("long").alias("st"),
+        F.sum(tot * tot).cast("long").alias("sst"),
+    )
+
+    def var(ss: str, s: str):
+        return (
+            F.col(ss).cast("double")
+            - F.col(s).cast("double") * F.col(s) / F.col("n")
+        )
+
+    alpha = (F.lit(3.0) / F.lit(2.0)) * (
+        F.lit(1.0)
+        - (var("ss1", "s1") + var("ss2", "s2") + var("ss3", "s3"))
+        / var("sst", "st")
+    )
+    return agg.select(
+        "n",
+        F.round(alpha * F.lit(1_000_000.0)).cast("long").alias(
+            "alpha_micro"
+        ),
+    )
+
+
+ORACLE_CRONBACH_ALPHA = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q * q) AS BIGINT) AS ss1,
+         CAST(SUM(d) AS BIGINT) AS s2, CAST(SUM(d * d) AS BIGINT) AS ss2,
+         CAST(SUM(x) AS BIGINT) AS s3, CAST(SUM(x * x) AS BIGINT) AS ss3,
+         CAST(SUM(q + d + x) AS BIGINT) AS st,
+         CAST(SUM((q + d + x) * (q + d + x)) AS BIGINT) AS sst
+  FROM (
+    SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+           CAST(ROUND(l_tax * 100) AS BIGINT) AS x
+    FROM lineitem
+  )
+)
+SELECT n,
+       CAST(ROUND(1.5 * (1.0 -
+              ((ss1 - CAST(s1 AS DOUBLE) * s1 / n)
+               + (ss2 - CAST(s2 AS DOUBLE) * s2 / n)
+               + (ss3 - CAST(s3 AS DOUBLE) * s3 / n))
+              / (sst - CAST(st AS DOUBLE) * st / n))
+            * 1000000) AS BIGINT) AS alpha_micro
+FROM agg
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "temporal_purged_split": (
+            q_temporal_purged_split,
+            ORACLE_TEMPORAL_PURGED_SPLIT,
+            "ext:purged+embargoed temporal k-fold (leakage-free time"
+            " CV, exact epoch arithmetic)",
+        ),
+        "cronbach_alpha": (
+            q_cronbach_alpha,
+            ORACLE_CRONBACH_ALPHA,
+            "ext:Cronbach alpha reliability (exact integer power sums,"
+            " one-pass)",
+        ),
+    }
+)
