@@ -474,6 +474,8 @@ NEW_BY_ROUND[9] = {
     "hamming_binary_topk",
     "temporal_purged_split",
     "cronbach_alpha",
+    "shapley_attribution",
+    "fd_discovery",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7700,6 +7700,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "hamming_binary_topk",
         "temporal_purged_split",
         "cronbach_alpha",
+        "shapley_attribution",
+        "fd_discovery",
     }
 )
 

@@ -15566,3 +15566,268 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-9 late additions, wave 6
+# --------------------------------------------------------------------------
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (the game-theoretic
+    gold standard the markov_attribution / cogroup_attribution
+    heuristics approximate): each of the 4 non-purchase channels gets
+    its Shapley share of conversions, with coalition value v(S) =
+    conversions reachable using only channels in S (users whose
+    touched set ⊆ S). The data reduces to 16 coalition-mask counts in
+    ONE keyed aggregate; v(S) is a subset-sum join over the bounded
+    16×16 mask lattice; and φᵢ uses the exact factorial weights
+    |S|!(n−1−|S|)!/n! kept as integers over the common denominator
+    4! = 24, so 24·φᵢ is an exact BIGINT and the ppm value one final
+    integer division. Scale: everything after the per-user aggregate
+    runs on literal 16-row model frames."""
+    ev = _t(spark, sf_dir, "events")
+    chans = ["click", "error", "signup", "view"]
+    mask = sum(
+        (
+            F.max((F.col("event_type") == c).cast("long")) * (1 << i)
+            for i, c in enumerate(chans)
+        ),
+        F.lit(0),
+    )
+    users = ev.groupBy("user_id").agg(
+        mask.cast("long").alias("m"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "conv"
+        ),
+    )
+    cm = users.filter(F.col("conv") == 1).groupBy("m").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    coalitions = spark.range(16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        F.broadcast(coalitions)
+        .join(cm, F.expr("(m & s) = m"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    # weight numerators over 4! = 24 for |S| = 0..3 (S excludes i)
+    wnum = {0: 6, 1: 2, 2: 2, 3: 6}
+    vs = v.alias("vs")
+    vsi = v.alias("vsi")
+    rows = []
+    for i, c in enumerate(chans):
+        bit = 1 << i
+        contrib = (
+            vs.filter(F.expr(f"(s & {bit}) = 0"))
+            .join(
+                vsi.select(
+                    F.col("s").alias("si"), F.col("v").alias("v_with")
+                ),
+                F.expr(f"si = s + {bit}"),
+            )
+            .select(
+                F.lit(c).alias("channel"),
+                (
+                    F.when(F.bit_count("s") == 0, wnum[0])
+                    .when(F.bit_count("s") == 1, wnum[1])
+                    .when(F.bit_count("s") == 2, wnum[2])
+                    .otherwise(wnum[3])
+                    * (F.col("v_with") - F.col("v"))
+                ).alias("term"),
+            )
+        )
+        rows.append(contrib)
+    allc = rows[0]
+    for r in rows[1:]:
+        allc = allc.unionByName(r)
+    return (
+        allc.groupBy("channel")
+        .agg(F.sum("term").cast("long").alias("phi_x24"))
+        .select(
+            "channel",
+            "phi_x24",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * phi_x24)"
+                " DIV 24 AS LONG)"
+            ).alias("phi_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_SHAPLEY_ATTRIBUTION = """
+WITH users AS MATERIALIZED (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS m,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+cm AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM users
+  WHERE conv = 1 GROUP BY m
+),
+v AS (
+  SELECT s.s, CAST(COALESCE(SUM(cm.c), 0) AS BIGINT) AS v
+  FROM (SELECT UNNEST(range(16)) AS s) s
+  LEFT JOIN cm ON (cm.m & s.s) = cm.m
+  GROUP BY s.s
+),
+terms AS (
+  SELECT ch.channel, ch.bit,
+         (CASE bit_count(vs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+               WHEN 2 THEN 2 ELSE 6 END)
+           * (vi.v - vs.v) AS term
+  FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8))
+       AS ch(channel, bit)
+  JOIN v vs ON (vs.s & ch.bit) = 0
+  JOIN v vi ON vi.s = vs.s + ch.bit
+)
+SELECT channel,
+       CAST(SUM(term) AS BIGINT) AS phi_x24,
+       CAST((CAST(1000000 AS HUGEINT) * CAST(SUM(term) AS BIGINT)) // 24
+            AS BIGINT) AS phi_micro
+FROM terms GROUP BY channel ORDER BY channel
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "shapley_attribution": (
+            q_shapley_attribution,
+            ORACLE_SHAPLEY_ATTRIBUTION,
+            "ext:exact Shapley channel attribution (16-coalition"
+            " lattice, integer factorial weights over 4!)",
+        ),
+    }
+)
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a declared candidate set —
+    the schema-profiling pass beside profile_columns (univariate) and
+    dq_report (declared rules): for each candidate A→B, ONE keyed
+    aggregate counts determinant groups, violating groups (>1 distinct
+    B), and the worst fan-out; g3-style error = violating rows ppm.
+    Candidates span PK-like (holds exactly), correlated (fails
+    narrowly), and independent (fails wide) pairs so the output
+    discriminates. Scale: one groupBy per candidate on its
+    determinant — map-side-combinable, no windows, no joins."""
+    checks = []
+    specs = [
+        ("orders", "o_orderkey", "o_orderstatus"),     # PK → holds
+        ("orders", "o_custkey", "o_orderpriority"),    # repeat customers
+        ("customer", "c_nationkey", "c_mktsegment"),   # independent
+        ("lineitem", "l_partkey", "l_suppkey"),        # co-sourced parts
+    ]
+    for table, a, b in specs:
+        t = _t(spark, sf_dir, table)
+        g = t.groupBy(F.col(a)).agg(
+            F.countDistinct(b).alias("nb"),
+            F.count("*").alias("rows_g"),
+        )
+        checks.append(
+            g.agg(
+                F.lit(f"{table}.{a}->{b}").alias("candidate"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum((F.col("nb") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.max("nb").cast("long").alias("max_distinct_rhs"),
+                F.sum("rows_g").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("nb") > 1, F.col("rows_g")).otherwise(0))
+                .cast("long")
+                .alias("violating_rows"),
+            ).select(
+                "candidate",
+                "n_groups",
+                "n_violating_groups",
+                "max_distinct_rhs",
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * violating_rows)"
+                    " DIV n_rows AS LONG)"
+                ).alias("violation_ppm"),
+                (F.col("n_violating_groups") == 0).alias("holds"),
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("candidate")
+
+
+ORACLE_FD_DISCOVERY = """
+WITH g1 AS (
+  SELECT o_orderkey AS a, COUNT(DISTINCT o_orderstatus) AS nb,
+         COUNT(*) AS rows_g
+  FROM orders GROUP BY 1
+),
+g2 AS (
+  SELECT o_custkey AS a, COUNT(DISTINCT o_orderpriority) AS nb,
+         COUNT(*) AS rows_g
+  FROM orders GROUP BY 1
+),
+g3 AS (
+  SELECT c_nationkey AS a, COUNT(DISTINCT c_mktsegment) AS nb,
+         COUNT(*) AS rows_g
+  FROM customer GROUP BY 1
+),
+g4 AS (
+  SELECT l_partkey AS a, COUNT(DISTINCT l_suppkey) AS nb,
+         COUNT(*) AS rows_g
+  FROM lineitem GROUP BY 1
+),
+rolled AS (
+  SELECT 'orders.o_orderkey->o_orderstatus' AS candidate, * FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(MAX(nb) AS BIGINT) AS max_distinct_rhs,
+           CAST(SUM(rows_g) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
+             AS violating_rows
+    FROM g1)
+  UNION ALL
+  SELECT 'orders.o_custkey->o_orderpriority', * FROM (
+    SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nb > 1 THEN 1
+             ELSE 0 END) AS BIGINT), CAST(MAX(nb) AS BIGINT),
+           CAST(SUM(rows_g) AS BIGINT),
+           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
+    FROM g2)
+  UNION ALL
+  SELECT 'customer.c_nationkey->c_mktsegment', * FROM (
+    SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nb > 1 THEN 1
+             ELSE 0 END) AS BIGINT), CAST(MAX(nb) AS BIGINT),
+           CAST(SUM(rows_g) AS BIGINT),
+           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
+    FROM g3)
+  UNION ALL
+  SELECT 'lineitem.l_partkey->l_suppkey', * FROM (
+    SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nb > 1 THEN 1
+             ELSE 0 END) AS BIGINT), CAST(MAX(nb) AS BIGINT),
+           CAST(SUM(rows_g) AS BIGINT),
+           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
+    FROM g4)
+)
+SELECT candidate, n_groups, n_violating_groups, max_distinct_rhs,
+       CAST((CAST(1000000 AS HUGEINT) * violating_rows) // n_rows
+            AS BIGINT) AS violation_ppm,
+       (n_violating_groups = 0) AS holds
+FROM rolled ORDER BY candidate
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "fd_discovery": (
+            q_fd_discovery,
+            ORACLE_FD_DISCOVERY,
+            "ext:functional-dependency discovery (g3-style violation"
+            " ppm over candidate determinants)",
+        ),
+    }
+)
