@@ -476,6 +476,8 @@ NEW_BY_ROUND[9] = {
     "cronbach_alpha",
     "shapley_attribution",
     "fd_discovery",
+    "conformal_interval_coverage",
+    "ktruss_support",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -38,6 +38,9 @@ def test_queries_and_oracles_consistent(spark):
         "ivf_topk",
         "pq_topk",
         "hll_mergeable",
+        # iterative Boruvka contraction isn't SQL-expressible; the
+        # query raises unless the forest matches an in-driver Kruskal
+        "boruvka_mst",
     }
 
 

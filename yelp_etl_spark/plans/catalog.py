@@ -7702,6 +7702,8 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "cronbach_alpha",
         "shapley_attribution",
         "fd_discovery",
+        "conformal_interval_coverage",
+        "ktruss_support",
     }
 )
 

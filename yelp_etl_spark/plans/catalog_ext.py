@@ -15831,3 +15831,373 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with finite-sample
+    coverage, hard-checked: fit the daily-revenue OLS trend on a
+    deterministic calibration half (even day index), take the conformal
+    quantile q = the ⌈(n+1)(1−α)⌉-th smallest absolute calibration
+    residual (an EXACT order statistic via the distinct-value
+    cumulative window — no approximate percentile), and measure
+    empirical coverage of ŷ±q on the held-out half. The split-conformal
+    guarantee (Vovk; Lei et al., public) says coverage ≥ 1−α in
+    expectation — the query emits the exact hit counts so the oracle
+    certifies both the quantile selection and the coverage arithmetic.
+    All counts integer; residuals double but single-expression
+    deterministic, quantized to micro before ranking. Scale: one keyed
+    aggregate to the ≤365-day frame; windows over that bounded frame."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    base = days.agg(F.min("d").alias("d0"))
+    idx = days.crossJoin(F.broadcast(base)).select(
+        F.datediff("d", "d0").cast("long").alias("t"), "y"
+    )
+    cal = idx.filter(F.col("t") % 2 == 0)
+    test = idx.filter(F.col("t") % 2 == 1)
+    sums = cal.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
+    )
+    b = (
+        (
+            F.col("n").cast("double") * F.col("sty").cast("double")
+            - F.col("st").cast("double") * F.col("sy")
+        )
+        / (
+            F.col("n").cast("double") * F.col("stt")
+            - F.col("st").cast("double") * F.col("st")
+        )
+    )
+    a = (F.col("sy").cast("double") - b * F.col("st")) / F.col("n")
+    model = F.broadcast(
+        sums.select(b.alias("b"), a.alias("a"), F.col("n").alias("n_cal"))
+    )
+    resid = cal.crossJoin(model).select(
+        "n_cal",
+        F.round(
+            F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("t"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("r_micro"),
+    )
+    # exact order statistic: k = ceil((n+1)*0.9) over distinct values
+    cells = resid.groupBy("n_cal", "r_micro").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wcum = Window.partitionBy("n_cal").orderBy("r_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = (
+        cells.select(
+            "n_cal",
+            "r_micro",
+            F.sum("cnt").over(wcum).alias("cum"),
+        )
+        .filter(
+            F.col("cum")
+            >= F.expr("CAST((((n_cal + 1) * 9) + 9) DIV 10 AS LONG)")
+        )
+        .groupBy("n_cal")
+        .agg(F.min("r_micro").cast("long").alias("q_micro"))
+    )
+    covered = (
+        test.crossJoin(model)
+        .crossJoin(F.broadcast(q.select("q_micro")))
+        .select(
+            (
+                F.round(
+                    F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("t"))
+                    * F.lit(1_000_000.0)
+                ).cast("long")
+                <= F.col("q_micro")
+            )
+            .cast("long")
+            .alias("hit"),
+            "q_micro",
+            "n_cal",
+        )
+    )
+    return covered.groupBy("n_cal", "q_micro").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum("hit").cast("long").alias("n_covered"),
+    ).select(
+        "n_cal",
+        "q_micro",
+        "n_test",
+        "n_covered",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_covered)"
+            " DIV n_test AS LONG)"
+        ).alias("coverage_ppm"),
+    )
+
+
+ORACLE_CONFORMAL_INTERVAL_COVERAGE = """
+WITH days AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
+),
+idx AS (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM days), d) AS BIGINT)
+           AS t, y
+  FROM days
+),
+cal AS (SELECT * FROM idx WHERE t % 2 = 0),
+tst AS (SELECT * FROM idx WHERE t % 2 = 1),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(t AS HUGEINT) * y) AS sty
+  FROM cal
+),
+model AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+         n AS n_cal, st, sy
+  FROM sums
+),
+model2 AS (
+  SELECT b, (CAST(sy AS DOUBLE) - b * st) / n_cal AS a, n_cal FROM model
+),
+resid AS (
+  SELECT n_cal,
+         CAST(ROUND(ABS(y - a - b * t) * 1000000) AS BIGINT) AS r_micro
+  FROM cal, model2
+),
+cells AS (
+  SELECT n_cal, r_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM resid GROUP BY 1, 2
+),
+qsel AS (
+  SELECT n_cal, CAST(MIN(r_micro) AS BIGINT) AS q_micro
+  FROM (
+    SELECT n_cal, r_micro,
+           SUM(cnt) OVER (PARTITION BY n_cal ORDER BY r_micro
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM cells
+  )
+  WHERE cum >= (((n_cal + 1) * 9) + 9) // 10
+  GROUP BY n_cal
+)
+SELECT q.n_cal, q.q_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN CAST(ROUND(ABS(y - a - b * t) * 1000000)
+                          AS BIGINT) <= q_micro
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST((CAST(1000000 AS HUGEINT)
+             * CAST(SUM(CASE WHEN CAST(ROUND(ABS(y - a - b * t) * 1000000)
+                                  AS BIGINT) <= q_micro
+                      THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS coverage_ppm
+FROM tst, model2, qsel q
+GROUP BY 1, 2
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "conformal_interval_coverage": (
+            q_conformal_interval_coverage,
+            ORACLE_CONFORMAL_INTERVAL_COVERAGE,
+            "ext:split-conformal prediction intervals (exact order-"
+            "statistic quantile, finite-sample coverage checked)",
+        ),
+    }
+)
+
+
+def q_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss filtering (k=4: every surviving edge sits in ≥2
+    triangles among surviving edges) by BOUNDED iterative support
+    peeling — the cohesion refinement of kcore_peeling (degree ≥ k
+    keeps hubs; triangle support ≥ k−2 keeps genuinely clustered
+    ties). Exactly ``ROUNDS`` peel iterations run on both engines (the
+    kcore_peeling fixed-round convention — the oracle unrolls the same
+    rounds in SQL), each one wedge join |N(u) ∩ N(v)| per edge + one
+    keyed filter; per-round lineage is truncated and stats-barriered
+    (the boruvka_mst localCheckpoint statistics-compounding note:
+    support joins reference the edge set three times per round).
+    Output: the support histogram of the final surviving edge set.
+    Scale: support counting is the triangle-enumeration shape whose
+    degree-ordered variant triangle_count documents; rounds are a
+    fixed constant, edges only shrink."""
+    ROUNDS, K = 3, 4
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    small = li.groupBy("l_orderkey").agg(F.count("*").alias("np")).filter(
+        F.col("np") <= 4
+    )
+    li4 = li.join(small.select("l_orderkey"), "l_orderkey")
+    a = li4.alias("a")
+    b = li4.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True).persist()
+    e.count()
+    sup = None
+    for _ in range(ROUNDS):
+        # DEGREE-ORDERED support counting (the triangle_count O(m^1.5)
+        # discipline — a symmetric wedge join costs Σdeg² and dies on
+        # hubs): orient each edge low→high under (deg, id), enumerate
+        # every triangle exactly once as two out-edges of its lowest-
+        # rank vertex plus the closing edge, then credit all three
+        # canonical edges and count credits per edge.
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count("*").alias("dg"))
+        oe = (
+            e.join(deg.select(F.col("u").alias("u"), F.col("dg").alias("du")), "u")
+            .join(deg.select(F.col("u").alias("v"), F.col("dg").alias("dv")), "v")
+            .select(
+                F.when(
+                    (F.col("du") < F.col("dv"))
+                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                    F.col("u"),
+                )
+                .otherwise(F.col("v"))
+                .alias("src"),
+                F.when(
+                    (F.col("du") < F.col("dv"))
+                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                    F.col("v"),
+                )
+                .otherwise(F.col("u"))
+                .alias("dst"),
+            )
+        )
+        x = oe.alias("x")
+        y = oe.alias("y")
+        tri = (
+            x.join(
+                y,
+                (F.col("x.src") == F.col("y.src"))
+                & (F.col("x.dst") < F.col("y.dst")),
+            )
+            .join(
+                e.select(
+                    F.col("u").alias("cu"), F.col("v").alias("cv")
+                ),
+                (
+                    F.least(F.col("x.dst"), F.col("y.dst")) == F.col("cu")
+                )
+                & (
+                    F.greatest(F.col("x.dst"), F.col("y.dst"))
+                    == F.col("cv")
+                ),
+            )
+            .select(
+                F.col("x.src").alias("a"),
+                F.col("x.dst").alias("b"),
+                F.col("y.dst").alias("c"),
+            )
+        )
+        credits = (
+            tri.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .union(
+                tri.select(
+                    F.least("a", "c").alias("u"),
+                    F.greatest("a", "c").alias("v"),
+                )
+            )
+            .union(
+                tri.select(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                )
+            )
+        )
+        sup = credits.groupBy("u", "v").agg(
+            F.count("*").cast("long").alias("s")
+        )
+        sup = sup.localCheckpoint(eager=True).persist()
+        sup.count()
+        nxt = sup.filter(F.col("s") >= K - 2).select("u", "v")
+        nxt = nxt.localCheckpoint(eager=True).persist()
+        nxt.count()
+        e.unpersist()
+        e = nxt
+    return (
+        sup.filter(F.col("s") >= K - 2)
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .orderBy("s")
+    )
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
+    sql = """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+small AS MATERIALIZED (
+  SELECT o FROM li GROUP BY o HAVING COUNT(*) <= 4
+),
+li4 AS MATERIALIZED (
+  SELECT li.o, li.p FROM li JOIN small USING (o)
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li4 a JOIN li4 b ON a.o = b.o AND a.p < b.p
+)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+sym{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev} UNION ALL SELECT v, u FROM {prev}
+),
+sup{i} AS MATERIALIZED (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS s
+  FROM {prev} e
+  JOIN sym{i} a ON a.u = e.u
+  JOIN sym{i} b ON b.u = e.v AND b.v = a.v
+  GROUP BY e.u, e.v
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM sup{i} WHERE s >= {k - 2}
+)"""
+        prev = f"e{i}"
+    return sql + f"""
+SELECT s, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM sup{rounds} WHERE s >= {k - 2}
+GROUP BY s ORDER BY s"""
+
+
+ORACLE_KTRUSS_SUPPORT = _ktruss_oracle()
+
+
+EXTRA_QUERIES.update(
+    {
+        "ktruss_support": (
+            q_ktruss_support,
+            ORACLE_KTRUSS_SUPPORT,
+            "ext:k-truss triangle-support peeling (fixed-round, oracle"
+            " unrolled; cohesion refinement of k-core)",
+        ),
+    }
+)
