@@ -478,6 +478,9 @@ NEW_BY_ROUND[9] = {
     "fd_discovery",
     "conformal_interval_coverage",
     "ktruss_support",
+    "wasserstein1_drift",
+    "dunning_g2_collocations",
+    "matryoshka_prefix_recall",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7704,6 +7704,9 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "fd_discovery",
         "conformal_interval_coverage",
         "ktruss_support",
+        "wasserstein1_drift",
+        "dunning_g2_collocations",
+        "matryoshka_prefix_recall",
     }
 )
 

@@ -16201,3 +16201,352 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-9 late additions, wave 8
+# --------------------------------------------------------------------------
+
+
+def q_wasserstein1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    quantity distributions of return flags A and N — the
+    transport-cost drift metric beside psi_drift (needs bins) and
+    ks_two_sample (sup-norm only): W₁ = ∫|F_A − F_B| dv = Σ over value
+    gaps of |cum_A·n_B − cum_B·n_A|·gap on the common denominator
+    n_A·n_B, all BIGINT (the t_closeness EMD machinery on a numeric
+    axis with real gap widths). Scale: ONE keyed count to the ≤50-row
+    value histogram; the gap window runs over that bounded frame."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+    )
+    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = cells.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+        (F.lead("v", 1).over(Window.orderBy("v")) - F.col("v")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    agg = stepped.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            )
+            * F.col("gap")
+        )
+        .cast("long")
+        .alias("w1_num"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "w1_num",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * w1_num)"
+            " DIV (n_a * n_b) AS LONG)"
+        ).alias("w1_micro"),
+    )
+
+
+ORACLE_WASSERSTEIN1_DRIFT = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1
+),
+stepped AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+         SUM(ca) OVER () AS n_a,
+         SUM(cb) OVER () AS n_b,
+         LEAD(v, 1) OVER (ORDER BY v) - v AS gap
+  FROM cells
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM(ABS(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT) AS w1_num,
+       CAST((CAST(1000000 AS HUGEINT)
+             * CAST(SUM(ABS(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT))
+            // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS w1_micro
+FROM stepped WHERE gap IS NOT NULL
+"""
+
+
+def q_dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio (G²) collocations — the
+    significance-tested phrase miner beside pmi_collocations (PMI
+    over-rewards rare pairs; G² weighs evidence): for each adjacent
+    bigram, the 2×2 contingency (k11 bigram count, k12/k21 marginal
+    remainders, k22 rest) scores G² = 2·Σ O·ln(O/E). Each of the four
+    O·ln(O/E) terms is quantized to micro-nats ONCE PER BIGRAM TYPE
+    (the qlog discipline), so ranking and the top-20 cut are exact
+    integer comparisons with deterministic tie-breaks. Scale: one
+    bigram explode + keyed counts; the scoring join is model-sized."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text", with_position=True)
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select("doc_id", "tok", F.row_number().over(wpos).alias("p"))
+    t1 = seq.alias("t1")
+    t2 = seq.alias("t2")
+    bigrams = t1.join(
+        t2,
+        (F.col("t1.doc_id") == F.col("t2.doc_id"))
+        & (F.col("t2.p") == F.col("t1.p") + 1),
+    ).select(F.col("t1.tok").alias("a"), F.col("t2.tok").alias("b"))
+    pair = bigrams.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("k11")
+    )
+    ra = pair.groupBy("a").agg(F.sum("k11").cast("long").alias("na"))
+    rb = pair.groupBy("b").agg(F.sum("k11").cast("long").alias("nb"))
+    tot = pair.agg(F.sum("k11").cast("long").alias("n"))
+    cont = (
+        pair.join(ra, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "k11",
+            (F.col("na") - F.col("k11")).alias("k12"),
+            (F.col("nb") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("na") - F.col("nb") + F.col("k11")).alias(
+                "k22"
+            ),
+            "na",
+            "nb",
+            "n",
+        )
+    )
+
+    def term(o: F.Column, row_sum: F.Column, col_sum: F.Column):
+        # micro-nat quantized O·ln(O·n / (row·col)); 0·ln0 = 0
+        return F.when(
+            o > 0,
+            F.round(
+                o
+                * F.log(
+                    o.cast("double")
+                    * F.col("n")
+                    / (row_sum.cast("double") * col_sum)
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    k11, k12 = F.col("k11"), F.col("k12")
+    k21, k22 = F.col("k21"), F.col("k22")
+    na, nb, n = F.col("na"), F.col("nb"), F.col("n")
+    g2 = 2 * (
+        term(k11, na, nb)
+        + term(k12, na, n - nb)
+        + term(k21, n - na, nb)
+        + term(k22, n - na, n - nb)
+    )
+    return (
+        cont.select(
+            "a", "b", "k11", g2.alias("g2_micro")
+        )
+        .orderBy(F.desc("g2_micro"), "a", "b")
+        .limit(20)
+    )
+
+
+ORACLE_DUNNING_G2_COLLOCATIONS = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, u.tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS p
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(LOWER(text), ' ')) AS tok,
+           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
+    FROM documents
+  ) u
+  WHERE u.tok <> ''
+),
+bigrams AS MATERIALIZED (
+  SELECT t1.tok AS a, t2.tok AS b
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+),
+pair AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS k11 FROM bigrams GROUP BY a, b
+),
+ra AS (SELECT a, CAST(SUM(k11) AS BIGINT) AS na FROM pair GROUP BY a),
+rb AS (SELECT b, CAST(SUM(k11) AS BIGINT) AS nb FROM pair GROUP BY b),
+tot AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM pair),
+cont AS (
+  SELECT p.a, p.b, p.k11, ra.na - p.k11 AS k12, rb.nb - p.k11 AS k21,
+         t.n - ra.na - rb.nb + p.k11 AS k22, ra.na, rb.nb, t.n
+  FROM pair p JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot t
+),
+scored AS (
+  SELECT a, b, k11,
+         2 * ((CASE WHEN k11 > 0 THEN CAST(ROUND(k11 * LN(CAST(k11 AS DOUBLE)
+                * n / (CAST(na AS DOUBLE) * nb)) * 1000000) AS BIGINT)
+               ELSE 0 END)
+            + (CASE WHEN k12 > 0 THEN CAST(ROUND(k12 * LN(CAST(k12 AS DOUBLE)
+                * n / (CAST(na AS DOUBLE) * (n - nb))) * 1000000) AS BIGINT)
+               ELSE 0 END)
+            + (CASE WHEN k21 > 0 THEN CAST(ROUND(k21 * LN(CAST(k21 AS DOUBLE)
+                * n / (CAST(n - na AS DOUBLE) * nb)) * 1000000) AS BIGINT)
+               ELSE 0 END)
+            + (CASE WHEN k22 > 0 THEN CAST(ROUND(k22 * LN(CAST(k22 AS DOUBLE)
+                * n / (CAST(n - na AS DOUBLE) * (n - nb))) * 1000000)
+                AS BIGINT)
+               ELSE 0 END)) AS g2_micro
+  FROM cont
+)
+SELECT a, b, k11, g2_micro
+FROM scored ORDER BY g2_micro DESC, a, b LIMIT 20
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "wasserstein1_drift": (
+            q_wasserstein1_drift,
+            ORACLE_WASSERSTEIN1_DRIFT,
+            "ext:exact 1-D Wasserstein-1 distribution drift (integer"
+            " ECDF-area transport cost)",
+        ),
+        "dunning_g2_collocations": (
+            q_dunning_g2_collocations,
+            ORACLE_DUNNING_G2_COLLOCATIONS,
+            "ext:Dunning G2 log-likelihood collocations (per-type"
+            " micro-nat terms, deterministic top-20)",
+        ),
+    }
+)
+
+
+def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval audit (Kusupati et al.
+    2022, arXiv 2205.13147 — MRL-trained embeddings let you serve the
+    first d′ dimensions at d/d′ the cost): recall@5 of exact top-5
+    retrieval using ONLY the first 16 of 64 dimensions against the
+    full-precision top-5, per query. Both rankings are exact cosine
+    top-k with the same deterministic tie-break, so overlap counts are
+    integers and the oracle recomputes them directly — this is the
+    operational check you run before flipping a serving tier to
+    truncated vectors. Scale: the query side is the bounded 10-vector
+    broadcast (the cosine_topk baseline shape) at both dimensions."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot_expr(acol: str, bcol: str, dims: int) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(slice({acol}, 1, {dims}),"
+            f" slice({bcol}, 1, {dims}), (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.join(F.broadcast(q), emb["vec_id"] != q["query_id"]).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot_expr("qe", "embedding", 64)
+            / F.sqrt(dot_expr("qe", "qe", 64))
+            / F.sqrt(dot_expr("embedding", "embedding", 64))
+        ).alias("cos_full"),
+        (
+            dot_expr("qe", "embedding", 16)
+            / F.sqrt(dot_expr("qe", "qe", 16))
+            / F.sqrt(dot_expr("embedding", "embedding", 16))
+        ).alias("cos_16"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "neighbor_id"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_16"), "neighbor_id"
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wp).alias("rk_16"),
+    )
+    return (
+        ranked.filter(F.col("rk_full") <= 5)
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("rk_16") <= 5).cast("long"))
+            .cast("long")
+            .alias("overlap_at_5"),
+        )
+        .select(
+            "query_id",
+            "overlap_at_5",
+            F.expr("CAST((1000000 * overlap_at_5) DIV 5 AS LONG)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_MATRYOSHKA_PREFIX_RECALL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+pairs AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.emb, c.emb)
+           / sqrt(list_dot_product(q.emb, q.emb))
+           / sqrt(list_dot_product(c.emb, c.emb)) AS cos_full,
+         list_dot_product(q.emb[1:16], c.emb[1:16])
+           / sqrt(list_dot_product(q.emb[1:16], q.emb[1:16]))
+           / sqrt(list_dot_product(c.emb[1:16], c.emb[1:16])) AS cos_16
+  FROM v q JOIN v c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, neighbor_id) AS rk_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_16 DESC, neighbor_id) AS rk_16
+  FROM pairs
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN rk_16 <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_at_5,
+       CAST((1000000 * CAST(SUM(CASE WHEN rk_16 <= 5 THEN 1 ELSE 0 END)
+             AS BIGINT)) // 5 AS BIGINT) AS recall_ppm
+FROM ranked WHERE rk_full <= 5
+GROUP BY query_id ORDER BY query_id
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "matryoshka_prefix_recall": (
+            q_matryoshka_prefix_recall,
+            ORACLE_MATRYOSHKA_PREFIX_RECALL,
+            "ext:Matryoshka truncated-dimension retrieval audit"
+            " (prefix-16 vs full-64 recall@5, exact rankings)",
+        ),
+    }
+)
