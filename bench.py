@@ -365,6 +365,40 @@ BENCH_QUERIES = [
     "approx_quantile_checked",
     "stream_dedup_within_watermark",
     "seasonal_decompose",
+    # late round-9 additions
+    "kruskal_wallis_h",
+    "kendall_tau_daily",
+    "welch_ttest",
+    "lift_gains_deciles",
+    "mode_per_group",
+    "readability_scores",
+    "gazetteer_entity_match",
+    "dsir_importance_weights",
+    "pacf_daily",
+    "url_normalize_dedup",
+    "zip_central_dir_parse",
+    "jarque_bera",
+    "bollinger_anomaly_days",
+    "stream_chained_windows",
+    "boruvka_mst",
+    "t_closeness_audit",
+    "durbin_watson_ols",
+    "heaps_law_fit",
+    "misra_gries_heavy_hitters",
+    "kneser_ney_bigram_nll",
+    "hamming_binary_topk",
+    "temporal_purged_split",
+    "cronbach_alpha",
+    "shapley_attribution",
+    "fd_discovery",
+    "conformal_interval_coverage",
+    "ktruss_support",
+    "wasserstein1_drift",
+    "dunning_g2_collocations",
+    "matryoshka_prefix_recall",
+    "gopher_quality_rules",
+    "cidr_block_join",
+    "dbscan_core_classification",
 ]
 
 # ---------------------------------------------------------------------------
@@ -481,6 +515,9 @@ NEW_BY_ROUND[9] = {
     "wasserstein1_drift",
     "dunning_g2_collocations",
     "matryoshka_prefix_recall",
+    "gopher_quality_rules",
+    "cidr_block_join",
+    "dbscan_core_classification",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

@@ -7707,6 +7707,9 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "wasserstein1_drift",
         "dunning_g2_collocations",
         "matryoshka_prefix_recall",
+        "gopher_quality_rules",
+        "cidr_block_join",
+        "dbscan_core_classification",
     }
 )
 

@@ -14933,7 +14933,7 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_etl_spark.functions.text import portable_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs.withColumn("src", F.col("source")), "doc_id", "text")
+    toks = portable_tokens(docs, "doc_id", "text")
     with_src = toks.join(docs.select("doc_id", "source"), "doc_id")
     pts = with_src.groupBy("source").agg(
         F.round(F.log(F.count("*")) * F.lit(1_000_000.0))
@@ -16056,8 +16056,10 @@ def q_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = e.localCheckpoint(eager=True).persist()
-    e.count()
+    # localCheckpoint(eager) alone materializes AND truncates; with a
+    # fixed 3-round loop the inherited-stats compounding stays ~4³ —
+    # far from the boruvka_mst regime that needs the persist barrier
+    e = e.localCheckpoint(eager=True)
     sup = None
     for _ in range(ROUNDS):
         # DEGREE-ORDERED support counting (the triangle_count O(m^1.5)
@@ -16136,13 +16138,10 @@ def q_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup = credits.groupBy("u", "v").agg(
             F.count("*").cast("long").alias("s")
         )
-        sup = sup.localCheckpoint(eager=True).persist()
-        sup.count()
-        nxt = sup.filter(F.col("s") >= K - 2).select("u", "v")
-        nxt = nxt.localCheckpoint(eager=True).persist()
-        nxt.count()
-        e.unpersist()
-        e = nxt
+        sup = sup.localCheckpoint(eager=True)
+        e = sup.filter(F.col("s") >= K - 2).select("u", "v").localCheckpoint(
+            eager=True
+        )
     return (
         sup.filter(F.col("s") >= K - 2)
         .groupBy("s")
@@ -16547,6 +16546,356 @@ EXTRA_QUERIES.update(
             ORACLE_MATRYOSHKA_PREFIX_RECALL,
             "ext:Matryoshka truncated-dimension retrieval audit"
             " (prefix-16 vs full-64 recall@5, exact rankings)",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Round-9 late additions, wave 9
+# --------------------------------------------------------------------------
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rule gate (Rae et al. 2021,
+    arXiv 2112.11446 Table A1 — the published rule set most curation
+    stacks start from), as one per-row pass: word count in [3, 5000],
+    mean word length in [1, 12] (micro-exact via integer cross-
+    multiplication, no division), symbol-to-word ratio ≤ 0.1
+    (#/… here the generic non-alnum class), and stopword evidence
+    (≥2 hits from the shared literal list). Per language the rollup
+    reports pass counts per rule and the full-gate pass rate in ppm —
+    every number an exact integer. Scale: pure per-row regexp_count
+    projection + ONE keyed rollup; no explode, no join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    lower = F.lower(F.col("text"))
+    words = F.size(F.filter(F.split(lower, " "), lambda x: x != F.lit("")))
+    chars = F.length(F.regexp_replace(lower, " ", ""))
+    symbols = F.regexp_count(lower, F.lit("[^a-z0-9 ]"))
+    stop_hits = F.regexp_count(
+        F.concat(F.lit(" "), lower, F.lit(" ")),
+        F.lit(" (the|and|of|to|a|in|is|it|that|for) "),
+    )
+    r_words = (words >= 3) & (words <= 5000)
+    # 1 ≤ chars/words ≤ 12, exactly: words ≤ chars AND chars ≤ 12·words
+    r_mwl = (chars >= words) & (chars <= 12 * words)
+    # symbols/words ≤ 0.1 exactly: 10·symbols ≤ words
+    r_sym = (10 * symbols) <= words
+    r_stop = stop_hits >= 2
+    flags = docs.select(
+        "lang",
+        r_words.cast("long").alias("p_words"),
+        r_mwl.cast("long").alias("p_mwl"),
+        r_sym.cast("long").alias("p_sym"),
+        r_stop.cast("long").alias("p_stop"),
+        (r_words & r_mwl & r_sym & r_stop).cast("long").alias("p_all"),
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("p_words").cast("long").alias("pass_wordcount"),
+            F.sum("p_mwl").cast("long").alias("pass_meanwordlen"),
+            F.sum("p_sym").cast("long").alias("pass_symbolratio"),
+            F.sum("p_stop").cast("long").alias("pass_stopwords"),
+            F.sum("p_all").cast("long").alias("pass_all"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "pass_wordcount",
+            "pass_meanwordlen",
+            "pass_symbolratio",
+            "pass_stopwords",
+            "pass_all",
+            F.expr(
+                "CAST((1000000 * pass_all) DIV n_docs AS LONG)"
+            ).alias("pass_rate_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_GOPHER_QUALITY_RULES = """
+WITH scored AS MATERIALIZED (
+  SELECT lang,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x != '')) AS BIGINT) AS words,
+         CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+              AS BIGINT) AS symbols,
+         CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
+              ' (the|and|of|to|a|in|is|it|that|for) ')) AS BIGINT)
+           AS stop_hits
+  FROM documents WHERE length(text) > 0
+),
+flags AS (
+  SELECT lang,
+         CASE WHEN words >= 3 AND words <= 5000 THEN 1 ELSE 0 END AS p_words,
+         CASE WHEN chars >= words AND chars <= 12 * words THEN 1 ELSE 0 END
+           AS p_mwl,
+         CASE WHEN 10 * symbols <= words THEN 1 ELSE 0 END AS p_sym,
+         CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS p_stop
+  FROM scored
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p_words) AS BIGINT) AS pass_wordcount,
+       CAST(SUM(p_mwl) AS BIGINT) AS pass_meanwordlen,
+       CAST(SUM(p_sym) AS BIGINT) AS pass_symbolratio,
+       CAST(SUM(p_stop) AS BIGINT) AS pass_stopwords,
+       CAST(SUM(p_words * p_mwl * p_sym * p_stop) AS BIGINT) AS pass_all,
+       CAST((1000000 * CAST(SUM(p_words * p_mwl * p_sym * p_stop)
+             AS BIGINT)) // COUNT(*) AS BIGINT) AS pass_rate_ppm
+FROM flags GROUP BY lang ORDER BY lang
+"""
+
+
+def q_cidr_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR-block enrichment join — the weblog/geo-IP routing pass: a
+    synthesized client IPv4 per event (the url_normalize synth
+    convention — fixtures carry no IPs; crawls do) joins a literal
+    subnet table on longest-prefix containment expressed as pure
+    integer arithmetic: ip DIV 2^(32−len) = net DIV 2^(32−len).
+    Matching tries /24 then /16 then /8 via a rank over the bounded
+    ≤3 candidate matches per event (the block table broadcasts —
+    production routing tables are ~1e6 rows, still the small side).
+    Exact counts per block. Scale: per-row synth + broadcast joins,
+    one keyed rollup; never a range scan."""
+    ev = _t(spark, sf_dir, "events")
+    ip = (
+        (F.lit(10) * 16777216)
+        + (F.col("user_id") % 32) * 65536
+        + (F.col("event_id") % 256) * 256
+        + (F.col("user_id") * 7 + F.col("event_id")) % 256
+    ).cast("long")
+    with_ip = ev.select(ip.alias("ip"))
+    blocks = spark.createDataFrame(
+        [
+            ("corp-a-24", 10 * 16777216 + 3 * 65536 + 0 * 256, 24),
+            ("corp-b-24", 10 * 16777216 + 7 * 65536 + 128 * 256, 24),
+            ("dc-east-16", 10 * 16777216 + 5 * 65536, 16),
+            ("dc-west-16", 10 * 16777216 + 21 * 65536, 16),
+            ("net-10-8", 10 * 16777216, 8),
+        ],
+        "block string, net long, plen int",
+    )
+    cand = with_ip.join(
+        F.broadcast(blocks),
+        F.expr("ip DIV CAST(pow(2, 32 - plen) AS LONG)"
+               " = net DIV CAST(pow(2, 32 - plen) AS LONG)"),
+    )
+    w = Window.partitionBy("ip").orderBy(F.desc("plen"), "block")
+    # NOTE: per-ip window is fine — candidates per ip ≤ #blocks (≤3
+    # here); the longest-prefix pick is a bounded in-group sort
+    best = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        best.groupBy("block", "plen")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy("block")
+    )
+
+
+ORACLE_CIDR_BLOCK_JOIN = """
+WITH with_ip AS MATERIALIZED (
+  SELECT CAST(10 * 16777216
+              + (user_id % 32) * 65536
+              + (event_id % 256) * 256
+              + (user_id * 7 + event_id) % 256 AS BIGINT) AS ip
+  FROM events
+),
+blocks(block, net, plen) AS (
+  VALUES ('corp-a-24', 10 * 16777216 + 3 * 65536 + 0 * 256, 24),
+         ('corp-b-24', 10 * 16777216 + 7 * 65536 + 128 * 256, 24),
+         ('dc-east-16', 10 * 16777216 + 5 * 65536, 16),
+         ('dc-west-16', 10 * 16777216 + 21 * 65536, 16),
+         ('net-10-8', 10 * 16777216, 8)
+),
+cand AS (
+  SELECT i.ip, b.block, b.plen
+  FROM with_ip i JOIN blocks b
+    ON i.ip // CAST(pow(2, 32 - b.plen) AS BIGINT)
+       = b.net // CAST(pow(2, 32 - b.plen) AS BIGINT)
+),
+best AS (
+  SELECT block, plen
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ip
+                  ORDER BY plen DESC, block) AS rk FROM cand)
+  WHERE rk = 1
+)
+SELECT block, plen, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM best GROUP BY 1, 2 ORDER BY block
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "gopher_quality_rules": (
+            q_gopher_quality_rules,
+            ORACLE_GOPHER_QUALITY_RULES,
+            "ext:Gopher-rule corpus quality gate (division-free"
+            " thresholds, per-rule pass counts)",
+        ),
+        "cidr_block_join": (
+            q_cidr_block_join,
+            ORACLE_CIDR_BLOCK_JOIN,
+            "ext:CIDR longest-prefix block join (integer mask"
+            " containment, broadcast routing table)",
+        ),
+    }
+)
+
+
+def q_dbscan_core_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core/border/noise classification — the density-based
+    outlier/cluster triage pass (the full cluster labeling is
+    connected components over the core graph, already covered by
+    neardup_components; the per-point classification is the scalable
+    one-pass part): neighbor counts come from the fixed-grid 3×3
+    candidate equi-join at cell size = ε (the grid_radius_join
+    discipline — never an all-pairs distance join), exact integer L2;
+    core = ≥ minPts ε-neighbors, border = non-core with a core
+    ε-neighbor, noise = rest. Coordinates are the repo's portable
+    hash60 planar synth (shared with spatial_radius_join). All counts
+    exact. Scale: candidates are O(n · density·9ε²); ε shrinks as
+    density grows — the standard grid trade-off, documented."""
+    from yelp_etl_spark.functions.sampling import hash60
+
+    EPS, MINPTS = 60_000, 4
+    eps2 = EPS * EPS
+
+    def coord(prefix: str, key) -> F.Column:
+        return hash60(F.concat(F.lit(prefix), key.cast("string"))) % _GEO_SIDE
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        coord("gx", F.col("c_custkey")).alias("x"),
+        coord("gy", F.col("c_custkey")).alias("y"),
+    )
+    pts = cust.select(
+        "pid", "x", "y",
+        (F.col("x") / EPS).cast("long").alias("cx"),
+        (F.col("y") / EPS).cast("long").alias("cy"),
+    ).localCheckpoint(eager=True)
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    probes = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        (F.col("cx") + F.col("dx")).alias("ncx"),
+        (F.col("cy") + F.col("dy")).alias("ncy"),
+    )
+    cand = probes.join(
+        pts.select(
+            F.col("pid").alias("nid"),
+            F.col("x").alias("nx"),
+            F.col("y").alias("ny"),
+            F.col("cx").alias("ncx"),
+            F.col("cy").alias("ncy"),
+        ),
+        ["ncx", "ncy"],
+    ).filter(
+        (F.col("qid") != F.col("nid"))
+        & (
+            (F.col("qx") - F.col("nx")) * (F.col("qx") - F.col("nx"))
+            + (F.col("qy") - F.col("ny")) * (F.col("qy") - F.col("ny"))
+            <= eps2
+        )
+    ).select("qid", "nid")
+    cand = cand.localCheckpoint(eager=True)
+    ncnt = cand.groupBy("qid").agg(F.count("*").cast("long").alias("k"))
+    core = ncnt.filter(F.col("k") >= MINPTS).select(
+        F.col("qid").alias("core_id")
+    )
+    with_core_nbr = (
+        cand.join(core, cand["nid"] == core["core_id"])
+        .select("qid")
+        .distinct()
+        .withColumn("has_core_nbr", F.lit(1))
+    )
+    classified = (
+        pts.select("pid")
+        .join(ncnt.withColumnRenamed("qid", "pid"), "pid", "left")
+        .join(
+            with_core_nbr.withColumnRenamed("qid", "pid"), "pid", "left"
+        )
+        .select(
+            "pid",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+            F.coalesce(F.col("has_core_nbr"), F.lit(0)).alias("hcn"),
+        )
+        .select(
+            F.when(F.col("k") >= MINPTS, F.lit("core"))
+            .when(F.col("hcn") == 1, F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("cls"),
+            "k",
+        )
+    )
+    return (
+        classified.groupBy("cls")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("k").cast("long").alias("sum_neighbors"),
+        )
+        .orderBy("cls")
+    )
+
+
+ORACLE_DBSCAN_CORE_CLASSIFICATION = f"""
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS pid,
+         CAST(concat('0x', substr(md5('gx' || CAST(c_custkey AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS x,
+         CAST(concat('0x', substr(md5('gy' || CAST(c_custkey AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS y
+  FROM customer
+),
+cells AS MATERIALIZED (
+  SELECT pid, x, y, x // 60000 AS cx, y // 60000 AS cy FROM pts
+),
+cand AS MATERIALIZED (
+  SELECT a.pid AS qid, b.pid AS nid
+  FROM cells a
+  JOIN (SELECT UNNEST(range(-1, 2)) AS dx) ox ON TRUE
+  JOIN (SELECT UNNEST(range(-1, 2)) AS dy) oy ON TRUE
+  JOIN cells b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
+  WHERE a.pid != b.pid
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 3600000000
+),
+ncnt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k FROM cand GROUP BY qid),
+core AS (SELECT qid FROM ncnt WHERE k >= 4),
+hcn AS (
+  SELECT DISTINCT c.qid FROM cand c JOIN core ON c.nid = core.qid
+),
+classified AS (
+  SELECT CASE WHEN COALESCE(n.k, 0) >= 4 THEN 'core'
+              WHEN h.qid IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS cls,
+         COALESCE(n.k, 0) AS k
+  FROM pts p
+  LEFT JOIN ncnt n ON n.qid = p.pid
+  LEFT JOIN hcn h ON h.qid = p.pid
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(k) AS BIGINT) AS sum_neighbors
+FROM classified GROUP BY cls ORDER BY cls
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "dbscan_core_classification": (
+            q_dbscan_core_classification,
+            ORACLE_DBSCAN_CORE_CLASSIFICATION,
+            "ext:DBSCAN core/border/noise triage (grid 3x3 candidates,"
+            " exact integer L2)",
         ),
     }
 )
