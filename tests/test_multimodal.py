@@ -529,3 +529,36 @@ def test_gif_block_walk_matches_struct_reference(spark):
         "doc_id long, content binary",
     )
     assert not gif_block_metadata(junk).collect()[0].gif_ok
+
+
+def test_zip_walk_malformed_blob_flags_not_errors(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.functions.multimodal import zip_central_dir_metadata
+
+    junk = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.unhex(F.lit("DEADBEEF" * 12)).alias("content"),
+    )
+    rows = zip_central_dir_metadata(junk).collect()
+    assert len(rows) == 3
+    assert all(not r.eocd_ok for r in rows)
+
+
+def test_zip_walk_roundtrips_member_names_and_sizes(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_etl_spark.functions.multimodal import (
+        zip_central_dir_metadata,
+        zip_synthesize,
+    )
+
+    df = spark.range(6).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in
+           zip_central_dir_metadata(zip_synthesize(df)).collect()}
+    for did, r in out.items():
+        m = did % 3 + 1
+        assert r.n_members == m
+        assert r.names_csv == ",".join(f"f{i}" for i in range(1, m + 1))
+        assert r.total_usize == sum((did + i) % 5 + 4 for i in range(1, m + 1))
+        assert r.cd_size_ok and r.entries_ok and r.eocd_ok

@@ -1316,20 +1316,35 @@ def zip_central_dir_metadata(
     hx = df.select(
         F.col(id_col),
         F.expr(
-            f"hex(substring({blob_col}, length({blob_col}) - 21, 22))"
+            f"CASE WHEN length({blob_col}) >= 22 THEN"
+            f" hex(substring({blob_col}, length({blob_col}) - 21, 22))"
+            " ELSE '' END"
         ).alias("tl"),
         F.col(blob_col),
     )
     n_total = le("tl", "21", 2)
     cd_size = le("tl", "25", 4)
     cd_off = le("tl", "33", 4)
+    # every field extraction is GATED on the EOCD signature: junk
+    # bytes decode to arbitrary offsets, and an unguarded
+    # CAST(offset AS INT) + substring THROWS under ANSI mode on blobs
+    # that aren't ZIPs (caught by the malformed-blob test) — the
+    # routing pass must flag, never error
+    ok = "(substring(tl, 1, 8) = '504B0506')"
     with_cd = hx.select(
         id_col,
         "tl",
-        F.expr(f"CAST({n_total} AS BIGINT)").alias("n_members"),
-        F.expr(f"CAST({cd_size} AS BIGINT)").alias("cd_size"),
         F.expr(
-            f"hex(substring({blob_col}, CAST({cd_off} AS INT) + 1, 200))"
+            f"CAST(CASE WHEN {ok} THEN {n_total} ELSE 0 END AS BIGINT)"
+        ).alias("n_members"),
+        F.expr(
+            f"CAST(CASE WHEN {ok} THEN {cd_size} ELSE -1 END AS BIGINT)"
+        ).alias("cd_size"),
+        F.expr(
+            f"CASE WHEN {ok} THEN hex(substring({blob_col},"
+            f" CAST(LEAST({cd_off},"
+            f" CAST(length({blob_col}) AS BIGINT)) AS INT) + 1, 200))"
+            " ELSE '' END"
         ).alias("cd"),
     )
 
