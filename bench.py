@@ -399,6 +399,7 @@ BENCH_QUERIES = [
     "gopher_quality_rules",
     "cidr_block_join",
     "dbscan_core_classification",
+    "diversity_indices",
 ]
 
 # ---------------------------------------------------------------------------
@@ -518,6 +519,7 @@ NEW_BY_ROUND[9] = {
     "gopher_quality_rules",
     "cidr_block_join",
     "dbscan_core_classification",
+    "diversity_indices",
 }
 
 # Queries whose first run builds a persisted per-(session, sf_dir) memo the

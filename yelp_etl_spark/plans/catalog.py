@@ -7710,6 +7710,7 @@ _NEXT_ROTATION_POOL: frozenset[str] = frozenset(
         "gopher_quality_rules",
         "cidr_block_join",
         "dbscan_core_classification",
+        "diversity_indices",
     }
 )
 

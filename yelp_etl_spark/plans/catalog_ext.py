@@ -16899,3 +16899,90 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+def q_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token diversity profile: Simpson concentration
+    (Σnᵢ(nᵢ−1)/(N(N−1)) — the probability two random tokens match,
+    EXACT rational kept as ppm integer division) and Shannon entropy
+    (Σ−pᵢln pᵢ via the decomposed form ln N − Σnᵢ·ln nᵢ/N with each
+    ln nᵢ quantized once per vocab TYPE — the qlog discipline), beside
+    gini_concentration (value inequality) and heaps_law_fit (vocab
+    growth): the corpus-mix dashboard row every curation run reports.
+    Scale: one keyed (source, tok) count, one per-source rollup; no
+    windows."""
+    from yelp_etl_spark.functions.text import portable_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = portable_tokens(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    vocab = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("ni")
+    )
+    per = vocab.groupBy("source").agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.col("ni") * (F.col("ni") - 1)).cast("long").alias("pairs"),
+        F.sum(
+            F.col("ni")
+            * F.round(F.log("ni") * F.lit(1_000_000.0)).cast("long")
+        )
+        .cast("long")
+        .alias("nlogn_micro"),
+    )
+    shannon = (
+        F.round(F.log("n") * F.lit(1_000_000.0)).cast("long")
+        - F.expr("CAST(nlogn_micro DIV n AS LONG)")
+    )
+    return per.select(
+        "source",
+        "n",
+        "v",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * pairs)"
+            " DIV (n * (n - 1)) AS LONG)"
+        ).alias("simpson_ppm"),
+        shannon.alias("shannon_micro"),
+    ).orderBy("source")
+
+
+ORACLE_DIVERSITY_INDICES = """
+WITH toks AS MATERIALIZED (
+  SELECT d.doc_id, d.source, t.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS tok) t
+  WHERE t.tok != ''
+),
+vocab AS MATERIALIZED (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM toks GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         CAST(SUM(ni) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(ni * (ni - 1)) AS BIGINT) AS pairs,
+         CAST(SUM(ni * CAST(ROUND(LN(ni) * 1000000) AS BIGINT)) AS BIGINT)
+           AS nlogn_micro
+  FROM vocab GROUP BY source
+)
+SELECT source, n, v,
+       CAST((CAST(1000000 AS HUGEINT) * pairs) // (n * (n - 1)) AS BIGINT)
+         AS simpson_ppm,
+       CAST(ROUND(LN(n) * 1000000) AS BIGINT) - (nlogn_micro // n)
+         AS shannon_micro
+FROM per ORDER BY source
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "diversity_indices": (
+            q_diversity_indices,
+            ORACLE_DIVERSITY_INDICES,
+            "ext:Simpson + Shannon corpus diversity per source (exact"
+            " pair rational, per-type micro-nat entropy)",
+        ),
+    }
+)
