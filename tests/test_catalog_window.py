@@ -25,9 +25,10 @@ ROWS_ONLY_BY_DESIGN = {
     "lsh_topk",
     "ivf_topk",
     "hll_mergeable",
-    # iterative contraction is not SQL-expressible; the query itself
-    # raises unless the distributed forest matches an in-driver
-    # Kruskal edge-for-edge (the hard internal twin)
+    # iterative contraction is not SQL-expressible; the in-query
+    # forest identity |MST| = |V| - #components checks against
+    # independent label-propagation components, and the edge-for-edge
+    # Kruskal twin lives in test_boruvka_matches_kruskal_fixture
     "boruvka_mst",
 }
 

@@ -1626,6 +1626,36 @@ def test_boruvka_matches_kruskal_random(spark):
     assert got == want
 
 
+@pytest.mark.heavy_rotation
+def test_boruvka_matches_kruskal_fixture(spark, sf_dir):
+    """Edge-for-edge Kruskal cross-check of q_boruvka_mst's forest on
+    the REAL fixture co-purchase graph — moved out of the bench-facing
+    catalog query (r9 verdict: the in-query collect+Kruskal dominated
+    the bench row) so the bench times the operator while this test
+    keeps the exact-forest guarantee."""
+    from yelp_etl_spark.functions.graph import boruvka_mst
+    from yelp_etl_spark.plans.catalog_ext import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    got = {(r.src, r.dst, r.w) for r in boruvka_mst(edges).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for r in sorted(edges.collect(), key=lambda r: (r.w, r.src, r.dst)):
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((r.src, r.dst, r.w))
+    assert got == want
+
+
 def test_misra_gries_guarantee_skewed_stream(spark):
     from yelp_etl_spark.functions.sketches import misra_gries_candidates
 

@@ -726,7 +726,7 @@ def boruvka_mst(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
-    max_rounds: int = 16,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Minimum spanning forest via distributed Borůvka — the
     bulk-synchronous MST algorithm (each round every component hooks
@@ -791,6 +791,7 @@ def boruvka_mst(
     )
     spark = edges.sparkSession
     mst = spark.createDataFrame([], "src long, dst long, w long")
+    converged = False
     for _ in range(max_rounds):
         labeled = (
             e.join(
@@ -824,6 +825,7 @@ def boruvka_mst(
         )
         chosen = truncate_lineage(chosen, eager=True)
         if chosen.isEmpty():
+            converged = True
             break
         mst = truncate_lineage(
             mst.union(chosen).distinct(), eager=True
@@ -905,5 +907,33 @@ def boruvka_mst(
             )
         )
         _release({id(comp)})
+    if not converged:
+        # Borůvka only guarantees component-count HALVING per round, so
+        # exhausting max_rounds while cross-component edges remain means
+        # an incomplete forest — fail loudly rather than return a forest
+        # whose only symptom downstream is a false identity count.
+        remaining = (
+            e.join(
+                comp.select(F.col("node").alias("src"),
+                            F.col("comp").alias("ca")),
+                "src",
+            )
+            .join(
+                comp.select(F.col("node").alias("dst"),
+                            F.col("comp").alias("cb")),
+                "dst",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .limit(1)
+            .count()
+        )
+        if remaining:
+            _release(set())
+            raise RuntimeError(
+                f"boruvka_mst: max_rounds={max_rounds} exhausted with "
+                "cross-component edges remaining — raise max_rounds "
+                "(each round at least halves the component count, so "
+                "ceil(log2(initial components)) rounds suffice)"
+            )
     _release(set())
     return mst

@@ -14578,31 +14578,17 @@ EXTRA_QUERIES.update(
 )
 
 
-def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum-affinity spanning forest of the part co-purchase graph
-    via distributed Borůvka (functions/graph.boruvka_mst) — the
-    backbone extraction every product-graph / dedup-linkage pipeline
-    wants (keep the strongest tree of associations, drop the O(E)
-    noise). Edge weight is NEGATED co-order count, so the minimum
-    spanning forest is the maximum-affinity backbone; ties break by
-    the lexicographic (w, src, dst) struct order, making the forest
-    unique. Borůvka is ≤log₂|V| rounds of co-partitioned joins + one
-    keyed struct-min — the priority-queue-free formulation that
-    survives 100 TB.
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase affinity graph shared by q_boruvka_mst and
+    its edge-for-edge Kruskal pytest twin: edges (src, dst, w) with
+    src < dst and w = NEGATED co-order count (so a MINIMUM spanning
+    forest is the maximum-affinity backbone). Lineage-truncated so the
+    Borůvka loop starts from materialized stats."""
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
 
-    ROWS-ONLY BY DESIGN with a hard internal twin: no SQL engine can
-    express the iterative contraction, so the query itself VERIFIES
-    the distributed forest against an in-driver Kruskal (same total
-    order, union-find) — on the bounded fixture graph only (≤500k
-    edges; the check is skipped above that, the forest identity
-    |MST| = |V| − #components keeps running at any scale via the
-    independent label-propagation components) — and raises on any
-    mismatch, so a driver rows-match is a pass of BOTH algorithms
-    agreeing edge-for-edge."""
-    from yelp_etl_spark.functions.dedup import connected_components
-    from yelp_etl_spark.functions.graph import boruvka_mst
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -14617,9 +14603,36 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((-F.count("*")).cast("long").alias("w"))
     )
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+    return truncate_lineage(edges, eager=True)
 
-    edges = truncate_lineage(edges, eager=True)
+
+def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-affinity spanning forest of the part co-purchase graph
+    via distributed Borůvka (functions/graph.boruvka_mst) — the
+    backbone extraction every product-graph / dedup-linkage pipeline
+    wants (keep the strongest tree of associations, drop the O(E)
+    noise). Edge weight is NEGATED co-order count, so the minimum
+    spanning forest is the maximum-affinity backbone; ties break by
+    the lexicographic (w, src, dst) struct order, making the forest
+    unique. Borůvka is ≤log₂|V| rounds of co-partitioned joins + one
+    keyed struct-min — the priority-queue-free formulation that
+    survives 100 TB.
+
+    ROWS-ONLY BY DESIGN with a structural in-query check plus an
+    edge-for-edge pytest twin: no SQL engine can express the iterative
+    contraction, so the query verifies the forest identity
+    |MST| = |V| − #components against INDEPENDENT label-propagation
+    components (runs at any scale), while the full edge-for-edge
+    Kruskal cross-check (same total order, union-find) lives in
+    tests/test_functions.py::test_boruvka_matches_kruskal_fixture on
+    the same fixture graph — moved out of this bench-facing query so
+    the bench line times the OPERATOR, not an in-driver verification
+    harness (r9 verdict: the collect+Kruskal was ~10 s of a 19.6 s
+    bench row)."""
+    from yelp_etl_spark.functions.dedup import connected_components
+    from yelp_etl_spark.functions.graph import boruvka_mst
+
+    edges = copurchase_edges(spark, sf_dir)
     mst = boruvka_mst(edges)
     n_nodes = (
         edges.select(F.col("src").alias("n"))
@@ -14634,38 +14647,11 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    got = mst.select("src", "dst", "w").collect() if n_edges <= 500_000 else None
-    kruskal_checked = False
-    if got is not None:
-        ed = sorted(
-            edges.collect(), key=lambda r: (r.w, r.src, r.dst)
-        )
-        parent: dict = {}
-
-        def find(x):
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        want = set()
-        for r in ed:
-            ra, rb = find(r.src), find(r.dst)
-            if ra != rb:
-                parent[ra] = rb
-                want.add((r.src, r.dst, r.w))
-        have = {(r.src, r.dst, r.w) for r in got}
-        if have != want:
-            raise ValueError(
-                f"boruvka/kruskal forest mismatch: "
-                f"{len(have ^ want)} differing edges"
-            )
-        kruskal_checked = True
     agg = mst.agg(
         F.count("*").cast("long").alias("n_mst_edges"),
         F.sum(-F.col("w")).cast("long").alias("affinity_captured"),
     )
-    return agg.select(
+    out = agg.select(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.lit(n_comp).cast("long").alias("n_components"),
@@ -14674,8 +14660,8 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_mst_edges") == F.lit(n_nodes - n_comp)).alias(
             "forest_identity_ok"
         ),
-        F.lit(kruskal_checked).alias("kruskal_checked"),
     )
+    return out
 
 
 EXTRA_QUERIES.update(
@@ -15378,9 +15364,14 @@ def q_temporal_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the fold) and rows within the 1-day embargo AFTER it are
     dropped too (serial correlation leaks backwards). All assignments
     are integer epoch arithmetic against one broadcast (min, max)
-    frame — every count is exact and partitioning-independent.
-    Scale: two linear passes, no window, no shuffle beyond the
-    5×counts rollup."""
+    frame — every count is exact and partitioning-independent. Cross-
+    engine parity is integer-exact by construction: t truncates the
+    epoch on BOTH sides (Spark unix_timestamp truncates; the oracle
+    wraps epoch(ts) in FLOOR — a bare BIGINT cast would round-to-
+    nearest and diverge on fractional-second timestamps), and the fold
+    boundaries use integer floor-division (Spark `div` / DuckDB `//`),
+    never double-multiply-then-cast. Scale: two linear passes, no
+    window, no shuffle beyond the 5×counts rollup."""
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
     bounds = ev.agg(
         F.min(F.unix_timestamp("ts")).alias("t0"),
@@ -15392,10 +15383,9 @@ def q_temporal_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t0",
         "t1",
         F.least(
-            F.lit(4),
-            F.floor(
-                5 * (F.unix_timestamp("ts") - F.col("t0"))
-                / (F.col("t1") - F.col("t0"))
+            F.lit(4).cast("long"),
+            F.expr(
+                "(5 * (unix_timestamp(ts) - t0)) div (t1 - t0)"
             ),
         )
         .cast("long")
@@ -15406,10 +15396,8 @@ def q_temporal_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         "row_fold",
         "t",
-        (F.col("t0") + (F.col("t1") - F.col("t0")) * F.col("fold") / 5)
-        .cast("long")
-        .alias("v_start"),
-        (F.col("t0") + (F.col("t1") - F.col("t0")) * (F.col("fold") + 1) / 5)
+        F.expr("t0 + ((t1 - t0) * fold) div 5").cast("long").alias("v_start"),
+        F.expr("t0 + ((t1 - t0) * (fold + 1)) div 5")
         .cast("long")
         .alias("v_end"),
     )
@@ -15443,20 +15431,20 @@ def q_temporal_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEMPORAL_PURGED_SPLIT = """
 WITH bounds AS (
-  SELECT CAST(epoch(MIN(ts)) AS BIGINT) AS t0,
-         CAST(epoch(MAX(ts)) AS BIGINT) + 1 AS t1
+  SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS t0,
+         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1 AS t1
   FROM events
 ),
 rows_f AS (
-  SELECT CAST(epoch(ts) AS BIGINT) AS t, t0, t1,
-         LEAST(4, CAST(FLOOR(5 * (CAST(epoch(ts) AS BIGINT) - t0)
-                             / (t1 - t0)) AS BIGINT)) AS row_fold
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, t0, t1,
+         LEAST(4, (5 * (CAST(FLOOR(epoch(ts)) AS BIGINT) - t0))
+                    // (t1 - t0)) AS row_fold
   FROM events, bounds
 ),
 labeled AS (
   SELECT f.fold, r.row_fold, r.t,
-         CAST(r.t0 + (r.t1 - r.t0) * f.fold / 5 AS BIGINT) AS v_start,
-         CAST(r.t0 + (r.t1 - r.t0) * (f.fold + 1) / 5 AS BIGINT) AS v_end
+         r.t0 + ((r.t1 - r.t0) * f.fold) // 5 AS v_start,
+         r.t0 + ((r.t1 - r.t0) * (f.fold + 1)) // 5 AS v_end
   FROM rows_f r CROSS JOIN (SELECT UNNEST(range(5)) AS fold) f
 ),
 status AS (
@@ -16239,12 +16227,17 @@ def q_wasserstein1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cb").over(wall).alias("n_b"),
         (F.lead("v", 1).over(Window.orderBy("v")) - F.col("v")).alias("gap"),
     ).filter(F.col("gap").isNotNull())
+    # Per-term magnitude is ~n_a·n_b·gap (≥1e16 around SF10), so the
+    # accumulation runs in decimal(38,0) — a plain BIGINT sum would
+    # silently wrap under non-ANSI Spark while DuckDB's HUGEINT stays
+    # exact (the welch_ttest/jarque_bera decimal convention).
     agg = stepped.agg(
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
         F.sum(
             F.abs(
-                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+                F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
             )
             * F.col("gap")
         )
@@ -16660,8 +16653,12 @@ def q_cidr_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Matching tries /24 then /16 then /8 via a rank over the bounded
     ≤3 candidate matches per event (the block table broadcasts —
     production routing tables are ~1e6 rows, still the small side).
-    Exact counts per block. Scale: per-row synth + broadcast joins,
-    one keyed rollup; never a range scan."""
+    Exact PER-EVENT counts per block: the event_id key rides through
+    the candidate join and the longest-prefix window partitions on it
+    (many events share a synthesized IP — partitioning the window by
+    ip alone would collapse them to one row and count distinct IPs,
+    not events). Scale: per-row synth + broadcast joins, one keyed
+    rollup; never a range scan."""
     ev = _t(spark, sf_dir, "events")
     ip = (
         (F.lit(10) * 16777216)
@@ -16669,7 +16666,7 @@ def q_cidr_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("event_id") % 256) * 256
         + (F.col("user_id") * 7 + F.col("event_id")) % 256
     ).cast("long")
-    with_ip = ev.select(ip.alias("ip"))
+    with_ip = ev.select(F.col("event_id"), ip.alias("ip"))
     blocks = spark.createDataFrame(
         [
             ("corp-a-24", 10 * 16777216 + 3 * 65536 + 0 * 256, 24),
@@ -16685,9 +16682,9 @@ def q_cidr_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ip DIV CAST(pow(2, 32 - plen) AS LONG)"
                " = net DIV CAST(pow(2, 32 - plen) AS LONG)"),
     )
-    w = Window.partitionBy("ip").orderBy(F.desc("plen"), "block")
-    # NOTE: per-ip window is fine — candidates per ip ≤ #blocks (≤3
-    # here); the longest-prefix pick is a bounded in-group sort
+    w = Window.partitionBy("event_id").orderBy(F.desc("plen"), "block")
+    # NOTE: per-event window is fine — candidates per event ≤ #blocks
+    # (≤3 here); the longest-prefix pick is a bounded in-group sort
     best = cand.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") == 1
     )
@@ -16700,7 +16697,8 @@ def q_cidr_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CIDR_BLOCK_JOIN = """
 WITH with_ip AS MATERIALIZED (
-  SELECT CAST(10 * 16777216
+  SELECT event_id,
+         CAST(10 * 16777216
               + (user_id % 32) * 65536
               + (event_id % 256) * 256
               + (user_id * 7 + event_id) % 256 AS BIGINT) AS ip
@@ -16714,14 +16712,14 @@ blocks(block, net, plen) AS (
          ('net-10-8', 10 * 16777216, 8)
 ),
 cand AS (
-  SELECT i.ip, b.block, b.plen
+  SELECT i.event_id, i.ip, b.block, b.plen
   FROM with_ip i JOIN blocks b
     ON i.ip // CAST(pow(2, 32 - b.plen) AS BIGINT)
        = b.net // CAST(pow(2, 32 - b.plen) AS BIGINT)
 ),
 best AS (
   SELECT block, plen
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ip
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
                   ORDER BY plen DESC, block) AS rk FROM cand)
   WHERE rk = 1
 )
