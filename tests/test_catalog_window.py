@@ -40,82 +40,97 @@ def test_driver_window_is_first_50_entries():
 
 
 def test_driver_window_entries_all_oracle_checked():
-    # pq_topk / hll_mergeable are rows-only by design (Datasketches /
-    # PQ estimates are engine-specific) — they enter the r6 window for
-    # the driver's weaker rows-only check so cumulative coverage
-    # reaches every catalog entry; everything else must be hard-checked
+    # boruvka_mst is rows-only by design (iterative contraction is not
+    # SQL-expressible; it enters the r10 window for the driver's weaker
+    # rows-only check so cumulative coverage reaches every catalog
+    # entry); everything else must be hard-checked
     no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert set(no_oracle) <= {"pq_topk", "hll_mergeable"}, (
+    assert set(no_oracle) <= {"boruvka_mst"}, (
         f"window entries without oracle: {no_oracle}"
     )
 
 
-def test_driver_window_r9_rotation_goals():
-    # r8 VERDICT task 1: the 15 never-driver-checked round-8 queries
-    # (the r8 _NEXT_ROTATION_POOL seed) all enter, closing cumulative
-    # driver coverage at the full catalog, plus the standing guards.
+def test_driver_window_r10_rotation_goals():
+    # r9 VERDICT task 1: the 34 never-driver-checked round-9 queries
+    # (the r9 _NEXT_ROTATION_POOL seed) all enter, closing cumulative
+    # driver coverage at 359/359, plus the standing guards and 12
+    # stalest (round-2) oracle greens re-verified under the current
+    # hasher (r9 VERDICT task 6).
     must_have = {
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
         "map_hof",
         "quantize_embeddings",
         "flagship_revenue",
-        # the 15 never-checked round-8 rows
-        "log_rank_test",
-        "ari_cluster_agreement",
-        "anova_f_test",
-        "window_funnel_timed",
-        "rake_keyphrases",
-        "stream_left_join_expiry",
-        "changepoint_binary_seg",
-        "wav_riff_parse",
-        "snapshot_branch_merge",
-        "cms_join_size_estimate",
-        "snapshot_clone_divergence",
-        "snapshot_binpack_compact",
-        "harmonic_centrality",
-        "gdpr_erasure_audit",
-        "tiff_ifd_parse",
-        # round-9 additions enter immediately (the ratified pattern)
-        "png_ihdr_parse",
-        "jpeg_sof_parse",
-        "stream_full_join_expiry",
-        "cohens_kappa",
-        "cramers_v",
-        "spearman_corr",
-        "gini_concentration",
-        "mann_kendall_trend",
-        "kcore_peeling",
-        "trimmed_winsorized_mean",
-        "weighted_median_grouped",
-        "user_streaks",
-        "state_runs",
-        "gif_block_parse",
-        "snapshot_check_constraints",
-        "approx_quantile_checked",
-        "stream_dedup_within_watermark",
-        "seasonal_decompose",
+        # the 34 never-checked round-9 rows
+        "bollinger_anomaly_days",
+        "boruvka_mst",
+        "cidr_block_join",
+        "conformal_interval_coverage",
+        "cronbach_alpha",
+        "dbscan_core_classification",
+        "diversity_indices",
+        "dsir_importance_weights",
+        "dunning_g2_collocations",
+        "durbin_watson_ols",
+        "fd_discovery",
+        "gazetteer_entity_match",
+        "gopher_quality_rules",
+        "hamming_binary_topk",
+        "heaps_law_fit",
+        "jarque_bera",
+        "kendall_tau_daily",
+        "kneser_ney_bigram_nll",
+        "kruskal_wallis_h",
+        "ktruss_support",
+        "lift_gains_deciles",
+        "matryoshka_prefix_recall",
+        "misra_gries_heavy_hitters",
+        "mode_per_group",
+        "pacf_daily",
+        "readability_scores",
+        "shapley_attribution",
+        "stream_chained_windows",
+        "t_closeness_audit",
+        "temporal_purged_split",
+        "url_normalize_dedup",
+        "wasserstein1_drift",
+        "welch_ttest",
+        "zip_central_dir_parse",
+        # stalest greens re-enter (last checked r2)
+        "date_features",
+        "distinct_counts",
+        "events_tumbling_window",
+        "explode_tokens",
+        "filter_project",
+        "flatten_struct",
+        "join_left_counts",
+        "join_semi_anti",
+        "json_map_extract",
+        "math_funcs",
+        "pivot_status",
+        "regex_clean",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
 def test_window_closes_cumulative_driver_coverage():
-    # r8 VERDICT task 1: window ∪ previously-checked must cover the
+    # r9 VERDICT task 1: window ∪ previously-checked must cover the
     # ENTIRE catalog — after this round no query has ever been skipped
     # by the driver. Derive "previously checked" from the recorded
-    # CORRECTNESS_r0{1..8}.json files themselves.
+    # CORRECTNESS_r0{1..9}.json files themselves.
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json")):
         checked |= set(json.load(open(path)))
-    assert checked, "expected CORRECTNESS_r0{1..8}.json at repo root"
+    assert checked, "expected CORRECTNESS_r0{1..9}.json at repo root"
     first_time = [n for n in _DRIVER_WINDOW if n not in checked]
-    # the 15 never-checked round-8 rows (+ round-9 additions as they land)
-    assert len(first_time) >= 15, (
+    # the 34 never-checked round-9 rows
+    assert len(first_time) >= 34, (
         f"only {len(first_time)} first-time rows: {first_time}"
     )
     from yelp_etl_spark.plans.catalog import _NEXT_ROTATION_POOL

@@ -7594,125 +7594,83 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # QUERIES in insertion order. Hard verification ACCUMULATES across
 # rounds, so each round the window swaps rows that are already
 # multi-round driver-green for rows that have never had a driver check.
-# ROUND-8 ROTATION (VERDICT r7 task #1): the 11 never-driver-checked
-# round-7 additions enter (all 11 passed the judge's independent local
-# sf0.01 parity run in round 7, so this is pure confirmation), closing
-# cumulative driver coverage at 282/282 — after this round EVERY
-# catalog query has at least one driver-recorded oracle check. The
-# standing guards stay (the three fixed r5 canonicalizer reds + the
-# flagship), round-8 additions enter immediately (the ratified r6/r7
-# pattern), and the remaining slots are multi-round-green regression
-# anchors, one per operator family, rotated vs r7's anchor picks so
-# guard coverage itself accumulates breadth. Rotated-out rows remain
-# under the local parity gate (scripts/check_parity.py runs ALL
-# queries).
+# ROUND-10 ROTATION (VERDICT r9 task #1): the 34 never-driver-checked
+# round-9 late additions enter (all 34 passed the judge's independent
+# sf0.01 parity run in round 9, so this is pure confirmation), closing
+# cumulative driver coverage at 359/359 — after this round EVERY
+# catalog query has at least one driver-recorded check. The standing
+# guards stay (the three fixed r5 canonicalizer reds + the flagship),
+# and the remaining 12 slots re-verify the STALEST oracle greens
+# (last driver-checked in round 2 — before the current canonicalizer/
+# hasher existed — per VERDICT r9 task #6's re-verify-oldest-anchors
+# directive). Rotated-out rows remain under the local parity gate
+# (scripts/check_parity.py runs ALL queries).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- the 15 never-driver-checked round-8 queries (the r8 seed
-    # pool, VERDICT r8 task #1 — all 15 passed the judge's independent
-    # sf0.01 parity in round 8, so this is pure confirmation; closes
-    # cumulative driver coverage at 307/307) ----
-    "log_rank_test",
-    "ari_cluster_agreement",
-    "anova_f_test",
-    "window_funnel_timed",
-    "rake_keyphrases",
-    "stream_left_join_expiry",
-    "changepoint_binary_seg",
-    "wav_riff_parse",
-    "snapshot_branch_merge",
-    "cms_join_size_estimate",
-    "snapshot_clone_divergence",
-    "snapshot_binpack_compact",
-    "harmonic_centrality",
-    "gdpr_erasure_audit",
-    "tiff_ifd_parse",
+    # ---- the 34 never-driver-checked round-9 queries (the r9 seed
+    # pool = _NEXT_ROTATION_POOL, VERDICT r9 task #1) ----
+    "bollinger_anomaly_days",
+    "boruvka_mst",
+    "cidr_block_join",
+    "conformal_interval_coverage",
+    "cronbach_alpha",
+    "dbscan_core_classification",
+    "diversity_indices",
+    "dsir_importance_weights",
+    "dunning_g2_collocations",
+    "durbin_watson_ols",
+    "fd_discovery",
+    "gazetteer_entity_match",
+    "gopher_quality_rules",
+    "hamming_binary_topk",
+    "heaps_law_fit",
+    "jarque_bera",
+    "kendall_tau_daily",
+    "kneser_ney_bigram_nll",
+    "kruskal_wallis_h",
+    "ktruss_support",
+    "lift_gains_deciles",
+    "matryoshka_prefix_recall",
+    "misra_gries_heavy_hitters",
+    "mode_per_group",
+    "pacf_daily",
+    "readability_scores",
+    "shapley_attribution",
+    "stream_chained_windows",
+    "t_closeness_audit",
+    "temporal_purged_split",
+    "url_normalize_dedup",
+    "wasserstein1_drift",
+    "welch_ttest",
+    "zip_central_dir_parse",
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
     # ---- regression anchors: the LEAST-RECENTLY driver-checked
-    # oracle rows (all last seen r1/r2), so guard coverage rotates
-    # toward the stalest greens instead of re-confirming fresh ones.
-    # Round-9 additions displace the tail of this list as they land.
-    "cross_join",
-    "cube_lineitem",
-    "date_arith",
-    "embedding_neardup",
-    "embedding_norms",
-    "grouping_sets",
-    "in_subquery",
-    "stats_aggs",
-    "unpivot_measures",
-    "window_ranking2",
-    "array_access",
-    "bitmap_distinct",
-    # ---- round-9 additions enter immediately ----
-    "case_when_tiers",
-    "approx_quantile_checked",
-    "stream_dedup_within_watermark",
-    "seasonal_decompose",
-    "state_runs",
-    "gif_block_parse",
-    "snapshot_check_constraints",
-    "trimmed_winsorized_mean",
-    "weighted_median_grouped",
-    "user_streaks",
-    "cohens_kappa",
-    "cramers_v",
-    "spearman_corr",
-    "gini_concentration",
-    "mann_kendall_trend",
-    "kcore_peeling",
-    "png_ihdr_parse",
-    "stream_full_join_expiry",
-    "jpeg_sof_parse",
+    # oracle rows (all last seen round 2 — never re-checked under the
+    # current value hasher), so guard coverage rotates toward the
+    # stalest greens instead of re-confirming fresh ones.
+    "date_features",
+    "distinct_counts",
+    "events_tumbling_window",
+    "explode_tokens",
+    "filter_project",
+    "flatten_struct",
+    "join_left_counts",
+    "join_semi_anti",
+    "json_map_extract",
+    "math_funcs",
+    "pivot_status",
+    "regex_clean",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
-# rotation (the r6→r7→r8→r9 pattern). The r8 seed (15 late round-8
-# additions) was consumed by the r9 window above; round-9 additions
-# enter the window directly while slots remain, and any landing after
-# the freeze are declared here as the r10 seed.
-_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
-    {
-        # late round-9 additions (landed after the r9 window froze)
-        "kruskal_wallis_h",
-        "kendall_tau_daily",
-        "welch_ttest",
-        "lift_gains_deciles",
-        "mode_per_group",
-        "readability_scores",
-        "gazetteer_entity_match",
-        "dsir_importance_weights",
-        "pacf_daily",
-        "url_normalize_dedup",
-        "zip_central_dir_parse",
-        "jarque_bera",
-        "bollinger_anomaly_days",
-        "stream_chained_windows",
-        "boruvka_mst",
-        "t_closeness_audit",
-        "durbin_watson_ols",
-        "heaps_law_fit",
-        "misra_gries_heavy_hitters",
-        "kneser_ney_bigram_nll",
-        "hamming_binary_topk",
-        "temporal_purged_split",
-        "cronbach_alpha",
-        "shapley_attribution",
-        "fd_discovery",
-        "conformal_interval_coverage",
-        "ktruss_support",
-        "wasserstein1_drift",
-        "dunning_g2_collocations",
-        "matryoshka_prefix_recall",
-        "gopher_quality_rules",
-        "cidr_block_join",
-        "dbscan_core_classification",
-        "diversity_indices",
-    }
-)
+# rotation (the r6→…→r10 pattern). The r9 seed (34 late round-9
+# additions) was consumed by the r10 window above; round 10 is a
+# consolidation round (VERDICT r9 task #6: no new operator families),
+# so the pool is empty — any late additions must be declared here.
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset()
 
 
 QUERIES: dict[str, QuerySpec] = {
