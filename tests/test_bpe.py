@@ -91,6 +91,7 @@ def test_learn_bpe_matches_reference_on_corpus(spark, sf_dir):
     assert got_final == ref_words
 
 
+@pytest.mark.heavy_rotation
 def test_encode_conserves_characters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     _, words = bpe.learn_bpe(docs, "text", 6, min_pair_freq=2)

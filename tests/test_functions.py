@@ -1587,6 +1587,7 @@ def test_boruvka_mst_chain_contraction(spark):
     assert out.count() == 29
 
 
+@pytest.mark.heavy_rotation
 def test_boruvka_matches_kruskal_random(spark):
     import random
 

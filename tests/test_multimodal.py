@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from yelp_etl_spark.functions.multimodal import (
@@ -356,6 +357,7 @@ def test_wav_riff_synthesize_parse_roundtrip(spark):
     assert not j.riff_ok
 
 
+@pytest.mark.heavy_rotation
 def test_tiff_ifd_walk_matches_struct_reference(spark):
     """The Catalyst IFD walk must chase the per-file IFD offset and
     agree with Python's struct on every tag; junk yields tiff_ok=false
@@ -440,6 +442,7 @@ def test_png_chunk_walk_matches_struct_reference(spark):
     assert not png_chunk_metadata(junk).collect()[0].png_ok
 
 
+@pytest.mark.heavy_rotation
 def test_jpeg_sof_walk_matches_marker_scan_reference(spark):
     import struct
 
@@ -480,6 +483,7 @@ def test_jpeg_sof_walk_matches_marker_scan_reference(spark):
     assert not jpeg_sof_metadata(junk).collect()[0].jpeg_ok
 
 
+@pytest.mark.heavy_rotation
 def test_gif_block_walk_matches_struct_reference(spark):
     from yelp_etl_spark.functions.multimodal import (
         gif_block_metadata,
