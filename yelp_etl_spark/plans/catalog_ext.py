@@ -1,16986 +1,59 @@
-"""Query catalog extension: analytics / data-curation operators beyond
-the core catalog in plans/catalog.py. Same driver-facing
-conventions (identical aliases both sides, BIGINT casts, rounded
-doubles); registered into catalog.QUERIES at import time.
+"""Extension-catalog shim — the public surface of the thematic split.
 
-Operators here generalize the reference's declared gold-layer direction
-(aggregations over the cleaned+enriched tables, run-all-pipelines.sh:239)
-onto the TPC-H-ish fixtures: cumulative distinct counting, market-basket
-co-occurrence, graph triangle counting, Pareto frontiers, blocked fuzzy
-entity matching, time-weighted averages, robust outlier detection,
-posting-list keyword search, and linear gap interpolation — plus the
-round-4 additions: distributed BPE vocabulary training (pair stats,
-merge learning, train→encode token accounting), exact duplicate-
-substring spans, CEP-style event-sequence pattern matching, a
-k-anonymity privacy audit, native WITH RECURSIVE hierarchy traversal,
-n-gram novelty scoring, and asymmetric shingle containment.
+Round 10 split the 17k-line monolith into `plans/ext/` theme modules
+(r9 VERDICT task #6); this shim preserves the two public names every
+consumer imports:
+
+- ``EXTRA_QUERIES`` — the ordered {name: (fn, oracle_sql, ops)} registry
+  merged into ``plans.catalog.QUERIES``. Theme modules register into
+  the shared collection dict at import; this shim reorders it into the
+  exact pre-split insertion order (``ext/_order.LEGACY_ORDER``) so
+  nothing downstream — driver window assembly, bench subset hashing,
+  artifact diffs — sees a reordering. Queries added post-split simply
+  append after the legacy block.
+- ``copurchase_edges`` — the fixture co-purchase graph builder shared
+  by q_boruvka_mst and its edge-for-edge Kruskal pytest twin.
+
+Each theme module is append-only, like the monolith was, so diff review
+stays chunk-per-operator:
+
+- ``ext_text``       tokenization, BPE, dedup spans, collocations,
+                     search, quality gates
+- ``ext_ml``         clustering, embeddings/ANN, eval metrics, encodings,
+                     CV splits, attribution
+- ``ext_stats``      hypothesis tests, robust stats, time series,
+                     sketches, drift
+- ``ext_graph``      pagerank family, components, k-core/k-truss, MST,
+                     walks, centrality
+- ``ext_stream``     streaming windows/joins/dedup, CDC
+- ``ext_lakehouse``  snapshot table ops, pipelines, scan roundtrips,
+                     audits
+- ``ext_containers`` binary/multimodal container walks (PNG/JPEG/GIF/
+                     ZIP/WAV/TIFF/PCM)
+- ``ext_misc``       privacy audits, spatial joins, skew ops, funnels,
+                     the original pre-split seed block
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from yelp_etl_spark.sources.readers import load_table
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-# --------------------------------------------------------------------------
-# Cumulative distinct users (the scalable "running COUNT(DISTINCT)")
-# --------------------------------------------------------------------------
-
-
-def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative distinct users per day WITHOUT a distinct-over-window:
-    reduce each user to their first-seen day (one shuffle on user_id),
-    count new users per day, then a running sum over the tiny day-level
-    series. At 100 TB the expensive part stays a single hash aggregate
-    on the high-cardinality key; the unpartitioned running-sum window
-    only ever sees one row per day."""
-    events = _t(spark, sf_dir, "events")
-    first_seen = events.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("first_day")
-    )
-    daily = first_seen.groupBy("first_day").agg(F.count("*").alias("new_users"))
-    run = Window.orderBy("first_day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return daily.select(
-        F.col("first_day").alias("day"),
-        F.col("new_users"),
-        F.sum("new_users").over(run).cast("long").alias("cum_users"),
-    )
-
-
-ORACLE_RUNNING_DISTINCT = """
-WITH first_seen AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
-), daily AS (
-  SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
-)
-SELECT first_day AS day, new_users,
-       CAST(SUM(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING)
-            AS BIGINT) AS cum_users
-FROM daily
-"""
-
-
-# --------------------------------------------------------------------------
-# Market-basket co-occurrence (self-join pair mining)
-# --------------------------------------------------------------------------
-
-
-def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top part pairs co-purchased in the same order: distinct
-    (order, part), self-join co-partitioned on l_orderkey with a
-    part_a < part_b orientation so each pair counts once, then a
-    grouped count and a fully tie-broken top-20. The pair blow-up is
-    bounded by per-order basket size (≤ C(7,2) in TPC-H-shaped data),
-    so the join output stays linear in input; both join sides share one
-    shuffle on the order key."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    )
-    counts = pairs.groupBy(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    ).agg(F.count("*").alias("n_orders"))
-    return counts.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
-
-
-ORACLE_COPURCHASE = """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
-FROM li a JOIN li b
-  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-GROUP BY 1, 2
-ORDER BY n_orders DESC, part_a, part_b
-LIMIT 20
-"""
-
-
-# --------------------------------------------------------------------------
-# Triangle counting on the co-purchase graph
-# --------------------------------------------------------------------------
-
-
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count over the part co-purchase graph, with
-    DEGREE-ordered edge orientation (the standard O(m^1.5) wedge bound).
-
-    Edges are oriented low→high under the total order (degree, id), so
-    each triangle is enumerated exactly once from its lowest-rank
-    vertex as a pair of out-edges; wedge work per vertex is
-    C(out_deg, 2), and out-degrees are bounded ~O(sqrt(m)) under degree
-    orientation — a high-degree hub sits LAST in the order, gets few
-    out-edges, and never fans out wedges. Under the previous id
-    orientation a hub with low id fanned out C(deg, 2) wedges —
-    quadratic on skewed co-purchase graphs at 100 TB (round-2 verdict's
-    one `weak`; now fixed).
-
-    All joins stay equi-joins: degree join on node id, wedge join on
-    shared src, closure join on (dst_a, dst_b). The rank comparison
-    between the two wedge endpoints rides along as a residual predicate
-    on the src-equi-join, not a join condition. The edge set is
-    consumed 4x (e1/e2/e3 + edge count), so its lineage is truncated
-    once via truncate_lineage (localCheckpoint blocks are released with
-    the DataFrame by the ContextCleaner — unlike the previous
-    .persist(), which pinned blocks for the session lifetime across a
-    153-query bench loop).
-    """
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    undirected = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    degrees = (
-        undirected.select(F.col("u").alias("node"))
-        .unionAll(undirected.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    du = degrees.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = degrees.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    edges = truncate_lineage(
-        undirected.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    # Adjacency-intersection closure: for each oriented edge (u, v) the
-    # triangles whose lowest-rank vertex is u are |N+(u) ∩ N+(v)| —
-    # each triangle u→v, u→w, v→w is counted exactly once, at (u, v).
-    # This replaces the wedge-enumeration JOIN (41M intermediate rows
-    # at sf0.1) with two equi-joins of the m-row edge list against the
-    # n-row adjacency table plus a JVM-codegen array_intersect; nothing
-    # bigger than the edge list is ever shuffled, and degree
-    # orientation caps every out-adjacency array at ~O(sqrt(m)), so no
-    # row carries a hub-sized array at 100 TB.
-    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-    tri_per_edge = (
-        edges.select("src", "dst")
-        .join(adj.select(F.col("src"), F.col("nbrs").alias("src_nbrs")), "src")
-        .join(
-            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")),
-            "dst",
-        )
-        .select(
-            F.size(F.array_intersect("src_nbrs", "dst_nbrs")).alias("n_closed")
-        )
-    )
-    return tri_per_edge.agg(
-        F.sum("n_closed").cast("long").alias("n_triangles")
-    ).join(edges.agg(F.count("*").alias("n_edges")))
-
-
-ORACLE_TRIANGLES = """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-)
-SELECT (SELECT COUNT(*) FROM edges e1
-        JOIN edges e2 ON e1.dst = e2.src
-        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles,
-       (SELECT COUNT(*) FROM edges) AS n_edges
-"""
-
-
-# --------------------------------------------------------------------------
-# Pareto frontier (skyline)
-# --------------------------------------------------------------------------
-
-
-def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical 2-D skyline: suppliers not dominated on (revenue,
-    acctbal), exact-duplicate points resolved to the lowest suppkey.
-    One sort by (revenue desc, bal desc, key) then a running max of bal
-    over preceding rows decides dominance — O(n log n) with no self
-    join, vs the O(n²) NOT EXISTS the oracle states declaratively. At
-    scale the sort is a single range-partitioned shuffle; the window's
-    sequential pass applies per range because running max only needs
-    the per-partition prefix max carried forward."""
-    li = _t(spark, sf_dir, "lineitem")
-    supplier = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
-    )
-    sup = supplier.join(rev, supplier.s_suppkey == rev.l_suppkey).select(
-        "s_suppkey",
-        "revenue",
-        F.round("s_acctbal", 2).alias("bal"),
-    )
-    w = Window.orderBy(F.desc("revenue"), F.desc("bal"), "s_suppkey").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    return (
-        sup.withColumn("prev_max_bal", F.max("bal").over(w))
-        .filter(F.col("prev_max_bal").isNull() | (F.col("bal") > F.col("prev_max_bal")))
-        .drop("prev_max_bal")
-    )
-
-
-ORACLE_SKYLINE = """
-WITH sup AS (
-  SELECT s_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-         ROUND(ANY_VALUE(s_acctbal), 2) AS bal
-  FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
-  GROUP BY s_suppkey
-)
-SELECT s.s_suppkey, s.revenue, s.bal
-FROM sup s
-WHERE NOT EXISTS (
-  SELECT 1 FROM sup o
-  WHERE (o.revenue > s.revenue AND o.bal >= s.bal)
-     OR (o.revenue >= s.revenue AND o.bal > s.bal)
-     OR (o.revenue = s.revenue AND o.bal = s.bal AND o.s_suppkey < s.s_suppkey)
-)
-"""
-
-
-# --------------------------------------------------------------------------
-# Blocked fuzzy entity matching (edit-distance join)
-# --------------------------------------------------------------------------
-
-
-def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy self-match of part names — the production ER
-    shape: EXACT-dedup the match attribute first (names collapse to
-    their distinct values + occurrence counts), then run the quadratic
-    levenshtein only on distinct values sharing a block key (first
-    name token), then weight pair stats by occurrence product.
-
-    Measured why the dedup-first step is load-bearing: this fixture
-    has 20k parts but only 64 distinct names (8-word × 8-word
-    vocabulary), so raw-row blocking makes 25M levenshtein pairs
-    (62s at sf0.1) while distinct-value blocking makes ~220 weighted
-    pairs (sub-second) — identical information. At 100 TB the same
-    ordering holds: near-dup/fuzzy candidate generation always runs
-    AFTER exact dedup (see SCALING.md round-2 notes)."""
-    part = _t(spark, sf_dir, "part")
-    names = (
-        part.groupBy(F.col("p_name").alias("name"))
-        .agg(F.count("*").alias("w"))
-        .withColumn("block", F.split(F.col("name"), " ").getItem(0))
-    )
-    a, b = names.alias("a"), names.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.name") < F.col("b.name")),
-        )
-        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
-        .filter(F.col("dist") <= 12)
-    )
-    return pairs.groupBy(F.col("a.block").alias("block")).agg(
-        F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("n_matches"),
-        F.min("dist").cast("long").alias("min_dist"),
-        F.round(F.avg("dist"), 4).alias("avg_dist"),
-    )
-
-
-ORACLE_FUZZY = """
-WITH names AS (
-  SELECT p_name AS name, COUNT(*) AS w,
-         string_split(p_name, ' ')[1] AS block
-  FROM part GROUP BY p_name
-), pairs AS (
-  SELECT a.block, a.w * b.w AS pw, levenshtein(a.name, b.name) AS dist
-  FROM names a JOIN names b
-    ON a.block = b.block AND a.name < b.name
-  WHERE levenshtein(a.name, b.name) <= 12
-)
-SELECT block, CAST(SUM(pw) AS BIGINT) AS n_matches,
-       CAST(MIN(dist) AS BIGINT) AS min_dist,
-       ROUND(AVG(dist), 4) AS avg_dist
-FROM pairs
-GROUP BY block
-"""
-
-
-# --------------------------------------------------------------------------
-# Time-weighted average (irregular time series)
-# --------------------------------------------------------------------------
-
-
-def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-weighted average of events.value per user: each reading is
-    weighted by how long it was current (lead(ts) - ts on integer epoch
-    micros for exact cross-engine parity; the final open-ended reading
-    carries no weight). One (user_id, ts) shuffle serves the lead
-    window; the weighted agg is map-side partial after it."""
-    events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    dt = (F.lead(us).over(w) - us).alias("dt")
-    weighted = events.select("user_id", "value", dt)
-    return (
-        weighted.filter(F.col("dt").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.round(
-                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
-            ).alias("twap"),
-            F.count("*").alias("n_intervals"),
-        )
-    )
-
-
-ORACLE_TWAP = """
-WITH spans AS (
-  SELECT user_id, value,
-         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           - epoch_us(ts) AS dt
-  FROM events
-)
-SELECT user_id,
-       ROUND(SUM(value * dt) / SUM(dt), 4) AS twap,
-       COUNT(*) AS n_intervals
-FROM spans
-WHERE dt IS NOT NULL
-GROUP BY user_id
-"""
-
-
-# --------------------------------------------------------------------------
-# Robust outlier detection (median / MAD)
-# --------------------------------------------------------------------------
-
-
-def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median-absolute-deviation outlier screen per event_type: exact
-    grouped median, then the median of absolute deviations, then a
-    3×MAD count. Two grouped exact-percentile passes with the tiny
-    per-group stats broadcast back — the robust-statistics analog of
-    z-scoring that survives heavy-tailed value distributions."""
-    events = _t(spark, sf_dir, "events")
-    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
-    with_med = events.join(F.broadcast(med), "event_type")
-    mad = with_med.groupBy("event_type").agg(
-        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
-    )
-    flagged = with_med.join(F.broadcast(mad), "event_type")
-    return flagged.groupBy("event_type").agg(
-        F.round(F.first("med"), 4).alias("med"),
-        F.round(F.first("mad"), 4).alias("mad"),
-        F.count(
-            F.when(
-                F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
-            )
-        ).alias("n_outliers"),
-        F.count("*").alias("n"),
-    )
-
-
-ORACLE_MAD = """
-WITH med AS (
-  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
-), mad AS (
-  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
-  FROM events e JOIN med m USING (event_type)
-  GROUP BY e.event_type
-)
-SELECT e.event_type,
-       ROUND(ANY_VALUE(m.med), 4) AS med,
-       ROUND(ANY_VALUE(d.mad), 4) AS mad,
-       COUNT(*) FILTER (WHERE abs(e.value - m.med) > 3 * d.mad) AS n_outliers,
-       COUNT(*) AS n
-FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
-GROUP BY e.event_type
-"""
-
-
-# --------------------------------------------------------------------------
-# Posting-list keyword search (inverted-index AND query)
-# --------------------------------------------------------------------------
-
-SEARCH_TERMS = ("vector", "merge")
-
-
-def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive keyword search as posting-list intersection: explode
-    distinct tokens per doc, keep only the query terms (the filter
-    prunes the posting build to the terms' lists — at scale this is a
-    pre-materialized inverted index, here it is derived inline), and
-    intersect by requiring every term to hit. Per-language hit counts
-    returned. No substring LIKE scans anywhere: matching is exact on
-    tokens, which is what an inverted index can serve."""
-    documents = _t(spark, sf_dir, "documents")
-    toks = documents.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col("text")), " "))
-        ).alias("tok"),
-    )
-    hits = (
-        toks.filter(F.col("tok").isin(*SEARCH_TERMS))
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("n_terms"))
-        .filter(F.col("n_terms") == len(SEARCH_TERMS))
-    )
-    return hits.groupBy("lang").agg(F.count("*").alias("n_docs"))
-
-
-ORACLE_KEYWORD = """
-WITH toks AS (
-  SELECT doc_id, lang,
-         unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-  FROM documents
-), hits AS (
-  SELECT doc_id, lang
-  FROM toks
-  WHERE tok IN ('vector', 'merge')
-  GROUP BY doc_id, lang
-  HAVING COUNT(*) = 2
-)
-SELECT lang, COUNT(*) AS n_docs FROM hits GROUP BY lang
-"""
-
-
-# --------------------------------------------------------------------------
-# Linear interpolation over a date spine
-# --------------------------------------------------------------------------
-
-
-def q_linear_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear interpolation of missing days in a daily revenue series:
-    generate the day spine, left-join the daily aggregate, carry the
-    nearest known (day, value) from both directions with IGNORE NULLS
-    window functions, and blend by temporal distance. The heavy
-    aggregate reduces first; the interpolation windows only ever see
-    the day-level series (one row per day), so the unpartitioned sort
-    is bounded by calendar size, not data size."""
-    orders = _t(spark, sf_dir, "orders")
-    daily = (
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
-        )
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    )
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("1995-01-01").cast("date"),
-                F.lit("1995-03-31").cast("date"),
-                F.expr("interval 1 day"),
-            )
-        ).alias("d")
-    )
-    series = spine.join(daily, "d", "left")
-    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_next = Window.orderBy("d").rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    known_d = F.when(F.col("rev").isNotNull(), F.col("d"))
-    enriched = series.select(
-        "d",
-        "rev",
-        F.last("rev", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(known_d, ignorenulls=True).over(w_prev).alias("pd"),
-        F.first("rev", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(known_d, ignorenulls=True).over(w_next).alias("nd"),
-    )
-    frac = F.datediff(F.col("d"), F.col("pd")) / F.datediff(F.col("nd"), F.col("pd"))
-    interp = F.when(F.col("rev").isNotNull(), F.col("rev")).otherwise(
-        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
-    )
-    return enriched.select(
-        "d",
-        F.round(interp, 4).alias("rev_filled"),
-        F.col("rev").isNull().alias("was_missing"),
-    )
-
-
-ORACLE_INTERP = """
-WITH daily AS (
-  SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS rev
-  FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-    AND o_orderdate < TIMESTAMP '1995-04-01'
-  GROUP BY 1
-), spine AS (
-  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
-                                INTERVAL 1 DAY))::DATE AS d
-), series AS (
-  SELECT s.d, daily.rev FROM spine s LEFT JOIN daily ON daily.d = s.d
-), enriched AS (
-  SELECT d, rev,
-    last_value(rev IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-    last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-    first_value(rev IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-    first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-  FROM series
-)
-SELECT d,
-       ROUND(CASE WHEN rev IS NOT NULL THEN rev
-                  ELSE pv + (nv - pv) * (d - pd) / CAST(nd - pd AS DOUBLE)
-             END, 4) AS rev_filled,
-       rev IS NULL AS was_missing
-FROM enriched
-"""
-
-
-# --------------------------------------------------------------------------
-# Skew mitigation as oracle-checked queries (operators/skew.py)
-# --------------------------------------------------------------------------
-
-
-def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resilient fact×dim join through operators/skew.py
-    ``salted_join``: each l_suppkey's rows spread across 16 salt
-    buckets and the supplier side is replicated 16×, so one viral key
-    cannot pin a single join task. The rewrite is answer-preserving —
-    the oracle is the plain unsalted join. At 100 TB reach for this
-    when a single key exceeds what AQE's skew-join splitting (enabled
-    in session.py) can subdivide."""
-    from yelp_etl_spark.operators.skew import salted_join
-
-    lineitem = _t(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    supplier = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
-    )
-    joined = salted_join(lineitem, supplier, on="l_suppkey", n_salts=16)
-    return joined.groupBy(
-        F.col("s_nationkey").cast("long").alias("nationkey")
-    ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
-        F.count("*").alias("n_items"),
-    )
-
-
-ORACLE_SALTED_JOIN = """
-SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-GROUP BY 1
-"""
-
-
-def q_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage salted aggregation through operators/skew.py
-    ``two_stage_agg``: partial aggregate on (key, salt), merge on key —
-    a hot key's reduce work spreads 16 ways before the final combine.
-    Only decomposable aggregates (sum/count/min/max) are accepted, so
-    the result equals the single-stage GROUP BY the oracle runs;
-    top-10 with a deterministic key tiebreak."""
-    from yelp_etl_spark.operators.skew import two_stage_agg
-
-    # Project before salting: the default salt hashes every input
-    # column, so an unpruned frame would drag all of lineitem through
-    # the scan just to compute the salt. Selecting first keeps the
-    # ReadSchema at the 4 needed columns (pinned by the plan test).
-    lineitem = _t(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_quantity", "l_orderkey", "l_extendedprice"
-    )
-    agg = two_stage_agg(
-        lineitem,
-        keys=["l_suppkey"],
-        aggs={
-            "total_qty": ("sum", "l_quantity"),
-            "n_rows": ("count", "l_orderkey"),
-            "max_price": ("max", "l_extendedprice"),
-        },
-        n_salts=16,
-    )
-    return (
-        agg.select(
-            "l_suppkey",
-            F.round("total_qty", 2).alias("total_qty"),
-            "n_rows",
-            F.round("max_price", 2).alias("max_price"),
-        )
-        .orderBy(F.col("total_qty").desc(), "l_suppkey")
-        .limit(10)
-    )
-
-
-ORACLE_TWO_STAGE = """
-SELECT l_suppkey,
-       ROUND(SUM(l_quantity), 2) AS total_qty,
-       COUNT(l_orderkey) AS n_rows,
-       ROUND(MAX(l_extendedprice), 2) AS max_price
-FROM lineitem
-GROUP BY l_suppkey
-ORDER BY total_qty DESC, l_suppkey
-LIMIT 10
-"""
-
-
-EXTRA_QUERIES = {
-    "running_distinct": (q_running_distinct, ORACLE_RUNNING_DISTINCT, "cumulative distinct"),
-    "copurchase_pairs": (q_copurchase_pairs, ORACLE_COPURCHASE, "basket pair mining"),
-    "triangle_count": (q_triangle_count, ORACLE_TRIANGLES, "ext:graph triangles"),
-    "skyline_suppliers": (q_skyline_suppliers, ORACLE_SKYLINE, "pareto skyline"),
-    "fuzzy_match_parts": (q_fuzzy_match_parts, ORACLE_FUZZY, "ext:blocked fuzzy ER"),
-    "twap_value": (q_twap_value, ORACLE_TWAP, "ext:time-weighted avg"),
-    "mad_outliers": (q_mad_outliers, ORACLE_MAD, "ext:robust outliers"),
-    "keyword_search": (q_keyword_search, ORACLE_KEYWORD, "ext:inverted search"),
-    "linear_interp_fill": (q_linear_interp_fill, ORACLE_INTERP, "ext:interpolation"),
-    "salted_join_agg": (q_salted_join_agg, ORACLE_SALTED_JOIN, "ext:salted skew join"),
-    "two_stage_topk": (q_two_stage_topk, ORACLE_TWO_STAGE, "ext:salted two-stage agg"),
-}
-
-
-# --------------------------------------------------------------------------
-# Distributed BPE vocabulary training (functions/bpe.py)
-# --------------------------------------------------------------------------
-
-from yelp_etl_spark.functions import bpe as BPE  # noqa: E402
-from yelp_etl_spark.functions import dedup as DD  # noqa: E402
-
-_BPE_MERGES = 8
-
-
-def _bpe_oracle_sql(num_merges: int, final: str) -> str:
-    """Generate the DuckDB twin of learn_bpe as an UNROLLED CTE chain —
-    one (pair-count, argmax, merge-apply) triple per merge step. The
-    symbol state is a control-char-delimited string (chr(1)/chr(2)
-    wrap each symbol — characters that cannot appear in text words,
-    unlike brackets) so the
-    engine's greedy left-to-right non-overlapping replace() is exactly
-    the fold semantics of functions/bpe.py:merge_pair_expr — adjacent
-    occurrences never share boundary characters, which a space-
-    separated encoding would (['a','a','a','a'] must merge to
-    [aa, aa], not [aa, a, a]). An empty b{i} (best pair under the
-    min-freq floor) LEFT-JOINs as NULL and COALESCEs the pattern to the
-    unmatchable chr(3) sentinel, reproducing learn_bpe's early stop.
-
-    Every CTE is AS MATERIALIZED: with default inlining each step
-    would splice multiple copies of the previous step into its plan
-    (direct reference + the best-pair join), growing the expression
-    tree exponentially in the merge count — 8 merges hang the
-    optimizer. Materialization makes the chain linear, mirroring how
-    the Spark side's per-iteration jobs execute."""
-    ctes = [
-        """w0 AS MATERIALIZED (
-  SELECT chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS syms,
-         COUNT(*) AS wfreq
-  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-  WHERE word <> ''
-  GROUP BY 1
-)"""
-    ]
-    for i in range(1, num_merges + 1):
-        ctes.append(
-            f"""b{i} AS MATERIALIZED (
-  SELECT lhs, rhs, CAST(pair_freq AS BIGINT) AS pair_freq
-  FROM (
-    SELECT toks[j] AS lhs, toks[j+1] AS rhs, SUM(wfreq) AS pair_freq
-    FROM (SELECT string_split(substr(syms, 2, length(syms) - 2), chr(2) || chr(1)) AS toks, wfreq
-          FROM w{i - 1}) t,
-         LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS j)
-    GROUP BY 1, 2
-  )
-  WHERE pair_freq >= 2
-  ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
-), w{i} AS MATERIALIZED (
-  SELECT replace(w.syms,
-                 COALESCE(chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2), chr(3)),
-                 COALESCE(chr(1) || b.lhs || b.rhs || chr(2), chr(3))) AS syms,
-         w.wfreq
-  FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE
-)"""
-        )
-    if final == "words_cte":
-        # Caller appends its own ", name AS (...)" CTEs + final SELECT.
-        return "WITH " + ",\n".join(ctes)
-    if final == "merges":
-        tail = "\nUNION ALL\n".join(
-            f"SELECT CAST({i} AS BIGINT) AS rank, lhs, rhs, pair_freq FROM b{i}"
-            for i in range(1, num_merges + 1)
-        )
-    else:
-        tail = f"""SELECT token, CAST(SUM(wfreq) AS BIGINT) AS tok_freq
-FROM (SELECT unnest(string_split(substr(syms, 2, length(syms) - 2), chr(2) || chr(1))) AS token,
-             wfreq
-      FROM w{num_merges})
-GROUP BY token
-ORDER BY tok_freq DESC, token LIMIT 30"""
-    return "WITH " + ",\n".join(ctes) + "\n" + tail
-
-
-def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Step-0 BPE statistics: adjacent character-pair frequencies over
-    the word-frequency table (functions/bpe.py:pair_counts), top 30.
-    The corpus collapses to (word, wfreq) in one shuffle; the pair agg
-    then runs on vocabulary-sized data with a partial aggregate."""
-    docs = _t(spark, sf_dir, "documents")
-    words = BPE.with_symbols(BPE.word_frequencies(docs, "text"))
-    return (
-        BPE.pair_counts(words)
-        .orderBy(F.desc("pair_freq"), "lhs", "rhs")
-        .limit(30)
-    )
-
-
-ORACLE_BPE_PAIR_COUNTS = """
-WITH words AS (
-  SELECT word, COUNT(*) AS wfreq
-  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-  WHERE word <> ''
-  GROUP BY word
-)
-SELECT toks[j] AS lhs, toks[j+1] AS rhs, CAST(SUM(wfreq) AS BIGINT) AS pair_freq
-FROM (SELECT string_split(word, '') AS toks, wfreq FROM words) t,
-     LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS j)
-GROUP BY 1, 2
-ORDER BY pair_freq DESC, lhs, rhs
-LIMIT 30
-"""
-
-
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BPE training, 8 merges (functions/bpe.py:learn_bpe): per
-    iteration one vocabulary-sized pair count, a 1-row argmax collect,
-    and a codegen'd fold applying the merge — no Python in the loop.
-    Deterministic tiebreak (freq DESC, lhs, rhs) makes the learned
-    merge table engine-reproducible; the oracle is the unrolled
-    SQL twin (_bpe_oracle_sql)."""
-    docs = _t(spark, sf_dir, "documents")
-    merges, _ = BPE.learn_bpe(docs, "text", _BPE_MERGES, min_pair_freq=2)
-    return BPE.merges_df(spark, merges)
-
-
-ORACLE_BPE_MERGES = _bpe_oracle_sql(_BPE_MERGES, "merges")
-
-
-def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-encode roundtrip: learn 8 merges, encode the word
-    table with them (map-only folds), and return the top-30 subword
-    vocabulary by corpus frequency — the artifact an LLM tokenizer
-    build would persist."""
-    docs = _t(spark, sf_dir, "documents")
-    _, words = BPE.learn_bpe(docs, "text", _BPE_MERGES, min_pair_freq=2)
-    return (
-        BPE.subword_frequencies(words)
-        .orderBy(F.desc("tok_freq"), "token")
-        .limit(30)
-    )
-
-
-ORACLE_BPE_ENCODE = _bpe_oracle_sql(_BPE_MERGES, "tokens")
-
-
-# --------------------------------------------------------------------------
-# Exact duplicated-substring spans (functions/dedup.py:duplicate_spans)
-# --------------------------------------------------------------------------
-
-_SPAN_K = 25
-
-
-def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lee-et-al-style exact substring dedup: flag every 25-char gram
-    occurring in >1 document and merge overlapping positions into
-    maximal spans per doc (gaps-and-islands window). Two keyed
-    shuffles (gram hash, then doc id), no all-pairs stage."""
-    docs = _t(spark, sf_dir, "documents")
-    return DD.duplicate_spans(docs, "doc_id", "text", k=_SPAN_K)
-
-
-ORACLE_DUPLICATE_SPANS = f"""
-WITH grams AS (
-  SELECT doc_id, length(text) AS len, i AS pos,
-         CAST(concat('0x', substr(md5(substr(text, i, {_SPAN_K})), 18, 15)) AS BIGINT) AS gh
-  FROM documents,
-       LATERAL (SELECT unnest(generate_series(1, length(text) - {_SPAN_K - 1})) AS i)
-  WHERE length(text) >= {_SPAN_K}
-), dup AS (
-  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1
-), hits AS (
-  SELECT g.doc_id, g.len, g.pos FROM grams g JOIN dup USING (gh)
-), flagged AS (
-  SELECT doc_id, len, pos,
-         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
-              THEN 1 ELSE 0 END AS new_island
-  FROM hits
-), isl AS (
-  SELECT doc_id, len, pos,
-         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
-                               ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged
-), spans AS (
-  SELECT doc_id, len, island, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
-  FROM isl GROUP BY 1, 2, 3
-)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
-       ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / len, 4) AS dup_frac
-FROM spans GROUP BY doc_id, len
-"""
-
-
-def q_duplicate_spans_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The coarse-bucket two-phase form of duplicate_spans
-    (functions/dedup.duplicate_spans_pruned): phase 1 shuffles only a
-    32-bit bucket per position (half the record width, no portable
-    fingerprint), phase 2 reruns the exact pipeline over candidate
-    docs only. Output is provably identical to duplicate_spans —
-    multi-doc buckets can't miss a duplicated gram, and collision
-    candidates are cleared by the exact pass — so it shares its
-    oracle. The scale path for mostly-clean corpora where candidates
-    are a small fraction."""
-    docs = _t(spark, sf_dir, "documents")
-    return DD.duplicate_spans_pruned(docs, "doc_id", "text", k=_SPAN_K)
-
-
-EXTRA_QUERIES.update(
-    {
-        "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS, "ext:bpe pair stats"),
-        "bpe_merges": (q_bpe_merges, ORACLE_BPE_MERGES, "ext:bpe training"),
-        "bpe_encode_tokens": (q_bpe_encode_tokens, ORACLE_BPE_ENCODE, "ext:bpe encode"),
-        "duplicate_spans": (q_duplicate_spans, ORACLE_DUPLICATE_SPANS, "ext:substring dedup spans"),
-        "duplicate_spans_pruned": (
-            q_duplicate_spans_pruned,
-            ORACLE_DUPLICATE_SPANS,
-            "ext:substring dedup spans, bucket-pruned two-phase",
-        ),
-    }
-)
-
-
-def q_bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting under the learned vocabulary — the
-    train→apply composition every LLM data pipeline runs to budget
-    training tokens. Train 8 merges, encode the WORD table (map-only
-    folds over vocabulary-sized data), then join the corpus word
-    stream to (word, n_toks) — a keyed shuffle join on the word, NOT a
-    broadcast: at 100 TB the vocabulary table is ~10^7-10^8 rows and
-    must not be collected. Returns per-source token/char totals."""
-    docs = _t(spark, sf_dir, "documents")
-    _, words = BPE.learn_bpe(docs, "text", _BPE_MERGES, min_pair_freq=2)
-    word_toks = words.select("word", F.size("syms").cast("long").alias("n_toks"))
-    stream = docs.select(
-        "source",
-        # literal single space, NOT \s+: the vocabulary this joins
-        # against (learn_bpe's word_frequencies) and the DuckDB oracle
-        # both split on ' ' — a \s+ split silently drops words
-        # containing tabs/\x0B via the inner join (and Java \s covers
-        # \x0B while RE2's does not, the cross-engine trap the bpe
-        # module docstring documents)
-        F.explode(F.split(F.lower("text"), " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    return (
-        stream.join(word_toks, "word")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("n_toks").cast("long").alias("n_tokens"),
-            F.round(F.sum("n_toks") / F.count("*"), 4).alias("toks_per_word"),
-        )
-    )
-
-
-ORACLE_BPE_CORPUS_TOKENS = (
-    _bpe_oracle_sql(_BPE_MERGES, "words_cte")
-    + """
-, word_toks AS (
-  SELECT substr(syms, 2, length(syms) - 2) AS bare, wfreq,
-         len(string_split(substr(syms, 2, length(syms) - 2), chr(2) || chr(1))) AS n_toks
-  FROM w8
-), stream AS (
-  SELECT source, unnest(string_split(lower(text), ' ')) AS word
-  FROM documents
-)
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4) AS toks_per_word
-FROM stream s
-JOIN word_toks w ON replace(w.bare, chr(2) || chr(1), '') = s.word
-WHERE s.word <> ''
-GROUP BY source
-"""
-)
-
-
-EXTRA_QUERIES.update(
-    {
-        "bpe_corpus_tokens": (
-            q_bpe_corpus_tokens,
-            ORACLE_BPE_CORPUS_TOKENS,
-            "ext:bpe corpus token accounting",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Event-sequence pattern matching (MATCH_RECOGNIZE / CEP analog)
-# --------------------------------------------------------------------------
-
-
-def q_event_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL MATCH_RECOGNIZE / Flink-CEP analog: detect
-    view→(no error)→purchase sequences per user by compiling each
-    user's ordered event stream into a symbol string (first char of
-    event_type — distinct across the five types) and counting regex
-    matches of 'v[^e]*?p' (lazy quantifier: each purchase closes the
-    nearest open view, so back-to-back conversions count separately). ONE shuffle on user_id builds the paths;
-    the regex runs on per-user strings, never on the event stream.
-    Per-user path length is bounded by per-user activity (sessionize
-    first — sessionize_gaps — when single users span millions of
-    events). Ordering ties on ts break by event_id so the compiled
-    string is deterministic. Returns matching users only."""
-    events = _t(spark, sf_dir, "events")
-    paths = (
-        events.select(
-            "user_id",
-            F.struct(F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("sym")).alias("e"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(e)), x -> x.sym)"), ""
-            ).alias("path")
-        )
-    )
-    return (
-        paths.select(
-            "user_id",
-            F.length("path").cast("long").alias("path_len"),
-            F.size(F.expr("regexp_extract_all(path, 'v[^e]*?p', 0)"))
-            .cast("long")
-            .alias("n_matches"),
-        )
-        .filter(F.col("n_matches") > 0)
-    )
-
-
-ORACLE_EVENT_PATH = """
-WITH paths AS (
-  SELECT user_id,
-         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
-  FROM events
-  GROUP BY user_id
-)
-SELECT user_id, CAST(length(path) AS BIGINT) AS path_len,
-       CAST(len(regexp_extract_all(path, 'v[^e]*?p')) AS BIGINT) AS n_matches
-FROM paths
-WHERE len(regexp_extract_all(path, 'v[^e]*?p')) > 0
-"""
-
-
-# --------------------------------------------------------------------------
-# k-anonymity audit (privacy-side curation)
-# --------------------------------------------------------------------------
-
-
-def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Privacy audit for quasi-identifier re-identification risk: any
-    (nation, market-segment, balance-band) combination shared by fewer
-    than k=5 customers fails k-anonymity — publishing those rows risks
-    re-identification. One partially-aggregated shuffle on the
-    quasi-identifier tuple; the audit output is group-sized, not
-    row-sized. The release-side fix (suppress, or generalize the
-    balance band wider and re-audit) is a semi-join against this
-    result."""
-    cust = _t(spark, sf_dir, "customer")
-    return (
-        cust.groupBy(
-            F.col("c_nationkey").cast("long").alias("nationkey"),
-            F.col("c_mktsegment").alias("mktsegment"),
-            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
-        )
-        .agg(F.count("*").cast("long").alias("group_size"))
-        .filter(F.col("group_size") < 5)
-    )
-
-
-ORACLE_K_ANONYMITY = """
-SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
-       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
-       CAST(COUNT(*) AS BIGINT) AS group_size
-FROM customer
-GROUP BY 1, 2, 3
-HAVING COUNT(*) < 5
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "event_path_pattern": (
-            q_event_path_pattern,
-            ORACLE_EVENT_PATH,
-            "ext:CEP sequence pattern",
-        ),
-        "k_anonymity_audit": (
-            q_k_anonymity_audit,
-            ORACLE_K_ANONYMITY,
-            "ext:privacy k-anonymity",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Recursive CTE hierarchy traversal (Spark 4 WITH RECURSIVE)
-# --------------------------------------------------------------------------
-
-
-def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchy traversal through Spark 4's native WITH RECURSIVE
-    (SPARK-24497): parts form a synthetic BOM tree (parent = key div
-    10), the recursive anchor seeds the roots and each step joins the
-    frontier to the part table on the parent key — the declarative
-    form of the frontier loop functions/graph.py:bfs_distances runs by
-    hand. Catalyst executes it as an iterated keyed join + union, so
-    each round shuffles only the frontier, and the explicit depth
-    guard bounds the iteration exactly like bfs's max_hops. Output is
-    the per-depth rollup (tiny, deterministic)."""
-    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(
-        """
-        WITH RECURSIVE chain (p_partkey, depth) AS (
-          SELECT p_partkey, CAST(0 AS BIGINT) AS depth
-          FROM part WHERE p_partkey < 10
-          UNION ALL
-          SELECT p.p_partkey, c.depth + 1
-          FROM part p JOIN chain c ON p.p_partkey DIV 10 = c.p_partkey
-          WHERE p.p_partkey >= 10 AND c.depth < 10
-        )
-        SELECT c.depth, COUNT(*) AS n_parts,
-               ROUND(SUM(p.p_retailprice), 2) AS subtree_price
-        FROM chain c JOIN part p ON p.p_partkey = c.p_partkey
-        GROUP BY c.depth
-        """
-    )
-
-
-ORACLE_RECURSIVE_HIERARCHY = """
-WITH RECURSIVE chain (p_partkey, depth) AS (
-  SELECT p_partkey, CAST(0 AS BIGINT) AS depth
-  FROM part WHERE p_partkey < 10
-  UNION ALL
-  SELECT p.p_partkey, c.depth + 1
-  FROM part p JOIN chain c ON p.p_partkey // 10 = c.p_partkey
-  WHERE p.p_partkey >= 10 AND c.depth < 10
-)
-SELECT c.depth, CAST(COUNT(*) AS BIGINT) AS n_parts,
-       ROUND(SUM(p.p_retailprice), 2) AS subtree_price
-FROM chain c JOIN part p ON p.p_partkey = c.p_partkey
-GROUP BY c.depth
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "recursive_hierarchy": (
-            q_recursive_hierarchy,
-            ORACLE_RECURSIVE_HIERARCHY,
-            "ext:recursive CTE hierarchy",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# N-gram novelty scoring (incremental corpus diversity)
-# --------------------------------------------------------------------------
-
-
-def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental novelty per document: the fraction of a doc's
-    distinct word 5-grams that no earlier doc (by doc_id order)
-    contains — the curation signal for 'is this document adding new
-    content or repeating the corpus'. Each distinct (gram, doc) pair
-    reduces to the gram's FIRST doc via one min-aggregate on the gram
-    hash (partial aggs apply), then a keyed join back — the same
-    two-shuffle shape as duplicate_spans, never all-pairs. Grams hash
-    to the portable 60-bit md5 convention. Returns per-source novelty
-    aggregates (doc-level scores are the intermediate)."""
-    from yelp_etl_spark.sources.readers import fan_out
-
-    docs = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.split(F.lower("text"), " ").alias("ws"),
-    ).withColumn("ws", F.expr("filter(ws, w -> w <> '')"))
-    grams = (
-        toks.filter(F.size("ws") >= 5)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.sequence(F.lit(0), F.size("ws") - 5)).alias("i"),
-            F.col("ws"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.conv(
-                F.substring(
-                    F.md5(F.expr("array_join(slice(ws, i + 1, 5), ' ')")), 18, 15
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("gh"),
-        )
-        .distinct()
-    )
-    first_doc = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    scored = (
-        grams.join(first_doc, "gh")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
-        )
-    )
-    return (
-        scored.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg(F.col("n_novel") / F.col("n_grams")), 4).alias(
-                "avg_novelty"
-            ),
-            F.sum("n_novel").cast("long").alias("total_novel_grams"),
-        )
-    )
-
-
-ORACLE_NOVELTY = """
-WITH toks AS (
-  SELECT doc_id, source,
-         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
-  FROM documents
-), grams AS (
-  SELECT DISTINCT doc_id, source,
-         CAST(concat('0x',
-              substr(md5(array_to_string(ws[i+1:i+5], ' ')), 18, 15)) AS BIGINT) AS gh
-  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(ws) - 5)) AS i)
-  WHERE len(ws) >= 5
-), first_doc AS (
-  SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
-), scored AS (
-  SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
-         SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
-  FROM grams g JOIN first_doc f USING (gh)
-  GROUP BY 1, 2
-)
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(AVG(CAST(n_novel AS DOUBLE) / n_grams), 4) AS avg_novelty,
-       CAST(SUM(n_novel) AS BIGINT) AS total_novel_grams
-FROM scored GROUP BY source
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "novelty_scores": (
-            q_novelty_scores,
-            ORACLE_NOVELTY,
-            "ext:curation n-gram novelty",
-        ),
-    }
-)
-
-
-def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric shingle-containment pairs (functions/dedup.py:
-    containment_pairs): catches short-doc-quoted-in-long-doc
-    duplication that Jaccard's union denominator hides."""
-    docs = _t(spark, sf_dir, "documents")
-    return DD.containment_pairs(docs, n=3, threshold=0.8)
-
-
-ORACLE_CONTAINMENT = """
-WITH toks AS (
-  SELECT doc_id AS id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tok
-  FROM documents
-),
-sh AS (
-  SELECT id, g AS sh FROM (
-    SELECT id, unnest(list_distinct(list_transform(
-        range(1, GREATEST(LENGTH(tok) - 2, 0) + 1),
-        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])))) AS g
-    FROM toks
-    WHERE LENGTH(tok) >= 3
-  )
-),
-sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment_a,
-       ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS containment_b,
-       ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
-FROM inter
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.8
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "containment_pairs": (
-            q_containment_pairs,
-            ORACLE_CONTAINMENT,
-            "ext:dedup asymmetric containment",
-        ),
-    }
-)
-
-
-_WINNOW_W = 4
-
-
-def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint extraction (functions/dedup.
-    winnow_fingerprints — Schleimer et al. 2003): per document, the
-    distinct minima of every 4-window of 25-gram hashes, aggregated to
-    (count, xor-checksum) per doc. The deterministic content-defined
-    selection with the hard guarantee (any shared substring >= k+w-1
-    shares a fingerprint); the xor checksum pins the exact fingerprint
-    SET cross-engine without shipping every hash through the compare."""
-    docs = _t(spark, sf_dir, "documents")
-    fp = DD.winnow_fingerprints(
-        docs, "doc_id", "text", k=_SPAN_K, w=_WINNOW_W
-    )
-    return fp.groupBy("doc_id").agg(
-        F.count("*").alias("n_fp"),
-        F.bit_xor("fp").alias("fp_xor"),
-    )
-
-
-ORACLE_WINNOW = f"""
-WITH grams AS (
-  SELECT doc_id, length(text) AS len, i AS pos,
-         CAST(concat('0x', substr(md5(substr(text, i, {_SPAN_K})), 18, 15)) AS BIGINT) AS gh
-  FROM documents,
-       LATERAL (SELECT unnest(generate_series(1, length(text) - {_SPAN_K - 1})) AS i)
-  WHERE length(text) >= {_SPAN_K}
-), sel AS (
-  SELECT doc_id, len, pos,
-         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
-  FROM grams
-), fps AS (
-  SELECT DISTINCT doc_id, fp FROM sel
-  WHERE pos <= (len - {_SPAN_K - 1}) - {_WINNOW_W - 1}
-)
-SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp) AS fp_xor
-FROM fps GROUP BY doc_id
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "winnow_fingerprints": (
-            q_winnow_fingerprints,
-            ORACLE_WINNOW,
-            "ext:winnowing fingerprint selection (MOSS)",
-        ),
-    }
-)
-
-
-_KMEANS_K = 4
-_KMEANS_ITERS = 3
-_KMEANS_DIM = 64
-
-
-def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means (functions/clustering.kmeans) over
-    the embeddings table: first-k-by-id init, 3 exact update
-    iterations, per-cluster sizes + inertia under the final centroids.
-    The oracle runs the IDENTICAL unrolled iterations in DuckDB —
-    centroid rounding after every update makes the cross-engine
-    comparison robust to fp summation order, so every one of the 500
-    assignments is effectively value-checked through 3 iterations."""
-    from yelp_etl_spark.functions.clustering import kmeans
-
-    emb = _t(spark, sf_dir, "embeddings")
-    assign, _cent = kmeans(
-        emb,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=_KMEANS_K,
-        iterations=_KMEANS_ITERS,
-    )
-    return assign.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
-        F.count("*").alias("n_points"),
-        F.round(F.sum("dist2"), 4).alias("inertia"),
-    )
-
-
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
-    """Generate the unrolled-iteration DuckDB twin. Every step CTE is
-    AS MATERIALIZED — DuckDB inlines CTEs by default and a chain where
-    step i references step i-1 repeatedly grows the plan exponentially
-    (the BPE oracle lesson). pos is 0-based to match posexplode."""
-    steps = [
-        f"""ex AS MATERIALIZED (
-  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, range(1, {dim + 1}) t(i)
-)""",
-        f"""init_ids AS MATERIALIZED (
-  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-)""",
-        """cent0 AS MATERIALIZED (
-  SELECT c, pos, ROUND(x, 6) AS v FROM ex JOIN init_ids USING (vec_id)
-)""",
-    ]
-    for n in range(1, iters + 1):
-        steps.append(
-            f"""d{n} AS MATERIALIZED (
-  SELECT vec_id, c, SUM((x - v) * (x - v)) AS d
-  FROM ex JOIN cent{n - 1} USING (pos) GROUP BY vec_id, c
-)"""
-        )
-        steps.append(
-            f"""a{n} AS MATERIALIZED (
-  SELECT vec_id, c FROM (
-    SELECT vec_id, c,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
-    FROM d{n}
-  ) WHERE rn = 1
-)"""
-        )
-        steps.append(
-            f"""cent{n} AS MATERIALIZED (
-  SELECT c, pos, ROUND(AVG(x), 6) AS v
-  FROM a{n} JOIN ex USING (vec_id) GROUP BY c, pos
-)"""
-        )
-    steps.append(
-        f"""dfin AS MATERIALIZED (
-  SELECT vec_id, c, SUM((x - v) * (x - v)) AS d
-  FROM ex JOIN cent{iters} USING (pos) GROUP BY vec_id, c
-)"""
-    )
-    steps.append(
-        """afin AS MATERIALIZED (
-  SELECT vec_id, c, d FROM (
-    SELECT vec_id, c, d,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
-    FROM dfin
-  ) WHERE rn = 1
-)"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(steps)
-        + """
-SELECT CAST(c AS BIGINT) AS cluster, COUNT(*) AS n_points,
-       ROUND(SUM(d), 4) AS inertia
-FROM afin GROUP BY c
-"""
-    )
-
-
-ORACLE_KMEANS_CLUSTERS = _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)
-
-
-EXTRA_QUERIES.update(
-    {
-        "kmeans_clusters": (
-            q_kmeans_clusters,
-            ORACLE_KMEANS_CLUSTERS,
-            "ext:iterative Lloyd's k-means over embeddings",
-        ),
-    }
-)
-
-
-_JL_OUT_DIM = 16
-_JL_IN_DIM = 64
-
-
-def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson-Lindenstrauss random projection 64→16
-    (functions/similarity.random_projection, deterministic md5-sign
-    Rademacher matrix): projects every embedding and reports the JL
-    quality envelope — per-vector norm-preservation ratio
-    ‖Rx‖/‖x‖ aggregated over the corpus. The oracle rebuilds the SAME
-    projection matrix cell-for-cell from the md5 convention and
-    reproduces every projected component, so the whole projection is
-    value-checked, not just its statistics' shape."""
-    from yelp_etl_spark.functions.similarity import (
-        random_projection,
-        squared_norm,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    proj = random_projection(
-        emb, id_col="vec_id", vec_col="embedding", out_dim=_JL_OUT_DIM
-    )
-    orig = emb.select(
-        "vec_id", squared_norm(F.col("embedding")).alias("n2")
-    )
-    ratio = (
-        proj.join(orig, "vec_id")
-        .select(
-            "vec_id",
-            F.sqrt(squared_norm(F.col("projected")) / F.col("n2")).alias("ratio"),
-        )
-    )
-    return ratio.agg(
-        F.count("*").alias("n_vecs"),
-        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
-        F.round(F.min("ratio"), 4).alias("min_ratio"),
-        F.round(F.max("ratio"), 4).alias("max_ratio"),
-    )
-
-
-ORACLE_JL_PROJECTION = f"""
-WITH comp AS MATERIALIZED (
-  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, range(1, {_JL_IN_DIM + 1}) t(i)
-),
-sgn AS MATERIALIZED (
-  SELECT p.pos, q.j,
-         CAST((CAST(concat('0x', substr(md5(concat(p.pos, '_', q.j)), 18, 1))
-                    AS INT) % 2) * 2 - 1 AS DOUBLE)
-           / sqrt({_JL_OUT_DIM}.0) AS r
-  FROM range(0, {_JL_IN_DIM}) p(pos), range(0, {_JL_OUT_DIM}) q(j)
-),
-proj AS MATERIALIZED (
-  SELECT vec_id, j, SUM(x * r) AS y
-  FROM comp JOIN sgn USING (pos) GROUP BY vec_id, j
-),
-norms AS MATERIALIZED (
-  SELECT vec_id, SUM(x * x) AS n2 FROM comp GROUP BY vec_id
-),
-pn AS MATERIALIZED (
-  SELECT vec_id, SUM(y * y) AS p2 FROM proj GROUP BY vec_id
-),
-ratios AS MATERIALIZED (
-  SELECT pn.vec_id, sqrt(p2 / n2) AS ratio
-  FROM pn JOIN norms ON pn.vec_id = norms.vec_id
-)
-SELECT COUNT(*) AS n_vecs,
-       ROUND(AVG(ratio), 4) AS avg_ratio,
-       ROUND(MIN(ratio), 4) AS min_ratio,
-       ROUND(MAX(ratio), 4) AS max_ratio
-FROM ratios
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "jl_projection": (
-            q_jl_projection,
-            ORACLE_JL_PROJECTION,
-            "ext:Johnson-Lindenstrauss deterministic random projection",
-        ),
-    }
-)
-
-
-def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-aware train/val/test split: documents are split by the
-    md5 hash of their NEAR-DUP COMPONENT id (functions/dedup
-    connected_components over exact-Jaccard pairs), not their own id —
-    a plain per-doc hash split leaks near-duplicates across the
-    train/test boundary (the classic contamination failure the
-    decontamination gate can't see because the 'test set' here is our
-    own holdout). Every member of a component lands in one split by
-    construction; the query PROVES it by counting cross-split
-    near-dup pairs (must be 0) alongside per-split sizes. Composition
-    of three oracle-checked operators (jaccard pairs → components →
-    portable hash split), value-checked end-to-end."""
-    from yelp_etl_spark.functions.dedup import connected_components
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
-        "id_a", "id_b"
-    )
-    comp = connected_components(pairs)
-    assigned = (
-        docs.select("doc_id")
-        .join(comp, docs["doc_id"] == comp["id"], "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("doc_id")).alias("component"),
-        )
-        .withColumn(
-            "__m",
-            F.conv(
-                F.substring(
-                    F.md5(F.col("component").cast("string")), 18, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 10,
-        )
-        .withColumn(
-            "split",
-            F.when(F.col("__m") < 8, "train")
-            .when(F.col("__m") == 8, "val")
-            .otherwise("test"),
-        )
-    )
-    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
-    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
-    leak = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("sa") != F.col("sb"), 1)), F.lit(0)
-            )
-            .cast("long")
-            .alias("leaked_pairs")
-        )
-    )
-    return (
-        assigned.groupBy("split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("component").alias("n_components"),
-        )
-        .crossJoin(F.broadcast(leak))
-    )
-
-
-from yelp_etl_spark.functions.dedup import ngram_jaccard_sql_ctes as _pos_ctes
-
-ORACLE_DEDUP_AWARE_SPLIT = (
-    "WITH RECURSIVE " + _pos_ctes(0.2) + """,
-pairs AS MATERIALIZED (
-  SELECT id_a, id_b FROM pos
-),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp0 AS MATERIALIZED (
-  SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
-),
-allc AS MATERIALIZED (
-  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-  FROM documents d LEFT JOIN comp0 c ON d.doc_id = c.id
-),
-splits AS MATERIALIZED (
-  SELECT doc_id, component,
-         CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
-              ELSE 'test' END AS split
-  FROM (
-    SELECT doc_id, component,
-           CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 18, 15))
-                AS BIGINT) % 10 AS m
-    FROM allc
-  )
-),
-leak AS MATERIALIZED (
-  SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 END), 0)
-              AS BIGINT) AS leaked_pairs
-  FROM pairs p
-  JOIN splits sa ON p.id_a = sa.doc_id
-  JOIN splits sb ON p.id_b = sb.doc_id
-)
-SELECT split, COUNT(*) AS n_docs,
-       COUNT(DISTINCT component) AS n_components, leaked_pairs
-FROM splits, leak
-GROUP BY split, leaked_pairs
-"""
-)
-
-
-EXTRA_QUERIES.update(
-    {
-        "dedup_aware_split": (
-            q_dedup_aware_split,
-            ORACLE_DEDUP_AWARE_SPLIT,
-            "ext:near-dup-component train/val/test split + leakage proof",
-        ),
-    }
-)
-
-
-_PCA_ITERS = 5
-_PCA_DIM = 64
-
-
-def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embeddings by matrix-free power
-    iteration (functions/clustering.power_iteration_pca): 5 exact
-    rounds, per-round rounding for cross-engine bit-parity, largest-
-    coordinate-positive sign convention. Returns all 64 loadings plus
-    the eigenvalue and explained-variance ratio; the DuckDB oracle
-    replays the identical unrolled rounds, so the whole eigenvector is
-    value-checked, not just a summary."""
-    from yelp_etl_spark.functions.clustering import power_iteration_pca
-
-    emb = _t(spark, sf_dir, "embeddings")
-    loadings, eig, total = power_iteration_pca(
-        emb, id_col="vec_id", vec_col="embedding", iterations=_PCA_ITERS
-    )
-    return loadings.select(
-        "pos",
-        "loading",
-        F.lit(round(eig, 4)).alias("eigenvalue"),
-        F.lit(round(eig / total, 4)).alias("explained_ratio"),
-    )
-
-
-def _pca_oracle(iters: int, dim: int) -> str:
-    """Unrolled power-iteration twin (materialized CTEs; scalar values
-    carried via CROSS JOIN single-row tables, never repeated scalar
-    subqueries — the BPE oracle lessons)."""
-    steps = [
-        f"""ex AS MATERIALIZED (
-  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, range(1, {dim + 1}) t(i)
-)""",
-        """mu AS MATERIALIZED (
-  SELECT pos, ROUND(AVG(x), 6) AS mu FROM ex GROUP BY pos
-)""",
-        """xc AS MATERIALIZED (
-  SELECT vec_id, ex.pos, x - mu AS x FROM ex JOIN mu USING (pos)
-)""",
-        """nn AS MATERIALIZED (
-  SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM xc
-)""",
-        """v0 AS MATERIALIZED (
-  SELECT pos, CASE WHEN pos = 0 THEN 1.0 ELSE 0.0 END AS v
-  FROM range(0, 64) t(pos)
-)""".replace("64", str(dim)),
-    ]
-    for k in range(1, iters + 1):
-        steps.append(
-            f"""t{k} AS MATERIALIZED (
-  SELECT vec_id, SUM(x * v) AS t
-  FROM xc JOIN v{k - 1} USING (pos) GROUP BY vec_id
-)"""
-        )
-        steps.append(
-            f"""w{k} AS MATERIALIZED (
-  SELECT pos, SUM(x * t) / n AS w
-  FROM xc JOIN t{k} USING (vec_id) CROSS JOIN nn GROUP BY pos, n
-)"""
-        )
-        steps.append(
-            f"""nrm{k} AS MATERIALIZED (
-  SELECT sqrt(SUM(w * w)) AS nrm FROM w{k}
-)"""
-        )
-        steps.append(
-            f"""v{k} AS MATERIALIZED (
-  SELECT pos, ROUND(w / nrm, 6) AS v FROM w{k} CROSS JOIN nrm{k}
-)"""
-        )
-    steps.append(
-        f"""sgn AS MATERIALIZED (
-  SELECT CASE WHEN (
-    SELECT v FROM v{iters} ORDER BY abs(v) DESC, pos LIMIT 1
-  ) < 0 THEN -1.0 ELSE 1.0 END AS s
-)"""
-    )
-    steps.append(
-        f"""vf AS MATERIALIZED (
-  SELECT pos, CASE WHEN v = 0 THEN 0.0 ELSE v * s END AS v
-  FROM v{iters} CROSS JOIN sgn
-)"""
-    )
-    steps.append(
-        """tf AS MATERIALIZED (
-  SELECT vec_id, SUM(x * v) AS t FROM xc JOIN vf USING (pos) GROUP BY vec_id
-)"""
-    )
-    steps.append(
-        """wf AS MATERIALIZED (
-  SELECT pos, SUM(x * t) / n AS w
-  FROM xc JOIN tf USING (vec_id) CROSS JOIN nn GROUP BY pos, n
-)"""
-    )
-    steps.append(
-        """scal AS MATERIALIZED (
-  SELECT ROUND(SUM(vf.v * wf.w), 4) AS eigenvalue,
-         ROUND(SUM(vf.v * wf.w)
-               / (SELECT SUM(x * x) / n FROM xc CROSS JOIN nn GROUP BY n),
-               4) AS explained_ratio
-  FROM vf JOIN wf USING (pos)
-)"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(steps)
-        + """
-SELECT pos, v AS loading, eigenvalue, explained_ratio
-FROM vf CROSS JOIN scal
-"""
-    )
-
-
-ORACLE_PCA_TOP_COMPONENT = _pca_oracle(_PCA_ITERS, _PCA_DIM)
-
-
-EXTRA_QUERIES.update(
-    {
-        "pca_top_component": (
-            q_pca_top_component,
-            ORACLE_PCA_TOP_COMPONENT,
-            "ext:matrix-free power-iteration PCA top component",
-        ),
-    }
-)
-
-
-_FH_N_FEATURES = 256
-
-
-def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed feature hashing (functions/text.hashed_features) over the
-    documents table at 256 buckets: the sparse cell table reduced to
-    per-feature aggregates for the 25 most-populated buckets (doc
-    frequency, then feature id as the total-order tiebreak). Both
-    hashes use the portable md5 convention, so the oracle rebuilds
-    every ±1 contribution exactly — collisions and cancellations
-    included."""
-    from yelp_etl_spark.functions.text import hashed_features
-
-    docs = _t(spark, sf_dir, "documents")
-    cells = hashed_features(
-        docs, id_column="doc_id", text_column="text",
-        n_features=_FH_N_FEATURES,
-    )
-    return (
-        cells.groupBy("feature")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("value").cast("long").alias("sum_value"),
-            F.sum(F.abs("value")).cast("long").alias("sum_abs"),
-        )
-        .orderBy(F.desc("n_docs"), "feature")
-        .limit(25)
-    )
-
-
-ORACLE_HASHED_FEATURES = f"""
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, t.tok
-  FROM documents,
-       LATERAL unnest(string_split(LOWER(text), ' ')) AS t(tok)
-  WHERE t.tok <> ''
-),
-hashed AS MATERIALIZED (
-  SELECT doc_id,
-         CAST(concat('0x', substr(md5(tok), 18, 15)) AS BIGINT)
-           % {_FH_N_FEATURES} AS feature,
-         CASE WHEN CAST(concat('0x', substr(md5(tok), 17, 1)) AS BIGINT) % 2
-                   = 1
-              THEN 1 ELSE -1 END AS s
-  FROM toks
-),
-cells AS MATERIALIZED (
-  SELECT doc_id, feature, CAST(SUM(s) AS BIGINT) AS value
-  FROM hashed GROUP BY doc_id, feature
-)
-SELECT feature, COUNT(*) AS n_docs,
-       CAST(SUM(value) AS BIGINT) AS sum_value,
-       CAST(SUM(ABS(value)) AS BIGINT) AS sum_abs
-FROM cells GROUP BY feature
-ORDER BY n_docs DESC, feature LIMIT 25
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "hashed_features": (
-            q_hashed_features,
-            ORACLE_HASHED_FEATURES,
-            "ext:signed feature hashing (vocabulary-free featurizer)",
-        ),
-    }
-)
-
-
-def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PMI bigram collocations (functions/text.pmi_collocations) over
-    the documents table: top 25 adjacent-pair collocations with ≥5
-    occurrences, PMI-ranked with the (a, b) pair as the total-order
-    tiebreak. Position-specific marginals make the oracle an exact
-    count-for-count rebuild; PMI's expression tree (double mul, div,
-    ln) is pinned identically on both sides before the 6-decimal
-    round."""
-    from yelp_etl_spark.functions.text import pmi_collocations
-
-    docs = _t(spark, sf_dir, "documents")
-    return pmi_collocations(
-        docs, id_column="doc_id", text_column="text", min_count=5, top_k=25
-    )
-
-
-ORACLE_PMI_COLLOCATIONS = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, u.tok,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS pos
-  FROM (
-    SELECT doc_id,
-           unnest(string_split(LOWER(text), ' ')) AS tok,
-           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
-    FROM documents
-  ) u
-  WHERE u.tok <> ''
-),
-bigrams AS MATERIALIZED (
-  SELECT t1.tok AS a, t2.tok AS b
-  FROM toks t1
-  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
-),
-pair AS MATERIALIZED (
-  SELECT a, b, COUNT(*) AS n_ab FROM bigrams GROUP BY a, b
-),
-lft AS MATERIALIZED (SELECT a, COUNT(*) AS n_a FROM bigrams GROUP BY a),
-rgt AS MATERIALIZED (SELECT b, COUNT(*) AS n_b FROM bigrams GROUP BY b),
-tot AS MATERIALIZED (SELECT COUNT(*) AS n_total FROM bigrams)
-SELECT p.a, p.b, p.n_ab,
-       ROUND(LN((CAST(p.n_ab AS DOUBLE) * t.n_total)
-                / (CAST(l.n_a AS DOUBLE) * r.n_b)), 6) AS pmi
-FROM pair p
-JOIN lft l USING (a)
-JOIN rgt r USING (b)
-CROSS JOIN tot t
-WHERE p.n_ab >= 5
-ORDER BY pmi DESC, p.a, p.b
-LIMIT 25
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "pmi_collocations": (
-            q_pmi_collocations,
-            ORACLE_PMI_COLLOCATIONS,
-            "ext:PMI bigram collocations (phrase mining)",
-        ),
-    }
-)
-
-
-def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes language tagger (functions/classify.py):
-    train on the deterministic 80% doc_id split, predict lang on the
-    held-out 20%, return the confusion matrix (true_lang, pred_lang,
-    n_docs). Log-likelihoods are quantized to integer micro-nats
-    before summation, so every per-document score is an exact BIGINT
-    the oracle rebuilds term-for-term — argmax included."""
-    from yelp_etl_spark.functions.classify import (
-        naive_bayes_predict,
-        naive_bayes_train,
-    )
-    from yelp_etl_spark.functions.sampling import train_test_split
-
-    docs = _t(spark, sf_dir, "documents")
-    split = train_test_split(docs, "doc_id", 0.8)
-    train = split.filter(F.col("split") == "train")
-    test = split.filter(F.col("split") == "test")
-    priors, loglik = naive_bayes_train(train, label_column="lang")
-    pred = naive_bayes_predict(test, priors, loglik)
-    return (
-        pred.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy(
-            F.col("lang").alias("true_lang"),
-            F.col("label").alias("pred_lang"),
-        )
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("true_lang", "pred_lang")
-    )
-
-
-# The 80% md5-prefix split boundary — derived from the SAME helper the
-# Spark side uses (4 hex digits; an 8-digit rewrite would diverge on
-# keys whose 4-digit prefix equals the cut's).
-from yelp_etl_spark.functions.sampling import HEX_DIGITS as _NB_DIGITS
-from yelp_etl_spark.functions.sampling import fraction_threshold as _nb_cut
-
-ORACLE_NAIVE_BAYES = f"""
-WITH split AS MATERIALIZED (
-  SELECT *,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, {_NB_DIGITS})
-                   < '{_nb_cut(0.8)}'
-              THEN 'train' ELSE 'test' END AS split
-  FROM documents
-),
-train_toks AS MATERIALIZED (
-  SELECT s.lang AS label, u.tok
-  FROM split s, LATERAL unnest(string_split(LOWER(s.text), ' ')) AS u(tok)
-  WHERE s.split = 'train' AND u.tok <> ''
-),
-pair AS MATERIALIZED (
-  SELECT label, tok, CAST(COUNT(*) AS BIGINT) AS c
-  FROM train_toks GROUP BY label, tok
-),
-totals AS MATERIALIZED (
-  SELECT label, CAST(SUM(c) AS BIGINT) AS total_c FROM pair GROUP BY label
-),
-vocab AS MATERIALIZED (SELECT DISTINCT tok FROM pair),
-vsize AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
-grid AS MATERIALIZED (
-  SELECT vo.tok, t.label,
-         CAST(ROUND(LN(CAST(COALESCE(p.c, 0) + 1 AS DOUBLE)
-                       / (t.total_c + vs.v)) * 1000000) AS BIGINT) AS loglik_q
-  FROM vocab vo
-  CROSS JOIN totals t
-  LEFT JOIN pair p ON p.label = t.label AND p.tok = vo.tok
-  CROSS JOIN vsize vs
-),
-priors AS MATERIALIZED (
-  SELECT label, CAST(ROUND(LN(CAST(n_l AS DOUBLE) / n) * 1000000) AS BIGINT)
-           AS prior_q
-  FROM (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_l
-        FROM split WHERE split = 'train' GROUP BY lang)
-  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n
-              FROM split WHERE split = 'train')
-),
-test_toks AS MATERIALIZED (
-  SELECT s.doc_id, u.tok
-  FROM split s, LATERAL unnest(string_split(LOWER(s.text), ' ')) AS u(tok)
-  WHERE s.split = 'test' AND u.tok <> ''
-),
-tok_scores AS MATERIALIZED (
-  SELECT tt.doc_id, g.label, CAST(SUM(g.loglik_q) AS BIGINT) AS tok_q
-  FROM test_toks tt JOIN grid g ON g.tok = tt.tok
-  GROUP BY tt.doc_id, g.label
-),
-scored AS MATERIALIZED (
-  SELECT d.doc_id, pr.label,
-         pr.prior_q + COALESCE(ts.tok_q, 0) AS score_q
-  FROM (SELECT doc_id FROM split WHERE split = 'test') d
-  CROSS JOIN priors pr
-  LEFT JOIN tok_scores ts
-    ON ts.doc_id = d.doc_id AND ts.label = pr.label
-),
-pred AS MATERIALIZED (
-  SELECT doc_id, label
-  FROM (SELECT doc_id, label,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY score_q DESC, label ASC) AS rn
-        FROM scored)
-  WHERE rn = 1
-)
-SELECT d.lang AS true_lang, p.label AS pred_lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM pred p JOIN documents d USING (doc_id)
-GROUP BY true_lang, pred_lang
-ORDER BY true_lang, pred_lang
-"""
-
-
-def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact midrank ROC-AUC (functions/evaluation.auc_score) of
-    document length as a ranker for lang='en' — the Mann-Whitney U
-    statistic in pure BIGINT arithmetic until one final division, so
-    the single output row is bit-identical in any engine."""
-    from yelp_etl_spark.functions.evaluation import auc_score
-
-    docs = _t(spark, sf_dir, "documents").select(
-        (F.col("lang") == "en").cast("int").alias("label"),
-        F.col("n_chars").alias("score"),
-    )
-    return auc_score(docs, "label", "score")
-
-
-ORACLE_AUC_SCORE = """
-WITH g AS MATERIALIZED (
-  SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
-  FROM documents GROUP BY n_chars
-),
-ranked AS MATERIALIZED (
-  SELECT cnt, pos,
-         CAST(SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - cnt
-              AS BIGINT) AS before
-  FROM g
-),
-agg AS MATERIALIZED (
-  SELECT SUM(CAST(pos AS HUGEINT) * (2 * before + cnt + 1)) AS two_r_pos,
-         CAST(SUM(pos) AS BIGINT) AS n_pos,
-         CAST(SUM(cnt) AS BIGINT) AS n
-  FROM ranked
-)
-SELECT ROUND(CAST(two_r_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
-             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)),
-             6) AS auc,
-       n_pos, n - n_pos AS n_neg
-FROM agg
-"""
-
-
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift monitor (functions/evaluation.psi_drift): event value
-    distribution, first half of January vs the rest, 10 fixed bins
-    over [0, 100] (top bin clamps the tail). Per-bin smoothed terms;
-    every count exact, every float term a single fixed expression
-    tree."""
-    from yelp_etl_spark.functions.evaluation import psi_drift
-
-    events = _t(spark, sf_dir, "events")
-    pivot = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    return psi_drift(
-        events.filter(F.col("ts") < pivot),
-        events.filter(F.col("ts") >= pivot),
-        "value",
-        lo=0.0,
-        hi=100.0,
-        n_bins=10,
-    )
-
-
-ORACLE_PSI_DRIFT = """
-WITH base AS MATERIALIZED (
-  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 9) AS BIGINT)
-           AS bin
-  FROM events
-  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
-    AND value IS NOT NULL AND NOT isnan(value)
-),
-cur AS MATERIALIZED (
-  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 10.0), 0), 9) AS BIGINT)
-           AS bin
-  FROM events
-  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
-    AND value IS NOT NULL AND NOT isnan(value)
-),
-ba AS MATERIALIZED (
-  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_base FROM base GROUP BY bin
-),
-cu AS MATERIALIZED (
-  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur GROUP BY bin
-),
-tots AS MATERIALIZED (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS tot_base,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS tot_cur
-),
-bins AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS bin FROM range(10))
-SELECT b.bin,
-       CAST(COALESCE(ba.n_base, 0) AS BIGINT) AS n_base,
-       CAST(COALESCE(cu.n_cur, 0) AS BIGINT) AS n_cur,
-       ROUND((CAST(COALESCE(ba.n_base, 0) + 1 AS DOUBLE) / (t.tot_base + 10)
-              - CAST(COALESCE(cu.n_cur, 0) + 1 AS DOUBLE) / (t.tot_cur + 10))
-             * LN((CAST(COALESCE(ba.n_base, 0) + 1 AS DOUBLE)
-                   / (t.tot_base + 10))
-                  / (CAST(COALESCE(cu.n_cur, 0) + 1 AS DOUBLE)
-                     / (t.tot_cur + 10))), 6) AS psi_term
-FROM bins b
-LEFT JOIN ba ON ba.bin = b.bin
-LEFT JOIN cu ON cu.bin = b.bin
-CROSS JOIN tots t
-ORDER BY b.bin
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "naive_bayes_confusion": (
-            q_naive_bayes_confusion,
-            ORACLE_NAIVE_BAYES,
-            "ext:multinomial NB language tagger (quantized log-lik)",
-        ),
-        "auc_score": (
-            q_auc_score,
-            ORACLE_AUC_SCORE,
-            "ext:exact midrank ROC-AUC (Mann-Whitney U)",
-        ),
-        "psi_drift": (
-            q_psi_drift,
-            ORACLE_PSI_DRIFT,
-            "ext:PSI distribution drift monitor",
-        ),
-    }
-)
-
-
-_LOGREG_ITERS = 4
-_LOGREG_DIM = 64
-
-
-def q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary logistic regression by distributed full-batch gradient
-    descent (functions/classify.logistic_regression_train): 4 exact
-    rounds on the embeddings with y = (label < 5), lr = 1, zero
-    init, per-round rounding. Returns all 64 weights + the bias
-    (pos −1) + training accuracy — the DuckDB oracle replays the
-    identical unrolled rounds, so the whole model is value-checked."""
-    from yelp_etl_spark.functions.classify import logistic_regression_train
-
-    emb = _t(spark, sf_dir, "embeddings")
-    labels = emb.select(
-        "vec_id", (F.col("label") < 5).cast("double").alias("y")
-    )
-    w, acc = logistic_regression_train(
-        emb, labels, iterations=_LOGREG_ITERS, lr=1.0
-    )
-    return (
-        spark.createDataFrame(w, "pos int, weight double")
-        .select("pos", "weight", F.lit(acc).alias("accuracy"))
-        .orderBy("pos")
-    )
-
-
-def _logreg_oracle(iters: int, dim: int) -> str:
-    """Unrolled gradient-descent twin (materialized CTEs, scalar
-    values via CROSS JOIN single-row tables — the BPE oracle
-    lessons). Mirrors logistic_regression_train round for round."""
-    steps = [
-        f"""ex AS MATERIALIZED (
-  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, range(1, {dim + 1}) t(i)
-  UNION ALL
-  SELECT vec_id, -1 AS pos, 1.0 AS x FROM embeddings
-)""",
-        """ylab AS MATERIALIZED (
-  SELECT vec_id, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
-  FROM embeddings
-)""",
-        """nn AS MATERIALIZED (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ylab
-)""",
-        f"""w0 AS MATERIALIZED (
-  SELECT CAST(pos AS INTEGER) AS pos, 0.0 AS w FROM range(-1, {dim}) t(pos)
-)""",
-    ]
-    for k in range(1, iters + 1):
-        steps.append(
-            f"""z{k} AS MATERIALIZED (
-  SELECT vec_id, ROUND(SUM(x * w), 6) AS z
-  FROM ex JOIN w{k - 1} USING (pos) GROUP BY vec_id
-)"""
-        )
-        steps.append(
-            f"""r{k} AS MATERIALIZED (
-  SELECT z.vec_id, ROUND(1.0 / (1.0 + EXP(-z.z)), 6) - y.y AS r
-  FROM z{k} z JOIN ylab y USING (vec_id)
-)"""
-        )
-        steps.append(
-            f"""g{k} AS MATERIALIZED (
-  SELECT pos, ROUND(SUM(x * r) / n, 6) AS g
-  FROM ex JOIN r{k} USING (vec_id) CROSS JOIN nn GROUP BY pos, n
-)"""
-        )
-        steps.append(
-            f"""w{k} AS MATERIALIZED (
-  SELECT w.pos, ROUND(w.w - COALESCE(g.g, 0), 6) AS w
-  FROM w{k - 1} w LEFT JOIN g{k} g USING (pos)
-)"""
-        )
-    steps.append(
-        f"""zf AS MATERIALIZED (
-  SELECT vec_id, ROUND(SUM(x * w), 6) AS z
-  FROM ex JOIN w{iters} USING (pos) GROUP BY vec_id
-)"""
-    )
-    steps.append(
-        """acc AS MATERIALIZED (
-  SELECT ROUND(CAST(SUM(CASE WHEN (CASE WHEN z >= 0 THEN 1.0 ELSE 0.0 END) = y
-                              THEN 1 ELSE 0 END) AS DOUBLE) / n, 6) AS accuracy
-  FROM zf JOIN ylab USING (vec_id) CROSS JOIN nn GROUP BY n
-)"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(steps)
-        + f"""
-SELECT pos, w AS weight, accuracy
-FROM w{iters} CROSS JOIN acc
-ORDER BY pos
-"""
-    )
-
-
-ORACLE_LOGREG = _logreg_oracle(_LOGREG_ITERS, _LOGREG_DIM)
-
-
-EXTRA_QUERIES.update(
-    {
-        "logreg_weights": (
-            q_logreg_weights,
-            ORACLE_LOGREG,
-            "ext:distributed logistic regression (unrolled GD oracle)",
-        ),
-    }
-)
-
-
-def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """χ² feature selection (functions/classify.chi2_terms) on the
-    documents table: the 20 (term, lang) cells most dependent on the
-    label, exact presence counts, the χ² value one pinned double
-    expression tree. (tok, label) is the total-order tiebreak."""
-    from yelp_etl_spark.functions.classify import chi2_terms
-
-    return chi2_terms(_t(spark, sf_dir, "documents"), top_k=20)
-
-
-ORACLE_CHI2_TERMS = """
-WITH presence AS MATERIALIZED (
-  SELECT DISTINCT d.doc_id, u.tok, d.lang AS label
-  FROM documents d,
-       LATERAL unnest(string_split(LOWER(d.text), ' ')) AS u(tok)
-  WHERE u.tok <> ''
-),
-a_tbl AS MATERIALIZED (
-  SELECT tok, label, CAST(COUNT(*) AS BIGINT) AS a
-  FROM presence GROUP BY tok, label
-),
-dft AS MATERIALIZED (
-  SELECT tok, CAST(SUM(a) AS BIGINT) AS df_t FROM a_tbl GROUP BY tok
-),
-ncs AS MATERIALIZED (
-  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_c
-  FROM documents GROUP BY lang
-),
-ntot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-grid AS MATERIALIZED (
-  SELECT d.tok, c.label,
-         CAST(COALESCE(a.a, 0) AS BIGINT) AS a, d.df_t, c.n_c, t.n
-  FROM dft d
-  CROSS JOIN ncs c
-  LEFT JOIN a_tbl a ON a.tok = d.tok AND a.label = c.label
-  CROSS JOIN ntot t
-)
-SELECT tok, label, a AS n_docs_in_class,
-       CASE WHEN df_t = n OR n_c = n THEN 0.0 ELSE
-       ROUND(
-         (CAST(n AS DOUBLE)
-          * (CAST(a AS DOUBLE) * CAST(n - df_t - n_c + a AS DOUBLE)
-             - CAST(df_t - a AS DOUBLE) * CAST(n_c - a AS DOUBLE))
-          * (CAST(a AS DOUBLE) * CAST(n - df_t - n_c + a AS DOUBLE)
-             - CAST(df_t - a AS DOUBLE) * CAST(n_c - a AS DOUBLE)))
-         / ((CAST(a AS DOUBLE) + CAST(df_t - a AS DOUBLE))
-            * (CAST(n_c - a AS DOUBLE) + CAST(n - df_t - n_c + a AS DOUBLE))
-            * (CAST(a AS DOUBLE) + CAST(n_c - a AS DOUBLE))
-            * (CAST(df_t - a AS DOUBLE) + CAST(n - df_t - n_c + a AS DOUBLE))),
-         4) END AS chi2
-FROM grid
-ORDER BY chi2 DESC, tok, label
-LIMIT 20
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "chi2_terms": (
-            q_chi2_terms,
-            ORACLE_CHI2_TERMS,
-            "ext:chi-squared term-class feature selection",
-        ),
-    }
-)
-
-
-def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-quality metric closing the ANN loop: per-query
-    recall@5 of the hyperplane-LSH index against the exact brute-force
-    cosine top-5 (same query set as lsh_topk_checked, vec_id % 101 =
-    0). Both sides run in-engine — ground truth is never collected —
-    and the overlap count joins on (query, neighbor), so the metric
-    stays a keyed-join DataFrame at any corpus size. recall = overlap
-    / k is one exact small-int division. At 100 TB the ground truth is
-    the expensive side (brute force is O(|queries|·n)): evaluate on a
-    FIXED query sample (constant |queries|), which makes the whole
-    metric linear in n — the modulus filter here plays that role."""
-    from yelp_etl_spark.functions import similarity as S
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 101 == 0)
-    brute = S.brute_force_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    lsh = S.lsh_topk(emb, queries, dim=64, k=5, n_planes=8, seed=42).select(
-        "query_id", "neighbor_id"
-    )
-    overlap = (
-        brute.join(lsh, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    qids = brute.select("query_id").distinct()
-    return (
-        qids.join(overlap, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias(
-                "recall_at_5"
-            ),
-        )
-        .orderBy("query_id")
-    )
-
-
-def _oracle_ann_recall(dim: int = 64, n_planes: int = 8, seed: int = 42,
-                       k: int = 5) -> str:
-    """Brute-force and LSH top-k rebuilt side by side (the same CTE
-    bodies as their individually-green oracle twins), intersected for
-    the per-query overlap."""
-    from yelp_etl_spark.functions.similarity import (
-        cosine_sim_sql,
-        lsh_bucket_sql,
-    )
-
-    bucket = lsh_bucket_sql(dim, n_planes, seed)
-    cos = cosine_sim_sql("q", "c")
-    return f"""
-WITH v AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-),
-brute AS MATERIALIZED (
-  SELECT query_id, neighbor_id
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine_sim DESC,
-                                              neighbor_id ASC) AS rank
-        FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     {cos} AS cosine_sim
-              FROM v q JOIN v c ON c.vec_id <> q.vec_id
-              WHERE q.vec_id % 101 = 0))
-  WHERE rank <= {k}
-),
-h AS MATERIALIZED (
-  SELECT vec_id, emb, {bucket} AS bucket FROM v
-),
-lsh AS MATERIALIZED (
-  SELECT query_id, neighbor_id
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine_sim DESC,
-                                              neighbor_id ASC) AS rank
-        FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     {cos} AS cosine_sim
-              FROM h q JOIN h c
-                ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-              WHERE q.vec_id % 101 = 0))
-  WHERE rank <= {k}
-),
-overlap AS MATERIALIZED (
-  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
-  FROM brute b JOIN lsh l
-    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
-  GROUP BY b.query_id
-)
-SELECT q.query_id,
-       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-       COALESCE(o.n_overlap, 0) / 5.0 AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM brute) q
-LEFT JOIN overlap o ON o.query_id = q.query_id
-ORDER BY q.query_id
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "ann_recall_at_k": (
-            q_ann_recall_at_k,
-            _oracle_ann_recall(),
-            "ext:ANN recall@k vs exact brute force (in-engine)",
-        ),
-    }
-)
-
-
-def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier retention curve (functions/evaluation.kaplan_meier)
-    over user activity spans: duration = days from a user's first to
-    last event; the terminal event is observed ("churned") when the
-    last event precedes the corpus horizon by more than 3 days,
-    censored otherwise. All counting reduces to the distinct-duration
-    table; the cumulative product is an ordered running exp∘Σln both
-    engines accumulate identically."""
-    from yelp_etl_spark.functions.evaluation import kaplan_meier
-
-    events = _t(spark, sf_dir, "events")
-    horizon = events.agg(F.max("ts").alias("max_ts"))
-    per_user = (
-        events.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
-            (
-                F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 3 DAYS")
-            )
-            .cast("long")
-            .alias("churned"),
-        )
-    )
-    return kaplan_meier(per_user, "t", "churned")
-
-
-ORACLE_KAPLAN_MEIER = """
-WITH horizon AS MATERIALIZED (SELECT MAX(ts) AS max_ts FROM events),
-per_user AS MATERIALIZED (
-  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t,
-         CASE WHEN MAX(ts) < h.max_ts - INTERVAL 3 DAY THEN 1 ELSE 0 END
-           AS churned
-  FROM events CROSS JOIN horizon h
-  GROUP BY user_id, h.max_ts
-),
-by_t AS MATERIALIZED (
-  SELECT CAST(t AS BIGINT) AS t,
-         CAST(COUNT(*) AS BIGINT) AS n_end,
-         CAST(SUM(churned) AS BIGINT) AS d_event
-  FROM per_user GROUP BY t
-),
-tot AS MATERIALIZED (SELECT CAST(SUM(n_end) AS BIGINT) AS n_total FROM by_t),
-stepped AS MATERIALIZED (
-  SELECT t, n_end, d_event,
-         CAST(n_total - (SUM(n_end) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
-                         - n_end) AS BIGINT) AS n_risk
-  FROM by_t CROSS JOIN tot
-),
-factored AS MATERIALIZED (
-  SELECT *,
-         1.0 - CAST(d_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
-  FROM stepped
-)
-SELECT t, n_risk, d_event,
-       CAST(n_end - d_event AS BIGINT) AS n_censored,
-       CASE WHEN MIN(factor) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) <= 0
-            THEN 0.0
-            ELSE ROUND(EXP(CAST(SUM(CASE WHEN factor > 0
-                                         THEN CAST(ROUND(LN(factor) * 1000000)
-                                                   AS BIGINT)
-                                         ELSE 0 END)
-                                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
-                                AS DOUBLE) / 1000000.0), 6)
-       END AS survival
-FROM factored
-ORDER BY t
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "kaplan_meier": (
-            q_kaplan_meier,
-            ORACLE_KAPLAN_MEIER,
-            "ext:Kaplan-Meier retention/survival curve",
-        ),
-    }
-)
-
-
-def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated bigram-LM quality scoring (functions/text.
-    bigram_nll) over the documents table: per-document average NLL in
-    micro-nat-exact arithmetic. Second-order twin of unigram_nll."""
-    from yelp_etl_spark.functions.text import bigram_nll
-
-    return bigram_nll(_t(spark, sf_dir, "documents"))
-
-
-ORACLE_BIGRAM_NLL = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, u.tok,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS pos
-  FROM (
-    SELECT doc_id,
-           unnest(string_split(LOWER(text), ' ')) AS tok,
-           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
-    FROM documents
-  ) u
-  WHERE u.tok <> ''
-),
-bigrams AS MATERIALIZED (
-  SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
-  FROM toks t1
-  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
-),
-pair AS MATERIALIZED (
-  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bigrams GROUP BY a, b
-),
-lft AS MATERIALIZED (
-  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM pair GROUP BY a
-),
-uni AS MATERIALIZED (
-  SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM pair GROUP BY b
-),
-tot AS MATERIALIZED (SELECT CAST(SUM(cab) AS BIGINT) AS t FROM pair),
-vsz AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-scored AS MATERIALIZED (
-  SELECT g.doc_id,
-         CAST(-ROUND(LN(0.75 * (CAST(p.cab AS DOUBLE) / l.ca)
-                        + 0.25 * (CAST(u.cb + 1 AS DOUBLE) / (t.t + v.v)))
-                     * 1000000) AS BIGINT) AS nll_q
-  FROM bigrams g
-  JOIN pair p ON p.a = g.a AND p.b = g.b
-  JOIN lft l ON l.a = g.a
-  JOIN uni u ON u.b = g.b
-  CROSS JOIN tot t
-  CROSS JOIN vsz v
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(CAST(SUM(nll_q) AS BIGINT) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS avg_nll
-FROM scored
-GROUP BY doc_id
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "bigram_nll": (
-            q_bigram_nll,
-            ORACLE_BIGRAM_NLL,
-            "ext:interpolated bigram-LM perplexity scoring",
-        ),
-    }
-)
-
-
-def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-1..7 autocorrelation of the daily event-count series
-    (functions/evaluation.acf): seasonality diagnostic in exact
-    integer algebra — only the final per-lag division is float."""
-    from yelp_etl_spark.functions.evaluation import acf
-
-    daily = (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("step"))
-        .agg(F.count("*").alias("x"))
-    )
-    return acf(daily, "step", "x", max_lag=7)
-
-
-ORACLE_ACF_DAILY = """
-WITH daily AS MATERIALIZED (
-  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS step,
-         CAST(COUNT(*) AS BIGINT) AS x
-  FROM events GROUP BY 1
-),
-stats AS MATERIALIZED (
-  SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
-  FROM daily
-),
-c AS MATERIALIZED (
-  SELECT step, CAST(n AS HUGEINT) * x - s AS c
-  FROM daily CROSS JOIN stats
-),
-den AS MATERIALIZED (SELECT SUM(c * c) AS den FROM c),
-lags AS MATERIALIZED (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
-pairs AS MATERIALIZED (
-  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         SUM(a.c * b.c) AS num
-  FROM c a
-  CROSS JOIN lags l
-  JOIN c b ON b.step = a.step + l.lag
-  GROUP BY l.lag
-)
-SELECT l.lag,
-       COALESCE(p.n_pairs, 0) AS n_pairs,
-       CASE WHEN d.den = 0 OR p.num IS NULL THEN 0.0
-            ELSE ROUND(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
-       END AS r
-FROM lags l LEFT JOIN pairs p ON p.lag = l.lag CROSS JOIN den d
-ORDER BY l.lag
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "acf_daily_events": (
-            q_acf_daily_events,
-            ORACLE_ACF_DAILY,
-            "ext:exact lag-k autocorrelation (seasonality diagnostic)",
-        ),
-    }
-)
-
-
-_SSSP_ROUNDS = 4
-
-
-def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted shortest paths (functions/graph.sssp_weighted) on the
-    supplier↔customer order graph (edge weight = min quantity ever
-    shipped on the pair), seeded at nation-0 suppliers, 4 Bellman-Ford
-    rounds. Integer weights keep every tentative distance an exact
-    BIGINT; the oracle replays the identical unrolled relaxation
-    sweeps. Output: nodes bucketed by final distance (bounded rows)."""
-    from yelp_etl_spark.functions.graph import sssp_weighted
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supplier = _t(spark, sf_dir, "supplier")
-    edges = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .agg(F.min(F.floor("l_quantity")).alias("w"))  # floor: Spark cast
-        # truncates but DuckDB's rounds; fixture quantities are integral
-        # so either works TODAY — floor keeps it exact on any data
-    )
-    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
-        (F.col("s_suppkey") * 2).alias("id")
-    )
-    dist = sssp_weighted(edges, seeds, rounds=_SSSP_ROUNDS)
-    return (
-        dist.groupBy(
-            F.floor(F.col("dist") / F.lit(10)).cast("long").alias("dist_bucket")
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_nodes"),
-            F.min("dist").cast("long").alias("min_dist"),
-            F.max("dist").cast("long").alias("max_dist"),
-        )
-        .orderBy("dist_bucket")
-    )
-
-
-def _sssp_oracle(rounds: int) -> str:
-    steps = [
-        """edges AS MATERIALIZED (
-  SELECT CAST(l_suppkey * 2 AS BIGINT) AS src,
-         CAST(o_custkey * 2 + 1 AS BIGINT) AS dst,
-         CAST(MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS w
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  GROUP BY 1, 2
-)""",
-        """sym AS MATERIALIZED (
-  SELECT src, dst, w FROM edges
-  UNION ALL
-  SELECT dst AS src, src AS dst, w FROM edges
-)""",
-        """d0 AS MATERIALIZED (
-  SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
-  FROM supplier WHERE s_nationkey = 0
-)""",
-    ]
-    for k in range(1, rounds + 1):
-        steps.append(
-            f"""d{k} AS MATERIALIZED (
-  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
-  FROM (
-    SELECT id, dist FROM d{k - 1}
-    UNION ALL
-    SELECT e.dst AS id, d.dist + e.w AS dist
-    FROM d{k - 1} d JOIN sym e ON e.src = d.id
-  )
-  GROUP BY id
-)"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(steps)
-        + f"""
-SELECT CAST(dist // 10 AS BIGINT) AS dist_bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_nodes,
-       CAST(MIN(dist) AS BIGINT) AS min_dist,
-       CAST(MAX(dist) AS BIGINT) AS max_dist
-FROM d{rounds}
-GROUP BY 1
-ORDER BY dist_bucket
-"""
-    )
-
-
-EXTRA_QUERIES.update(
-    {
-        "sssp_weighted": (
-            q_sssp_weighted,
-            _sssp_oracle(_SSSP_ROUNDS),
-            "ext:Bellman-Ford weighted shortest paths (unrolled oracle)",
-        ),
-    }
-)
-
-
-def q_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF surface, driver-checked end to end: the registered
-    ``split_chunks`` table function (functions/udfs.py) runs in SQL
-    LATERAL position over the first 100 documents and the chunk stream
-    is re-aggregated per document. The oracle rebuilds the identical
-    chunking with pure SQL substring arithmetic — pinning the UDTF's
-    row-expansion semantics (0-based chunk ids, ragged tail), not just
-    that it runs. UDTFs are row-at-a-time Python: this exists for API
-    completeness (chunk_documents is the set-oriented hot path)."""
-    from yelp_etl_spark.functions.udfs import register_split_chunks_udtf
-
-    register_split_chunks_udtf(spark)
-    (
-        _t(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
-        .createOrReplaceTempView("udtf_docs_cat")
-    )
-    return spark.sql(
-        """
-        SELECT d.doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_chunks,
-               CAST(SUM(length(c.chunk)) AS BIGINT) AS sum_len,
-               CAST(MIN(length(c.chunk)) AS BIGINT) AS min_len,
-               CAST(MAX(c.chunk_id) AS BIGINT) AS last_chunk_id
-        FROM udtf_docs_cat d, LATERAL split_chunks(d.text, 100) c
-        GROUP BY d.doc_id
-        """
-    )
-
-
-ORACLE_UDTF_CHUNK_STATS = """
-WITH chunks AS MATERIALIZED (
-  SELECT doc_id,
-         CAST(i // 100 AS INTEGER) AS chunk_id,
-         substr(text, CAST(i + 1 AS INTEGER), 100) AS chunk
-  FROM (
-    SELECT doc_id, text,
-           unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 100))
-             AS i
-    FROM documents
-    WHERE doc_id < 100 AND length(text) > 0
-  )
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_chunks,
-       CAST(SUM(length(chunk)) AS BIGINT) AS sum_len,
-       CAST(MIN(length(chunk)) AS BIGINT) AS min_len,
-       CAST(MAX(chunk_id) AS BIGINT) AS last_chunk_id
-FROM chunks
-GROUP BY doc_id
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "udtf_chunk_stats": (
-            q_udtf_chunk_stats,
-            ORACLE_UDTF_CHUNK_STATS,
-            "ext:python UDTF in SQL LATERAL, oracle-checked",
-        ),
-    }
-)
-
-
-def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit (functions/evaluation.benford_audit)
-    of order totals: observed first-digit counts vs log10(1+1/d) with
-    per-digit χ² terms. First digits come from integer string
-    rendering (engine-identical); the expected probabilities are the
-    same Python double literals on both sides."""
-    from yelp_etl_spark.functions.evaluation import benford_audit
-
-    # FLOOR, not a bare double->long cast: Spark's cast truncates but
-    # DuckDB's rounds (the round-4 pitfall) — floor is identical on both
-    orders = _t(spark, sf_dir, "orders").select(
-        F.floor("o_totalprice").alias("v")
-    )
-    return benford_audit(orders, "v")
-
-
-def _benford_oracle() -> str:
-    import math
-
-    # CAST AS DOUBLE: DuckDB parses a bare 16-digit decimal literal as
-    # DECIMAL, and ROUND(DECIMAL, 4) keeps 4-scale decimal ('0.3010')
-    # while Spark's double rounds to '0.301' — type, not value, skew
-    case = " ".join(
-        f"WHEN d.digit = {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
-        for d in range(1, 10)
-    )
-    return f"""
-WITH digits AS MATERIALIZED (
-  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
-              AS INTEGER) AS digit
-  FROM orders
-),
-counts AS MATERIALIZED (
-  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
-  FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit
-),
-tot AS MATERIALIZED (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts),
-grid AS MATERIALIZED (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10))
-SELECT d.digit,
-       CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
-       ROUND(CASE {case} END, 4) AS expected_p,
-       ROUND((CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
-              - CAST(t.n AS DOUBLE) * (CASE {case} END))
-             * (CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
-                - CAST(t.n AS DOUBLE) * (CASE {case} END))
-             / (CAST(t.n AS DOUBLE) * (CASE {case} END)), 6) AS chi2_term
-FROM grid d
-LEFT JOIN counts c ON c.digit = d.digit
-CROSS JOIN tot t
-ORDER BY d.digit
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "benford_audit": (
-            q_benford_audit,
-            _benford_oracle(),
-            "ext:Benford first-digit fraud/synthetic-data audit",
-        ),
-    }
-)
-
-
-_RRF_TERMS = ("merge", "window", "query")  # same query as bm25_search
-
-
-def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 lexical top-50 for the 3-term query
-    fused with the dense cosine top-50 for the vec_id-0 embedding by
-    reciprocal-rank fusion (functions/similarity.rrf_fuse, k=60). The
-    fused score is a fixed 2-term expression tree over integer ranks,
-    so the oracle rebuilds it exactly. Output: fused top-10 with both
-    component ranks (NULL where a list missed the doc)."""
-    from pyspark.sql import Window
-
-    from yelp_etl_spark.functions import similarity as S
-    from yelp_etl_spark.functions.text import bm25_rank
-    from yelp_etl_spark.plans.catalog import _BM25_TERMS
-
-    # enforced, not just asserted in a comment: the lexical leg IS the
-    # bm25_search query (lazy import — catalog imports this module last)
-    assert tuple(_BM25_TERMS) == _RRF_TERMS, "hybrid leg diverged from bm25_search"
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    lexical = (
-        bm25_rank(docs, list(_RRF_TERMS), top_k=50)
-        .withColumn("rank", F.row_number().over(w))
-        .select("doc_id", "rank")
-    )
-    dense = (
-        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
-        .select(F.col("neighbor_id").alias("doc_id"), "rank")
-    )
-    return S.rrf_fuse([lexical, dense], id_column="doc_id", k=60, top_k=10)
-
-
-ORACLE_HYBRID_RRF = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-  FROM documents
-), doclen AS MATERIALIZED (
-  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
-), stats AS MATERIALIZED (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
-), tf AS MATERIALIZED (
-  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-  WHERE tok IN ('merge', 'window', 'query')
-  GROUP BY doc_id, tok
-), idf AS MATERIALIZED (
-  SELECT tok,
-         LN(((SELECT n_docs FROM stats) - COUNT(*) + 0.5)
-            / (COUNT(*) + 0.5) + 1.0) AS idf
-  FROM tf GROUP BY tok
-), lexical AS MATERIALIZED (
-  SELECT doc_id,
-         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
-           AS rank_0
-  FROM (
-    SELECT doc_id,
-           ROUND(SUM(idf * (tf * (1.2 + 1))
-                     / (tf + 1.2 * (1 - 0.75
-                                    + 0.75 * dl / (SELECT avgdl FROM stats)))),
-                 4) AS bm25
-    FROM tf JOIN idf USING (tok) JOIN doclen USING (doc_id)
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id ASC
-    LIMIT 50
-  )
-), v AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-), dense AS MATERIALIZED (
-  SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS rank_1
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine_sim DESC,
-                                              neighbor_id ASC) AS rank
-        FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     {COS} AS cosine_sim
-              FROM v q JOIN v c ON c.vec_id <> q.vec_id
-              WHERE q.vec_id = 0))
-  WHERE rank <= 50
-)
-SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
-       ROUND(COALESCE(1.0 / (60 + l.rank_0), 0.0)
-             + COALESCE(1.0 / (60 + d.rank_1), 0.0), 6) AS rrf,
-       l.rank_0, d.rank_1
-FROM lexical l
-FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
-ORDER BY rrf DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-def _hybrid_rrf_oracle() -> str:
-    from yelp_etl_spark.functions.similarity import cosine_sim_sql
-
-    return ORACLE_HYBRID_RRF.replace("{COS}", cosine_sim_sql("q", "c"))
-
-
-EXTRA_QUERIES.update(
-    {
-        "hybrid_search_rrf": (
-            q_hybrid_search_rrf,
-            _hybrid_rrf_oracle(),
-            "ext:hybrid lexical+dense retrieval via reciprocal-rank fusion",
-        ),
-    }
-)
-
-
-def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration curve (functions/evaluation.reliability_bins) of a
-    deterministic logistic length scorer for lang='en': per-bin
-    observed rate vs mean predicted probability. Probabilities are
-    micro-unit-quantized before summation so every bin statistic is
-    engine-exact."""
-    from yelp_etl_spark.functions.evaluation import reliability_bins
-
-    docs = _t(spark, sf_dir, "documents").select(
-        (
-            F.lit(1.0)
-            / (
-                F.lit(1.0)
-                + F.exp(-(F.col("n_chars") - F.lit(298)).cast("double") / F.lit(100.0))
-            )
-        ).alias("p"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-    )
-    return reliability_bins(docs, "p", "y", n_bins=10)
-
-
-ORACLE_RELIABILITY_BINS = """
-WITH scored AS MATERIALIZED (
-  SELECT 1.0 / (1.0 + EXP(-CAST(n_chars - 298 AS DOUBLE) / 100.0)) AS p,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM documents
-),
-cells AS MATERIALIZED (
-  SELECT CAST(LEAST(GREATEST(FLOOR((p - 0.0) / 0.1), 0), 9) AS BIGINT) AS bin,
-         CAST(ROUND(p * 1000000) AS BIGINT) AS p_q,
-         y
-  FROM scored
-  WHERE p IS NOT NULL AND NOT isnan(p) AND y IS NOT NULL
-)
-SELECT bin,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(y) AS BIGINT) AS n_pos,
-       ROUND(CAST(CAST(SUM(p_q) AS BIGINT) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean_p,
-       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS obs_rate,
-       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             - CAST(CAST(SUM(p_q) AS BIGINT) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS gap
-FROM cells
-GROUP BY bin
-ORDER BY bin
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "reliability_bins": (
-            q_reliability_bins,
-            ORACLE_RELIABILITY_BINS,
-            "ext:calibration/reliability curve (quantized bin stats)",
-        ),
-    }
-)
-
-
-def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive training triplets (functions/dedup.contrastive_pairs):
-    near-dup positives + deterministic hash-bucket negatives, ordered
-    by (anchor, positive) with the jaccard carried for curriculum
-    weighting."""
-    from yelp_etl_spark.functions.dedup import contrastive_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return contrastive_pairs(docs, n=3, threshold=0.2, n_buckets=64).orderBy(
-        "anchor", "positive"
-    )
-
-
-ORACLE_CONTRASTIVE_PAIRS = (
-    "WITH " + _pos_ctes(0.2) + """,
-mins AS MATERIALIZED (
-  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
-              AS BIGINT) % 64 AS bkt,
-         MIN(doc_id) AS negative
-  FROM documents GROUP BY 1
-),
-cand AS MATERIALIZED (
-  SELECT p.id_a AS anchor, p.id_b AS positive, m.negative, p.jaccard
-  FROM pos p
-  JOIN mins m
-    ON m.bkt = (CAST(concat('0x', substr(md5(CAST(p.id_a AS VARCHAR)), 18, 15))
-                     AS BIGINT) + 1) % 64
-  WHERE m.negative <> p.id_a AND m.negative <> p.id_b
-)
-SELECT anchor, positive, negative, jaccard
-FROM cand c
-WHERE NOT EXISTS (
-  SELECT 1 FROM pos q
-  WHERE (q.id_a = c.anchor AND q.id_b = c.negative)
-     OR (q.id_b = c.anchor AND q.id_a = c.negative)
-)
-ORDER BY anchor, positive
-"""
-)
-
-
-EXTRA_QUERIES.update(
-    {
-        "contrastive_pairs": (
-            q_contrastive_pairs,
-            ORACLE_CONTRASTIVE_PAIRS,
-            "ext:contrastive training triplets (deterministic negatives)",
-        ),
-    }
-)
-
-
-_PPR_ITERS = 5
-
-
-def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Personalized PageRank (functions/graph.pagerank with a seed
-    set): random walk with restart to the five lowest-id suppliers on the
-    supplier↔customer order graph — the standard label/quality
-    propagation primitive. Output: top 25 non-seed nodes by proximity
-    rank (rounded 9, id tiebreak); the oracle replays the identical
-    unrolled iterations with the seed-only teleport."""
-    from yelp_etl_spark.functions.graph import pagerank
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supplier = _t(spark, sf_dir, "supplier")
-    edges = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    # seed rule non-empty at EVERY fixture scale (supplier keys start
-    # at 0): the five lowest supplier ids. nation-0 suppliers — the
-    # BFS seed rule — vanish at sf0.001 and would divide by zero.
-    seeds = supplier.filter(F.col("s_suppkey") < 5).select(
-        (F.col("s_suppkey") * 2).alias("id")
-    )
-    ranks = pagerank(
-        edges,
-        iterations=_PPR_ITERS,
-        skip_symmetric_dedup=True,
-        personalization=seeds,
-    )
-    return (
-        ranks.join(seeds.withColumnRenamed("id", "sid"),
-                   F.col("id") == F.col("sid"), "left_anti")
-        .select("id", F.round("rank", 9).alias("rank"))
-        .orderBy(F.desc("rank"), "id")
-        .limit(25)
-    )
-
-
-def _ppr_oracle(iters: int) -> str:
-    sql = """WITH edges AS (
-  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
-                  CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-), sym AS (
-  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
-), deg AS (
-  SELECT src, CAST(1 AS DOUBLE) / COUNT(*) AS w FROM sym GROUP BY src
-), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
-), seeds AS (
-  SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS id
-  FROM supplier WHERE s_suppkey < 5
-), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_seeds FROM seeds
-), r0 AS (
-  SELECT src AS id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg
-)"""
-    for i in range(iters):
-        sql += f""", r{i + 1} AS (
-  SELECT m.id,
-         COALESCE(CASE WHEN se.id IS NOT NULL
-                       THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                            / (SELECT n_seeds FROM ns) END, 0.0)
-         + CAST(0.85 AS DOUBLE) * m.mass AS rank
-  FROM (
-    SELECT s.dst AS id, SUM(r.rank * d.w) AS mass
-    FROM sym s JOIN r{i} r ON s.src = r.id JOIN deg d ON s.src = d.src
-    GROUP BY s.dst
-  ) m
-  LEFT JOIN seeds se ON se.id = m.id
-)"""
-    return (
-        sql
-        + f"""
-SELECT id, ROUND(rank, 9) AS rank
-FROM r{iters}
-WHERE id NOT IN (SELECT id FROM seeds)
-ORDER BY rank DESC, id
-LIMIT 25
-"""
-    )
-
-
-EXTRA_QUERIES.update(
-    {
-        "personalized_pagerank": (
-            q_personalized_pagerank,
-            _ppr_oracle(_PPR_ITERS),
-            "ext:personalized PageRank (random walk with restart)",
-        ),
-    }
-)
-
-
-def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-skew diagnostic (operators/skew.skew_report) on lineitem's
-    supplier key: exact Gini + top-5 heavy-key share from one keyed
-    counting pass — the pre-flight check for the salting/two-stage
-    mitigations in the same module."""
-    from yelp_etl_spark.operators.skew import skew_report
-
-    return skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_k=5)
-
-
-ORACLE_SKEW_REPORT = """
-WITH counts AS MATERIALIZED (
-  SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS x
-  FROM lineitem GROUP BY l_suppkey
-),
-ranked AS MATERIALIZED (
-  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, k) AS BIGINT) AS rnk
-  FROM counts
-),
-stats AS MATERIALIZED (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-         CAST(SUM(x) AS BIGINT) AS total_rows,
-         CAST(MAX(x) AS BIGINT) AS max_count,
-         SUM(CAST(2 * rnk AS HUGEINT) * x) AS num_part
-  FROM ranked
-),
-topk AS MATERIALIZED (
-  SELECT CAST(SUM(x) AS BIGINT) AS top_rows
-  FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, k) AS r FROM counts)
-  WHERE r <= 5
-)
-SELECT s.n_keys, s.total_rows, s.max_count,
-       ROUND(CAST(t.top_rows AS DOUBLE) / CAST(s.total_rows AS DOUBLE), 6)
-         AS top5_share,
-       ROUND(CAST(s.num_part
-                  - CAST(s.n_keys + 1 AS HUGEINT) * s.total_rows AS DOUBLE)
-             / (CAST(s.n_keys AS DOUBLE) * CAST(s.total_rows AS DOUBLE)), 6)
-         AS gini
-FROM stats s CROSS JOIN topk t
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "skew_report": (
-            q_skew_report,
-            ORACLE_SKEW_REPORT,
-            "ext:key-skew diagnostic (exact Gini + heavy-key share)",
-        ),
-    }
-)
-
-
-def q_two_stage_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-stage aggregation of a NON-decomposable aggregate
-    (operators/skew.two_stage_agg, 'collect_list' stage pair): supplier
-    names per nation, partial lists collected on (key, salt) so no
-    single reduce task ever holds a hot key's full row set, merged by
-    flatten + array_sort. The array is stringified at the catalog layer
-    (driver canonicalizer convention); count rides along to prove the
-    algebraic and non-algebraic stages compose in one pass."""
-    from yelp_etl_spark.operators.skew import two_stage_agg
-
-    out = two_stage_agg(
-        _t(spark, sf_dir, "supplier"),
-        ["s_nationkey"],
-        {"names": ("collect_list", "s_name"), "n_sup": ("count", "s_name")},
-        n_salts=8,
-    )
-    return out.select(
-        F.col("s_nationkey").cast("long").alias("s_nationkey"),
-        F.array_join("names", ",").alias("names"),
-        F.col("n_sup").cast("long").alias("n_sup"),
-    )
-
-
-ORACLE_TWO_STAGE_COLLECT = """
-SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
-       array_to_string(list(s_name ORDER BY s_name), ',') AS names,
-       CAST(COUNT(s_name) AS BIGINT) AS n_sup
-FROM supplier GROUP BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "two_stage_collect": (
-            q_two_stage_collect,
-            ORACLE_TWO_STAGE_COLLECT,
-            "ext:salted two-stage collect_list (non-decomposable agg)",
-        ),
-    }
-)
-
-
-# ---------------------------------------------------------------------------
-# Data integrity: portable Bloom runtime-filter pruning + table checksums
-# ---------------------------------------------------------------------------
-
-_BLOOM_BITS = 8192
-_BLOOM_K = 3
-
-
-def _bloom_bit_sql(seed: int, key_expr: str) -> str:
-    """DuckDB twin of integrity's Kirsch–Mitzenmacher scheme: one md5
-    per key; h1/h2 = hex slices [1,15]/[17,15]; bit_j = (h1 + j·h2)
-    mod the filter width."""
-    h = f"md5(CAST({key_expr} AS VARCHAR))"
-    h1 = f"CAST(concat('0x', substr({h}, 1, 15)) AS BIGINT)"
-    h2 = f"CAST(concat('0x', substr({h}, 17, 15)) AS BIGINT)"
-    return f"(({h1}) + {seed} * ({h2})) % {_BLOOM_BITS}"
-
-
-def q_bloom_bitarray_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable bit-array Bloom-filter join pruning
-    (functions/integrity.py bloom_build/bloom_prune): the filtered
-    supplier side (s_acctbal > 5000) folds into a <=256-word bit array
-    (one map-side-combined bit_or aggregate), which then prunes the
-    lineitem probe scan through k broadcast joins BEFORE any probe
-    shuffle. Complements the in-engine bucket-set prefilter
-    (operators/prune.py membership_prefilter, query bloom_prune_join):
-    that one optimizes for codegen-friendly semi-joins INSIDE Spark;
-    this one packs real k-hash bits so the filter is ~1000x smaller to
-    export (a 1M-key dim at 10 bits/key is ~40 KB vs an 8 MB bucket
-    relation) and replays bit-for-bit in ANY engine — the md5 bit
-    positions make the kept/pruned decision itself oracle-checkable.
-
-    The result row audits the prune: n_true is counted FROM THE PRUNED
-    SET while the oracle counts it from the full probe — equality
-    proves zero false negatives; n_false_pos is the (deterministic,
-    hash-derived) leakage the filter admits at ~(1-e^{-kn/m})^k.
-    At 100 TB the filter is ~KBs for millions of build keys, so the
-    probe-side saving is the whole point: rows that cannot join never
-    enter the shuffle."""
-    from yelp_etl_spark.functions.integrity import bloom_build, bloom_prune
-
-    build = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
-    # Fixture-scale caveat: the single-file lineitem scan is ONE input
-    # split, so the per-row md5 runs one-core here (a fan_out shuffle
-    # doesn't help — AQE coalesces the 5 MB of key bytes back to one
-    # partition). At 100 TB the scan has orders of magnitude more
-    # splits than cores and the probe-side hash parallelizes for free;
-    # the bench row therefore measures the WORST-case serial cost.
-    probe = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
-    bloom = bloom_build(build, "s_suppkey", _BLOOM_BITS, _BLOOM_K)
-    kept = bloom_prune(probe, bloom, "k", _BLOOM_BITS, _BLOOM_K)
-    build_keys = build.select(
-        F.col("s_suppkey").alias("k"), F.lit(1).alias("__hit")
-    ).distinct()
-    # one pass over the pruned set covers both counts (left-mark join);
-    # only the raw probe count needs a second (column-pruned) scan
-    n_probe = probe.agg(F.count(F.lit(1)).alias("n_probe"))
-    kept_counts = kept.join(F.broadcast(build_keys), "k", "left").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.count("__hit").alias("n_true"),
-    )
-    return n_probe.crossJoin(kept_counts).select(
-        "n_probe",
-        "n_kept",
-        "n_true",
-        (F.col("n_kept") - F.col("n_true")).alias("n_false_pos"),
-    )
-
-
-def _bloom_oracle() -> str:
-    b = [_bloom_bit_sql(j, "k") for j in range(_BLOOM_K)]
-    pos = "\n  UNION ALL ".join(f"SELECT {bj} AS bit FROM build" for bj in b)
-    kept_joins = "\n  ".join(
-        f"JOIN bloom b{j} ON b{j}.word = ({bj}) // 32 AND "
-        f"(b{j}.bits & (1::BIGINT << CAST(({bj}) % 32 AS INTEGER))) <> 0"
-        for j, bj in enumerate(b)
-    )
-    return f"""
-WITH build AS MATERIALIZED (
-  SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal > 5000
-),
-pos AS MATERIALIZED (
-  {pos}
-),
-bloom AS MATERIALIZED (
-  SELECT bit // 32 AS word,
-         bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bits
-  FROM pos GROUP BY 1
-),
-probe AS MATERIALIZED (SELECT l_suppkey AS k FROM lineitem),
-pk AS MATERIALIZED (SELECT DISTINCT k FROM probe),
-kept_keys AS MATERIALIZED (
-  SELECT pk.k FROM pk
-  {kept_joins}
-)
-SELECT a.n_probe, b.n_kept, c.n_true, b.n_kept - c.n_true AS n_false_pos
-FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe FROM probe) a
-CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept
-            FROM probe JOIN kept_keys USING (k)) b
-CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_true
-            FROM probe JOIN build USING (k)) c
-"""
-
-
-ORACLE_BLOOM_BITARRAY_PRUNE = _bloom_oracle()
-
-
-def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merkle-style order-independent table fingerprint
-    (functions/integrity.py table_checksum): per-bucket sums of
-    portable 60-bit row hashes over a canonicalized (float-free,
-    NULL-sentineled) rendering of six lineitem columns. Any engine —
-    the DuckDB oracle here, or a second 1000-executor cluster —
-    reproduces the 16 (bucket, checksum, n_rows) rows exactly, so two
-    100 TB table copies compare by exchanging 16 rows, and a mismatch
-    localizes to one bucket's partitions instead of a full re-read
-    (the validation step the reference's write path
-    (yelp_etl/common/write.py) simply doesn't have). Timestamps render
-    through a fixed date_format pattern and the integral l_quantity
-    through a BIGINT cast, keeping the rendered string bit-identical
-    cross-engine."""
-    from yelp_etl_spark.functions.integrity import table_checksum
-
-    canon = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_suppkey",
-        "l_returnflag",
-        "l_linestatus",
-        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_ts"),
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
-    out = table_checksum(
-        canon,
-        ["l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
-         "l_linestatus", "ship_ts", "qty"],
-        "l_orderkey",
-        n_buckets=16,
-    )
-    return out.select(
-        F.col("bucket").cast("long").alias("bucket"), "checksum", "n_rows"
-    )
-
-
-ORACLE_TABLE_CHECKSUM = """
-WITH fp AS MATERIALIZED (
-  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
-           coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
-           coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
-           coalesce(CAST(l_suppkey AS VARCHAR), chr(0)),
-           coalesce(l_returnflag, chr(0)),
-           coalesce(l_linestatus, chr(0)),
-           coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), chr(0)),
-           coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(0))
-         )), 18, 15)) AS BIGINT) AS fp,
-         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 18, 15))
-              AS BIGINT) % 16 AS bucket
-  FROM lineitem
-)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(SUM(CAST(fp AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)
-         AS checksum,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM fp GROUP BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "bloom_bitarray_prune": (
-            q_bloom_bitarray_prune,
-            ORACLE_BLOOM_BITARRAY_PRUNE,
-            "ext:portable bit-array Bloom join pruning",
-        ),
-        "table_checksum": (
-            q_table_checksum,
-            ORACLE_TABLE_CHECKSUM,
-            "ext:Merkle-style order-independent table checksum",
-        ),
-    }
-)
-
-
-def q_checksum_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incrementally-maintained table checksum over the snapshot
-    layer (functions/integrity.py table_checksum_incremental): orders
-    v1 is committed and checksummed; v2 applies a mixed delta
-    (status rewrite on keys %10==3, deletes on %10==7, inserts with
-    negated keys for %10==1) as a second snapshot; the new checksums
-    are then maintained purely from the base checksums + the touched
-    rows — never a full v2 re-read. The oracle recomputes the final
-    state's checksums directly, so equality proves the incremental
-    path bit-exact (commutative fingerprint sums make C₂ = C₁ + Σfp₊
-    − Σfp₋ an identity, not an approximation). At 100 TB this is
-    continuous integrity verification priced at O(changelog), the
-    consumer half of snapshot_changes' CDC."""
-    from yelp_etl_spark.functions.integrity import (
-        table_checksum,
-        table_checksum_incremental,
-    )
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
-
-    canon = ["o_orderkey", "o_custkey", "o_orderstatus"]
-    v1 = _t(spark, sf_dir, "orders").select(*canon)
-    table = _scratch_dir(sf_dir, "ckincr")
-    snapshot_write(v1, table)
-    k = F.col("o_orderkey")
-    v2 = (
-        v1.filter(k % 10 != 7)
-        .withColumn(
-            "o_orderstatus",
-            F.when(k % 10 == 3, F.lit("X")).otherwise(F.col("o_orderstatus")),
-        )
-        .unionByName(
-            v1.filter(k % 10 == 1).select(
-                (-k).alias("o_orderkey"), "o_custkey",
-                F.lit("N").alias("o_orderstatus"),
-            )
-        )
-    )
-    snapshot_write(v2, table)
-    base = table_checksum(
-        snapshot_read(spark, table, snapshot_id=1), canon, "o_orderkey"
-    )
-    old_rows = snapshot_read(spark, table, snapshot_id=1).filter(
-        (k % 10).isin(3, 7)
-    )
-    new_rows = snapshot_read(spark, table, snapshot_id=2).filter(
-        (k % 10 == 3) | (k < 0)
-    )
-    return table_checksum_incremental(
-        base, old_rows, new_rows, canon, "o_orderkey"
-    ).select(F.col("bucket").cast("long").alias("bucket"), "checksum", "n_rows")
-
-
-ORACLE_CHECKSUM_INCREMENTAL = """
-WITH final AS MATERIALIZED (
-  SELECT o_orderkey, o_custkey,
-         CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END
-           AS o_orderstatus
-  FROM orders WHERE o_orderkey % 10 <> 7
-  UNION ALL
-  SELECT -o_orderkey, o_custkey, 'N' FROM orders WHERE o_orderkey % 10 = 1
-),
-fp AS MATERIALIZED (
-  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(31),
-           coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
-           coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
-           coalesce(o_orderstatus, chr(0))
-         )), 18, 15)) AS BIGINT) AS fp,
-         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 18, 15))
-              AS BIGINT) % 16 AS bucket
-  FROM final
-)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(SUM(CAST(fp AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)
-         AS checksum,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM fp GROUP BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "checksum_incremental": (
-            q_checksum_incremental,
-            ORACLE_CHECKSUM_INCREMENTAL,
-            "ext:CDC-maintained table checksum (O(delta) integrity)",
-        ),
-    }
-)
-
-
-def _brand_baskets(spark: SparkSession, sf_dir: str):
-    """(basket, brand) pairs + eager basket count — the ONE definition
-    of a market basket shared by q_assoc_rules and q_apriori_triples
-    (a second copy is how two miners silently diverge on what a
-    basket means). The frame is materialized once (truncate_lineage):
-    both miners reference it from many join branches, and the count
-    doubles as the materialization action."""
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = truncate_lineage(
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct(),
-        eager=True,
-    )
-    n_orders = baskets.select("l_orderkey").distinct().count()
-    return baskets, n_orders
-
-
-def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Association-rule mining over order baskets (the market-basket
-    layer above q_copurchase_pairs): baskets are distinct
-    (order, brand) pairs via the part dim (broadcast join); directed
-    rules A→B get support, confidence = sup/cnt(A), and lift =
-    conf/(cnt(B)/N). Ratios are emitted as FLOOR(1e6·x) parts-per-
-    million — both engines floor the SAME IEEE double, the repo's
-    cross-engine division convention (Spark double→long casts
-    truncate, DuckDB's round; FLOOR on both sides is exact).
-
-    Scale shape: the basket self-join co-partitions on the order key
-    and is bounded by per-order basket size (brand count ≤ items); the
-    rule aggregate shuffles on the (A,B) pair — at most |brands|² cells
-    after map-side combine, metadata-sized regardless of order count.
-    The single-row order total broadcasts. Top-30 fully tie-broken."""
-    baskets, n_orders = _brand_baskets(spark, sf_dir)
-    item_counts = baskets.groupBy("p_brand").agg(F.count("*").alias("cnt"))
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    sup = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") != F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("ante"), F.col("b.p_brand").alias("cons")
-        )
-        .agg(F.count("*").alias("sup"))
-    )
-    ca = item_counts.select(
-        F.col("p_brand").alias("ante"), F.col("cnt").alias("cnt_a")
-    )
-    cb = item_counts.select(
-        F.col("p_brand").alias("cons"), F.col("cnt").alias("cnt_b")
-    )
-    rules = (
-        sup.join(F.broadcast(ca), "ante")
-        .join(F.broadcast(cb), "cons")
-        .select(
-            "ante",
-            "cons",
-            F.col("sup").cast("long").alias("sup"),
-            F.floor(
-                F.lit(1000000.0) * F.col("sup") / F.col("cnt_a")
-            ).cast("long").alias("conf_ppm"),
-            # cnt_a/cnt_b go through double BEFORE multiplying: a
-            # BIGINT*BIGINT product overflows under ANSI once per-brand
-            # counts pass ~3e9 (the numerator is already double)
-            F.floor(
-                F.lit(1000000.0)
-                * F.col("sup")
-                * F.lit(float(n_orders))
-                / (F.col("cnt_a").cast("double") * F.col("cnt_b"))
-            ).cast("long").alias("lift_ppm"),
-        )
-    )
-    return rules.orderBy(F.desc("sup"), "ante", "cons").limit(30)
-
-
-ORACLE_ASSOC_RULES = """
-WITH baskets AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, p_brand
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-),
-item_counts AS MATERIALIZED (
-  SELECT p_brand, COUNT(*) AS cnt FROM baskets GROUP BY 1
-),
-n AS MATERIALIZED (
-  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets
-),
-sup AS MATERIALIZED (
-  SELECT a.p_brand AS ante, b.p_brand AS cons, COUNT(*) AS sup
-  FROM baskets a JOIN baskets b
-    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
-  GROUP BY 1, 2
-)
-SELECT ante, cons, CAST(sup AS BIGINT) AS sup,
-       CAST(FLOOR(1000000.0 * sup / ca.cnt) AS BIGINT) AS conf_ppm,
-       CAST(FLOOR(1000000.0 * sup * (SELECT n_orders FROM n)
-                  / (CAST(ca.cnt AS DOUBLE) * cb.cnt)) AS BIGINT) AS lift_ppm
-FROM sup
-JOIN item_counts ca ON ca.p_brand = sup.ante
-JOIN item_counts cb ON cb.p_brand = sup.cons
-ORDER BY sup DESC, ante, cons
-LIMIT 30
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "assoc_rules": (
-            q_assoc_rules,
-            ORACLE_ASSOC_RULES,
-            "ext:market-basket association rules (support/conf/lift)",
-        ),
-    }
-)
-
-
-def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incrementally-maintained distinct counts under streaming
-    ingestion: the portable HLL register table (functions/sketches.py)
-    IS the streaming aggregation state — groupBy(type, bucket).max(rho)
-    over a 2-micro-batch file stream, complete-mode to a memory sink.
-    HLL's defining mergeability (cellwise max) makes the micro-batch
-    order irrelevant, so the streamed registers — and therefore the
-    ESTIMATE — are bit-identical to a batch build over the same
-    events, which is exactly what the DuckDB oracle computes. This is
-    the 100 TB pattern for live distinct-user dashboards: state is
-    ≤ groups×512 cells forever, not a distinct-set that grows with
-    users; each micro-batch shuffles only register cells.
-
-    Extends the reference's static event aggregation (reference
-    yelp_etl/tasks/clean.py event rollups) to continuous ingestion."""
-    import os
-    import tempfile
-    import uuid
-
-    from yelp_etl_spark.functions.sketches import (
-        hll_portable_estimate,
-        hll_portable_sketch,
-    )
-    from yelp_etl_spark.streaming.windows import (
-        read_events_stream,
-        run_stream_to_memory,
-    )
-
-    workdir = tempfile.mkdtemp(prefix="stream_hll_")
-    src = os.path.join(workdir, "src")
-    # two source files x maxFilesPerTrigger=1 -> two micro-batches:
-    # the register state provably merges ACROSS batches
-    _t(spark, sf_dir, "events").repartition(2).write.parquet(src)
-    stream = read_events_stream(spark, src, max_files_per_trigger=1)
-    regs = hll_portable_sketch(stream, "user_id", ["event_type"])
-    name = "stream_hll_" + uuid.uuid4().hex[:8]
-    run_stream_to_memory(regs, name, output_mode="complete")
-    return hll_portable_estimate(spark.table(name), ["event_type"]).select(
-        "event_type", "n_empty", "reg_sum", "est_distinct"
-    )
-
-
-ORACLE_STREAM_HLL_DISTINCT = """
-WITH hashed AS MATERIALIZED (
-  SELECT event_type,
-         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 18, 15))
-              AS BIGINT) AS h
-  FROM events
-),
-regs AS MATERIALIZED (
-  SELECT event_type, h % 512 AS bucket,
-         MAX(CASE WHEN ((h >> 9) & 4294967295) = 0 THEN 33
-                  ELSE 33 - length(bin((h >> 9) & 4294967295)) END) AS m_j
-  FROM hashed GROUP BY 1, 2
-),
-agg AS MATERIALIZED (
-  SELECT event_type,
-         CAST(COUNT(*) AS BIGINT) AS n_set,
-         CAST(SUM(1::BIGINT << CAST(40 - m_j AS INTEGER)) AS BIGINT) AS set_sum
-  FROM regs GROUP BY 1
-),
-final AS MATERIALIZED (
-  SELECT event_type,
-         CAST(512 - n_set AS BIGINT) AS n_empty,
-         CAST(set_sum + (512 - n_set) * (1::BIGINT << 40) AS BIGINT) AS reg_sum
-  FROM agg
-)
-SELECT event_type, n_empty, reg_sum,
-       ROUND(CASE WHEN CAST(0.7213 AS DOUBLE)
-                       / (CAST(1.0 AS DOUBLE)
-                          + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE))
-                       * CAST(262144 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
-                       / CAST(reg_sum AS DOUBLE) <= CAST(1280 AS DOUBLE)
-                   AND n_empty > 0
-             THEN CAST(512 AS DOUBLE)
-                  * ln(CAST(512 AS DOUBLE) / CAST(n_empty AS DOUBLE))
-             ELSE CAST(0.7213 AS DOUBLE)
-                  / (CAST(1.0 AS DOUBLE)
-                     + CAST(1.079 AS DOUBLE) / CAST(512 AS DOUBLE))
-                  * CAST(262144 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
-                  / CAST(reg_sum AS DOUBLE)
-        END, 2) AS est_distinct
-FROM final
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "stream_hll_distinct": (
-            q_stream_hll_distinct,
-            ORACLE_STREAM_HLL_DISTINCT,
-            "ext:streaming mergeable-HLL distinct (sketch-as-state)",
-        ),
-    }
-)
-
-
-_FUNNEL_STEPS = ["view", "click", "purchase"]
-
-
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis over the event stream: a user converts
-    at step k only with a step-k event STRICTLY AFTER their first
-    qualifying step-(k−1) event (first-touch semantics — the standard
-    product-analytics definition, not mere set membership). Step
-    timestamps resolve through one conditional aggregation per step,
-    each re-using the SAME user-key partitioning (consecutive
-    groupBy/join on user_id collapse to one exchange lineage — no
-    per-step reshuffle), so the plan scales as 3 keyed passes over an
-    events table of any size, with per-user state a single timestamp.
-    Conversion ratios are FLOOR-ppm (the cross-engine division
-    convention). Generalizes the reference's flat event rollups
-    (clean.py event aggregation) to ordered behavioral analytics;
-    CEP-style arbitrary patterns live in event_path_pattern."""
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    events = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    t = None
-    reached = []  # per-step 1-row count frames
-    for k, step in enumerate(_FUNNEL_STEPS):
-        e = events.filter(F.col("event_type") == step)
-        if t is None:
-            t = e.groupBy("user_id").agg(F.min("ts").alias("t"))
-        else:
-            t = (
-                e.join(t, "user_id")
-                .filter(F.col("ts") > F.col("t"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t"))
-            )
-        # Each step frame feeds BOTH its own count and the next step's
-        # join: materialize it once (truncate_lineage), or every later
-        # count recomputes the whole prefix chain — 6 event scans
-        # instead of 3 (and 2× that waste at 100 TB).
-        t = truncate_lineage(t, eager=True)
-        reached.append(
-            t.agg(F.count("*").cast("long").alias(f"n{k}")).select(f"n{k}")
-        )
-    wide = reached[0].crossJoin(reached[1]).crossJoin(reached[2])
-    steps = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(_FUNNEL_STEPS)], "step_idx INT, step STRING"
-    )
-    return (
-        wide.crossJoin(F.broadcast(steps))
-        .select(
-            F.col("step_idx").cast("long").alias("step_idx"),
-            "step",
-            F.when(F.col("step_idx") == 0, F.col("n0"))
-            .when(F.col("step_idx") == 1, F.col("n1"))
-            .otherwise(F.col("n2"))
-            .cast("long")
-            .alias("n_users"),
-            F.when(F.col("step_idx") == 0, F.lit(1000000).cast("long"))
-            .when(
-                F.col("step_idx") == 1,
-                F.floor(F.lit(1000000.0) * F.col("n1") / F.col("n0")).cast("long"),
-            )
-            .otherwise(
-                F.floor(F.lit(1000000.0) * F.col("n2") / F.col("n1")).cast("long")
-            )
-            .alias("conv_ppm"),
-        )
-        .orderBy("step_idx")
-    )
-
-
-ORACLE_FUNNEL_CONVERSION = """
-WITH s0 AS MATERIALIZED (
-  SELECT user_id, MIN(ts) AS t FROM events
-  WHERE event_type = 'view' GROUP BY 1
-),
-s1 AS MATERIALIZED (
-  SELECT e.user_id, MIN(e.ts) AS t
-  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
-  WHERE e.event_type = 'click' GROUP BY 1
-),
-s2 AS MATERIALIZED (
-  SELECT e.user_id, MIN(e.ts) AS t
-  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
-  WHERE e.event_type = 'purchase' GROUP BY 1
-),
-n AS MATERIALIZED (
-  SELECT (SELECT COUNT(*) FROM s0) AS n0,
-         (SELECT COUNT(*) FROM s1) AS n1,
-         (SELECT COUNT(*) FROM s2) AS n2
-)
-SELECT * FROM (
-  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
-         CAST(n0 AS BIGINT) AS n_users, CAST(1000000 AS BIGINT) AS conv_ppm
-  FROM n
-  UNION ALL
-  SELECT 1, 'click', CAST(n1 AS BIGINT),
-         CAST(FLOOR(1000000.0 * n1 / n0) AS BIGINT) FROM n
-  UNION ALL
-  SELECT 2, 'purchase', CAST(n2 AS BIGINT),
-         CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT) FROM n
-) ORDER BY step_idx
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "funnel_conversion": (
-            q_funnel_conversion,
-            ORACLE_FUNNEL_CONVERSION,
-            "ext:ordered funnel conversion (first-touch semantics)",
-        ),
-    }
-)
-
-
-def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed recommender training: rank-2 ALS over the
-    (customer, brand, Σquantity) ratings matrix
-    (functions/recommend.py als_rank2) — 2 fixed alternating rounds,
-    closed-form 2×2 regularized solves, every moment sum exact
-    decimal, every division a FLOOR of the identical double
-    expression. The oracle replays BOTH training rounds (user solve ⇄
-    item solve) in unrolled SQL, so the driver hash pins the entire
-    optimization trajectory, not just a final score — the same
-    discipline as logreg_weights/kmeans_clusters. The |items|-row
-    factor table is the model a serving layer broadcasts."""
-    from yelp_etl_spark.functions.recommend import als_rank2
-
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ratings = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .groupBy("o_custkey", "p_brand")
-        .agg(F.sum("l_quantity").cast("long").alias("rating"))
-    )
-    return (
-        als_rank2(ratings, "o_custkey", "p_brand", "rating", iterations=2)
-        .select(F.col("item").alias("brand"), "q1", "q2")
-        .orderBy("brand")
-    )
-
-
-def _als_solve_sql(prev: str, solve_key: str, join_key: str, out: str) -> str:
-    """One ALS half-round as SQL: regularized 2×2 adjugate solve per
-    ``solve_key`` with the ``prev`` factor table fixed on
-    ``join_key``. Mirrors recommend._solve term for term (HUGEINT
-    sums ≡ Spark decimal(38,0); identical double operand order)."""
-    return f"""{out}_agg AS MATERIALIZED (
-  SELECT r.{solve_key} AS k,
-         SUM(CAST(f.q1 AS HUGEINT) * CAST(f.q1 AS HUGEINT)) AS a,
-         SUM(CAST(f.q1 AS HUGEINT) * CAST(f.q2 AS HUGEINT)) AS b,
-         SUM(CAST(f.q2 AS HUGEINT) * CAST(f.q2 AS HUGEINT)) AS c,
-         SUM(CAST(r.rating AS HUGEINT) * CAST(f.q1 AS HUGEINT)) AS d1,
-         SUM(CAST(r.rating AS HUGEINT) * CAST(f.q2 AS HUGEINT)) AS d2
-  FROM ratings r JOIN {prev} f ON r.{join_key} = f.k
-  GROUP BY 1
-),
-{out} AS MATERIALIZED (
-  SELECT k,
-         CAST(FLOOR((1000000000000.0
-                     * (CAST(c + 100000000000 AS DOUBLE) * CAST(d1 AS DOUBLE)
-                        - CAST(b AS DOUBLE) * CAST(d2 AS DOUBLE)))
-                    / (CAST(a + 100000000000 AS DOUBLE)
-                       * CAST(c + 100000000000 AS DOUBLE)
-                       - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
-              AS BIGINT) AS q1,
-         CAST(FLOOR((1000000000000.0
-                     * (CAST(a + 100000000000 AS DOUBLE) * CAST(d2 AS DOUBLE)
-                        - CAST(b AS DOUBLE) * CAST(d1 AS DOUBLE)))
-                    / (CAST(a + 100000000000 AS DOUBLE)
-                       * CAST(c + 100000000000 AS DOUBLE)
-                       - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
-              AS BIGINT) AS q2
-  FROM {out}_agg
-)"""
-
-
-def _als_oracle(iterations: int = 2) -> str:
-    sql = """WITH ratings AS MATERIALIZED (
-  SELECT o_custkey AS u_id, p_brand AS i_id,
-         CAST(SUM(l_quantity) AS BIGINT) AS rating
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN part ON l_partkey = p_partkey
-  GROUP BY 1, 2
-),
-q0 AS MATERIALIZED (
-  SELECT i_id AS k, CAST(1000000 AS BIGINT) AS q1,
-         CAST(100000 + CAST(concat('0x', substr(md5(CAST(i_id AS VARCHAR)),
-                                                 18, 15)) AS BIGINT) % 500000
-              AS BIGINT) AS q2
-  FROM (SELECT DISTINCT i_id FROM ratings)
-)"""
-    prev = "q0"
-    for i in range(iterations):
-        sql += ",\n" + _als_solve_sql(prev, "u_id", "i_id", f"p{i + 1}")
-        sql += ",\n" + _als_solve_sql(f"p{i + 1}", "i_id", "u_id", f"q{i + 1}")
-        prev = f"q{i + 1}"
-    return sql + f"\nSELECT k AS brand, q1, q2 FROM {prev} ORDER BY brand"
-
-
-ORACLE_ALS_FACTORS = _als_oracle(2)
-
-
-EXTRA_QUERIES.update(
-    {
-        "als_factors": (
-            q_als_factors,
-            ORACLE_ALS_FACTORS,
-            "ext:rank-2 ALS recommender (closed-form solves, exact oracle)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Ranking-quality metrics: NDCG@k / MRR / MAP (evaluation.ranking_metrics)
-# --------------------------------------------------------------------------
-
-
-def q_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query NDCG@10 / MRR / MAP@10 of exact cosine retrieval
-    against the embeddings' class labels (rel = neighbor shares the
-    query's label) — the standard graded-retrieval triple next to
-    ann_recall_at_k, run entirely in-engine (evaluation.py
-    ranking_metrics). DCG position weights are a shared Python-
-    computed integer literal table, so both engines do exact BIGINT
-    gain sums; see the library docstring for the 100 TB cost split
-    (fixed query sample, metric linear in |queries|·k)."""
-    from yelp_etl_spark.functions import similarity as S
-    from yelp_etl_spark.functions.evaluation import ranking_metrics
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 101 == 0)
-    labels = emb.select("vec_id", "label")
-    ranked = (
-        S.brute_force_topk(emb, queries, k=10)
-        .join(
-            labels.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("label").alias("q_label"),
-            ),
-            "query_id",
-        )
-        .join(
-            labels.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("n_label"),
-            ),
-            "neighbor_id",
-        )
-        .select(
-            "query_id",
-            "rank",
-            (F.col("q_label") == F.col("n_label")).cast("long").alias("rel"),
-        )
-    )
-    label_totals = emb.groupBy("label").agg(F.count("*").alias("n_label_total"))
-    rel_counts = (
-        queries.select("vec_id", "label")
-        .join(F.broadcast(label_totals), "label")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            (F.col("n_label_total") - 1).cast("long").alias("n_rel"),
-        )
-    )
-    return ranking_metrics(ranked, rel_counts, k=10)
-
-
-def _oracle_ndcg(k: int = 10) -> str:
-    from yelp_etl_spark.functions.evaluation import dcg_weight_micro
-    from yelp_etl_spark.functions.similarity import cosine_sim_sql
-
-    w = dcg_weight_micro(k)
-    cum = []
-    tot = 0
-    for x in w:
-        tot += x
-        cum.append(tot)
-    w_lit = "[" + ", ".join(str(x) for x in w) + "]"
-    cum_lit = "[" + ", ".join(str(x) for x in cum) + "]"
-    cos = cosine_sim_sql("q", "c")
-    return f"""
-WITH v AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
-),
-brute AS MATERIALIZED (
-  SELECT query_id, neighbor_id, rank FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY {cos} DESC, c.vec_id ASC) AS rank
-    FROM v q JOIN v c ON q.vec_id <> c.vec_id
-    WHERE q.vec_id % 101 = 0
-  ) WHERE rank <= {k}
-),
-cumr AS MATERIALIZED (
-  SELECT b.query_id, b.rank,
-         CASE WHEN qv.label = cv.label THEN 1 ELSE 0 END AS rel,
-         SUM(CASE WHEN qv.label = cv.label THEN 1 ELSE 0 END)
-           OVER (PARTITION BY b.query_id ORDER BY b.rank) AS cum_rel
-  FROM brute b
-  JOIN v qv ON b.query_id = qv.vec_id
-  JOIN v cv ON b.neighbor_id = cv.vec_id
-),
-perq AS MATERIALIZED (
-  SELECT query_id,
-         CAST(SUM(rel * list_extract({w_lit}, rank)) AS BIGINT) AS dcg_micro,
-         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
-         CAST(SUM(CASE WHEN rel = 1
-                       THEN CAST(ROUND(CAST(cum_rel AS DOUBLE) * 1000000
-                                       / rank) AS BIGINT)
-                       ELSE 0 END) AS BIGINT) AS sum_p_micro
-  FROM cumr GROUP BY 1
-),
-nrel AS MATERIALIZED (
-  SELECT q.vec_id AS query_id, CAST(t.n - 1 AS BIGINT) AS n_rel
-  FROM v q
-  JOIN (SELECT label, COUNT(*) AS n FROM v GROUP BY 1) t ON q.label = t.label
-  WHERE q.vec_id % 101 = 0
-)
-SELECT n.query_id, n.n_rel,
-       CASE WHEN LEAST(n.n_rel, {k}) > 0
-            THEN ROUND(COALESCE(p.dcg_micro, 0)
-                       / list_extract({cum_lit},
-                                      CAST(LEAST(n.n_rel, {k}) AS INTEGER)), 6)
-            ELSE 0.0 END AS ndcg_at_{k},
-       COALESCE(ROUND(CAST(1.0 AS DOUBLE) / p.first_rel, 6), 0.0) AS mrr,
-       CASE WHEN LEAST(n.n_rel, {k}) > 0
-            THEN ROUND(COALESCE(p.sum_p_micro, 0)
-                       / (LEAST(n.n_rel, {k}) * 1000000), 6)
-            ELSE 0.0 END AS map_at_{k}
-FROM nrel n LEFT JOIN perq p USING (query_id)
-ORDER BY n.query_id
-"""
-
-
-ORACLE_NDCG_MRR = _oracle_ndcg(10)
-
-
-EXTRA_QUERIES.update(
-    {
-        "ndcg_mrr_eval": (
-            q_ndcg_mrr_eval,
-            ORACLE_NDCG_MRR,
-            "ext:ranking metrics NDCG@10/MRR/MAP (shared weight literals)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Label-propagation community detection (functions/graph.py)
-# --------------------------------------------------------------------------
-
-
-def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community sizes after 4 synchronous label-propagation rounds
-    (graph.py label_propagation) on the thin supplier↔part graph
-    (namespaced long ids: 2·suppkey even, 2·partkey+1 odd — the
-    pagerank convention). Deterministic smallest-label tie-break makes
-    the rounds exactly reproducible as unrolled SQL. Per round: one
-    labels join + two keyed aggs, no windows, no collects — the
-    1B-node-safe shape."""
-    from yelp_etl_spark.functions.graph import label_propagation
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    edges = lineitem.filter(F.col("l_quantity") <= 2).select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    )
-    labels = label_propagation(edges, iterations=4)
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count("*").cast("long").alias("n_members"))
-        .orderBy("community")
-    )
-
-
-def _lpa_round_sql(prev: str, out: str) -> str:
-    return f"""{out} AS MATERIALIZED (
-  SELECT dst AS id, label FROM (
-    SELECT s.dst, l.label,
-           ROW_NUMBER() OVER (PARTITION BY s.dst
-                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
-    FROM sym s JOIN {prev} l ON s.src = l.id
-    GROUP BY s.dst, l.label
-  ) WHERE rn = 1
-)"""
-
-
-def _lpa_oracle(iterations: int = 4) -> str:
-    sql = """WITH raw AS (
-  SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-  FROM lineitem WHERE l_quantity <= 2
-),
-sym AS MATERIALIZED (
-  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
-),
-l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym)"""
-    prev = "l0"
-    for i in range(iterations):
-        sql += ",\n" + _lpa_round_sql(prev, f"r{i + 1}")
-        prev = f"r{i + 1}"
-    return sql + f"""
-SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
-FROM {prev} GROUP BY 1 ORDER BY 1"""
-
-
-ORACLE_LABEL_PROP = _lpa_oracle(4)
-
-
-EXTRA_QUERIES.update(
-    {
-        "label_prop_communities": (
-            q_label_prop_communities,
-            ORACLE_LABEL_PROP,
-            "ext:label-propagation communities (4 unrolled rounds)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Gradient-boosted regression stumps (functions/classify.py boosted_stumps)
-# --------------------------------------------------------------------------
-
-
-def q_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two boosting rounds of depth-1 regression stumps (squared loss)
-    predicting the order discount (centi-quantized) from quantity,
-    then the partkey bucket — classify.boosted_stumps. Every output
-    cell is exact BIGINT (floor-quantized leaves, partials-derived
-    SSE); per round the data is scanned once into a bounded
-    per-feature-value model table. The candidate grids are literal on
-    both sides."""
-    from yelp_etl_spark.functions.classify import boosted_stumps
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    base = lineitem.select(
-        F.col("l_quantity").cast("long").alias("qty"),
-        (F.col("l_partkey") % 16).cast("long").alias("pk16"),
-        F.round(F.col("l_discount") * 10000).cast("long").alias("y_centi"),
-    )
-    return boosted_stumps(
-        base,
-        "y_centi",
-        [
-            ("qty", [5, 10, 15, 20, 25, 30, 35, 40, 45]),
-            ("pk16", [2, 4, 6, 8, 10, 12, 14]),
-        ],
-    )
-
-
-def _stump_round_sql(
-    partials_src: str, feat: str, thresholds: list[int], idx: int
-) -> str:
-    grid = ", ".join(str(t) for t in thresholds)
-    return f"""p{idx} AS MATERIALIZED (
-  SELECT {feat} AS f, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS s,
-         CAST(SUM(r * r) AS BIGINT) AS ss
-  FROM {partials_src} GROUP BY 1
-),
-c{idx} AS MATERIALIZED (
-  SELECT CAST(t AS BIGINT) AS t,
-         CAST(SUM(CASE WHEN f <= t THEN n ELSE 0 END) AS BIGINT) AS nl,
-         CAST(SUM(CASE WHEN f <= t THEN s ELSE 0 END) AS BIGINT) AS sl,
-         CAST(SUM(CASE WHEN f <= t THEN ss ELSE 0 END) AS BIGINT) AS ssl,
-         CAST(SUM(CASE WHEN f > t THEN n ELSE 0 END) AS BIGINT) AS nh,
-         CAST(SUM(CASE WHEN f > t THEN s ELSE 0 END) AS BIGINT) AS sh,
-         CAST(SUM(CASE WHEN f > t THEN ss ELSE 0 END) AS BIGINT) AS ssh
-  FROM p{idx}, (SELECT unnest([{grid}]) AS t) g
-  GROUP BY 1
-),
-b{idx} AS MATERIALIZED (
-  SELECT t, nl, nh,
-         (sl // nl) - (CASE WHEN sl % nl <> 0 AND sl < 0
-                       THEN 1 ELSE 0 END) AS leaf_lo,
-         (sh // nh) - (CASE WHEN sh % nh <> 0 AND sh < 0
-                       THEN 1 ELSE 0 END) AS leaf_hi,
-         sl, ssl, sh, ssh
-  FROM (SELECT *, ROW_NUMBER() OVER (
-          ORDER BY CAST(sl AS DOUBLE) * sl / nl
-                 + CAST(sh AS DOUBLE) * sh / nh DESC, t ASC) AS rn
-        FROM c{idx} WHERE nl > 0 AND nh > 0)
-  WHERE rn = 1
-)"""
-
-
-def _stump_out_sql(idx: int) -> str:
-    return f"""SELECT CAST({idx} AS BIGINT) AS round, t AS threshold,
-       nl AS n_lo, nh AS n_hi, leaf_lo, leaf_hi,
-       CAST((ssl - 2 * leaf_lo * sl + nl * leaf_lo * leaf_lo)
-          + (ssh - 2 * leaf_hi * sh + nh * leaf_hi * leaf_hi)
-            AS BIGINT) AS train_sse
-FROM b{idx}"""
-
-
-ORACLE_GBT_STUMPS = (
-    """WITH base AS MATERIALIZED (
-  SELECT CAST(l_quantity AS BIGINT) AS qty,
-         CAST(l_partkey % 16 AS BIGINT) AS pk16,
-         CAST(ROUND(l_discount * 10000) AS BIGINT) AS r
-  FROM lineitem
-),
-"""
-    + _stump_round_sql("base", "qty", [5, 10, 15, 20, 25, 30, 35, 40, 45], 1)
-    + """,
-res1 AS MATERIALIZED (
-  SELECT pk16,
-         r - (CASE WHEN qty <= b.t THEN b.leaf_lo ELSE b.leaf_hi END) AS r
-  FROM base, b1 b
-),
-"""
-    + _stump_round_sql("res1", "pk16", [2, 4, 6, 8, 10, 12, 14], 2)
-    + "\n"
-    + _stump_out_sql(1)
-    + "\nUNION ALL\n"
-    + _stump_out_sql(2)
-    + "\nORDER BY round"
-)
-
-
-EXTRA_QUERIES.update(
-    {
-        "gbt_stumps": (
-            q_gbt_stumps,
-            ORACLE_GBT_STUMPS,
-            "ext:boosted regression stumps (2 rounds, exact integer leaves/SSE)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# First-order Markov transition model over the event stream
-# --------------------------------------------------------------------------
-
-
-def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix of user behavior: per-user
-    event sequences (ts order, event_id tiebreak) yield (state → next
-    state) pairs via one LEAD window, counted and row-normalized to
-    FLOOR-ppm probabilities (the exact cross-engine division
-    convention). The behavioral-model complement to funnel_conversion
-    (fixed path) and event_path_pattern (CEP regex): a transition
-    matrix is the whole directed behavior graph at once. Scale: the
-    window partitions per user (bounded by a user's event count);
-    everything after is keyed aggs over |states|² ≤ tiny cells."""
-    events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        events.select("user_id", "event_id", "ts", "event_type")
-        .withColumn("to_type", F.lead("event_type").over(w))
-        .filter(F.col("to_type").isNotNull())
-    )
-    counts = pairs.groupBy(
-        F.col("event_type").alias("from_type"), "to_type"
-    ).agg(F.count("*").alias("n"))
-    totals = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
-    return (
-        counts.join(F.broadcast(totals), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            F.col("n").cast("long").alias("n"),
-            F.floor(F.lit(1000000) * F.col("n") / F.col("row_total"))
-            .cast("long")
-            .alias("p_ppm"),
-        )
-        .orderBy("from_type", "to_type")
-    )
-
-
-ORACLE_MARKOV_TRANSITIONS = """
-WITH pairs AS (
-  SELECT event_type AS from_type,
-         LEAD(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS to_type
-  FROM events
-),
-counts AS (
-  SELECT from_type, to_type, COUNT(*) AS n
-  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
-)
-SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
-       CAST(FLOOR(1000000 * n / SUM(n) OVER (PARTITION BY from_type))
-            AS BIGINT) AS p_ppm
-FROM counts ORDER BY 1, 2
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "markov_transitions": (
-            q_markov_transitions,
-            ORACLE_MARKOV_TRANSITIONS,
-            "ext:first-order Markov transition matrix (floor-ppm rows)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Multimodal frame-sampling manifest (functions/multimodal.py sample_frames)
-# --------------------------------------------------------------------------
-
-
-def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling over binary payloads
-    (multimodal.sample_frames): synthesize deterministic blobs from
-    document text, emit 4 evenly-spaced byte windows per blob with
-    their offsets, and fingerprint each window portably
-    (md5-of-hex — xxhash64 is engine-specific). Everything is
-    Catalyst byte arithmetic (explode over a computed offset array +
-    binary substring), no Python, no shuffle beyond the explode — the
-    shape a 100 TB media table needs, with the codec boundary
-    documented in multimodal.decode_blobs. The oracle replays the
-    window arithmetic on the hex encoding (DuckDB has no BLOB
-    substring), proving offsets, truncation at blob end, and window
-    content byte-for-byte."""
-    from yelp_etl_spark.functions.multimodal import (
-        sample_frames,
-        synthesize_blobs,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    blobs = synthesize_blobs(docs.select("doc_id", "text"))
-    frames = sample_frames(blobs, n_frames=4, frame_bytes=32)
-    return frames.select(
-        "doc_id",
-        F.col("frame_index").cast("long").alias("frame_index"),
-        F.col("frame_offset_bytes").cast("long").alias("frame_offset_bytes"),
-        F.md5(
-            F.hex(F.expr("substring(content, frame_offset_bytes, 32)"))
-        ).alias("frame_md5"),
-    ).orderBy("doc_id", "frame_index")
-
-
-ORACLE_FRAME_SAMPLE = """
-WITH b AS MATERIALIZED (
-  SELECT doc_id, '89504E470D0A1A0A' || upper(hex(encode(text))) AS hx
-  FROM documents WHERE doc_id % 5 = 0
-),
-f AS MATERIALIZED (
-  SELECT doc_id, hx, length(hx) // 2 AS total,
-         GREATEST((length(hx) // 2) // 4, 1) AS stride
-  FROM b
-)
-SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
-       CAST(i * stride + 1 AS BIGINT) AS frame_offset_bytes,
-       md5(substring(hx, i * stride * 2 + 1, 64)) AS frame_md5
-FROM f, (SELECT unnest([0, 1, 2, 3]) AS i) g
-WHERE i * stride + 1 <= total
-ORDER BY doc_id, frame_index
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "frame_sample_manifest": (
-            q_frame_sample_manifest,
-            ORACLE_FRAME_SAMPLE,
-            "ext:multimodal frame sampling (portable window fingerprints)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Incremental join-view maintenance (operators/scd.py join_agg_deltas)
-# --------------------------------------------------------------------------
-
-
-def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental maintenance of an aggregate over a JOIN when BOTH
-    sides change (scd.row_deltas + join_agg_deltas + apply_agg_deltas):
-    a per-nation revenue view over orders ⋈ customer is maintained
-    from signed CDC deltas — orders added/removed/re-priced AND
-    customers moving nations — via the exact delta rule
-    Δ(R⋈S) = ΔR⋈S_new + R_old⋈ΔS. The maintained view must equal the
-    oracle's direct recompute over the new snapshots. Prices are
-    cent-quantized so every maintained cell is exact integer algebra.
-    At 100 TB: the view update touches |ΔR|⋈S + R⋈|ΔS| + |groups|
-    rows; the joined fact table is never rescanned."""
-    from yelp_etl_spark.operators.scd import (
-        apply_agg_deltas,
-        join_agg_deltas,
-        row_deltas,
-    )
-
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    r_old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey",
-        F.col("o_custkey").alias("c_custkey"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    bumped = F.when(
-        F.col("o_orderstatus") == "O", F.col("o_totalprice") + 1000.0
-    ).otherwise(F.col("o_totalprice"))
-    r_new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
-        "o_orderkey",
-        F.col("o_custkey").alias("c_custkey"),
-        F.round(bumped * 100).cast("long").alias("cents"),
-    )
-    s_old = customer.select("c_custkey", "c_nationkey")
-    s_new = customer.select(
-        "c_custkey",
-        F.when(
-            F.col("c_custkey") % 11 == 0, (F.col("c_nationkey") + 1) % 25
-        )
-        .otherwise(F.col("c_nationkey"))
-        .alias("c_nationkey"),
-    )
-    base = (
-        r_old.join(s_old, "c_custkey")
-        .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
-    )
-    dr = row_deltas(r_old, r_new, ["o_orderkey"], ["c_custkey", "cents"])
-    ds = row_deltas(s_old, s_new, ["c_custkey"], ["c_nationkey"])
-    deltas = join_agg_deltas(
-        r_old, dr, s_new, ds, ["c_custkey"], ["c_nationkey"], ["cents"]
-    )
-    maintained = apply_agg_deltas(
-        base,
-        deltas,
-        ["c_nationkey"],
-        count_col="n",
-        sum_cols={"cents": "sum_cents"},
-    )
-    return maintained.select(
-        "c_nationkey",
-        F.col("n").cast("long").alias("n"),
-        F.col("sum_cents").cast("long").alias("sum_cents"),
-    ).orderBy("c_nationkey")
-
-
-ORACLE_INCREMENTAL_JOIN_VIEW = """
-WITH r_new AS (
-  SELECT o_orderkey, o_custkey AS c_custkey,
-         CAST(ROUND((CASE WHEN o_orderstatus = 'O'
-                          THEN o_totalprice + 1000.0
-                          ELSE o_totalprice END) * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_orderkey % 5 <> 0
-),
-s_new AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
-              ELSE c_nationkey END AS c_nationkey
-  FROM customer
-)
-SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
-FROM r_new JOIN s_new USING (c_custkey)
-GROUP BY 1 ORDER BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "incremental_join_view": (
-            q_incremental_join_view,
-            ORACLE_INCREMENTAL_JOIN_VIEW,
-            "ext:join-view IVM (delta rule, both sides changing)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Categorical feature encoders (functions/classify.py woe/loo)
-# --------------------------------------------------------------------------
-
-
-def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weight-of-evidence encoding of order priority against the
-    'fulfilled' label (classify.woe_encode): per-category micro-nat
-    WoE + information-value contribution, Laplace-smoothed. One
-    partial-aggregated scan to |categories| cells + a broadcast
-    totals join — the encoder a 100 TB feature pipeline can afford."""
-    from yelp_etl_spark.functions.classify import woe_encode
-
-    orders = _t(spark, sf_dir, "orders")
-    return woe_encode(
-        orders.select(
-            "o_orderpriority",
-            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
-        ),
-        "o_orderpriority",
-        "y",
-    )
-
-
-ORACLE_WOE_ENCODING = """
-WITH c AS MATERIALIZED (
-  SELECT o_orderpriority AS category, COUNT(*) AS n,
-         COUNT(*) FILTER (o_orderstatus = 'F') AS n_pos
-  FROM orders GROUP BY 1
-),
-t AS (SELECT SUM(n_pos) AS p_tot, SUM(n - n_pos) AS n_tot FROM c)
-SELECT category, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
-       CAST(ROUND(LN(((n_pos + CAST(0.5 AS DOUBLE)) * (n_tot + CAST(0.5 AS DOUBLE)))
-                     / (((n - n_pos) + CAST(0.5 AS DOUBLE)) * (p_tot + CAST(0.5 AS DOUBLE))))
-                  * 1000000) AS BIGINT) AS woe_micro,
-       CAST(ROUND((CAST(n_pos AS DOUBLE) / p_tot
-                   - CAST(n - n_pos AS DOUBLE) / n_tot)
-                  * CAST(ROUND(LN(((n_pos + CAST(0.5 AS DOUBLE)) * (n_tot + CAST(0.5 AS DOUBLE)))
-                                  / (((n - n_pos) + CAST(0.5 AS DOUBLE)) * (p_tot + CAST(0.5 AS DOUBLE))))
-                               * 1000000) AS BIGINT))
-            AS BIGINT) AS iv_micro
-FROM c, t ORDER BY category
-"""
-
-
-def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out target encoding of market segment against a
-    high-balance label (classify.loo_target_encode): every row carries
-    its category's label mean excluding itself, FLOOR-ppm. The query
-    attaches the per-row encoding through the library function, then
-    proves its per-(category, label) constancy with min = max in the
-    aggregate — LOO encodings take exactly two values per category."""
-    from yelp_etl_spark.functions.classify import loo_target_encode
-
-    customer = _t(spark, sf_dir, "customer")
-    base = customer.select(
-        "c_custkey",
-        "c_mktsegment",
-        (F.col("c_acctbal") > 4500).cast("long").alias("y"),
-    )
-    enc = loo_target_encode(base, "c_mktsegment", "y")
-    return (
-        enc.groupBy(F.col("c_mktsegment").alias("category"), "y")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.min("loo_enc_ppm").alias("enc_min"),
-            F.max("loo_enc_ppm").alias("enc_max"),
-        )
-        .orderBy("category", "y")
-    )
-
-
-ORACLE_LOO_TARGET_ENCODING = """
-WITH c AS MATERIALIZED (
-  SELECT c_mktsegment AS category,
-         CASE WHEN c_acctbal > 4500 THEN 1 ELSE 0 END AS y
-  FROM customer
-),
-s AS MATERIALIZED (
-  SELECT category, COUNT(*) AS n, SUM(y) AS sy FROM c GROUP BY 1
-),
-g AS (SELECT CAST(FLOOR(1000000 * SUM(sy) / SUM(n)) AS BIGINT) AS prior
-      FROM s)
-SELECT category, CAST(v.y AS BIGINT) AS y,
-       CAST(CASE WHEN v.y = 1 THEN sy ELSE n - sy END AS BIGINT) AS n_rows,
-       CAST(CASE WHEN n > 1
-                 THEN FLOOR(1000000 * (sy - v.y) / (n - 1))
-                 ELSE prior END AS BIGINT) AS enc_min,
-       CAST(CASE WHEN n > 1
-                 THEN FLOOR(1000000 * (sy - v.y) / (n - 1))
-                 ELSE prior END AS BIGINT) AS enc_max
-FROM s, (SELECT unnest([0, 1]) AS y) v, g
-WHERE (CASE WHEN v.y = 1 THEN sy ELSE n - sy END) > 0
-ORDER BY category, y
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "woe_encoding": (
-            q_woe_encoding,
-            ORACLE_WOE_ENCODING,
-            "ext:weight-of-evidence encoding (micro-nat WoE + IV)",
-        ),
-        "loo_target_encoding": (
-            q_loo_target_encoding,
-            ORACLE_LOO_TARGET_ENCODING,
-            "ext:leave-one-out target encoding (floor-ppm, leak-free)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# k-core decomposition (functions/graph.py k_core)
-# --------------------------------------------------------------------------
-
-
-def q_kcore_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree distribution after 4 peeling rounds of the 3-core on the
-    thin supplier↔part graph (graph.k_core): one keyed degree agg +
-    two semi-joins per round over a monotonically shrinking edge list.
-    The oracle unrolls the same 4 peels as chained CTEs."""
-    from yelp_etl_spark.functions.graph import k_core
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    edges = lineitem.filter(F.col("l_quantity") <= 3).select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    )
-    nodes = k_core(edges, k=3, rounds=4)
-    return (
-        nodes.groupBy("degree")
-        .agg(F.count("*").cast("long").alias("n_nodes"))
-        .orderBy("degree")
-    )
-
-
-def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
-    sql = """WITH raw AS (
-  SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-  FROM lineitem WHERE l_quantity <= 3
-),
-e0 AS MATERIALIZED (
-  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
-)"""
-    prev = "e0"
-    for i in range(1, rounds + 1):
-        sql += f""",
-k{i} AS MATERIALIZED (
-  SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
-),
-e{i} AS MATERIALIZED (
-  SELECT e.src, e.dst FROM {prev} e
-  JOIN k{i} a ON e.src = a.src
-  JOIN k{i} b ON e.dst = b.src
-)"""
-        prev = f"e{i}"
-    return sql + f"""
-SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
-FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
-      FROM {prev} GROUP BY src)
-GROUP BY degree ORDER BY degree"""
-
-
-ORACLE_KCORE = _kcore_oracle(3, 4)
-
-
-EXTRA_QUERIES.update(
-    {
-        "kcore_degrees": (
-            q_kcore_degrees,
-            ORACLE_KCORE,
-            "ext:k-core decomposition (4 unrolled peeling rounds)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Time-respecting reachability (functions/graph.py temporal_reachability)
-# --------------------------------------------------------------------------
-
-
-def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Earliest-arrival diffusion over the timestamped customer↔supplier
-    interaction graph (graph.temporal_reachability): seeds are every
-    97th customer at t0 = 0; each hop must use an edge dated at or
-    after the arrival at its source — the contact-tracing semantics
-    static BFS gets wrong. Timestamps are integer days so every min is
-    exact; 3 unrolled rounds, sssp-shaped keyed shuffles only."""
-    from yelp_etl_spark.functions.graph import temporal_reachability
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    base = lineitem.join(
-        orders, F.col("l_orderkey") == F.col("o_orderkey")
-    ).select(
-        "l_suppkey",
-        "o_custkey",
-        F.datediff(
-            F.col("o_orderdate").cast("date"),
-            F.lit("1970-01-01").cast("date"),
-        ).alias("ts"),
-    )
-    edges = base.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        "ts",
-    ).unionByName(
-        base.select(
-            (F.col("l_suppkey") * 2 + 1).alias("src"),
-            (F.col("o_custkey") * 2).alias("dst"),
-            "ts",
-        )
-    )
-    seeds = customer.filter(F.col("c_custkey") % 97 == 0).select(
-        (F.col("c_custkey") * 2).alias("id"), F.lit(0).alias("t0")
-    )
-    return temporal_reachability(edges, seeds, rounds=3).orderBy("id")
-
-
-def _temporal_reach_oracle(rounds: int = 3) -> str:
-    sql = """WITH base AS MATERIALIZED (
-  SELECT l_suppkey, o_custkey,
-         DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ts
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-),
-e AS MATERIALIZED (
-  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, ts FROM base
-  UNION ALL
-  SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst, ts FROM base
-),
-a0 AS MATERIALIZED (
-  SELECT c_custkey * 2 AS id, CAST(0 AS BIGINT) AS arrival
-  FROM customer WHERE c_custkey % 97 = 0
-)"""
-    prev = "a0"
-    for i in range(1, rounds + 1):
-        sql += f""",
-a{i} AS MATERIALIZED (
-  SELECT id, MIN(arrival) AS arrival FROM (
-    SELECT id, arrival FROM {prev}
-    UNION ALL
-    SELECT e.dst AS id, e.ts AS arrival
-    FROM e JOIN {prev} p ON e.src = p.id AND e.ts >= p.arrival
-  ) GROUP BY id
-)"""
-        prev = f"a{i}"
-    return sql + f"""
-SELECT id, CAST(arrival AS BIGINT) AS arrival FROM {prev} ORDER BY id"""
-
-
-ORACLE_TEMPORAL_REACH = _temporal_reach_oracle(3)
-
-
-EXTRA_QUERIES.update(
-    {
-        "temporal_reachability": (
-            q_temporal_reachability,
-            ORACLE_TEMPORAL_REACH,
-            "ext:earliest-arrival time-respecting reachability (3 rounds)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Column profiler (operators/validate.py profile_columns)
-# --------------------------------------------------------------------------
-
-
-def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-scan profile of four orders columns spanning the cardinality
-    spectrum (status: 3 values; priority: 5; custkey: key-like;
-    orderkey: unique) — counts, distincts, and micro-nat entropy via
-    a single stack-unpivot + keyed agg (validate.profile_columns)."""
-    from yelp_etl_spark.operators.validate import profile_columns
-
-    orders = _t(spark, sf_dir, "orders")
-    return profile_columns(
-        orders, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
-    )
-
-
-def _profile_block(col: str) -> str:
-    # decomposed micro-nat entropy (mirrors validate.profile_columns):
-    # q(ln n) − round(Σ cnt·q(ln cnt) / n) — per-cell terms are exact
-    # BIGINT, one final division
-    return f"""SELECT '{col}' AS col_name,
-       CAST(SUM(cnt) AS BIGINT) AS n_nonnull,
-       CAST((SELECT COUNT(*) FROM orders WHERE {col} IS NULL) AS BIGINT)
-         AS n_null,
-       CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       CAST(ROUND(LN(CAST(SUM(cnt) AS DOUBLE)) * 1000000) AS BIGINT)
-         - CAST(ROUND(CAST(SUM(cnt * CAST(ROUND(LN(CAST(cnt AS DOUBLE))
-                                               * 1000000) AS BIGINT))
-                           AS BIGINT)
-                      / CAST(SUM(cnt) AS BIGINT)) AS BIGINT)
-         AS entropy_micronats
-FROM (SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS cnt
-      FROM orders WHERE {col} IS NOT NULL GROUP BY 1)"""
-
-
-ORACLE_PROFILE_COLUMNS = (
-    "\nUNION ALL\n".join(
-        _profile_block(c)
-        for c in ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
-    )
-    + "\nORDER BY col_name"
-)
-
-
-EXTRA_QUERIES.update(
-    {
-        "profile_columns": (
-            q_profile_columns,
-            ORACLE_PROFILE_COLUMNS,
-            "ext:one-scan column profiler (cardinality + micro-nat entropy)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Zipf's-law fit over the corpus frequency spectrum
-# --------------------------------------------------------------------------
-
-
-def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf fit of the token frequency spectrum: OLS slope of
-    ln(freq) on ln(rank) over the top-1000 terms — the standard
-    corpus-health diagnostic (natural text ≈ −1; boilerplate or
-    synthetic spam bends the tail). The top-k is a distributed
-    sort-limit (never a global rank window over the vocabulary); the
-    rank/log quantization is milli-nat integers so all five OLS sums
-    are exact BIGINT (n·Σxy and Σx·Σy stay < 2⁵³ by construction at
-    k=1000) and the slope is ONE final division. The closed form is
-    computed manually — the engines' regr_slope implementations use
-    different accumulation algorithms and are not bit-portable."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text").filter(F.col("tok") != "")
-    freqs = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    top = (
-        freqs.orderBy(F.desc("cnt"), F.asc("tok"))
-        .limit(1000)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("cnt"), F.asc("tok"))
-            ),
-        )
-    )
-    q = lambda c: F.round(F.log(c) * F.lit(1000.0)).cast("long")  # noqa: E731
-    pts = top.select(q(F.col("rank")).alias("x"), q(F.col("cnt")).alias("y"))
-    sums = pts.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    return sums.select(
-        F.col("n").cast("long").alias("n_terms"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
-            6,
-        ).alias("zipf_slope"),
-    )
-
-
-ORACLE_ZIPF_SLOPE = """
-WITH freqs AS MATERIALIZED (
-  SELECT tok, COUNT(*) AS cnt FROM (
-    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
-  ) WHERE tok <> '' GROUP BY tok
-),
-top AS MATERIALIZED (
-  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
-  FROM freqs ORDER BY cnt DESC, tok ASC LIMIT 1000
-),
-pts AS (
-  SELECT CAST(ROUND(LN(rank) * 1000) AS BIGINT) AS x,
-         CAST(ROUND(LN(cnt) * 1000) AS BIGINT) AS y
-  FROM top
-),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx
-  FROM pts
-)
-SELECT n AS n_terms,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
-FROM s
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "zipf_slope": (
-            q_zipf_slope,
-            ORACLE_ZIPF_SLOPE,
-            "ext:Zipf OLS fit (exact BIGINT moments, manual closed form)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Markov removal-effect attribution (functions/attribution.py)
-# --------------------------------------------------------------------------
-
-_ATTRIB_CHANNELS = ["click", "error", "signup", "view"]
-
-
-def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-driven channel attribution by Markov removal effects
-    (attribution.markov_removal_attribution): user journeys truncate
-    at the first purchase ('conv'), non-converters close with 'null';
-    each channel's credit is the ppm drop in 6-step absorption
-    probability when its transitions are deleted. Transition counting
-    is fully distributed; the value iteration runs on the collected
-    ≤(|channels|+3)²-row matrix in exact integer ppm (the k-means
-    bounded-model-collect discipline), so the oracle replays the
-    entire trajectory."""
-    from yelp_etl_spark.functions.attribution import (
-        markov_removal_attribution,
-    )
-
-    events = _t(spark, sf_dir, "events")
-    return markov_removal_attribution(
-        events, _ATTRIB_CHANNELS, absorber="purchase", steps=6
-    ).orderBy("channel")
-
-
-def _attrib_chain_sql(tag: str, where: str, steps: int) -> str:
-    sql = f""",
-v0_{tag} AS (SELECT 'conv' AS state, CAST(1000000 AS BIGINT) AS v)"""
-    prev = f"v0_{tag}"
-    for i in range(1, steps + 1):
-        sql += f""",
-v{i}_{tag} AS MATERIALIZED (
-  SELECT frm AS state, CAST(SUM((p * v) // 1000000) AS BIGINT) AS v
-  FROM t JOIN {prev} ON t.two = {prev}.state{where}
-  GROUP BY 1
-)"""
-        prev = f"v{i}_{tag}"
-    return sql
-
-
-def _attrib_oracle(channels: list[str], steps: int = 6) -> str:
-    states = sorted(set(channels) | {"start", "conv", "null"})
-    state_lits = ", ".join(f"'{s}'" for s in states)
-    sql = f"""WITH s1 AS MATERIALIZED (
-  SELECT user_id, event_type,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS seq
-  FROM events
-),
-s2 AS MATERIALIZED (
-  SELECT *,
-         MIN(CASE WHEN event_type = 'purchase' THEN seq END)
-           OVER (PARTITION BY user_id) AS fp,
-         MAX(seq) OVER (PARTITION BY user_id) AS last_seq
-  FROM s1
-),
-kept AS MATERIALIZED (
-  SELECT user_id, seq, fp, last_seq,
-         CASE WHEN event_type = 'purchase' THEN 'conv'
-              ELSE event_type END AS state
-  FROM s2 WHERE fp IS NULL OR seq <= fp
-),
-trans AS MATERIALIZED (
-  SELECT frm, two, COUNT(*) AS n FROM (
-    SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY seq),
-                    'start') AS frm,
-           state AS two
-    FROM kept
-    UNION ALL
-    SELECT state AS frm, 'null' AS two
-    FROM kept WHERE fp IS NULL AND seq = last_seq
-  )
-  WHERE frm IN ({state_lits}) AND two IN ({state_lits})
-  GROUP BY 1, 2
-),
-t AS MATERIALIZED (
-  SELECT frm, two,
-         CAST(FLOOR(1000000 * n / SUM(n) OVER (PARTITION BY frm))
-              AS BIGINT) AS p
-  FROM trans
-  UNION ALL
-  SELECT 'conv', 'conv', CAST(1000000 AS BIGINT)
-)"""
-    sql += _attrib_chain_sql("full", "", steps)
-    for c in sorted(channels):
-        sql += _attrib_chain_sql(
-            f"no_{c}", f"\n  WHERE t.frm <> '{c}' AND t.two <> '{c}'", steps
-        )
-    blocks = []
-    for c in sorted(channels):
-        blocks.append(f"""SELECT '{c}' AS channel,
-       pf.v AS p_full_ppm, pc.v AS p_removed_ppm,
-       CAST(CASE WHEN pf.v > 0
-                 THEN (1000000 * (pf.v - pc.v)) // pf.v
-                 ELSE 0 END AS BIGINT) AS removal_effect_ppm
-FROM (SELECT COALESCE((SELECT v FROM v{steps}_full WHERE state = 'start'),
-                      0) AS v) pf,
-     (SELECT COALESCE((SELECT v FROM v{steps}_no_{c} WHERE state = 'start'),
-                      0) AS v) pc""")
-    return sql + "\n" + "\nUNION ALL\n".join(blocks) + "\nORDER BY channel"
-
-
-ORACLE_MARKOV_ATTRIBUTION = _attrib_oracle(_ATTRIB_CHANNELS, 6)
-
-
-EXTRA_QUERIES.update(
-    {
-        "markov_attribution": (
-            q_markov_attribution,
-            ORACLE_MARKOV_ATTRIBUTION,
-            "ext:Markov removal-effect attribution (full unrolled trajectory)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Fellegi-Sunter probabilistic record-linkage scoring
-# --------------------------------------------------------------------------
-
-
-# Sorted-neighborhood window width w: each record pairs with at most w
-# successors in its block's k-order, so candidates are Σ_b |block|·w —
-# linear in table size even with a fixed-cardinality blocking key.
-_FS_NEIGHBORHOOD = 8
-
-
-def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic record linkage à la Fellegi-Sunter (1969): score
-    brand-blocked part pairs by Σ_f ln(m_f/u_f) for agreeing fields
-    and Σ_f ln((1−m_f)/(1−u_f)) for disagreeing ones — the classical
-    entity-resolution weight model under every modern dedupe/Splink
-    pipeline. u-probabilities (chance agreement) are ESTIMATED from
-    the data as Σ_v cnt_v²/N² per field; m is the standard 0.9 prior.
-    Weights quantize to micro-nats before the per-pair sum (exact
-    BIGINT — the _qlog discipline), pairs come from hash blocking
-    (never a cross join), and the output is the weight histogram in
-    whole nats (truncated division — identical on both engines).
-
-    Scale: naive blocking alone is Σ_b |block_b|², which grows
-    QUADRATICALLY when the blocking key has fixed cardinality (this
-    one does: |brands|×10 blocks forever). The query therefore
-    enforces the sorted-neighborhood cap (Hernández & Stolfo 1995,
-    the same bound Splink exposes as a blocking-rule budget): rank
-    records within each block by the stable sort key ``k`` and pair
-    only neighbors whose ranks differ by ≤ _FS_NEIGHBORHOOD. Candidate
-    count is then Σ_b |block_b|·w = O(N·w) — LINEAR in data size no
-    matter how the block-size distribution degenerates. The rank
-    window partitions by block (hash-parallel across blocks; a block
-    must fit one partition's sort — at extreme per-block sizes you
-    would range-partition the in-block sort, the standard
-    sorted-neighborhood sharding). The weight table stays a broadcast
-    1-row frame."""
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    part = _t(spark, sf_dir, "part")
-    # recs feeds three field-weight aggregations AND both sides of the
-    # blocked self-join: materialize once (the repo's ≥2-consumer rule)
-    # instead of five scans of the part projection
-    recs = truncate_lineage(
-        part.select(
-            F.col("p_partkey").alias("k"),
-            F.concat(
-                F.col("p_brand"), F.lit("|"), (F.col("p_size") % 10)
-            ).alias("b"),
-            F.col("p_type").alias("f1"),
-            F.split(F.lower(F.col("p_name")), " ").getItem(0).alias("f2"),
-            F.floor(F.col("p_retailprice") / 100).alias("f3"),
-        ).withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("b").orderBy("k")),
-        ),
-        eager=True,
-    )
-
-    def field_w(col: str, tag: str):
-        cnts = recs.groupBy(col).agg(F.count("*").alias("cnt"))
-        s = cnts.agg(
-            F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
-            F.sum("cnt").alias("n"),
-        )
-        nn = F.col("n") * F.col("n")
-        return s.select(
-            F.round(F.log(F.lit(0.9) * F.col("n") * F.col("n") / F.col("s2"))
-                    * F.lit(1_000_000.0)).cast("long").alias(f"w{tag}a"),
-            F.round(
-                F.log(
-                    F.lit(0.1) * F.col("n") * F.col("n")
-                    / (nn - F.col("s2") + F.lit(0.5))
-                )
-                * F.lit(1_000_000.0)
-            ).cast("long").alias(f"w{tag}d"),
-        )
-
-    weights = field_w("f1", "1").crossJoin(field_w("f2", "2")).crossJoin(
-        field_w("f3", "3")
-    )
-    a = recs.alias("a")
-    bb = recs.alias("b")
-    # sorted-neighborhood cap: rn orders by k within block, so
-    # b.rn > a.rn ⟺ b.k > a.k (k unique) and the ±w residual bounds
-    # candidates to |block|·w instead of |block|²
-    pairs = a.join(
-        bb,
-        (F.col("a.b") == F.col("b.b"))
-        & (F.col("b.rn") > F.col("a.rn"))
-        & (F.col("b.rn") <= F.col("a.rn") + F.lit(_FS_NEIGHBORHOOD)),
-    ).crossJoin(F.broadcast(weights))
-    w = (
-        F.when(F.col("a.f1").eqNullSafe(F.col("b.f1")), F.col("w1a"))
-        .otherwise(F.col("w1d"))
-        + F.when(F.col("a.f2").eqNullSafe(F.col("b.f2")), F.col("w2a"))
-        .otherwise(F.col("w2d"))
-        + F.when(F.col("a.f3").eqNullSafe(F.col("b.f3")), F.col("w3a"))
-        .otherwise(F.col("w3d"))
-    )
-    return (
-        pairs.select(w.alias("weight"))
-        .select(F.expr("weight div 1000000").alias("w_nat"))
-        .groupBy("w_nat")
-        .agg(F.count("*").cast("long").alias("n_pairs"))
-        .orderBy("w_nat")
-    )
-
-
-def _fs_field_w_sql(col: str, tag: str) -> str:
-    return f"""w{tag} AS (
-  SELECT CAST(ROUND(LN(CAST(0.9 AS DOUBLE) * n * n / s2) * 1000000)
-              AS BIGINT) AS w{tag}a,
-         CAST(ROUND(LN(CAST(0.1 AS DOUBLE) * n * n / (n * n - s2 + CAST(0.5 AS DOUBLE)))
-                    * 1000000) AS BIGINT) AS w{tag}d
-  FROM (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
-               CAST(SUM(cnt) AS BIGINT) AS n
-        FROM (SELECT COUNT(*) AS cnt FROM recs GROUP BY {col}))
-)"""
-
-
-ORACLE_RECORD_LINKAGE_FS = (
-    f"""WITH recs AS MATERIALIZED (
-  SELECT p_partkey AS k,
-         p_brand || '|' || CAST(p_size % 10 AS VARCHAR) AS b, p_type AS f1,
-         string_split(lower(p_name), ' ')[1] AS f2,
-         CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS f3,
-         ROW_NUMBER() OVER (PARTITION BY
-             p_brand || '|' || CAST(p_size % 10 AS VARCHAR)
-             ORDER BY p_partkey) AS rn
-  FROM part
-),
-"""
-    + ",\n".join(_fs_field_w_sql(c, t) for c, t in
-                 [("f1", "1"), ("f2", "2"), ("f3", "3")])
-    + f"""
-SELECT w_nat, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
-  SELECT ((CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN w1a ELSE w1d END)
-        + (CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN w2a ELSE w2d END)
-        + (CASE WHEN a.f3 IS NOT DISTINCT FROM b.f3 THEN w3a ELSE w3d END))
-        // 1000000 AS w_nat
-  FROM recs a
-  JOIN recs b ON a.b = b.b AND b.rn > a.rn
-             AND b.rn <= a.rn + {_FS_NEIGHBORHOOD}, w1, w2, w3
-)
-GROUP BY w_nat ORDER BY w_nat"""
-)
-
-
-EXTRA_QUERIES.update(
-    {
-        "record_linkage_fs": (
-            q_record_linkage_fs,
-            ORACLE_RECORD_LINKAGE_FS,
-            "ext:Fellegi-Sunter linkage weights (blocked pairs, micro-nats)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# l-diversity audit (privacy family, sibling of k_anonymity_audit)
-# --------------------------------------------------------------------------
-
-
-def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity
-    alone fails when a quasi-identifier group is large but its
-    SENSITIVE attribute is homogeneous (everyone in the group shares
-    one balance band → attribute disclosure without re-identification).
-    Flags (nation, segment) groups whose sensitive bal_band has fewer
-    than l=4 distinct values, with the group's sensitive entropy in
-    micro-nats (entropy l-diversity, the stronger variant). Two keyed
-    aggs — (QI, sensitive) cells then QI rollup — group-sized output."""
-    cust = _t(spark, sf_dir, "customer")
-    cells = cust.groupBy(
-        F.col("c_nationkey").cast("long").alias("nationkey"),
-        F.col("c_mktsegment").alias("mktsegment"),
-        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
-    ).agg(F.count("*").alias("cnt"))
-    tot = cells.groupBy("nationkey", "mktsegment").agg(
-        F.sum("cnt").alias("n"), F.count("*").alias("l_distinct")
-    )
-    from yelp_etl_spark.functions.classify import qlog
-
-    q = qlog(F.col("cnt") / F.col("n"))
-    ent = (
-        cells.join(tot, ["nationkey", "mktsegment"])
-        .select("nationkey", "mktsegment", (F.col("cnt") * q).alias("term"),
-                "n")
-        .groupBy("nationkey", "mktsegment")
-        .agg(
-            F.round(-F.sum("term") / F.first("n"))
-            .cast("long")
-            .alias("sens_entropy_micronats")
-        )
-    )
-    return (
-        tot.join(ent, ["nationkey", "mktsegment"])
-        .filter(F.col("l_distinct") < 4)
-        .select(
-            "nationkey",
-            "mktsegment",
-            F.col("n").cast("long").alias("n"),
-            F.col("l_distinct").cast("long").alias("l_distinct"),
-            "sens_entropy_micronats",
-        )
-        .orderBy("nationkey", "mktsegment")
-    )
-
-
-ORACLE_L_DIVERSITY = """
-WITH cells AS MATERIALIZED (
-  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-         c_mktsegment AS mktsegment,
-         CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
-         COUNT(*) AS cnt
-  FROM customer GROUP BY 1, 2, 3
-),
-tot AS MATERIALIZED (
-  SELECT nationkey, mktsegment, CAST(SUM(cnt) AS BIGINT) AS n,
-         CAST(COUNT(*) AS BIGINT) AS l_distinct
-  FROM cells GROUP BY 1, 2
-)
-SELECT t.nationkey, t.mktsegment, t.n, t.l_distinct,
-       CAST(ROUND(-SUM(c.cnt * CAST(ROUND(LN(c.cnt / t.n) * 1000000)
-                                    AS BIGINT)) / t.n)
-            AS BIGINT) AS sens_entropy_micronats
-FROM cells c
-JOIN tot t USING (nationkey, mktsegment)
-WHERE t.l_distinct < 4
-GROUP BY t.nationkey, t.mktsegment, t.n, t.l_distinct
-ORDER BY t.nationkey, t.mktsegment
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "l_diversity_audit": (
-            q_l_diversity_audit,
-            ORACLE_L_DIVERSITY,
-            "ext:l-diversity privacy audit (distinct + entropy variants)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Nelson-Aalen cumulative hazard (functions/evaluation.py nelson_aalen)
-# --------------------------------------------------------------------------
-
-
-def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nelson-Aalen cumulative hazard over the same activity-span
-    durations as q_kaplan_meier — hazard increments quantized to
-    micro-units before the running sum, so the curve is exact BIGINT
-    until the final exp. Windows run only over the distinct-duration
-    table."""
-    from yelp_etl_spark.functions.evaluation import nelson_aalen
-
-    events = _t(spark, sf_dir, "events")
-    horizon = events.agg(F.max("ts").alias("max_ts"))
-    per_user = (
-        events.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
-            (
-                F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 3 DAYS")
-            )
-            .cast("long")
-            .alias("churned"),
-        )
-    )
-    return nelson_aalen(per_user, "t", "churned")
-
-
-ORACLE_NELSON_AALEN = """
-WITH horizon AS MATERIALIZED (SELECT MAX(ts) AS max_ts FROM events),
-per_user AS MATERIALIZED (
-  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t,
-         CASE WHEN MAX(ts) < h.max_ts - INTERVAL 3 DAY THEN 1 ELSE 0 END
-           AS churned
-  FROM events CROSS JOIN horizon h
-  GROUP BY user_id, h.max_ts
-),
-by_t AS MATERIALIZED (
-  SELECT CAST(t AS BIGINT) AS t,
-         CAST(COUNT(*) AS BIGINT) AS n_end,
-         CAST(SUM(churned) AS BIGINT) AS d_event
-  FROM per_user GROUP BY t
-),
-tot AS MATERIALIZED (SELECT CAST(SUM(n_end) AS BIGINT) AS n_total FROM by_t),
-stepped AS MATERIALIZED (
-  SELECT t, n_end, d_event,
-         CAST(n_total - (SUM(n_end) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
-                         - n_end) AS BIGINT) AS n_risk
-  FROM by_t CROSS JOIN tot
-),
-hazard AS MATERIALIZED (
-  SELECT t, n_risk, d_event,
-         CAST(SUM(CAST(ROUND(1000000 * CAST(d_event AS DOUBLE) / n_risk)
-                       AS BIGINT))
-              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS cum_hazard_micro
-  FROM stepped
-)
-SELECT t, n_risk, d_event, cum_hazard_micro,
-       ROUND(EXP(-CAST(cum_hazard_micro AS DOUBLE) / 1000000), 6)
-         AS survival_na
-FROM hazard ORDER BY t
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "nelson_aalen": (
-            q_nelson_aalen,
-            ORACLE_NELSON_AALEN,
-            "ext:Nelson-Aalen cumulative hazard (micro-quantized running sum)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Seasonal decomposition: trend (centered MA) + day-of-week indices
-# --------------------------------------------------------------------------
-
-
-def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical seasonal decomposition of the daily revenue series:
-    trend = centered 7-observation moving average, seasonal index =
-    per-day-of-week mean of the detrended series — the additive
-    STL-lite every ops dashboard runs. Parity: daily totals are exact
-    cents (quantized BEFORE summation), the MA window sums are exact
-    BIGINT, the detrend is one division + one subtraction + one
-    round to milli-cents, and day-of-week comes from days%7 epoch
-    arithmetic (engine dayofweek() conventions differ). The windows
-    run over the DISTINCT-DATE table — structurally bounded by the
-    calendar, the auc_score/kaplan_meier precedent."""
-    orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
-    )
-    days = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-    base = daily.select(days.cast("long").alias("days"), "v")
-    w = Window.orderBy("days").rowsBetween(-3, 3)
-    det = base.select(
-        (F.col("days") % 7).alias("dow"),
-        F.round(
-            (
-                F.col("v")
-                - F.sum("v").over(w) / F.count("v").over(w)
-            )
-            * F.lit(1000.0)
-        )
-        .cast("long")
-        .alias("d_milli"),
-    )
-    return (
-        det.groupBy("dow")
-        .agg(
-            F.count("*").cast("long").alias("n_days"),
-            F.round(F.sum("d_milli") / F.count("*"))
-            .cast("long")
-            .alias("seasonal_milli"),
-        )
-        .orderBy("dow")
-    )
-
-
-ORACLE_SEASONAL_DOW = """
-WITH daily AS MATERIALIZED (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
-  FROM orders GROUP BY 1
-),
-base AS MATERIALIZED (
-  SELECT DATE_DIFF('day', DATE '1970-01-01', d) AS days, v FROM daily
-),
-det AS MATERIALIZED (
-  SELECT days % 7 AS dow,
-         CAST(ROUND((v - SUM(v) OVER win / COUNT(v) OVER win) * 1000)
-              AS BIGINT) AS d_milli
-  FROM base
-  WINDOW win AS (ORDER BY days ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-)
-SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
-       CAST(ROUND(SUM(d_milli) / COUNT(*)) AS BIGINT) AS seasonal_milli
-FROM det GROUP BY dow ORDER BY dow
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "seasonal_decompose_dow": (
-            q_seasonal_decompose_dow,
-            ORACLE_SEASONAL_DOW,
-            "ext:additive seasonal decomposition (centered MA + dow index)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Differentially-private-shaped noisy counts (Laplace mechanism plumbing)
-# --------------------------------------------------------------------------
-
-
-def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Laplace-mechanism plumbing for ε-DP count releases: per-nation
-    customer counts plus Laplace(1/ε) noise via the inverse CDF,
-    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) with u from the repo's
-    portable 60-bit hash of the group key. THE SEEDED NOISE IS FOR
-    REPRODUCIBILITY/ORACLE PARITY ONLY — deterministic noise is NOT
-    differentially private; production swaps the hash-uniform for a
-    CSPRNG draw and drops the true_n column. What this query proves
-    is the in-engine mechanism shape: exact counts, one portable
-    uniform, one ln, micro-quantized addition — all codegen, no
-    Python. ε = 1, sensitivity 1 (unit count)."""
-    from yelp_etl_spark.functions.sampling import hash60
-
-    cust = _t(spark, sf_dir, "customer")
-    counts = cust.groupBy(
-        F.col("c_nationkey").cast("long").alias("nationkey")
-    ).agg(F.count("*").alias("true_n"))
-    u = hash60(F.concat(F.lit("dpseed-"), F.col("nationkey"))) / F.lit(
-        float(1 << 60)
-    )
-    x = u - F.lit(0.5)
-    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    inner = F.greatest(
-        F.lit(1.0) - F.lit(2.0) * F.abs(x), F.lit(1e-18)
-    )
-    noise_micro = F.round(
-        F.lit(-1_000_000.0) * sign * F.log(inner)
-    ).cast("long")
-    return counts.select(
-        "nationkey",
-        F.col("true_n").cast("long").alias("true_n"),
-        (F.col("true_n") * 1_000_000 + noise_micro)
-        .cast("long")
-        .alias("noisy_micro"),
-    ).orderBy("nationkey")
-
-
-ORACLE_DP_NOISY_COUNTS = """
-WITH counts AS MATERIALIZED (
-  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-         CAST(COUNT(*) AS BIGINT) AS true_n
-  FROM customer GROUP BY 1
-),
-noised AS (
-  SELECT nationkey, true_n,
-         CAST(concat('0x', substr(md5(CAST(concat('dpseed-', nationkey)
-                                           AS VARCHAR)), 18, 15)) AS BIGINT)
-           / CAST(1152921504606846976 AS DOUBLE) AS u
-  FROM counts
-)
-SELECT nationkey, true_n,
-       CAST(true_n * 1000000
-            + CAST(ROUND(-1000000 * (CASE WHEN u - 0.5 < 0 THEN -1.0
-                                          ELSE 1.0 END)
-                         * LN(GREATEST(CAST(1.0 AS DOUBLE)
-                                       - 2.0 * ABS(u - 0.5), 1e-18)))
-                   AS BIGINT)
-            AS BIGINT) AS noisy_micro
-FROM noised ORDER BY nationkey
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "dp_noisy_counts": (
-            q_dp_noisy_counts,
-            ORACLE_DP_NOISY_COUNTS,
-            "ext:Laplace-mechanism noisy counts (portable inverse-CDF noise)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Dynamic partition pruning (Catalyst runtime filter on a Hive layout)
-# --------------------------------------------------------------------------
-
-
-def q_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic partition pruning end-to-end: the fact table is
-    published partitioned by order year (Hive layout), the dim side is
-    a small year-attribute table filtered at runtime — Catalyst
-    injects a dynamicpruning subquery so the fact scan reads ONLY the
-    partitions the filtered dim selects (test_plans pins the
-    `dynamicpruning` expression). This is THE optimization that makes
-    star joins affordable at 100 TB: the fact side never lists the
-    pruned years. Oracle replays the join logically over raw orders."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-
-    orders = _t(spark, sf_dir, "orders")
-    scratch = _scratch_dir(sf_dir, "dpp")
-    fact = orders.withColumn("oy", F.year("o_orderdate"))
-    fact.write.partitionBy("oy").parquet(scratch)
-    fact_r = spark.read.parquet(scratch)
-    dim = (
-        orders.select(F.year("o_orderdate").alias("oy"))
-        .distinct()
-        .withColumn("era", F.when(F.col("oy") >= 1999, "late").otherwise("early"))
-    )
-    return (
-        fact_r.join(F.broadcast(dim.filter(F.col("era") == "late")), "oy")
-        .groupBy("oy")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cents"),
-        )
-        .orderBy("oy")
-    )
-
-
-ORACLE_DPP_PRUNE = """
-SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS oy,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM orders
-WHERE YEAR(o_orderdate) >= 1999
-GROUP BY 1 ORDER BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "dpp_prune_join": (
-            q_dpp_prune_join,
-            ORACLE_DPP_PRUNE,
-            "ext:dynamic partition pruning (runtime dim filter prunes fact scan)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Cogrouped-pandas as-of attribution (functions/udfs.py)
-# --------------------------------------------------------------------------
-
-
-def q_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purchase→view attribution through the cogrouped-pandas API
-    (udfs.cogrouped_asof_attribution): per user, both the view stream
-    and the purchase stream arrive in ONE Python call and pandas
-    merge_asof answers 'was there a view within 1 day before each
-    purchase?'. The oracle replays the same bounds as an EXISTS
-    subquery. This is the groupBy().cogroup().applyInPandas surface —
-    the only Pandas API tier the catalog didn't already exercise."""
-    from yelp_etl_spark.functions.udfs import cogrouped_asof_attribution
-
-    # every 4th user: the cogroup API costs one Python call per key,
-    # so the catalog query bounds the key count (the full-population
-    # run is the same plan, linearly more keys)
-    events = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
-    views = events.filter(F.col("event_type") == "view").select(
-        "user_id", "ts"
-    )
-    buys = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
-    )
-    return cogrouped_asof_attribution(
-        views, buys, "user_id", "ts", tolerance_days=1
-    ).orderBy("key")
-
-
-ORACLE_COGROUP_ATTRIBUTION = """
-WITH buys AS MATERIALIZED (
-  SELECT user_id, ts FROM events
-  WHERE event_type = 'purchase' AND user_id % 4 = 0
-),
-views AS MATERIALIZED (
-  SELECT user_id, ts FROM events
-  WHERE event_type = 'view' AND user_id % 4 = 0
-)
-SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_right,
-       CAST(COUNT(*) FILTER (
-         EXISTS (SELECT 1 FROM views v
-                 WHERE v.user_id = b.user_id
-                   AND v.ts <= b.ts
-                   AND v.ts >= b.ts - INTERVAL 1 DAY)) AS BIGINT)
-         AS n_attributed
-FROM buys b
-GROUP BY user_id ORDER BY key
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "cogroup_attribution": (
-            q_cogroup_attribution,
-            ORACLE_COGROUP_ATTRIBUTION,
-            "ext:cogrouped-pandas as-of attribution (merge_asof per key)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Mutual-information feature selection (functions/classify.py)
-# --------------------------------------------------------------------------
-
-
-def q_mi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 terms by mutual information with the document language
-    (classify.mutual_info_terms) — the information-theoretic sibling
-    of chi2_terms, counting BOTH presence and absence cells. Exact
-    BIGINT counts, micro-nat cell quantization before the Σ, one
-    final /N."""
-    from yelp_etl_spark.functions.classify import mutual_info_terms
-
-    docs = _t(spark, sf_dir, "documents")
-    return mutual_info_terms(docs, "lang", "text", "doc_id", top_k=20)
-
-
-ORACLE_MI_TERMS = """
-WITH toks AS MATERIALIZED (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-    FROM documents
-  ) WHERE tok <> ''
-),
-pres AS MATERIALIZED (
-  SELECT t.tok, d.lang AS label
-  FROM toks t JOIN documents d USING (doc_id)
-),
-a_tbl AS MATERIALIZED (
-  SELECT tok, label, CAST(COUNT(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2
-),
-dft AS MATERIALIZED (
-  SELECT tok, CAST(SUM(a) AS BIGINT) AS df_t FROM a_tbl GROUP BY 1
-),
-ncls AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_c
-         FROM documents GROUP BY 1),
-nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-grid AS MATERIALIZED (
-  SELECT d.tok, COALESCE(a.a, 0) AS a, d.df_t, c.n_c, nt.n
-  FROM dft d
-  CROSS JOIN ncls c
-  LEFT JOIN a_tbl a ON a.tok = d.tok AND a.label = c.label
-  CROSS JOIN nt
-),
-terms AS MATERIALIZED (
-  SELECT tok, df_t, n,
-         (CASE WHEN a > 0
-               THEN a * CAST(ROUND(LN(CAST(n AS DOUBLE) * a
-                                      / (df_t * n_c)) * 1000000) AS BIGINT)
-               ELSE 0 END
-        + CASE WHEN n_c - a > 0
-               THEN (n_c - a)
-                    * CAST(ROUND(LN(CAST(n AS DOUBLE) * (n_c - a)
-                                    / ((n - df_t) * n_c)) * 1000000)
-                           AS BIGINT)
-               ELSE 0 END) AS contrib
-  FROM grid
-)
-SELECT tok, CAST(MIN(df_t) AS BIGINT) AS df_t,
-       CAST(ROUND(SUM(contrib) / MIN(n)) AS BIGINT) AS mi_micro
-FROM terms GROUP BY tok
-ORDER BY mi_micro DESC, tok LIMIT 20
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "mi_terms": (
-            q_mi_terms,
-            ORACLE_MI_TERMS,
-            "ext:mutual-information feature selection (presence+absence cells)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Two-proportion A/B z-test (experiment-analysis surface)
-# --------------------------------------------------------------------------
-
-
-def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test over a hash-assigned experiment: users
-    split into A/B by the portable hash's parity (deterministic,
-    covariate-independent — exactly how production bucketing works),
-    conversion = the user is a heavy purchaser. Reports per-variant rates
-    and the pooled z statistic — the basic experiment readout every
-    event pipeline serves. Counts are exact BIGINT; rates and z are
-    fixed single-expression trees rounded to 6 (z = (p̂_a − p̂_b) /
-    √(p̂(1−p̂)(1/n_a + 1/n_b)) with pooled p̂)."""
-    from yelp_etl_spark.functions.sampling import hash60
-
-    events = _t(spark, sf_dir, "events")
-    # conversion = a heavy purchaser (≥ 12 purchases): every fixture
-    # user purchases at least once, so the binary any-purchase metric
-    # is degenerate (rate 1.0 in both arms, z undefined)
-    per_user = events.groupBy("user_id").agg(
-        (
-            F.sum((F.col("event_type") == "purchase").cast("long")) >= 12
-        ).cast("long").alias("conv")
-    )
-    assigned = per_user.select(
-        (hash60(F.concat(F.lit("ab1-"), F.col("user_id"))) % 2).alias(
-            "variant"
-        ),
-        "conv",
-    )
-    cells = assigned.groupBy("variant").agg(
-        F.count("*").alias("n"), F.sum("conv").alias("k")
-    )
-    wide = (
-        cells.groupBy()
-        .pivot("variant", [0, 1])
-        .agg(F.first("n").alias("n"), F.first("k").alias("k"))
-        .select(
-            F.col("0_n").alias("n_a"),
-            F.col("0_k").alias("k_a"),
-            F.col("1_n").alias("n_b"),
-            F.col("1_k").alias("k_b"),
-        )
-    )
-    pa = F.col("k_a") / F.col("n_a")
-    pb = F.col("k_b") / F.col("n_b")
-    pool = (F.col("k_a") + F.col("k_b")) / (F.col("n_a") + F.col("n_b"))
-    z = (pa - pb) / F.sqrt(
-        pool * (F.lit(1.0) - pool)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-    )
-    return wide.select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("k_a").cast("long").alias("k_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("k_b").cast("long").alias("k_b"),
-        F.round(pa, 6).alias("rate_a"),
-        F.round(pb, 6).alias("rate_b"),
-        F.round(z, 6).alias("z_stat"),
-    )
-
-
-ORACLE_AB_TEST = """
-WITH per_user AS MATERIALIZED (
-  SELECT user_id,
-         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   >= 12 THEN 1 ELSE 0 END AS conv
-  FROM events GROUP BY 1
-),
-assigned AS MATERIALIZED (
-  SELECT CAST(concat('0x', substr(md5(CAST(concat('ab1-', user_id)
-                                           AS VARCHAR)), 18, 15)) AS BIGINT)
-           % 2 AS variant,
-         conv
-  FROM per_user
-),
-wide AS (
-  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS k_a,
-         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_b
-  FROM assigned
-)
-SELECT n_a, k_a, n_b, k_b,
-       ROUND(k_a / n_a, 6) AS rate_a,
-       ROUND(k_b / n_b, 6) AS rate_b,
-       ROUND((k_a / n_a - k_b / n_b)
-             / SQRT((k_a + k_b) / (n_a + n_b)
-                    * (CAST(1.0 AS DOUBLE) - (k_a + k_b) / (n_a + n_b))
-                    * (CAST(1.0 AS DOUBLE) / n_a
-                       + CAST(1.0 AS DOUBLE) / n_b)), 6) AS z_stat
-FROM wide
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "ab_test_ztest": (
-            q_ab_test_ztest,
-            ORACLE_AB_TEST,
-            "ext:two-proportion z-test (hash-bucketed experiment readout)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# PCM int16 signal statistics (functions/multimodal.py pcm_int16_stats)
-# --------------------------------------------------------------------------
-
-
-def q_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Waveform statistics over binary payloads treated as little-
-    endian int16 PCM (multimodal.pcm_int16_stats): peak, RMS, zero
-    crossings — all Catalyst byte arithmetic, no audio library. The
-    oracle re-reads the same bytes from the hex encoding (two chars
-    per byte, LE fold, two's complement)."""
-    from yelp_etl_spark.functions.multimodal import pcm_int16_stats
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    blobs = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
-    )
-    return pcm_int16_stats(blobs, "content", "doc_id", n_samples=64)
-
-
-ORACLE_PCM_STATS = """
-WITH b AS MATERIALIZED (
-  SELECT doc_id AS id, upper(hex(encode(text))) AS hx,
-         octet_length(encode(text)) AS nbytes
-  FROM documents WHERE doc_id % 7 = 0
-),
-samples AS MATERIALIZED (
-  SELECT id, i,
-         (CAST(concat('0x', substr(hx, i * 4 + 1, 2)) AS BIGINT)
-          + 256 * CAST(concat('0x', substr(hx, i * 4 + 3, 2)) AS BIGINT))
-         - CASE WHEN (CAST(concat('0x', substr(hx, i * 4 + 1, 2)) AS BIGINT)
-                      + 256 * CAST(concat('0x', substr(hx, i * 4 + 3, 2))
-                                   AS BIGINT)) >= 32768
-                THEN 65536 ELSE 0 END AS s
-  FROM b, (SELECT unnest(generate_series(0, 63)) AS i) g
-  WHERE 2 * i + 2 <= nbytes
-),
-stepped AS MATERIALIZED (
-  SELECT id, s,
-         (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
-         * LAG(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
-             OVER (PARTITION BY id ORDER BY i) AS prod
-  FROM samples
-)
-SELECT id, CAST(COUNT(*) AS BIGINT) AS n_samples,
-       CAST(MAX(ABS(s)) AS BIGINT) AS peak,
-       CAST(ROUND(SQRT(CAST(SUM(s * s) AS BIGINT) / COUNT(*)) * 1000000)
-            AS BIGINT) AS rms_micro,
-       CAST(COALESCE(SUM(CASE WHEN prod = -1 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS zero_crossings
-FROM stepped GROUP BY id ORDER BY id
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "pcm_stats": (
-            q_pcm_stats,
-            ORACLE_PCM_STATS,
-            "ext:int16 PCM waveform stats (codec-free byte arithmetic)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Positional phrase search, trigram-index substring search, CUSUM
-# --------------------------------------------------------------------------
-
-_PHRASE = ("join", "column")
-
-
-def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase search through a POSITIONAL posting intersection:
-    token occurrences keep their array position, the phrase's terms
-    self-join on (doc, pos+1 = pos) — the positional-inverted-index
-    plan every search engine runs for quoted queries, vs
-    keyword_search's bag-of-words conjunction. Per-language doc and
-    occurrence counts. One keyed join on (doc_id, pos) — never a
-    LIKE scan over the corpus."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text", with_position=True)
-    t1 = toks.filter(F.col("tok") == _PHRASE[0]).select(
-        "doc_id", F.col("pos").alias("p1")
-    )
-    t2 = toks.filter(F.col("tok") == _PHRASE[1]).select(
-        "doc_id", F.col("pos").alias("p2")
-    )
-    occ = t1.join(
-        t2, (t1["doc_id"] == t2["doc_id"]) & (F.col("p1") + 1 == F.col("p2"))
-    ).select(t1["doc_id"])
-    per_doc = occ.groupBy("doc_id").agg(F.count("*").alias("n_occ"))
-    return (
-        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_occ").cast("long").alias("n_occurrences"),
-        )
-        .orderBy("lang")
-    )
-
-
-ORACLE_PHRASE_SEARCH = f"""
-WITH t AS MATERIALIZED (
-  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
-),
-occ AS MATERIALIZED (
-  -- correlated unnest: positions derive from each row's own token
-  -- count, so no document length can outrun a fixed bound (r6 ADVICE)
-  SELECT doc_id, COUNT(*) AS n_occ
-  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM t)
-  WHERE i < len(a) AND a[i] = '{_PHRASE[0]}' AND a[i + 1] = '{_PHRASE[1]}'
-  GROUP BY doc_id
-)
-SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(o.n_occ) AS BIGINT) AS n_occurrences
-FROM occ o JOIN documents d USING (doc_id)
-GROUP BY d.lang ORDER BY d.lang
-"""
-
-
-_TRGM_PATTERN = "fast key"
-
-
-def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring search through a trigram index (the pg_trgm plan):
-    candidate docs must contain EVERY trigram of the pattern
-    (character-level shingles, derived inline here — pre-materialized
-    as an inverted index at scale), then the candidates alone are
-    verified with the exact contains(). The final rows provably equal
-    a full LIKE scan (the verify step guarantees no false positives;
-    trigram containment guarantees no false negatives), but only the
-    candidate set ever pays string matching — the point at 100 TB.
-    Output includes the candidate count so the pruning is visible."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("t")
-    )
-    n = len(_TRGM_PATTERN)
-    pat_trgms = sorted({_TRGM_PATTERN[i : i + 3] for i in range(n - 2)})
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("t") - 2),
-                    lambda i: F.col("t").substr(i, F.lit(3)),
-                )
-            )
-        ).alias("g"),
-    )
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    # cands feeds BOTH the candidate count and the verify join:
-    # materialize once or the corpus-wide trigram explode runs twice
-    cands = truncate_lineage(
-        grams.filter(F.col("g").isin(pat_trgms))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("hits"))
-        .filter(F.col("hits") == len(pat_trgms)),
-        eager=True,
-    )
-    n_cand = cands.agg(F.count("*").cast("long").alias("n_candidates"))
-    verified = cands.join(docs, "doc_id").filter(
-        F.col("t").contains(_TRGM_PATTERN)
-    )
-    return (
-        verified.groupBy("lang")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .crossJoin(F.broadcast(n_cand))
-        .orderBy("lang")
-    )
-
-
-def _trgm_oracle(pattern: str) -> str:
-    trgms = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
-    lits = ", ".join(f"'{g}'" for g in trgms)
-    return f"""
-WITH t AS MATERIALIZED (
-  SELECT doc_id, lang, lower(text) AS t FROM documents
-),
-grams AS MATERIALIZED (
-  -- correlated unnest: per-row position grid, unbounded (r6 ADVICE)
-  SELECT DISTINCT doc_id, substr(t, i, 3) AS g
-  FROM (SELECT doc_id, t,
-               unnest(generate_series(1, length(t) - 2)) AS i
-        FROM t)
-),
-cands AS MATERIALIZED (
-  SELECT doc_id FROM grams WHERE g IN ({lits})
-  GROUP BY doc_id HAVING COUNT(*) = {len(trgms)}
-),
-nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands)
-SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, nc.n_candidates
-FROM cands JOIN t USING (doc_id), nc
-WHERE t.t LIKE '%{pattern}%'
-GROUP BY lang, nc.n_candidates ORDER BY lang
-"""
-
-
-ORACLE_TRIGRAM_SEARCH = _trgm_oracle(_TRGM_PATTERN)
-
-
-def q_cusum_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sided CUSUM change detection on daily revenue: S_t =
-    prefix(x−k)_t − min_{u≤t} prefix(x−k)_u with drift k = the global
-    floor-mean — the classical upward-shift detector, expressed as TWO
-    running windows over the calendar-bounded distinct-date table
-    (the recursive max(0, S+x−k) form un-rolls to exactly this prefix
-    identity). Everything integer cents; output is the top-10 alarm
-    days by S."""
-    orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
-    )
-    base = daily.select(
-        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("days"),
-        "v",
-    )
-    k = base.agg(
-        F.floor(F.sum("v") / F.count("*")).cast("long").alias("k")
-    )
-    w = Window.orderBy("days").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    stepped = (
-        base.crossJoin(F.broadcast(k))
-        .withColumn("prefix", F.sum(F.col("v") - F.col("k")).over(w))
-        # the running min must include the EMPTY prefix (0): without
-        # the zero anchor, every day before the prefix first dips
-        # negative under-reports S by min(prefix) — the recursion
-        # max(0, S + x - k) starts at S_0 = 0, not at prefix_1
-        .withColumn(
-            "s",
-            F.col("prefix")
-            - F.least(F.lit(0).cast("long"), F.min("prefix").over(w)),
-        )
-    )
-    return (
-        stepped.select("days", F.col("s").cast("long").alias("cusum_cents"))
-        .orderBy(F.desc("cusum_cents"), F.asc("days"))
-        .limit(10)
-    )
-
-
-ORACLE_CUSUM = """
-WITH daily AS MATERIALIZED (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
-  FROM orders GROUP BY 1
-),
-base AS MATERIALIZED (
-  SELECT DATE_DIFF('day', DATE '1970-01-01', d) AS days, v FROM daily
-),
-kk AS (SELECT CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS k FROM base),
-pre AS MATERIALIZED (
-  SELECT days,
-         SUM(v - k) OVER (ORDER BY days ROWS UNBOUNDED PRECEDING) AS prefix
-  FROM base, kk
-),
-stepped AS (
-  SELECT days,
-         prefix - LEAST(CAST(0 AS BIGINT),
-                        MIN(prefix) OVER (ORDER BY days
-                                          ROWS UNBOUNDED PRECEDING)) AS s
-  FROM pre
-)
-SELECT days, CAST(s AS BIGINT) AS cusum_cents
-FROM stepped ORDER BY s DESC, days ASC LIMIT 10
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "phrase_search_positional": (
-            q_phrase_search_positional,
-            ORACLE_PHRASE_SEARCH,
-            "ext:positional phrase search (pos+1 posting intersection)",
-        ),
-        "trigram_search": (
-            q_trigram_search,
-            ORACLE_TRIGRAM_SEARCH,
-            "ext:trigram-index substring search (pg_trgm plan, verified)",
-        ),
-        "cusum_top_days": (
-            q_cusum_top_days,
-            ORACLE_CUSUM,
-            "ext:CUSUM change detection (prefix-min identity, integer cents)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# ORC format roundtrip (sources/readers.read_files format surface)
-# --------------------------------------------------------------------------
-
-
-def q_orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Columnar-format coverage beyond parquet: orders → ORC files →
-    read back through sources/readers.read_files with predicate
-    pushdown intact — ORC is the other pushdown-capable columnar
-    format Spark ships natively (Hive-lineage warehouses are full of
-    it). The aggregate proves values survive the roundtrip bit-exactly
-    and the filtered scan equals the oracle's direct filter over the
-    source table."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.readers import read_files
-
-    orders = _t(spark, sf_dir, "orders")
-    target = _scratch_dir(sf_dir, "orc")
-    orders.write.format("orc").save(target)
-    back = read_files(spark, target, format="orc")
-    return (
-        back.filter(F.col("o_orderstatus") == "F")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cents"),
-            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-ORACLE_ORC_ROUNDTRIP = """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS cents,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
-FROM orders WHERE o_orderstatus = 'F'
-GROUP BY 1 ORDER BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "orc_scan_roundtrip": (
-            q_orc_scan_roundtrip,
-            ORACLE_ORC_ROUNDTRIP,
-            "ext:ORC columnar roundtrip (pushdown-capable second format)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Apriori level-3 itemsets and bitemporal as-of
-# --------------------------------------------------------------------------
-
-
-def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apriori's defining step beyond pairwise co-purchase: 3-itemset
-    mining with LEVEL-WISE CANDIDATE PRUNING — candidate (a,b,c) is
-    generated from frequent pairs (a,b) ⋈ (a,c) and kept only when
-    (b,c) is ALSO frequent (the downward-closure property), so the
-    basket triple-join runs against a broadcast candidate list instead
-    of |brands|³ cells. Support thresholds are a FLOOR-fraction of the
-    basket count (scale-relative, both engines floor the same IEEE
-    double). Top-20 triples, fully tie-broken."""
-    baskets, n_orders = _brand_baskets(spark, sf_dir)
-    minsup = int(n_orders * 3 // 1000)  # 0.3% of baskets
-    a, b = baskets.alias("a"), baskets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y")
-        )
-        .agg(F.count("*").alias("sup2"))
-        .filter(F.col("sup2") >= minsup)
-    )
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    # l2 feeds THREE branches of the candidate build (p, q, and the
-    # downward-closure membership check): materialize the ≤|brands|²
-    # frame once
-    l2 = truncate_lineage(pairs.select("x", "y"), eager=True)
-    cand = (
-        l2.alias("p")
-        .join(
-            l2.alias("q"),
-            (F.col("p.x") == F.col("q.x")) & (F.col("p.y") < F.col("q.y")),
-        )
-        .select(
-            F.col("p.x").alias("i1"),
-            F.col("p.y").alias("i2"),
-            F.col("q.y").alias("i3"),
-        )
-        # downward closure: the third sub-pair (i2, i3) must be frequent
-        .join(
-            l2.select(F.col("x").alias("i2"), F.col("y").alias("i3")),
-            ["i2", "i3"],
-            "left_semi",
-        )
-    )
-    c = baskets.alias("c")
-    triples = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("b.p_brand") < F.col("c.p_brand")),
-        )
-        .select(
-            F.col("a.p_brand").alias("i1"),
-            F.col("b.p_brand").alias("i2"),
-            F.col("c.p_brand").alias("i3"),
-        )
-        .join(F.broadcast(cand), ["i1", "i2", "i3"], "left_semi")
-        .groupBy("i1", "i2", "i3")
-        .agg(F.count("*").alias("sup3"))
-        .filter(F.col("sup3") >= minsup)
-    )
-    return (
-        triples.select(
-            "i1",
-            "i2",
-            "i3",
-            F.col("sup3").cast("long").alias("sup3"),
-            F.floor(F.lit(1_000_000) * F.col("sup3") / F.lit(n_orders))
-            .cast("long")
-            .alias("support_ppm"),
-        )
-        .orderBy(F.desc("sup3"), "i1", "i2", "i3")
-        .limit(20)
-    )
-
-
-ORACLE_APRIORI_TRIPLES = """
-WITH baskets AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS o, p_brand AS i
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-),
-n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM baskets),
-ms AS (SELECT CAST(n_orders * 3 // 1000 AS BIGINT) AS minsup, n_orders
-       FROM n),
-pairs AS MATERIALIZED (
-  SELECT a.i AS x, b.i AS y, COUNT(*) AS sup2
-  FROM baskets a JOIN baskets b ON a.o = b.o AND a.i < b.i
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= (SELECT minsup FROM ms)
-),
-cand AS MATERIALIZED (
-  SELECT p.x AS i1, p.y AS i2, q.y AS i3
-  FROM pairs p
-  JOIN pairs q ON p.x = q.x AND p.y < q.y
-  JOIN pairs r ON r.x = p.y AND r.y = q.y
-),
-triples AS MATERIALIZED (
-  SELECT a.i AS i1, b.i AS i2, c.i AS i3, CAST(COUNT(*) AS BIGINT) AS sup3
-  FROM baskets a
-  JOIN baskets b ON a.o = b.o AND a.i < b.i
-  JOIN baskets c ON a.o = c.o AND b.i < c.i
-  JOIN cand ON cand.i1 = a.i AND cand.i2 = b.i AND cand.i3 = c.i
-  GROUP BY 1, 2, 3
-  HAVING COUNT(*) >= (SELECT minsup FROM ms)
-)
-SELECT i1, i2, i3, sup3,
-       CAST(FLOOR(1000000 * sup3 / (SELECT n_orders FROM ms)) AS BIGINT)
-         AS support_ppm
-FROM triples
-ORDER BY sup3 DESC, i1, i2, i3 LIMIT 20
-"""
-
-
-_BITEMPORAL_CUT = "1998-01-01"
-_BITEMPORAL_ASOF = "1999-06-01"
-
-
-def q_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitemporal as-of: VALID time from the SCD2 status history,
-    SYSTEM time from the snapshot layer — 'what did the system as of
-    snapshot S believe each customer's status was on date D?'.
-    Snapshot 1 is the table as loaded through 1997 (system time);
-    snapshot 2 is the full load; both are queried for the status
-    distribution valid on 1999-06-01 — a date AFTER the cut, so the
-    facts snapshot 2 adds genuinely change the answer about that
-    valid-time instant (the as-of must postdate the system cut or the
-    two sides are provably identical and the time-travel axis goes
-    untested). Late-arriving facts correcting the past is the exact
-    case bitemporal modeling exists to expose. Composes
-    two oracle-checked layers (scd2_history + snapshot time travel);
-    the per-customer windows are bounded by order counts."""
-    from yelp_etl_spark.operators.scd import scd2_history
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
-
-    orders = _t(spark, sf_dir, "orders")
-    table = _scratch_dir(sf_dir, "bitemp")
-    s1 = snapshot_write(
-        orders.filter(F.col("o_orderdate") < F.lit(_BITEMPORAL_CUT)),
-        table,
-        mode="replace",
-    )
-    s2 = snapshot_write(orders, table, mode="replace")
-
-    def as_of(sid: int, out: str) -> DataFrame:
-        hist = scd2_history(
-            snapshot_read(spark, table, snapshot_id=sid),
-            "o_custkey",
-            "o_orderdate",
-            "o_orderstatus",
-            tiebreak="o_orderkey",
-        )
-        d = F.lit(_BITEMPORAL_ASOF).cast("timestamp")
-        return (
-            hist.filter(
-                (F.col("valid_from") <= d)
-                & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
-            )
-            .groupBy("o_orderstatus")
-            .agg(F.count("*").cast("long").alias(out))
-        )
-
-    return (
-        as_of(s1, "n_sys1")
-        .join(as_of(s2, "n_sys2"), "o_orderstatus", "full_outer")
-        .select(
-            "o_orderstatus",
-            F.coalesce("n_sys1", F.lit(0)).cast("long").alias("n_sys1"),
-            F.coalesce("n_sys2", F.lit(0)).cast("long").alias("n_sys2"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-def _bitemporal_side_sql(where: str, out: str) -> str:
-    return f"""
-  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS {out} FROM (
-    SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
-           LEAD(o_orderdate) OVER w2 AS valid_to
-    FROM (
-      SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
-             LAG(o_orderstatus) OVER w AS prev
-      FROM orders{where}
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    )
-    WHERE prev IS NULL OR o_orderstatus <> prev
-    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
-  )
-  WHERE valid_from <= TIMESTAMP '{_BITEMPORAL_ASOF}'
-    AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_BITEMPORAL_ASOF}')
-  GROUP BY o_orderstatus"""
-
-
-ORACLE_BITEMPORAL = f"""
-WITH sys1 AS MATERIALIZED ({_bitemporal_side_sql(
-    " WHERE o_orderdate < TIMESTAMP '" + _BITEMPORAL_CUT + "'", "n_sys1")}
-),
-sys2 AS MATERIALIZED ({_bitemporal_side_sql("", "n_sys2")}
-)
-SELECT COALESCE(sys1.o_orderstatus, sys2.o_orderstatus) AS o_orderstatus,
-       CAST(COALESCE(n_sys1, 0) AS BIGINT) AS n_sys1,
-       CAST(COALESCE(n_sys2, 0) AS BIGINT) AS n_sys2
-FROM sys1 FULL OUTER JOIN sys2 USING (o_orderstatus)
-ORDER BY o_orderstatus
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "apriori_triples": (
-            q_apriori_triples,
-            ORACLE_APRIORI_TRIPLES,
-            "ext:Apriori 3-itemsets (downward-closure candidate pruning)",
-        ),
-        "bitemporal_as_of": (
-            q_bitemporal_as_of,
-            ORACLE_BITEMPORAL,
-            "ext:bitemporal as-of (valid time x system time)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Local clustering coefficients + degree assortativity (graph health)
-# --------------------------------------------------------------------------
-
-
-def _copurchase_edges_thin(spark: SparkSession, sf_dir: str):
-    """Thinned part co-purchase edges (every 3rd order) — the shared
-    one-mode graph for the per-node structure metrics below."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 3 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-
-
-_COPURCHASE_THIN_SQL = """
-edges AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        WHERE l_orderkey % 3 = 0) a
-  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        WHERE l_orderkey % 3 = 0) b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-)"""
-
-
-def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node local clustering coefficient, bucketed into deciles:
-    cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) — how clique-like each
-    node's neighborhood is, the standard community-structure health
-    metric above the global triangle count. Triangles enumerate once
-    from degree-ordered oriented edges (the triangle_count discipline)
-    with the common neighbor EXPLODED so all three corners get
-    credit; zero-triangle nodes stay in bucket 0 via the left join.
-    FLOOR-ppm coefficient, decile = ppm div 100000."""
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    undirected = _copurchase_edges_thin(spark, sf_dir)
-    degrees = truncate_lineage(
-        undirected.select(F.col("u").alias("node"))
-        .unionAll(undirected.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg")),
-        eager=True,
-    )
-    du = degrees.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = degrees.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    edges = truncate_lineage(
-        undirected.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        ),
-        eager=True,
-    )
-    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-    corners = (
-        edges.join(
-            adj.select(F.col("src"), F.col("nbrs").alias("sn")), "src"
-        )
-        .join(
-            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("dn")),
-            "dst",
-        )
-        .select(
-            "src",
-            "dst",
-            F.explode(F.array_intersect("sn", "dn")).alias("w"),
-        )
-    )
-    node_tri = (
-        corners.select(F.col("src").alias("node"))
-        .unionAll(corners.select(F.col("dst").alias("node")))
-        .unionAll(corners.select(F.col("w").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("tri"))
-    )
-    cc_ppm = F.floor(
-        F.lit(2_000_000) * F.coalesce(F.col("tri"), F.lit(0))
-        / (F.col("deg") * (F.col("deg") - 1))
-    )
-    return (
-        degrees.filter(F.col("deg") >= 2)
-        .join(node_tri, "node", "left")
-        .select(cc_ppm.alias("cc_ppm"))
-        .select(F.expr("cc_ppm div 100000").alias("cc_decile"))
-        .groupBy("cc_decile")
-        .agg(F.count("*").cast("long").alias("n_nodes"))
-        .orderBy("cc_decile")
-    )
-
-
-ORACLE_CLUSTERING_COEFF = f"""
-WITH {_COPURCHASE_THIN_SQL.strip()},
-deg AS MATERIALIZED (
-  SELECT node, COUNT(*) AS deg FROM (
-    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
-  ) GROUP BY 1
-),
-tri AS MATERIALIZED (
-  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z FROM (
-    SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
-           CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
-    FROM edges
-    JOIN deg a ON a.node = edges.u
-    JOIN deg b ON b.node = edges.v,
-    LATERAL (SELECT a.deg AS du, b.deg AS dv)
-  ) e1
-  JOIN (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
-               AS src,
-               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
-               AS dst
-        FROM edges
-        JOIN deg a ON a.node = edges.u
-        JOIN deg b ON b.node = edges.v,
-        LATERAL (SELECT a.deg AS du, b.deg AS dv)) e2
-    ON e2.src = e1.dst
-  JOIN (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
-               AS src,
-               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
-               AS dst
-        FROM edges
-        JOIN deg a ON a.node = edges.u
-        JOIN deg b ON b.node = edges.v,
-        LATERAL (SELECT a.deg AS du, b.deg AS dv)) e3
-    ON e3.src = e1.src AND e3.dst = e2.dst
-),
-node_tri AS MATERIALIZED (
-  SELECT node, COUNT(*) AS tri FROM (
-    SELECT x AS node FROM tri
-    UNION ALL SELECT y FROM tri
-    UNION ALL SELECT z FROM tri
-  ) GROUP BY 1
-)
-SELECT CAST(FLOOR(2000000 * COALESCE(tri, 0)
-                  / (deg * (deg - 1))) AS BIGINT) // 100000 AS cc_decile,
-       CAST(COUNT(*) AS BIGINT) AS n_nodes
-FROM deg LEFT JOIN node_tri USING (node)
-WHERE deg >= 2
-GROUP BY 1 ORDER BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "clustering_coefficient": (
-            q_clustering_coefficient,
-            ORACLE_CLUSTERING_COEFF,
-            "ext:local clustering-coefficient deciles (oriented triangles)",
-        ),
-    }
-)
-
-
-def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity (Newman 2002): the Pearson correlation of
-    endpoint degrees across edges — positive means hubs attach to hubs
-    (social-graph shape), negative means hub-and-spoke (typical for
-    co-purchase). Each undirected edge contributes both orientations,
-    so Σx = Σy and Σxx = Σyy and the correlation is ONE closed-form
-    expression over exact BIGINT moments (the zipf_slope discipline —
-    engine corr() accumulations are not bit-portable). Bounds: with
-    degree d ≤ ~1e5 and m edges, n·Σxy ~ 2m²d² needs DECIMAL past
-    ~1e18 — fine at any fixture scale, documented for beyond."""
-    edges = _copurchase_edges_thin(spark, sf_dir)
-    degrees = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    du = degrees.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = degrees.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    pts = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(F.col("du").alias("x"), F.col("dv").alias("y"))
-    )
-    both = pts.unionAll(pts.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    s = both.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return s.select(
-        (F.col("n") / 2).cast("long").alias("n_edges"),
-        F.round(r, 6).alias("assortativity"),
-    )
-
-
-ORACLE_ASSORTATIVITY = f"""
-WITH {_COPURCHASE_THIN_SQL.strip()},
-deg AS MATERIALIZED (
-  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
-    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
-  ) GROUP BY 1
-),
-pts AS MATERIALIZED (
-  SELECT a.deg AS x, b.deg AS y
-  FROM edges JOIN deg a ON a.node = edges.u JOIN deg b ON b.node = edges.v
-),
-pts2 AS (SELECT x, y FROM pts UNION ALL SELECT y AS x, x AS y FROM pts),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx
-  FROM pts2
-)
-SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-       ROUND((n * sxy - sx * sx) / (n * sxx - sx * sx), 6) AS assortativity
-FROM s
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "degree_assortativity": (
-            q_degree_assortativity,
-            ORACLE_ASSORTATIVITY,
-            "ext:degree assortativity (exact BIGINT moments, closed form)",
-        ),
-    }
-)
-
-
-def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT weighted median per group (revenue-weighted order
-    quantity by return flag): reduce to per-(group, value) weight
-    cells — bounded by the value domain, quantity ∈ 1..50 — then one
-    cumulative window over that small table picks the first value
-    whose running weight reaches half the total. The exact complement
-    of the approximate histogram quantiles: same two-level shape, no
-    error bound, valid whenever the value domain is bounded. Weights
-    are exact cents; the half-total comparison is integer (2·cum ≥
-    total avoids the division entirely)."""
-    li = _t(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_quantity").cast("long").alias("v"),
-    ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
-            "w"
-        )
-    )
-    win = (
-        Window.partitionBy("g")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot = Window.partitionBy("g")
-    stepped = cells.withColumn("cum", F.sum("w").over(win)).withColumn(
-        "total", F.sum("w").over(tot)
-    )
-    return (
-        stepped.filter(2 * F.col("cum") >= F.col("total"))
-        .groupBy("g")
-        .agg(F.min("v").cast("long").alias("weighted_median_qty"))
-        .orderBy("g")
-    )
-
-
-ORACLE_WEIGHTED_MEDIAN = """
-WITH cells AS MATERIALIZED (
-  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
-         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-           AS w
-  FROM lineitem GROUP BY 1, 2
-),
-stepped AS (
-  SELECT g, v,
-         SUM(w) OVER (PARTITION BY g ORDER BY v
-                      ROWS UNBOUNDED PRECEDING) AS cum,
-         SUM(w) OVER (PARTITION BY g) AS total
-  FROM cells
-)
-SELECT g, CAST(MIN(v) AS BIGINT) AS weighted_median_qty
-FROM stepped WHERE 2 * cum >= total
-GROUP BY g ORDER BY g
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "weighted_median": (
-            q_weighted_median,
-            ORACLE_WEIGHTED_MEDIAN,
-            "ext:exact weighted median (bounded value domain, integer compare)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Gold-layer pipeline (the reference's declared-but-TODO silver → gold jobs)
-# --------------------------------------------------------------------------
-
-
-def q_gold_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end gold-layer recipe (plans/pipelines.run_gold_pipeline —
-    the "TODO: Silver -> Gold pipeline jobs" the reference declares at
-    run-all-pipelines.sh:239 and never ships): enrich (fact × prefixed
-    dim) → per-(segment, ISO-week) rollup in exact integer cents →
-    snapshot_write with an identity partition spec, then the committed
-    gold table is read BACK through the snapshot layer and summarized
-    per segment. The oracle recomputes the same rollup straight from
-    the silver parquet, so the check covers the enrich join, the week
-    truncation, the cents quantization, the partitioned snapshot
-    commit, and the read path in one pass. date_trunc('week') is
-    Monday-anchored in both engines."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.plans.pipelines import run_gold_pipeline
-    from yelp_etl_spark.sources.snapshots import snapshot_read
-
-    table = _scratch_dir(sf_dir, "gold")
-    run_gold_pipeline(spark, sf_dir, table)
-    gold = snapshot_read(spark, table)
-    return (
-        gold.groupBy("segment")
-        .agg(
-            F.count("*").cast("long").alias("n_weeks"),
-            F.sum("n_orders").cast("long").alias("n_orders"),
-            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
-            F.max("n_customers").cast("long").alias("max_weekly_customers"),
-        )
-        .orderBy("segment")
-    )
-
-
-ORACLE_GOLD_PIPELINE_ROLLUP = """
-WITH gold AS MATERIALIZED (
-  SELECT c_mktsegment AS segment,
-         CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
-         CAST(COUNT(*) AS BIGINT) AS n_orders,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS revenue_cents,
-         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2
-)
-SELECT segment,
-       CAST(COUNT(*) AS BIGINT) AS n_weeks,
-       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
-       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
-       CAST(MAX(n_customers) AS BIGINT) AS max_weekly_customers
-FROM gold GROUP BY segment ORDER BY segment
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "gold_pipeline_rollup": (
-            q_gold_pipeline_rollup,
-            ORACLE_GOLD_PIPELINE_ROLLUP,
-            "ext:gold-layer pipeline (enrich → week rollup → partitioned snapshot)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Partition-spec evolution (snapshot layer)
-# --------------------------------------------------------------------------
-
-
-def q_snapshot_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-spec evolution (sources/snapshots.snapshot_evolve_spec
-    — Iceberg's ALTER TABLE … REPLACE PARTITION FIELD): orders commit
-    partitioned by status, the spec evolves to priority as a pure
-    metadata commit (no data rewrite), and a post-evolution append
-    lays its files out under the NEW spec. The read back proves the
-    mixed-spec contract: a partition_filter on the NEW column prunes
-    only files that record it and conservatively scans pre-evolution
-    files, so combined with the row-level filter the answer equals the
-    raw recomputation exactly; same for a filter on the OLD column.
-    The ops column pins the commit log shape."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import (
-        snapshot_evolve_spec,
-        snapshot_read,
-        snapshot_write,
-        snapshots,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
-    )
-    table = _scratch_dir(sf_dir, "specevo")
-    snapshot_write(
-        orders.filter(F.col("o_orderkey") % 2 == 0),
-        table,
-        mode="replace",
-        partition_by=["o_orderstatus"],
-    )
-    snapshot_evolve_spec(table, ["o_orderpriority"])
-    snapshot_write(
-        orders.filter(F.col("o_orderkey") % 2 == 1), table, mode="append"
-    )
-    ops = ",".join(s["operation"] for s in snapshots(table))
-    cur = snapshot_read(spark, table)
-    n_urgent = (
-        snapshot_read(
-            spark, table, partition_filter={"o_orderpriority": "1-URGENT"}
-        )
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    n_f = (
-        snapshot_read(spark, table, partition_filter={"o_orderstatus": "F"})
-        .filter(F.col("o_orderstatus") == "F")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    total = cur.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("total_cents"),
-    )
-    return total.crossJoin(n_urgent.withColumnRenamed("n", "n_urgent")).crossJoin(
-        n_f.withColumnRenamed("n", "n_f")
-    ).select(
-        "n_rows", "total_cents", "n_urgent", "n_f", F.lit(ops).alias("ops")
-    )
-
-
-ORACLE_SNAPSHOT_SPEC_EVOLUTION = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS total_cents,
-       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_urgent,
-       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_f,
-       'replace,evolve-spec,append' AS ops
-FROM orders
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "snapshot_spec_evolution": (
-            q_snapshot_spec_evolution,
-            ORACLE_SNAPSHOT_SPEC_EVOLUTION,
-            "ext:partition-spec evolution (metadata-only re-spec, mixed-spec reads)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Spatial: grid-cell bucketed radius join (operators/spatial.py)
-# --------------------------------------------------------------------------
-
-_GEO_SIDE = 1_000_000  # planar world: coords in [0, 1e6)
-_GEO_RADIUS = 100_000  # search radius == grid cell side
-
-
-def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Radius search via the fixed-grid spatial join
-    (operators/spatial.grid_radius_join): every supplier in a
-    deterministic sample finds all customers within an exact planar
-    radius. Coordinates are synthesized from the repo's portable
-    60-bit md5 hash (the fixture has no geo columns; the reference's
-    Yelp domain does — business lat/lon), so both engines derive the
-    identical point set, and the whole pipeline — cell bucketing,
-    3×3-neighbor candidate equi-join, squared-distance verify — is
-    BIGINT-exact. Never a cross join: candidates come from a hash
-    join on the cell key; the exact predicate runs on candidates
-    only."""
-    from yelp_etl_spark.operators.spatial import grid_radius_join
-
-    from yelp_etl_spark.functions.sampling import hash60
-
-    def coord(prefix: str, key) -> "F.Column":
-        # ONE shared hash definition (sampling.hash60) so the geo
-        # synthesis can never drift from its DuckDB twin
-        return hash60(F.concat(F.lit(prefix), key.cast("string"))) % _GEO_SIDE
-
-    customer = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("pid"),
-        coord("gx", F.col("c_custkey")).alias("x"),
-        coord("gy", F.col("c_custkey")).alias("y"),
-    )
-    supplier = (
-        _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") % 3 == 0)
-        .select(
-            F.col("s_suppkey").alias("qid"),
-            coord("gx", F.col("s_suppkey") + 1_000_000_000).alias("x"),
-            coord("gy", F.col("s_suppkey") + 1_000_000_000).alias("y"),
-        )
-    )
-    pairs = grid_radius_join(supplier, customer, _GEO_RADIUS)
-    hits = pairs.groupBy("qid").agg(
-        F.count("*").cast("long").alias("n_within"),
-        F.min("d2").cast("long").alias("min_d2"),
-        F.sum("d2").cast("long").alias("sum_d2"),
-    )
-    # LEFT join back: isolated queries (zero matches) must be reported
-    return (
-        supplier.select("qid")
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.coalesce("n_within", F.lit(0)).cast("long").alias("n_within"),
-            F.coalesce("min_d2", F.lit(-1)).cast("long").alias("min_d2"),
-            F.coalesce("sum_d2", F.lit(0)).cast("long").alias("sum_d2"),
-        )
-        .orderBy("qid")
-    )
-
-
-ORACLE_SPATIAL_RADIUS_JOIN = f"""
-WITH cust AS MATERIALIZED (
-  SELECT c_custkey AS pid,
-         CAST(concat('0x', substr(md5('gx' || CAST(c_custkey AS VARCHAR)),
-                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS x,
-         CAST(concat('0x', substr(md5('gy' || CAST(c_custkey AS VARCHAR)),
-                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS y
-  FROM customer
-),
-supp AS MATERIALIZED (
-  SELECT s_suppkey AS qid,
-         CAST(concat('0x', substr(md5('gx' ||
-              CAST(s_suppkey + 1000000000 AS VARCHAR)),
-                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS x,
-         CAST(concat('0x', substr(md5('gy' ||
-              CAST(s_suppkey + 1000000000 AS VARCHAR)),
-                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS y
-  FROM supplier WHERE s_suppkey % 3 = 0
-),
-hits AS (
-  SELECT s.qid, CAST(COUNT(*) AS BIGINT) AS n_within,
-         CAST(MIN((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
-              AS BIGINT) AS min_d2,
-         CAST(SUM((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
-              AS BIGINT) AS sum_d2
-  FROM supp s JOIN cust c
-    ON (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
-       <= CAST({_GEO_RADIUS} AS BIGINT) * {_GEO_RADIUS}
-  GROUP BY s.qid
-)
-SELECT s.qid,
-       COALESCE(h.n_within, 0) AS n_within,
-       COALESCE(h.min_d2, -1) AS min_d2,
-       COALESCE(h.sum_d2, 0) AS sum_d2
-FROM supp s LEFT JOIN hits h ON h.qid = s.qid
-ORDER BY s.qid
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "spatial_radius_join": (
-            q_spatial_radius_join,
-            ORACLE_SPATIAL_RADIUS_JOIN,
-            "ext:grid-cell spatial radius join (exact integer L2, equi-join candidates)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Two-sample rank statistics over a bounded value domain
-# --------------------------------------------------------------------------
-
-
-def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U (Wilcoxon rank-sum) comparing l_quantity between
-    return flags A and N — the nonparametric complement to
-    ab_test_ztest. Counting form: 2·U_A = Σ_v c_A(v)·(2·F_B(v⁻) +
-    c_B(v)) over the value histogram, exact BIGINT (each A-observation
-    beats every smaller B and half-credits ties). The z-score uses the
-    tie-corrected normal variance, computed in double from the exact
-    integer moments and quantized to micro-units. Scale: everything
-    reduces to the ≤50-row quantity histogram after ONE keyed count;
-    the cumulative window runs over that bounded table only (the
-    weighted_median / auc_score precedent)."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag").isin("A", "N")
-    )
-    # FLOOR, not cast: Spark's long cast truncates where DuckDB's
-    # rounds (the q_sssp_weighted convention for fractional quantities)
-    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
-        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    stepped = cells.select(
-        "v",
-        "ca",
-        "cb",
-        F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("cumb"),
-    )
-    # tie cubes go through decimal(38,0): per-cell counts grow linearly
-    # with data volume and their CUBES overflow int64 around SF≈6 —
-    # decimal keeps the sum exact (and partition-order independent,
-    # unlike a double sum) to ~1e38
-    t_dec = (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
-    agg = stepped.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-        F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("cb")))
-        .cast("long")
-        .alias("u2x"),
-        F.sum(t_dec * t_dec * t_dec - t_dec)
-        .cast("double")
-        .alias("tie_cubes"),
-    )
-    n = F.col("n_a") + F.col("n_b")
-    mu2x = F.col("n_a") * F.col("n_b")  # 2·μ_U = n_a·n_b
-    var = (
-        F.col("n_a").cast("double")
-        * F.col("n_b")
-        / 12.0
-        * ((n + 1) - F.col("tie_cubes") / (n * (n - F.lit(1))))
-    )
-    z = (F.col("u2x") - mu2x) / (F.lit(2.0) * F.sqrt(var))
-    return agg.select(
-        "n_a",
-        "n_b",
-        "u2x",
-        F.round(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
-    )
-
-
-ORACLE_MANN_WHITNEY_U = """
-WITH cells AS MATERIALIZED (
-  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
-         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
-           AS ca,
-         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cb
-  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1
-),
-stepped AS (
-  SELECT v, ca, cb,
-         COALESCE(SUM(cb) OVER (ORDER BY v
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), 0) AS cumb
-  FROM cells
-),
-agg AS (
-  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
-         CAST(SUM(cb) AS BIGINT) AS n_b,
-         CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2x,
-         CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
-                  - (ca + cb)) AS DOUBLE) AS tie_cubes
-  FROM stepped
-)
-SELECT n_a, n_b, u2x,
-       CAST(ROUND((u2x - n_a * n_b)
-                  / (CAST(2.0 AS DOUBLE) * SQRT(
-                       CAST(n_a AS DOUBLE) * n_b / 12.0
-                       * ((n_a + n_b + 1)
-                          - tie_cubes / (CAST(n_a + n_b AS DOUBLE)
-                                         * (n_a + n_b - 1)))))
-                  * 1000000) AS BIGINT) AS z_micro
-FROM agg
-"""
-
-
-def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov-Smirnov distance between the
-    l_quantity distributions of return flags A and N — the
-    distribution-drift detector that complements psi_drift (PSI needs
-    binning choices; KS is binning-free). D is kept as the exact
-    integer cross-product max |F_A·n_A·n_B − F_B·n_A·n_B| =
-    max |cuma·n_b − cumb·n_a| (BIGINT — no float ECDFs), with d_ppm
-    and the asymptotic statistic λ = D·√(n_a·n_b/(n_a+n_b)) derived
-    from it. Same bounded-histogram shape as mann_whitney_u: one
-    keyed count, then windows over ≤50 rows."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag").isin("A", "N")
-    )
-    # FLOOR, not cast (the q_sssp_weighted truncate-vs-round convention)
-    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
-        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    stepped = cells.select(
-        F.sum("ca").over(w).alias("cuma"),
-        F.sum("cb").over(w).alias("cumb"),
-    )
-    # ECDF cross-products through decimal(38,0): cuma·tb reaches n²
-    # even when D is tiny, which leaves int64 around SF≈400 — the
-    # decimal keeps every intermediate exact; d_scaled itself (D·n²)
-    # converts back to BIGINT, loudly if the answer ever outgrows it
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    agg = stepped.agg(
-        F.max("cuma").cast("long").alias("n_a"),
-        F.max("cumb").cast("long").alias("n_b"),
-    ).crossJoin(
-        stepped.crossJoin(
-            cells.agg(
-                F.sum("ca").cast("decimal(38,0)").alias("ta"),
-                F.sum("cb").cast("decimal(38,0)").alias("tb"),
-            )
-        )
-        .select(
-            F.abs(dec("cuma") * F.col("tb") - dec("cumb") * F.col("ta"))
-            .alias("dd")
-        )
-        .agg(F.max("dd").cast("long").alias("d_scaled"))
-    )
-    nn = F.col("n_a").cast("double") * F.col("n_b")
-    return agg.select(
-        "n_a",
-        "n_b",
-        "d_scaled",
-        F.round(F.col("d_scaled") / nn * F.lit(1_000_000.0))
-        .cast("long")
-        .alias("d_ppm"),
-        F.round(
-            F.col("d_scaled")
-            / nn
-            * F.sqrt(nn / (F.col("n_a") + F.col("n_b")))
-            * F.lit(1_000_000.0)
-        )
-        .cast("long")
-        .alias("lambda_micro"),
-    )
-
-
-ORACLE_KS_TWO_SAMPLE = """
-WITH cells AS MATERIALIZED (
-  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
-         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
-           AS ca,
-         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cb
-  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1
-),
-tot AS (
-  SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
-  FROM cells
-),
-stepped AS (
-  SELECT CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS cuma,
-         CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS cumb
-  FROM cells
-),
-dmax AS (
-  SELECT CAST(MAX(ABS(CAST(cuma AS HUGEINT) * tb
-                      - CAST(cumb AS HUGEINT) * ta)) AS BIGINT) AS d_scaled
-  FROM stepped, tot
-)
-SELECT ta AS n_a, tb AS n_b, d_scaled,
-       CAST(ROUND(d_scaled / (CAST(ta AS DOUBLE) * tb) * 1000000) AS BIGINT)
-         AS d_ppm,
-       CAST(ROUND(d_scaled / (CAST(ta AS DOUBLE) * tb)
-                  * SQRT(CAST(ta AS DOUBLE) * tb / (ta + tb))
-                  * 1000000) AS BIGINT) AS lambda_micro
-FROM dmax, tot
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "mann_whitney_u": (
-            q_mann_whitney_u,
-            ORACLE_MANN_WHITNEY_U,
-            "ext:Mann-Whitney rank-sum test (exact 2U counting form, tie-corrected z)",
-        ),
-        "ks_two_sample": (
-            q_ks_two_sample,
-            ORACLE_KS_TWO_SAMPLE,
-            "ext:exact two-sample KS distance (integer cross-product ECDFs)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Theil-Sen robust trend slope (median of pairwise slopes)
-# --------------------------------------------------------------------------
-
-
-def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen estimator (Sen 1968) of the 1995 daily-revenue trend:
-    the median of all pairwise slopes (y_j−y_i)/(d_j−d_i) — the
-    robust-regression complement to zipf_slope's OLS (up to ~29%
-    outlier days cannot move it). Slopes quantize to exact
-    micro-cents/day via the repo's portable floor (truncating div
-    minus the negative-remainder correction — identical in DuckDB),
-    then the median is the count-based lower median over the slope
-    histogram (the weighted_median machinery). Scale: ONE keyed agg
-    reduces everything to the ≤365-row day table; the pair join and
-    the median window run over calendar-bounded frames (≤66k pairs)
-    that never grow with data volume."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1995
-    )
-    days = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("y")
-    )
-    a = days.alias("a")
-    b = days.alias("b")
-    dy = F.col("b.y") - F.col("a.y")
-    dd = F.datediff(F.col("b.d"), F.col("a.d"))
-    pairs = (
-        a.join(b, F.col("a.d") < F.col("b.d"))
-        .select(dy.alias("dy"), dd.cast("long").alias("dd"))
-        .select(
-            # 1e6*dy through decimal(38,0): BIGINT day-revenue deltas
-            # overflow int64 under the 1e6 quantizer at SF≈1000+ daily
-            # volumes — same discipline as the rank-test tie cubes
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * dy) div dd AS BIGINT)"
-                " - (CASE WHEN (CAST(1000000 AS DECIMAL(38,0)) * dy) % dd"
-                " != 0 AND dy < 0 THEN 1 ELSE 0 END)"
-            ).alias("qs")
-        )
-    )
-    counts = pairs.groupBy("qs").agg(F.count("*").alias("c"))
-    w = Window.orderBy("qs").rowsBetween(Window.unboundedPreceding, 0)
-    stepped = counts.select(
-        "qs",
-        F.sum("c").over(w).alias("cum"),
-        F.sum("c").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
-    )
-    med = stepped.filter(2 * F.col("cum") >= F.col("total")).agg(
-        F.min("qs").cast("long").alias("slope_micro_cents_per_day"),
-        F.min("total").cast("long").alias("n_pairs"),
-    )
-    return med.crossJoin(
-        days.agg(F.count("*").cast("long").alias("n_days"))
-    ).select("n_days", "n_pairs", "slope_micro_cents_per_day")
-
-
-ORACLE_THEIL_SEN_SLOPE = """
-WITH days AS MATERIALIZED (
-  SELECT o_orderdate AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-pairs AS MATERIALIZED (
-  SELECT CAST((CAST(1000000 AS HUGEINT) * (b.y - a.y))
-              // date_diff('day', a.d, b.d) AS BIGINT)
-         - (CASE WHEN (CAST(1000000 AS HUGEINT) * (b.y - a.y))
-                      % date_diff('day', a.d, b.d) != 0
-                 AND b.y - a.y < 0 THEN 1 ELSE 0 END) AS qs
-  FROM days a JOIN days b ON a.d < b.d
-),
-counts AS (
-  SELECT qs, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1
-),
-stepped AS (
-  SELECT qs,
-         CAST(SUM(c) OVER (ORDER BY qs ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS cum,
-         CAST(SUM(c) OVER () AS BIGINT) AS total
-  FROM counts
-)
-SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n_days,
-       CAST(MIN(total) AS BIGINT) AS n_pairs,
-       CAST(MIN(qs) AS BIGINT) AS slope_micro_cents_per_day
-FROM stepped WHERE 2 * cum >= total
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "theil_sen_slope": (
-            q_theil_sen_slope,
-            ORACLE_THEIL_SEN_SLOPE,
-            "ext:Theil-Sen robust trend (median pairwise slope, calendar-bounded)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Multi-feature OLS by exact normal equations (closed-form Cramer solve)
-# --------------------------------------------------------------------------
-
-
-def q_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-feature + intercept least squares fitted the way a 100 TB
-    regression actually runs: ONE distributed pass accumulates the 10
-    sufficient moments (n, Σx, Σxx, Σxy, Σyy) EXACTLY — per-row
-    products in BIGINT, sums in decimal(38) so no scale overflows —
-    then the 3×3 normal equations solve in closed form (Cramer) on
-    the 1-row moment frame. Extends regr_aggs' single-feature
-    surface to the multivariate case logreg/gbt don't cover (those
-    are iterative; this is the exact one-pass path). Fit: lineitem
-    extendedprice from quantity and part retailprice — the TPC-H
-    pricing identity, so R² lands near 1 and the weights are
-    interpretable. The solve arithmetic is written with the identical
-    expression tree in the DuckDB oracle (doubles from exact
-    integers), weights quantized to micro-units."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.col("l_quantity").cast("long").alias("x1"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
-    part = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.round(F.col("p_retailprice") * 100).cast("long").alias("x2"),
-    )
-    rows = li.join(part, li.l_partkey == part.p_partkey).select(
-        "x1", "x2", "y"
-    )
-    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
-    m = rows.agg(
-        F.count("*").cast("double").alias("n"),
-        dec(F.col("x1")).alias("s1"),
-        dec(F.col("x2")).alias("s2"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x1") * F.col("x1")).alias("s11"),
-        dec(F.col("x2") * F.col("x2")).alias("s22"),
-        dec(F.col("x1") * F.col("x2")).alias("s12"),
-        dec(F.col("x1") * F.col("y")).alias("s1y"),
-        dec(F.col("x2") * F.col("y")).alias("s2y"),
-        dec(F.col("y") * F.col("y")).alias("syy"),
-    )
-    # Cramer's rule on the symmetric 3×3 system; expression trees kept
-    # 1:1 with the oracle so the IEEE evaluation is identical
-    det = (
-        "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
-        "+ s2 * (s1 * s12 - s11 * s2))"
-    )
-    d0 = (
-        "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
-        "+ s2 * (s1y * s12 - s11 * s2y))"
-    )
-    d1 = (
-        "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
-        "+ s2 * (s1 * s2y - s1y * s2))"
-    )
-    d2 = (
-        "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
-        "+ sy * (s1 * s12 - s11 * s2))"
-    )
-    sel = m.selectExpr(
-        "CAST(n AS BIGINT) AS n_rows",
-        f"{d0} / {det} AS w0",
-        f"{d1} / {det} AS w1",
-        f"{d2} / {det} AS w2",
-        "sy",
-        "s1y",
-        "s2y",
-        "syy",
-        "n",
-    )
-    sse = "(syy - w0 * sy - w1 * s1y - w2 * s2y)"
-    sst = "(syy - sy * sy / n)"
-    return sel.selectExpr(
-        "n_rows",
-        "CAST(ROUND(w0 * 1000000) AS BIGINT) AS w0_micro",
-        "CAST(ROUND(w1 * 1000000) AS BIGINT) AS w1_micro",
-        "CAST(ROUND(w2 * 1000000) AS BIGINT) AS w2_micro",
-        f"CAST(ROUND((1.0 - {sse} / {sst}) * 1000000) AS BIGINT) AS r2_ppm",
-    )
-
-
-ORACLE_OLS_NORMAL_EQUATIONS = """
-WITH rows_ AS MATERIALIZED (
-  SELECT CAST(l_quantity AS BIGINT) AS x1,
-         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x2,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-),
-m AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(x1) AS DOUBLE) AS s1,
-         CAST(SUM(x2) AS DOUBLE) AS s2,
-         CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
-         CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
-         CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
-         CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
-         CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
-         CAST(SUM(y * y) AS DOUBLE) AS syy
-  FROM rows_
-),
-sol AS (
-  SELECT CAST(n AS BIGINT) AS n_rows,
-         (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
-          + s2 * (s1y * s12 - s11 * s2y))
-         / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
-            + s2 * (s1 * s12 - s11 * s2)) AS w0,
-         (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
-          + s2 * (s1 * s2y - s1y * s2))
-         / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
-            + s2 * (s1 * s12 - s11 * s2)) AS w1,
-         (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
-          + sy * (s1 * s12 - s11 * s2))
-         / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
-            + s2 * (s1 * s12 - s11 * s2)) AS w2,
-         sy, s1y, s2y, syy, n
-  FROM m
-)
-SELECT n_rows,
-       CAST(ROUND(w0 * 1000000) AS BIGINT) AS w0_micro,
-       CAST(ROUND(w1 * 1000000) AS BIGINT) AS w1_micro,
-       CAST(ROUND(w2 * 1000000) AS BIGINT) AS w2_micro,
-       CAST(ROUND((1.0 - (syy - w0 * sy - w1 * s1y - w2 * s2y)
-                         / (syy - sy * sy / n)) * 1000000) AS BIGINT)
-         AS r2_ppm
-FROM sol
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "ols_normal_equations": (
-            q_ols_normal_equations,
-            ORACLE_OLS_NORMAL_EQUATIONS,
-            "ext:two-feature OLS via exact decimal moments + Cramer solve",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Deterministic random-walk corpus (functions/graph.random_walks)
-# --------------------------------------------------------------------------
-
-_WALK_STEPS = 4
-
-
-def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DeepWalk-style walk corpus over the supplier↔customer order
-    graph (functions/graph.random_walks): one 4-step walk per sampled
-    supplier (every third key — present at every SF), the next hop chosen by the portable md5 hash mod degree
-    over the dst-sorted adjacency — i.i.d.-uniform for embedding
-    training, bit-reproducible in any engine (the property that makes
-    a 100 TB walk corpus auditable). The unrolled oracle replays every
-    hop. Output: per-step walk census (alive walks, distinct nodes,
-    node-id sum)."""
-    from yelp_etl_spark.functions.graph import random_walks
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supplier = _t(spark, sf_dir, "supplier")
-    edges = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-    )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    seeds = supplier.filter(F.col("s_suppkey") % 3 == 0).select(
-        (F.col("s_suppkey") * 2).alias("id")
-    )
-    walks = random_walks(sym, seeds, steps=_WALK_STEPS)
-    return (
-        walks.groupBy("step")
-        .agg(
-            F.count("*").cast("long").alias("n_walks"),
-            F.countDistinct("node").cast("long").alias("n_distinct_nodes"),
-            F.sum("node").cast("long").alias("sum_node_ids"),
-        )
-        .orderBy("step")
-    )
-
-
-def _walk_choice_sql(t: int) -> str:
-    return (
-        "CAST(concat('0x', substr(md5(CAST(w.start AS VARCHAR) || '|' || "
-        f"CAST(w.node AS VARCHAR) || '|{t}'), 18, 15)) AS BIGINT) "
-        "% r.deg + 1"
-    )
-
-
-def _walks_oracle(steps: int) -> str:
-    ctes = [
-        """edges AS MATERIALIZED (
-  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
-         CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-)""",
-        """sym AS MATERIALIZED (
-  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-)""",
-        """ranked AS MATERIALIZED (
-  SELECT src, dst,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
-         COUNT(*) OVER (PARTITION BY src) AS deg
-  FROM sym
-)""",
-        """w0 AS MATERIALIZED (
-  SELECT CAST(s_suppkey * 2 AS BIGINT) AS start, CAST(0 AS BIGINT) AS step,
-         CAST(s_suppkey * 2 AS BIGINT) AS node
-  FROM supplier WHERE s_suppkey % 3 = 0
-)""",
-    ]
-    for t in range(1, steps + 1):
-        ctes.append(
-            f"""w{t} AS MATERIALIZED (
-  SELECT w.start, CAST({t} AS BIGINT) AS step, r.dst AS node
-  FROM w{t - 1} w JOIN ranked r
-    ON w.node = r.src AND r.rn = {_walk_choice_sql(t)}
-)"""
-        )
-    union = "\nUNION ALL\n".join(
-        f"SELECT * FROM w{t}" for t in range(steps + 1)
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f""",
-allw AS ({union})
-SELECT step, CAST(COUNT(*) AS BIGINT) AS n_walks,
-       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_nodes,
-       CAST(SUM(node) AS BIGINT) AS sum_node_ids
-FROM allw GROUP BY step ORDER BY step"""
-    )
-
-
-ORACLE_RANDOM_WALKS = _walks_oracle(_WALK_STEPS)
-
-
-EXTRA_QUERIES.update(
-    {
-        "random_walks": (
-            q_random_walks,
-            ORACLE_RANDOM_WALKS,
-            "ext:deterministic DeepWalk corpus (hash-mod-degree hops, unrolled oracle)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# binaryFile source (raw-asset ingestion for multimodal corpora)
-# --------------------------------------------------------------------------
-
-
-def q_binaryfile_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw-asset ingestion through Spark's native ``binaryFile`` source
-    — the entry point a multimodal corpus uses for image/audio payload
-    files (S-surface sibling of the csv/orc/jsonl roundtrips). A
-    bounded sample of document texts is materialized as individual
-    .bin files (driver-side, ≤24 files by construction — the ivf
-    codebook-sample discipline), read back as (path, length, content)
-    rows via binaryFile with a glob filter, and summarized by
-    content-derived values only (byte totals, distinct md5 digests) so
-    the check is path-independent. The oracle recomputes the same
-    digests straight from the documents table. At scale the source
-    lists and reads files in parallel like any other FileScan; the
-    driver loop here is only fixture synthesis."""
-    import os
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 21 == 0)
-        .select("doc_id", "text")
-        .collect()
-    )
-    target = _scratch_dir(sf_dir, "binfiles")
-    os.makedirs(target, exist_ok=True)
-    for r in docs:
-        with open(os.path.join(target, f"doc-{r.doc_id}.bin"), "wb") as fh:
-            fh.write(r.text.encode("utf-8"))
-    scanned = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
-        .load(target)
-    )
-    return scanned.select(
-        F.col("length").cast("long").alias("length"),
-        F.md5(F.col("content")).alias("digest"),
-    ).agg(
-        F.count("*").cast("long").alias("n_files"),
-        F.sum("length").cast("long").alias("total_bytes"),
-        F.countDistinct("digest").cast("long").alias("n_distinct_digests"),
-        F.min("digest").alias("min_digest"),
-        F.max("digest").alias("max_digest"),
-    )
-
-
-ORACLE_BINARYFILE_SCAN_ROUNDTRIP = """
-WITH f AS MATERIALIZED (
-  SELECT octet_length(encode(text)) AS length, md5(text) AS digest
-  FROM documents WHERE doc_id % 21 = 0
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
-       CAST(SUM(length) AS BIGINT) AS total_bytes,
-       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_digests,
-       MIN(digest) AS min_digest,
-       MAX(digest) AS max_digest
-FROM f
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "binaryfile_scan_roundtrip": (
-            q_binaryfile_scan_roundtrip,
-            ORACLE_BINARYFILE_SCAN_ROUNDTRIP,
-            "ext:binaryFile source roundtrip (multimodal raw-asset ingestion)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Difference-in-differences estimator (causal surface)
-# --------------------------------------------------------------------------
-
-
-def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical 2×2 difference-in-differences: treatment = BUILDING-
-    segment customers, control = MACHINERY, pre = 1994 orders, post =
-    1995; outcome = mean order value. DiD = (ȳ_T,post − ȳ_T,pre) −
-    (ȳ_C,post − ȳ_C,pre) — the workhorse causal estimator for
-    launch/rollout effects, reduced to ONE grouped aggregation over
-    exact cent sums (4 cells), with the estimate assembled from the
-    cell moments in double and quantized to micro-cents. (Point
-    estimate only — clustered standard errors are a bootstrap on top
-    of the same cells.) Scale: one map-side-combinable 4-cell agg."""
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    cells = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-        .filter(F.year("o_orderdate").isin(1994, 1995))
-        .groupBy(
-            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
-            (F.year("o_orderdate") == 1995).alias("post"),
-        )
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cents"),
-        )
-    )
-    pivot = cells.agg(
-        *[
-            F.sum(
-                F.when(
-                    (F.col("treated") == t) & (F.col("post") == p),
-                    F.col("cents").cast("double") / F.col("n"),
-                ).otherwise(0.0)
-            ).alias(name)
-            for name, t, p in [
-                ("y_t_pre", True, False),
-                ("y_t_post", True, True),
-                ("y_c_pre", False, False),
-                ("y_c_post", False, True),
-            ]
-        ],
-        F.sum("n").cast("long").alias("n_orders"),
-    )
-    micro = lambda c: F.round(F.col(c) * 10_000).cast("long")  # noqa: E731
-    return pivot.select(
-        "n_orders",
-        micro("y_t_pre").alias("y_t_pre_microd"),
-        micro("y_t_post").alias("y_t_post_microd"),
-        micro("y_c_pre").alias("y_c_pre_microd"),
-        micro("y_c_post").alias("y_c_post_microd"),
-        F.round(
-            (
-                (F.col("y_t_post") - F.col("y_t_pre"))
-                - (F.col("y_c_post") - F.col("y_c_pre"))
-            )
-            * 10_000
-        )
-        .cast("long")
-        .alias("did_microd"),
-    )
-
-
-ORACLE_DIFF_IN_DIFF = """
-WITH cells AS MATERIALIZED (
-  SELECT (c_mktsegment = 'BUILDING') AS treated,
-         (EXTRACT(YEAR FROM o_orderdate) = 1995) AS post,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS cents
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
-    AND EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)
-  GROUP BY 1, 2
-),
-agg4 AS (
-  SELECT
-    SUM(CASE WHEN treated AND NOT post
-             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_t_pre,
-    SUM(CASE WHEN treated AND post
-             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_t_post,
-    SUM(CASE WHEN NOT treated AND NOT post
-             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_c_pre,
-    SUM(CASE WHEN NOT treated AND post
-             THEN CAST(cents AS DOUBLE) / n ELSE 0.0 END) AS y_c_post,
-    CAST(SUM(n) AS BIGINT) AS n_orders
-  FROM cells
-)
-SELECT n_orders,
-       CAST(ROUND(y_t_pre * 10000) AS BIGINT) AS y_t_pre_microd,
-       CAST(ROUND(y_t_post * 10000) AS BIGINT) AS y_t_post_microd,
-       CAST(ROUND(y_c_pre * 10000) AS BIGINT) AS y_c_pre_microd,
-       CAST(ROUND(y_c_post * 10000) AS BIGINT) AS y_c_post_microd,
-       CAST(ROUND(((y_t_post - y_t_pre) - (y_c_post - y_c_pre)) * 10000)
-            AS BIGINT) AS did_microd
-FROM agg4
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "diff_in_diff": (
-            q_diff_in_diff,
-            ORACLE_DIFF_IN_DIFF,
-            "ext:2x2 difference-in-differences from exact cent cells",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Golden-record survivorship (the consolidation step after record linkage)
-# --------------------------------------------------------------------------
-
-
-def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Golden-record consolidation — the survivorship step an MDM
-    pipeline runs AFTER record_linkage_fs clusters its matches: within
-    each matched-entity cluster (the same brand|size hash block the
-    linkage query uses), merge attributes by rule: surviving id = MIN
-    key, canonical price = MAX retail cents ("most complete/recent
-    wins"), canonical name = alphabetical MIN, canonical type = MODE
-    with alphabetical-least tie-break (computed as a count + rank
-    window over the per-cluster value census, never a collect). Top 30
-    clusters by size, deterministic order. Scale: two keyed aggs and
-    one cluster-keyed ranking window — the mode census is bounded by
-    distinct (cluster, type) pairs."""
-    part = _t(spark, sf_dir, "part")
-    recs = part.select(
-        F.concat(F.col("p_brand"), F.lit("|"), (F.col("p_size") % 10)).alias(
-            "cluster"
-        ),
-        "p_partkey",
-        "p_name",
-        "p_type",
-        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
-    )
-    base = recs.groupBy("cluster").agg(
-        F.count("*").cast("long").alias("n_members"),
-        F.min("p_partkey").cast("long").alias("surviving_id"),
-        F.max("cents").cast("long").alias("canonical_cents"),
-        F.min("p_name").alias("canonical_name"),
-    )
-    census = recs.groupBy("cluster", "p_type").agg(
-        F.count("*").alias("cnt")
-    )
-    wm = Window.partitionBy("cluster").orderBy(
-        F.desc("cnt"), F.asc("p_type")
-    )
-    mode = (
-        census.withColumn("rn", F.row_number().over(wm))
-        .filter(F.col("rn") == 1)
-        .select("cluster", F.col("p_type").alias("canonical_type"))
-    )
-    return (
-        base.join(mode, "cluster")
-        .orderBy(F.desc("n_members"), "cluster")
-        .limit(30)
-    )
-
-
-ORACLE_GOLDEN_RECORD = """
-WITH recs AS MATERIALIZED (
-  SELECT p_brand || '|' || CAST(p_size % 10 AS VARCHAR) AS cluster,
-         p_partkey, p_name, p_type,
-         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
-  FROM part
-),
-base AS (
-  SELECT cluster,
-         CAST(COUNT(*) AS BIGINT) AS n_members,
-         CAST(MIN(p_partkey) AS BIGINT) AS surviving_id,
-         CAST(MAX(cents) AS BIGINT) AS canonical_cents,
-         MIN(p_name) AS canonical_name
-  FROM recs GROUP BY 1
-),
-census AS (
-  SELECT cluster, p_type, COUNT(*) AS cnt FROM recs GROUP BY 1, 2
-),
-mode_ AS (
-  SELECT cluster, p_type AS canonical_type
-  FROM (SELECT cluster, p_type,
-               ROW_NUMBER() OVER (PARTITION BY cluster
-                                  ORDER BY cnt DESC, p_type ASC) AS rn
-        FROM census)
-  WHERE rn = 1
-)
-SELECT b.cluster, b.n_members, b.surviving_id, b.canonical_cents,
-       b.canonical_name, m.canonical_type
-FROM base b JOIN mode_ m USING (cluster)
-ORDER BY n_members DESC, cluster
-LIMIT 30
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "golden_record": (
-            q_golden_record,
-            ORACLE_GOLDEN_RECORD,
-            "ext:golden-record survivorship (rule-based attribute merge per cluster)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# CDC changelog apply (plans/pipelines.apply_changelog)
-# --------------------------------------------------------------------------
-
-
-def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Changelog ingestion (plans/pipelines.apply_changelog): even
-    orders seed a snapshot table; a synthesized CDC batch carries
-    updates (every 10th key, seq 2), deletes (every 14th key, seq 3)
-    and inserts (odd keys divisible by 9, seq 1) — keys divisible by
-    70 get BOTH an update and a delete, and last-writer-wins must let
-    the delete (higher seq) prevail. One atomic merge applies the
-    fold; the read-back census must equal the oracle's direct
-    reconstruction of the final state."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.plans.pipelines import apply_changelog
-    from yelp_etl_spark.sources.snapshots import snapshot_read, snapshot_write
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    base = orders.filter(F.col("o_orderkey") % 2 == 0)
-    table = _scratch_dir(sf_dir, "cdc")
-    snapshot_write(base, table, mode="replace")
-    upd = base.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey",
-        F.lit("X").alias("o_orderstatus"),
-        (F.col("cents") + 12345).alias("cents"),
-        F.lit("U").alias("op"),
-        F.lit(2).cast("long").alias("seq"),
-    )
-    dele = base.filter(F.col("o_orderkey") % 14 == 0).select(
-        "o_orderkey",
-        "o_orderstatus",
-        "cents",
-        F.lit("D").alias("op"),
-        F.lit(3).cast("long").alias("seq"),
-    )
-    ins = orders.filter(
-        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 9 == 0)
-    ).select(
-        "o_orderkey",
-        "o_orderstatus",
-        "cents",
-        F.lit("I").alias("op"),
-        F.lit(1).cast("long").alias("seq"),
-    )
-    apply_changelog(
-        spark, upd.unionByName(dele).unionByName(ins), table, ["o_orderkey"]
-    )
-    final = snapshot_read(spark, table)
-    return final.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("cents").cast("long").alias("total_cents"),
-        F.sum(F.when(F.col("o_orderstatus") == "X", 1).otherwise(0))
-        .cast("long")
-        .alias("n_updated"),
-        F.sum(F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_inserted"),
-    )
-
-
-ORACLE_CDC_APPLY = """
-WITH src AS MATERIALIZED (
-  SELECT o_orderkey, o_orderstatus,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-),
-final AS (
-  -- surviving evens: not deleted; every 10th (and not deleted) updated
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
-           AS o_orderstatus,
-         CASE WHEN o_orderkey % 10 = 0 THEN cents + 12345 ELSE cents END
-           AS cents
-  FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 != 0
-  UNION ALL
-  SELECT o_orderkey, o_orderstatus, cents
-  FROM src WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS total_cents,
-       CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_updated,
-       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_inserted
-FROM final
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "cdc_apply": (
-            q_cdc_apply,
-            ORACLE_CDC_APPLY,
-            "ext:CDC changelog fold (last-writer-wins dedupe + atomic merge)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Clustered (sort-order) compaction + zone-map pruning payoff
-# --------------------------------------------------------------------------
-
-_CLUSTER_FILES = 8
-
-
-def q_snapshot_cluster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sort-order compaction (sources/snapshots.snapshot_compact with
-    ``cluster_by`` — Iceberg's rewrite_data_files with a sort
-    strategy): orders commit scattered across 16 hash-arbitrary files,
-    then a clustered rewrite value-range-buckets them on the cents
-    column into 8 files, each covering one exact-bounds range (the
-    bucket→partition routing is probed from Spark's own hash
-    partitioner, so the layout is fully deterministic — no sampled
-    range partitioner). The payoff is measured, not asserted: a
-    min/max ``prune`` read for the top value range must now skip
-    every file whose bucket max falls below the cut. Every output —
-    file count, kept-file count, pruned totals — derives from the
-    data alone, so DuckDB recomputes all of it from the same
-    bucketing formula."""
-    import os as _os
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import (
-        _load_manifest,
-        snapshot_compact,
-        snapshot_read,
-        snapshot_write,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    table = _scratch_dir(sf_dir, "clustered")
-    snapshot_write(orders.repartition(16), table, mode="replace")
-    # target sized so n_out == _CLUSTER_FILES exactly at any SF
-    m1 = _load_manifest(table, 1)
-    total = sum(
-        _os.path.getsize(_os.path.join(table, f["path"])) for f in m1["files"]
-    )
-    s2 = snapshot_compact(
-        spark, table, target_file_bytes=total // _CLUSTER_FILES + 1,
-        cluster_by="cents",
-    )
-    m2 = _load_manifest(table, s2)
-    # the cut: exact top-eighth boundary, pure BIGINT arithmetic (a
-    # float cut would truncate here and round in DuckDB's CAST)
-    row = orders.agg(F.min("cents"), F.max("cents")).collect()[0]
-    lo_i, hi_i = int(row[0]), int(row[1])
-    cut = lo_i + (hi_i - lo_i) * (_CLUSTER_FILES - 1) // _CLUSTER_FILES
-    kept = [
-        f for f in m2["files"]
-        if f.get("max", {}).get("cents") is not None
-        and f["max"]["cents"] >= cut
-    ]
-    pruned = snapshot_read(spark, table, prune=("cents", ">=", float(cut)))
-    top = pruned.filter(F.col("cents") >= cut).agg(
-        F.count("*").cast("long").alias("n_top_rows"),
-        F.sum("cents").cast("long").alias("top_cents"),
-    )
-    return top.select(
-        F.lit(len(m2["files"])).cast("long").alias("n_files_after"),
-        F.lit(len(kept)).cast("long").alias("n_files_kept_by_prune"),
-        "n_top_rows",
-        "top_cents",
-    )
-
-
-ORACLE_SNAPSHOT_CLUSTER_COMPACT = f"""
-WITH src AS MATERIALIZED (
-  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
-),
-bounds AS (
-  SELECT CAST(MIN(cents) AS DOUBLE) AS lo, CAST(MAX(cents) AS DOUBLE) AS hi
-  FROM src
-),
-bucketed AS (
-  SELECT cents,
-         LEAST({_CLUSTER_FILES - 1},
-               CAST(FLOOR((CAST(cents AS DOUBLE) - lo) / (hi - lo)
-                          * {_CLUSTER_FILES}) AS INT)) AS b
-  FROM src, bounds
-),
-cut AS (
-  SELECT MIN(cents) + (MAX(cents) - MIN(cents)) * {_CLUSTER_FILES - 1}
-         // {_CLUSTER_FILES} AS c
-  FROM src
-)
-SELECT (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) FROM bucketed)
-         AS n_files_after,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM
-          (SELECT b, MAX(cents) AS mx FROM bucketed GROUP BY b)
-        WHERE mx >= (SELECT c FROM cut)) AS n_files_kept_by_prune,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM bucketed
-        WHERE cents >= (SELECT c FROM cut)) AS n_top_rows,
-       (SELECT CAST(SUM(cents) AS BIGINT) FROM bucketed
-        WHERE cents >= (SELECT c FROM cut)) AS top_cents
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "snapshot_cluster_compact": (
-            q_snapshot_cluster_compact,
-            ORACLE_SNAPSHOT_CLUSTER_COMPACT,
-            "ext:sort-order compaction (deterministic range clustering + prune payoff)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Out-of-order CDC apply (plans/pipelines.apply_changelog_guarded)
-# --------------------------------------------------------------------------
-
-
-def q_cdc_apply_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-order CDC convergence (plans/pipelines.
-    apply_changelog_guarded): the NEWER batch (seq 5 — deletes every
-    14th even key, restates every 20th) is applied FIRST, the STALER
-    batch (seq 2 — updates every 10th, inserts odd÷9 keys) second.
-    The sequence guard must drop the stale updates wherever a newer
-    op landed, and the tombstones must keep the deleted keys deleted
-    even though the late batch updates some of them (the resurrection
-    trap a physical delete cannot survive). The census over
-    read_cdc_table must equal the oracle's direct highest-seq fold."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.plans.pipelines import (
-        apply_changelog_guarded,
-        read_cdc_table,
-    )
-    from yelp_etl_spark.sources.snapshots import snapshot_write
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    base = orders.filter(F.col("o_orderkey") % 2 == 0)
-    table = _scratch_dir(sf_dir, "cdcooo")
-    snapshot_write(base, table, mode="replace")
-    newer = base.filter(F.col("o_orderkey") % 14 == 0).select(
-        "o_orderkey",
-        "o_orderstatus",
-        "cents",
-        F.lit("D").alias("op"),
-        F.lit(5).cast("long").alias("seq"),
-    ).unionByName(
-        base.filter(
-            (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") % 14 != 0)
-        ).select(
-            "o_orderkey",
-            F.lit("X").alias("o_orderstatus"),
-            (F.col("cents") + 500).alias("cents"),
-            F.lit("U").alias("op"),
-            F.lit(5).cast("long").alias("seq"),
-        )
-    )
-    staler = base.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey",
-        F.lit("Y").alias("o_orderstatus"),
-        (F.col("cents") + 222).alias("cents"),
-        F.lit("U").alias("op"),
-        F.lit(2).cast("long").alias("seq"),
-    ).unionByName(
-        orders.filter(
-            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 9 == 0)
-        ).select(
-            "o_orderkey",
-            "o_orderstatus",
-            "cents",
-            F.lit("I").alias("op"),
-            F.lit(2).cast("long").alias("seq"),
-        )
-    )
-    apply_changelog_guarded(spark, newer, table, ["o_orderkey"])
-    apply_changelog_guarded(spark, staler, table, ["o_orderkey"])
-    final = read_cdc_table(spark, table)
-    return final.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("cents").cast("long").alias("total_cents"),
-        F.sum(F.when(F.col("o_orderstatus") == "X", 1).otherwise(0))
-        .cast("long")
-        .alias("n_restated"),
-        F.sum(F.when(F.col("o_orderstatus") == "Y", 1).otherwise(0))
-        .cast("long")
-        .alias("n_stale_updates_applied"),
-    )
-
-
-ORACLE_CDC_APPLY_OUT_OF_ORDER = """
-WITH src AS MATERIALIZED (
-  SELECT o_orderkey, o_orderstatus,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-),
-final AS (
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 20 = 0 THEN 'X'
-              WHEN o_orderkey % 10 = 0 THEN 'Y'
-              ELSE o_orderstatus END AS o_orderstatus,
-         CASE WHEN o_orderkey % 20 = 0 THEN cents + 500
-              WHEN o_orderkey % 10 = 0 THEN cents + 222
-              ELSE cents END AS cents
-  FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 != 0
-  UNION ALL
-  SELECT o_orderkey, o_orderstatus, cents
-  FROM src WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS total_cents,
-       CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_restated,
-       CAST(SUM(CASE WHEN o_orderstatus = 'Y' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_stale_updates_applied
-FROM final
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "cdc_apply_out_of_order": (
-            q_cdc_apply_out_of_order,
-            ORACLE_CDC_APPLY_OUT_OF_ORDER,
-            "ext:out-of-order CDC convergence (seq guard + tombstones)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Streaming CDC ingestion (readStream → foreachBatch → guarded apply)
-# --------------------------------------------------------------------------
-
-
-def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming lakehouse ingestion end to end: a CDC changelog lands
-    as files, Structured Streaming consumes it one file per
-    micro-batch (`maxFilesPerTrigger=1`, availableNow), and every
-    batch folds into the snapshot table through foreachBatch →
-    apply_changelog_guarded. The guard + tombstones make the fold
-    BATCH-PARTITION INVARIANT — however the stream happens to split
-    the changelog, the table converges to the highest-seq state (the
-    property q_cdc_apply_out_of_order pins for explicit reversed
-    batches; here the splitting is the stream's own) — which is what
-    makes the result deterministic and oracle-checkable at all. The
-    oracle reconstructs the fold directly from the base data."""
-    import uuid as _uuid
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.plans.pipelines import (
-        apply_changelog_guarded,
-        read_cdc_table,
-    )
-    from yelp_etl_spark.sources.snapshots import snapshot_write
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    base = orders.filter(F.col("o_orderkey") % 2 == 0)
-    table = _scratch_dir(sf_dir, "streamcdc")
-    snapshot_write(base, table, mode="replace")
-    # the changelog: same op mix as cdc_apply_out_of_order
-    changes = (
-        base.filter(F.col("o_orderkey") % 14 == 0)
-        .select(
-            "o_orderkey", "o_orderstatus", "cents",
-            F.lit("D").alias("op"), F.lit(5).cast("long").alias("seq"),
-        )
-        .unionByName(
-            base.filter(
-                (F.col("o_orderkey") % 20 == 0)
-                & (F.col("o_orderkey") % 14 != 0)
-            ).select(
-                "o_orderkey",
-                F.lit("X").alias("o_orderstatus"),
-                (F.col("cents") + 500).alias("cents"),
-                F.lit("U").alias("op"),
-                F.lit(5).cast("long").alias("seq"),
-            )
-        )
-        .unionByName(
-            base.filter(F.col("o_orderkey") % 10 == 0).select(
-                "o_orderkey",
-                F.lit("Y").alias("o_orderstatus"),
-                (F.col("cents") + 222).alias("cents"),
-                F.lit("U").alias("op"),
-                F.lit(2).cast("long").alias("seq"),
-            )
-        )
-    )
-    feed = _scratch_dir(sf_dir, "streamcdcfeed")
-    changes.repartition(5).write.parquet(feed)
-    ckpt = _scratch_dir(sf_dir, "streamcdcckpt")
-    stream = (
-        spark.readStream.schema(changes.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, _bid: apply_changelog_guarded(
-                spark, batch, table, ["o_orderkey"]
-            )
-        )
-        .option("checkpointLocation", ckpt)
-        .queryName(f"cdc-{_uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    final = read_cdc_table(spark, table)
-    return final.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("cents").cast("long").alias("total_cents"),
-        F.sum(F.when(F.col("o_orderstatus") == "X", 1).otherwise(0))
-        .cast("long")
-        .alias("n_restated"),
-        F.sum(F.when(F.col("o_orderstatus") == "Y", 1).otherwise(0))
-        .cast("long")
-        .alias("n_stale_updates_applied"),
-    )
-
-
-# same fold as the explicit out-of-order query, MINUS the inserts
-# (this feed carries only updates/deletes over the base population)
-ORACLE_STREAM_CDC_APPLY = """
-WITH src AS MATERIALIZED (
-  SELECT o_orderkey, o_orderstatus,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-),
-final AS (
-  SELECT o_orderkey,
-         CASE WHEN o_orderkey % 20 = 0 THEN 'X'
-              WHEN o_orderkey % 10 = 0 THEN 'Y'
-              ELSE o_orderstatus END AS o_orderstatus,
-         CASE WHEN o_orderkey % 20 = 0 THEN cents + 500
-              WHEN o_orderkey % 10 = 0 THEN cents + 222
-              ELSE cents END AS cents
-  FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 != 0
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS total_cents,
-       CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_restated,
-       CAST(SUM(CASE WHEN o_orderstatus = 'Y' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_stale_updates_applied
-FROM final
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "stream_cdc_apply": (
-            q_stream_cdc_apply,
-            ORACLE_STREAM_CDC_APPLY,
-            "ext:streaming CDC ingestion (foreachBatch → guarded fold, split-invariant)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round 8: calibration / temporal forecasting / spatial containment /
-# link prediction / sequence mining / source-matrix completion / split
-# tooling / sketch hardening / pipeline parity
-# --------------------------------------------------------------------------
-
-
-def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isotonic (PAVA) calibration of a monotone score→probability map
-    (functions/evaluation.isotonic_fit): orders bin by price-derived
-    score; label = high order priority. The fit uses the minimax
-    closed form max_{j<=i} min_{k>=i} mean(j..k) over the B<=32-bin
-    table — two windows over the B^2 range means, everything in exact
-    micro-unit integers — instead of a sequential driver-side PAVA
-    sweep, so the only full-data pass is the one map-side-combinable
-    groupBy that builds the bins. 100 TB: B stays ~32 no matter the
-    row count; the minimax tail is constant cost. Output iso_q is
-    nondecreasing by construction (the isotonic property the oracle
-    re-derives independently)."""
-    from yelp_etl_spark.functions.evaluation import isotonic_fit
-
-    orders = _t(spark, sf_dir, "orders")
-    bins = (
-        orders.select(
-            # integer div, never float /: the floor would go inexact at
-            # the bucket boundary and shift rows across engines
-            F.expr(
-                "least(CAST(31 AS BIGINT), "
-                "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000)"
-            ).alias("bucket"),
-            (F.col("o_orderpriority") < "3").cast("long").alias("y"),
-        )
-        .groupBy("bucket")
-        .agg(F.sum("y").alias("pos"), F.count("*").alias("n"))
-    )
-    return isotonic_fit(bins)
-
-
-ORACLE_ISOTONIC_CALIBRATION = """
-WITH bins AS MATERIALIZED (
-  SELECT LEAST(31, CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2000000)
-           AS bucket,
-         CAST(SUM(CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END)
-              AS BIGINT) AS pos,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders GROUP BY 1
-),
-pref AS MATERIALIZED (
-  SELECT bucket, pos, n,
-         CAST(SUM(pos) OVER w - pos AS BIGINT) AS pos_before,
-         CAST(SUM(n) OVER w - n AS BIGINT) AS n_before,
-         CAST(SUM(pos) OVER w AS BIGINT) AS pos_upto,
-         CAST(SUM(n) OVER w AS BIGINT) AS n_upto
-  FROM bins
-  WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
-),
-pairs AS MATERIALIZED (
-  SELECT j.bucket AS jb, k.bucket AS kb,
-         CAST((CAST(1000000 AS HUGEINT) * (k.pos_upto - j.pos_before))
-              // (k.n_upto - j.n_before) AS BIGINT) AS mean_q
-  FROM pref j JOIN pref k ON j.bucket <= k.bucket
-),
-m AS MATERIALIZED (
-  SELECT jb, kb AS i,
-         CAST(MIN(mean_q) OVER (PARTITION BY jb ORDER BY kb DESC
-                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m
-  FROM pairs
-),
-iso AS (
-  SELECT i AS bucket, m AS iso_q FROM (
-    SELECT jb, i,
-           CAST(MAX(m) OVER (PARTITION BY i ORDER BY jb
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m
-    FROM m
-  ) WHERE jb = i
-)
-SELECT p.bucket, p.n, p.pos,
-       CAST((CAST(1000000 AS HUGEINT) * p.pos) // p.n AS BIGINT) AS rate_q,
-       iso.iso_q
-FROM pref p JOIN iso USING (bucket)
-ORDER BY p.bucket
-"""
-
-
-def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt's double exponential smoothing (level + trend) over the
-    1995 weekly-revenue series — the trend-aware sibling of
-    ewma_smooth. The recurrence is exact-integer: with alpha=0.2,
-    beta=0.1 the state updates are l' = (2x + 8(l+b)) div 10,
-    b' = ((l'-l) + 9b) div 10 in BIGINT cents with floor division
-    (divisor is +10, so Python //, Spark's portable-floor convention,
-    and DuckDB // all agree even on negative trends), so both engines
-    replay the ~52-step fold bit-identically. Output: final
-    level/trend plus a 4-week-ahead linear forecast.
-
-    Execution shape: the only full-data pass is the map-side-
-    combinable groupBy to the <=53-row week series; the inherently
-    sequential fold then runs on that calendar-bounded model frame via
-    the repo's bounded-model-collect pattern (attribution.py's value
-    iteration) — a 53-iteration recursive CTE would cost one Spark job
-    PER STEP (~300 ms each, measured), pure scheduler overhead for a
-    loop whose input can never exceed the calendar. The DuckDB oracle
-    runs the identical recurrence as a native WITH RECURSIVE, so the
-    fold semantics are pinned by pure SQL."""
-    weeks = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(
-            F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("d")
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("x")
-        )
-        .orderBy("d")
-    )
-    series = [int(r.x) for r in weeks.collect()]  # calendar-bounded <=53
-    l, b = series[0], 0
-    for x in series[1:]:
-        l_new = (2 * x + 8 * (l + b)) // 10
-        b = ((l_new - l) + 9 * b) // 10
-        l = l_new
-    return spark.createDataFrame(
-        [(len(series), l, b, l + 4 * b)],
-        "n_weeks long, level_cents long, trend_cents long, "
-        "forecast_4w_cents long",
-    )
-
-
-ORACLE_HOLT_LINEAR_TREND = """
-WITH RECURSIVE holt_days AS MATERIALIZED (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i, d, x FROM (
-    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS d,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
-    FROM orders
-    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
-    GROUP BY 1
-  )
-),
-s AS (
-  SELECT i, x AS l, CAST(0 AS BIGINT) AS b FROM holt_days WHERE i = 1
-  UNION ALL
-  SELECT d.i,
-         (2 * d.x + 8 * (s.l + s.b)) // 10
-           - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
-                   AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END),
-         (((2 * d.x + 8 * (s.l + s.b)) // 10
-           - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
-                   AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END)
-           - s.l) + 9 * s.b) // 10
-           - (CASE WHEN (((2 * d.x + 8 * (s.l + s.b)) // 10
-                - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
-                        AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END)
-                - s.l) + 9 * s.b) % 10 != 0
-              AND (((2 * d.x + 8 * (s.l + s.b)) // 10
-                - (CASE WHEN (2 * d.x + 8 * (s.l + s.b)) % 10 != 0
-                        AND (2 * d.x + 8 * (s.l + s.b)) < 0 THEN 1 ELSE 0 END)
-                - s.l) + 9 * s.b) < 0 THEN 1 ELSE 0 END)
-  FROM s JOIN holt_days d ON d.i = s.i + 1
-)
-SELECT CAST(MAX(i) AS BIGINT) AS n_weeks,
-       CAST(MAX_BY(l, i) AS BIGINT) AS level_cents,
-       CAST(MAX_BY(b, i) AS BIGINT) AS trend_cents,
-       CAST(MAX_BY(l, i) + 4 * MAX_BY(b, i) AS BIGINT) AS forecast_4w_cents
-FROM s
-"""
-
-
-def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forecast backtest (MASE, Hyndman & Koehler 2006, + quantized
-    sMAPE) of the seasonal-naive forecaster y_hat(d) = y(d-7) on the
-    last 4 ISO weeks of 1995 daily revenue, with the in-sample naive
-    one-step error as the MASE scale. The evaluation the
-    seasonal_decompose_dow diagnostic feeds into: is the weekly cycle
-    actually predictive? Pure windows over the <=365-row day series
-    (lag 7 forecast, lag 1 scale), integer-cents absolute errors,
-    one final 1-row reduce; MASE/sMAPE quantize to micro-units via
-    decimal cross products. Scale: one map-side-combinable groupBy to
-    the day table; constant after."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.col("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-    w = Window.orderBy("d")
-    feat = days.select(
-        "d",
-        "y",
-        F.lag("y", 7).over(w).alias("yhat"),
-        F.lag("y", 1).over(w).alias("yprev"),
-    )
-    cut = F.lit("1995-12-04")
-    test = feat.filter((F.col("d") >= cut) & F.col("yhat").isNotNull())
-    train = feat.filter((F.col("d") < cut) & F.col("yprev").isNotNull())
-    t = test.agg(
-        F.count("*").cast("long").alias("n_test"),
-        F.sum(F.abs(F.col("y") - F.col("yhat"))).cast("long").alias("mae_sum"),
-        F.sum(F.abs(F.col("y") - F.col("yhat")).cast("decimal(38,0)") * 2_000_000)
-        .alias("smape_num_x"),
-    )
-    smape_den = test.select(
-        (F.abs("y") + F.abs("yhat")).cast("long").alias("den")
-    ).agg(F.sum("den").alias("sden"))
-    tr = train.agg(
-        F.count("*").cast("long").alias("n_train"),
-        F.sum(F.abs(F.col("y") - F.col("yprev"))).cast("long").alias("naive_sum"),
-    )
-    # MASE = (mae_sum/n_test) / (naive_sum/n_train)
-    #      = mae_sum * n_train / (naive_sum * n_test), micro-quantized
-    return (
-        t.crossJoin(tr)
-        .crossJoin(smape_den)
-        .select(
-            "n_test",
-            "n_train",
-            "mae_sum",
-            "naive_sum",
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * mae_sum * n_train)"
-                " div (CAST(naive_sum AS DECIMAL(38,0)) * n_test) AS BIGINT)"
-            ).alias("mase_micro"),
-            # sMAPE = mean over test of 2|y-yhat|/(|y|+|yhat|): computed
-            # per-day exactly would need a per-row division; the
-            # aggregate ratio-of-sums variant below is the standard
-            # weighted sMAPE and stays one exact integer division
-            F.expr(
-                "CAST(smape_num_x div (CAST(sden AS DECIMAL(38,0)))"
-                " AS BIGINT)"
-            ).alias("wsmape_micro"),
-        )
-    )
-
-
-ORACLE_SEASONAL_NAIVE_BACKTEST = """
-WITH days AS MATERIALIZED (
-  SELECT o_orderdate AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-feat AS MATERIALIZED (
-  SELECT d, y,
-         LAG(y, 7) OVER (ORDER BY d) AS yhat,
-         LAG(y, 1) OVER (ORDER BY d) AS yprev
-  FROM days
-),
-t AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
-         CAST(SUM(ABS(y - yhat)) AS BIGINT) AS mae_sum,
-         CAST(SUM(CAST(ABS(y - yhat) AS HUGEINT) * 2000000) AS HUGEINT)
-           AS smape_num_x,
-         CAST(SUM(ABS(y) + ABS(yhat)) AS BIGINT) AS sden
-  FROM feat WHERE d >= DATE '1995-12-04' AND yhat IS NOT NULL
-),
-tr AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
-         CAST(SUM(ABS(y - yprev)) AS BIGINT) AS naive_sum
-  FROM feat WHERE d < DATE '1995-12-04' AND yprev IS NOT NULL
-)
-SELECT n_test, n_train, mae_sum, naive_sum,
-       CAST((CAST(1000000 AS HUGEINT) * mae_sum * n_train)
-            // (CAST(naive_sum AS HUGEINT) * n_test) AS BIGINT) AS mase_micro,
-       CAST(smape_num_x // CAST(sden AS HUGEINT) AS BIGINT) AS wsmape_micro
-FROM t CROSS JOIN tr
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "isotonic_calibration": (
-            q_isotonic_calibration,
-            ORACLE_ISOTONIC_CALIBRATION,
-            "ext:isotonic (PAVA) calibration via exact minimax windows",
-        ),
-        "holt_linear_trend": (
-            q_holt_linear_trend,
-            ORACLE_HOLT_LINEAR_TREND,
-            "ext:Holt double exponential smoothing (native recursive CTE)",
-        ),
-        "seasonal_naive_backtest": (
-            q_seasonal_naive_backtest,
-            ORACLE_SEASONAL_NAIVE_BACKTEST,
-            "ext:MASE/sMAPE forecast backtest of the weekly seasonal-naive",
-        ),
-    }
-)
-
-
-_PIP_POLYGONS = [
-    # geofence table (all vertex ordinates EVEN — points use odd y, so
-    # the ray-crossing boundary case is impossible by construction)
-    (1, [(100_000, 100_000), (500_000, 100_000), (500_000, 500_000),
-         (100_000, 500_000)]),                      # square
-    (2, [(600_000, 200_000), (900_000, 600_000), (600_000, 600_000)]),  # tri
-    (3, [(200_000, 600_000), (800_000, 600_000), (800_000, 800_000),
-         (500_000, 800_000), (500_000, 900_000), (200_000, 900_000)]),  # L
-]
-
-
-def q_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geofence containment (operators/spatial.point_in_polygon_join):
-    every customer point (portable-hash planar coords, y forced odd so
-    no point ever sits ON an even-ordinate polygon edge) is tested
-    against a 3-region geofence table by the even-odd ray-crossing
-    rule in exact BIGINT cross products — no division, no floats, no
-    trig. Plan shape: the edge table is literal+broadcast; points
-    stream map-side through a bbox prune then a per-(point, edge)
-    crossing flag, and the only shuffle is the final keyed parity agg.
-    At 100 TB the point scan dominates and parallelizes freely; the
-    polygon side is O(edges) literals. Output: per-polygon contained
-    count + point-id checksum (left join keeps empty regions)."""
-    from yelp_etl_spark.functions.sampling import hash60
-    from yelp_etl_spark.operators.spatial import point_in_polygon_join
-
-    side = 1_000_000
-    pts = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("pid"),
-        (hash60(F.concat(F.lit("px"), F.col("c_custkey").cast("string")))
-         % side).alias("x"),
-        ((hash60(F.concat(F.lit("py"), F.col("c_custkey").cast("string")))
-          % (side // 2)) * 2 + 1).alias("y"),
-    )
-    hits = point_in_polygon_join(pts, _PIP_POLYGONS)
-    polys = spark.createDataFrame(
-        [(p,) for p, _ in _PIP_POLYGONS], "polygon_id int"
-    )
-    agg = hits.groupBy("polygon_id").agg(
-        F.count("*").cast("long").alias("n_inside"),
-        F.sum("pid").cast("long").alias("pid_sum"),
-    )
-    return (
-        polys.join(agg, "polygon_id", "left")
-        .select(
-            F.col("polygon_id").cast("long").alias("polygon_id"),
-            F.coalesce("n_inside", F.lit(0)).cast("long").alias("n_inside"),
-            F.coalesce("pid_sum", F.lit(0)).cast("long").alias("pid_sum"),
-        )
-        .orderBy("polygon_id")
-    )
-
-
-def _pip_oracle() -> str:
-    edge_rows = []
-    for poly_id, ring in _PIP_POLYGONS:
-        closed = list(ring) + [ring[0]]
-        minx, maxx = min(v[0] for v in ring), max(v[0] for v in ring)
-        miny, maxy = min(v[1] for v in ring), max(v[1] for v in ring)
-        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
-            edge_rows.append(
-                f"({poly_id}, {x1}, {y1}, {x2}, {y2},"
-                f" {minx}, {maxx}, {miny}, {maxy})"
-            )
-    values = ",\n         ".join(edge_rows)
-    return f"""
-WITH pts AS MATERIALIZED (
-  SELECT c_custkey AS pid,
-         CAST(concat('0x', substr(md5(concat('px', CAST(c_custkey AS VARCHAR))), 18, 15)) AS BIGINT) % 1000000 AS x,
-         (CAST(concat('0x', substr(md5(concat('py', CAST(c_custkey AS VARCHAR))), 18, 15)) AS BIGINT) % 500000) * 2 + 1 AS y
-  FROM customer
-),
-edges(polygon_id, x1, y1, x2, y2, minx, maxx, miny, maxy) AS (
-  VALUES {values}
-),
-crossings AS (
-  SELECT p.pid, e.polygon_id,
-         CAST(SUM(CASE WHEN ((e.y1 <= p.y) != (e.y2 <= p.y))
-                        AND ((e.x1 - p.x) * (e.y2 - e.y1)
-                             + (e.x2 - e.x1) * (p.y - e.y1))
-                            * (e.y2 - e.y1) > 0
-                       THEN 1 ELSE 0 END) AS BIGINT) AS c
-  FROM pts p JOIN edges e
-    ON p.x >= e.minx AND p.x <= e.maxx AND p.y >= e.miny AND p.y <= e.maxy
-  GROUP BY 1, 2
-),
-inside AS (
-  SELECT polygon_id, pid FROM crossings WHERE c % 2 = 1
-),
-polys(polygon_id) AS (VALUES (1), (2), (3))
-SELECT CAST(p.polygon_id AS BIGINT) AS polygon_id,
-       CAST(COALESCE(COUNT(i.pid), 0) AS BIGINT) AS n_inside,
-       CAST(COALESCE(SUM(i.pid), 0) AS BIGINT) AS pid_sum
-FROM polys p LEFT JOIN inside i ON p.polygon_id = i.polygon_id
-GROUP BY p.polygon_id
-ORDER BY p.polygon_id
-"""
-
-
-ORACLE_POINT_IN_POLYGON = _pip_oracle()
-
-
-def _aa_weights_micro(max_size: int = 64) -> list[int]:
-    """Integer Adamic-Adar weights round(1e6/ln(s)) for basket sizes
-    2..max_size, computed ONCE in Python and injected as literals into
-    both engines (the dcg_weight_micro discipline — engine LN at the
-    rounding boundary is a last-ulp parity risk)."""
-    import math
-
-    return [round(1_000_000 / math.log(s)) for s in range(2, max_size + 1)]
-
-
-def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction over the part co-purchase graph: for part pairs
-    sharing at least 2 orders, common-neighbor count and Adamic-Adar
-    score Σ_o 1/ln(|o|) (Adamic & Adar 2003) — shared low-degree
-    neighbors (small focused orders) count more than huge baskets.
-    Weights are Python-literal micro-ints per basket size (shared with
-    the oracle, the dcg_weight_micro discipline). Plan: distinct
-    (order, part) → basket sizes (keyed agg) → size-capped basket
-    self-join a<b (candidate cost Σ|basket|², bounded by the cap, the
-    copurchase_pairs shape — never a cross join) → keyed agg on the
-    pair, top-20 with a total-order tie-break. 100 TB: the cap bounds
-    per-order fanout; everything else is keyed shuffles."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    sizes = li.groupBy("o").agg(F.count("*").alias("sz"))
-    capped = sizes.filter((F.col("sz") >= 2) & (F.col("sz") <= 64))
-    weights = F.array(*[F.lit(w) for w in _aa_weights_micro(64)])
-    wo = capped.select(
-        "o", F.element_at(weights, F.col("sz").cast("int") - 1).alias("w")
-    )
-    # cap FIRST: the join onto the <=64-size orders must run BEFORE the
-    # quadratic self-join, or one hot 50k-part order would materialize
-    # ~1.25e9 pairs only to drop them afterwards (Catalyst does not
-    # reorder this without CBO) — the cap bounds the join INPUT, not
-    # its output. Capping the probe side alone suffices: an uncapped
-    # order has zero build-side rows, so it emits zero pairs either way.
-    a = li.join(wo, "o").alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.o").alias("o"), F.col("a.p").alias("pa"),
-                F.col("b.p").alias("pb"), F.col("a.w").alias("w"))
-        .groupBy("pa", "pb")
-        .agg(
-            F.count("*").cast("long").alias("common_orders"),
-            F.sum("w").cast("long").alias("aa_micro"),
-        )
-        .filter(F.col("common_orders") >= 2)
-    )
-    return pairs.orderBy(
-        F.desc("aa_micro"), "pa", "pb"
-    ).limit(20)
-
-
-def _aa_oracle() -> str:
-    w = ", ".join(
-        f"({s}, {wm})" for s, wm in zip(range(2, 65), _aa_weights_micro(64))
-    )
-    return f"""
-WITH li AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-),
-sizes AS (
-  SELECT o, COUNT(*) AS sz FROM li GROUP BY o
-),
-wtab(sz, w) AS (VALUES {w}),
-wo AS (
-  SELECT s.o, t.w FROM sizes s JOIN wtab t ON s.sz = t.sz
-  WHERE s.sz BETWEEN 2 AND 64
-),
-pairs AS (
-  SELECT a.p AS pa, b.p AS pb,
-         CAST(COUNT(*) AS BIGINT) AS common_orders,
-         CAST(SUM(w.w) AS BIGINT) AS aa_micro
-  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
-  JOIN wo w ON w.o = a.o
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 2
-)
-SELECT pa, pb, common_orders, aa_micro
-FROM pairs ORDER BY aa_micro DESC, pa, pb LIMIT 20
-"""
-
-
-ORACLE_ADAMIC_ADAR = _aa_oracle()
-
-
-def q_event_seq_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral sequence-pattern mining (MATCH_RECOGNIZE-lite): each
-    user's event stream collapses to an ordered type-initial string
-    ('vcpes...', totally ordered by (ts, event_id) so ties replay
-    identically), then a regex counts non-overlapping
-    view→(click|error)*→purchase journeys per user. The pattern stays
-    in the RE2∩Java-regex common subset (literal classes only — no \\s,
-    no lookaround) so both engines count identically. Plan: one keyed
-    collect_list + sort per user (the journey strings are
-    session-bounded), then a flat regexp_extract_all projection —
-    whole-stage-codegen friendly, no Python. Output: journey-level
-    funnel stats."""
-    ini = F.substring("event_type", 1, 1)
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.struct(
-            F.col("ts"), F.col("event_id"), ini.alias("i")
-        ).alias("s"),
-    )
-    journeys = ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("s")), lambda s: s["i"]
-            ),
-            "",
-        ).alias("j")
-    )
-    pat = "v[ce]*p"
-    scored = journeys.select(
-        "user_id",
-        F.size(F.regexp_extract_all("j", F.lit(pat), F.lit(0))).alias("m"),
-        F.length("j").alias("len"),
-    )
-    return scored.agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.sum((F.col("m") > 0).cast("long")).cast("long").alias("n_matched"),
-        F.sum("m").cast("long").alias("total_matches"),
-        F.max("m").cast("long").alias("max_per_user"),
-        F.sum(F.when(F.col("m") > 0, F.col("len"))).cast("long")
-        .alias("matched_len_sum"),
-    )
-
-
-ORACLE_EVENT_SEQ_REGEX = """
-WITH journeys AS MATERIALIZED (
-  SELECT user_id,
-         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
-  FROM events GROUP BY user_id
-),
-scored AS (
-  SELECT user_id,
-         len(regexp_extract_all(j, 'v[ce]*p')) AS m,
-         length(j) AS len
-  FROM journeys
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-       CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-       CAST(SUM(m) AS BIGINT) AS total_matches,
-       CAST(MAX(m) AS BIGINT) AS max_per_user,
-       CAST(SUM(CASE WHEN m > 0 THEN len END) AS BIGINT) AS matched_len_sum
-FROM scored
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "point_in_polygon_join": (
-            q_point_in_polygon_join,
-            ORACLE_POINT_IN_POLYGON,
-            "ext:geofence containment (broadcast edges, integer ray crossing)",
-        ),
-        "adamic_adar_linkpred": (
-            q_adamic_adar_linkpred,
-            ORACLE_ADAMIC_ADAR,
-            "ext:Adamic-Adar link prediction over the co-purchase graph",
-        ),
-        "event_seq_regex": (
-            q_event_seq_regex,
-            ORACLE_EVENT_SEQ_REGEX,
-            "ext:behavioral sequence regex funnel (MATCH_RECOGNIZE-lite)",
-        ),
-    }
-)
-
-
-def q_text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1's line-text sibling (the last Spark-native file source the
-    matrix lacked after json/csv/orc/binaryFile/xml): documents →
-    one-record-per-line text files (id TAB payload; payload tabs and
-    line breaks space-sanitized length-preservingly first — text is a
-    schema-free format, the line IS the record) → read back through
-    sources/readers.read_files(format='text') → parse with one split
-    at the first tab → aggregate id checksum + payload length to prove
-    every record survived byte-exactly. Plan note: a text scan has no
-    column pruning (one value column by construction) but still splits
-    and parallelizes by file/offset at 100 TB; the parse stays in
-    whole-stage codegen (substring_index — no UDF)."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.readers import read_files
-
-    docs = _t(spark, sf_dir, "documents")
-    target = _scratch_dir(sf_dir, "textsrc")
-    docs.select(
-        F.concat_ws(
-            "\t",
-            F.col("doc_id").cast("string"),
-            # COALESCE: a NULL text would make concat_ws drop the tab
-            # separator entirely and silently desync from the oracle
-            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
-                             "[\\t\\n\\r]", " "),
-        ).alias("value")
-    ).write.text(target)
-    back = read_files(spark, target, format="text")
-    parsed = back.select(
-        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
-        F.expr("substring(value, instr(value, '\t') + 1)").alias("payload"),
-    )
-    return parsed.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("doc_id").cast("long").alias("id_sum"),
-        F.sum(F.length("payload")).cast("long").alias("payload_chars"),
-        F.min(F.length("payload")).cast("long").alias("min_chars"),
-        F.max(F.length("payload")).cast("long").alias("max_chars"),
-    )
-
-
-ORACLE_TEXT_SCAN_ROUNDTRIP = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-       CAST(SUM(length(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')))
-            AS BIGINT) AS payload_chars,
-       CAST(MIN(length(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')))
-            AS BIGINT) AS min_chars,
-       CAST(MAX(length(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g')))
-            AS BIGINT) AS max_chars
-FROM documents
-"""
-
-
-def q_grouped_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-aware k-fold split assignment — the ML-pipeline splitter
-    that prevents ENTITY leakage across folds (sklearn GroupKFold's
-    contract): the fold is a pure function of the group key (customer),
-    fold = hash60(key) mod 5, so every order of a customer lands in
-    the SAME fold on any engine, any partitioning, any day. The audit
-    output proves the two properties that matter: (1) zero leakage —
-    each customer contributes to exactly one fold (a per-fold distinct
-    count whose total equals the global distinct count); (2) balance —
-    per-fold order counts and positive-class (urgent-priority) rates
-    stay near-uniform. One keyed agg; the assignment itself is
-    map-side arithmetic. At 100 TB this is a projection column, not a
-    shuffle."""
-    from yelp_etl_spark.functions.sampling import hash60
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        (F.col("o_orderpriority") < "3").cast("long").alias("y"),
-        F.pmod(
-            hash60(F.concat(F.lit("fold-"), F.col("o_custkey").cast("string"))),
-            F.lit(5),
-        ).cast("long").alias("fold"),
-    )
-    per_fold = orders.groupBy("fold").agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.countDistinct("o_custkey").cast("long").alias("n_groups"),
-        F.sum("y").cast("long").alias("n_pos"),
-    )
-    totals = orders.agg(
-        F.countDistinct("o_custkey").cast("long").alias("total_groups")
-    )
-    return (
-        per_fold.crossJoin(totals)
-        .select(
-            "fold",
-            "n_orders",
-            "n_groups",
-            "n_pos",
-            # leakage-free ⟺ Σ per-fold distinct groups == global distinct
-            # (a group straddling folds would be counted twice on the left)
-            (
-                F.sum("n_groups").over(
-                    Window.rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                )
-                == F.col("total_groups")
-            ).alias("leak_free"),
-        )
-        .orderBy("fold")
-    )
-
-
-ORACLE_GROUPED_KFOLD = """
-WITH orders_f AS MATERIALIZED (
-  SELECT o_custkey,
-         CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS y,
-         CAST(concat('0x', substr(md5(concat('fold-', CAST(o_custkey AS VARCHAR))), 18, 15)) AS BIGINT) % 5 AS fold
-  FROM orders
-),
-per_fold AS (
-  SELECT fold,
-         CAST(COUNT(*) AS BIGINT) AS n_orders,
-         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
-         CAST(SUM(y) AS BIGINT) AS n_pos
-  FROM orders_f GROUP BY fold
-),
-tot AS (
-  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS total_groups
-  FROM orders_f
-)
-SELECT fold, n_orders, n_groups, n_pos,
-       SUM(n_groups) OVER () = (SELECT total_groups FROM tot) AS leak_free
-FROM per_fold ORDER BY fold
-"""
-
-
-def q_hll_mergeable_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-hard-checkable twin of hll_mergeable (VERDICT r7 #6):
-    the same build→union→estimate Datasketches HLL pipeline, but the
-    query RETURNS the exact per-region distinct count plus BOOLEAN
-    error-envelope verdicts instead of the engine-specific estimate —
-    |est − exact| must sit inside ±3·RSE·exact with RSE = 1.04/√2^12
-    (the lgConfigK=12 default's relative standard error; 3σ ≈ 4.9%,
-    generous enough to be seed-stable, tight enough that a broken
-    sketch pipeline trips it). The oracle recomputes the exact counts
-    and pins the booleans TRUE, so the sketch path gets a hard value
-    check while the estimate itself stays engine-side. Mergeability is
-    checked structurally: the unioned estimate must equal a directly-
-    built per-region estimate (build→union ≡ build-at-coarser-grain
-    on this nested grouping)."""
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    joined = customer.join(
-        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
-    )
-    per_nation = joined.groupBy("n_regionkey", "n_name").agg(
-        F.hll_sketch_agg("c_custkey").alias("sketch")
-    )
-    merged = per_nation.groupBy("n_regionkey").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
-    )
-    direct = joined.groupBy("n_regionkey").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("est_direct"),
-        F.countDistinct("c_custkey").cast("long").alias("exact_customers"),
-    )
-    eps = 3 * 1.04 / (2.0 ** 6)  # 3·RSE at lgConfigK=12 (√2^12 = 2^6)
-    return (
-        merged.join(direct, "n_regionkey")
-        .select(
-            F.col("n_regionkey").cast("long").alias("region"),
-            "exact_customers",
-            (
-                F.abs(F.col("est") - F.col("exact_customers"))
-                <= F.lit(eps) * F.col("exact_customers")
-            ).alias("within_bounds"),
-            (F.col("est") == F.col("est_direct")).alias("merge_consistent"),
-        )
-        .orderBy("region")
-    )
-
-
-ORACLE_HLL_MERGEABLE_CHECKED = """
-SELECT CAST(n_regionkey AS BIGINT) AS region,
-       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
-       CAST(1 AS BOOLEAN) AS within_bounds,
-       CAST(1 AS BOOLEAN) AS merge_consistent
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_regionkey ORDER BY region
-"""
-
-
-def q_medallion_gold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full 13-job medallion workload (plans/pipelines.run_medallion
-    — extract×5 → clean×5 → enrich×3 → gold, the reference
-    run-all-pipelines.sh shape at TPC-H scale) under the value oracle:
-    the committed gold snapshot table is read back and reduced to
-    per-segment totals the DuckDB twin recomputes STRAIGHT from the
-    raw inputs, so one green row covers bronze/silver write-read
-    integrity, the enrich join, the week rollup, the cents
-    quantization, and the partitioned snapshot commit end to end.
-    The bench times this same pipeline as ``pipeline_seconds``."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.plans.pipelines import run_medallion
-    from yelp_etl_spark.sources.snapshots import snapshot_read
-
-    root = _scratch_dir(sf_dir, "medallion")
-    run_medallion(spark, sf_dir, root)
-    gold = snapshot_read(spark, f"{root}/gold/segment_weekly")
-    return (
-        gold.groupBy("segment")
-        .agg(
-            F.count("*").cast("long").alias("n_weeks"),
-            F.sum("n_orders").cast("long").alias("n_orders"),
-            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
-            F.sum("n_customers").cast("long").alias("customer_weeks"),
-        )
-        .orderBy("segment")
-    )
-
-
-ORACLE_MEDALLION_GOLD_PARITY = """
-WITH gold AS MATERIALIZED (
-  SELECT c_mktsegment AS segment,
-         CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
-         CAST(COUNT(*) AS BIGINT) AS n_orders,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS revenue_cents,
-         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2
-)
-SELECT segment,
-       CAST(COUNT(*) AS BIGINT) AS n_weeks,
-       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
-       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
-       CAST(SUM(n_customers) AS BIGINT) AS customer_weeks
-FROM gold GROUP BY segment ORDER BY segment
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "text_scan_roundtrip": (
-            q_text_scan_roundtrip,
-            ORACLE_TEXT_SCAN_ROUNDTRIP,
-            "ext:line-text source roundtrip (S1 family completion)",
-        ),
-        "grouped_kfold_assign": (
-            q_grouped_kfold_assign,
-            ORACLE_GROUPED_KFOLD,
-            "ext:leakage-free group k-fold split with balance audit",
-        ),
-        "hll_mergeable_checked": (
-            q_hll_mergeable_checked,
-            ORACLE_HLL_MERGEABLE_CHECKED,
-            "ext:Datasketches HLL error-envelope hard check",
-        ),
-        "medallion_gold_parity": (
-            q_medallion_gold_parity,
-            ORACLE_MEDALLION_GOLD_PARITY,
-            "ext:13-job medallion pipeline end-to-end value parity",
-        ),
-    }
-)
-
-
-def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample log-rank test (Mantel-Haenszel) — the hypothesis
-    test completing the survival triad (kaplan_meier estimates,
-    nelson_aalen hazards, log-rank COMPARES): do heavy users (ever
-    purchased) churn on a different schedule than the rest? Same
-    duration/censor derivation as q_kaplan_meier; groups by purchase
-    history. At each distinct duration t: observed group-1 events
-    d1_t vs expectation d_t·n1_t/n_t under H0, variance
-    d_t·n1_t·(n_t−n1_t)·(n_t−d_t) / (n_t²·(n_t−1)). The statistic is
-    reported as chi² = (O1−E1)²/V in micro-units with every division
-    deferred: per-term expectations/variances quantize via
-    decimal(38,0) cross products, and the final ratio is one integer
-    division — no sqrt, no float accumulation. Scale: everything
-    reduces to the distinct-duration table (≤ horizon days) after one
-    keyed agg; the windows run on that bounded frame."""
-    events = _t(spark, sf_dir, "events")
-    horizon = events.agg(F.max("ts").alias("max_ts"))
-    per_user = (
-        events.groupBy("user_id")
-        .agg(
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
-            F.max((F.col("event_type") == "purchase").cast("long")).alias("g"),
-        )
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
-            (F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 3 DAYS"))
-            .cast("long")
-            .alias("churned"),
-            "g",
-        )
-    )
-    by_t = per_user.groupBy(F.col("t").cast("long").alias("t")).agg(
-        F.count("*").alias("n_end"),
-        F.sum(F.col("g")).alias("n_end1"),
-        F.sum("churned").alias("d"),
-        F.sum(F.col("churned") * F.col("g")).alias("d1"),
-    )
-    tot = by_t.agg(
-        F.sum("n_end").alias("n_total"), F.sum("n_end1").alias("n1_total")
-    )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    stepped = by_t.crossJoin(F.broadcast(tot)).select(
-        "t",
-        "d",
-        "d1",
-        (F.col("n_total") - (F.sum("n_end").over(w) - F.col("n_end")))
-        .alias("n"),
-        (F.col("n1_total") - (F.sum("n_end1").over(w) - F.col("n_end1")))
-        .alias("n1"),
-    ).filter((F.col("d") > 0) & (F.col("n") > 1))
-    terms = stepped.select(
-        "d1",
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * d * n1) div n AS BIGINT)"
-        ).alias("e1_micro"),
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * d * n1 * (n - n1)"
-            " * (n - d)) div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
-            " AS BIGINT)"
-        ).alias("v_micro"),
-    )
-    s = terms.agg(
-        F.sum("d1").cast("long").alias("o1"),
-        F.sum("e1_micro").cast("long").alias("e1_micro"),
-        F.sum("v_micro").cast("long").alias("v_micro"),
-    )
-    return s.select(
-        "o1",
-        "e1_micro",
-        "v_micro",
-        # chi2 = (O1 - E1)^2 / V, all micro-deferred:
-        # ((1e6*O1 - e1u)^2) div (1e6 * vu)
-        F.expr(
-            "CAST(((CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_micro)"
-            " * (CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_micro))"
-            " div (CAST(1000000 AS DECIMAL(38,0)) * v_micro) AS BIGINT)"
-        ).alias("chi2_micro"),
-    )
-
-
-ORACLE_LOG_RANK_TEST = """
-WITH horizon AS MATERIALIZED (SELECT MAX(ts) AS max_ts FROM events),
-per_user AS MATERIALIZED (
-  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t,
-         CASE WHEN MAX(ts) < h.max_ts - INTERVAL 3 DAY THEN 1 ELSE 0 END
-           AS churned,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g
-  FROM events CROSS JOIN horizon h
-  GROUP BY user_id, h.max_ts
-),
-by_t AS MATERIALIZED (
-  SELECT CAST(t AS BIGINT) AS t,
-         CAST(COUNT(*) AS BIGINT) AS n_end,
-         CAST(SUM(g) AS BIGINT) AS n_end1,
-         CAST(SUM(churned) AS BIGINT) AS d,
-         CAST(SUM(churned * g) AS BIGINT) AS d1
-  FROM per_user GROUP BY t
-),
-tot AS MATERIALIZED (
-  SELECT CAST(SUM(n_end) AS BIGINT) AS n_total,
-         CAST(SUM(n_end1) AS BIGINT) AS n1_total
-  FROM by_t
-),
-stepped AS MATERIALIZED (
-  SELECT t, d, d1,
-         CAST(n_total - (SUM(n_end) OVER w - n_end) AS BIGINT) AS n,
-         CAST(n1_total - (SUM(n_end1) OVER w - n_end1) AS BIGINT) AS n1
-  FROM by_t CROSS JOIN tot
-  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
-),
-terms AS (
-  SELECT d1,
-         CAST((CAST(1000000 AS HUGEINT) * d * n1) // n AS BIGINT) AS e1_micro,
-         CAST((CAST(1000000 AS HUGEINT) * d * n1 * (n - n1) * (n - d))
-              // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS v_micro
-  FROM stepped WHERE d > 0 AND n > 1
-),
-s AS (
-  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
-         CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
-         CAST(SUM(v_micro) AS BIGINT) AS v_micro
-  FROM terms
-)
-SELECT o1, e1_micro, v_micro,
-       CAST(((CAST(1000000 AS HUGEINT) * o1 - e1_micro)
-             * (CAST(1000000 AS HUGEINT) * o1 - e1_micro))
-            // (CAST(1000000 AS HUGEINT) * v_micro) AS BIGINT) AS chi2_micro
-FROM s
-"""
-
-
-def q_ari_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adjusted Rand Index (Hubert & Arabie 1985) between two
-    partitions of the customer base — the clustering-stability /
-    segmentation-agreement metric (how much does the behavioral
-    segmentation agree with the balance-band one, beyond chance?).
-    Partitions: declared market segment vs fixed-width account-balance
-    band (never ntile — rank ties are order-dependent). ARI is pure
-    pair-counting combinatorics: Σ C(n_ij,2) over the contingency
-    table vs its chance expectation — all exact BIGINT (C(n,2) =
-    n(n-1)/2), one final deferred division to micro-units via
-    decimal(38,0). Scale: one (a,b)-keyed agg builds the contingency
-    table (|segments|×|bands| ≤ 40 cells); constant after."""
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_mktsegment").alias("a"),
-        F.expr(
-            "least(CAST(7 AS BIGINT), CAST(ROUND((c_acctbal + 1000) * 100)"
-            " AS BIGINT) div 170000)"
-        ).alias("b"),
-    )
-    cells = c.groupBy("a", "b").agg(F.count("*").alias("nij"))
-    sums = cells.agg(
-        F.sum(F.expr("nij * (nij - 1) div 2")).alias("s_cells"),
-        F.sum("nij").alias("n"),
-    )
-    sa = (
-        cells.groupBy("a")
-        .agg(F.sum("nij").alias("na"))
-        .agg(F.sum(F.expr("na * (na - 1) div 2")).alias("s_a"))
-    )
-    sb = (
-        cells.groupBy("b")
-        .agg(F.sum("nij").alias("nb"))
-        .agg(F.sum(F.expr("nb * (nb - 1) div 2")).alias("s_b"))
-    )
-    # ARI = (S - SaSb/T) / ((Sa+Sb)/2 - SaSb/T), T = C(n,2); defer ALL
-    # divisions: num = T*S - Sa*Sb, den = T*(Sa+Sb)/2 - Sa*Sb
-    return (
-        sums.crossJoin(sa)
-        .crossJoin(sb)
-        .select(
-            F.col("n").cast("long").alias("n"),
-            F.col("s_cells").cast("long").alias("s_cells"),
-            F.col("s_a").cast("long").alias("s_a"),
-            F.col("s_b").cast("long").alias("s_b"),
-            # ARI = (T·S − SaSb) / (T·(Sa+Sb)/2 − SaSb) with T=C(n,2).
-            # Substituting M = n(n−1) = 2T and clearing denominators:
-            # ari = (2·M·S − 4·SaSb) / (M·(Sa+Sb) − 4·SaSb) — NO interior
-            # division at all, so every term stays a decimal(38,0)
-            # product (a `div 2` midway would collapse to int64 — Spark's
-            # IntegralDivide returns LONG — and the following product
-            # overflows already at ~1M rows). Pair counts scale as n²
-            # and the cleared numerator as n⁴ in the all-one-cluster
-            # worst case: decimal38/HUGEINT headroom holds to n ≈ 1e8
-            # rows — past that, compute ARI on a group-keyed sample.
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0))"
-                " * (CAST(2 AS DECIMAL(38,0)) * n * (n - 1) * s_cells"
-                "    - CAST(4 AS DECIMAL(38,0)) * s_a * s_b))"
-                " div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (s_a + s_b)"
-                "      - CAST(4 AS DECIMAL(38,0)) * s_a * s_b) AS BIGINT)"
-            ).alias("ari_micro"),
-        )
-    )
-
-
-ORACLE_ARI_CLUSTER_AGREEMENT = """
-WITH c AS MATERIALIZED (
-  SELECT c_mktsegment AS a,
-         LEAST(7, CAST(ROUND((c_acctbal + 1000) * 100) AS BIGINT) // 170000)
-           AS b
-  FROM customer
-),
-cells AS MATERIALIZED (
-  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij FROM c GROUP BY a, b
-),
-sums AS (
-  SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_cells,
-         CAST(SUM(nij) AS BIGINT) AS n
-  FROM cells
-),
-sa AS (
-  SELECT CAST(SUM(na * (na - 1) // 2) AS BIGINT) AS s_a FROM (
-    SELECT CAST(SUM(nij) AS BIGINT) AS na FROM cells GROUP BY a
-  )
-),
-sb AS (
-  SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS s_b FROM (
-    SELECT CAST(SUM(nij) AS BIGINT) AS nb FROM cells GROUP BY b
-  )
-)
-SELECT n, s_cells, s_a, s_b,
-       CAST((CAST(1000000 AS HUGEINT)
-             * (CAST(2 AS HUGEINT) * n * (n - 1) * s_cells
-                - CAST(4 AS HUGEINT) * s_a * s_b))
-            // (CAST(n AS HUGEINT) * (n - 1) * (s_a + s_b)
-                - CAST(4 AS HUGEINT) * s_a * s_b) AS BIGINT) AS ari_micro
-FROM sums CROSS JOIN sa CROSS JOIN sb
-"""
-
-
-def q_anova_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-way ANOVA F statistic — does mean account balance differ
-    across market segments? The continuous-feature complement of
-    chi2_terms (categorical) and mi_terms (information). Moments stay
-    exact: per-group sums in BIGINT cents, sums of squares in
-    decimal(38,0); the between/within decomposition A = Σ s_g²/n_g
-    floors each group term at UNIT (cents²) scale — a ±1 floor on a
-    ~1e12 term, identical on both engines by the portable-div
-    convention, so SSB/SSW are exact integers on both sides (emitted
-    as strings: they exceed int64 at large SF and the driver hasher
-    can't round-trip int128). The F ratio itself is ONE division of
-    those identical integers, done in double and rounded — Spark's
-    IntegralDivide returns int64, so a fully-deferred integer F would
-    overflow exactly at the scale this query is meant for. Scale: one
-    map-side-combinable keyed agg to k=5 moment rows; constant
-    after."""
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_mktsegment").alias("g"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
-    )
-    grp = c.groupBy("g").agg(
-        F.count("*").alias("ng"),
-        F.sum("x").alias("sg"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("qg"),
-    )
-    t = grp.agg(
-        F.count("*").cast("long").alias("k"),
-        F.sum("ng").cast("long").alias("n"),
-        F.sum(F.col("sg").cast("decimal(38,0)")).alias("s"),
-        F.sum("qg").alias("q"),
-        # Σ floor(s_g²/n_g) exactly: p - (p % ng) is divisible, the
-        # decimal / stays exact, never through int64
-        F.sum(
-            F.expr(
-                "(CAST(sg AS DECIMAL(38,0)) * sg"
-                " - (CAST(sg AS DECIMAL(38,0)) * sg) % ng) / ng"
-            ).cast("decimal(38,0)")
-        ).alias("a_unit"),
-    )
-    ssb = F.expr("a_unit - (s * s - (s * s) % n) / n").cast("decimal(38,0)")
-    ssw = F.expr("q - a_unit").cast("decimal(38,0)")
-    return t.select(
-        "k",
-        "n",
-        ssb.cast("string").alias("ssb_unit"),
-        ssw.cast("string").alias("ssw_unit"),
-        F.round(
-            ssb.cast("double")
-            * (F.col("n") - F.col("k")).cast("double")
-            / (ssw.cast("double") * (F.col("k") - 1).cast("double")),
-            6,
-        ).alias("f_stat"),
-    )
-
-
-ORACLE_ANOVA_F_TEST = """
-WITH c AS MATERIALIZED (
-  SELECT c_mktsegment AS g, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
-  FROM customer
-),
-grp AS MATERIALIZED (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS sg,
-         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
-  FROM c GROUP BY g
-),
-t AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(ng) AS BIGINT) AS n,
-         CAST(SUM(CAST(sg AS HUGEINT)) AS HUGEINT) AS s,
-         CAST(SUM(qg) AS HUGEINT) AS q,
-         CAST(SUM((CAST(sg AS HUGEINT) * sg) // ng) AS HUGEINT) AS a_unit
-  FROM grp
-),
-d AS (
-  SELECT k, n,
-         a_unit - (s * s) // n AS ssb,
-         q - a_unit AS ssw
-  FROM t
-)
-SELECT k, n,
-       CAST(ssb AS VARCHAR) AS ssb_unit,
-       CAST(ssw AS VARCHAR) AS ssw_unit,
-       ROUND(CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE)
-             / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6) AS f_stat
-FROM d
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "log_rank_test": (
-            q_log_rank_test,
-            ORACLE_LOG_RANK_TEST,
-            "ext:two-sample log-rank survival test (deferred-division chi2)",
-        ),
-        "ari_cluster_agreement": (
-            q_ari_cluster_agreement,
-            ORACLE_ARI_CLUSTER_AGREEMENT,
-            "ext:Adjusted Rand Index between two partitions (exact pair counting)",
-        ),
-        "anova_f_test": (
-            q_anova_f_test,
-            ORACLE_ANOVA_F_TEST,
-            "ext:one-way ANOVA F from exact integer moments",
-        ),
-    }
-)
-
-
-def q_window_funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-constrained sequential funnel (ClickHouse windowFunnel
-    semantics, greedy-earliest variant): view → click → purchase where
-    each step must land within 7 days of the PREVIOUS step's match —
-    stricter than funnel_conversion's any-order step counting, this is
-    ordered with per-hop deadlines. All time arithmetic on integer
-    epoch-micros (unix_micros/epoch_us — the sessionize_gaps
-    convention). Each hop is a per-user range join (candidates bounded
-    by per-user event density inside the 7-day window — the
-    asof/interval family, never a cross join) followed by a keyed min:
-    the earliest qualifying next step, so the match is deterministic
-    and replayable. A user reaches depth k through their EARLIEST
-    completed chain; funnels are counted per starting view then
-    reduced to per-user depth. Scale: two bounded range joins + keyed
-    aggs; per-user candidate sets are density-bounded, and the final
-    output is one 1-row frame."""
-    W = 7 * 86_400_000_000  # 7 days in micros
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.col("event_type").alias("et"),
-        F.unix_micros("ts").alias("us"),
-    )
-    v = ev.filter(F.col("et") == "view").select(
-        "user_id", F.col("us").alias("t1")
-    )
-    c = ev.filter(F.col("et") == "click").select(
-        F.col("user_id").alias("cu"), F.col("us").alias("tc")
-    )
-    p = ev.filter(F.col("et") == "purchase").select(
-        F.col("user_id").alias("pu"), F.col("us").alias("tp")
-    )
-    s2 = (
-        v.join(
-            c,
-            (F.col("user_id") == F.col("cu"))
-            & (F.col("tc") > F.col("t1"))
-            & (F.col("tc") <= F.col("t1") + F.lit(W)),
-        )
-        .groupBy("user_id", "t1")
-        .agg(F.min("tc").alias("t2"))
-    )
-    s3 = (
-        s2.join(
-            p,
-            (F.col("user_id") == F.col("pu"))
-            & (F.col("tp") > F.col("t2"))
-            & (F.col("tp") <= F.col("t2") + F.lit(W)),
-        )
-        .groupBy("user_id", "t1", "t2")
-        .agg(F.min("tp").alias("t3"))
-    )
-    per_user = (
-        v.groupBy("user_id")
-        .agg(F.count("*").alias("n_views"))
-        .join(
-            s2.groupBy("user_id").agg(F.count("*").alias("n_s2")),
-            "user_id",
-            "left",
-        )
-        .join(
-            s3.groupBy("user_id").agg(
-                F.count("*").alias("n_s3"),
-                F.min(F.col("t3") - F.col("t1")).alias("best_us"),
-            ),
-            "user_id",
-            "left",
-        )
-    )
-    return per_user.agg(
-        F.count("*").cast("long").alias("u_step1"),
-        F.sum((F.col("n_s2") > 0).cast("long")).cast("long").alias("u_step2"),
-        F.sum((F.col("n_s3") > 0).cast("long")).cast("long").alias("u_step3"),
-        F.sum(F.expr("best_us div 1000000")).cast("long")
-        .alias("sum_best_seconds"),
-        F.min(F.expr("best_us div 1000000")).cast("long")
-        .alias("min_best_seconds"),
-    )
-
-
-ORACLE_WINDOW_FUNNEL_TIMED = """
-WITH ev AS MATERIALIZED (
-  SELECT user_id, event_type AS et, epoch_us(ts) AS us FROM events
-),
-v AS (SELECT user_id, us AS t1 FROM ev WHERE et = 'view'),
-c AS (SELECT user_id AS cu, us AS tc FROM ev WHERE et = 'click'),
-p AS (SELECT user_id AS pu, us AS tp FROM ev WHERE et = 'purchase'),
-s2 AS MATERIALIZED (
-  SELECT user_id, t1, CAST(MIN(tc) AS BIGINT) AS t2
-  FROM v JOIN c ON user_id = cu AND tc > t1 AND tc <= t1 + 604800000000
-  GROUP BY user_id, t1
-),
-s3 AS MATERIALIZED (
-  SELECT user_id, t1, t2, CAST(MIN(tp) AS BIGINT) AS t3
-  FROM s2 JOIN p ON user_id = pu AND tp > t2 AND tp <= t2 + 604800000000
-  GROUP BY user_id, t1, t2
-),
-per_user AS (
-  SELECT va.user_id, va.n_views, s2a.n_s2, s3a.n_s3, s3a.best_us
-  FROM (SELECT user_id, COUNT(*) AS n_views FROM v GROUP BY 1) va
-  LEFT JOIN (SELECT user_id, COUNT(*) AS n_s2 FROM s2 GROUP BY 1) s2a
-    USING (user_id)
-  LEFT JOIN (SELECT user_id, COUNT(*) AS n_s3,
-                    CAST(MIN(t3 - t1) AS BIGINT) AS best_us
-             FROM s3 GROUP BY 1) s3a
-    USING (user_id)
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS u_step1,
-       CAST(SUM(CASE WHEN n_s2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_step2,
-       CAST(SUM(CASE WHEN n_s3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_step3,
-       CAST(SUM(best_us // 1000000) AS BIGINT) AS sum_best_seconds,
-       CAST(MIN(best_us // 1000000) AS BIGINT) AS min_best_seconds
-FROM per_user
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "window_funnel_timed": (
-            q_window_funnel_timed,
-            ORACLE_WINDOW_FUNNEL_TIMED,
-            "ext:time-constrained ordered funnel (per-hop deadlines)",
-        ),
-    }
-)
-
-
-def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE keyphrase extraction (Rose et al. 2010) over the document
-    corpus — the phrase-level complement of tfidf_top_terms (unigrams)
-    and pmi_collocations (bigram association): candidate phrases are
-    maximal stopword-free word runs (stopword boundaries become
-    delimiters via a \\b word-boundary regex — RE2 and Java agree on
-    ASCII \\b), each word scores deg/freq where deg sums the lengths
-    of every phrase occurrence containing it, and a phrase scores the
-    sum of its words' ratios (with multiplicity). Ratios quantize to
-    micro-units (integer div — both engines floor identically on the
-    nonnegative domain) BEFORE the phrase sum, so the ranking is exact
-    integer end to end. Scale: two explode→keyed-agg passes (phrase
-    table, word table) + one words→ratios join — the flat
-    post-generate projections that fuse into codegen (the
-    duplicate_spans lesson: never score inside array lambdas). Top 12
-    by (score, phrase) total order."""
-    docs = _t(spark, sf_dir, "documents")
-    phrases = (
-        docs.select(
-            F.explode(
-                F.split(
-                    F.regexp_replace(F.col("text"), r"\b(the|a)\b", "|"),
-                    r"\|",
-                )
-            ).alias("raw")
-        )
-        .select(F.trim(F.col("raw")).alias("phrase"))
-        .filter(F.col("phrase") != "")
-        .select("phrase", F.split("phrase", " ").alias("words"))
-        .filter(F.size("words") >= 2)
-    )
-    occ = phrases.select(
-        "phrase", F.size("words").alias("plen"), F.explode("words").alias("w")
-    )
-    ratios = occ.groupBy("w").agg(
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(plen)) div COUNT(*)"
-            " AS BIGINT)"
-        ).alias("ratio_micro")
-    )
-    scored = (
-        occ.join(ratios, "w")
-        .groupBy("phrase", "plen")
-        .agg(F.sum("ratio_micro").alias("sum_all"), F.count("*").alias("n_words"))
-        # every occurrence of the same phrase text contributes an
-        # identical word-ratio sum: normalize back to one occurrence
-        .select(
-            "phrase",
-            F.col("plen").cast("long").alias("n_words"),
-            F.expr("n_words div plen").cast("long").alias("occurrences"),
-            F.expr("CAST(sum_all div (n_words div plen) AS BIGINT)")
-            .alias("score_micro"),
-        )
-    )
-    return scored.orderBy(F.desc("score_micro"), "phrase").limit(12)
-
-
-ORACLE_RAKE_KEYPHRASES = """
-WITH phr AS MATERIALIZED (
-  SELECT trim(p) AS phrase,
-         string_split(trim(p), ' ') AS words
-  FROM (
-    SELECT unnest(string_split(
-             regexp_replace(text, '\\b(the|a)\\b', '|', 'g'), '|')) AS p
-    FROM documents
-  )
-  WHERE trim(p) != '' AND len(string_split(trim(p), ' ')) >= 2
-),
-occ AS MATERIALIZED (
-  SELECT phrase, len(words) AS plen, unnest(words) AS w FROM phr
-),
-ratios AS MATERIALIZED (
-  SELECT w,
-         CAST((CAST(1000000 AS HUGEINT) * SUM(plen)) // COUNT(*) AS BIGINT)
-           AS ratio_micro
-  FROM occ GROUP BY w
-),
-scored AS (
-  SELECT o.phrase,
-         CAST(o.plen AS BIGINT) AS n_words,
-         CAST(COUNT(*) AS BIGINT) // o.plen AS occurrences,
-         CAST(SUM(r.ratio_micro) // (COUNT(*) // o.plen) AS BIGINT)
-           AS score_micro
-  FROM occ o JOIN ratios r USING (w)
-  GROUP BY o.phrase, o.plen
-)
-SELECT phrase, n_words, occurrences, score_micro
-FROM scored ORDER BY score_micro DESC, phrase LIMIT 12
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "rake_keyphrases": (
-            q_rake_keyphrases,
-            ORACLE_RAKE_KEYPHRASES,
-            "ext:RAKE keyphrase extraction (integer deg/freq ratios)",
-        ),
-    }
-)
-
-
-def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER join end to end — the semantics inner
-    joins never exercise: an unmatched left row is emitted (with NULL
-    right side) only once the GLOBAL watermark proves no future match
-    can arrive, i.e. outer results are a state-EVICTION byproduct.
-    Clicks join purchases of the same user within the following 30
-    minutes; two far-future sentinel rows per side, in separate
-    source files after the real data (maxFilesPerTrigger=1 →
-    deterministic file-per-batch phases, file order pinned by explicit
-    mtimes), march the watermark past every real row's join horizon so
-    the availableNow run flushes ALL real unmatched clicks — without
-    the second sentinel batch the final expirations would sit in state
-    forever (watermark computed at batch N applies at batch N+1).
-    Sentinels filter out by key sign. The oracle is the plain batch
-    left join. State at 100 TB stays O(key-rate × (watermark+window))
-    — exactly the bound the join condition declares."""
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.streaming.windows import stream_stream_join
-
-    cols = ["user_id", "ts", "event_id", "value"]
-    # materialize the two tiny event slices once: every staging write
-    # below otherwise re-scans the source, and the single-file writes
-    # must not single-thread that scan (repartition(1), never
-    # coalesce(1) — coalesce collapses the SCAN to one task too)
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .select("event_type", *cols)
-        .localCheckpoint(eager=True)
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(cols)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(cols)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-
-    def sentinel(uid: int, days: int):
-        return spark.createDataFrame(
-            [(uid, max_ts, -1, 0.0)], "user_id long, ts timestamp, "
-            "event_id long, value double"
-        ).select(
-            "user_id",
-            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            "event_id",
-            "value",
-        )
-
-    def stage(df, phase: int, root: str):
-        tmp = root + f"_tmp{phase}"
-        df.repartition(1).write.parquet(tmp)
-        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = _os.path.join(root, f"{phase:02d}.parquet")
-        _shutil.move(_os.path.join(tmp, part), dst)
-        _shutil.rmtree(tmp, ignore_errors=True)
-        base = 1_700_000_000 + phase * 60  # strictly increasing mtimes:
-        _os.utime(dst, (base, base))      # the source lists by (mtime, path)
-
-    l_src = _scratch_dir(sf_dir, "sljl")
-    r_src = _scratch_dir(sf_dir, "sljr")
-    _os.makedirs(l_src), _os.makedirs(r_src)
-    stage(clicks, 0, l_src)
-    stage(purchases, 0, r_src)
-    for phase, days in ((1, 100), (2, 200)):
-        stage(sentinel(-1, days), phase, l_src)
-        stage(sentinel(-2, days), phase, r_src)
-    schema = clicks.schema
-    l_stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(l_src)
-    )
-    r_stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(r_src)
-    )
-    joined = stream_stream_join(
-        l_stream, r_stream, watermark="1 hour", within="30 minutes",
-        how="left_outer",
-    )
-    name = "slj_" + _uuid.uuid4().hex[:8]
-    ckpt = _scratch_dir(sf_dir, "sljckpt")
-    # state-store width is frozen into the checkpoint at first start
-    # (the stream_dedup_totals sizing rule): size it to state volume
-    # (hundreds of users), not core count — 32-wide state schedules
-    # 32 state tasks per micro-batch per stateful operator for nothing
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).filter(F.col("l_key") >= 0)
-    return out.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.col("r_event_id").isNotNull().cast("long"))
-        .cast("long")
-        .alias("n_matched"),
-        F.sum(F.col("r_event_id").isNull().cast("long"))
-        .cast("long")
-        .alias("n_unmatched"),
-        F.countDistinct(
-            F.when(F.col("r_event_id").isNull(), F.col("l_event_id"))
-        ).cast("long").alias("unmatched_clicks"),
-        F.round(F.sum(F.coalesce("r_value", F.lit(0.0))), 2).alias(
-            "matched_value"
-        ),
-    )
-
-
-ORACLE_STREAM_LEFT_JOIN_EXPIRY = """
-WITH l AS (SELECT user_id, ts, event_id, value FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, ts, event_id, value FROM events
-      WHERE event_type = 'purchase'),
-j AS (
-  SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
-         r.value AS r_value
-  FROM l LEFT JOIN r
-    ON l.user_id = r.user_id
-   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN r_event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_matched,
-       CAST(SUM(CASE WHEN r_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_unmatched,
-       CAST(COUNT(DISTINCT CASE WHEN r_event_id IS NULL THEN l_event_id END)
-            AS BIGINT) AS unmatched_clicks,
-       ROUND(SUM(COALESCE(r_value, 0.0)), 2) AS matched_value
-FROM j
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "stream_left_join_expiry": (
-            q_stream_left_join_expiry,
-            ORACLE_STREAM_LEFT_JOIN_EXPIRY,
-            "ext:stream-stream left-outer join (watermark state eviction)",
-        ),
-    }
-)
-
-
-def q_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Changepoint detection by binary segmentation (the first split of
-    Scott & Knott / the PELT family's building block) over the 1995
-    daily-revenue series — the LOCATION estimator complementing
-    cusum_top_days' drift score: pick the split that maximizes the
-    between-segment sum of squares, equivalently maximizes
-    S_L²/n_L + S_R²/n_R (prefix-sum identity; total SS is
-    split-invariant). Gains floor at unit (cents²) scale inside
-    decimal(38,0) — both engines floor identically — and the argmax is
-    a max_by with the earliest-day tie-break, so the chosen changepoint
-    replays bit-identically. Scale: one map-side-combinable groupBy to
-    the ≤365-row day table; the candidate sweep is two windows over
-    that bounded frame."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.col("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    pref = days.select(
-        "d",
-        F.sum("y").over(w).alias("sl"),
-        F.count("*").over(w).cast("long").alias("nl"),
-    )
-    tot = days.agg(
-        F.sum("y").cast("long").alias("s"), F.count("*").cast("long").alias("n")
-    )
-    cand = pref.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
-    gains = cand.select(
-        "d",
-        "nl",
-        F.expr(
-            "CAST((CAST(sl AS DECIMAL(38,0)) * sl"
-            " - (CAST(sl AS DECIMAL(38,0)) * sl) % nl) / nl"
-            " + (CAST(s - sl AS DECIMAL(38,0)) * (s - sl)"
-            "    - (CAST(s - sl AS DECIMAL(38,0)) * (s - sl)) % (n - nl))"
-            "   / (n - nl) AS DECIMAL(38,0))"
-        ).alias("gain"),
-    )
-    # portable argmax: rank by (gain desc, d asc) over the bounded
-    # candidate frame and keep row 1 (a bare max_by has no defined
-    # tie-break to pin across engines)
-    wr = Window.orderBy(F.desc("gain"), "d")
-    top = gains.withColumn("rn", F.row_number().over(wr)).filter(
-        F.col("rn") == 1
-    )
-    return top.crossJoin(F.broadcast(tot)).select(
-        F.col("d").alias("changepoint_after"),
-        F.col("nl").alias("n_left"),
-        (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
-        F.col("gain").cast("string").alias("gain_unit"),
-    )
-
-
-ORACLE_CHANGEPOINT_BINARY_SEG = """
-WITH days AS MATERIALIZED (
-  SELECT o_orderdate AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-pref AS MATERIALIZED (
-  SELECT d,
-         CAST(SUM(y) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS sl,
-         CAST(COUNT(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS nl
-  FROM days
-),
-tot AS (
-  SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM days
-),
-gains AS (
-  SELECT d, nl,
-         (CAST(sl AS HUGEINT) * sl) // nl
-         + (CAST(s - sl AS HUGEINT) * (s - sl)) // (n - nl) AS gain
-  FROM pref CROSS JOIN tot
-  WHERE nl < n
-),
-top AS (
-  SELECT d, nl, gain,
-         ROW_NUMBER() OVER (ORDER BY gain DESC, d) AS rn
-  FROM gains
-)
-SELECT t.d AS changepoint_after,
-       t.nl AS n_left,
-       CAST(x.n - t.nl AS BIGINT) AS n_right,
-       CAST(t.gain AS VARCHAR) AS gain_unit
-FROM top t CROSS JOIN tot x WHERE t.rn = 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "changepoint_binary_seg": (
-            q_changepoint_binary_seg,
-            ORACLE_CHANGEPOINT_BINARY_SEG,
-            "ext:binary-segmentation changepoint (exact integer gain argmax)",
-        ),
-    }
-)
-
-
-def q_wav_riff_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-container routing pass (multimodal.wav_riff_metadata over
-    multimodal.wav_synthesize fixtures): WAV/RIFF chunk walk in pure
-    Catalyst arithmetic — fmt fields, the variable-offset 'data' chunk
-    located through the preceding chunk's declared size (+ RIFF pad
-    rule), a bounded head checksum — aggregated per (channels,
-    sample_rate) stream profile. Bytes touched are O(header) per blob
-    (hex of the first 256 bytes only). The oracle REBUILDS the same
-    container hex from the same arithmetic and re-parses it, so synth
-    and walk are both value-checked. Completes the container matrix:
-    JPEG (image) / ISO-BMFF (video) / RIFF (audio) / raw PCM."""
-    from yelp_etl_spark.functions.multimodal import (
-        wav_riff_metadata,
-        wav_synthesize,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
-    meta = wav_riff_metadata(wav_synthesize(docs))
-    return (
-        meta.groupBy("channels", "sample_rate")
-        .agg(
-            F.count("*").cast("long").alias("n_files"),
-            F.sum("n_samples").cast("long").alias("total_samples"),
-            F.sum("head_checksum").cast("long").alias("checksum_sum"),
-            F.min(
-                (F.col("is_data_chunk") & F.col("riff_ok")).cast("long")
-            ).cast("long").alias("all_well_formed"),
-        )
-        .orderBy("channels", "sample_rate")
-    )
-
-
-def _wav_oracle() -> str:
-    def le_hex(expr: str, nbytes: int) -> str:
-        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
-        pairs = ", ".join(
-            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
-        )
-        return f"concat({pairs})"
-
-    def le_int(pos: str, nbytes: int) -> str:
-        terms = [
-            f"CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
-            f" * {256 ** i}"
-            for i in range(nbytes)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    synth = (
-        "concat('52494646', "
-        + le_hex("4 + 24 + 8 + (doc_id % 12) * 2 + 4 + 8 + datasz", 4)
-        + ", '57415645666D7420', "
-        + le_hex("16", 4) + ", " + le_hex("1", 2) + ", "
-        + le_hex("doc_id % 2 + 1", 2) + ", "
-        + le_hex("8000 + (doc_id % 5) * 1000", 4) + ", "
-        + le_hex("(8000 + (doc_id % 5) * 1000) * (doc_id % 2 + 1) * 2", 4)
-        + ", " + le_hex("(doc_id % 2 + 1) * 2", 2) + ", "
-        + le_hex("16", 2)
-        + ", '4C495354', " + le_hex("(doc_id % 12) * 2 + 4", 4)
-        + ", '494E464F', repeat('20', (doc_id % 12) * 2), '64617461', "
-        + le_hex("datasz", 4)
-        + ", substr(upper(hex(encode(text))), 1, CAST(2 * datasz AS INT)))"
-    )
-    sz2 = le_int("81", 4)
-    dpos = f"(2 * (45 + {sz2} + ({sz2}) % 2) - 1)"
-    datasz_p = le_int(f"{dpos} + 8", 4)
-    checksum = " + ".join(
-        f"(CASE WHEN {datasz_p} > {i} THEN CAST(concat('0x', substr(hx,"
-        f" {dpos} + 16 + {2 * i}, 2)) AS BIGINT) ELSE 0 END)"
-        for i in range(8)
-    )
-    return f"""
-WITH src AS MATERIALIZED (
-  SELECT doc_id, text,
-         LEAST(64, length(text) - length(text) % 2) AS datasz
-  FROM documents WHERE doc_id % 3 = 1
-),
-wav AS MATERIALIZED (
-  SELECT doc_id, {synth} AS hx FROM src
-),
-parsed AS MATERIALIZED (
-  SELECT doc_id,
-         {le_int("45", 2)} AS channels,
-         {le_int("49", 4)} AS sample_rate,
-         {datasz_p} // {le_int("65", 2)} AS n_samples,
-         (substr(hx, {dpos}, 8) = '64617461') AS is_data_chunk,
-         CAST({checksum} AS BIGINT) AS head_checksum,
-         (substr(hx, 1, 8) = '52494646'
-          AND substr(hx, 17, 8) = '57415645') AS riff_ok
-  FROM wav
-)
-SELECT CAST(channels AS BIGINT) AS channels,
-       CAST(sample_rate AS BIGINT) AS sample_rate,
-       CAST(COUNT(*) AS BIGINT) AS n_files,
-       CAST(SUM(n_samples) AS BIGINT) AS total_samples,
-       CAST(SUM(head_checksum) AS BIGINT) AS checksum_sum,
-       CAST(MIN(CASE WHEN is_data_chunk AND riff_ok THEN 1 ELSE 0 END)
-            AS BIGINT) AS all_well_formed
-FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-ORACLE_WAV_RIFF_PARSE = _wav_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "wav_riff_parse": (
-            q_wav_riff_parse,
-            ORACLE_WAV_RIFF_PARSE,
-            "ext:WAV/RIFF chunk-walk metadata (audio container routing pass)",
-        ),
-    }
-)
-
-
-def q_snapshot_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Branch merge-back for the WAP surface (snapshots.
-    snapshot_merge_3way — Nessie/Iceberg-branch merge semantics):
-    main (ours) and a STAGED branch (theirs) diverge from a common
-    base with overlapping edits — updates, deletes, inserts, one
-    identical both-side change, and true conflicts — then the branch
-    merges back with on_conflict='theirs'. The merge consumes the
-    staged snapshot (the reconciling publish) and commits atomically.
-    The oracle replays the same three versions and the same
-    change-classification algebra (changed-vs-base per side, identical
-    changes are not conflicts, branch wins true conflicts) in pure
-    SQL full-outer joins, then both sides aggregate the merged table.
-    Execution: two keyed full-outer joins + one CASE projection — the
-    three-scan keyed shuffle family, linear at 100 TB."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import (
-        snapshot_merge_3way,
-        snapshot_read,
-        snapshot_write,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("st"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    )
-    base = orders.filter(F.col("k") % 2 == 0)
-    ours = (
-        base.filter(F.col("k") % 10 != 0)  # main deletes k%10
-        .withColumn(
-            "st", F.when(F.col("k") % 6 == 0, F.lit("O")).otherwise(F.col("st"))
-        )
-        .withColumn(
-            "c",
-            F.when(F.col("k") % 6 == 0, F.col("c") + 100).otherwise(F.col("c")),
-        )
-        .unionByName(  # main inserts odd k%9
-            orders.filter((F.col("k") % 2 == 1) & (F.col("k") % 9 == 0))
-        )
-        # identical both-side change: k%26==0 -> st='S' on BOTH sides
-        .withColumn(
-            "st", F.when(F.col("k") % 26 == 0, F.lit("S")).otherwise(F.col("st"))
-        )
-    )
-    theirs = (
-        base.filter(F.col("k") % 22 != 0)  # branch deletes k%22
-        .withColumn(
-            "st",
-            F.when(F.col("k") % 14 == 0, F.lit("T")).otherwise(F.col("st")),
-        )
-        .withColumn(
-            "c",
-            F.when(F.col("k") % 14 == 0, F.col("c") + 500).otherwise(F.col("c")),
-        )
-        .unionByName(  # branch inserts odd k%15
-            orders.filter((F.col("k") % 2 == 1) & (F.col("k") % 15 == 0))
-        )
-        .withColumn(
-            "st", F.when(F.col("k") % 26 == 0, F.lit("S")).otherwise(F.col("st"))
-        )
-    )
-    table = _scratch_dir(sf_dir, "branchmerge")
-    base_id = snapshot_write(base, table)
-    ours_id = snapshot_write(ours, table)
-    theirs_id = snapshot_write(theirs, table, publish=False)  # the branch
-    snapshot_merge_3way(
-        spark, table, base_id, ours_id, theirs_id, ["k"], on_conflict="theirs"
-    )
-    final = snapshot_read(spark, table)
-    return final.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("c").cast("long").alias("total_cents"),
-        F.sum((F.col("st") == "O").cast("long")).cast("long").alias("n_ours_upd"),
-        F.sum((F.col("st") == "T").cast("long")).cast("long")
-        .alias("n_theirs_upd"),
-        F.sum((F.col("st") == "S").cast("long")).cast("long").alias("n_same"),
-        F.sum(F.col("k")).cast("long").alias("key_sum"),
-    )
-
-
-ORACLE_SNAPSHOT_BRANCH_MERGE = """
-WITH orders_kv AS MATERIALIZED (
-  SELECT o_orderkey AS k, o_orderstatus AS st,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
-  FROM orders
-),
-base AS MATERIALIZED (SELECT * FROM orders_kv WHERE k % 2 = 0),
-ours AS MATERIALIZED (
-  SELECT k,
-         CASE WHEN k % 26 = 0 THEN 'S'
-              WHEN k % 6 = 0 THEN 'O' ELSE st END AS st,
-         CASE WHEN k % 6 = 0 THEN c + 100 ELSE c END AS c
-  FROM base WHERE k % 10 != 0
-  UNION ALL
-  SELECT k, CASE WHEN k % 26 = 0 THEN 'S' ELSE st END, c
-  FROM orders_kv WHERE k % 2 = 1 AND k % 9 = 0
-),
-theirs AS MATERIALIZED (
-  SELECT k,
-         CASE WHEN k % 26 = 0 THEN 'S'
-              WHEN k % 14 = 0 THEN 'T' ELSE st END AS st,
-         CASE WHEN k % 14 = 0 THEN c + 500 ELSE c END AS c
-  FROM base WHERE k % 22 != 0
-  UNION ALL
-  SELECT k, CASE WHEN k % 26 = 0 THEN 'S' ELSE st END, c
-  FROM orders_kv WHERE k % 2 = 1 AND k % 15 = 0
-),
-j AS MATERIALIZED (
-  SELECT COALESCE(b.k, o.k, t.k) AS k,
-         b.k IS NOT NULL AS bp, o.k IS NOT NULL AS op, t.k IS NOT NULL AS tp,
-         o.st AS ost, o.c AS oc, t.st AS tst, t.c AS tc,
-         ((b.k IS NULL) != (o.k IS NULL)
-          OR (b.st IS DISTINCT FROM o.st OR b.c IS DISTINCT FROM o.c)
-             AND b.k IS NOT NULL AND o.k IS NOT NULL) AS o_changed,
-         ((b.k IS NULL) != (t.k IS NULL)
-          OR (b.st IS DISTINCT FROM t.st OR b.c IS DISTINCT FROM t.c)
-             AND b.k IS NOT NULL AND t.k IS NOT NULL) AS t_changed,
-         ((o.k IS NULL) = (t.k IS NULL)
-          AND (o.k IS NULL
-               OR (o.st IS NOT DISTINCT FROM t.st
-                   AND o.c IS NOT DISTINCT FROM t.c))) AS same_result
-  FROM base b
-  FULL OUTER JOIN ours o ON b.k = o.k
-  FULL OUTER JOIN theirs t ON COALESCE(b.k, o.k) = t.k
-),
-final AS (
-  SELECT k,
-         CASE WHEN (t_changed AND NOT o_changed)
-                   OR (o_changed AND t_changed AND NOT same_result)
-              THEN tst ELSE ost END AS st,
-         CASE WHEN (t_changed AND NOT o_changed)
-                   OR (o_changed AND t_changed AND NOT same_result)
-              THEN tc ELSE oc END AS c,
-         CASE WHEN (t_changed AND NOT o_changed)
-                   OR (o_changed AND t_changed AND NOT same_result)
-              THEN tp ELSE op END AS present
-  FROM j
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(c) AS BIGINT) AS total_cents,
-       CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_ours_upd,
-       CAST(SUM(CASE WHEN st = 'T' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_theirs_upd,
-       CAST(SUM(CASE WHEN st = 'S' THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
-       CAST(SUM(k) AS BIGINT) AS key_sum
-FROM final WHERE present
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "snapshot_branch_merge": (
-            q_snapshot_branch_merge,
-            ORACLE_SNAPSHOT_BRANCH_MERGE,
-            "ext:WAP branch merge-back (3-way keyed reconciliation)",
-        ),
-    }
-)
-
-
-def q_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based equi-join cardinality estimation (the AGMS/CMS
-    inner-product bound, Alon et al. 1999 / Cormode-Muthukrishnan
-    2005) — the query-optimizer capability behind join reordering at
-    100 TB: |R ⋈_v S| = Σ_v f_R(v)·f_S(v) is upper-bounded by
-    min_d Σ_pos cms_R[d,pos]·cms_S[d,pos], computable from two
-    mergeable sketches WITHOUT touching raw rows again. Early vs late
-    lineitem halves joined on partkey; the query returns the exact
-    join size (per-key frequency join — the expensive ground truth),
-    the sketch estimate, the guaranteed overestimate flag, and the
-    relative error in micro-units. Sketch inner products route through
-    decimal(38,0) (Σ f_R f_S can leave int64 at scale). Scale: sketch
-    build is one map-side pass each; the inner product joins two
-    ≤depth×width cell tables — constant cost."""
-    from yelp_etl_spark.functions.sketches import count_min_sketch
-
-    li = _t(spark, sf_dir, "lineitem")
-    cut = "1995-06-17"
-    early = li.filter(F.col("l_shipdate") < cut)
-    late = li.filter(F.col("l_shipdate") >= cut)
-    s1 = count_min_sketch(early, "l_partkey").withColumnRenamed("cnt", "c1")
-    s2 = count_min_sketch(late, "l_partkey").withColumnRenamed("cnt", "c2")
-    per_row = (
-        s1.join(s2, ["d", "pos"])
-        .groupBy("d")
-        .agg(
-            F.sum(F.col("c1").cast("decimal(38,0)") * F.col("c2")).alias("ip")
-        )
-    )
-    est = per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
-    f1 = early.groupBy("l_partkey").agg(F.count("*").alias("f1"))
-    f2 = late.groupBy("l_partkey").agg(F.count("*").alias("f2"))
-    exact = (
-        f1.join(f2, "l_partkey")
-        .agg(
-            F.sum(F.col("f1").cast("decimal(38,0)") * F.col("f2"))
-            .cast("long")
-            .alias("exact_join_size")
-        )
-    )
-    return est.crossJoin(exact).select(
-        "exact_join_size",
-        "est_join_size",
-        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
-            "overestimates"
-        ),
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0))"
-            " * (est_join_size - exact_join_size))"
-            " div exact_join_size AS BIGINT)"
-        ).alias("rel_err_micro"),
-    )
-
-
-def _cms_join_oracle() -> str:
-    from yelp_etl_spark.functions.sketches import CMS_P, CMS_PERMS, CMS_WIDTH
-
-    perms = ", ".join(f"({d}, {a}, {b})" for d, (a, b) in enumerate(CMS_PERMS))
-    h = (
-        "(CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 18, 15)) "
-        f"AS BIGINT) & {CMS_P})"
-    )
-    return f"""
-WITH perms(d, a, b) AS (VALUES {perms}),
-c1 AS MATERIALIZED (
-  SELECT p.d, ((p.a * {h} + p.b) % {CMS_P}) % {CMS_WIDTH} AS pos,
-         CAST(COUNT(*) AS BIGINT) AS c1
-  FROM lineitem, perms p WHERE l_shipdate < DATE '1995-06-17'
-  GROUP BY 1, 2
-),
-c2 AS MATERIALIZED (
-  SELECT p.d, ((p.a * {h} + p.b) % {CMS_P}) % {CMS_WIDTH} AS pos,
-         CAST(COUNT(*) AS BIGINT) AS c2
-  FROM lineitem, perms p WHERE l_shipdate >= DATE '1995-06-17'
-  GROUP BY 1, 2
-),
-est AS (
-  SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM (
-    SELECT d, SUM(CAST(c1 AS HUGEINT) * c2) AS ip
-    FROM c1 JOIN c2 USING (d, pos) GROUP BY d
-  )
-),
-exact AS (
-  SELECT CAST(SUM(CAST(f1 AS HUGEINT) * f2) AS BIGINT) AS exact_join_size
-  FROM (SELECT l_partkey, COUNT(*) AS f1 FROM lineitem
-        WHERE l_shipdate < DATE '1995-06-17' GROUP BY 1) a
-  JOIN (SELECT l_partkey, COUNT(*) AS f2 FROM lineitem
-        WHERE l_shipdate >= DATE '1995-06-17' GROUP BY 1) b
-  USING (l_partkey)
-)
-SELECT exact_join_size, est_join_size,
-       est_join_size >= exact_join_size AS overestimates,
-       CAST((CAST(1000000 AS HUGEINT) * (est_join_size - exact_join_size))
-            // exact_join_size AS BIGINT) AS rel_err_micro
-FROM est CROSS JOIN exact
-"""
-
-
-ORACLE_CMS_JOIN_SIZE = _cms_join_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "cms_join_size_estimate": (
-            q_cms_join_size_estimate,
-            ORACLE_CMS_JOIN_SIZE,
-            "ext:AGMS/CMS join-cardinality estimate (sketch inner product)",
-        ),
-    }
-)
-
-
-def q_snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-copy shallow clone + divergence (snapshots.snapshot_clone —
-    Delta SHALLOW CLONE semantics): clone a committed table by
-    manifest reference (no data copied), merge updates into the CLONE,
-    and prove (a) the clone evolved, (b) the source is bit-unchanged,
-    (c) the clone's first snapshot borrowed every file by absolute
-    reference. Booleans are pinned TRUE by the oracle; the content
-    aggregates are recomputed from the base arithmetic. The clone
-    commit is one manifest write at any table size — the point of the
-    operator."""
-    import os as _os
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import (
-        _load_manifest,
-        snapshot_clone,
-        snapshot_merge,
-        snapshot_read,
-        snapshot_write,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("st"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    )
-    base = orders.filter(F.col("k") % 3 == 0)
-    src = _scratch_dir(sf_dir, "clonesrc")
-    dst = _scratch_dir(sf_dir, "clonedst")
-    snapshot_write(base, src)
-    clone_sid = snapshot_clone(src, dst)
-    borrowed = all(
-        _os.path.isabs(e["path"])
-        for e in _load_manifest(dst, clone_sid)["files"]
-    )
-    delta = base.filter(F.col("k") % 15 == 0).select(
-        "k", F.lit("C").alias("st"), (F.col("c") + 777).alias("c")
-    )
-    snapshot_merge(spark, delta, dst, ["k"])
-    s = snapshot_read(spark, src).agg(
-        F.count("*").alias("n"), F.sum("c").alias("cents")
-    )
-    d = snapshot_read(spark, dst).agg(
-        F.count("*").alias("n"),
-        F.sum("c").alias("cents"),
-        F.sum((F.col("st") == "C").cast("long")).alias("n_upd"),
-    )
-    return (
-        s.select(
-            F.col("n").cast("long").alias("src_rows"),
-            F.col("cents").cast("long").alias("src_cents"),
-        )
-        .crossJoin(
-            d.select(
-                F.col("n").cast("long").alias("clone_rows"),
-                F.col("cents").cast("long").alias("clone_cents"),
-                F.col("n_upd").cast("long").alias("clone_updated"),
-            )
-        )
-        .select(
-            "src_rows",
-            "src_cents",
-            "clone_rows",
-            "clone_cents",
-            "clone_updated",
-            F.lit(bool(borrowed)).alias("zero_copy"),
-            (F.col("clone_cents") - F.col("src_cents")
-             == 777 * F.col("clone_updated")).alias("diverged_exactly"),
-        )
-    )
-
-
-ORACLE_SNAPSHOT_CLONE = """
-WITH base AS MATERIALIZED (
-  SELECT o_orderkey AS k,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
-  FROM orders WHERE o_orderkey % 3 = 0
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS src_rows,
-       CAST(SUM(c) AS BIGINT) AS src_cents,
-       CAST(COUNT(*) AS BIGINT) AS clone_rows,
-       CAST(SUM(CASE WHEN k % 15 = 0 THEN c + 777 ELSE c END) AS BIGINT)
-         AS clone_cents,
-       CAST(SUM(CASE WHEN k % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS clone_updated,
-       CAST(1 AS BOOLEAN) AS zero_copy,
-       CAST(1 AS BOOLEAN) AS diverged_exactly
-FROM base
-"""
-
-
-def q_snapshot_binpack_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Selective small-file compaction (snapshots.snapshot_binpack —
-    Iceberg binpack with an input-size filter): a table seeded with
-    one full-size file plus streaming-sink micro-appends is binpacked;
-    only the micro-files rewrite, the big file's manifest entry
-    carries over byte-identically, and the content is unchanged. File
-    counts are Spark-layout-dependent, so the driver-checked outputs
-    are the exact content aggregates plus invariant booleans the
-    oracle pins TRUE."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import (
-        _load_manifest,
-        _read_pointer,
-        snapshot_binpack,
-        snapshot_read,
-        snapshot_write,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    )
-    t = _scratch_dir(sf_dir, "binpack")
-    snapshot_write(orders.filter(F.col("k") % 2 == 0).repartition(1), t)
-    # orderBy BEFORE limit: a bare limit picks arbitrary partitions.
-    # collect() is the materialization — a localCheckpoint here would
-    # be a second, wasted job (review finding).
-    micro = orders.filter(F.col("k") % 2 == 1).orderBy("k").limit(40)
-    rows = sorted(micro.collect(), key=lambda r: r.k)
-    for i in range(0, 40, 10):  # 4 micro-appends, one row-slice each
-        snapshot_write(
-            spark.createDataFrame(rows[i : i + 10], micro.schema)
-            .repartition(1),
-            t,
-            mode="append",
-        )
-    before = _load_manifest(t, _read_pointer(t))["files"]
-    snapshot_binpack(spark, t, small_file_bytes=16_384)
-    after = _load_manifest(t, _read_pointer(t))["files"]
-    before_paths = {e["path"] for e in before}
-    after_paths = {e["path"] for e in after}
-    import os as _os
-
-    big_before = {
-        e["path"]
-        for e in before
-        if _os.path.getsize(_os.path.join(t, e["path"])) >= 16_384
-    }
-    final = snapshot_read(spark, t)
-    return final.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("c").cast("long").alias("total_cents"),
-        F.sum("k").cast("long").alias("key_sum"),
-    ).select(
-        "*",
-        F.lit(len(after_paths) < len(before_paths)).alias("files_reduced"),
-        F.lit(big_before <= after_paths).alias("untouched_kept"),
-    )
-
-
-ORACLE_SNAPSHOT_BINPACK = """
-WITH rows_all AS MATERIALIZED (
-  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
-  FROM orders
-),
-kept AS (
-  SELECT k, c FROM rows_all WHERE k % 2 = 0
-  UNION ALL
-  SELECT k, c FROM (
-    SELECT k, c FROM rows_all WHERE k % 2 = 1 ORDER BY k LIMIT 40
-  )
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(c) AS BIGINT) AS total_cents,
-       CAST(SUM(k) AS BIGINT) AS key_sum,
-       CAST(1 AS BOOLEAN) AS files_reduced,
-       CAST(1 AS BOOLEAN) AS untouched_kept
-FROM kept
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "snapshot_clone_divergence": (
-            q_snapshot_clone_divergence,
-            ORACLE_SNAPSHOT_CLONE,
-            "ext:zero-copy shallow clone + independent divergence",
-        ),
-        "snapshot_binpack_compact": (
-            q_snapshot_binpack_compact,
-            ORACLE_SNAPSHOT_BINPACK,
-            "ext:selective small-file binpack (untouched files carried)",
-        ),
-    }
-)
-
-
-def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harmonic centrality (Boldi & Vigna 2014 — the disconnected-
-    graph-safe closeness variant) for a deterministic seed sample on
-    the supplier↔customer order graph: H(s) = Σ_{v≠s} 1/d(s,v),
-    truncated at 4 hops (the standard bounded estimate at scale —
-    beyond-horizon contributions vanish as 1/d). Per-seed distances
-    come from ONE labeled multi-seed BFS
-    (functions/graph.bfs_distances_per_seed): every seed expands in
-    the same synchronous frontier with (node, seed) state, so k seeds
-    cost the same 4 Spark rounds as one — running a separate BFS per
-    seed measured 10.4 s vs ~3 s for this form. The 1/d weights are
-    Python-literal micro-ints shared with the oracle (the
-    dcg_weight_micro discipline — no engine division at all). The
-    DuckDB twin is one depth-bounded recursive CTE carrying the seed
-    label. 100 TB: state is O(|reached|·k); unbounded-k centrality
-    swaps the label set for a mergeable HLL counter (HyperBall) — the
-    exact form here is that estimate's oracle."""
-    from yelp_etl_spark.functions.graph import bfs_distances_per_seed
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supplier = _t(spark, sf_dir, "supplier")
-    edges = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    seeds = (
-        supplier.filter(F.col("s_suppkey") % 17 == 1)
-        .select((F.col("s_suppkey") * 2).alias("id"))
-        .orderBy("id")
-        .limit(4)
-    )
-    dists = bfs_distances_per_seed(
-        edges, seeds, max_hops=4, skip_symmetric_dedup=True
-    )
-    w_micro = {d: round(1_000_000 / d) for d in range(1, 5)}
-    weight = F.coalesce(
-        *[
-            F.when(F.col("dist") == d, F.lit(w)).cast("long")
-            for d, w in w_micro.items()
-        ],
-        F.lit(0),
-    )
-    return (
-        dists.filter(F.col("dist") > 0)
-        .groupBy("seed")
-        .agg(
-            F.count("*").cast("long").alias("n_reached"),
-            F.sum(weight).cast("long").alias("harmonic_micro"),
-        )
-        .select(F.col("seed").cast("long").alias("seed"),
-                "n_reached", "harmonic_micro")
-        .orderBy("seed")
-    )
-
-
-def _harmonic_oracle() -> str:
-    w = ", ".join(f"({d}, {round(1_000_000 / d)})" for d in range(1, 5))
-    return f"""
-WITH RECURSIVE edges AS MATERIALIZED (
-  SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
-                  CAST(o_custkey * 2 + 1 AS BIGINT) AS dst
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-), sym AS MATERIALIZED (
-  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-), seeds AS MATERIALIZED (
-  SELECT CAST(s_suppkey * 2 AS BIGINT) AS seed
-  FROM supplier WHERE s_suppkey % 17 = 1 ORDER BY 1 LIMIT 4
-), bfs AS (
-  SELECT seed, seed AS id, CAST(0 AS BIGINT) AS dist FROM seeds
-  UNION
-  SELECT b.seed, s.dst AS id, b.dist + 1 AS dist
-  FROM bfs b JOIN sym s ON s.src = b.id
-  WHERE b.dist < 4
-), short AS (
-  SELECT seed, id, CAST(MIN(dist) AS BIGINT) AS dist
-  FROM bfs GROUP BY seed, id
-), wtab(d, w) AS (VALUES {w})
-SELECT s.seed,
-       CAST(COUNT(*) AS BIGINT) AS n_reached,
-       CAST(SUM(t.w) AS BIGINT) AS harmonic_micro
-FROM short s JOIN wtab t ON s.dist = t.d
-WHERE s.dist > 0
-GROUP BY s.seed ORDER BY s.seed
-"""
-
-
-ORACLE_HARMONIC_CENTRALITY = _harmonic_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "harmonic_centrality": (
-            q_harmonic_centrality,
-            ORACLE_HARMONIC_CENTRALITY,
-            "ext:bounded harmonic centrality (per-seed BFS, literal 1/d weights)",
-        ),
-    }
-)
-
-
-def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten workflow end to end — the compliance
-    composite the snapshot layer's pieces exist FOR, in the order a
-    100 TB deployment runs them:
-
-    1. **Locate & erase**: the target users' rows are removed by a
-       merge-on-read equality delete (snapshots.snapshot_mor_delete) —
-       commit cost O(|erased keys|), never a table rewrite.
-    2. **Verify**: the live read shows zero target rows, while time
-       travel to the pre-erasure snapshot still shows them (the audit
-       trail erasure must NOT silently destroy), and the changelog
-       between the two snapshots reports exactly the removed rows.
-    3. **Materialize & destroy**: compaction folds the delete files
-       into a clean rewrite, expire_snapshots drops the pre-erasure
-       history, and vacuum physically removes the bytes — only now is
-       the data GONE, which is why the erasure SLA clock measures to
-       THIS step, not step 1.
-
-    Counts are oracle-exact from the base arithmetic; the workflow
-    invariants (pre-erasure visibility, zero leakage after vacuum,
-    physical file reclamation) are pinned as booleans."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import (
-        expire_snapshots,
-        snapshot_changes,
-        snapshot_compact,
-        snapshot_mor_delete,
-        snapshot_read,
-        snapshot_write,
-        vacuum,
-    )
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
-    )
-    t = _scratch_dir(sf_dir, "gdpr")
-    base_sid = snapshot_write(ev, t)
-    targets = ev.filter(F.col("user_id") % 37 == 3).select("user_id").distinct()
-    erase_sid = snapshot_mor_delete(spark, t, targets, ["user_id"])
-
-    live = snapshot_read(spark, t)
-    leaked_live = live.filter(F.col("user_id") % 37 == 3).count()
-    pre = snapshot_read(spark, t, snapshot_id=base_sid)
-    pre_visible = pre.filter(F.col("user_id") % 37 == 3).count()
-    removed = (
-        snapshot_changes(
-            spark, t, base_sid, erase_sid, ["event_id"], ["user_id", "v_cents"]
-        )
-        .filter(F.col("diff_status") == "removed")
-        .count()
-    )
-    snapshot_compact(spark, t)  # materialize the deletes physically
-    expire_snapshots(t, keep_last=1)
-    n_reclaimed = vacuum(t)
-    final = snapshot_read(spark, t)
-    return final.agg(
-        F.count("*").cast("long").alias("n_rows_after"),
-        F.sum("v_cents").cast("long").alias("cents_after"),
-        F.countDistinct("user_id").cast("long").alias("users_after"),
-    ).select(
-        "*",
-        F.lit(int(removed)).cast("long").alias("n_erased_rows"),
-        F.lit(leaked_live == 0).alias("zero_leakage"),
-        F.lit(pre_visible == removed and removed > 0).alias(
-            "audit_trail_held"
-        ),
-        F.lit(bool(n_reclaimed > 0)).alias("bytes_reclaimed"),
-    )
-
-
-ORACLE_GDPR_ERASURE_AUDIT = """
-WITH ev AS MATERIALIZED (
-  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS v_cents
-  FROM events
-),
-kept AS (SELECT * FROM ev WHERE user_id % 37 != 3)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_after,
-       CAST(SUM(v_cents) AS BIGINT) AS cents_after,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_after,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM ev WHERE user_id % 37 = 3)
-         AS n_erased_rows,
-       CAST(1 AS BOOLEAN) AS zero_leakage,
-       CAST(1 AS BOOLEAN) AS audit_trail_held,
-       CAST(1 AS BOOLEAN) AS bytes_reclaimed
-FROM kept
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "gdpr_erasure_audit": (
-            q_gdpr_erasure_audit,
-            ORACLE_GDPR_ERASURE_AUDIT,
-            "ext:right-to-be-forgotten workflow (MOR erase → audit → compact+vacuum)",
-        ),
-    }
-)
-
-
-def q_tiff_ifd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-container routing pass (multimodal.tiff_ifd_metadata over
-    tiff_synthesize fixtures): little-endian TIFF/EXIF IFD walk — the
-    OFFSET-CHASING metadata pattern the flat WAV chunk list doesn't
-    cover: the header's IFD pointer varies per file (padding before
-    the IFD), the entry count lives at the pointed-to offset, and
-    tags are scanned from unrolled 12-byte entry slots, all in
-    Catalyst hex arithmetic over the first 256 bytes. Aggregated per
-    (bits, width-band) image profile; the oracle REBUILDS the same
-    container hex from the same arithmetic and re-parses it. With
-    JPEG (marker scan), ISO-BMFF (nested box walk, pandas), RIFF
-    (linear chunk walk), and raw PCM, this closes the media-metadata
-    pattern matrix."""
-    from yelp_etl_spark.functions.multimodal import (
-        tiff_ifd_metadata,
-        tiff_synthesize,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
-    meta = tiff_ifd_metadata(tiff_synthesize(docs))
-    return (
-        meta.groupBy(
-            "bits", F.expr("width div 16").cast("long").alias("width_band")
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_images"),
-            F.sum(F.col("width") * F.col("height")).cast("long")
-            .alias("pixel_sum"),
-            F.sum("strip_bytes").cast("long").alias("strip_sum"),
-            F.min(F.col("tiff_ok").cast("long")).cast("long")
-            .alias("all_well_formed"),
-        )
-        .orderBy("bits", "width_band")
-    )
-
-
-def _tiff_oracle() -> str:
-    def le_hex(expr: str, nbytes: int) -> str:
-        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
-        pairs = ", ".join(
-            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
-        )
-        return f"concat({pairs})"
-
-    def le_int(pos: str, nbytes: int) -> str:
-        terms = [
-            f"CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
-            f" * {256 ** i}"
-            for i in range(nbytes)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    def entry(tag: int, value_expr: str) -> str:
-        return (
-            f"{le_hex(str(tag), 2)}, {le_hex('4', 2)}, {le_hex('1', 4)}, "
-            f"{le_hex(value_expr, 4)}"
-        )
-
-    synth = (
-        "concat('49492A00', "
-        + le_hex("8 + (doc_id % 8) * 2", 4)
-        + ", repeat('00', (doc_id % 8) * 2), "
-        + le_hex("4", 2) + ", "
-        + entry(256, "doc_id % 64 + 16") + ", "
-        + entry(257, "doc_id % 48 + 8") + ", "
-        + entry(258, "16") + ", "
-        + entry(279, "LEAST(64, length(text))")
-        + ", " + le_hex("0", 4)
-        + ", substr(upper(hex(encode(text))), 1,"
-        "  CAST(2 * LEAST(64, length(text)) AS INT)))"
-    )
-    ifd_off = le_int("9", 4)
-    ifd_pos = f"(2 * {ifd_off} + 1)"
-    n_entries = le_int(ifd_pos, 2)
-
-    def tag_value(tag: int) -> str:
-        slots = []
-        for i in range(8):
-            epos = f"({ifd_pos} + 4 + {24 * i})"
-            slots.append(
-                f"(CASE WHEN {n_entries} > {i} AND {le_int(epos, 2)} = {tag}"
-                f" THEN {le_int(f'{epos} + 16', 4)} END)"
-            )
-        return "COALESCE(" + ", ".join(slots) + ")"
-
-    return f"""
-WITH tiff AS MATERIALIZED (
-  SELECT doc_id, {synth} AS hx
-  FROM documents WHERE doc_id % 4 = 2
-),
-parsed AS MATERIALIZED (
-  SELECT doc_id,
-         {tag_value(256)} AS width,
-         {tag_value(257)} AS height,
-         {tag_value(258)} AS bits,
-         {tag_value(279)} AS strip_bytes,
-         (substr(hx, 1, 8) = '49492A00') AS tiff_ok
-  FROM tiff
-)
-SELECT CAST(bits AS BIGINT) AS bits,
-       CAST(width // 16 AS BIGINT) AS width_band,
-       CAST(COUNT(*) AS BIGINT) AS n_images,
-       CAST(SUM(width * height) AS BIGINT) AS pixel_sum,
-       CAST(SUM(strip_bytes) AS BIGINT) AS strip_sum,
-       CAST(MIN(CASE WHEN tiff_ok THEN 1 ELSE 0 END) AS BIGINT)
-         AS all_well_formed
-FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-ORACLE_TIFF_IFD_PARSE = _tiff_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "tiff_ifd_parse": (
-            q_tiff_ifd_parse,
-            ORACLE_TIFF_IFD_PARSE,
-            "ext:TIFF/EXIF IFD walk (offset-chasing image metadata)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round 9: PNG chunk walk + JPEG SOF marker walk (closing the
-# image-container routing family beside WAV/RIFF, TIFF/EXIF, ISO-BMFF)
-# --------------------------------------------------------------------------
-
-
-def q_png_ihdr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-container routing pass (multimodal.png_chunk_metadata over
-    png_synthesize fixtures): the BIG-ENDIAN chunk-list walk — IHDR
-    fields at the spec-mandated fixed offsets, then a chunk chain walk
-    chasing each declared length (+12 framing bytes) to locate IDAT
-    past a variable-length tEXt chunk, all in Catalyst hex arithmetic
-    over the first 256 bytes. Aggregated per (bit_depth, color_type)
-    image profile with the IDAT offset spread proving the walk chased
-    real per-file offsets; the oracle rebuilds the identical container
-    hex in SQL and re-parses it."""
-    from yelp_etl_spark.functions.multimodal import (
-        png_chunk_metadata,
-        png_synthesize,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
-    meta = png_chunk_metadata(png_synthesize(docs))
-    return (
-        meta.groupBy("bit_depth", "color_type")
-        .agg(
-            F.count("*").cast("long").alias("n_images"),
-            F.sum(F.col("width") * F.col("height")).cast("long")
-            .alias("pixel_sum"),
-            F.sum("idat_bytes").cast("long").alias("idat_sum"),
-            F.min("idat_offset").cast("long").alias("min_idat_offset"),
-            F.max("idat_offset").cast("long").alias("max_idat_offset"),
-            F.min(F.col("png_ok").cast("long")).cast("long")
-            .alias("all_well_formed"),
-        )
-        .orderBy("bit_depth", "color_type")
-    )
-
-
-def _png_oracle() -> str:
-    def be_hex(expr: str, nbytes: int) -> str:
-        return f"lpad(hex({expr}), {2 * nbytes}, '0')"
-
-    def be_int(pos: str, nbytes: int) -> str:
-        return (
-            f"TRY_CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
-            f" AS BIGINT)"
-        )
-
-    synth = (
-        "upper(concat('89504E470D0A1A0A', "
-        + be_hex("13", 4) + ", '49484452', "
-        + be_hex("doc_id % 96 + 32", 4) + ", "
-        + be_hex("doc_id % 64 + 16", 4) + ", "
-        + be_hex("(doc_id % 5 % 2 + 1) * 8", 1) + ", "
-        + be_hex("CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 2 END", 1)
-        + ", '000000', "
-        + be_hex("(doc_id % 96 + 32) * 31 + (doc_id % 64 + 16)", 4) + ", "
-        + be_hex("(doc_id % 10) * 2", 4)
-        + ", '74455874', repeat('20', CAST((doc_id % 10) * 2 AS INT)),"
-        " '00000000', "
-        + be_hex("LEAST(64, length(text))", 4)
-        + ", '49444154', substr(upper(hex(encode(text))), 1,"
-        "  CAST(2 * LEAST(64, length(text)) AS INT)), '00000000', "
-        + be_hex("0", 4) + ", '49454E44', 'AE426082'))"
-    )
-    pos = "67"
-    len_slots, pos_slots = [], []
-    for _ in range(6):
-        is_idat = f"substr(hx, ({pos}) + 8, 8) = '49444154'"
-        len_slots.append(f"(CASE WHEN {is_idat} THEN {be_int(pos, 4)} END)")
-        pos_slots.append(
-            f"(CASE WHEN {is_idat} THEN (({pos}) + 1) // 2 END)"
-        )
-        pos = f"(({pos}) + 24 + 2 * {be_int(pos, 4)})"
-    return f"""
-WITH png AS MATERIALIZED (
-  SELECT doc_id, {synth} AS hx
-  FROM documents WHERE doc_id % 4 = 1
-),
-parsed AS MATERIALIZED (
-  SELECT doc_id,
-         {be_int('33', 4)} AS width,
-         {be_int('41', 4)} AS height,
-         {be_int('49', 1)} AS bit_depth,
-         {be_int('51', 1)} AS color_type,
-         COALESCE({', '.join(len_slots)}) AS idat_bytes,
-         COALESCE({', '.join(pos_slots)}) AS idat_offset,
-         (substr(hx, 1, 16) = '89504E470D0A1A0A'
-          AND substr(hx, 25, 8) = '49484452') AS png_ok
-  FROM png
-)
-SELECT CAST(bit_depth AS BIGINT) AS bit_depth,
-       CAST(color_type AS BIGINT) AS color_type,
-       CAST(COUNT(*) AS BIGINT) AS n_images,
-       CAST(SUM(width * height) AS BIGINT) AS pixel_sum,
-       CAST(SUM(idat_bytes) AS BIGINT) AS idat_sum,
-       CAST(MIN(idat_offset) AS BIGINT) AS min_idat_offset,
-       CAST(MAX(idat_offset) AS BIGINT) AS max_idat_offset,
-       CAST(MIN(CASE WHEN png_ok THEN 1 ELSE 0 END) AS BIGINT)
-         AS all_well_formed
-FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def q_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-container routing pass (multimodal.jpeg_sof_metadata over
-    jpeg_synthesize fixtures): the JPEG marker-segment walk — from
-    SOI, each unrolled slot reads the marker and its big-endian
-    INCLUSIVE declared length (JPEG's rule, unlike PNG/RIFF) and
-    either recognizes the SOF family (FFC0–FFCF minus C4/C8/CC) or
-    hops to the next marker, so SOF0 is found past the canonical APP0
-    and a variable-length COM segment, all in Catalyst hex arithmetic
-    over the first 256 bytes. Aggregated per (n_components, height
-    band) frame profile; the oracle rebuilds the identical header hex
-    in SQL and re-parses it."""
-    from yelp_etl_spark.functions.multimodal import (
-        jpeg_sof_metadata,
-        jpeg_synthesize,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
-    meta = jpeg_sof_metadata(jpeg_synthesize(docs))
-    return (
-        meta.groupBy(
-            "n_components",
-            F.expr("height div 50").cast("long").alias("height_band"),
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_images"),
-            F.sum(F.col("width") * F.col("height")).cast("long")
-            .alias("pixel_sum"),
-            F.sum("precision").cast("long").alias("precision_sum"),
-            F.min("sof_marker").cast("long").alias("sof_marker"),
-            F.min(F.col("jpeg_ok").cast("long")).cast("long")
-            .alias("all_well_formed"),
-        )
-        .orderBy("n_components", "height_band")
-    )
-
-
-def _jpeg_oracle() -> str:
-    def be_hex(expr: str, nbytes: int) -> str:
-        return f"lpad(hex({expr}), {2 * nbytes}, '0')"
-
-    def be_int(pos: str, nbytes: int) -> str:
-        return (
-            f"TRY_CAST(concat('0x', substr(hx, ({pos}), {2 * nbytes}))"
-            f" AS BIGINT)"
-        )
-
-    synth = (
-        "upper(concat('FFD8', 'FFE0', " + be_hex("16", 2)
-        + ", '4A46494600', '0101', '00', '0048', '0048', '0000',"
-        " 'FFFE', " + be_hex("(doc_id % 9) * 2 + 2", 2)
-        + ", repeat('20', CAST((doc_id % 9) * 2 AS INT)),"
-        " 'FFC0', " + be_hex("(doc_id % 2 * 2 + 1) * 3 + 8", 2)
-        + ", '08', " + be_hex("doc_id % 200 + 16", 2)
-        + ", " + be_hex("doc_id % 160 + 24", 2)
-        + ", " + be_hex("doc_id % 2 * 2 + 1", 1)
-        + ", concat('011100', CASE WHEN doc_id % 2 * 2 + 1 = 3"
-        " THEN '021100031100' ELSE '' END),"
-        " substr(upper(hex(encode(text))), 1,"
-        "  CAST(2 * LEAST(32, length(text)) AS INT)), 'FFD9'))"
-    )
-    pos = "5"
-    slots: dict[str, list[str]] = {
-        "precision": [], "height": [], "width": [],
-        "n_components": [], "sof_marker": [],
-    }
-    for _ in range(6):
-        mbyte = be_int(f"({pos}) + 2", 1)
-        is_sof = (
-            f"(substr(hx, ({pos}), 2) = 'FF'"
-            f" AND {mbyte} BETWEEN 192 AND 207"
-            f" AND {mbyte} NOT IN (196, 200, 204))"
-        )
-        slots["sof_marker"].append(f"(CASE WHEN {is_sof} THEN {mbyte} END)")
-        slots["precision"].append(
-            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 8', 1)} END)"
-        )
-        slots["height"].append(
-            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 10', 2)} END)"
-        )
-        slots["width"].append(
-            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 14', 2)} END)"
-        )
-        slots["n_components"].append(
-            f"(CASE WHEN {is_sof} THEN {be_int(f'({pos}) + 18', 1)} END)"
-        )
-        pos = f"(({pos}) + 4 + 2 * {be_int(f'({pos}) + 4', 2)})"
-    fields = ",\n         ".join(
-        f"COALESCE({', '.join(s)}) AS {name}" for name, s in slots.items()
-    )
-    return f"""
-WITH jpg AS MATERIALIZED (
-  SELECT doc_id, {synth} AS hx
-  FROM documents WHERE doc_id % 4 = 3
-),
-parsed AS MATERIALIZED (
-  SELECT doc_id,
-         {fields},
-         (substr(hx, 1, 4) = 'FFD8') AS jpeg_ok
-  FROM jpg
-)
-SELECT CAST(n_components AS BIGINT) AS n_components,
-       CAST(height // 50 AS BIGINT) AS height_band,
-       CAST(COUNT(*) AS BIGINT) AS n_images,
-       CAST(SUM(width * height) AS BIGINT) AS pixel_sum,
-       CAST(SUM(precision) AS BIGINT) AS precision_sum,
-       CAST(MIN(sof_marker) AS BIGINT) AS sof_marker,
-       CAST(MIN(CASE WHEN jpeg_ok THEN 1 ELSE 0 END) AS BIGINT)
-         AS all_well_formed
-FROM parsed GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-ORACLE_PNG_IHDR_PARSE = _png_oracle()
-ORACLE_JPEG_SOF_PARSE = _jpeg_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "png_ihdr_parse": (
-            q_png_ihdr_parse,
-            ORACLE_PNG_IHDR_PARSE,
-            "ext:PNG chunk walk (big-endian image metadata routing)",
-        ),
-        "jpeg_sof_parse": (
-            q_jpeg_sof_parse,
-            ORACLE_JPEG_SOF_PARSE,
-            "ext:JPEG SOF marker-segment walk (Catalyst hex arithmetic)",
-        ),
-    }
-)
-
-
-def q_stream_full_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream FULL OUTER join end to end — the last
-    watermark-eviction semantics row after r8's left-outer: unmatched
-    rows from BOTH sides are emitted (NULL other side) only once the
-    global watermark proves no future match can arrive, so both
-    buffers' evictions become visible output. Same harness discipline
-    as stream_left_join_expiry (q.v.): clicks ⟗ purchases of the same
-    user within the following 30 minutes; two far-future sentinel rows
-    per side in separate mtime-pinned files (maxFilesPerTrigger=1 →
-    deterministic file-per-batch phases) march the watermark past
-    every real row's horizon so the availableNow run flushes ALL real
-    unmatched rows on both sides (watermark computed at batch N
-    applies at N+1 — one trailing batch leaves the final evictions
-    stuck in state). Sentinels filter by key sign on COALESCE(l_key,
-    r_key) — a right-unmatched row has NULL l_key. Oracle = the plain
-    batch full join. State at 100 TB stays O(key-rate ×
-    (watermark+window)) per side — the bound the join condition
-    declares."""
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.streaming.windows import stream_stream_join
-
-    cols = ["user_id", "ts", "event_id", "value"]
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .select("event_type", *cols)
-        .localCheckpoint(eager=True)
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(cols)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(cols)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-
-    def sentinel(uid: int, days: int):
-        return spark.createDataFrame(
-            [(uid, max_ts, -1, 0.0)], "user_id long, ts timestamp, "
-            "event_id long, value double"
-        ).select(
-            "user_id",
-            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            "event_id",
-            "value",
-        )
-
-    def stage(df, phase: int, root: str):
-        tmp = root + f"_tmp{phase}"
-        df.repartition(1).write.parquet(tmp)
-        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = _os.path.join(root, f"{phase:02d}.parquet")
-        _shutil.move(_os.path.join(tmp, part), dst)
-        _shutil.rmtree(tmp, ignore_errors=True)
-        base = 1_700_000_000 + phase * 60
-        _os.utime(dst, (base, base))
-
-    l_src = _scratch_dir(sf_dir, "sfjl")
-    r_src = _scratch_dir(sf_dir, "sfjr")
-    _os.makedirs(l_src), _os.makedirs(r_src)
-    stage(clicks, 0, l_src)
-    stage(purchases, 0, r_src)
-    for phase, days in ((1, 100), (2, 200)):
-        stage(sentinel(-1, days), phase, l_src)
-        stage(sentinel(-2, days), phase, r_src)
-    schema = clicks.schema
-    l_stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(l_src)
-    )
-    r_stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(r_src)
-    )
-    joined = stream_stream_join(
-        l_stream, r_stream, watermark="1 hour", within="30 minutes",
-        how="full_outer",
-    )
-    name = "sfj_" + _uuid.uuid4().hex[:8]
-    ckpt = _scratch_dir(sf_dir, "sfjckpt")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).filter(
-        F.coalesce(F.col("l_key"), F.col("r_key")) >= 0
-    )
-    return out.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(
-            (F.col("l_event_id").isNotNull()
-             & F.col("r_event_id").isNotNull()).cast("long")
-        ).cast("long").alias("n_matched"),
-        F.sum(F.col("r_event_id").isNull().cast("long"))
-        .cast("long").alias("n_left_unmatched"),
-        F.sum(F.col("l_event_id").isNull().cast("long"))
-        .cast("long").alias("n_right_unmatched"),
-        F.countDistinct(
-            F.when(F.col("r_event_id").isNull(), F.col("l_event_id"))
-        ).cast("long").alias("unmatched_clicks"),
-        F.countDistinct(
-            F.when(F.col("l_event_id").isNull(), F.col("r_event_id"))
-        ).cast("long").alias("unmatched_purchases"),
-        F.round(F.sum(F.coalesce("r_value", F.lit(0.0))), 2).alias(
-            "joined_value"
-        ),
-    )
-
-
-ORACLE_STREAM_FULL_JOIN_EXPIRY = """
-WITH l AS (SELECT user_id, ts, event_id, value FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT user_id, ts, event_id, value FROM events
-      WHERE event_type = 'purchase'),
-j AS (
-  SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
-         r.value AS r_value
-  FROM l FULL JOIN r
-    ON l.user_id = r.user_id
-   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN l_event_id IS NOT NULL AND r_event_id IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-       CAST(SUM(CASE WHEN r_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_left_unmatched,
-       CAST(SUM(CASE WHEN l_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_right_unmatched,
-       CAST(COUNT(DISTINCT CASE WHEN r_event_id IS NULL THEN l_event_id END)
-            AS BIGINT) AS unmatched_clicks,
-       CAST(COUNT(DISTINCT CASE WHEN l_event_id IS NULL THEN r_event_id END)
-            AS BIGINT) AS unmatched_purchases,
-       ROUND(SUM(COALESCE(r_value, 0.0)), 2) AS joined_value
-FROM j
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "stream_full_join_expiry": (
-            q_stream_full_join_expiry,
-            ORACLE_STREAM_FULL_JOIN_EXPIRY,
-            "ext:stream-stream full-outer join (both-side state eviction)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round 9: classical-statistics pack — inter-rater agreement,
-# categorical association, distribution comparison, rank correlation,
-# concentration, trend. All exact-integer interior math (the ANOVA/ARI
-# discipline), one rounded double division at the very end.
-# --------------------------------------------------------------------------
-
-
-def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa between two deterministic 'raters' over orders —
-    inter-annotator agreement, the labeling-quality gate every
-    LLM-training annotation pipeline runs before trusting a label
-    column: rater A buckets by order priority, rater B by fixed
-    total-price bands, shared label space {hi, mid, lo}. Identity:
-    kappa = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) — clearing
-    p_o/p_e denominators so the interior stays exact BIGINT (marginal
-    products fit int64 through sf1000; the sums route through
-    decimal(38,0) anyway) and the only division is the final rounded
-    double. Scale: one map-side-combinable groupBy to ≤9 contingency
-    cells; everything after is constant-size."""
-    o = _t(spark, sf_dir, "orders").select(
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
-        ).when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
-        .otherwise("lo").alias("ra"),
-        F.when(F.col("o_totalprice") >= 200000, "hi")
-        .when(F.col("o_totalprice") >= 75000, "mid")
-        .otherwise("lo").alias("rb"),
-    )
-    cells = o.groupBy("ra", "rb").agg(F.count("*").alias("c"))
-    a = cells.groupBy("ra").agg(F.sum("c").alias("ak"))
-    b = cells.groupBy("rb").agg(F.sum("c").alias("bk"))
-    pe_num = (
-        a.join(b, F.col("ra") == F.col("rb"))
-        .agg(
-            F.sum(F.col("ak").cast("decimal(38,0)") * F.col("bk"))
-            .alias("pe")
-        )
-    )
-    po = cells.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c"))
-              .otherwise(F.lit(0))).cast("long").alias("agree"),
-    )
-    return (
-        po.crossJoin(F.broadcast(pe_num))
-        .select(
-            "n",
-            "agree",
-            F.col("pe").cast("string").alias("chance_agree_num"),
-            F.round(
-                (
-                    F.col("n").cast("decimal(38,0)") * F.col("agree")
-                    - F.col("pe")
-                ).cast("double")
-                / (
-                    F.col("n").cast("decimal(38,0)") * F.col("n")
-                    - F.col("pe")
-                ).cast("double"),
-                6,
-            ).alias("kappa"),
-        )
-    )
-
-
-ORACLE_COHENS_KAPPA = """
-WITH o AS MATERIALIZED (
-  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi'
-              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
-              ELSE 'lo' END AS ra,
-         CASE WHEN o_totalprice >= 200000 THEN 'hi'
-              WHEN o_totalprice >= 75000 THEN 'mid'
-              ELSE 'lo' END AS rb
-  FROM orders
-),
-cells AS MATERIALIZED (
-  SELECT ra, rb, COUNT(*) AS c FROM o GROUP BY 1, 2
-),
-marg AS MATERIALIZED (
-  SELECT a.ra AS k,
-         CAST(a.ak AS DECIMAL(38,0)) * b.bk AS akbk
-  FROM (SELECT ra, SUM(c) AS ak FROM cells GROUP BY 1) a
-  JOIN (SELECT rb, SUM(c) AS bk FROM cells GROUP BY 1) b
-    ON a.ra = b.rb
-),
-tot AS MATERIALIZED (
-  SELECT CAST(SUM(c) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
-  FROM cells
-)
-SELECT n, agree,
-       CAST((SELECT SUM(akbk) FROM marg) AS VARCHAR) AS chance_agree_num,
-       ROUND(CAST(CAST(n AS DECIMAL(38,0)) * agree
-                  - (SELECT SUM(akbk) FROM marg) AS DOUBLE)
-             / CAST(CAST(n AS DECIMAL(38,0)) * n
-                  - (SELECT SUM(akbk) FROM marg) AS DOUBLE), 6) AS kappa
-FROM tot
-"""
-
-
-def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V association between two categoricals (lineitem
-    return flag × line status) — the effect-size companion to a chi²
-    test: V = sqrt(chi²/(n·min(r−1, c−1))), scale-free in [0,1].
-    Exactness: chi² + n = n·Σ_ij o_ij²/(r_i·c_j); each cell term
-    floors at micro-scale inside decimal(38,0) —
-    floor(10^6·n·o_ij² / (r_i·c_j)) via the exact (p − p%q)/q decimal
-    division — so chi2_micro = Σ terms − 10^6·n is an IDENTICAL
-    integer on both engines (a ±21-cell floor error at 1e-6 scale,
-    far below the rounded output), and V is one double sqrt of a
-    ratio of identical integers. Scale: one map-side-combinable
-    groupBy to r×c ≤ 21 cells + two marginal reductions of that
-    bounded frame."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("sm")
-    )
-    cells = li.groupBy("rf", "sm").agg(F.count("*").alias("o"))
-    rows = cells.groupBy("rf").agg(F.sum("o").alias("ri"))
-    colsm = cells.groupBy("sm").agg(F.sum("o").alias("cj"))
-    j = cells.join(rows, "rf").join(colsm, "sm")
-    # per-cell exact floor needs n — bring the total back to the cells
-    tot = j.agg(F.sum("o").cast("long").alias("n"))
-    terms = (
-        j.crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum(
-                F.expr(
-                    "(CAST(1000000 AS DECIMAL(38,0)) * n * o * o"
-                    " - (CAST(1000000 AS DECIMAL(38,0)) * n * o * o)"
-                    "   % (CAST(ri AS DECIMAL(38,0)) * cj))"
-                    " / (CAST(ri AS DECIMAL(38,0)) * cj)"
-                ).cast("decimal(38,0)")
-            ).alias("term_sum"),
-            F.max("n").cast("long").alias("n"),
-            F.countDistinct("rf").cast("long").alias("r"),
-            F.countDistinct("sm").cast("long").alias("c"),
-        )
-    )
-    chi2_micro = F.expr(
-        "term_sum - CAST(1000000 AS DECIMAL(38,0)) * n"
-    ).cast("decimal(38,0)")
-    dfm = F.least(F.col("r") - 1, F.col("c") - 1)
-    return terms.select(
-        "n",
-        "r",
-        "c",
-        chi2_micro.cast("string").alias("chi2_micro"),
-        F.round(
-            F.sqrt(
-                chi2_micro.cast("double")
-                / (
-                    F.lit(1000000.0)
-                    * F.col("n").cast("double")
-                    * dfm.cast("double")
-                )
-            ),
-            6,
-        ).alias("cramers_v"),
-    )
-
-
-ORACLE_CRAMERS_V = """
-WITH cells AS MATERIALIZED (
-  SELECT l_returnflag AS rf, l_linestatus AS sm, COUNT(*) AS o
-  FROM lineitem GROUP BY 1, 2
-),
-j AS MATERIALIZED (
-  SELECT cells.rf, cells.sm, cells.o, r.ri, c.cj
-  FROM cells
-  JOIN (SELECT rf, SUM(o) AS ri FROM cells GROUP BY 1) r ON cells.rf = r.rf
-  JOIN (SELECT sm, SUM(o) AS cj FROM cells GROUP BY 1) c ON cells.sm = c.sm
-),
-tot AS MATERIALIZED (SELECT CAST(SUM(o) AS BIGINT) AS n FROM j),
-agg AS MATERIALIZED (
-  SELECT SUM(
-           (CAST(1000000 AS DECIMAL(38,0)) * tot.n * o * o
-            - (CAST(1000000 AS DECIMAL(38,0)) * tot.n * o * o)
-              % (CAST(ri AS DECIMAL(38,0)) * cj))
-           / (CAST(ri AS DECIMAL(38,0)) * cj)
-         ) AS term_sum,
-         MAX(tot.n) AS n,
-         CAST(COUNT(DISTINCT rf) AS BIGINT) AS r,
-         CAST(COUNT(DISTINCT sm) AS BIGINT) AS c
-  FROM j CROSS JOIN tot
-)
-SELECT CAST(n AS BIGINT) AS n, r, c,
-       CAST(CAST(term_sum - CAST(1000000 AS DECIMAL(38,0)) * n
-                 AS DECIMAL(38,0)) AS VARCHAR) AS chi2_micro,
-       ROUND(sqrt(CAST(term_sum - CAST(1000000 AS DECIMAL(38,0)) * n
-                       AS DOUBLE)
-                  / (1000000.0 * CAST(n AS DOUBLE)
-                     * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
-         AS cramers_v
-FROM agg
-"""
-
-
-
-
-EXTRA_QUERIES.update(
-    {
-        "cohens_kappa": (
-            q_cohens_kappa,
-            ORACLE_COHENS_KAPPA,
-            "ext:Cohen's kappa inter-rater agreement (cleared denominators)",
-        ),
-        "cramers_v": (
-            q_cramers_v,
-            ORACLE_CRAMERS_V,
-            "ext:Cramér's V categorical association (micro-exact chi²)",
-        ),
-    }
-)
-
-
-def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation between part retail price and part
-    size — the monotone-association twin of regr_aggs' Pearson:
-    Pearson over AVERAGE ranks (the tie-correct definition sklearn/
-    scipy implement). Ranks never materialize per row through a global
-    row_number: each column ranks via the distinct-value trick —
-    groupBy value (map-side combinable), one cumulative window over
-    the DISTINCT-value frame, then 2·avgrank = 2·cum_before + cnt + 1
-    (doubling keeps tied average ranks integral) joined back by value.
-    Moment sums run in decimal(38,0), so the correlation numerator
-    n·Σxy − Σx·Σy and both variance terms are IDENTICAL exact integers
-    on both engines (emitted as strings; they pass int64 at large SF);
-    rho is one rounded double of their ratio."""
-    p = _t(spark, sf_dir, "part").select(
-        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
-        F.col("p_size").cast("long").alias("y"),
-    )
-
-    def ranks2(col: str) -> DataFrame:
-        per = p.groupBy(col).agg(F.count("*").alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return per.select(
-            col,
-            (
-                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                + F.col("cnt")
-                + 1
-            ).cast("long").alias(f"{col}r2"),
-        )
-
-    rows = p.join(ranks2("x"), "x").join(ranks2("y"), "y")
-    t = rows.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("xr2").cast("decimal(38,0)")).alias("sx"),
-        F.sum(F.col("yr2").cast("decimal(38,0)")).alias("sy"),
-        F.sum(F.col("xr2").cast("decimal(38,0)") * F.col("yr2")).alias("sxy"),
-        F.sum(F.col("xr2").cast("decimal(38,0)") * F.col("xr2")).alias("sxx"),
-        F.sum(F.col("yr2").cast("decimal(38,0)") * F.col("yr2")).alias("syy"),
-    )
-    num = F.expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy")
-    vx = F.expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx")
-    vy = F.expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy")
-    return t.select(
-        "n",
-        num.cast("string").alias("cov_num"),
-        vx.cast("string").alias("var_x_num"),
-        vy.cast("string").alias("var_y_num"),
-        F.round(
-            num.cast("double")
-            / F.sqrt(vx.cast("double") * vy.cast("double")),
-            6,
-        ).alias("spearman_rho"),
-    )
-
-
-ORACLE_SPEARMAN_CORR = """
-WITH p AS MATERIALIZED (
-  SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x,
-         CAST(p_size AS BIGINT) AS y
-  FROM part
-),
-rx AS MATERIALIZED (
-  SELECT x,
-         2 * COALESCE(SUM(cnt) OVER (ORDER BY x
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           + cnt + 1 AS xr2
-  FROM (SELECT x, COUNT(*) AS cnt FROM p GROUP BY 1)
-),
-ry AS MATERIALIZED (
-  SELECT y,
-         2 * COALESCE(SUM(cnt) OVER (ORDER BY y
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           + cnt + 1 AS yr2
-  FROM (SELECT y, COUNT(*) AS cnt FROM p GROUP BY 1)
-),
-rows_r AS MATERIALIZED (
-  SELECT xr2, yr2 FROM p JOIN rx USING (x) JOIN ry USING (y)
-),
-t AS MATERIALIZED (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(xr2 AS DECIMAL(38,0))) AS sx,
-         SUM(CAST(yr2 AS DECIMAL(38,0))) AS sy,
-         SUM(CAST(xr2 AS DECIMAL(38,0)) * yr2) AS sxy,
-         SUM(CAST(xr2 AS DECIMAL(38,0)) * xr2) AS sxx,
-         SUM(CAST(yr2 AS DECIMAL(38,0)) * yr2) AS syy
-  FROM rows_r
-)
-SELECT n,
-       CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS VARCHAR) AS cov_num,
-       CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS VARCHAR)
-         AS var_x_num,
-       CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS VARCHAR)
-         AS var_y_num,
-       ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
-                    * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
-                           AS DOUBLE)), 6) AS spearman_rho
-FROM t
-"""
-
-
-def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of per-customer revenue — the concentration
-    audit a training-data pipeline runs on source/domain contribution
-    (is 1% of customers 90% of the corpus?). Identity: with x sorted
-    ascending and 1-based positions, G = (2·Σ i·x_i − (n+1)·Σx) /
-    (n·Σx), computed with the position sum pre-doubled so m(m+1)/2
-    never divides. The position sum never needs a per-row global row_number:
-    tied values share a value block, so groupBy value (map-side
-    combinable) + one cumulative window over the DISTINCT-value frame
-    gives Σ_{i in block} i = m·cum_before + m(m+1)/2, and the block
-    contributes x·that — position assignment within a tie block is
-    irrelevant since x is constant there. Numerator/denominator are
-    exact decimal(38,0) (emitted as strings); G is one rounded double
-    division."""
-    rev = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("x")
-        )
-    )
-    per = rev.groupBy("x").agg(F.count("*").alias("m"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    blocks = per.select(
-        "x",
-        "m",
-        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("cum"),
-    )
-    t = blocks.agg(
-        F.sum("m").cast("long").alias("n"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("m")).alias("s"),
-        # pos2_sum = 2·Σ i·x_i (doubled to keep m(m+1)/2 integral
-        # without any interior division on either engine)
-        F.sum(
-            F.col("x").cast("decimal(38,0)")
-            * (
-                2 * F.col("m").cast("decimal(38,0)") * F.col("cum")
-                + F.col("m").cast("decimal(38,0)") * (F.col("m") + 1)
-            )
-        ).alias("pos2_sum"),
-    )
-    num = F.expr("pos2_sum - (CAST(n AS DECIMAL(38,0)) + 1) * s")
-    den = F.expr("CAST(n AS DECIMAL(38,0)) * s")
-    return t.select(
-        "n",
-        num.cast("string").alias("gini_num"),
-        den.cast("string").alias("gini_den"),
-        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
-    )
-
-
-ORACLE_GINI_CONCENTRATION = """
-WITH rev AS MATERIALIZED (
-  SELECT o_custkey,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
-  FROM orders GROUP BY 1
-),
-blocks AS MATERIALIZED (
-  SELECT x, m,
-         CAST(COALESCE(SUM(m) OVER (ORDER BY x
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cum
-  FROM (SELECT x, COUNT(*) AS m FROM rev GROUP BY 1)
-),
-t AS MATERIALIZED (
-  SELECT CAST(SUM(m) AS BIGINT) AS n,
-         SUM(CAST(x AS DECIMAL(38,0)) * m) AS s,
-         SUM(CAST(x AS DECIMAL(38,0))
-             * (2 * CAST(m AS DECIMAL(38,0)) * cum
-                + CAST(m AS DECIMAL(38,0)) * (m + 1))) AS pos2_sum
-  FROM blocks
-)
-SELECT n,
-       CAST(pos2_sum - (CAST(n AS DECIMAL(38,0)) + 1) * s AS VARCHAR)
-         AS gini_num,
-       CAST(CAST(n AS DECIMAL(38,0)) * s AS VARCHAR) AS gini_den,
-       ROUND(CAST(pos2_sum - (CAST(n AS DECIMAL(38,0)) + 1) * s
-                  AS DOUBLE)
-             / CAST(CAST(n AS DECIMAL(38,0)) * s AS DOUBLE), 6) AS gini
-FROM t
-"""
-
-
-def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann–Kendall trend test over the 1995 daily-revenue series —
-    the nonparametric is-there-a-monotone-trend gate (Theil–Sen's
-    hypothesis-test companion; theil_sen_slope estimates the slope,
-    this scores its significance): S = Σ_{i<j} sign(y_j − y_i), with
-    the tie-corrected variance var = (n(n−1)(2n+5) −
-    Σ_t t(t−1)(2t+5))/18 and z = (S − sign(S))/sqrt(var). S and
-    18·var are exact BIGINTs (identical both engines); z is one
-    rounded double. Scale: the pair sweep is a self-join on the
-    calendar-bounded ≤365-row day frame (≤66k pairs, constant
-    whatever the table SF — the day table is the aggregate); the
-    sf-sized work is one map-side-combinable groupBy to days."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.col("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-        .localCheckpoint(eager=True)
-    )
-    a, b = days.alias("a"), days.alias("b")
-    s_stat = (
-        a.join(b, F.col("a.d") < F.col("b.d"))
-        .agg(
-            F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long"))
-            .cast("long")
-            .alias("s")
-        )
-    )
-    ties = days.groupBy("y").agg(F.count("*").alias("t"))
-    vart = ties.agg(
-        F.sum("t").cast("long").alias("n"),
-        F.sum(
-            F.col("t").cast("decimal(38,0)")
-            * (F.col("t") - 1)
-            * (2 * F.col("t") + 5)
-        ).alias("tie_term"),
-    )
-    j = s_stat.crossJoin(F.broadcast(vart))
-    var18 = F.expr(
-        "CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tie_term"
-    )
-    return j.select(
-        "n",
-        "s",
-        var18.cast("string").alias("var18"),
-        F.round(
-            (
-                F.col("s").cast("double")
-                - F.signum(F.col("s").cast("double"))
-            )
-            / F.sqrt(var18.cast("double") / F.lit(18.0)),
-            6,
-        ).alias("z_stat"),
-    )
-
-
-ORACLE_MANN_KENDALL_TREND = """
-WITH days AS MATERIALIZED (
-  SELECT o_orderdate AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-s_stat AS MATERIALIZED (
-  SELECT CAST(SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
-  FROM days a JOIN days b ON a.d < b.d
-),
-vart AS MATERIALIZED (
-  SELECT CAST(SUM(t) AS BIGINT) AS n,
-         SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tie_term
-  FROM (SELECT y, COUNT(*) AS t FROM days GROUP BY 1)
-)
-SELECT n, s,
-       CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tie_term
-            AS VARCHAR) AS var18,
-       ROUND((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
-             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)
-                         - tie_term AS DOUBLE) / 18.0), 6) AS z_stat
-FROM s_stat CROSS JOIN vart
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "spearman_corr": (
-            q_spearman_corr,
-            ORACLE_SPEARMAN_CORR,
-            "ext:Spearman rank correlation (tie-correct, distinct-value"
-            " ranks)",
-        ),
-        "gini_concentration": (
-            q_gini_concentration,
-            ORACLE_GINI_CONCENTRATION,
-            "ext:Gini concentration of per-customer revenue (block ranks)",
-        ),
-        "mann_kendall_trend": (
-            q_mann_kendall_trend,
-            ORACLE_MANN_KENDALL_TREND,
-            "ext:Mann–Kendall trend test (exact S + tie-corrected var)",
-        ),
-    }
-)
-
-
-def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (k=6) of the small-basket co-purchase
-    graph by bounded iterative peeling — the graph-densification
-    primitive (community seeding, spam-ring detection, the dense
-    subgraph a recommender trains on): repeatedly drop nodes with
-    degree < k until stable. The operator is DEFINED as R=6 peeling
-    rounds plus a convergence flag: converged=true (checked at both
-    gate SFs and the 10× probe) means the output IS the true k-core
-    fixed point; a deeper cascade would report converged=false rather
-    than silently truncate — the same bounded-iteration contract
-    bfs_distances/sssp carry. Each round is two semi-joins + one
-    map-side-combinable degree agg on the current edge frame, with
-    lineage truncated per round (localCheckpoint) so round j never
-    replays rounds 1..j-1; at 100 TB the frame only shrinks. Basket
-    cap ≤3 bounds the edge-synthesis self-join input (the adamic_adar
-    rule: cap BEFORE the join). Oracle: the same 6 rounds unrolled as
-    MATERIALIZED CTEs."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    small = li.groupBy("o").agg(F.count("*").alias("bs")).filter(
-        F.col("bs") <= 3
-    ).select("o")
-    a = li.join(small, "o").alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    k, rounds = 6, 6
-    prev_edges = edges.count()
-    converged = False
-    for _ in range(rounds):
-        deg = (
-            edges.select(F.col("u").alias("x"))
-            .unionAll(edges.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("x")
-        edges = (
-            edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        n = edges.count()
-        if n == prev_edges:
-            converged = True
-            break
-        prev_edges = n
-    nodes = edges.select(F.col("u").alias("x")).union(
-        edges.select(F.col("v").alias("x"))
-    ).distinct()
-    return (
-        nodes.agg(
-            F.count("*").cast("long").alias("core_nodes"),
-            F.sum("x").cast("long").alias("node_id_sum"),
-        )
-        .crossJoin(
-            F.broadcast(
-                edges.agg(F.count("*").cast("long").alias("core_edges"))
-            )
-        )
-        .select(
-            "core_nodes",
-            "core_edges",
-            "node_id_sum",
-            F.lit(converged).alias("converged"),
-        )
-    )
-
-
-def _kcore_oracle(k: int = 6, rounds: int = 6) -> str:
-    steps = []
-    prev = "e0"
-    for i in range(1, rounds + 1):
-        steps.append(
-            f"""keep{i} AS MATERIALIZED (
-  SELECT x FROM (SELECT u AS x FROM {prev} UNION ALL SELECT v FROM {prev})
-  GROUP BY x HAVING COUNT(*) >= {k}
-),
-e{i} AS MATERIALIZED (
-  SELECT u, v FROM {prev}
-  WHERE u IN (SELECT x FROM keep{i}) AND v IN (SELECT x FROM keep{i})
-)"""
-        )
-        prev = f"e{i}"
-    chain = ",\n".join(steps)
-    return f"""
-WITH li AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-),
-small AS MATERIALIZED (
-  SELECT o FROM li GROUP BY o HAVING COUNT(*) <= 3
-),
-e0 AS MATERIALIZED (
-  SELECT DISTINCT a.p AS u, b.p AS v
-  FROM li a JOIN small USING (o) JOIN li b ON a.o = b.o AND a.p < b.p
-),
-{chain},
-nodes AS MATERIALIZED (
-  SELECT DISTINCT x FROM
-    (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS core_nodes,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{rounds}) AS core_edges,
-       CAST(SUM(x) AS BIGINT) AS node_id_sum,
-       ((SELECT COUNT(*) FROM e{rounds})
-        = (SELECT COUNT(*) FROM e{rounds - 1})) AS converged
-FROM nodes
-"""
-
-
-ORACLE_KCORE_PEELING = _kcore_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "kcore_peeling": (
-            q_kcore_peeling,
-            ORACLE_KCORE_PEELING,
-            "ext:k-core decomposition by bounded iterative peeling",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round 9: robust-statistics + gaps-and-islands pack — exact order
-# statistics from the distinct-value cumulative trick (no per-row
-# global row_number anywhere), per-user streaks via island grouping.
-# --------------------------------------------------------------------------
-
-
-def q_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5%-trimmed and 5%-winsorized means of order total price —
-    the outlier-robust location estimators a quality pipeline prefers
-    over the raw mean (one corrupt crawl document shouldn't move the
-    corpus statistic). Order statistics never materialize a global
-    per-row row_number: groupBy distinct price (map-side combinable),
-    one cumulative window over the distinct-value frame, then each
-    value block [cum+1, cum+m] contributes v·overlap with the kept
-    rank interval [lo+1, n−lo] (lo = floor(5·n/100)) — the trimmed sum
-    — while the winsorized sum adds the clamped tails lo·v_lo + lo·v_hi
-    (v_lo/v_hi = the order statistics at ranks lo+1 and n−lo, found by
-    the same cum arithmetic). All sums exact BIGINT cents inside
-    decimal(38,0) (emitted as strings); the two means are single
-    rounded double divisions. Scale: one keyed agg + one
-    distinct-value window — the auc/ECDF pattern."""
-    o = _t(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
-    )
-    per = o.groupBy("v").agg(F.count("*").alias("m"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    blocks = per.select(
-        "v",
-        "m",
-        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("cum"),
-    ).localCheckpoint(eager=True)
-    tot = blocks.agg(F.sum("m").cast("long").alias("n"))
-    b = blocks.crossJoin(F.broadcast(tot))
-    lo = F.expr("n * 5 div 100").cast("long")
-    keep_lo = lo + 1
-    keep_hi = F.col("n") - lo
-    # overlap of [cum+1, cum+m] with [keep_lo, keep_hi]
-    ov = F.greatest(
-        F.lit(0).cast("long"),
-        F.least(F.col("cum") + F.col("m"), keep_hi)
-        - F.greatest(F.col("cum") + 1, keep_lo)
-        + 1,
-    )
-    # order statistics at the clamp ranks
-    v_lo = F.when(
-        (F.col("cum") < keep_lo) & (F.col("cum") + F.col("m") >= keep_lo),
-        F.col("v"),
-    )
-    v_hi = F.when(
-        (F.col("cum") < keep_hi) & (F.col("cum") + F.col("m") >= keep_hi),
-        F.col("v"),
-    )
-    t = b.agg(
-        F.max("n").alias("n"),
-        F.max(lo).alias("lo"),
-        F.sum(F.col("v").cast("decimal(38,0)") * ov).alias("trim_sum"),
-        F.max(v_lo).alias("v_lo"),
-        F.max(v_hi).alias("v_hi"),
-    )
-    wins_sum = F.expr(
-        "trim_sum + CAST(lo AS DECIMAL(38,0)) * v_lo"
-        " + CAST(lo AS DECIMAL(38,0)) * v_hi"
-    )
-    return t.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("lo").cast("long").alias("n_trimmed_each_side"),
-        F.col("v_lo").cast("long").alias("clamp_lo_cents"),
-        F.col("v_hi").cast("long").alias("clamp_hi_cents"),
-        F.col("trim_sum").cast("string").alias("trimmed_sum_cents"),
-        wins_sum.cast("string").alias("winsorized_sum_cents"),
-        F.round(
-            F.col("trim_sum").cast("double")
-            / (F.col("n") - 2 * F.col("lo")).cast("double"),
-            4,
-        ).alias("trimmed_mean_cents"),
-        F.round(wins_sum.cast("double") / F.col("n").cast("double"), 4)
-        .alias("winsorized_mean_cents"),
-    )
-
-
-ORACLE_TRIMMED_WINSORIZED_MEAN = """
-WITH o AS MATERIALIZED (
-  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
-),
-blocks AS MATERIALIZED (
-  SELECT v, m,
-         CAST(COALESCE(SUM(m) OVER (ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cum
-  FROM (SELECT v, COUNT(*) AS m FROM o GROUP BY 1)
-),
-tot AS MATERIALIZED (SELECT CAST(SUM(m) AS BIGINT) AS n FROM blocks),
-b AS MATERIALIZED (
-  SELECT v, m, cum, n, n * 5 // 100 AS lo FROM blocks CROSS JOIN tot
-),
-t AS MATERIALIZED (
-  SELECT MAX(n) AS n, MAX(lo) AS lo,
-         SUM(CAST(v AS DECIMAL(38,0))
-             * GREATEST(0, LEAST(cum + m, n - lo)
-                           - GREATEST(cum + 1, lo + 1) + 1)) AS trim_sum,
-         MAX(CASE WHEN cum < lo + 1 AND cum + m >= lo + 1 THEN v END)
-           AS v_lo,
-         MAX(CASE WHEN cum < n - lo AND cum + m >= n - lo THEN v END)
-           AS v_hi
-  FROM b
-)
-SELECT CAST(n AS BIGINT) AS n,
-       CAST(lo AS BIGINT) AS n_trimmed_each_side,
-       CAST(v_lo AS BIGINT) AS clamp_lo_cents,
-       CAST(v_hi AS BIGINT) AS clamp_hi_cents,
-       CAST(trim_sum AS VARCHAR) AS trimmed_sum_cents,
-       CAST(trim_sum + CAST(lo AS DECIMAL(38,0)) * v_lo
-            + CAST(lo AS DECIMAL(38,0)) * v_hi AS VARCHAR)
-         AS winsorized_sum_cents,
-       ROUND(CAST(trim_sum AS DOUBLE) / CAST(n - 2 * lo AS DOUBLE), 4)
-         AS trimmed_mean_cents,
-       ROUND(CAST(trim_sum + CAST(lo AS DECIMAL(38,0)) * v_lo
-                  + CAST(lo AS DECIMAL(38,0)) * v_hi AS DOUBLE)
-             / CAST(n AS DOUBLE), 4) AS winsorized_mean_cents
-FROM t
-"""
-
-
-def q_weighted_median_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact quantity-weighted median unit price per return flag — the
-    grouped robust aggregation (percentile_approx's exact cousin;
-    sketches estimate, this answers): the weighted median is the
-    smallest price v where cumulative weight reaches half the group
-    total, i.e. 2·cumw ≥ W with the LOWER median convention. Per
-    group: groupBy (flag, price) with weight sums (map-side
-    combinable), a cumulative window PARTITIONED BY the group (never a
-    single global partition — each group's distinct-price frame sorts
-    independently), then min(v | 2·cumw ≥ W). Everything is exact
-    BIGINT (cents × integer quantity); no division at all. Scale:
-    shuffle keyed on the group — the standard grouped-window shape."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
-        F.col("l_quantity").cast("long").alias("wt"),
-    )
-    per = li.groupBy("g", "v").agg(F.sum("wt").alias("mw"))
-    w = Window.partitionBy("g").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = per.select(
-        "g", "v", F.sum("mw").over(w).cast("long").alias("cumw")
-    )
-    totals = per.groupBy("g").agg(F.sum("mw").cast("long").alias("tw"))
-    j = cum.join(totals, "g")
-    med = (
-        j.filter(2 * F.col("cumw") >= F.col("tw"))
-        .groupBy("g")
-        .agg(F.min("v").cast("long").alias("wmedian_cents"))
-    )
-    return (
-        med.join(totals, "g")
-        .select(
-            "g",
-            F.col("tw").alias("total_weight"),
-            "wmedian_cents",
-        )
-        .orderBy("g")
-    )
-
-
-ORACLE_WEIGHTED_MEDIAN_GROUPED = """
-WITH li AS MATERIALIZED (
-  SELECT l_returnflag AS g,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
-         CAST(l_quantity AS BIGINT) AS wt
-  FROM lineitem
-),
-per AS MATERIALIZED (
-  SELECT g, v, SUM(wt) AS mw FROM li GROUP BY 1, 2
-),
-cum AS MATERIALIZED (
-  SELECT g, v,
-         CAST(SUM(mw) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cumw
-  FROM per
-),
-totals AS MATERIALIZED (
-  SELECT g, CAST(SUM(mw) AS BIGINT) AS tw FROM per GROUP BY 1
-)
-SELECT cum.g AS g,
-       MAX(tw) AS total_weight,
-       CAST(MIN(CASE WHEN 2 * cumw >= tw THEN v END) AS BIGINT)
-         AS wmedian_cents
-FROM cum JOIN totals ON cum.g = totals.g
-GROUP BY 1 ORDER BY 1
-"""
-
-
-def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Longest consecutive-active-day streak per user (gaps &
-    islands) — the classic retention/engagement feature: distinct
-    (user, day), then island id = day − rank-within-user (consecutive
-    days share it; Spark row_number is PARTITIONED by user — the
-    scalable per-key window, never global), streak length = island
-    size, then the per-user max. Output is the streak-length
-    distribution + topline (how many users ever hit a 3-day streak),
-    aggregation-stable across engines because day arithmetic is
-    integer (epoch days) and ranks are within-key. Scale: two keyed
-    shuffles (user, then user×island reduce) — linear, skew-safe
-    (a user's days are bounded by the calendar)."""
-    days = (
-        _t(spark, sf_dir, "events")
-        .select(
-            F.col("user_id").alias("u"),
-            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-            .cast("long")
-            .alias("day"),
-        )
-        .distinct()
-    )
-    wn = Window.partitionBy("u").orderBy("day")
-    islands = days.select(
-        "u",
-        "day",
-        (F.col("day") - F.row_number().over(wn)).alias("isl"),
-    )
-    streaks = islands.groupBy("u", "isl").agg(
-        F.count("*").cast("long").alias("len")
-    )
-    best = streaks.groupBy("u").agg(F.max("len").alias("best"))
-    return (
-        best.groupBy("best")
-        .agg(
-            F.count("*").cast("long").alias("n_users"),
-            F.sum("u").cast("long").alias("user_id_sum"),
-        )
-        .orderBy("best")
-    )
-
-
-ORACLE_USER_STREAKS = """
-WITH days AS MATERIALIZED (
-  SELECT DISTINCT user_id AS u,
-         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-              AS BIGINT) AS day
-  FROM events
-),
-islands AS MATERIALIZED (
-  SELECT u, day,
-         day - ROW_NUMBER() OVER (PARTITION BY u ORDER BY day) AS isl
-  FROM days
-),
-streaks AS MATERIALIZED (
-  SELECT u, isl, CAST(COUNT(*) AS BIGINT) AS len
-  FROM islands GROUP BY 1, 2
-),
-best AS MATERIALIZED (
-  SELECT u, MAX(len) AS best FROM streaks GROUP BY 1
-)
-SELECT best, CAST(COUNT(*) AS BIGINT) AS n_users,
-       CAST(SUM(u) AS BIGINT) AS user_id_sum
-FROM best GROUP BY 1 ORDER BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "trimmed_winsorized_mean": (
-            q_trimmed_winsorized_mean,
-            ORACLE_TRIMMED_WINSORIZED_MEAN,
-            "ext:exact trimmed + winsorized means (block order statistics)",
-        ),
-        "weighted_median_grouped": (
-            q_weighted_median_grouped,
-            ORACLE_WEIGHTED_MEDIAN_GROUPED,
-            "ext:exact grouped weighted median (keyed cumulative weights)",
-        ),
-        "user_streaks": (
-            q_user_streaks,
-            ORACLE_USER_STREAKS,
-            "ext:gaps-and-islands longest-streak distribution",
-        ),
-    }
-)
-
-
-def q_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-length compression of per-user event-type sequences — the
-    state-duration table (how long does a user stay in 'view' before
-    'click'?) that session analytics and CDC state models build on:
-    consecutive same-type events collapse into one run via the
-    LAG-based island trick (run id = cumulative count of type CHANGES
-    up to the row, windows PARTITIONED by user — the scalable per-key
-    shape, never global). Output: per event_type run statistics (run
-    count, mean run length ×1e6 exact, longest run, longest run's
-    duration sum in seconds) — aggregation-stable because runs reduce
-    by (user, run id) with integer epoch-second arithmetic. Scale: two
-    keyed shuffles (user windows, then type rollup), linear."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("u"),
-        F.col("event_type").alias("t"),
-        F.col("ts"),
-        F.col("event_id").alias("eid"),
-    )
-    wn = Window.partitionBy("u").orderBy("ts", "eid")
-    marked = ev.select(
-        "u",
-        "t",
-        "ts",
-        "eid",
-        F.when(
-            F.lag("t").over(wn).isNull()
-            | (F.lag("t").over(wn) != F.col("t")),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_start"),
-    )
-    wrun = Window.partitionBy("u").orderBy("ts", "eid").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    runs = (
-        marked.select(
-            "u", "t", "ts", F.sum("is_start").over(wrun).alias("run_id")
-        )
-        .groupBy("u", "run_id", "t")
-        .agg(
-            F.count("*").cast("long").alias("len"),
-            # unix_micros/epoch_us convention (window_funnel_timed's
-            # rule): second-level epoch() vs unix_timestamp diverge on
-            # fractional seconds (round vs floor)
-            F.expr(
-                "(unix_micros(MAX(ts)) - unix_micros(MIN(ts)))"
-                " div 1000000"
-            ).cast("long").alias("dur_s"),
-        )
-    )
-    return (
-        runs.groupBy("t")
-        .agg(
-            F.count("*").cast("long").alias("n_runs"),
-            F.sum("len").cast("long").alias("n_events"),
-            F.expr("CAST(1000000 AS DECIMAL(38,0)) * SUM(len) div COUNT(*)")
-            .cast("long")
-            .alias("mean_len_micro"),
-            F.max("len").cast("long").alias("longest_run"),
-            F.sum("dur_s").cast("long").alias("run_dur_s_sum"),
-        )
-        .orderBy("t")
-    )
-
-
-ORACLE_STATE_RUNS = """
-WITH ev AS MATERIALIZED (
-  SELECT user_id AS u, event_type AS t, ts, event_id AS eid FROM events
-),
-marked AS MATERIALIZED (
-  SELECT u, t, ts, eid,
-         CASE WHEN LAG(t) OVER w IS NULL OR LAG(t) OVER w <> t
-              THEN 1 ELSE 0 END AS is_start
-  FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, eid)
-),
-runs AS MATERIALIZED (
-  SELECT u, t,
-         SUM(is_start) OVER (PARTITION BY u ORDER BY ts, eid) AS run_id,
-         ts
-  FROM marked
-),
-per_run AS MATERIALIZED (
-  SELECT u, run_id, t,
-         CAST(COUNT(*) AS BIGINT) AS len,
-         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
-              AS BIGINT) AS dur_s
-  FROM runs GROUP BY 1, 2, 3
-)
-SELECT t,
-       CAST(COUNT(*) AS BIGINT) AS n_runs,
-       CAST(SUM(len) AS BIGINT) AS n_events,
-       CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(len)
-             - (CAST(1000000 AS DECIMAL(38,0)) * SUM(len)) % COUNT(*))
-            / COUNT(*) AS BIGINT) AS mean_len_micro,
-       CAST(MAX(len) AS BIGINT) AS longest_run,
-       CAST(SUM(dur_s) AS BIGINT) AS run_dur_s_sum
-FROM per_run GROUP BY 1 ORDER BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "state_runs": (
-            q_state_runs,
-            ORACLE_STATE_RUNS,
-            "ext:run-length state-duration table (per-user island runs)",
-        ),
-    }
-)
-
-
-def q_gif_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-container routing pass (multimodal.gif_block_metadata over
-    gif_synthesize fixtures): the REPEATED-substructure walk that
-    completes the container-pattern matrix — a type-dispatched block
-    list (comment extension + 1–3 animation frames + trailer) where
-    each slot branches on the block type byte, counts/measures image
-    descriptors, and skips extensions by their declared sub-block
-    length. Aggregated per frame-count profile with the frame-area sum
-    proving the descriptors were actually read; the oracle rebuilds
-    the identical container hex in SQL and re-parses it with the same
-    unrolled dispatch."""
-    from yelp_etl_spark.functions.multimodal import (
-        gif_block_metadata,
-        gif_synthesize,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    meta = gif_block_metadata(gif_synthesize(docs))
-    return (
-        meta.groupBy("n_frames")
-        .agg(
-            F.count("*").cast("long").alias("n_gifs"),
-            F.sum("n_extensions").cast("long").alias("ext_sum"),
-            F.sum("frame_area_sum").cast("long").alias("area_sum"),
-            F.sum(F.col("lsd_width") * F.col("lsd_height")).cast("long")
-            .alias("screen_area_sum"),
-            F.min(F.col("gif_ok").cast("long")).cast("long")
-            .alias("all_well_formed"),
-        )
-        .orderBy("n_frames")
-    )
-
-
-def _gif_oracle() -> str:
-    def le_hex(expr: str, nbytes: int) -> str:
-        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
-        pairs = ", ".join(
-            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
-        )
-        return f"concat({pairs})"
-
-    def le_int(pos: str, nbytes: int) -> str:
-        terms = [
-            f"TRY_CAST(concat('0x', substr(hx, ({pos}) + {2 * i}, 2)) AS BIGINT)"
-            f" * {256 ** i}"
-            for i in range(nbytes)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    dsz = "GREATEST(1, LEAST(16, length(text)))"
-
-    def frame(f: int) -> str:
-        return (
-            f"CASE WHEN doc_id % 3 + 1 > {f} THEN concat('2C', "
-            + le_hex(str(2 * f), 2) + ", "
-            + le_hex("0", 2) + ", "
-            + le_hex(f"doc_id % 30 + 5 + {f}", 2) + ", "
-            + le_hex("doc_id % 20 + 4", 2)
-            + ", '00', '02', "
-            + le_hex(dsz, 1)
-            + ", substr(upper(hex(encode(concat(text, '.')))), 1,"
-            f"  CAST(2 * {dsz} AS INT)), '00') ELSE '' END"
-        )
-
-    synth = (
-        "upper(concat('474946383961', "
-        + le_hex("doc_id % 200 + 20", 2) + ", "
-        + le_hex("doc_id % 150 + 15", 2)
-        + ", '000000', '21FE', "
-        + le_hex("doc_id % 9 + 1", 1)
-        + ", repeat('41', CAST(doc_id % 9 + 1 AS INT)), '00', "
-        + frame(0) + ", " + frame(1) + ", " + frame(2)
-        + ", '3B'))"
-    )
-    pos = "27"
-    frames, exts, areas = [], [], []
-    for _ in range(4):
-        tb = f"substr(hx, ({pos}), 2)"
-        frames.append(f"(CASE WHEN {tb} = '2C' THEN 1 ELSE 0 END)")
-        exts.append(f"(CASE WHEN {tb} = '21' THEN 1 ELSE 0 END)")
-        areas.append(
-            f"(CASE WHEN {tb} = '2C'"
-            f" THEN {le_int(f'({pos}) + 10', 2)}"
-            f" * {le_int(f'({pos}) + 14', 2)} ELSE 0 END)"
-        )
-        pos = (
-            f"(CASE WHEN {tb} = '2C'"
-            f" THEN ({pos}) + 26 + 2 * {le_int(f'({pos}) + 22', 1)}"
-            f" WHEN {tb} = '21'"
-            f" THEN ({pos}) + 8 + 2 * {le_int(f'({pos}) + 4', 1)}"
-            f" ELSE ({pos}) END)"
-        )
-    return f"""
-WITH gif AS MATERIALIZED (
-  SELECT doc_id, {synth} AS hx
-  FROM documents WHERE doc_id % 4 = 0
-),
-parsed AS MATERIALIZED (
-  SELECT doc_id,
-         {le_int('13', 2)} AS lsd_width,
-         {le_int('17', 2)} AS lsd_height,
-         CAST({' + '.join(frames)} AS BIGINT) AS n_frames,
-         CAST({' + '.join(exts)} AS BIGINT) AS n_extensions,
-         CAST({' + '.join(areas)} AS BIGINT) AS frame_area_sum,
-         (substr(hx, 1, 12) = '474946383961'
-          AND {le_int('21', 1)} < 128) AS gif_ok
-  FROM gif
-)
-SELECT n_frames,
-       CAST(COUNT(*) AS BIGINT) AS n_gifs,
-       CAST(SUM(n_extensions) AS BIGINT) AS ext_sum,
-       CAST(SUM(frame_area_sum) AS BIGINT) AS area_sum,
-       CAST(SUM(lsd_width * lsd_height) AS BIGINT) AS screen_area_sum,
-       CAST(MIN(CASE WHEN gif_ok THEN 1 ELSE 0 END) AS BIGINT)
-         AS all_well_formed
-FROM parsed GROUP BY 1 ORDER BY 1
-"""
-
-
-ORACLE_GIF_BLOCK_PARSE = _gif_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "gif_block_parse": (
-            q_gif_block_parse,
-            ORACLE_GIF_BLOCK_PARSE,
-            "ext:GIF typed block walk (repeated-substructure dispatch)",
-        ),
-    }
-)
-
-
-def q_snapshot_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-time CHECK constraints end to end (sources/snapshots.py
-    snapshot_set_constraint / snapshot_write enforcement — Delta's
-    ALTER TABLE ADD CONSTRAINT): a quality gate becomes a TABLE
-    property instead of a hope about upstream jobs. Flow: commit an
-    orders slice; ADD a constraint (validates existing rows first — a
-    predicate current data violates refuses, exercised); append a
-    violating batch (refused with the per-constraint count, table
-    unchanged — exercised); append a valid batch (constraint carried
-    forward); drop and re-append the once-refused batch. The audit row
-    pins every refusal count plus the final table rollup; the oracle
-    recomputes the final state from the same input predicates. At
-    100 TB enforcement is one aggregate job per constrained write over
-    the incoming batch only — Delta's price, the linear path."""
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-    from yelp_etl_spark.sources.snapshots import (
-        snapshot_drop_constraint,
-        snapshot_read,
-        snapshot_set_constraint,
-        snapshot_write,
-        snapshots,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    good = orders.filter(F.col("o_totalprice") > 50000)
-    low = orders.filter(F.col("o_totalprice") <= 50000)
-    table = _scratch_dir(sf_dir, "snapck")
-    snapshot_write(good.filter(F.col("o_orderkey") % 2 == 0), table)
-    snapshot_set_constraint(spark, table, "price_floor", "o_totalprice > 50000")
-    refused_add = 0
-    try:  # existing data violates → the ADD itself must refuse
-        snapshot_set_constraint(
-            spark, table, "impossible", "o_totalprice > 100000000"
-        )
-    except ValueError:
-        refused_add = 1
-    refused_appends = 0
-    try:  # violating batch refused, table unchanged
-        snapshot_write(low, table, mode="append")
-    except ValueError:
-        refused_appends += 1
-    snapshot_write(
-        good.filter(F.col("o_orderkey") % 2 == 1), table, mode="append"
-    )
-    try:  # constraint survived the valid append
-        snapshot_write(low.limit(1), table, mode="append")
-    except ValueError:
-        refused_appends += 1
-    snapshot_drop_constraint(table, "price_floor")
-    snapshot_write(low, table, mode="append")
-    ops = ",".join(s["operation"] for s in snapshots(table))
-    return snapshot_read(spark, table).agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.lit(refused_add).cast("long").alias("refused_constraint_adds"),
-        F.lit(refused_appends).cast("long").alias("refused_appends"),
-        F.lit(ops).alias("ops"),
-    )
-
-
-ORACLE_SNAPSHOT_CHECK_CONSTRAINTS = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(SUM(o_totalprice), 2) AS total,
-       CAST(1 AS BIGINT) AS refused_constraint_adds,
-       CAST(2 AS BIGINT) AS refused_appends,
-       'replace,set_constraint,append,drop_constraint,append' AS ops
-FROM orders
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "snapshot_check_constraints": (
-            q_snapshot_check_constraints,
-            ORACLE_SNAPSHOT_CHECK_CONSTRAINTS,
-            "ext:write-time CHECK constraints (add/enforce/carry/drop)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round 9 (continued): IR phrase search, checked approximate quantiles,
-# watermark-scoped streaming dedup, seasonal decomposition.
-# --------------------------------------------------------------------------
-
-
-def q_approx_quantile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile with a HARD error check (the
-    hll_mergeable_checked pattern — a sketch is only usable at 100 TB
-    if its error bound is VERIFIED, not trusted): Spark's
-    approx_percentile(totalprice, q, accuracy) guarantees a rank error
-    ≤ n/accuracy (Greenwald-Khanna/KLL contract). The check computes
-    the approximate value's TRUE rank interval [rank_lo, rank_hi)
-    exactly (two count-aggregates against the base data) and asserts
-    |true_rank − q·n| ≤ n/accuracy + tie-width, emitted as booleans
-    the oracle pins to TRUE literals alongside the exact-quantile
-    twin values. The estimate itself is engine-specific → the boolean
-    + exact-twin columns are the oracle surface, never the estimate."""
-    acc = 1000
-    o = _t(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
-    ).localCheckpoint(eager=True)
-    qs = [0.25, 0.5, 0.9]
-    approx = o.agg(
-        *[
-            F.expr(f"approx_percentile(v, {q}, {acc})").alias(f"a{i}")
-            for i, q in enumerate(qs)
-        ],
-        F.count("*").alias("n"),
-    )
-    # exact twin: lower-quantile order statistic at rank ceil(q*n) via
-    # the distinct-value cum trick (the weighted-median machinery)
-    per = o.groupBy("v").agg(F.count("*").alias("m"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per.select("v", F.sum("m").over(w).cast("long").alias("cum"))
-    j = cum.crossJoin(F.broadcast(approx))
-    aggs = [F.max("n").cast("long").alias("n")]
-    for i, q in enumerate(qs):
-        # exact value at rank ceil(q*n): smallest v with cum >= ceil(q*n)
-        target = F.expr(f"CAST(ceil({q} * n) AS BIGINT)")
-        aggs.append(
-            F.min(F.when(F.col("cum") >= target, F.col("v")))
-            .cast("long").alias(f"exact_q{i}")
-        )
-        # true rank interval of the approx value a_i
-        aggs.append(
-            F.max(F.when(F.col("v") <= F.col(f"a{i}"), F.col("cum")))
-            .alias(f"rank_hi{i}")
-        )
-        aggs.append(
-            F.max(F.when(F.col("v") < F.col(f"a{i}"), F.col("cum")))
-            .alias(f"rank_lo{i}")
-        )
-    raw = j.agg(*aggs)
-    out_cols = [F.col("n")]
-    for i, q in enumerate(qs):
-        target = F.expr(f"CAST(ceil({q} * n) AS BIGINT)")
-        slack = F.expr(f"n div {acc}")
-        ok = (
-            (F.coalesce(F.col(f"rank_hi{i}"), F.lit(0))
-             >= target - slack - 1)
-            & (F.coalesce(F.col(f"rank_lo{i}"), F.lit(0))
-               <= target + slack)
-        )
-        out_cols.append(F.col(f"exact_q{i}"))
-        out_cols.append(ok.alias(f"bound_ok_q{i}"))
-    return raw.select(*out_cols)
-
-
-ORACLE_APPROX_QUANTILE_CHECKED = """
-WITH o AS MATERIALIZED (
-  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
-),
-cum AS MATERIALIZED (
-  SELECT v, CAST(SUM(m) OVER (ORDER BY v) AS BIGINT) AS cum
-  FROM (SELECT v, COUNT(*) AS m FROM o GROUP BY 1)
-),
-tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o)
-SELECT n,
-       (SELECT MIN(v) FROM cum
-        WHERE cum >= CAST(ceil(0.25 * tot.n) AS BIGINT)) AS exact_q0,
-       TRUE AS bound_ok_q0,
-       (SELECT MIN(v) FROM cum
-        WHERE cum >= CAST(ceil(0.5 * tot.n) AS BIGINT)) AS exact_q1,
-       TRUE AS bound_ok_q1,
-       (SELECT MIN(v) FROM cum
-        WHERE cum >= CAST(ceil(0.9 * tot.n) AS BIGINT)) AS exact_q2,
-       TRUE AS bound_ok_q2
-FROM tot
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "approx_quantile_checked": (
-            q_approx_quantile_checked,
-            ORACLE_APPROX_QUANTILE_CHECKED,
-            "ext:approx_percentile with verified rank-error bound"
-            " + exact twin",
-        ),
-    }
-)
-
-
-def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicatesWithinWatermark end to end (Spark 3.5's
-    bounded-state streaming dedup — the §2.10e row plain
-    dropDuplicates can't give you at 100 TB/day: its state never
-    evicts, this one's does): duplicates of a key are suppressed only
-    while the key's state lives (event time + delay), and the SAME key
-    re-emits after the watermark evicts it — at-least-once dedup with
-    O(active-keys) state instead of O(all-keys-ever). Deterministic
-    phases (mtime-pinned files, maxFilesPerTrigger=1): batch 0 = all
-    real click events (same-key duplicates collapse in-batch); batch 1
-    = a far-future watermark advancer (evicts every batch-0 key);
-    batch 2 = REPLAYS of 20 batch-0 keys shifted far ahead — all 20
-    re-emit because their state is gone. The oracle is the exact
-    emission law: distinct keys from phase 0 + all phase-2 rows,
-    distinguished by the time cutoff."""
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select("user_id", "ts", "event_id")
-        .localCheckpoint(eager=True)
-    )
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    replay = (
-        ev.select("user_id").distinct()
-        .orderBy("user_id")
-        .limit(20)
-        .select(
-            "user_id",
-            (F.lit(max_ts) + F.expr("INTERVAL 400 DAYS")).alias("ts"),
-            F.lit(-9).cast("long").alias("event_id"),
-        )
-    )
-    def advancer(days: int):
-        return spark.createDataFrame(
-            [(-1, max_ts, -1)], "user_id long, ts timestamp, event_id long"
-        ).select(
-            "user_id",
-            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            "event_id",
-        )
-
-    def stage(df, phase: int, root: str):
-        tmp = root + f"_tmp{phase}"
-        df.repartition(1).write.parquet(tmp)
-        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = _os.path.join(root, f"{phase:02d}.parquet")
-        _shutil.move(_os.path.join(tmp, part), dst)
-        _shutil.rmtree(tmp, ignore_errors=True)
-        base = 1_700_000_000 + phase * 60
-        _os.utime(dst, (base, base))
-
-    src = _scratch_dir(sf_dir, "sddw")
-    _os.makedirs(src)
-    stage(ev, 0, src)
-    # TWO advancer batches, not one: dropDuplicatesWithinWatermark's
-    # store lookup drops a duplicate WITHOUT an expiry check, and
-    # eviction runs at END of batch using the PREVIOUS batch's
-    # watermark — so after one advancer the replay's lookups would
-    # still see any batch-0 key whose stored event sits within
-    # 2×delay of max_ts (r9 review: red on a ts-unsorted fixture).
-    # The second advancer guarantees every batch-0 key is evicted
-    # BEFORE the replay batch is processed.
-    stage(advancer(200), 1, src)
-    stage(advancer(250), 2, src)
-    stage(replay, 3, src)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id"])
-    )
-    name = "sddw_" + _uuid.uuid4().hex[:8]
-    ckpt = _scratch_dir(sf_dir, "sddwckpt")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).filter(F.col("user_id") >= 0)
-    cutoff = F.lit(max_ts) + F.expr("INTERVAL 300 DAYS")
-    return out.agg(
-        F.sum((F.col("ts") < cutoff).cast("long")).cast("long")
-        .alias("emitted_phase0"),
-        F.sum((F.col("ts") >= cutoff).cast("long")).cast("long")
-        .alias("re_emitted_after_eviction"),
-        F.countDistinct("user_id").cast("long").alias("distinct_users"),
-    )
-
-
-ORACLE_STREAM_DEDUP_WITHIN_WATERMARK = """
-WITH clicks AS MATERIALIZED (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
-)
-SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM clicks)
-         AS emitted_phase0,
-       (SELECT CAST(LEAST(20, COUNT(DISTINCT user_id)) AS BIGINT)
-        FROM clicks) AS re_emitted_after_eviction,
-       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM clicks)
-         AS distinct_users
-"""
-
-
-def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition of the 1995 daily
-    revenue series (moving-average STL-lite: trend = centered 7-day
-    mean, seasonal = per-weekday mean of the detrended series,
-    remainder = what's left) — the EXPLAIN step beside the forecast
-    rows (holt/seasonal-naive predict; this attributes). ZERO interior
-    divisions on either engine (DuckDB's decimal '/' silently returns
-    DOUBLE — exact only below 2^53, a silent sf30+ divergence; r9
-    review): the detrended series is carried at 7×micro scale
-    (detr7 = 7·10^6·y − (10^6·sum7 − 10^6·sum7 % 7)), the per-weekday
-    seasonal index as its exactly-divisible numerator
-    (Σdetr7 − Σdetr7 % n), and the remainder pre-multiplied by the
-    weekday count (n·detr7 − seasonal_num) — all IDENTICAL
-    decimal(38,0) integers emitted as strings, plus one rounded
-    double (seasonal_cents) divided from those identical integers for
-    human reading. Scale: one map-side-combinable groupBy to ≤365 day
-    rows; windows over that bounded frame."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.col("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-    w7 = Window.orderBy("d").rowsBetween(-3, 3)
-    trended = days.select(
-        "d",
-        "y",
-        F.count("*").over(w7).alias("w_n"),
-        F.sum("y").over(w7).alias("w_sum"),
-    ).filter(F.col("w_n") == 7)
-    detr = trended.select(
-        "d",
-        F.dayofweek("d").cast("long").alias("dow"),
-        F.expr(
-            "CAST(CAST(7000000 AS DECIMAL(38,0)) * y"
-            " - (CAST(1000000 AS DECIMAL(38,0)) * w_sum"
-            "    - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7)"
-            " AS DECIMAL(38,0))"
-        ).alias("detr7"),
-    )
-    seas = detr.groupBy("dow").agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.expr(
-            "CAST(SUM(detr7) - SUM(detr7) % COUNT(*) AS DECIMAL(38,0))"
-        ).alias("seasonal_num"),
-    )
-    rem = (
-        detr.join(seas, "dow")
-        .groupBy("dow")
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("n_days").cast("decimal(38,0)") * F.col("detr7")
-                    - F.col("seasonal_num")
-                )
-            ).cast("decimal(38,0)").alias("max_abs_rem"),
-        )
-    )
-    return (
-        seas.join(rem, "dow")
-        .select(
-            "dow",
-            "n_days",
-            F.col("seasonal_num").cast("string").alias("seasonal_num_7micro"),
-            F.col("max_abs_rem").cast("string")
-            .alias("max_abs_remainder_x7n_micro"),
-            F.round(
-                F.col("seasonal_num").cast("double")
-                / (F.lit(7_000_000.0) * F.col("n_days").cast("double")),
-                4,
-            ).alias("seasonal_cents"),
-        )
-        .orderBy("dow")
-    )
-
-
-ORACLE_SEASONAL_DECOMPOSE = """
-WITH days AS MATERIALIZED (
-  SELECT o_orderdate AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-trended AS MATERIALIZED (
-  SELECT d, y,
-         COUNT(*) OVER w AS w_n,
-         SUM(y) OVER w AS w_sum
-  FROM days WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-),
-detr AS MATERIALIZED (
-  SELECT d,
-         CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
-         CAST(CAST(7000000 AS DECIMAL(38,0)) * y
-              - (CAST(1000000 AS DECIMAL(38,0)) * w_sum
-                 - (CAST(1000000 AS DECIMAL(38,0)) * w_sum) % 7)
-              AS DECIMAL(38,0)) AS detr7
-  FROM trended WHERE w_n = 7
-),
-seas AS MATERIALIZED (
-  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
-         CAST(SUM(detr7) - SUM(detr7) % COUNT(*) AS DECIMAL(38,0))
-           AS seasonal_num
-  FROM detr GROUP BY 1
-)
-SELECT seas.dow AS dow, n_days,
-       CAST(seasonal_num AS VARCHAR) AS seasonal_num_7micro,
-       CAST(MAX(abs(CAST(n_days AS DECIMAL(38,0)) * detr7 - seasonal_num))
-            AS VARCHAR) AS max_abs_remainder_x7n_micro,
-       ROUND(CAST(seasonal_num AS DOUBLE)
-             / (7000000.0 * CAST(n_days AS DOUBLE)), 4) AS seasonal_cents
-FROM detr JOIN seas ON detr.dow = seas.dow
-GROUP BY 1, 2, 3, 5 ORDER BY 1
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "stream_dedup_within_watermark": (
-            q_stream_dedup_within_watermark,
-            ORACLE_STREAM_DEDUP_WITHIN_WATERMARK,
-            "ext:dropDuplicatesWithinWatermark (bounded-state dedup"
-            " + post-eviction re-emit)",
-        ),
-        "seasonal_decompose": (
-            q_seasonal_decompose,
-            ORACLE_SEASONAL_DECOMPOSE,
-            "ext:additive seasonal decomposition (exact micro trend/"
-            "seasonal/remainder)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round-9 late additions: nonparametric / classical statistics pack II
-# --------------------------------------------------------------------------
-
-
-def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kruskal-Wallis H test: does l_quantity differ across the three
-    return-flag populations? The k-group generalization of
-    mann_whitney_u, same counting form: ONE keyed count reduces the
-    data to the ≤50-row quantity histogram, average ranks come from a
-    cumulative window over that bounded table (2·rank(v) = 2·cum_below
-    + count(v) + 1, kept integer as r2), per-group rank sums stay exact
-    BIGINT (Σ c_g·r2 = 2·R_g), and H is derived in double from the
-    exact integer moments with the tie correction 1 − Σ(t³−t)/(N³−N)
-    (tie cubes through decimal(38,0) — the mann_whitney_u overflow
-    rationale). Scale: one map-side-combinable aggregate on a bounded
-    key domain; windows over ≤50 rows only."""
-    li = _t(spark, sf_dir, "lineitem")
-    # FLOOR, not cast (the q_sssp_weighted truncate-vs-round convention)
-    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
-        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
-        .cast("long")
-        .alias("cn"),
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-        .cast("long")
-        .alias("cr"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    c_tot = F.col("ca") + F.col("cn") + F.col("cr")
-    stepped = cells.select(
-        "ca",
-        "cn",
-        "cr",
-        (
-            2 * F.coalesce(F.sum(c_tot).over(w), F.lit(0)) + c_tot + 1
-        ).alias("r2"),
-    )
-    t_dec = c_tot.cast("decimal(38,0)")
-    agg = stepped.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cn").cast("long").alias("n_n"),
-        F.sum("cr").cast("long").alias("n_r"),
-        F.sum(F.col("ca") * F.col("r2")).cast("long").alias("r2_a"),
-        F.sum(F.col("cn") * F.col("r2")).cast("long").alias("r2_n"),
-        F.sum(F.col("cr") * F.col("r2")).cast("long").alias("r2_r"),
-        F.sum(t_dec * t_dec * t_dec - t_dec).cast("double").alias("tie_cubes"),
-    )
-    n = (F.col("n_a") + F.col("n_n") + F.col("n_r")).cast("double")
-    rsq_over_n = (
-        (F.col("r2_a") / 2.0) * (F.col("r2_a") / 2.0) / F.col("n_a")
-        + (F.col("r2_n") / 2.0) * (F.col("r2_n") / 2.0) / F.col("n_n")
-        + (F.col("r2_r") / 2.0) * (F.col("r2_r") / 2.0) / F.col("n_r")
-    )
-    h_raw = 12.0 / (n * (n + 1.0)) * rsq_over_n - 3.0 * (n + 1.0)
-    h = h_raw / (F.lit(1.0) - F.col("tie_cubes") / (n * n * n - n))
-    return agg.select(
-        "n_a",
-        "n_n",
-        "n_r",
-        "r2_a",
-        "r2_n",
-        "r2_r",
-        F.round(h * F.lit(1_000_000.0)).cast("long").alias("h_micro"),
-    )
-
-
-ORACLE_KRUSKAL_WALLIS_H = """
-WITH cells AS MATERIALIZED (
-  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
-         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
-           AS ca,
-         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cn,
-         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cr
-  FROM lineitem GROUP BY 1
-),
-stepped AS (
-  SELECT ca, cn, cr,
-         2 * COALESCE(SUM(ca + cn + cr) OVER (ORDER BY v
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING), 0) + (ca + cn + cr) + 1 AS r2
-  FROM cells
-),
-agg AS (
-  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
-         CAST(SUM(cn) AS BIGINT) AS n_n,
-         CAST(SUM(cr) AS BIGINT) AS n_r,
-         CAST(SUM(ca * r2) AS BIGINT) AS r2_a,
-         CAST(SUM(cn * r2) AS BIGINT) AS r2_n,
-         CAST(SUM(cr * r2) AS BIGINT) AS r2_r,
-         CAST(SUM(CAST(ca + cn + cr AS HUGEINT) * (ca + cn + cr)
-                  * (ca + cn + cr) - (ca + cn + cr)) AS DOUBLE) AS tie_cubes
-  FROM stepped
-)
-SELECT n_a, n_n, n_r, r2_a, r2_n, r2_r,
-       CAST(ROUND(
-         (12.0 / (CAST(n_a + n_n + n_r AS DOUBLE)
-                  * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0))
-            * ((r2_a / 2.0) * (r2_a / 2.0) / n_a
-               + (r2_n / 2.0) * (r2_n / 2.0) / n_n
-               + (r2_r / 2.0) * (r2_r / 2.0) / n_r)
-          - 3.0 * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0))
-         / (1.0 - tie_cubes
-                  / (CAST(n_a + n_n + n_r AS DOUBLE)
-                     * CAST(n_a + n_n + n_r AS DOUBLE)
-                     * CAST(n_a + n_n + n_r AS DOUBLE)
-                     - CAST(n_a + n_n + n_r AS DOUBLE)))
-         * 1000000) AS BIGINT) AS h_micro
-FROM agg
-"""
-
-
-def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall tau-b rank correlation between daily order volume and
-    daily revenue over the 1995 calendar — the third rank-correlation
-    surface beside spearman_corr (which needs full ranks) and
-    mann_kendall_trend (which tests one series against time). The
-    expensive input reduces to the ≤365-row (day, n_orders,
-    price_cents) frame in ONE map-side-combinable aggregate; pair
-    enumeration is a broadcast `d < d'` self-join of that bounded frame
-    (BroadcastNestedLoopJoin over ≤365² = 133k pairs — a model-frame
-    cross, the copurchase/containment precedent, never data×data).
-    Concordant/discordant/tie pair counts stay exact BIGINT; tau_b =
-    (C−D)/√((n0−tx)(n0−ty)) is derived in double from those integers
-    and quantized to micro-units."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            F.count("*").cast("long").alias("x"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y"),
-        )
-    )
-    a = days.alias("a")
-    b = F.broadcast(days.alias("b"))
-    dx = F.col("a.x") - F.col("b.x")
-    dy = F.col("a.y") - F.col("b.y")
-    pairs = a.join(b, F.col("a.d") < F.col("b.d"))
-    agg = pairs.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum(
-            (((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0))).cast("long")
-        )
-        .cast("long")
-        .alias("nc"),
-        F.sum(
-            (((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0))).cast("long")
-        )
-        .cast("long")
-        .alias("nd"),
-        F.sum((dx == 0).cast("long")).cast("long").alias("tie_x_pairs"),
-        F.sum((dy == 0).cast("long")).cast("long").alias("tie_y_pairs"),
-    )
-    tau = (F.col("nc") - F.col("nd")) / F.sqrt(
-        (F.col("n_pairs") - F.col("tie_x_pairs")).cast("double")
-        * (F.col("n_pairs") - F.col("tie_y_pairs"))
-    )
-    return agg.select(
-        "n_pairs",
-        "nc",
-        "nd",
-        "tie_x_pairs",
-        "tie_y_pairs",
-        F.round(tau * F.lit(1_000_000.0)).cast("long").alias("tau_b_micro"),
-    )
-
-
-ORACLE_KENDALL_TAU_DAILY = """
-WITH days AS MATERIALIZED (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(COUNT(*) AS BIGINT) AS x,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         CAST(SUM(CASE WHEN (a.x > b.x AND a.y > b.y)
-                         OR (a.x < b.x AND a.y < b.y)
-                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
-         CAST(SUM(CASE WHEN (a.x > b.x AND a.y < b.y)
-                         OR (a.x < b.x AND a.y > b.y)
-                       THEN 1 ELSE 0 END) AS BIGINT) AS nd,
-         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
-           AS tie_x_pairs,
-         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
-           AS tie_y_pairs
-  FROM days a JOIN days b ON a.d < b.d
-)
-SELECT n_pairs, nc, nd, tie_x_pairs, tie_y_pairs,
-       CAST(ROUND((nc - nd)
-                  / SQRT(CAST(n_pairs - tie_x_pairs AS DOUBLE)
-                         * (n_pairs - tie_y_pairs))
-                  * 1000000) AS BIGINT) AS tau_b_micro
-FROM agg
-"""
-
-
-def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch's unequal-variance t-test on mean extended price between
-    return flags A and N — the parametric complement to mann_whitney_u
-    (means under unequal variances vs rank shift). ONE conditional
-    aggregate produces the exact integer moments per group (n, Σcents
-    as BIGINT, Σcents² through decimal(38,0) — the square of a 1e7-cent
-    line item times SF≈6 row counts overflows int64); means are emitted
-    as exact integer micro-cents via integer division, and t / the
-    Welch–Satterthwaite df are derived in double from the exact moments
-    only at the end. Scale: a single map-side-combinable pass, no
-    shuffle beyond the 1-row final aggregate."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag").isin("A", "N")
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    # per-row square stays in LONG (cents² ≤ ~1.4e14 — exact and cheap
-    # in whole-stage codegen); only the SUM runs in decimal(38,0),
-    # where int64 would overflow around SF≈1 (10× probe: the earlier
-    # decimal×decimal per row made this one scan 6× slower)
-    sq_dec = (cents * cents).cast("decimal(38,0)")
-    is_a = F.col("l_returnflag") == "A"
-    agg = li.agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
-        F.sum(F.when(is_a, cents).otherwise(0)).cast("long").alias("s_a"),
-        F.sum(F.when(~is_a, cents).otherwise(0)).cast("long").alias("s_b"),
-        F.sum(F.when(is_a, sq_dec).otherwise(0))
-        .cast("double")
-        .alias("ss_a"),
-        F.sum(F.when(~is_a, sq_dec).otherwise(0))
-        .cast("double")
-        .alias("ss_b"),
-    )
-    var_a = (
-        F.col("ss_a")
-        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
-    ) / (F.col("n_a") - F.lit(1))
-    var_b = (
-        F.col("ss_b")
-        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
-    ) / (F.col("n_b") - F.lit(1))
-    se2_a = var_a / F.col("n_a")
-    se2_b = var_b / F.col("n_b")
-    t = (
-        F.col("s_a").cast("double") / F.col("n_a")
-        - F.col("s_b").cast("double") / F.col("n_b")
-    ) / F.sqrt(se2_a + se2_b)
-    df = ((se2_a + se2_b) * (se2_a + se2_b)) / (
-        se2_a * se2_a / (F.col("n_a") - F.lit(1))
-        + se2_b * se2_b / (F.col("n_b") - F.lit(1))
-    )
-    return agg.select(
-        "n_a",
-        "n_b",
-        # 1e6 × Σcents leaves int64 around SF≈1 — scale up in
-        # decimal(38,0); DIV on decimals yields the exact integral part
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s_a) DIV n_a AS LONG)"
-        ).alias("mean_a_microcents"),
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s_b) DIV n_b AS LONG)"
-        ).alias("mean_b_microcents"),
-        F.round(t * F.lit(1_000_000.0)).cast("long").alias("t_micro"),
-        F.round(df * F.lit(1_000.0)).cast("long").alias("df_milli"),
-    )
-
-
-ORACLE_WELCH_TTEST = """
-WITH agg AS (
-  SELECT
-    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
-      AS n_a,
-    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
-      AS n_b,
-    CAST(SUM(CASE WHEN l_returnflag = 'A'
-                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                  ELSE 0 END) AS BIGINT) AS s_a,
-    CAST(SUM(CASE WHEN l_returnflag = 'N'
-                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                  ELSE 0 END) AS BIGINT) AS s_b,
-    CAST(SUM(CASE WHEN l_returnflag = 'A'
-                  THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                       AS HUGEINT)
-                  ELSE 0 END) AS DOUBLE) AS ss_a,
-    CAST(SUM(CASE WHEN l_returnflag = 'N'
-                  THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                       AS HUGEINT)
-                  ELSE 0 END) AS DOUBLE) AS ss_b
-  FROM lineitem WHERE l_returnflag IN ('A', 'N')
-),
-derived AS (
-  SELECT n_a, n_b, s_a, s_b,
-         ((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
-           AS se2_a,
-         ((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b
-           AS se2_b
-  FROM agg
-)
-SELECT n_a, n_b,
-       CAST((CAST(1000000 AS HUGEINT) * s_a) // n_a AS BIGINT)
-         AS mean_a_microcents,
-       CAST((CAST(1000000 AS HUGEINT) * s_b) // n_b AS BIGINT)
-         AS mean_b_microcents,
-       CAST(ROUND((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-                  / SQRT(se2_a + se2_b) * 1000000) AS BIGINT) AS t_micro,
-       CAST(ROUND(((se2_a + se2_b) * (se2_a + se2_b))
-                  / (se2_a * se2_a / (n_a - 1)
-                     + se2_b * se2_b / (n_b - 1)) * 1000) AS BIGINT)
-         AS df_milli
-FROM derived
-"""
-
-
-def q_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-evaluation lift & gains table: score = order value band,
-    positive = '1-URGENT' priority; rows are ranked by descending score
-    band and cut into cumulative-count deciles, and each decile reports
-    exact-integer lift and gain in ppm (lift = decile positive rate /
-    global positive rate, gain = share of all positives captured so
-    far). The ranking never globally sorts rows: ONE keyed aggregate
-    reduces the data to ≤130 price-band cells, the decile cut is a
-    cumulative window over that bounded frame (decile = ⌈10·cum/N⌉,
-    exact via (10·cum + N − 1) DIV N — a whole band lands in one
-    decile, the documented bucket-quantized semantics that make the
-    cut reproducible at any scale), and lift/gain are integer
-    divisions of exact BIGINT counts. Complements auc_score (threshold
-    -free) and reliability_bins (calibration) with the
-    campaign-targeting view."""
-    o = _t(spark, sf_dir, "orders")
-    cells = o.groupBy(
-        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("band")
-    ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(
-            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("pos"),
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    wcum = Window.orderBy(F.desc("band")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cut = cells.select(
-        "n",
-        "pos",
-        F.sum("n").over(wall).alias("n_total"),
-        F.sum("pos").over(wall).alias("pos_total"),
-        F.sum("n").over(wcum).alias("cum_n"),
-    ).select(
-        "n",
-        "pos",
-        "n_total",
-        "pos_total",
-        F.expr("CAST((10 * cum_n + n_total - 1) DIV n_total AS LONG)").alias(
-            "decile"
-        ),
-    )
-    per = cut.groupBy("decile", "n_total", "pos_total").agg(
-        F.sum("n").cast("long").alias("n_rows"),
-        F.sum("pos").cast("long").alias("n_pos"),
-    )
-    wgain = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        per.select(
-            "decile",
-            "n_rows",
-            "n_pos",
-            "pos_total",
-            F.sum("n_pos").over(wgain).cast("long").alias("cum_pos"),
-            # 1e6·n_pos·n_total leaves int64 around SF≈10 — decimal
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pos * n_total)"
-                " DIV (n_rows * pos_total) AS LONG)"
-            ).alias("lift_ppm"),
-        )
-        .withColumn(
-            "cum_gain_ppm",
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_pos)"
-                " DIV pos_total AS LONG)"
-            ),
-        )
-        .select(
-            "decile", "n_rows", "n_pos", "cum_pos", "lift_ppm",
-            "cum_gain_ppm",
-        )
-        .orderBy("decile")
-    )
-
-
-ORACLE_LIFT_GAINS_DECILES = """
-WITH cells AS MATERIALIZED (
-  SELECT CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS band,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-              AS BIGINT) AS pos
-  FROM orders GROUP BY 1
-),
-cut AS (
-  SELECT n, pos,
-         SUM(n) OVER () AS n_total,
-         SUM(pos) OVER () AS pos_total,
-         (10 * SUM(n) OVER (ORDER BY band DESC
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW)
-          + SUM(n) OVER () - 1) // SUM(n) OVER () AS decile
-  FROM cells
-),
-per AS (
-  SELECT decile, n_total, pos_total,
-         CAST(SUM(n) AS BIGINT) AS n_rows,
-         CAST(SUM(pos) AS BIGINT) AS n_pos
-  FROM cut GROUP BY 1, 2, 3
-)
-SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
-       CAST(SUM(n_pos) OVER (ORDER BY decile
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS BIGINT) AS cum_pos,
-       CAST((CAST(1000000 AS HUGEINT) * n_pos * n_total)
-            // (n_rows * pos_total) AS BIGINT) AS lift_ppm,
-       CAST((CAST(1000000 AS HUGEINT)
-             * CAST(SUM(n_pos) OVER (ORDER BY decile
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS BIGINT))
-            // pos_total AS BIGINT) AS cum_gain_ppm
-FROM per ORDER BY decile
-"""
-
-
-def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-group mode: the most frequent integral
-    quantity per return flag, ties broken toward the SMALLEST value
-    (neither Spark nor DuckDB pins its native mode() tie-break, so
-    both sides spell the same explicit algebra: keyed count → per-group
-    rank over (count DESC, value ASC) → first row). Scale: the count
-    is one map-side-combinable aggregate to ≤3×50 cells; the ranking
-    window runs per-group over ≤50 rows."""
-    li = _t(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.floor("l_quantity").cast("long").alias("v"),
-    ).agg(F.count("*").cast("long").alias("cnt"))
-    w = Window.partitionBy("flag").orderBy(F.desc("cnt"), F.asc("v"))
-    return (
-        cells.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("flag", F.col("v").alias("mode_qty"), F.col("cnt").alias("n_at_mode"))
-        .orderBy("flag")
-    )
-
-
-ORACLE_MODE_PER_GROUP = """
-WITH cells AS (
-  SELECT l_returnflag AS flag, CAST(FLOOR(l_quantity) AS BIGINT) AS v,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM lineitem GROUP BY 1, 2
-),
-ranked AS (
-  SELECT flag, v, cnt,
-         ROW_NUMBER() OVER (PARTITION BY flag
-                            ORDER BY cnt DESC, v ASC) AS rn
-  FROM cells
-)
-SELECT flag, v AS mode_qty, cnt AS n_at_mode
-FROM ranked WHERE rn = 1 ORDER BY flag
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "kruskal_wallis_h": (
-            q_kruskal_wallis_h,
-            ORACLE_KRUSKAL_WALLIS_H,
-            "ext:Kruskal-Wallis H (k-group rank test, tie-corrected,"
-            " exact integer rank sums)",
-        ),
-        "kendall_tau_daily": (
-            q_kendall_tau_daily,
-            ORACLE_KENDALL_TAU_DAILY,
-            "ext:Kendall tau-b rank correlation (bounded pair join,"
-            " exact C/D/tie counts)",
-        ),
-        "welch_ttest": (
-            q_welch_ttest,
-            ORACLE_WELCH_TTEST,
-            "ext:Welch unequal-variance t-test (exact integer moments,"
-            " Welch-Satterthwaite df)",
-        ),
-        "lift_gains_deciles": (
-            q_lift_gains_deciles,
-            ORACLE_LIFT_GAINS_DECILES,
-            "ext:decile lift & gains table (bucket-quantized deciles,"
-            " exact ppm lift/gain)",
-        ),
-        "mode_per_group": (
-            q_mode_per_group,
-            ORACLE_MODE_PER_GROUP,
-            "ext:deterministic per-group mode (explicit tie-break"
-            " algebra both sides)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round-9 late additions: training-data curation text pack II
-# --------------------------------------------------------------------------
-
-
-def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Flesch reading-ease scoring rolled up by language —
-    the classic text-quality gate beside length_quality_gate (lengths)
-    and quality_score (ratio heuristics). Words come from the
-    literal-space portable tokenization, syllables from vowel-group
-    runs ([aeiouy]+ — the standard regex estimator), sentences from
-    terminal-punctuation runs clamped to ≥1. Flesch = 206.835 −
-    1.015·(words/sentences) − 84.6·(syllables/words) is computed per
-    doc in double and immediately quantized to micro-units (one
-    IEEE-deterministic expression per row — the qlog rationale), so
-    every aggregate downstream is exact BIGINT math. Scale: pure
-    per-row projection + one map-side-combinable rollup; no token
-    explode at all (regexp_count over the row)."""
-    docs = _t(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
-    words = F.size(
-        F.filter(F.split(lower, " "), lambda x: x != F.lit(""))
-    ).cast("long")
-    syll = F.regexp_count(lower, F.lit("[aeiouy]+")).cast("long")
-    sents = F.greatest(
-        F.lit(1).cast("long"),
-        F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("long"),
-    )
-    flesch = (
-        F.lit(206.835)
-        - F.lit(1.015) * (words.cast("double") / sents)
-        - F.lit(84.6) * (syll.cast("double") / words)
-    )
-    scored = docs.filter(F.length("text") > 0).select(
-        "lang",
-        words.alias("w"),
-        syll.alias("s"),
-        F.round(flesch * F.lit(1_000_000.0)).cast("long").alias("f_micro"),
-    )
-    return (
-        scored.groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("w").cast("long").alias("total_words"),
-            F.sum("s").cast("long").alias("total_syllables"),
-            F.sum("f_micro").cast("long").alias("sum_flesch_micro"),
-            F.min("f_micro").cast("long").alias("min_flesch_micro"),
-            F.max("f_micro").cast("long").alias("max_flesch_micro"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "total_words",
-            "total_syllables",
-            F.expr("CAST(sum_flesch_micro DIV n_docs AS LONG)").alias(
-                "avg_flesch_micro"
-            ),
-            "min_flesch_micro",
-            "max_flesch_micro",
-        )
-        .orderBy("lang")
-    )
-
-
-ORACLE_READABILITY_SCORES = """
-WITH scored AS MATERIALIZED (
-  SELECT lang,
-         CAST(len(list_filter(string_split(lower(text), ' '),
-                              x -> x != '')) AS BIGINT) AS w,
-         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
-              AS BIGINT) AS s,
-         GREATEST(CAST(1 AS BIGINT),
-                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
-           AS sents
-  FROM documents WHERE length(text) > 0
-),
-q AS (
-  SELECT lang, w, s,
-         CAST(ROUND((206.835
-                     - 1.015 * (CAST(w AS DOUBLE) / sents)
-                     - 84.6 * (CAST(s AS DOUBLE) / w))
-                    * 1000000) AS BIGINT) AS f_micro
-  FROM scored
-)
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(w) AS BIGINT) AS total_words,
-       CAST(SUM(s) AS BIGINT) AS total_syllables,
-       CAST(CAST(SUM(f_micro) AS BIGINT) // COUNT(*) AS BIGINT)
-         AS avg_flesch_micro,
-       CAST(MIN(f_micro) AS BIGINT) AS min_flesch_micro,
-       CAST(MAX(f_micro) AS BIGINT) AS max_flesch_micro
-FROM q GROUP BY lang ORDER BY lang
-"""
-
-
-# The entity dictionary for gazetteer tagging: term → type. A literal
-# model frame (broadcast side), the operational shape of dictionary
-# NER over a crawl: the dictionary is ~10⁵ rows in production, always
-# the small side of the join.
-_GAZETTEER: tuple[tuple[str, str], ...] = (
-    ("spark", "ENGINE"),
-    ("flink", "ENGINE"),
-    ("trino", "ENGINE"),
-    ("join", "OPERATOR"),
-    ("filter", "OPERATOR"),
-    ("scan", "OPERATOR"),
-    ("merge", "OPERATOR"),
-    ("sort", "OPERATOR"),
-    ("window", "OPERATOR"),
-    ("customer", "TABLE"),
-    ("orders", "TABLE"),
-    ("lineitem", "TABLE"),
-)
-
-
-def q_gazetteer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary (gazetteer) entity tagging over the corpus: literal-
-    space tokens hash-join a broadcast term→type dictionary; per entity
-    type the rollup reports mention count, distinct matched terms, and
-    document reach. The dictionary side is a literal model frame — at
-    production scale it stays ≤10⁵ rows and broadcasts, so the only
-    data-sized cost is the token explode (linear) and one keyed
-    aggregate; no shuffle ever carries the corpus against itself.
-    Complements keyword_search (single posting list) and rake
-    keyphrases (unsupervised) with the supervised-dictionary pass."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text")
-    gaz = F.broadcast(
-        spark.createDataFrame(list(_GAZETTEER), ["term", "etype"])
-    )
-    hits = toks.join(gaz, toks["tok"] == gaz["term"])
-    return (
-        hits.groupBy("etype")
-        .agg(
-            F.count("*").cast("long").alias("n_mentions"),
-            F.countDistinct("term").cast("long").alias("n_terms"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        )
-        .orderBy("etype")
-    )
-
-
-def _gazetteer_values_sql() -> str:
-    rows = ", ".join(f"('{t}', '{e}')" for t, e in _GAZETTEER)
-    return f"(VALUES {rows}) AS gaz(term, etype)"
-
-
-ORACLE_GAZETTEER_ENTITY_MATCH = f"""
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-  FROM documents
-)
-SELECT etype,
-       CAST(COUNT(*) AS BIGINT) AS n_mentions,
-       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-FROM toks JOIN {_gazetteer_values_sql()} ON toks.tok = gaz.term
-GROUP BY etype ORDER BY etype
-"""
-
-
-def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weighting for data selection (Xie et al.
-    2023, "Data Selection for Language Models via Importance
-    Resampling" — public arXiv 2302.03169): score every document by how
-    much more likely its tokens are under a TARGET unigram LM (here the
-    'en' slice) than under the SOURCE LM (everything else), then count
-    the target-like picks per language. Laplace-smoothed per-token
-    log-ratios are quantized ONCE PER VOCAB TYPE to micro-nats (the
-    qlog discipline — quantization sites scale with vocabulary, not
-    corpus), so each document's weight is an exact BIGINT sum of its
-    tokens' integer weights. Scale: token explode (linear) + one
-    shuffle joining tokens to the vocab weight table on tok; corpus
-    totals ride a broadcast 1-row frame; no unpartitioned windows."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text").join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
-    is_t = F.col("lang") == "en"
-    vocab = toks.groupBy("tok").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("ct"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("cs"),
-    )
-    totals = vocab.agg(
-        F.sum("ct").cast("long").alias("nt"),
-        F.sum("cs").cast("long").alias("ns"),
-        F.count("*").cast("long").alias("v"),
-    )
-    w = vocab.crossJoin(F.broadcast(totals)).select(
-        "tok",
-        (
-            F.round(
-                F.log(
-                    (F.col("ct") + 1).cast("double")
-                    / (F.col("nt") + F.col("v"))
-                )
-                * F.lit(1_000_000.0)
-            ).cast("long")
-            - F.round(
-                F.log(
-                    (F.col("cs") + 1).cast("double")
-                    / (F.col("ns") + F.col("v"))
-                )
-                * F.lit(1_000_000.0)
-            ).cast("long")
-        ).alias("w_micro"),
-    )
-    doc_w = (
-        toks.join(w, "tok")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("w_micro").cast("long").alias("weight_micro"),
-            F.count("*").cast("long").alias("n_tokens"),
-        )
-    )
-    return (
-        doc_w.groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("weight_micro") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_target_like"),
-            F.sum("weight_micro").cast("long").alias("sum_weight_micro"),
-            F.max("weight_micro").cast("long").alias("max_weight_micro"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "n_target_like",
-            F.expr("CAST(sum_weight_micro DIV n_docs AS LONG)").alias(
-                "avg_weight_micro"
-            ),
-            "max_weight_micro",
-        )
-        .orderBy("lang")
-    )
-
-
-ORACLE_DSIR_IMPORTANCE_WEIGHTS = """
-WITH toks AS MATERIALIZED (
-  SELECT d.doc_id, d.lang, t.tok
-  FROM documents d,
-       LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS tok) t
-  WHERE t.tok != ''
-),
-vocab AS MATERIALIZED (
-  SELECT tok,
-         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-         CAST(SUM(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
-  FROM toks GROUP BY tok
-),
-totals AS (
-  SELECT CAST(SUM(ct) AS BIGINT) AS nt,
-         CAST(SUM(cs) AS BIGINT) AS ns,
-         CAST(COUNT(*) AS BIGINT) AS v
-  FROM vocab
-),
-w AS MATERIALIZED (
-  SELECT tok,
-         CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / (nt + v)) * 1000000)
-              AS BIGINT)
-         - CAST(ROUND(LN(CAST(cs + 1 AS DOUBLE) / (ns + v)) * 1000000)
-                AS BIGINT) AS w_micro
-  FROM vocab, totals
-),
-doc_w AS (
-  SELECT doc_id, lang,
-         CAST(SUM(w_micro) AS BIGINT) AS weight_micro
-  FROM toks JOIN w USING (tok)
-  GROUP BY doc_id, lang
-)
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN weight_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_target_like,
-       CAST(CAST(SUM(weight_micro) AS BIGINT) // COUNT(*) AS BIGINT)
-         AS avg_weight_micro,
-       CAST(MAX(weight_micro) AS BIGINT) AS max_weight_micro
-FROM doc_w GROUP BY lang ORDER BY lang
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "readability_scores": (
-            q_readability_scores,
-            ORACLE_READABILITY_SCORES,
-            "ext:Flesch readability quality gate (per-row regex counts,"
-            " micro-quantized)",
-        ),
-        "gazetteer_entity_match": (
-            q_gazetteer_entity_match,
-            ORACLE_GAZETTEER_ENTITY_MATCH,
-            "ext:dictionary (gazetteer) entity tagging via broadcast"
-            " term join",
-        ),
-        "dsir_importance_weights": (
-            q_dsir_importance_weights,
-            ORACLE_DSIR_IMPORTANCE_WEIGHTS,
-            "ext:DSIR importance weights for data selection (per-type"
-            " micro-nat log-ratios, exact doc sums)",
-        ),
-    }
-)
-
-
-def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial autocorrelation of the daily-revenue series at lags
-    1–3 (Durbin–Levinson closed forms) — the model-identification
-    companion to acf_daily_events: ACF says "how much memory", PACF
-    says "how many AR terms". Autocovariances are exact: with S = Σy
-    and n days, n²·c_k = Σ (n·y_t − S)(n·y_{t−k} − S) runs in
-    decimal(38,0) (per-term products reach ~1e25), so r_k = c_k/c_0
-    is a single deterministic decimal→double divide, and φ22/φ33 are
-    spelled as the same explicit determinant arithmetic on both
-    engines. Scale: ONE keyed aggregate reduces to the ≤365-row daily
-    frame; lags ride a window over that bounded frame only."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-    totals = days.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("y").cast("long").alias("s"),
-    )
-    w = Window.orderBy("d")
-    lagged = days.crossJoin(F.broadcast(totals)).select(
-        (F.col("n") * F.col("y") - F.col("s")).alias("dev"),
-        (F.col("n") * F.lag("y", 1).over(w) - F.col("s")).alias("dev1"),
-        (F.col("n") * F.lag("y", 2).over(w) - F.col("s")).alias("dev2"),
-        (F.col("n") * F.lag("y", 3).over(w) - F.col("s")).alias("dev3"),
-        "n",
-    )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    cov = lagged.groupBy("n").agg(
-        F.sum(dec("dev") * dec("dev")).alias("c0"),
-        F.sum(dec("dev") * dec("dev1")).alias("c1"),
-        F.sum(dec("dev") * dec("dev2")).alias("c2"),
-        F.sum(dec("dev") * dec("dev3")).alias("c3"),
-    )
-    r1 = F.col("c1").cast("double") / F.col("c0").cast("double")
-    r2 = F.col("c2").cast("double") / F.col("c0").cast("double")
-    r3 = F.col("c3").cast("double") / F.col("c0").cast("double")
-    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
-    det3 = (
-        (F.lit(1.0) - r1 * r1)
-        - r1 * (r1 - r1 * r2)
-        + r2 * (r1 * r1 - r2)
-    )
-    det3n = (
-        (r3 - r2 * r1)
-        - r1 * (r1 * r3 - r2 * r2)
-        + r1 * (r1 * r1 - r2)
-    )
-    m = F.lit(1_000_000.0)
-    return cov.select(
-        F.col("n").alias("n_days"),
-        F.round(r1 * m).cast("long").alias("r1_micro"),
-        F.round(r2 * m).cast("long").alias("r2_micro"),
-        F.round(r3 * m).cast("long").alias("r3_micro"),
-        F.round(r1 * m).cast("long").alias("pacf1_micro"),
-        F.round(phi22 * m).cast("long").alias("pacf2_micro"),
-        F.round(det3n / det3 * m).cast("long").alias("pacf3_micro"),
-    )
-
-
-ORACLE_PACF_DAILY = """
-WITH days AS MATERIALIZED (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-totals AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
-  FROM days
-),
-lagged AS (
-  SELECT n * y - s AS dev,
-         n * LAG(y, 1) OVER (ORDER BY d) - s AS dev1,
-         n * LAG(y, 2) OVER (ORDER BY d) - s AS dev2,
-         n * LAG(y, 3) OVER (ORDER BY d) - s AS dev3,
-         n
-  FROM days, totals
-),
-cov AS (
-  SELECT n,
-         SUM(CAST(dev AS HUGEINT) * dev) AS c0,
-         SUM(CAST(dev AS HUGEINT) * dev1) AS c1,
-         SUM(CAST(dev AS HUGEINT) * dev2) AS c2,
-         SUM(CAST(dev AS HUGEINT) * dev3) AS c3
-  FROM lagged GROUP BY n
-),
-r AS (
-  SELECT n,
-         CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
-         CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
-         CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
-  FROM cov
-)
-SELECT n AS n_days,
-       CAST(ROUND(r1 * 1000000) AS BIGINT) AS r1_micro,
-       CAST(ROUND(r2 * 1000000) AS BIGINT) AS r2_micro,
-       CAST(ROUND(r3 * 1000000) AS BIGINT) AS r3_micro,
-       CAST(ROUND(r1 * 1000000) AS BIGINT) AS pacf1_micro,
-       CAST(ROUND((r2 - r1 * r1) / (1.0 - r1 * r1) * 1000000) AS BIGINT)
-         AS pacf2_micro,
-       CAST(ROUND(((r3 - r2 * r1)
-                   - r1 * (r1 * r3 - r2 * r2)
-                   + r1 * (r1 * r1 - r2))
-                  / ((1.0 - r1 * r1)
-                     - r1 * (r1 - r1 * r2)
-                     + r2 * (r1 * r1 - r2))
-                  * 1000000) AS BIGINT) AS pacf3_micro
-FROM r
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "pacf_daily": (
-            q_pacf_daily,
-            ORACLE_PACF_DAILY,
-            "ext:partial autocorrelation lags 1-3 (Durbin-Levinson"
-            " closed forms, exact integer autocovariances)",
-        ),
-    }
-)
-
-
-def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization + dedup — the first pass of every web-crawl
-    curation pipeline (casing, default ports, tracking params, param
-    order, trailing slashes, and fragments all fragment the same
-    resource into distinct raw strings). Raw URLs are synthesized
-    deterministically from event columns (the container-parse synth
-    pattern: messy scheme/host casing, an optional :80, swapped query
-    param order, utm_* noise, optional #fragment, optional trailing
-    slash), then canonicalized by the same explicit algebra on both
-    engines: lowercase scheme+host, strip :80, strip the trailing
-    slash, drop utm_* params, sort surviving params, drop the
-    fragment. Output: the top-20 canonical URLs by hit count with
-    variant counts — the dedup win measured. Scale: pure per-row
-    string projection, ONE keyed aggregate, top-k via
-    TakeOrderedAndProject; regexes are single-char-class patterns
-    identical under Java regex and RE2."""
-    ev = _t(spark, sf_dir, "events")
-    url = F.concat(
-        F.elt(F.col("event_id") % 3 + 1, F.lit("HTTP"), F.lit("http"), F.lit("Http")),
-        F.lit("://"),
-        F.when(F.col("event_id") % 2 == 0, F.lit("WWW.Shop")).otherwise(
-            F.lit("www.shop")
-        ),
-        (F.col("user_id") % 10).cast("string"),
-        F.when(F.col("event_id") % 2 == 0, F.lit(".COM")).otherwise(
-            F.lit(".com")
-        ),
-        F.when(F.col("event_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
-        F.lit("/item/"),
-        (F.col("event_id") % 20).cast("string"),
-        F.when(F.col("event_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?"),
-        F.when(
-            F.col("event_id") % 2 == 0,
-            F.concat(
-                F.lit("id="),
-                (F.col("event_id") % 7).cast("string"),
-                F.lit("&ref="),
-                (F.col("user_id") % 3).cast("string"),
-            ),
-        ).otherwise(
-            F.concat(
-                F.lit("ref="),
-                (F.col("user_id") % 3).cast("string"),
-                F.lit("&id="),
-                (F.col("event_id") % 7).cast("string"),
-            ),
-        ),
-        F.when(F.col("event_id") % 3 == 0, F.lit("&utm_source=mail")).otherwise(
-            F.lit("")
-        ),
-        F.when(F.col("event_id") % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
-    )
-    raw = ev.select(url.alias("raw"))
-    scheme = F.lower(F.regexp_extract("raw", r"^([A-Za-z]+)://", 1))
-    hostport = F.lower(
-        F.regexp_extract("raw", r"^[A-Za-z]+://([^/?#]+)", 1)
-    )
-    host = F.regexp_replace(hostport, ":80$", "")
-    path = F.regexp_extract("raw", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-    path_n = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.expr("substring(path_raw, 1, length(path_raw) - 1)"),
-    ).otherwise(path)
-    qstr = F.regexp_extract("raw", r"[?]([^#]*)", 1)
-    q_n = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(qstr, "&"),
-                lambda x: (x != F.lit("")) & (x.substr(1, 4) != F.lit("utm_")),
-            )
-        ),
-        "&",
-    )
-    parts = raw.select(
-        "raw",
-        scheme.alias("scheme"),
-        host.alias("host"),
-        path.alias("path_raw"),
-        qstr.alias("q_raw"),
-        q_n.alias("q_norm"),
-    ).select(
-        "raw",
-        F.concat(
-            F.col("scheme"),
-            F.lit("://"),
-            F.col("host"),
-            path_n,
-            F.when(F.col("q_norm") != "", F.concat(F.lit("?"), F.col("q_norm"))).otherwise(
-                F.lit("")
-            ),
-        ).alias("url"),
-    )
-    return (
-        parts.groupBy("url")
-        .agg(
-            F.count("*").cast("long").alias("n_hits"),
-            F.countDistinct("raw").cast("long").alias("n_raw_variants"),
-        )
-        .orderBy(F.desc("n_hits"), F.desc("n_raw_variants"), "url")
-        .limit(20)
-    )
-
-
-ORACLE_URL_NORMALIZE_DEDUP = """
-WITH raw AS MATERIALIZED (
-  SELECT (CASE event_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http'
-          ELSE 'Http' END)
-         || '://'
-         || (CASE WHEN event_id % 2 = 0 THEN 'WWW.Shop'
-             ELSE 'www.shop' END)
-         || CAST(user_id % 10 AS VARCHAR)
-         || (CASE WHEN event_id % 2 = 0 THEN '.COM' ELSE '.com' END)
-         || (CASE WHEN event_id % 4 = 0 THEN ':80' ELSE '' END)
-         || '/item/' || CAST(event_id % 20 AS VARCHAR)
-         || (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END)
-         || '?'
-         || (CASE WHEN event_id % 2 = 0
-             THEN 'id=' || CAST(event_id % 7 AS VARCHAR)
-                  || '&ref=' || CAST(user_id % 3 AS VARCHAR)
-             ELSE 'ref=' || CAST(user_id % 3 AS VARCHAR)
-                  || '&id=' || CAST(event_id % 7 AS VARCHAR) END)
-         || (CASE WHEN event_id % 3 = 0 THEN '&utm_source=mail'
-             ELSE '' END)
-         || (CASE WHEN event_id % 6 = 0 THEN '#top' ELSE '' END) AS raw
-  FROM events
-),
-parts AS (
-  SELECT raw,
-         lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
-         regexp_replace(
-           lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)),
-           ':80$', '') AS host,
-         regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path_raw,
-         array_to_string(
-           list_sort(list_filter(
-             string_split(regexp_extract(raw, '\\?([^#]*)', 1), '&'),
-             x -> x != '' AND substr(x, 1, 4) != 'utm_')),
-           '&') AS q_norm
-  FROM raw
-),
-norm AS (
-  SELECT raw,
-         scheme || '://' || host
-         || (CASE WHEN length(path_raw) > 1 AND path_raw LIKE '%/'
-             THEN substr(path_raw, 1, length(path_raw) - 1)
-             ELSE path_raw END)
-         || (CASE WHEN q_norm != '' THEN '?' || q_norm ELSE '' END) AS url
-  FROM parts
-)
-SELECT url, CAST(COUNT(*) AS BIGINT) AS n_hits,
-       CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_variants
-FROM norm GROUP BY url
-ORDER BY n_hits DESC, n_raw_variants DESC, url
-LIMIT 20
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "url_normalize_dedup": (
-            q_url_normalize_dedup,
-            ORACLE_URL_NORMALIZE_DEDUP,
-            "ext:URL canonicalization + dedup (casing/port/param-order/"
-            "utm/fragment collapse, top-k canonical)",
-        ),
-    }
-)
-
-
-def q_zip_central_dir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Archive-container routing pass (multimodal.zip_central_dir_
-    metadata over zip_synthesize fixtures): ZIP central-directory walk
-    in pure Catalyst hex arithmetic — EOCD trailer located at the END
-    of the blob (the range-request access pattern a remote/distributed
-    ZIP reader uses), member count + CD offset chased from it, then
-    up to 4 unrolled 46-byte central headers verified and extracted.
-    Aggregated per member-count profile. The oracle REBUILDS the same
-    archive hex from the same arithmetic and re-parses it, so synth
-    and walk are both value-checked (the WAV/TIFF convention). Adds
-    the ARCHIVE format family beside image (TIFF/PNG/JPEG/GIF), audio
-    (WAV/PCM) and video (ISO-BMFF)."""
-    from yelp_etl_spark.functions.multimodal import (
-        zip_central_dir_metadata,
-        zip_synthesize,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    meta = zip_central_dir_metadata(zip_synthesize(docs))
-    return (
-        meta.groupBy("n_members")
-        .agg(
-            F.count("*").cast("long").alias("n_archives"),
-            F.sum("total_usize").cast("long").alias("sum_usize"),
-            F.sum("total_crc").cast("long").alias("sum_crc"),
-            F.max("names_csv").alias("names_csv"),
-            F.min(
-                (
-                    F.col("cd_size_ok")
-                    & F.col("entries_ok")
-                    & F.col("eocd_ok")
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("all_well_formed"),
-        )
-        .orderBy("n_members")
-    )
-
-
-def _zip_oracle() -> str:
-    def le_hex(expr: str, nbytes: int) -> str:
-        h = f"lpad(hex(CAST({expr} AS BIGINT)), {2 * nbytes}, '0')"
-        pairs = ", ".join(
-            f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
-        )
-        return f"concat({pairs})"
-
-    def le_int(src: str, pos: str, nbytes: int) -> str:
-        terms = [
-            f"CAST(concat('0x', substr({src}, ({pos}) + {2 * i}, 2))"
-            f" AS BIGINT) * {256 ** i}"
-            for i in range(nbytes)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    def d(i: int) -> str:
-        return f"((doc_id + {i}) % 5 + 4)"
-
-    def local_hdr(i: int) -> str:
-        return (
-            "concat('504B0304', '1400', '0000', '0000', '0000', '0000', "
-            + le_hex(f"{d(i)} * 7 + {i}", 4) + ", "
-            + le_hex(d(i), 4) + ", " + le_hex(d(i), 4)
-            + ", '0200', '0000', "
-            + f"'663{i}', repeat('AB', CAST({d(i)} AS INT)))"
-        )
-
-    def offset(i: int) -> str:
-        if i == 1:
-            return "0"
-        return "(" + " + ".join(f"(32 + {d(j)})" for j in range(1, i)) + ")"
-
-    def cd_entry(i: int) -> str:
-        return (
-            "concat('504B0102', '1400', '1400', '0000', '0000', '0000',"
-            " '0000', "
-            + le_hex(f"{d(i)} * 7 + {i}", 4) + ", "
-            + le_hex(d(i), 4) + ", " + le_hex(d(i), 4)
-            + ", '0200', '0000', '0000', '0000', '0000', '00000000', "
-            + le_hex(offset(i), 4)
-            + f", '663{i}')"
-        )
-
-    def if_member(i: int, part: str) -> str:
-        return f"(CASE WHEN m >= {i} THEN {part} ELSE '' END)"
-
-    cd_off = "(" + " + ".join(
-        f"(CASE WHEN m >= {j} THEN 32 + {d(j)} ELSE 0 END)"
-        for j in range(1, 4)
-    ) + ")"
-    eocd = (
-        "concat('504B0506', '0000', '0000', "
-        + le_hex("m", 2) + ", " + le_hex("m", 2) + ", "
-        + le_hex("m * 48", 4) + ", " + le_hex(cd_off, 4) + ", '0000')"
-    )
-    synth = "concat(" + ", ".join(
-        [if_member(i, local_hdr(i)) for i in range(1, 4)]
-        + [if_member(i, cd_entry(i)) for i in range(1, 4)]
-        + [eocd]
-    ) + ")"
-
-    n_total = le_int("tl", "21", 2)
-    cd_size = le_int("tl", "25", 4)
-    cd_off_p = le_int("tl", "33", 4)
-
-    def slot(i: int, what: str) -> str:
-        pos = f"(1 + {96 * i})"
-        namelen = le_int("cd", f"{pos} + 56", 2)
-        fields = {
-            "sig_ok": f"(substr(cd, {pos}, 8) = '504B0102')",
-            "crc": le_int("cd", f"{pos} + 32", 4),
-            "usize": le_int("cd", f"{pos} + 48", 4),
-            "name": (
-                f"decode(from_hex(substr(cd, {pos} + 92,"
-                f" CAST(2 * {namelen} AS INT))))"
-            ),
-        }
-        return f"(CASE WHEN n_members > {i} THEN {fields[what]} END)"
-
-    def summed(what: str) -> str:
-        return "(" + " + ".join(
-            f"COALESCE({slot(i, what)}, 0)" for i in range(4)
-        ) + ")"
-
-    sig_all = " AND ".join(
-        f"COALESCE({slot(i, 'sig_ok')}, TRUE)" for i in range(4)
-    )
-    names = (
-        "array_to_string(list_filter(["
-        + ", ".join(slot(i, "name") for i in range(4))
-        + "], x -> x IS NOT NULL), ',')"
-    )
-    return f"""
-WITH src AS MATERIALIZED (
-  SELECT doc_id, doc_id % 3 + 1 AS m FROM documents
-),
-zipped AS MATERIALIZED (
-  SELECT doc_id, {synth} AS hx FROM src
-),
-anchored AS (
-  SELECT doc_id,
-         substr(hx, length(hx) - 43, 44) AS tl,
-         hx
-  FROM zipped
-),
-located AS (
-  SELECT doc_id, tl,
-         CAST({n_total} AS BIGINT) AS n_members,
-         CAST({cd_size} AS BIGINT) AS cd_size,
-         substr(hx, CAST(2 * {cd_off_p} AS INT) + 1, 400) AS cd
-  FROM anchored
-),
-parsed AS (
-  SELECT doc_id, n_members,
-         CAST({summed('usize')} AS BIGINT) AS total_usize,
-         CAST({summed('crc')} AS BIGINT) AS total_crc,
-         {names} AS names_csv,
-         (cd_size = n_members * 48) AS cd_size_ok,
-         ({sig_all}) AS entries_ok,
-         (substr(tl, 1, 8) = '504B0506') AS eocd_ok
-  FROM located
-)
-SELECT n_members,
-       CAST(COUNT(*) AS BIGINT) AS n_archives,
-       CAST(SUM(total_usize) AS BIGINT) AS sum_usize,
-       CAST(SUM(total_crc) AS BIGINT) AS sum_crc,
-       MAX(names_csv) AS names_csv,
-       CAST(MIN(CASE WHEN cd_size_ok AND entries_ok AND eocd_ok
-                THEN 1 ELSE 0 END) AS BIGINT) AS all_well_formed
-FROM parsed GROUP BY 1 ORDER BY 1
-"""
-
-
-ORACLE_ZIP_CENTRAL_DIR_PARSE = _zip_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "zip_central_dir_parse": (
-            q_zip_central_dir_parse,
-            ORACLE_ZIP_CENTRAL_DIR_PARSE,
-            "ext:ZIP central-directory walk (END-anchored EOCD chase,"
-            " archive container family)",
-        ),
-    }
-)
-
-
-def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jarque-Bera normality test on order totals — the moment-based
-    distribution audit beside ks_two_sample (two-sample) and
-    benford_audit (digit law): skewness and excess kurtosis from raw
-    power sums, JB = n/6·(S² + (K−3)²/4). Power sums S1..S4 of the
-    integer dollar totals are exact decimal(38,0) (d⁴ ≈ 1e23 per row;
-    the sums stay inside decimal to ~1e15 rows); the central-moment
-    algebra runs in double from those exact sums with the identical
-    expression on both engines. Scale: ONE map-side-combinable
-    aggregate, no shuffle beyond the 1-row reduce."""
-    o = _t(spark, sf_dir, "orders")
-    d = F.round("o_totalprice").cast("long")
-    dd = d.cast("decimal(38,0)")
-    agg = o.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(dd).alias("s1"),
-        F.sum(dd * dd).alias("s2"),
-        F.sum(dd * dd * dd).alias("s3"),
-        F.sum(dd * dd * dd * dd).alias("s4"),
-    )
-    n = F.col("n").cast("double")
-    mean = F.col("s1").cast("double") / n
-    m2 = F.col("s2").cast("double") / n - mean * mean
-    m3 = (
-        F.col("s3").cast("double") / n
-        - F.lit(3.0) * mean * (F.col("s2").cast("double") / n)
-        + F.lit(2.0) * mean * mean * mean
-    )
-    m4 = (
-        F.col("s4").cast("double") / n
-        - F.lit(4.0) * mean * (F.col("s3").cast("double") / n)
-        + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / n)
-        - F.lit(3.0) * mean * mean * mean * mean
-    )
-    skew = m3 / F.sqrt(m2 * m2 * m2)
-    kurt = m4 / (m2 * m2)
-    jb = n / F.lit(6.0) * (
-        skew * skew
-        + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
-    )
-    m = F.lit(1_000_000.0)
-    return agg.select(
-        "n",
-        F.round(skew * m).cast("long").alias("skew_micro"),
-        F.round(kurt * m).cast("long").alias("kurtosis_micro"),
-        F.round(jb * F.lit(1_000.0)).cast("long").alias("jb_milli"),
-    )
-
-
-ORACLE_JARQUE_BERA = """
-WITH agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)) AS s1,
-         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
-             * CAST(ROUND(o_totalprice) AS BIGINT)) AS s2,
-         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
-             * CAST(ROUND(o_totalprice) AS BIGINT)
-             * CAST(ROUND(o_totalprice) AS BIGINT)) AS s3,
-         SUM(CAST(CAST(ROUND(o_totalprice) AS BIGINT) AS HUGEINT)
-             * CAST(ROUND(o_totalprice) AS BIGINT)
-             * CAST(ROUND(o_totalprice) AS BIGINT)
-             * CAST(ROUND(o_totalprice) AS BIGINT)) AS s4
-  FROM orders
-),
-mom AS (
-  SELECT n,
-         CAST(s1 AS DOUBLE) / n AS mean,
-         CAST(s2 AS DOUBLE) / n AS r2,
-         CAST(s3 AS DOUBLE) / n AS r3,
-         CAST(s4 AS DOUBLE) / n AS r4
-  FROM agg
-),
-cm AS (
-  SELECT n,
-         r2 - mean * mean AS m2,
-         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
-         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
-            - 3.0 * mean * mean * mean * mean AS m4
-  FROM mom
-),
-sk AS (
-  SELECT n,
-         m3 / SQRT(m2 * m2 * m2) AS skew,
-         m4 / (m2 * m2) AS kurt
-  FROM cm
-)
-SELECT n,
-       CAST(ROUND(skew * 1000000) AS BIGINT) AS skew_micro,
-       CAST(ROUND(kurt * 1000000) AS BIGINT) AS kurtosis_micro,
-       CAST(ROUND(CAST(n AS DOUBLE) / 6.0
-                  * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
-                  * 1000) AS BIGINT) AS jb_milli
-FROM sk
-"""
-
-
-def q_bollinger_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-band anomaly detection on the daily revenue series: a
-    day is anomalous when it sits more than 2σ from the TRAILING
-    20-day mean (current day excluded — no self-contamination), the
-    Bollinger-band / local-z complement to mad_outliers (global
-    robust) and cusum_top_days (cumulative drift). Window sums of the
-    exact integer day totals (Σy, Σy² in decimal — day totals square
-    past int64 at SF≈10) make mean/σ deterministic; z is one double
-    expression quantized to micro. Scale: ONE keyed aggregate to the
-    ≤365-row daily frame; the trailing window runs over that bounded
-    frame only."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-    w = Window.orderBy("d").rowsBetween(-20, -1)
-    ydec = F.col("y").cast("decimal(38,0)")
-    banded = days.select(
-        "d",
-        "y",
-        F.count("*").over(w).alias("wn"),
-        F.sum("y").over(w).cast("long").alias("wsum"),
-        F.sum(ydec * ydec).over(w).alias("wsumsq"),
-    ).filter(F.col("wn") == 20)
-    mean = F.col("wsum").cast("double") / F.col("wn")
-    var = (
-        F.col("wsumsq").cast("double")
-        - F.col("wsum").cast("double") * F.col("wsum") / F.col("wn")
-    ) / (F.col("wn") - F.lit(1))
-    z = (F.col("y") - mean) / F.sqrt(var)
-    return (
-        banded.select(
-            "d",
-            "y",
-            F.round(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
-        )
-        .filter(F.abs(F.col("z_micro")) > 2_000_000)
-        .orderBy("d")
-    )
-
-
-ORACLE_BOLLINGER_ANOMALY_DAYS = """
-WITH days AS MATERIALIZED (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-banded AS (
-  SELECT d, y,
-         COUNT(*) OVER w AS wn,
-         CAST(SUM(y) OVER w AS BIGINT) AS wsum,
-         SUM(CAST(y AS HUGEINT) * y) OVER w AS wsumsq
-  FROM days
-  WINDOW w AS (ORDER BY d ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
-),
-scored AS (
-  SELECT d, y,
-         CAST(ROUND((y - CAST(wsum AS DOUBLE) / wn)
-                    / SQRT((CAST(wsumsq AS DOUBLE)
-                            - CAST(wsum AS DOUBLE) * wsum / wn)
-                           / (wn - 1))
-                    * 1000000) AS BIGINT) AS z_micro
-  FROM banded WHERE wn = 20
-)
-SELECT d, y, z_micro FROM scored
-WHERE ABS(z_micro) > 2000000 ORDER BY d
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "jarque_bera": (
-            q_jarque_bera,
-            ORACLE_JARQUE_BERA,
-            "ext:Jarque-Bera normality test (exact decimal power sums,"
-            " moment algebra in double)",
-        ),
-        "bollinger_anomaly_days": (
-            q_bollinger_anomaly_days,
-            ORACLE_BOLLINGER_ANOMALY_DAYS,
-            "ext:trailing-band local-z anomaly days (Bollinger, exact"
-            " window sums, self-excluded)",
-        ),
-    }
-)
-
-
-def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chained time-window aggregations in a REAL streaming run (Spark
-    3.4's window_time: a second window aggregation directly over the
-    first's window column — the two-tier rollup every metrics pipeline
-    wants without a second job): 5-minute tumbling counts per event
-    type re-aggregate into 30-minute windows inside ONE streaming
-    query, append mode, watermark-gated. Deterministic phases via
-    mtime-pinned files (the stream_dedup_within_watermark rig): batch
-    0 = all real events; batches 1-2 = far-future sentinel rows that
-    push the watermark past every real window so append mode flushes
-    them all (two, because eviction uses the PREVIOUS batch's
-    watermark). The oracle computes the same 30-minute rollup in
-    batch SQL — equality holds precisely because the sentinels
-    finalized every real window. State scale: O(open windows ×
-    types) per tier, both evicted by the same watermark."""
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
-
-    from yelp_etl_spark.plans.catalog import _scratch_dir
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select("ts", "event_type", "value")
-        .localCheckpoint(eager=True)
-    )
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-
-    def sentinel(days: int):
-        return spark.createDataFrame(
-            [(max_ts, "zz_sentinel", 0.0)],
-            "ts timestamp, event_type string, value double",
-        ).select(
-            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            "event_type",
-            "value",
-        )
-
-    def stage(df, phase: int, root: str):
-        tmp = root + f"_tmp{phase}"
-        df.repartition(1).write.parquet(tmp)
-        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = _os.path.join(root, f"{phase:02d}.parquet")
-        _shutil.move(_os.path.join(tmp, part), dst)
-        _shutil.rmtree(tmp, ignore_errors=True)
-        base = 1_700_000_000 + phase * 60
-        _os.utime(dst, (base, base))
-
-    src = _scratch_dir(sf_dir, "chainw")
-    _os.makedirs(src)
-    stage(ev, 0, src)
-    stage(sentinel(200), 1, src)
-    stage(sentinel(250), 2, src)
-    tier1 = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
-        .agg(
-            F.count("*").alias("n5"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c5"),
-        )
-    )
-    chained = (
-        tier1.groupBy(
-            F.window(F.window_time("window"), "30 minutes").alias("w30"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.sum("n5").alias("n_events"),
-            F.sum("c5").alias("sum_value_cents"),
-            F.count("*").alias("n_subwindows"),
-        )
-    )
-    name = "chainw_" + _uuid.uuid4().hex[:8]
-    ckpt = _scratch_dir(sf_dir, "chainwckpt")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (
-            chained.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).filter(F.col("event_type") != "zz_sentinel")
-    return out.select(
-        F.col("w30.start").cast("string").alias("window_start"),
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("sum_value_cents").cast("long").alias("sum_value_cents"),
-        F.col("n_subwindows").cast("long").alias("n_subwindows"),
-    ).orderBy("window_start", "event_type")
-
-
-ORACLE_STREAM_CHAINED_WINDOWS = """
-WITH t5 AS MATERIALIZED (
-  SELECT to_timestamp(FLOOR(epoch(ts) / 300) * 300) AS w5,
-         event_type,
-         CAST(COUNT(*) AS BIGINT) AS n5,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c5
-  FROM events GROUP BY 1, 2
-)
-SELECT CAST(CAST(to_timestamp(FLOOR(epoch(w5) / 1800) * 1800)
-                 AS TIMESTAMP) AS VARCHAR) AS window_start,
-       event_type,
-       CAST(SUM(n5) AS BIGINT) AS n_events,
-       CAST(SUM(c5) AS BIGINT) AS sum_value_cents,
-       CAST(COUNT(*) AS BIGINT) AS n_subwindows
-FROM t5 GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "stream_chained_windows": (
-            q_stream_chained_windows,
-            ORACLE_STREAM_CHAINED_WINDOWS,
-            "ext:chained streaming window aggregations (window_time"
-            " two-tier rollup, sentinel-flushed append)",
-        ),
-    }
-)
-
-
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The part co-purchase affinity graph shared by q_boruvka_mst and
-    its edge-for-edge Kruskal pytest twin: edges (src, dst, w) with
-    src < dst and w = NEGATED co-order count (so a MINIMUM spanning
-    forest is the maximum-affinity backbone). Lineage-truncated so the
-    Borůvka loop starts from materialized stats."""
-    from yelp_etl_spark.functions.checkpoint import truncate_lineage
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg((-F.count("*")).cast("long").alias("w"))
-    )
-    return truncate_lineage(edges, eager=True)
-
-
-def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum-affinity spanning forest of the part co-purchase graph
-    via distributed Borůvka (functions/graph.boruvka_mst) — the
-    backbone extraction every product-graph / dedup-linkage pipeline
-    wants (keep the strongest tree of associations, drop the O(E)
-    noise). Edge weight is NEGATED co-order count, so the minimum
-    spanning forest is the maximum-affinity backbone; ties break by
-    the lexicographic (w, src, dst) struct order, making the forest
-    unique. Borůvka is ≤log₂|V| rounds of co-partitioned joins + one
-    keyed struct-min — the priority-queue-free formulation that
-    survives 100 TB.
-
-    ROWS-ONLY BY DESIGN with a structural in-query check plus an
-    edge-for-edge pytest twin: no SQL engine can express the iterative
-    contraction, so the query verifies the forest identity
-    |MST| = |V| − #components against INDEPENDENT label-propagation
-    components (runs at any scale), while the full edge-for-edge
-    Kruskal cross-check (same total order, union-find) lives in
-    tests/test_functions.py::test_boruvka_matches_kruskal_fixture on
-    the same fixture graph — moved out of this bench-facing query so
-    the bench line times the OPERATOR, not an in-driver verification
-    harness (r9 verdict: the collect+Kruskal was ~10 s of a 19.6 s
-    bench row)."""
-    from yelp_etl_spark.functions.dedup import connected_components
-    from yelp_etl_spark.functions.graph import boruvka_mst
-
-    edges = copurchase_edges(spark, sf_dir)
-    mst = boruvka_mst(edges)
-    n_nodes = (
-        edges.select(F.col("src").alias("n"))
-        .union(edges.select("dst"))
-        .distinct()
-        .count()
-    )
-    n_edges = edges.count()
-    n_comp = (
-        connected_components(edges, "src", "dst")
-        .select("component")
-        .distinct()
-        .count()
-    )
-    agg = mst.agg(
-        F.count("*").cast("long").alias("n_mst_edges"),
-        F.sum(-F.col("w")).cast("long").alias("affinity_captured"),
-    )
-    out = agg.select(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
-        F.lit(n_comp).cast("long").alias("n_components"),
-        "n_mst_edges",
-        "affinity_captured",
-        (F.col("n_mst_edges") == F.lit(n_nodes - n_comp)).alias(
-            "forest_identity_ok"
-        ),
-    )
-    return out
-
-
-EXTRA_QUERIES.update(
-    {
-        "boruvka_mst": (
-            q_boruvka_mst,
-            None,
-            "ext:distributed Boruvka spanning forest (struct-min"
-            " hooking, fixpoint contraction; in-query Kruskal twin)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round-9 late additions, wave 4
-# --------------------------------------------------------------------------
-
-
-def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-closeness privacy audit — completes the anonymity triad beside
-    k_anonymity_audit (group sizes) and l_diversity_audit (sensitive-
-    value entropy): for each quasi-identifier group (market segment),
-    how far is its ORDERED sensitive-attribute distribution (order
-    priority, 5 ordinal levels) from the global one, by the ordered
-    Earth Mover's Distance EMD = (1/(m−1))·Σᵢ|P̂ᵢ − Q̂ᵢ| over prefix
-    sums? Exact rational arithmetic: the prefix-difference numerator
-    |cum_g·N − cum·N_g| stays BIGINT on the common denominator N_g·N,
-    and the final ppm scale-up runs in decimal(38,0) (1e6·Σ|·| leaves
-    int64 near SF≈10). Scale: ONE keyed count to ≤5×5 cells; every
-    window runs over that bounded contingency frame."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    cells = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_orderpriority").alias("prio"),
-        )
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    wseg = Window.partitionBy("seg").orderBy("prio").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wprio_all = Window.partitionBy("prio")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    wcum_global = Window.partitionBy("seg").orderBy("prio").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    stepped = cells.select(
-        "seg",
-        "prio",
-        "n",
-        F.sum("n").over(wseg).alias("cum_g"),
-        F.sum("n").over(wprio_all).alias("n_prio"),
-        F.sum("n").over(wall).alias("n_total"),
-        F.sum("n").over(Window.partitionBy("seg")).alias("n_g"),
-    ).select(
-        "seg",
-        "prio",
-        "n",
-        "cum_g",
-        "n_g",
-        "n_total",
-        F.sum("n_prio").over(wcum_global).alias("cum_all"),
-    )
-    m_minus_1 = 4  # five ordered priority levels
-    per_seg = (
-        stepped.filter(F.col("prio") != "5-LOW")  # last prefix is always 0
-        .groupBy("seg", "n_g", "n_total")
-        .agg(
-            F.sum(
-                F.abs(
-                    F.col("cum_g") * F.col("n_total")
-                    - F.col("cum_all") * F.col("n_g")
-                )
-            )
-            .cast("long")
-            .alias("emd_num")
-        )
-    )
-    return (
-        per_seg.select(
-            "seg",
-            F.col("n_g").cast("long").alias("n_rows"),
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * emd_num)"
-                f" DIV ({m_minus_1} * n_g * n_total) AS LONG)"
-            ).alias("t_ppm"),
-        )
-        .orderBy("seg")
-    )
-
-
-ORACLE_T_CLOSENESS_AUDIT = """
-WITH cells AS MATERIALIZED (
-  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2
-),
-step1 AS (
-  SELECT seg, prio, n,
-         SUM(n) OVER (PARTITION BY seg ORDER BY prio
-                      ROWS UNBOUNDED PRECEDING) AS cum_g,
-         SUM(n) OVER (PARTITION BY seg) AS n_g,
-         SUM(n) OVER () AS n_total,
-         SUM(n) OVER (PARTITION BY prio) AS n_prio
-  FROM cells
-),
-stepped AS (
-  SELECT seg, prio, n, cum_g, n_g, n_total,
-         SUM(n_prio) OVER (PARTITION BY seg ORDER BY prio
-                           ROWS UNBOUNDED PRECEDING) AS cum_all
-  FROM step1
-),
-per_seg AS (
-  SELECT seg, n_g, n_total,
-         CAST(SUM(ABS(cum_g * n_total - cum_all * n_g)) AS BIGINT)
-           AS emd_num
-  FROM stepped WHERE prio != '5-LOW'
-  GROUP BY 1, 2, 3
-)
-SELECT seg, CAST(n_g AS BIGINT) AS n_rows,
-       CAST((CAST(1000000 AS HUGEINT) * emd_num)
-            // (4 * n_g * n_total) AS BIGINT) AS t_ppm
-FROM per_seg ORDER BY seg
-"""
-
-
-def q_durbin_watson_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Durbin-Watson autocorrelation test on the residuals of the
-    daily-revenue OLS trend — the regression-diagnostics companion to
-    ols_normal_equations (fit) and acf/pacf (raw series): DW =
-    Σ(eₜ−eₜ₋₁)²/Σeₜ² ≈ 2(1−ρ₁) of the residuals. The OLS closed form
-    runs on exact integer sums (t = day index from one broadcast
-    1-row min-date frame; Σt, Σt², Σy, Σty as BIGINT/decimal), b and a
-    are single deterministic divides, residuals are one double
-    expression per row, and the lag ride a window over the bounded
-    ≤365-day frame. Scale: ONE keyed aggregate to the daily frame."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-    base = days.agg(F.min("d").alias("d0"))
-    idx = days.crossJoin(F.broadcast(base)).select(
-        F.datediff("d", "d0").cast("long").alias("t"), "d", "y"
-    )
-    sums = idx.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("t").cast("long").alias("st"),
-        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
-    )
-    b = (
-        (
-            F.col("n").cast("double") * F.col("sty").cast("double")
-            - F.col("st").cast("double") * F.col("sy")
-        )
-        / (
-            F.col("n").cast("double") * F.col("stt")
-            - F.col("st").cast("double") * F.col("st")
-        )
-    )
-    a = (F.col("sy").cast("double") - b * F.col("st")) / F.col("n")
-    fitted = idx.crossJoin(
-        F.broadcast(sums.select(b.alias("b"), a.alias("a")))
-    ).select(
-        "d",
-        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
-        "b",
-    )
-    w = Window.orderBy("d")
-    diffed = fitted.select(
-        "e",
-        "b",
-        (F.col("e") - F.lag("e", 1).over(w)).alias("de"),
-    )
-    return diffed.agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.round(
-            (F.sum(F.col("de") * F.col("de")) / F.sum(F.col("e") * F.col("e")))
-            * F.lit(1_000_000.0)
-        )
-        .cast("long")
-        .alias("dw_micro"),
-        F.round(F.max("b") * F.lit(1_000.0)).cast("long").alias(
-            "slope_millicents_per_day"
-        ),
-    )
-
-
-ORACLE_DURBIN_WATSON_OLS = """
-WITH days AS MATERIALIZED (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-idx AS (
-  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM days), d) AS BIGINT)
-           AS t, d, y
-  FROM days
-),
-sums AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(t) AS BIGINT) AS st,
-         CAST(SUM(t * t) AS BIGINT) AS stt,
-         CAST(SUM(y) AS BIGINT) AS sy,
-         SUM(CAST(t AS HUGEINT) * y) AS sty
-  FROM idx
-),
-co AS (
-  SELECT (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
-          - CAST(st AS DOUBLE) * sy)
-         / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
-         n, st, sy
-  FROM sums
-),
-fitted AS (
-  SELECT d,
-         y - ((CAST(sy AS DOUBLE) - b * st) / n) - b * t AS e,
-         b
-  FROM idx, co
-),
-diffed AS (
-  SELECT e, b, e - LAG(e, 1) OVER (ORDER BY d) AS de FROM fitted
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-       CAST(ROUND(SUM(de * de) / SUM(e * e) * 1000000) AS BIGINT)
-         AS dw_micro,
-       CAST(ROUND(MAX(b) * 1000) AS BIGINT) AS slope_millicents_per_day
-FROM diffed
-"""
-
-
-def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps' law fit V = K·N^β across the corpus sources — the
-    vocabulary-growth companion to zipf_slope (frequency decay): each
-    source contributes one (ln N, ln V) point (total vs distinct
-    literal-space tokens), and β/ln K come from closed-form OLS over
-    those ≤|sources| points. Both logs are quantized to micro-nats per
-    POINT (the qlog discipline — one quantization per source, never
-    per row), so all five OLS sums are exact BIGINT; β is the final
-    double divide. Scale: one token explode + one keyed agg per
-    source; the OLS runs over the bounded source frame."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text")
-    with_src = toks.join(docs.select("doc_id", "source"), "doc_id")
-    pts = with_src.groupBy("source").agg(
-        F.round(F.log(F.count("*")) * F.lit(1_000_000.0))
-        .cast("long")
-        .alias("x"),
-        F.round(F.log(F.countDistinct("tok")) * F.lit(1_000_000.0))
-        .cast("long")
-        .alias("y"),
-    )
-    sums = pts.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    beta = (
-        (
-            F.col("n").cast("double") * F.col("sxy")
-            - F.col("sx").cast("double") * F.col("sy")
-        )
-        / (
-            F.col("n").cast("double") * F.col("sxx")
-            - F.col("sx").cast("double") * F.col("sx")
-        )
-    )
-    lnk = (F.col("sy").cast("double") - beta * F.col("sx")) / F.col("n") / 1e6
-    return sums.select(
-        F.col("n").alias("n_sources"),
-        F.round(beta * F.lit(1_000_000.0)).cast("long").alias("beta_micro"),
-        F.round(lnk * F.lit(1_000_000.0)).cast("long").alias("ln_k_micro"),
-    )
-
-
-ORACLE_HEAPS_LAW_FIT = """
-WITH toks AS MATERIALIZED (
-  SELECT d.doc_id, d.source, t.tok
-  FROM documents d,
-       LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS tok) t
-  WHERE t.tok != ''
-),
-pts AS (
-  SELECT source,
-         CAST(ROUND(LN(COUNT(*)) * 1000000) AS BIGINT) AS x,
-         CAST(ROUND(LN(COUNT(DISTINCT tok)) * 1000000) AS BIGINT) AS y
-  FROM toks GROUP BY source
-),
-sums AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
-  FROM pts
-)
-SELECT n AS n_sources,
-       CAST(ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                  * 1000000) AS BIGINT) AS beta_micro,
-       CAST(ROUND((CAST(sy AS DOUBLE)
-                   - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                     * sx) / n / 1e6
-                  * 1000000) AS BIGINT) AS ln_k_micro
-FROM sums
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "t_closeness_audit": (
-            q_t_closeness_audit,
-            ORACLE_T_CLOSENESS_AUDIT,
-            "ext:t-closeness audit (ordered EMD over prefix sums,"
-            " exact rational numerators; completes k/l/t triad)",
-        ),
-        "durbin_watson_ols": (
-            q_durbin_watson_ols,
-            ORACLE_DURBIN_WATSON_OLS,
-            "ext:Durbin-Watson residual autocorrelation (closed-form"
-            " OLS trend, bounded lag frame)",
-        ),
-        "heaps_law_fit": (
-            q_heaps_law_fit,
-            ORACLE_HEAPS_LAW_FIT,
-            "ext:Heaps-law vocabulary-growth fit (per-source micro-nat"
-            " points, exact OLS sums)",
-        ),
-    }
-)
-
-
-def q_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic heavy hitters via Misra-Gries (sketches.
-    misra_gries_candidates) with the guarantee HARD-CHECKED in-query:
-    candidates come from the single-pass bounded-memory summary
-    (O(k) state per partition — the 100 TB-stream shape), exact counts
-    come from one keyed aggregate, and the query RAISES unless (a)
-    every token with true count > N/(k+1) is among the candidates
-    (the MG coverage guarantee), and (b) no merged counter overcounts
-    its true frequency. Emitted rows are the TRUE heavy hitters with
-    exact counts — partitioning-independent, so the DuckDB oracle
-    recomputes them directly; the sketch's correctness is what the
-    equality certifies (the lsh_topk_checked pattern)."""
-    from yelp_etl_spark.functions.sketches import misra_gries_candidates
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    k = 40
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text").localCheckpoint()
-    n_total = toks.count()
-    thresh = n_total // (k + 1)
-    cand = misra_gries_candidates(toks, "tok", k)
-    true_counts = toks.groupBy("tok").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    joined = true_counts.join(cand, "tok", "left")
-    bad_missed = (
-        joined.filter((F.col("n") > thresh) & F.col("mg").isNull()).limit(1).count()
-    )
-    if bad_missed:
-        raise ValueError("Misra-Gries coverage guarantee violated")
-    bad_over = joined.filter(F.col("mg") > F.col("n")).limit(1).count()
-    if bad_over:
-        raise ValueError("Misra-Gries counter overcounts true frequency")
-    return (
-        true_counts.filter(F.col("n") > thresh)
-        .select(
-            "tok",
-            "n",
-            F.lit(n_total).cast("long").alias("n_tokens"),
-            F.lit(thresh).cast("long").alias("threshold"),
-        )
-        .orderBy(F.desc("n"), "tok")
-    )
-
-
-ORACLE_MISRA_GRIES_HEAVY_HITTERS = """
-WITH toks AS MATERIALIZED (
-  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
-),
-filtered AS (
-  SELECT tok FROM toks WHERE tok != ''
-),
-counts AS (
-  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM filtered GROUP BY tok
-),
-total AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM filtered
-)
-SELECT tok, n, n_tokens,
-       CAST(n_tokens // 41 AS BIGINT) AS threshold
-FROM counts, total
-WHERE n > n_tokens // 41
-ORDER BY n DESC, tok
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "misra_gries_heavy_hitters": (
-            q_misra_gries_heavy_hitters,
-            ORACLE_MISRA_GRIES_HEAVY_HITTERS,
-            "ext:Misra-Gries deterministic heavy hitters (mergeable"
-            " bounded-state summary, coverage guarantee hard-checked)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round-9 late additions, wave 5
-# --------------------------------------------------------------------------
-
-
-def q_kneser_ney_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney bigram scoring — the state-of-the-art
-    classical n-gram smoothing (absolute discount d=0.75 plus
-    CONTINUATION unigram probabilities: a word's backoff mass counts
-    how many distinct contexts it follows, not how often it occurs),
-    beside bigram_nll's simple interpolation. All model counts
-    (c(a,b), c(a·), N₁₊(a·), N₁₊(·b), N₁₊(··)) are exact BIGINTs from
-    keyed aggregates; ln P is quantized to micro-nats ONCE PER BIGRAM
-    TYPE (quantization sites scale with the model, never the corpus),
-    so per-language NLL rollups are exact integer sums. Scale: token
-    explode + equi-joins on the bigram key; no windows beyond the
-    per-doc position numbering."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text", with_position=True)
-    wpos = Window.partitionBy("doc_id").orderBy("pos")
-    seq = toks.select(
-        "doc_id", "tok", F.row_number().over(wpos).alias("p")
-    )
-    t1 = seq.alias("t1")
-    t2 = seq.alias("t2")
-    bigrams = t1.join(
-        t2,
-        (F.col("t1.doc_id") == F.col("t2.doc_id"))
-        & (F.col("t2.p") == F.col("t1.p") + 1),
-    ).select(
-        F.col("t1.doc_id").alias("doc_id"),
-        F.col("t1.tok").alias("a"),
-        F.col("t2.tok").alias("b"),
-    )
-    pair = bigrams.groupBy("a", "b").agg(
-        F.count("*").cast("long").alias("cab")
-    )
-    lft = pair.groupBy("a").agg(
-        F.sum("cab").cast("long").alias("ca"),
-        F.count("*").cast("long").alias("n1p_a"),  # N1+(a·)
-    )
-    cont = pair.groupBy("b").agg(
-        F.count("*").cast("long").alias("n1p_b")  # N1+(·b)
-    )
-    tot = pair.agg(F.count("*").cast("long").alias("n1p_all"))
-    d = F.lit(0.75)
-    model = (
-        pair.join(lft, "a")
-        .join(cont, "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "a",
-            "b",
-            (
-                -F.round(
-                    F.log(
-                        F.greatest(
-                            F.col("cab") - d, F.lit(0.0)
-                        )
-                        / F.col("ca")
-                        + d
-                        * F.col("n1p_a")
-                        / F.col("ca")
-                        * (
-                            F.col("n1p_b").cast("double")
-                            / F.col("n1p_all")
-                        )
-                    )
-                    * F.lit(1_000_000.0)
-                ).cast("long")
-            ).alias("nll_q"),
-        )
-    )
-    scored = (
-        bigrams.join(model, ["a", "b"])
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("nb"),
-            F.sum("nll_q").cast("long").alias("nll_sum"),
-        )
-        .join(docs.select("doc_id", "lang"), "doc_id")
-    )
-    return (
-        scored.groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("nb").cast("long").alias("n_bigrams"),
-            F.sum("nll_sum").cast("long").alias("nll_micro_sum"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "n_bigrams",
-            F.expr("CAST(nll_micro_sum DIV n_bigrams AS LONG)").alias(
-                "avg_nll_micro"
-            ),
-        )
-        .orderBy("lang")
-    )
-
-
-ORACLE_KNESER_NEY_BIGRAM_NLL = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, u.tok,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS p
-  FROM (
-    SELECT doc_id,
-           unnest(string_split(LOWER(text), ' ')) AS tok,
-           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
-    FROM documents
-  ) u
-  WHERE u.tok <> ''
-),
-bigrams AS MATERIALIZED (
-  SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
-  FROM toks t1
-  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
-),
-pair AS MATERIALIZED (
-  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bigrams GROUP BY a, b
-),
-lft AS MATERIALIZED (
-  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca,
-         CAST(COUNT(*) AS BIGINT) AS n1p_a
-  FROM pair GROUP BY a
-),
-cont AS MATERIALIZED (
-  SELECT b, CAST(COUNT(*) AS BIGINT) AS n1p_b FROM pair GROUP BY b
-),
-tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_all FROM pair),
-model AS MATERIALIZED (
-  SELECT p.a, p.b,
-         CAST(-ROUND(LN(GREATEST(p.cab - 0.75, 0.0) / l.ca
-                        + 0.75 * l.n1p_a / l.ca
-                          * (CAST(c.n1p_b AS DOUBLE) / t.n1p_all))
-                     * 1000000) AS BIGINT) AS nll_q
-  FROM pair p JOIN lft l ON l.a = p.a JOIN cont c ON c.b = p.b
-  CROSS JOIN tot t
-),
-scored AS (
-  SELECT g.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS nb,
-         CAST(SUM(m.nll_q) AS BIGINT) AS nll_sum
-  FROM bigrams g JOIN model m ON m.a = g.a AND m.b = g.b
-  GROUP BY g.doc_id
-)
-SELECT d.lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(s.nb) AS BIGINT) AS n_bigrams,
-       CAST(CAST(SUM(s.nll_sum) AS BIGINT) // CAST(SUM(s.nb) AS BIGINT)
-            AS BIGINT) AS avg_nll_micro
-FROM scored s JOIN documents d USING (doc_id)
-GROUP BY d.lang ORDER BY d.lang
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "kneser_ney_bigram_nll": (
-            q_kneser_ney_bigram_nll,
-            ORACLE_KNESER_NEY_BIGRAM_NLL,
-            "ext:interpolated Kneser-Ney bigram NLL (continuation"
-            " counts, per-type micro-nat quantization)",
-        ),
-    }
-)
-
-
-def q_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-embedding ANN: sign-quantize the 64-d float vectors into
-    two 32-bit words (1 bit per dimension, packed by explicit integer
-    arithmetic — no float survives the encode) and rank neighbors by
-    Hamming distance via bit_count(xor) — the 1-bit quantization path
-    of the ANN family (cosine_topk exact float / LSH / IVF / PQ),
-    storing 64× less and comparing with two popcounts. Ties break by
-    neighbor id, making top-5 deterministic. Scale: the encode is one
-    linear projection; the query side is the bounded 10-vector frame
-    broadcast against the encoded table (the brute-force baseline
-    shape), and the LSH-bucketed variant applies unchanged on the
-    packed words."""
-    emb = _t(spark, sf_dir, "embeddings")
-
-    def pack(lo: int) -> F.Column:
-        return F.expr(
-            "aggregate(zip_with("
-            f"slice(embedding, {lo + 1}, 32), sequence(0, 31), "
-            "(v, i) -> IF(v > CAST(0.0 AS FLOAT),"
-            " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-
-    packed = emb.select(
-        "vec_id", pack(0).alias("w_lo"), pack(32).alias("w_hi")
-    )
-    q = packed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w_lo").alias("q_lo"),
-        F.col("w_hi").alias("q_hi"),
-    )
-    scored = packed.join(
-        F.broadcast(q), packed["vec_id"] != q["query_id"]
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            F.bit_count(F.expr("q_lo ^ w_lo"))
-            + F.bit_count(F.expr("q_hi ^ w_hi"))
-        )
-        .cast("long")
-        .alias("hamming"),
-    )
-    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "query_id", "neighbor_id", "hamming",
-            F.col("rank").cast("long").alias("rank"),
-        )
-        .orderBy("query_id", "rank")
-    )
-
-
-ORACLE_HAMMING_BINARY_TOPK = """
-WITH packed AS MATERIALIZED (
-  SELECT vec_id,
-         CAST(list_sum(list_transform(embedding[1:32],
-              (v, i) -> CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
-                         ELSE 0 END)) AS BIGINT) AS w_lo,
-         CAST(list_sum(list_transform(embedding[33:64],
-              (v, i) -> CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
-                         ELSE 0 END)) AS BIGINT) AS w_hi
-  FROM embeddings
-),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(bit_count(xor(CAST(q.w_lo AS BIGINT), c.w_lo))
-              + bit_count(xor(CAST(q.w_hi AS BIGINT), c.w_hi))
-              AS BIGINT) AS hamming
-  FROM packed q JOIN packed c ON c.vec_id != q.vec_id
-  WHERE q.vec_id < 10
-)
-SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY hamming, neighbor_id) AS rank FROM scored)
-WHERE rank <= 5
-ORDER BY query_id, rank
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "hamming_binary_topk": (
-            q_hamming_binary_topk,
-            ORACLE_HAMMING_BINARY_TOPK,
-            "ext:1-bit binary-embedding ANN (sign pack to two words,"
-            " popcount Hamming top-k)",
-        ),
-    }
-)
-
-
-def q_temporal_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-free temporal cross-validation with purge + embargo
-    (the de Prado purged k-fold, public "Advances in Financial ML"
-    methodology — the TIME-axis counterpart to grouped_kfold_assign's
-    group-leakage guard): the event range splits into 5 contiguous
-    time folds; for each validation fold, training rows within the
-    1-day label horizon BEFORE the fold are purged (their labels peek
-    into the fold) and rows within the 1-day embargo AFTER it are
-    dropped too (serial correlation leaks backwards). All assignments
-    are integer epoch arithmetic against one broadcast (min, max)
-    frame — every count is exact and partitioning-independent. Cross-
-    engine parity is integer-exact by construction: t truncates the
-    epoch on BOTH sides (Spark unix_timestamp truncates; the oracle
-    wraps epoch(ts) in FLOOR — a bare BIGINT cast would round-to-
-    nearest and diverge on fractional-second timestamps), and the fold
-    boundaries use integer floor-division (Spark `div` / DuckDB `//`),
-    never double-multiply-then-cast. Scale: two linear passes, no
-    window, no shuffle beyond the 5×counts rollup."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
-    bounds = ev.agg(
-        F.min(F.unix_timestamp("ts")).alias("t0"),
-        (F.max(F.unix_timestamp("ts")) + 1).alias("t1"),
-    )
-    day = 86_400
-    with_fold = ev.crossJoin(F.broadcast(bounds)).select(
-        F.unix_timestamp("ts").alias("t"),
-        "t0",
-        "t1",
-        F.least(
-            F.lit(4).cast("long"),
-            F.expr(
-                "(5 * (unix_timestamp(ts) - t0)) div (t1 - t0)"
-            ),
-        )
-        .cast("long")
-        .alias("row_fold"),
-    )
-    folds = spark.range(5).select(F.col("id").cast("long").alias("fold"))
-    labeled = with_fold.crossJoin(F.broadcast(folds)).select(
-        "fold",
-        "row_fold",
-        "t",
-        F.expr("t0 + ((t1 - t0) * fold) div 5").cast("long").alias("v_start"),
-        F.expr("t0 + ((t1 - t0) * (fold + 1)) div 5")
-        .cast("long")
-        .alias("v_end"),
-    )
-    status = labeled.select(
-        "fold",
-        F.when(F.col("row_fold") == F.col("fold"), F.lit("val"))
-        .when(
-            (F.col("t") >= F.col("v_start") - day)
-            & (F.col("t") < F.col("v_end") + day),
-            F.lit("purged"),
-        )
-        .otherwise(F.lit("train"))
-        .alias("status"),
-    )
-    return (
-        status.groupBy("fold")
-        .agg(
-            F.sum((F.col("status") == "val").cast("long"))
-            .cast("long")
-            .alias("n_val"),
-            F.sum((F.col("status") == "train").cast("long"))
-            .cast("long")
-            .alias("n_train"),
-            F.sum((F.col("status") == "purged").cast("long"))
-            .cast("long")
-            .alias("n_purged_embargoed"),
-        )
-        .orderBy("fold")
-    )
-
-
-ORACLE_TEMPORAL_PURGED_SPLIT = """
-WITH bounds AS (
-  SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS t0,
-         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1 AS t1
-  FROM events
-),
-rows_f AS (
-  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, t0, t1,
-         LEAST(4, (5 * (CAST(FLOOR(epoch(ts)) AS BIGINT) - t0))
-                    // (t1 - t0)) AS row_fold
-  FROM events, bounds
-),
-labeled AS (
-  SELECT f.fold, r.row_fold, r.t,
-         r.t0 + ((r.t1 - r.t0) * f.fold) // 5 AS v_start,
-         r.t0 + ((r.t1 - r.t0) * (f.fold + 1)) // 5 AS v_end
-  FROM rows_f r CROSS JOIN (SELECT UNNEST(range(5)) AS fold) f
-),
-status AS (
-  SELECT fold,
-         CASE WHEN row_fold = fold THEN 'val'
-              WHEN t >= v_start - 86400 AND t < v_end + 86400
-                THEN 'purged'
-              ELSE 'train' END AS status
-  FROM labeled
-)
-SELECT CAST(fold AS BIGINT) AS fold,
-       CAST(SUM(CASE WHEN status = 'val' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_val,
-       CAST(SUM(CASE WHEN status = 'train' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_train,
-       CAST(SUM(CASE WHEN status = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_purged_embargoed
-FROM status GROUP BY fold ORDER BY fold
-"""
-
-
-def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cronbach's alpha internal-consistency coefficient over the three
-    integer line-item measures (quantity, discount%, tax%) — the
-    measurement-reliability classic beside cohens_kappa (rater
-    agreement) and spearman_corr (monotone association): α =
-    k/(k−1)·(1 − Σσ²ᵢ/σ²_total). Every variance comes from exact
-    BIGINT/decimal power sums of small integers in ONE aggregate pass;
-    the n-scaling cancels in the ratio, so α is a single deterministic
-    double expression quantized to micro. Scale: one
-    map-side-combinable aggregate, 1-row reduce."""
-    li = _t(spark, sf_dir, "lineitem")
-    x1 = F.floor("l_quantity").cast("long")
-    x2 = F.round(F.col("l_discount") * 100).cast("long")
-    x3 = F.round(F.col("l_tax") * 100).cast("long")
-    tot = x1 + x2 + x3
-    agg = li.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(x1).cast("long").alias("s1"),
-        F.sum(x1 * x1).cast("long").alias("ss1"),
-        F.sum(x2).cast("long").alias("s2"),
-        F.sum(x2 * x2).cast("long").alias("ss2"),
-        F.sum(x3).cast("long").alias("s3"),
-        F.sum(x3 * x3).cast("long").alias("ss3"),
-        F.sum(tot).cast("long").alias("st"),
-        F.sum(tot * tot).cast("long").alias("sst"),
-    )
-
-    def var(ss: str, s: str):
-        return (
-            F.col(ss).cast("double")
-            - F.col(s).cast("double") * F.col(s) / F.col("n")
-        )
-
-    alpha = (F.lit(3.0) / F.lit(2.0)) * (
-        F.lit(1.0)
-        - (var("ss1", "s1") + var("ss2", "s2") + var("ss3", "s3"))
-        / var("sst", "st")
-    )
-    return agg.select(
-        "n",
-        F.round(alpha * F.lit(1_000_000.0)).cast("long").alias(
-            "alpha_micro"
-        ),
-    )
-
-
-ORACLE_CRONBACH_ALPHA = """
-WITH agg AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q * q) AS BIGINT) AS ss1,
-         CAST(SUM(d) AS BIGINT) AS s2, CAST(SUM(d * d) AS BIGINT) AS ss2,
-         CAST(SUM(x) AS BIGINT) AS s3, CAST(SUM(x * x) AS BIGINT) AS ss3,
-         CAST(SUM(q + d + x) AS BIGINT) AS st,
-         CAST(SUM((q + d + x) * (q + d + x)) AS BIGINT) AS sst
-  FROM (
-    SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
-           CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
-           CAST(ROUND(l_tax * 100) AS BIGINT) AS x
-    FROM lineitem
-  )
-)
-SELECT n,
-       CAST(ROUND(1.5 * (1.0 -
-              ((ss1 - CAST(s1 AS DOUBLE) * s1 / n)
-               + (ss2 - CAST(s2 AS DOUBLE) * s2 / n)
-               + (ss3 - CAST(s3 AS DOUBLE) * s3 / n))
-              / (sst - CAST(st AS DOUBLE) * st / n))
-            * 1000000) AS BIGINT) AS alpha_micro
-FROM agg
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "temporal_purged_split": (
-            q_temporal_purged_split,
-            ORACLE_TEMPORAL_PURGED_SPLIT,
-            "ext:purged+embargoed temporal k-fold (leakage-free time"
-            " CV, exact epoch arithmetic)",
-        ),
-        "cronbach_alpha": (
-            q_cronbach_alpha,
-            ORACLE_CRONBACH_ALPHA,
-            "ext:Cronbach alpha reliability (exact integer power sums,"
-            " one-pass)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round-9 late additions, wave 6
-# --------------------------------------------------------------------------
-
-
-def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Shapley-value channel attribution (the game-theoretic
-    gold standard the markov_attribution / cogroup_attribution
-    heuristics approximate): each of the 4 non-purchase channels gets
-    its Shapley share of conversions, with coalition value v(S) =
-    conversions reachable using only channels in S (users whose
-    touched set ⊆ S). The data reduces to 16 coalition-mask counts in
-    ONE keyed aggregate; v(S) is a subset-sum join over the bounded
-    16×16 mask lattice; and φᵢ uses the exact factorial weights
-    |S|!(n−1−|S|)!/n! kept as integers over the common denominator
-    4! = 24, so 24·φᵢ is an exact BIGINT and the ppm value one final
-    integer division. Scale: everything after the per-user aggregate
-    runs on literal 16-row model frames."""
-    ev = _t(spark, sf_dir, "events")
-    chans = ["click", "error", "signup", "view"]
-    mask = sum(
-        (
-            F.max((F.col("event_type") == c).cast("long")) * (1 << i)
-            for i, c in enumerate(chans)
-        ),
-        F.lit(0),
-    )
-    users = ev.groupBy("user_id").agg(
-        mask.cast("long").alias("m"),
-        F.max((F.col("event_type") == "purchase").cast("long")).alias(
-            "conv"
-        ),
-    )
-    cm = users.filter(F.col("conv") == 1).groupBy("m").agg(
-        F.count("*").cast("long").alias("c")
-    )
-    coalitions = spark.range(16).select(F.col("id").cast("long").alias("s"))
-    v = (
-        F.broadcast(coalitions)
-        .join(cm, F.expr("(m & s) = m"), "left")
-        .groupBy("s")
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
-    )
-    # weight numerators over 4! = 24 for |S| = 0..3 (S excludes i)
-    wnum = {0: 6, 1: 2, 2: 2, 3: 6}
-    vs = v.alias("vs")
-    vsi = v.alias("vsi")
-    rows = []
-    for i, c in enumerate(chans):
-        bit = 1 << i
-        contrib = (
-            vs.filter(F.expr(f"(s & {bit}) = 0"))
-            .join(
-                vsi.select(
-                    F.col("s").alias("si"), F.col("v").alias("v_with")
-                ),
-                F.expr(f"si = s + {bit}"),
-            )
-            .select(
-                F.lit(c).alias("channel"),
-                (
-                    F.when(F.bit_count("s") == 0, wnum[0])
-                    .when(F.bit_count("s") == 1, wnum[1])
-                    .when(F.bit_count("s") == 2, wnum[2])
-                    .otherwise(wnum[3])
-                    * (F.col("v_with") - F.col("v"))
-                ).alias("term"),
-            )
-        )
-        rows.append(contrib)
-    allc = rows[0]
-    for r in rows[1:]:
-        allc = allc.unionByName(r)
-    return (
-        allc.groupBy("channel")
-        .agg(F.sum("term").cast("long").alias("phi_x24"))
-        .select(
-            "channel",
-            "phi_x24",
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * phi_x24)"
-                " DIV 24 AS LONG)"
-            ).alias("phi_micro"),
-        )
-        .orderBy("channel")
-    )
-
-
-ORACLE_SHAPLEY_ATTRIBUTION = """
-WITH users AS MATERIALIZED (
-  SELECT user_id,
-         CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-              + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-              + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-              + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-              AS BIGINT) AS m,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-  FROM events GROUP BY user_id
-),
-cm AS (
-  SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM users
-  WHERE conv = 1 GROUP BY m
-),
-v AS (
-  SELECT s.s, CAST(COALESCE(SUM(cm.c), 0) AS BIGINT) AS v
-  FROM (SELECT UNNEST(range(16)) AS s) s
-  LEFT JOIN cm ON (cm.m & s.s) = cm.m
-  GROUP BY s.s
-),
-terms AS (
-  SELECT ch.channel, ch.bit,
-         (CASE bit_count(vs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
-               WHEN 2 THEN 2 ELSE 6 END)
-           * (vi.v - vs.v) AS term
-  FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8))
-       AS ch(channel, bit)
-  JOIN v vs ON (vs.s & ch.bit) = 0
-  JOIN v vi ON vi.s = vs.s + ch.bit
-)
-SELECT channel,
-       CAST(SUM(term) AS BIGINT) AS phi_x24,
-       CAST((CAST(1000000 AS HUGEINT) * CAST(SUM(term) AS BIGINT)) // 24
-            AS BIGINT) AS phi_micro
-FROM terms GROUP BY channel ORDER BY channel
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "shapley_attribution": (
-            q_shapley_attribution,
-            ORACLE_SHAPLEY_ATTRIBUTION,
-            "ext:exact Shapley channel attribution (16-coalition"
-            " lattice, integer factorial weights over 4!)",
-        ),
-    }
-)
-
-
-def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Functional-dependency discovery over a declared candidate set —
-    the schema-profiling pass beside profile_columns (univariate) and
-    dq_report (declared rules): for each candidate A→B, ONE keyed
-    aggregate counts determinant groups, violating groups (>1 distinct
-    B), and the worst fan-out; g3-style error = violating rows ppm.
-    Candidates span PK-like (holds exactly), correlated (fails
-    narrowly), and independent (fails wide) pairs so the output
-    discriminates. Scale: one groupBy per candidate on its
-    determinant — map-side-combinable, no windows, no joins."""
-    checks = []
-    specs = [
-        ("orders", "o_orderkey", "o_orderstatus"),     # PK → holds
-        ("orders", "o_custkey", "o_orderpriority"),    # repeat customers
-        ("customer", "c_nationkey", "c_mktsegment"),   # independent
-        ("lineitem", "l_partkey", "l_suppkey"),        # co-sourced parts
-    ]
-    for table, a, b in specs:
-        t = _t(spark, sf_dir, table)
-        g = t.groupBy(F.col(a)).agg(
-            F.countDistinct(b).alias("nb"),
-            F.count("*").alias("rows_g"),
-        )
-        checks.append(
-            g.agg(
-                F.lit(f"{table}.{a}->{b}").alias("candidate"),
-                F.count("*").cast("long").alias("n_groups"),
-                F.sum((F.col("nb") > 1).cast("long"))
-                .cast("long")
-                .alias("n_violating_groups"),
-                F.max("nb").cast("long").alias("max_distinct_rhs"),
-                F.sum("rows_g").cast("long").alias("n_rows"),
-                F.sum(F.when(F.col("nb") > 1, F.col("rows_g")).otherwise(0))
-                .cast("long")
-                .alias("violating_rows"),
-            ).select(
-                "candidate",
-                "n_groups",
-                "n_violating_groups",
-                "max_distinct_rhs",
-                F.expr(
-                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * violating_rows)"
-                    " DIV n_rows AS LONG)"
-                ).alias("violation_ppm"),
-                (F.col("n_violating_groups") == 0).alias("holds"),
-            )
-        )
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("candidate")
-
-
-ORACLE_FD_DISCOVERY = """
-WITH g1 AS (
-  SELECT o_orderkey AS a, COUNT(DISTINCT o_orderstatus) AS nb,
-         COUNT(*) AS rows_g
-  FROM orders GROUP BY 1
-),
-g2 AS (
-  SELECT o_custkey AS a, COUNT(DISTINCT o_orderpriority) AS nb,
-         COUNT(*) AS rows_g
-  FROM orders GROUP BY 1
-),
-g3 AS (
-  SELECT c_nationkey AS a, COUNT(DISTINCT c_mktsegment) AS nb,
-         COUNT(*) AS rows_g
-  FROM customer GROUP BY 1
-),
-g4 AS (
-  SELECT l_partkey AS a, COUNT(DISTINCT l_suppkey) AS nb,
-         COUNT(*) AS rows_g
-  FROM lineitem GROUP BY 1
-),
-rolled AS (
-  SELECT 'orders.o_orderkey->o_orderstatus' AS candidate, * FROM (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_violating_groups,
-           CAST(MAX(nb) AS BIGINT) AS max_distinct_rhs,
-           CAST(SUM(rows_g) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
-             AS violating_rows
-    FROM g1)
-  UNION ALL
-  SELECT 'orders.o_custkey->o_orderpriority', * FROM (
-    SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nb > 1 THEN 1
-             ELSE 0 END) AS BIGINT), CAST(MAX(nb) AS BIGINT),
-           CAST(SUM(rows_g) AS BIGINT),
-           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
-    FROM g2)
-  UNION ALL
-  SELECT 'customer.c_nationkey->c_mktsegment', * FROM (
-    SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nb > 1 THEN 1
-             ELSE 0 END) AS BIGINT), CAST(MAX(nb) AS BIGINT),
-           CAST(SUM(rows_g) AS BIGINT),
-           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
-    FROM g3)
-  UNION ALL
-  SELECT 'lineitem.l_partkey->l_suppkey', * FROM (
-    SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nb > 1 THEN 1
-             ELSE 0 END) AS BIGINT), CAST(MAX(nb) AS BIGINT),
-           CAST(SUM(rows_g) AS BIGINT),
-           CAST(SUM(CASE WHEN nb > 1 THEN rows_g ELSE 0 END) AS BIGINT)
-    FROM g4)
-)
-SELECT candidate, n_groups, n_violating_groups, max_distinct_rhs,
-       CAST((CAST(1000000 AS HUGEINT) * violating_rows) // n_rows
-            AS BIGINT) AS violation_ppm,
-       (n_violating_groups = 0) AS holds
-FROM rolled ORDER BY candidate
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "fd_discovery": (
-            q_fd_discovery,
-            ORACLE_FD_DISCOVERY,
-            "ext:functional-dependency discovery (g3-style violation"
-            " ppm over candidate determinants)",
-        ),
-    }
-)
-
-
-def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-conformal prediction intervals with finite-sample
-    coverage, hard-checked: fit the daily-revenue OLS trend on a
-    deterministic calibration half (even day index), take the conformal
-    quantile q = the ⌈(n+1)(1−α)⌉-th smallest absolute calibration
-    residual (an EXACT order statistic via the distinct-value
-    cumulative window — no approximate percentile), and measure
-    empirical coverage of ŷ±q on the held-out half. The split-conformal
-    guarantee (Vovk; Lei et al., public) says coverage ≥ 1−α in
-    expectation — the query emits the exact hit counts so the oracle
-    certifies both the quantile selection and the coverage arithmetic.
-    All counts integer; residuals double but single-expression
-    deterministic, quantized to micro before ranking. Scale: one keyed
-    aggregate to the ≤365-day frame; windows over that bounded frame."""
-    days = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-    base = days.agg(F.min("d").alias("d0"))
-    idx = days.crossJoin(F.broadcast(base)).select(
-        F.datediff("d", "d0").cast("long").alias("t"), "y"
-    )
-    cal = idx.filter(F.col("t") % 2 == 0)
-    test = idx.filter(F.col("t") % 2 == 1)
-    sums = cal.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("t").cast("long").alias("st"),
-        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
-    )
-    b = (
-        (
-            F.col("n").cast("double") * F.col("sty").cast("double")
-            - F.col("st").cast("double") * F.col("sy")
-        )
-        / (
-            F.col("n").cast("double") * F.col("stt")
-            - F.col("st").cast("double") * F.col("st")
-        )
-    )
-    a = (F.col("sy").cast("double") - b * F.col("st")) / F.col("n")
-    model = F.broadcast(
-        sums.select(b.alias("b"), a.alias("a"), F.col("n").alias("n_cal"))
-    )
-    resid = cal.crossJoin(model).select(
-        "n_cal",
-        F.round(
-            F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("t"))
-            * F.lit(1_000_000.0)
-        )
-        .cast("long")
-        .alias("r_micro"),
-    )
-    # exact order statistic: k = ceil((n+1)*0.9) over distinct values
-    cells = resid.groupBy("n_cal", "r_micro").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    wcum = Window.partitionBy("n_cal").orderBy("r_micro").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    q = (
-        cells.select(
-            "n_cal",
-            "r_micro",
-            F.sum("cnt").over(wcum).alias("cum"),
-        )
-        .filter(
-            F.col("cum")
-            >= F.expr("CAST((((n_cal + 1) * 9) + 9) DIV 10 AS LONG)")
-        )
-        .groupBy("n_cal")
-        .agg(F.min("r_micro").cast("long").alias("q_micro"))
-    )
-    covered = (
-        test.crossJoin(model)
-        .crossJoin(F.broadcast(q.select("q_micro")))
-        .select(
-            (
-                F.round(
-                    F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("t"))
-                    * F.lit(1_000_000.0)
-                ).cast("long")
-                <= F.col("q_micro")
-            )
-            .cast("long")
-            .alias("hit"),
-            "q_micro",
-            "n_cal",
-        )
-    )
-    return covered.groupBy("n_cal", "q_micro").agg(
-        F.count("*").cast("long").alias("n_test"),
-        F.sum("hit").cast("long").alias("n_covered"),
-    ).select(
-        "n_cal",
-        "q_micro",
-        "n_test",
-        "n_covered",
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_covered)"
-            " DIV n_test AS LONG)"
-        ).alias("coverage_ppm"),
-    )
-
-
-ORACLE_CONFORMAL_INTERVAL_COVERAGE = """
-WITH days AS MATERIALIZED (
-  SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1
-),
-idx AS (
-  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM days), d) AS BIGINT)
-           AS t, y
-  FROM days
-),
-cal AS (SELECT * FROM idx WHERE t % 2 = 0),
-tst AS (SELECT * FROM idx WHERE t % 2 = 1),
-sums AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(t) AS BIGINT) AS st,
-         CAST(SUM(t * t) AS BIGINT) AS stt,
-         CAST(SUM(y) AS BIGINT) AS sy,
-         SUM(CAST(t AS HUGEINT) * y) AS sty
-  FROM cal
-),
-model AS (
-  SELECT (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
-           / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
-         n AS n_cal, st, sy
-  FROM sums
-),
-model2 AS (
-  SELECT b, (CAST(sy AS DOUBLE) - b * st) / n_cal AS a, n_cal FROM model
-),
-resid AS (
-  SELECT n_cal,
-         CAST(ROUND(ABS(y - a - b * t) * 1000000) AS BIGINT) AS r_micro
-  FROM cal, model2
-),
-cells AS (
-  SELECT n_cal, r_micro, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM resid GROUP BY 1, 2
-),
-qsel AS (
-  SELECT n_cal, CAST(MIN(r_micro) AS BIGINT) AS q_micro
-  FROM (
-    SELECT n_cal, r_micro,
-           SUM(cnt) OVER (PARTITION BY n_cal ORDER BY r_micro
-                          ROWS UNBOUNDED PRECEDING) AS cum
-    FROM cells
-  )
-  WHERE cum >= (((n_cal + 1) * 9) + 9) // 10
-  GROUP BY n_cal
-)
-SELECT q.n_cal, q.q_micro,
-       CAST(COUNT(*) AS BIGINT) AS n_test,
-       CAST(SUM(CASE WHEN CAST(ROUND(ABS(y - a - b * t) * 1000000)
-                          AS BIGINT) <= q_micro
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-       CAST((CAST(1000000 AS HUGEINT)
-             * CAST(SUM(CASE WHEN CAST(ROUND(ABS(y - a - b * t) * 1000000)
-                                  AS BIGINT) <= q_micro
-                      THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
-            AS BIGINT) AS coverage_ppm
-FROM tst, model2, qsel q
-GROUP BY 1, 2
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "conformal_interval_coverage": (
-            q_conformal_interval_coverage,
-            ORACLE_CONFORMAL_INTERVAL_COVERAGE,
-            "ext:split-conformal prediction intervals (exact order-"
-            "statistic quantile, finite-sample coverage checked)",
-        ),
-    }
-)
-
-
-def q_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-truss filtering (k=4: every surviving edge sits in ≥2
-    triangles among surviving edges) by BOUNDED iterative support
-    peeling — the cohesion refinement of kcore_peeling (degree ≥ k
-    keeps hubs; triangle support ≥ k−2 keeps genuinely clustered
-    ties). Exactly ``ROUNDS`` peel iterations run on both engines (the
-    kcore_peeling fixed-round convention — the oracle unrolls the same
-    rounds in SQL), each one wedge join |N(u) ∩ N(v)| per edge + one
-    keyed filter; per-round lineage is truncated and stats-barriered
-    (the boruvka_mst localCheckpoint statistics-compounding note:
-    support joins reference the edge set three times per round).
-    Output: the support histogram of the final surviving edge set.
-    Scale: support counting is the triangle-enumeration shape whose
-    degree-ordered variant triangle_count documents; rounds are a
-    fixed constant, edges only shrink."""
-    ROUNDS, K = 3, 4
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    small = li.groupBy("l_orderkey").agg(F.count("*").alias("np")).filter(
-        F.col("np") <= 4
-    )
-    li4 = li.join(small.select("l_orderkey"), "l_orderkey")
-    a = li4.alias("a")
-    b = li4.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    # localCheckpoint(eager) alone materializes AND truncates; with a
-    # fixed 3-round loop the inherited-stats compounding stays ~4³ —
-    # far from the boruvka_mst regime that needs the persist barrier
-    e = e.localCheckpoint(eager=True)
-    sup = None
-    for _ in range(ROUNDS):
-        # DEGREE-ORDERED support counting (the triangle_count O(m^1.5)
-        # discipline — a symmetric wedge join costs Σdeg² and dies on
-        # hubs): orient each edge low→high under (deg, id), enumerate
-        # every triangle exactly once as two out-edges of its lowest-
-        # rank vertex plus the closing edge, then credit all three
-        # canonical edges and count credits per edge.
-        sym = e.select("u", "v").union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        deg = sym.groupBy("u").agg(F.count("*").alias("dg"))
-        oe = (
-            e.join(deg.select(F.col("u").alias("u"), F.col("dg").alias("du")), "u")
-            .join(deg.select(F.col("u").alias("v"), F.col("dg").alias("dv")), "v")
-            .select(
-                F.when(
-                    (F.col("du") < F.col("dv"))
-                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                    F.col("u"),
-                )
-                .otherwise(F.col("v"))
-                .alias("src"),
-                F.when(
-                    (F.col("du") < F.col("dv"))
-                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                    F.col("v"),
-                )
-                .otherwise(F.col("u"))
-                .alias("dst"),
-            )
-        )
-        x = oe.alias("x")
-        y = oe.alias("y")
-        tri = (
-            x.join(
-                y,
-                (F.col("x.src") == F.col("y.src"))
-                & (F.col("x.dst") < F.col("y.dst")),
-            )
-            .join(
-                e.select(
-                    F.col("u").alias("cu"), F.col("v").alias("cv")
-                ),
-                (
-                    F.least(F.col("x.dst"), F.col("y.dst")) == F.col("cu")
-                )
-                & (
-                    F.greatest(F.col("x.dst"), F.col("y.dst"))
-                    == F.col("cv")
-                ),
-            )
-            .select(
-                F.col("x.src").alias("a"),
-                F.col("x.dst").alias("b"),
-                F.col("y.dst").alias("c"),
-            )
-        )
-        credits = (
-            tri.select(
-                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-            )
-            .union(
-                tri.select(
-                    F.least("a", "c").alias("u"),
-                    F.greatest("a", "c").alias("v"),
-                )
-            )
-            .union(
-                tri.select(
-                    F.least("b", "c").alias("u"),
-                    F.greatest("b", "c").alias("v"),
-                )
-            )
-        )
-        sup = credits.groupBy("u", "v").agg(
-            F.count("*").cast("long").alias("s")
-        )
-        sup = sup.localCheckpoint(eager=True)
-        e = sup.filter(F.col("s") >= K - 2).select("u", "v").localCheckpoint(
-            eager=True
-        )
-    return (
-        sup.filter(F.col("s") >= K - 2)
-        .groupBy("s")
-        .agg(F.count("*").cast("long").alias("n_edges"))
-        .orderBy("s")
-    )
-
-
-def _ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
-    sql = """WITH li AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-),
-small AS MATERIALIZED (
-  SELECT o FROM li GROUP BY o HAVING COUNT(*) <= 4
-),
-li4 AS MATERIALIZED (
-  SELECT li.o, li.p FROM li JOIN small USING (o)
-),
-e0 AS MATERIALIZED (
-  SELECT DISTINCT a.p AS u, b.p AS v
-  FROM li4 a JOIN li4 b ON a.o = b.o AND a.p < b.p
-)"""
-    prev = "e0"
-    for i in range(1, rounds + 1):
-        sql += f""",
-sym{i} AS MATERIALIZED (
-  SELECT u, v FROM {prev} UNION ALL SELECT v, u FROM {prev}
-),
-sup{i} AS MATERIALIZED (
-  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS s
-  FROM {prev} e
-  JOIN sym{i} a ON a.u = e.u
-  JOIN sym{i} b ON b.u = e.v AND b.v = a.v
-  GROUP BY e.u, e.v
-),
-e{i} AS MATERIALIZED (
-  SELECT u, v FROM sup{i} WHERE s >= {k - 2}
-)"""
-        prev = f"e{i}"
-    return sql + f"""
-SELECT s, CAST(COUNT(*) AS BIGINT) AS n_edges
-FROM sup{rounds} WHERE s >= {k - 2}
-GROUP BY s ORDER BY s"""
-
-
-ORACLE_KTRUSS_SUPPORT = _ktruss_oracle()
-
-
-EXTRA_QUERIES.update(
-    {
-        "ktruss_support": (
-            q_ktruss_support,
-            ORACLE_KTRUSS_SUPPORT,
-            "ext:k-truss triangle-support peeling (fixed-round, oracle"
-            " unrolled; cohesion refinement of k-core)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round-9 late additions, wave 8
-# --------------------------------------------------------------------------
-
-
-def q_wasserstein1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
-    quantity distributions of return flags A and N — the
-    transport-cost drift metric beside psi_drift (needs bins) and
-    ks_two_sample (sup-norm only): W₁ = ∫|F_A − F_B| dv = Σ over value
-    gaps of |cum_A·n_B − cum_B·n_A|·gap on the common denominator
-    n_A·n_B, all BIGINT (the t_closeness EMD machinery on a numeric
-    axis with real gap widths). Scale: ONE keyed count to the ≤50-row
-    value histogram; the gap window runs over that bounded frame."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag").isin("A", "N")
-    )
-    cells = li.groupBy(F.floor("l_quantity").cast("long").alias("v")).agg(
-        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    stepped = cells.select(
-        "v",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(wall).alias("n_a"),
-        F.sum("cb").over(wall).alias("n_b"),
-        (F.lead("v", 1).over(Window.orderBy("v")) - F.col("v")).alias("gap"),
-    ).filter(F.col("gap").isNotNull())
-    # Per-term magnitude is ~n_a·n_b·gap (≥1e16 around SF10), so the
-    # accumulation runs in decimal(38,0) — a plain BIGINT sum would
-    # silently wrap under non-ANSI Spark while DuckDB's HUGEINT stays
-    # exact (the welch_ttest/jarque_bera decimal convention).
-    agg = stepped.agg(
-        F.max("n_a").cast("long").alias("n_a"),
-        F.max("n_b").cast("long").alias("n_b"),
-        F.sum(
-            F.abs(
-                F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
-                - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
-            )
-            * F.col("gap")
-        )
-        .cast("long")
-        .alias("w1_num"),
-    )
-    return agg.select(
-        "n_a",
-        "n_b",
-        "w1_num",
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * w1_num)"
-            " DIV (n_a * n_b) AS LONG)"
-        ).alias("w1_micro"),
-    )
-
-
-ORACLE_WASSERSTEIN1_DRIFT = """
-WITH cells AS MATERIALIZED (
-  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
-         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
-           AS ca,
-         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cb
-  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1
-),
-stepped AS (
-  SELECT v,
-         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
-         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
-         SUM(ca) OVER () AS n_a,
-         SUM(cb) OVER () AS n_b,
-         LEAD(v, 1) OVER (ORDER BY v) - v AS gap
-  FROM cells
-)
-SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
-       CAST(MAX(n_b) AS BIGINT) AS n_b,
-       CAST(SUM(ABS(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT) AS w1_num,
-       CAST((CAST(1000000 AS HUGEINT)
-             * CAST(SUM(ABS(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT))
-            // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS w1_micro
-FROM stepped WHERE gap IS NOT NULL
-"""
-
-
-def q_dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dunning log-likelihood-ratio (G²) collocations — the
-    significance-tested phrase miner beside pmi_collocations (PMI
-    over-rewards rare pairs; G² weighs evidence): for each adjacent
-    bigram, the 2×2 contingency (k11 bigram count, k12/k21 marginal
-    remainders, k22 rest) scores G² = 2·Σ O·ln(O/E). Each of the four
-    O·ln(O/E) terms is quantized to micro-nats ONCE PER BIGRAM TYPE
-    (the qlog discipline), so ranking and the top-20 cut are exact
-    integer comparisons with deterministic tie-breaks. Scale: one
-    bigram explode + keyed counts; the scoring join is model-sized."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text", with_position=True)
-    wpos = Window.partitionBy("doc_id").orderBy("pos")
-    seq = toks.select("doc_id", "tok", F.row_number().over(wpos).alias("p"))
-    t1 = seq.alias("t1")
-    t2 = seq.alias("t2")
-    bigrams = t1.join(
-        t2,
-        (F.col("t1.doc_id") == F.col("t2.doc_id"))
-        & (F.col("t2.p") == F.col("t1.p") + 1),
-    ).select(F.col("t1.tok").alias("a"), F.col("t2.tok").alias("b"))
-    pair = bigrams.groupBy("a", "b").agg(
-        F.count("*").cast("long").alias("k11")
-    )
-    ra = pair.groupBy("a").agg(F.sum("k11").cast("long").alias("na"))
-    rb = pair.groupBy("b").agg(F.sum("k11").cast("long").alias("nb"))
-    tot = pair.agg(F.sum("k11").cast("long").alias("n"))
-    cont = (
-        pair.join(ra, "a")
-        .join(rb, "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "a",
-            "b",
-            "k11",
-            (F.col("na") - F.col("k11")).alias("k12"),
-            (F.col("nb") - F.col("k11")).alias("k21"),
-            (F.col("n") - F.col("na") - F.col("nb") + F.col("k11")).alias(
-                "k22"
-            ),
-            "na",
-            "nb",
-            "n",
-        )
-    )
-
-    def term(o: F.Column, row_sum: F.Column, col_sum: F.Column):
-        # micro-nat quantized O·ln(O·n / (row·col)); 0·ln0 = 0
-        return F.when(
-            o > 0,
-            F.round(
-                o
-                * F.log(
-                    o.cast("double")
-                    * F.col("n")
-                    / (row_sum.cast("double") * col_sum)
-                )
-                * F.lit(1_000_000.0)
-            ).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-
-    k11, k12 = F.col("k11"), F.col("k12")
-    k21, k22 = F.col("k21"), F.col("k22")
-    na, nb, n = F.col("na"), F.col("nb"), F.col("n")
-    g2 = 2 * (
-        term(k11, na, nb)
-        + term(k12, na, n - nb)
-        + term(k21, n - na, nb)
-        + term(k22, n - na, n - nb)
-    )
-    return (
-        cont.select(
-            "a", "b", "k11", g2.alias("g2_micro")
-        )
-        .orderBy(F.desc("g2_micro"), "a", "b")
-        .limit(20)
-    )
-
-
-ORACLE_DUNNING_G2_COLLOCATIONS = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, u.tok,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.pos) AS p
-  FROM (
-    SELECT doc_id,
-           unnest(string_split(LOWER(text), ' ')) AS tok,
-           generate_subscripts(string_split(LOWER(text), ' '), 1) AS pos
-    FROM documents
-  ) u
-  WHERE u.tok <> ''
-),
-bigrams AS MATERIALIZED (
-  SELECT t1.tok AS a, t2.tok AS b
-  FROM toks t1
-  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
-),
-pair AS MATERIALIZED (
-  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS k11 FROM bigrams GROUP BY a, b
-),
-ra AS (SELECT a, CAST(SUM(k11) AS BIGINT) AS na FROM pair GROUP BY a),
-rb AS (SELECT b, CAST(SUM(k11) AS BIGINT) AS nb FROM pair GROUP BY b),
-tot AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM pair),
-cont AS (
-  SELECT p.a, p.b, p.k11, ra.na - p.k11 AS k12, rb.nb - p.k11 AS k21,
-         t.n - ra.na - rb.nb + p.k11 AS k22, ra.na, rb.nb, t.n
-  FROM pair p JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot t
-),
-scored AS (
-  SELECT a, b, k11,
-         2 * ((CASE WHEN k11 > 0 THEN CAST(ROUND(k11 * LN(CAST(k11 AS DOUBLE)
-                * n / (CAST(na AS DOUBLE) * nb)) * 1000000) AS BIGINT)
-               ELSE 0 END)
-            + (CASE WHEN k12 > 0 THEN CAST(ROUND(k12 * LN(CAST(k12 AS DOUBLE)
-                * n / (CAST(na AS DOUBLE) * (n - nb))) * 1000000) AS BIGINT)
-               ELSE 0 END)
-            + (CASE WHEN k21 > 0 THEN CAST(ROUND(k21 * LN(CAST(k21 AS DOUBLE)
-                * n / (CAST(n - na AS DOUBLE) * nb)) * 1000000) AS BIGINT)
-               ELSE 0 END)
-            + (CASE WHEN k22 > 0 THEN CAST(ROUND(k22 * LN(CAST(k22 AS DOUBLE)
-                * n / (CAST(n - na AS DOUBLE) * (n - nb))) * 1000000)
-                AS BIGINT)
-               ELSE 0 END)) AS g2_micro
-  FROM cont
-)
-SELECT a, b, k11, g2_micro
-FROM scored ORDER BY g2_micro DESC, a, b LIMIT 20
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "wasserstein1_drift": (
-            q_wasserstein1_drift,
-            ORACLE_WASSERSTEIN1_DRIFT,
-            "ext:exact 1-D Wasserstein-1 distribution drift (integer"
-            " ECDF-area transport cost)",
-        ),
-        "dunning_g2_collocations": (
-            q_dunning_g2_collocations,
-            ORACLE_DUNNING_G2_COLLOCATIONS,
-            "ext:Dunning G2 log-likelihood collocations (per-type"
-            " micro-nat terms, deterministic top-20)",
-        ),
-    }
-)
-
-
-def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka prefix-dimension retrieval audit (Kusupati et al.
-    2022, arXiv 2205.13147 — MRL-trained embeddings let you serve the
-    first d′ dimensions at d/d′ the cost): recall@5 of exact top-5
-    retrieval using ONLY the first 16 of 64 dimensions against the
-    full-precision top-5, per query. Both rankings are exact cosine
-    top-k with the same deterministic tie-break, so overlap counts are
-    integers and the oracle recomputes them directly — this is the
-    operational check you run before flipping a serving tier to
-    truncated vectors. Scale: the query side is the bounded 10-vector
-    broadcast (the cosine_topk baseline shape) at both dimensions."""
-    emb = _t(spark, sf_dir, "embeddings")
-
-    def dot_expr(acol: str, bcol: str, dims: int) -> F.Column:
-        return F.expr(
-            f"aggregate(zip_with(slice({acol}, 1, {dims}),"
-            f" slice({bcol}, 1, {dims}), (x, y) -> CAST(x AS DOUBLE) * y),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    pairs = emb.join(F.broadcast(q), emb["vec_id"] != q["query_id"]).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            dot_expr("qe", "embedding", 64)
-            / F.sqrt(dot_expr("qe", "qe", 64))
-            / F.sqrt(dot_expr("embedding", "embedding", 64))
-        ).alias("cos_full"),
-        (
-            dot_expr("qe", "embedding", 16)
-            / F.sqrt(dot_expr("qe", "qe", 16))
-            / F.sqrt(dot_expr("embedding", "embedding", 16))
-        ).alias("cos_16"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_full"), "neighbor_id"
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_16"), "neighbor_id"
-    )
-    ranked = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.row_number().over(wf).alias("rk_full"),
-        F.row_number().over(wp).alias("rk_16"),
-    )
-    return (
-        ranked.filter(F.col("rk_full") <= 5)
-        .groupBy("query_id")
-        .agg(
-            F.sum((F.col("rk_16") <= 5).cast("long"))
-            .cast("long")
-            .alias("overlap_at_5"),
-        )
-        .select(
-            "query_id",
-            "overlap_at_5",
-            F.expr("CAST((1000000 * overlap_at_5) DIV 5 AS LONG)").alias(
-                "recall_ppm"
-            ),
-        )
-        .orderBy("query_id")
-    )
-
-
-ORACLE_MATRYOSHKA_PREFIX_RECALL = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings),
-pairs AS MATERIALIZED (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.emb, c.emb)
-           / sqrt(list_dot_product(q.emb, q.emb))
-           / sqrt(list_dot_product(c.emb, c.emb)) AS cos_full,
-         list_dot_product(q.emb[1:16], c.emb[1:16])
-           / sqrt(list_dot_product(q.emb[1:16], q.emb[1:16]))
-           / sqrt(list_dot_product(c.emb[1:16], c.emb[1:16])) AS cos_16
-  FROM v q JOIN v c ON c.vec_id != q.vec_id
-  WHERE q.vec_id < 10
-),
-ranked AS (
-  SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_full DESC, neighbor_id) AS rk_full,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_16 DESC, neighbor_id) AS rk_16
-  FROM pairs
-)
-SELECT query_id,
-       CAST(SUM(CASE WHEN rk_16 <= 5 THEN 1 ELSE 0 END) AS BIGINT)
-         AS overlap_at_5,
-       CAST((1000000 * CAST(SUM(CASE WHEN rk_16 <= 5 THEN 1 ELSE 0 END)
-             AS BIGINT)) // 5 AS BIGINT) AS recall_ppm
-FROM ranked WHERE rk_full <= 5
-GROUP BY query_id ORDER BY query_id
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "matryoshka_prefix_recall": (
-            q_matryoshka_prefix_recall,
-            ORACLE_MATRYOSHKA_PREFIX_RECALL,
-            "ext:Matryoshka truncated-dimension retrieval audit"
-            " (prefix-16 vs full-64 recall@5, exact rankings)",
-        ),
-    }
-)
-
-
-# --------------------------------------------------------------------------
-# Round-9 late additions, wave 9
-# --------------------------------------------------------------------------
-
-
-def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition/quality rule gate (Rae et al. 2021,
-    arXiv 2112.11446 Table A1 — the published rule set most curation
-    stacks start from), as one per-row pass: word count in [3, 5000],
-    mean word length in [1, 12] (micro-exact via integer cross-
-    multiplication, no division), symbol-to-word ratio ≤ 0.1
-    (#/… here the generic non-alnum class), and stopword evidence
-    (≥2 hits from the shared literal list). Per language the rollup
-    reports pass counts per rule and the full-gate pass rate in ppm —
-    every number an exact integer. Scale: pure per-row regexp_count
-    projection + ONE keyed rollup; no explode, no join."""
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    lower = F.lower(F.col("text"))
-    words = F.size(F.filter(F.split(lower, " "), lambda x: x != F.lit("")))
-    chars = F.length(F.regexp_replace(lower, " ", ""))
-    symbols = F.regexp_count(lower, F.lit("[^a-z0-9 ]"))
-    stop_hits = F.regexp_count(
-        F.concat(F.lit(" "), lower, F.lit(" ")),
-        F.lit(" (the|and|of|to|a|in|is|it|that|for) "),
-    )
-    r_words = (words >= 3) & (words <= 5000)
-    # 1 ≤ chars/words ≤ 12, exactly: words ≤ chars AND chars ≤ 12·words
-    r_mwl = (chars >= words) & (chars <= 12 * words)
-    # symbols/words ≤ 0.1 exactly: 10·symbols ≤ words
-    r_sym = (10 * symbols) <= words
-    r_stop = stop_hits >= 2
-    flags = docs.select(
-        "lang",
-        r_words.cast("long").alias("p_words"),
-        r_mwl.cast("long").alias("p_mwl"),
-        r_sym.cast("long").alias("p_sym"),
-        r_stop.cast("long").alias("p_stop"),
-        (r_words & r_mwl & r_sym & r_stop).cast("long").alias("p_all"),
-    )
-    return (
-        flags.groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("p_words").cast("long").alias("pass_wordcount"),
-            F.sum("p_mwl").cast("long").alias("pass_meanwordlen"),
-            F.sum("p_sym").cast("long").alias("pass_symbolratio"),
-            F.sum("p_stop").cast("long").alias("pass_stopwords"),
-            F.sum("p_all").cast("long").alias("pass_all"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "pass_wordcount",
-            "pass_meanwordlen",
-            "pass_symbolratio",
-            "pass_stopwords",
-            "pass_all",
-            F.expr(
-                "CAST((1000000 * pass_all) DIV n_docs AS LONG)"
-            ).alias("pass_rate_ppm"),
-        )
-        .orderBy("lang")
-    )
-
-
-ORACLE_GOPHER_QUALITY_RULES = """
-WITH scored AS MATERIALIZED (
-  SELECT lang,
-         CAST(len(list_filter(string_split(lower(text), ' '),
-                              x -> x != '')) AS BIGINT) AS words,
-         CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS chars,
-         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-              AS BIGINT) AS symbols,
-         CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
-              ' (the|and|of|to|a|in|is|it|that|for) ')) AS BIGINT)
-           AS stop_hits
-  FROM documents WHERE length(text) > 0
-),
-flags AS (
-  SELECT lang,
-         CASE WHEN words >= 3 AND words <= 5000 THEN 1 ELSE 0 END AS p_words,
-         CASE WHEN chars >= words AND chars <= 12 * words THEN 1 ELSE 0 END
-           AS p_mwl,
-         CASE WHEN 10 * symbols <= words THEN 1 ELSE 0 END AS p_sym,
-         CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS p_stop
-  FROM scored
-)
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(p_words) AS BIGINT) AS pass_wordcount,
-       CAST(SUM(p_mwl) AS BIGINT) AS pass_meanwordlen,
-       CAST(SUM(p_sym) AS BIGINT) AS pass_symbolratio,
-       CAST(SUM(p_stop) AS BIGINT) AS pass_stopwords,
-       CAST(SUM(p_words * p_mwl * p_sym * p_stop) AS BIGINT) AS pass_all,
-       CAST((1000000 * CAST(SUM(p_words * p_mwl * p_sym * p_stop)
-             AS BIGINT)) // COUNT(*) AS BIGINT) AS pass_rate_ppm
-FROM flags GROUP BY lang ORDER BY lang
-"""
-
-
-def q_cidr_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CIDR-block enrichment join — the weblog/geo-IP routing pass: a
-    synthesized client IPv4 per event (the url_normalize synth
-    convention — fixtures carry no IPs; crawls do) joins a literal
-    subnet table on longest-prefix containment expressed as pure
-    integer arithmetic: ip DIV 2^(32−len) = net DIV 2^(32−len).
-    Matching tries /24 then /16 then /8 via a rank over the bounded
-    ≤3 candidate matches per event (the block table broadcasts —
-    production routing tables are ~1e6 rows, still the small side).
-    Exact PER-EVENT counts per block: the event_id key rides through
-    the candidate join and the longest-prefix window partitions on it
-    (many events share a synthesized IP — partitioning the window by
-    ip alone would collapse them to one row and count distinct IPs,
-    not events). Scale: per-row synth + broadcast joins, one keyed
-    rollup; never a range scan."""
-    ev = _t(spark, sf_dir, "events")
-    ip = (
-        (F.lit(10) * 16777216)
-        + (F.col("user_id") % 32) * 65536
-        + (F.col("event_id") % 256) * 256
-        + (F.col("user_id") * 7 + F.col("event_id")) % 256
-    ).cast("long")
-    with_ip = ev.select(F.col("event_id"), ip.alias("ip"))
-    blocks = spark.createDataFrame(
-        [
-            ("corp-a-24", 10 * 16777216 + 3 * 65536 + 0 * 256, 24),
-            ("corp-b-24", 10 * 16777216 + 7 * 65536 + 128 * 256, 24),
-            ("dc-east-16", 10 * 16777216 + 5 * 65536, 16),
-            ("dc-west-16", 10 * 16777216 + 21 * 65536, 16),
-            ("net-10-8", 10 * 16777216, 8),
-        ],
-        "block string, net long, plen int",
-    )
-    cand = with_ip.join(
-        F.broadcast(blocks),
-        F.expr("ip DIV CAST(pow(2, 32 - plen) AS LONG)"
-               " = net DIV CAST(pow(2, 32 - plen) AS LONG)"),
-    )
-    w = Window.partitionBy("event_id").orderBy(F.desc("plen"), "block")
-    # NOTE: per-event window is fine — candidates per event ≤ #blocks
-    # (≤3 here); the longest-prefix pick is a bounded in-group sort
-    best = cand.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") == 1
-    )
-    return (
-        best.groupBy("block", "plen")
-        .agg(F.count("*").cast("long").alias("n_events"))
-        .orderBy("block")
-    )
-
-
-ORACLE_CIDR_BLOCK_JOIN = """
-WITH with_ip AS MATERIALIZED (
-  SELECT event_id,
-         CAST(10 * 16777216
-              + (user_id % 32) * 65536
-              + (event_id % 256) * 256
-              + (user_id * 7 + event_id) % 256 AS BIGINT) AS ip
-  FROM events
-),
-blocks(block, net, plen) AS (
-  VALUES ('corp-a-24', 10 * 16777216 + 3 * 65536 + 0 * 256, 24),
-         ('corp-b-24', 10 * 16777216 + 7 * 65536 + 128 * 256, 24),
-         ('dc-east-16', 10 * 16777216 + 5 * 65536, 16),
-         ('dc-west-16', 10 * 16777216 + 21 * 65536, 16),
-         ('net-10-8', 10 * 16777216, 8)
-),
-cand AS (
-  SELECT i.event_id, i.ip, b.block, b.plen
-  FROM with_ip i JOIN blocks b
-    ON i.ip // CAST(pow(2, 32 - b.plen) AS BIGINT)
-       = b.net // CAST(pow(2, 32 - b.plen) AS BIGINT)
-),
-best AS (
-  SELECT block, plen
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
-                  ORDER BY plen DESC, block) AS rk FROM cand)
-  WHERE rk = 1
-)
-SELECT block, plen, CAST(COUNT(*) AS BIGINT) AS n_events
-FROM best GROUP BY 1, 2 ORDER BY block
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "gopher_quality_rules": (
-            q_gopher_quality_rules,
-            ORACLE_GOPHER_QUALITY_RULES,
-            "ext:Gopher-rule corpus quality gate (division-free"
-            " thresholds, per-rule pass counts)",
-        ),
-        "cidr_block_join": (
-            q_cidr_block_join,
-            ORACLE_CIDR_BLOCK_JOIN,
-            "ext:CIDR longest-prefix block join (integer mask"
-            " containment, broadcast routing table)",
-        ),
-    }
-)
-
-
-def q_dbscan_core_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN core/border/noise classification — the density-based
-    outlier/cluster triage pass (the full cluster labeling is
-    connected components over the core graph, already covered by
-    neardup_components; the per-point classification is the scalable
-    one-pass part): neighbor counts come from the fixed-grid 3×3
-    candidate equi-join at cell size = ε (the grid_radius_join
-    discipline — never an all-pairs distance join), exact integer L2;
-    core = ≥ minPts ε-neighbors, border = non-core with a core
-    ε-neighbor, noise = rest. Coordinates are the repo's portable
-    hash60 planar synth (shared with spatial_radius_join). All counts
-    exact. Scale: candidates are O(n · density·9ε²); ε shrinks as
-    density grows — the standard grid trade-off, documented."""
-    from yelp_etl_spark.functions.sampling import hash60
-
-    EPS, MINPTS = 60_000, 4
-    eps2 = EPS * EPS
-
-    def coord(prefix: str, key) -> F.Column:
-        return hash60(F.concat(F.lit(prefix), key.cast("string"))) % _GEO_SIDE
-
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("pid"),
-        coord("gx", F.col("c_custkey")).alias("x"),
-        coord("gy", F.col("c_custkey")).alias("y"),
-    )
-    pts = cust.select(
-        "pid", "x", "y",
-        (F.col("x") / EPS).cast("long").alias("cx"),
-        (F.col("y") / EPS).cast("long").alias("cy"),
-    ).localCheckpoint(eager=True)
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
-        "dx long, dy long",
-    )
-    probes = pts.crossJoin(F.broadcast(offsets)).select(
-        F.col("pid").alias("qid"),
-        F.col("x").alias("qx"),
-        F.col("y").alias("qy"),
-        (F.col("cx") + F.col("dx")).alias("ncx"),
-        (F.col("cy") + F.col("dy")).alias("ncy"),
-    )
-    cand = probes.join(
-        pts.select(
-            F.col("pid").alias("nid"),
-            F.col("x").alias("nx"),
-            F.col("y").alias("ny"),
-            F.col("cx").alias("ncx"),
-            F.col("cy").alias("ncy"),
-        ),
-        ["ncx", "ncy"],
-    ).filter(
-        (F.col("qid") != F.col("nid"))
-        & (
-            (F.col("qx") - F.col("nx")) * (F.col("qx") - F.col("nx"))
-            + (F.col("qy") - F.col("ny")) * (F.col("qy") - F.col("ny"))
-            <= eps2
-        )
-    ).select("qid", "nid")
-    cand = cand.localCheckpoint(eager=True)
-    ncnt = cand.groupBy("qid").agg(F.count("*").cast("long").alias("k"))
-    core = ncnt.filter(F.col("k") >= MINPTS).select(
-        F.col("qid").alias("core_id")
-    )
-    with_core_nbr = (
-        cand.join(core, cand["nid"] == core["core_id"])
-        .select("qid")
-        .distinct()
-        .withColumn("has_core_nbr", F.lit(1))
-    )
-    classified = (
-        pts.select("pid")
-        .join(ncnt.withColumnRenamed("qid", "pid"), "pid", "left")
-        .join(
-            with_core_nbr.withColumnRenamed("qid", "pid"), "pid", "left"
-        )
-        .select(
-            "pid",
-            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
-            F.coalesce(F.col("has_core_nbr"), F.lit(0)).alias("hcn"),
-        )
-        .select(
-            F.when(F.col("k") >= MINPTS, F.lit("core"))
-            .when(F.col("hcn") == 1, F.lit("border"))
-            .otherwise(F.lit("noise"))
-            .alias("cls"),
-            "k",
-        )
-    )
-    return (
-        classified.groupBy("cls")
-        .agg(
-            F.count("*").cast("long").alias("n_points"),
-            F.sum("k").cast("long").alias("sum_neighbors"),
-        )
-        .orderBy("cls")
-    )
-
-
-ORACLE_DBSCAN_CORE_CLASSIFICATION = f"""
-WITH pts AS MATERIALIZED (
-  SELECT c_custkey AS pid,
-         CAST(concat('0x', substr(md5('gx' || CAST(c_custkey AS VARCHAR)),
-                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS x,
-         CAST(concat('0x', substr(md5('gy' || CAST(c_custkey AS VARCHAR)),
-                                  18, 15)) AS BIGINT) % {_GEO_SIDE} AS y
-  FROM customer
-),
-cells AS MATERIALIZED (
-  SELECT pid, x, y, x // 60000 AS cx, y // 60000 AS cy FROM pts
-),
-cand AS MATERIALIZED (
-  SELECT a.pid AS qid, b.pid AS nid
-  FROM cells a
-  JOIN (SELECT UNNEST(range(-1, 2)) AS dx) ox ON TRUE
-  JOIN (SELECT UNNEST(range(-1, 2)) AS dy) oy ON TRUE
-  JOIN cells b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
-  WHERE a.pid != b.pid
-    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-        <= 3600000000
-),
-ncnt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k FROM cand GROUP BY qid),
-core AS (SELECT qid FROM ncnt WHERE k >= 4),
-hcn AS (
-  SELECT DISTINCT c.qid FROM cand c JOIN core ON c.nid = core.qid
-),
-classified AS (
-  SELECT CASE WHEN COALESCE(n.k, 0) >= 4 THEN 'core'
-              WHEN h.qid IS NOT NULL THEN 'border'
-              ELSE 'noise' END AS cls,
-         COALESCE(n.k, 0) AS k
-  FROM pts p
-  LEFT JOIN ncnt n ON n.qid = p.pid
-  LEFT JOIN hcn h ON h.qid = p.pid
-)
-SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_points,
-       CAST(SUM(k) AS BIGINT) AS sum_neighbors
-FROM classified GROUP BY cls ORDER BY cls
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "dbscan_core_classification": (
-            q_dbscan_core_classification,
-            ORACLE_DBSCAN_CORE_CLASSIFICATION,
-            "ext:DBSCAN core/border/noise triage (grid 3x3 candidates,"
-            " exact integer L2)",
-        ),
-    }
-)
-
-
-def q_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token diversity profile: Simpson concentration
-    (Σnᵢ(nᵢ−1)/(N(N−1)) — the probability two random tokens match,
-    EXACT rational kept as ppm integer division) and Shannon entropy
-    (Σ−pᵢln pᵢ via the decomposed form ln N − Σnᵢ·ln nᵢ/N with each
-    ln nᵢ quantized once per vocab TYPE — the qlog discipline), beside
-    gini_concentration (value inequality) and heaps_law_fit (vocab
-    growth): the corpus-mix dashboard row every curation run reports.
-    Scale: one keyed (source, tok) count, one per-source rollup; no
-    windows."""
-    from yelp_etl_spark.functions.text import portable_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text").join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
-    vocab = toks.groupBy("source", "tok").agg(
-        F.count("*").cast("long").alias("ni")
-    )
-    per = vocab.groupBy("source").agg(
-        F.sum("ni").cast("long").alias("n"),
-        F.count("*").cast("long").alias("v"),
-        F.sum(F.col("ni") * (F.col("ni") - 1)).cast("long").alias("pairs"),
-        F.sum(
-            F.col("ni")
-            * F.round(F.log("ni") * F.lit(1_000_000.0)).cast("long")
-        )
-        .cast("long")
-        .alias("nlogn_micro"),
-    )
-    shannon = (
-        F.round(F.log("n") * F.lit(1_000_000.0)).cast("long")
-        - F.expr("CAST(nlogn_micro DIV n AS LONG)")
-    )
-    return per.select(
-        "source",
-        "n",
-        "v",
-        F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * pairs)"
-            " DIV (n * (n - 1)) AS LONG)"
-        ).alias("simpson_ppm"),
-        shannon.alias("shannon_micro"),
-    ).orderBy("source")
-
-
-ORACLE_DIVERSITY_INDICES = """
-WITH toks AS MATERIALIZED (
-  SELECT d.doc_id, d.source, t.tok
-  FROM documents d,
-       LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS tok) t
-  WHERE t.tok != ''
-),
-vocab AS MATERIALIZED (
-  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS ni
-  FROM toks GROUP BY 1, 2
-),
-per AS (
-  SELECT source,
-         CAST(SUM(ni) AS BIGINT) AS n,
-         CAST(COUNT(*) AS BIGINT) AS v,
-         CAST(SUM(ni * (ni - 1)) AS BIGINT) AS pairs,
-         CAST(SUM(ni * CAST(ROUND(LN(ni) * 1000000) AS BIGINT)) AS BIGINT)
-           AS nlogn_micro
-  FROM vocab GROUP BY source
-)
-SELECT source, n, v,
-       CAST((CAST(1000000 AS HUGEINT) * pairs) // (n * (n - 1)) AS BIGINT)
-         AS simpson_ppm,
-       CAST(ROUND(LN(n) * 1000000) AS BIGINT) - (nlogn_micro // n)
-         AS shannon_micro
-FROM per ORDER BY source
-"""
-
-
-EXTRA_QUERIES.update(
-    {
-        "diversity_indices": (
-            q_diversity_indices,
-            ORACLE_DIVERSITY_INDICES,
-            "ext:Simpson + Shannon corpus diversity per source (exact"
-            " pair rational, per-type micro-nat entropy)",
-        ),
-    }
+from yelp_etl_spark.plans.ext import (  # noqa: F401  (imports register)
+    ext_containers,
+    ext_graph,
+    ext_lakehouse,
+    ext_misc,
+    ext_ml,
+    ext_stats,
+    ext_stream,
+    ext_text,
+)
+from yelp_etl_spark.plans.ext._order import LEGACY_ORDER
+from yelp_etl_spark.plans.ext._shared import EXTRA_QUERIES as _COLLECTED
+from yelp_etl_spark.plans.ext.ext_graph import copurchase_edges  # noqa: F401
+
+_missing = [n for n in LEGACY_ORDER if n not in _COLLECTED]
+assert not _missing, f"ext split lost queries: {_missing}"
+
+EXTRA_QUERIES: dict = {n: _COLLECTED[n] for n in LEGACY_ORDER}
+EXTRA_QUERIES.update(
+    (n, spec) for n, spec in _COLLECTED.items() if n not in EXTRA_QUERIES
 )
