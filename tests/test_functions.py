@@ -1574,6 +1574,32 @@ def test_boruvka_mst_known_graph(spark):
                    (11, 12, 9)}
 
 
+def test_boruvka_hybrid_and_distributed_contraction_agree(spark):
+    from yelp_etl_spark.functions.graph import boruvka_mst
+
+    # adversarial hooking chains (path graph) + a cycle + a disjoint
+    # pair: contraction via the driver union-find (default) and via the
+    # distributed min-label fixpoint (guard=0) must pick the SAME forest
+    rows = [(i, i + 1, 100 - i) for i in range(1, 12)]
+    rows += [(1, 12, 1), (20, 21, 5)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    hybrid = {(r.src, r.dst, r.w) for r in boruvka_mst(edges).collect()}
+    dist = {
+        (r.src, r.dst, r.w)
+        for r in boruvka_mst(
+            edges, contraction_collect_max=0, driver_finish_max=0
+        ).collect()
+    }
+    # middle config: distributed hooking rounds with the driver
+    # union-find contraction (finish disabled, collect guard wide open)
+    mid = {
+        (r.src, r.dst, r.w)
+        for r in boruvka_mst(edges, driver_finish_max=0).collect()
+    }
+    # 14 nodes in 2 components → forest has 12 edges
+    assert hybrid == dist == mid and len(hybrid) == 12
+
+
 def test_boruvka_mst_chain_contraction(spark):
     from yelp_etl_spark.functions.graph import boruvka_mst
 

@@ -727,6 +727,8 @@ def boruvka_mst(
     dst_col: str = "dst",
     weight_col: str = "w",
     max_rounds: int = 64,
+    contraction_collect_max: int = 1_000_000,
+    driver_finish_max: int = 65_536,
 ) -> DataFrame:
     """Minimum spanning forest via distributed Borůvka — the
     bulk-synchronous MST algorithm (each round every component hooks
@@ -736,15 +738,34 @@ def boruvka_mst(
     forest: ties are broken lexicographically by (w, src, dst), via
     struct-min — no weight-composite arithmetic, no overflow.
 
-    Per round: two co-partitioned hash joins label edge endpoints with
-    their component, one keyed struct-min picks each component's
-    cheapest cross edge, and the chosen pairs' component graph is
-    contracted by min-label propagation TO FIXPOINT (partial
-    contraction would let a later round pick a non-MST edge between
-    already-connected components — the fixpoint loop is over the
-    ≤|components| chosen-pair frame, not the data). State per round is
-    the |V|-row component map, lineage-truncated; the edge list is
-    truncated once up front (loop-invariant).
+    Runs on the CONTRACTED MULTIGRAPH, not the raw edge list: one
+    initial pass reduces edges to the cheapest representative per
+    component pair (textbook edge contraction — the per-pair minimum
+    is all any later hooking step can ever pick, and it carries its
+    original (src, dst, w) identity through as the struct payload), and
+    every subsequent round relabels + re-reduces that frame, which
+    shrinks at least geometrically. The data-sized shuffle therefore
+    happens ONCE; the naive formulation re-joins the full edge list
+    every round, paying log|V| full-data shuffles — the difference
+    between one pass and ~17 passes over a 100 TB edge list.
+
+    Per round: one keyed struct-min picks each component's cheapest
+    incident pair, then the chosen component-pair graph is contracted.
+    Contraction is HYBRID: the pair frame has at most #components rows
+    (halving per round), so once the round's chosen count is ≤
+    ``contraction_collect_max`` a driver union-find replaces the
+    distributed fixpoint — the frame is component-sized (model-sized
+    relative to the data), the collect is explicitly guarded by the
+    count already taken for the convergence check, and it removes the
+    2-3 scheduled jobs per fixpoint iteration that dominate wall clock
+    on small tails. Above the guard, min-label propagation with
+    pointer-doubling runs distributed TO FIXPOINT (partial contraction
+    would let a later round pick a non-MST edge between
+    already-connected components). The representative label choice
+    cannot change the output forest: edges are chosen before
+    contraction and ties break by the global (w, src, dst) order, so
+    any consistent relabeling yields the same next-round minima —
+    min-root is used anyway for determinism.
 
     Returns the chosen forest edges (src, dst, w) — exactly
     |V| − #components rows.
@@ -775,165 +796,224 @@ def boruvka_mst(
                 cached.unpersist()
                 pinned.remove(cached)
 
-    e = truncate_lineage(
-        edges.select(
-            F.col(src_col).alias("src"),
-            F.col(dst_col).alias("dst"),
-            F.col(weight_col).alias("w"),
-        ),
-        eager=True,
-    )
-    comp = _cut(
-        e.select(F.col("src").alias("node"))
-        .union(e.select("dst"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-    )
     spark = edges.sparkSession
-    mst = spark.createDataFrame([], "src long, dst long, w long")
-    converged = False
-    for _ in range(max_rounds):
-        labeled = (
-            e.join(
-                comp.select(
-                    F.col("node").alias("src"), F.col("comp").alias("ca")
-                ),
-                "src",
-            )
-            .join(
-                comp.select(
-                    F.col("node").alias("dst"), F.col("comp").alias("cb")
-                ),
-                "dst",
-            )
-            .filter(F.col("ca") != F.col("cb"))
+
+    # initial contraction: components ARE nodes, so the reduced
+    # multigraph keys directly on (src, dst); the struct payload keeps
+    # the original edge identity for the output forest. This is the one
+    # data-sized pass.
+    red = _cut(
+        edges.select(
+            F.col(src_col).alias("ca"),
+            F.col(dst_col).alias("cb"),
+            F.struct(
+                F.col(weight_col).alias("w"),
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+            ).alias("pick"),
         )
-        both = labeled.select(
+        .filter(F.col("ca") != F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.min("pick").alias("pick"))
+    )
+
+    # per-round chosen frames accumulate here and union ONCE at the end
+    # (a per-round union+distinct+checkpoint added 2 jobs per round for
+    # nothing: a chosen edge's endpoints share a component after its own
+    # round's contraction, so it can never be re-chosen — rounds are
+    # disjoint by construction)
+    mst_parts: list[DataFrame] = []
+    n_red = red.count()
+    converged = n_red == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        if n_red <= driver_finish_max:
+            # DRIVER FINISH (the small-tail terminal step): the
+            # contracted multigraph is component-pair-sized — once it
+            # fits the driver comfortably, one Kruskal over its ≤n_red
+            # representative edges replaces ALL remaining distributed
+            # rounds (each costs 3+ scheduled jobs for geometrically
+            # less work; the tail was pure scheduling overhead). Same
+            # (w, src, dst) total order, so the forest is identical to
+            # finishing distributed — pinned by
+            # test_boruvka_hybrid_and_distributed_contraction_agree.
+            rows = red.collect()
+            par: dict = {}
+
+            def _findf(x):
+                while par.setdefault(x, x) != x:
+                    par[x] = par[par[x]]
+                    x = par[x]
+                return x
+
+            picked = []
+            for r in sorted(
+                rows, key=lambda r: (r.pick.w, r.pick.src, r.pick.dst)
+            ):
+                ra, rb = _findf(r.ca), _findf(r.cb)
+                if ra != rb:
+                    par[rb] = ra
+                    picked.append((r.pick.src, r.pick.dst, r.pick.w))
+            if picked:
+                mst_parts.append(
+                    spark.createDataFrame(
+                        picked, "src long, dst long, w long"
+                    )
+                )
+            converged = True
+            break
+        # each component picks its cheapest incident pair; m orders by
+        # pick first, so the tie-break stays the global (w, src, dst)
+        both = red.select(
             F.col("ca").alias("c"),
-            F.struct("w", "src", "dst").alias("pick"),
+            F.struct("pick", "ca", "cb").alias("m"),
         ).union(
-            labeled.select(
+            red.select(
                 F.col("cb").alias("c"),
-                F.struct("w", "src", "dst").alias("pick"),
+                F.struct("pick", "ca", "cb").alias("m"),
             )
         )
         chosen = (
             both.groupBy("c")
-            .agg(F.min("pick").alias("pick"))
-            .select("pick.src", "pick.dst", "pick.w")
-            .distinct()
+            .agg(F.min("m").alias("m"))
+            .select(
+                F.col("m.pick.src").alias("src"),
+                F.col("m.pick.dst").alias("dst"),
+                F.col("m.pick.w").alias("w"),
+                F.col("m.ca").alias("ca"),
+                F.col("m.cb").alias("cb"),
+            )
+            .persist()
         )
-        chosen = truncate_lineage(chosen, eager=True)
-        if chosen.isEmpty():
+        n_chosen = chosen.count()
+        if n_chosen == 0:
+            chosen.unpersist()
             converged = True
             break
-        mst = truncate_lineage(
-            mst.union(chosen).distinct(), eager=True
-        )
-        # contract: min-label propagation to FIXPOINT over the chosen
-        # component-pair graph (≤ #components rows, halving per round)
-        pairs = (
-            chosen.join(
-                comp.select(F.col("node").alias("src"), F.col("comp").alias("ca")),
-                "src",
-            )
-            .join(
-                comp.select(F.col("node").alias("dst"), F.col("comp").alias("cb")),
-                "dst",
-            )
-            .select("ca", "cb")
-        )
-        sym = pairs.union(
-            pairs.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
-        )
-        sym = truncate_lineage(sym, eager=True)
-        lbl = _cut(
-            sym.select(F.col("ca").alias("c")).distinct().select(
-                "c", F.col("c").alias("lbl")
-            )
-        )
-        # min-label propagation WITH pointer-doubling (lbl ← min(lbl,
-        # neighbor labels, lbl[lbl])): hooking produces CHAINS (every
-        # component grabs its cheapest neighbor), and a plain
-        # neighbor-min walk needs diameter rounds — measured >600 s on
-        # the sf0.01 co-purchase graph. The label-of-label shortcut
-        # halves remaining path length per round → O(log diameter).
-        while True:
-            nxt = (
-                sym.join(lbl.withColumnRenamed("c", "cb2"),
-                         sym["cb"] == F.col("cb2"))
-                .groupBy("ca")
-                .agg(F.min("lbl").alias("nlbl"))
-                .withColumnRenamed("ca", "c")
-            )
-            short = (
-                lbl.alias("x")
-                .join(
-                    lbl.alias("y"), F.col("x.lbl") == F.col("y.c"), "left"
-                )
-                .select(
-                    F.col("x.c").alias("c"), F.col("y.lbl").alias("slbl")
+        mst_parts.append(chosen)
+        pairs = chosen.select("ca", "cb")
+        if n_chosen <= contraction_collect_max:
+            # hybrid small-tail path: union-find over ≤n_chosen pairs
+            par: dict = {}
+
+            def _find(x):
+                while par.setdefault(x, x) != x:
+                    par[x] = par[par[x]]
+                    x = par[x]
+                return x
+
+            for r in pairs.collect():
+                ra, rb = _find(r.ca), _find(r.cb)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    par[rb] = ra
+            lbl = F.broadcast(
+                spark.createDataFrame(
+                    [(c, _find(c)) for c in list(par)], "c long, lbl long"
                 )
             )
-            merged = (
-                lbl.join(nxt, "c", "left")
-                .join(short, "c", "left")
-                .select(
-                    "c",
-                    F.least(
-                        F.col("lbl"),
-                        F.coalesce(F.col("nlbl"), F.col("lbl")),
-                        F.coalesce(F.col("slbl"), F.col("lbl")),
-                    ).alias("lbl"),
-                    (
+        else:
+            sym = pairs.union(
+                pairs.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
+            )
+            sym = truncate_lineage(sym, eager=True)
+            lbl = _cut(
+                sym.select(F.col("ca").alias("c")).distinct().select(
+                    "c", F.col("c").alias("lbl")
+                )
+            )
+            # min-label propagation WITH pointer-doubling (lbl ← min(lbl,
+            # neighbor labels, lbl[lbl])): hooking produces CHAINS (every
+            # component grabs its cheapest neighbor), and a plain
+            # neighbor-min walk needs diameter rounds — measured >600 s on
+            # the sf0.01 co-purchase graph. The label-of-label shortcut
+            # halves remaining path length per round → O(log diameter).
+            while True:
+                nxt = (
+                    sym.join(lbl.withColumnRenamed("c", "cb2"),
+                             sym["cb"] == F.col("cb2"))
+                    .groupBy("ca")
+                    .agg(F.min("lbl").alias("nlbl"))
+                    .withColumnRenamed("ca", "c")
+                )
+                short = (
+                    lbl.alias("x")
+                    .join(
+                        lbl.alias("y"), F.col("x.lbl") == F.col("y.c"), "left"
+                    )
+                    .select(
+                        F.col("x.c").alias("c"), F.col("y.lbl").alias("slbl")
+                    )
+                )
+                merged = (
+                    lbl.join(nxt, "c", "left")
+                    .join(short, "c", "left")
+                    .select(
+                        "c",
                         F.least(
+                            F.col("lbl"),
                             F.coalesce(F.col("nlbl"), F.col("lbl")),
                             F.coalesce(F.col("slbl"), F.col("lbl")),
-                        )
-                        < F.col("lbl")
-                    ).alias("__changed"),
+                        ).alias("lbl"),
+                        (
+                            F.least(
+                                F.coalesce(F.col("nlbl"), F.col("lbl")),
+                                F.coalesce(F.col("slbl"), F.col("lbl")),
+                            )
+                            < F.col("lbl")
+                        ).alias("__changed"),
+                    )
                 )
-            )
-            merged = _cut(merged)
-            changed = merged.filter(F.col("__changed")).limit(1).count()
-            lbl = merged.drop("__changed")
-            if changed == 0:
-                break
-        comp = _cut(
-            comp.join(lbl, comp["comp"] == lbl["c"], "left")
+                merged = _cut(merged)
+                changed = merged.filter(F.col("__changed")).limit(1).count()
+                lbl = merged.drop("__changed")
+                if changed == 0:
+                    break
+            lbl = lbl.select("c", "lbl")
+        # relabel + re-reduce the contracted multigraph; it shrinks at
+        # least geometrically, so every round after the first touches a
+        # strictly smaller frame
+        la = lbl.withColumnsRenamed({"c": "a_c", "lbl": "a_lbl"})
+        lb = lbl.withColumnsRenamed({"c": "b_c", "lbl": "b_lbl"})
+        red_next = (
+            red.join(la, red["ca"] == F.col("a_c"), "left")
+            .join(lb, red["cb"] == F.col("b_c"), "left")
             .select(
-                "node",
-                F.coalesce(F.col("lbl"), F.col("comp")).alias("comp"),
+                F.coalesce(F.col("a_lbl"), F.col("ca")).alias("ca"),
+                F.coalesce(F.col("b_lbl"), F.col("cb")).alias("cb"),
+                "pick",
             )
+            .filter(F.col("ca") != F.col("cb"))
+            .groupBy("ca", "cb")
+            .agg(F.min("pick").alias("pick"))
         )
-        _release({id(comp)})
+        red = _cut(red_next)
+        _release({id(red)})
+        n_red = red.count()
+        if n_red == 0:
+            converged = True
+            break
     if not converged:
         # Borůvka only guarantees component-count HALVING per round, so
         # exhausting max_rounds while cross-component edges remain means
         # an incomplete forest — fail loudly rather than return a forest
         # whose only symptom downstream is a false identity count.
-        remaining = (
-            e.join(
-                comp.select(F.col("node").alias("src"),
-                            F.col("comp").alias("ca")),
-                "src",
-            )
-            .join(
-                comp.select(F.col("node").alias("dst"),
-                            F.col("comp").alias("cb")),
-                "dst",
-            )
-            .filter(F.col("ca") != F.col("cb"))
-            .limit(1)
-            .count()
+        _release(set())
+        for part in mst_parts:
+            part.unpersist()
+        raise RuntimeError(
+            f"boruvka_mst: max_rounds={max_rounds} exhausted with "
+            "cross-component edges remaining — raise max_rounds "
+            "(each round at least halves the component count, so "
+            "ceil(log2(initial components)) rounds suffice)"
         )
-        if remaining:
-            _release(set())
-            raise RuntimeError(
-                f"boruvka_mst: max_rounds={max_rounds} exhausted with "
-                "cross-component edges remaining — raise max_rounds "
-                "(each round at least halves the component count, so "
-                "ceil(log2(initial components)) rounds suffice)"
-            )
+    mst = spark.createDataFrame([], "src long, dst long, w long")
+    for part in mst_parts:
+        mst = mst.union(part.select("src", "dst", "w"))
+    mst = truncate_lineage(mst.distinct(), eager=True)
     _release(set())
+    for part in mst_parts:
+        part.unpersist()
     return mst
