@@ -102,6 +102,7 @@ def test_encode_conserves_characters(spark, sf_dir):
     assert bad == 0
 
 
+@pytest.mark.heavy_rotation
 def test_apply_merges_equals_training_state(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges, trained = bpe.learn_bpe(docs, "text", 6, min_pair_freq=2)
@@ -183,6 +184,7 @@ def test_merge_fold_property(spark):
         assert got == want, f"fold mismatch for pair ({lhs},{rhs})"
 
 
+@pytest.mark.heavy_rotation
 def test_duplicate_spans_pruned_equals_stride1_fixture(spark, sf_dir):
     """r4 verdict stretch: the two-phase bucket-pruned variant must
     produce EXACTLY the stride-1 spans on fixture data at k=25 — the
@@ -200,6 +202,7 @@ def test_duplicate_spans_pruned_equals_stride1_fixture(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.heavy_rotation
 def test_duplicate_spans_pruned_planted_minimal_run(spark):
     """A minimal exactly-k duplicated run (1 gram) must survive the
     prune — the case anchor sampling drops with high probability."""

@@ -4,6 +4,8 @@ and an error between view and purchase voids the match."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -22,6 +24,7 @@ def test_pattern_counts_conversions_separately(spark):
     assert _n_matches(spark, "pv") == 0
 
 
+@pytest.mark.heavy_rotation
 def test_duckdb_twin_agrees(spark):
     import duckdb
 

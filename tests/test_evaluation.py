@@ -109,6 +109,7 @@ def test_naive_bayes_prior_only_for_oov_doc(spark):
     assert out[0].score_q == round(math.log(9 / 10) * 1e6)
 
 
+@pytest.mark.heavy_rotation
 def test_logreg_learns_planted_separator(spark):
     """LR on a linearly separable planted direction reaches high
     training accuracy in 4 rounds and is partitioning-independent."""

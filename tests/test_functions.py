@@ -54,6 +54,7 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
 
 
+@pytest.mark.heavy_rotation
 def test_jaccard_prefix_join_matches_brute_force(spark, sf_dir):
     """Exactness: prefix filtering must reproduce the naive all-pairs
     join verbatim at every threshold (no false negatives is the entire
@@ -574,6 +575,7 @@ def test_ewma_span_truncates(spark):
     assert abs(got[9] - (8 * 0.5 + 9) / 1.5) < 1e-12
 
 
+@pytest.mark.heavy_rotation
 def test_pagerank_properties(spark):
     from yelp_etl_spark.functions.graph import pagerank
 
@@ -587,6 +589,7 @@ def test_pagerank_properties(spark):
     assert abs(ranks["a"] - ranks["c"]) < 1e-9  # symmetry
 
 
+@pytest.mark.heavy_rotation
 def test_pagerank_broadcast_paths_equal(spark):
     """The forced-broadcast and shuffle-join (100 TB) iteration paths
     must produce identical ranks — broadcast_state only changes the
@@ -963,6 +966,7 @@ def test_pq_topk_recall_on_clustered_vectors(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
 
 
+@pytest.mark.heavy_rotation
 def test_pq_topk_deterministic_across_partitioning(spark):
     import random
 
@@ -1574,6 +1578,7 @@ def test_boruvka_mst_known_graph(spark):
                    (11, 12, 9)}
 
 
+@pytest.mark.heavy_rotation
 def test_boruvka_hybrid_and_distributed_contraction_agree(spark):
     from yelp_etl_spark.functions.graph import boruvka_mst
 

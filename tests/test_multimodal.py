@@ -400,6 +400,7 @@ def test_tiff_ifd_walk_matches_struct_reference(spark):
     assert not j.tiff_ok
 
 
+@pytest.mark.heavy_rotation
 def test_png_chunk_walk_matches_struct_reference(spark):
     import struct
 

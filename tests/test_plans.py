@@ -9,6 +9,8 @@ stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pytest
+
 import io
 from contextlib import redirect_stdout
 
@@ -342,6 +344,7 @@ def test_incremental_agg_maintenance_plan(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+@pytest.mark.heavy_rotation
 def test_r5_metric_family_plan_shapes(spark, sf_dir):
     """The round-5 ML/metric queries keep their scale-safe shapes: no
     cartesian products anywhere; hashed_features' only data shuffle is

@@ -393,6 +393,7 @@ def test_partition_scoped_upsert_null_partition(spark, tmp_path):
     assert got == {(1, None, 11.0), (2, None, 20.0), (3, "b", 30.0)}
 
 
+@pytest.mark.heavy_rotation
 def test_foreach_batch_upsert_recovers_from_swap_crash(spark, events_dir, tmp_path):
     """Crash window of the rename-swap: between rename(target -> __old)
     and rename(__merging -> target) there is NO target dir, only the
