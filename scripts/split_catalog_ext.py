@@ -151,6 +151,13 @@ def target_names(node) -> list[str]:
 
 def main() -> None:
     src = open(SRC).read()
+    if "Extension-catalog shim" in src:
+        raise SystemExit(
+            "catalog_ext.py is already the post-split shim — this "
+            "one-shot splitter only applies to the pre-round-10 "
+            "monolith (kept for provenance; re-running would clobber "
+            "the ext/ package)."
+        )
     lines = src.splitlines(keepends=True)
     tree = ast.parse(src)
 
