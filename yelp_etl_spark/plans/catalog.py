@@ -7669,8 +7669,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # rotation (the r6→…→r10 pattern). The r9 seed (34 late round-9
 # additions) was consumed by the r10 window above; round 10 is a
 # consolidation round (VERDICT r9 task #6: no new operator families),
-# so the pool is empty — any late additions must be declared here.
-_NEXT_ROTATION_POOL: frozenset[str] = frozenset()
+# so the pool holds only the one permitted `_checked` twin added after
+# the freeze.
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
+    {
+        # exact value-oracle twin for the rows-only boruvka_mst (the
+        # one twin the catalog lacked; VERDICT r9 allowed _checked
+        # twins during consolidation). Independently parity-verified
+        # at sf0.001 and sf0.01 in round 10.
+        "boruvka_mst_checked",
+    }
+)
 
 
 QUERIES: dict[str, QuerySpec] = {

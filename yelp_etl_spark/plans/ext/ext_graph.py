@@ -1560,3 +1560,103 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round 10: exact value-oracle twin for the rows-only boruvka_mst
+# --------------------------------------------------------------------------
+
+
+def q_boruvka_mst_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact oracle twin for boruvka_mst (the only rows-only catalog
+    entry without a `_checked` companion until round 10): run the FULL
+    distributed Borůvka on a constructed graph whose unique minimum
+    spanning forest is known in closed form, so DuckDB can state the
+    answer without computing an MST while Spark must derive it through
+    hooking + contraction.
+
+    Construction (parts table): within each brand, chain parts in
+    partkey order — consecutive pairs are PATH edges with weight
+    1 + key%50 (< 1000); every part also gets a SHORTCUT edge to the
+    part two positions ahead with weight 1000 + key%50. Each brand is
+    one connected component; every shortcut closes a cycle in which it
+    is strictly the heaviest edge, so by the cycle property the unique
+    MSF is exactly the path edges. The oracle reproduces the paths
+    directly; any wrong hook, partial contraction, or dropped/extra
+    edge in the distributed run changes the per-brand counts, weight
+    sums, or the endpoint checksum. Scale: one windowed pass to build
+    edges, then the boruvka_mst operator (SCALING.md r10: one
+    data-sized reduce, geometric rounds)."""
+    from yelp_etl_spark.functions.graph import boruvka_mst
+
+    part = _t(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand").orderBy("p_partkey")
+    seq = part.select(
+        "p_brand",
+        F.col("p_partkey").alias("u"),
+        F.lead("p_partkey", 1).over(wb).alias("v1"),
+        F.lead("p_partkey", 2).over(wb).alias("v2"),
+    )
+    paths = seq.filter(F.col("v1").isNotNull()).select(
+        F.col("u").alias("src"),
+        F.col("v1").alias("dst"),
+        (1 + F.col("u") % 50).cast("long").alias("w"),
+    )
+    shortcuts = seq.filter(F.col("v2").isNotNull()).select(
+        F.col("u").alias("src"),
+        F.col("v2").alias("dst"),
+        (1000 + F.col("u") % 50).cast("long").alias("w"),
+    )
+    forest = boruvka_mst(paths.union(shortcuts))
+    labeled = forest.join(
+        part.select(F.col("p_partkey").alias("src"), "p_brand"), "src"
+    )
+    return (
+        labeled.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("w").cast("long").alias("sum_w"),
+            F.min("w").cast("long").alias("min_w"),
+            F.max("w").cast("long").alias("max_w"),
+            F.sum(F.col("src") * 1000003 + F.col("dst"))
+            .cast("long")
+            .alias("endpoint_checksum"),
+        )
+        .orderBy("brand")
+    )
+
+
+ORACLE_BORUVKA_MST_CHECKED = """
+WITH seq AS (
+  SELECT p_brand,
+         p_partkey AS u,
+         LEAD(p_partkey, 1) OVER (PARTITION BY p_brand
+                                  ORDER BY p_partkey) AS v1
+  FROM part
+),
+paths AS (
+  SELECT p_brand, u AS src, v1 AS dst,
+         CAST(1 + u % 50 AS BIGINT) AS w
+  FROM seq WHERE v1 IS NOT NULL
+)
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(MIN(w) AS BIGINT) AS min_w,
+       CAST(MAX(w) AS BIGINT) AS max_w,
+       CAST(SUM(src * 1000003 + dst) AS BIGINT) AS endpoint_checksum
+FROM paths GROUP BY 1 ORDER BY brand
+"""
+
+
+EXTRA_QUERIES.update(
+    {
+        "boruvka_mst_checked": (
+            q_boruvka_mst_checked,
+            ORACLE_BORUVKA_MST_CHECKED,
+            "ext:exact MSF oracle twin (constructed path+shortcut graph"
+            " with a closed-form unique forest; full distributed"
+            " Boruvka on the Spark side)",
+        ),
+    }
+)
