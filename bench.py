@@ -381,6 +381,7 @@ BENCH_QUERIES = [
     "bollinger_anomaly_days",
     "stream_chained_windows",
     "boruvka_mst",
+    "boruvka_mst_checked",
     "t_closeness_audit",
     "durbin_watson_ols",
     "heaps_law_fit",
@@ -440,6 +441,10 @@ ANCHORS = {
 # so stale entries must age out without a manual edit). A round with no
 # entry simply contributes no "new" picks.
 NEW_BY_ROUND: dict[int, set[str]] = {}
+NEW_BY_ROUND[10] = {
+    # the one consolidation-round addition: the exact MSF oracle twin
+    "boruvka_mst_checked",
+}
 NEW_BY_ROUND[8] = {
     "isotonic_calibration",
     "holt_linear_trend",
