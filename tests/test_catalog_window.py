@@ -172,3 +172,21 @@ def test_extension_catalog_registered():
 def test_no_duplicate_registration_lost_entries():
     # reordering + ext merge must not drop or duplicate anything
     assert len(QUERIES) == len(set(QUERIES)) >= 188
+
+
+def test_bench_rotation_covers_the_whole_catalog():
+    # every catalog query must be registered in bench.BENCH_QUERIES (the
+    # rotation universe) and vice versa — a new query that never enters
+    # the bench rotation silently escapes per-round timing (caught
+    # manually in r10 when boruvka_mst_checked landed after the bench
+    # list froze; this pins it)
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import BENCH_QUERIES
+
+    assert set(BENCH_QUERIES) == set(QUERIES)
+    assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))  # no duplicates
