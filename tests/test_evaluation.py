@@ -15,6 +15,8 @@ from yelp_etl_spark.functions.classify import (
 )
 from yelp_etl_spark.functions.evaluation import auc_score, fixed_bin, psi_drift
 
+from rounding_ref import half_up
+
 
 def test_auc_perfect_and_random_rankers(spark):
     # Perfect separation: every positive scores above every negative.
@@ -106,7 +108,7 @@ def test_naive_bayes_prior_only_for_oov_doc(spark):
     out = naive_bayes_predict(test, priors, loglik).collect()
     assert len(out) == 1 and out[0].label == "big"
     # score must equal the quantized prior exactly (no token terms)
-    assert out[0].score_q == round(math.log(9 / 10) * 1e6)
+    assert out[0].score_q == half_up(math.log(9 / 10) * 1e6, 0)
 
 
 @pytest.mark.heavy_rotation
@@ -191,9 +193,9 @@ def test_kaplan_meier_textbook_example(spark):
     rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)]
     df = spark.createDataFrame(rows, "t int, churned int")
     out = {r.t: r for r in kaplan_meier(df, "t", "churned").collect()}
-    assert out[1].n_risk == 6 and out[1].survival == round(5 / 6, 6)
-    assert out[2].survival == round(5 / 6, 6) and out[2].n_censored == 1
-    assert out[3].n_risk == 4 and out[3].survival == round(5 / 12, 6)
+    assert out[1].n_risk == 6 and out[1].survival == half_up(5 / 6)
+    assert out[2].survival == half_up(5 / 6) and out[2].n_censored == 1
+    assert out[3].n_risk == 4 and out[3].survival == half_up(5 / 12)
     assert out[5].n_risk == 1 and out[5].survival == 0.0
     # partitioning-independent
     a = sorted(map(tuple, kaplan_meier(df.repartition(5), "t", "churned").collect()))
@@ -316,11 +318,11 @@ def test_ranking_metrics_known_values(spark):
     w = dcg_weight_micro(5)
     dcg = w[1] + w[4]
     idcg = w[0] + w[1]
-    assert row["ndcg_at_5"] == round(dcg / idcg, 6)
+    assert row["ndcg_at_5"] == half_up(dcg / idcg)
     assert row["mrr"] == 0.5
     # AP = (1/2 + 2/5) / 2, each precision term micro-quantized
-    ap_micro = round(1_000_000 * 1 / 2) + round(1_000_000 * 2 / 5)
-    assert row["map_at_5"] == round(ap_micro / (2 * 1_000_000), 6)
+    ap_micro = half_up(1_000_000 * 1 / 2, 0) + half_up(1_000_000 * 2 / 5, 0)
+    assert row["map_at_5"] == half_up(ap_micro / (2 * 1_000_000))
 
 
 def test_ranking_metrics_no_relevant_in_corpus(spark):
@@ -345,7 +347,7 @@ def test_ranking_metrics_ideal_capped_at_k(spark):
     counts = spark.createDataFrame([(1, 100)], "query_id long, n_rel long")
     row = ranking_metrics(ranked, counts, k=3).collect()[0]
     w = dcg_weight_micro(3)
-    assert row["ndcg_at_3"] == round((w[0] + w[2]) / sum(w), 6)
+    assert row["ndcg_at_3"] == half_up((w[0] + w[2]) / sum(w))
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +369,7 @@ def test_woe_encode_signs_and_counts(spark):
     # IV contributions are non-negative by construction
     assert out["hi"]["iv_micro"] >= 0 and out["lo"]["iv_micro"] >= 0
     w = math.log((8.5 * 10.5) / (2.5 * 10.5))
-    assert out["hi"]["woe_micro"] == round(w * 1e6)
+    assert out["hi"]["woe_micro"] == half_up(w * 1e6, 0)
 
 
 def test_woe_encode_smoothing_keeps_empty_cells_finite(spark):
@@ -470,8 +472,8 @@ def test_nelson_aalen_known_hazard(spark):
     )
     rows = {r["t"]: r for r in nelson_aalen(df, "t", "churned").collect()}
     assert rows[1]["n_risk"] == 3 and rows[1]["d_event"] == 1
-    assert rows[1]["cum_hazard_micro"] == round(1e6 / 3)
-    assert rows[2]["cum_hazard_micro"] == round(1e6 / 3) + 1_000_000
+    assert rows[1]["cum_hazard_micro"] == half_up(1e6 / 3, 0)
+    assert rows[2]["cum_hazard_micro"] == half_up(1e6 / 3, 0) + 1_000_000
 
 
 def test_cogrouped_asof_attribution_bounds(spark):

@@ -294,8 +294,10 @@ def test_pcm_int16_stats_known_waveform(spark):
     assert row["zero_crossings"] == 1
     import math
 
-    expect = round(
-        math.sqrt((1 + 1 + 0 + 32768 * 32768) / 4) * 1e6
+    from rounding_ref import half_up
+
+    expect = half_up(
+        math.sqrt((1 + 1 + 0 + 32768 * 32768) / 4) * 1e6, 0
     )
     assert row["rms_micro"] == expect
 

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from yelp_etl_spark.operators.skew import salted_join, two_stage_agg
 
+from rounding_ref import half_up
+
 
 def _skewed_fact(spark):
     # key "hot" carries 90% of rows
@@ -115,8 +117,8 @@ def test_skew_report_gini_matches_bruteforce_rank_formula(spark):
     num = 2 * sum((k + 1) * x for k, x in enumerate(counts)) - (n + 1) * tot
     assert got.n_keys == n and got.total_rows == tot
     assert got.max_count == max(counts)
-    assert got.top3_share == round(sum(sorted(counts)[-3:]) / tot, 6)
-    assert got.gini == round(num / (n * tot), 6)
+    assert got.top3_share == half_up(sum(sorted(counts)[-3:]) / tot)
+    assert got.gini == half_up(num / (n * tot))
 
 
 def test_skew_report_uniform_vs_concentrated(spark):
