@@ -727,7 +727,7 @@ def boruvka_mst(
     dst_col: str = "dst",
     weight_col: str = "w",
     max_rounds: int = 64,
-    contraction_collect_max: int = 1_000_000,
+    contraction_collect_max: int = 100_000,
     driver_finish_max: int = 65_536,
 ) -> DataFrame:
     """Minimum spanning forest via distributed Borůvka — the
@@ -758,7 +758,12 @@ def boruvka_mst(
     relative to the data), the collect is explicitly guarded by the
     count already taken for the convergence check, and it removes the
     2-3 scheduled jobs per fixpoint iteration that dominate wall clock
-    on small tails. Above the guard, min-label propagation with
+    on small tails. Driver-memory note: the guarded collect ships up
+    to ``contraction_collect_max`` (ca, cb) pairs through py4j and
+    re-broadcasts the labels — ~50 bytes/pair, so the default 100k is
+    a few MB each way; raise it only with driver memory to match (the
+    r10 default of 1M meant a multi-hundred-MB round-trip was possible
+    before the distributed path engaged). Above the guard, min-label propagation with
     pointer-doubling runs distributed TO FIXPOINT (partial contraction
     would let a later round pick a non-MST edge between
     already-connected components). The representative label choice

@@ -1324,14 +1324,17 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed struct-min — the priority-queue-free formulation that
     survives 100 TB.
 
-    ROWS-ONLY BY DESIGN with a structural in-query check plus an
-    edge-for-edge pytest twin: no SQL engine can express the iterative
-    contraction, so the query verifies the forest identity
+    ROWS-ONLY BY DESIGN with a FAIL-LOUD structural in-query check
+    plus an edge-for-edge pytest twin: no SQL engine can express the
+    iterative contraction, so the query verifies the forest identity
     |MST| = |V| − #components against INDEPENDENT label-propagation
-    components (runs at any scale), while the full edge-for-edge
-    Kruskal cross-check (same total order, union-find) lives in
-    tests/test_functions.py::test_boruvka_matches_kruskal_fixture on
-    the same fixture graph — moved out of this bench-facing query so
+    components (runs at any scale) and RAISES on mismatch (r10 ADVICE:
+    a recorded-but-unchecked boolean only surfaces if the driver
+    happens to compare this row that round — the count comparison is
+    already computed, so failing loudly costs nothing), while the full
+    edge-for-edge Kruskal cross-check (same total order, union-find)
+    lives in tests/test_functions.py::test_boruvka_matches_kruskal_fixture
+    on the same fixture graph — moved out of this bench-facing query so
     the bench line times the OPERATOR, not an in-driver verification
     harness (r9 verdict: the collect+Kruskal was ~10 s of a 19.6 s
     bench row)."""
@@ -1353,19 +1356,26 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+    n_mst = mst.count()
+    if n_mst != n_nodes - n_comp:
+        raise RuntimeError(
+            f"boruvka_mst forest identity violated: |MST|={n_mst} but "
+            f"|V|-#components={n_nodes}-{n_comp}={n_nodes - n_comp} "
+            "(independent label-propagation components) — the spanning "
+            "forest is incomplete or cyclic"
+        )
     agg = mst.agg(
-        F.count("*").cast("long").alias("n_mst_edges"),
         F.sum(-F.col("w")).cast("long").alias("affinity_captured"),
     )
     out = agg.select(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.lit(n_comp).cast("long").alias("n_components"),
-        "n_mst_edges",
+        F.lit(n_mst).cast("long").alias("n_mst_edges"),
         "affinity_captured",
-        (F.col("n_mst_edges") == F.lit(n_nodes - n_comp)).alias(
-            "forest_identity_ok"
-        ),
+        # always true on return — the identity raises above on mismatch;
+        # kept as a column for schema stability across rounds
+        F.lit(True).alias("forest_identity_ok"),
     )
     return out
 
@@ -1376,7 +1386,10 @@ EXTRA_QUERIES.update(
             q_boruvka_mst,
             None,
             "ext:distributed Boruvka spanning forest (struct-min"
-            " hooking, fixpoint contraction; in-query Kruskal twin)",
+            " hooking, fixpoint contraction; fail-loud forest identity"
+            " |MST|=|V|-#components vs independent components in-query;"
+            " edge-for-edge Kruskal twin in pytest"
+            " test_boruvka_matches_kruskal_fixture)",
         ),
     }
 )
@@ -1586,7 +1599,22 @@ def q_boruvka_mst_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge in the distributed run changes the per-brand counts, weight
     sums, or the endpoint checksum. Scale: one windowed pass to build
     edges, then the boruvka_mst operator (SCALING.md r10: one
-    data-sized reduce, geometric rounds)."""
+    data-sized reduce, geometric rounds).
+
+    The twin FORCES the distributed machinery it certifies (r10
+    ADVICE: with the production defaults every fixture-scale graph was
+    solved by the round-0 driver Kruskal, so the oracle validated only
+    that shortcut): ``driver_finish_max=0`` makes every hooking round
+    run the distributed struct-min + relabel + re-reduce, and the
+    size-relative ``contraction_collect_max = n_parts // 8`` keeps the
+    dominant early contractions on the distributed min-label +
+    pointer-doubling fixpoint at every SF (first-round chosen count ≈
+    |V| >> |V|/8) while geometrically small tails may still take the
+    guarded driver union-find — exactly the hybrid shape the operator
+    ships at 100 TB, with the big rounds provably distributed.
+    Production callers keep the defaults; the deliberate extra wall
+    here (~16 s at sf0.1 vs ~3 s hybrid) buys end-to-end certification
+    of the scale path against a closed-form answer."""
     from yelp_etl_spark.functions.graph import boruvka_mst
 
     part = _t(spark, sf_dir, "part")
@@ -1607,7 +1635,12 @@ def q_boruvka_mst_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v2").alias("dst"),
         (1000 + F.col("u") % 50).cast("long").alias("w"),
     )
-    forest = boruvka_mst(paths.union(shortcuts))
+    n_parts = part.count()
+    forest = boruvka_mst(
+        paths.union(shortcuts),
+        driver_finish_max=0,
+        contraction_collect_max=max(64, n_parts // 8),
+    )
     labeled = forest.join(
         part.select(F.col("p_partkey").alias("src"), "p_brand"), "src"
     )
@@ -1655,8 +1688,9 @@ EXTRA_QUERIES.update(
             q_boruvka_mst_checked,
             ORACLE_BORUVKA_MST_CHECKED,
             "ext:exact MSF oracle twin (constructed path+shortcut graph"
-            " with a closed-form unique forest; full distributed"
-            " Boruvka on the Spark side)",
+            " with a closed-form unique forest; driver_finish_max=0 +"
+            " size-relative contraction guard force the distributed"
+            " hooking and fixpoint-contraction rounds at every SF)",
         ),
     }
 )
