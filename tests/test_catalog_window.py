@@ -40,105 +40,113 @@ def test_driver_window_is_first_50_entries():
 
 
 def test_driver_window_entries_all_oracle_checked():
-    # boruvka_mst is rows-only by design (iterative contraction is not
-    # SQL-expressible; it enters the r10 window for the driver's weaker
-    # rows-only check so cumulative coverage reaches every catalog
-    # entry); everything else must be hard-checked
+    # The four r1-stale approximate-sketch queries are rows-only by
+    # design (each has an oracle-checked `_checked` twin elsewhere in
+    # the catalog); they re-enter the r11 window for the driver's
+    # weaker rows-only check because they are the stalest rows on the
+    # board (last seen round 1). Everything else must be hard-checked.
     no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert set(no_oracle) <= {"boruvka_mst"}, (
-        f"window entries without oracle: {no_oracle}"
-    )
+    assert set(no_oracle) <= {
+        "approx_distinct",
+        "ivf_topk",
+        "lsh_topk",
+        "minhash_neardup",
+    }, f"window entries without oracle: {no_oracle}"
 
 
-def test_driver_window_r10_rotation_goals():
-    # r9 VERDICT task 1: the 34 never-driver-checked round-9 queries
-    # (the r9 _NEXT_ROTATION_POOL seed) all enter, closing cumulative
-    # driver coverage at 359/359, plus the standing guards and 12
-    # stalest (round-2) oracle greens re-verified under the current
-    # hasher (r9 VERDICT task 6).
+def test_driver_window_r11_rotation_goals():
+    # r10 VERDICT task 2: boruvka_mst_checked (the only never-checked
+    # catalog query) enters, closing cumulative driver coverage at
+    # 360/360; the rest of the window re-verifies the STALEST driver
+    # rows under the current hasher — the complete r1 (rows-only),
+    # r2, and r3 strata, so the staleness frontier advances to r4.
     must_have = {
+        # the one never-driver-checked query (closes 360/360)
+        "boruvka_mst_checked",
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
         "map_hof",
         "quantize_embeddings",
         "flagship_revenue",
-        # the 34 never-checked round-9 rows
-        "bollinger_anomaly_days",
-        "boruvka_mst",
-        "cidr_block_join",
-        "conformal_interval_coverage",
-        "cronbach_alpha",
-        "dbscan_core_classification",
-        "diversity_indices",
-        "dsir_importance_weights",
-        "dunning_g2_collocations",
-        "durbin_watson_ols",
-        "fd_discovery",
-        "gazetteer_entity_match",
-        "gopher_quality_rules",
-        "hamming_binary_topk",
-        "heaps_law_fit",
-        "jarque_bera",
-        "kendall_tau_daily",
-        "kneser_ney_bigram_nll",
-        "kruskal_wallis_h",
-        "ktruss_support",
-        "lift_gains_deciles",
-        "matryoshka_prefix_recall",
-        "misra_gries_heavy_hitters",
-        "mode_per_group",
-        "pacf_daily",
-        "readability_scores",
-        "shapley_attribution",
-        "stream_chained_windows",
-        "t_closeness_audit",
-        "temporal_purged_split",
-        "url_normalize_dedup",
-        "wasserstein1_drift",
-        "welch_ttest",
-        "zip_central_dir_parse",
-        # stalest greens re-enter (last checked r2)
-        "date_features",
-        "distinct_counts",
-        "events_tumbling_window",
-        "explode_tokens",
-        "filter_project",
-        "flatten_struct",
-        "join_left_counts",
-        "join_semi_anti",
-        "json_map_extract",
-        "math_funcs",
-        "pivot_status",
-        "regex_clean",
+        # last checked r1 (rows-only approximate sketches)
+        "approx_distinct",
+        "ivf_topk",
+        "lsh_topk",
+        "minhash_neardup",
+        # last checked r2
+        "session_window",
+        "set_ops",
+        "sliding_window",
+        "sort_limit_topk",
+        "string_funcs",
+        "text_stats",
+        "window_analytic",
+        # last checked r3 (the complete stratum)
+        "asof_tolerance",
+        "collation_group",
+        "copurchase_pairs",
+        "count_min_freq",
+        "countif_probe",
+        "cross_doc_boilerplate",
+        "decontaminate_docs",
+        "dynamic_overwrite_publish",
+        "embedding_neardup_lsh",
+        "fuzzy_match_parts",
+        "incremental_agg_maintenance",
+        "interval_overlap",
+        "join_full_outer",
+        "ngram_jaccard_pairs",
+        "pagerank_dict_ids",
+        "pandas_udf_scores",
+        "pandas_zscore",
+        "partitioned_write_roundtrip",
+        "quality_score",
+        "repetition_flags",
+        "salted_join_agg",
+        "scd2_history",
+        "semantic_dedup_pipeline",
+        "simhash_portable",
+        "snapshot_diff_cdc",
+        "stream_dedup_totals",
+        "stream_static_enrich",
+        "tpch_q21_shape",
+        "tpch_q2_min_cost",
+        "tpch_q5_region_revenue",
+        "two_stage_topk",
+        "unigram_nll_score",
+        "variant_props",
+        "xml_extract",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
 def test_window_closes_cumulative_driver_coverage():
-    # r9 VERDICT task 1: window ∪ previously-checked must cover the
-    # ENTIRE catalog — after this round no query has ever been skipped
-    # by the driver. Derive "previously checked" from the recorded
-    # CORRECTNESS_r0{1..9}.json files themselves.
+    # r10 VERDICT task 2: window ∪ previously-checked must cover the
+    # ENTIRE catalog — after this round every catalog query has been
+    # driver-checked at least once. Derive "previously checked" from
+    # the recorded CORRECTNESS_r*.json files themselves.
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         checked |= set(json.load(open(path)))
-    assert checked, "expected CORRECTNESS_r0{1..9}.json at repo root"
+    assert checked, "expected CORRECTNESS_r*.json at repo root"
     first_time = [n for n in _DRIVER_WINDOW if n not in checked]
-    # the 34 never-checked round-9 rows
-    assert len(first_time) >= 34, (
-        f"only {len(first_time)} first-time rows: {first_time}"
+    # boruvka_mst_checked landed after the r10 window froze — it is
+    # the entire never-checked set and it must be in this window
+    assert first_time == ["boruvka_mst_checked"] or first_time == [], (
+        f"unexpected first-time rows: {first_time}"
     )
     from yelp_etl_spark.plans.catalog import _NEXT_ROTATION_POOL
 
     uncovered = [
         n for n in QUERIES if n not in checked and n not in _DRIVER_WINDOW
     ]
-    # late-session additions must be explicitly declared as the r9 seed
+    # the catalog is frozen; nothing may be both unchecked and outside
+    # the window unless explicitly seeded for the next rotation
     assert set(uncovered) <= _NEXT_ROTATION_POOL, (
         f"never driver-checked, not in window, not declared for the "
         f"next rotation: {sorted(set(uncovered) - _NEXT_ROTATION_POOL)}"
@@ -172,6 +180,39 @@ def test_extension_catalog_registered():
 def test_no_duplicate_registration_lost_entries():
     # reordering + ext merge must not drop or duplicate anything
     assert len(QUERIES) == len(set(QUERIES)) >= 188
+
+
+def test_bench_variance_driver_cells_filled():
+    # r10 VERDICT task 4 (second consecutive round the cell shipped
+    # unfilled): for EVERY driver bench artifact BENCH_r{N}.json at the
+    # repo root, BENCH_VARIANCE.md must carry an r{N} row whose driver
+    # cell is the artifact's recorded wall — filling the table is a
+    # pre-ship gate, not a next-round chore. Rows r1-r7 predate the
+    # builder-vs-driver protocol (adopted r8), so only r8+ are pinned.
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    variance = open(os.path.join(root, "BENCH_VARIANCE.md")).read()
+    rows = {
+        m.group(1): m.group(0)
+        for m in re.finditer(r"^\| (r\d+) \|.*$", variance, re.M)
+    }
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        n = int(re.search(r"BENCH_r(\d+)\.json$", path).group(1))
+        if n < 8:
+            continue
+        row = rows.get(f"r{n}")
+        assert row is not None, f"BENCH_VARIANCE.md has no r{n} row"
+        assert "fill" not in row, f"BENCH_VARIANCE.md r{n} row unfilled"
+        driver_cell = row.split("|")[3].strip()
+        driver_wall = float(driver_cell)
+        recorded = json.load(open(path))["parsed"]["value"]
+        assert abs(driver_wall - recorded) < 0.5, (
+            f"r{n} driver cell {driver_wall} != BENCH_r{n}.json {recorded}"
+        )
 
 
 def test_bench_rotation_covers_the_whole_catalog():

@@ -7606,80 +7606,76 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # directive). Rotated-out rows remain under the local parity gate
 # (scripts/check_parity.py runs ALL queries).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- the 34 never-driver-checked round-9 queries (the r9 seed
-    # pool = _NEXT_ROTATION_POOL, VERDICT r9 task #1) ----
-    "bollinger_anomaly_days",
-    "boruvka_mst",
-    "cidr_block_join",
-    "conformal_interval_coverage",
-    "cronbach_alpha",
-    "dbscan_core_classification",
-    "diversity_indices",
-    "dsir_importance_weights",
-    "dunning_g2_collocations",
-    "durbin_watson_ols",
-    "fd_discovery",
-    "gazetteer_entity_match",
-    "gopher_quality_rules",
-    "hamming_binary_topk",
-    "heaps_law_fit",
-    "jarque_bera",
-    "kendall_tau_daily",
-    "kneser_ney_bigram_nll",
-    "kruskal_wallis_h",
-    "ktruss_support",
-    "lift_gains_deciles",
-    "matryoshka_prefix_recall",
-    "misra_gries_heavy_hitters",
-    "mode_per_group",
-    "pacf_daily",
-    "readability_scores",
-    "shapley_attribution",
-    "stream_chained_windows",
-    "t_closeness_audit",
-    "temporal_purged_split",
-    "url_normalize_dedup",
-    "wasserstein1_drift",
-    "welch_ttest",
-    "zip_central_dir_parse",
+    # ---- r11 rotation (VERDICT r10 task #2): the one never-checked
+    # query enters — cumulative driver coverage closes at 360/360 ----
+    "boruvka_mst_checked",
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
-    # ---- regression anchors: the LEAST-RECENTLY driver-checked
-    # oracle rows (all last seen round 2 — never re-checked under the
-    # current value hasher), so guard coverage rotates toward the
-    # stalest greens instead of re-confirming fresh ones.
-    "date_features",
-    "distinct_counts",
-    "events_tumbling_window",
-    "explode_tokens",
-    "filter_project",
-    "flatten_struct",
-    "join_left_counts",
-    "join_semi_anti",
-    "json_map_extract",
-    "math_funcs",
-    "pivot_status",
-    "regex_clean",
+    # ---- stalest driver rows, oldest first. The four approximate
+    # rows-only entries below were last seen ROUND 1 (each has an
+    # oracle-checked `_checked` twin; re-windowing re-confirms they
+    # still execute under the driver's session — simhash_sketch, the
+    # fifth r1 row, waits for r12 but its exact twin simhash_portable
+    # is in this window) ----
+    "approx_distinct",
+    "ivf_topk",
+    "lsh_topk",
+    "minhash_neardup",
+    # ---- last checked round 2 ----
+    "session_window",
+    "set_ops",
+    "sliding_window",
+    "sort_limit_topk",
+    "string_funcs",
+    "text_stats",
+    "window_analytic",
+    # ---- last checked round 3 (all 34 of them — the complete r3
+    # stratum, so the staleness frontier advances to round 4) ----
+    "asof_tolerance",
+    "collation_group",
+    "copurchase_pairs",
+    "count_min_freq",
+    "countif_probe",
+    "cross_doc_boilerplate",
+    "decontaminate_docs",
+    "dynamic_overwrite_publish",
+    "embedding_neardup_lsh",
+    "fuzzy_match_parts",
+    "incremental_agg_maintenance",
+    "interval_overlap",
+    "join_full_outer",
+    "ngram_jaccard_pairs",
+    "pagerank_dict_ids",
+    "pandas_udf_scores",
+    "pandas_zscore",
+    "partitioned_write_roundtrip",
+    "quality_score",
+    "repetition_flags",
+    "salted_join_agg",
+    "scd2_history",
+    "semantic_dedup_pipeline",
+    "simhash_portable",
+    "snapshot_diff_cdc",
+    "stream_dedup_totals",
+    "stream_static_enrich",
+    "tpch_q21_shape",
+    "tpch_q2_min_cost",
+    "tpch_q5_region_revenue",
+    "two_stage_topk",
+    "unigram_nll_score",
+    "variant_props",
+    "xml_extract",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
-# rotation (the r6→…→r10 pattern). The r9 seed (34 late round-9
-# additions) was consumed by the r10 window above; round 10 is a
-# consolidation round (VERDICT r9 task #6: no new operator families),
-# so the pool holds only the one permitted `_checked` twin added after
-# the freeze.
-_NEXT_ROTATION_POOL: frozenset[str] = frozenset(
-    {
-        # exact value-oracle twin for the rows-only boruvka_mst (the
-        # one twin the catalog lacked; VERDICT r9 allowed _checked
-        # twins during consolidation). Independently parity-verified
-        # at sf0.001 and sf0.01 in round 10.
-        "boruvka_mst_checked",
-    }
-)
+# rotation (the r6→…→r10 pattern). The r10 seed (boruvka_mst_checked)
+# was consumed by the r11 window above; the catalog is frozen (VERDICT
+# r10 task #6: no new queries unless a verdict names a gap), so the
+# pool is empty.
+_NEXT_ROTATION_POOL: frozenset[str] = frozenset()
 
 
 QUERIES: dict[str, QuerySpec] = {
