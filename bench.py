@@ -441,6 +441,16 @@ ANCHORS = {
 # so stale entries must age out without a manual edit). A round with no
 # entry simply contributes no "new" picks.
 NEW_BY_ROUND: dict[int, set[str]] = {}
+NEW_BY_ROUND[11] = {
+    # not additions but materially CHANGED this round (same aging rule
+    # applies): the oracle twin now forces the distributed hooking +
+    # fixpoint-contraction path (driver_finish_max=0, size-relative
+    # contraction guard — r10 ADVICE), and boruvka_mst gained the
+    # fail-loud in-query forest-identity count. Both need an r11
+    # number so the cost change is recorded, not discovered.
+    "boruvka_mst",
+    "boruvka_mst_checked",
+}
 NEW_BY_ROUND[10] = {
     # the one consolidation-round addition: the exact MSF oracle twin
     "boruvka_mst_checked",

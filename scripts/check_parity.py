@@ -5,7 +5,14 @@ Runs every catalog query on Spark and its DuckDB oracle on the same
 parquet, compares row count, column names, and order-insensitive values
 (sorted columns, sorted rows, rounded doubles). Usage:
 
-    python scripts/check_parity.py [sf_dir] [query ...]
+    python scripts/check_parity.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` rehearses the DRIVER's session shape instead of the
+engine's: a bare Spark 4 builder with ANSI mode forced on and none of
+get_spark's confs (no AQE/broadcast/Arrow/UTC tuning). Every catalog
+query must still pass — the engine may rely on its confs for SPEED,
+never for correctness (r10 VERDICT task 7 extended this rehearsal from
+the 50-query window to the full catalog).
 """
 
 from __future__ import annotations
@@ -61,10 +68,33 @@ def canonical(rows, columns):
     return out
 
 
+def vanilla_spark():
+    """The driver's own session shape: bare builder, ANSI on, no
+    engine confs. Everything the engine needs to read the fixtures
+    (nanos repair, UTC guard) must come from its own readers."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("parity-check-vanilla")
+        .master("local[8]")
+        .config("spark.sql.ansi.enabled", "true")
+        # NO session.timeZone conf: the driver doesn't set one either;
+        # load_table's UTC-equivalence guard must accept the JVM
+        # default zone (Etc/UTC in this container) on its own
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark("parity-check", cpus=8, shuffle_partitions=8)
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if vanilla:
+        spark = vanilla_spark()
+        print("session: VANILLA (bare Spark 4 builder, ANSI on)")
+    else:
+        spark = get_spark("parity-check", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -13,21 +13,31 @@ SF_DIR = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 # Heavy-test rotation tier (r8 VERDICT #2: the suite needs the same
 # rotation discipline the bench got — the property/model/replay
-# RE-verification tests cost ~140 s together and re-prove invariants
+# RE-verification tests cost ~270 s together and re-prove invariants
 # that don't change unless their operator changes). Rule: a test marked
-# ``heavy_rotation`` runs when crc32(test_name) % 2 == round % 2, so
-# every marked test runs at least every other round and each round's
-# slice is deterministic. Round = 1 + max committed BENCH_r{N}.json
-# (bench.detect_round's rule; SPARK_GRAFT_ROUND overrides).
-# SPARK_GRAFT_FULL_TESTS=1 runs everything (use before shipping a
-# round and whenever a marked test's operator changed).
-# KNOWN IMBALANCE (measured r10): the crc32 split is cost-uneven —
-# the odd-round half carries ~25 marked tests vs ~12 on even rounds
-# (r10 dedicated wall 467-479 s; simulated r11 ~535 s, all green). If
-# the r11 wall matters, rebalance by salting the hash (crc32(name +
-# SALT)) chosen against measured per-test durations — do it at the
-# START of a round so the whole round is measured under one assignment.
+# ``heavy_rotation`` runs when crc32(test_name + _HEAVY_SALT) % 2 ==
+# round % 2, so every marked test runs at least every other round and
+# each round's slice is deterministic. Round = 1 + max committed
+# BENCH_r{N}.json (bench.detect_round's rule; SPARK_GRAFT_ROUND
+# overrides). SPARK_GRAFT_FULL_TESTS=1 runs everything (the pre-ship
+# gate each round — scripts/preship.sh step 2 — and mandatory whenever
+# a marked test's operator changed).
+# _HEAVY_SALT rebalances the halves by MEASURED cost (r10 VERDICT #3:
+# the unsalted crc32 split put 25 of the then-37 marked tests /
+# 147.4 s on odd rounds vs 12 / 127.2 s on even — the r10 judge's
+# odd-slice wall was 836 s vs the 480 s target). At r11 start the tier
+# was widened to 48 tests (the remaining expensive cross-check /
+# planted-model / roundtrip re-verifications joined) and the salt
+# re-derived by brute-force search over the full-suite --durations=0
+# measurement (766 s total, 332.8 s tier): salt "100000" splits
+# 27 tests / 166.4 s (even rounds) vs 21 / 166.5 s (odd) — |diff|
+# 0.1 s. Re-derive whenever the marked set or its costs shift
+# materially: run SPARK_GRAFT_FULL_TESTS=1 pytest --durations=0, then
+# brute-force the salt minimizing |cost(half0) − cost(half1)| — at
+# ROUND START so the whole round is measured under one assignment.
 # ---------------------------------------------------------------------------
+
+_HEAVY_SALT = "100000"
 
 
 def _current_round() -> int:
@@ -45,7 +55,8 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "heavy_rotation: expensive property/model/replay re-verification;"
-        " runs when crc32(name) %% 2 == round %% 2 (every other round)."
+        " runs when crc32(name + salt) %% 2 == round %% 2 (every other"
+        " round; salt balances the halves by measured cost)."
         " SPARK_GRAFT_FULL_TESTS=1 forces all.",
     )
 
@@ -57,7 +68,7 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.get_closest_marker("heavy_rotation") is None:
             continue
-        if zlib.crc32(item.name.encode()) % 2 != rnd % 2:
+        if zlib.crc32((item.name + _HEAVY_SALT).encode()) % 2 != rnd % 2:
             item.add_marker(
                 pytest.mark.skip(
                     reason=(

@@ -59,6 +59,7 @@ def _ref_bpe(word_freqs: dict[str, int], num_merges: int, min_pair_freq: int = 2
     return merges, words
 
 
+@pytest.mark.heavy_rotation
 def test_merge_fold_edge_cases(spark):
     rows = [
         (["x", "a", "a", "a", "a"],),

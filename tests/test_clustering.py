@@ -25,6 +25,7 @@ def _blobs(spark, centers, n_per, spread=0.05, dim=8):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.heavy_rotation
 def test_kmeans_recovers_planted_blobs(spark):
     dim = 8
     centers = [
@@ -117,6 +118,7 @@ def test_random_projection_preserves_norms_and_is_deterministic(spark):
     assert a == b
 
 
+@pytest.mark.heavy_rotation
 def test_pca_recovers_planted_dominant_direction(spark):
     """Points spread 10x wider along a planted axis than any other:
     the top component must align with it (|cos| > 0.99) and explain

@@ -74,6 +74,7 @@ def test_psi_zero_for_identical_and_positive_for_shifted(spark):
     assert total > 0.25
 
 
+@pytest.mark.heavy_rotation
 def test_naive_bayes_learns_separable_vocab(spark):
     # Two classes with disjoint vocabularies — NB must classify
     # held-out docs perfectly, and prediction must be
@@ -203,6 +204,7 @@ def test_kaplan_meier_textbook_example(spark):
     assert a == b
 
 
+@pytest.mark.heavy_rotation
 def test_acf_periodic_series(spark):
     """A period-2 alternating series has r_1 ~ -1 and r_2 ~ +1; exact
     integer algebra makes the values partitioning-independent."""

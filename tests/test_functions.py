@@ -319,6 +319,7 @@ def _uf_components(edges):
     return comp
 
 
+@pytest.mark.heavy_rotation
 def test_connected_components_matches_union_find(spark):
     import random
 

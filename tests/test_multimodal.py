@@ -315,6 +315,7 @@ def test_pcm_int16_stats_truncates_odd_tail(spark):
     assert row["n_samples"] == 1 and row["peak"] == 10
 
 
+@pytest.mark.heavy_rotation
 def test_wav_riff_synthesize_parse_roundtrip(spark):
     """The Catalyst chunk walk must agree with Python's struct on a
     real little-endian WAV layout, locate 'data' through the

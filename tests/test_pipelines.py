@@ -352,6 +352,7 @@ def test_run_gold_pipeline_partitioned_and_exact(spark, sf_dir, tmp_path):
     assert pruned.count() == gold.filter(F.col("segment") == seg).count()
 
 
+@pytest.mark.heavy_rotation
 def test_guarded_cdc_apply_is_batch_order_invariant(spark, tmp_path):
     """apply_changelog_guarded must converge to the highest-seq fold
     no matter the batch arrival order — including the resurrection

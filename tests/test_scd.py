@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from yelp_etl_spark.operators.scd import merge_upsert, scd2_history
@@ -121,6 +122,7 @@ def _view(join_df):
     }
 
 
+@pytest.mark.heavy_rotation
 def test_join_agg_deltas_equals_recompute_both_sides_changing(spark):
     from yelp_etl_spark.operators.scd import (
         apply_agg_deltas,

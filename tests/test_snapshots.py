@@ -1162,6 +1162,7 @@ def test_bloom_sidecar_inherited_on_append_and_typed(spark, tmp_path):
         snapshot_write(fdf, str(tmp_path / "t2"), bloom_columns=["x"])
 
 
+@pytest.mark.heavy_rotation
 def test_bloom_spec_survives_replace_and_overwrite(spark, tmp_path):
     """bloom_columns is a table property: replace/rewrite and dynamic
     partition overwrite inherit it (sidecars keep being built), a

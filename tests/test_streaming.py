@@ -240,6 +240,7 @@ def test_foreach_batch_upsert_partition_scoped(spark, tmp_path):
     }
 
 
+@pytest.mark.heavy_rotation
 def test_stream_stream_join_matches_batch(spark, events_dir):
     from pyspark.sql import functions as SF
 
