@@ -200,9 +200,32 @@ def test_bench_variance_driver_cells_filled():
         m.group(1): m.group(0)
         for m in re.finditer(r"^\| (r\d+) \|.*$", variance, re.M)
     }
-    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
-        n = int(re.search(r"BENCH_r(\d+)\.json$", path).group(1))
+    import subprocess
+
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "ls-files", "BENCH_r*.json"],
+                cwd=root, capture_output=True, text=True, timeout=30,
+            ).stdout.split()
+        )
+    except Exception:
+        tracked = None  # git unavailable: fall back to newest-exempt
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    ns = [int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)) for p in paths]
+    for path, n in zip(paths, ns):
         if n < 8:
+            continue  # r1-r7 predate the builder-vs-driver protocol
+        if tracked is not None:
+            if os.path.basename(path) not in tracked:
+                # the driver WRITES BENCH_r{N}.json at judge time but
+                # COMMITS it when the next round starts — an untracked
+                # artifact is the in-flight round's own record, whose
+                # number the builder cannot know yet. The cell becomes
+                # mandatory exactly when the next-round builder starts
+                # (the N-1 forcing function, r10 VERDICT #4).
+                continue
+        elif n == max(ns):
             continue
         row = rows.get(f"r{n}")
         assert row is not None, f"BENCH_VARIANCE.md has no r{n} row"
