@@ -651,12 +651,15 @@ def main() -> None:
                     f"({warmup_failures}) — the timed numbers would be "
                     "cold-run and not comparable across rounds"
                 )
-        # anchors time min-of-2 (r8 VERDICT #3: a single timed run has
-        # ±14% machine noise — proven builder 164.0 s vs driver 187.0 s
-        # on identical code+subset — so the ~29-query regression
-        # tripwire needs min-of-k to trip on plans, not load); the rest
-        # stay warmup+runs to hold the subset under the driver envelope
-        q_runs = max(runs, 2) if name in ANCHORS else runs
+        # anchors time min-of-3 (r8 VERDICT #3 established min-of-k for
+        # the regression tripwire; raised 2→3 in r11 after min-of-2
+        # still undersampled ~1 s anchors — tpch_q9_profit's 0.76→1.17
+        # "regression" took a plan diff to dismiss as noise, see
+        # BENCH_VARIANCE.md adjudications. ~15 anchors × ~1 extra run
+        # ≈ +20 s of bench wall buys flag-free cross-round anchors);
+        # the rest stay warmup+runs to hold the subset under the
+        # driver envelope
+        q_runs = max(runs, 3) if name in ANCHORS else runs
         best = None
         for _ in range(q_runs):
             t0 = time.time()
@@ -723,9 +726,9 @@ def main() -> None:
             "pipeline_seconds is now min-of-2 (the warm wall)."
         ),
         "min_of": min_of,
-        "anchor_min_of": max(runs, 2),
+        "anchor_min_of": max(runs, 3),
         "sf": sf,
-        "runs_per_query": f"warmup+{runs} (anchors min-of-{max(runs, 2)})",
+        "runs_per_query": f"warmup+{runs} (anchors min-of-{max(runs, 3)})",
         "warmup_failures": warmup_failures,
         "aggregation": "min",
     }
@@ -751,7 +754,7 @@ def main() -> None:
                 "pipeline_seconds": pipeline_seconds,
                 "seconds_per_query": round(total / max(1, len(timings)), 3),
                 "sf": sf,
-                "runs_per_query": f"warmup+{runs} (anchors min-of-{max(runs, 2)})",
+                "runs_per_query": f"warmup+{runs} (anchors min-of-{max(runs, 3)})",
                 "n_warmup_failures": len(warmup_failures),
                 "aggregation": "min",
                 "detail": "BENCH_DETAIL.json",
