@@ -164,6 +164,43 @@ def test_jaccard_prefix_join_exactness_property(spark, batch, threshold):
 
 
 @given(
+    nums=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            # exact .5 boundaries at the 7th decimal — the tie cases
+            # where HALF_UP (Spark) and banker's (Python round) diverge
+            st.integers(-2_000_000, 2_000_000).map(lambda k: k * 5e-7),
+        ),
+        min_size=1,
+        max_size=64,
+    ),
+    ndigits=st.integers(0, 6),
+)
+@settings(**SETTINGS)
+def test_half_up_reference_matches_spark_round_bitwise(spark, nums, ndigits):
+    """tests/rounding_ref.half_up must reproduce Spark's F.round
+    bit-for-bit — it is the reference every engine-vs-python rounding
+    comparison in this suite leans on (r10 VERDICT #1: Python's
+    builtin round banker's-rounds exact .5 boundaries the other way)."""
+    from pyspark.sql import functions as SF
+
+    from rounding_ref import half_up
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(nums)],
+                               "i int, v double")
+    got = {
+        r.i: r.r
+        for r in df.select("i", SF.round("v", ndigits).alias("r")).collect()
+    }
+    for i, v in enumerate(nums):
+        expect = half_up(v, ndigits)
+        assert got[i] == expect, (v, ndigits, got[i], expect)
+
+
+@given(
     data=st.lists(
         st.tuples(st.integers(0, 1), st.integers(0, 9)),
         min_size=2,
