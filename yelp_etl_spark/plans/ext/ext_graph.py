@@ -1356,7 +1356,14 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    n_mst = mst.count()
+    # ONE job over the forest delivers both the identity count and the
+    # affinity sum (the count is needed eagerly for the fail-loud check,
+    # so fold the sum into the same pass instead of scheduling a second)
+    stats = mst.agg(
+        F.count("*").cast("long").alias("n_mst_edges"),
+        F.sum(-F.col("w")).cast("long").alias("affinity_captured"),
+    ).first()
+    n_mst = stats["n_mst_edges"]
     if n_mst != n_nodes - n_comp:
         raise RuntimeError(
             f"boruvka_mst forest identity violated: |MST|={n_mst} but "
@@ -1364,15 +1371,14 @@ def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(independent label-propagation components) — the spanning "
             "forest is incomplete or cyclic"
         )
-    agg = mst.agg(
-        F.sum(-F.col("w")).cast("long").alias("affinity_captured"),
-    )
-    out = agg.select(
+    out = spark.range(1).select(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.lit(n_comp).cast("long").alias("n_components"),
         F.lit(n_mst).cast("long").alias("n_mst_edges"),
-        "affinity_captured",
+        F.lit(stats["affinity_captured"]).cast("long").alias(
+            "affinity_captured"
+        ),
         # always true on return — the identity raises above on mismatch;
         # kept as a column for schema stability across rounds
         F.lit(True).alias("forest_identity_ok"),
