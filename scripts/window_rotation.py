@@ -38,12 +38,31 @@ STANDING_GUARDS = [
 ]
 
 
+def _counts_as_checked(name: str, row: dict) -> bool:
+    """A recorded driver row only counts as a CHECK when it carries
+    real signal: fully green (rows+schema+hash), or — for a query that
+    is rows-only BY DESIGN (no oracle in the catalog) — a clean
+    ``no_oracle`` execution with a row count. A crashed query or any
+    other error must NOT advance last-checked, or a standing failure
+    would age out of the rotation instead of being re-run."""
+    if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+        return True
+    q = QUERIES.get(name)
+    return (
+        row.get("err") == "no_oracle"
+        and q is not None
+        and q.oracle is None
+        and row.get("spark_rows") is not None
+    )
+
+
 def last_checked(root: str) -> dict[str, int]:
     seen: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        for name in json.load(open(path)):
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, row in json.load(open(path)).items():
+            if _counts_as_checked(name, row):
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
@@ -65,13 +84,15 @@ def main() -> None:
     for n in never:
         print(f"  -  {n}  (NEVER driver-checked)")
 
-    proposal = list(dict.fromkeys(never + STANDING_GUARDS))
+    # guards are mandatory every round — they lead so truncation can
+    # never silently drop them, even if never-checked grows large
+    proposal = list(dict.fromkeys(STANDING_GUARDS + never))
     for n in stale:
         if len(proposal) >= size:
             break
         proposal.append(n)
 
-    print(f"\n# proposed {size}-query window (never-checked + guards + stalest)")
+    print(f"\n# proposed {size}-query window (guards + never-checked + stalest)")
     for n in proposal[:size]:
         tag = "NEVER" if n not in seen else f"r{seen[n]}"
         oracle = "oracle" if QUERIES[n].oracle is not None else "rows-only"

@@ -10,9 +10,14 @@ banker's rounding (ties to even), so a test reference written as
 "What's wrong" #1). All ``== round(...)`` comparisons against
 engine-rounded values must use ``half_up`` instead.
 
-``Decimal(repr(x))`` sees the same shortest decimal repr that
-``BigDecimal.valueOf(double)`` does (both are round-trip-shortest), so
-``half_up`` reproduces Spark's rounding bit-for-bit.
+``Decimal(repr(x))`` sees Python's shortest round-trip decimal repr;
+``BigDecimal.valueOf(double)`` sees ``Double.toString``'s repr, which is
+only guaranteed shortest on JDK 19+ (JDK-4511638). On older JVMs (this
+sandbox runs Java 17) a rare non-shortest repr could in principle flip a
+HALF_UP tie digit, so the bit-for-bit claim is pinned *empirically*, not
+axiomatically: ``test_half_up_reference_matches_spark_round_bitwise``
+in test_properties.py property-checks ``half_up`` against ``F.round``
+on this exact JVM and is the authoritative guarantee.
 """
 
 from __future__ import annotations

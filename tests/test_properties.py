@@ -260,7 +260,7 @@ def test_kaplan_meier_matches_sequential_reference(spark, subjects):
         if factor <= 0:
             dead = True
         if not dead:
-            surv_q += round(math.log(factor) * 1e6) if factor > 0 else 0
+            surv_q += half_up(math.log(factor) * 1e6, 0) if factor > 0 else 0
             assert got[t].survival == half_up(math.exp(surv_q / 1e6))
         else:
             assert got[t].survival == 0.0

@@ -760,10 +760,12 @@ def boruvka_mst(
     2-3 scheduled jobs per fixpoint iteration that dominate wall clock
     on small tails. Driver-memory note: the guarded collect ships up
     to ``contraction_collect_max`` (ca, cb) pairs through py4j and
-    re-broadcasts the labels — ~50 bytes/pair, so the default 100k is
-    a few MB each way; raise it only with driver memory to match (the
-    r10 default of 1M meant a multi-hundred-MB round-trip was possible
-    before the distributed path engaged). Above the guard, min-label propagation with
+    re-broadcasts the labels — ~200-500 bytes/pair as materialized
+    Python Row objects (py4j framing + Row overhead dominate the two
+    raw longs), so the default 100k is ~20-50 MB each way; raise it
+    only with driver memory to match (the r10 default of 1M meant a
+    200-500 MB round-trip was possible before the distributed path
+    engaged). Above the guard, min-label propagation with
     pointer-doubling runs distributed TO FIXPOINT (partial contraction
     would let a later round pick a non-MST edge between
     already-connected components). The representative label choice

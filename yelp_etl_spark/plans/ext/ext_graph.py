@@ -1612,12 +1612,15 @@ def q_boruvka_mst_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     solved by the round-0 driver Kruskal, so the oracle validated only
     that shortcut): ``driver_finish_max=0`` makes every hooking round
     run the distributed struct-min + relabel + re-reduce, and the
-    size-relative ``contraction_collect_max = n_parts // 8`` keeps the
-    dominant early contractions on the distributed min-label +
+    size-relative ``contraction_collect_max = min(|V|/8, 100k)`` keeps
+    the dominant early contractions on the distributed min-label +
     pointer-doubling fixpoint at every SF (first-round chosen count ≈
     |V| >> |V|/8) while geometrically small tails may still take the
     guarded driver union-find — exactly the hybrid shape the operator
-    ships at 100 TB, with the big rounds provably distributed.
+    ships at 100 TB, with the big rounds provably distributed. The
+    100k cap bounds the guarded driver collect absolutely (the
+    operator default — see the driver-memory note in graph.py), so
+    the twin's collect never grows linearly with |V|.
     Production callers keep the defaults; the deliberate extra wall
     here (~16 s at sf0.1 vs ~3 s hybrid) buys end-to-end certification
     of the scale path against a closed-form answer."""
@@ -1645,7 +1648,7 @@ def q_boruvka_mst_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     forest = boruvka_mst(
         paths.union(shortcuts),
         driver_finish_max=0,
-        contraction_collect_max=max(64, n_parts // 8),
+        contraction_collect_max=min(max(64, n_parts // 8), 100_000),
     )
     labeled = forest.join(
         part.select(F.col("p_partkey").alias("src"), "p_brand"), "src"
