@@ -40,82 +40,80 @@ def test_driver_window_is_first_50_entries():
 
 
 def test_driver_window_entries_all_oracle_checked():
-    # The four r1-stale approximate-sketch queries are rows-only by
-    # design (each has an oracle-checked `_checked` twin elsewhere in
-    # the catalog); they re-enter the r11 window for the driver's
-    # weaker rows-only check because they are the stalest rows on the
-    # board (last seen round 1). Everything else must be hard-checked.
+    # VERDICT r11 "What's wrong" #2: at most ONE rows-only slot per
+    # window, and it must be the single stalest rows-only row.
+    # simhash_sketch (last seen round 1) takes the r12 slot; its exact
+    # oracle twin simhash_portable is driver-green r11. Everything
+    # else must be hard-checked.
     no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert set(no_oracle) <= {
-        "approx_distinct",
-        "ivf_topk",
-        "lsh_topk",
-        "minhash_neardup",
-    }, f"window entries without oracle: {no_oracle}"
+    assert set(no_oracle) <= {"simhash_sketch"}, (
+        f"window entries without oracle: {no_oracle}"
+    )
 
 
-def test_driver_window_r11_rotation_goals():
-    # r10 VERDICT task 2: boruvka_mst_checked (the only never-checked
-    # catalog query) enters, closing cumulative driver coverage at
-    # 360/360; the rest of the window re-verifies the STALEST driver
-    # rows under the current hasher — the complete r1 (rows-only),
-    # r2, and r3 strata, so the staleness frontier advances to r4.
+def test_driver_window_r12_rotation_goals():
+    # r11 VERDICT task 1: rotate onto the staleness tail. The window
+    # must contain the 4 standing guards, pq_topk (its only driver
+    # record, r6, predates the value oracle it gained in round 7 —
+    # never hash-checked), simhash_sketch (r1, the single stalest and
+    # the sole rows-only slot), and the COMPLETE 43-query r4 stratum —
+    # after this round no query's last hash-check is older than r5.
     must_have = {
-        # the one never-driver-checked query (closes 360/360)
-        "boruvka_mst_checked",
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
         "map_hof",
         "quantize_embeddings",
         "flagship_revenue",
-        # last checked r1 (rows-only approximate sketches)
-        "approx_distinct",
-        "ivf_topk",
-        "lsh_topk",
-        "minhash_neardup",
-        # last checked r2
-        "session_window",
-        "set_ops",
-        "sliding_window",
-        "sort_limit_topk",
-        "string_funcs",
-        "text_stats",
-        "window_analytic",
-        # last checked r3 (the complete stratum)
-        "asof_tolerance",
-        "collation_group",
-        "copurchase_pairs",
-        "count_min_freq",
-        "countif_probe",
-        "cross_doc_boilerplate",
-        "decontaminate_docs",
-        "dynamic_overwrite_publish",
-        "embedding_neardup_lsh",
-        "fuzzy_match_parts",
-        "incremental_agg_maintenance",
-        "interval_overlap",
-        "join_full_outer",
-        "ngram_jaccard_pairs",
-        "pagerank_dict_ids",
-        "pandas_udf_scores",
-        "pandas_zscore",
-        "partitioned_write_roundtrip",
-        "quality_score",
-        "repetition_flags",
-        "salted_join_agg",
-        "scd2_history",
-        "semantic_dedup_pipeline",
-        "simhash_portable",
-        "snapshot_diff_cdc",
-        "stream_dedup_totals",
-        "stream_static_enrich",
-        "tpch_q21_shape",
-        "tpch_q2_min_cost",
-        "tpch_q5_region_revenue",
-        "two_stage_topk",
-        "unigram_nll_score",
-        "variant_props",
-        "xml_extract",
+        # never hash-checked under its (round-7) value oracle
+        "pq_topk",
+        # last checked r1 — the one rows-only slot
+        "simhash_sketch",
+        # last checked r4 (the complete stratum)
+        "abandoned_views",
+        "bfs_reachability",
+        "bloom_prune_join",
+        "bpe_corpus_tokens",
+        "bpe_merges",
+        "bpe_pair_counts",
+        "duplicate_spans",
+        "ewma_smooth",
+        "grouped_histogram_quantiles",
+        "histogram_quantiles",
+        "incremental_dedup_delta",
+        "ivf_topk_checked",
+        "jaccard_prefix_join",
+        "keyword_search",
+        "lsh_topk_checked",
+        "mad_outliers",
+        "merge_upsert",
+        "mixture_sample",
+        "pagerank",
+        "pq_topk_checked",
+        "rolling_fingerprint",
+        "safe_cast_probe",
+        "shard_layout",
+        "skyline_suppliers",
+        "stream_stream_attrib",
+        "time_travel_diff",
+        "tpch_q10_returns",
+        "tpch_q11_concentration",
+        "tpch_q12_shipmode",
+        "tpch_q13_custdist",
+        "tpch_q14_promo",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_cnt",
+        "tpch_q17_small_quantity",
+        "tpch_q18_large_orders",
+        "tpch_q19_disjunctive",
+        "tpch_q20_potential_promo",
+        "tpch_q22_global_sales",
+        "tpch_q3_shipping",
+        "tpch_q4_priority",
+        "tpch_q7_nation_volume",
+        "tpch_q8_market_share",
+        "twap_value",
+        # staleness frontier: first of the r5 stratum
+        "array_funcs",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 

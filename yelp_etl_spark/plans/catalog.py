@@ -7592,82 +7592,79 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 
 # The driver's correctness gate oracle-verifies the FIRST 50 entries of
 # QUERIES in insertion order. Hard verification ACCUMULATES across
-# rounds, so each round the window swaps rows that are already
-# multi-round driver-green for rows that have never had a driver check.
-# ROUND-10 ROTATION (VERDICT r9 task #1): the 34 never-driver-checked
-# round-9 late additions enter (all 34 passed the judge's independent
-# sf0.01 parity run in round 9, so this is pure confirmation), closing
-# cumulative driver coverage at 359/359 — after this round EVERY
-# catalog query has at least one driver-recorded check. The standing
-# guards stay (the three fixed r5 canonicalizer reds + the flagship),
-# and the remaining 12 slots re-verify the STALEST oracle greens
-# (last driver-checked in round 2 — before the current canonicalizer/
-# hasher existed — per VERDICT r9 task #6's re-verify-oldest-anchors
-# directive). Rotated-out rows remain under the local parity gate
-# (scripts/check_parity.py runs ALL queries).
+# rounds: cumulative coverage closed at 360/360 in round 11, so from
+# round 12 on the only coverage axis is RECENCY — each round the window
+# rotates onto the least-recently-checked rows, derived mechanically by
+# scripts/window_rotation.py (guards first, then rows never
+# hash-checked under the current oracle, then stalest-first; rows whose
+# only record is an error never count as checked). Rotated-out rows
+# remain under the local parity gate (scripts/check_parity.py runs ALL
+# queries every round, plus the vanilla-ANSI sweep).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- r11 rotation (VERDICT r10 task #2): the one never-checked
-    # query enters — cumulative driver coverage closes at 360/360 ----
-    "boruvka_mst_checked",
+    # ---- r12 rotation (VERDICT r11 task #1): consume the staleness
+    # tail — scripts/window_rotation.py derived this list (guards
+    # first, then never-hash-checked, then stalest-first) ----
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
-    # ---- stalest driver rows, oldest first. The four approximate
-    # rows-only entries below were last seen ROUND 1 (each has an
-    # oracle-checked `_checked` twin; re-windowing re-confirms they
-    # still execute under the driver's session — simhash_sketch, the
-    # fifth r1 row, waits for r12 but its exact twin simhash_portable
-    # is in this window) ----
-    "approx_distinct",
-    "ivf_topk",
-    "lsh_topk",
-    "minhash_neardup",
-    # ---- last checked round 2 ----
-    "session_window",
-    "set_ops",
-    "sliding_window",
-    "sort_limit_topk",
-    "string_funcs",
-    "text_stats",
-    "window_analytic",
-    # ---- last checked round 3 (all 34 of them — the complete r3
-    # stratum, so the staleness frontier advances to round 4) ----
-    "asof_tolerance",
-    "collation_group",
-    "copurchase_pairs",
-    "count_min_freq",
-    "countif_probe",
-    "cross_doc_boilerplate",
-    "decontaminate_docs",
-    "dynamic_overwrite_publish",
-    "embedding_neardup_lsh",
-    "fuzzy_match_parts",
-    "incremental_agg_maintenance",
-    "interval_overlap",
-    "join_full_outer",
-    "ngram_jaccard_pairs",
-    "pagerank_dict_ids",
-    "pandas_udf_scores",
-    "pandas_zscore",
-    "partitioned_write_roundtrip",
-    "quality_score",
-    "repetition_flags",
-    "salted_join_agg",
-    "scd2_history",
-    "semantic_dedup_pipeline",
-    "simhash_portable",
-    "snapshot_diff_cdc",
-    "stream_dedup_totals",
-    "stream_static_enrich",
-    "tpch_q21_shape",
-    "tpch_q2_min_cost",
-    "tpch_q5_region_revenue",
-    "two_stage_topk",
-    "unigram_nll_score",
-    "variant_props",
-    "xml_extract",
+    # ---- never hash-checked: pq_topk's only driver run (r6)
+    # predates the value oracle it gained later (commit 3278647);
+    # the stricter window_rotation accounting surfaced it ----
+    "pq_topk",
+    # ---- last checked round 1 — the single stalest row, and the one
+    # rows-only slot this round (VERDICT r11 "What's wrong" #2: at
+    # most one rows-only row per window; its exact oracle twin
+    # simhash_portable is green r11) ----
+    "simhash_sketch",
+    # ---- last checked round 4: the COMPLETE 43-query r4 stratum —
+    # after this round the staleness frontier advances to round 5 ----
+    "abandoned_views",
+    "bfs_reachability",
+    "bloom_prune_join",
+    "bpe_corpus_tokens",
+    "bpe_merges",
+    "bpe_pair_counts",
+    "duplicate_spans",
+    "ewma_smooth",
+    "grouped_histogram_quantiles",
+    "histogram_quantiles",
+    "incremental_dedup_delta",
+    "ivf_topk_checked",
+    "jaccard_prefix_join",
+    "keyword_search",
+    "lsh_topk_checked",
+    "mad_outliers",
+    "merge_upsert",
+    "mixture_sample",
+    "pagerank",
+    "pq_topk_checked",
+    "rolling_fingerprint",
+    "safe_cast_probe",
+    "shard_layout",
+    "skyline_suppliers",
+    "stream_stream_attrib",
+    "time_travel_diff",
+    "tpch_q10_returns",
+    "tpch_q11_concentration",
+    "tpch_q12_shipmode",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_potential_promo",
+    "tpch_q22_global_sales",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "twap_value",
+    # ---- staleness frontier: first of the r5 stratum ----
+    "array_funcs",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
