@@ -66,31 +66,42 @@ def last_checked(root: str) -> dict[str, int]:
     return seen
 
 
+def build_proposal(
+    seen: dict[str, int], size: int, names: list[str] | None = None
+) -> list[str]:
+    """Guards first (mandatory every round — truncation can never
+    silently drop them), then never-checked, then stalest-first with
+    name tiebreak for determinism."""
+    names = list(QUERIES) if names is None else names
+    never = [n for n in names if n not in seen and n not in STANDING_GUARDS]
+    stale = sorted(
+        (n for n in names if n in seen and n not in STANDING_GUARDS),
+        key=lambda n: (seen[n], n),
+    )
+    proposal = [g for g in STANDING_GUARDS if g in names] + never
+    for n in stale:
+        if len(proposal) >= size:
+            break
+        proposal.append(n)
+    return proposal[:size]
+
+
 def main() -> None:
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = last_checked(root)
 
-    never = [n for n in QUERIES if n not in seen]
-    # stalest first; ties broken by catalog name for determinism
-    stale = sorted(
+    print("# last-checked round per catalog query")
+    for n in sorted(
         (n for n in QUERIES if n in seen and n not in STANDING_GUARDS),
         key=lambda n: (seen[n], n),
-    )
-
-    print("# last-checked round per catalog query")
-    for n in stale:
+    ):
         print(f"{seen[n]:>3}  {n}")
-    for n in never:
-        print(f"  -  {n}  (NEVER driver-checked)")
+    for n in QUERIES:
+        if n not in seen:
+            print(f"  -  {n}  (NEVER driver-checked)")
 
-    # guards are mandatory every round — they lead so truncation can
-    # never silently drop them, even if never-checked grows large
-    proposal = list(dict.fromkeys(STANDING_GUARDS + never))
-    for n in stale:
-        if len(proposal) >= size:
-            break
-        proposal.append(n)
+    proposal = build_proposal(seen, size)
 
     print(f"\n# proposed {size}-query window (guards + never-checked + stalest)")
     for n in proposal[:size]:
