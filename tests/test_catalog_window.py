@@ -133,11 +133,9 @@ def test_window_closes_cumulative_driver_coverage():
         checked |= set(json.load(open(path)))
     assert checked, "expected CORRECTNESS_r*.json at repo root"
     first_time = [n for n in _DRIVER_WINDOW if n not in checked]
-    # boruvka_mst_checked landed after the r10 window froze — it is
-    # the entire never-checked set and it must be in this window
-    assert first_time == ["boruvka_mst_checked"] or first_time == [], (
-        f"unexpected first-time rows: {first_time}"
-    )
+    # cumulative coverage closed at 360/360 in r11 (last first-timer:
+    # boruvka_mst_checked) — no window entry should be record-free now
+    assert first_time == [], f"unexpected first-time rows: {first_time}"
     from yelp_etl_spark.plans.catalog import _NEXT_ROTATION_POOL
 
     uncovered = [
