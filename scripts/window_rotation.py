@@ -109,6 +109,13 @@ def main() -> None:
         oracle = "oracle" if QUERIES[n].oracle is not None else "rows-only"
         print(f"  {n}  [{tag}, {oracle}]")
 
+    print("\n# paste-ready tuple (curate before shipping; the window")
+    print("# tests in test_catalog_window.py pin whatever lands)")
+    print("_DRIVER_WINDOW: tuple[str, ...] = (")
+    for n in proposal[:size]:
+        print(f'    "{n}",')
+    print(")")
+
 
 if __name__ == "__main__":
     main()
