@@ -37,6 +37,20 @@ STANDING_GUARDS = [
     "flagship_revenue",
 ]
 
+# Approximate queries with no value oracle (rows-only by design) and the
+# exact twin that certifies each one's math under the driver. At most ONE
+# rows-only query rides per window (r11 verdict convention); the tool picks
+# it by execution staleness so the cadence has an owner (r12 verdict #3).
+ROWS_ONLY_TWINS = {
+    "simhash_sketch": "simhash_portable",
+    "minhash_neardup": "minhash_portable",
+    "approx_distinct": "distinct_counts",
+    "lsh_topk": "lsh_topk_checked",
+    "ivf_topk": "ivf_topk_checked",
+    "hll_mergeable": "hll_mergeable_checked",
+    "boruvka_mst": "boruvka_mst_checked",
+}
+
 
 def _counts_as_checked(name: str, row: dict) -> bool:
     """A recorded driver row only counts as a CHECK when it carries
@@ -66,23 +80,80 @@ def last_checked(root: str) -> dict[str, int]:
     return seen
 
 
+def rows_only_ranking(
+    seen: dict[str, int], names: list[str] | None = None
+) -> list[tuple[str, int, str, int]]:
+    """Order the rows-only candidates by execution staleness.
+
+    Returns ``(name, last_executed, twin, twin_last_green)`` tuples,
+    stalest execution first (never-executed = round 0), with the twin's
+    last-green round as the tiebreak (staler twin first) and the name
+    as the final deterministic tiebreak. The head of this list is the
+    window's single rows-only slot; the twin column makes the pair's
+    combined freshness visible so a quietly-aging twin (e.g.
+    hll_mergeable_checked, green r8 while its sibling last executed r6)
+    is surfaced next to the pick rather than tracked by convention.
+    """
+    pool = ROWS_ONLY_TWINS if names is None else {
+        n: t for n, t in ROWS_ONLY_TWINS.items() if n in names
+    }
+    return sorted(
+        (
+            (n, seen.get(n, 0), t, seen.get(t, 0))
+            for n, t in pool.items()
+        ),
+        key=lambda r: (r[1], r[3], r[0]),
+    )
+
+
 def build_proposal(
     seen: dict[str, int], size: int, names: list[str] | None = None
 ) -> list[str]:
     """Guards first (mandatory every round — truncation can never
-    silently drop them), then never-checked, then stalest-first with
-    name tiebreak for determinism."""
+    silently drop them), then never-checked, then the single tool-chosen
+    rows-only slot (stalest execution, ``rows_only_ranking``), then
+    stalest-first oracle-checked rows with name tiebreak for
+    determinism. Rows-only queries are excluded from the stale fill so
+    the at-most-one-rows-only-per-window convention is enforced by the
+    tool, not by hand-curation. Prints a visible warning when the
+    never-checked backlog alone overflows the window (truncation would
+    otherwise silently drop coverage)."""
     names = list(QUERIES) if names is None else names
     never = [n for n in names if n not in seen and n not in STANDING_GUARDS]
+    guards = [g for g in STANDING_GUARDS if g in names]
+    overflow = len(guards) + len(never) - size
+    if overflow > 0:
+        print(
+            f"WARNING: {overflow} never-checked quer"
+            f"{'y' if overflow == 1 else 'ies'} did not fit this "
+            f"{size}-slot window (guards {len(guards)} + never-checked "
+            f"{len(never)}); they stay at the front of the next rotation",
+            file=sys.stderr,
+        )
+    proposal = guards + never
+    ranking = rows_only_ranking(seen, names)
+    rows_only_pick = ranking[0][0] if ranking else None
+    if (
+        rows_only_pick is not None
+        and rows_only_pick not in proposal
+        and len(proposal) < size
+    ):
+        proposal.append(rows_only_pick)
     stale = sorted(
-        (n for n in names if n in seen and n not in STANDING_GUARDS),
+        (
+            n
+            for n in names
+            if n in seen
+            and n not in STANDING_GUARDS
+            and n not in ROWS_ONLY_TWINS
+        ),
         key=lambda n: (seen[n], n),
     )
-    proposal = [g for g in STANDING_GUARDS if g in names] + never
     for n in stale:
         if len(proposal) >= size:
             break
-        proposal.append(n)
+        if n not in proposal:
+            proposal.append(n)
     return proposal[:size]
 
 
@@ -101,9 +172,18 @@ def main() -> None:
         if n not in seen:
             print(f"  -  {n}  (NEVER driver-checked)")
 
+    print("\n# rows-only freshness (last EXECUTED vs twin's last GREEN;")
+    print("# head of this list is the window's single rows-only slot)")
+    for n, exec_rnd, twin, twin_rnd in rows_only_ranking(seen):
+        print(
+            f"  exec r{exec_rnd or '-'}  {n:<18} twin {twin:<22} "
+            f"green r{twin_rnd or '-'}"
+        )
+
     proposal = build_proposal(seen, size)
 
-    print(f"\n# proposed {size}-query window (guards + never-checked + stalest)")
+    print(f"\n# proposed {size}-query window (guards + never-checked")
+    print("# + one rows-only slot + stalest)")
     for n in proposal[:size]:
         tag = "NEVER" if n not in seen else f"r{seen[n]}"
         oracle = "oracle" if QUERIES[n].oracle is not None else "rows-only"

@@ -41,81 +41,105 @@ def test_driver_window_is_first_50_entries():
 
 def test_driver_window_entries_all_oracle_checked():
     # VERDICT r11 "What's wrong" #2: at most ONE rows-only slot per
-    # window, and it must be the single stalest rows-only row.
-    # simhash_sketch (last seen round 1) takes the r12 slot; its exact
-    # oracle twin simhash_portable is driver-green r11. Everything
-    # else must be hard-checked.
+    # window, and it must be the tool-chosen stalest-executed rows-only
+    # row (rows_only_ranking in scripts/window_rotation.py).
+    # hll_mergeable (last executed r6 — the stalest execution anywhere)
+    # takes the r13 slot; its exact oracle twin hll_mergeable_checked
+    # is driver-green r8. Everything else must be hard-checked.
     no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert set(no_oracle) <= {"simhash_sketch"}, (
+    assert set(no_oracle) <= {"hll_mergeable"}, (
         f"window entries without oracle: {no_oracle}"
     )
 
 
-def test_driver_window_r12_rotation_goals():
-    # r11 VERDICT task 1: rotate onto the staleness tail. The window
-    # must contain the 4 standing guards, pq_topk (its only driver
-    # record, r6, predates the value oracle it gained in round 7 —
-    # never hash-checked), simhash_sketch (r1, the single stalest and
-    # the sole rows-only slot), and the COMPLETE 43-query r4 stratum —
-    # after this round no query's last hash-check is older than r5.
+def test_driver_window_r13_rotation_goals():
+    # r12 VERDICT task 1: rotate onto the r5 staleness stratum. The
+    # window must contain the 4 standing guards, hll_mergeable (the
+    # tool-chosen rows-only slot — stalest execution, r6), and the
+    # COMPLETE 45-query r5 stratum — after this round no query's last
+    # hash-check is older than r6.
     must_have = {
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
         "map_hof",
         "quantize_embeddings",
         "flagship_revenue",
-        # never hash-checked under its (round-7) value oracle
-        "pq_topk",
-        # last checked r1 — the one rows-only slot
-        "simhash_sketch",
-        # last checked r4 (the complete stratum)
-        "abandoned_views",
-        "bfs_reachability",
-        "bloom_prune_join",
-        "bpe_corpus_tokens",
-        "bpe_merges",
-        "bpe_pair_counts",
-        "duplicate_spans",
-        "ewma_smooth",
-        "grouped_histogram_quantiles",
-        "histogram_quantiles",
-        "incremental_dedup_delta",
-        "ivf_topk_checked",
-        "jaccard_prefix_join",
-        "keyword_search",
-        "lsh_topk_checked",
-        "mad_outliers",
-        "merge_upsert",
-        "mixture_sample",
-        "pagerank",
-        "pq_topk_checked",
-        "rolling_fingerprint",
-        "safe_cast_probe",
-        "shard_layout",
-        "skyline_suppliers",
-        "stream_stream_attrib",
-        "time_travel_diff",
-        "tpch_q10_returns",
-        "tpch_q11_concentration",
-        "tpch_q12_shipmode",
-        "tpch_q13_custdist",
-        "tpch_q14_promo",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_cnt",
-        "tpch_q17_small_quantity",
-        "tpch_q18_large_orders",
-        "tpch_q19_disjunctive",
-        "tpch_q20_potential_promo",
-        "tpch_q22_global_sales",
-        "tpch_q3_shipping",
-        "tpch_q4_priority",
-        "tpch_q7_nation_volume",
-        "tpch_q8_market_share",
-        "twap_value",
-        # staleness frontier: first of the r5 stratum
-        "array_funcs",
+        # the one rows-only slot, tool-chosen by execution staleness
+        "hll_mergeable",
+        # last checked r5 (the complete stratum)
+        "balanced_downsample",
+        "bitwise_funcs",
+        "brand_premium",
+        "chunk_documents",
+        "cohort_retention",
+        "collect_sorted",
+        "compact_small_files",
+        "conditional_funcs",
+        "containment_pairs",
+        "date_spine_fill",
+        "dq_report",
+        "event_path_pattern",
+        "exists_subquery",
+        "first_last_ignorenulls",
+        "hash_split_sample",
+        "inline_structs",
+        "json_props_extract",
+        "jsonl_scan_roundtrip",
+        "k_anonymity_audit",
+        "label_centroids",
+        "lateral_agg",
+        "length_quality_gate",
+        "like_regexp_filters",
+        "linear_interp_fill",
+        "minmax_by",
+        "novelty_scores",
+        "pct_of_total",
+        "range_frame_window",
+        "recursive_hierarchy",
+        "redact_pii",
+        "regr_aggs",
+        "rollup_cascade",
+        "running_distinct",
+        "snapshot_changelog",
+        "snapshot_merge_delete",
+        "stratified_sample",
+        "string_agg_ordered",
+        "surrogate_ids_portable",
+        "token_packing",
+        "tpch_q6_sql",
+        "try_arith",
+        "union_byname_evolution",
+        "vocab_build",
+        "weighted_sample",
+        "width_bucket_hist",
     }
     assert must_have <= set(_DRIVER_WINDOW)
+
+
+def test_driver_window_r13_matches_rotation_tool():
+    # r12 VERDICT task 3 "Done =" criterion: the shipped window IS the
+    # tool's output — no hand-curation drift. Re-derive the proposal
+    # from the committed CORRECTNESS artifacts and compare exactly.
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "window_rotation",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "window_rotation.py",
+        ),
+    )
+    wr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wr)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = wr.last_checked(root)
+    # only compare while the r13 window is current (the artifacts for
+    # r13 itself land at r14 start and advance the staleness frontier)
+    if max(seen.values()) == 12:
+        proposal = wr.build_proposal(seen, size=50)
+        assert proposal == list(_DRIVER_WINDOW)
 
 
 def test_window_closes_cumulative_driver_coverage():

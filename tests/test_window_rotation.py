@@ -84,3 +84,62 @@ def test_proposal_orders_guards_never_stalest():
     seen.update({g: 9 for g in wr.STANDING_GUARDS})
     proposal = wr.build_proposal(seen, size=7, names=names)
     assert proposal == wr.STANDING_GUARDS + ["never1", "older_r1", "old_r2"]
+
+
+def test_truncated_never_checked_backlog_warns(capsys):
+    # r12 ADVICE: dropping never-checked rows must be visible, not silent
+    names = wr.STANDING_GUARDS + [f"q{i:03d}" for i in range(100)]
+    wr.build_proposal({}, size=10, names=names)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "94 never-checked queries did not fit" in err
+    # no warning when everything fits
+    wr.build_proposal({}, size=200, names=names)
+    assert "WARNING" not in capsys.readouterr().err
+
+
+def test_rows_only_ranking_orders_by_execution_then_twin_green():
+    # r12 verdict #3: the rows-only slot is chosen by last-EXECUTED round,
+    # with the exact twin's last-green round surfaced as the tiebreak
+    seen = {
+        "hll_mergeable": 6,
+        "hll_mergeable_checked": 8,
+        "simhash_sketch": 12,
+        "simhash_portable": 11,
+        "boruvka_mst": 10,
+        "boruvka_mst_checked": 11,
+        # minhash_neardup and approx_distinct both executed r11; the
+        # staler twin (minhash_portable r8 < distinct_counts r10) wins
+        "minhash_neardup": 11,
+        "minhash_portable": 8,
+        "approx_distinct": 11,
+        "distinct_counts": 10,
+    }
+    ranking = wr.rows_only_ranking(seen, names=list(seen))
+    assert ranking[0] == ("hll_mergeable", 6, "hll_mergeable_checked", 8)
+    assert ranking[1] == ("boruvka_mst", 10, "boruvka_mst_checked", 11)
+    assert ranking[2] == ("minhash_neardup", 11, "minhash_portable", 8)
+    assert ranking[3] == ("approx_distinct", 11, "distinct_counts", 10)
+    assert ranking[-1][0] == "simhash_sketch"
+    # a never-executed rows-only query ranks first (round 0)
+    seen2 = dict(seen)
+    del seen2["boruvka_mst"]
+    ranking2 = wr.rows_only_ranking(seen2, names=list(seen))
+    assert ranking2[0] == ("boruvka_mst", 0, "boruvka_mst_checked", 11)
+
+
+def test_proposal_contains_exactly_one_rows_only_slot():
+    # the at-most-one convention is tool-enforced: the stalest-executed
+    # rows-only query rides; the other six never enter the stale fill
+    rows_only = list(wr.ROWS_ONLY_TWINS)
+    twins = list(wr.ROWS_ONLY_TWINS.values())
+    others = [f"q{i:03d}" for i in range(20)]
+    names = wr.STANDING_GUARDS + rows_only + twins + others
+    seen = {n: 3 for n in names}
+    seen["hll_mergeable"] = 2  # stalest execution → the pick
+    proposal = wr.build_proposal(seen, size=15, names=names)
+    picked = [n for n in proposal if n in wr.ROWS_ONLY_TWINS]
+    assert picked == ["hll_mergeable"]
+    # guards lead, then the rows-only slot, then the stale fill
+    assert proposal[: len(wr.STANDING_GUARDS)] == wr.STANDING_GUARDS
+    assert proposal[len(wr.STANDING_GUARDS)] == "hll_mergeable"
+    assert len(proposal) == 15

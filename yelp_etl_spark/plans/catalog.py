@@ -7601,70 +7601,68 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # remain under the local parity gate (scripts/check_parity.py runs ALL
 # queries every round, plus the vanilla-ANSI sweep).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- r12 rotation (VERDICT r11 task #1): consume the staleness
-    # tail — scripts/window_rotation.py derived this list (guards
-    # first, then never-hash-checked, then stalest-first) ----
+    # ---- r13 rotation (VERDICT r12 task #1): consume the ENTIRE
+    # 45-row round-5 staleness stratum — scripts/window_rotation.py
+    # derived this list (guards first, then the single tool-chosen
+    # rows-only slot via rows_only_ranking, then stalest-first).
+    # After this round the staleness frontier advances to round 6. ----
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
-    # ---- never hash-checked: pq_topk's only driver run (r6)
-    # predates the value oracle it gained later (commit 3278647);
-    # the stricter window_rotation accounting surfaced it ----
-    "pq_topk",
-    # ---- last checked round 1 — the single stalest row, and the one
-    # rows-only slot this round (VERDICT r11 "What's wrong" #2: at
-    # most one rows-only row per window; its exact oracle twin
-    # simhash_portable is green r11) ----
-    "simhash_sketch",
-    # ---- last checked round 4: the COMPLETE 43-query r4 stratum —
-    # after this round the staleness frontier advances to round 5 ----
-    "abandoned_views",
-    "bfs_reachability",
-    "bloom_prune_join",
-    "bpe_corpus_tokens",
-    "bpe_merges",
-    "bpe_pair_counts",
-    "duplicate_spans",
-    "ewma_smooth",
-    "grouped_histogram_quantiles",
-    "histogram_quantiles",
-    "incremental_dedup_delta",
-    "ivf_topk_checked",
-    "jaccard_prefix_join",
-    "keyword_search",
-    "lsh_topk_checked",
-    "mad_outliers",
-    "merge_upsert",
-    "mixture_sample",
-    "pagerank",
-    "pq_topk_checked",
-    "rolling_fingerprint",
-    "safe_cast_probe",
-    "shard_layout",
-    "skyline_suppliers",
-    "stream_stream_attrib",
-    "time_travel_diff",
-    "tpch_q10_returns",
-    "tpch_q11_concentration",
-    "tpch_q12_shipmode",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_potential_promo",
-    "tpch_q22_global_sales",
-    "tpch_q3_shipping",
-    "tpch_q4_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "twap_value",
-    # ---- staleness frontier: first of the r5 stratum ----
-    "array_funcs",
+    # ---- the one rows-only slot, TOOL-chosen by execution staleness
+    # (VERDICT r12 task #3): hll_mergeable last executed r6 — the
+    # stalest execution anywhere; its exact oracle twin
+    # hll_mergeable_checked (green r8) sits in the r8 stratum and
+    # rides a later rotation ----
+    "hll_mergeable",
+    # ---- last checked round 5: the COMPLETE 45-query r5 stratum ----
+    "balanced_downsample",
+    "bitwise_funcs",
+    "brand_premium",
+    "chunk_documents",
+    "cohort_retention",
+    "collect_sorted",
+    "compact_small_files",
+    "conditional_funcs",
+    "containment_pairs",
+    "date_spine_fill",
+    "dq_report",
+    "event_path_pattern",
+    "exists_subquery",
+    "first_last_ignorenulls",
+    "hash_split_sample",
+    "inline_structs",
+    "json_props_extract",
+    "jsonl_scan_roundtrip",
+    "k_anonymity_audit",
+    "label_centroids",
+    "lateral_agg",
+    "length_quality_gate",
+    "like_regexp_filters",
+    "linear_interp_fill",
+    "minmax_by",
+    "novelty_scores",
+    "pct_of_total",
+    "range_frame_window",
+    "recursive_hierarchy",
+    "redact_pii",
+    "regr_aggs",
+    "rollup_cascade",
+    "running_distinct",
+    "snapshot_changelog",
+    "snapshot_merge_delete",
+    "stratified_sample",
+    "string_agg_ordered",
+    "surrogate_ids_portable",
+    "token_packing",
+    "tpch_q6_sql",
+    "try_arith",
+    "union_byname_evolution",
+    "vocab_build",
+    "weighted_sample",
+    "width_bucket_hist",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
