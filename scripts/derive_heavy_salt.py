@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Re-derive tests/conftest.py's _HEAVY_SALT from a fresh measurement.
+
+The heavy_rotation tier runs a test when ``crc32(name + salt) % 2 ==
+round % 2``; the salt is chosen so the two halves cost the same wall
+time (r10 VERDICT #3 — the unsalted split once made odd-round slices
+~2× even ones). Procedure (documented in conftest.py): at ROUND START,
+
+    SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -q --durations=0 \
+        > /tmp/durations.log 2>/dev/null
+    python -m pytest tests/ -m heavy_rotation --collect-only -q \
+        2>/dev/null | grep :: > /tmp/marked.txt
+    python scripts/derive_heavy_salt.py /tmp/durations.log /tmp/marked.txt
+
+Prints the current salt's split, the best salt found, and each half's
+membership under it. The salt hashes the bare test NAME (parametrized
+id included), exactly like conftest's check.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import zlib
+
+CURRENT_SALT = "100000"
+SEARCH_SPACE = 200_000  # salts "0".."199999" — 0.1 s granularity needs no more
+
+
+def parse_durations(path: str) -> dict[str, float]:
+    """Sum call+setup+teardown seconds per bare test name from a pytest
+    ``--durations=0`` log."""
+    costs: dict[str, float] = {}
+    pat = re.compile(
+        r"^\s*(\d+\.\d+)s\s+(?:call|setup|teardown)\s+\S+::(\S+)"
+    )
+    for line in open(path):
+        m = pat.match(line)
+        if m:
+            costs[m.group(2)] = costs.get(m.group(2), 0.0) + float(m.group(1))
+    return costs
+
+
+def parse_marked(path: str) -> list[str]:
+    return [
+        line.strip().split("::", 1)[1]
+        for line in open(path)
+        if "::" in line
+    ]
+
+
+def split_cost(
+    names: list[str], costs: dict[str, float], salt: str
+) -> tuple[float, float, list[str], list[str]]:
+    halves: tuple[list[str], list[str]] = ([], [])
+    totals = [0.0, 0.0]
+    for n in names:
+        h = zlib.crc32((n + salt).encode()) % 2
+        halves[h].append(n)
+        totals[h] += costs.get(n, 0.0)
+    return totals[0], totals[1], halves[0], halves[1]
+
+
+def main() -> None:
+    durations_log, marked_file = sys.argv[1], sys.argv[2]
+    costs = parse_durations(durations_log)
+    names = parse_marked(marked_file)
+    missing = [n for n in names if n not in costs]
+    if missing:
+        print(f"WARNING: no duration recorded for {len(missing)} marked "
+              f"tests (cost 0 assumed): {missing}", file=sys.stderr)
+    tier_total = sum(costs.get(n, 0.0) for n in names)
+    suite_total = sum(costs.values())
+    print(f"marked tests: {len(names)}  tier {tier_total:.1f}s of "
+          f"suite {suite_total:.1f}s (base {suite_total - tier_total:.1f}s)")
+
+    c0, c1, h0, h1 = split_cost(names, costs, CURRENT_SALT)
+    print(f"current salt {CURRENT_SALT!r}: even-half {len(h0)} tests "
+          f"{c0:.1f}s | odd-half {len(h1)} tests {c1:.1f}s | diff "
+          f"{abs(c0 - c1):.1f}s")
+
+    best = (float("inf"), CURRENT_SALT)
+    for i in range(SEARCH_SPACE):
+        s = str(i)
+        a, b, _, _ = split_cost(names, costs, s)
+        if abs(a - b) < best[0]:
+            best = (abs(a - b), s)
+    _, salt = best
+    c0, c1, h0, h1 = split_cost(names, costs, salt)
+    print(f"best salt {salt!r}: even-half {len(h0)} tests {c0:.1f}s | "
+          f"odd-half {len(h1)} tests {c1:.1f}s | diff {abs(c0 - c1):.1f}s")
+    print("\neven-round half (crc32%2==0):")
+    for n in sorted(h0):
+        print(f"  {costs.get(n, 0.0):7.1f}s  {n}")
+    print("odd-round half (crc32%2==1):")
+    for n in sorted(h1):
+        print(f"  {costs.get(n, 0.0):7.1f}s  {n}")
+
+
+if __name__ == "__main__":
+    main()

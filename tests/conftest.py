@@ -26,18 +26,25 @@ SF_DIR = "/root/testdata/sf0.001"
 # the unsalted crc32 split put 25 of the then-37 marked tests /
 # 147.4 s on odd rounds vs 12 / 127.2 s on even — the r10 judge's
 # odd-slice wall was 836 s vs the 480 s target). At r11 start the tier
-# was widened to 48 tests (the remaining expensive cross-check /
-# planted-model / roundtrip re-verifications joined) and the salt
-# re-derived by brute-force search over the full-suite --durations=0
-# measurement (766 s total, 332.8 s tier): salt "100000" splits
-# 27 tests / 166.4 s (even rounds) vs 21 / 166.5 s (odd) — |diff|
-# 0.1 s. Re-derive whenever the marked set or its costs shift
+# was widened to 48 tests and salt "100000" split them 166.4/166.5 s.
+# At r13 start the measured slice breached the target (519 s: the
+# salt was still optimal for the 48-test tier — full-search diff
+# 3.1 s — but the every-round BASE had grown to 370 s, which no salt
+# can fix), so the tier was widened again to 76 tests: the remaining
+# expensive end-to-end replays (entry smoke over all 360 queries,
+# training pipeline, medallion, CLI), snapshot-layer roundtrips, and
+# planted-model/cross-check re-proofs joined (~114 s moved out of the
+# base). Fresh r13 full-suite --durations=0 measurement (629.2 s
+# total, 372.7 s tier, 256.5 s base); brute-force over salts
+# 0..199999 (scripts/derive_heavy_salt.py): salt "0" splits
+# 35 tests / 188.3 s (even rounds) vs 41 / 184.4 s (odd) — |diff|
+# 3.9 s. Re-derive whenever the marked set or its costs shift
 # materially: run SPARK_GRAFT_FULL_TESTS=1 pytest --durations=0, then
-# brute-force the salt minimizing |cost(half0) − cost(half1)| — at
-# ROUND START so the whole round is measured under one assignment.
+# python scripts/derive_heavy_salt.py <durations.log> <marked.txt> —
+# at ROUND START so the whole round is measured under one assignment.
 # ---------------------------------------------------------------------------
 
-_HEAVY_SALT = "100000"
+_HEAVY_SALT = "0"
 
 
 def _current_round() -> int:

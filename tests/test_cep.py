@@ -16,6 +16,7 @@ def _n_matches(spark, path: str) -> int:
     ).first()["n"]
 
 
+@pytest.mark.heavy_rotation
 def test_pattern_counts_conversions_separately(spark):
     assert _n_matches(spark, "vpvp") == 2      # greedy 'v[^e]*p' would say 1
     assert _n_matches(spark, "vcvp") == 1      # one purchase, nearest view wins

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import importlib.util
 import sys
 
@@ -44,6 +46,7 @@ def test_queries_and_oracles_consistent(spark):
     }
 
 
+@pytest.mark.heavy_rotation
 def test_each_query_runs_at_smoke_sf(spark, sf_dir):
     """Every query builds at the driver's smoke scale, and no result
     schema contains an Array/Map column: the driver's canonicalizer

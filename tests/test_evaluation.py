@@ -161,6 +161,7 @@ def test_psi_ignores_null_nan_and_flags_empty_side(spark):
     assert sum(r.psi_term for r in drift) > 0.0
 
 
+@pytest.mark.heavy_rotation
 def test_chi2_ranks_class_dependent_term_first(spark):
     """A term exclusive to one class dominates a term spread evenly
     across classes; counts in the output are exact presence counts."""

@@ -105,6 +105,7 @@ def test_minhash_finds_near_duplicates(spark):
     assert est > 0.5
 
 
+@pytest.mark.heavy_rotation
 def test_minhash_deterministic_across_partitioning(spark):
     df = spark.createDataFrame(
         [(i, f"doc {i} shared prefix words here plus suffix {i % 3}") for i in range(12)],
@@ -189,6 +190,7 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     assert recall >= 0.8
 
 
+@pytest.mark.heavy_rotation
 def test_embedding_neardup_symmetry_free_and_thresholded(spark):
     df = spark.createDataFrame(
         [
@@ -613,6 +615,7 @@ def test_pagerank_broadcast_paths_equal(spark):
     assert auto == shuf
 
 
+@pytest.mark.heavy_rotation
 def test_bfs_broadcast_paths_equal(spark):
     from yelp_etl_spark.functions.graph import bfs_distances
 
@@ -882,6 +885,7 @@ def test_bitmap_merge_split_equals_whole(spark):
     assert whole == merged == 100000
 
 
+@pytest.mark.heavy_rotation
 def test_embedding_neardup_lsh_recall_and_precision(spark):
     """Banded-LSH near-dup: exact verification means NO false positives
     (every emitted pair is truly over threshold), and at a high
@@ -982,6 +986,7 @@ def test_pq_topk_deterministic_across_partitioning(spark):
     assert a == b
 
 
+@pytest.mark.heavy_rotation
 def test_pq_topk_query_cap_enforced(spark):
     """The driver-held ADC LUT design requires a bounded query side —
     exceeding max_query_rows must raise, never silently collect."""
@@ -1088,6 +1093,7 @@ def test_pmi_collocations_ranks_attracted_pairs(spark):
     assert a == b
 
 
+@pytest.mark.heavy_rotation
 def test_bigram_nll_flags_atypical_transitions(spark):
     """Documents made of corpus-typical transitions score lower than a
     document whose bigrams are rare, even when unigram frequencies are
@@ -1105,6 +1111,7 @@ def test_bigram_nll_flags_atypical_transitions(spark):
     assert a == b
 
 
+@pytest.mark.heavy_rotation
 def test_sssp_weighted_prefers_cheap_two_hop_path(spark):
     """Bellman-Ford relaxation: a 2-edge path of total weight 3 beats
     the direct weight-10 edge; seeds at 0; rounds bound path length."""
@@ -1142,6 +1149,7 @@ def test_rrf_fuse_rewards_cross_list_consensus(spark):
     assert a == sorted(map(tuple, out))
 
 
+@pytest.mark.heavy_rotation
 def test_contrastive_pairs_triplet_invariants(spark):
     """Positives are near-dups, negatives never are: the negative is
     deterministic, differs from both anchor and positive, and is not
@@ -1211,6 +1219,7 @@ def test_personalized_pagerank_concentrates_near_seeds(spark):
     assert [(i, round(r, 9)) for i, r in a] == [(i, round(r, 9)) for i, r in b]
 
 
+@pytest.mark.heavy_rotation
 def test_als_rank2_matches_numpy_reference(spark):
     """The distributed rank-2 ALS reproduces a literal numpy replay of
     the same quantized algebra (exact integer moments, double adjugate
@@ -1486,6 +1495,7 @@ def test_markov_attribution_credits_the_converting_channel(spark):
     assert out["view"]["p_full_ppm"] == 500_000  # 1 of 2 journeys convert
 
 
+@pytest.mark.heavy_rotation
 def test_random_walks_match_pure_python_replay(spark):
     """Every walk step must equal a sequential pure-Python replay of
     the hash-choice rule (H(start|node|t) mod deg over the dst-sorted

@@ -143,6 +143,7 @@ def test_gold_user_engagement(raw):
     assert str(rows["u1"].first_review_date) == "2018-07-04"
 
 
+@pytest.mark.heavy_rotation
 def test_cli_end_to_end(spark, tmp_path):
     """Drive extract → clean → enrich through the CLI surface."""
     from yelp_etl_spark.cli import build_parser, run
@@ -250,6 +251,7 @@ def training_run(spark, sf_dir, tmp_path_factory):
     return out, metrics
 
 
+@pytest.mark.heavy_rotation
 def test_training_pipeline_end_to_end(spark, sf_dir, training_run):
     """The composed curation pipeline: gate → filter → dedup → scrub →
     split → write. Output must be deduplicated, split-disjoint, and
@@ -437,6 +439,7 @@ def test_apply_changelog_bootstrap_drops_op_column(spark, tmp_path):
     assert sorted((r.k, r.v) for r in out2.collect()) == [(1, "a2")]
 
 
+@pytest.mark.heavy_rotation
 def test_run_medallion_layers_and_gold_values(spark, sf_dir, tmp_path):
     """End-to-end medallion (extract×5 → clean×5 → enrich×3 → gold):
     layer layout + the gold rollup's exact integer-cents values vs a

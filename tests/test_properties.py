@@ -35,6 +35,7 @@ words = st.lists(
 
 @given(batch=st.lists(words, min_size=1, max_size=8))
 @settings(**SETTINGS)
+@pytest.mark.heavy_rotation
 def test_fingerprint_whitespace_case_invariant(spark, batch):
     """fingerprint(text) is invariant to case and whitespace runs."""
     rows = []
@@ -51,6 +52,7 @@ def test_fingerprint_whitespace_case_invariant(spark, batch):
 
 @given(batch=st.lists(words, min_size=1, max_size=8), n=st.integers(2, 4))
 @settings(**SETTINGS)
+@pytest.mark.heavy_rotation
 def test_shingles_count_and_width(spark, batch, n):
     """Shingle arrays: ≤ max(tokens-n+1, 0) entries (distinct), each
     exactly n tokens wide."""
@@ -208,6 +210,7 @@ def test_half_up_reference_matches_spark_round_bitwise(spark, nums, ndigits):
     ).filter(lambda d: 0 < sum(x[0] for x in d) < len(d))
 )
 @settings(**SETTINGS)
+@pytest.mark.heavy_rotation
 def test_auc_matches_pairwise_definition(spark, data):
     """Mann-Whitney AUC == P(pos > neg) + 0.5·P(pos == neg), computed
     by brute-force pair enumeration."""

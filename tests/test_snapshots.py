@@ -118,6 +118,7 @@ def test_snapshot_merge_semantics(spark, tmp_path):
     assert old == {(1, 10.0), (2, 20.0)}
 
 
+@pytest.mark.heavy_rotation
 def test_streaming_upsert_into_snapshot_table(spark, tmp_path):
     """Streaming sink → snapshot table: one atomic commit per non-empty
     micro-batch, converged contents equal the batch aggregate, and the
@@ -660,6 +661,7 @@ def test_single_snapshot_pointer_loss_never_self_heals(spark, tmp_path):
     assert "forged" not in _json.load(open(_manifest_path(t, 1)))
 
 
+@pytest.mark.heavy_rotation
 def test_replace_inherits_parent_partition_spec(spark, tmp_path):
     """mode='replace' without an explicit partition_by keeps the
     table's spec (Iceberg createOrReplace semantics): a plain replace
@@ -683,6 +685,7 @@ def test_replace_inherits_parent_partition_spec(spark, tmp_path):
     assert _load_manifest(t, s3).get("partition_by") == ["grp"]
 
 
+@pytest.mark.heavy_rotation
 def test_partitioned_snapshot_write_and_pruning(spark, tmp_path):
     """Identity partition spec: each data file holds exactly one
     partition tuple recorded in the manifest (Iceberg-style — the
@@ -729,6 +732,7 @@ def test_partitioned_snapshot_write_and_pruning(spark, tmp_path):
     assert snapshot_read(spark, t, partition_filter={"grp": "A"}).count() == 101
 
 
+@pytest.mark.heavy_rotation
 def test_snapshot_overwrite_partitions_atomic(spark, tmp_path):
     """Dynamic partition overwrite: exactly the delta's partitions are
     replaced in ONE commit — untouched partitions keep their original
@@ -774,6 +778,7 @@ def test_snapshot_overwrite_partitions_atomic(spark, tmp_path):
         snapshot_overwrite_partitions(delta, t, ["id"])
 
 
+@pytest.mark.heavy_rotation
 def test_bucket_transform_spec_hidden_partitioning(spark, tmp_path):
     """bucket(N, col) spec: files are split by pmod(xxhash64(col), N),
     the reader filters on the RAW value (never sees bucket numbers),
@@ -812,6 +817,7 @@ def test_bucket_transform_spec_hidden_partitioning(spark, tmp_path):
     assert cur.filter(F.col("k").isNull()).count() == 1
 
 
+@pytest.mark.heavy_rotation
 def test_metadata_tables(spark, tmp_path):
     """files/history metadata tables reflect the manifest exactly: per
     file rows and partition tuples, and the full commit trail."""
@@ -1759,6 +1765,7 @@ def test_cluster_compact_rejects_empty_and_buckets_nulls(spark, tmp_path):
         assert top_file not in null_files
 
 
+@pytest.mark.heavy_rotation
 def test_three_way_merge_branch_back(spark, tmp_path):
     """WAP merge-publish: base → ours (main advances) and theirs
     (staged branch) diverge; the 3-way merge applies both sides'

@@ -183,6 +183,7 @@ def test_foreach_batch_upsert_converges(spark, events_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.heavy_rotation
 def test_foreach_batch_upsert_partition_scoped(spark, tmp_path):
     """With partition_columns, a micro-batch touching one partition must
     leave every other partition's files byte-identical (never read,
