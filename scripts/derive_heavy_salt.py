@@ -19,12 +19,26 @@ id included), exactly like conftest's check.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 import zlib
 
-CURRENT_SALT = "100000"
 SEARCH_SPACE = 200_000  # salts "0".."199999" — 0.1 s granularity needs no more
+
+
+def current_salt() -> str:
+    """Read the live _HEAVY_SALT from tests/conftest.py so the 'current
+    split' baseline never goes stale against the shipped assignment."""
+    conftest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "conftest.py",
+    )
+    m = re.search(r'^_HEAVY_SALT = "([^"]*)"', open(conftest).read(), re.M)
+    if not m:
+        raise RuntimeError("could not find _HEAVY_SALT in tests/conftest.py")
+    return m.group(1)
 
 
 def parse_durations(path: str) -> dict[str, float]:
@@ -74,12 +88,13 @@ def main() -> None:
     print(f"marked tests: {len(names)}  tier {tier_total:.1f}s of "
           f"suite {suite_total:.1f}s (base {suite_total - tier_total:.1f}s)")
 
-    c0, c1, h0, h1 = split_cost(names, costs, CURRENT_SALT)
-    print(f"current salt {CURRENT_SALT!r}: even-half {len(h0)} tests "
+    cur = current_salt()
+    c0, c1, h0, h1 = split_cost(names, costs, cur)
+    print(f"current salt {cur!r}: even-half {len(h0)} tests "
           f"{c0:.1f}s | odd-half {len(h1)} tests {c1:.1f}s | diff "
           f"{abs(c0 - c1):.1f}s")
 
-    best = (float("inf"), CURRENT_SALT)
+    best = (float("inf"), cur)
     for i in range(SEARCH_SPACE):
         s = str(i)
         a, b, _, _ = split_cost(names, costs, s)
