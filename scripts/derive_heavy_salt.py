@@ -56,11 +56,20 @@ def parse_durations(path: str) -> dict[str, float]:
 
 
 def parse_marked(path: str) -> list[str]:
-    return [
-        line.strip().split("::", 1)[1]
+    """Bare test names (item.name) from a ``--collect-only -q`` listing.
+
+    Split on the LAST '::' so a class-based test id
+    (``file::Class::test``) reduces to the same component conftest
+    hashes (item.name) — splitting on the first '::' would silently
+    derive the salt against names conftest never sees (r13 ADVICE #3).
+    parse_durations' regex already anchors on the final component."""
+    names = [
+        line.strip().rsplit("::", 1)[1]
         for line in open(path)
         if "::" in line
     ]
+    assert all("::" not in n for n in names)
+    return names
 
 
 def split_cost(

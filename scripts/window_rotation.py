@@ -119,7 +119,18 @@ def build_proposal(
     never-checked backlog alone overflows the window (truncation would
     otherwise silently drop coverage)."""
     names = list(QUERIES) if names is None else names
-    never = [n for n in names if n not in seen and n not in STANDING_GUARDS]
+    # ROWS_ONLY_TWINS keys never enter via the never-checked path: a
+    # never-executed rows-only query ranks FIRST in rows_only_ranking
+    # (round 0) and is guaranteed the single slot there, so admitting
+    # them here could let two rows-only queries ride one window
+    # (r13 ADVICE #1).
+    never = [
+        n
+        for n in names
+        if n not in seen
+        and n not in STANDING_GUARDS
+        and n not in ROWS_ONLY_TWINS
+    ]
     guards = [g for g in STANDING_GUARDS if g in names]
     overflow = len(guards) + len(never) - size
     if overflow > 0:
@@ -154,7 +165,62 @@ def build_proposal(
             break
         if n not in proposal:
             proposal.append(n)
-    return proposal[:size]
+    proposal = proposal[:size]
+    assert sum(n in ROWS_ONLY_TWINS for n in proposal) <= 1, (
+        "at-most-one-rows-only-per-window invariant violated: "
+        f"{[n for n in proposal if n in ROWS_ONLY_TWINS]}"
+    )
+    return proposal
+
+
+def twin_disposition(
+    proposal: list[str],
+    seen: dict[str, int],
+    size: int,
+    names: list[str] | None = None,
+) -> str | None:
+    """Describe where the rows-only slot's oracle twin stands.
+
+    When the single rows-only slot is spent, its exact twin either rides
+    the same window or is queued in the stale fill — in which case this
+    names the twin's last-green round and estimates its arrival from the
+    stale-queue position and the window's per-round stale capacity. Pure
+    reporting (r13 verdict #6): keeps the twin debt visible without
+    burning a window slot on it. Returns None when no rows-only query is
+    in the proposal."""
+    picked = [n for n in proposal if n in ROWS_ONLY_TWINS]
+    if not picked:
+        return None
+    pick = picked[0]
+    twin = ROWS_ONLY_TWINS[pick]
+    if twin in proposal:
+        return f"rows-only slot {pick}: twin {twin} rides THIS window"
+    names = list(QUERIES) if names is None else names
+    if twin not in seen:
+        return (
+            f"rows-only slot {pick}: twin {twin} NEVER driver-checked "
+            "(front of the next rotation's never-checked backlog)"
+        )
+    stale = sorted(
+        (
+            n
+            for n in names
+            if n in seen
+            and n not in STANDING_GUARDS
+            and n not in ROWS_ONLY_TWINS
+        ),
+        key=lambda n: (seen[n], n),
+    )
+    capacity = max(
+        1, size - len([g for g in STANDING_GUARDS if g in names]) - 1
+    )
+    rounds_away = max(1, stale.index(twin) // capacity)
+    return (
+        f"rows-only slot {pick}: twin {twin} last green r{seen[twin]}, "
+        f"queued behind {stale.index(twin)} staler rows — arrives with "
+        f"its stratum in ~{rounds_away} round"
+        f"{'s' if rounds_away != 1 else ''}"
+    )
 
 
 def main() -> None:
@@ -188,6 +254,10 @@ def main() -> None:
         tag = "NEVER" if n not in seen else f"r{seen[n]}"
         oracle = "oracle" if QUERIES[n].oracle is not None else "rows-only"
         print(f"  {n}  [{tag}, {oracle}]")
+
+    disposition = twin_disposition(proposal, seen, size)
+    if disposition is not None:
+        print(f"\n# {disposition}")
 
     print("\n# paste-ready tuple (curate before shipping; the window")
     print("# tests in test_catalog_window.py pin whatever lands)")

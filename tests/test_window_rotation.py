@@ -127,6 +127,51 @@ def test_rows_only_ranking_orders_by_execution_then_twin_green():
     assert ranking2[0] == ("boruvka_mst", 0, "boruvka_mst_checked", 11)
 
 
+def test_never_checked_rows_only_cannot_double_the_slot():
+    # r13 ADVICE #1: two never-executed rows-only queries must not both
+    # enter via the never-checked path — the stalest one takes the single
+    # slot (via rows_only_ranking, never-executed ranks first) and the
+    # other waits for a future window
+    rows_only = list(wr.ROWS_ONLY_TWINS)
+    others = [f"q{i:03d}" for i in range(20)]
+    names = wr.STANDING_GUARDS + rows_only + others
+    seen = {n: 3 for n in names}
+    # TWO rows-only queries with no record at all
+    del seen["hll_mergeable"], seen["boruvka_mst"]
+    proposal = wr.build_proposal(seen, size=15, names=names)
+    picked = [n for n in proposal if n in wr.ROWS_ONLY_TWINS]
+    assert len(picked) == 1
+    # deterministic pick: both exec r0, twins absent from seen (r0),
+    # name tiebreak → boruvka_mst
+    assert picked == ["boruvka_mst"]
+
+
+def test_twin_disposition_reports_queue_position():
+    # r13 verdict #6: the tool names the twin's standing when the
+    # rows-only slot is spent
+    rows_only = list(wr.ROWS_ONLY_TWINS)
+    twins = list(wr.ROWS_ONLY_TWINS.values())
+    others = [f"q{i:03d}" for i in range(60)]
+    names = wr.STANDING_GUARDS + rows_only + twins + others
+    seen = {n: 5 for n in names}
+    seen["boruvka_mst"] = 2  # stalest execution → the pick
+    seen["boruvka_mst_checked"] = 3  # stalest stale row → rides along
+    proposal = wr.build_proposal(seen, size=15, names=names)
+    assert proposal[len(wr.STANDING_GUARDS)] == "boruvka_mst"
+    msg = wr.twin_disposition(proposal, seen, size=15, names=names)
+    assert msg == (
+        "rows-only slot boruvka_mst: twin boruvka_mst_checked rides "
+        "THIS window"
+    )
+    # push the twin deep into the stale queue → arrival estimate
+    seen["boruvka_mst_checked"] = 9
+    proposal = wr.build_proposal(seen, size=15, names=names)
+    msg = wr.twin_disposition(proposal, seen, size=15, names=names)
+    assert "last green r9" in msg and "arrives with its stratum" in msg
+    # no rows-only query in the proposal → nothing to report
+    assert wr.twin_disposition(["q001", "q002"], seen, size=15) is None
+
+
 def test_proposal_contains_exactly_one_rows_only_slot():
     # the at-most-one convention is tool-enforced: the stalest-executed
     # rows-only query rides; the other six never enter the stale fill

@@ -7601,68 +7601,71 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # remain under the local parity gate (scripts/check_parity.py runs ALL
 # queries every round, plus the vanilla-ANSI sweep).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- r13 rotation (VERDICT r12 task #1): consume the ENTIRE
-    # 45-row round-5 staleness stratum — scripts/window_rotation.py
-    # derived this list (guards first, then the single tool-chosen
-    # rows-only slot via rows_only_ranking, then stalest-first).
-    # After this round the staleness frontier advances to round 6. ----
+    # ---- r14 rotation (VERDICT r13 task #1): consume the ENTIRE
+    # 35-row round-6 staleness stratum plus the 10 stalest r7 rows —
+    # scripts/window_rotation.py derived this list (guards first, then
+    # the single tool-chosen rows-only slot via rows_only_ranking, then
+    # stalest-first). After this round the staleness frontier advances
+    # to round 7 (~19 rows remain at r7). ----
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
     # ---- the one rows-only slot, TOOL-chosen by execution staleness
-    # (VERDICT r12 task #3): hll_mergeable last executed r6 — the
-    # stalest execution anywhere; its exact oracle twin
-    # hll_mergeable_checked (green r8) sits in the r8 stratum and
-    # rides a later rotation ----
-    "hll_mergeable",
-    # ---- last checked round 5: the COMPLETE 45-query r5 stratum ----
-    "balanced_downsample",
-    "bitwise_funcs",
-    "brand_premium",
-    "chunk_documents",
-    "cohort_retention",
-    "collect_sorted",
-    "compact_small_files",
-    "conditional_funcs",
-    "containment_pairs",
-    "date_spine_fill",
-    "dq_report",
-    "event_path_pattern",
-    "exists_subquery",
-    "first_last_ignorenulls",
-    "hash_split_sample",
-    "inline_structs",
-    "json_props_extract",
-    "jsonl_scan_roundtrip",
-    "k_anonymity_audit",
-    "label_centroids",
-    "lateral_agg",
-    "length_quality_gate",
-    "like_regexp_filters",
-    "linear_interp_fill",
-    "minmax_by",
-    "novelty_scores",
-    "pct_of_total",
-    "range_frame_window",
-    "recursive_hierarchy",
-    "redact_pii",
-    "regr_aggs",
-    "rollup_cascade",
-    "running_distinct",
-    "snapshot_changelog",
-    "snapshot_merge_delete",
-    "stratified_sample",
-    "string_agg_ordered",
-    "surrogate_ids_portable",
-    "token_packing",
-    "tpch_q6_sql",
-    "try_arith",
-    "union_byname_evolution",
-    "vocab_build",
-    "weighted_sample",
-    "width_bucket_hist",
+    # (VERDICT r12 task #3 convention): boruvka_mst last executed r10 —
+    # now the stalest execution among the 7 rows-only queries; its
+    # exact oracle twin boruvka_mst_checked is green r11 and arrives
+    # with its stratum in a later rotation (tool prints the twin
+    # disposition each run, r13 verdict task #6) ----
+    "boruvka_mst",
+    # ---- last checked round 6: the COMPLETE 35-query r6 stratum ----
+    "acf_daily_events",
+    "ann_recall_at_k",
+    "benford_audit",
+    "bigram_nll",
+    "blob_features",
+    "bloom_bitarray_prune",
+    "checksum_incremental",
+    "chi2_terms",
+    "contrastive_pairs",
+    "csv_scan_roundtrip",
+    "dedup_aware_split",
+    "explode_outer_tokens",
+    "grouping_indicator",
+    "hashed_features",
+    "hybrid_search_rrf",
+    "jl_projection",
+    "naive_bayes_confusion",
+    "pca_top_component",
+    "personalized_pagerank",
+    "pmi_collocations",
+    "posexplode_ordinal",
+    "reliability_bins",
+    "snapshot_bloom_skip",
+    "snapshot_bucket_prune",
+    "snapshot_compact",
+    "snapshot_dynamic_overwrite",
+    "snapshot_evolution",
+    "snapshot_expire",
+    "snapshot_files_metadata",
+    "snapshot_partition_prune",
+    "table_checksum",
+    "two_stage_collect",
+    "udtf_chunk_stats",
+    "winnow_fingerprints",
+    "zorder_cells",
+    # ---- the 10 stalest r7 rows (name tiebreak) ----
+    "ab_test_ztest",
+    "als_factors",
+    "apriori_triples",
+    "assoc_rules",
+    "auc_score",
+    "bitemporal_as_of",
+    "clustering_coefficient",
+    "cogroup_attribution",
+    "cusum_top_days",
+    "degree_assortativity",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
