@@ -586,6 +586,20 @@ def select_queries(round_no: int, full: bool) -> dict[str, str]:
     return sel
 
 
+def detail_filenames(round_no: int, sf: float) -> list[str]:
+    """Detail artifacts a run may write. BENCH_DETAIL.json = latest
+    run, always; BENCH_DETAIL_r{N}.json = the per-round archive
+    (VERDICT r7 #1: per-query cross-round diffing must be possible
+    from the repo alone), written ONLY for canonical-protocol runs
+    (sf0.1) — an exploratory probe at another SF must not clobber the
+    round's snapshot (an sf0.01 probe did exactly that in r14 and the
+    wrong snapshot was briefly committed)."""
+    fnames = ["BENCH_DETAIL.json"]
+    if abs(sf - 0.1) < 1e-9:
+        fnames.append(f"BENCH_DETAIL_r{round_no:02d}.json")
+    return fnames
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -732,10 +746,7 @@ def main() -> None:
         "warmup_failures": warmup_failures,
         "aggregation": "min",
     }
-    # BENCH_DETAIL.json = latest run; BENCH_DETAIL_r{N}.json = the
-    # per-round archive (VERDICT r7 #1: per-query cross-round diffing
-    # must be possible from the repo alone)
-    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{round_no:02d}.json"):
+    for fname in detail_filenames(round_no, sf):
         with open(os.path.join(repo_dir, fname), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     slowest = dict(

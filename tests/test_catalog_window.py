@@ -287,3 +287,28 @@ def test_bench_rotation_covers_the_whole_catalog():
 
     assert set(BENCH_QUERIES) == set(QUERIES)
     assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))  # no duplicates
+
+
+def test_bench_detail_archive_only_written_at_canonical_sf():
+    # r14: an exploratory sf0.01 bench probe overwrote (and briefly
+    # committed) the round's BENCH_DETAIL_r14.json archive — the
+    # per-round snapshot is only meaningful for the canonical sf0.1
+    # protocol, so any other SF must write the latest-run file alone
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import detail_filenames
+
+    assert detail_filenames(14, 0.1) == [
+        "BENCH_DETAIL.json",
+        "BENCH_DETAIL_r14.json",
+    ]
+    assert detail_filenames(9, 0.1) == [
+        "BENCH_DETAIL.json",
+        "BENCH_DETAIL_r09.json",
+    ]
+    for off_sf in (0.01, 0.001, 1.0):
+        assert detail_filenames(14, off_sf) == ["BENCH_DETAIL.json"]
