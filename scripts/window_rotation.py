@@ -211,6 +211,14 @@ def twin_disposition(
         ),
         key=lambda n: (seen[n], n),
     )
+    if twin not in stale:
+        # twin checked historically but outside the caller's name
+        # universe (partial-catalog invocations) — report the fact
+        # without a queue estimate rather than raising on index()
+        return (
+            f"rows-only slot {pick}: twin {twin} last green "
+            f"r{seen[twin]} (outside this proposal's query universe)"
+        )
     capacity = max(
         1, size - len([g for g in STANDING_GUARDS if g in names]) - 1
     )

@@ -170,6 +170,29 @@ def test_twin_disposition_reports_queue_position():
     assert "last green r9" in msg and "arrives with its stratum" in msg
     # no rows-only query in the proposal → nothing to report
     assert wr.twin_disposition(["q001", "q002"], seen, size=15) is None
+    # twin recorded in seen but outside the caller's name universe:
+    # report without a queue estimate rather than raising on index()
+    names_no_twin = [n for n in names if n != "boruvka_mst_checked"]
+    proposal = wr.build_proposal(seen, size=15, names=names_no_twin)
+    msg = wr.twin_disposition(proposal, seen, size=15, names=names_no_twin)
+    assert msg == (
+        "rows-only slot boruvka_mst: twin boruvka_mst_checked last "
+        "green r9 (outside this proposal's query universe)"
+    )
+    # a never-checked twin normally enters the proposal via the
+    # never-checked path and rides the same window
+    seen_no_twin = {k: v for k, v in seen.items()
+                    if k != "boruvka_mst_checked"}
+    proposal = wr.build_proposal(seen_no_twin, size=15, names=names)
+    assert "boruvka_mst_checked" in proposal
+    msg = wr.twin_disposition(proposal, seen_no_twin, size=15, names=names)
+    assert msg.endswith("rides THIS window")
+    # but if the never-checked backlog squeezed it out of the window,
+    # the front-of-backlog message names that state instead of raising
+    msg = wr.twin_disposition(
+        ["boruvka_mst"], seen_no_twin, size=15, names=names
+    )
+    assert "NEVER driver-checked" in msg
 
 
 def test_proposal_contains_exactly_one_rows_only_slot():
