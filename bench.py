@@ -586,16 +586,21 @@ def select_queries(round_no: int, full: bool) -> dict[str, str]:
     return sel
 
 
-def detail_filenames(round_no: int, sf: float) -> list[str]:
+def detail_filenames(
+    round_no: int, sf: float, full: bool = False, runs: int = 1
+) -> list[str]:
     """Detail artifacts a run may write. BENCH_DETAIL.json = latest
     run, always; BENCH_DETAIL_r{N}.json = the per-round archive
     (VERDICT r7 #1: per-query cross-round diffing must be possible
-    from the repo alone), written ONLY for canonical-protocol runs
-    (sf0.1) — an exploratory probe at another SF must not clobber the
-    round's snapshot (an sf0.01 probe did exactly that in r14 and the
-    wrong snapshot was briefly committed)."""
+    from the repo alone), written ONLY for canonical-protocol runs:
+    sf0.1 AND the rotating subset (not SPARK_GRAFT_BENCH_FULL) AND the
+    default run count — an exploratory probe at another SF, a
+    full-catalog sweep, or a custom SPARK_GRAFT_BENCH_RUNS must not
+    clobber the round's snapshot (an sf0.01 probe did exactly that in
+    r14 and the wrong snapshot was briefly committed; r14 ADVICE #2
+    extended the gate beyond SF to the protocol knobs)."""
     fnames = ["BENCH_DETAIL.json"]
-    if abs(sf - 0.1) < 1e-9:
+    if abs(sf - 0.1) < 1e-9 and not full and runs == 1:
         fnames.append(f"BENCH_DETAIL_r{round_no:02d}.json")
     return fnames
 
@@ -746,7 +751,7 @@ def main() -> None:
         "warmup_failures": warmup_failures,
         "aggregation": "min",
     }
-    for fname in detail_filenames(round_no, sf):
+    for fname in detail_filenames(round_no, sf, full=full, runs=runs):
         with open(os.path.join(repo_dir, fname), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     slowest = dict(

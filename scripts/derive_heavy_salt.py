@@ -41,34 +41,63 @@ def current_salt() -> str:
     return m.group(1)
 
 
+def item_name(test_id: str) -> str:
+    """Reduce a pytest node id to ``item.name`` — the component conftest
+    hashes.
+
+    Strip ONLY the leading ``path.py::`` (and any ``Class::`` /
+    ``Nested::`` components before the test function): a '::' INSIDE a
+    param bracket (``test_x[a::b]``) is part of item.name, so a blanket
+    ``rsplit('::', 1)`` would reduce it to ``b]`` — a name conftest's
+    hashing never sees (r14 ADVICE #1; the r13 fix had this hole).
+    """
+    rest = test_id
+    while True:
+        sep = rest.find("::")
+        bracket = rest.find("[")
+        if sep == -1 or (bracket != -1 and bracket < sep):
+            break
+        rest = rest[sep + 2 :]
+    if not test_id.endswith(rest):
+        raise ValueError(
+            f"item_name parse broke reconstruction: {test_id!r} -> {rest!r}"
+        )
+    return rest
+
+
 def parse_durations(path: str) -> dict[str, float]:
     """Sum call+setup+teardown seconds per bare test name from a pytest
     ``--durations=0`` log."""
     costs: dict[str, float] = {}
+    # non-greedy up to the FIRST '.py::' so a '::' inside a param
+    # bracket stays in the captured name; item_name strips any Class::
+    # components (r14 ADVICE #1 — the old greedy \S+:: anchored on the
+    # LAST '::', mangling test_x[a::b] to 'b]')
     pat = re.compile(
-        r"^\s*(\d+\.\d+)s\s+(?:call|setup|teardown)\s+\S+::(\S+)"
+        r"^\s*(\d+\.\d+)s\s+(?:call|setup|teardown)\s+\S+?\.py::(\S+)"
     )
     for line in open(path):
         m = pat.match(line)
         if m:
-            costs[m.group(2)] = costs.get(m.group(2), 0.0) + float(m.group(1))
+            name = item_name(m.group(2))
+            costs[name] = costs.get(name, 0.0) + float(m.group(1))
     return costs
 
 
 def parse_marked(path: str) -> list[str]:
     """Bare test names (item.name) from a ``--collect-only -q`` listing.
 
-    Split on the LAST '::' so a class-based test id
-    (``file::Class::test``) reduces to the same component conftest
-    hashes (item.name) — splitting on the first '::' would silently
-    derive the salt against names conftest never sees (r13 ADVICE #3).
-    parse_durations' regex already anchors on the final component."""
+    Reduce each node id with :func:`item_name` so class components are
+    stripped but param-bracket '::' survives — both parsers derive the
+    salt against exactly the names conftest's item.name hashing sees."""
     names = [
-        line.strip().rsplit("::", 1)[1]
+        item_name(line.strip())
         for line in open(path)
         if "::" in line
     ]
-    assert all("::" not in n for n in names)
+    bad = [n for n in names if "::" in n and "[" not in n[: n.find("::")]]
+    if bad:
+        raise ValueError(f"unstripped class prefix in parsed names: {bad}")
     return names
 
 

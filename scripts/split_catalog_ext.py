@@ -277,7 +277,13 @@ def main() -> None:
         s = s.replace("EXTRA_QUERIES = {", "EXTRA_QUERIES.update({", 1)
         # close the update call: final "}" of the dict becomes "})"
         last = s.rstrip()
-        assert last.endswith("}")
+        # hard raise, not assert: invariants in executable scripts must
+        # survive python -O (r14 ADVICE #4)
+        if not last.endswith("}"):
+            raise ValueError(
+                "registry_init chunk does not end with '}': cannot "
+                "rewrite EXTRA_QUERIES dict into an update() call"
+            )
         s = last[:-1] + "})\n"
         init_chunk["src"] = s
         init_chunk["kind"] = "update"

@@ -166,10 +166,13 @@ def build_proposal(
         if n not in proposal:
             proposal.append(n)
     proposal = proposal[:size]
-    assert sum(n in ROWS_ONLY_TWINS for n in proposal) <= 1, (
-        "at-most-one-rows-only-per-window invariant violated: "
-        f"{[n for n in proposal if n in ROWS_ONLY_TWINS]}"
-    )
+    # a hard raise, not `assert`: python -O strips asserts, and this
+    # invariant must hold in every execution mode (r14 ADVICE #4)
+    if sum(n in ROWS_ONLY_TWINS for n in proposal) > 1:
+        raise RuntimeError(
+            "at-most-one-rows-only-per-window invariant violated: "
+            f"{[n for n in proposal if n in ROWS_ONLY_TWINS]}"
+        )
     return proposal
 
 
@@ -222,11 +225,27 @@ def twin_disposition(
     capacity = max(
         1, size - len([g for g in STANDING_GUARDS if g in names]) - 1
     )
-    rounds_away = max(1, stale.index(twin) // capacity)
+    # never-checked rows jump the stale queue every round, so they
+    # consume stale slots ahead of the twin — fold the backlog into the
+    # twin's effective queue position or the '~N rounds' figure
+    # understates arrival when new queries are pending (r14 ADVICE #3)
+    backlog = len(
+        [
+            n
+            for n in names
+            if n not in seen
+            and n not in STANDING_GUARDS
+            and n not in ROWS_ONLY_TWINS
+        ]
+    )
+    rounds_away = max(1, (stale.index(twin) + backlog) // capacity)
+    backlog_note = (
+        f" (+{backlog} never-checked ahead of the queue)" if backlog else ""
+    )
     return (
         f"rows-only slot {pick}: twin {twin} last green r{seen[twin]}, "
-        f"queued behind {stale.index(twin)} staler rows — arrives with "
-        f"its stratum in ~{rounds_away} round"
+        f"queued behind {stale.index(twin)} staler rows{backlog_note} — "
+        f"arrives with its stratum in ~{rounds_away} round"
         f"{'s' if rounds_away != 1 else ''}"
     )
 

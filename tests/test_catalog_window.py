@@ -43,22 +43,22 @@ def test_driver_window_entries_all_oracle_checked():
     # VERDICT r11 "What's wrong" #2: at most ONE rows-only slot per
     # window, and it must be the tool-chosen stalest-executed rows-only
     # row (rows_only_ranking in scripts/window_rotation.py).
-    # boruvka_mst (last executed r10 — the stalest execution among the
-    # 7 rows-only queries) takes the r14 slot; its exact oracle twin
-    # boruvka_mst_checked is driver-green r11. Everything else must be
-    # hard-checked.
+    # minhash_neardup (last executed r11 — the stalest execution among
+    # the 7 rows-only queries) takes the r15 slot; its oracle twin
+    # minhash_portable is driver-green r8 and arrives with its stratum
+    # in ~1 round. Everything else must be hard-checked.
     no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert set(no_oracle) <= {"boruvka_mst"}, (
+    assert set(no_oracle) <= {"minhash_neardup"}, (
         f"window entries without oracle: {no_oracle}"
     )
 
 
-def test_driver_window_r14_rotation_goals():
-    # r13 VERDICT task 1: rotate onto the r6 staleness stratum. The
-    # window must contain the 4 standing guards, boruvka_mst (the
-    # tool-chosen rows-only slot — stalest execution, r10), the
-    # COMPLETE 35-query r6 stratum, and the 10 stalest r7 rows — after
-    # this round no query's last hash-check is older than r7.
+def test_driver_window_r15_rotation_goals():
+    # r14 VERDICT task 1: rotate onto the r7 staleness stratum. The
+    # window must contain the 4 standing guards, minhash_neardup (the
+    # tool-chosen rows-only slot — stalest execution, r11), the
+    # COMPLETE 35-query r7 stratum, and the 10 stalest r8 rows — after
+    # this round no query's last hash-check is older than r8.
     must_have = {
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
@@ -66,59 +66,59 @@ def test_driver_window_r14_rotation_goals():
         "quantize_embeddings",
         "flagship_revenue",
         # the one rows-only slot, tool-chosen by execution staleness
-        "boruvka_mst",
-        # last checked r6 (the complete stratum)
-        "acf_daily_events",
-        "ann_recall_at_k",
-        "benford_audit",
-        "bigram_nll",
-        "blob_features",
-        "bloom_bitarray_prune",
-        "checksum_incremental",
-        "chi2_terms",
-        "contrastive_pairs",
-        "csv_scan_roundtrip",
-        "dedup_aware_split",
-        "explode_outer_tokens",
-        "grouping_indicator",
-        "hashed_features",
-        "hybrid_search_rrf",
-        "jl_projection",
-        "naive_bayes_confusion",
-        "pca_top_component",
-        "personalized_pagerank",
-        "pmi_collocations",
-        "posexplode_ordinal",
-        "reliability_bins",
-        "snapshot_bloom_skip",
-        "snapshot_bucket_prune",
-        "snapshot_compact",
-        "snapshot_dynamic_overwrite",
-        "snapshot_evolution",
-        "snapshot_expire",
-        "snapshot_files_metadata",
-        "snapshot_partition_prune",
-        "table_checksum",
-        "two_stage_collect",
-        "udtf_chunk_stats",
-        "winnow_fingerprints",
-        "zorder_cells",
-        # the 10 stalest r7 rows (name tiebreak)
-        "ab_test_ztest",
-        "als_factors",
-        "apriori_triples",
-        "assoc_rules",
-        "auc_score",
-        "bitemporal_as_of",
-        "clustering_coefficient",
-        "cogroup_attribution",
-        "cusum_top_days",
-        "degree_assortativity",
+        "minhash_neardup",
+        # last checked r7 (the complete stratum)
+        "diff_in_diff",
+        "dp_noisy_counts",
+        "dpp_prune_join",
+        "frame_sample_manifest",
+        "gbt_stumps",
+        "golden_record",
+        "incremental_join_view",
+        "kcore_degrees",
+        "kmeans_clusters",
+        "ks_two_sample",
+        "l_diversity_audit",
+        "label_prop_communities",
+        "loo_target_encoding",
+        "mann_whitney_u",
+        "markov_attribution",
+        "markov_transitions",
+        "mi_terms",
+        "ndcg_mrr_eval",
+        "nelson_aalen",
+        "orc_scan_roundtrip",
+        "pcm_stats",
+        "phrase_search_positional",
+        "profile_columns",
+        "record_linkage_fs",
+        "seasonal_decompose_dow",
+        "skew_report",
+        "snapshot_eq_delete",
+        "snapshot_tag_travel",
+        "snapshot_wap",
+        "stream_hll_distinct",
+        "temporal_reachability",
+        "trigram_search",
+        "weighted_median",
+        "woe_encoding",
+        "zipf_slope",
+        # the 10 stalest r8 rows (name tiebreak)
+        "adamic_adar_linkpred",
+        "asof_join",
+        "binaryfile_scan_roundtrip",
+        "bm25_search",
+        "bpe_encode_tokens",
+        "cdc_apply",
+        "cdc_apply_out_of_order",
+        "cosine_topk",
+        "dedup_exact",
+        "duplicate_spans_pruned",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
-def test_driver_window_r14_matches_rotation_tool():
+def test_driver_window_r15_matches_rotation_tool():
     # r12 VERDICT task 3 "Done =" criterion: the shipped window IS the
     # tool's output — no hand-curation drift. Re-derive the proposal
     # from the committed CORRECTNESS artifacts and compare exactly.
@@ -139,11 +139,11 @@ def test_driver_window_r14_matches_rotation_tool():
     spec.loader.exec_module(wr)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = wr.last_checked(root)
-    # only compare while the r14 window is current (the artifacts for
-    # r14 itself land at r15 start and advance the staleness frontier);
+    # only compare while the r15 window is current (the artifacts for
+    # r15 itself land at r16 start and advance the staleness frontier);
     # a visible skip, not a silent no-op pass (r13 ADVICE #2)
-    if max(seen.values(), default=0) != 13:
-        pytest.skip("r14 window no longer current (newer CORRECTNESS artifacts present)")
+    if max(seen.values(), default=0) != 14:
+        pytest.skip("r15 window no longer current (newer CORRECTNESS artifacts present)")
     proposal = wr.build_proposal(seen, size=50)
     assert proposal == list(_DRIVER_WINDOW)
 
@@ -289,11 +289,13 @@ def test_bench_rotation_covers_the_whole_catalog():
     assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))  # no duplicates
 
 
-def test_bench_detail_archive_only_written_at_canonical_sf():
+def test_bench_detail_archive_only_written_at_canonical_protocol():
     # r14: an exploratory sf0.01 bench probe overwrote (and briefly
     # committed) the round's BENCH_DETAIL_r14.json archive — the
-    # per-round snapshot is only meaningful for the canonical sf0.1
-    # protocol, so any other SF must write the latest-run file alone
+    # per-round snapshot is only meaningful for the canonical protocol
+    # (sf0.1, rotating subset, default run count); any other SF, a
+    # SPARK_GRAFT_BENCH_FULL sweep, or a custom SPARK_GRAFT_BENCH_RUNS
+    # must write the latest-run file alone (r14 ADVICE #2)
     import os
     import sys
 
@@ -312,3 +314,11 @@ def test_bench_detail_archive_only_written_at_canonical_sf():
     ]
     for off_sf in (0.01, 0.001, 1.0):
         assert detail_filenames(14, off_sf) == ["BENCH_DETAIL.json"]
+    # protocol knobs: full-catalog sweep or non-default run count at
+    # the canonical SF must not clobber the round archive either
+    assert detail_filenames(14, 0.1, full=True) == ["BENCH_DETAIL.json"]
+    assert detail_filenames(14, 0.1, runs=3) == ["BENCH_DETAIL.json"]
+    assert detail_filenames(14, 0.1, full=False, runs=1) == [
+        "BENCH_DETAIL.json",
+        "BENCH_DETAIL_r14.json",
+    ]

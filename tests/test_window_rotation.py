@@ -195,6 +195,34 @@ def test_twin_disposition_reports_queue_position():
     assert "NEVER driver-checked" in msg
 
 
+def test_twin_arrival_estimate_counts_never_checked_backlog():
+    # r14 ADVICE #3: never-checked rows jump the stale queue every
+    # round, so pending new queries consume stale slots ahead of the
+    # twin — the '~N rounds' figure must fold the backlog in, not
+    # assume an empty queue
+    rows_only = list(wr.ROWS_ONLY_TWINS)
+    twins = list(wr.ROWS_ONLY_TWINS.values())
+    others = [f"q{i:03d}" for i in range(60)]
+    backlog = [f"new{i:02d}" for i in range(8)]
+    names = wr.STANDING_GUARDS + rows_only + twins + others + backlog
+    seen = {n: 5 for n in names if n not in backlog}
+    seen["boruvka_mst"] = 2  # stalest execution → the pick
+    seen["boruvka_mst_checked"] = 9  # back of the stale queue
+    proposal = wr.build_proposal(seen, size=15, names=names)
+    msg = wr.twin_disposition(proposal, seen, size=15, names=names)
+    # stale queue: 6 other twins + 60 others at r5, twin last at r9 →
+    # index 66; capacity = 15 - 4 guards - 1 rows-only = 10; with the
+    # 8-row backlog the estimate is (66+8)//10 = 7, not 66//10 = 6
+    assert "(+8 never-checked ahead of the queue)" in msg
+    assert "~7 rounds" in msg
+    # empty backlog → no note, original estimate
+    names_nb = wr.STANDING_GUARDS + rows_only + twins + others
+    proposal = wr.build_proposal(seen, size=15, names=names_nb)
+    msg = wr.twin_disposition(proposal, seen, size=15, names=names_nb)
+    assert "never-checked ahead" not in msg
+    assert "~6 rounds" in msg
+
+
 def test_proposal_contains_exactly_one_rows_only_slot():
     # the at-most-one convention is tool-enforced: the stalest-executed
     # rows-only query rides; the other six never enter the stale fill

@@ -7601,71 +7601,71 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # remain under the local parity gate (scripts/check_parity.py runs ALL
 # queries every round, plus the vanilla-ANSI sweep).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- r14 rotation (VERDICT r13 task #1): consume the ENTIRE
-    # 35-row round-6 staleness stratum plus the 10 stalest r7 rows —
+    # ---- r15 rotation (VERDICT r14 task #1): consume the ENTIRE
+    # 35-row round-7 staleness stratum plus the 10 stalest r8 rows —
     # scripts/window_rotation.py derived this list (guards first, then
     # the single tool-chosen rows-only slot via rows_only_ranking, then
     # stalest-first). After this round the staleness frontier advances
-    # to round 7 (~19 rows remain at r7). ----
+    # to round 8. ----
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
     # ---- the one rows-only slot, TOOL-chosen by execution staleness
-    # (VERDICT r12 task #3 convention): boruvka_mst last executed r10 —
-    # now the stalest execution among the 7 rows-only queries; its
-    # exact oracle twin boruvka_mst_checked is green r11 and arrives
-    # with its stratum in a later rotation (tool prints the twin
-    # disposition each run, r13 verdict task #6) ----
-    "boruvka_mst",
-    # ---- last checked round 6: the COMPLETE 35-query r6 stratum ----
-    "acf_daily_events",
-    "ann_recall_at_k",
-    "benford_audit",
-    "bigram_nll",
-    "blob_features",
-    "bloom_bitarray_prune",
-    "checksum_incremental",
-    "chi2_terms",
-    "contrastive_pairs",
-    "csv_scan_roundtrip",
-    "dedup_aware_split",
-    "explode_outer_tokens",
-    "grouping_indicator",
-    "hashed_features",
-    "hybrid_search_rrf",
-    "jl_projection",
-    "naive_bayes_confusion",
-    "pca_top_component",
-    "personalized_pagerank",
-    "pmi_collocations",
-    "posexplode_ordinal",
-    "reliability_bins",
-    "snapshot_bloom_skip",
-    "snapshot_bucket_prune",
-    "snapshot_compact",
-    "snapshot_dynamic_overwrite",
-    "snapshot_evolution",
-    "snapshot_expire",
-    "snapshot_files_metadata",
-    "snapshot_partition_prune",
-    "table_checksum",
-    "two_stage_collect",
-    "udtf_chunk_stats",
-    "winnow_fingerprints",
-    "zorder_cells",
-    # ---- the 10 stalest r7 rows (name tiebreak) ----
-    "ab_test_ztest",
-    "als_factors",
-    "apriori_triples",
-    "assoc_rules",
-    "auc_score",
-    "bitemporal_as_of",
-    "clustering_coefficient",
-    "cogroup_attribution",
-    "cusum_top_days",
-    "degree_assortativity",
+    # (VERDICT r12 task #3 convention): minhash_neardup last executed
+    # r11 — the stalest execution among the 7 rows-only queries; its
+    # oracle twin minhash_portable is green r8 and arrives with its
+    # stratum in ~1 round (tool prints the twin disposition each run,
+    # r13 verdict task #6) ----
+    "minhash_neardup",
+    # ---- last checked round 7: the COMPLETE 35-query r7 stratum ----
+    "diff_in_diff",
+    "dp_noisy_counts",
+    "dpp_prune_join",
+    "frame_sample_manifest",
+    "gbt_stumps",
+    "golden_record",
+    "incremental_join_view",
+    "kcore_degrees",
+    "kmeans_clusters",
+    "ks_two_sample",
+    "l_diversity_audit",
+    "label_prop_communities",
+    "loo_target_encoding",
+    "mann_whitney_u",
+    "markov_attribution",
+    "markov_transitions",
+    "mi_terms",
+    "ndcg_mrr_eval",
+    "nelson_aalen",
+    "orc_scan_roundtrip",
+    "pcm_stats",
+    "phrase_search_positional",
+    "profile_columns",
+    "record_linkage_fs",
+    "seasonal_decompose_dow",
+    "skew_report",
+    "snapshot_eq_delete",
+    "snapshot_tag_travel",
+    "snapshot_wap",
+    "stream_hll_distinct",
+    "temporal_reachability",
+    "trigram_search",
+    "weighted_median",
+    "woe_encoding",
+    "zipf_slope",
+    # ---- the 10 stalest r8 rows (name tiebreak) ----
+    "adamic_adar_linkpred",
+    "asof_join",
+    "binaryfile_scan_roundtrip",
+    "bm25_search",
+    "bpe_encode_tokens",
+    "cdc_apply",
+    "cdc_apply_out_of_order",
+    "cosine_topk",
+    "dedup_exact",
+    "duplicate_spans_pruned",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
