@@ -42,9 +42,18 @@ SF_DIR = "/root/testdata/sf0.001"
 # materially: run SPARK_GRAFT_FULL_TESTS=1 pytest --durations=0, then
 # python scripts/derive_heavy_salt.py <durations.log> <marked.txt> —
 # at ROUND START so the whole round is measured under one assignment.
+# At r15 start the tier was widened to 88 tests (r14 VERDICT #3: the
+# r14 even-half slice measured 468 s, 12 s under the 480 target — the
+# thinnest margin ever): 12 more ~2 s property/replay re-proofs joined
+# (recall-on-clustered-vectors pairs, portable-twin properties,
+# textbook replays, cross-impl consistency checks — ~23 s moved out of
+# the every-round base, which now measures ~211 s). Salt re-derived
+# over merged r15-odd + r13-full durations: salt "10" splits the
+# 88-test tier 181.7 s (even rounds) vs 194.3 s (odd) — predicted
+# slices ~407 s even / ~420 s odd, both ≥60 s under target.
 # ---------------------------------------------------------------------------
 
-_HEAVY_SALT = "0"
+_HEAVY_SALT = "10"
 
 
 def _current_round() -> int:

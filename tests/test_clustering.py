@@ -63,6 +63,7 @@ def test_kmeans_deterministic_across_partitionings(spark):
     assert sorted(c1) == sorted(c2)
 
 
+@pytest.mark.heavy_rotation
 def test_kmeans_assignment_dist_is_true_min(spark):
     """dist2 in the assignment equals the exact squared distance to
     the chosen centroid and is <= distance to every other centroid."""
@@ -81,6 +82,7 @@ def test_kmeans_assignment_dist_is_true_min(spark):
         assert dists[r.cluster] == pytest.approx(r.dist2, rel=1e-9)
 
 
+@pytest.mark.heavy_rotation
 def test_random_projection_preserves_norms_and_is_deterministic(spark):
     """JL property on real fixture embeddings: norm ratios concentrate
     near 1 (±1/sqrt(out_dim) scale), and the deterministic md5 matrix

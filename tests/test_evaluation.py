@@ -184,6 +184,7 @@ def test_chi2_ranks_class_dependent_term_first(spark):
     assert a == b
 
 
+@pytest.mark.heavy_rotation
 def test_kaplan_meier_textbook_example(spark):
     """Classic hand-computed KM: subjects with durations
     [1e, 2c, 3e, 3e, 4c, 5e] (e=event, c=censored).
@@ -244,6 +245,7 @@ def test_acf_emits_every_promised_lag_even_with_no_pairs(spark):
     assert by_lag[6].n_pairs == 0 and by_lag[6].r == 0.0
 
 
+@pytest.mark.heavy_rotation
 def test_benford_flags_uniform_but_accepts_benford_data(spark):
     from pyspark.sql import functions as F  # noqa: F811
 
@@ -479,6 +481,7 @@ def test_nelson_aalen_known_hazard(spark):
     assert rows[2]["cum_hazard_micro"] == half_up(1e6 / 3, 0) + 1_000_000
 
 
+@pytest.mark.heavy_rotation
 def test_cogrouped_asof_attribution_bounds(spark):
     from yelp_etl_spark.functions.udfs import cogrouped_asof_attribution
 

@@ -165,6 +165,7 @@ def test_lsh_topk_recall_on_clustered_vectors(spark):
     assert got and all((q % 2) == (n % 2) for q, n in got)
 
 
+@pytest.mark.heavy_rotation
 def test_ivf_topk_recall_on_clustered_vectors(spark):
     """IVF with enough probes must recover brute-force neighbors for
     well-separated clusters."""
@@ -454,6 +455,7 @@ def test_hll_mergeable_close_to_exact(spark, sf_dir):
         assert abs(est - exact[k]) / exact[k] < 0.05  # HLL error bound
 
 
+@pytest.mark.heavy_rotation
 def test_simhash_portable_similarity_property(spark):
     df = spark.createDataFrame(
         [
@@ -937,6 +939,7 @@ def test_lsh_params_scale_with_corpus_size():
         assert 32 <= occ <= 64.0001
 
 
+@pytest.mark.heavy_rotation
 def test_pq_topk_recall_on_clustered_vectors(spark):
     """Shortlist recall — the property PQ actually provides: vectors
     quantizing to the same codes score identically under ADC (the
@@ -1318,6 +1321,7 @@ def test_label_propagation_two_cliques(spark):
     assert {labels[10], labels[11], labels[12]} == {10}
 
 
+@pytest.mark.heavy_rotation
 def test_label_propagation_deterministic_across_partitionings(spark):
     from yelp_etl_spark.functions.graph import label_propagation
 

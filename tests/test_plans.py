@@ -280,6 +280,7 @@ def test_two_stage_agg_is_two_hash_aggregates(spark, sf_dir):
     assert "l_tax" not in read_schema
 
 
+@pytest.mark.heavy_rotation
 def test_semantic_dedup_pipeline_never_all_pairs(spark, sf_dir):
     """The exact→LSH→components→keep composition must add no join
     shape the audited stages don't have: no cartesian anywhere, and

@@ -101,6 +101,7 @@ def test_jaccard_pairs_bounds_and_self_similarity(spark, batch):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.heavy_rotation
 def test_date_features_consistent_with_python(spark, dates):
     """D1-D8 agree with Python's datetime for any date: year/month/
     quarter/ISO-week; week_start is the preceding Monday."""
