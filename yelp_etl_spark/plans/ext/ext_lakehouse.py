@@ -800,9 +800,16 @@ def q_hll_mergeable_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch pipeline trips it). The oracle recomputes the exact counts
     and pins the booleans TRUE, so the sketch path gets a hard value
     check while the estimate itself stays engine-side. Mergeability is
-    checked structurally: the unioned estimate must equal a directly-
-    built per-region estimate (build→union ≡ build-at-coarser-grain
-    on this nested grouping)."""
+    checked against the combined error envelope: the unioned estimate
+    and a directly-built per-region estimate must agree within
+    2·(3·RSE)·exact — NOT bit-equality. Below ~lgConfigK² distincts
+    both paths sit in the sparse/coupon regime and are exact (so they
+    happen to coincide at sf0.01), but past the estimator transition
+    (~3k distincts per region at sf0.1) build→union and
+    build-at-coarser-grain legitimately diverge by O(RSE) — measured
+    0.3–1.0% at sf0.1 — while each stays inside its own ±3σ envelope;
+    an exact-equality check is scale-fragile by construction (caught
+    by the r15 full-catalog sf0.1 certification)."""
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     joined = customer.join(
@@ -828,7 +835,10 @@ def q_hll_mergeable_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("est") - F.col("exact_customers"))
                 <= F.lit(eps) * F.col("exact_customers")
             ).alias("within_bounds"),
-            (F.col("est") == F.col("est_direct")).alias("merge_consistent"),
+            (
+                F.abs(F.col("est") - F.col("est_direct"))
+                <= F.lit(2 * eps) * F.col("exact_customers")
+            ).alias("merge_consistent"),
         )
         .orderBy("region")
     )
