@@ -36,6 +36,13 @@ from yelp_etl_spark.functions.checkpoint import truncate_lineage
 # typical driver/executor broadcast budgets, far under the 8 GB hard cap.
 DEFAULT_BROADCAST_MAX_STATE = 4_000_000
 
+# boruvka_mst relabel: broadcast the per-round label table (two longs
+# per hooking component) into the contracted-multigraph relabel joins
+# while it stays under this row count — same 4M-row ≈ 64 MB budget as
+# the frontier-state bound above. Larger label tables (the first round
+# of a 100 TB graph) keep the shuffle-join path.
+LABEL_BROADCAST_MAX = DEFAULT_BROADCAST_MAX_STATE
+
 
 def _bcast_if(df: DataFrame, use_broadcast: bool) -> DataFrame:
     return F.broadcast(df) if use_broadcast else df
@@ -765,10 +772,15 @@ def boruvka_mst(
     raw longs), so the default 100k is ~20-50 MB each way; raise it
     only with driver memory to match (the r10 default of 1M meant a
     200-500 MB round-trip was possible before the distributed path
-    engaged). Above the guard, min-label propagation with
-    pointer-doubling runs distributed TO FIXPOINT (partial contraction
-    would let a later round pick a non-MST edge between
-    already-connected components). The representative label choice
+    engaged). Above the guard, contraction runs distributed TO FIXPOINT
+    (partial contraction would let a later round pick a non-MST edge
+    between already-connected components) as parent-pointer doubling
+    over the hooking graph: each component points at its chosen
+    partner, the functional graph's only cycles are mutual 2-cycles
+    (strict global edge order), each is rooted at its smaller id, and
+    p ← p[p] converges in O(log depth) one-join rounds — one equi-join
+    per step where the previous neighbor-min formulation paid ~4 (the
+    r15 optimization-round change). The representative label choice
     cannot change the output forest: edges are chosen before
     contraction and ties break by the global (w, src, dst) order, so
     any consistent relabeling yields the same next-round minima —
@@ -871,7 +883,11 @@ def boruvka_mst(
             converged = True
             break
         # each component picks its cheapest incident pair; m orders by
-        # pick first, so the tie-break stays the global (w, src, dst)
+        # pick first, so the tie-break stays the global (w, src, dst).
+        # The chooser c is kept alongside the picked edge: it is the
+        # parent-pointer seed for the distributed contraction below
+        # (and costs nothing — the final forest is distinct()ed anyway,
+        # exactly as the previous per-chooser duplicate rows were).
         both = red.select(
             F.col("ca").alias("c"),
             F.struct("pick", "ca", "cb").alias("m"),
@@ -885,6 +901,7 @@ def boruvka_mst(
             both.groupBy("c")
             .agg(F.min("m").alias("m"))
             .select(
+                "c",
                 F.col("m.pick.src").alias("src"),
                 F.col("m.pick.dst").alias("dst"),
                 F.col("m.pick.w").alias("w"),
@@ -922,68 +939,71 @@ def boruvka_mst(
                 )
             )
         else:
-            sym = pairs.union(
-                pairs.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
+            # PARENT-POINTER contraction (replaced the min-label
+            # neighbor-propagation fixpoint in the r15 optimization
+            # round — that form re-joined the symmetrized pair graph
+            # AND the label table every iteration, ~4 joins + 2 actions
+            # per step; this one needs exactly ONE equi-join per step).
+            # Every component points at the partner of its chosen edge.
+            # With a strict global (w, src, dst) edge order the only
+            # cycles in that functional graph are MUTUAL 2-cycles (a
+            # longer cycle would need strictly decreasing weights all
+            # the way around), so rooting each 2-cycle at its smaller
+            # id yields a rooted forest over exactly the hooking
+            # graph's components, and pointer doubling (p ← p[p])
+            # reaches the fixpoint in O(log depth) rounds. Same
+            # component partition as the old neighbor-min walk — and
+            # the docstring's invariant stands: any consistent
+            # relabeling yields the same forest, since edges are
+            # chosen before contraction.
+            par = chosen.select(
+                "c",
+                F.when(F.col("ca") == F.col("c"), F.col("cb"))
+                .otherwise(F.col("ca"))
+                .alias("p"),
             )
-            sym = truncate_lineage(sym, eager=True)
-            lbl = _cut(
-                sym.select(F.col("ca").alias("c")).distinct().select(
-                    "c", F.col("c").alias("lbl")
+            pp = par.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+            par = _cut(
+                par.join(pp, "p", "left").select(
+                    "c",
+                    F.when(
+                        (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
+                        F.col("c"),
+                    )
+                    .otherwise(F.col("p"))
+                    .alias("p"),
                 )
             )
-            # min-label propagation WITH pointer-doubling (lbl ← min(lbl,
-            # neighbor labels, lbl[lbl])): hooking produces CHAINS (every
-            # component grabs its cheapest neighbor), and a plain
-            # neighbor-min walk needs diameter rounds — measured >600 s on
-            # the sf0.01 co-purchase graph. The label-of-label shortcut
-            # halves remaining path length per round → O(log diameter).
             while True:
                 nxt = (
-                    sym.join(lbl.withColumnRenamed("c", "cb2"),
-                             sym["cb"] == F.col("cb2"))
-                    .groupBy("ca")
-                    .agg(F.min("lbl").alias("nlbl"))
-                    .withColumnRenamed("ca", "c")
-                )
-                short = (
-                    lbl.alias("x")
-                    .join(
-                        lbl.alias("y"), F.col("x.lbl") == F.col("y.c"), "left"
-                    )
+                    par.alias("x")
+                    .join(par.alias("y"), F.col("x.p") == F.col("y.c"), "left")
                     .select(
-                        F.col("x.c").alias("c"), F.col("y.lbl").alias("slbl")
-                    )
-                )
-                merged = (
-                    lbl.join(nxt, "c", "left")
-                    .join(short, "c", "left")
-                    .select(
-                        "c",
-                        F.least(
-                            F.col("lbl"),
-                            F.coalesce(F.col("nlbl"), F.col("lbl")),
-                            F.coalesce(F.col("slbl"), F.col("lbl")),
-                        ).alias("lbl"),
+                        F.col("x.c").alias("c"),
+                        F.coalesce(F.col("y.p"), F.col("x.p")).alias("p"),
                         (
-                            F.least(
-                                F.coalesce(F.col("nlbl"), F.col("lbl")),
-                                F.coalesce(F.col("slbl"), F.col("lbl")),
-                            )
-                            < F.col("lbl")
+                            F.coalesce(F.col("y.p"), F.col("x.p"))
+                            != F.col("x.p")
                         ).alias("__changed"),
                     )
                 )
-                merged = _cut(merged)
-                changed = merged.filter(F.col("__changed")).limit(1).count()
-                lbl = merged.drop("__changed")
+                nxt = _cut(nxt)
+                changed = nxt.filter(F.col("__changed")).limit(1).count()
+                par = nxt.drop("__changed")
                 if changed == 0:
                     break
-            lbl = lbl.select("c", "lbl")
+            lbl = par.select("c", F.col("p").alias("lbl"))
         # relabel + re-reduce the contracted multigraph; it shrinks at
         # least geometrically, so every round after the first touches a
-        # strictly smaller frame
+        # strictly smaller frame. The label table has at most n_chosen
+        # rows (one per hooking component) — when that is bounded,
+        # broadcast it so neither relabel join shuffles `red` (the
+        # data-sized side in round 1); past the bound the joins fall
+        # back to the shuffle path exactly as before.
         la = lbl.withColumnsRenamed({"c": "a_c", "lbl": "a_lbl"})
         lb = lbl.withColumnsRenamed({"c": "b_c", "lbl": "b_lbl"})
+        if n_chosen <= LABEL_BROADCAST_MAX:
+            la, lb = F.broadcast(la), F.broadcast(lb)
         red_next = (
             red.join(la, red["ca"] == F.col("a_c"), "left")
             .join(lb, red["cb"] == F.col("b_c"), "left")

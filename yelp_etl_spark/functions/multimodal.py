@@ -896,28 +896,39 @@ def png_chunk_metadata(
         )
 
     # signature = 16 hex chars; IHDR chunk = 8 (len) + 8 (type) + 26
-    # (13 data bytes) + 8 (crc) = 50 → first walked chunk at hex 67
-    first = "67"
-    pos_expr = first
-    idat_len_slots: list[str] = []
-    idat_pos_slots: list[str] = []
-    for _ in range(max_chunks):
-        is_idat = f"substring(hx, ({pos_expr}) + 8, 8) = '49444154'"
-        idat_len_slots.append(
-            f"(CASE WHEN {is_idat} THEN {be(pos_expr, 4)} END)"
-        )
-        idat_pos_slots.append(
-            f"(CASE WHEN {is_idat} THEN (({pos_expr}) + 1) div 2 END)"
-        )
-        # next chunk: 24 hex framing + 2·declared-length hex data
-        pos_expr = f"(({pos_expr}) + 24 + 2 * {be(pos_expr, 4)})"
-    idat_bytes = "COALESCE(" + ", ".join(idat_len_slots) + ")"
-    idat_offset = "COALESCE(" + ", ".join(idat_pos_slots) + ")"
-    hx = df.select(
+    # (13 data bytes) + 8 (crc) = 50 → first walked chunk at hex 67.
+    # Positions are materialized as per-chunk columns behind select
+    # boundaries (not textually substituted — the substituted form
+    # doubled the position subtree per chunk; see jpeg_sof_metadata's
+    # r15 note). Same arithmetic, linear tree.
+    cur = df.select(
         F.col(id_col),
         F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+        F.expr("67").alias("__p0"),
     )
-    return hx.select(
+    idat_len_slots: list[str] = []
+    idat_pos_slots: list[str] = []
+    for k in range(max_chunks):
+        p = f"__p{k}"
+        # the declared chunk length feeds both the IDAT slot and the hop
+        cur = cur.select("*", F.expr(be(p, 4)).alias(f"__len{k}"))
+        is_idat = f"substring(hx, ({p}) + 8, 8) = '49444154'"
+        cur = cur.select(
+            "*",
+            F.expr(f"(CASE WHEN {is_idat} THEN __len{k} END)").alias(
+                f"__il{k}"
+            ),
+            F.expr(f"(CASE WHEN {is_idat} THEN (({p}) + 1) div 2 END)").alias(
+                f"__ip{k}"
+            ),
+            # next chunk: 24 hex framing + 2·declared-length hex data
+            F.expr(f"(({p}) + 24 + 2 * __len{k})").alias(f"__p{k + 1}"),
+        )
+        idat_len_slots.append(f"__il{k}")
+        idat_pos_slots.append(f"__ip{k}")
+    idat_bytes = "COALESCE(" + ", ".join(idat_len_slots) + ")"
+    idat_offset = "COALESCE(" + ", ".join(idat_pos_slots) + ")"
+    return cur.select(
         id_col,
         F.expr(be("33", 4)).alias("width"),
         F.expr(be("41", 4)).alias("height"),
@@ -1006,40 +1017,54 @@ def jpeg_sof_metadata(
             f" AS BIGINT)"
         )
 
-    pos_expr = "5"  # first marker after SOI: byte 3 → hex pos 5
+    # Each slot's position is MATERIALIZED as a per-slot column behind
+    # a select boundary instead of textually substituted into the next
+    # slot (the r15 optimization round: the substituted form doubled
+    # the position expression per slot — 2^max_segments subtree copies
+    # — and Catalyst re-analyzes/optimizes that whole tree on every
+    # invocation; measured ~4 s of pure driver planning per run at ANY
+    # SF. CollapseProject keeps the boundaries: a non-trivial alias
+    # referenced more than once is never inlined, and every __p{k} is
+    # referenced ~10× by slot k's fields). Same arithmetic, same
+    # results — the tree is now linear in max_segments.
+    cur = df.select(
+        F.col(id_col),
+        F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+        F.expr("5").alias("__p0"),  # first marker after SOI: byte 3 → hex pos 5
+    )
     field_slots: dict[str, list[str]] = {
         "precision": [], "height": [], "width": [],
         "n_components": [], "sof_marker": [],
     }
-    for _ in range(max_segments):
-        mbyte = be(f"({pos_expr}) + 2", 1)
+    for k in range(max_segments):
+        p = f"__p{k}"
+        # the marker byte feeds the SOF predicate twice and the sof
+        # field once — materialize it, then the predicate, so the five
+        # field CASEs below test one boolean column each
+        cur = cur.select("*", F.expr(be(f"({p}) + 2", 1)).alias(f"__m{k}"))
         is_sof = (
-            f"(substring(hx, ({pos_expr}), 2) = 'FF'"
-            f" AND {mbyte} BETWEEN 192 AND 207"
-            f" AND {mbyte} NOT IN (196, 200, 204))"
+            f"(substring(hx, ({p}), 2) = 'FF'"
+            f" AND __m{k} BETWEEN 192 AND 207"
+            f" AND __m{k} NOT IN (196, 200, 204))"
         )
-        field_slots["sof_marker"].append(
-            f"(CASE WHEN {is_sof} THEN {mbyte} END)"
+        slot_cols = {
+            f"__sof{k}": f"(CASE WHEN {is_sof} THEN __m{k} END)",
+            f"__prec{k}": f"(CASE WHEN {is_sof} THEN {be(f'({p}) + 8', 1)} END)",
+            f"__hgt{k}": f"(CASE WHEN {is_sof} THEN {be(f'({p}) + 10', 2)} END)",
+            f"__wid{k}": f"(CASE WHEN {is_sof} THEN {be(f'({p}) + 14', 2)} END)",
+            f"__nc{k}": f"(CASE WHEN {is_sof} THEN {be(f'({p}) + 18', 1)} END)",
+            # hop: marker (2 bytes) + declared length (includes len field)
+            f"__p{k + 1}": f"(({p}) + 4 + 2 * {be(f'({p}) + 4', 2)})",
+        }
+        cur = cur.select(
+            "*", *[F.expr(e).alias(n) for n, e in slot_cols.items()]
         )
-        field_slots["precision"].append(
-            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 8', 1)} END)"
-        )
-        field_slots["height"].append(
-            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 10', 2)} END)"
-        )
-        field_slots["width"].append(
-            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 14', 2)} END)"
-        )
-        field_slots["n_components"].append(
-            f"(CASE WHEN {is_sof} THEN {be(f'({pos_expr}) + 18', 1)} END)"
-        )
-        # hop: marker (2 bytes) + declared length (includes len field)
-        pos_expr = f"(({pos_expr}) + 4 + 2 * {be(f'({pos_expr}) + 4', 2)})"
-    hx = df.select(
-        F.col(id_col),
-        F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
-    )
-    return hx.select(
+        field_slots["sof_marker"].append(f"__sof{k}")
+        field_slots["precision"].append(f"__prec{k}")
+        field_slots["height"].append(f"__hgt{k}")
+        field_slots["width"].append(f"__wid{k}")
+        field_slots["n_components"].append(f"__nc{k}")
+    return cur.select(
         id_col,
         *[
             F.expr("COALESCE(" + ", ".join(slots) + ")").alias(name)
@@ -1144,29 +1169,49 @@ def gif_block_metadata(
         ]
         return "(" + " + ".join(terms) + ")"
 
-    pos = "27"  # first block: byte 14 (after 13-byte header+LSD)
-    frames, exts, areas = [], [], []
-    for _ in range(max_blocks):
-        tb = f"substring(hx, ({pos}), 2)"
-        frames.append(f"(CASE WHEN {tb} = '2C' THEN 1 ELSE 0 END)")
-        exts.append(f"(CASE WHEN {tb} = '21' THEN 1 ELSE 0 END)")
-        areas.append(
-            f"(CASE WHEN {tb} = '2C'"
-            f" THEN {le(f'({pos}) + 10', 2)} * {le(f'({pos}) + 14', 2)}"
-            f" ELSE 0 END)"
-        )
-        pos = (
-            f"(CASE WHEN {tb} = '2C'"
-            f" THEN ({pos}) + 26 + 2 * {le(f'({pos}) + 22', 1)}"
-            f" WHEN {tb} = '21'"
-            f" THEN ({pos}) + 8 + 2 * {le(f'({pos}) + 4', 1)}"
-            f" ELSE ({pos}) END)"
-        )
-    hx = df.select(
+    # Positions and block-type bytes are materialized as per-slot
+    # columns behind select boundaries (not textually substituted —
+    # the substituted form grew the position subtree ~7× per slot, the
+    # docstring's old Catalyst budget; see jpeg_sof_metadata's r15
+    # note). Same arithmetic, linear tree — and the unroll budget is
+    # no longer expression-blowup-bound.
+    cur = df.select(
         F.col(id_col),
         F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
+        F.expr("27").alias("__p0"),  # first block: byte 14
     )
-    return hx.select(
+    frames, exts, areas = [], [], []
+    for k in range(max_blocks):
+        p = f"__p{k}"
+        cur = cur.select(
+            "*", F.expr(f"substring(hx, ({p}), 2)").alias(f"__tb{k}")
+        )
+        tb = f"__tb{k}"
+        cur = cur.select(
+            "*",
+            F.expr(f"(CASE WHEN {tb} = '2C' THEN 1 ELSE 0 END)").alias(
+                f"__fr{k}"
+            ),
+            F.expr(f"(CASE WHEN {tb} = '21' THEN 1 ELSE 0 END)").alias(
+                f"__ex{k}"
+            ),
+            F.expr(
+                f"(CASE WHEN {tb} = '2C'"
+                f" THEN {le(f'({p}) + 10', 2)} * {le(f'({p}) + 14', 2)}"
+                f" ELSE 0 END)"
+            ).alias(f"__ar{k}"),
+            F.expr(
+                f"(CASE WHEN {tb} = '2C'"
+                f" THEN ({p}) + 26 + 2 * {le(f'({p}) + 22', 1)}"
+                f" WHEN {tb} = '21'"
+                f" THEN ({p}) + 8 + 2 * {le(f'({p}) + 4', 1)}"
+                f" ELSE ({p}) END)"
+            ).alias(f"__p{k + 1}"),
+        )
+        frames.append(f"__fr{k}")
+        exts.append(f"__ex{k}")
+        areas.append(f"__ar{k}")
+    return cur.select(
         id_col,
         F.expr(le("13", 2)).alias("lsd_width"),
         F.expr(le("17", 2)).alias("lsd_height"),

@@ -3495,23 +3495,31 @@ def q_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yelp_etl_spark.functions.sketches import misra_gries_candidates
     from yelp_etl_spark.functions.text import portable_tokens
 
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
+
     k = 40
     docs = _t(spark, sf_dir, "documents")
     toks = portable_tokens(docs, "doc_id", "text").localCheckpoint()
     n_total = toks.count()
     thresh = n_total // (k + 1)
     cand = misra_gries_candidates(toks, "tok", k)
-    true_counts = toks.groupBy("tok").agg(
-        F.count("*").cast("long").alias("n")
+    # vocabulary-sized; feeds both the guarantee check and the returned
+    # frame — truncate lazily so the tokens are aggregated exactly once
+    true_counts = truncate_lineage(
+        toks.groupBy("tok").agg(F.count("*").cast("long").alias("n")),
+        eager=False,
     )
-    joined = true_counts.join(cand, "tok", "left")
-    bad_missed = (
-        joined.filter((F.col("n") > thresh) & F.col("mg").isNull()).limit(1).count()
-    )
-    if bad_missed:
+    # both guarantee checks in ONE pass over the check join (previously
+    # two separate limit(1).count() jobs — r15 optimization round)
+    viol = true_counts.join(cand, "tok", "left").agg(
+        F.sum(
+            ((F.col("n") > thresh) & F.col("mg").isNull()).cast("long")
+        ).alias("missed"),
+        F.sum((F.col("mg") > F.col("n")).cast("long")).alias("over"),
+    ).first()
+    if viol["missed"]:
         raise ValueError("Misra-Gries coverage guarantee violated")
-    bad_over = joined.filter(F.col("mg") > F.col("n")).limit(1).count()
-    if bad_over:
+    if viol["over"]:
         raise ValueError("Misra-Gries counter overcounts true frequency")
     return (
         true_counts.filter(F.col("n") > thresh)

@@ -221,16 +221,32 @@ def run_medallion(spark, sf_dir: str, root: str) -> dict[str, int]:
     the dominant cost, linear in data, partitioned so downstream
     reads prune."""
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     from yelp_etl_spark.operators.cleaning import normalize_nullish_strings
     from yelp_etl_spark.operators.dates import add_date_features
     from yelp_etl_spark.sources.readers import load_table
 
+    # Per-table jobs within a layer are independent, so each layer's
+    # writes are submitted from a small driver thread pool (guide §2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially — overlapping lets the next job's tasks back-fill
+    # the tail of the current one). Results are identical: distinct
+    # output paths, and the layer barrier (pool exit) still orders
+    # bronze → silver → enriched → gold. 3 in flight is enough to fill
+    # stragglers without the jobs fighting for executors.
+    _POOL = 3
+
     bronze_tables = ("region", "nation", "customer", "orders", "lineitem")
-    for t in bronze_tables:  # extract×5
+
+    def _extract(t: str) -> None:  # extract×5
+        spark.sparkContext.setJobDescription(f"medallion bronze: {t}")
         load_table(spark, sf_dir, t).write.mode("overwrite").parquet(
             f"{root}/bronze/{t}"
         )
+
+    with ThreadPoolExecutor(max_workers=_POOL) as pool:
+        list(pool.map(_extract, bronze_tables))
 
     def _bronze(t: str) -> DataFrame:
         return spark.read.parquet(f"{root}/bronze/{t}")
@@ -242,7 +258,9 @@ def run_medallion(spark, sf_dir: str, root: str) -> dict[str, int]:
         "orders": "o_orderpriority",
         "lineitem": "l_returnflag",
     }
-    for t in bronze_tables:  # clean×5
+
+    def _clean(t: str) -> None:  # clean×5
+        spark.sparkContext.setJobDescription(f"medallion silver: {t}")
         df = normalize_nullish_strings(_bronze(t), [nullish_col[t]])
         writer = df.write.mode("overwrite")
         if t == "orders":
@@ -251,6 +269,9 @@ def run_medallion(spark, sf_dir: str, root: str) -> dict[str, int]:
             )
             writer = df.write.mode("overwrite").partitionBy("o_orderdate_year")
         writer.parquet(f"{root}/silver/{t}")
+
+    with ThreadPoolExecutor(max_workers=_POOL) as pool:
+        list(pool.map(_clean, bronze_tables))
 
     def _silver(t: str) -> DataFrame:
         return spark.read.parquet(f"{root}/silver/{t}")
@@ -273,8 +294,15 @@ def run_medallion(spark, sf_dir: str, root: str) -> dict[str, int]:
             [Dimension("supp", supplier, "s_suppkey")],
         ),
     }
-    for name, df in enriched.items():
+
+    def _write_enriched(item) -> None:
+        name, df = item
+        spark.sparkContext.setJobDescription(f"medallion enriched: {name}")
         df.write.mode("overwrite").parquet(f"{root}/enriched/{name}")
+
+    with ThreadPoolExecutor(max_workers=_POOL) as pool:
+        list(pool.map(_write_enriched, enriched.items()))
+    spark.sparkContext.setJobDescription(None)
 
     obt = spark.read.parquet(f"{root}/enriched/customer_orders")
     gold = obt.groupBy(
