@@ -2441,16 +2441,20 @@ def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # State-store width is FROZEN into the checkpoint at first start
     # (spark.sql.shuffle.partitions at that moment), so it is a sizing
     # decision per stream, not per cluster: size it to state volume
-    # (hundreds of users here → 8), not to core count — every stateful
+    # (hundreds of users here → 2), not to core count — every stateful
     # operator otherwise schedules shuffle-width state tasks per
-    # micro-batch (32-wide state measured 4.4 s vs 3.0 s at 8 for this
-    # query's two stateful ops × two triggers). A 100 TB deployment
-    # picks a large width ONCE for the checkpoint's lifetime and scales
-    # executors under it. Conf restored once the availableNow run has
-    # terminated; nothing else plans against this session meanwhile.
+    # micro-batch, each with its own state-store snapshot/commit I/O
+    # (32-wide state measured 4.4 s vs 3.0 s at 8 for this query's two
+    # stateful ops × two triggers; the r15 optimization round re-sized
+    # 8 → 2 after the expiry-join profile showed addBatch time still
+    # dominated by per-partition state-store overhead at 8). A 100 TB
+    # deployment picks a large width ONCE for the checkpoint's lifetime
+    # and scales executors under it. Conf restored once the availableNow
+    # run has terminated; nothing else plans against this session
+    # meanwhile.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         q = (
             totals.writeStream.format("memory")
             .queryName(name)

@@ -14,6 +14,35 @@ from yelp_etl_spark.plans.ext._shared import (  # noqa: F401
 )
 
 
+def _stage_sentinel_file(root: str, phase: int, max_ts, uid: int, days: int) -> None:
+    """Write one far-future 1-row sentinel parquet file directly with
+    pyarrow (r15 optimization round: each sentinel was previously a
+    createDataFrame + repartition(1) Spark write — four scheduled jobs
+    per expiry-join query for four single-row files). Same schema the
+    stream reader declares (user_id long, ts timestamp, event_id long,
+    value double), same mtime pinning; the sentinel's only job is to
+    march the watermark, and it is filtered out of results by key sign
+    exactly as before."""
+    import os as _os
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([uid], pa.int64()),
+            "ts": pa.array([max_ts + timedelta(days=days)], pa.timestamp("us", tz="UTC")),
+            "event_id": pa.array([-1], pa.int64()),
+            "value": pa.array([0.0], pa.float64()),
+        }
+    )
+    dst = _os.path.join(root, f"{phase:02d}.parquet")
+    pq.write_table(tbl, dst)
+    base = 1_700_000_000 + phase * 60  # strictly increasing mtimes:
+    _os.utime(dst, (base, base))  # the source lists by (mtime, path)
+
+
 
 def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained distinct counts under streaming
@@ -51,7 +80,9 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
     regs = hll_portable_sketch(stream, "user_id", ["event_type"])
     name = "stream_hll_" + uuid.uuid4().hex[:8]
-    run_stream_to_memory(regs, name, output_mode="complete")
+    # state = |event_type groups| × 512 register cells — width 2 per
+    # the state-volume sizing rule (see q_stream_dedup_totals)
+    run_stream_to_memory(regs, name, output_mode="complete", state_width=2)
     return hll_portable_estimate(spark.table(name), ["event_type"]).select(
         "event_type", "n_empty", "reg_sum", "est_distinct"
     )
@@ -609,17 +640,6 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(cols)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
-    def sentinel(uid: int, days: int):
-        return spark.createDataFrame(
-            [(uid, max_ts, -1, 0.0)], "user_id long, ts timestamp, "
-            "event_id long, value double"
-        ).select(
-            "user_id",
-            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            "event_id",
-            "value",
-        )
-
     def stage(df, phase: int, root: str):
         tmp = root + f"_tmp{phase}"
         df.repartition(1).write.parquet(tmp)
@@ -636,8 +656,8 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage(clicks, 0, l_src)
     stage(purchases, 0, r_src)
     for phase, days in ((1, 100), (2, 200)):
-        stage(sentinel(-1, days), phase, l_src)
-        stage(sentinel(-2, days), phase, r_src)
+        _stage_sentinel_file(l_src, phase, max_ts, -1, days)
+        _stage_sentinel_file(r_src, phase, max_ts, -2, days)
     schema = clicks.schema
     l_stream = (
         spark.readStream.schema(schema)
@@ -659,9 +679,13 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the stream_dedup_totals sizing rule): size it to state volume
     # (hundreds of users), not core count — 32-wide state schedules
     # 32 state tasks per micro-batch per stateful operator for nothing
+    # (r15 optimization round re-sized 8 → 2: a stream-stream join keeps
+    # FOUR state stores per partition, and the per-batch store
+    # snapshot/commit I/O still dominated addBatch at 8 — measured
+    # 18-21 s streaming wall at 8 vs 8.6 s at 2 for identical results)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -762,17 +786,6 @@ def q_stream_full_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(cols)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
-    def sentinel(uid: int, days: int):
-        return spark.createDataFrame(
-            [(uid, max_ts, -1, 0.0)], "user_id long, ts timestamp, "
-            "event_id long, value double"
-        ).select(
-            "user_id",
-            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            "event_id",
-            "value",
-        )
-
     def stage(df, phase: int, root: str):
         tmp = root + f"_tmp{phase}"
         df.repartition(1).write.parquet(tmp)
@@ -789,8 +802,8 @@ def q_stream_full_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage(clicks, 0, l_src)
     stage(purchases, 0, r_src)
     for phase, days in ((1, 100), (2, 200)):
-        stage(sentinel(-1, days), phase, l_src)
-        stage(sentinel(-2, days), phase, r_src)
+        _stage_sentinel_file(l_src, phase, max_ts, -1, days)
+        _stage_sentinel_file(r_src, phase, max_ts, -2, days)
     schema = clicks.schema
     l_stream = (
         spark.readStream.schema(schema)
@@ -810,7 +823,7 @@ def q_stream_full_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir(sf_dir, "sfjckpt")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -968,7 +981,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     ckpt = _scratch_dir(sf_dir, "sddwckpt")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
@@ -1219,7 +1232,7 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir(sf_dir, "chainwckpt")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         q = (
             chained.writeStream.format("memory")
             .queryName(name)

@@ -280,19 +280,38 @@ def stream_stream_join(
 
 
 def run_stream_to_memory(
-    df: DataFrame, query_name: str, output_mode: str = "complete"
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_width: int | None = None,
 ) -> None:
     """Execute a streaming aggregation to an in-memory sink with the
     availableNow trigger (process everything currently available, then
-    stop) — the test/verification harness for streaming ops."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    stop) — the test/verification harness for streaming ops.
+
+    ``state_width`` sets spark.sql.shuffle.partitions for the run
+    (restored after termination): state-store width is frozen into the
+    checkpoint at first start, so it is a per-stream sizing decision —
+    size it to state volume, not core count; every stateful operator
+    otherwise schedules session-width state tasks (each with its own
+    store snapshot/commit I/O) per micro-batch."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # conf must hold until the micro-batches have PLANNED (state
+        # width is read at first-batch planning, not at start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def foreach_batch_upsert(
