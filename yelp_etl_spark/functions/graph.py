@@ -324,7 +324,13 @@ def _frontier_loop(
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
-        visited = truncate_lineage(visited.union(frontier), eager=True)
+        # visited stays a LAZY union of the already-checkpointed
+        # per-hop frontiers (r15 optimization round: eagerly
+        # re-truncating it each hop re-materialized the ENTIRE visited
+        # set every hop — O(|reached| · hops) extra writes plus one
+        # action per hop. The union's plan is max_hops checkpointed
+        # leaves, so lineage stays bounded without it).
+        visited = visited.union(frontier)
     sym.unpersist()
     return visited
 

@@ -143,9 +143,17 @@ def bloom_prune(
             pruned.withColumn(f"__w{j}", word_j)
             .withColumn(f"__m{j}", mask_j)
             .join(b, f"__w{j}", "left")
+            # NULL-SAFE equality, deliberately: a plain == here implies
+            # an isnotnull(__m{j}) constraint, and constraint inference
+            # pushes that below the __h1/__h2 projection — re-inlining
+            # the md5 chain into a pre-projection filter, 2 evaluations
+            # per SEED per probe row (measured 4.5 s vs 1.6 s at sf0.1,
+            # r15 optimization round). <=> infers no notnull constraint;
+            # the mask is never null, so kept rows are identical.
             .filter(
-                F.coalesce(F.col(f"__b{j}"), F.lit(0)).bitwiseAND(F.col(f"__m{j}"))
-                == F.col(f"__m{j}")
+                F.coalesce(F.col(f"__b{j}"), F.lit(0))
+                .bitwiseAND(F.col(f"__m{j}"))
+                .eqNullSafe(F.col(f"__m{j}"))
             )
             .drop(f"__w{j}", f"__m{j}", f"__b{j}")
         )

@@ -44,15 +44,24 @@ def _h31(key: Column) -> Column:
     )
 
 
-def _positions(key: Column, depth: int, width: int) -> Column:
-    """Array of ``depth`` cell positions for a key."""
-    h = _h31(key)
+def _positions_from_h(h: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` cell positions from an ALREADY-COMPUTED base
+    hash column — callers project ``_h31`` once behind a select
+    boundary so the md5 chain is evaluated once per row, not once per
+    array element (r15 optimization round; the inline form leaned on
+    codegen subexpression elimination, which does not reach inside
+    every operator the array lands in)."""
     return F.array(
         *[
             ((F.lit(a) * h + F.lit(b)) % F.lit(CMS_P)) % F.lit(width)
             for a, b in CMS_PERMS[:depth]
         ]
     )
+
+
+def _positions(key: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` cell positions for a key."""
+    return _positions_from_h(_h31(key), depth, width)
 
 
 def count_min_sketch(
@@ -72,8 +81,9 @@ def count_min_sketch(
     # (the very thing CMS measures) into one task
     return (
         fan_out(df)
+        .select(_h31(F.col(key_column)).alias("__h"))
         .select(
-            F.posexplode(_positions(F.col(key_column), depth, width)).alias(
+            F.posexplode(_positions_from_h(F.col("__h"), depth, width)).alias(
                 "d", "pos"
             )
         )
@@ -104,8 +114,10 @@ def cms_estimate(
     estimate; never under-counts, over-counts by ≤ ε·N w.h.p.).
     The sketch side broadcasts."""
     probed = keys.select(
+        key_column, _h31(F.col(key_column)).alias("__h")
+    ).select(
         key_column,
-        F.posexplode(_positions(F.col(key_column), depth, width)).alias(
+        F.posexplode(_positions_from_h(F.col("__h"), depth, width)).alias(
             "d", "pos"
         ),
     )

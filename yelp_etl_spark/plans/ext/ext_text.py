@@ -452,17 +452,31 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # n_novel(doc) = # grams whose corpus-wide min doc is this doc — it
+    # is fully determined by the per-gram min table, so aggregate THAT
+    # down to doc granularity instead of joining it back onto the
+    # gram-sized frame (r15 optimization round, guide §2.3 "aggregate
+    # before you shuffle": the old gram⋈first_doc equi-join shuffled
+    # the full gram table a second time only to count matches; the two
+    # aggregates below shuffle doc-sized rows and meet in a doc-sized
+    # join — and the shared distinct-gram subtree is computed once via
+    # exchange reuse, exactly as before). Same results: doc_id → source
+    # is functional, and a doc with no corpus-first grams scores 0.
     first_doc = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel_per_doc = first_doc.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count("*").cast("long").alias("n_novel"))
     scored = (
-        grams.join(first_doc, "gh")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
+        grams.groupBy("doc_id", "source")
+        .agg(F.count("*").cast("long").alias("n_grams"))
+        .join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
         )
     )
     return (
@@ -629,11 +643,19 @@ def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs (must be 0) alongside per-split sizes. Composition
     of three oracle-checked operators (jaccard pairs → components →
     portable hash split), value-checked end-to-end."""
+    from yelp_etl_spark.functions.checkpoint import truncate_lineage
     from yelp_etl_spark.functions.dedup import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
-        "id_a", "id_b"
+    # the near-dup pair set feeds BOTH the component build and the
+    # cross-split leak join — truncate it once (pair-sized, tiny
+    # relative to the corpus) so the shingle+Jaccard pipeline runs a
+    # single time (r15 optimization round)
+    pairs = truncate_lineage(
+        DD.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+            "id_a", "id_b"
+        ),
+        eager=False,
     )
     comp = connected_components(pairs)
     assigned = (
