@@ -809,11 +809,18 @@ def boruvka_mst(
     rounds' cache entries are released as the loop advances."""
     pinned: list[DataFrame] = []
 
-    def _cut(df: DataFrame) -> DataFrame:
+    def _cut(df: DataFrame) -> tuple[DataFrame, int]:
+        # The count doubles as the cache fill AND is returned so
+        # callers never re-count the frame they just materialized
+        # (r15 optimization round — this loop is scheduling-bound:
+        # 169 jobs / 6.1 s of inter-job gaps profiled at sf0.1, so
+        # every removed action is wall-clock. A lazy-checkpoint
+        # variant that folded the checkpoint job into the count was
+        # tried and measured SLOWER — eager stays).
         out = truncate_lineage(df, eager=True).persist()
-        out.count()
+        n = out.count()
         pinned.append(out)
-        return out
+        return out, n
 
     def _release(keep: set[int]) -> None:
         for cached in pinned[:]:
@@ -827,7 +834,7 @@ def boruvka_mst(
     # multigraph keys directly on (src, dst); the struct payload keeps
     # the original edge identity for the output forest. This is the one
     # data-sized pass.
-    red = _cut(
+    red, n_red = _cut(
         edges.select(
             F.col(src_col).alias("ca"),
             F.col(dst_col).alias("cb"),
@@ -848,7 +855,6 @@ def boruvka_mst(
     # round's contraction, so it can never be re-chosen — rounds are
     # disjoint by construction)
     mst_parts: list[DataFrame] = []
-    n_red = red.count()
     converged = n_red == 0
     for _ in range(max_rounds):
         if converged:
@@ -916,15 +922,35 @@ def boruvka_mst(
             )
             .persist()
         )
-        n_chosen = chosen.count()
+        # ONE action decides the round size AND (when small) delivers
+        # the union-find input: collect at most cap+1 (ca, cb) pairs —
+        # if the limit is not hit, these ARE all the chosen pairs, so
+        # the separate count and the second collect both disappear
+        # (r15 optimization round; the collect stays bounded by the
+        # same contraction_collect_max guard as before). The guard on
+        # n_red keeps genuinely big rounds (early rounds at scale) on
+        # a plain count instead of probing the limit.
+        if n_red <= 4 * contraction_collect_max:
+            head = chosen.select("ca", "cb").limit(
+                contraction_collect_max + 1
+            ).collect()
+            n_chosen = (
+                len(head)
+                if len(head) <= contraction_collect_max
+                else chosen.count()
+            )
+        else:
+            head = None
+            n_chosen = chosen.count()
         if n_chosen == 0:
             chosen.unpersist()
             converged = True
             break
         mst_parts.append(chosen)
-        pairs = chosen.select("ca", "cb")
         if n_chosen <= contraction_collect_max:
             # hybrid small-tail path: union-find over ≤n_chosen pairs
+            if head is None:
+                head = chosen.select("ca", "cb").collect()
             par: dict = {}
 
             def _find(x):
@@ -933,7 +959,7 @@ def boruvka_mst(
                     x = par[x]
                 return x
 
-            for r in pairs.collect():
+            for r in head:
                 ra, rb = _find(r.ca), _find(r.cb)
                 if ra != rb:
                     if rb < ra:
@@ -969,7 +995,7 @@ def boruvka_mst(
                 .alias("p"),
             )
             pp = par.select(F.col("c").alias("p"), F.col("p").alias("pp"))
-            par = _cut(
+            par, _ = _cut(
                 par.join(pp, "p", "left").select(
                     "c",
                     F.when(
@@ -993,8 +1019,13 @@ def boruvka_mst(
                         ).alias("__changed"),
                     )
                 )
-                nxt = _cut(nxt)
-                changed = nxt.filter(F.col("__changed")).limit(1).count()
+                # TWO actions per doubling step instead of three: the
+                # full-scan changed-count doubles as the cache fill,
+                # so the old count + separate limit(1) probe collapse
+                # into one job (r15 optimization round).
+                nxt = truncate_lineage(nxt, eager=True).persist()
+                pinned.append(nxt)
+                changed = nxt.filter(F.col("__changed")).count()
                 par = nxt.drop("__changed")
                 if changed == 0:
                     break
@@ -1022,9 +1053,8 @@ def boruvka_mst(
             .groupBy("ca", "cb")
             .agg(F.min("pick").alias("pick"))
         )
-        red = _cut(red_next)
+        red, n_red = _cut(red_next)
         _release({id(red)})
-        n_red = red.count()
         if n_red == 0:
             converged = True
             break
