@@ -164,8 +164,19 @@ def cogrouped_asof_attribution(
             }
         )
 
+    # Pre-partition both sides by key with an EXPLICIT width: the
+    # cogroup's own exchange is then satisfied without a new shuffle,
+    # and AQE's byte-based partition coalescing never sees it. Left to
+    # AQE, the tiny (user_id, ts) shuffle coalesces to ~3 partitions —
+    # correct for byte-bound stages, wrong here where cost is one
+    # PYTHON call per key (guide §4): measured 3 tasks / ~3 s per
+    # Arrow stage at sf0.1 vs full-width with this repartition (r15
+    # optimization round). Width = defaultParallelism, the same
+    # CPU-sized choice a cluster run wants.
+    n_parts = left.sparkSession.sparkContext.defaultParallelism
     return (
-        left.groupBy(key_col)
-        .cogroup(right.groupBy(key_col))
+        left.repartition(n_parts, key_col)
+        .groupBy(key_col)
+        .cogroup(right.repartition(n_parts, key_col).groupBy(key_col))
         .applyInPandas(merge, out_schema)
     )
