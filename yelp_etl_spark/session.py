@@ -68,9 +68,19 @@ def get_spark(
         # (240m) fills mid-run, the JIT shuts off, and later queries run
         # interpreted (observed as 5-6x slowdowns late in bench runs).
         # G1 matches the reference's GC choice (spark-defaults.conf:17).
+        # MetaspaceSize raises the class-metadata GC threshold: the
+        # default (~21 MB) makes every metaspace expansion past the
+        # high-water mark force a FULL GC to attempt class unloading,
+        # and a catalog-sized workload's codegen classes ratchet that
+        # mark continuously (jstat mid-bench: metaspace ~98%, 28 full
+        # GCs / 5.8 s of FGC pauses in the first 2 minutes — r15
+        # optimization round). 512m lets metaspace grow to its working
+        # set without GC-per-expansion; same class-unloading behavior
+        # once actually above the threshold.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UseG1GC -XX:ReservedCodeCacheSize=1g",
+            "-XX:+UseG1GC -XX:ReservedCodeCacheSize=1g"
+            " -XX:MetaspaceSize=512m",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
