@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from yelp_etl_spark.plans.catalog import QUERIES
-from yelp_etl_spark.session import get_spark
+from yelp_etl_spark.session import get_spark, scratch_root
 
 BENCH_QUERIES = [
     "flagship_revenue",
@@ -711,7 +711,9 @@ def main() -> None:
     # recorded number the warm wall, comparable across rounds.)
     pipeline_runs = []
     for _ in range(2):
-        med_root = tempfile.mkdtemp(prefix="bench_medallion_")
+        med_root = tempfile.mkdtemp(
+            prefix="bench_medallion_", dir=scratch_root()
+        )
         try:
             t0 = time.time()
             run_medallion(spark, sf_dir, med_root)

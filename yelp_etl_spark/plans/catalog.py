@@ -2416,8 +2416,12 @@ def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup,
     )
 
+    from yelp_etl_spark.session import scratch_root
+
     events = _t(spark, sf_dir, "events")
-    workdir = tempfile.mkdtemp(prefix="stream_dedup_totals_")
+    workdir = tempfile.mkdtemp(
+        prefix="stream_dedup_totals_", dir=scratch_root()
+    )
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ckpt")
     # duplicate INSIDE each file so both copies of an event always
@@ -6175,8 +6179,12 @@ def _scratch_dir(sf_dir: str, tag: str) -> str:
     import shutil
     import tempfile
 
+    from yelp_etl_spark.session import scratch_root
+
     sf = os.path.basename(sf_dir.rstrip("/"))
-    parent = tempfile.mkdtemp(prefix=f"yelp_etl_spark_{tag}_{sf}_")
+    parent = tempfile.mkdtemp(
+        prefix=f"yelp_etl_spark_{tag}_{sf}_", dir=scratch_root()
+    )
     if not _SCRATCH_PARENTS:
         atexit.register(
             lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_PARENTS]

@@ -72,7 +72,9 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
-    workdir = tempfile.mkdtemp(prefix="stream_hll_")
+    from yelp_etl_spark.session import scratch_root
+
+    workdir = tempfile.mkdtemp(prefix="stream_hll_", dir=scratch_root())
     src = os.path.join(workdir, "src")
     # two source files x maxFilesPerTrigger=1 -> two micro-batches:
     # the register state provably merges ACROSS batches

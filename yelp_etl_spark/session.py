@@ -24,6 +24,34 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def scratch_root() -> str | None:
+    """Root directory for throwaway per-invocation scratch: staging
+    files, streaming checkpoints of memory-sink verification runs,
+    snapshot fixtures, medallion output roots. Everything written here
+    is recreated per invocation and removed on exit, so it never needs
+    durability — which makes a RAM-backed root strictly better than a
+    disk one: the fsync-heavy consumers (streaming state-store commits
+    and offset/commit WALs — one fsync per store per micro-batch)
+    measured 2-4x faster off the disk path (r15 optimization round,
+    guide §6). Resolution order: SPARK_GRAFT_SCRATCH (explicit
+    override), an explicit TMPDIR (defer to the operator's choice —
+    return None so tempfile applies it), then /dev/shm when present
+    and writable, else None (tempfile default). On a real cluster the
+    analog is the fast local scratch (NVMe/ramdisk) the deployment
+    provisions for spill and shuffle; durable streaming checkpoints of
+    PRODUCTION streams stay on reliable storage and are passed
+    explicitly by their callers — this root is only for the
+    per-invocation verification harnesses."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    if os.environ.get("TMPDIR"):
+        return None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return None
+
+
 def get_spark(
     app_name: str = "yelp-etl-spark",
     cpus: int | None = None,
@@ -96,6 +124,16 @@ def get_spark(
         # originating RDD is collected.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
+    # Shuffle files, block-manager disk store and localCheckpoint
+    # blocks are rebuildable per-run scratch: point spark.local.dir at
+    # the fast scratch root (RAM-backed when available — see
+    # scratch_root) exactly as a cluster deployment points it at NVMe
+    # scratch. Overridable via SPARK_GRAFT_SCRATCH/TMPDIR; on a real
+    # cluster spark-submit/YARN provide local dirs and this local[N]
+    # factory is not in play.
+    _scratch = scratch_root()
+    if _scratch is not None:
+        builder = builder.config("spark.local.dir", _scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
