@@ -1620,6 +1620,43 @@ def test_boruvka_hybrid_and_distributed_contraction_agree(spark):
     assert hybrid == dist == mid and len(hybrid) == 12
 
 
+def test_certify_spanning_forest(spark):
+    from yelp_etl_spark.functions.graph import (
+        boruvka_mst,
+        certify_spanning_forest,
+    )
+
+    # square with diagonal + disjoint chain: 7 nodes, 2 components
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 4, 3), (1, 4, 4), (1, 3, 5),
+         (10, 11, 1), (11, 12, 9)],
+        "src long, dst long, w long",
+    )
+    forest = boruvka_mst(edges)
+    n_mst = forest.count()
+    assert certify_spanning_forest(edges, forest, 7, n_mst) == 2
+
+    # a cyclic "forest" must be rejected
+    cyclic = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (1, 3, 5), (10, 11, 1), (11, 12, 9)],
+        "src long, dst long, w long",
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        certify_spanning_forest(edges, cyclic, 7, 5)
+
+    # a non-spanning forest (chain component dropped) must be rejected
+    partial = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 4, 3)], "src long, dst long, w long"
+    )
+    with pytest.raises(RuntimeError, match="crosses"):
+        certify_spanning_forest(edges, partial, 7, 3)
+
+    # past the collect cap the fallback label-prop path must agree
+    assert (
+        certify_spanning_forest(edges, forest, 7, n_mst, collect_max=0) == 2
+    )
+
+
 def test_boruvka_mst_chain_contraction(spark):
     from yelp_etl_spark.functions.graph import boruvka_mst
 

@@ -1080,3 +1080,116 @@ def boruvka_mst(
     for part in mst_parts:
         part.unpersist()
     return mst
+
+
+def certify_spanning_forest(
+    edges: DataFrame,
+    forest: DataFrame,
+    n_nodes: int,
+    n_forest_edges: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    collect_max: int = 4_000_000,
+) -> int:
+    """Certify that ``forest`` is a spanning forest of the graph given
+    by ``edges`` and return the graph's component count — the cheap
+    independent certificate for boruvka_mst's forest identity
+    (r15 VERDICT #7).
+
+    The r9-r15 certificate ran label-propagation connected components
+    over the FULL edge list (E-sized work × diameter rounds) just to
+    count components for the |MST| = |V| − #components identity. But
+    the identity only certifies two properties — the forest is ACYCLIC
+    and it SPANS (connects everything its graph connects) — and both
+    are checkable against the V-sized forest the query has already
+    materialized:
+
+    * acyclicity: union-find over the forest's ≤|V|−1 edges — any edge
+      closing a cycle fails immediately;
+    * spanning: forest edges ⊆ graph edges refine the graph's
+      components, so the forest partition equals the graph partition
+      iff NO graph edge crosses two forest components — one broadcast
+      map-side pass over the edge list, zero shuffles of it.
+
+    When both hold, #components(graph) = #components(forest) =
+    |V| − |forest| exactly (acyclic forest on |V| nodes), which is the
+    value returned. On violation this raises — same fail-loud contract
+    as the caller's identity check.
+
+    Hybrid like boruvka_mst's contraction: the forest collects to the
+    driver through Arrow (16 bytes/edge — ``collect_max`` 4M edges ≈
+    64 MB, the same budget as DEFAULT_BROADCAST_MAX_STATE; the py4j
+    Row path would be 10-30× that) only while it fits; past the cap
+    the certificate falls back to the original E-sized
+    label-propagation components pass (functions/dedup) and returns
+    its count for the caller's identity check to compare — scale-safe,
+    never wrong, just the old cost."""
+    spark = edges.sparkSession
+    if n_forest_edges > collect_max:
+        from yelp_etl_spark.functions.dedup import connected_components
+
+        return (
+            connected_components(edges, src_col, dst_col)
+            .select("component")
+            .distinct()
+            .count()
+        )
+
+    tbl = forest.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
+    ).toArrow()
+    aa = tbl.column("a").to_pylist()
+    bb = tbl.column("b").to_pylist()
+    par: dict = {}
+
+    def _find(x):
+        while par.setdefault(x, x) != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in zip(aa, bb):
+        ra, rb = _find(a), _find(b)
+        if ra == rb:
+            raise RuntimeError(
+                "certify_spanning_forest: forest contains a cycle "
+                f"(edge {a}-{b} closes one) — not a forest"
+            )
+        par[rb] = ra
+    n_forest_nodes = len(par)
+    roots = {_find(x) for x in par}
+
+    # spanning check: no graph edge may cross two forest components.
+    # Labels broadcast (≤ collect_max rows by the guard above), so the
+    # edge list is scanned map-side once — no shuffle, no iteration.
+    import pyarrow as pa
+
+    nodes = list(par)
+    lbl = spark.createDataFrame(
+        pa.table(
+            {
+                "c": pa.array(nodes, pa.int64()),
+                "lbl": pa.array([_find(x) for x in nodes], pa.int64()),
+            }
+        )
+    )
+    la = F.broadcast(lbl.withColumnsRenamed({"c": "a_c", "lbl": "a_lbl"}))
+    lb = F.broadcast(lbl.withColumnsRenamed({"c": "b_c", "lbl": "b_lbl"}))
+    crossing = (
+        edges.join(la, edges[src_col] == F.col("a_c"), "left")
+        .join(lb, edges[dst_col] == F.col("b_c"), "left")
+        # a node absent from the forest is its own singleton component
+        .filter(
+            F.coalesce(F.col("a_lbl"), edges[src_col])
+            != F.coalesce(F.col("b_lbl"), edges[dst_col])
+        )
+        .limit(1)
+        .count()
+    )
+    if crossing:
+        raise RuntimeError(
+            "certify_spanning_forest: a graph edge crosses two forest "
+            "components — the forest does not span the graph"
+        )
+    return (n_forest_nodes - n_forest_edges) + (n_nodes - n_forest_nodes)
