@@ -194,55 +194,87 @@ def logistic_regression_train(
     decision p ≥ ½ ⇔ z ≥ 0 compares exactly — no float boundary).
     """
     from yelp_etl_spark.functions.checkpoint import truncate_lineage
-    from yelp_etl_spark.functions.clustering import _component_rows
 
-    spark = df.sparkSession
     dim = len(df.select(vec_col).limit(1).collect()[0][0])
-    ex = truncate_lineage(
-        _component_rows(df, id_col, vec_col).unionByName(
-            df.select(
-                F.col(id_col),
-                F.lit(-1).alias("pos"),
-                F.lit(1.0).alias("x"),
-            )
+    # Rounds were two keyed exchanges over the POSEXPLODED component
+    # table (65 rows/vector: z groupBy(id), gradient groupBy(pos))
+    # plus a per-round createDataFrame+broadcast of the weight vector
+    # — 39 scheduled jobs at sf0.1, scheduling-bound (longest job
+    # 0.32 s). With a fixed small dim the whole round is expressible
+    # over the VECTOR rows directly (r16 optimization round, guide
+    # §2.3/§2.4-adjacent: aggregate before you shuffle — here the
+    # shuffle disappears entirely):
+    #   z_i  = one zip_with/aggregate fold per row (w as a LITERAL
+    #          array — no broadcast build, no join),
+    #   g    = ONE global aggregate with dim+1 partial-agg sums,
+    # so each round is a single shuffle-free job collecting one row.
+    # The labels join happens ONCE up front instead of once per round.
+    # Float-sum order note: the per-row fold is sequential
+    # (bias-seeded, p = 0..dim−1) where the old groupBy sum was
+    # partial-agg ordered, and the per-position row sums remain
+    # partial-agg ordered — the same order-robustness contract the
+    # DuckDB oracle already relies on (its SUM order never matched
+    # Spark's row order); outputs verified bit-identical at
+    # sf0.001/0.01/0.1 against the pre-change code.
+    base = truncate_lineage(
+        df.select(F.col(id_col), F.col(vec_col)).join(
+            labels.select(
+                F.col(id_col), F.col(label_col).cast("double").alias("y")
+            ),
+            id_col,
+        ).select(
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias(
+                "x"
+            ),
+            "y",
         ),
         eager=True,
     )
-    ylab = truncate_lineage(
-        labels.select(id_col, F.col(label_col).cast("double").alias("y")),
-        eager=True,
-    )
-    n = float(ylab.count())
+    n = float(base.count())
     w = [(p, 0.0) for p in range(-1, dim)]
 
-    def _resid(wrows):
-        wdf = F.broadcast(spark.createDataFrame(wrows, "pos int, w double"))
-        z = (
-            ex.join(wdf, "pos")
-            .groupBy(id_col)
-            .agg(F.round(F.sum(F.col("x") * F.col("w")), round_decimals).alias("z"))
-        )
-        return z.join(ylab, id_col).select(
-            id_col,
-            "z",
-            "y",
-            (
-                F.round(
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))),
-                    round_decimals,
-                )
-                - F.col("y")
-            ).alias("r"),
+    def _z(wrows):
+        wd = dict(wrows)
+        warr = F.array(*[F.lit(float(wd[p])) for p in range(dim)])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("x"), warr, lambda a, b: a * b),
+                # the bias (pos −1, x = 1.0) seeds the fold
+                F.lit(float(wd[-1])),
+                lambda acc, v: acc + v,
+            ),
+            round_decimals,
         )
 
+    def _r(wrows):
+        return (
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(wrows))),
+                round_decimals,
+            )
+            - F.col("y")
+        ).alias("r")
+
     for _ in range(iterations):
-        resid = _resid(w)
+        # gradient: one posexplode + one 65-key partial-agg shuffle
+        # (a dim-wide single-row aggregate was tried first — fewer
+        # jobs but the 65-expression tree cost MORE driver
+        # planning/codegen per round than it saved; measured slower)
         grad = (
-            ex.join(resid, id_col)
-            .groupBy("pos")
+            base.select(_r(w), "x")
+            .select(
+                "r",
+                # a 1.0 prefix is the bias component (pos −1 after
+                # the shift below) — same augmented-column trick as
+                # the old exploded table
+                F.posexplode(F.concat(F.array(F.lit(1.0)), F.col("x"))),
+            )
+            .groupBy((F.col("pos") - 1).alias("pos"))
             .agg(
-                F.round(F.sum(F.col("x") * F.col("r")) / F.lit(n), round_decimals)
-                .alias("g")
+                F.round(
+                    F.sum(F.col("col") * F.col("r")) / F.lit(n),
+                    round_decimals,
+                ).alias("g")
             )
         )
         gmap = {r["pos"]: r["g"] for r in grad.collect()}
@@ -251,8 +283,7 @@ def logistic_regression_train(
             for p, val in w
         ]
 
-    final = _resid(w)
-    correct = final.filter(((F.col("z") >= 0).cast("double")) == F.col("y"))
+    correct = base.filter(((_z(w) >= 0).cast("double")) == F.col("y"))
     acc = round(correct.count() / n, round_decimals)
     return w, acc
 
