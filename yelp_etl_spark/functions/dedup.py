@@ -321,28 +321,38 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     labels = truncate_lineage(labels, eager=False)
+    # Per-round cost 2 joins + 2 actions → 1 join + 1 action (r15
+    # VERDICT #3, the Borůvka §2.6 treatment): the old-label merge is
+    # a UNION into the same keyed min — identical per-node value,
+    # min(self, neighborhood) — and convergence rides the checkpoint
+    # job as an observed metric instead of a separate limit(1).count()
+    # scan. Labels only ever DECREASE, so the label sum is strictly
+    # monotone and two equal consecutive sums ⟺ a fixpoint; the sum
+    # accumulates exactly in decimal(38,0) (1B nodes × 64-bit ids
+    # would overflow a long sum; 38 digits cannot).
+    from pyspark.sql import Observation
+
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
+        cand = (
             adj.join(labels, adj["nbr"] == labels["node"], "inner")
             .select(F.col("eid").alias("node"), F.col("component"))
+            .unionByName(labels)
             .groupBy("node")
-            .agg(F.min("component").alias("nbr_component"))
+            .agg(F.min("component").alias("component"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("__changed"),
-            )
+        obs = Observation()
+        labels = truncate_lineage(
+            cand.observe(
+                obs,
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            ),
+            eager=True,
         )
-        new_labels = truncate_lineage(new_labels, eager=True)
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
+        label_sum = obs.get["s"]
+        if prev_sum is not None and label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias("id"), "component")
 
 
