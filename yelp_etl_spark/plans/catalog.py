@@ -2456,9 +2456,9 @@ def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and scales executors under it. Conf restored once the availableNow
     # run has terminated; nothing else plans against this session
     # meanwhile.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+    from yelp_etl_spark.streaming.windows import stream_run_conf
+
+    with stream_run_conf(spark, state_width=2):
         q = (
             totals.writeStream.format("memory")
             .queryName(name)
@@ -2470,8 +2470,6 @@ def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # conf must hold until the micro-batches have PLANNED (state
         # width is read at first-batch planning, not at start())
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(workdir, ignore_errors=True)
     mem = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))

@@ -677,17 +677,17 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "slj_" + _uuid.uuid4().hex[:8]
     ckpt = _scratch_dir(sf_dir, "sljckpt")
-    # state-store width is frozen into the checkpoint at first start
-    # (the stream_dedup_totals sizing rule): size it to state volume
-    # (hundreds of users), not core count — 32-wide state schedules
-    # 32 state tasks per micro-batch per stateful operator for nothing
-    # (r15 optimization round re-sized 8 → 2: a stream-stream join keeps
-    # FOUR state stores per partition, and the per-batch store
-    # snapshot/commit I/O still dominated addBatch at 8 — measured
-    # 18-21 s streaming wall at 8 vs 8.6 s at 2 for identical results)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # state-store width sized to state volume + no-data finalization
+    # batch disabled (both sentinel batches already flush every real
+    # row; the empty batch only paid one more state-commit round per
+    # store) — see streaming/windows.stream_run_conf: 32-wide state
+    # schedules 32 state tasks per micro-batch per stateful operator
+    # for nothing (r15 re-sized 8 → 2: a stream-stream join keeps FOUR
+    # state stores per partition; measured 18-21 s at 8 vs 8.6 s at 2),
+    # and the r16 noData A/B read −17% wall with identical rows.
+    from yelp_etl_spark.streaming.windows import stream_run_conf
+
+    with stream_run_conf(spark, state_width=2):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -697,8 +697,6 @@ def q_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).filter(F.col("l_key") >= 0)
     return out.agg(
         F.count("*").cast("long").alias("n_rows"),
@@ -823,9 +821,11 @@ def q_stream_full_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "sfj_" + _uuid.uuid4().hex[:8]
     ckpt = _scratch_dir(sf_dir, "sfjckpt")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # width-2 state + no-data finalization batch disabled (r16 A/B:
+    # −19% wall, identical rows) — streaming/windows.stream_run_conf
+    from yelp_etl_spark.streaming.windows import stream_run_conf
+
+    with stream_run_conf(spark, state_width=2):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -835,8 +835,6 @@ def q_stream_full_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).filter(
         F.coalesce(F.col("l_key"), F.col("r_key")) >= 0
     )
@@ -981,9 +979,11 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     )
     name = "sddw_" + _uuid.uuid4().hex[:8]
     ckpt = _scratch_dir(sf_dir, "sddwckpt")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # width-2 state + no-data finalization batch disabled (r16 A/B:
+    # −13% wall, identical rows) — streaming/windows.stream_run_conf
+    from yelp_etl_spark.streaming.windows import stream_run_conf
+
+    with stream_run_conf(spark, state_width=2):
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
@@ -993,8 +993,6 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).filter(F.col("user_id") >= 0)
     cutoff = F.lit(max_ts) + F.expr("INTERVAL 300 DAYS")
     return out.agg(
@@ -1232,9 +1230,11 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "chainw_" + _uuid.uuid4().hex[:8]
     ckpt = _scratch_dir(sf_dir, "chainwckpt")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # width-2 state + no-data finalization batch disabled (r16 A/B:
+    # −12% wall, identical rows) — streaming/windows.stream_run_conf
+    from yelp_etl_spark.streaming.windows import stream_run_conf
+
+    with stream_run_conf(spark, state_width=2):
         q = (
             chained.writeStream.format("memory")
             .queryName(name)
@@ -1244,8 +1244,6 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).filter(F.col("event_type") != "zz_sentinel")
     return out.select(
         F.col("w30.start").cast("string").alias("window_start"),
