@@ -533,7 +533,16 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feed = _scratch_dir(sf_dir, "streamcdcfeed")
-    changes.repartition(5).write.parquet(feed)
+    # 3 files × maxFilesPerTrigger=1 → 3 micro-batches (was 5): each
+    # batch pays a full guarded fold — window + target read + merge +
+    # snapshot commit — so batch count IS the wall here, and the fold
+    # is provably batch-partition invariant (the query's defining
+    # property, per the docstring), so the result cannot depend on the
+    # split count. 3 keeps the demonstration honest: multiple batches,
+    # both seq generations interleaved across them
+    # (stream_dedup_totals set the 'enough batches to prove the
+    # property, no more' precedent in r10).
+    changes.repartition(3).write.parquet(feed)
     ckpt = _scratch_dir(sf_dir, "streamcdcckpt")
     stream = (
         spark.readStream.schema(changes.schema)
