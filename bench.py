@@ -748,6 +748,11 @@ def main() -> None:
         ),
         "min_of": min_of,
         "anchor_min_of": max(runs, 3),
+        # which I/O regime the run used (r15 VERDICT what's-wrong #2:
+        # pipeline_seconds partly reflects scratch placement since the
+        # r15 RAM-root change — record it so cross-round diffs can
+        # tell the regimes apart)
+        "scratch_root": scratch_root() or "tempfile-default",
         "sf": sf,
         "runs_per_query": f"warmup+{runs} (anchors min-of-{max(runs, 3)})",
         "warmup_failures": warmup_failures,
