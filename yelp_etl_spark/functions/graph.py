@@ -302,15 +302,25 @@ def _frontier_loop(
     eagerly truncate lineage each hop — ONE implementation so the
     broadcast heuristic / early-exit / checkpoint mechanics can never
     diverge between the labeled and unlabeled forms."""
+    from pyspark.sql import Observation
+
     anti_keys = [*label_cols, "id"]
-    frontier = truncate_lineage(frontier0, eager=True)
-    n_frontier = frontier.count()
+    # per-hop frontier counts (broadcast heuristic + empty-frontier
+    # early exit) ride the checkpoint job as observed metrics — one
+    # action per hop instead of checkpoint + separate count (the
+    # connected_components/Borůvka §2.6 action collapse, r16)
+    obs0 = Observation()
+    frontier = truncate_lineage(
+        frontier0.observe(obs0, F.count(F.lit(1)).alias("n")), eager=True
+    )
+    n_frontier = obs0.get["n"]
     visited = frontier
     for hop in range(1, max_hops + 1):
         if broadcast_state == "auto":
             use_bcast = n_frontier <= broadcast_max_state
         else:
             use_bcast = bool(broadcast_state)
+        obs = Observation()
         frontier = truncate_lineage(
             sym.join(
                 _bcast_if(frontier, use_bcast), F.col("src") == F.col("id")
@@ -318,10 +328,11 @@ def _frontier_loop(
             .select(*label_cols, F.col("dst").alias("id"))
             .distinct()
             .join(visited, anti_keys, "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long")),
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .observe(obs, F.count(F.lit(1)).alias("n")),
             eager=True,
         )
-        n_frontier = frontier.count()
+        n_frontier = obs.get["n"]
         if n_frontier == 0:
             break
         # visited stays a LAZY union of the already-checkpointed

@@ -1177,16 +1177,23 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = li.groupBy("o").agg(F.count("*").alias("bs")).filter(
         F.col("bs") <= 3
     ).select("o")
+    from pyspark.sql import Observation
+
     a = li.join(small, "o").alias("a")
     b = li.alias("b")
+    # per-round edge counts ride the checkpoint job as observed
+    # metrics (1 action/round instead of checkpoint + separate count —
+    # the connected_components/Borůvka §2.6 action-collapse, r16)
+    obs0 = Observation()
     edges = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     k, rounds = 6, 6
-    prev_edges = edges.count()
+    prev_edges = obs0.get["n"]
     converged = False
     for _ in range(rounds):
         deg = (
@@ -1196,13 +1203,15 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("x")
+        obs = Observation()
         edges = (
             edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
             .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n = edges.count()
+        n = obs.get["n"]
         if n == prev_edges:
             converged = True
             break
