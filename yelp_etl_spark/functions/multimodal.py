@@ -780,34 +780,64 @@ def tiff_ifd_metadata(
         ]
         return "(" + " + ".join(terms) + ")"
 
-    ifd_off = le("9", 4)  # byte 5 (1-indexed) -> hex pos 9
-    ifd_pos = f"(2 * {ifd_off} + 1)"  # byte o+1 -> hex pos 2o+1
-    n_entries = le(ifd_pos, 2)
-
-    def tag_value(tag: int) -> str:
-        # scan the unrolled entry slots; entry i starts at
-        # ifd_pos + 4 (count) + 24*i hex chars
-        slots = []
-        for i in range(max_entries):
-            epos = f"({ifd_pos} + 4 + {24 * i})"
-            slots.append(
-                f"(CASE WHEN {n_entries} > {i}"
-                f" AND {le(epos, 2)} = {tag}"
-                f" THEN {le(f'{epos} + 16', 4)} END)"
-            )
-        return "COALESCE(" + ", ".join(slots) + ", CAST(NULL AS BIGINT))"
-
+    # Positions and per-slot entry fields materialize as COLUMNS
+    # behind select boundaries instead of textual substitution (the
+    # r15 jpeg/gif container-walk fix, applied to the IFD walk in
+    # r16): the old tag_value re-embedded the whole ifd_pos/n_entries
+    # subtree into every (tag × slot) pair — 4 tags × 8 slots of
+    # duplicated conv-chains that Catalyst re-analyzed per output
+    # column (job profile: 1.85 s of a 2.49 s wall was inter-job
+    # driver time). Each slot's tag/value now parses ONCE; the four
+    # outputs are cheap CASE/COALESCE over the shared slot columns.
+    # CollapseProject keeps multi-referenced non-cheap aliases
+    # un-inlined, so the layering survives optimization. Values are
+    # identical expressions over identical positions.
     hx = df.select(
         F.col(id_col),
         F.expr(f"hex(substring({blob_col}, 1, 256))").alias("hx"),
     )
-    return hx.select(
-        id_col,
-        F.expr(tag_value(256)).alias("width"),
-        F.expr(tag_value(257)).alias("height"),
-        F.expr(tag_value(258)).alias("bits"),
-        F.expr(tag_value(279)).alias("strip_bytes"),
-        F.expr(f"CAST({n_entries} AS BIGINT)").alias("n_entries"),
+    ifd_off = le("9", 4)  # byte 5 (1-indexed) -> hex pos 9
+    ptr = hx.select(
+        F.col(id_col),
+        "hx",
+        F.expr(f"(2 * {ifd_off} + 1)").alias("__ifd_pos"),
+    )
+    cnt = ptr.select(
+        F.col(id_col),
+        "hx",
+        "__ifd_pos",
+        F.expr(le("__ifd_pos", 2)).alias("__n_entries"),
+    )
+    slot_cols = []
+    for i in range(max_entries):
+        # entry i starts at ifd_pos + 4 (count) + 24*i hex chars
+        epos = f"(__ifd_pos + 4 + {24 * i})"
+        slot_cols.append(F.expr(le(epos, 2)).alias(f"__tag{i}"))
+        slot_cols.append(F.expr(le(f"{epos} + 16", 4)).alias(f"__val{i}"))
+    slots = cnt.select(
+        F.col(id_col), "hx", "__n_entries", *slot_cols
+    )
+
+    def tag_value(tag: int):
+        return F.coalesce(
+            *[
+                F.when(
+                    (F.col("__n_entries") > i)
+                    & (F.col(f"__tag{i}") == tag),
+                    F.col(f"__val{i}"),
+                )
+                for i in range(max_entries)
+            ],
+            F.lit(None).cast("long"),
+        )
+
+    return slots.select(
+        F.col(id_col),
+        tag_value(256).alias("width"),
+        tag_value(257).alias("height"),
+        tag_value(258).alias("bits"),
+        tag_value(279).alias("strip_bytes"),
+        F.col("__n_entries").cast("long").alias("n_entries"),
         F.expr("substring(hx, 1, 8) = '49492A00'").alias("tiff_ok"),
     )
 
