@@ -880,7 +880,20 @@ def boruvka_mst(
             # (w, src, dst) total order, so the forest is identical to
             # finishing distributed — pinned by
             # test_boruvka_hybrid_and_distributed_contraction_agree.
-            rows = red.collect()
+            # Arrow collect instead of py4j Rows (r16): 5 flat longs
+            # per pair ≈ 40 B/row vs the 200-500 B/row materialized
+            # Row path the r10 driver-memory note measured — less
+            # transfer, less driver garbage, same values.
+            tbl = red.select(
+                "ca", "cb",
+                F.col("pick.w").alias("w"),
+                F.col("pick.src").alias("src"),
+                F.col("pick.dst").alias("dst"),
+            ).toArrow()
+            rows = list(
+                zip(*(tbl.column(c).to_pylist()
+                      for c in ("ca", "cb", "w", "src", "dst")))
+            )
             par: dict = {}
 
             def _findf(x):
@@ -890,13 +903,13 @@ def boruvka_mst(
                 return x
 
             picked = []
-            for r in sorted(
-                rows, key=lambda r: (r.pick.w, r.pick.src, r.pick.dst)
+            for ca, cb, w, src_, dst_ in sorted(
+                rows, key=lambda r: (r[2], r[3], r[4])
             ):
-                ra, rb = _findf(r.ca), _findf(r.cb)
+                ra, rb = _findf(ca), _findf(cb)
                 if ra != rb:
                     par[rb] = ra
-                    picked.append((r.pick.src, r.pick.dst, r.pick.w))
+                    picked.append((src_, dst_, w))
             if picked:
                 mst_parts.append(
                     spark.createDataFrame(
@@ -941,10 +954,18 @@ def boruvka_mst(
         # same contraction_collect_max guard as before). The guard on
         # n_red keeps genuinely big rounds (early rounds at scale) on
         # a plain count instead of probing the limit.
+        def _pairs(df):
+            # Arrow collect (r16): 16 B/pair vs the 200-500 B/row
+            # materialized py4j Row path — same values, same bound.
+            t = df.toArrow()
+            return list(
+                zip(t.column("ca").to_pylist(), t.column("cb").to_pylist())
+            )
+
         if n_red <= 4 * contraction_collect_max:
-            head = chosen.select("ca", "cb").limit(
-                contraction_collect_max + 1
-            ).collect()
+            head = _pairs(
+                chosen.select("ca", "cb").limit(contraction_collect_max + 1)
+            )
             n_chosen = (
                 len(head)
                 if len(head) <= contraction_collect_max
@@ -961,7 +982,7 @@ def boruvka_mst(
         if n_chosen <= contraction_collect_max:
             # hybrid small-tail path: union-find over ≤n_chosen pairs
             if head is None:
-                head = chosen.select("ca", "cb").collect()
+                head = _pairs(chosen.select("ca", "cb"))
             par: dict = {}
 
             def _find(x):
@@ -970,8 +991,8 @@ def boruvka_mst(
                     x = par[x]
                 return x
 
-            for r in head:
-                ra, rb = _find(r.ca), _find(r.cb)
+            for ca, cb in head:
+                ra, rb = _find(ca), _find(cb)
                 if ra != rb:
                     if rb < ra:
                         ra, rb = rb, ra
