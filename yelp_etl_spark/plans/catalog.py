@@ -2411,7 +2411,6 @@ def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from yelp_etl_spark.streaming.windows import (
-        read_events_stream,
         running_user_totals,
         stream_dedup,
     )
@@ -2430,15 +2429,31 @@ def q_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per trigger = exactly two micro-batches — enough to prove
     # cross-batch state, cheap enough for the bench loop (per-trigger
     # overhead dominates: 8 batches ran 3× slower for the same rows)
+    # Only the columns the pipeline TOUCHES are staged, streamed, and
+    # shipped (guide §4/§2.3, r16): event_id (dedup key), ts
+    # (watermark), user_id (state key), value (the sum) — event_type
+    # and the fat props string never leave the source table. The
+    # applyInPandasWithState boundary then ships 2 columns per row
+    # into Python instead of 6 (opaque functions defeat Spark's own
+    # pruning, so the .select is load-bearing). Results unchanged: the
+    # dropped columns appear in no output expression.
     (
-        events.withColumn("__c", F.explode(F.array(F.lit(1), F.lit(2))))
+        events.select("event_id", "ts", "user_id", "value")
+        .withColumn("__c", F.explode(F.array(F.lit(1), F.lit(2))))
         .drop("__c")
         .repartition(2)
         .write.parquet(src)
     )
-    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     totals = running_user_totals(
-        stream_dedup(stream, keys=["event_id"], watermark="3650 days"),
+        stream_dedup(stream, keys=["event_id"], watermark="3650 days")
+        .select("user_id", "value"),
         watermark=None,
     )
     name = "stream_dedup_totals_" + uuid.uuid4().hex[:8]

@@ -67,19 +67,25 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_portable_estimate,
         hll_portable_sketch,
     )
-    from yelp_etl_spark.streaming.windows import (
-        read_events_stream,
-        run_stream_to_memory,
-    )
+    from yelp_etl_spark.streaming.windows import run_stream_to_memory
 
     from yelp_etl_spark.session import scratch_root
 
     workdir = tempfile.mkdtemp(prefix="stream_hll_", dir=scratch_root())
     src = os.path.join(workdir, "src")
     # two source files x maxFilesPerTrigger=1 -> two micro-batches:
-    # the register state provably merges ACROSS batches
-    _t(spark, sf_dir, "events").repartition(2).write.parquet(src)
-    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    # the register state provably merges ACROSS batches. Only the two
+    # columns the sketch touches are staged and streamed (guide §2.3,
+    # r16) — ts/value/props never leave the source table; the register
+    # aggregation has no watermark, so no event-time column is needed.
+    _t(spark, sf_dir, "events").select("user_id", "event_type").repartition(
+        2
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     regs = hll_portable_sketch(stream, "user_id", ["event_type"])
     name = "stream_hll_" + uuid.uuid4().hex[:8]
     # state = |event_type groups| × 512 register cells — width 2 per
