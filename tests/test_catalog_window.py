@@ -43,22 +43,23 @@ def test_driver_window_entries_all_oracle_checked():
     # VERDICT r11 "What's wrong" #2: at most ONE rows-only slot per
     # window, and it must be the tool-chosen stalest-executed rows-only
     # row (rows_only_ranking in scripts/window_rotation.py).
-    # minhash_neardup (last executed r11 — the stalest execution among
-    # the 7 rows-only queries) takes the r15 slot; its oracle twin
-    # minhash_portable is driver-green r8 and arrives with its stratum
+    # approx_distinct (last executed r11 — the stalest execution among
+    # the 7 rows-only queries) takes the r16 slot; its exact twin
+    # distinct_counts is driver-green r10 and arrives with its stratum
     # in ~1 round. Everything else must be hard-checked.
     no_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
-    assert set(no_oracle) <= {"minhash_neardup"}, (
+    assert set(no_oracle) <= {"approx_distinct"}, (
         f"window entries without oracle: {no_oracle}"
     )
 
 
-def test_driver_window_r15_rotation_goals():
-    # r14 VERDICT task 1: rotate onto the r7 staleness stratum. The
-    # window must contain the 4 standing guards, minhash_neardup (the
-    # tool-chosen rows-only slot — stalest execution, r11), the
-    # COMPLETE 35-query r7 stratum, and the 10 stalest r8 rows — after
-    # this round no query's last hash-check is older than r8.
+def test_driver_window_r16_rotation_goals():
+    # standing r12-r15 practice: rotate onto the stalest stratum at
+    # round start. The window must contain the 4 standing guards,
+    # approx_distinct (the tool-chosen rows-only slot — stalest
+    # execution, r11), the COMPLETE 36-query r8 stratum, and the 9
+    # stalest r9 rows — after this round no query's last hash-check is
+    # older than r9.
     must_have = {
         # standing guards: the fixed r5 reds + flagship
         "map_funcs",
@@ -66,59 +67,59 @@ def test_driver_window_r15_rotation_goals():
         "quantize_embeddings",
         "flagship_revenue",
         # the one rows-only slot, tool-chosen by execution staleness
-        "minhash_neardup",
-        # last checked r7 (the complete stratum)
-        "diff_in_diff",
-        "dp_noisy_counts",
-        "dpp_prune_join",
-        "frame_sample_manifest",
-        "gbt_stumps",
-        "golden_record",
-        "incremental_join_view",
-        "kcore_degrees",
-        "kmeans_clusters",
-        "ks_two_sample",
-        "l_diversity_audit",
-        "label_prop_communities",
-        "loo_target_encoding",
-        "mann_whitney_u",
-        "markov_attribution",
-        "markov_transitions",
-        "mi_terms",
-        "ndcg_mrr_eval",
-        "nelson_aalen",
-        "orc_scan_roundtrip",
-        "pcm_stats",
-        "phrase_search_positional",
-        "profile_columns",
-        "record_linkage_fs",
-        "seasonal_decompose_dow",
-        "skew_report",
-        "snapshot_eq_delete",
-        "snapshot_tag_travel",
-        "snapshot_wap",
-        "stream_hll_distinct",
-        "temporal_reachability",
-        "trigram_search",
-        "weighted_median",
-        "woe_encoding",
-        "zipf_slope",
-        # the 10 stalest r8 rows (name tiebreak)
-        "adamic_adar_linkpred",
-        "asof_join",
-        "binaryfile_scan_roundtrip",
-        "bm25_search",
-        "bpe_encode_tokens",
-        "cdc_apply",
-        "cdc_apply_out_of_order",
-        "cosine_topk",
-        "dedup_exact",
-        "duplicate_spans_pruned",
+        "approx_distinct",
+        # last checked r8 (the complete stratum)
+        "enrich_obt",
+        "event_seq_regex",
+        "funnel_conversion",
+        "gold_pipeline_rollup",
+        "grouped_kfold_assign",
+        "hll_mergeable_checked",
+        "hll_portable",
+        "holt_linear_trend",
+        "isotonic_calibration",
+        "kaplan_meier",
+        "lang_id",
+        "logreg_weights",
+        "medallion_gold_parity",
+        "minhash_portable",
+        "neardup_components",
+        "ols_normal_equations",
+        "point_in_polygon_join",
+        "pricing_summary",
+        "psi_drift",
+        "random_walks",
+        "range_join",
+        "rollup_orders",
+        "seasonal_naive_backtest",
+        "sessionize_gaps",
+        "snapshot_cluster_compact",
+        "snapshot_rollback",
+        "snapshot_spec_evolution",
+        "spatial_radius_join",
+        "sssp_weighted",
+        "stream_cdc_apply",
+        "text_scan_roundtrip",
+        "tfidf_top_terms",
+        "theil_sen_slope",
+        "tpch_q9_profit",
+        "triangle_count",
+        "window_topk",
+        # the 9 stalest r9 rows (name tiebreak)
+        "anova_f_test",
+        "approx_quantile_checked",
+        "ari_cluster_agreement",
+        "array_access",
+        "bitmap_distinct",
+        "case_when_tiers",
+        "changepoint_binary_seg",
+        "cms_join_size_estimate",
+        "cohens_kappa",
     }
     assert must_have <= set(_DRIVER_WINDOW)
 
 
-def test_driver_window_r15_matches_rotation_tool():
+def test_driver_window_r16_matches_rotation_tool():
     # r12 VERDICT task 3 "Done =" criterion: the shipped window IS the
     # tool's output — no hand-curation drift. Re-derive the proposal
     # from the committed CORRECTNESS artifacts and compare exactly.
@@ -139,11 +140,11 @@ def test_driver_window_r15_matches_rotation_tool():
     spec.loader.exec_module(wr)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = wr.last_checked(root)
-    # only compare while the r15 window is current (the artifacts for
-    # r15 itself land at r16 start and advance the staleness frontier);
+    # only compare while the r16 window is current (the artifacts for
+    # r16 itself land at r17 start and advance the staleness frontier);
     # a visible skip, not a silent no-op pass (r13 ADVICE #2)
-    if max(seen.values(), default=0) != 14:
-        pytest.skip("r15 window no longer current (newer CORRECTNESS artifacts present)")
+    if max(seen.values(), default=0) != 15:
+        pytest.skip("r16 window no longer current (newer CORRECTNESS artifacts present)")
     proposal = wr.build_proposal(seen, size=50)
     assert proposal == list(_DRIVER_WINDOW)
 

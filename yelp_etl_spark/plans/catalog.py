@@ -7626,71 +7626,72 @@ for _name, (_fn, _oracle, _ops) in _EXTRA_QUERIES.items():
 # remain under the local parity gate (scripts/check_parity.py runs ALL
 # queries every round, plus the vanilla-ANSI sweep).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- r15 rotation (VERDICT r14 task #1): consume the ENTIRE
-    # 35-row round-7 staleness stratum plus the 10 stalest r8 rows —
-    # scripts/window_rotation.py derived this list (guards first, then
-    # the single tool-chosen rows-only slot via rows_only_ranking, then
-    # stalest-first). After this round the staleness frontier advances
-    # to round 8. ----
+    # ---- r16 rotation (standing r12-r15 practice: rotate onto the
+    # least-recently-checked stratum at round start): consume the
+    # ENTIRE 36-row round-8 staleness stratum plus the 9 stalest r9
+    # rows — scripts/window_rotation.py derived this list (guards
+    # first, then the single tool-chosen rows-only slot via
+    # rows_only_ranking, then stalest-first). After this round the
+    # staleness frontier advances to round 9. ----
     # ---- standing guards (fixed r5 reds + flagship) ----
     "map_funcs",
     "map_hof",
     "quantize_embeddings",
     "flagship_revenue",
     # ---- the one rows-only slot, TOOL-chosen by execution staleness
-    # (VERDICT r12 task #3 convention): minhash_neardup last executed
+    # (VERDICT r12 task #3 convention): approx_distinct last executed
     # r11 — the stalest execution among the 7 rows-only queries; its
-    # oracle twin minhash_portable is green r8 and arrives with its
+    # exact twin distinct_counts is green r10 and arrives with its
     # stratum in ~1 round (tool prints the twin disposition each run,
     # r13 verdict task #6) ----
-    "minhash_neardup",
-    # ---- last checked round 7: the COMPLETE 35-query r7 stratum ----
-    "diff_in_diff",
-    "dp_noisy_counts",
-    "dpp_prune_join",
-    "frame_sample_manifest",
-    "gbt_stumps",
-    "golden_record",
-    "incremental_join_view",
-    "kcore_degrees",
-    "kmeans_clusters",
-    "ks_two_sample",
-    "l_diversity_audit",
-    "label_prop_communities",
-    "loo_target_encoding",
-    "mann_whitney_u",
-    "markov_attribution",
-    "markov_transitions",
-    "mi_terms",
-    "ndcg_mrr_eval",
-    "nelson_aalen",
-    "orc_scan_roundtrip",
-    "pcm_stats",
-    "phrase_search_positional",
-    "profile_columns",
-    "record_linkage_fs",
-    "seasonal_decompose_dow",
-    "skew_report",
-    "snapshot_eq_delete",
-    "snapshot_tag_travel",
-    "snapshot_wap",
-    "stream_hll_distinct",
-    "temporal_reachability",
-    "trigram_search",
-    "weighted_median",
-    "woe_encoding",
-    "zipf_slope",
-    # ---- the 10 stalest r8 rows (name tiebreak) ----
-    "adamic_adar_linkpred",
-    "asof_join",
-    "binaryfile_scan_roundtrip",
-    "bm25_search",
-    "bpe_encode_tokens",
-    "cdc_apply",
-    "cdc_apply_out_of_order",
-    "cosine_topk",
-    "dedup_exact",
-    "duplicate_spans_pruned",
+    "approx_distinct",
+    # ---- last checked round 8: the COMPLETE 36-query r8 stratum ----
+    "enrich_obt",
+    "event_seq_regex",
+    "funnel_conversion",
+    "gold_pipeline_rollup",
+    "grouped_kfold_assign",
+    "hll_mergeable_checked",
+    "hll_portable",
+    "holt_linear_trend",
+    "isotonic_calibration",
+    "kaplan_meier",
+    "lang_id",
+    "logreg_weights",
+    "medallion_gold_parity",
+    "minhash_portable",
+    "neardup_components",
+    "ols_normal_equations",
+    "point_in_polygon_join",
+    "pricing_summary",
+    "psi_drift",
+    "random_walks",
+    "range_join",
+    "rollup_orders",
+    "seasonal_naive_backtest",
+    "sessionize_gaps",
+    "snapshot_cluster_compact",
+    "snapshot_rollback",
+    "snapshot_spec_evolution",
+    "spatial_radius_join",
+    "sssp_weighted",
+    "stream_cdc_apply",
+    "text_scan_roundtrip",
+    "tfidf_top_terms",
+    "theil_sen_slope",
+    "tpch_q9_profit",
+    "triangle_count",
+    "window_topk",
+    # ---- the 9 stalest r9 rows (name tiebreak) ----
+    "anova_f_test",
+    "approx_quantile_checked",
+    "ari_cluster_agreement",
+    "array_access",
+    "bitmap_distinct",
+    "case_when_tiers",
+    "changepoint_binary_seg",
+    "cms_join_size_estimate",
+    "cohens_kappa",
 )
 
 # Queries added AFTER the window is frozen for the round seed the next
