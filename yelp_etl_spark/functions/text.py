@@ -568,7 +568,17 @@ def adjacent_bigrams(
     bigram LM): portable tokens with position, per-document `lead`
     window (one doc-keyed shuffle, per-doc sort bounded by document
     length; the ''-filter's position gaps are fine because `lead` runs
-    over surviving rows in text order)."""
+    over surviving rows in text order). That one exchange is also the
+    REUSE point when a query consumes the pairs more than once.
+
+    Measured and REJECTED (r16): an array-native zero-exchange form —
+    filter the ''-gaps out of the split array, zip_with it against
+    itself shifted by one, explode. Same pair multiset, no shuffle,
+    but higher-order array functions are CodegenFallback (interpreted
+    per row, with the struct array copying every token twice), and
+    losing the exchange also loses subtree reuse for multi-consumer
+    queries: interleaved A/B at sf0.1 read consistently SLOWER
+    (bigram_nll 1.1→2.2 s, pmi 0.84→1.88 s on adjacent quiet rounds)."""
     from pyspark.sql import Window
 
     toks = portable_tokens(df, id_column, text_column, with_position=True)
@@ -673,8 +683,19 @@ def bigram_nll(
     pair table and joined back (AQE broadcasts when small), one
     per-doc aggregate. Never all-pairs.
     """
-    bigrams = adjacent_bigrams(df, id_column, text_column)
-    pair = bigrams.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    # ONE token-scale aggregate to per-(doc, a, b) counts: the
+    # zero-exchange bigram subtree is evaluated exactly once (its
+    # exchange is the reuse point for every consumer below), and the
+    # model join + per-doc score run over the smaller distinct-triple
+    # table — sum(nab · nll_q) is exact integer algebra, identical to
+    # summing the per-row nll_q it replaces (nll_q depends only on
+    # (a, b)).
+    grouped = adjacent_bigrams(df, id_column, text_column).groupBy(
+        id_column, "a", "b"
+    ).agg(F.count("*").alias("nab"))
+    pair = grouped.groupBy("a", "b").agg(
+        F.sum("nab").cast("long").alias("cab")
+    )
     left = pair.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
     uni = pair.groupBy("b").agg(F.sum("cab").cast("long").alias("cb"))
     tot = pair.agg(F.sum("cab").cast("long").alias("t"))
@@ -686,16 +707,16 @@ def bigram_nll(
     )
     nll_q = (-F.round(F.log(p) * F.lit(1_000_000.0))).cast("long")
     scored = (
-        bigrams.join(pair, ["a", "b"])
+        grouped.join(pair, ["a", "b"])
         .join(left, "a")
         .join(uni, "b")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(vsz))
-        .select(id_column, nll_q.alias("nll_q"))
+        .select(id_column, "nab", nll_q.alias("nll_q"))
     )
     g = scored.groupBy(id_column).agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("nll_q").alias("s_q"),
+        F.sum("nab").cast("long").alias("n_bigrams"),
+        F.sum(F.col("nab") * F.col("nll_q")).alias("s_q"),
     )
     return g.select(
         id_column,

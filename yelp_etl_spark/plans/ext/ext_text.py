@@ -2063,30 +2063,26 @@ def q_kneser_ney_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c(a,b), c(a·), N₁₊(a·), N₁₊(·b), N₁₊(··)) are exact BIGINTs from
     keyed aggregates; ln P is quantized to micro-nats ONCE PER BIGRAM
     TYPE (quantization sites scale with the model, never the corpus),
-    so per-language NLL rollups are exact integer sums. Scale: token
-    explode + equi-joins on the bigram key; no windows beyond the
-    per-doc position numbering."""
-    from yelp_etl_spark.functions.text import portable_tokens
+    so per-language NLL rollups are exact integer sums. Scale: bigrams
+    come from the shared lead-window helper (functions/text.
+    adjacent_bigrams — same pair multiset as the positional self-join
+    it replaced, which re-shuffled the token table twice more), then
+    ONE aggregate to per-(doc, a, b) counts feeds both the model and
+    the score join."""
+    from yelp_etl_spark.functions.text import adjacent_bigrams
 
     docs = _t(spark, sf_dir, "documents")
-    toks = portable_tokens(docs, "doc_id", "text", with_position=True)
-    wpos = Window.partitionBy("doc_id").orderBy("pos")
-    seq = toks.select(
-        "doc_id", "tok", F.row_number().over(wpos).alias("p")
-    )
-    t1 = seq.alias("t1")
-    t2 = seq.alias("t2")
-    bigrams = t1.join(
-        t2,
-        (F.col("t1.doc_id") == F.col("t2.doc_id"))
-        & (F.col("t2.p") == F.col("t1.p") + 1),
-    ).select(
-        F.col("t1.doc_id").alias("doc_id"),
-        F.col("t1.tok").alias("a"),
-        F.col("t2.tok").alias("b"),
-    )
-    pair = bigrams.groupBy("a", "b").agg(
-        F.count("*").cast("long").alias("cab")
+    # ONE token-scale aggregate to per-(doc, a, b) counts — the
+    # zero-exchange bigram subtree is evaluated exactly once (this
+    # exchange is the reuse point for the model AND score consumers),
+    # and the score join runs over distinct triples, not every bigram
+    # occurrence. sum(nab · nll_q) is exact integer algebra identical
+    # to the per-occurrence sum (nll_q depends only on (a, b)).
+    grouped = adjacent_bigrams(docs, "doc_id", "text").groupBy(
+        "doc_id", "a", "b"
+    ).agg(F.count("*").alias("nab"))
+    pair = grouped.groupBy("a", "b").agg(
+        F.sum("nab").cast("long").alias("cab")
     )
     lft = pair.groupBy("a").agg(
         F.sum("cab").cast("long").alias("ca"),
@@ -2125,11 +2121,11 @@ def q_kneser_ney_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        bigrams.join(model, ["a", "b"])
+        grouped.join(model, ["a", "b"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("nb"),
-            F.sum("nll_q").cast("long").alias("nll_sum"),
+            F.sum("nab").cast("long").alias("nb"),
+            F.sum(F.col("nab") * F.col("nll_q")).cast("long").alias("nll_sum"),
         )
         .join(docs.select("doc_id", "lang"), "doc_id")
     )
